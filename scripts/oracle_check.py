@@ -1,0 +1,103 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's correctness gate.
+
+Runs after `graft.Verify <sfDir> <outDir>`: for each query result parquet in
+<outDir>, executes the corresponding oracle SQL (oracle_sql.json) in DuckDB
+against the same source tables, sorts columns by name + rows by all columns,
+and compares values exactly. Reports per-query PASS/FAIL with diffs.
+
+Usage: python3 scripts/oracle_check.py <sfDir> <outDir> [query ...]
+"""
+import json, math, os, sys, glob
+import duckdb
+import pandas as pd
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    if len(df) > 0:
+        df = df.sort_values(by=list(df.columns), na_position="first").reset_index(drop=True)
+    return df
+
+
+def values_equal(a, b) -> bool:
+    if pd.isna(a) and pd.isna(b):
+        return True
+    if isinstance(a, float) or isinstance(b, float):
+        try:
+            if pd.isna(a) != pd.isna(b):
+                return False
+            return a == b or math.isclose(float(a), float(b), rel_tol=0, abs_tol=0)
+        except (TypeError, ValueError):
+            return False
+    return a == b
+
+
+def compare(name, spark_df, duck_df):
+    problems = []
+    s, d = canon(spark_df), canon(duck_df)
+    if list(s.columns) != list(d.columns):
+        problems.append(f"schema: spark={list(s.columns)} duck={list(d.columns)}")
+        return problems
+    if len(s) != len(d):
+        problems.append(f"rows: spark={len(s)} duck={len(d)}")
+        return problems
+    for c in s.columns:
+        sv, dv = s[c].tolist(), d[c].tolist()
+        bad = [(i, a, b) for i, (a, b) in enumerate(zip(sv, dv)) if not values_equal(a, b)]
+        if bad:
+            problems.append(f"col {c}: {len(bad)} mismatches, first: {bad[:3]}")
+    return problems
+
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    only = set(sys.argv[3:])
+    con = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    with open(os.path.join(out_dir, "oracle_sql.json")) as f:
+        oracle = json.load(f)
+    results = {}
+    for name in sorted(oracle):
+        if only and name not in only:
+            continue
+        res_dir = os.path.join(out_dir, name)
+        files = glob.glob(os.path.join(res_dir, "*.parquet"))
+        if not files:
+            results[name] = ["NO SPARK OUTPUT"]
+            continue
+        spark_df = pd.concat([pd.read_parquet(f) for f in sorted(files)], ignore_index=True)
+        try:
+            duck_df = con.execute(oracle[name]).fetchdf()
+        except Exception as e:
+            results[name] = [f"ORACLE SQL ERROR: {e}"]
+            continue
+        results[name] = compare(name, spark_df, duck_df)
+    # rows-only queries (no oracle): just check output exists and rows>0
+    for res_dir in sorted(glob.glob(os.path.join(out_dir, "*"))):
+        name = os.path.basename(res_dir)
+        if not os.path.isdir(res_dir) or name in oracle or (only and name not in only):
+            continue
+        files = glob.glob(os.path.join(res_dir, "*.parquet"))
+        n = sum(len(pd.read_parquet(f)) for f in files) if files else 0
+        results[name] = [] if n > 0 else ["rows-only: EMPTY OUTPUT"]
+    npass = sum(1 for v in results.values() if not v)
+    print(f"== {npass}/{len(results)} PASS ==")
+    for name, problems in sorted(results.items()):
+        if problems:
+            print(f"FAIL {name}")
+            for p in problems:
+                print(f"     {p}")
+        else:
+            print(f"PASS {name}")
+    sys.exit(0 if npass == len(results) else 1)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,24 +1,47 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Per-round benchmark: runs the headline queries at SPARK_GRAFT_SF_DIR and
+  * prints ONE JSON line. Each query is fully evaluated via a noop-format
+  * write (VERDICT r1: `.count()` lets Catalyst prune all columns and
+  * under-measures projection/expression cost).
+  */
 object Bench {
+
+  /** Headline set: one representative heavy query per subsystem. */
+  val headline: Seq[String] = Seq(
+    "q_agg_grouped",       // shuffle agg
+    "q_join_equi",         // 3-way join
+    "q_win_running",       // ordered window over full lineitem
+    "q_ts_rolling_time",   // range-frame event-time window
+    "q_ts_grid_ffill",     // grid gen + join + ffill
+    "q_pivot_table_multi", // pivot
+    "q_dedup_exact",       // hash dedup over documents
+    "q_dedup_minhash",     // MinHash-LSH candidate join
+    "q_ann_brute",         // brute cosine top-k
+    "q_text_quality",      // full-text expression scan
+    "q_stream_session"     // session windows (batch semantics)
+  )
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = graft.core.Sessions.configure(
+      SparkSession.builder().master(s"local[$cpus]"), cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    val qs = SparkEntry.queries
+    val results = headline.filter(qs.contains).map { name =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try {
+        qs(name)(spark, sfDir).write.format("noop").mode("overwrite").save()
+      } catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}") }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val qJson = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
+    val total = results.map(_._2).sum
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

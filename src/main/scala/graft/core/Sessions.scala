@@ -1,0 +1,33 @@
+package graft.core
+
+import org.apache.spark.sql.SparkSession
+
+/** SparkSession factory for the graft engine.
+  *
+  * Mirrors the session settings the reference's generated template uses
+  * (/root/reference/src/data_pipeline/cli/main.py:905-911 — AQE on, UTC), plus
+  * local-mode-appropriate shuffle parallelism. At cluster scale the same
+  * builder is used without `.master`, letting the deployer choose.
+  */
+object Sessions {
+
+  /** Apply graft's standard configuration to any builder. */
+  def configure(b: SparkSession.Builder, shufflePartitions: Int): SparkSession.Builder =
+    b.config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.parquet.filterPushdown", "true")
+      .config("spark.ui.enabled", "false")
+
+  /** Local session sized for this container (local[32], 32 shuffle partitions). */
+  def local(cores: Int = 32, shufflePartitions: Int = 32, appName: String = "graft"): SparkSession = {
+    val s = configure(
+      SparkSession.builder().master(s"local[$cores]").appName(appName),
+      shufflePartitions
+    ).getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}

@@ -1,0 +1,211 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Feature engineering — §2.K, graft's equivalent of
+  * transformations/feature_engineering.py (567 LoC). Expression-backed where
+  * possible (codegen'd, oracle-checkable); MLlib-backed for the model-fitting
+  * members (k-means binning/clustering, PCA, TF-IDF).
+  */
+object FeatureLib {
+
+  // ------------------------------------------------------------ expressions
+
+  /** Polynomial features (feature_engineering.py:18-72): powers up to
+    * `degree` and optional pairwise interactions, as plain column products.
+    */
+  def polynomialFeatures(df: DataFrame, cols: Seq[String], degree: Int = 2,
+                         interactionOnly: Boolean = false): DataFrame = {
+    val powers =
+      if (interactionOnly) Nil
+      else for { c <- cols; d <- 2 to degree } yield (s"${c}_pow$d", pow(col(c), d))
+    val interactions =
+      for { i <- cols.indices; j <- cols.indices if i < j }
+        yield (s"${cols(i)}_x_${cols(j)}", col(cols(i)) * col(cols(j)))
+    (powers ++ interactions).foldLeft(df) { case (d, (name, e)) => d.withColumn(name, e) }
+  }
+
+  /** Ratio features with explicit division-by-zero policy
+    * (feature_engineering.py:344-392): zero | null | inf.
+    */
+  def ratioFeature(df: DataFrame, name: String, num: String, den: String,
+                   divByZero: String = "null"): DataFrame = {
+    val ratio = col(num) / col(den)
+    val guarded = divByZero match {
+      case "zero" => when(col(den) === 0, 0.0).otherwise(ratio)
+      case "null" => when(col(den) === 0, lit(null)).otherwise(ratio)
+      case "inf"  => when(col(den) === 0 && col(num) >= 0, lit(Double.PositiveInfinity))
+                      .when(col(den) === 0, lit(Double.NegativeInfinity))
+                      .otherwise(ratio)
+      case other  => throw new IllegalArgumentException(s"Unknown div_by_zero policy: $other")
+    }
+    df.withColumn(name, guarded)
+  }
+
+  /** Interaction features multiply/add/subtract with a pair cap
+    * (feature_engineering.py:394-448).
+    */
+  def interactionFeatures(df: DataFrame, cols: Seq[String], op: String = "multiply",
+                          maxInteractions: Int = 20): DataFrame = {
+    val pairs = (for { i <- cols.indices; j <- cols.indices if i < j } yield (cols(i), cols(j)))
+      .take(maxInteractions)
+    pairs.foldLeft(df) { case (d, (a, b)) =>
+      val e = op match {
+        case "multiply" => col(a) * col(b)
+        case "add"      => col(a) + col(b)
+        case "subtract" => col(a) - col(b)
+        case other      => throw new IllegalArgumentException(s"Unknown interaction op: $other")
+      }
+      d.withColumn(s"${a}_${op}_$b", e)
+    }
+  }
+
+  /** Uniform-width binning (feature_engineering.py:86-97): bin edges from the
+    * global min/max, broadcast back — one aggregate + one projection, exact
+    * and scale-safe. Output bin ∈ [0, nBins-1].
+    */
+  def binUniform(df: DataFrame, c: String, nBins: Int, outCol: String = null): DataFrame = {
+    val out = Option(outCol).getOrElse(s"${c}_bin")
+    val stats = df.agg(min(col(c)).cast("double").as("__mn"), max(col(c)).cast("double").as("__mx"))
+    df.crossJoin(broadcast(stats))
+      .withColumn(out,
+        least(greatest(floor((col(c) - col("__mn")) / ((col("__mx") - col("__mn")) / nBins)), lit(0)),
+          lit(nBins - 1)).cast("int"))
+      .drop("__mn", "__mx")
+  }
+
+  /** Exact quantile binning (feature_engineering.py:98-109): cut points are
+    * exact percentiles broadcast back (ntile would mis-handle ties at scale;
+    * fixed cut points keep bin semantics stable across re-runs).
+    */
+  def binQuantile(df: DataFrame, c: String, nBins: Int, outCol: String = null): DataFrame = {
+    val out = Option(outCol).getOrElse(s"${c}_qbin")
+    val cuts = (1 until nBins).map(i => percentile(col(c), lit(i.toDouble / nBins)).as(s"__q$i"))
+    val stats = df.agg(cuts.head, cuts.tail: _*)
+    val joined = df.crossJoin(broadcast(stats))
+    val binExpr = (1 until nBins).foldLeft(lit(0): Column) { (acc, i) =>
+      acc + when(col(c) > col(s"__q$i"), 1).otherwise(0)
+    }
+    joined.withColumn(out, binExpr.cast("int")).drop((1 until nBins).map(i => s"__q$i"): _*)
+  }
+
+  /** K-means 1-D binning (feature_engineering.py:110-127) via MLlib. */
+  def binKmeans(df: DataFrame, c: String, nBins: Int, seed: Long = 42L, outCol: String = null): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val out = Option(outCol).getOrElse(s"${c}_kbin")
+    val feat = df.withColumn("__f", array_to_vector(array(col(c).cast("double"))))
+    val model = new KMeans().setK(nBins).setSeed(seed).setFeaturesCol("__f").setPredictionCol(out).fit(feat)
+    model.transform(feat).drop("__f")
+  }
+
+  // ------------------------------------------------------------ categorical
+
+  /** Frequency encoding (feature_engineering.py:279-287): category →
+    * occurrence count, via a count window (no join needed).
+    */
+  def encodeFrequency(df: DataFrame, c: String, outCol: String = null): DataFrame =
+    df.withColumn(Option(outCol).getOrElse(s"${c}_freq"),
+      count(lit(1)).over(Window.partitionBy(col(c))))
+
+  /** Deterministic label encoding (feature_engineering.py:267-277): dense
+    * rank of the category in lexicographic order (stable across runs, unlike
+    * StringIndexer's frequency order with ties).
+    */
+  def encodeLabel(df: DataFrame, c: String, outCol: String = null): DataFrame =
+    df.withColumn(Option(outCol).getOrElse(s"${c}_label"),
+      dense_rank().over(Window.orderBy(col(c))) - 1)
+
+  /** One-hot encoding with a top-N cap → "other"
+    * (feature_engineering.py:236-265): known values become indicator
+    * columns; pass `values` to avoid the distinct pre-scan.
+    */
+  def encodeOneHot(df: DataFrame, c: String, values: Seq[String]): DataFrame = {
+    val withOther = values.foldLeft(df) { (d, v) =>
+      d.withColumn(s"${c}_$v", when(col(c) === v, 1).otherwise(0))
+    }
+    withOther.withColumn(s"${c}_other", when(col(c).isin(values: _*), 0).otherwise(1))
+  }
+
+  /** Group-aggregate features broadcast onto rows
+    * (feature_engineering.py:298-342): window aggregate per key — one
+    * shuffle, no join.
+    */
+  def aggregationFeatures(df: DataFrame, groupBy: Seq[String],
+                          aggs: Seq[(String, String)]): DataFrame = {
+    val w = Window.partitionBy(groupBy.map(col): _*)
+    aggs.foldLeft(df) { case (d, (c, fn)) =>
+      d.withColumn(s"${c}_${fn}_by_${groupBy.mkString("_")}",
+        graft.ops.Relational.aggExpr(fn, c).over(w))
+    }
+  }
+
+  // ------------------------------------------------------------ text / MLlib
+
+  /** Text feature basic stats (feature_engineering.py:197-206). */
+  def textBasicStats(df: DataFrame, c: String): DataFrame =
+    df.withColumn(s"${c}_char_count", length(col(c)))
+      .withColumn(s"${c}_word_count", graft.text.TextLib.tokenCountWs(col(c)))
+      .withColumn(s"${c}_avg_word_length",
+        round(length(regexp_replace(col(c), "\\s+", "")).cast("double") /
+          graft.text.TextLib.tokenCountWs(col(c)), 6))
+
+  /** TF-IDF features (feature_engineering.py:152-173) via the standard MLlib
+    * chain; returns the input plus a `tfidf` vector column.
+    */
+  def textTfidf(df: DataFrame, c: String, vocabSize: Int = 1000, minDF: Int = 1): DataFrame = {
+    import org.apache.spark.ml.feature.{CountVectorizer, IDF, RegexTokenizer, StopWordsRemover}
+    val tok = new RegexTokenizer().setInputCol(c).setOutputCol("__tok").setPattern("\\W+")
+    val stop = new StopWordsRemover().setInputCol("__tok").setOutputCol("__tok2")
+    val cv = new CountVectorizer().setInputCol("__tok2").setOutputCol("__tf")
+      .setVocabSize(vocabSize).setMinDF(minDF.toDouble)
+    val toks = stop.transform(tok.transform(df))
+    val cvm = cv.fit(toks)
+    val idf = new IDF().setInputCol("__tf").setOutputCol("tfidf").fit(cvm.transform(toks))
+    idf.transform(cvm.transform(toks)).drop("__tok", "__tok2", "__tf")
+  }
+
+  /** Clustering features (feature_engineering.py:450-511): k-means cluster id
+    * + distance to own centroid over the given feature columns.
+    */
+  def clusteringFeatures(df: DataFrame, cols: Seq[String], k: Int, seed: Long = 42L): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
+    val feat = df.withColumn("__f", array_to_vector(array(cols.map(c => col(c).cast("double")): _*)))
+    val model = new KMeans().setK(k).setSeed(seed).setFeaturesCol("__f").setPredictionCol("cluster").fit(feat)
+    val centers = model.clusterCenters.map(_.toArray)
+    val centerArr = array(centers.map(c => array(c.map(lit).toSeq: _*)).toSeq: _*)
+    model.transform(feat)
+      .withColumn("__fa", vector_to_array(col("__f")))
+      .withColumn("cluster_dist",
+        sqrt(aggregate(
+          zip_with(col("__fa"), element_at(centerArr, col("cluster") + 1), (a, b) => (a - b) * (a - b)),
+          lit(0.0d), (acc, x) => acc + x)))
+      .drop("__f", "__fa")
+  }
+
+  /** PCA with auto-k by explained-variance threshold
+    * (feature_engineering.py:513-567): standardize, fit full PCA once, pick
+    * the smallest k reaching the threshold, project.
+    */
+  def pcaFeatures(df: DataFrame, cols: Seq[String], varianceThreshold: Double = 0.95,
+                  maxK: Int = 0): DataFrame = {
+    import org.apache.spark.ml.feature.{PCA, StandardScaler}
+    import org.apache.spark.ml.functions.array_to_vector
+    val kCap = if (maxK > 0) maxK else cols.size
+    val feat = df.withColumn("__f", array_to_vector(array(cols.map(c => col(c).cast("double")): _*)))
+    val scaler = new StandardScaler().setInputCol("__f").setOutputCol("__fs")
+      .setWithMean(true).setWithStd(true).fit(feat)
+    val scaled = scaler.transform(feat)
+    val full = new PCA().setK(kCap).setInputCol("__fs").setOutputCol("__p").fit(scaled)
+    val ev = full.explainedVariance.toArray
+    val k = math.max(1, ev.scanLeft(0.0)(_ + _).drop(1).indexWhere(_ >= varianceThreshold) + 1 match {
+      case 0 => kCap
+      case n => n
+    })
+    val pca = new PCA().setK(k).setInputCol("__fs").setOutputCol("pca").fit(scaled)
+    pca.transform(scaled).drop("__f", "__fs", "__p")
+  }
+}

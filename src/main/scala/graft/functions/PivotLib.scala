@@ -1,0 +1,172 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.ops.Relational
+
+/** Pivot/reshape library — §2.I, the graft equivalent of the reference's
+  * transformations/pivot_operations.py (477 LoC). All single-pass Spark plans:
+  * pivots compile to one shuffle; subtotals use ROLLUP (no frame concat).
+  */
+object PivotLib {
+
+  /** pivot_table (pivot_operations.py:14-66): multi-agg pivot with optional
+    * fill value. `pivotValues` bounds the column explosion (SURVEY §7 risk:
+    * spark.sql.pivotMaxValues) — pass it whenever the domain is known.
+    */
+  def pivotTable(
+      df: DataFrame,
+      index: Seq[String],
+      pivotCol: String,
+      valueCol: String,
+      aggFuncs: Seq[String] = Seq("sum"),
+      fillValue: Option[Any] = None,
+      pivotValues: Seq[Any] = Nil
+  ): DataFrame = {
+    val g = df.groupBy(index.map(col): _*)
+    val p = if (pivotValues.nonEmpty) g.pivot(pivotCol, pivotValues) else g.pivot(pivotCol)
+    val aggs = aggFuncs.map(f => Relational.aggExpr(f, valueCol).as(f))
+    val out = if (aggs.size == 1) p.agg(aggs.head) else p.agg(aggs.head, aggs.tail: _*)
+    fillValue.fold(out)(v => out.na.fill(v.toString.toDouble))
+  }
+
+  /** unpivot/melt (pivot_operations.py:68-106) — native `unpivot`. */
+  def melt(df: DataFrame, idVars: Seq[String], valueVars: Seq[String],
+           varName: String = "variable", valueName: String = "value"): DataFrame =
+    Relational.melt(df, idVars, valueVars, varName, valueName)
+
+  /** cross_tab (pivot_operations.py:108-166): count (or agg) contingency
+    * table, with optional normalization by all / row (index) / column.
+    * Built as an explicit pivot-count so column naming stays predictable.
+    */
+  def crossTab(
+      df: DataFrame,
+      rowCol: String,
+      colCol: String,
+      normalize: String = "none", // none | all | index | columns
+      colValues: Seq[Any] = Nil
+  ): DataFrame = {
+    val g = df.groupBy(col(rowCol))
+    val p = if (colValues.nonEmpty) g.pivot(colCol, colValues) else g.pivot(colCol)
+    val counts = p.agg(count(lit(1)))
+    val valueCols = counts.columns.filterNot(_ == rowCol)
+    val filled = counts.na.fill(0, valueCols)
+    normalize match {
+      case "none" => filled
+      case "index" => // each row sums to 1 (materialize the row total FIRST —
+        // dividing in a fold would let later columns see already-divided ones)
+        val withTotal = filled.withColumn("__rt", valueCols.map(c => col(c)).reduce(_ + _))
+        valueCols.foldLeft(withTotal)((d, c) => d.withColumn(c, col(c) / col("__rt"))).drop("__rt")
+      case "all" | "columns" =>
+        // column/grand totals need a global aggregate: broadcast a 1-row total frame
+        val totals = filled.agg(valueCols.map(c => sum(col(c)).as(s"__t_$c")).head,
+                                valueCols.map(c => sum(col(c)).as(s"__t_$c")).tail: _*)
+        val joined = filled.crossJoin(broadcast(totals))
+        val grand = valueCols.map(c => col(s"__t_$c")).reduce(_ + _)
+        val out = valueCols.foldLeft(joined) { (d, c) =>
+          d.withColumn(c, if (normalize == "columns") col(c) / col(s"__t_$c") else col(c) / grand)
+        }
+        out.drop(valueCols.map(c => s"__t_$c"): _*)
+    }
+  }
+
+  /** pivot_multiple_values (pivot_operations.py:168-213): pandas does one
+    * pivot per value column and concatenates; Spark does it in ONE pass with a
+    * multi-agg pivot (columns named `{pivotValue}_{fn}_{valueCol}`).
+    */
+  def pivotMultipleValues(
+      df: DataFrame,
+      index: Seq[String],
+      pivotCol: String,
+      valueCols: Seq[String],
+      aggFunc: String = "sum",
+      pivotValues: Seq[Any] = Nil
+  ): DataFrame = {
+    val g = df.groupBy(index.map(col): _*)
+    val p = if (pivotValues.nonEmpty) g.pivot(pivotCol, pivotValues) else g.pivot(pivotCol)
+    val aggs = valueCols.map(v => Relational.aggExpr(aggFunc, v).as(s"${aggFunc}_$v"))
+    if (aggs.size == 1) p.agg(aggs.head) else p.agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** pivot_with_subtotals (pivot_operations.py:215-282): pandas builds
+    * subtotal frames per level and concatenates; Spark expresses the whole
+    * thing as ROLLUP + grouping() labels — one shuffle, no unions.
+    * Subtotal rows carry `rollupLabel` in the rolled-up key columns.
+    */
+  def pivotWithSubtotals(
+      df: DataFrame,
+      keys: Seq[String],
+      valueCol: String,
+      aggFunc: String = "sum",
+      rollupLabel: String = "TOTAL"
+  ): DataFrame = {
+    val agg = Relational.aggExpr(aggFunc, valueCol).as(s"${aggFunc}_$valueCol")
+    val gCols = keys.map(k => grouping(col(k)).as(s"__g_$k"))
+    val rolled = df.rollup(keys.map(col): _*)
+      .agg(agg, (gCols :+ grouping_id().as("__gid")): _*)
+    val labeled = keys.foldLeft(rolled) { (d, k) =>
+      d.withColumn(k, when(col(s"__g_$k") === 1, lit(rollupLabel)).otherwise(col(k)))
+    }
+    labeled.drop(keys.map(k => s"__g_$k"): _*)
+  }
+
+  /** dynamic_pivot (pivot_operations.py:284-339): data-driven columns with a
+    * prefix separator. Spark's pivot is inherently dynamic; the prefix is a
+    * rename pass.
+    */
+  def dynamicPivot(
+      df: DataFrame,
+      index: Seq[String],
+      pivotCol: String,
+      valueCol: String,
+      aggFunc: String = "sum",
+      prefix: String = ""
+  ): DataFrame = {
+    val out = df.groupBy(index.map(col): _*).pivot(pivotCol).agg(Relational.aggExpr(aggFunc, valueCol))
+    if (prefix.isEmpty) out
+    else out.columns.filterNot(index.contains).foldLeft(out)((d, c) => d.withColumnRenamed(c, s"$prefix$c"))
+  }
+
+  /** conditional_pivot (pivot_operations.py:341-387): filter, then pivot. */
+  def conditionalPivot(
+      df: DataFrame,
+      condition: String,
+      index: Seq[String],
+      pivotCol: String,
+      valueCol: String,
+      aggFunc: String = "sum"
+  ): DataFrame =
+    df.filter(expr(condition)).groupBy(index.map(col): _*).pivot(pivotCol).agg(Relational.aggExpr(aggFunc, valueCol))
+
+  /** time_based_pivot (pivot_operations.py:389-435): pandas `to_period(freq)`
+    * becomes `date_trunc(freq, ts)` as the pivot key.
+    */
+  def timeBasedPivot(
+      df: DataFrame,
+      index: Seq[String],
+      timeCol: String,
+      freq: String, // year | quarter | month | week | day | hour
+      valueCol: String,
+      aggFunc: String = "sum"
+  ): DataFrame =
+    df.withColumn("__period", date_format(date_trunc(freq, col(timeCol)), "yyyy-MM-dd"))
+      .groupBy(index.map(col): _*)
+      .pivot("__period")
+      .agg(Relational.aggExpr(aggFunc, valueCol))
+
+  /** pivot_summary_stats (pivot_operations.py:437-477): count/avg/stddev/min/max
+    * per pivot value in one pass.
+    */
+  def pivotSummaryStats(df: DataFrame, index: Seq[String], pivotCol: String, valueCol: String,
+                        pivotValues: Seq[Any] = Nil): DataFrame = {
+    val g = df.groupBy(index.map(col): _*)
+    val p = if (pivotValues.nonEmpty) g.pivot(pivotCol, pivotValues) else g.pivot(pivotCol)
+    p.agg(
+      count(col(valueCol)).as("count"),
+      avg(col(valueCol)).as("avg"),
+      stddev(col(valueCol)).as("stddev"),
+      min(col(valueCol)).as("min"),
+      max(col(valueCol)).as("max")
+    )
+  }
+}

@@ -1,0 +1,392 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Row}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+/** Time-series library — §2.J, graft's equivalent of the reference's
+  * transformations/time_series.py (527 LoC), re-expressed as distributed
+  * window/aggregate plans. Sequential-only algorithms (EWM) run per-key via
+  * sorted group scans (`flatMapGroups`) — each key's series must fit in one
+  * task, the standard Spark contract for per-entity sequence models.
+  */
+object TimeSeriesLib {
+
+  private def w(partitionBy: Seq[String], orderCol: String) =
+    Window.partitionBy(partitionBy.map(col): _*).orderBy(col(orderCol))
+
+  // ---------------------------------------------------------------- resample
+
+  /** Resample to a fixed frequency (time_series.py:17-67): bucket by
+    * `window(ts, freq)` and aggregate. Output carries the bucket start as
+    * `period`. One shuffle, streaming-compatible shape.
+    */
+  def resample(
+      df: DataFrame,
+      tsCol: String,
+      freq: String, // e.g. "1 hour", "15 minutes", "1 day"
+      aggs: Seq[(String, String)], // (column, fn)
+      keys: Seq[String] = Nil
+  ): DataFrame = {
+    val groupCols = window(col(tsCol), freq).as("__w") +: keys.map(col)
+    val aggExprs = aggs.map { case (c, f) => graft.ops.Relational.aggExpr(f, c).as(s"${c}_$f") }
+    df.groupBy(groupCols: _*)
+      .agg(aggExprs.head, aggExprs.tail: _*)
+      .withColumn("period", col("__w.start"))
+      .drop("__w")
+  }
+
+  /** Resample onto a COMPLETE time grid (gap buckets present as nulls), then
+    * optionally fill. The grid is `sequence(min, max, interval)` exploded —
+    * generated distributively, no driver loop (time_series.py:39-61 gap
+    * semantics). With `keys`, each key gets its own [min,max] grid.
+    */
+  def resampleWithGrid(
+      df: DataFrame,
+      tsCol: String,
+      freq: String,
+      aggs: Seq[(String, String)],
+      keys: Seq[String] = Nil,
+      fillMethod: String = "none" // none | ffill | zero
+  ): DataFrame = {
+    val bucketed = resample(df, tsCol, freq, aggs, keys)
+    val interval = expr(s"interval $freq")
+    val grid =
+      if (keys.isEmpty)
+        bucketed.agg(min(col("period")).as("__mn"), max(col("period")).as("__mx"))
+          .select(explode(sequence(col("__mn"), col("__mx"), interval)).as("period"))
+      else
+        bucketed.groupBy(keys.map(col): _*)
+          .agg(min(col("period")).as("__mn"), max(col("period")).as("__mx"))
+          .select(keys.map(col) :+ explode(sequence(col("__mn"), col("__mx"), interval)).as("period"): _*)
+    val joined = grid.join(bucketed, keys :+ "period", "left")
+    val valueCols = aggs.map { case (c, f) => s"${c}_$f" }
+    fillMethod match {
+      case "none" => joined
+      case "zero" => joined.na.fill(0, valueCols)
+      case "ffill" =>
+        val ww = w(keys, "period").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        valueCols.foldLeft(joined)((d, c) => d.withColumn(c, last(col(c), ignoreNulls = true).over(ww)))
+      case other => throw new IllegalArgumentException(s"Unknown grid fill: $other")
+    }
+  }
+
+  // ---------------------------------------------------------------- rolling
+
+  /** Rolling statistics over a COUNT window (time_series.py:69-116). */
+  def rollingStats(
+      df: DataFrame,
+      valueCol: String,
+      k: Int,
+      stats: Seq[String], // mean std min max sum median
+      orderCol: String,
+      partitionBy: Seq[String] = Nil,
+      minPeriods: Int = 1
+  ): DataFrame = {
+    val frame = w(partitionBy, orderCol).rowsBetween(-(k - 1L), Window.currentRow)
+    stats.foldLeft(df) { (d, s) =>
+      val c = s match {
+        case "mean"   => avg(col(valueCol)).over(frame)
+        case "std"    => stddev(col(valueCol)).over(frame)
+        case "min"    => min(col(valueCol)).over(frame)
+        case "max"    => max(col(valueCol)).over(frame)
+        case "sum"    => sum(col(valueCol)).over(frame)
+        case "median" => percentile_approx(col(valueCol), lit(0.5), lit(10000)).over(frame)
+        case other    => throw new IllegalArgumentException(s"Unknown rolling stat: $other")
+      }
+      val guarded = if (minPeriods <= 1) c else when(count(col(valueCol)).over(frame) >= minPeriods, c)
+      d.withColumn(s"${valueCol}_rolling_$s", guarded)
+    }
+  }
+
+  /** Rolling statistics over a TIME window (trailing `seconds` seconds),
+    * via a RANGE frame on the epoch — true event-time rolling, robust to
+    * irregular sampling (time_series.py:84-90 time-window mode).
+    */
+  def rollingStatsTime(
+      df: DataFrame,
+      valueCol: String,
+      seconds: Long,
+      stats: Seq[String],
+      tsCol: String,
+      partitionBy: Seq[String] = Nil
+  ): DataFrame = {
+    val withEpoch = df.withColumn("__epoch", unix_timestamp(col(tsCol)))
+    val frame = Window.partitionBy(partitionBy.map(col): _*).orderBy(col("__epoch"))
+      .rangeBetween(-seconds, 0)
+    val out = stats.foldLeft(withEpoch) { (d, s) =>
+      val c = s match {
+        case "mean" => avg(col(valueCol)).over(frame)
+        case "std"  => stddev(col(valueCol)).over(frame)
+        case "min"  => min(col(valueCol)).over(frame)
+        case "max"  => max(col(valueCol)).over(frame)
+        case "sum"  => sum(col(valueCol)).over(frame)
+        case "count"=> count(col(valueCol)).over(frame)
+        case other  => throw new IllegalArgumentException(s"Unknown rolling stat: $other")
+      }
+      d.withColumn(s"${valueCol}_tw_$s", c)
+    }
+    out.drop("__epoch")
+  }
+
+  // ---------------------------------------------------------------- lags / diffs
+
+  /** Multi-lag features (time_series.py:339-378). */
+  def calculateLags(df: DataFrame, valueCol: String, lags: Seq[Int], orderCol: String,
+                    partitionBy: Seq[String] = Nil): DataFrame = {
+    val ww = w(partitionBy, orderCol)
+    lags.foldLeft(df)((d, k) => d.withColumn(s"${valueCol}_lag_$k", lag(col(valueCol), k).over(ww)))
+  }
+
+  /** Multi-period differences (time_series.py:380-419). */
+  def calculateDifferences(df: DataFrame, valueCol: String, periods: Seq[Int], orderCol: String,
+                           partitionBy: Seq[String] = Nil): DataFrame = {
+    val ww = w(partitionBy, orderCol)
+    periods.foldLeft(df)((d, k) =>
+      d.withColumn(s"${valueCol}_diff_$k", col(valueCol) - lag(col(valueCol), k).over(ww)))
+  }
+
+  // ---------------------------------------------------------------- outliers
+
+  /** Outlier flags (time_series.py:171-231). `iqr` and `zscore` use per-group
+    * (or global) statistics broadcast back onto rows; `rolling_zscore` uses a
+    * trailing window.
+    */
+  def flagOutliers(
+      df: DataFrame,
+      valueCol: String,
+      method: String, // iqr | zscore | rolling_zscore
+      threshold: Double = 3.0,
+      partitionBy: Seq[String] = Nil,
+      orderCol: String = null,
+      k: Int = 20
+  ): DataFrame = {
+    val flag = s"${valueCol}_outlier"
+    method match {
+      case "zscore" =>
+        val ww = Window.partitionBy(partitionBy.map(col): _*)
+        val mu = avg(col(valueCol)).over(ww)
+        val sd = stddev(col(valueCol)).over(ww)
+        df.withColumn(flag, when(sd > 0, abs((col(valueCol) - mu) / sd) > threshold).otherwise(lit(false)))
+      case "iqr" =>
+        val ww = Window.partitionBy(partitionBy.map(col): _*)
+        val q1 = percentile(col(valueCol), lit(0.25)).over(ww)
+        val q3 = percentile(col(valueCol), lit(0.75)).over(ww)
+        val iqr = q3 - q1
+        df.withColumn(flag,
+          col(valueCol) < q1 - lit(1.5) * iqr || col(valueCol) > q3 + lit(1.5) * iqr)
+      case "rolling_zscore" =>
+        require(orderCol != null, "rolling_zscore needs orderCol")
+        val frame = w(partitionBy, orderCol).rowsBetween(-(k - 1L), Window.currentRow)
+        val mu = avg(col(valueCol)).over(frame)
+        val sd = stddev(col(valueCol)).over(frame)
+        df.withColumn(flag, when(sd > 0, abs((col(valueCol) - mu) / sd) > threshold).otherwise(lit(false)))
+      case other => throw new IllegalArgumentException(s"Unknown outlier method: $other")
+    }
+  }
+
+  // ---------------------------------------------------------------- missing data
+
+  /** fill_missing (time_series.py:233-281). `interpolate` is LINEAR between
+    * the nearest non-null neighbors: interior nulls get
+    * prev + (next-prev) * (pos-prevPos)/(nextPos-prevPos); leading/trailing
+    * nulls are left null (no extrapolation).
+    */
+  def fillMissing(
+      df: DataFrame,
+      valueCol: String,
+      method: String, // ffill | bfill | mean | median | interpolate | value
+      orderCol: String,
+      partitionBy: Seq[String] = Nil,
+      value: Any = null
+  ): DataFrame = method match {
+    case "ffill" | "bfill" | "mean" | "median" | "value" =>
+      graft.ops.Relational.fillNull(df, valueCol, method, value, Seq(orderCol), partitionBy)
+    case "interpolate" =>
+      val base = w(partitionBy, orderCol)
+      val before = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val after = base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      val rn = row_number().over(base)
+      val v = col(valueCol).cast(DoubleType)
+      val prevVal = last(v, ignoreNulls = true).over(before)
+      val prevPos = last(when(v.isNotNull, rn), ignoreNulls = true).over(before)
+      val nextVal = first(v, ignoreNulls = true).over(after)
+      val nextPos = first(when(v.isNotNull, rn), ignoreNulls = true).over(after)
+      df.withColumn("__rn", rn)
+        .withColumn(valueCol,
+          when(v.isNotNull, v).otherwise(
+            when(prevVal.isNotNull && nextVal.isNotNull,
+              prevVal + (nextVal - prevVal) * (col("__rn") - prevPos) / (nextPos - prevPos))
+          ))
+        .drop("__rn")
+    case other => throw new IllegalArgumentException(s"Unknown fill method: $other")
+  }
+
+  // ---------------------------------------------------------------- calendar features
+
+  /** calculate_time_features (time_series.py:283-337): the 12 named features. */
+  def timeFeatures(df: DataFrame, tsCol: String): DataFrame =
+    df.withColumn(s"${tsCol}_year", year(col(tsCol)))
+      .withColumn(s"${tsCol}_month", month(col(tsCol)))
+      .withColumn(s"${tsCol}_day", dayofmonth(col(tsCol)))
+      .withColumn(s"${tsCol}_hour", hour(col(tsCol)))
+      .withColumn(s"${tsCol}_dayofweek", dayofweek(col(tsCol)))       // 1=Sunday..7=Saturday
+      .withColumn(s"${tsCol}_quarter", quarter(col(tsCol)))
+      .withColumn(s"${tsCol}_weekofyear", weekofyear(col(tsCol)))
+      .withColumn(s"${tsCol}_dayofyear", dayofyear(col(tsCol)))
+      .withColumn(s"${tsCol}_is_weekend", dayofweek(col(tsCol)).isin(1, 7))
+      .withColumn(s"${tsCol}_is_month_start", dayofmonth(col(tsCol)) === 1)
+      .withColumn(s"${tsCol}_is_month_end", col(tsCol).cast("date") === last_day(col(tsCol)))
+      .withColumn(s"${tsCol}_day_name", date_format(col(tsCol), "EEEE"))
+
+  // ---------------------------------------------------------------- smoothing
+
+  /** Moving-average smoothing (time_series.py:428-437). */
+  def smoothMovingAverage(df: DataFrame, valueCol: String, k: Int, orderCol: String,
+                          partitionBy: Seq[String] = Nil): DataFrame =
+    df.withColumn(s"${valueCol}_smooth",
+      avg(col(valueCol)).over(w(partitionBy, orderCol).rowsBetween(-(k - 1L), Window.currentRow)))
+
+  /** Exponentially-weighted mean, pandas `ewm(alpha).mean()` adjust=true
+    * semantics (time_series.py:438-447): y_t = Σ w_i x_i / Σ w_i with
+    * w_i = (1-α)^(t-i). No distributed closed form → per-key sorted scan.
+    * Output: partition cols + order col + value + `{value}_ewm`.
+    */
+  def smoothEwm(
+      df: DataFrame,
+      valueCol: String,
+      alpha: Double,
+      orderCol: String,
+      partitionBy: Seq[String]
+  ): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val keyCol = if (partitionBy.nonEmpty) concat_ws("", partitionBy.map(c => col(c).cast("string")): _*)
+                 else lit("")
+    val slim = df.select(
+      keyCol.as("__key"),
+      col(orderCol).cast("long").as("__ord"), // epoch micros for timestamps, raw for numerics
+      col(valueCol).cast(DoubleType).as("__val"))
+      .as[(String, Long, Double)]
+    val out = slim.groupByKey(_._1).flatMapGroups { (key, it) =>
+      val rows = it.toArray.sortBy(_._2)
+      var num = 0.0; var den = 0.0
+      val oneMinus = 1.0 - alpha
+      rows.map { case (_, ord, v) =>
+        num = num * oneMinus + v
+        den = den * oneMinus + 1.0
+        (key, ord, v, num / den)
+      }
+    }.toDF("__key", "__ord", valueCol, s"${valueCol}_ewm")
+    out
+  }
+
+  /** Savitzky–Golay smoothing (time_series.py:448-470): the symmetric FIR
+    * coefficients are solved once on the driver (tiny (p+1)×(p+1) system via
+    * Gaussian elimination — no scipy), then applied distributively as a dot
+    * product over a centered rows window. Edges (incomplete frames) → null.
+    */
+  def smoothSavgol(df: DataFrame, valueCol: String, windowLength: Int, polyOrder: Int,
+                   orderCol: String, partitionBy: Seq[String] = Nil): DataFrame = {
+    require(windowLength % 2 == 1, "savgol window must be odd")
+    require(polyOrder < windowLength, "polyOrder must be < windowLength")
+    val coeffs = savgolCoefficients(windowLength, polyOrder)
+    val half = windowLength / 2
+    val frame = w(partitionBy, orderCol).rowsBetween(-half.toLong, half.toLong)
+    val vals = collect_list(col(valueCol).cast(DoubleType)).over(frame)
+    val coefArr = array(coeffs.map(lit): _*)
+    df.withColumn(s"${valueCol}_savgol",
+      when(size(vals) === windowLength,
+        aggregate(zip_with(vals, coefArr, (a, b) => a * b), lit(0.0), (acc, x) => acc + x)))
+  }
+
+  /** Central Savitzky–Golay coefficients: row 0 of (AᵀA)⁻¹Aᵀ for the
+    * Vandermonde A over offsets [-h..h]. Pure Scala, driver-side, O(p³).
+    */
+  private[functions] def savgolCoefficients(windowLength: Int, polyOrder: Int): Array[Double] = {
+    val h = windowLength / 2
+    val offsets = (-h to h).map(_.toDouble).toArray
+    val m = polyOrder + 1
+    // Normal matrix N = AᵀA (m×m), rhs = e0 solved for the smoothing row.
+    val N = Array.ofDim[Double](m, m)
+    for (i <- 0 until m; j <- 0 until m)
+      N(i)(j) = offsets.map(x => math.pow(x, i + j)).sum
+    // Solve N c = e_i for all i to get N⁻¹ (augmented Gaussian elimination).
+    val aug = Array.tabulate(m, 2 * m)((i, j) => if (j < m) N(i)(j) else if (j - m == i) 1.0 else 0.0)
+    for (p <- 0 until m) {
+      val piv = (p until m).maxBy(r => math.abs(aug(r)(p)))
+      val tmp = aug(p); aug(p) = aug(piv); aug(piv) = tmp
+      val d = aug(p)(p)
+      for (j <- 0 until 2 * m) aug(p)(j) /= d
+      for (r <- 0 until m if r != p) {
+        val f = aug(r)(p)
+        for (j <- 0 until 2 * m) aug(r)(j) -= f * aug(p)(j)
+      }
+    }
+    val inv = Array.tabulate(m, m)((i, j) => aug(i)(j + m))
+    // c_k = Σ_i inv(0,i) * offsets_k^i  (evaluation of the projection at 0)
+    offsets.map(x => (0 until m).map(i => inv(0)(i) * math.pow(x, i)).sum)
+  }
+
+  // ---------------------------------------------------------------- changepoints
+
+  /** detect_changepoints (time_series.py:482-527): |Δ rolling mean| compared
+    * to 2 × median rolling std. The median-of-stds is a per-partition (or
+    * global) aggregate broadcast back onto rows.
+    */
+  def detectChangepoints(df: DataFrame, valueCol: String, k: Int, orderCol: String,
+                         partitionBy: Seq[String] = Nil, multiplier: Double = 2.0): DataFrame = {
+    val base = w(partitionBy, orderCol)
+    val frame = base.rowsBetween(-(k - 1L), Window.currentRow)
+    val rm = avg(col(valueCol)).over(frame)
+    val rs = stddev(col(valueCol)).over(frame)
+    val withRoll = df.withColumn("__rm", rm).withColumn("__rs", rs)
+    val grpW = Window.partitionBy(partitionBy.map(col): _*)
+    val medStd = percentile(col("__rs"), lit(0.5)).over(grpW)
+    withRoll
+      .withColumn("__score", abs(col("__rm") - lag(col("__rm"), 1).over(base)))
+      .withColumn(s"${valueCol}_changepoint",
+        col("__score").isNotNull && col("__score") > lit(multiplier) * medStd)
+      .drop("__rm", "__rs", "__score")
+  }
+
+  // ---------------------------------------------------------------- decomposition
+
+  /** Classical additive seasonal decomposition (time_series.py:118-169,
+    * statsmodels-style): trend = centered MA over one period (even periods get
+    * half-weight endpoints), seasonal = phase-mean of detrended values
+    * (normalized to mean 0), resid = value − trend − seasonal. All window +
+    * group aggregates — fully distributed per key.
+    */
+  def seasonalDecompose(df: DataFrame, valueCol: String, period: Int, orderCol: String,
+                        partitionBy: Seq[String] = Nil): DataFrame = {
+    val base = w(partitionBy, orderCol)
+    val v = col(valueCol).cast(DoubleType)
+    val trend: Column =
+      if (period % 2 == 1) {
+        val h = period / 2
+        val frame = base.rowsBetween(-h.toLong, h.toLong)
+        when(count(v).over(frame) === period, avg(v).over(frame))
+      } else {
+        val h = period / 2
+        val frame = base.rowsBetween(-h.toLong, h.toLong) // period+1 points, half-weight ends
+        val s = sum(v).over(frame)
+        val firstV = first(v).over(frame)
+        val lastV = last(v).over(base.rowsBetween(-h.toLong, h.toLong))
+        when(count(v).over(frame) === period + 1, (s - (firstV + lastV) / 2) / period)
+      }
+    val withTrend = df
+      .withColumn("__rn", row_number().over(base))
+      .withColumn("trend", trend)
+      .withColumn("__phase", pmod(col("__rn") - 1, lit(period)))
+      .withColumn("__detr", v - col("trend"))
+    val phaseW = Window.partitionBy((partitionBy :+ "__phase").map(col): _*)
+    val allW = Window.partitionBy(partitionBy.map(col): _*)
+    withTrend
+      .withColumn("__phaseMean", avg(col("__detr")).over(phaseW))
+      .withColumn("seasonal", col("__phaseMean") - avg(col("__phaseMean")).over(allW))
+      .withColumn("resid", v - col("trend") - col("seasonal"))
+      .drop("__rn", "__phase", "__detr", "__phaseMean")
+  }
+}

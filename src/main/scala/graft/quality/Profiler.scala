@@ -1,0 +1,123 @@
+package graft.quality
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{NumericType, StringType, TimestampType, DateType}
+
+/** Data profiler — §2.C, graft's equivalent of utils/data_profiler.py
+  * (33-241). Each profile is ONE aggregate pass per table (all columns'
+  * statistics computed in a single job), emitted in long format
+  * (column, metric, value) so downstream consumers don't depend on width.
+  */
+object Profiler {
+
+  /** Numeric moment statistics per column (data_profiler.py:116-153):
+    * count, nulls, distinct, mean, stddev, min, max, median, q1, q3,
+    * zeros/positive/negative counts. One pass over all numeric columns.
+    */
+  def numericProfile(df: DataFrame, columns: Seq[String] = Nil): DataFrame = {
+    val cols = if (columns.nonEmpty) columns
+               else df.schema.fields.filter(_.dataType.isInstanceOf[NumericType]).map(_.name).toSeq
+    val aggs: Seq[Column] = cols.flatMap { c =>
+      val v = col(c).cast("double")
+      Seq(
+        count(v).as(s"${c}__count"),
+        sum(when(v.isNull, 1).otherwise(0)).as(s"${c}__nulls"),
+        countDistinct(v).as(s"${c}__distinct"),
+        avg(v).as(s"${c}__mean"),
+        stddev(v).as(s"${c}__stddev"),
+        min(v).as(s"${c}__min"),
+        max(v).as(s"${c}__max"),
+        percentile(v, lit(0.5)).as(s"${c}__median"),
+        percentile(v, lit(0.25)).as(s"${c}__q1"),
+        percentile(v, lit(0.75)).as(s"${c}__q3"),
+        sum(when(v === 0, 1).otherwise(0)).as(s"${c}__zeros"),
+        sum(when(v > 0, 1).otherwise(0)).as(s"${c}__positive"),
+        sum(when(v < 0, 1).otherwise(0)).as(s"${c}__negative")
+      )
+    }
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    toLong(wide, cols)
+  }
+
+  /** Categorical/string statistics (data_profiler.py:171-189): length
+    * min/max/avg, empty + whitespace-only counts, distinct count.
+    */
+  def stringProfile(df: DataFrame, columns: Seq[String] = Nil): DataFrame = {
+    val cols = if (columns.nonEmpty) columns
+               else df.schema.fields.filter(_.dataType == StringType).map(_.name).toSeq
+    val aggs: Seq[Column] = cols.flatMap { c =>
+      val v = col(c)
+      Seq(
+        count(v).cast("double").as(s"${c}__count"),
+        countDistinct(v).cast("double").as(s"${c}__distinct"),
+        min(length(v)).cast("double").as(s"${c}__min_len"),
+        max(length(v)).cast("double").as(s"${c}__max_len"),
+        avg(length(v)).as(s"${c}__avg_len"),
+        sum(when(v === "", 1).otherwise(0)).cast("double").as(s"${c}__empty"),
+        sum(when(trim(v) === "" && v =!= "", 1).otherwise(0)).cast("double").as(s"${c}__whitespace")
+      )
+    }
+    toLong(df.agg(aggs.head, aggs.tail: _*), cols)
+  }
+
+  /** Value counts with deterministic top-k (data_profiler.py:100-104):
+    * ties broken by value so the result is stable across runs/engines.
+    */
+  def valueCounts(df: DataFrame, column: String, k: Int = 10): DataFrame =
+    df.groupBy(col(column))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col(column).asc)
+      .limit(k)
+
+  /** Datetime stats (data_profiler.py:155-169): min/max plus the modal
+    * year/month/day — mode computed deterministically (count desc, value asc).
+    */
+  def datetimeProfile(df: DataFrame, column: String): DataFrame = {
+    val parts = Seq("year" -> year(col(column)), "month" -> month(col(column)), "day" -> dayofmonth(col(column)))
+    val modes = parts.map { case (name, e) =>
+      df.groupBy(e.as("v")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("v").asc).limit(1)
+        .select(lit(name).as("metric"), col("v").cast("double").as("value"))
+    }
+    val bounds = df.agg(
+      min(col(column)).cast("double").as("min_epoch"),
+      max(col(column)).cast("double").as("max_epoch"))
+      .select(expr("stack(2, 'min_epoch', min_epoch, 'max_epoch', max_epoch) as (metric, value)"))
+    modes.reduce(_.unionByName(_)).unionByName(bounds)
+  }
+
+  /** Pairwise Pearson correlation matrix in ONE aggregate pass
+    * (data_profiler.py:213-241): corr for every pair, long format.
+    */
+  def correlationMatrix(df: DataFrame, columns: Seq[String]): DataFrame = {
+    val pairs = for { i <- columns.indices; j <- columns.indices if i < j } yield (columns(i), columns(j))
+    val aggs = pairs.map { case (a, b) => corr(col(a), col(b)).as(s"${a}__${b}") }
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    val stacked = pairs.map { case (a, b) => s"'$a', '$b', `${a}__${b}`" }.mkString(", ")
+    wide.select(expr(s"stack(${pairs.size}, $stacked) as (col_a, col_b, pearson)"))
+  }
+
+  /** Spearman rank correlation: Pearson over rank-transformed columns —
+    * ranks via window, correlation as a plain aggregate (distributed;
+    * data_profiler.py:227 uses pandas `corr(method='spearman')`).
+    */
+  def spearman(df: DataFrame, a: String, b: String): DataFrame = {
+    // average rank for ties = min_rank + (tie_count - 1) / 2  (pandas default)
+    def avgRank(c: String): Column =
+      rank().over(Window.orderBy(col(c))) +
+        (count(lit(1)).over(Window.partitionBy(col(c))) - 1) / 2.0
+    df.select(avgRank(a).as("__ra"), avgRank(b).as("__rb"))
+      .agg(corr(col("__ra"), col("__rb")).as("spearman"))
+  }
+
+  private def toLong(wide: DataFrame, cols: Seq[String]): DataFrame = {
+    val metrics = wide.columns.filter(_.contains("__"))
+    val stacked = metrics.map { m =>
+      val Array(c, metric) = m.split("__", 2)
+      s"'$c', '$metric', cast(`$m` as double)"
+    }.mkString(", ")
+    wide.select(expr(s"stack(${metrics.length}, $stacked) as (column, metric, value)"))
+  }
+}

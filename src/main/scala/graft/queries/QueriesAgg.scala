@@ -1,0 +1,262 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.quality.{Profiler, QualityMetrics, SchemaInference}
+import QueryUtil._
+
+/** Oracle-backed queries for the aggregation/profiling/quality surface (§2.C). */
+object QueriesAgg {
+
+  val queries: Map[String, Q] = Map(
+    "q_distinct_counts" -> ((s, dir) =>
+      t(s, dir, "lineitem").groupBy("l_returnflag")
+        .agg(countDistinct(col("l_partkey")).as("nd_parts"),
+          countDistinct(col("l_suppkey")).as("nd_supps"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag")),
+
+    "q_percentiles" -> ((s, dir) =>
+      t(s, dir, "lineitem").groupBy("l_returnflag")
+        .agg(
+          round(percentile(col("l_extendedprice"), lit(0.5)), 4).as("p50"),
+          round(percentile(col("l_extendedprice"), lit(0.25)), 4).as("p25"),
+          round(percentile(col("l_extendedprice"), lit(0.95)), 4).as("p95"))
+        .orderBy("l_returnflag")),
+
+    "q_moment_stats" -> ((s, dir) =>
+      // skewness/kurtosis via explicit moment formulas — identical SQL on both
+      // engines (built-in skewness()/kurtosis() differ between engines in
+      // bias correction, so the formula IS the spec here)
+      t(s, dir, "lineitem").groupBy("l_returnflag")
+        .agg(
+          roundf(avg(col("l_quantity")), 6).as("mean_q"),
+          round(stddev(col("l_quantity")), 6).as("std_q"),
+          round(variance(col("l_quantity")), 6).as("var_q"),
+          round((avg(pow(col("l_quantity"), 3)) - lit(3) * avg(col("l_quantity")) * avg(pow(col("l_quantity"), 2))
+            + lit(2) * pow(avg(col("l_quantity")), 3)) / pow(stddev_pop(col("l_quantity")), 3), 4).as("skew_q"),
+          sum(when(col("l_quantity") > 25, 1).otherwise(0)).as("n_above_25"))
+        .orderBy("l_returnflag")),
+
+    "q_string_stats" -> ((s, dir) =>
+      t(s, dir, "part").groupBy("p_brand")
+        .agg(
+          min(length(col("p_name"))).as("min_len"),
+          max(length(col("p_name"))).as("max_len"),
+          roundf(avg(length(col("p_name"))), 6).as("avg_len"),
+          sum(when(col("p_name").rlike("widget"), 1).otherwise(0)).as("n_widget"))
+        .orderBy("p_brand")),
+
+    "q_datetime_mode" -> ((s, dir) => {
+      // modal month per orderdate-year, deterministic (count desc, month asc)
+      val counts = t(s, dir, "orders")
+        .groupBy(year(col("o_orderdate")).as("yr"), month(col("o_orderdate")).as("mo"))
+        .agg(count(lit(1)).as("n"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("yr")).orderBy(col("n").desc, col("mo").asc)
+      counts.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("yr"), col("mo").as("modal_month"), col("n"))
+        .orderBy("yr")
+    }),
+
+    "q_value_counts" -> ((s, dir) =>
+      Profiler.valueCounts(t(s, dir, "part"), "p_brand", 10)),
+
+    "q_correlation" -> ((s, dir) =>
+      t(s, dir, "lineitem").groupBy("l_returnflag")
+        .agg(round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qty_price"))
+        .orderBy("l_returnflag")),
+
+    "q_rollup_subtotals" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(round(sum(col("l_quantity")), 3).as("sum_qty"), count(lit(1)).as("n"),
+          grouping_id().as("gid"))
+        .orderBy(col("gid"), col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)),
+
+    "q_cube_margins" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total"),
+          grouping_id().as("gid"))
+        .orderBy(col("gid"), col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)),
+
+    "q_agg_features" -> ((s, dir) =>
+      graft.functions.FeatureLib.aggregationFeatures(
+          t(s, dir, "orders"), Seq("o_custkey"), Seq("o_totalprice" -> "avg", "o_totalprice" -> "max"))
+        .select(col("o_orderkey"), col("o_custkey"),
+          roundf(col("o_totalprice_avg_by_o_custkey"), 4).as("avg_by_cust"),
+          col("o_totalprice_max_by_o_custkey").as("max_by_cust"))
+        .orderBy("o_orderkey")),
+
+    "q_quality_metrics" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      QualityMetrics.report(o, Seq(
+        QualityMetrics.completeness("o_custkey"),
+        QualityMetrics.uniqueness("o_orderkey"),
+        QualityMetrics.validity("o_totalprice", "o_totalprice > 0"),
+        QualityMetrics.rangeCheck("o_totalprice", 0, 1000000)))
+        .select(
+          round(col("o_custkey_completeness"), 6).as("completeness"),
+          round(col("o_orderkey_uniqueness"), 6).as("uniqueness"),
+          round(col("o_totalprice_validity"), 6).as("validity"),
+          round(col("o_totalprice_in_range"), 6).as("in_range"))
+    }),
+
+    "q_outlier_rate" -> ((s, dir) =>
+      QualityMetrics.outlierRateIqr(t(s, dir, "events"), "value", 1.5)
+        .select(round(col("value_outlier_rate"), 6).as("outlier_rate"))),
+
+    "q_schema_stats" -> ((s, dir) =>
+      SchemaInference.columnStats(t(s, dir, "customer"))
+        .select(col("column"), col("n"), col("nulls"), col("n_distinct"),
+          round(col("distinct_ratio"), 6).as("distinct_ratio"), col("is_pk_candidate"))
+        .orderBy("column")),
+
+    "q_numeric_profile" -> ((s, dir) =>
+      Profiler.numericProfile(t(s, dir, "lineitem"), Seq("l_quantity", "l_discount"))
+        .select(col("column"), col("metric"), roundf(col("value"), 4).as("value"))
+        .orderBy("column", "metric")),
+
+    "q_spearman" -> ((s, dir) =>
+      Profiler.spearman(t(s, dir, "lineitem"), "l_quantity", "l_extendedprice")
+        .select(round(col("spearman"), 6).as("spearman")))
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_distinct_counts" ->
+      """SELECT l_returnflag,
+        |  count(DISTINCT l_partkey) AS nd_parts,
+        |  count(DISTINCT l_suppkey) AS nd_supps,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_percentiles" ->
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+        |  round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+        |  round(quantile_cont(l_extendedprice, 0.95), 4) AS p95
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_moment_stats" ->
+      """SELECT l_returnflag,
+        |  round(avg(l_quantity) + 1e-9, 6) AS mean_q,
+        |  round(stddev_samp(l_quantity), 6) AS std_q,
+        |  round(var_samp(l_quantity), 6) AS var_q,
+        |  round((avg(pow(l_quantity, 3)) - 3 * avg(l_quantity) * avg(pow(l_quantity, 2))
+        |         + 2 * pow(avg(l_quantity), 3)) / pow(stddev_pop(l_quantity), 3), 4) AS skew_q,
+        |  sum(CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END) AS n_above_25
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_string_stats" ->
+      """SELECT p_brand,
+        |  CAST(min(length(p_name)) AS INT) AS min_len,
+        |  CAST(max(length(p_name)) AS INT) AS max_len,
+        |  round(avg(length(p_name)) + 1e-9, 6) AS avg_len,
+        |  sum(CASE WHEN regexp_matches(p_name, 'widget') THEN 1 ELSE 0 END) AS n_widget
+        |FROM part GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+
+    "q_datetime_mode" ->
+      """SELECT CAST(yr AS INT) AS yr, CAST(mo AS INT) AS modal_month, n FROM (
+        |  SELECT year(o_orderdate) AS yr, month(o_orderdate) AS mo, count(*) AS n,
+        |    row_number() OVER (PARTITION BY year(o_orderdate) ORDER BY count(*) DESC, month(o_orderdate)) AS rn
+        |  FROM orders GROUP BY 1, 2)
+        |WHERE rn = 1 ORDER BY yr""".stripMargin,
+
+    "q_value_counts" ->
+      """SELECT p_brand, count(*) AS n FROM part
+        |GROUP BY p_brand ORDER BY n DESC, p_brand LIMIT 10""".stripMargin,
+
+    "q_correlation" ->
+      """SELECT l_returnflag, round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_rollup_subtotals" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 3) AS sum_qty, count(*) AS n,
+        |  CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS BIGINT) AS gid
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+
+    "q_cube_margins" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |  count(*) AS n, round(sum(o_totalprice), 2) AS total,
+        |  CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority) AS BIGINT) AS gid
+        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+
+    "q_agg_features" ->
+      """SELECT o_orderkey, o_custkey,
+        |  round(avg(o_totalprice) OVER (PARTITION BY o_custkey) + 1e-9, 4) AS avg_by_cust,
+        |  max(o_totalprice) OVER (PARTITION BY o_custkey) AS max_by_cust
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "q_quality_metrics" ->
+      """SELECT
+        |  round(count(o_custkey) * 1.0 / count(*), 6) AS completeness,
+        |  round(count(DISTINCT o_orderkey) * 1.0 / count(*), 6) AS uniqueness,
+        |  round(avg(CASE WHEN o_totalprice > 0 THEN 1.0 ELSE 0.0 END), 6) AS validity,
+        |  round(avg(CASE WHEN o_totalprice BETWEEN 0 AND 1000000 THEN 1.0 ELSE 0.0 END), 6) AS in_range
+        |FROM orders""".stripMargin,
+
+    "q_outlier_rate" ->
+      """WITH s AS (SELECT quantile_cont(value, 0.25) AS q1, quantile_cont(value, 0.75) AS q3 FROM events)
+        |SELECT round(avg(CASE WHEN value < q1 - 1.5*(q3-q1) OR value > q3 + 1.5*(q3-q1)
+        |                      THEN 1.0 ELSE 0.0 END), 6) AS outlier_rate
+        |FROM events, s""".stripMargin,
+
+    "q_schema_stats" ->
+      """WITH t AS (
+        |  SELECT 'c_custkey' AS "column", count(*) AS n,
+        |    sum(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) AS nulls,
+        |    count(DISTINCT c_custkey) AS n_distinct FROM customer
+        |  UNION ALL SELECT 'c_name', count(*),
+        |    sum(CASE WHEN c_name IS NULL THEN 1 ELSE 0 END), count(DISTINCT c_name) FROM customer
+        |  UNION ALL SELECT 'c_nationkey', count(*),
+        |    sum(CASE WHEN c_nationkey IS NULL THEN 1 ELSE 0 END), count(DISTINCT c_nationkey) FROM customer
+        |  UNION ALL SELECT 'c_acctbal', count(*),
+        |    sum(CASE WHEN c_acctbal IS NULL THEN 1 ELSE 0 END), count(DISTINCT c_acctbal) FROM customer
+        |  UNION ALL SELECT 'c_mktsegment', count(*),
+        |    sum(CASE WHEN c_mktsegment IS NULL THEN 1 ELSE 0 END), count(DISTINCT c_mktsegment) FROM customer)
+        |SELECT "column", n, nulls, n_distinct,
+        |  round(n_distinct * 1.0 / n, 6) AS distinct_ratio,
+        |  (nulls = 0 AND n_distinct = n) AS is_pk_candidate
+        |FROM t ORDER BY "column"""".stripMargin,
+
+    "q_numeric_profile" ->
+      """WITH m AS (
+        |  SELECT 'l_quantity' AS "column", count(l_quantity)::DOUBLE AS count,
+        |    sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END)::DOUBLE AS nulls,
+        |    count(DISTINCT l_quantity)::DOUBLE AS "distinct",
+        |    avg(l_quantity) AS mean, stddev_samp(l_quantity) AS stddev,
+        |    min(l_quantity)::DOUBLE AS min, max(l_quantity)::DOUBLE AS max,
+        |    quantile_cont(l_quantity, 0.5) AS median,
+        |    quantile_cont(l_quantity, 0.25) AS q1, quantile_cont(l_quantity, 0.75) AS q3,
+        |    sum(CASE WHEN l_quantity = 0 THEN 1 ELSE 0 END)::DOUBLE AS zeros,
+        |    sum(CASE WHEN l_quantity > 0 THEN 1 ELSE 0 END)::DOUBLE AS positive,
+        |    sum(CASE WHEN l_quantity < 0 THEN 1 ELSE 0 END)::DOUBLE AS negative
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_discount', count(l_discount)::DOUBLE,
+        |    sum(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END)::DOUBLE,
+        |    count(DISTINCT l_discount)::DOUBLE,
+        |    avg(l_discount), stddev_samp(l_discount),
+        |    min(l_discount)::DOUBLE, max(l_discount)::DOUBLE,
+        |    quantile_cont(l_discount, 0.5), quantile_cont(l_discount, 0.25), quantile_cont(l_discount, 0.75),
+        |    sum(CASE WHEN l_discount = 0 THEN 1 ELSE 0 END)::DOUBLE,
+        |    sum(CASE WHEN l_discount > 0 THEN 1 ELSE 0 END)::DOUBLE,
+        |    sum(CASE WHEN l_discount < 0 THEN 1 ELSE 0 END)::DOUBLE
+        |  FROM lineitem)
+        |SELECT "column", metric, round(raw + 1e-9, 4) AS value
+        |FROM m UNPIVOT (raw FOR metric IN
+        |  (count, nulls, "distinct", mean, stddev, min, max, median, q1, q3, zeros, positive, negative))
+        |ORDER BY "column", metric""".stripMargin,
+
+    "q_spearman" ->
+      """WITH t AS (SELECT l_quantity, l_extendedprice FROM lineitem),
+        |r AS (SELECT
+        |    rank() OVER (ORDER BY l_quantity) + (count(*) OVER (PARTITION BY l_quantity) - 1) / 2.0 AS ra,
+        |    rank() OVER (ORDER BY l_extendedprice) + (count(*) OVER (PARTITION BY l_extendedprice) - 1) / 2.0 AS rb
+        |  FROM t)
+        |SELECT round(corr(ra, rb), 6) AS spearman FROM r""".stripMargin
+  )
+}

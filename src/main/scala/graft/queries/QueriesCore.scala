@@ -1,0 +1,378 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ops.Relational
+import graft.core.{OpCompiler, OpSpec}
+import graft.functions.FeatureLib
+import QueryUtil._
+
+/** Oracle-backed queries for the core relational surface (§2.A, §2.D, §2.F,
+  * §2.G, §2.H). Every query is deterministic: explicit ORDER BY on unique
+  * keys, float aggregates rounded, aliases identical to the oracle SQL.
+  */
+object QueriesCore {
+
+  val queries: Map[String, Q] = Map(
+    "q_filter_condition" -> ((s, dir) =>
+      Relational.filterCondition(t(s, dir, "lineitem"), "l_quantity > 45 AND l_returnflag = 'R'")
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+        .orderBy("l_orderkey", "l_linenumber")),
+
+    "q_filter_ops" -> ((s, dir) => {
+      val c0 = t(s, dir, "customer")
+      val c1 = Relational.filterColumn(c0, "c_mktsegment", "in", Seq("BUILDING", "AUTOMOBILE"))
+      val c2 = Relational.filterColumn(c1, "c_acctbal", ">=", 0)
+      val c3 = Relational.filterColumn(c2, "c_name", "contains", "42")
+      c3.select("c_custkey", "c_name", "c_mktsegment", "c_acctbal").orderBy("c_custkey")
+    }),
+
+    "q_select_exclude" -> ((s, dir) =>
+      Relational.select(t(s, dir, "part"), exclude = Seq("p_type", "p_brand"))
+        .orderBy("p_partkey")),
+
+    "q_transform_calc" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val d1 = Relational.calculate(li, "revenue", "l_extendedprice * (1 - l_discount)")
+      val d2 = Relational.cast(d1, Map("l_quantity" -> "int"))
+      val d3 = Relational.rename(d2, Map("l_returnflag" -> "flag"))
+      d3.select("l_orderkey", "l_linenumber", "l_quantity", "revenue", "flag")
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    "q_date_parts" -> ((s, dir) =>
+      Relational.extractDateParts(t(s, dir, "orders"), "o_orderdate",
+          year_ = true, month_ = true, day_ = true, weekday_ = true)
+        .select("o_orderkey", "o_orderdate_year", "o_orderdate_month", "o_orderdate_day", "o_orderdate_weekday")
+        .orderBy("o_orderkey")),
+
+    "q_regex_extract" -> ((s, dir) =>
+      Relational.regexExtract(t(s, dir, "part"), "p_name", "^([a-z]+) ", 1, target = "first_word")
+        .select("p_partkey", "p_name", "first_word")
+        .orderBy("p_partkey")),
+
+    "q_string_ops" -> ((s, dir) => {
+      val n = t(s, dir, "nation")
+      val d1 = Relational.calculate(n, "n_lower", "n_name")
+      val d2 = Relational.stringOperation(d1, "n_lower", "lower")
+      val d3 = Relational.calculate(d2, "n_replaced", "n_name")
+      val d4 = Relational.stringOperation(d3, "n_replaced", "replace", "A", "@")
+      d4.select("n_nationkey", "n_name", "n_lower", "n_replaced").orderBy("n_nationkey")
+    }),
+
+    "q_fill_null_mean" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+        .withColumn("v", when(col("event_type") === "click", lit(null)).otherwise(col("value")))
+      Relational.fillNull(e, "v", "mean")
+        .select(col("event_id"), roundf(col("v"), 4).as("v_filled"))
+        .orderBy("event_id")
+    }),
+
+    "q_agg_grouped" -> ((s, dir) =>
+      Relational.aggregate(t(s, dir, "lineitem"),
+          groupBy = Seq("l_returnflag", "l_linestatus"),
+          aggregations = Seq("l_quantity" -> "sum", "l_extendedprice" -> "sum",
+            "l_discount" -> "avg", "l_quantity" -> "count", "l_extendedprice" -> "max"))
+        .select(col("l_returnflag"), col("l_linestatus"),
+          round(col("l_quantity_sum"), 3).as("sum_qty"),
+          round(col("l_extendedprice_sum"), 2).as("sum_price"),
+          roundf(col("l_discount_avg"), 6).as("avg_disc"),
+          col("l_quantity_count").as("count_qty"),
+          col("l_extendedprice_max").as("max_price"))
+        .orderBy("l_returnflag", "l_linestatus")),
+
+    "q_agg_global" -> ((s, dir) =>
+      t(s, dir, "orders").agg(
+        count(lit(1)).as("n"),
+        round(sum(col("o_totalprice").cast("decimal(18,4)")).cast("double"), 2).as("total"),
+        roundf(avg(col("o_totalprice")), 4).as("avg_price"),
+        round(min(col("o_totalprice")), 2).as("min_price"),
+        round(max(col("o_totalprice")), 2).as("max_price"))),
+
+    "q_join_equi" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      val j1 = Relational.join(li, o, condition = "l_orderkey = o_orderkey")
+      val j2 = Relational.join(j1, c, condition = "o_custkey = c_custkey", broadcastRight = true)
+      j2.groupBy("c_mktsegment")
+        .agg(roundf(sum(expr("l_extendedprice * (1 - l_discount)")), 2).as("revenue"),
+          count(lit(1)).as("n_lines"))
+        .orderBy("c_mktsegment")
+    }),
+
+    "q_join_theta" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val p = t(s, dir, "part")
+      Relational.join(li, p, condition = "l_partkey = p_partkey AND l_quantity > p_size",
+          joinType = "inner", broadcastRight = true)
+        .groupBy("p_brand")
+        .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 3).as("qty"))
+        .orderBy("p_brand")
+    }),
+
+    "q_join_semi" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders").filter(col("o_totalprice") > 400000)
+      Relational.join(c, o, condition = "c_custkey = o_custkey", joinType = "left_semi")
+        .select("c_custkey", "c_mktsegment").orderBy("c_custkey")
+    }),
+
+    "q_join_anti" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+      Relational.join(c, o, condition = "c_custkey = o_custkey", joinType = "left_anti")
+        .groupBy("c_mktsegment").agg(count(lit(1)).as("n_no_orders"))
+        .orderBy("c_mktsegment")
+    }),
+
+    "q_sort_topk" -> ((s, dir) =>
+      Relational.topK(t(s, dir, "orders"), Seq("o_totalprice", "o_orderkey"),
+          Seq(false, true), 100)
+        .select("o_orderkey", "o_totalprice")),
+
+    "q_dedup_keepfirst" -> ((s, dir) =>
+      Relational.deduplicate(t(s, dir, "lineitem"), subset = Seq("l_orderkey"),
+          orderBy = Seq("l_linenumber", "l_partkey", "l_suppkey"), keep = "first")
+        .select("l_orderkey", "l_linenumber", "l_partkey")
+        .orderBy("l_orderkey")),
+
+    "q_dedup_distinct" -> ((s, dir) =>
+      Relational.deduplicate(
+          t(s, dir, "lineitem").select("l_returnflag", "l_linestatus"))
+        .orderBy("l_returnflag", "l_linestatus")),
+
+    "q_clean" -> ((s, dir) => {
+      val n = t(s, dir, "nation")
+        .withColumn("c",
+          when(col("n_nationkey") % 4 === 0, lit("  N/A "))
+            .when(col("n_nationkey") % 4 === 1, lit(" ok "))
+            .otherwise(lit("")))
+      Relational.clean(n, Seq("trim_strings", "standardize_nulls"))
+        .select("n_nationkey", "c").orderBy("n_nationkey")
+    }),
+
+    "q_pivot" -> ((s, dir) =>
+      Relational.pivot(t(s, dir, "lineitem"), Seq("l_returnflag"), "l_linestatus",
+          "l_quantity", "sum", pivotValues = Seq("F", "O"))
+        .select(col("l_returnflag"), round(col("F"), 3).as("F"), round(col("O"), 3).as("O"))
+        .orderBy("l_returnflag")),
+
+    "q_melt" -> ((s, dir) => {
+      val p = t(s, dir, "part")
+        .select(col("p_partkey"), col("p_size").cast("double").as("p_size"), col("p_retailprice"))
+      Relational.melt(p, Seq("p_partkey"), Seq("p_size", "p_retailprice"))
+        .orderBy("p_partkey", "variable")
+    }),
+
+    "q_custom_sql" -> ((s, dir) =>
+      Relational.customSql(t(s, dir, "lineitem"),
+        """SELECT l_returnflag, round(avg(l_extendedprice) + 1e-9, 4) AS avg_price,
+          |       count(*) AS n
+          |FROM lineitem_v GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+        tempViewName = "lineitem_v")),
+
+    "q_union_lineage" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      Relational.unionWithLineage(Seq(
+          "hi" -> o.filter(col("o_totalprice") >= 300000),
+          "lo" -> o.filter(col("o_totalprice") < 300000)))
+        .select("o_orderkey", "_source_file")
+        .orderBy("o_orderkey")
+    }),
+
+    "q_sample_seeded" -> ((s, dir) => // rows-only: seed semantics differ across engines
+      t(s, dir, "lineitem").sample(withReplacement = false, 0.1, 42L)
+        .select("l_orderkey", "l_linenumber", "l_quantity")),
+
+    "q_ratio_divzero" -> ((s, dir) =>
+      FeatureLib.ratioFeature(t(s, dir, "lineitem"), "disc_tax_ratio", "l_discount", "l_tax", "zero")
+        .select(col("l_orderkey"), col("l_linenumber"), round(col("disc_tax_ratio"), 6).as("disc_tax_ratio"))
+        .orderBy("l_orderkey", "l_linenumber")),
+
+    "q_json_parse" -> ((s, dir) =>
+      t(s, dir, "events")
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+        .select("event_id", "k")
+        .orderBy("event_id")),
+
+    "q_email_standardize" -> ((s, dir) => {
+      // synthesize an email column with a known typo pattern, then standardize
+      // (data_cleaner.py:116-228 semantics: domain-typo regex rewrite + validity flag)
+      val c = t(s, dir, "customer")
+        .withColumn("email",
+          concat(lower(regexp_replace(col("c_name"), "#", "")),
+            when(col("c_custkey") % 5 === 0, lit("@gmial.com")).otherwise(lit("@gmail.com"))))
+      c.withColumn("email_fixed", regexp_replace(col("email"), "@gmial\\.", "@gmail."))
+        .withColumn("email_valid", col("email_fixed").rlike("^[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}$"))
+        .select("c_custkey", "email", "email_fixed", "email_valid")
+        .orderBy("c_custkey")
+    }),
+
+    "q_ops_pipeline" -> ((s, dir) => {
+      // end-to-end op-AST compilation: the §3.1 lifecycle as ONE lazy plan
+      val pipeline = OpCompiler.compile(Seq(
+        OpSpec.FilterCondition("l_shipdate >= timestamp'1997-01-01 00:00:00'"),
+        OpSpec.Calculate("revenue", "l_extendedprice * (1 - l_discount)"),
+        OpSpec.Aggregate(groupBy = Seq("l_returnflag"), aggregations = Seq("revenue" -> "sum", "revenue" -> "count")),
+        OpSpec.Sort(Seq("l_returnflag"))))
+      pipeline(t(s, dir, "lineitem"))
+        .select(col("l_returnflag"), roundf(col("revenue_sum"), 2).as("revenue"), col("revenue_count").as("n"))
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_filter_condition" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        |FROM lineitem WHERE l_quantity > 45 AND l_returnflag = 'R'
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q_filter_ops" ->
+      """SELECT c_custkey, c_name, c_mktsegment, c_acctbal FROM customer
+        |WHERE c_mktsegment IN ('BUILDING','AUTOMOBILE') AND c_acctbal >= 0
+        |  AND c_name LIKE '%42%'
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_select_exclude" ->
+      "SELECT p_partkey, p_name, p_size, p_retailprice FROM part ORDER BY p_partkey",
+
+    "q_transform_calc" ->
+      """SELECT l_orderkey, l_linenumber, CAST(l_quantity AS INT) AS l_quantity,
+        |       l_extendedprice * (1 - l_discount) AS revenue, l_returnflag AS flag
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q_date_parts" ->
+      """SELECT o_orderkey,
+        |  CAST(year(o_orderdate) AS INT) AS o_orderdate_year,
+        |  CAST(month(o_orderdate) AS INT) AS o_orderdate_month,
+        |  CAST(day(o_orderdate) AS INT) AS o_orderdate_day,
+        |  CAST(dayofweek(o_orderdate) + 1 AS INT) AS o_orderdate_weekday
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "q_regex_extract" ->
+      """SELECT p_partkey, p_name, coalesce(regexp_extract(p_name, '^([a-z]+) ', 1), '') AS first_word
+        |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "q_string_ops" ->
+      """SELECT n_nationkey, n_name, lower(n_name) AS n_lower,
+        |       regexp_replace(n_name, 'A', '@', 'g') AS n_replaced
+        |FROM nation ORDER BY n_nationkey""".stripMargin,
+
+    "q_fill_null_mean" ->
+      """WITH t AS (SELECT event_id, CASE WHEN event_type = 'click' THEN NULL ELSE value END AS v FROM events)
+        |SELECT event_id, round(coalesce(v, (SELECT avg(v) FROM t)) + 1e-9, 4) AS v_filled
+        |FROM t ORDER BY event_id""".stripMargin,
+
+    "q_agg_grouped" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 3) AS sum_qty,
+        |  round(sum(l_extendedprice), 2) AS sum_price,
+        |  round(avg(l_discount) + 1e-9, 6) AS avg_disc,
+        |  count(l_quantity) AS count_qty,
+        |  max(l_extendedprice) AS max_price
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q_agg_global" ->
+      """SELECT count(*) AS n,
+        |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 2) AS total,
+        |  round(avg(o_totalprice) + 1e-9, 4) AS avg_price,
+        |  round(min(o_totalprice), 2) AS min_price,
+        |  round(max(o_totalprice), 2) AS max_price
+        |FROM orders""".stripMargin,
+
+    "q_join_equi" ->
+      """SELECT c_mktsegment,
+        |  round(sum(l_extendedprice * (1 - l_discount)) + 1e-9, 2) AS revenue,
+        |  count(*) AS n_lines
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "q_join_theta" ->
+      """SELECT p_brand, count(*) AS n, round(sum(l_quantity), 3) AS qty
+        |FROM lineitem JOIN part ON l_partkey = p_partkey AND l_quantity > p_size
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+
+    "q_join_semi" ->
+      """SELECT c_custkey, c_mktsegment FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_join_anti" ->
+      """SELECT c_mktsegment, count(*) AS n_no_orders FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "q_sort_topk" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
+
+    "q_dedup_keepfirst" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey FROM lineitem
+        |QUALIFY row_number() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber, l_partkey, l_suppkey) = 1
+        |ORDER BY l_orderkey""".stripMargin,
+
+    "q_dedup_distinct" ->
+      """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q_clean" ->
+      """SELECT n_nationkey,
+        |  CASE WHEN t IN ('','null','NULL','None','N/A','n/a','NA','nan','NaN') THEN NULL ELSE t END AS c
+        |FROM (SELECT n_nationkey,
+        |        trim(CASE WHEN n_nationkey % 4 = 0 THEN '  N/A '
+        |                  WHEN n_nationkey % 4 = 1 THEN ' ok '
+        |                  ELSE '' END) AS t
+        |      FROM nation)
+        |ORDER BY n_nationkey""".stripMargin,
+
+    "q_pivot" ->
+      """SELECT l_returnflag,
+        |  round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 3) AS "F",
+        |  round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 3) AS "O"
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_melt" ->
+      """SELECT p_partkey, 'p_size' AS variable, CAST(p_size AS DOUBLE) AS value FROM part
+        |UNION ALL
+        |SELECT p_partkey, 'p_retailprice' AS variable, p_retailprice AS value FROM part
+        |ORDER BY p_partkey, variable""".stripMargin,
+
+    "q_custom_sql" ->
+      """SELECT l_returnflag, round(avg(l_extendedprice) + 1e-9, 4) AS avg_price, count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_union_lineage" ->
+      """SELECT o_orderkey, CASE WHEN o_totalprice >= 300000 THEN 'hi' ELSE 'lo' END AS _source_file
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "q_ratio_divzero" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  round(CASE WHEN l_tax = 0 THEN 0 ELSE l_discount / l_tax END, 6) AS disc_tax_ratio
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q_json_parse" ->
+      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q_email_standardize" ->
+      """WITH t AS (
+        |  SELECT c_custkey,
+        |    lower(replace(c_name, '#', '')) ||
+        |      (CASE WHEN c_custkey % 5 = 0 THEN '@gmial.com' ELSE '@gmail.com' END) AS email
+        |  FROM customer)
+        |SELECT c_custkey, email,
+        |  regexp_replace(email, '@gmial\.', '@gmail.') AS email_fixed,
+        |  regexp_matches(regexp_replace(email, '@gmial\.', '@gmail.'),
+        |                 '^[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}$') AS email_valid
+        |FROM t ORDER BY c_custkey""".stripMargin,
+
+    "q_ops_pipeline" ->
+      """SELECT l_returnflag,
+        |  round(sum(l_extendedprice * (1 - l_discount)) + 1e-9, 2) AS revenue,
+        |  count(l_extendedprice * (1 - l_discount)) AS n
+        |FROM lineitem WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+  )
+}

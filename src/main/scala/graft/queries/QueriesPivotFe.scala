@@ -1,0 +1,267 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.functions.{FeatureLib, PivotLib}
+import QueryUtil._
+
+/** Oracle-backed queries for the pivot library (§2.I) and the
+  * expression-backed feature-engineering surface (§2.K). MLlib-backed members
+  * (kmeans/pca/tfidf) are rows-only here and property-tested in ScalaTest.
+  */
+object QueriesPivotFe {
+
+  val queries: Map[String, Q] = Map(
+    "q_pivot_table_multi" -> ((s, dir) =>
+      PivotLib.pivotTable(t(s, dir, "lineitem"), Seq("l_returnflag"), "l_linestatus",
+          "l_quantity", Seq("sum", "avg"), pivotValues = Seq("F", "O"))
+        .select(col("l_returnflag"),
+          round(col("F_sum"), 3).as("F_sum"), roundf(col("F_avg"), 4).as("F_avg"),
+          round(col("O_sum"), 3).as("O_sum"), roundf(col("O_avg"), 4).as("O_avg"))
+        .orderBy("l_returnflag")),
+
+    "q_pivot_subtotals" -> ((s, dir) =>
+      PivotLib.pivotWithSubtotals(t(s, dir, "orders"), Seq("o_orderstatus", "o_orderpriority"),
+          "o_totalprice", "sum")
+        .select(col("o_orderstatus"), col("o_orderpriority"),
+          round(col("sum_o_totalprice"), 2).as("total"), col("__gid").as("gid"))
+        .orderBy(col("gid"), col("o_orderstatus"), col("o_orderpriority"))),
+
+    "q_crosstab_norm" -> ((s, dir) =>
+      PivotLib.crossTab(t(s, dir, "lineitem"), "l_returnflag", "l_linestatus",
+          normalize = "index", colValues = Seq("F", "O"))
+        .select(col("l_returnflag"), round(col("F"), 6).as("F"), round(col("O"), 6).as("O"))
+        .orderBy("l_returnflag")),
+
+    "q_pivot_multi_values" -> ((s, dir) =>
+      PivotLib.pivotMultipleValues(t(s, dir, "lineitem"), Seq("l_returnflag"), "l_linestatus",
+          Seq("l_quantity", "l_extendedprice"), "sum", pivotValues = Seq("F", "O"))
+        .select(col("l_returnflag"),
+          round(col("F_sum_l_quantity"), 3).as("F_qty"),
+          round(col("F_sum_l_extendedprice"), 2).as("F_price"),
+          round(col("O_sum_l_quantity"), 3).as("O_qty"),
+          round(col("O_sum_l_extendedprice"), 2).as("O_price"))
+        .orderBy("l_returnflag")),
+
+    "q_time_pivot" -> ((s, dir) =>
+      PivotLib.timeBasedPivot(
+          t(s, dir, "orders").filter(year(col("o_orderdate")) === 1997),
+          Seq("o_orderpriority"), "o_orderdate", "quarter", "o_totalprice", "sum")
+        .select(col("o_orderpriority"),
+          round(col("1997-01-01"), 2).as("q1"), round(col("1997-04-01"), 2).as("q2"),
+          round(col("1997-07-01"), 2).as("q3"), round(col("1997-10-01"), 2).as("q4"))
+        .orderBy("o_orderpriority")),
+
+    "q_pivot_summary" -> ((s, dir) =>
+      PivotLib.pivotSummaryStats(t(s, dir, "part"), Seq("p_brand"), "p_type", "p_retailprice",
+          pivotValues = Seq("ECONOMY", "STANDARD"))
+        .select(col("p_brand"),
+          col("ECONOMY_count").as("eco_n"), roundf(col("ECONOMY_avg"), 4).as("eco_avg"),
+          round(col("ECONOMY_stddev"), 4).as("eco_std"),
+          col("STANDARD_count").as("std_n"), roundf(col("STANDARD_avg"), 4).as("std_avg"),
+          round(col("STANDARD_stddev"), 4).as("std_std"))
+        .orderBy("p_brand")),
+
+    "q_dynamic_pivot" -> ((s, dir) =>
+      PivotLib.dynamicPivot(t(s, dir, "customer"), Seq("c_nationkey"), "c_mktsegment",
+          "c_acctbal", "avg", prefix = "seg_")
+        .select(col("c_nationkey"),
+          roundf(col("seg_AUTOMOBILE"), 4).as("seg_AUTOMOBILE"),
+          roundf(col("seg_BUILDING"), 4).as("seg_BUILDING"),
+          roundf(col("seg_FURNITURE"), 4).as("seg_FURNITURE"),
+          roundf(col("seg_HOUSEHOLD"), 4).as("seg_HOUSEHOLD"),
+          roundf(col("seg_MACHINERY"), 4).as("seg_MACHINERY"))
+        .orderBy("c_nationkey")),
+
+    "q_conditional_pivot" -> ((s, dir) =>
+      PivotLib.conditionalPivot(t(s, dir, "lineitem"), "l_quantity > 25",
+          Seq("l_returnflag"), "l_linestatus", "l_extendedprice", "count")
+        .select(col("l_returnflag"), col("F"), col("O"))
+        .orderBy("l_returnflag")),
+
+    "q_poly_features" -> ((s, dir) =>
+      FeatureLib.polynomialFeatures(t(s, dir, "part"), Seq("p_size", "p_retailprice"), degree = 2)
+        .select(col("p_partkey"),
+          col("p_size_pow2"), round(col("p_retailprice_pow2"), 4).as("p_retailprice_pow2"),
+          round(col("p_size_x_p_retailprice"), 4).as("p_size_x_p_retailprice"))
+        .orderBy("p_partkey")),
+
+    "q_interactions" -> ((s, dir) =>
+      FeatureLib.interactionFeatures(t(s, dir, "lineitem"),
+          Seq("l_quantity", "l_discount", "l_tax"), "multiply", 3)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          round(col("l_quantity_multiply_l_discount"), 6).as("qty_disc"),
+          round(col("l_quantity_multiply_l_tax"), 6).as("qty_tax"),
+          round(col("l_discount_multiply_l_tax"), 6).as("disc_tax"))
+        .orderBy("l_orderkey", "l_linenumber")),
+
+    "q_bin_uniform" -> ((s, dir) =>
+      FeatureLib.binUniform(t(s, dir, "orders"), "o_totalprice", 10)
+        .groupBy("o_totalprice_bin").agg(count(lit(1)).as("n"))
+        .orderBy("o_totalprice_bin")),
+
+    "q_bin_quantile" -> ((s, dir) =>
+      FeatureLib.binQuantile(t(s, dir, "events"), "value", 4)
+        .groupBy("value_qbin").agg(count(lit(1)).as("n"))
+        .orderBy("value_qbin")),
+
+    "q_encode_freq_label" -> ((s, dir) => {
+      val f = FeatureLib.encodeFrequency(t(s, dir, "customer"), "c_mktsegment")
+      FeatureLib.encodeLabel(f, "c_mktsegment")
+        .select(col("c_custkey"), col("c_mktsegment_freq").as("freq"),
+          col("c_mktsegment_label").as("label"))
+        .orderBy("c_custkey")
+    }),
+
+    "q_encode_onehot" -> ((s, dir) =>
+      FeatureLib.encodeOneHot(t(s, dir, "customer"), "c_mktsegment",
+          Seq("BUILDING", "AUTOMOBILE", "MACHINERY"))
+        .select(col("c_custkey"), col("c_mktsegment_BUILDING"), col("c_mktsegment_AUTOMOBILE"),
+          col("c_mktsegment_MACHINERY"), col("c_mktsegment_other"))
+        .orderBy("c_custkey")),
+
+    "q_text_basic" -> ((s, dir) =>
+      FeatureLib.textBasicStats(t(s, dir, "documents"), "text")
+        .select(col("doc_id"), col("text_char_count"), col("text_word_count"),
+          round(col("text_avg_word_length"), 6).as("text_avg_word_length"))
+        .orderBy("doc_id")),
+
+    // ---- rows-only (MLlib model-backed; property-tested in ScalaTest) ----
+    "q_fe_kmeans" -> ((s, dir) =>
+      FeatureLib.clusteringFeatures(t(s, dir, "part"), Seq("p_size", "p_retailprice"), 4)
+        .select("p_partkey", "cluster", "cluster_dist")),
+
+    "q_fe_pca" -> ((s, dir) =>
+      FeatureLib.pcaFeatures(
+          t(s, dir, "lineitem").select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_discount", "l_tax"),
+          Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"), 0.9)
+        .select("l_orderkey", "l_linenumber", "pca")),
+
+    "q_fe_kmeans_bin" -> ((s, dir) =>
+      FeatureLib.binKmeans(t(s, dir, "orders"), "o_totalprice", 5)
+        .groupBy("o_totalprice_kbin").agg(count(lit(1)).as("n"))),
+
+    "q_fe_tfidf" -> ((s, dir) =>
+      FeatureLib.textTfidf(t(s, dir, "documents"), "text", vocabSize = 100)
+        .select("doc_id", "tfidf"))
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_pivot_table_multi" ->
+      """SELECT l_returnflag,
+        |  round(sum(CASE WHEN l_linestatus='F' THEN l_quantity END), 3) AS "F_sum",
+        |  round(avg(CASE WHEN l_linestatus='F' THEN l_quantity END) + 1e-9, 4) AS "F_avg",
+        |  round(sum(CASE WHEN l_linestatus='O' THEN l_quantity END), 3) AS "O_sum",
+        |  round(avg(CASE WHEN l_linestatus='O' THEN l_quantity END) + 1e-9, 4) AS "O_avg"
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_pivot_subtotals" ->
+      """SELECT
+        |  CASE WHEN GROUPING(o_orderstatus)=1 THEN 'TOTAL' ELSE o_orderstatus END AS o_orderstatus,
+        |  CASE WHEN GROUPING(o_orderpriority)=1 THEN 'TOTAL' ELSE o_orderpriority END AS o_orderpriority,
+        |  round(sum(o_totalprice), 2) AS total,
+        |  CAST(GROUPING(o_orderstatus)*2 + GROUPING(o_orderpriority) AS BIGINT) AS gid
+        |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        |ORDER BY gid, o_orderstatus, o_orderpriority""".stripMargin,
+
+    "q_crosstab_norm" ->
+      """SELECT l_returnflag,
+        |  round(sum(CASE WHEN l_linestatus='F' THEN 1 ELSE 0 END) * 1.0 / count(*), 6) AS "F",
+        |  round(sum(CASE WHEN l_linestatus='O' THEN 1 ELSE 0 END) * 1.0 / count(*), 6) AS "O"
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_pivot_multi_values" ->
+      """SELECT l_returnflag,
+        |  round(sum(CASE WHEN l_linestatus='F' THEN l_quantity END), 3) AS "F_qty",
+        |  round(sum(CASE WHEN l_linestatus='F' THEN l_extendedprice END), 2) AS "F_price",
+        |  round(sum(CASE WHEN l_linestatus='O' THEN l_quantity END), 3) AS "O_qty",
+        |  round(sum(CASE WHEN l_linestatus='O' THEN l_extendedprice END), 2) AS "O_price"
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_time_pivot" ->
+      """SELECT o_orderpriority,
+        |  round(sum(CASE WHEN quarter(o_orderdate)=1 THEN o_totalprice END), 2) AS q1,
+        |  round(sum(CASE WHEN quarter(o_orderdate)=2 THEN o_totalprice END), 2) AS q2,
+        |  round(sum(CASE WHEN quarter(o_orderdate)=3 THEN o_totalprice END), 2) AS q3,
+        |  round(sum(CASE WHEN quarter(o_orderdate)=4 THEN o_totalprice END), 2) AS q4
+        |FROM orders WHERE year(o_orderdate) = 1997
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q_pivot_summary" ->
+      """SELECT p_brand,
+        |  count(CASE WHEN p_type='ECONOMY' THEN p_retailprice END) AS eco_n,
+        |  round(avg(CASE WHEN p_type='ECONOMY' THEN p_retailprice END) + 1e-9, 4) AS eco_avg,
+        |  round(stddev_samp(CASE WHEN p_type='ECONOMY' THEN p_retailprice END), 4) AS eco_std,
+        |  count(CASE WHEN p_type='STANDARD' THEN p_retailprice END) AS std_n,
+        |  round(avg(CASE WHEN p_type='STANDARD' THEN p_retailprice END) + 1e-9, 4) AS std_avg,
+        |  round(stddev_samp(CASE WHEN p_type='STANDARD' THEN p_retailprice END), 4) AS std_std
+        |FROM part GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+
+    "q_dynamic_pivot" ->
+      """SELECT c_nationkey,
+        |  round(avg(CASE WHEN c_mktsegment='AUTOMOBILE' THEN c_acctbal END) + 1e-9, 4) AS seg_AUTOMOBILE,
+        |  round(avg(CASE WHEN c_mktsegment='BUILDING' THEN c_acctbal END) + 1e-9, 4) AS seg_BUILDING,
+        |  round(avg(CASE WHEN c_mktsegment='FURNITURE' THEN c_acctbal END) + 1e-9, 4) AS seg_FURNITURE,
+        |  round(avg(CASE WHEN c_mktsegment='HOUSEHOLD' THEN c_acctbal END) + 1e-9, 4) AS seg_HOUSEHOLD,
+        |  round(avg(CASE WHEN c_mktsegment='MACHINERY' THEN c_acctbal END) + 1e-9, 4) AS seg_MACHINERY
+        |FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+
+    "q_conditional_pivot" ->
+      """SELECT l_returnflag,
+        |  count(CASE WHEN l_linestatus='F' THEN l_extendedprice END) AS "F",
+        |  count(CASE WHEN l_linestatus='O' THEN l_extendedprice END) AS "O"
+        |FROM lineitem WHERE l_quantity > 25
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_poly_features" ->
+      """SELECT p_partkey,
+        |  pow(p_size, 2) AS p_size_pow2,
+        |  round(pow(p_retailprice, 2), 4) AS p_retailprice_pow2,
+        |  round(p_size * p_retailprice, 4) AS p_size_x_p_retailprice
+        |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "q_interactions" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  round(l_quantity * l_discount, 6) AS qty_disc,
+        |  round(l_quantity * l_tax, 6) AS qty_tax,
+        |  round(l_discount * l_tax, 6) AS disc_tax
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q_bin_uniform" ->
+      """WITH s AS (SELECT min(o_totalprice) AS mn, max(o_totalprice) AS mx FROM orders)
+        |SELECT CAST(least(greatest(floor((o_totalprice - mn) / ((mx - mn) / 10)), 0), 9) AS INT)
+        |         AS o_totalprice_bin,
+        |  count(*) AS n
+        |FROM orders, s GROUP BY 1 ORDER BY o_totalprice_bin""".stripMargin,
+
+    "q_bin_quantile" ->
+      """WITH s AS (SELECT quantile_cont(value, 0.25) AS q1, quantile_cont(value, 0.5) AS q2,
+        |                  quantile_cont(value, 0.75) AS q3 FROM events)
+        |SELECT CAST((CASE WHEN value > q1 THEN 1 ELSE 0 END) +
+        |            (CASE WHEN value > q2 THEN 1 ELSE 0 END) +
+        |            (CASE WHEN value > q3 THEN 1 ELSE 0 END) AS INT) AS value_qbin,
+        |  count(*) AS n
+        |FROM events, s GROUP BY 1 ORDER BY value_qbin""".stripMargin,
+
+    "q_encode_freq_label" ->
+      """SELECT c_custkey,
+        |  count(*) OVER (PARTITION BY c_mktsegment) AS freq,
+        |  CAST(dense_rank() OVER (ORDER BY c_mktsegment) - 1 AS INT) AS label
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "q_encode_onehot" ->
+      """SELECT c_custkey,
+        |  CASE WHEN c_mktsegment='BUILDING' THEN 1 ELSE 0 END AS c_mktsegment_BUILDING,
+        |  CASE WHEN c_mktsegment='AUTOMOBILE' THEN 1 ELSE 0 END AS c_mktsegment_AUTOMOBILE,
+        |  CASE WHEN c_mktsegment='MACHINERY' THEN 1 ELSE 0 END AS c_mktsegment_MACHINERY,
+        |  CASE WHEN c_mktsegment IN ('BUILDING','AUTOMOBILE','MACHINERY') THEN 0 ELSE 1 END AS c_mktsegment_other
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "q_text_basic" ->
+      """SELECT doc_id,
+        |  CAST(length(text) AS INT) AS text_char_count,
+        |  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INT) AS text_word_count,
+        |  round(length(regexp_replace(text, '\s+', '', 'g')) * 1.0 /
+        |        len(regexp_split_to_array(trim(text), '\s+')), 6) AS text_avg_word_length
+        |FROM documents ORDER BY doc_id""".stripMargin
+  )
+}

@@ -1,0 +1,232 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.text.{Dedup, TextLib}
+import graft.vec.Similarity
+import graft.multimodal.Multimodal
+import QueryUtil._
+
+/** Queries for the LLM-training-data surface: dedup suite, text analysis,
+  * similarity search, multimodal plumbing. Hash-based candidate generators
+  * (MinHash/SimHash/LSH/fingerprint) are engine-specific → rows-only here,
+  * with recall/precision property tests in ScalaTest; everything
+  * SQL-expressible carries a DuckDB oracle.
+  */
+object QueriesText {
+
+  /** documents ∪ a mutated copy (last word dropped, doc_id+100000) —
+    * guarantees near-duplicate pairs exist at any scale factor, so candidate
+    * generators provably return rows.
+    */
+  private def docsWithNearDups(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    val d = t(s, dir, "documents")
+    val mutated = d
+      .withColumn("doc_id", col("doc_id") + 100000L)
+      .withColumn("text", regexp_replace(col("text"), "\\s+\\S+\\s*$", ""))
+    d.unionByName(mutated)
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q_dedup_exact" -> ((s, dir) =>
+      Dedup.exact(docsWithNearDups(s, dir), "text", "doc_id")
+        .select("doc_id", "lang", "source", "n_chars")
+        .orderBy("doc_id")),
+
+    "q_dedup_exact_map" -> ((s, dir) => {
+      // duplicate every 5th doc verbatim (id+200000) → known dup groups
+      val d = t(s, dir, "documents")
+      val dups = d.filter(col("doc_id") % 5 === 0).withColumn("doc_id", col("doc_id") + 200000L)
+      Dedup.exactDupMap(d.unionByName(dups), "text", "doc_id")
+        .orderBy("survivor", "member")
+    }),
+
+    "q_text_quality" -> ((s, dir) =>
+      TextLib.qualityFeatures(t(s, dir, "documents"), "text")
+        .select(col("doc_id"), col("n_chars_calc"), col("n_words"),
+          roundf(col("punct_ratio"), 6).as("punct_ratio"),
+          roundf(col("digit_ratio"), 6).as("digit_ratio"),
+          roundf(col("upper_ratio"), 6).as("upper_ratio"),
+          roundf(col("mean_word_len"), 6).as("mean_word_len"),
+          roundf(col("stopword_ratio"), 6).as("stopword_ratio"))
+        .orderBy("doc_id")),
+
+    "q_text_quality_score" -> ((s, dir) =>
+      TextLib.qualityScore(t(s, dir, "documents"), "text")
+        .select("doc_id", "quality_score")
+        .orderBy("doc_id")),
+
+    "q_token_counts" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          TextLib.tokenCountWs(col("text")).as("n_ws_tokens"),
+          TextLib.tokenCountBpeIsh(col("text")).as("n_bpe_tokens"))
+        .orderBy("doc_id")),
+
+    "q_embed_stats" -> ((s, dir) =>
+      t(s, dir, "embeddings")
+        .select(col("label"), Similarity.l2Norm(col("embedding")).as("nrm"))
+        .groupBy("label")
+        .agg(count(lit(1)).as("n"), round(avg(col("nrm")), 4).as("avg_norm"))
+        .orderBy("label")),
+
+    "q_ann_brute" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.bruteTopK(e, "vec_id", "embedding",
+          e.filter(col("vec_id") < 5), "vec_id", "embedding", k = 10)
+        .orderBy("query_id", "neighbor_id")
+    }),
+
+    // ---- rows-only: engine-specific hashing; recall verified in ScalaTest ----
+    "q_dedup_minhash" -> ((s, dir) =>
+      Dedup.minhashCandidates(docsWithNearDups(s, dir), "text", "doc_id",
+        shingleN = 3, numHashes = 64, bands = 16, threshold = 0.4)),
+
+    "q_dedup_simhash" -> ((s, dir) =>
+      Dedup.simhashCandidates(docsWithNearDups(s, dir), "text", "doc_id", maxHamming = 3)),
+
+    "q_dedup_ngram_jaccard" -> ((s, dir) =>
+      Dedup.ngramJaccardPairs(docsWithNearDups(s, dir), "text", "doc_id",
+        shingleN = 3, threshold = 0.4)),
+
+    "q_embed_neardup" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val jittered = e.withColumn("vec_id", col("vec_id") + 100000L)
+      Similarity.embeddingNearDupPairs(e.unionByName(jittered), "vec_id", "embedding",
+        threshold = 0.99, dim = 64)
+    }),
+
+    "q_ann_lsh" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.lshTopK(e, "vec_id", "embedding",
+        e.filter(col("vec_id") < 5), "vec_id", "embedding",
+        k = 10, dim = 64, bands = 8, bitsPerBand = 4)
+    }),
+
+    "q_ann_ivf" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.ivfTopK(e, "vec_id", "embedding",
+        e.filter(col("vec_id") < 5), "vec_id", "embedding",
+        k = 10, nlist = 8, nprobe = 3)
+    }),
+
+    "q_lang_id" -> ((s, dir) =>
+      TextLib.langId(t(s, dir, "documents"), "text")
+        .select("doc_id", "lang", "lang_pred")),
+
+    "q_fingerprint" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextLib.fingerprint(col("text"), 3).as("fp"))),
+
+    "q_multimodal_features" -> ((s, dir) => {
+      val media = Multimodal.asMedia(
+        t(s, dir, "documents").withColumn("payload", col("text").cast("binary")),
+        "doc_id", "payload", "text/plain")
+      Multimodal.decodeToFeatures(media, "payload", dim = 8)
+        .select("media_id", "features")
+    }),
+
+    "q_multimodal_frames" -> ((s, dir) => {
+      val media = Multimodal.asMedia(
+        t(s, dir, "documents").withColumn("payload", col("text").cast("binary")),
+        "doc_id", "payload", "video/fake", durationMs = 5000L)
+      Multimodal.sampleFrames(media, everyMs = 1000L)
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_dedup_exact" ->
+      """WITH u AS (
+        |  SELECT doc_id, text, lang, source, n_chars FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000, regexp_replace(text, '\s+\S+\s*$', ''), lang, source, n_chars
+        |  FROM documents),
+        |n AS (SELECT *, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS nt FROM u)
+        |SELECT doc_id, lang, source, n_chars FROM n
+        |QUALIFY row_number() OVER (PARTITION BY nt ORDER BY doc_id) = 1
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_dedup_exact_map" ->
+      """WITH u AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 200000, text FROM documents WHERE doc_id % 5 = 0),
+        |n AS (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS nt FROM u),
+        |g AS (SELECT nt, min(doc_id) AS survivor, count(*) AS group_size
+        |      FROM n GROUP BY nt HAVING count(*) > 1)
+        |SELECT g.survivor, n.doc_id AS member, g.group_size
+        |FROM n JOIN g ON n.nt = g.nt
+        |WHERE n.doc_id <> g.survivor
+        |ORDER BY survivor, member""".stripMargin,
+
+    "q_text_quality" ->
+      """SELECT doc_id,
+        |  CAST(length(text) AS INT) AS n_chars_calc,
+        |  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INT) AS n_words,
+        |  round((length(text) - length(regexp_replace(text, '[\.,;:!\?''"]', '', 'g')))
+        |        * 1.0 / length(text) + 1e-9, 6) AS punct_ratio,
+        |  round((length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))
+        |        * 1.0 / length(text) + 1e-9, 6) AS digit_ratio,
+        |  round((length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')))
+        |        * 1.0 / length(text) + 1e-9, 6) AS upper_ratio,
+        |  round(length(regexp_replace(trim(text), '\s+', '', 'g')) * 1.0 /
+        |        len(regexp_split_to_array(trim(text), '\s+')) + 1e-9, 6) AS mean_word_len,
+        |  round(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |          x -> list_contains(['the','a','an','and','or','but','if','then','of','in','on','at','to','for',
+        |                              'with','by','from','as','is','are','was','were','be','been','it','this','that',
+        |                              'he','she','they','we','you','i','his','her','their','our','not','no','so','do'],
+        |                             lower(x))))
+        |        * 1.0 / len(regexp_split_to_array(trim(text), '\s+')) + 1e-9, 6) AS stopword_ratio
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_text_quality_score" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    len(regexp_split_to_array(trim(text), '\s+')) AS n_words,
+        |    length(regexp_replace(trim(text), '\s+', '', 'g')) * 1.0 /
+        |      len(regexp_split_to_array(trim(text), '\s+')) AS mean_word_len,
+        |    (length(text) - length(regexp_replace(text, '[\.,;:!\?''"]', '', 'g')))
+        |      * 1.0 / length(text) AS punct_ratio,
+        |    (length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))
+        |      * 1.0 / length(text) AS digit_ratio,
+        |    len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |        x -> list_contains(['the','a','an','and','or','but','if','then','of','in','on','at','to','for',
+        |                            'with','by','from','as','is','are','was','were','be','been','it','this','that',
+        |                            'he','she','they','we','you','i','his','her','their','our','not','no','so','do'],
+        |                           lower(x))))
+        |      * 1.0 / len(regexp_split_to_array(trim(text), '\s+')) AS stopword_ratio
+        |  FROM documents)
+        |SELECT doc_id,
+        |  round((CASE WHEN n_words BETWEEN 10 AND 100000 THEN 0.35 ELSE 0.0 END) +
+        |        (CASE WHEN mean_word_len BETWEEN 2.5 AND 12.0 THEN 0.25 ELSE 0.0 END) +
+        |        (CASE WHEN punct_ratio < 0.2 THEN 0.2 ELSE 0.0 END) +
+        |        (CASE WHEN digit_ratio < 0.3 THEN 0.1 ELSE 0.0 END) +
+        |        (CASE WHEN stopword_ratio > 0.05 THEN 0.1 ELSE 0.0 END), 2) AS quality_score
+        |FROM f ORDER BY doc_id""".stripMargin,
+
+    "q_token_counts" ->
+      """SELECT doc_id,
+        |  CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |            ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS INT) AS n_ws_tokens,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS INT) AS n_bpe_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_embed_stats" ->
+      """WITH n AS (
+        |  SELECT vec_id, label, sqrt(sum(v * v)) AS nrm
+        |  FROM (SELECT vec_id, label, CAST(unnest(embedding) AS DOUBLE) AS v FROM embeddings)
+        |  GROUP BY vec_id, label)
+        |SELECT label, count(*) AS n, round(avg(nrm), 4) AS avg_norm
+        |FROM n GROUP BY label ORDER BY label""".stripMargin,
+
+    "q_ann_brute" ->
+      """WITH scored AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    round(list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+        |                                 CAST(q.embedding AS DOUBLE[])), 6) AS cos
+        |  FROM embeddings c, embeddings q
+        |  WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id)
+        |SELECT query_id, neighbor_id, cos FROM scored
+        |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) <= 10
+        |ORDER BY query_id, neighbor_id""".stripMargin
+  )
+}

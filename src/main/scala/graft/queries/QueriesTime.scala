@@ -1,0 +1,289 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.functions.TimeSeriesLib
+import QueryUtil._
+
+/** Oracle-backed queries for the time-series library (§2.J) and the
+  * batch-equivalent semantics of the streaming windows (§2.L). Timestamps are
+  * emitted as formatted strings (never raw) so parquet µs/ns width can't skew
+  * the compare.
+  */
+object QueriesTime {
+
+  private val fmt = "yyyy-MM-dd HH:mm:ss"
+
+  val queries: Map[String, Q] = Map(
+    "q_ts_resample" -> ((s, dir) =>
+      TimeSeriesLib.resample(t(s, dir, "events"), "ts", "1 hour",
+          Seq("value" -> "count", "value" -> "sum"))
+        .select(date_format(col("period"), fmt).as("period_str"),
+          col("value_count").as("n"), round(col("value_sum"), 3).as("total"))
+        .orderBy("period_str")),
+
+    "q_ts_grid_ffill" -> ((s, dir) =>
+      TimeSeriesLib.resampleWithGrid(t(s, dir, "events"), "ts", "1 hour",
+          Seq("value" -> "avg"), keys = Seq("event_type"), fillMethod = "ffill")
+        .select(col("event_type"), date_format(col("period"), fmt).as("period_str"),
+          roundf(col("value_avg"), 4).as("value_avg"))
+        .orderBy("event_type", "period_str")),
+
+    "q_ts_rolling" -> ((s, dir) =>
+      TimeSeriesLib.rollingStats(t(s, dir, "events"), "value", 5,
+          Seq("mean", "min", "max"), orderCol = "event_id", partitionBy = Seq("user_id"))
+        .select(col("event_id"), col("user_id"),
+          roundf(col("value_rolling_mean"), 4).as("r_mean"),
+          col("value_rolling_min").as("r_min"), col("value_rolling_max").as("r_max"))
+        .orderBy("event_id")),
+
+    "q_ts_rolling_time" -> ((s, dir) =>
+      TimeSeriesLib.rollingStatsTime(t(s, dir, "events"), "value", 3600,
+          Seq("mean", "count"), tsCol = "ts", partitionBy = Seq("user_id"))
+        .select(col("event_id"),
+          roundf(col("value_tw_mean"), 4).as("tw_mean"), col("value_tw_count").as("tw_n"))
+        .orderBy("event_id")),
+
+    "q_ts_lags_diffs" -> ((s, dir) => {
+      val l = TimeSeriesLib.calculateLags(t(s, dir, "events"), "value", Seq(1, 3),
+        orderCol = "event_id", partitionBy = Seq("user_id"))
+      TimeSeriesLib.calculateDifferences(l, "value", Seq(1), orderCol = "event_id",
+          partitionBy = Seq("user_id"))
+        .select(col("event_id"), col("value_lag_1"), col("value_lag_3"),
+          round(col("value_diff_1"), 4).as("value_diff_1"))
+        .orderBy("event_id")
+    }),
+
+    "q_ts_outlier_zscore" -> ((s, dir) =>
+      TimeSeriesLib.flagOutliers(t(s, dir, "events"), "value", "zscore", 2.5,
+          partitionBy = Seq("event_type"))
+        .select(col("event_id"), col("value_outlier"))
+        .orderBy("event_id")),
+
+    "q_ts_outlier_iqr" -> ((s, dir) =>
+      TimeSeriesLib.flagOutliers(t(s, dir, "events"), "value", "iqr",
+          partitionBy = Seq("event_type"))
+        .select(col("event_id"), col("value_outlier"))
+        .orderBy("event_id")),
+
+    "q_ts_interpolate" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+        .withColumn("v", when(col("event_type") === "view", lit(null)).otherwise(col("value")))
+      TimeSeriesLib.fillMissing(e, "v", "interpolate", orderCol = "event_id",
+          partitionBy = Seq("user_id"))
+        .select(col("event_id"), roundf(col("v"), 6).as("v_interp"))
+        .orderBy("event_id")
+    }),
+
+    "q_ts_time_features" -> ((s, dir) =>
+      TimeSeriesLib.timeFeatures(t(s, dir, "events"), "ts")
+        .select(col("event_id"), col("ts_year"), col("ts_month"), col("ts_day"),
+          col("ts_hour"), col("ts_dayofweek"), col("ts_quarter"), col("ts_weekofyear"),
+          col("ts_dayofyear"), col("ts_is_weekend"), col("ts_day_name"))
+        .orderBy("event_id")),
+
+    "q_ts_changepoints" -> ((s, dir) => {
+      val hourly = TimeSeriesLib.resample(t(s, dir, "events"), "ts", "1 hour",
+        Seq("value" -> "sum"), keys = Seq("event_type"))
+      TimeSeriesLib.detectChangepoints(hourly, "value_sum", 6, orderCol = "period",
+          partitionBy = Seq("event_type"))
+        .select(col("event_type"), date_format(col("period"), fmt).as("period_str"),
+          col("value_sum_changepoint").as("is_cp"))
+        .orderBy("event_type", "period_str")
+    }),
+
+    "q_ts_ewm" -> ((s, dir) => // rows-only: sequential per-key scan, no SQL closed form
+      TimeSeriesLib.smoothEwm(
+        t(s, dir, "events").withColumn("es", unix_timestamp(col("ts"))),
+        "value", 0.3, orderCol = "event_id", partitionBy = Seq("user_id"))),
+
+    "q_ts_savgol" -> ((s, dir) => // rows-only: validated by ScalaTest polynomial-reproduction property
+      TimeSeriesLib.smoothSavgol(t(s, dir, "events"), "value", 7, 2,
+          orderCol = "event_id", partitionBy = Seq("user_id"))
+        .select("event_id", "user_id", "value", "value_savgol")),
+
+    "q_ts_seasonal" -> ((s, dir) => { // rows-only: validated by ScalaTest reconstruction property
+      val hourly = TimeSeriesLib.resample(t(s, dir, "events"), "ts", "1 hour",
+        Seq("value" -> "sum"), keys = Seq("event_type"))
+      TimeSeriesLib.seasonalDecompose(hourly, "value_sum", 24, orderCol = "period",
+        partitionBy = Seq("event_type"))
+    }),
+
+    "q_stream_tumbling" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy(window(col("ts"), "5 minutes").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 3).as("total"))
+        .select(date_format(col("w.start"), fmt).as("w_start"), col("event_type"), col("n"), col("total"))
+        .orderBy("w_start", "event_type")),
+
+    "q_stream_sliding" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy(window(col("ts"), "10 minutes", "5 minutes").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(date_format(col("w.start"), fmt).as("w_start"), col("event_type"), col("n"))
+        .orderBy("w_start", "event_type")),
+
+    "q_stream_session" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy(session_window(col("ts"), "30 minutes").as("sw"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 3).as("total"))
+        .select(col("user_id"),
+          date_format(col("sw.start"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("session_start"),
+          date_format(col("sw.end"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("session_end"),
+          col("n_events"), col("total"))
+        .orderBy("user_id", "session_start"))
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_ts_resample" ->
+      """SELECT strftime(make_timestamp(CAST(floor(epoch(ts)/3600) AS BIGINT)*3600*1000000),
+        |               '%Y-%m-%d %H:%M:%S') AS period_str,
+        |  count(value) AS n, round(sum(value), 3) AS total
+        |FROM events GROUP BY 1 ORDER BY period_str""".stripMargin,
+
+    "q_ts_grid_ffill" ->
+      """WITH b AS (
+        |  SELECT event_type,
+        |    make_timestamp(CAST(floor(epoch(ts)/3600) AS BIGINT)*3600*1000000) AS period,
+        |    avg(value) AS va
+        |  FROM events GROUP BY 1, 2),
+        |s AS (SELECT event_type, min(period) AS mn, max(period) AS mx FROM b GROUP BY 1),
+        |g AS (SELECT event_type, unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS period FROM s),
+        |j AS (SELECT g.event_type, g.period, b.va
+        |      FROM g LEFT JOIN b ON g.event_type = b.event_type AND g.period = b.period)
+        |SELECT event_type, strftime(period, '%Y-%m-%d %H:%M:%S') AS period_str,
+        |  round(last_value(va IGNORE NULLS) OVER
+        |    (PARTITION BY event_type ORDER BY period
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) + 1e-9, 4) AS value_avg
+        |FROM j ORDER BY event_type, period_str""".stripMargin,
+
+    "q_ts_rolling" ->
+      """SELECT event_id, user_id,
+        |  round(avg(value) OVER w + 1e-9, 4) AS r_mean,
+        |  min(value) OVER w AS r_min,
+        |  max(value) OVER w AS r_max
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY event_id ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
+
+    "q_ts_rolling_time" ->
+      """SELECT event_id,
+        |  round(avg(value) OVER w + 1e-9, 4) AS tw_mean,
+        |  count(value) OVER w AS tw_n
+        |FROM (SELECT *, CAST(floor(epoch(ts)) AS BIGINT) AS es FROM events)
+        |WINDOW w AS (PARTITION BY user_id ORDER BY es RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
+
+    "q_ts_lags_diffs" ->
+      """SELECT event_id,
+        |  lag(value, 1) OVER w AS value_lag_1,
+        |  lag(value, 3) OVER w AS value_lag_3,
+        |  round(value - lag(value, 1) OVER w, 4) AS value_diff_1
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+        |ORDER BY event_id""".stripMargin,
+
+    "q_ts_outlier_zscore" ->
+      """SELECT event_id,
+        |  CASE WHEN stddev_samp(value) OVER w > 0
+        |       THEN abs((value - avg(value) OVER w) / stddev_samp(value) OVER w) > 2.5
+        |       ELSE false END AS value_outlier
+        |FROM events WINDOW w AS (PARTITION BY event_type)
+        |ORDER BY event_id""".stripMargin,
+
+    "q_ts_outlier_iqr" ->
+      """SELECT event_id,
+        |  value < q1 - 1.5*(q3-q1) OR value > q3 + 1.5*(q3-q1) AS value_outlier
+        |FROM (SELECT event_id, value,
+        |        quantile_cont(value, 0.25) OVER (PARTITION BY event_type) AS q1,
+        |        quantile_cont(value, 0.75) OVER (PARTITION BY event_type) AS q3
+        |      FROM events)
+        |ORDER BY event_id""".stripMargin,
+
+    "q_ts_interpolate" ->
+      """WITH t AS (
+        |  SELECT user_id, event_id,
+        |    CASE WHEN event_type = 'view' THEN NULL ELSE value END AS v
+        |  FROM events),
+        |r AS (SELECT user_id, event_id, v,
+        |        row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
+        |      FROM t),
+        |x AS (SELECT event_id, v, rn,
+        |        last_value(v IGNORE NULLS) OVER wb AS pv,
+        |        last_value(CASE WHEN v IS NOT NULL THEN rn END IGNORE NULLS) OVER wb AS ppos,
+        |        first_value(v IGNORE NULLS) OVER wa AS nv,
+        |        first_value(CASE WHEN v IS NOT NULL THEN rn END IGNORE NULLS) OVER wa AS npos
+        |      FROM r
+        |      WINDOW
+        |        wb AS (PARTITION BY user_id ORDER BY rn ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |        wa AS (PARTITION BY user_id ORDER BY rn ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        |SELECT event_id,
+        |  round(CASE WHEN v IS NOT NULL THEN v
+        |             WHEN pv IS NOT NULL AND nv IS NOT NULL
+        |             THEN pv + (nv - pv) * (rn - ppos) / (npos - ppos) END + 1e-9, 6) AS v_interp
+        |FROM x ORDER BY event_id""".stripMargin,
+
+    "q_ts_time_features" ->
+      """SELECT event_id,
+        |  CAST(year(ts) AS INT) AS ts_year,
+        |  CAST(month(ts) AS INT) AS ts_month,
+        |  CAST(day(ts) AS INT) AS ts_day,
+        |  CAST(hour(ts) AS INT) AS ts_hour,
+        |  CAST(dayofweek(ts) + 1 AS INT) AS ts_dayofweek,
+        |  CAST(quarter(ts) AS INT) AS ts_quarter,
+        |  CAST(weekofyear(ts) AS INT) AS ts_weekofyear,
+        |  CAST(dayofyear(ts) AS INT) AS ts_dayofyear,
+        |  dayofweek(ts) IN (0, 6) AS ts_is_weekend,
+        |  dayname(ts) AS ts_day_name
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q_ts_changepoints" ->
+      """WITH h AS (
+        |  SELECT event_type,
+        |    make_timestamp(CAST(floor(epoch(ts)/3600) AS BIGINT)*3600*1000000) AS period,
+        |    sum(value) AS value_sum
+        |  FROM events GROUP BY 1, 2),
+        |r AS (SELECT event_type, period, value_sum,
+        |        avg(value_sum) OVER wf AS rm,
+        |        stddev_samp(value_sum) OVER wf AS rs
+        |      FROM h
+        |      WINDOW wf AS (PARTITION BY event_type ORDER BY period ROWS BETWEEN 5 PRECEDING AND CURRENT ROW)),
+        |x AS (SELECT event_type, period,
+        |        abs(rm - lag(rm) OVER (PARTITION BY event_type ORDER BY period)) AS score,
+        |        quantile_cont(rs, 0.5) OVER (PARTITION BY event_type) AS med_rs
+        |      FROM r)
+        |SELECT event_type, strftime(period, '%Y-%m-%d %H:%M:%S') AS period_str,
+        |  score IS NOT NULL AND score > 2.0 * med_rs AS is_cp
+        |FROM x ORDER BY event_type, period_str""".stripMargin,
+
+    "q_stream_tumbling" ->
+      """SELECT strftime(make_timestamp(CAST(floor(epoch(ts)/300) AS BIGINT)*300*1000000),
+        |               '%Y-%m-%d %H:%M:%S') AS w_start,
+        |  event_type, count(*) AS n, round(sum(value), 3) AS total
+        |FROM events GROUP BY 1, 2 ORDER BY w_start, event_type""".stripMargin,
+
+    "q_stream_sliding" ->
+      """WITH x AS (
+        |  SELECT event_type, CAST(floor(epoch(ts)/300) AS BIGINT)*300 AS b FROM events
+        |  UNION ALL
+        |  SELECT event_type, CAST(floor(epoch(ts)/300) AS BIGINT)*300 - 300 AS b FROM events)
+        |SELECT strftime(make_timestamp(b*1000000), '%Y-%m-%d %H:%M:%S') AS w_start,
+        |  event_type, count(*) AS n
+        |FROM x GROUP BY 1, 2 ORDER BY w_start, event_type""".stripMargin,
+
+    "q_stream_session" ->
+      """WITH o AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |g AS (SELECT user_id, ts, value,
+        |        sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |      FROM o)
+        |SELECT user_id,
+        |  strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+        |  strftime(max(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S.%f') AS session_end,
+        |  count(*) AS n_events, round(sum(value), 3) AS total
+        |FROM g GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin
+  )
+}

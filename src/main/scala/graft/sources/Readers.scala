@@ -1,0 +1,114 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Batch sources — §2.B. Globbing, multi-file union and lineage are native
+  * Spark capabilities; the reference's hand-rolled file loops
+  * (sources/csv_source.py:20-104, json_source.py:21-89) reduce to reader
+  * options plus `input_file_name()`.
+  */
+object Readers {
+
+  /** CSV with glob support and `_source_file` lineage column
+    * (csv_source.py:56-62). Schema inference optional — pass an explicit
+    * schema at scale to skip the extra inference scan.
+    */
+  def csv(
+      spark: SparkSession,
+      path: String, // file, directory, or glob
+      header: Boolean = true,
+      delimiter: String = ",",
+      encoding: String = "UTF-8",
+      schema: StructType = null,
+      inferSchema: Boolean = true,
+      lineageCol: String = "_source_file"
+  ): DataFrame = {
+    var r = spark.read
+      .option("header", header.toString)
+      .option("sep", delimiter)
+      .option("encoding", encoding)
+    r = if (schema != null) r.schema(schema) else r.option("inferSchema", inferSchema.toString)
+    withLineage(r.csv(path), lineageCol)
+  }
+
+  /** JSON / JSONL. JSONL (one object per line) is Spark's native JSON mode;
+    * `multiLine=true` covers whole-file JSON arrays (json_source.py:21-89).
+    */
+  def json(
+      spark: SparkSession,
+      path: String,
+      linesFormat: Boolean = true,
+      schema: StructType = null,
+      flattenTopLevel: Boolean = false,
+      lineageCol: String = "_source_file"
+  ): DataFrame = {
+    var r = spark.read
+    if (schema != null) r = r.schema(schema)
+    val df = if (linesFormat) r.json(path) else r.option("multiLine", "true").json(path)
+    val flat = if (flattenTopLevel) flatten(df) else df
+    withLineage(flat, lineageCol)
+  }
+
+  def parquet(spark: SparkSession, path: String): DataFrame = spark.read.parquet(path)
+
+  /** Object-store read (s3_source.py:50-121): same readers over `s3a://`
+    * URIs — Hadoop S3A supplies listing/globbing; `_source_s3_key` parity
+    * comes from the same lineage column.
+    */
+  def objectStore(spark: SparkSession, uri: String, format: String = "parquet",
+                  lineageCol: String = "_source_s3_key"): DataFrame = {
+    val df = format match {
+      case "parquet"        => spark.read.parquet(uri)
+      case "csv"            => spark.read.option("header", "true").option("inferSchema", "true").csv(uri)
+      case "json" | "jsonl" => spark.read.json(uri)
+      case other            => throw new IllegalArgumentException(s"Unknown format: $other")
+    }
+    withLineage(df, lineageCol)
+  }
+
+  /** JDBC read with pushdown (postgresql_storage.py:86-118's generated
+    * projection/WHERE/LIMIT SQL is replaced by Spark's own jdbc pushdown —
+    * pass `partitionColumn` bounds for parallel reads at scale).
+    */
+  def jdbc(
+      spark: SparkSession,
+      url: String,
+      table: String,
+      props: Map[String, String] = Map.empty,
+      partitionColumn: String = null,
+      lowerBound: Long = 0L,
+      upperBound: Long = 0L,
+      numPartitions: Int = 0
+  ): DataFrame = {
+    var r = spark.read.format("jdbc")
+      .option("url", url)
+      .option("dbtable", table)
+      .option("pushDownPredicate", "true")
+    props.foreach { case (k, v) => r = r.option(k, v) }
+    if (partitionColumn != null) {
+      r = r.option("partitionColumn", partitionColumn)
+        .option("lowerBound", lowerBound.toString)
+        .option("upperBound", upperBound.toString)
+        .option("numPartitions", numPartitions.toString)
+    }
+    r.load()
+  }
+
+  /** Flatten one level of struct columns (json_source.py:56-62
+    * `json_normalize` parity): struct fields become `parent_child` columns.
+    */
+  def flatten(df: DataFrame): DataFrame = {
+    val cols = df.schema.fields.flatMap { f =>
+      f.dataType match {
+        case s: StructType => s.fieldNames.map(n => col(s"`${f.name}`.`$n`").as(s"${f.name}_$n")).toSeq
+        case _             => Seq(col(s"`${f.name}`"))
+      }
+    }
+    df.select(cols.toSeq: _*)
+  }
+
+  private def withLineage(df: DataFrame, lineageCol: String): DataFrame =
+    if (lineageCol == null) df else df.withColumn(lineageCol, input_file_name())
+}

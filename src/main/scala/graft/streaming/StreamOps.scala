@@ -1,0 +1,167 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger}
+import org.apache.spark.sql.types.StructType
+
+/** Structured Streaming layer — §2.L, replacing the reference's
+  * single-process record-at-a-time engine (streaming/stream_processor.py:
+  * 35-191, 345-493) with event-time Spark streams.
+  *
+  * Semantics note (SURVEY §7): the reference *implements* processing-time
+  * windows with silent late-data loss but *declares* event-time + watermark +
+  * exactly-once in its YAML (streaming_pipeline.yaml:100-105). Graft
+  * implements the declared spec: event time from the record's timestamp,
+  * `withWatermark` bounding state, checkpointed sinks.
+  */
+object StreamOps {
+
+  // ---------------------------------------------------------------- sources
+
+  /** Kafka stream source (streaming/kafka_source.py:23-213). The reference's
+    * envelope (topic/partition/offset/timestamp/key/value) is Spark's native
+    * Kafka schema; the JSON value is parsed with `from_json` against an
+    * explicit schema.
+    */
+  def kafka(spark: SparkSession, bootstrapServers: String, topics: String,
+            valueSchema: StructType, startingOffsets: String = "latest"): DataFrame =
+    spark.readStream.format("kafka")
+      .option("kafka.bootstrap.servers", bootstrapServers)
+      .option("subscribe", topics)
+      .option("startingOffsets", startingOffsets)
+      .load()
+      .select(
+        col("topic"), col("partition"), col("offset"),
+        col("timestamp").as("kafka_timestamp"),
+        col("key").cast("string").as("key"),
+        from_json(col("value").cast("string"), valueSchema).as("v"))
+      .select(col("topic"), col("partition"), col("offset"), col("kafka_timestamp"), col("key"), col("v.*"))
+
+  /** File stream source (drop-in for local tests and backfills). */
+  def files(spark: SparkSession, path: String, format: String, schema: StructType): DataFrame =
+    spark.readStream.schema(schema).format(format).load(path)
+
+  // ------------------------------------------------------- record transforms
+
+  /** Record transforms (stream_processor.py:382-437): add_timestamp,
+    * rename_field, calculate_field (expr — NOT eval'd lambdas), flatten_nested,
+    * parse_json_field. All work identically on batch and stream frames.
+    */
+  def addTimestamp(df: DataFrame, c: String = "processing_ts"): DataFrame =
+    df.withColumn(c, current_timestamp())
+
+  def renameField(df: DataFrame, from: String, to: String): DataFrame =
+    df.withColumnRenamed(from, to)
+
+  def calculateField(df: DataFrame, c: String, expression: String): DataFrame =
+    df.withColumn(c, expr(expression))
+
+  def flattenNested(df: DataFrame): DataFrame = graft.sources.Readers.flatten(df)
+
+  def parseJsonField(df: DataFrame, c: String, schema: StructType): DataFrame =
+    df.withColumn(c, from_json(col(c), schema))
+
+  /** Record filters (stream_processor.py:440-493). */
+  def filterFieldEquals(df: DataFrame, c: String, v: Any): DataFrame = df.filter(col(c) === lit(v))
+  def filterInList(df: DataFrame, c: String, vs: Seq[Any]): DataFrame = df.filter(col(c).isin(vs: _*))
+  def filterGreaterThan(df: DataFrame, c: String, v: Any): DataFrame = df.filter(col(c) > lit(v))
+  def filterNotNull(df: DataFrame, c: String): DataFrame = df.filter(col(c).isNotNull)
+  def filterTimestampRange(df: DataFrame, c: String, from: String, to: String): DataFrame =
+    df.filter(col(c) >= lit(from).cast("timestamp") && col(c) < lit(to).cast("timestamp"))
+
+  // ---------------------------------------------------------------- windows
+
+  /** Stream aggregate-function surface (StreamAggregator,
+    * stream_processor.py:147-191): count/sum/avg/min/max plus unique_count
+    * (exact per window is unbounded state → HLL approx) and percentile
+    * (distributed sketch).
+    */
+  def streamAgg(fn: String, c: String): Column = fn match {
+    case "count"        => count(col(c))
+    case "sum"          => sum(col(c))
+    case "avg"          => avg(col(c))
+    case "min"          => min(col(c))
+    case "max"          => max(col(c))
+    case "unique_count" => approx_count_distinct(col(c))
+    case "percentile"   => percentile_approx(col(c), lit(0.95), lit(10000))
+    case other          => throw new IllegalArgumentException(s"Unknown stream agg: $other")
+  }
+
+  /** Tumbling window aggregation (stream_processor.py:35-56, 84-121) with
+    * event time + watermark (streaming_pipeline.yaml:100-105).
+    */
+  def tumbling(df: DataFrame, tsCol: String, size: String, watermarkDelay: String,
+               keys: Seq[String], aggs: Seq[(String, String)]): DataFrame = {
+    val exprs = aggs.map { case (c, f) => streamAgg(f, c).as(s"${c}_$f") }
+    df.withWatermark(tsCol, watermarkDelay)
+      .groupBy(window(col(tsCol), size) +: keys.map(col): _*)
+      .agg(exprs.head, exprs.tail: _*)
+      .select((Seq(col("window.start").as("window_start"), col("window.end").as("window_end")) ++
+        keys.map(col) ++ aggs.map { case (c, f) => col(s"${c}_$f") }): _*)
+  }
+
+  /** Sliding window aggregation (stream_processor.py:58-82, 123-144). */
+  def sliding(df: DataFrame, tsCol: String, size: String, slide: String, watermarkDelay: String,
+              keys: Seq[String], aggs: Seq[(String, String)]): DataFrame = {
+    val exprs = aggs.map { case (c, f) => streamAgg(f, c).as(s"${c}_$f") }
+    df.withWatermark(tsCol, watermarkDelay)
+      .groupBy(window(col(tsCol), size, slide) +: keys.map(col): _*)
+      .agg(exprs.head, exprs.tail: _*)
+      .select((Seq(col("window.start").as("window_start"), col("window.end").as("window_end")) ++
+        keys.map(col) ++ aggs.map { case (c, f) => col(s"${c}_$f") }): _*)
+  }
+
+  /** Session windows — declared but never implemented by the reference
+    * (stream_processor.py:33); graft implements the declared spec with
+    * `session_window(ts, gap)`.
+    */
+  def session(df: DataFrame, tsCol: String, gap: String, watermarkDelay: String,
+              keys: Seq[String], aggs: Seq[(String, String)]): DataFrame = {
+    val exprs = aggs.map { case (c, f) => streamAgg(f, c).as(s"${c}_$f") }
+    df.withWatermark(tsCol, watermarkDelay)
+      .groupBy(session_window(col(tsCol), gap) +: keys.map(col): _*)
+      .agg(exprs.head, exprs.tail: _*)
+      .select((Seq(col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end")) ++
+        keys.map(col) ++ aggs.map { case (c, f) => col(s"${c}_$f") }): _*)
+  }
+
+  /** Within-watermark stream deduplication (available-if-needed per SURVEY
+    * §2.L): exact-once per key inside the watermark horizon.
+    */
+  def dedupWithinWatermark(df: DataFrame, tsCol: String, watermarkDelay: String,
+                           keys: Seq[String]): DataFrame =
+    df.withWatermark(tsCol, watermarkDelay).dropDuplicatesWithinWatermark(keys)
+
+  // ---------------------------------------------------------------- sinks
+
+  /** Checkpointed foreachBatch sink — the fan-out point for Redis/JDBC/Kafka
+    * handlers (stream_processor.py:223-229; redis_sink.py semantics live in
+    * the handler function). Exactly-once = checkpoint + idempotent handler
+    * (e.g. Sinks.jdbcUpsert keyed on (window, key)).
+    */
+  def foreachBatchSink(df: DataFrame, checkpoint: String, intervalMs: Long = 1000L)(
+      handler: (DataFrame, Long) => Unit): DataStreamWriter[org.apache.spark.sql.Row] =
+    df.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.ProcessingTime(intervalMs))
+      .foreachBatch((batch: DataFrame, id: Long) => handler(batch, id))
+
+  /** Kafka producer sink (kafka_source.py:254-348 streaming parity). */
+  def kafkaSink(df: DataFrame, bootstrapServers: String, topic: String,
+                checkpoint: String): DataStreamWriter[org.apache.spark.sql.Row] =
+    df.selectExpr("to_json(struct(*)) AS value")
+      .writeStream.format("kafka")
+      .option("kafka.bootstrap.servers", bootstrapServers)
+      .option("topic", topic)
+      .option("checkpointLocation", checkpoint)
+
+  /** Synchronous drain for tests: memory sink + processAllAvailable. */
+  def runToMemory(df: DataFrame, name: String, outputMode: String = "append"): StreamingQuery = {
+    val q = df.writeStream.format("memory").queryName(name).outputMode(outputMode).start()
+    q.processAllAvailable()
+    q
+  }
+}

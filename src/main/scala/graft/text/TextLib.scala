@@ -1,0 +1,135 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text analysis for large-scale training-data pipelines (beyond-reference
+  * surface, SURVEY §7 step 7): token counting, quality scoring, language ID,
+  * fingerprinting. Everything is built from codegen'd Spark expressions — no
+  * UDFs in the hot path — so a 100 TB corpus scan stays whole-stage-codegen.
+  */
+object TextLib {
+
+  /** Canonical normalization used before hashing/dedup: lowercase, collapse
+    * internal whitespace, trim.
+    */
+  def normalized(text: Column): Column =
+    trim(regexp_replace(lower(text), "\\s+", " "))
+
+  /** Whitespace token count. */
+  def tokenCountWs(text: Column): Column =
+    when(length(trim(text)) === 0, 0).otherwise(size(split(trim(text), "\\s+")))
+
+  /** BPE-ish token count: word pieces, numbers, punctuation runs counted
+    * separately (a cheap, deterministic stand-in for a real tokenizer's
+    * token count — same regex family GPT-2's pre-tokenizer uses).
+    */
+  def tokenCountBpeIsh(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+
+  /** Word n-gram shingles of the normalized text, deduplicated.
+    * `slice` + `transform` keep this a single codegen'd expression.
+    */
+  def shingles(text: Column, n: Int): Column = {
+    val words = split(normalized(text), " ")
+    array_distinct(
+      when(size(words) < n, array(concat_ws(" ", words)))
+        .otherwise(transform(
+          sequence(lit(0), size(words) - n),
+          i => concat_ws(" ", slice(words, i + 1, lit(n))))))
+  }
+
+  /** Character n-gram shingles (robust for CJK / no-whitespace scripts). */
+  def charShingles(text: Column, n: Int): Column = {
+    val t = normalized(text)
+    array_distinct(
+      when(length(t) <= n, array(t))
+        .otherwise(transform(sequence(lit(1), length(t) - n + 1), i => substring(t, i, lit(n)))))
+  }
+
+  // ---------------------------------------------------------------- quality
+
+  /** Quality metrics per document: length, token counts, punctuation /
+    * digit / uppercase ratios, mean word length, stopword ratio — the
+    * standard heuristic filters of web-scale corpus cleaning.
+    */
+  def qualityFeatures(df: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val nChars = length(t)
+    val words = split(trim(t), "\\s+")
+    val nWords = tokenCountWs(t)
+    df.withColumn("n_chars_calc", nChars)
+      .withColumn("n_words", nWords)
+      .withColumn("punct_ratio",
+        round(size(regexp_extract_all(t, lit("[\\.,;:!\\?'\"]"), lit(0))) / nChars.cast("double"), 6))
+      .withColumn("digit_ratio",
+        round(size(regexp_extract_all(t, lit("[0-9]"), lit(0))) / nChars.cast("double"), 6))
+      .withColumn("upper_ratio",
+        round(size(regexp_extract_all(t, lit("[A-Z]"), lit(0))) / nChars.cast("double"), 6))
+      .withColumn("mean_word_len",
+        round(aggregate(words, lit(0), (acc, x) => acc + length(x)).cast("double") / nWords, 6))
+      .withColumn("stopword_ratio",
+        round(size(filter(transform(words, x => lower(x)), x => x.isin(EnglishStopwords: _*)))
+          / nWords.cast("double"), 6))
+  }
+
+  /** Composite 0–1 quality score from the heuristic features (monotone,
+    * deterministic; thresholds follow common corpus-filtering practice).
+    */
+  def qualityScore(df: DataFrame, textCol: String): DataFrame = {
+    val withF = qualityFeatures(df, textCol)
+    withF.withColumn("quality_score",
+      round(
+        (when(col("n_words").between(10, 100000), 0.35).otherwise(0.0)) +
+        (when(col("mean_word_len").between(2.5, 12.0), 0.25).otherwise(0.0)) +
+        (when(col("punct_ratio") < 0.2, 0.2).otherwise(0.0)) +
+        (when(col("digit_ratio") < 0.3, 0.1).otherwise(0.0)) +
+        (when(col("stopword_ratio") > 0.05, 0.1).otherwise(0.0)), 2))
+  }
+
+  // ---------------------------------------------------------------- language ID
+
+  /** Stopword-marker language ID: score each candidate language by the
+    * fraction of tokens hitting its top-stopword list; argmax wins, `und`
+    * when nothing scores. A cheap n-gram-free heuristic that is pure
+    * expression (codegen'd) — the classic fastText model would slot in as a
+    * `mapPartitions` scorer behind the same column contract.
+    */
+  def langId(df: DataFrame, textCol: String, outCol: String = "lang_pred"): DataFrame = {
+    val words = transform(split(normalized(col(textCol)), " "), w => w)
+    val nWords = size(words).cast("double")
+    def score(stops: Seq[String]): Column =
+      size(filter(words, x => x.isin(stops: _*))) / nWords
+    val scored = Markers.foldLeft(df) { case (d, (lang, stops)) =>
+      d.withColumn(s"__s_$lang", score(stops))
+    }
+    val best = Markers.map { case (lang, _) => struct(col(s"__s_$lang").as("s"), lit(lang).as("l")) }
+    scored
+      .withColumn("__best", greatest(best: _*))
+      .withColumn(outCol, when(col("__best.s") > 0.02, col("__best.l")).otherwise(lit("und")))
+      .drop(Markers.map { case (l, _) => s"__s_$l" } :+ "__best": _*)
+  }
+
+  // ---------------------------------------------------------------- fingerprint
+
+  /** 64-bit document fingerprint: min of xxhash64 over word shingles —
+    * stable under whitespace/case noise, computable in one expression.
+    * (A 1-permutation MinHash; see MinHashDedup for the k-permutation form.)
+    */
+  def fingerprint(text: Column, n: Int = 3): Column =
+    array_min(transform(shingles(text, n), s => xxhash64(s)))
+
+  val EnglishStopwords: Seq[String] = Seq(
+    "the", "a", "an", "and", "or", "but", "if", "then", "of", "in", "on", "at", "to", "for",
+    "with", "by", "from", "as", "is", "are", "was", "were", "be", "been", "it", "this", "that",
+    "he", "she", "they", "we", "you", "i", "his", "her", "their", "our", "not", "no", "so", "do")
+
+  /** Top-stopword marker lists per language (public, common knowledge). */
+  val Markers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "it", "was", "for", "with", "are", "this"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "eine", "mit", "für", "auf", "den", "von"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "une", "des", "dans", "que", "pour", "pas", "sur", "avec"),
+    "es" -> Seq("el", "la", "los", "las", "y", "es", "una", "en", "que", "por", "para", "con", "del"),
+    "it" -> Seq("il", "la", "che", "di", "e", "un", "una", "per", "non", "sono", "con", "del", "gli"),
+    "pt" -> Seq("o", "a", "os", "as", "e", "que", "um", "uma", "para", "com", "não", "por", "do"))
+}
