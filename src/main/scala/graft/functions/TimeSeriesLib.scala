@@ -304,7 +304,7 @@ object TimeSeriesLib {
   /** Central Savitzky–Golay coefficients: row 0 of (AᵀA)⁻¹Aᵀ for the
     * Vandermonde A over offsets [-h..h]. Pure Scala, driver-side, O(p³).
     */
-  private[functions] def savgolCoefficients(windowLength: Int, polyOrder: Int): Array[Double] = {
+  private[graft] def savgolCoefficients(windowLength: Int, polyOrder: Int): Array[Double] = {
     val h = windowLength / 2
     val offsets = (-h to h).map(_.toDouble).toArray
     val m = polyOrder + 1

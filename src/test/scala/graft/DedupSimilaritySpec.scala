@@ -1,0 +1,124 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.text.{Dedup, TextLib}
+import graft.vec.Similarity
+
+class DedupSimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog again and again today"),
+    (2L, "the quick brown fox jumps over the lazy dog again and again"), // near-dup of 1
+    (3L, "completely different content about spark catalyst optimizer internals"),
+    (4L, "THE QUICK BROWN   FOX jumps over the lazy dog again and again today"), // exact dup of 1 modulo case/ws
+    (5L, "another unrelated document mentioning parquet and shuffles")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup collapses case/whitespace variants, keeps min id") {
+    val out = Dedup.exact(docs, "text", "doc_id").select("doc_id").as[Long].collect().sorted
+    assert(out.toSeq == Seq(1L, 2L, 3L, 5L)) // 4 collapsed into 1
+  }
+
+  test("exactDupMap reports survivor -> member") {
+    val m = Dedup.exactDupMap(docs, "text", "doc_id")
+      .select("survivor", "member").as[(Long, Long)].collect()
+    assert(m.toSeq == Seq((1L, 4L)))
+  }
+
+  test("minhash candidates find the near-dup pair, not unrelated docs") {
+    val cands = Dedup.minhashCandidates(docs, "text", "doc_id",
+      shingleN = 2, numHashes = 64, bands = 16, threshold = 0.3)
+    val pairs = cands.select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)) || pairs.contains((1L, 4L))) // near/exact dups surface
+    assert(!pairs.contains((3L, 5L))) // unrelated never a candidate above threshold
+    assertNoCartesian(cands)
+  }
+
+  test("minhash est_jaccard is exact 1.0 for identical normalized text") {
+    val cands = Dedup.minhashCandidates(docs, "text", "doc_id",
+      shingleN = 2, numHashes = 32, bands = 8, threshold = 0.9)
+    val j14 = cands.filter($"id_a" === 1 && $"id_b" === 4).select("est_jaccard").as[Double].collect()
+    assert(j14.toSeq == Seq(1.0))
+  }
+
+  test("simhash of identical normalized text is identical; hamming candidates surface it") {
+    val sh = Dedup.simhash(docs, "text", "doc_id").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sh(1L) == sh(4L))
+    val cands = Dedup.simhashCandidates(docs, "text", "doc_id", maxHamming = 3)
+    val pairs = cands.select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 4L)))
+    assertNoCartesian(cands)
+  }
+
+  test("ngram jaccard: identical docs score 1.0, near-dups high, others absent") {
+    val out = Dedup.ngramJaccardPairs(docs, "text", "doc_id", shingleN = 2, threshold = 0.3)
+    val m = out.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(m((1L, 4L)) == 1.0)
+    assert(m((1L, 2L)) > 0.5 && m((1L, 2L)) < 1.0)
+    assert(!m.contains((3L, 5L)))
+    assertNoCartesian(out)
+  }
+
+  private def vecs = Seq(
+    (1L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+    (2L, Array(0.9f, 0.1f, 0.0f, 0.0f)),
+    (3L, Array(0.0f, 1.0f, 0.0f, 0.0f)),
+    (4L, Array(0.0f, 0.0f, 1.0f, 0.0f)),
+    (5L, Array(-1.0f, 0.0f, 0.0f, 0.0f))
+  ).toDF("vec_id", "embedding")
+
+  test("brute top-k ranks by cosine with deterministic ties") {
+    val out = Similarity.bruteTopK(vecs, "vec_id", "embedding",
+      vecs.filter($"vec_id" === 1), "vec_id", "embedding", k = 2)
+      .select("neighbor_id", "cos").as[(Long, Double)].collect()
+    assert(out.map(_._1).toSeq == Seq(2L, 3L)) // 2 closest, then first orthogonal by id
+    assert(math.abs(out.head._2 - 0.993884) < 1e-5)
+  }
+
+  test("self-similarity is 1.0 when not excluded") {
+    val out = Similarity.bruteTopK(vecs, "vec_id", "embedding",
+      vecs.filter($"vec_id" === 1), "vec_id", "embedding", k = 1, excludeSelf = false)
+      .select("neighbor_id", "cos").as[(Long, Double)].head()
+    assert(out == ((1L, 1.0)))
+  }
+
+  test("LSH top-k finds the true nearest neighbor for clustered vectors") {
+    val out = Similarity.lshTopK(vecs, "vec_id", "embedding",
+      vecs.filter($"vec_id" === 1), "vec_id", "embedding",
+      k = 1, dim = 4, bands = 4, bitsPerBand = 2)
+      .select("neighbor_id").as[Long].collect()
+    assert(out.headOption.contains(2L)) // same-bucket neighbor is the true NN
+    assertNoCartesian(Similarity.lshTopK(vecs, "vec_id", "embedding",
+      vecs.filter($"vec_id" === 1), "vec_id", "embedding", k = 1, dim = 4))
+  }
+
+  test("embedding near-dup pairs: identical vectors -> cos 1.0") {
+    val doubled = vecs.unionByName(vecs.withColumn("vec_id", $"vec_id" + 100L))
+    val out = Similarity.embeddingNearDupPairs(doubled, "vec_id", "embedding",
+      threshold = 0.999, dim = 4)
+    val pairs = out.select("id_a", "id_b", "cos").as[(Long, Long, Double)].collect()
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 101L && p._3 == 1.0))
+    assertNoCartesian(out)
+  }
+
+  test("langId picks the marker language on real sentences") {
+    val samples = Seq(
+      (1L, "the cat is on the table and it was not happy with this"),
+      (2L, "der Hund ist nicht mit der Katze auf den Tisch"),
+      (3L, "le chat est dans la maison et il est pour les enfants"),
+      (4L, "el gato es una mascota que vive en la casa con los ninos")
+    ).toDF("doc_id", "text")
+    val out = TextLib.langId(samples, "text").select("doc_id", "lang_pred")
+      .as[(Long, String)].collect().toMap
+    assert(out(1L) == "en"); assert(out(2L) == "de")
+    assert(out(3L) == "fr"); assert(out(4L) == "es")
+  }
+
+  test("fingerprint is stable under case/whitespace noise") {
+    val fp = docs.select($"doc_id", TextLib.fingerprint($"text", 2).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fp(1L) == fp(4L))
+    assert(fp(1L) != fp(3L))
+  }
+}

@@ -1,0 +1,130 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.{FeatureLib, WindowLib, PivotLib}
+import graft.core.OpSpec.{WindowFuncSpec, WindowOp}
+import graft.quality.{Profiler, QualityMetrics, SchemaInference}
+import graft.multimodal.Multimodal
+
+class QualityFeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def df = Seq(
+    (1, "a", 10.0), (2, "a", 20.0), (3, "b", 30.0), (4, "b", 40.0), (5, null: String, 50.0)
+  ).toDF("id", "grp", "v")
+
+  test("quality metrics report expected ratios") {
+    val r = QualityMetrics.report(df, Seq(
+      QualityMetrics.completeness("grp"),
+      QualityMetrics.uniqueness("id"),
+      QualityMetrics.validity("v", "v >= 20"),
+      QualityMetrics.rangeCheck("v", 0, 35))).collect()(0)
+    assert(r.getDouble(0) == 0.8)  // 4/5 non-null
+    assert(r.getDouble(1) == 1.0)  // all ids distinct
+    assert(r.getDouble(2) == 0.8)  // 4/5 >= 20
+    assert(r.getDouble(3) == 0.6)  // 3/5 in [0,35]
+  }
+
+  test("classify thresholds") {
+    assert(QualityMetrics.classify(0.99, 0.95, 0.9) == "PASS")
+    assert(QualityMetrics.classify(0.92, 0.95, 0.9) == "WARN")
+    assert(QualityMetrics.classify(0.5, 0.95, 0.9) == "FAIL")
+  }
+
+  test("schema columnStats flags PK candidates") {
+    val stats = SchemaInference.columnStats(df).collect()
+      .map(r => r.getString(0) -> r.getBoolean(6)).toMap
+    assert(stats("id"))
+    assert(!stats("grp")) // has null + dups
+  }
+
+  test("fkCandidates detects containment") {
+    val child = Seq(1, 2, 2, 3).toDF("fk")
+    val parent = Seq(1, 2, 3, 4).toDF("pk")
+    assert(SchemaInference.fkCandidates(child, "fk", parent, "pk"))
+    assert(!SchemaInference.fkCandidates(parent, "pk", child, "fk"))
+  }
+
+  test("profiler numeric long format has all metrics") {
+    val p = Profiler.numericProfile(df, Seq("v")).collect()
+      .map(r => r.getString(1) -> r.getDouble(2)).toMap
+    assert(p("count") == 5.0 && p("mean") == 30.0 && p("median") == 30.0 && p("zeros") == 0.0)
+  }
+
+  test("spearman equals 1 for monotone data") {
+    val mono = Seq((1.0, 10.0), (2.0, 100.0), (3.0, 101.0), (4.0, 500.0)).toDF("a", "b")
+    val s = Profiler.spearman(mono, "a", "b").as[Double].head()
+    assert(math.abs(s - 1.0) < 1e-12)
+  }
+
+  test("window op AST applies multiple functions over one spec") {
+    val out = WindowLib.applyWindowOp(df, WindowOp(
+      partitionBy = Seq("grp"), orderBy = Seq("id" -> true),
+      functions = Seq(
+        WindowFuncSpec("row_number", alias = "rn"),
+        WindowFuncSpec("lag", column = "v", alias = "prev", offset = 1),
+        WindowFuncSpec("running_sum", column = "v", alias = "rs"))))
+    val a = out.filter($"grp" === "a").orderBy("id")
+      .select("rn", "prev", "rs").collect()
+    assert(a(0).getInt(0) == 1 && a(0).isNullAt(1) && a(0).getDouble(2) == 10.0)
+    assert(a(1).getInt(0) == 2 && a(1).getDouble(1) == 10.0 && a(1).getDouble(2) == 30.0)
+  }
+
+  test("quantile binning matches exact quartiles") {
+    val d100 = (1 to 100).map(i => (i, i.toDouble)).toDF("id", "x")
+    val binned = FeatureLib.binQuantile(d100, "x", 4)
+    val counts = binned.groupBy("x_qbin").count().orderBy("x_qbin")
+      .as[(Int, Long)].collect()
+    assert(counts.map(_._2).forall(c => c >= 24 && c <= 26))
+  }
+
+  test("kmeans clustering features: distance to own centroid < to others") {
+    val pts = (Seq.fill(20)((0.0, 0.0)) ++ Seq.fill(20)((10.0, 10.0)))
+      .zipWithIndex.map { case ((x, y), i) => (i, x + i % 3 * 0.1, y + i % 5 * 0.1) }
+      .toDF("id", "x", "y")
+    val out = FeatureLib.clusteringFeatures(pts, Seq("x", "y"), 2)
+    assert(out.select("cluster").distinct().count() == 2)
+    assert(out.agg(max("cluster_dist")).as[Double].head() < 2.0)
+  }
+
+  test("pca auto-k explains requested variance") {
+    val d = (1 to 50).map { i =>
+      val x = i.toDouble
+      (i, x, 2 * x + 0.001 * (i % 7), -x + 0.001 * (i % 5), 42.0 + 0.0001 * (i % 3))
+    }.toDF("id", "a", "b", "c", "d")
+    val out = FeatureLib.pcaFeatures(d, Seq("a", "b", "c", "d"), 0.95)
+    val k = out.select("pca").head().getAs[org.apache.spark.ml.linalg.Vector](0).size
+    assert(k <= 2) // data is essentially rank-1 + tiny noise
+  }
+
+  test("crossTab index-normalization rows sum to 1") {
+    val ct = PivotLib.crossTab(df.na.fill("z", Seq("grp")), "grp", "grp", normalize = "index")
+    val sums = ct.collect().map(r => (1 until r.length).map(i => r.getDouble(i)).sum)
+    sums.foreach(s => assert(math.abs(s - 1.0) < 1e-12))
+  }
+
+  test("multimodal decode: deterministic, null-safe, right shape") {
+    val media = Seq((1L, "hello".getBytes), (2L, null: Array[Byte]))
+      .toDF("id", "payload")
+    val m = Multimodal.asMedia(media, "id", "payload", "image/fake", 64, 64)
+    val out1 = Multimodal.decodeToFeatures(m, "payload", dim = 4).orderBy("media_id").collect()
+    val out2 = Multimodal.decodeToFeatures(m, "payload", dim = 4).orderBy("media_id").collect()
+    assert(out1(0).getSeq[Double](3).size == 4)
+    assert(out1(0).getSeq[Double](3) == out2(0).getSeq[Double](3)) // deterministic
+    assert(out1(1).isNullAt(3)) // null payload passthrough
+  }
+
+  test("multimodal frame sampling fans out duration/every rows") {
+    val media = Seq((1L, Array.fill(200)(7.toByte))).toDF("id", "payload")
+    val m = Multimodal.asMedia(media, "id", "payload", "video/fake", durationMs = 5000L)
+    val frames = Multimodal.sampleFrames(m, everyMs = 1000L)
+    assert(frames.count() == 5)
+  }
+
+  test("batched featurizer preserves rows and appends features") {
+    val media = Seq((1L, "abc".getBytes), (2L, "def".getBytes)).toDF("id", "payload")
+    val out = Multimodal.featurizeBatched(media, "payload", dim = 3, batchSize = 1)
+    assert(out.count() == 2)
+    assert(out.columns.contains("features"))
+  }
+}

@@ -1,0 +1,101 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.streaming.StreamOps
+
+case class Ev(ts: Timestamp, user: String, v: Double)
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def t(s: String) = Timestamp.valueOf(s)
+
+  test("tumbling window over a real stream aggregates by event time") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val agg = StreamOps.tumbling(input.toDF(), "ts", "5 minutes", "10 minutes",
+      Seq("user"), Seq("v" -> "sum", "v" -> "count"))
+    val q = agg.writeStream.format("memory").queryName("tumb").outputMode("complete").start()
+    try {
+      input.addData(
+        Ev(t("2024-01-01 00:01:00"), "a", 1.0),
+        Ev(t("2024-01-01 00:02:00"), "a", 2.0),
+        Ev(t("2024-01-01 00:07:00"), "a", 5.0),
+        Ev(t("2024-01-01 00:01:30"), "b", 10.0))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT user, v_sum, v_count FROM tumb ORDER BY window_start, user")
+        .as[(String, Double, Long)].collect()
+      assert(rows.toSeq == Seq(("a", 3.0, 2L), ("b", 10.0, 1L), ("a", 5.0, 1L)))
+    } finally q.stop()
+  }
+
+  test("session window merges events within gap, splits across it") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val agg = StreamOps.session(input.toDF(), "ts", "10 minutes", "1 hour",
+      Seq("user"), Seq("v" -> "count"))
+    val q = agg.writeStream.format("memory").queryName("sess").outputMode("complete").start()
+    try {
+      input.addData(
+        Ev(t("2024-01-01 00:00:00"), "a", 1.0),
+        Ev(t("2024-01-01 00:05:00"), "a", 1.0),  // same session
+        Ev(t("2024-01-01 01:00:00"), "a", 1.0))  // new session
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT user, v_count FROM sess ORDER BY session_start")
+        .as[(String, Long)].collect()
+      assert(rows.toSeq == Seq(("a", 2L), ("a", 1L)))
+    } finally q.stop()
+  }
+
+  test("watermark drops late data in append mode") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val agg = StreamOps.tumbling(input.toDF(), "ts", "5 minutes", "5 minutes",
+      Nil, Seq("v" -> "count"))
+    val q = agg.writeStream.format("memory").queryName("wm").outputMode("append").start()
+    try {
+      input.addData(Ev(t("2024-01-01 00:01:00"), "a", 1.0))
+      q.processAllAvailable()
+      input.addData(Ev(t("2024-01-01 01:00:00"), "a", 1.0)) // advances watermark past window 1
+      q.processAllAvailable()
+      input.addData(Ev(t("2024-01-01 00:02:00"), "a", 99.0)) // LATE: before watermark
+      q.processAllAvailable()
+      val emitted = spark.sql("SELECT v_count FROM wm").as[Long].collect()
+      assert(emitted.toSeq == Seq(1L)) // first window closed with 1 row; late row dropped
+    } finally q.stop()
+  }
+
+  test("record transforms and filters work on streaming frames") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val transformed = StreamOps.filterGreaterThan(
+      StreamOps.calculateField(
+        StreamOps.renameField(input.toDF(), "v", "value"), "doubled", "value * 2"),
+      "doubled", 5.0)
+    val q = StreamOps.runToMemory(transformed, "rec")
+    try {
+      input.addData(Ev(t("2024-01-01 00:00:00"), "a", 1.0), Ev(t("2024-01-01 00:00:01"), "b", 4.0))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT user, doubled FROM rec").as[(String, Double)].collect()
+      assert(rows.toSeq == Seq(("b", 8.0)))
+    } finally q.stop()
+  }
+
+  test("dropDuplicatesWithinWatermark dedups keyed events") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val dd = StreamOps.dedupWithinWatermark(input.toDF(), "ts", "1 hour", Seq("user"))
+    val q = StreamOps.runToMemory(dd, "dd")
+    try {
+      input.addData(
+        Ev(t("2024-01-01 00:00:00"), "a", 1.0),
+        Ev(t("2024-01-01 00:01:00"), "a", 2.0),
+        Ev(t("2024-01-01 00:02:00"), "b", 3.0))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT user FROM dd").as[String].collect()
+      assert(rows.sorted.toSeq == Seq("a", "b"))
+    } finally q.stop()
+  }
+}

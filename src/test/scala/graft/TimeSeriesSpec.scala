@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.TimeSeriesLib
+
+class TimeSeriesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("savgol coefficients: window mean for polyOrder 0/1, sums to 1") {
+    val c51 = TimeSeriesLib.savgolCoefficients(5, 1)
+    c51.foreach(c => assert(math.abs(c - 0.2) < 1e-12)) // linear fit center = mean
+    val c73 = TimeSeriesLib.savgolCoefficients(7, 3)
+    assert(math.abs(c73.sum - 1.0) < 1e-12)
+  }
+
+  test("savgol smoothing reproduces a quadratic exactly (polyOrder >= 2)") {
+    val df = (1 to 30).map(i => (i, (i * i).toDouble)).toDF("t", "y")
+    val sm = TimeSeriesLib.smoothSavgol(df, "y", 7, 2, orderCol = "t")
+      .filter($"y_savgol".isNotNull)
+      .select($"y", $"y_savgol").as[(Double, Double)].collect()
+    assert(sm.nonEmpty)
+    sm.foreach { case (y, s) => assert(math.abs(y - s) < 1e-6, s"savgol($y) = $s") }
+  }
+
+  test("EWM matches pandas ewm(alpha, adjust=True) hand calc") {
+    // x = [1, 2, 3], alpha=0.5 -> y = [1, (2 + 0.5*1)/1.5 = 5/3, (3 + 1 + 0.25)/1.75 = 17/7]
+    val df = Seq((1L, 1.0), (2L, 2.0), (3L, 3.0)).toDF("t", "x")
+    val out = TimeSeriesLib.smoothEwm(df, "x", 0.5, orderCol = "t", partitionBy = Nil)
+      .orderBy("__ord").select("x_ewm").as[Double].collect()
+    val expected = Seq(1.0, 5.0 / 3.0, 17.0 / 7.0)
+    out.zip(expected).foreach { case (a, b) => assert(math.abs(a - b) < 1e-12) }
+  }
+
+  test("linear interpolation fills interior gaps, leaves edges null") {
+    val df = Seq((1, None: Option[Double]), (2, Some(10.0)), (3, None: Option[Double]),
+      (4, None: Option[Double]), (5, Some(40.0)), (6, None: Option[Double]))
+      .toDF("t", "v")
+    val out = TimeSeriesLib.fillMissing(df, "v", "interpolate", orderCol = "t")
+      .orderBy("t").select("v").as[Option[Double]].collect()
+    assert(out(0).isEmpty)                       // leading null stays
+    assert(out(2).contains(20.0) && out(3).contains(30.0)) // interior linear
+    assert(out(5).isEmpty)                       // trailing null stays
+  }
+
+  test("seasonal decomposition reconstructs value where trend is defined") {
+    // clean synthetic series: linear trend + period-4 seasonality
+    val season = Seq(5.0, -2.0, -1.0, -2.0)
+    val df = (0 until 40).map(i => (i, i * 2.0 + season(i % 4))).toDF("t", "v")
+    val out = TimeSeriesLib.seasonalDecompose(df, "v", 4, orderCol = "t")
+      .filter($"trend".isNotNull)
+      .select($"v", $"trend" + $"seasonal" + $"resid").as[(Double, Double)].collect()
+    assert(out.nonEmpty)
+    out.foreach { case (v, rec) => assert(math.abs(v - rec) < 1e-9) }
+  }
+
+  test("rolling time window counts only rows within the horizon") {
+    val df = Seq((1L, "2024-01-01 00:00:00"), (2L, "2024-01-01 00:30:00"),
+      (3L, "2024-01-01 02:00:00")).toDF("id", "s")
+      .withColumn("ts", to_timestamp($"s")).withColumn("v", lit(1.0))
+    val out = TimeSeriesLib.rollingStatsTime(df, "v", 3600, Seq("count"), "ts")
+      .orderBy("id").select("v_tw_count").as[Long].collect()
+    assert(out.toSeq == Seq(1L, 2L, 1L)) // third event is >1h after both others
+  }
+
+  test("resampleWithGrid inserts gap buckets and ffills") {
+    val df = Seq(("2024-01-01 00:10:00", 1.0), ("2024-01-01 03:20:00", 7.0))
+      .toDF("s", "v").withColumn("ts", to_timestamp($"s"))
+    val out = TimeSeriesLib.resampleWithGrid(df, "ts", "1 hour", Seq("v" -> "sum"),
+      fillMethod = "ffill").orderBy("period")
+    val vals = out.select("v_sum").as[Double].collect()
+    assert(vals.toSeq == Seq(1.0, 1.0, 1.0, 7.0)) // hours 0..3, gaps ffilled
+  }
+
+  test("changepoint flag fires on a level shift") {
+    val df = ((1 to 20).map(i => (i, 10.0 + (i % 3) * 0.1)) ++
+      (21 to 40).map(i => (i, 100.0 + (i % 3) * 0.1))).toDF("t", "v")
+    val out = TimeSeriesLib.detectChangepoints(df, "v", 4, orderCol = "t")
+    val flagged = out.filter($"v_changepoint").select("t").as[Int].collect()
+    assert(flagged.nonEmpty && flagged.forall(t => t >= 20 && t <= 26))
+  }
+}
