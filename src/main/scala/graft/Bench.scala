@@ -32,6 +32,13 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
 
     val qs = SparkEntry.queries
+    // Warm up the JVM/codegen/parquet-reader paths once so the first measured
+    // query reflects query cost, not session bring-up.
+    try {
+      spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .groupBy("l_returnflag").count().write.format("noop").mode("overwrite").save()
+    } catch { case _: Throwable => () }
+
     val results = headline.filter(qs.contains).map { name =>
       val t0 = System.nanoTime()
       try {

@@ -40,24 +40,19 @@ object Dedup {
 
   // ---------------------------------------------------------------- MinHash + LSH
 
-  /** k-permutation MinHash signature over word shingles. Each permutation is
-    * xxhash64(shingle, seed_i) — k independent 64-bit hash families.
+  /** k-permutation MinHash signature over word shingles, via the native
+    * MinHashSig Catalyst expression (graft.expr.MinHashSig).
     *
     * Shape matters: higher-order functions are interpreted (no codegen, no
-    * common-subexpression elimination), so the naive
-    * `transform(0..k, i -> array_min(transform(shingles, ...)))` recomputes
-    * the shingle array k times per row (measured 70× slower). This single
-    * `aggregate` folds over the shingles ONCE, min-merging all k hashes per
-    * shingle — O(|shingles| · k) hash calls, one shingle materialization.
+    * common-subexpression elimination) — the naive
+    * `transform(0..k, i -> array_min(transform(shingles, ...)))` recomputed
+    * the shingle array k times per row (measured 15× slower), and even the
+    * single-fold `aggregate(...zip_with...)` form pays a closure dispatch +
+    * array allocation per (shingle, hash) pair. The custom expression runs
+    * one tight k×n XXH64 loop per row.
     */
-  def minhashSignature(text: Column, shingleN: Int = 3, numHashes: Int = 64): Column = {
-    val sh = TextLib.shingles(text, shingleN)
-    val init = transform(sequence(lit(0), lit(numHashes - 1)), _ => lit(Long.MaxValue))
-    aggregate(sh, init,
-      (acc, s) => zip_with(acc,
-        transform(sequence(lit(0), lit(numHashes - 1)), i => xxhash64(s, i)),
-        (a, h) => least(a, h)))
-  }
+  def minhashSignature(text: Column, shingleN: Int = 3, numHashes: Int = 64): Column =
+    graft.expr.MinHashSig(TextLib.shingles(text, shingleN), numHashes)
 
   /** LSH banding: split the signature into `bands` bands of `rowsPerBand`
     * and hash each band. A pair agreeing on ANY band becomes a candidate —
@@ -85,11 +80,16 @@ object Dedup {
       maxBucketSize: Int = 1000
   ): DataFrame = {
     val rowsPerBand = numHashes / bands
+    // Persisted: this relation feeds the bucket-size scan AND both self-join
+    // sides — without it the signature computation runs 3× (MLlib's LSH
+    // caches for the same reason). 64×8B per doc; at extreme scale write
+    // signatures to a table instead.
     val sigs = df.select(
       col(idCol).as("id"),
       minhashSignature(col(textCol), shingleN, numHashes).as("sig"))
       .withColumn("bh", explode(lshBandHashes(col("sig"), bands, rowsPerBand)))
       .select(col("id"), col("sig"), col("bh.band").as("band"), col("bh.h").as("bucket"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // cap hot buckets before the self-join (bounded candidate fan-out)
     val bucketSizes = sigs.groupBy("band", "bucket").agg(count(lit(1)).as("bsz"))
       .filter(col("bsz") <= maxBucketSize && col("bsz") > 1)
@@ -133,6 +133,7 @@ object Dedup {
     */
   def simhashCandidates(df: DataFrame, textCol: String, idCol: String, maxHamming: Int = 3): DataFrame = {
     val sigs = simhash(df, textCol, idCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) // feeds both join sides
     val blockStructs = (0 until 4).map { i =>
       struct(lit(i).as("blk"), shiftright(col("simhash"), i * 16).bitwiseAND(0xFFFFL).as("v"))
     }
@@ -164,6 +165,7 @@ object Dedup {
       maxDocFreq: Int = 500
   ): DataFrame = {
     val sh = df.select(col(idCol).as("id"), explode(TextLib.shingles(col(textCol), shingleN)).as("s"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) // sizes + df-prune + both join sides
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
     val pruned = sh.join(
       sh.groupBy("s").agg(count(lit(1)).as("df")).filter(col("df") <= maxDocFreq && col("df") > 1),

@@ -27,17 +27,11 @@ object TextLib {
   def tokenCountBpeIsh(text: Column): Column =
     size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
 
-  /** Word n-gram shingles of the normalized text, deduplicated.
-    * `slice` + `transform` keep this a single codegen'd expression.
+  /** Word n-gram shingles of the normalized text, deduplicated — a native
+    * expression (graft.expr.WordShingles): the interpreted
+    * transform/slice/concat_ws chain was ~10× slower on the documents corpus.
     */
-  def shingles(text: Column, n: Int): Column = {
-    val words = split(normalized(text), " ")
-    array_distinct(
-      when(size(words) < n, array(concat_ws(" ", words)))
-        .otherwise(transform(
-          sequence(lit(0), size(words) - n),
-          i => concat_ws(" ", slice(words, i + 1, lit(n))))))
-  }
+  def shingles(text: Column, n: Int): Column = graft.expr.WordShingles(text, n)
 
   /** Character n-gram shingles (robust for CJK / no-whitespace scripts). */
   def charShingles(text: Column, n: Int): Column = {

@@ -1,0 +1,34 @@
+package graft.tools
+
+import org.apache.spark.sql.functions._
+import graft.text.{Dedup, TextLib}
+
+/** Scratch profiler for the MinHash-LSH pipeline stages (dev tool). */
+object ProfileMinhash {
+  def main(args: Array[String]): Unit = {
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = graft.core.Sessions.local(32, 32, "profile-minhash")
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+    val mutated = d.withColumn("doc_id", col("doc_id") + 100000L)
+      .withColumn("text", regexp_replace(col("text"), "\\s+\\S+\\s*$", ""))
+    val docs = d.unionByName(mutated)
+
+    def time(label: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val n = f
+      println(f"$label%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s   rows=$n")
+    }
+
+    time("0 corpus scan")(docs.write.format("noop").mode("overwrite").save().asInstanceOf[Unit] match { case _ => docs.count() })
+    time("1 shingles only")(docs.select(col("doc_id"), TextLib.shingles(col("text"), 3).as("sh"))
+      .write.format("noop").mode("overwrite").save().asInstanceOf[Unit] match { case _ => 0L })
+    time("2 signatures")(docs.select(col("doc_id"), Dedup.minhashSignature(col("text"), 3, 64).as("sig"))
+      .write.format("noop").mode("overwrite").save().asInstanceOf[Unit] match { case _ => 0L })
+    val sigs = docs.select(col("doc_id").as("id"), Dedup.minhashSignature(col("text"), 3, 64).as("sig"))
+      .withColumn("bh", explode(Dedup.lshBandHashes(col("sig"), 16, 4)))
+      .select(col("id"), col("sig"), col("bh.band").as("band"), col("bh.h").as("bucket"))
+    time("3 sigs+bands")(sigs.write.format("noop").mode("overwrite").save().asInstanceOf[Unit] match { case _ => 0L })
+    time("4 full candidates")(Dedup.minhashCandidates(docs, "text", "doc_id", 3, 64, 16, 0.4).count())
+    spark.stop()
+  }
+}

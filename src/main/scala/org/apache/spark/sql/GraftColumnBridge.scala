@@ -1,0 +1,13 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Bridge into the sql-private Column↔Expression converters (Spark 4 wraps
+  * Column around ColumnNode; `classic.ExpressionUtils` is private[sql]).
+  * Lives in the org.apache.spark.sql package purely for access; graft code
+  * calls it via graft.expr wrappers.
+  */
+object GraftColumnBridge {
+  def column(e: Expression): Column = classic.ExpressionUtils.column(e)
+  def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+}
