@@ -1,0 +1,45 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import graft.core.{Pipeline, Sessions}
+
+/** CLI entry point — parity with the reference's `data-pipeline run
+  * config.yaml` (cli/main.py:41-95).
+  *
+  * Usage:
+  *   graft.Cli run <pipeline.yaml> [--dry-run]
+  *   graft.Cli entry               (flagship smoke query)
+  */
+object Cli {
+  def main(args: Array[String]): Unit = args.toList match {
+    case "run" :: path :: rest =>
+      if (!Files.exists(Paths.get(path))) {
+        System.err.println(s"error: pipeline config not found: $path")
+        sys.exit(1)
+      }
+      val yaml = Files.readString(Paths.get(path))
+      val conf = Pipeline.fromYaml(yaml)
+      if (rest.contains("--dry-run")) {
+        println(s"pipeline: ${conf.name}")
+        println(s"sources : ${conf.sources.map(s => s"${s.typ}:${s.path}").mkString(", ")}")
+        println(s"ops     : ${conf.operations.size}")
+        conf.operations.zipWithIndex.foreach { case (op, i) => println(f"  $i%2d. $op") }
+        println(s"expectations: ${conf.expectations.size}, storage: ${conf.storage.map(_.typ).getOrElse("none")}")
+      } else {
+        val spark = Sessions.local(appName = s"graft-${conf.name}")
+        try {
+          val res = Pipeline.execute(spark, conf)
+          println(s"""{"pipeline":"${res.name}","status":"${res.status}","rows":${res.rowsWritten},""" +
+            s""""validation":{${res.validation.map { case (k, v) => s""""$k":$v""" }.mkString(",")}},""" +
+            s""""errors":${res.errors.size}}""")
+          res.errors.foreach(e => System.err.println(s"[pipeline] $e"))
+          if (res.status != "success") sys.exit(1)
+        } finally spark.stop()
+      }
+    case "entry" :: _ =>
+      Smoke.main(Array.empty)
+    case other =>
+      System.err.println(s"usage: graft.Cli run <pipeline.yaml> [--dry-run] | graft.Cli entry (got: $other)")
+      sys.exit(2)
+  }
+}

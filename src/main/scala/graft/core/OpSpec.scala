@@ -46,6 +46,21 @@ object OpSpec {
                             rowsBetween: Option[(Long, Long)] = None,
                             rangeBetween: Option[(Long, Long)] = None)              extends OpSpec
   final case class CustomSql(query: String, tempViewName: String = "temp_table")    extends OpSpec
+  /** Ordered sub-list (one YAML transform block can expand to several ops). */
+  final case class Sequence(ops: Seq[OpSpec])                                       extends OpSpec
+  /** The op types the reference's YAMLs declare but never dispatch — wired
+    * here to the library implementations (SURVEY §2.A gap note). Params stay
+    * dynamic (config-shaped); see OpCompiler.applyFeatureEngineering /
+    * applyTimeSeries for the accepted keys.
+    */
+  final case class FeatureEngineering(params: Map[String, Any])                     extends OpSpec
+  final case class TimeSeriesProcessing(params: Map[String, Any])                   extends OpSpec
+  /** Inline expectation gate (ecommerce_pipeline.yaml:28-39 `validate` op):
+    * rows satisfying `expression` must be ≥ min_ratio, else the pipeline
+    * fails. NOTE: this is an action (it counts), by design — validation is a
+    * barrier in the reference lifecycle too (pipeline.py:234-256).
+    */
+  final case class Validate(params: Map[String, Any])                               extends OpSpec
 
   /** One window-function application inside a WindowOp
     * (spark_processor.py:244-263 function specs). */
@@ -88,5 +103,145 @@ object OpCompiler {
     case Melt(id, vv, vn, valn)        => Relational.melt(df, id, vv, vn, valn)
     case w: WindowOp                   => graft.functions.WindowLib.applyWindowOp(df, w)
     case CustomSql(q, tv)              => Relational.customSql(df, q, tv)
+    case Sequence(ops2)                => ops2.foldLeft(df)((d, o) => applyOp(d, o, tables))
+    case FeatureEngineering(p)         => applyFeatureEngineering(df, p)
+    case TimeSeriesProcessing(p)       => applyTimeSeries(df, p)
+    case Validate(p)                   => applyValidate(df, p)
+  }
+
+  // ------------------------------------------------- dynamic-param dispatch
+
+  private def s(p: Map[String, Any], k: String, dflt: String = null): String =
+    p.get(k).map(_.toString).getOrElse(dflt)
+
+  private def seqOf(p: Map[String, Any], k: String): Seq[String] = p.get(k) match {
+    case Some(l: java.util.List[_])            => scala.jdk.CollectionConverters.ListHasAsScala(l).asScala.map(_.toString).toSeq
+    case Some(l: Seq[_])                       => l.map(_.toString)
+    case Some(v)                               => Seq(v.toString)
+    case None                                  => Nil
+  }
+
+  private def intSeq(p: Map[String, Any], k: String): Seq[Int] = seqOf(p, k).map(_.toInt)
+
+  private def pairs(p: Map[String, Any], k: String): Seq[(String, String)] = p.get(k) match {
+    case Some(m: java.util.Map[_, _]) =>
+      scala.jdk.CollectionConverters.MapHasAsScala(m).asScala.toSeq.flatMap {
+        case (c, fns: java.util.List[_]) =>
+          scala.jdk.CollectionConverters.ListHasAsScala(fns).asScala.map(f => c.toString -> f.toString)
+        case (c, f) => Seq(c.toString -> f.toString)
+      }
+    case Some(m: Map[_, _]) => m.toSeq.map { case (c, f) => c.toString -> f.toString }
+    case _                  => Nil
+  }
+
+  /** feature_engineering op (iot_pipeline.yaml:22-44 shape): `operation`
+    * selects the FeatureLib member.
+    */
+  private def applyFeatureEngineering(df: DataFrame, p: Map[String, Any]): DataFrame = {
+    import graft.functions.FeatureLib
+    s(p, "operation", "ratio") match {
+      case "ratio" =>
+        FeatureLib.ratioFeature(df, s(p, "name"), s(p, "numerator"), s(p, "denominator"),
+          s(p, "div_by_zero", "null"))
+      case "interactions" =>
+        FeatureLib.interactionFeatures(df, seqOf(p, "columns"), s(p, "op", "multiply"),
+          s(p, "max_interactions", "20").toInt)
+      case "polynomial" =>
+        FeatureLib.polynomialFeatures(df, seqOf(p, "columns"), s(p, "degree", "2").toInt,
+          s(p, "interaction_only", "false").toBoolean)
+      case "binning" =>
+        val c = s(p, "column"); val bins = s(p, "bins", "10").toInt
+        s(p, "method", "uniform") match {
+          case "uniform"  => FeatureLib.binUniform(df, c, bins)
+          case "quantile" => FeatureLib.binQuantile(df, c, bins)
+          case "kmeans"   => FeatureLib.binKmeans(df, c, bins)
+        }
+      case "onehot"    => FeatureLib.encodeOneHot(df, s(p, "column"), seqOf(p, "values"))
+      case "frequency" => FeatureLib.encodeFrequency(df, s(p, "column"))
+      case "label"     => FeatureLib.encodeLabel(df, s(p, "column"))
+      case "aggregation" =>
+        FeatureLib.aggregationFeatures(df, seqOf(p, "group_by"), pairs(p, "aggregations"))
+      case "text_stats" => FeatureLib.textBasicStats(df, s(p, "column"))
+      case other => throw new IllegalArgumentException(s"Unknown feature_engineering operation: $other")
+    }
+  }
+
+  /** time_series_processing / windowed_aggregation ops
+    * (finance_pipeline.yaml:26-35, streaming_pipeline.yaml:45-63 shapes).
+    */
+  private def applyTimeSeries(df: DataFrame, p: Map[String, Any]): DataFrame = {
+    import graft.functions.TimeSeriesLib
+    val ts = Option(s(p, "time_column")).getOrElse(s(p, "ts_col", "ts"))
+    val keys = seqOf(p, "keys") ++ seqOf(p, "group_by")
+    s(p, "operation", "resample") match {
+      case "resample" =>
+        val aggs = { val a = pairs(p, "aggregations"); if (a.nonEmpty) a else Seq(s(p, "value_column", "value") -> "avg") }
+        TimeSeriesLib.resample(df, ts, s(p, "window_size", s(p, "freq", "1 hour")), aggs, keys)
+      case "resample_grid" =>
+        TimeSeriesLib.resampleWithGrid(df, ts, s(p, "freq", "1 hour"), pairs(p, "aggregations"),
+          keys, s(p, "fill", "none"))
+      case "rolling" =>
+        TimeSeriesLib.rollingStats(df, s(p, "column"), s(p, "window", "5").toInt,
+          seqOf(p, "stats"), s(p, "order_by", ts), keys, s(p, "min_periods", "1").toInt)
+      case "lags" =>
+        TimeSeriesLib.calculateLags(df, s(p, "column"), intSeq(p, "lags"), s(p, "order_by", ts), keys)
+      case "differences" =>
+        TimeSeriesLib.calculateDifferences(df, s(p, "column"), intSeq(p, "periods"), s(p, "order_by", ts), keys)
+      case "fill_missing" =>
+        TimeSeriesLib.fillMissing(df, s(p, "column"), s(p, "method", "ffill"), s(p, "order_by", ts),
+          keys, p.getOrElse("value", null))
+      case "outliers" =>
+        TimeSeriesLib.flagOutliers(df, s(p, "column"), s(p, "method", "zscore"),
+          s(p, "threshold", "3.0").toDouble, keys, s(p, "order_by", ts), s(p, "window", "20").toInt)
+      case "time_features" => TimeSeriesLib.timeFeatures(df, ts)
+      case "smooth" =>
+        s(p, "method", "moving_average") match {
+          case "moving_average" =>
+            TimeSeriesLib.smoothMovingAverage(df, s(p, "column"), s(p, "window", "5").toInt,
+              s(p, "order_by", ts), keys)
+          case "exponential" =>
+            TimeSeriesLib.smoothEwm(df, s(p, "column"), s(p, "alpha", "0.3").toDouble,
+              s(p, "order_by", ts), keys)
+          case "savgol" =>
+            TimeSeriesLib.smoothSavgol(df, s(p, "column"), s(p, "window", "7").toInt,
+              s(p, "polyorder", "2").toInt, s(p, "order_by", ts), keys)
+        }
+      case "changepoints" =>
+        TimeSeriesLib.detectChangepoints(df, s(p, "column"), s(p, "window", "10").toInt,
+          s(p, "order_by", ts), keys)
+      case "decompose" =>
+        TimeSeriesLib.seasonalDecompose(df, s(p, "column"), s(p, "period", "24").toInt,
+          s(p, "order_by", ts), keys)
+      case other => throw new IllegalArgumentException(s"Unknown time_series operation: $other")
+    }
+  }
+
+  /** Inline `validate` op: throws when an expectation's pass ratio is below
+    * its min_ratio (this is deliberately an action — see OpSpec.Validate).
+    */
+  private def applyValidate(df: DataFrame, p: Map[String, Any]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val exps: Seq[(String, Double)] = p.get("expectations") match {
+      case Some(l: java.util.List[_]) =>
+        scala.jdk.CollectionConverters.ListHasAsScala(l).asScala.toSeq.map {
+          case m: java.util.Map[_, _] =>
+            val mm = scala.jdk.CollectionConverters.MapHasAsScala(m).asScala
+              .map { case (k, v) => k.toString -> v }.toMap
+            (mm("expression").toString, mm.get("min_ratio").map(_.toString.toDouble).getOrElse(1.0))
+        }
+      case _ => Seq((s(p, "expression"), s(p, "min_ratio", "1.0").toDouble))
+    }
+    val cached = df.persist()
+    try {
+      val aggs = exps.zipWithIndex.map { case ((e, _), i) =>
+        avg(when(expr(e), 1.0).otherwise(0.0)).as(s"r$i")
+      }
+      val row = cached.agg(aggs.head, aggs.tail: _*).collect()(0)
+      exps.zipWithIndex.foreach { case ((e, minR), i) =>
+        val ratio = if (row.isNullAt(i)) 1.0 else row.getDouble(i)
+        require(ratio >= minR, f"validation failed: '$e' pass ratio $ratio%.4f < $minR")
+      }
+      cached
+    } catch { case t: Throwable => cached.unpersist(); throw t }
   }
 }

@@ -1,0 +1,96 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.{Readers, Sinks}
+
+/** Config-compiled pipeline runtime — the §3.1 lifecycle
+  * (core/pipeline.py:187-285): load → process → validate → store, as ONE
+  * lazy Catalyst plan up to the validation/storage actions. Errors are
+  * collected into a result map exactly like the reference (:279-284).
+  */
+object Pipeline {
+
+  final case class Result(
+      name: String,
+      status: String, // success | validation_failed | failed
+      rowsWritten: Long,
+      validation: Map[String, Double],
+      errors: Seq[String])
+
+  def fromYaml(yaml: String): PipelineConfig.PipelineConf = PipelineConfig.fromYaml(yaml)
+
+  /** Load all declared sources; returns (primary frame, table catalog). */
+  def load(spark: SparkSession, conf: PipelineConfig.PipelineConf): (DataFrame, String => DataFrame) = {
+    require(conf.sources.nonEmpty, "pipeline needs at least one source")
+    val frames: Map[String, DataFrame] = conf.sources.map { s =>
+      val df = s.typ match {
+        case "csv" =>
+          Readers.csv(spark, s.path,
+            header = s.options.getOrElse("header", "true").toBoolean,
+            delimiter = s.options.getOrElse("delimiter", ","),
+            encoding = s.options.getOrElse("encoding", "UTF-8"))
+        case "json"    => Readers.json(spark, s.path,
+          linesFormat = s.options.getOrElse("lines_format", "true").toBoolean,
+          flattenTopLevel = s.options.getOrElse("flatten", "false").toBoolean)
+        case "parquet" => Readers.parquet(spark, s.path)
+        case "s3"      => Readers.objectStore(spark, s.path, s.options.getOrElse("format", "parquet"))
+        case "jdbc"    => Readers.jdbc(spark, s.options("url"), s.path, s.options)
+        case other     => throw new IllegalArgumentException(s"Unknown source type: $other")
+      }
+      s.table -> df
+    }.toMap
+    (frames(conf.sources.head.table), name =>
+      frames.getOrElse(name, throw new IllegalArgumentException(s"Unknown table: $name")))
+  }
+
+  /** Execute the full lifecycle. */
+  def execute(spark: SparkSession, conf: PipelineConfig.PipelineConf): Result = {
+    val errors = scala.collection.mutable.ArrayBuffer.empty[String]
+    try {
+      val (primary, catalog) = load(spark, conf)
+      val processed = OpCompiler.compile(conf.operations, catalog)(primary)
+
+      // validation stage (pipeline.py:234-256): one aggregate pass
+      val validation: Map[String, Double] =
+        if (conf.expectations.isEmpty) Map.empty
+        else {
+          val aggs = conf.expectations.zipWithIndex.map { case (e, i) =>
+            avg(when(expr(e.expression), 1.0).otherwise(0.0)).as(s"r$i")
+          }
+          val row = processed.agg(aggs.head, aggs.tail: _*).collect()(0)
+          conf.expectations.zipWithIndex.map { case (e, i) =>
+            e.name -> (if (row.isNullAt(i)) 1.0 else row.getDouble(i))
+          }.toMap
+        }
+      val failed = conf.expectations.filter(e => validation(e.name) < e.minRatio)
+      if (failed.nonEmpty)
+        return Result(conf.name, "validation_failed", 0L,
+          validation, failed.map(e => s"expectation '${e.name}' below min_ratio"))
+
+      // storage stage
+      val rows = conf.storage match {
+        case Some(st) =>
+          val counted = processed.persist()
+          val n = counted.count()
+          st.typ match {
+            case "parquet" =>
+              if (st.partitionBy.nonEmpty) Sinks.parquetPartitioned(counted, st.path, st.partitionBy, st.mode)
+              else counted.write.mode(st.mode).parquet(st.path)
+            case "csv"  => counted.write.mode(st.mode).option("header", "true").csv(st.path)
+            case "jdbc" => Sinks.jdbcWrite(counted, st.options("url"), st.path, st.mode)
+            case "noop" => counted.write.format("noop").mode("overwrite").save()
+            case other  => throw new IllegalArgumentException(s"Unknown storage type: $other")
+          }
+          counted.unpersist()
+          n
+        case None => -1L
+      }
+      Result(conf.name, "success", rows, validation, errors.toSeq)
+    } catch {
+      case t: Throwable =>
+        errors += t.getMessage
+        Result(conf.name, "failed", 0L, Map.empty, errors.toSeq)
+    }
+  }
+}
