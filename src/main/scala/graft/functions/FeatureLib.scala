@@ -110,13 +110,19 @@ object FeatureLib {
     df.withColumn(Option(outCol).getOrElse(s"${c}_freq"),
       count(lit(1)).over(Window.partitionBy(col(c))))
 
-  /** Deterministic label encoding (feature_engineering.py:267-277): dense
-    * rank of the category in lexicographic order (stable across runs, unlike
-    * StringIndexer's frequency order with ties).
+  /** Deterministic label encoding (feature_engineering.py:267-277):
+    * lexicographic rank of the category (stable across runs, unlike
+    * StringIndexer's frequency order with ties). Scale shape: the global
+    * ordering runs only over the DISTINCT category set (small by
+    * definition), which is then broadcast-joined back — no single-partition
+    * window over the full table. Null categories get a null label.
     */
-  def encodeLabel(df: DataFrame, c: String, outCol: String = null): DataFrame =
-    df.withColumn(Option(outCol).getOrElse(s"${c}_label"),
-      dense_rank().over(Window.orderBy(col(c))) - 1)
+  def encodeLabel(df: DataFrame, c: String, outCol: String = null): DataFrame = {
+    val out = Option(outCol).getOrElse(s"${c}_label")
+    val labels = df.select(col(c)).where(col(c).isNotNull).distinct()
+      .withColumn(out, (row_number().over(Window.orderBy(col(c))) - 1).cast("int"))
+    df.join(broadcast(labels), Seq(c), "left")
+  }
 
   /** One-hot encoding with a top-N cap → "other"
     * (feature_engineering.py:236-265): known values become indicator

@@ -81,9 +81,11 @@ object Profiler {
         .orderBy(col("n").desc, col("v").asc).limit(1)
         .select(lit(name).as("metric"), col("v").cast("double").as("value"))
     }
+    // TIMESTAMP_NTZ can't cast straight to double; route through TIMESTAMP
+    // (session tz is UTC, so epoch semantics match the DuckDB oracle).
     val bounds = df.agg(
-      min(col(column)).cast("double").as("min_epoch"),
-      max(col(column)).cast("double").as("max_epoch"))
+      min(col(column)).cast("timestamp").cast("double").as("min_epoch"),
+      max(col(column)).cast("timestamp").cast("double").as("max_epoch"))
       .select(expr("stack(2, 'min_epoch', min_epoch, 'max_epoch', max_epoch) as (metric, value)"))
     modes.reduce(_.unionByName(_)).unionByName(bounds)
   }

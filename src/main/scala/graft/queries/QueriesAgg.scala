@@ -119,7 +119,25 @@ object QueriesAgg {
 
     "q_spearman" -> ((s, dir) =>
       Profiler.spearman(t(s, dir, "lineitem"), "l_quantity", "l_extendedprice")
-        .select(round(col("spearman"), 6).as("spearman")))
+        .select(round(col("spearman"), 6).as("spearman"))),
+
+    "q_corr_matrix" -> ((s, dir) =>
+      Profiler.correlationMatrix(t(s, dir, "lineitem"),
+          Seq("l_quantity", "l_extendedprice", "l_discount"))
+        .select(col("col_a"), col("col_b"), round(col("pearson"), 6).as("pearson"))
+        .orderBy("col_a", "col_b")),
+
+    "q_string_profile" -> ((s, dir) =>
+      Profiler.stringProfile(t(s, dir, "part"), Seq("p_name", "p_brand"))
+        .select(col("column"), col("metric"), roundf(col("value"), 4).as("value"))
+        .orderBy("column", "metric")),
+
+    "q_datetime_profile" -> ((s, dir) =>
+      Profiler.datetimeProfile(t(s, dir, "orders"), "o_orderdate")
+        .orderBy("metric")),
+
+    "q_describe" -> ((s, dir) => // rows-only: describe() emits engine-formatted strings
+      t(s, dir, "supplier").describe("s_acctbal", "s_nationkey"))
   )
 
   val oracle: Map[String, String] = Map(
@@ -257,6 +275,55 @@ object QueriesAgg {
         |    rank() OVER (ORDER BY l_quantity) + (count(*) OVER (PARTITION BY l_quantity) - 1) / 2.0 AS ra,
         |    rank() OVER (ORDER BY l_extendedprice) + (count(*) OVER (PARTITION BY l_extendedprice) - 1) / 2.0 AS rb
         |  FROM t)
-        |SELECT round(corr(ra, rb), 6) AS spearman FROM r""".stripMargin
+        |SELECT round(corr(ra, rb), 6) AS spearman FROM r""".stripMargin,
+
+    "q_corr_matrix" ->
+      """SELECT * FROM (
+        |  SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b,
+        |    round(corr(l_quantity, l_extendedprice), 6) AS pearson FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_quantity', 'l_discount', round(corr(l_quantity, l_discount), 6) FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_extendedprice', 'l_discount', round(corr(l_extendedprice, l_discount), 6) FROM lineitem)
+        |ORDER BY col_a, col_b""".stripMargin,
+
+    "q_string_profile" ->
+      """WITH m AS (
+        |  SELECT 'p_name' AS "column",
+        |    count(p_name)::DOUBLE AS count, count(DISTINCT p_name)::DOUBLE AS "distinct",
+        |    min(length(p_name))::DOUBLE AS min_len, max(length(p_name))::DOUBLE AS max_len,
+        |    avg(length(p_name)) AS avg_len,
+        |    sum(CASE WHEN p_name = '' THEN 1 ELSE 0 END)::DOUBLE AS empty,
+        |    sum(CASE WHEN trim(p_name) = '' AND p_name <> '' THEN 1 ELSE 0 END)::DOUBLE AS whitespace
+        |  FROM part
+        |  UNION ALL
+        |  SELECT 'p_brand', count(p_brand)::DOUBLE, count(DISTINCT p_brand)::DOUBLE,
+        |    min(length(p_brand))::DOUBLE, max(length(p_brand))::DOUBLE, avg(length(p_brand)),
+        |    sum(CASE WHEN p_brand = '' THEN 1 ELSE 0 END)::DOUBLE,
+        |    sum(CASE WHEN trim(p_brand) = '' AND p_brand <> '' THEN 1 ELSE 0 END)::DOUBLE
+        |  FROM part)
+        |SELECT "column", metric, round(raw + 1e-9, 4) AS value
+        |FROM m UNPIVOT (raw FOR metric IN (count, "distinct", min_len, max_len, avg_len, empty, whitespace))
+        |ORDER BY "column", metric""".stripMargin,
+
+    "q_datetime_profile" ->
+      """WITH modes AS (
+        |  SELECT 'year' AS metric, CAST(year(o_orderdate) AS DOUBLE) AS value,
+        |    row_number() OVER (ORDER BY count(*) DESC, year(o_orderdate)) AS rn
+        |  FROM orders GROUP BY year(o_orderdate)
+        |  UNION ALL
+        |  SELECT 'month', CAST(month(o_orderdate) AS DOUBLE),
+        |    row_number() OVER (ORDER BY count(*) DESC, month(o_orderdate))
+        |  FROM orders GROUP BY month(o_orderdate)
+        |  UNION ALL
+        |  SELECT 'day', CAST(day(o_orderdate) AS DOUBLE),
+        |    row_number() OVER (ORDER BY count(*) DESC, day(o_orderdate))
+        |  FROM orders GROUP BY day(o_orderdate))
+        |SELECT metric, value FROM modes WHERE rn = 1
+        |UNION ALL
+        |SELECT 'min_epoch', epoch(min(o_orderdate))::DOUBLE FROM orders
+        |UNION ALL
+        |SELECT 'max_epoch', epoch(max(o_orderdate))::DOUBLE FROM orders
+        |ORDER BY metric""".stripMargin
   )
 }

@@ -1,0 +1,81 @@
+package graft.sources
+
+import java.util.concurrent.ConcurrentHashMap
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.DataStreamWriter
+
+/** Key-value sink abstraction — parity with the reference's RedisSink
+  * (streaming/redis_sink.py): per-record KV SET+TTL (:69-125), stream
+  * append (XADD, :127-173), list push (:175-220). A Redis-backed
+  * implementation plugs in by implementing this trait with a client per
+  * partition; the container ships no Redis, so tests use [[InMemoryKV]].
+  */
+trait KeyValueSink extends Serializable {
+  def put(key: String, value: String, ttlSeconds: Long = -1L): Unit
+  def appendStream(stream: String, value: String, maxLen: Long = -1L): Unit
+  def pushList(list: String, value: String, maxLen: Long = -1L): Unit
+  def close(): Unit = ()
+}
+
+object KeyValueSink {
+
+  /** Batch write: one sink instance per partition (connection-per-executor
+    * pattern, like jdbcUpsert), rows serialized as JSON.
+    */
+  def writeBatch(df: DataFrame, keyCol: String, factory: () => KeyValueSink,
+                 mode: String = "kv", target: String = "graft", ttlSeconds: Long = -1L): Unit = {
+    val prepared = df.select(col(keyCol).cast("string").as("__k"),
+      to_json(struct(df.columns.map(col).toSeq: _*)).as("__v"))
+    prepared.foreachPartition { (rows: Iterator[Row]) =>
+      val sink = factory()
+      try rows.foreach { r =>
+        mode match {
+          case "kv"     => sink.put(r.getString(0), r.getString(1), ttlSeconds)
+          case "stream" => sink.appendStream(target, r.getString(1))
+          case "list"   => sink.pushList(target, r.getString(1))
+        }
+      } finally sink.close()
+    }
+  }
+
+  /** Streaming write via checkpointed foreachBatch (redis destinations in
+    * streaming_pipeline.yaml:66-80).
+    */
+  def streamWriter(df: DataFrame, keyCol: String, checkpoint: String,
+                   factory: () => KeyValueSink, mode: String = "kv",
+                   target: String = "graft"): DataStreamWriter[Row] =
+    df.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch((batch: DataFrame, _: Long) => writeBatch(batch, keyCol, factory, mode, target))
+
+  /** JVM-local sink for tests (valid in local[k] where executors share the
+    * driver JVM). Keyed by a namespace so parallel tests don't collide.
+    */
+  final class InMemoryKV(namespace: String) extends KeyValueSink {
+    import InMemoryKV._
+    override def put(key: String, value: String, ttl: Long): Unit =
+      kv.put(s"$namespace/$key", value)
+    override def appendStream(stream: String, value: String, maxLen: Long): Unit =
+      lists.computeIfAbsent(s"$namespace/$stream", _ => new java.util.concurrent.ConcurrentLinkedQueue[String]()).add(value)
+    override def pushList(list: String, value: String, maxLen: Long): Unit =
+      appendStream(list, value, maxLen)
+  }
+
+  object InMemoryKV {
+    private val kv = new ConcurrentHashMap[String, String]()
+    private val lists = new ConcurrentHashMap[String, java.util.concurrent.ConcurrentLinkedQueue[String]]()
+    def get(namespace: String, key: String): Option[String] = Option(kv.get(s"$namespace/$key"))
+    def keys(namespace: String): Seq[String] =
+      kv.keySet().asScala.filter(_.startsWith(s"$namespace/")).toSeq
+    def list(namespace: String, name: String): Seq[String] =
+      Option(lists.get(s"$namespace/$name")).map(_.asScala.toSeq).getOrElse(Nil)
+    def clear(namespace: String): Unit = {
+      kv.keySet().asScala.filter(_.startsWith(s"$namespace/")).foreach(kv.remove)
+      lists.keySet().asScala.filter(_.startsWith(s"$namespace/")).foreach(lists.remove)
+    }
+  }
+}
