@@ -209,6 +209,19 @@ object QueriesCore {
         .orderBy("c_custkey")
     }),
 
+    "q_phone_standardize" -> ((s, dir) => {
+      // synthesize deterministic phones incl. 11-digit (leading 1) and invalid forms
+      val c = t(s, dir, "customer").withColumn("phone",
+        concat(
+          when(col("c_custkey") % 5 === 0, lit("1-")).otherwise(lit("")),
+          lit("555-"), lpad((col("c_custkey") % 1000).cast("string"), 3, "0"),
+          lit("-"), lpad((col("c_custkey") % 10000).cast("string"), 4, "0"),
+          when(col("c_custkey") % 7 === 0, lit("x99")).otherwise(lit(""))))
+      graft.functions.CleanLib.cleanContacts(c, phoneCol = "phone")
+        .select("c_custkey", "phone", "phone_clean", "phone_valid")
+        .orderBy("c_custkey")
+    }),
+
     "q_ops_pipeline" -> ((s, dir) => {
       // end-to-end op-AST compilation: the §3.1 lifecycle as ONE lazy plan
       val pipeline = OpCompiler.compile(Seq(
@@ -367,6 +380,27 @@ object QueriesCore {
         |  regexp_matches(regexp_replace(email, '@gmial\.', '@gmail.'),
         |                 '^[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}$') AS email_valid
         |FROM t ORDER BY c_custkey""".stripMargin,
+
+    "q_phone_standardize" ->
+      """WITH t AS (
+        |  SELECT c_custkey,
+        |    (CASE WHEN c_custkey % 5 = 0 THEN '1-' ELSE '' END) || '555-' ||
+        |    lpad(CAST(c_custkey % 1000 AS VARCHAR), 3, '0') || '-' ||
+        |    lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0') ||
+        |    (CASE WHEN c_custkey % 7 = 0 THEN 'x99' ELSE '' END) AS phone
+        |  FROM customer),
+        |d AS (SELECT c_custkey, phone, regexp_replace(phone, '[^0-9]', '', 'g') AS digits FROM t),
+        |x AS (SELECT c_custkey, phone,
+        |        CASE WHEN length(digits) = 10 THEN digits
+        |             WHEN length(digits) = 11 AND digits LIKE '1%' THEN substring(digits, 2, 10)
+        |        END AS ten
+        |      FROM d)
+        |SELECT c_custkey, phone,
+        |  CASE WHEN ten IS NOT NULL
+        |       THEN '(' || substring(ten, 1, 3) || ') ' || substring(ten, 4, 3) || '-' || substring(ten, 7, 4)
+        |  END AS phone_clean,
+        |  ten IS NOT NULL AS phone_valid
+        |FROM x ORDER BY c_custkey""".stripMargin,
 
     "q_ops_pipeline" ->
       """SELECT l_returnflag,

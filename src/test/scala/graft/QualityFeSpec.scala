@@ -121,6 +121,39 @@ class QualityFeSpec extends SparkSpec {
     assert(frames.count() == 5)
   }
 
+  test("CleanLib: phone/email standardization + named UDF registry") {
+    graft.functions.CleanLib.registerUdfs(spark)
+    val d = Seq(
+      (1, "555-123-4567", "USER@Gmial.com"),
+      (2, "1 (555) 123 4567", "a.b@yahoo.com"),
+      (3, "12345", "not-an-email")).toDF("id", "phone", "email")
+    val out = graft.functions.CleanLib.cleanContacts(d, "phone", "email")
+      .orderBy("id").collect()
+    assert(out(0).getAs[String]("phone_clean") == "(555) 123-4567")
+    assert(out(1).getAs[String]("phone_clean") == "(555) 123-4567") // leading 1 dropped
+    assert(out(2).getAs[String]("phone_clean") == null && !out(2).getAs[Boolean]("phone_valid"))
+    assert(out(0).getAs[String]("email_clean") == "user@gmail.com" && out(0).getAs[Boolean]("email_valid"))
+    assert(!out(2).getAs[Boolean]("email_valid"))
+    // named UDFs callable from expr()/SQL — the safe replacement for config lambdas
+    val viaSql = d.selectExpr("graft_phone_clean(phone) AS p", "graft_levenshtein_ratio('kitten','sitting') AS lr")
+      .orderBy("p").collect()
+    assert(viaSql.exists(_.getAs[String]("p") == "(555) 123-4567"))
+    assert(math.abs(viaSql(0).getAs[Double]("lr") - (1.0 - 3.0 / 7.0)) < 1e-12)
+  }
+
+  test("quality metrics: timeliness and sum_equals") {
+    val d = Seq(
+      ("2024-01-01 00:00:00", 1.0, 2.0, 3.0),
+      ("2024-01-01 06:00:00", 1.0, 2.0, 9.0)).toDF("s", "a", "b", "c")
+      .withColumn("ts", to_timestamp($"s"))
+    val r = graft.quality.QualityMetrics.report(d, Seq(
+      graft.quality.QualityMetrics.timeliness("ts", 3600 * 3,
+        asOf = to_timestamp(lit("2024-01-01 07:00:00"))),
+      graft.quality.QualityMetrics.sumEquals("a", "b", "c"))).collect()(0)
+    assert(r.getDouble(0) == 0.5) // only the 06:00 row is within 3h of 07:00
+    assert(r.getDouble(1) == 0.5) // 1+2=3 holds for row 1 only
+  }
+
   test("batched featurizer preserves rows and appends features") {
     val media = Seq((1L, "abc".getBytes), (2L, "def".getBytes)).toDF("id", "payload")
     val out = Multimodal.featurizeBatched(media, "payload", dim = 3, batchSize = 1)

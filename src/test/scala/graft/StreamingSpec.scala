@@ -83,6 +83,21 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream aggs unique_count (HLL) and percentile sketch") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val agg = StreamOps.tumbling(input.toDF(), "ts", "1 hour", "1 hour",
+      Nil, Seq("user" -> "unique_count", "v" -> "percentile"))
+    val q = agg.writeStream.format("memory").queryName("hll").outputMode("complete").start()
+    try {
+      input.addData((1 to 50).map(i => Ev(t(s"2024-01-01 00:${10 + i % 40}:00"), s"u${i % 7}", i.toDouble)): _*)
+      q.processAllAvailable()
+      val row = spark.sql("SELECT user_unique_count, v_percentile FROM hll").collect()(0)
+      assert(row.getLong(0) == 7L)         // exact at this cardinality
+      assert(math.abs(row.getDouble(1) - 48.0) <= 1.0) // p95 of 1..50
+    } finally q.stop()
+  }
+
   test("dropDuplicatesWithinWatermark dedups keyed events") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Ev]
