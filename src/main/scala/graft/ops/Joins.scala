@@ -1,0 +1,92 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Time-oriented joins Spark lacks as built-ins, expressed as compositions
+  * of shuffles/windows (guide preference order: compose built-ins before
+  * custom SparkPlans — both of these have exact shuffle-based formulations,
+  * so no custom physical operator is warranted).
+  */
+object Joins {
+
+  /** As-of join: for each left row, the most recent right row with
+    * rightTs <= leftTs (per key), optionally within `toleranceSeconds`.
+    *
+    * Implementation is the union+ordered-window formulation: tag sides,
+    * union on (keys, ts), and forward-fill the right payload over
+    * (keys ORDER BY ts, side) — ONE shuffle on the keys, no join node at
+    * all, O(n log n) per key. At equal timestamps the right row sorts first,
+    * giving inclusive (<=) semantics.
+    *
+    * `rightCols` are the payload columns pulled from `right`; they must not
+    * collide with left column names.
+    */
+  def asofJoin(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTs: String,
+      rightTs: String,
+      rightCols: Seq[String],
+      toleranceSeconds: Long = -1L
+  ): DataFrame = {
+    val r = right.select((keys.map(col) :+ col(rightTs).cast("timestamp").as("__t")) ++
+        rightCols.map(col): _*)
+      .withColumn("__side", lit(0)) // right sorts first at equal ts → inclusive
+    val l = rightCols.foldLeft(left.withColumn("__t", col(leftTs).cast("timestamp"))) {
+        (d, c) => d.withColumn(c, lit(null))
+      }
+      .withColumn("__side", lit(1))
+    val unioned = r.select((keys :+ "__t" :+ "__side").map(col) ++ rightCols.map(col): _*)
+      .unionByName(l, allowMissingColumns = true)
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__t").asc, col("__side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = rightCols.foldLeft(unioned) { (d, c) =>
+      d.withColumn(c, last(col(c), ignoreNulls = true).over(w))
+    }.withColumn("__matched_t",
+      last(when(col("__side") === 0, col("__t")), ignoreNulls = true).over(w))
+    val onlyLeft = filled.filter(col("__side") === 1)
+    val tolerated =
+      if (toleranceSeconds < 0) onlyLeft
+      else {
+        val within = col("__matched_t").isNotNull &&
+          (unix_micros(col("__t")) - unix_micros(col("__matched_t"))) <= toleranceSeconds * 1000000L
+        rightCols.foldLeft(onlyLeft)((d, c) => d.withColumn(c, when(within, col(c))))
+          .withColumn("__matched_t", when(within, col("__matched_t")))
+      }
+    tolerated.withColumnRenamed("__matched_t", "asof_ts").drop("__t", "__side")
+  }
+
+  /** Range (interval containment) join: left rows with tsCol ∈
+    * [startCol, endCol] of right, sharing `keys`. Instead of the
+    * BroadcastNestedLoopJoin Spark plans for a bare BETWEEN predicate, both
+    * sides are bucketed on floor(ts / bucketSeconds): each right interval
+    * explodes into its covered buckets, each left row lands in exactly one —
+    * so the join is an equi-join on (keys, bucket) with a post-filter, and
+    * each qualifying pair matches exactly once. Choose bucketSeconds near
+    * the typical interval length (cost ~ intervalLen/bucketSeconds
+    * duplicates per right row).
+    */
+  def rangeJoinBucketed(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      tsCol: String,
+      startCol: String,
+      endCol: String,
+      bucketSeconds: Long
+  ): DataFrame = {
+    val lb = left.withColumn("__bucket",
+      floor(unix_micros(col(tsCol).cast("timestamp")) / (bucketSeconds * 1000000L)))
+    val rb = right.withColumn("__bucket",
+      explode(sequence(
+        floor(unix_micros(col(startCol).cast("timestamp")) / (bucketSeconds * 1000000L)),
+        floor(unix_micros(col(endCol).cast("timestamp")) / (bucketSeconds * 1000000L)))))
+    lb.join(rb, keys :+ "__bucket")
+      .filter(col(tsCol) >= col(startCol) && col(tsCol) <= col(endCol))
+      .drop("__bucket")
+  }
+}

@@ -108,6 +108,32 @@ object QueriesTime {
         partitionBy = Seq("event_type"))
     }),
 
+    "q_asof_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("value").as("purch_value"))
+      graft.ops.Joins.asofJoin(clicks, purchases, Seq("user_id"), "ts", "ts",
+          Seq("purch_value"), toleranceSeconds = 86400L)
+        .select(col("event_id"), col("purch_value"),
+          date_format(col("asof_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("asof_ts"))
+        .orderBy("event_id")
+    }),
+
+    "q_range_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val errors = ev.filter(col("event_type") === "error")
+        .select(col("user_id"), col("ts"), col("value"))
+      val signups = ev.filter(col("event_type") === "signup")
+        .select(col("user_id"), col("ts").as("start_ts"),
+          (col("ts") + expr("INTERVAL 2 HOURS")).as("end_ts"), col("event_id").as("signup_id"))
+      graft.ops.Joins.rangeJoinBucketed(errors, signups, Seq("user_id"),
+          "ts", "start_ts", "end_ts", bucketSeconds = 3600L)
+        .groupBy("signup_id")
+        .agg(count(lit(1)).as("n_errors"), round(sum(col("value")), 3).as("err_value"))
+        .orderBy("signup_id")
+    }),
+
     "q_stream_tumbling" -> ((s, dir) =>
       t(s, dir, "events")
         .groupBy(window(col("ts"), "5 minutes").as("w"), col("event_type"))
@@ -254,6 +280,22 @@ object QueriesTime {
         |SELECT event_type, strftime(period, '%Y-%m-%d %H:%M:%S') AS period_str,
         |  score IS NOT NULL AND score > 2.0 * med_rs AS is_cp
         |FROM x ORDER BY event_type, period_str""".stripMargin,
+
+    "q_asof_join" ->
+      """WITH l AS (SELECT * FROM events WHERE event_type = 'click'),
+        |r AS (SELECT user_id, ts AS rts, value AS purch_value FROM events WHERE event_type = 'purchase')
+        |SELECT l.event_id,
+        |  CASE WHEN l.ts - r.rts <= INTERVAL 1 DAY THEN r.purch_value END AS purch_value,
+        |  CASE WHEN l.ts - r.rts <= INTERVAL 1 DAY THEN strftime(r.rts, '%Y-%m-%d %H:%M:%S.%f') END AS asof_ts
+        |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.rts
+        |ORDER BY event_id""".stripMargin,
+
+    "q_range_join" ->
+      """SELECT s.event_id AS signup_id, count(*) AS n_errors, round(sum(e.value), 3) AS err_value
+        |FROM events s JOIN events e
+        |  ON s.user_id = e.user_id AND e.ts >= s.ts AND e.ts <= s.ts + INTERVAL 2 HOUR
+        |WHERE s.event_type = 'signup' AND e.event_type = 'error'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_stream_tumbling" ->
       """SELECT strftime(make_timestamp(CAST(floor(epoch(ts)/300) AS BIGINT)*300*1000000),

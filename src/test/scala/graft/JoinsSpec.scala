@@ -1,0 +1,71 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import graft.ops.Joins
+
+class JoinsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("asofJoin picks the latest right row <= left ts, inclusive at equality") {
+    val quotes = Seq(
+      ("A", ts("2024-01-01 09:00:00"), 100.0),
+      ("A", ts("2024-01-01 10:00:00"), 110.0),
+      ("A", ts("2024-01-01 11:00:00"), 120.0),
+      ("B", ts("2024-01-01 09:30:00"), 50.0)
+    ).toDF("sym", "qts", "px")
+    val trades = Seq(
+      ("A", ts("2024-01-01 10:00:00"), 1), // equal ts -> inclusive: 110
+      ("A", ts("2024-01-01 10:30:00"), 2), // -> 110
+      ("A", ts("2024-01-01 08:00:00"), 3), // before all -> null
+      ("B", ts("2024-01-01 12:00:00"), 4)  // -> 50
+    ).toDF("sym", "tts", "tid")
+    val out = Joins.asofJoin(trades, quotes, Seq("sym"), "tts", "qts", Seq("px"))
+      .orderBy("tid").select("tid", "px").collect()
+    assert(out(0).getDouble(1) == 110.0)
+    assert(out(1).getDouble(1) == 110.0)
+    assert(out(2).isNullAt(1))
+    assert(out(3).getDouble(1) == 50.0)
+  }
+
+  test("asofJoin tolerance nulls out stale matches") {
+    val r = Seq(("A", ts("2024-01-01 00:00:00"), 1.0)).toDF("k", "rts", "v")
+    val l = Seq(("A", ts("2024-01-01 00:30:00"), 1), ("A", ts("2024-01-03 00:00:00"), 2))
+      .toDF("k", "lts", "id")
+    val out = Joins.asofJoin(l, r, Seq("k"), "lts", "rts", Seq("v"), toleranceSeconds = 3600)
+      .orderBy("id").select("v").collect()
+    assert(out(0).getDouble(0) == 1.0)
+    assert(out(1).isNullAt(0)) // 2 days later: outside 1h tolerance
+  }
+
+  test("asofJoin plan has no join node at all (window formulation)") {
+    val r = Seq(("A", ts("2024-01-01 00:00:00"), 1.0)).toDF("k", "rts", "v")
+    val l = Seq(("A", ts("2024-01-01 00:30:00"), 1)).toDF("k", "lts", "id")
+    val plan = Joins.asofJoin(l, r, Seq("k"), "lts", "rts", Seq("v"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"expected join-free plan:\n$plan")
+    assert(plan.contains("Window"))
+  }
+
+  test("rangeJoinBucketed matches BETWEEN semantics exactly once per pair") {
+    val points = Seq(
+      ("u1", ts("2024-01-01 00:10:00"), 1),
+      ("u1", ts("2024-01-01 03:00:00"), 2),
+      ("u1", ts("2024-01-01 00:50:00"), 3),
+      ("u2", ts("2024-01-01 00:10:00"), 4)
+    ).toDF("k", "pts", "pid")
+    val intervals = Seq(
+      ("u1", ts("2024-01-01 00:00:00"), ts("2024-01-01 01:00:00"), 10), // long interval spans 2 buckets
+      ("u1", ts("2024-01-01 00:45:00"), ts("2024-01-01 00:55:00"), 11)
+    ).toDF("k", "start_ts", "end_ts", "iid")
+    val out = Joins.rangeJoinBucketed(points, intervals, Seq("k"), "pts", "start_ts", "end_ts", 1800)
+      .select("pid", "iid").as[(Int, Int)].collect().toSet
+    assert(out == Set((1, 10), (3, 10), (3, 11))) // point 2 outside, u2 no interval; no duplicates
+    val plan = Joins.rangeJoinBucketed(points, intervals, Seq("k"), "pts", "start_ts", "end_ts", 1800)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      s"range join fell back to nested loop:\n$plan")
+  }
+}
