@@ -25,14 +25,19 @@ object Cli {
         println(s"ops     : ${conf.operations.size}")
         conf.operations.zipWithIndex.foreach { case (op, i) => println(f"  $i%2d. $op") }
         println(s"expectations: ${conf.expectations.size}, storage: ${conf.storage.map(_.typ).getOrElse("none")}")
+        println(s"lineage : ${graft.core.Orchestration.lineageOf(conf).toJson}")
       } else {
         val spark = Sessions.local(appName = s"graft-${conf.name}")
+        val metrics = graft.core.Orchestration.installMetrics(spark)
         try {
           val res = Pipeline.execute(spark, conf)
           println(s"""{"pipeline":"${res.name}","status":"${res.status}","rows":${res.rowsWritten},""" +
             s""""validation":{${res.validation.map { case (k, v) => s""""$k":$v""" }.mkString(",")}},""" +
             s""""errors":${res.errors.size}}""")
           res.errors.foreach(e => System.err.println(s"[pipeline] $e"))
+          Thread.sleep(300) // listener delivery is async
+          System.err.println(f"[metrics] actions=${metrics.snapshot.size} totalMs=${metrics.totalDurationMs}%.1f")
+          System.err.println(s"[lineage] ${graft.core.Orchestration.lineageOf(conf).toJson}")
           if (res.status != "success") sys.exit(1)
         } finally spark.stop()
       }

@@ -1,0 +1,59 @@
+package graft
+
+import java.nio.file.Files
+import graft.core.{Orchestration, Pipeline}
+
+class OrchestrationSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("file queue: priority order, lifecycle, retry, journal reload") {
+    val dir = Files.createTempDirectory("graft_q").toString
+    val q = new Orchestration.FileQueue(dir)
+    q.add("/data/a.csv", "t1", priority = 1)
+    val hi = q.add("/data/b.csv", "t2", priority = 9)
+    q.add("/data/c.csv", "t3", priority = 1)
+
+    val first = q.next().get
+    assert(first.id == hi && first.status == "processing") // priority DESC wins
+    q.fail(first.id)
+    val second = q.next().get
+    assert(second.table == "t1") // created ASC among equal priority
+    q.complete(second.id)
+
+    assert(q.stats == Map("failed" -> 1, "completed" -> 1, "pending" -> 1))
+    assert(q.resetFailed() == 1)
+
+    // journal survives a restart
+    val q2 = new Orchestration.FileQueue(dir)
+    assert(q2.stats("pending") == 2 && q2.stats("completed") == 1)
+    val third = q2.next().get
+    assert(third.priority == 9) // reset item is back at the front
+  }
+
+  test("lineage records sources, ops and sink") {
+    val yaml =
+      """name: lin
+        |source: { type: parquet, path: "/x/in" }
+        |operations:
+        |  - { type: filter, condition: "a > 1" }
+        |  - { type: aggregate, params: { group_by: [b], aggregations: { a: sum } } }
+        |storage: { type: parquet, path: "/x/out" }
+        |""".stripMargin
+    val lin = Orchestration.lineageOf(Pipeline.fromYaml(yaml))
+    assert(lin.sources == Seq("parquet:/x/in"))
+    assert(lin.ops == Seq("FilterCondition", "Aggregate"))
+    assert(lin.sink.contains("parquet:/x/out"))
+    assert(lin.toJson.contains("\"operations\":[\"FilterCondition\",\"Aggregate\"]"))
+  }
+
+  test("metrics collector observes completed actions with row counts") {
+    val c = Orchestration.installMetrics(spark)
+    val df = Seq(1, 2, 3).toDF("x")
+    df.write.format("noop").mode("overwrite").save()
+    // listener delivery is async; poll briefly
+    var tries = 0
+    while (c.snapshot.isEmpty && tries < 50) { Thread.sleep(100); tries += 1 }
+    assert(c.snapshot.nonEmpty)
+    assert(c.snapshot.exists(m => !m.failed && m.durationNs > 0))
+  }
+}
