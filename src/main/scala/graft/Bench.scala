@@ -20,6 +20,9 @@ object Bench {
     "q_dedup_exact",       // hash dedup over documents
     "q_dedup_minhash",     // MinHash-LSH candidate join
     "q_ann_brute",         // brute cosine top-k
+    "q_ann_lsh",           // LSH-bucketed ANN (the scale path)
+    "q_asof_join",         // union+window as-of join
+    "q_range_join",        // bucketed interval join
     "q_text_quality",      // full-text expression scan
     "q_stream_session"     // session windows (batch semantics)
   )

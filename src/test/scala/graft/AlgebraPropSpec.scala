@@ -1,0 +1,95 @@
+package graft
+
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import graft.core.{OpCompiler, OpSpec}
+import graft.ops.Relational
+
+/** ScalaCheck op-algebra properties (SURVEY §5): laws the compiled op chains
+  * must satisfy on arbitrary data, independent of any oracle. Generators are
+  * driven manually (fixed seeds, 8 samples per law) — the scalatest+scalacheck
+  * bridge artifact isn't in the offline cache, and determinism across rounds
+  * is a feature here anyway.
+  */
+class AlgebraPropSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val rowGen = for {
+    id <- Gen.choose(0, 1000)
+    grp <- Gen.oneOf("a", "b", "c", "d")
+    v <- Gen.choose(-100.0, 100.0)
+  } yield (id, grp, v)
+
+  private val dataGen = Gen.listOfN(60, rowGen)
+
+  private def samples: Seq[List[(Int, String, Double)]] =
+    (1 to 8).map(i => dataGen.apply(Gen.Parameters.default, Seed(i.toLong)).get)
+
+  test("filter ∘ select ≡ select ∘ filter (when filter cols survive projection)") {
+    samples.foreach { rows =>
+      val df = rows.toDF("id", "grp", "v")
+      val a = OpCompiler.compile(Seq(
+        OpSpec.FilterCondition("v > 0"), OpSpec.Select(Seq("id", "v"))))(df)
+      val b = OpCompiler.compile(Seq(
+        OpSpec.Select(Seq("id", "v")), OpSpec.FilterCondition("v > 0")))(df)
+      assert(a.orderBy("id", "v").collect().toSeq == b.orderBy("id", "v").collect().toSeq)
+    }
+  }
+
+  test("two filters compose conjunctively in either order") {
+    samples.foreach { rows =>
+      val df = rows.toDF("id", "grp", "v")
+      val a = Relational.filterCondition(Relational.filterCondition(df, "v > -50"), "id < 500")
+      val b = Relational.filterCondition(Relational.filterCondition(df, "id < 500"), "v > -50")
+      val c = Relational.filterCondition(df, "v > -50 AND id < 500")
+      assert(a.count() == b.count() && b.count() == c.count())
+    }
+  }
+
+  test("deduplicate is idempotent and bounded by group count") {
+    samples.foreach { rows =>
+      val df = rows.toDF("id", "grp", "v")
+      val once = Relational.deduplicate(df, subset = Seq("grp"), orderBy = Seq("id", "v"))
+      val twice = Relational.deduplicate(once, subset = Seq("grp"), orderBy = Seq("id", "v"))
+      assert(once.count() == twice.count())
+      assert(once.count() <= 4) // ≤ #distinct grp values
+      assert(once.orderBy("grp").collect().toSeq == twice.orderBy("grp").collect().toSeq)
+    }
+  }
+
+  test("melt preserves cell count; grouped agg is partitioning-invariant") {
+    samples.foreach { rows =>
+      val df = rows.toDF("id", "grp", "v").withColumn("v2", $"v" * 2)
+      val melted = Relational.melt(df, Seq("id", "grp"), Seq("v", "v2"))
+      assert(melted.count() == df.count() * 2)
+      val agg1 = Relational.aggregate(df, Seq("grp"), Seq("v" -> "count"))
+      val agg2 = Relational.aggregate(df.repartition(7), Seq("grp"), Seq("v" -> "count"))
+      assert(agg1.orderBy("grp").collect().toSeq == agg2.orderBy("grp").collect().toSeq)
+    }
+  }
+
+  test("union-all count adds; semi+anti partition the left side") {
+    samples.foreach { rows =>
+      val df = rows.toDF("id", "grp", "v")
+      val hi = df.filter($"v" >= 0); val lo = df.filter($"v" < 0)
+      assert(hi.count() + lo.count() == df.count())
+      val right = df.filter($"grp" === "a").select($"id".as("rid")).distinct()
+      val semi = Relational.join(df, right, condition = "id = rid", joinType = "left_semi")
+      val anti = Relational.join(df, right, condition = "id = rid", joinType = "left_anti")
+      assert(semi.count() + anti.count() == df.count())
+    }
+  }
+
+  test("approx aggregates track exact within tolerance") {
+    samples.take(3).foreach { rows =>
+      val df = rows.toDF("id", "grp", "v")
+      val exact = df.agg(org.apache.spark.sql.functions.countDistinct($"id")).head().getLong(0)
+      val approx = df.agg(org.apache.spark.sql.functions.approx_count_distinct($"id")).head().getLong(0)
+      assert(math.abs(approx - exact).toDouble / math.max(exact, 1) < 0.1)
+      val p50e = df.agg(org.apache.spark.sql.functions.percentile($"v", org.apache.spark.sql.functions.lit(0.5))).head().getDouble(0)
+      val p50a = df.agg(org.apache.spark.sql.functions.percentile_approx($"v",
+        org.apache.spark.sql.functions.lit(0.5), org.apache.spark.sql.functions.lit(10000))).head().getDouble(0)
+      assert(math.abs(p50e - p50a) < 10.0)
+    }
+  }
+}
