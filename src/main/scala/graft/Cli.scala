@@ -41,10 +41,27 @@ object Cli {
           if (res.status != "success") sys.exit(1)
         } finally spark.stop()
       }
+    case "stream" :: path :: rest =>
+      if (!Files.exists(Paths.get(path))) {
+        System.err.println(s"error: pipeline config not found: $path")
+        sys.exit(1)
+      }
+      val conf = graft.streaming.StreamPipeline.fromYaml(Files.readString(Paths.get(path)))
+      val spark = Sessions.local(appName = s"graft-stream-${conf.name}")
+      val q = graft.streaming.StreamPipeline.start(spark, conf)
+      if (rest.contains("--drain")) { // process what's there, then stop (backfill/test mode)
+        q.processAllAvailable()
+        println(s"""{"stream":"${conf.name}","batches":${q.recentProgress.length},""" +
+          s""""rows":${q.recentProgress.map(_.numInputRows).sum}}""")
+        q.stop(); spark.stop()
+      } else {
+        println(s"stream '${conf.name}' running; Ctrl-C to stop")
+        q.awaitTermination()
+      }
     case "entry" :: _ =>
       Smoke.main(Array.empty)
     case other =>
-      System.err.println(s"usage: graft.Cli run <pipeline.yaml> [--dry-run] | graft.Cli entry (got: $other)")
+      System.err.println(s"usage: graft.Cli run <pipeline.yaml> [--dry-run] | graft.Cli stream <yaml> [--drain] | graft.Cli entry (got: $other)")
       sys.exit(2)
   }
 }

@@ -1,0 +1,124 @@
+package graft.streaming
+
+import scala.jdk.CollectionConverters._
+import java.{util => ju}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.types.StructType
+
+/** Config-driven streaming pipeline — the §3.3 lifecycle
+  * (streaming_pipeline.yaml): stream source → record transforms/filters →
+  * event-time windowed aggregation (watermark, checkpoint — the DECLARED
+  * semantics, streaming_pipeline.yaml:100-105) → sink.
+  *
+  * YAML shape:
+  * {{{
+  * name: agg_stream
+  * stream_source: { type: file|kafka, path|servers+topics, format: json, schema: "ts TIMESTAMP, ..." }
+  * transforms:
+  *   - { type: calculate_field, field: x, expression: "v * 2" }
+  *   - { type: filter, condition: "x > 0" }
+  * window:
+  *   type: tumbling|sliding|session
+  *   size: "5 minutes"          # slide: for sliding; gap: for session
+  *   time_column: ts
+  *   watermark: "10 seconds"
+  *   keys: [event_type]
+  *   aggregations: { value: [sum, count] }
+  * sink: { type: memory|parquet|kafka, name|path, checkpoint: /tmp/cp, output_mode: update }
+  * }}}
+  */
+object StreamPipeline {
+
+  final case class Conf(name: String, raw: Map[String, Any])
+
+  def fromYaml(yaml: String): Conf = {
+    val root = new org.yaml.snakeyaml.Yaml()
+      .load[ju.Map[String, AnyRef]](graft.core.PipelineConfig.substituteEnv(yaml))
+      .asScala.map { case (k, v) => k -> (v: Any) }.toMap
+    Conf(root.getOrElse("name", "stream").toString, root)
+  }
+
+  private def sub(v: Any): Map[String, Any] = v match {
+    case m: ju.Map[_, _] => m.asScala.map { case (k, x) => k.toString -> (x: Any) }.toMap
+    case _               => Map.empty
+  }
+  private def str(m: Map[String, Any], k: String, d: String = null): String =
+    m.get(k).map(_.toString).getOrElse(d)
+  private def seqOf(m: Map[String, Any], k: String): Seq[String] = m.get(k) match {
+    case Some(l: ju.List[_]) => l.asScala.map(_.toString).toSeq
+    case Some(s)             => Seq(s.toString)
+    case None                => Nil
+  }
+  private def aggPairs(m: Map[String, Any]): Seq[(String, String)] = sub(m.getOrElse("aggregations", null)).toSeq.flatMap {
+    case (c, l: ju.List[_]) => l.asScala.map(f => c -> f.toString)
+    case (c, f)             => Seq(c -> f.toString)
+  }
+
+  /** Build the streaming DataFrame (source → transforms → window agg). */
+  def build(spark: SparkSession, conf: Conf): DataFrame = {
+    val src = sub(conf.raw("stream_source"))
+    val base = str(src, "type", "file") match {
+      case "file" =>
+        StreamOps.files(spark, str(src, "path"), str(src, "format", "json"),
+          StructType.fromDDL(str(src, "schema")))
+      case "kafka" =>
+        StreamOps.kafka(spark, str(src, "servers"), str(src, "topics"),
+          StructType.fromDDL(str(src, "schema")), str(src, "starting_offsets", "latest"))
+      case other => throw new IllegalArgumentException(s"Unknown stream source: $other")
+    }
+
+    val transformed = (conf.raw.get("transforms") match {
+      case Some(l: ju.List[_]) => l.asScala.map(sub).toSeq
+      case _                   => Nil
+    }).foldLeft(base) { (df, tr) =>
+      str(tr, "type") match {
+        case "calculate_field" => StreamOps.calculateField(df, str(tr, "field"), str(tr, "expression"))
+        case "rename_field"    => StreamOps.renameField(df, str(tr, "from"), str(tr, "to"))
+        case "add_timestamp"   => StreamOps.addTimestamp(df, str(tr, "field", "processing_ts"))
+        case "parse_json_field"=> StreamOps.parseJsonField(df, str(tr, "field"), StructType.fromDDL(str(tr, "schema")))
+        case "flatten_nested"  => StreamOps.flattenNested(df)
+        case "filter"          => df.filter(expr(str(tr, "condition")))
+        case other             => throw new IllegalArgumentException(s"Unknown stream transform: $other")
+      }
+    }
+
+    conf.raw.get("window").map(sub) match {
+      case None => transformed
+      case Some(w) =>
+        val ts = str(w, "time_column", "ts")
+        val wm = str(w, "watermark", "10 seconds")
+        val keys = seqOf(w, "keys")
+        val aggs = aggPairs(w)
+        str(w, "type", "tumbling") match {
+          case "tumbling" => StreamOps.tumbling(transformed, ts, str(w, "size", "5 minutes"), wm, keys, aggs)
+          case "sliding"  => StreamOps.sliding(transformed, ts, str(w, "size", "10 minutes"),
+            str(w, "slide", "5 minutes"), wm, keys, aggs)
+          case "session"  => StreamOps.session(transformed, ts, str(w, "gap", "30 minutes"), wm, keys, aggs)
+          case other      => throw new IllegalArgumentException(s"Unknown window type: $other")
+        }
+    }
+  }
+
+  /** Start the query against the configured sink. */
+  def start(spark: SparkSession, conf: Conf): StreamingQuery = {
+    val df = build(spark, conf)
+    val sink = sub(conf.raw.getOrElse("sink", null))
+    val mode = str(sink, "output_mode", if (conf.raw.contains("window")) "update" else "append")
+    str(sink, "type", "memory") match {
+      case "memory" =>
+        df.writeStream.format("memory").queryName(str(sink, "name", conf.name))
+          .outputMode(mode).start()
+      case "parquet" =>
+        df.writeStream.format("parquet")
+          .option("path", str(sink, "path"))
+          .option("checkpointLocation", str(sink, "checkpoint"))
+          .outputMode("append").start()
+      case "kafka" =>
+        StreamOps.kafkaSink(df, str(sink, "servers"), str(sink, "topic"), str(sink, "checkpoint")).start()
+      case other => throw new IllegalArgumentException(s"Unknown sink type: $other")
+    }
+  }
+}

@@ -67,6 +67,37 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("StreamPipeline: YAML file-stream -> transform -> tumbling window -> memory sink") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream").toString
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/batch1.json"),
+      """{"ts":"2024-01-01T00:01:00.000Z","user":"a","v":1.0}
+        |{"ts":"2024-01-01T00:02:00.000Z","user":"a","v":2.0}
+        |{"ts":"2024-01-01T00:07:00.000Z","user":"b","v":-5.0}
+        |{"ts":"2024-01-01T00:08:00.000Z","user":"b","v":5.0}""".stripMargin)
+    val yaml =
+      s"""name: yaml_stream
+         |stream_source: { type: file, path: "$dir", format: json, schema: "ts TIMESTAMP, user STRING, v DOUBLE" }
+         |transforms:
+         |  - { type: calculate_field, field: v2, expression: "v * 2" }
+         |  - { type: filter, condition: "v > 0" }
+         |window:
+         |  type: tumbling
+         |  size: "5 minutes"
+         |  time_column: ts
+         |  watermark: "1 minute"
+         |  keys: [user]
+         |  aggregations: { v2: [sum, count] }
+         |sink: { type: memory, name: yaml_stream_out, output_mode: complete }
+         |""".stripMargin
+    val q = graft.streaming.StreamPipeline.start(spark, graft.streaming.StreamPipeline.fromYaml(yaml))
+    try {
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT user, v2_sum, v2_count FROM yaml_stream_out ORDER BY window_start, user")
+        .as[(String, Double, Long)].collect()
+      assert(rows.toSeq == Seq(("a", 6.0, 2L), ("b", 10.0, 1L))) // v=-5 filtered out
+    } finally q.stop()
+  }
+
   test("record transforms and filters work on streaming frames") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Ev]
