@@ -58,6 +58,19 @@ object Cli {
         println(s"stream '${conf.name}' running; Ctrl-C to stop")
         q.awaitTermination()
       }
+    case "profile" :: path :: _ =>
+      // profile a table: catalog entry + inferred expectation suite + self-validation
+      val spark = Sessions.local(appName = "graft-profile")
+      try {
+        val df = if (path.endsWith(".csv")) graft.sources.Readers.csv(spark, path)
+                 else spark.read.parquet(path)
+        val name = new java.io.File(path).getName.replaceAll("\\.(parquet|csv)$", "")
+        println(graft.quality.ExpectationSuite.catalogEntry(df, name))
+        val suite = graft.quality.ExpectationSuite.infer(df)
+        graft.quality.ExpectationSuite.validate(df, suite).foreach { o =>
+          println(f"expectation ${o.name}%-40s ratio=${o.ratio}%.4f ${if (o.passed) "PASS" else "FAIL"}")
+        }
+      } finally spark.stop()
     case "entry" :: _ =>
       Smoke.main(Array.empty)
     case other =>

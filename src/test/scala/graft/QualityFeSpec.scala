@@ -121,6 +121,34 @@ class QualityFeSpec extends SparkSpec {
     assert(frames.count() == 5)
   }
 
+  test("ExpectationSuite: infer from clean batch, catch drift in dirty batch") {
+    import graft.quality.ExpectationSuite
+    val clean = Seq((1, "a", 10.0), (2, "b", 20.0), (3, "a", 30.0), (4, "c", 15.0))
+      .toDF("id", "cat", "v")
+    val suite = ExpectationSuite.infer(clean)
+    val names = suite.expectations.map(_.name)
+    assert(names.contains("id_not_null") && names.contains("id_unique"))
+    assert(names.contains("v_in_range") && names.contains("cat_in_set"))
+    // the clean batch validates against its own suite
+    assert(ExpectationSuite.validate(clean, suite).forall(_.passed))
+    // a drifted batch fails range + set + uniqueness
+    val dirty = Seq((1, "zz", 999.0), (1, "a", 12.0)).toDF("id", "cat", "v")
+    val outcomes = ExpectationSuite.validate(dirty, suite).map(o => o.name -> o.passed).toMap
+    assert(!outcomes("v_in_range") && !outcomes("cat_in_set") && !outcomes("id_unique"))
+    assert(outcomes("id_not_null"))
+  }
+
+  test("distribution classifier + catalog entry") {
+    import graft.quality.ExpectationSuite
+    assert(ExpectationSuite.distributionType(10, 10, 0, 0) == "constant")
+    assert(ExpectationSuite.distributionType(10, 10, 2, 0.1) == "approximately_normal")
+    assert(ExpectationSuite.distributionType(10, 8, 2, 1.5) == "right_skewed")
+    assert(ExpectationSuite.distributionType(10, 12, 2, -1.5) == "left_skewed")
+    val entry = ExpectationSuite.catalogEntry(Seq((1, "x")).toDF("id", "s"), "t")
+    assert(entry.contains("\"table\":\"t\"") && entry.contains("\"rows\":1"))
+    assert(entry.contains("\"quality_score\":100.0"))
+  }
+
   test("CleanLib: phone/email standardization + named UDF registry") {
     graft.functions.CleanLib.registerUdfs(spark)
     val d = Seq(
