@@ -15,13 +15,19 @@ object PlanAudit {
     names.foreach { name =>
       SparkEntry.queries.get(name).foreach { fn =>
         val df = fn(spark, dir)
-        val plan = df.queryExecution.executedPlan.toString
+        // execute THIS df's own QueryExecution (collect, not a write command —
+        // a write plans a separate QE): with AQE the final plan (real join
+        // strategies, WholeStageCodegen spans) only exists after the action
+        try df.collect()
+        catch { case e: Throwable => println(s"[audit] $name failed: ${e.getMessage}") }
+        val plan = df.queryExecution.explainString(org.apache.spark.sql.execution.SimpleMode)
         val flags = Seq(
           "CartesianProduct" -> plan.contains("CartesianProduct"),
-          "no-WholeStageCodegen" -> !plan.contains("WholeStageCodegen")
+          "BroadcastNestedLoop" -> plan.contains("BroadcastNestedLoop"),
+          "no-codegen" -> !plan.contains("*(") // SimpleMode marks codegen stages with *(id)
         ).collect { case (f, true) => f }
         println(s"\n########## $name  ${if (flags.isEmpty) "OK" else "FLAGS: " + flags.mkString(",")}")
-        println(df.queryExecution.explainString(org.apache.spark.sql.execution.SimpleMode))
+        println(plan)
       }
     }
     spark.stop()
