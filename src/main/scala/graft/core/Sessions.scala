@@ -19,6 +19,9 @@ object Sessions {
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.parquet.filterPushdown", "true")
+      // TIMESTAMP(NANOS) parquet (e.g. the events table) is otherwise
+      // unreadable; consumers convert `ts div 1000` -> timestamp_micros.
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
 
   /** Local session sized for this container (local[32], 32 shuffle partitions). */
