@@ -1,0 +1,88 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Skew and layout tools for the 100 TB posture: salted aggregation/join for
+  * hot keys, bucketed table layout for shuffle-free repeated joins. AQE's
+  * skew-join handling covers sort-merge joins automatically; these are for
+  * the cases AQE can't fix (skewed aggregation keys, reused join layouts).
+  */
+object Scale {
+
+  /** Two-phase salted aggregation for skewed group keys: partial-aggregate on
+    * (keys, salt) — spreading each hot key over `saltBuckets` reducers — then
+    * final-aggregate on keys. Caller supplies re-aggregable functions
+    * (sum/count/min/max; avg = sum+count then divide).
+    *
+    * Salt is `pmod(hash(all cols), buckets)` — deterministic, uniform, no
+    * rand() (which would break retries/speculation).
+    */
+  def aggregateSalted(
+      df: DataFrame,
+      keys: Seq[String],
+      aggs: Seq[(String, String)], // (column, sum|count|min|max)
+      saltBuckets: Int = 16
+  ): DataFrame = {
+    val salt = pmod(hash(df.columns.map(col): _*), lit(saltBuckets)).as("__salt")
+    val partialExprs = aggs.map { case (c, fn) =>
+      (fn match {
+        case "sum"   => sum(col(c))
+        case "count" => count(col(c))
+        case "min"   => min(col(c))
+        case "max"   => max(col(c))
+        case other   => throw new IllegalArgumentException(s"non-reaggregable fn: $other")
+      }).as(s"__p_${c}_$fn")
+    }
+    val finalExprs = aggs.map { case (c, fn) =>
+      (fn match {
+        case "sum" | "count" => sum(col(s"__p_${c}_$fn"))
+        case "min"           => min(col(s"__p_${c}_$fn"))
+        case "max"           => max(col(s"__p_${c}_$fn"))
+      }).as(s"${c}_$fn")
+    }
+    df.withColumn("__salt", salt)
+      .groupBy((keys :+ "__salt").map(col): _*)
+      .agg(partialExprs.head, partialExprs.tail: _*)
+      .groupBy(keys.map(col): _*)
+      .agg(finalExprs.head, finalExprs.tail: _*)
+  }
+
+  /** Salted join for a skewed LEFT side against a small-ish right side:
+    * left rows get a deterministic salt in [0, n); the right side is
+    * replicated n× with every salt value; join on (keys :+ salt). Each hot
+    * left key now spreads over n tasks. Right-side blowup = n× — size
+    * accordingly (or broadcast and skip salting entirely).
+    */
+  def saltedJoin(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      saltBuckets: Int = 16,
+      joinType: String = "inner"
+  ): DataFrame = {
+    val l = left.withColumn("__salt", pmod(hash(left.columns.map(col): _*), lit(saltBuckets)))
+    val r = right.withColumn("__salt", explode(sequence(lit(0), lit(saltBuckets - 1))))
+    l.join(r, keys :+ "__salt", joinType).drop("__salt")
+  }
+
+  /** Write a table bucketed+sorted on join keys (Spark bucketing: repeated
+    * joins/aggregations on the bucket keys skip the shuffle entirely —
+    * `spark.sql.sources.bucketing.enabled`). Requires saveAsTable (bucket
+    * metadata lives in the catalog).
+    */
+  def writeBucketed(df: DataFrame, table: String, bucketCols: Seq[String], numBuckets: Int,
+                    mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.write.mode(mode)
+      .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
+      .format("parquet")
+      .saveAsTable(table)
+
+  /** Join two bucketed tables on their bucket keys — plans with zero
+    * Exchange when bucket layouts match.
+    */
+  def bucketedJoin(spark: SparkSession, leftTable: String, rightTable: String,
+                   keys: Seq[String], joinType: String = "inner"): DataFrame =
+    spark.table(leftTable).join(spark.table(rightTable), keys, joinType)
+}

@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Scale
+
+class ScaleSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("salted aggregation equals plain aggregation") {
+    val df = (1 to 5000).map(i => (if (i % 10 == 0) "hot" else s"k${i % 50}", i.toDouble))
+      .toDF("k", "v")
+    val plain = df.groupBy("k").agg(sum($"v").as("v_sum"), count($"v").as("v_count"))
+    val salted = Scale.aggregateSalted(df, Seq("k"), Seq("v" -> "sum", "v" -> "count"), 8)
+    assert(salted.orderBy("k").collect().toSeq == plain.orderBy("k").collect().toSeq)
+  }
+
+  test("salted join equals plain join and spreads the hot key") {
+    val left = (1 to 2000).map(i => (if (i % 2 == 0) "hot" else s"k${i % 20}", i)).toDF("k", "lv")
+    val right = Seq(("hot", 100), ("k1", 1), ("k3", 3)).toDF("k", "rv")
+    val plain = left.join(right, Seq("k")).agg(sum($"lv" * $"rv")).head().getLong(0)
+    val salted = Scale.saltedJoin(left, right, Seq("k"), 8).agg(sum($"lv" * $"rv")).head().getLong(0)
+    assert(plain == salted)
+  }
+
+  test("bucketed tables join without a shuffle") {
+    // warehouse.dir is static — tables land in the default spark-warehouse;
+    // clear any stale table + location from earlier runs
+    Seq("graft_bucket_a", "graft_bucket_b").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new java.io.File(s"spark-warehouse/$t")
+      if (loc.exists()) org.apache.commons.io.FileUtils.deleteDirectory(loc)
+    }
+    val a = (1 to 1000).map(i => (i.toLong, s"a$i")).toDF("id", "av")
+    val b = (1 to 1000).map(i => (i.toLong, i * 2.0)).toDF("id", "bv")
+    Scale.writeBucketed(a, "graft_bucket_a", Seq("id"), 8)
+    Scale.writeBucketed(b, "graft_bucket_b", Seq("id"), 8)
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force the shuffle-side path
+    try {
+      val joined = Scale.bucketedJoin(spark, "graft_bucket_a", "graft_bucket_b", Seq("id"))
+      joined.collect() // finalize AQE
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed join should not shuffle:\n$plan")
+      assert(plan.contains("SortMergeJoin"))
+      assert(joined.count() == 1000)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS graft_bucket_a")
+      spark.sql("DROP TABLE IF EXISTS graft_bucket_b")
+    }
+  }
+}
