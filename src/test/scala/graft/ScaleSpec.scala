@@ -22,6 +22,31 @@ class ScaleSpec extends SparkSpec {
     assert(plain == salted)
   }
 
+  test("ExactPercentile custom aggregate matches built-in percentile") {
+    val df = (1 to 999).map(i => (s"g${i % 3}", i.toDouble)).toDF("g", "v")
+    val got = df.groupBy("g")
+      .agg(graft.expr.ExactPercentile($"v", 0.5).as("p50g"),
+        percentile($"v", lit(0.5)).as("p50b"))
+      .collect()
+    got.foreach(r => assert(r.getDouble(1) == r.getDouble(2), r.toString))
+    // partial-aggregation path (serialize/merge) is exercised across partitions
+    val wide = df.repartition(7)
+    val one = wide.agg(graft.expr.ExactPercentile($"v", 0.95)).head().getDouble(0)
+    val ref = wide.agg(percentile($"v", lit(0.95))).head().getDouble(0)
+    assert(one == ref)
+  }
+
+  test("partitioned parquet write enables partition pruning") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_part").toString + "/t"
+    val df = (1 to 300).map(i => (i, s"2024-0${i % 3 + 1}", i * 1.0)).toDF("id", "month", "v")
+    graft.sources.Sinks.parquetPartitioned(df, dir, Seq("month"))
+    val read = spark.read.parquet(dir).filter($"month" === "2024-02")
+    read.collect()
+    val plan = read.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(month"), s"no partition pruning:\n$plan")
+    assert(read.count() == 100)
+  }
+
   test("bucketed tables join without a shuffle") {
     // warehouse.dir is static — tables land in the default spark-warehouse;
     // clear any stale table + location from earlier runs
