@@ -49,6 +49,24 @@ class JoinsSpec extends SparkSpec {
     assert(plan.contains("Window"))
   }
 
+  test("asofJoin law: equals the max-rightTs<=leftTs SQL formulation on generated data") {
+    val rnd = new scala.util.Random(7)
+    val rights = (1 to 60).map(_ =>
+      (s"k${rnd.nextInt(4)}", ts(f"2024-01-01 ${rnd.nextInt(24)}%02d:${rnd.nextInt(60)}%02d:00"), rnd.nextInt(1000).toDouble))
+    val lefts = (1 to 60).map(i =>
+      (s"k${rnd.nextInt(5)}", ts(f"2024-01-01 ${rnd.nextInt(24)}%02d:${rnd.nextInt(60)}%02d:00"), i))
+    val r = rights.toDF("k", "rts", "v").dropDuplicates("k", "rts") // unique (k, ts) → well-defined asof value
+    val l = lefts.toDF("k", "lts", "id")
+    val got = graft.ops.Joins.asofJoin(l, r, Seq("k"), "lts", "rts", Seq("v"))
+      .select("id", "v").orderBy("id").collect().map(x => (x.getInt(0), if (x.isNullAt(1)) null else x.getDouble(1)))
+    l.createOrReplaceTempView("asof_l"); r.createOrReplaceTempView("asof_r")
+    val ref = spark.sql(
+      """SELECT id, (SELECT max_by(v, rts) FROM asof_r WHERE asof_r.k = asof_l.k AND rts <= lts) AS v
+        |FROM asof_l ORDER BY id""".stripMargin)
+      .collect().map(x => (x.getInt(0), if (x.isNullAt(1)) null else x.getDouble(1)))
+    assert(got.toSeq == ref.toSeq)
+  }
+
   test("rangeJoinBucketed matches BETWEEN semantics exactly once per pair") {
     val points = Seq(
       ("u1", ts("2024-01-01 00:10:00"), 1),

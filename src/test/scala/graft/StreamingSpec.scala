@@ -98,6 +98,27 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("checkpoint recovery: restart resumes without reprocessing (exactly-once sink rows)") {
+    val in = java.nio.file.Files.createTempDirectory("graft_cp_in").toString
+    val out = java.nio.file.Files.createTempDirectory("graft_cp_out").toString + "/sink"
+    val cp = java.nio.file.Files.createTempDirectory("graft_cp_meta").toString
+    def write(name: String, lines: String): Unit =
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$in/$name"), lines)
+    def start() = {
+      val src = StreamOps.files(spark, in, "json",
+        org.apache.spark.sql.types.StructType.fromDDL("ts TIMESTAMP, user STRING, v DOUBLE"))
+      src.writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", cp)
+        .outputMode("append").start()
+    }
+    write("b1.json", """{"ts":"2024-01-01T00:00:00Z","user":"a","v":1.0}""")
+    val q1 = start(); q1.processAllAvailable(); q1.stop()
+    write("b2.json", """{"ts":"2024-01-01T00:01:00Z","user":"b","v":2.0}""")
+    val q2 = start(); q2.processAllAvailable(); q2.stop()
+    val rows = spark.read.parquet(out).collect()
+    assert(rows.length == 2, s"expected exactly 2 rows (no reprocessing), got ${rows.length}")
+  }
+
   test("record transforms and filters work on streaming frames") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Ev]
