@@ -115,6 +115,19 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(out(3L) == "fr"); assert(out(4L) == "es")
   }
 
+  test("native expressions callable from SQL after registration") {
+    graft.expr.GraftFunctions.register(spark)
+    docs.createOrReplaceTempView("gf_docs")
+    val row = spark.sql(
+      """SELECT size(graft_word_shingles(text, 2)) AS n_sh,
+        |       size(graft_minhash_sig(graft_word_shingles(text, 2), 16)) AS n_sig
+        |FROM gf_docs WHERE doc_id = 1""".stripMargin).head()
+    assert(row.getInt(0) > 5 && row.getInt(1) == 16)
+    val p = spark.sql("SELECT graft_exact_percentile(CAST(doc_id AS DOUBLE), 0.5) FROM gf_docs")
+      .head().getDouble(0)
+    assert(p == 3.0)
+  }
+
   test("fingerprint is stable under case/whitespace noise") {
     val fp = docs.select($"doc_id", TextLib.fingerprint($"text", 2).as("fp"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
