@@ -269,17 +269,22 @@ object TimeSeriesLib {
       col(orderCol).cast("long").as("__ord"), // epoch micros for timestamps, raw for numerics
       col(valueCol).cast(DoubleType).as("__val"))
       .as[(String, Long, Double)]
-    val out = slim.groupByKey(_._1).flatMapGroups { (key, it) =>
+    val ewm = slim.groupByKey(_._1).flatMapGroups { (key, it) =>
       val rows = it.toArray.sortBy(_._2)
       var num = 0.0; var den = 0.0
       val oneMinus = 1.0 - alpha
       rows.map { case (_, ord, v) =>
         num = num * oneMinus + v
         den = den * oneMinus + 1.0
-        (key, ord, v, num / den)
+        (key, ord, num / den)
       }
-    }.toDF("__key", "__ord", valueCol, s"${valueCol}_ewm")
-    out
+    }.toDF("__key", "__ord", s"${valueCol}_ewm")
+      .dropDuplicates("__key", "__ord") // ties at one order position share the final EWM
+    // join back so callers keep their original columns
+    df.withColumn("__key", keyCol)
+      .withColumn("__ord", col(orderCol).cast("long"))
+      .join(ewm, Seq("__key", "__ord"), "left")
+      .drop("__key", "__ord")
   }
 
   /** Savitzky–Golay smoothing (time_series.py:448-470): the symmetric FIR

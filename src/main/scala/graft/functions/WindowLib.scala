@@ -22,6 +22,10 @@ object WindowLib {
   // Ranking — window_functions.py:15-115
   def rowNumber(w: WindowSpec): Column   = row_number().over(w)
   def rankMin(w: WindowSpec): Column     = rank().over(w)        // pandas method='min'
+  /** pandas method='max': highest rank within the tie group = rank + ties-1. */
+  def rankMax(w: WindowSpec, tieCols: Seq[String]): Column =
+    rank().over(w) + count(lit(1)).over(
+      Window.partitionBy(tieCols.map(col): _*)) - 1
   def denseRank(w: WindowSpec): Column   = dense_rank().over(w)  // pandas method='dense'
   def percentRank(w: WindowSpec): Column = percent_rank().over(w)
   def ntileN(n: Int, w: WindowSpec): Column = ntile(n).over(w)

@@ -26,7 +26,7 @@ class TimeSeriesSpec extends SparkSpec {
     // x = [1, 2, 3], alpha=0.5 -> y = [1, (2 + 0.5*1)/1.5 = 5/3, (3 + 1 + 0.25)/1.75 = 17/7]
     val df = Seq((1L, 1.0), (2L, 2.0), (3L, 3.0)).toDF("t", "x")
     val out = TimeSeriesLib.smoothEwm(df, "x", 0.5, orderCol = "t", partitionBy = Nil)
-      .orderBy("__ord").select("x_ewm").as[Double].collect()
+      .orderBy("t").select("x_ewm").as[Double].collect()
     val expected = Seq(1.0, 5.0 / 3.0, 17.0 / 7.0)
     out.zip(expected).foreach { case (a, b) => assert(math.abs(a - b) < 1e-12) }
   }
