@@ -65,8 +65,16 @@ object Relational {
   def rename(df: DataFrame, mapping: Map[String, String]): DataFrame =
     mapping.foldLeft(df) { case (d, (from, to)) => d.withColumnRenamed(from, to) }
 
-  def cast(df: DataFrame, mapping: Map[String, String]): DataFrame =
-    mapping.foldLeft(df) { case (d, (c, t)) => d.withColumn(c, col(c).cast(normalizeType(t))) }
+  /** Lenient by default: `try_cast` coerces malformed values to null (the
+    * reference's dirty-data behavior, pd.to_numeric(errors='coerce')) rather
+    * than failing the job under Spark 4's ANSI mode. `lenient = false` gives
+    * strict ANSI casts.
+    */
+  def cast(df: DataFrame, mapping: Map[String, String], lenient: Boolean = true): DataFrame =
+    mapping.foldLeft(df) { case (d, (c, t)) =>
+      val target = normalizeType(t)
+      d.withColumn(c, if (lenient) expr(s"try_cast(`$c` AS $target)") else col(c).cast(target))
+    }
 
   /** Accept the reference's pandas dtype spellings (finance_pipeline.yaml
     * `type_conversions`: float64/int32/datetime64[ns]) alongside Spark names. */

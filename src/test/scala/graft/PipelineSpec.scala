@@ -94,6 +94,63 @@ class PipelineSpec extends SparkSpec {
     assert(joined.columns.contains("region"))
   }
 
+  test("repeated runs with append mode accumulate (reference test_end_to_end:380-432)") {
+    val in = Files.createTempDirectory("graft_app_in").toString
+    val out = Files.createTempDirectory("graft_app_out").toString + "/acc"
+    writeCsv(in)
+    val yaml =
+      s"""name: append_test
+         |source: { type: csv, path: "$in/*.csv" }
+         |operations: [ { type: select, params: { columns: [id, city] } } ]
+         |storage: { type: parquet, path: "$out", mode: append }
+         |""".stripMargin
+    val conf = Pipeline.fromYaml(yaml)
+    assert(Pipeline.execute(spark, conf).status == "success")
+    assert(Pipeline.execute(spark, conf).status == "success")
+    assert(spark.read.parquet(out).count() == 8) // 4 rows x 2 runs
+  }
+
+  test("invalid data handling: malformed csv cells become nulls, pipeline continues") {
+    val in = Files.createTempDirectory("graft_bad_in").toString
+    Files.writeString(java.nio.file.Paths.get(s"$in/bad.csv"),
+      "id,amount\n1,10.5\n2,not_a_number\n3,30.0\n")
+    val yaml =
+      s"""name: bad_data
+         |source: { type: csv, path: "$in/*.csv" }
+         |operations:
+         |  - type: transform
+         |    params:
+         |      type_conversions: { amount: double }
+         |  - { type: filter, condition: "amount IS NOT NULL" }
+         |""".stripMargin
+    val (primary, catalog) = Pipeline.load(spark, Pipeline.fromYaml(yaml))
+    val res = graft.core.OpCompiler.compile(Pipeline.fromYaml(yaml).operations, catalog)(primary)
+    assert(res.count() == 2) // malformed row filtered, no crash
+  }
+
+  test("5 concurrent pipelines all succeed (reference test_benchmarks:296-327)") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val in = Files.createTempDirectory("graft_conc_in").toString
+    writeCsv(in)
+    val futures = (1 to 5).map { i =>
+      Future {
+        val out = Files.createTempDirectory(s"graft_conc_$i").toString + "/o"
+        val yaml =
+          s"""name: conc_$i
+             |source: { type: csv, path: "$in/*.csv" }
+             |operations: [ { type: filter, condition: "age >= $i" } ]
+             |storage: { type: parquet, path: "$out" }
+             |""".stripMargin
+        Pipeline.execute(spark, Pipeline.fromYaml(yaml))
+      }
+    }
+    val results = Await.result(Future.sequence(futures), 120.seconds)
+    assert(results.forall(_.status == "success"))
+    assert(results.map(_.rowsWritten).forall(_ == 4)) // ages all >= 5
+  }
+
   test("declared-but-undispatched op types compile and run (SURVEY gap)") {
     val df = Seq((1, "a", 10.0, 2.0), (2, "a", 20.0, 4.0), (3, "b", 30.0, 0.0))
       .toDF("id", "grp", "num", "den")

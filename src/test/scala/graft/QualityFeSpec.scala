@@ -70,6 +70,17 @@ class QualityFeSpec extends SparkSpec {
     assert(a(1).getInt(0) == 2 && a(1).getDouble(1) == 10.0 && a(1).getDouble(2) == 30.0)
   }
 
+  test("rankMax equals rank + tie-count - 1 (pandas method='max')") {
+    val d = Seq(("g", 10.0), ("g", 10.0), ("g", 20.0), ("g", 30.0), ("g", 30.0), ("g", 30.0))
+      .toDF("g", "v")
+    val w = graft.functions.WindowLib.spec(Seq("g"), Seq("v" -> true))
+    val out = d.withColumn("rmin", graft.functions.WindowLib.rankMin(w))
+      .withColumn("rmax", graft.functions.WindowLib.rankMax(w, Seq("g", "v")))
+      .orderBy("v").select("rmin", "rmax").collect()
+      .map(r => (r.getInt(0), r.getLong(1))) // rmax is long (count arithmetic)
+    assert(out.toSeq == Seq((1, 2L), (1, 2L), (3, 3L), (4, 6L), (4, 6L), (4, 6L)))
+  }
+
   test("quantile binning matches exact quartiles") {
     val d100 = (1 to 100).map(i => (i, i.toDouble)).toDF("id", "x")
     val binned = FeatureLib.binQuantile(d100, "x", 4)
