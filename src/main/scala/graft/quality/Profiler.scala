@@ -106,11 +106,20 @@ object Profiler {
     * data_profiler.py:227 uses pandas `corr(method='spearman')`).
     */
   def spearman(df: DataFrame, a: String, b: String): DataFrame = {
-    // average rank for ties = min_rank + (tie_count - 1) / 2  (pandas default)
-    def avgRank(c: String): Column =
-      rank().over(Window.orderBy(col(c))) +
-        (count(lit(1)).over(Window.partitionBy(col(c))) - 1) / 2.0
-    df.select(avgRank(a).as("__ra"), avgRank(b).as("__rb"))
+    // Average rank per VALUE, computed on the distinct-value frequency table
+    // (cumulative count ordered by value, avg rank = preceding + (n+1)/2) and
+    // broadcast-joined back. This keeps the global ordering on the distinct
+    // set only — no single-partition window over the full table (a naive
+    // rank().over(Window.orderBy(...)) funnels every row through one task).
+    def ranks(c: String, out: String): DataFrame = {
+      val freq = df.groupBy(col(c).as("__v")).agg(count(lit(1)).as("__n"))
+      val w = Window.orderBy(col("__v")).rowsBetween(Window.unboundedPreceding, -1)
+      freq.withColumn(out, coalesce(sum(col("__n")).over(w), lit(0L)) + (col("__n") + 1) / 2.0)
+        .select(col("__v"), col(out))
+    }
+    df.select(col(a).as("__a"), col(b).as("__b"))
+      .join(broadcast(ranks(a, "__ra")).withColumnRenamed("__v", "__a"), Seq("__a"))
+      .join(broadcast(ranks(b, "__rb")).withColumnRenamed("__v", "__b"), Seq("__b"))
       .agg(corr(col("__ra"), col("__rb")).as("spearman"))
   }
 
