@@ -8,11 +8,16 @@ import java.sql.{Connection, DriverManager, PreparedStatement, Types}
 object Sinks {
 
   /** Partitioned parquet write — the `partitioning: daily` the reference
-    * declares but never implements (iot_pipeline.yaml:47-51).
+    * declares but never implements (iot_pipeline.yaml:47-51). With
+    * `dynamicOverwrite`, an overwrite touches ONLY the partitions present in
+    * `df` (idempotent backfill of a day without clobbering the table).
     */
   def parquetPartitioned(df: DataFrame, path: String, partitionCols: Seq[String],
-                         mode: String = "overwrite"): Unit =
-    df.write.mode(mode).partitionBy(partitionCols: _*).parquet(path)
+                         mode: String = "overwrite", dynamicOverwrite: Boolean = false): Unit = {
+    var wr = df.write.mode(mode).partitionBy(partitionCols: _*)
+    if (dynamicOverwrite) wr = wr.option("partitionOverwriteMode", "dynamic")
+    wr.parquet(path)
+  }
 
   /** Plain JDBC write (postgresql_storage.py:52-84): append/overwrite with
     * batched inserts (`batchsize` ≙ the reference's chunk_size).

@@ -47,6 +47,17 @@ class ScaleSpec extends SparkSpec {
     assert(read.count() == 100)
   }
 
+  test("dynamic partition overwrite rewrites only touched partitions") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_dyn").toString + "/t"
+    val v1 = Seq((1, "m1", 1.0), (2, "m2", 2.0)).toDF("id", "month", "v")
+    graft.sources.Sinks.parquetPartitioned(v1, dir, Seq("month"))
+    // backfill m2 only; m1 must survive
+    val v2 = Seq((9, "m2", 9.0)).toDF("id", "month", "v")
+    graft.sources.Sinks.parquetPartitioned(v2, dir, Seq("month"), dynamicOverwrite = true)
+    val out = spark.read.parquet(dir).orderBy("id").select("id").as[Int].collect()
+    assert(out.toSeq == Seq(1, 9)) // m1 kept, m2 replaced
+  }
+
   test("bucketed tables join without a shuffle") {
     // warehouse.dir is static — tables land in the default spark-warehouse;
     // clear any stale table + location from earlier runs
