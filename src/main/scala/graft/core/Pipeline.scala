@@ -34,6 +34,8 @@ object Pipeline {
           linesFormat = s.options.getOrElse("lines_format", "true").toBoolean,
           flattenTopLevel = s.options.getOrElse("flatten", "false").toBoolean)
         case "parquet" => Readers.parquet(spark, s.path)
+        case "orc"     => Readers.orc(spark, s.path)
+        case "text"    => Readers.text(spark, s.path)
         case "s3"      => Readers.objectStore(spark, s.path, s.options.getOrElse("format", "parquet"))
         case "jdbc"    => Readers.jdbc(spark, s.options("url"), s.path, s.options)
         case other     => throw new IllegalArgumentException(s"Unknown source type: $other")
@@ -78,6 +80,7 @@ object Pipeline {
               if (st.partitionBy.nonEmpty) Sinks.parquetPartitioned(counted, st.path, st.partitionBy, st.mode)
               else counted.write.mode(st.mode).parquet(st.path)
             case "csv"  => counted.write.mode(st.mode).option("header", "true").csv(st.path)
+            case "orc"  => counted.write.mode(st.mode).orc(st.path)
             case "jdbc" => Sinks.jdbcWrite(counted, st.options("url"), st.path, st.mode)
             case "noop" => counted.write.format("noop").mode("overwrite").save()
             case other  => throw new IllegalArgumentException(s"Unknown storage type: $other")

@@ -62,6 +62,12 @@ object QueriesText {
           TextLib.tokenCountBpeIsh(col("text")).as("n_bpe_tokens"))
         .orderBy("doc_id")),
 
+    "q_chunk_docs" -> ((s, dir) =>
+      TextLib.chunkDocuments(t(s, dir, "documents"), "text", chunkSize = 200, overlap = 50)
+        .select(col("doc_id"), col("chunk_idx"), length(col("chunk_text")).as("chunk_len"),
+          substring(col("chunk_text"), 1, 20).as("chunk_head"))
+        .orderBy("doc_id", "chunk_idx")),
+
     "q_embed_stats" -> ((s, dir) =>
       t(s, dir, "embeddings")
         .select(col("label"), Similarity.l2Norm(col("embedding")).as("nrm"))
@@ -209,6 +215,17 @@ object QueriesText {
         |            ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS INT) AS n_ws_tokens,
         |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS INT) AS n_bpe_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_chunk_docs" ->
+      """WITH c AS (
+        |  SELECT doc_id, text,
+        |    unnest(generate_series(0,
+        |      greatest(CAST(ceil((length(text) - 50) / 150.0) AS INT), 1) - 1)) AS chunk_idx
+        |  FROM documents)
+        |SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+        |  CAST(length(substring(text, chunk_idx * 150 + 1, 200)) AS INT) AS chunk_len,
+        |  substring(text, chunk_idx * 150 + 1, 20) AS chunk_head
+        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
 
     "q_embed_stats" ->
       """WITH n AS (

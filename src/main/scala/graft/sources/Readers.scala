@@ -53,6 +53,13 @@ object Readers {
 
   def parquet(spark: SparkSession, path: String): DataFrame = spark.read.parquet(path)
 
+  def orc(spark: SparkSession, path: String, lineageCol: String = null): DataFrame =
+    withLineage(spark.read.orc(path), lineageCol)
+
+  /** Raw text lines (one row per line, column `value`) — corpus ingestion. */
+  def text(spark: SparkSession, path: String, lineageCol: String = "_source_file"): DataFrame =
+    withLineage(spark.read.text(path), lineageCol)
+
   /** Object-store read (s3_source.py:50-121): same readers over `s3a://`
     * URIs — Hadoop S3A supplies listing/globbing; `_source_s3_key` parity
     * comes from the same lineage column.

@@ -106,6 +106,22 @@ object TextLib {
 
   // ---------------------------------------------------------------- fingerprint
 
+  /** Split documents into fixed-size character chunks with overlap — the
+    * standard context-window preprocessing step for training/embedding
+    * pipelines. Pure expression (sequence + substring), exploded to one row
+    * per chunk: (doc cols..., chunk_idx, chunk_text). Stride =
+    * chunkSize - overlap; the final partial chunk is kept.
+    */
+  def chunkDocuments(df: DataFrame, textCol: String, chunkSize: Int, overlap: Int): DataFrame = {
+    require(overlap < chunkSize, "overlap must be < chunkSize")
+    val stride = chunkSize - overlap
+    val t = col(textCol)
+    val nChunks = greatest(ceil((length(t) - overlap).cast("double") / stride).cast("int"), lit(1))
+    df.withColumn("chunk_idx", explode(sequence(lit(0), nChunks - 1)))
+      .withColumn("chunk_text", t.substr(col("chunk_idx") * stride + 1, lit(chunkSize)))
+      .drop(textCol)
+  }
+
   /** 64-bit document fingerprint: min of xxhash64 over word shingles —
     * stable under whitespace/case noise, computable in one expression.
     * (A 1-permutation MinHash; see MinHashDedup for the k-permutation form.)

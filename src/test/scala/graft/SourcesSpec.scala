@@ -30,6 +30,34 @@ class SourcesSpec extends SparkSpec {
     assert(df.filter($"meta_lang" === "de").count() == 1)
   }
 
+  test("orc round-trip and raw text lines source") {
+    val dir = Files.createTempDirectory("graft_orc").toString
+    Seq((1, "x"), (2, "y")).toDF("id", "v").write.orc(s"$dir/t")
+    val back = Readers.orc(spark, s"$dir/t")
+    assert(back.count() == 2 && back.columns.toSet == Set("id", "v"))
+    Files.writeString(java.nio.file.Paths.get(s"$dir/corpus.txt"), "line one\nline two\nline three")
+    val txt = Readers.text(spark, s"$dir/corpus.txt")
+    assert(txt.count() == 3)
+    assert(txt.columns.contains("value") && txt.columns.contains("_source_file"))
+  }
+
+  test("document chunking: coverage, overlap and short-doc invariants") {
+    val docs = Seq((1L, "a" * 500), (2L, "b" * 30)).toDF("doc_id", "text")
+    val chunks = graft.text.TextLib.chunkDocuments(docs, "text", chunkSize = 200, overlap = 50)
+    val byDoc = chunks.orderBy("doc_id", "chunk_idx")
+      .select("doc_id", "chunk_idx", "chunk_text").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getString(2)).toSeq).toMap
+    assert(byDoc(2L) == Seq("b" * 30)) // short doc = one whole chunk
+    val c1 = byDoc(1L)
+    assert(c1.length == 3) // ceil((500-50)/150) = 3
+    assert(c1.head.length == 200 && c1(1).length == 200 && c1(2).length == 200)
+    // consecutive chunks overlap by exactly `overlap` chars
+    assert(c1.head.takeRight(50) == c1(1).take(50))
+    // full coverage: stitched (dropping overlaps) reconstructs a prefix of the doc
+    val stitched = c1.head + c1.tail.map(_.drop(50)).mkString
+    assert(("a" * 500).startsWith(stitched.take(500)) && stitched.length >= 500)
+  }
+
   test("KV sink batch write: per-record put with JSON values") {
     KeyValueSink.InMemoryKV.clear("t1")
     val df = Seq((1, "x"), (2, "y")).toDF("id", "v")
