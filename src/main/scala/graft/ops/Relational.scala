@@ -247,6 +247,14 @@ object Relational {
   def topK(df: DataFrame, columns: Seq[String], ascending: Seq[Boolean], k: Int): DataFrame =
     sort(df, columns, ascending).limit(k)
 
+  /** Seeded stratified sampling: per-stratum fractions (profiling parity
+    * with the reference's seeded `df.sample`, stratified as real pipelines
+    * need it).
+    */
+  def stratifiedSample(df: DataFrame, column: String, fractions: Map[Any, Double],
+                       seed: Long = 42L): DataFrame =
+    df.stat.sampleBy(col(column), fractions, seed)
+
   // ---------------------------------------------------------------- dedup
 
   /** Duplicate removal (spark_processor.py:213-218). With `orderBy` given,

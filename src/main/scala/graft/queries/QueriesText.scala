@@ -62,6 +62,15 @@ object QueriesText {
           TextLib.tokenCountBpeIsh(col("text")).as("n_bpe_tokens"))
         .orderBy("doc_id")),
 
+    "q_vocabulary" -> ((s, dir) =>
+      TextLib.vocabulary(t(s, dir, "documents"), "text", minDf = 2, topK = 50)),
+
+    "q_dedup_clusters" -> ((s, dir) => { // rows-only: cluster election over LSH candidates
+      val cands = Dedup.minhashCandidates(docsWithNearDups(s, dir), "text", "doc_id",
+        shingleN = 3, numHashes = 64, bands = 16, threshold = 0.6)
+      Dedup.clusterCandidates(cands)
+    }),
+
     "q_chunk_docs" -> ((s, dir) =>
       TextLib.chunkDocuments(t(s, dir, "documents"), "text", chunkSize = 200, overlap = 50)
         .select(col("doc_id"), col("chunk_idx"), length(col("chunk_text")).as("chunk_len"),
@@ -215,6 +224,16 @@ object QueriesText {
         |            ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS INT) AS n_ws_tokens,
         |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS INT) AS n_bpe_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_vocabulary" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS token
+        |  FROM documents)
+        |SELECT token, count(*) AS tf, count(DISTINCT doc_id) AS df
+        |FROM toks WHERE token <> ''
+        |GROUP BY token HAVING count(DISTINCT doc_id) >= 2
+        |ORDER BY tf DESC, token LIMIT 50""".stripMargin,
 
     "q_chunk_docs" ->
       """WITH c AS (

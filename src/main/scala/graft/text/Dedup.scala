@@ -149,6 +149,46 @@ object Dedup {
       .select("id_a", "id_b", "hamming")
   }
 
+  // ---------------------------------------------------------------- clustering
+
+  /** Connected components over near-dup candidate pairs → duplicate clusters
+    * (the step after candidate generation: every doc gets a cluster id = the
+    * smallest doc id reachable through candidate edges; the cluster id IS
+    * the surviving document).
+    *
+    * Iterative min-label propagation: each round joins current labels across
+    * edges and keeps the minimum — O(diameter) rounds of shuffle joins; near-
+    * dup clusters are tiny/star-shaped in practice so this converges in 2-3
+    * rounds. `maxIter` bounds pathological chains.
+    * Input: (id_a, id_b) pairs. Output: (id, cluster_id).
+    */
+  def clusterCandidates(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("cluster_id", col("id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIter) {
+      val viaNeighbors = edges
+        .join(labels.withColumnRenamed("id", "dst").withColumnRenamed("cluster_id", "n_label"), Seq("dst"))
+        .groupBy(col("src").as("id"))
+        .agg(min(col("n_label")).as("n_min"))
+      val next = labels.join(viaNeighbors, Seq("id"), "left")
+        .select(col("id"), least(col("cluster_id"), coalesce(col("n_min"), col("cluster_id"))).as("cluster_id"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      changed = next.join(labels.withColumnRenamed("cluster_id", "old"), Seq("id"))
+        .filter(col("cluster_id") =!= col("old")).count()
+      labels.unpersist()
+      labels = next
+      iter += 1
+    }
+    labels
+  }
+
   // ---------------------------------------------------------------- n-gram Jaccard
 
   /** Exact n-gram Jaccard similarity for candidate pairs, via an inverted

@@ -106,6 +106,22 @@ object TextLib {
 
   // ---------------------------------------------------------------- fingerprint
 
+  /** Corpus vocabulary: token → document frequency + total count, minimum
+    * document-frequency filter, deterministic top-k. One explode + two
+    * aggregations — the standard tokenizer-training precursor.
+    */
+  def vocabulary(df: DataFrame, textCol: String, minDf: Int = 1, topK: Int = 0): DataFrame = {
+    // doc key = text hash (deterministic; monotonically_increasing_id would
+    // be re-evaluated per exploded row and inflate document frequencies)
+    val toks = df.select(xxhash64(col(textCol)).as("__doc"),
+      explode(split(normalized(col(textCol)), " ")).as("token"))
+    val vocab = toks.groupBy("token")
+      .agg(count(lit(1)).as("tf"), countDistinct(col("__doc")).as("df"))
+      .filter(col("df") >= minDf && col("token") =!= "")
+      .orderBy(col("tf").desc, col("token").asc)
+    if (topK > 0) vocab.limit(topK) else vocab
+  }
+
   /** Split documents into fixed-size character chunks with overlap — the
     * standard context-window preprocessing step for training/embedding
     * pipelines. Pure expression (sequence + substring), exploded to one row

@@ -115,6 +115,31 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(out(3L) == "fr"); assert(out(4L) == "es")
   }
 
+  test("clusterCandidates: connected components elect min-id survivors") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (7L, 3L)).toDF("id_a", "id_b")
+    val labels = Dedup.clusterCandidates(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels(1L) == 1L && labels(2L) == 1L && labels(3L) == 1L && labels(7L) == 1L)
+    assert(labels(10L) == 10L && labels(11L) == 10L)
+  }
+
+  test("vocabulary: df filter, deterministic ordering") {
+    val d = Seq((1L, "spark spark table"), (2L, "spark row"), (3L, "table row row"))
+      .toDF("doc_id", "text")
+    val v = graft.text.TextLib.vocabulary(d, "text", minDf = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(v.toSeq == Seq(("row", 3L, 2L), ("spark", 3L, 2L), ("table", 2L, 2L)))
+  }
+
+  test("stratified sample is seeded-deterministic and per-stratum") {
+    val d = (1 to 2000).map(i => (i, if (i % 2 == 0) "a" else "b")).toDF("id", "s")
+    val fr = Map[Any, Double]("a" -> 0.5, "b" -> 0.0)
+    val s1 = graft.ops.Relational.stratifiedSample(d, "s", fr).select("id").as[Int].collect().toSeq
+    val s2 = graft.ops.Relational.stratifiedSample(d, "s", fr).select("id").as[Int].collect().toSeq
+    assert(s1 == s2 && s1.nonEmpty)
+    assert(s1.forall(_ % 2 == 0)) // stratum b excluded
+  }
+
   test("native expressions callable from SQL after registration") {
     graft.expr.GraftFunctions.register(spark)
     docs.createOrReplaceTempView("gf_docs")
