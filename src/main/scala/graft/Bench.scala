@@ -43,10 +43,11 @@ object Bench {
     } catch { case _: Throwable => () }
 
     val results = headline.filter(qs.contains).map { name =>
-      val t0 = System.nanoTime()
-      try {
-        qs(name)(spark, sfDir).write.format("noop").mode("overwrite").save()
-      } catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}") }
+      def run(): Unit = qs(name)(spark, sfDir).write.format("noop").mode("overwrite").save()
+      try run() catch { case e: Throwable => System.err.println(s"[bench] $name warmup failed: ${e.getMessage}") }
+      spark.catalog.clearCache() // drop persisted intermediates so queries don't
+      val t0 = System.nanoTime() //   inherit (or pay eviction for) earlier caches
+      try run() catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}") }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qJson = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
