@@ -110,12 +110,14 @@ object Dedup {
   // ---------------------------------------------------------------- SimHash
 
   /** 64-bit SimHash per document, computed as one distributed pass:
-    * explode distinct tokens → token hash → 64 signed bit-counters per doc
-    * (single aggregation) → recombine sign bits into a long.
+    * explode tokens → token hash → 64 signed TF-WEIGHTED bit-counters per
+    * doc (single aggregation) → recombine sign bits into a long. Term
+    * frequency weighting is the standard Charikar formulation (a token
+    * appearing k times pushes its bits with weight k).
     */
   def simhash(df: DataFrame, textCol: String, idCol: String): DataFrame = {
     val tokens = df.select(col(idCol).as("id"),
-      explode(array_distinct(split(TextLib.normalized(col(textCol)), " "))).as("tok"))
+      explode(split(TextLib.normalized(col(textCol)), " ")).as("tok"))
       .withColumn("__h", xxhash64(col("tok")))
     val bitAggs = (0 until 64).map { bit =>
       sum(when(shiftright(col("__h"), bit).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"__b$bit")
