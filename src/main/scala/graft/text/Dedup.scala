@@ -151,6 +151,37 @@ object Dedup {
       .select("id_a", "id_b", "hamming")
   }
 
+  /** Incremental near-dup screening: candidates between a NEW batch and an
+    * existing REFERENCE corpus only (new×ref via the band-bucket equi-join —
+    * never ref×ref). This is the production shape for deduplicating incoming
+    * data against a 100 TB corpus: reference signatures are computed once
+    * (persist here; a signature table in practice) and the join cost scales
+    * with the new batch. Output: (new_id, ref_id, est_jaccard).
+    */
+  def minhashCandidatesAgainst(
+      newDf: DataFrame, refDf: DataFrame,
+      textCol: String, idCol: String,
+      shingleN: Int = 3, numHashes: Int = 64, bands: Int = 16,
+      threshold: Double = 0.5
+  ): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    def sigs(df: DataFrame, side: String) = df.select(
+        col(idCol).as(s"${side}_id"),
+        minhashSignature(col(textCol), shingleN, numHashes).as(s"sig_$side"))
+      .withColumn("bh", explode(lshBandHashes(col(s"sig_$side"), bands, rowsPerBand)))
+      .select(col(s"${side}_id"), col(s"sig_$side"),
+        col("bh.band").as("band"), col("bh.h").as("bucket"))
+    val n = sigs(newDf, "new")
+    val r = sigs(refDf, "ref").persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    n.join(r, Seq("band", "bucket"))
+      .dropDuplicates("new_id", "ref_id")
+      .withColumn("est_jaccard",
+        size(filter(zip_with(col("sig_new"), col("sig_ref"), (x, y) => x === y), m => m))
+          / lit(numHashes.toDouble))
+      .filter(col("est_jaccard") >= threshold)
+      .select(col("new_id"), col("ref_id"), round(col("est_jaccard"), 4).as("est_jaccard"))
+  }
+
   // ---------------------------------------------------------------- clustering
 
   /** Connected components over near-dup candidate pairs → duplicate clusters

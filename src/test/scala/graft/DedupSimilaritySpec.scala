@@ -115,6 +115,21 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(out(3L) == "fr"); assert(out(4L) == "es")
   }
 
+  test("incremental dedup screens a new batch against a reference corpus only") {
+    val ref = docs
+    val newBatch = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog again and again today"), // dup of ref 1
+      (101L, "entirely novel text about columnar shuffle readers")
+    ).toDF("doc_id", "text")
+    val cands = Dedup.minhashCandidatesAgainst(newBatch, ref, "text", "doc_id",
+      shingleN = 2, threshold = 0.8)
+    val pairs = cands.select("new_id", "ref_id").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((100L, 1L)))          // duplicate flagged against corpus
+    assert(!pairs.exists(_._1 == 101L))         // novel doc clean
+    assert(pairs.forall(p => p._1 >= 100L && p._2 < 100L)) // only new x ref pairs
+    assertNoCartesian(cands)
+  }
+
   test("clusterCandidates: connected components elect min-id survivors") {
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (7L, 3L)).toDF("id_a", "id_b")
     val labels = Dedup.clusterCandidates(pairs).collect()
