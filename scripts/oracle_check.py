@@ -26,6 +26,11 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
 def values_equal(a, b) -> bool:
     if pd.isna(a) and pd.isna(b):
         return True
+    # Type-strict: the driver hashes values, so int 12 vs float 12.0 is a
+    # mismatch (bit us in r2 — DuckDB sum(INT) is HUGEINT, which pandas
+    # renders as float64; the oracle SQL must CAST(... AS BIGINT)).
+    if isinstance(a, float) != isinstance(b, float):
+        return False
     if isinstance(a, float) or isinstance(b, float):
         try:
             if pd.isna(a) != pd.isna(b):

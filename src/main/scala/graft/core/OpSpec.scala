@@ -66,7 +66,8 @@ object OpSpec {
     * (spark_processor.py:244-263 function specs). */
   final case class WindowFuncSpec(funcType: String, column: String = null,
                                   alias: String = null, offset: Int = 1,
-                                  default: Any = null, n: Int = 1)
+                                  default: Any = null, n: Int = 1,
+                                  minPeriods: Int = 1)
 }
 
 /** Compile an op list into a single lazy transformation. `tables` resolves

@@ -199,7 +199,8 @@ object PipelineConfig {
       case Some(l: ju.List[_]) => l.asScala.map { f =>
         val fm = subMap(f)
         WindowFuncSpec(str(fm, "type"), str(fm, "column"), str(fm, "alias"),
-          str(fm, "offset", "1").toInt, fm.getOrElse("default", null), str(fm, "n", "1").toInt)
+          str(fm, "offset", "1").toInt, fm.getOrElse("default", null), str(fm, "n", "1").toInt,
+          str(fm, "min_periods", "1").toInt)
       }.toSeq
       case _ => Nil
     }

@@ -22,10 +22,13 @@ object WindowLib {
   // Ranking — window_functions.py:15-115
   def rowNumber(w: WindowSpec): Column   = row_number().over(w)
   def rankMin(w: WindowSpec): Column     = rank().over(w)        // pandas method='min'
-  /** pandas method='max': highest rank within the tie group = rank + ties-1. */
-  def rankMax(w: WindowSpec, tieCols: Seq[String]): Column =
+  /** pandas method='max': highest rank within the tie group = rank + ties-1.
+    * The tie group is (partition key, order key) — both must be in the tie
+    * window or ranks cross partition boundaries.
+    */
+  def rankMax(w: WindowSpec, partitionCols: Seq[String], orderCols: Seq[String]): Column =
     rank().over(w) + count(lit(1)).over(
-      Window.partitionBy(tieCols.map(col): _*)) - 1
+      Window.partitionBy((partitionCols ++ orderCols).map(col): _*)) - 1
   def denseRank(w: WindowSpec): Column   = dense_rank().over(w)  // pandas method='dense'
   def percentRank(w: WindowSpec): Column = percent_rank().over(w)
   def ntileN(n: Int, w: WindowSpec): Column = ntile(n).over(w)
@@ -98,8 +101,8 @@ object WindowLib {
         case "nth_value"    => nthValue(f.column, f.n, framed)
         case "running_sum"  => runningSum(f.column, spec(op.partitionBy, op.orderBy))
         case "running_avg"  => runningAvg(f.column, spec(op.partitionBy, op.orderBy))
-        case "moving_avg"   => movingAverage(f.column, f.n, f.offset, spec(op.partitionBy, op.orderBy))
-        case "moving_sum"   => movingSum(f.column, f.n, f.offset, spec(op.partitionBy, op.orderBy))
+        case "moving_avg"   => movingAverage(f.column, f.n, f.minPeriods, spec(op.partitionBy, op.orderBy))
+        case "moving_sum"   => movingSum(f.column, f.n, f.minPeriods, spec(op.partitionBy, op.orderBy))
         case "sum" | "avg" | "count" | "min" | "max" =>
           Relationalish.agg(f.funcType, f.column).over(framed)
         case other => throw new IllegalArgumentException(s"Unknown window function: $other")

@@ -32,23 +32,25 @@ object Joins {
       rightCols: Seq[String],
       toleranceSeconds: Long = -1L
   ): DataFrame = {
-    val r = right.select((keys.map(col) :+ col(rightTs).cast("timestamp").as("__t")) ++
-        rightCols.map(col): _*)
+    // The whole right payload rides in ONE struct filled by ONE
+    // last(ignoreNulls) — filling columns independently would mix values
+    // from different right rows whenever a right row holds a NULL payload
+    // column (and a single window expression is cheaper than N).
+    val r = right.select((keys.map(col) :+ col(rightTs).cast("timestamp").as("__t") :+
+        struct(rightCols.map(col) :+ col(rightTs).cast("timestamp").as("__mt"): _*).as("__rpay")): _*)
       .withColumn("__side", lit(0)) // right sorts first at equal ts → inclusive
-    val l = rightCols.foldLeft(left.withColumn("__t", col(leftTs).cast("timestamp"))) {
-        (d, c) => d.withColumn(c, lit(null))
-      }
+    val l = left.withColumn("__t", col(leftTs).cast("timestamp"))
       .withColumn("__side", lit(1))
-    val unioned = r.select((keys :+ "__t" :+ "__side").map(col) ++ rightCols.map(col): _*)
-      .unionByName(l, allowMissingColumns = true)
+    val unioned = r.unionByName(l, allowMissingColumns = true)
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col("__t").asc, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val filled = rightCols.foldLeft(unioned) { (d, c) =>
-      d.withColumn(c, last(col(c), ignoreNulls = true).over(w))
-    }.withColumn("__matched_t",
-      last(when(col("__side") === 0, col("__t")), ignoreNulls = true).over(w))
-    val onlyLeft = filled.filter(col("__side") === 1)
+    val filled = unioned
+      .withColumn("__rpay", last(col("__rpay"), ignoreNulls = true).over(w))
+    val onlyLeft = rightCols.foldLeft(filled.filter(col("__side") === 1)) { (d, c) =>
+        d.withColumn(c, col(s"__rpay.$c"))
+      }
+      .withColumn("__matched_t", col("__rpay.__mt"))
     val tolerated =
       if (toleranceSeconds < 0) onlyLeft
       else {
@@ -57,7 +59,7 @@ object Joins {
         rightCols.foldLeft(onlyLeft)((d, c) => d.withColumn(c, when(within, col(c))))
           .withColumn("__matched_t", when(within, col("__matched_t")))
       }
-    tolerated.withColumnRenamed("__matched_t", "asof_ts").drop("__t", "__side")
+    tolerated.withColumnRenamed("__matched_t", "asof_ts").drop("__t", "__side", "__rpay")
   }
 
   /** Range (interval containment) join: left rows with tsCol ∈

@@ -61,6 +61,13 @@ object Scale {
       saltBuckets: Int = 16,
       joinType: String = "inner"
   ): DataFrame = {
+    // Replicating the right side n× is only sound when unmatched right rows
+    // never surface: right/full outer would emit each unmatched right row
+    // n times, and right_semi/anti would change semantics entirely.
+    val allowed = Set("inner", "left", "left_outer", "leftouter", "left_semi",
+      "leftsemi", "left_anti", "leftanti", "cross")
+    require(allowed.contains(joinType.toLowerCase.replace(" ", "")),
+      s"saltedJoin supports only left-payload join types ${allowed.mkString("/")}, got '$joinType'")
     val l = left.withColumn("__salt", pmod(hash(left.columns.map(col): _*), lit(saltBuckets)))
     val r = right.withColumn("__salt", explode(sequence(lit(0), lit(saltBuckets - 1))))
     l.join(r, keys :+ "__salt", joinType).drop("__salt")

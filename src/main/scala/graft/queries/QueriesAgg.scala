@@ -30,9 +30,9 @@ object QueriesAgg {
       t(s, dir, "lineitem").groupBy("l_returnflag")
         .agg(
           roundf(avg(col("l_quantity")), 6).as("mean_q"),
-          round(stddev(col("l_quantity")), 6).as("std_q"),
-          round(variance(col("l_quantity")), 6).as("var_q"),
-          round((avg(pow(col("l_quantity"), 3)) - lit(3) * avg(col("l_quantity")) * avg(pow(col("l_quantity"), 2))
+          roundf(stddev(col("l_quantity")), 6).as("std_q"),
+          roundf(variance(col("l_quantity")), 6).as("var_q"),
+          roundf((avg(pow(col("l_quantity"), 3)) - lit(3) * avg(col("l_quantity")) * avg(pow(col("l_quantity"), 2))
             + lit(2) * pow(avg(col("l_quantity")), 3)) / pow(stddev_pop(col("l_quantity")), 3), 4).as("skew_q"),
           sum(when(col("l_quantity") > 25, 1).otherwise(0)).as("n_above_25"))
         .orderBy("l_returnflag")),
@@ -158,11 +158,11 @@ object QueriesAgg {
     "q_moment_stats" ->
       """SELECT l_returnflag,
         |  round(avg(l_quantity) + 1e-9, 6) AS mean_q,
-        |  round(stddev_samp(l_quantity), 6) AS std_q,
-        |  round(var_samp(l_quantity), 6) AS var_q,
+        |  round(stddev_samp(l_quantity) + 1e-9, 6) AS std_q,
+        |  round(var_samp(l_quantity) + 1e-9, 6) AS var_q,
         |  round((avg(pow(l_quantity, 3)) - 3 * avg(l_quantity) * avg(pow(l_quantity, 2))
-        |         + 2 * pow(avg(l_quantity), 3)) / pow(stddev_pop(l_quantity), 3), 4) AS skew_q,
-        |  sum(CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END) AS n_above_25
+        |         + 2 * pow(avg(l_quantity), 3)) / pow(stddev_pop(l_quantity), 3) + 1e-9, 4) AS skew_q,
+        |  CAST(sum(CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END) AS BIGINT) AS n_above_25
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "q_string_stats" ->
@@ -170,7 +170,7 @@ object QueriesAgg {
         |  CAST(min(length(p_name)) AS INT) AS min_len,
         |  CAST(max(length(p_name)) AS INT) AS max_len,
         |  round(avg(length(p_name)) + 1e-9, 6) AS avg_len,
-        |  sum(CASE WHEN regexp_matches(p_name, 'widget') THEN 1 ELSE 0 END) AS n_widget
+        |  CAST(sum(CASE WHEN regexp_matches(p_name, 'widget') THEN 1 ELSE 0 END) AS BIGINT) AS n_widget
         |FROM part GROUP BY p_brand ORDER BY p_brand""".stripMargin,
 
     "q_datetime_mode" ->
@@ -235,7 +235,7 @@ object QueriesAgg {
         |    sum(CASE WHEN c_acctbal IS NULL THEN 1 ELSE 0 END), count(DISTINCT c_acctbal) FROM customer
         |  UNION ALL SELECT 'c_mktsegment', count(*),
         |    sum(CASE WHEN c_mktsegment IS NULL THEN 1 ELSE 0 END), count(DISTINCT c_mktsegment) FROM customer)
-        |SELECT "column", n, nulls, n_distinct,
+        |SELECT "column", n, CAST(nulls AS BIGINT) AS nulls, n_distinct,
         |  round(n_distinct * 1.0 / n, 6) AS distinct_ratio,
         |  (nulls = 0 AND n_distinct = n) AS is_pk_candidate
         |FROM t ORDER BY "column"""".stripMargin,

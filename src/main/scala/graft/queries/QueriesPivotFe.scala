@@ -130,19 +130,34 @@ object QueriesPivotFe {
       FeatureLib.clusteringFeatures(t(s, dir, "part"), Seq("p_size", "p_retailprice"), 4)
         .select("p_partkey", "cluster", "cluster_dist")),
 
-    "q_fe_pca" -> ((s, dir) =>
+    "q_fe_pca" -> ((s, dir) => {
+      // scalar projection of the PCA vector (dim / L2 norm / |first comp|):
+      // raw ML vectors are unhashable in the driver's rows-only comparator,
+      // and PCA component signs are solver-dependent — full-vector checks
+      // live in the ScalaTest suite.
+      val arr = org.apache.spark.ml.functions.vector_to_array(col("pca"))
       FeatureLib.pcaFeatures(
           t(s, dir, "lineitem").select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_discount", "l_tax"),
           Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"), 0.9)
-        .select("l_orderkey", "l_linenumber", "pca")),
+        .select(col("l_orderkey"), col("l_linenumber"),
+          size(arr).as("pca_dim"),
+          round(sqrt(aggregate(arr, lit(0.0), (acc, x) => acc + x * x)), 4).as("pca_norm"),
+          round(abs(element_at(arr, 1)), 4).as("pca_c1_abs"))
+    }),
 
     "q_fe_kmeans_bin" -> ((s, dir) =>
       FeatureLib.binKmeans(t(s, dir, "orders"), "o_totalprice", 5)
         .groupBy("o_totalprice_kbin").agg(count(lit(1)).as("n"))),
 
-    "q_fe_tfidf" -> ((s, dir) =>
+    "q_fe_tfidf" -> ((s, dir) => {
+      // scalar projection (see q_fe_pca note): nnz + L2 norm of the sparse
+      // tf-idf vector, sortable by the rows-only comparator
+      val arr = org.apache.spark.ml.functions.vector_to_array(col("tfidf"))
       FeatureLib.textTfidf(t(s, dir, "documents"), "text", vocabSize = 100)
-        .select("doc_id", "tfidf"))
+        .select(col("doc_id"),
+          size(filter(arr, _ =!= 0.0)).as("tfidf_nnz"),
+          round(sqrt(aggregate(arr, lit(0.0), (acc, x) => acc + x * x)), 4).as("tfidf_norm"))
+    })
   )
 
   val oracle: Map[String, String] = Map(

@@ -136,8 +136,12 @@ object QueriesText {
       val media = Multimodal.asMedia(
         t(s, dir, "documents").withColumn("payload", col("text").cast("binary")),
         "doc_id", "payload", "text/plain")
+      // scalar projection: raw float arrays are unhashable in the driver's
+      // rows-only comparator; array-level assertions live in MultimodalSpec
       Multimodal.decodeToFeatures(media, "payload", dim = 8)
-        .select("media_id", "features")
+        .select(col("media_id"), size(col("features")).as("feat_dim"),
+          round(aggregate(col("features"), lit(0.0), (acc, x) => acc + x * x), 4).as("feat_sq_sum"),
+          round(element_at(col("features"), 1), 4).as("feat_c1"))
     }),
 
     "q_multimodal_frames" -> ((s, dir) => {

@@ -67,6 +67,32 @@ class JoinsSpec extends SparkSpec {
     assert(got.toSeq == ref.toSeq)
   }
 
+  test("asofJoin keeps all payload columns from the SAME matched right row") {
+    // Regression: per-column last(ignoreNulls) fill would pull `a` from the
+    // 10:00 row but `b` from the 09:00 row when the 10:00 row has b = NULL.
+    val r = Seq(
+      ("A", ts("2024-01-01 09:00:00"), Some(1.0), Some("old")),
+      ("A", ts("2024-01-01 10:00:00"), Some(2.0), None: Option[String])
+    ).toDF("k", "rts", "a", "b")
+    val l = Seq(("A", ts("2024-01-01 10:30:00"), 1)).toDF("k", "lts", "id")
+    val out = Joins.asofJoin(l, r, Seq("k"), "lts", "rts", Seq("a", "b")).collect()(0)
+    assert(out.getAs[Double]("a") == 2.0)
+    assert(out.isNullAt(out.fieldIndex("b"))) // NOT "old" — same-row semantics
+    assert(out.getAs[Timestamp]("asof_ts") == ts("2024-01-01 10:00:00"))
+  }
+
+  test("saltedJoin rejects join types that replicate unmatched right rows") {
+    val l = Seq((1, "x")).toDF("k", "lv")
+    val r = Seq((1, "y")).toDF("k", "rv")
+    intercept[IllegalArgumentException] {
+      graft.ops.Scale.saltedJoin(l, r, Seq("k"), 4, "right_outer")
+    }
+    intercept[IllegalArgumentException] {
+      graft.ops.Scale.saltedJoin(l, r, Seq("k"), 4, "full")
+    }
+    assert(graft.ops.Scale.saltedJoin(l, r, Seq("k"), 4, "left").count() == 1)
+  }
+
   test("rangeJoinBucketed matches BETWEEN semantics exactly once per pair") {
     val points = Seq(
       ("u1", ts("2024-01-01 00:10:00"), 1),

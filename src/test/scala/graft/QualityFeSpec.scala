@@ -75,7 +75,7 @@ class QualityFeSpec extends SparkSpec {
       .toDF("g", "v")
     val w = graft.functions.WindowLib.spec(Seq("g"), Seq("v" -> true))
     val out = d.withColumn("rmin", graft.functions.WindowLib.rankMin(w))
-      .withColumn("rmax", graft.functions.WindowLib.rankMax(w, Seq("g", "v")))
+      .withColumn("rmax", graft.functions.WindowLib.rankMax(w, Seq("g"), Seq("v")))
       .orderBy("v").select("rmin", "rmax").collect()
       .map(r => (r.getInt(0), r.getLong(1))) // rmax is long (count arithmetic)
     assert(out.toSeq == Seq((1, 2L), (1, 2L), (3, 3L), (4, 6L), (4, 6L), (4, 6L)))
