@@ -28,6 +28,7 @@ object Bench {
   )
 
   def main(args: Array[String]): Unit = {
+    val names = if (args.nonEmpty) args.toSeq else headline // dev: bench a subset
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = graft.core.Sessions.configure(
@@ -42,7 +43,7 @@ object Bench {
         .groupBy("l_returnflag").count().write.format("noop").mode("overwrite").save()
     } catch { case _: Throwable => () }
 
-    val results = headline.filter(qs.contains).map { name =>
+    val results = names.filter(qs.contains).map { name =>
       def run(): Unit = qs(name)(spark, sfDir).write.format("noop").mode("overwrite").save()
       try run() catch { case e: Throwable => System.err.println(s"[bench] $name warmup failed: ${e.getMessage}") }
       spark.catalog.clearCache() // drop persisted intermediates so queries don't

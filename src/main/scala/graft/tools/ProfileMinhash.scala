@@ -29,6 +29,30 @@ object ProfileMinhash {
       .select(col("id"), col("sig"), col("bh.band").as("band"), col("bh.h").as("bucket"))
     time("3 sigs+bands")(sigs.write.format("noop").mode("overwrite").save().asInstanceOf[Unit] match { case _ => 0L })
     time("4 full candidates")(Dedup.minhashCandidates(docs, "text", "doc_id", 3, 64, 16, 0.4).count())
+
+    // sub-stage breakdown of the candidate pipeline
+    val sigsP = docs.select(col("doc_id").as("id"), Dedup.minhashSignature(col("text"), 3, 64).as("sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    time("4a persist sigs")(sigsP.count())
+    val buckets = sigsP.select(col("id"), explode(Dedup.lshBandHashes(col("sig"), 16, 4)).as("bh"))
+      .select(col("id"), col("bh.band").as("band"), col("bh.h").as("bucket"))
+    val bucketSizes = buckets.groupBy("band", "bucket").agg(count(lit(1)).as("bsz"))
+      .filter(col("bsz") <= 1000 && col("bsz") > 1)
+    time("4b bucket sizes")(bucketSizes.count())
+    val inBuckets = buckets.join(bucketSizes, Seq("band", "bucket"))
+    val a = inBuckets.select(col("band"), col("bucket"), col("id").as("id_a"))
+    val b = inBuckets.select(col("band"), col("bucket"), col("id").as("id_b"))
+    val rawPairs = a.join(b, Seq("band", "bucket")).filter(col("id_a") < col("id_b")).select("id_a", "id_b")
+    time("4c raw pairs")(rawPairs.count())
+    val dedupPairs = rawPairs.dropDuplicates("id_a", "id_b")
+    time("4d dedup pairs")(dedupPairs.count())
+    val est = dedupPairs
+      .join(sigsP.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
+      .join(sigsP.select(col("id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
+      .withColumn("est_jaccard",
+        size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), m => m)) / lit(64.0))
+      .filter(col("est_jaccard") >= 0.4)
+    time("4e est+filter")(est.count())
     spark.stop()
   }
 }

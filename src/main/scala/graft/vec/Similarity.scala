@@ -19,12 +19,13 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Dot product of two float-array columns as one codegen'd expression. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, x) => acc + x)
+  /** Dot product of two numeric-array columns — native expression
+    * (graft.expr.DotProduct); the HOF `aggregate(zip_with(...))` shape is
+    * interpreted per element in Spark 4.1.
+    */
+  def dot(a: Column, b: Column): Column = graft.expr.DotProduct(a, b)
 
-  def l2Norm(a: Column): Column =
-    sqrt(aggregate(transform(a, x => x * x), lit(0.0d), (acc, x) => acc + x))
+  def l2Norm(a: Column): Column = graft.expr.L2NormExpr(a)
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (l2Norm(a) * l2Norm(b))
 
@@ -57,21 +58,14 @@ object Similarity {
     Array.fill(nbits, dim)(rnd.nextGaussian())
   }
 
-  /** Sign-bit signature under the hyperplanes, as an array<int> of band
-    * hashes: `bands` bands of `bitsPerBand` bits each.
+  /** Sign-bit signature under the hyperplanes: array<int> of band hashes
+    * indexed by band (`bands` bands of `bitsPerBand` bits), computed by the
+    * native HyperplaneSig expression — one tight nbits×dim loop per row
+    * instead of nbits interpreted per-plane dots. Pair with `posexplode`
+    * (pos = band, col = bucket).
     */
-  private def bandSignature(vec: Column, planes: Array[Array[Double]], bands: Int, bitsPerBand: Int): Column = {
-    val bits: Seq[Column] = planes.toSeq.map { p =>
-      val planeLit = array(p.map(lit).toSeq: _*)
-      when(dot(vec, planeLit) >= 0, 1).otherwise(0)
-    }
-    val bandCols = (0 until bands).map { b =>
-      val slice = bits.slice(b * bitsPerBand, (b + 1) * bitsPerBand)
-      val packed = slice.zipWithIndex.map { case (bit, i) => bit * math.pow(2, i).toInt }.reduce(_ + _)
-      struct(lit(b).as("band"), packed.as("h"))
-    }
-    array(bandCols: _*)
-  }
+  private def bandSignature(vec: Column, planes: Array[Array[Double]], bands: Int, bitsPerBand: Int): Column =
+    graft.expr.HyperplaneSig(vec, planes, bands, bitsPerBand)
 
   /** LSH-bucketed approximate top-k: same-band-bucket candidates only.
     * Plan shape: corpus exploded once by band (bands× duplication, tunable),
@@ -85,11 +79,11 @@ object Similarity {
   ): DataFrame = {
     val planes = hyperplanes(dim, bands * bitsPerBand, seed)
     val cSig = corpus.select(col(corpusId).as("neighbor_id"), col(corpusVec).as("__cv"),
-      explode(bandSignature(col(corpusVec), planes, bands, bitsPerBand)).as("bh"))
-      .select(col("neighbor_id"), col("__cv"), col("bh.band").as("band"), col("bh.h").as("bucket"))
+      posexplode(bandSignature(col(corpusVec), planes, bands, bitsPerBand)))
+      .toDF("neighbor_id", "__cv", "band", "bucket")
     val qSig = queries.select(col(queryId).as("query_id"), col(queryVec).as("__qv"),
-      explode(bandSignature(col(queryVec), planes, bands, bitsPerBand)).as("bh"))
-      .select(col("query_id"), col("__qv"), col("bh.band").as("band"), col("bh.h").as("bucket"))
+      posexplode(bandSignature(col(queryVec), planes, bands, bitsPerBand)))
+      .toDF("query_id", "__qv", "band", "bucket")
     val cands = cSig.join(qSig, Seq("band", "bucket"))
       .filter(if (excludeSelf) col("neighbor_id") =!= col("query_id") else lit(true))
       .dropDuplicates("query_id", "neighbor_id")
@@ -149,8 +143,8 @@ object Similarity {
   ): DataFrame = {
     val planes = hyperplanes(dim, bands * bitsPerBand, seed)
     val sig = corpus.select(col(idCol).as("id"), col(vecCol).as("__v"),
-      explode(bandSignature(col(vecCol), planes, bands, bitsPerBand)).as("bh"))
-      .select(col("id"), col("__v"), col("bh.band").as("band"), col("bh.h").as("bucket"))
+      posexplode(bandSignature(col(vecCol), planes, bands, bitsPerBand)))
+      .toDF("id", "__v", "band", "bucket")
     val a = sig.select(col("band"), col("bucket"), col("id").as("id_a"), col("__v").as("__va"))
     val b = sig.select(col("band"), col("bucket"), col("id").as("id_b"), col("__v").as("__vb"))
     a.join(b, Seq("band", "bucket"))
