@@ -100,8 +100,12 @@ object QueriesText {
       Dedup.simhashCandidates(docsWithNearDups(s, dir), "text", "doc_id", maxHamming = 3)),
 
     "q_dedup_ngram_jaccard" -> ((s, dir) =>
+      // exact set-Jaccard is engine-independent math → full oracle (the
+      // MinHash/SimHash siblings stay rows-only: their hash families are
+      // engine-specific)
       Dedup.ngramJaccardPairs(docsWithNearDups(s, dir), "text", "doc_id",
-        shingleN = 3, threshold = 0.4)),
+          shingleN = 3, threshold = 0.4)
+        .orderBy("id_a", "id_b")),
 
     "q_embed_neardup" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
@@ -148,11 +152,57 @@ object QueriesText {
       val media = Multimodal.asMedia(
         t(s, dir, "documents").withColumn("payload", col("text").cast("binary")),
         "doc_id", "payload", "video/fake", durationMs = 5000L)
+      // frame_len instead of the raw frame bytes: byte-slice lengths are
+      // engine-independent (oracle-able), raw blobs are not comparable
       Multimodal.sampleFrames(media, everyMs = 1000L)
+        .select(col("media_id"), col("frame_idx"),
+          length(col("frame_payload")).as("frame_len"))
+        .orderBy("media_id", "frame_idx")
     })
   )
 
   val oracle: Map[String, String] = Map(
+    "q_dedup_ngram_jaccard" ->
+      // mirrors Dedup.ngramJaccardPairs exactly: distinct word 3-gram
+      // shingles of normalized text (whole text when < 3 words), document
+      // frequency prune 1 < df <= 500, inter/union set Jaccard
+      """WITH u AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000, regexp_replace(text, '\s+\S+\s*$', '') FROM documents),
+        |tok AS (
+        |  SELECT doc_id AS id,
+        |    string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS ws
+        |  FROM u),
+        |sh AS (
+        |  SELECT id, unnest(list_distinct(
+        |    CASE WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+        |         ELSE list_transform(range(1, len(ws) - 1),
+        |                i -> ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2])
+        |    END)) AS s
+        |  FROM tok),
+        |freq AS (SELECT s, count(*) AS df FROM sh GROUP BY s),
+        |pruned AS (SELECT sh.id, sh.s FROM sh JOIN freq USING (s) WHERE freq.df > 1 AND freq.df <= 500),
+        |sizes AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
+        |inter AS (
+        |  SELECT a.id AS id_a, b.id AS id_b, count(*) AS i
+        |  FROM pruned a JOIN pruned b USING (s)
+        |  WHERE a.id < b.id GROUP BY 1, 2)
+        |SELECT id_a, id_b, jaccard FROM (
+        |  SELECT id_a, id_b,
+        |    round(i * 1.0 / (sa.sz + sb.sz - i), 4) AS jaccard
+        |  FROM inter
+        |  JOIN sizes sa ON sa.id = id_a
+        |  JOIN sizes sb ON sb.id = id_b)
+        |WHERE jaccard >= 0.4 ORDER BY id_a, id_b""".stripMargin,
+
+    "q_multimodal_frames" ->
+      """SELECT doc_id AS media_id, frame_idx,
+        |  CAST(greatest(0, least(16, octet_length(encode(text)) - frame_idx * 16)) AS INT) AS frame_len
+        |FROM documents
+        |CROSS JOIN (SELECT unnest(range(0, 5)) AS frame_idx)
+        |ORDER BY media_id, frame_idx""".stripMargin,
+
     "q_dedup_exact" ->
       """WITH u AS (
         |  SELECT doc_id, text, lang, source, n_chars FROM documents

@@ -91,21 +91,32 @@ object QueriesTime {
         .orderBy("event_type", "period_str")
     }),
 
-    "q_ts_ewm" -> ((s, dir) => // rows-only: sequential per-key scan, no SQL closed form
+    "q_ts_ewm" -> ((s, dir) => // rows-only: sequential per-key scan; the closed-form
+      // SQL rewrite ((1-α)^-t cumsums) overflows doubles on long series, so
+      // no oracle — pandas-vs-Spark parity is pinned in TimeSeriesSpec
       TimeSeriesLib.smoothEwm(
-        t(s, dir, "events").withColumn("es", unix_timestamp(col("ts"))),
-        "value", 0.3, orderCol = "event_id", partitionBy = Seq("user_id"))),
+          t(s, dir, "events"), "value", 0.3, orderCol = "event_id", partitionBy = Seq("user_id"))
+        .select(col("event_id"), col("user_id"), col("value"),
+          round(col("value_ewm"), 6).as("value_ewm"))
+        .orderBy("event_id")),
 
-    "q_ts_savgol" -> ((s, dir) => // rows-only: validated by ScalaTest polynomial-reproduction property
+    "q_ts_savgol" -> ((s, dir) =>
       TimeSeriesLib.smoothSavgol(t(s, dir, "events"), "value", 7, 2,
           orderCol = "event_id", partitionBy = Seq("user_id"))
-        .select("event_id", "user_id", "value", "value_savgol")),
+        .select(col("event_id"), col("user_id"), col("value"),
+          roundf(col("value_savgol"), 6).as("value_savgol"))
+        .orderBy("event_id")),
 
-    "q_ts_seasonal" -> ((s, dir) => { // rows-only: validated by ScalaTest reconstruction property
+    "q_ts_seasonal" -> ((s, dir) => {
       val hourly = TimeSeriesLib.resample(t(s, dir, "events"), "ts", "1 hour",
         Seq("value" -> "sum"), keys = Seq("event_type"))
       TimeSeriesLib.seasonalDecompose(hourly, "value_sum", 24, orderCol = "period",
-        partitionBy = Seq("event_type"))
+          partitionBy = Seq("event_type"))
+        .select(col("event_type"), date_format(col("period"), fmt).as("period_str"),
+          roundf(col("trend"), 4).as("trend"),
+          roundf(col("seasonal"), 4).as("seasonal"),
+          roundf(col("resid"), 4).as("resid"))
+        .orderBy("event_type", "period_str")
     }),
 
     "q_asof_join" -> ((s, dir) => {
@@ -159,7 +170,53 @@ object QueriesTime {
         .orderBy("user_id", "session_start"))
   )
 
+  /** Savitzky–Golay oracle: the FIR coefficients are solved driver-side (the
+    * same solver the engine uses) and inlined as literals — Double.toString
+    * round-trips, so DuckDB parses the identical doubles; terms are summed in
+    * the same -h..+h order as the engine's fold.
+    */
+  private val savgolSql: String = {
+    val coeffs = graft.functions.TimeSeriesLib.savgolCoefficients(7, 2)
+    val terms = coeffs.zipWithIndex.map { case (c, j) =>
+      val off = j - 3
+      val ref =
+        if (off < 0) s"lag(value, ${-off}) OVER w"
+        else if (off > 0) s"lead(value, $off) OVER w"
+        else "value"
+      s"($ref * ($c))"
+    }.mkString(" + ")
+    s"""SELECT event_id, user_id, value,
+       |  round(CASE WHEN count(value) OVER wf = 7 THEN $terms END + 1e-9, 6) AS value_savgol
+       |FROM events
+       |WINDOW w AS (PARTITION BY user_id ORDER BY event_id),
+       |       wf AS (PARTITION BY user_id ORDER BY event_id ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+       |ORDER BY event_id""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "q_ts_savgol" -> savgolSql,
+
+    "q_ts_seasonal" ->
+      """WITH h AS (
+        |  SELECT event_type,
+        |    make_timestamp(CAST(floor(epoch(ts)/3600) AS BIGINT)*3600*1000000) AS period,
+        |    sum(value) AS v
+        |  FROM events GROUP BY 1, 2),
+        |t AS (SELECT event_type, period, v,
+        |        CASE WHEN count(v) OVER wf = 25 THEN
+        |          (sum(v) OVER wf - (first_value(v) OVER wf + last_value(v) OVER wf)/2) / 24 END AS trend,
+        |        row_number() OVER (PARTITION BY event_type ORDER BY period) AS rn
+        |      FROM h
+        |      WINDOW wf AS (PARTITION BY event_type ORDER BY period ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)),
+        |d AS (SELECT *, (rn - 1) % 24 AS phase, v - trend AS detr FROM t),
+        |p AS (SELECT *, avg(detr) OVER (PARTITION BY event_type, phase) AS pm FROM d),
+        |s AS (SELECT *, pm - avg(pm) OVER (PARTITION BY event_type) AS seasonal FROM p)
+        |SELECT event_type, strftime(period, '%Y-%m-%d %H:%M:%S') AS period_str,
+        |  round(trend + 1e-9, 4) AS trend,
+        |  round(seasonal + 1e-9, 4) AS seasonal,
+        |  round(v - trend - seasonal + 1e-9, 4) AS resid
+        |FROM s ORDER BY event_type, period_str""".stripMargin,
+
     "q_ts_resample" ->
       """SELECT strftime(make_timestamp(CAST(floor(epoch(ts)/3600) AS BIGINT)*3600*1000000),
         |               '%Y-%m-%d %H:%M:%S') AS period_str,

@@ -53,7 +53,7 @@ object Similarity {
   /** Deterministic random hyperplanes: `nbits × dim` doubles seeded from
     * (seed, bit, dim index) — reproducible across runs and engines.
     */
-  private[vec] def hyperplanes(dim: Int, nbits: Int, seed: Long): Array[Array[Double]] = {
+  private[graft] def hyperplanes(dim: Int, nbits: Int, seed: Long): Array[Array[Double]] = {
     val rnd = new scala.util.Random(seed)
     Array.fill(nbits, dim)(rnd.nextGaussian())
   }

@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.vec.Similarity
+
+/** Native vector kernels (graft.expr.VecExprs) vs their interpreted HOF
+  * formulations — the expressions must be drop-in bit-compatible, since
+  * q_ann_brute is oracle-hash-compared.
+  */
+class VecExprsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val rnd = new scala.util.Random(11)
+  private def vecF(n: Int): Seq[Float] = Seq.fill(n)(rnd.nextFloat() * 2 - 1)
+
+  test("DotProduct / L2NormExpr match the double-HOF formulation bit-for-bit") {
+    // Double arrays: identical accumulation order → bit equality required.
+    // (Float arrays differ by design: the HOF multiplies in FLOAT precision,
+    // the native kernel widens to double first — matching what a SQL oracle
+    // computes; covered with a tolerance below.)
+    val rows = (1 to 200).map(i => (i, vecF(64).map(_.toDouble), vecF(64).map(_.toDouble)))
+    val df = rows.toDF("id", "a", "b")
+    val hofDot = aggregate(zip_with(col("a"), col("b"), (x, y) => x * y), lit(0.0d), (acc, x) => acc + x)
+    val hofNorm = sqrt(aggregate(transform(col("a"), x => x * x), lit(0.0d), (acc, x) => acc + x))
+    val out = df.select(
+      graft.expr.DotProduct(col("a"), col("b")).as("nd"),
+      hofDot.as("hd"),
+      graft.expr.L2NormExpr(col("a")).as("nn"),
+      hofNorm.as("hn")).collect()
+    out.foreach { r =>
+      assert(r.getDouble(0) == r.getDouble(1), s"dot mismatch: ${r.getDouble(0)} vs ${r.getDouble(1)}")
+      assert(r.getDouble(2) == r.getDouble(3), s"norm mismatch: ${r.getDouble(2)} vs ${r.getDouble(3)}")
+    }
+  }
+
+  test("DotProduct on float arrays agrees with the HOF within float tolerance") {
+    val rows = (1 to 200).map(i => (i, vecF(64), vecF(64)))
+    val df = rows.toDF("id", "a", "b")
+    val hofDot = aggregate(zip_with(col("a"), col("b"), (x, y) => x * y), lit(0.0d), (acc, x) => acc + x)
+    val out = df.select(graft.expr.DotProduct(col("a"), col("b")).as("nd"), hofDot.as("hd")).collect()
+    out.foreach(r => assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-4))
+  }
+
+  test("DotProduct handles double arrays and null inputs") {
+    val df = Seq(
+      (1, Some(Seq(1.0, 2.0, 3.0)), Some(Seq(4.0, 5.0, 6.0))),
+      (2, None: Option[Seq[Double]], Some(Seq(1.0)))
+    ).toDF("id", "a", "b")
+    val out = df.select(col("id"), graft.expr.DotProduct(col("a"), col("b")).as("d"))
+      .orderBy("id").collect()
+    assert(out(0).getDouble(1) == 32.0)
+    assert(out(1).isNullAt(1))
+  }
+
+  test("HyperplaneSig packs the same band hashes as per-plane sign bits") {
+    val dim = 16; val bands = 4; val bitsPerBand = 4
+    val planes = Similarity.hyperplanes(dim, bands * bitsPerBand, seed = 42L)
+    val rows = (1 to 100).map(i => (i, vecF(dim)))
+    val df = rows.toDF("id", "v")
+    val got = df.select(col("id"), graft.expr.HyperplaneSig(col("v"), planes, bands, bitsPerBand).as("sig"))
+      .orderBy("id").collect().map(_.getSeq[Int](1))
+    // reference: plain Scala computation of the same packing
+    rows.zip(got).foreach { case ((_, v), sig) =>
+      val expected = Array.fill(bands)(0)
+      for (bit <- 0 until bands * bitsPerBand) {
+        var acc = 0.0
+        for (i <- 0 until dim) acc += v(i).toDouble * planes(bit)(i)
+        if (acc >= 0) expected(bit / bitsPerBand) |= 1 << (bit % bitsPerBand)
+      }
+      assert(sig == expected.toSeq)
+    }
+  }
+
+  test("lshTopK recall vs bruteTopK stays high on clustered vectors") {
+    // 10 tight clusters; queries are jittered cluster members — LSH must
+    // recover most true neighbors through band collisions
+    val centers = Array.fill(10)(Array.fill(32)(rnd.nextGaussian()))
+    val corpus = (0 until 500).map { i =>
+      val c = centers(i % 10)
+      (i.toLong, c.map(x => (x + rnd.nextGaussian() * 0.05).toFloat).toSeq)
+    }.toDF("vec_id", "embedding")
+    val queries = corpus.filter(col("vec_id") < 5)
+    val exact = Similarity.bruteTopK(corpus, "vec_id", "embedding", queries, "vec_id", "embedding", k = 10)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val approx = Similarity.lshTopK(corpus, "vec_id", "embedding", queries, "vec_id", "embedding",
+        k = 10, dim = 32, bands = 8, bitsPerBand = 4)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.8, s"LSH recall too low: $recall")
+  }
+}
