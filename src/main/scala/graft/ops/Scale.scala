@@ -92,4 +92,43 @@ object Scale {
   def bucketedJoin(spark: SparkSession, leftTable: String, rightTable: String,
                    keys: Seq[String], joinType: String = "inner"): DataFrame =
     spark.table(leftTable).join(spark.table(rightTable), keys, joinType)
+
+  /** Blocklist exclusion with a Bloom prefilter — the 100 TB shape for
+    * "drop every document whose key appears in a known-bad list":
+    * a plain left_anti join shuffles the FULL corpus on the key; here a
+    * Bloom filter over the blocklist (built distributed with Spark's own
+    * BloomFilterAggregate, a few MB of bits) is evaluated row-local, so only
+    * the tiny might-match fraction (true matches + fpp of the corpus) pays
+    * the exact anti-join. No false drops: bloom-negative rows are provably
+    * clean, bloom-positive rows are re-checked exactly.
+    */
+  def excludeKeysBloom(
+      df: DataFrame,
+      keyCol: String,
+      blocklist: DataFrame,
+      blockKeyCol: String,
+      fpp: Double = 0.01
+  ): DataFrame = {
+    import org.apache.spark.sql.GraftColumnBridge
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.types.BinaryType
+    val est = math.max(1L,
+      blocklist.agg(approx_count_distinct(col(blockKeyCol))).first().getLong(0))
+    val numBits = math.max(64L,
+      math.ceil(-est * math.log(fpp) / (math.log(2) * math.log(2))).toLong)
+    val bloomAgg = GraftColumnBridge.column(
+      new BloomFilterAggregate(
+        GraftColumnBridge.expression(xxhash64(col(blockKeyCol))),
+        GraftColumnBridge.expression(lit(est)),
+        GraftColumnBridge.expression(lit(numBits))).toAggregateExpression())
+    val bloomBytes = blocklist.select(bloomAgg.as("bf")).first().getAs[Array[Byte]](0)
+    val might = GraftColumnBridge.column(BloomFilterMightContain(
+      Literal(bloomBytes, BinaryType),
+      GraftColumnBridge.expression(xxhash64(col(keyCol)))))
+    val clean = df.filter(!might)
+    val suspect = df.filter(might)
+      .join(blocklist.select(col(blockKeyCol).as(keyCol)).distinct(), Seq(keyCol), "left_anti")
+    clean.unionByName(suspect)
+  }
 }

@@ -32,6 +32,16 @@ object QueriesText {
         .select("doc_id", "lang", "source", "n_chars")
         .orderBy("doc_id")),
 
+    "q_bloom_exclude" -> ((s, dir) => {
+      // blocklist exclusion via Bloom prefilter + exact anti-join
+      // (Scale.excludeKeysBloom); result is exact anti-join semantics
+      val docs = t(s, dir, "documents")
+      val block = docs.filter(col("doc_id") % 7 === 0).select(col("doc_id").as("bad_id"))
+      graft.ops.Scale.excludeKeysBloom(docs, "doc_id", block, "bad_id", fpp = 0.01)
+        .select("doc_id", "lang", "n_chars")
+        .orderBy("doc_id")
+    }),
+
     "q_dedup_exact_map" -> ((s, dir) => {
       // duplicate every 5th doc verbatim (id+200000) → known dup groups
       val d = t(s, dir, "documents")
@@ -129,8 +139,10 @@ object QueriesText {
     }),
 
     "q_lang_id" -> ((s, dir) =>
+      // oracle-able: stopword-ratio scores are exact int/count arithmetic
       TextLib.langId(t(s, dir, "documents"), "text")
-        .select("doc_id", "lang", "lang_pred")),
+        .select("doc_id", "lang", "lang_pred")
+        .orderBy("doc_id")),
 
     "q_fingerprint" -> ((s, dir) =>
       t(s, dir, "documents")
@@ -161,7 +173,39 @@ object QueriesText {
     })
   )
 
+  /** langId oracle: built from the SAME marker lists the engine uses
+    * (TextLib.Markers) — per-language stopword-occurrence ratio, argmax with
+    * Spark's struct-greatest tie-break (max score, then max lang code).
+    */
+  private val langIdSql: String = {
+    val markers = graft.text.TextLib.Markers
+    val scoreCols = markers.map { case (lang, stops) =>
+      val inList = stops.map(s => s"'$s'").mkString(", ")
+      s"len(list_filter(ws, w -> w IN ($inList))) * 1.0 / len(ws) AS s_$lang"
+    }.mkString(",\n  ")
+    val bestExpr = markers.map(m => s"s_${m._1}").mkString("greatest(", ", ", ")")
+    val pick = markers.map(_._1).sorted.reverse.map(l => s"WHEN s_$l = best THEN '$l'").mkString(" ")
+    s"""WITH tok AS (
+       |  SELECT doc_id, lang,
+       |    string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS ws
+       |  FROM documents),
+       |sc AS (SELECT doc_id, lang,
+       |  $scoreCols
+       |  FROM tok),
+       |b AS (SELECT *, $bestExpr AS best FROM sc)
+       |SELECT doc_id, lang,
+       |  CASE WHEN best > 0.02 THEN (CASE $pick END) ELSE 'und' END AS lang_pred
+       |FROM b ORDER BY doc_id""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "q_lang_id" -> langIdSql,
+
+    "q_bloom_exclude" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+        |WHERE doc_id NOT IN (SELECT doc_id FROM documents WHERE doc_id % 7 = 0)
+        |ORDER BY doc_id""".stripMargin,
+
     "q_dedup_ngram_jaccard" ->
       // mirrors Dedup.ngramJaccardPairs exactly: distinct word 3-gram
       // shingles of normalized text (whole text when < 3 words), document

@@ -22,6 +22,17 @@ class ScaleSpec extends SparkSpec {
     assert(plain == salted)
   }
 
+  test("excludeKeysBloom equals exact anti-join (no false drops, no leaks)") {
+    val corpus = (1L to 5000L).map(i => (i, s"doc$i")).toDF("id", "body")
+    val block = (1L to 5000L).filter(_ % 7 == 0).map(Tuple1(_)).toDF("bad_id")
+    val got = Scale.excludeKeysBloom(corpus, "id", block, "bad_id", fpp = 0.01)
+      .select("id").as[Long].collect().toSet
+    val expected = corpus.join(block.withColumnRenamed("bad_id", "id"), Seq("id"), "left_anti")
+      .select("id").as[Long].collect().toSet
+    assert(got == expected)
+    assert(got.forall(_ % 7 != 0) && got.size == 5000 - 5000 / 7)
+  }
+
   test("ExactPercentile custom aggregate matches built-in percentile") {
     val df = (1 to 999).map(i => (s"g${i % 3}", i.toDouble)).toDF("g", "v")
     val got = df.groupBy("g")
