@@ -66,6 +66,24 @@ object SchemaInference {
     missing == 0L
   }
 
+  /** FK containment stats as data (one row per candidate pair): distinct
+    * child keys, count missing from the parent, containment ratio, verdict.
+    * The anti-join runs on DISTINCT keys — cost scales with key cardinality,
+    * not table size, so star-schema probes stay cheap at corpus scale.
+    */
+  def fkCandidateStats(child: DataFrame, childCol: String,
+                       parent: DataFrame, parentCol: String): DataFrame = {
+    val ck = child.select(col(childCol).as("k")).where(col("k").isNotNull).distinct()
+    val missing = ck.join(parent.select(col(parentCol).as("k")).distinct(), Seq("k"), "left_anti")
+    ck.agg(count(lit(1)).as("n_child_keys"))
+      .crossJoin(missing.agg(count(lit(1)).as("n_missing")))
+      .select(
+        lit(childCol).as("child_col"), lit(parentCol).as("parent_col"),
+        col("n_child_keys"), col("n_missing"),
+        round((col("n_child_keys") - col("n_missing")) / col("n_child_keys"), 6).as("containment"),
+        (col("n_missing") === 0).as("is_fk_candidate"))
+  }
+
   /** Table quality score (schema_inference.py:266-286): weighted blend of
     * completeness and key integrity, one bounded row out.
     */

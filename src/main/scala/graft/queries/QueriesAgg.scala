@@ -137,7 +137,18 @@ object QueriesAgg {
         .orderBy("metric")),
 
     "q_describe" -> ((s, dir) => // rows-only: describe() emits engine-formatted strings
-      t(s, dir, "supplier").describe("s_acctbal", "s_nationkey"))
+      t(s, dir, "supplier").describe("s_acctbal", "s_nationkey")),
+
+    "q_fk_candidates" -> ((s, dir) => {
+      // star-schema FK probes: two true FKs + one deliberately-false
+      // direction (parents without children)
+      val o = t(s, dir, "orders"); val c = t(s, dir, "customer")
+      val li = t(s, dir, "lineitem"); val p = t(s, dir, "part")
+      SchemaInference.fkCandidateStats(o, "o_custkey", c, "c_custkey")
+        .unionByName(SchemaInference.fkCandidateStats(li, "l_partkey", p, "p_partkey"))
+        .unionByName(SchemaInference.fkCandidateStats(c, "c_custkey", o, "o_custkey"))
+        .orderBy("child_col")
+    })
   )
 
   val oracle: Map[String, String] = Map(
@@ -305,6 +316,29 @@ object QueriesAgg {
         |SELECT "column", metric, round(raw + 1e-9, 4) AS value
         |FROM m UNPIVOT (raw FOR metric IN (count, "distinct", min_len, max_len, avg_len, empty, whitespace))
         |ORDER BY "column", metric""".stripMargin,
+
+    "q_fk_candidates" ->
+      """WITH probe AS (
+        |  SELECT 'o_custkey' AS child_col, 'c_custkey' AS parent_col,
+        |    (SELECT count(DISTINCT o_custkey) FROM orders WHERE o_custkey IS NOT NULL) AS n_child_keys,
+        |    (SELECT count(*) FROM (SELECT DISTINCT o_custkey AS k FROM orders WHERE o_custkey IS NOT NULL)
+        |     WHERE k NOT IN (SELECT DISTINCT c_custkey FROM customer WHERE c_custkey IS NOT NULL)) AS n_missing
+        |  UNION ALL
+        |  SELECT 'l_partkey', 'p_partkey',
+        |    (SELECT count(DISTINCT l_partkey) FROM lineitem WHERE l_partkey IS NOT NULL),
+        |    (SELECT count(*) FROM (SELECT DISTINCT l_partkey AS k FROM lineitem WHERE l_partkey IS NOT NULL)
+        |     WHERE k NOT IN (SELECT DISTINCT p_partkey FROM part WHERE p_partkey IS NOT NULL))
+        |  UNION ALL
+        |  SELECT 'c_custkey', 'o_custkey',
+        |    (SELECT count(DISTINCT c_custkey) FROM customer WHERE c_custkey IS NOT NULL),
+        |    (SELECT count(*) FROM (SELECT DISTINCT c_custkey AS k FROM customer WHERE c_custkey IS NOT NULL)
+        |     WHERE k NOT IN (SELECT DISTINCT o_custkey FROM orders WHERE o_custkey IS NOT NULL)))
+        |SELECT child_col, parent_col,
+        |  CAST(n_child_keys AS BIGINT) AS n_child_keys,
+        |  CAST(n_missing AS BIGINT) AS n_missing,
+        |  round((n_child_keys - n_missing) * 1.0 / n_child_keys, 6) AS containment,
+        |  (n_missing = 0) AS is_fk_candidate
+        |FROM probe ORDER BY child_col""".stripMargin,
 
     "q_datetime_profile" ->
       """WITH modes AS (
