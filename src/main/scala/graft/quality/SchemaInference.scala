@@ -74,9 +74,13 @@ object SchemaInference {
   def fkCandidateStats(child: DataFrame, childCol: String,
                        parent: DataFrame, parentCol: String): DataFrame = {
     val ck = child.select(col(childCol).as("k")).where(col("k").isNotNull).distinct()
-    val missing = ck.join(parent.select(col(parentCol).as("k")).distinct(), Seq("k"), "left_anti")
-    ck.agg(count(lit(1)).as("n_child_keys"))
-      .crossJoin(missing.agg(count(lit(1)).as("n_missing")))
+    val pk = parent.select(col(parentCol).as("k")).distinct().withColumn("__hit", lit(1))
+    // one left join + ONE aggregate (a crossJoin of two single-row aggs
+    // would plan a BroadcastNestedLoopJoin — harmless at 1×1 but noise in
+    // every plan audit)
+    ck.join(pk, Seq("k"), "left")
+      .agg(count(lit(1)).as("n_child_keys"),
+        sum(when(col("__hit").isNull, 1).otherwise(0)).as("n_missing"))
       .select(
         lit(childCol).as("child_col"), lit(parentCol).as("parent_col"),
         col("n_child_keys"), col("n_missing"),
