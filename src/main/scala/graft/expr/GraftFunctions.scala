@@ -10,6 +10,8 @@ import org.apache.spark.sql.catalyst.expressions.Expression
   *   graft_word_shingles(text, n)         → array<string>
   *   graft_minhash_sig(shingles, k)       → array<bigint>
   *   graft_exact_percentile(col, p)       → double (aggregate)
+  *   graft_dot(a, b)                      → double
+  *   graft_l2norm(a)                      → double
   */
 object GraftFunctions {
 
@@ -34,5 +36,9 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("graft_exact_percentile",
       exprs => ExactPercentile(exprs.head, doubleLit(exprs(1), "percentage")).toAggregateExpression(),
       "scala_udf")
+    reg.createOrReplaceTempFunction("graft_dot",
+      exprs => DotProduct(exprs.head, exprs(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_l2norm",
+      exprs => L2NormExpr(exprs.head), "scala_udf")
   }
 }

@@ -1,0 +1,78 @@
+package graft.expr
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftColumnBridge
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** All character-class stats of a text in ONE pass:
+  * struct<n_chars, n_punct, n_digit, n_upper, n_nonws, n_tokens>.
+  *
+  * Field semantics are bit-compatible with the expression forms they
+  * replace (q_text_quality is oracle-hash-compared):
+  *   n_chars  = length(t)                              (code points)
+  *   n_punct  = count of [.,;:!?'"]
+  *   n_digit  = count of [0-9]
+  *   n_upper  = count of [A-Z]                         (ASCII, as the regex)
+  *   n_nonws  = count of chars not matching Java \s    (= Σ word lengths)
+  *   n_tokens = count of maximal non-\s runs           (= tokenCountWs)
+  *
+  * The replaced plan ran 4 separate regexp passes plus an interpreted HOF
+  * fold per row; this is one loop over the code points.
+  */
+case class TextCharStats(child: Expression) extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = TextCharStats.schema
+  override def nullable: Boolean = child.nullable
+
+  // Java regex \s = [ \t\n\x0B\f\r] — NOT Character.isWhitespace
+  @inline private def isWs(cp: Int): Boolean =
+    cp == ' ' || cp == '\t' || cp == '\n' || cp == 0x0B || cp == '\f' || cp == '\r'
+
+  @inline private def isPunct(cp: Int): Boolean =
+    cp == '.' || cp == ',' || cp == ';' || cp == ':' || cp == '!' || cp == '?' || cp == '\'' || cp == '"'
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    var nChars = 0; var nPunct = 0; var nDigit = 0; var nUpper = 0; var nNonWs = 0; var nTokens = 0
+    var inToken = false
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      nChars += 1
+      if (isWs(cp)) inToken = false
+      else {
+        nNonWs += 1
+        if (!inToken) { nTokens += 1; inToken = true }
+        if (isPunct(cp)) nPunct += 1
+        else if (cp >= '0' && cp <= '9') nDigit += 1
+        else if (cp >= 'A' && cp <= 'Z') nUpper += 1
+      }
+      i += Character.charCount(cp)
+    }
+    val row = new GenericInternalRow(6)
+    row.setInt(0, nChars); row.setInt(1, nPunct); row.setInt(2, nDigit)
+    row.setInt(3, nUpper); row.setInt(4, nNonWs); row.setInt(5, nTokens)
+    row
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): TextCharStats =
+    copy(child = newChild)
+
+  override def prettyName: String = "graft_text_char_stats"
+}
+
+object TextCharStats {
+  val schema: StructType = StructType(Seq(
+    StructField("n_chars", IntegerType, nullable = false),
+    StructField("n_punct", IntegerType, nullable = false),
+    StructField("n_digit", IntegerType, nullable = false),
+    StructField("n_upper", IntegerType, nullable = false),
+    StructField("n_nonws", IntegerType, nullable = false),
+    StructField("n_tokens", IntegerType, nullable = false)))
+
+  def apply(text: Column): Column =
+    GraftColumnBridge.column(TextCharStats(GraftColumnBridge.expression(text)))
+}

@@ -49,22 +49,20 @@ object TextLib {
     */
   def qualityFeatures(df: DataFrame, textCol: String): DataFrame = {
     val t = col(textCol)
-    val nChars = length(t)
-    val words = split(trim(t), "\\s+")
-    val nWords = tokenCountWs(t)
-    df.withColumn("n_chars_calc", nChars)
+    // ONE char-stats pass (native expr; the regexp-per-class plan ran 4
+    // regex passes + an interpreted fold per row) + one stopword pass
+    val nChars = col("__tcs.n_chars")
+    val nWords = col("__tcs.n_tokens")
+    df.withColumn("__tcs", graft.expr.TextCharStats(t))
+      .withColumn("n_chars_calc", nChars)
       .withColumn("n_words", nWords)
-      .withColumn("punct_ratio",
-        round(size(regexp_extract_all(t, lit("[\\.,;:!\\?'\"]"), lit(0))) / nChars.cast("double"), 6))
-      .withColumn("digit_ratio",
-        round(size(regexp_extract_all(t, lit("[0-9]"), lit(0))) / nChars.cast("double"), 6))
-      .withColumn("upper_ratio",
-        round(size(regexp_extract_all(t, lit("[A-Z]"), lit(0))) / nChars.cast("double"), 6))
-      .withColumn("mean_word_len",
-        round(aggregate(words, lit(0), (acc, x) => acc + length(x)).cast("double") / nWords, 6))
+      .withColumn("punct_ratio", round(col("__tcs.n_punct") / nChars.cast("double"), 6))
+      .withColumn("digit_ratio", round(col("__tcs.n_digit") / nChars.cast("double"), 6))
+      .withColumn("upper_ratio", round(col("__tcs.n_upper") / nChars.cast("double"), 6))
+      .withColumn("mean_word_len", round(col("__tcs.n_nonws").cast("double") / nWords, 6))
       .withColumn("stopword_ratio",
-        round(size(filter(transform(words, x => lower(x)), x => x.isin(EnglishStopwords: _*)))
-          / nWords.cast("double"), 6))
+        round(graft.expr.WordSetCount(t, EnglishStopwords) / nWords.cast("double"), 6))
+      .drop("__tcs")
   }
 
   /** Composite 0–1 quality score from the heuristic features (monotone,
@@ -90,18 +88,22 @@ object TextLib {
     * `mapPartitions` scorer behind the same column contract.
     */
   def langId(df: DataFrame, textCol: String, outCol: String = "lang_pred"): DataFrame = {
-    val words = transform(split(normalized(col(textCol)), " "), w => w)
-    val nWords = size(words).cast("double")
-    def score(stops: Seq[String]): Column =
-      size(filter(words, x => x.isin(stops: _*))) / nWords
-    val scored = Markers.foldLeft(df) { case (d, (lang, stops)) =>
-      d.withColumn(s"__s_$lang", score(stops))
+    // ONE tokenize pass scores every marker set (native WordSetCounts);
+    // denominator keeps the split-size semantics (empty text → 1 token →
+    // score 0). The normalized text is aliased so it's computed once —
+    // CollapseProject leaves multi-use non-cheap aliases alone.
+    val nWords = size(split(col("__norm"), " ")).cast("double")
+    val counts = graft.expr.WordSetCounts(col("__norm"), Markers.map(_._2))
+    val scored = Markers.zipWithIndex.foldLeft(
+        df.withColumn("__norm", normalized(col(textCol))).withColumn("__wsc", counts)) {
+      case (d, ((lang, _), i)) =>
+        d.withColumn(s"__s_$lang", element_at(col("__wsc"), i + 1) / nWords)
     }
     val best = Markers.map { case (lang, _) => struct(col(s"__s_$lang").as("s"), lit(lang).as("l")) }
     scored
       .withColumn("__best", greatest(best: _*))
       .withColumn(outCol, when(col("__best.s") > 0.02, col("__best.l")).otherwise(lit("und")))
-      .drop(Markers.map { case (l, _) => s"__s_$l" } :+ "__best": _*)
+      .drop(Markers.map { case (l, _) => s"__s_$l" } ++ Seq("__best", "__norm", "__wsc"): _*)
   }
 
   // ---------------------------------------------------------------- fingerprint
