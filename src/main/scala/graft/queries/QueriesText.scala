@@ -274,7 +274,7 @@ object QueriesText {
     "q_text_quality" ->
       """SELECT doc_id,
         |  CAST(length(text) AS INT) AS n_chars_calc,
-        |  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INT) AS n_words,
+        |  CAST(len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS INT) AS n_words,
         |  round((length(text) - length(regexp_replace(text, '[\.,;:!\?''"]', '', 'g')))
         |        * 1.0 / length(text) + 1e-9, 6) AS punct_ratio,
         |  round((length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))
@@ -282,31 +282,31 @@ object QueriesText {
         |  round((length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')))
         |        * 1.0 / length(text) + 1e-9, 6) AS upper_ratio,
         |  round(length(regexp_replace(trim(text), '\s+', '', 'g')) * 1.0 /
-        |        len(regexp_split_to_array(trim(text), '\s+')) + 1e-9, 6) AS mean_word_len,
-        |  round(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |        len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) + 1e-9, 6) AS mean_word_len,
+        |  round(len(list_filter(regexp_split_to_array(text, '\s+'),
         |          x -> list_contains(['the','a','an','and','or','but','if','then','of','in','on','at','to','for',
         |                              'with','by','from','as','is','are','was','were','be','been','it','this','that',
         |                              'he','she','they','we','you','i','his','her','their','our','not','no','so','do'],
         |                             lower(x))))
-        |        * 1.0 / len(regexp_split_to_array(trim(text), '\s+')) + 1e-9, 6) AS stopword_ratio
+        |        * 1.0 / len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) + 1e-9, 6) AS stopword_ratio
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q_text_quality_score" ->
       """WITH f AS (
         |  SELECT doc_id,
-        |    len(regexp_split_to_array(trim(text), '\s+')) AS n_words,
+        |    len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS n_words,
         |    length(regexp_replace(trim(text), '\s+', '', 'g')) * 1.0 /
-        |      len(regexp_split_to_array(trim(text), '\s+')) AS mean_word_len,
+        |      len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS mean_word_len,
         |    (length(text) - length(regexp_replace(text, '[\.,;:!\?''"]', '', 'g')))
         |      * 1.0 / length(text) AS punct_ratio,
         |    (length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))
         |      * 1.0 / length(text) AS digit_ratio,
-        |    len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |    len(list_filter(regexp_split_to_array(text, '\s+'),
         |        x -> list_contains(['the','a','an','and','or','but','if','then','of','in','on','at','to','for',
         |                            'with','by','from','as','is','are','was','were','be','been','it','this','that',
         |                            'he','she','they','we','you','i','his','her','their','our','not','no','so','do'],
         |                           lower(x))))
-        |      * 1.0 / len(regexp_split_to_array(trim(text), '\s+')) AS stopword_ratio
+        |      * 1.0 / len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS stopword_ratio
         |  FROM documents)
         |SELECT doc_id,
         |  round((CASE WHEN n_words BETWEEN 10 AND 100000 THEN 0.35 ELSE 0.0 END) +
@@ -318,8 +318,7 @@ object QueriesText {
 
     "q_token_counts" ->
       """SELECT doc_id,
-        |  CAST(CASE WHEN length(trim(text)) = 0 THEN 0
-        |            ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS INT) AS n_ws_tokens,
+        |  CAST(len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS INT) AS n_ws_tokens,
         |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS INT) AS n_bpe_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
 

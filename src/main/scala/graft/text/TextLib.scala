@@ -16,9 +16,14 @@ object TextLib {
   def normalized(text: Column): Column =
     trim(regexp_replace(lower(text), "\\s+", " "))
 
-  /** Whitespace token count. */
+  /** Whitespace token count = number of maximal non-whitespace runs.
+    * (The earlier `size(split(trim(text), "\\s+"))` formulation counted a
+    * phantom empty token when text begins with a tab/newline, because
+    * Spark's `trim` strips spaces only — run-count is the spec now, on
+    * both the engine and oracle sides.)
+    */
   def tokenCountWs(text: Column): Column =
-    when(length(trim(text)) === 0, 0).otherwise(size(split(trim(text), "\\s+")))
+    graft.expr.TextCharStats(text).getField("n_tokens")
 
   /** BPE-ish token count: word pieces, numbers, punctuation runs counted
     * separately (a cheap, deterministic stand-in for a real tokenizer's

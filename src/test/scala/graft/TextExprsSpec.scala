@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.text.TextLib
+
+/** Native text kernels vs the expression formulations they replaced —
+  * q_text_quality / q_lang_id are oracle-hash-compared, so the integers
+  * must be identical on arbitrary input (including unicode and astral
+  * chars, where code-point vs UTF-16 counting diverges if done wrong).
+  */
+class TextExprsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val samples = Seq(
+    "The quick brown fox, it JUMPED! Over 42 lazy dogs?",
+    "",
+    "   ",
+    "\t\nmixed\r\nwhitespace runs  here ",
+    "no-punct no-digit no-upper",
+    "ALL CAPS AND 123 AND ...!!!???",
+    "unicode: café naïve 你好 😀 end",
+    "'quoted' \"double\" ; colon: semi;",
+    "a",
+    "one two",
+    "der die das und ist nicht ein",
+    "le chat est dans la maison avec le chien"
+  )
+
+  test("TextCharStats fields match the regex/HOF formulations exactly") {
+    val df = samples.zipWithIndex.map(_.swap).toDF("id", "t")
+    val t = col("t")
+    val words = split(trim(t), "\\s+")
+    val out = df.select(
+      graft.expr.TextCharStats(t).as("st"),
+      length(t).as("e_chars"),
+      size(regexp_extract_all(t, lit("[\\.,;:!\\?'\"]"), lit(0))).as("e_punct"),
+      size(regexp_extract_all(t, lit("[0-9]"), lit(0))).as("e_digit"),
+      size(regexp_extract_all(t, lit("[A-Z]"), lit(0))).as("e_upper"),
+      aggregate(words, lit(0), (acc, x) => acc + length(x)).as("e_nonws"),
+      // run-count spec: tokens = non-empty elements of the \s+ split
+      size(filter(split(t, "\\s+"), x => x =!= "")).as("e_tokens")).collect()
+    out.foreach { r =>
+      val st = r.getStruct(0)
+      assert(st.getInt(0) == r.getInt(1), s"n_chars: ${st.getInt(0)} vs ${r.getInt(1)}")
+      assert(st.getInt(1) == r.getInt(2), s"n_punct: ${st.getInt(1)} vs ${r.getInt(2)}")
+      assert(st.getInt(2) == r.getInt(3), s"n_digit: ${st.getInt(2)} vs ${r.getInt(3)}")
+      assert(st.getInt(3) == r.getInt(4), s"n_upper: ${st.getInt(3)} vs ${r.getInt(4)}")
+      assert(st.getInt(4) == r.getInt(5), s"n_nonws: ${st.getInt(4)} vs ${r.getInt(5)}")
+      assert(st.getInt(5) == r.getInt(6), s"n_tokens: ${st.getInt(5)} vs ${r.getInt(6)}")
+    }
+  }
+
+  test("WordSetCount / WordSetCounts match the filter-isin HOF") {
+    val stops = TextLib.EnglishStopwords
+    val markers = TextLib.Markers
+    val df = samples.zipWithIndex.map(_.swap).toDF("id", "t")
+    val t = col("t")
+    val words = split(trim(t), "\\s+")
+    val hof = size(filter(transform(words, x => lower(x)), x => x.isin(stops: _*)))
+    // guard the [""]-token edge: HOF counts tokens of the trimmed text, so
+    // empty/whitespace-only text yields one "" token that matches nothing
+    val out = df.select(
+      graft.expr.WordSetCount(t, stops).as("n"),
+      hof.as("e"),
+      graft.expr.WordSetCounts(t, markers.map(_._2)).as("ns")).collect()
+    out.foreach { r =>
+      assert(r.getInt(0) == r.getInt(1), s"WordSetCount: ${r.getInt(0)} vs ${r.getInt(1)}")
+    }
+    // multi-set result equals per-set single calls
+    val multi = df.select(graft.expr.WordSetCounts(t, markers.map(_._2)).as("ns")).collect()
+      .map(_.getSeq[Int](0))
+    val singles = markers.map { case (_, s) =>
+      df.select(graft.expr.WordSetCount(t, s)).collect().map(_.getInt(0))
+    }
+    multi.zipWithIndex.foreach { case (arr, row) =>
+      markers.indices.foreach { k =>
+        assert(arr(k) == singles(k)(row), s"set $k row $row: ${arr(k)} vs ${singles(k)(row)}")
+      }
+    }
+  }
+}
