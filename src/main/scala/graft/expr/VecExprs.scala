@@ -38,6 +38,8 @@ case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression with CodegenFallback {
 
   override def dataType: DataType = DoubleType
+  // null on length mismatch (below), regardless of child nullability
+  override def nullable: Boolean = true
 
   @transient private lazy val leftFloat = VecExprs.isFloatArray(left)
   @transient private lazy val rightFloat = VecExprs.isFloatArray(right)
@@ -45,7 +47,11 @@ case class DotProduct(left: Expression, right: Expression)
   override protected def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
+    // dimension mismatch → null, matching the zip_with formulation this
+    // replaces (null-padded tail poisons the sum): a silently-truncated
+    // dot would rank malformed vectors as plausible neighbors
+    if (n != b.numElements()) return null
     var acc = 0.0
     var i = 0
     while (i < n) {
@@ -114,14 +120,17 @@ case class HyperplaneSig(child: Expression, planes: Vector[Double], bands: Int, 
 
   override protected def nullSafeEval(input: Any): Any = {
     val v = input.asInstanceOf[ArrayData]
-    val n = math.min(v.numElements(), dim)
     val out = new Array[Int](bands)
+    // wrong-dimension vector → all-zero band hashes (the per-plane HOF dot
+    // was null there, so every sign test failed → bit 0); a truncated dot
+    // would instead hash garbage into real buckets
+    if (v.numElements() != dim) return new GenericArrayData(out)
     var bit = 0
     while (bit < nbits) {
       val base = bit * dim
       var acc = 0.0
       var i = 0
-      while (i < n) {
+      while (i < dim) {
         acc += VecExprs.get(v, i, isFloat) * flat(base + i)
         i += 1
       }

@@ -33,13 +33,16 @@ case class WordSetCount(child: Expression, words: Vector[String])
   }
 
   override protected def nullSafeEval(input: Any): Any = {
-    val text = input.asInstanceOf[UTF8String].toString.trim
-    if (text.isEmpty) return 0
-    val toks = ws.split(text)
+    // no String.trim here: it strips ALL chars <= U+0020, so a leading
+    // control char would be peeled off its token ("the" → "the") and
+    // diverge from the \s+-split oracles; empty split artifacts match no
+    // set entry and are skipped naturally
+    val toks = ws.split(input.asInstanceOf[UTF8String].toString)
     var n = 0
     var i = 0
     while (i < toks.length) {
-      if (set.contains(UTF8String.fromString(toks(i)).toLowerCase.toString)) n += 1
+      if (toks(i).nonEmpty &&
+        set.contains(UTF8String.fromString(toks(i)).toLowerCase.toString)) n += 1
       i += 1
     }
     n
@@ -76,19 +79,19 @@ case class WordSetCounts(child: Expression, sets: Vector[Vector[String]])
 
   override protected def nullSafeEval(input: Any): Any = {
     val out = new Array[Int](hashSets.length)
-    val text = input.asInstanceOf[UTF8String].toString.trim
-    if (text.nonEmpty) {
-      val toks = ws.split(text)
-      var i = 0
-      while (i < toks.length) {
+    // see WordSetCount: no String.trim (control-char divergence)
+    val toks = ws.split(input.asInstanceOf[UTF8String].toString)
+    var i = 0
+    while (i < toks.length) {
+      if (toks(i).nonEmpty) {
         val low = UTF8String.fromString(toks(i)).toLowerCase.toString
         var k = 0
         while (k < hashSets.length) {
           if (hashSets(k).contains(low)) out(k) += 1
           k += 1
         }
-        i += 1
       }
+      i += 1
     }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }

@@ -117,18 +117,43 @@ object Scale {
       blocklist.agg(approx_count_distinct(col(blockKeyCol))).first().getLong(0))
     val numBits = math.max(64L,
       math.ceil(-est * math.log(fpp) / (math.log(2) * math.log(2))).toLong)
-    val bloomAgg = GraftColumnBridge.column(
-      new BloomFilterAggregate(
-        GraftColumnBridge.expression(xxhash64(col(blockKeyCol))),
-        GraftColumnBridge.expression(lit(est)),
-        GraftColumnBridge.expression(lit(numBits))).toAggregateExpression())
-    val bloomBytes = blocklist.select(bloomAgg.as("bf")).first().getAs[Array[Byte]](0)
-    val might = GraftColumnBridge.column(BloomFilterMightContain(
-      Literal(bloomBytes, BinaryType),
-      GraftColumnBridge.expression(xxhash64(col(keyCol)))))
-    val clean = df.filter(!might)
-    val suspect = df.filter(might)
-      .join(blocklist.select(col(blockKeyCol).as(keyCol)).distinct(), Seq(keyCol), "left_anti")
-    clean.unionByName(suspect)
+    // BloomFilterAggregate silently Math.min-clamps est/numBits against the
+    // runtime-bloom confs (default 4M items / 64M bits) — at blocklist
+    // scale that would quietly push effective fpp toward 1 and route the
+    // whole corpus into the anti-join. Raise the caps for this build and
+    // restore them after.
+    val spark = df.sparkSession
+    val itemsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumItems"
+    val bitsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumBits"
+    val oldItems = spark.conf.getOption(itemsKey)
+    val oldBits = spark.conf.getOption(bitsKey)
+    val bloomBytes =
+      try {
+        spark.conf.set(itemsKey, math.max(est, oldItems.map(_.toLong).getOrElse(0L)))
+        spark.conf.set(bitsKey, math.max(numBits, oldBits.map(_.toLong).getOrElse(0L)))
+        val bloomAgg = GraftColumnBridge.column(
+          new BloomFilterAggregate(
+            GraftColumnBridge.expression(xxhash64(col(blockKeyCol))),
+            GraftColumnBridge.expression(lit(est)),
+            GraftColumnBridge.expression(lit(numBits))).toAggregateExpression())
+        blocklist.select(bloomAgg.as("bf")).first().getAs[Array[Byte]](0)
+      } finally {
+        def restore(k: String, v: Option[String]): Unit =
+          v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
+        restore(itemsKey, oldItems)
+        restore(bitsKey, oldBits)
+      }
+    if (bloomBytes == null) {
+      // empty blocklist → BloomFilterAggregate yields null; nothing to drop
+      df
+    } else {
+      val might = GraftColumnBridge.column(BloomFilterMightContain(
+        Literal(bloomBytes, BinaryType),
+        GraftColumnBridge.expression(xxhash64(col(keyCol)))))
+      val clean = df.filter(!might)
+      val suspect = df.filter(might)
+        .join(blocklist.select(col(blockKeyCol).as(keyCol)).distinct(), Seq(keyCol), "left_anti")
+      clean.unionByName(suspect)
+    }
   }
 }

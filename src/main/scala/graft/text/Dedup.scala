@@ -83,6 +83,7 @@ object Dedup {
         transform(slice(col("__ids"), i + lit(2), size(col("__ids"))),
           y => struct(least(x, y).as("id_a"), greatest(x, y).as("id_b")))))).as("__p"))
       .select(col("__p.id_a").as("id_a"), col("__p.id_b").as("id_b"))
+      .filter(col("id_a") < col("id_b")) // duplicate ids would emit (x, x)
       .dropDuplicates("id_a", "id_b")
   }
 

@@ -30,7 +30,10 @@ object ProfileMinhash {
     time("3 sigs+bands")(sigs.write.format("noop").mode("overwrite").save().asInstanceOf[Unit] match { case _ => 0L })
     time("4 full candidates")(Dedup.minhashCandidates(docs, "text", "doc_id", 3, 64, 16, 0.4).count())
 
-    // sub-stage breakdown of the candidate pipeline
+    // BASELINE COMPARISON: the pre-r3 sizes-join → self-join → dedup
+    // formulation, timed stage by stage. minhashCandidates itself now runs
+    // the one-exchange bucketPairs path (stage 4 above) — keep this block to
+    // quantify old-vs-new, not to tune the live code path.
     val sigsP = docs.select(col("doc_id").as("id"), Dedup.minhashSignature(col("text"), 3, 64).as("sig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     time("4a persist sigs")(sigsP.count())

@@ -102,6 +102,40 @@ class DedupSimilaritySpec extends SparkSpec {
     assertNoCartesian(out)
   }
 
+  test("bucket-pair expansion equals the self-join formulation on random corpora") {
+    // Regression guard for the r3 one-shuffle candidate generator: the set
+    // of (id_a, id_b, est_jaccard) must be identical to the textbook
+    // bucket self-join, including the maxBucketSize cap.
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(23)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta", "theta")
+    val docs = (1L to 120L).map { i =>
+      val base = Seq.fill(8 + rnd.nextInt(8))(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+      (i, if (i % 3 == 0) base + " tail" else base)
+    }.toDF("doc_id", "text")
+    val got = graft.text.Dedup.minhashCandidates(docs, "text", "doc_id",
+        shingleN = 2, numHashes = 16, bands = 4, threshold = 0.3, maxBucketSize = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // naive reference: explode bands, cap via groupBy sizes, self-join
+    val sigs = docs.select(col("doc_id").as("id"),
+      graft.text.Dedup.minhashSignature(col("text"), 2, 16).as("sig"))
+    val bk = sigs.withColumn("bh", explode(graft.text.Dedup.lshBandHashes(col("sig"), 4, 4)))
+      .select(col("id"), col("bh.band").as("band"), col("bh.h").as("bucket"))
+    val sizes = bk.groupBy("band", "bucket").count().filter(col("count") > 1 && col("count") <= 50)
+    val inB = bk.join(sizes, Seq("band", "bucket"))
+    val ref = inB.select(col("band"), col("bucket"), col("id").as("id_a"))
+      .join(inB.select(col("band"), col("bucket"), col("id").as("id_b")), Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b")).select("id_a", "id_b").distinct()
+      .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
+      .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
+      .withColumn("ej", size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), m => m)) / lit(16.0))
+      .filter(col("ej") >= 0.3)
+      .select(col("id_a"), col("id_b"), round(col("ej"), 4).as("ej"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == ref, s"bucketPairs diverged: only-new=${got -- ref}, only-ref=${ref -- got}")
+    assert(got.nonEmpty)
+  }
+
   test("langId picks the marker language on real sentences") {
     val samples = Seq(
       (1L, "the cat is on the table and it was not happy with this"),

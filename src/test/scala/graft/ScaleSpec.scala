@@ -22,6 +22,14 @@ class ScaleSpec extends SparkSpec {
     assert(plain == salted)
   }
 
+  test("excludeKeysBloom with an empty blocklist keeps the corpus intact") {
+    // Regression: BloomFilterAggregate yields null for a zero-row input;
+    // both filter branches went null → the whole corpus was dropped.
+    val corpus = (1L to 100L).map(i => (i, s"doc$i")).toDF("id", "body")
+    val emptyBlock = Seq.empty[Long].map(Tuple1(_)).toDF("bad_id")
+    assert(Scale.excludeKeysBloom(corpus, "id", emptyBlock, "bad_id").count() == 100)
+  }
+
   test("excludeKeysBloom equals exact anti-join (no false drops, no leaks)") {
     val corpus = (1L to 5000L).map(i => (i, s"doc$i")).toDF("id", "body")
     val block = (1L to 5000L).filter(_ % 7 == 0).map(Tuple1(_)).toDF("bad_id")

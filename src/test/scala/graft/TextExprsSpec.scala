@@ -22,6 +22,8 @@ class TextExprsSpec extends SparkSpec {
     "'quoted' \"double\" ; colon: semi;",
     "a",
     "one two",
+    "\u0001the cat sat", // control char must stay glued to its token
+    "\u0002 the cat",    // control char as its own token
     "der die das und ist nicht ein",
     "le chat est dans la maison avec le chien"
   )
