@@ -55,6 +55,11 @@ object OpSpec {
     */
   final case class FeatureEngineering(params: Map[String, Any])                     extends OpSpec
   final case class TimeSeriesProcessing(params: Map[String, Any])                   extends OpSpec
+  /** Training-data text ops (beyond-reference surface) as first-class
+    * pipeline citizens: dedup (exact / near), quality features & score,
+    * language ID, token counts, chunking, Bloom blocklist exclusion.
+    */
+  final case class TextProcessing(params: Map[String, Any])                         extends OpSpec
   /** Inline expectation gate (ecommerce_pipeline.yaml:28-39 `validate` op):
     * rows satisfying `expression` must be ≥ min_ratio, else the pipeline
     * fails. NOTE: this is an action (it counts), by design — validation is a
@@ -108,6 +113,7 @@ object OpCompiler {
     case FeatureEngineering(p)         => applyFeatureEngineering(df, p)
     case TimeSeriesProcessing(p)       => applyTimeSeries(df, p)
     case Validate(p)                   => applyValidate(df, p)
+    case TextProcessing(p)             => applyTextProcessing(df, p, tables)
   }
 
   // ------------------------------------------------- dynamic-param dispatch
@@ -220,6 +226,42 @@ object OpCompiler {
   /** Inline `validate` op: throws when an expectation's pass ratio is below
     * its min_ratio (this is deliberately an action — see OpSpec.Validate).
     */
+  /** text_processing op: training-data ops dispatched by `operation`.
+    * Column params default to the documents-table shape (text / doc_id).
+    */
+  private def applyTextProcessing(df: DataFrame, p: Map[String, Any],
+                                  tables: String => DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    import graft.text.{Dedup, TextLib}
+    val text = s(p, "text_column", "text")
+    val id = s(p, "id_column", "doc_id")
+    s(p, "operation") match {
+      case "exact_dedup" => Dedup.exact(df, text, id)
+      case "near_dedup" =>
+        Dedup.nearDedup(df, text, id,
+          s(p, "shingle_n", "3").toInt, s(p, "num_hashes", "64").toInt,
+          s(p, "bands", "16").toInt, s(p, "threshold", "0.8").toDouble,
+          s(p, "max_bucket_size", "1000").toInt)
+      case "quality_features" => TextLib.qualityFeatures(df, text)
+      case "quality_score"    => TextLib.qualityScore(df, text)
+      case "lang_id"          => TextLib.langId(df, text)
+      case "token_counts" =>
+        df.withColumn(s(p, "output_column", "n_tokens"), TextLib.tokenCountWs(col(text)))
+      case "chunk" =>
+        TextLib.chunkDocuments(df, text,
+          s(p, "chunk_size", "512").toInt, s(p, "overlap", "64").toInt)
+      case "fingerprint" =>
+        df.withColumn(s(p, "output_column", "fingerprint"),
+          TextLib.fingerprint(col(text), s(p, "shingle_n", "3").toInt))
+      case "bloom_exclude" =>
+        require(tables != null, "bloom_exclude requires a table catalog")
+        graft.ops.Scale.excludeKeysBloom(df, s(p, "key_column", id),
+          tables(s(p, "blocklist_table")), s(p, "blocklist_key"),
+          s(p, "fpp", "0.01").toDouble)
+      case other => throw new IllegalArgumentException(s"Unknown text_processing operation: $other")
+    }
+  }
+
   private def applyValidate(df: DataFrame, p: Map[String, Any]): DataFrame = {
     import org.apache.spark.sql.functions._
     val exps: Seq[(String, Double)] = p.get("expectations") match {

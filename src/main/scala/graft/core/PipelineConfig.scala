@@ -131,6 +131,7 @@ object PipelineConfig {
         CustomSql(str(params, "query"), str(params, "temp_view_name", "temp_table"))
       case "feature_engineering"     => FeatureEngineering(params)
       case "time_series_processing"  => TimeSeriesProcessing(params)
+      case "text_processing"         => TextProcessing(params)
       case "windowed_aggregation"    => TimeSeriesProcessing(params + ("operation" -> "resample"))
       case "validate"                => Validate(params)
       case other => throw new IllegalArgumentException(s"Unknown operation type: $other")

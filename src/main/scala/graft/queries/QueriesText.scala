@@ -73,13 +73,18 @@ object QueriesText {
         .orderBy("doc_id")),
 
     "q_vocabulary" -> ((s, dir) =>
-      TextLib.vocabulary(t(s, dir, "documents"), "text", minDf = 2, topK = 50)),
+      TextLib.vocabulary(t(s, dir, "documents"), "text", idCol = "doc_id", minDf = 2, topK = 50)),
 
     "q_dedup_clusters" -> ((s, dir) => { // rows-only: cluster election over LSH candidates
       val cands = Dedup.minhashCandidates(docsWithNearDups(s, dir), "text", "doc_id",
         shingleN = 3, numHashes = 64, bands = 16, threshold = 0.6)
       Dedup.clusterCandidates(cands)
     }),
+
+    "q_near_dedup" -> ((s, dir) => // rows-only: the end-to-end near-dedup composite
+      Dedup.nearDedup(docsWithNearDups(s, dir), "text", "doc_id", threshold = 0.6)
+        .select("doc_id", "lang", "n_chars")
+        .orderBy("doc_id")),
 
     "q_chunk_docs" -> ((s, dir) =>
       TextLib.chunkDocuments(t(s, dir, "documents"), "text", chunkSize = 200, overlap = 50)

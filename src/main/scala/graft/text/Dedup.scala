@@ -245,6 +245,24 @@ object Dedup {
     labels
   }
 
+  /** End-to-end near-deduplication: MinHash-LSH candidates → connected-
+    * component clusters → keep only each cluster's survivor (min id). The
+    * composite a training-data pipeline actually runs; every stage is the
+    * bucketed formulation above (no all-pairs anywhere).
+    */
+  def nearDedup(
+      df: DataFrame, textCol: String, idCol: String,
+      shingleN: Int = 3, numHashes: Int = 64, bands: Int = 16,
+      threshold: Double = 0.8, maxBucketSize: Int = 1000
+  ): DataFrame = {
+    val cands = minhashCandidates(df, textCol, idCol, shingleN, numHashes, bands,
+      threshold, maxBucketSize)
+    val losers = clusterCandidates(cands.select("id_a", "id_b"))
+      .filter(col("id") =!= col("cluster_id"))
+      .select(col("id").as(idCol))
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+
   // ---------------------------------------------------------------- n-gram Jaccard
 
   /** Exact n-gram Jaccard similarity for candidate pairs, via an inverted

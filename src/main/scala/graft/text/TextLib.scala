@@ -117,10 +117,16 @@ object TextLib {
     * document-frequency filter, deterministic top-k. One explode + two
     * aggregations — the standard tokenizer-training precursor.
     */
-  def vocabulary(df: DataFrame, textCol: String, minDf: Int = 1, topK: Int = 0): DataFrame = {
-    // doc key = text hash (deterministic; monotonically_increasing_id would
-    // be re-evaluated per exploded row and inflate document frequencies)
-    val toks = df.select(xxhash64(col(textCol)).as("__doc"),
+  def vocabulary(df: DataFrame, textCol: String, idCol: String = null,
+                 minDf: Int = 1, topK: Int = 0): DataFrame = {
+    // doc key = the caller's id column when given. The text-hash fallback
+    // collapses duplicate texts into one document and undercounts df —
+    // surfaced at sf0.1 where the corpus has verbatim duplicates.
+    // (monotonically_increasing_id is no fallback: it re-evaluates per
+    // exploded row and inflates document frequencies.)
+    val docKey = if (idCol != null) col(idCol).cast("string")
+                 else sha2(col(textCol), 256)
+    val toks = df.select(docKey.as("__doc"),
       explode(split(normalized(col(textCol)), " ")).as("token"))
     val vocab = toks.groupBy("token")
       .agg(count(lit(1)).as("tf"), countDistinct(col("__doc")).as("df"))

@@ -45,6 +45,44 @@ class PipelineSpec extends SparkSpec {
     assert(back.map(_.getDouble(1)).toSeq == Seq(100.0, 500.0, 400.0))
   }
 
+  test("text_processing ops in a YAML pipeline: near-dedup then quality filter") {
+    val in = Files.createTempDirectory("graft_txt").toString
+    val out = Files.createTempDirectory("graft_txt_out").toString + "/clean"
+    val base = "the quick brown fox jumps over the lazy dog again and again in the field"
+    Seq(
+      (1L, base),
+      (2L, base + " tonight"),                       // near-dup of 1 → dropped
+      (3L, "completely different content about database engines and query plans"),
+      (4L, base)                                     // exact dup of 1 → dropped
+    ).toDF("doc_id", "text").coalesce(1).write.mode("overwrite").parquet(in + "/docs")
+    val yaml =
+      s"""name: text_pipeline
+         |source: { type: parquet, path: "$in/docs" }
+         |operations:
+         |  - { type: text_processing, params: { operation: near_dedup, threshold: 0.5 } }
+         |  - { type: text_processing, params: { operation: quality_features } }
+         |  - { type: sort, params: { columns: [doc_id] } }
+         |storage: { type: parquet, path: "$out", mode: overwrite }
+         |""".stripMargin
+    val res = Pipeline.execute(spark, Pipeline.fromYaml(yaml))
+    assert(res.status == "success", res.errors.mkString("; "))
+    val back = spark.read.parquet(out).orderBy("doc_id").collect()
+    assert(back.map(_.getLong(0)).toSeq == Seq(1L, 3L), "survivors must be min-id per cluster")
+    assert(back(0).schema.fieldNames.contains("stopword_ratio"))
+  }
+
+  test("nearDedup keeps one survivor per near-dup cluster, untouched docs intact") {
+    val docs = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (11L, "alpha beta gamma delta epsilon zeta eta theta iota"),   // near-dup of 10
+      (12L, "totally unrelated text with none of those words at all"),
+      (13L, "alpha beta gamma delta epsilon zeta eta theta iota kappa") // exact dup of 10
+    ).toDF("doc_id", "text")
+    val out = graft.text.Dedup.nearDedup(docs, "text", "doc_id", threshold = 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(out == Set(10L, 12L), s"got $out")
+  }
+
   test("validation failure stops before storage") {
     val in = Files.createTempDirectory("graft_in2").toString
     val out = Files.createTempDirectory("graft_out2").toString + "/never"
