@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.{Column, DataFrame, Dataset, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DoubleType
+import org.apache.spark.sql.types.{DoubleType, TimestampType}
 
 /** Time-series library — §2.J, graft's equivalent of the reference's
   * transformations/time_series.py (527 LoC), re-expressed as distributed
@@ -174,8 +174,11 @@ object TimeSeriesLib {
         val q1 = percentile(col(valueCol), lit(0.25)).over(ww)
         val q3 = percentile(col(valueCol), lit(0.75)).over(ww)
         val iqr = q3 - q1
-        df.withColumn(flag,
-          col(valueCol) < q1 - lit(1.5) * iqr || col(valueCol) > q3 + lit(1.5) * iqr)
+        // coalesce: null readings flag false, matching the zscore branch
+        // (a bare comparison would emit null and split filter/!filter)
+        df.withColumn(flag, coalesce(
+          col(valueCol) < q1 - lit(1.5) * iqr || col(valueCol) > q3 + lit(1.5) * iqr,
+          lit(false)))
       case "rolling_zscore" =>
         require(orderCol != null, "rolling_zscore needs orderCol")
         val frame = w(partitionBy, orderCol).rowsBetween(-(k - 1L), Window.currentRow)
@@ -262,27 +265,41 @@ object TimeSeriesLib {
   ): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val keyCol = if (partitionBy.nonEmpty) concat_ws("", partitionBy.map(c => col(c).cast("string")): _*)
+    // key = JSON of the partition tuple: unambiguous (concatenation would
+    // merge ("a","bc") with ("ab","c")) and null-safe
+    val keyCol = if (partitionBy.nonEmpty) to_json(struct(partitionBy.map(col): _*))
                  else lit("")
+    // order key: epoch MICROS for timestamps (a bare long cast yields
+    // seconds and collides same-second rows); raw long for numerics
+    val ordCol = df.schema(orderCol).dataType match {
+      case TimestampType => unix_micros(col(orderCol))
+      case _             => col(orderCol).cast("long")
+    }
     val slim = df.select(
       keyCol.as("__key"),
-      col(orderCol).cast("long").as("__ord"), // epoch micros for timestamps, raw for numerics
+      ordCol.as("__ord"),
       col(valueCol).cast(DoubleType).as("__val"))
-      .as[(String, Long, Double)]
+      .as[(String, Long, Option[Double])] // Option: null readings must not crash the encoder
     val ewm = slim.groupByKey(_._1).flatMapGroups { (key, it) =>
       val rows = it.toArray.sortBy(_._2)
       var num = 0.0; var den = 0.0
       val oneMinus = 1.0 - alpha
-      rows.map { case (_, ord, v) =>
-        num = num * oneMinus + v
-        den = den * oneMinus + 1.0
-        (key, ord, num / den)
+      // ties on __ord keep the LAST running value (map overwrite), so every
+      // original row of a tie joins the state after all of them — the old
+      // dropDuplicates kept an arbitrary intermediate
+      val byOrd = new scala.collection.mutable.LinkedHashMap[Long, Option[Double]]
+      rows.foreach { case (_, ord, v) =>
+        v.foreach { x => // null readings leave the state untouched…
+          num = num * oneMinus + x
+          den = den * oneMinus + 1.0
+        }
+        byOrd(ord) = if (den > 0) Some(num / den) else None // …and carry the prior EWM
       }
+      byOrd.iterator.map { case (ord, e) => (key, ord, e) }
     }.toDF("__key", "__ord", s"${valueCol}_ewm")
-      .dropDuplicates("__key", "__ord") // ties at one order position share the final EWM
     // join back so callers keep their original columns
     df.withColumn("__key", keyCol)
-      .withColumn("__ord", col(orderCol).cast("long"))
+      .withColumn("__ord", ordCol)
       .join(ewm, Seq("__key", "__ord"), "left")
       .drop("__key", "__ord")
   }
@@ -388,10 +405,17 @@ object TimeSeriesLib {
       .withColumn("__detr", v - col("trend"))
     val phaseW = Window.partitionBy((partitionBy :+ "__phase").map(col): _*)
     val allW = Window.partitionBy(partitionBy.map(col): _*)
+    // normalize by the UNWEIGHTED mean across the period's phases (one
+    // representative row per phase): averaging the per-row phase-mean
+    // column would double-weight phases that hold extra rows whenever the
+    // series length is not a multiple of `period` (statsmodels parity)
+    val phaseRn = row_number().over(
+      Window.partitionBy((partitionBy :+ "__phase").map(col): _*).orderBy(col(orderCol)))
     withTrend
       .withColumn("__phaseMean", avg(col("__detr")).over(phaseW))
-      .withColumn("seasonal", col("__phaseMean") - avg(col("__phaseMean")).over(allW))
+      .withColumn("__phaseRep", when(phaseRn === 1, col("__phaseMean")))
+      .withColumn("seasonal", col("__phaseMean") - avg(col("__phaseRep")).over(allW))
       .withColumn("resid", v - col("trend") - col("seasonal"))
-      .drop("__rn", "__phase", "__detr", "__phaseMean")
+      .drop("__rn", "__phase", "__detr", "__phaseMean", "__phaseRep")
   }
 }

@@ -107,10 +107,17 @@ object Relational {
       df.withColumn(column, coalesce(col(column), lit(value)))
     case "mean" | "median" =>
       val aggFn = if (method == "mean") avg(col(column)) else percentile_approx(col(column), lit(0.5), lit(10000))
-      val stat = df.agg(aggFn.as("__graft_fill"))
-      df.crossJoin(broadcast(stat))
-        .withColumn(column, coalesce(col(column), col("__graft_fill")))
-        .drop("__graft_fill")
+      if (partitionBy.nonEmpty) {
+        // per-group statistic — ignoring partitionBy here would silently
+        // fill every group's nulls with the global value
+        val w = Window.partitionBy(partitionBy.map(col): _*)
+        df.withColumn(column, coalesce(col(column), aggFn.over(w)))
+      } else {
+        val stat = df.agg(aggFn.as("__graft_fill"))
+        df.crossJoin(broadcast(stat))
+          .withColumn(column, coalesce(col(column), col("__graft_fill")))
+          .drop("__graft_fill")
+      }
     case "ffill" =>
       val w = Window
         .partitionBy(partitionBy.map(col): _*)
@@ -238,7 +245,9 @@ object Relational {
 
   /** Multi-column sort (spark_processor.py:196-211). */
   def sort(df: DataFrame, columns: Seq[String], ascending: Seq[Boolean] = Nil): DataFrame = {
-    val asc = if (ascending.isEmpty) Seq.fill(columns.size)(true) else ascending
+    // pad (not zip-truncate) when ascending is shorter — a short list must
+    // not silently drop sort columns
+    val asc = ascending.padTo(columns.size, true)
     val ordering = columns.zip(asc).map { case (c, a) => if (a) col(c).asc else col(c).desc }
     df.orderBy(ordering: _*)
   }

@@ -60,9 +60,15 @@ object ExpectationSuite {
       if (row.getAs[Long](s"${c}__nd") == n && n > 0) exps += Unique(c)
     }
     numericCols.foreach { c =>
-      val mn = row.getAs[Double](s"${c}__mn"); val mx = row.getAs[Double](s"${c}__mx")
-      val slack = math.max((mx - mn) * rangeSlackPct, 1e-9)
-      exps += InRange(c, mn - slack, mx + slack)
+      // all-null (or empty-df) columns have null min/max — getAs[Double]
+      // would unbox them to 0.0 and emit InRange(≈0, ≈0), failing every
+      // later batch with real values; skip the range expectation instead
+      val mnIdx = row.fieldIndex(s"${c}__mn"); val mxIdx = row.fieldIndex(s"${c}__mx")
+      if (!row.isNullAt(mnIdx) && !row.isNullAt(mxIdx)) {
+        val mn = row.getDouble(mnIdx); val mx = row.getDouble(mxIdx)
+        val slack = math.max((mx - mn) * rangeSlackPct, 1e-9)
+        exps += InRange(c, mn - slack, mx + slack)
+      }
     }
     stringCols.foreach { c =>
       if (row.getAs[Long](s"${c}__nd") <= maxSetSize) {
@@ -88,13 +94,18 @@ object ExpectationSuite {
   }
 
   /** Distribution-shape heuristic (data_profiler.py:191-211): classify from
-    * moments — driver logic over one stats row.
+    * moments — driver logic over one stats row. The mean-vs-median gap is a
+    * second skew signal (it catches skew that the third moment understates
+    * on truncated/bounded data).
     */
   def distributionType(mean: Double, median: Double, stddev: Double, skewness: Double): String =
     if (stddev == 0) "constant"
-    else if (math.abs(skewness) < 0.5) "approximately_normal"
-    else if (skewness >= 0.5) "right_skewed"
-    else "left_skewed"
+    else {
+      val medianShift = (mean - median) / stddev // >0 ⇒ right tail pulls the mean
+      if (math.abs(skewness) < 0.5 && math.abs(medianShift) < 0.2) "approximately_normal"
+      else if (skewness >= 0.5 || medianShift >= 0.2) "right_skewed"
+      else "left_skewed"
+    }
 
   /** Data-catalog entry for a table: schema + stats + quality score as one
     * JSON blob (SURVEY §7 step 6 "data catalog metadata").

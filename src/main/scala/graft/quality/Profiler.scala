@@ -126,7 +126,11 @@ object Profiler {
   private def toLong(wide: DataFrame, cols: Seq[String]): DataFrame = {
     val metrics = wide.columns.filter(_.contains("__"))
     val stacked = metrics.map { m =>
-      val Array(c, metric) = m.split("__", 2)
+      // split on the LAST "__": metric names never contain it, but source
+      // column names may (splitting on the first would misattribute
+      // "net__amount__mean" to a column "net")
+      val i = m.lastIndexOf("__")
+      val c = m.substring(0, i); val metric = m.substring(i + 2)
       s"'$c', '$metric', cast(`$m` as double)"
     }.mkString(", ")
     wide.select(expr(s"stack(${metrics.length}, $stacked) as (column, metric, value)"))

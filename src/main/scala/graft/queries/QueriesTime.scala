@@ -209,8 +209,10 @@ object QueriesTime {
         |      FROM h
         |      WINDOW wf AS (PARTITION BY event_type ORDER BY period ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)),
         |d AS (SELECT *, (rn - 1) % 24 AS phase, v - trend AS detr FROM t),
-        |p AS (SELECT *, avg(detr) OVER (PARTITION BY event_type, phase) AS pm FROM d),
-        |s AS (SELECT *, pm - avg(pm) OVER (PARTITION BY event_type) AS seasonal FROM p)
+        |p AS (SELECT *, avg(detr) OVER (PARTITION BY event_type, phase) AS pm,
+        |        row_number() OVER (PARTITION BY event_type, phase ORDER BY period) AS prn FROM d),
+        |s AS (SELECT *, pm - avg(CASE WHEN prn = 1 THEN pm END)
+        |                   OVER (PARTITION BY event_type) AS seasonal FROM p)
         |SELECT event_type, strftime(period, '%Y-%m-%d %H:%M:%S') AS period_str,
         |  round(trend + 1e-9, 4) AS trend,
         |  round(seasonal + 1e-9, 4) AS seasonal,

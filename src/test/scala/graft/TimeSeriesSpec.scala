@@ -31,6 +31,40 @@ class TimeSeriesSpec extends SparkSpec {
     out.zip(expected).foreach { case (a, b) => assert(math.abs(a - b) < 1e-12) }
   }
 
+  test("EWM: ambiguous concat keys stay separate; null readings don't crash or pollute") {
+    // ("a","bc") and ("ab","c") concatenate identically — they must remain
+    // distinct series (regression: concat_ws key collision)
+    val df = Seq(
+      ("a", "bc", 1L, Some(10.0)), ("a", "bc", 2L, Some(20.0)),
+      ("ab", "c", 1L, Some(100.0)), ("ab", "c", 2L, None: Option[Double])
+    ).toDF("k1", "k2", "t", "x")
+    val out = TimeSeriesLib.smoothEwm(df, "x", 0.5, orderCol = "t", partitionBy = Seq("k1", "k2"))
+      .orderBy("k1", "t").select("k1", "t", "x_ewm").collect()
+    // series ("a","bc"): 10, (20+5)/1.5 = 50/3; series ("ab","c"): 100, then null reading carries 100
+    assert(math.abs(out(0).getDouble(2) - 10.0) < 1e-12)
+    assert(math.abs(out(1).getDouble(2) - 50.0 / 3.0) < 1e-12)
+    assert(math.abs(out(2).getDouble(2) - 100.0) < 1e-12)
+    assert(math.abs(out(3).getDouble(2) - 100.0) < 1e-12) // null carried the prior EWM
+  }
+
+  test("EWM ties on the order key share the final running value") {
+    val df = Seq((1L, 1.0), (2L, 2.0), (2L, 4.0), (3L, 3.0)).toDF("t", "x")
+    val out = TimeSeriesLib.smoothEwm(df, "x", 0.5, orderCol = "t", partitionBy = Nil)
+      .orderBy("t", "x").select("t", "x_ewm").collect()
+    // both t=2 rows get the EWM after BOTH contributed: (4 + 2*0.5 + 1*0.25)/1.75 = 3
+    assert(math.abs(out(1).getDouble(1) - 3.0) < 1e-12)
+    assert(math.abs(out(2).getDouble(1) - 3.0) < 1e-12)
+  }
+
+  test("fillMissing mean respects partitionBy (per-group, not global)") {
+    val df = Seq(("a", Some(10.0)), ("a", None: Option[Double]), ("b", Some(30.0)), ("b", None: Option[Double]))
+      .toDF("g", "v")
+    val out = TimeSeriesLib.fillMissing(df, "v", "mean", orderCol = "g", partitionBy = Seq("g"))
+      .orderBy("g", "v").select("g", "v").as[(String, Double)].collect()
+    assert(out.toSeq == Seq(("a", 10.0), ("a", 10.0), ("b", 30.0), ("b", 30.0)),
+      s"per-group mean fill broken: ${out.toSeq}")
+  }
+
   test("linear interpolation fills interior gaps, leaves edges null") {
     val df = Seq((1, None: Option[Double]), (2, Some(10.0)), (3, None: Option[Double]),
       (4, None: Option[Double]), (5, Some(40.0)), (6, None: Option[Double]))
