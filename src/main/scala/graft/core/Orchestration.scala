@@ -87,17 +87,39 @@ object Orchestration {
       else Files.readAllLines(journal).asScala.filter(_.nonEmpty).map(parse)
         .foldLeft(Map.empty[String, QueueItem])((m, it) => m + (it.id -> it)) // last write wins
 
+    // Free-form fields (path, table) must be escaped or a single double
+    // quote in a filename corrupts the journal and makes the WHOLE queue
+    // unloadable on restart. Inside escaped values every quote is preceded
+    // by a backslash, so the `,(?=")` field-split below stays unambiguous.
+    private def esc(s: String): String =
+      s.replace("\\", "\\\\").replace("\"", "\\\"").replace("\n", "\\n").replace("\r", "\\r")
+    private def unesc(s: String): String = {
+      val sb = new StringBuilder
+      var i = 0
+      while (i < s.length) {
+        if (s(i) == '\\' && i + 1 < s.length) {
+          s(i + 1) match {
+            case 'n' => sb += '\n'
+            case 'r' => sb += '\r'
+            case c   => sb += c
+          }
+          i += 2
+        } else { sb += s(i); i += 1 }
+      }
+      sb.toString
+    }
+
     private def parse(line: String): QueueItem = {
       val m = line.stripPrefix("{").stripSuffix("}").split(",(?=\")").map { kv =>
         val Array(k, v) = kv.split(":", 2)
-        k.trim.stripPrefix("\"").stripSuffix("\"") -> v.trim.stripPrefix("\"").stripSuffix("\"")
+        k.trim.stripPrefix("\"").stripSuffix("\"") -> unesc(v.trim.stripPrefix("\"").stripSuffix("\""))
       }.toMap
       QueueItem(m("id"), m("path"), m("table"), m("priority").toInt, m("created").toLong,
         m("status"), m("attempts").toInt)
     }
 
     private def append(it: QueueItem): Unit = {
-      val json = s"""{"id":"${it.id}","path":"${it.path}","table":"${it.table}",""" +
+      val json = s"""{"id":"${it.id}","path":"${esc(it.path)}","table":"${esc(it.table)}",""" +
         s""""priority":"${it.priority}","created":"${it.created}","status":"${it.status}","attempts":"${it.attempts}"}"""
       Files.write(journal, (json + "\n").getBytes,
         StandardOpenOption.CREATE, StandardOpenOption.APPEND)

@@ -23,6 +23,11 @@ object Pipeline {
   /** Load all declared sources; returns (primary frame, table catalog). */
   def load(spark: SparkSession, conf: PipelineConfig.PipelineConf): (DataFrame, String => DataFrame) = {
     require(conf.sources.nonEmpty, "pipeline needs at least one source")
+    // duplicate table names would last-wins-overwrite the primary frame in
+    // the map below and silently run the pipeline on the wrong input
+    val dupes = conf.sources.groupBy(_.table).collect { case (t, ss) if ss.size > 1 => t }
+    require(dupes.isEmpty,
+      s"duplicate source table name(s): ${dupes.mkString(", ")} — give each source a distinct `table:`")
     val frames: Map[String, DataFrame] = conf.sources.map { s =>
       val df = s.typ match {
         case "csv" =>

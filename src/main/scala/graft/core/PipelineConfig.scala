@@ -59,6 +59,15 @@ object PipelineConfig {
     case _               => Map.empty
   }
 
+  /** Order-preserving variant: SnakeYAML hands us LinkedHashMaps, but a
+    * scala immutable Map loses declaration order past 4 entries — fatal for
+    * transform chains where step N reads step N-1's output.
+    */
+  private def subMapOrdered(v: Any): Seq[(String, Any)] = v match {
+    case m: ju.Map[_, _] => m.asScala.toSeq.map { case (k, x) => k.toString -> (x: Any) }
+    case _               => Nil
+  }
+
   private def fromMap(root: Map[String, Any]): PipelineConf = {
     val name = str(root, "name", "pipeline")
     val sources: Seq[SourceConf] = root.get("source").map(subMap).map(parseSource).toSeq ++
@@ -146,7 +155,7 @@ object PipelineConfig {
   private def parseTransform(params: Map[String, Any]): OpSpec = {
     import OpSpec._
     val steps = scala.collection.mutable.ArrayBuffer.empty[OpSpec]
-    params.get("transformations").map(subMap).foreach { ts =>
+    params.get("transformations").map(subMapOrdered).foreach { ts =>
       ts.foreach { case (column, conf) =>
         val cm = subMap(conf)
         val p = subMap(cm.getOrElse("params", null))
@@ -176,7 +185,7 @@ object PipelineConfig {
     params.get("date_columns").foreach { v =>
       strSeq(Map("c" -> v), "c").foreach(c => steps += Cast(Map(c -> "timestamp")))
     }
-    params.get("calculated_columns").map(subMap).foreach { m2 =>
+    params.get("calculated_columns").map(subMapOrdered).foreach { m2 =>
       m2.foreach { case (colName, exprStr) => steps += Calculate(colName, exprStr.toString) }
     }
     if (steps.size == 1) steps.head else OpSpec.Sequence(steps.toSeq)

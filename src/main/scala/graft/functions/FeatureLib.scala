@@ -88,7 +88,10 @@ object FeatureLib {
     val binExpr = (1 until nBins).foldLeft(lit(0): Column) { (acc, i) =>
       acc + when(col(c) > col(s"__q$i"), 1).otherwise(0)
     }
-    joined.withColumn(out, binExpr.cast("int")).drop((1 until nBins).map(i => s"__q$i"): _*)
+    // null input → null bin (binUniform propagates null; unguarded, the
+    // null comparisons all fall to otherwise(0) and bin 0 absorbs missing data)
+    joined.withColumn(out, when(col(c).isNotNull, binExpr.cast("int")))
+      .drop((1 until nBins).map(i => s"__q$i"): _*)
   }
 
   /** K-means 1-D binning (feature_engineering.py:110-127) via MLlib. */

@@ -27,7 +27,15 @@ object PivotLib {
     val p = if (pivotValues.nonEmpty) g.pivot(pivotCol, pivotValues) else g.pivot(pivotCol)
     val aggs = aggFuncs.map(f => Relational.aggExpr(f, valueCol).as(f))
     val out = if (aggs.size == 1) p.agg(aggs.head) else p.agg(aggs.head, aggs.tail: _*)
-    fillValue.fold(out)(v => out.na.fill(v.toString.toDouble))
+    // type-directed fill: na.fill(double) touches numeric columns only,
+    // na.fill(string) string columns — a blanket toString.toDouble threw on
+    // non-numeric fills (pandas fill_value accepts anything)
+    fillValue.fold(out) {
+      case v: String  => out.na.fill(v)
+      case v: Boolean => out.na.fill(v)
+      case v: Number  => out.na.fill(v.doubleValue())
+      case v          => out.na.fill(v.toString)
+    }
   }
 
   /** unpivot/melt (pivot_operations.py:68-106) — native `unpivot`. */
@@ -56,7 +64,9 @@ object PivotLib {
       case "index" => // each row sums to 1 (materialize the row total FIRST —
         // dividing in a fold would let later columns see already-divided ones)
         val withTotal = filled.withColumn("__rt", valueCols.map(c => col(c)).reduce(_ + _))
-        valueCols.foldLeft(withTotal)((d, c) => d.withColumn(c, col(c) / col("__rt"))).drop("__rt")
+        // zero totals (possible when colValues is a subset) → null, not NaN
+        valueCols.foldLeft(withTotal)((d, c) =>
+          d.withColumn(c, when(col("__rt") =!= 0, col(c) / col("__rt")))).drop("__rt")
       case "all" | "columns" =>
         // column/grand totals need a global aggregate: broadcast a 1-row total frame
         val totals = filled.agg(valueCols.map(c => sum(col(c)).as(s"__t_$c")).head,
@@ -64,7 +74,8 @@ object PivotLib {
         val joined = filled.crossJoin(broadcast(totals))
         val grand = valueCols.map(c => col(s"__t_$c")).reduce(_ + _)
         val out = valueCols.foldLeft(joined) { (d, c) =>
-          d.withColumn(c, if (normalize == "columns") col(c) / col(s"__t_$c") else col(c) / grand)
+          val denom = if (normalize == "columns") col(s"__t_$c") else grand
+          d.withColumn(c, when(denom =!= 0, col(c) / denom))
         }
         out.drop(valueCols.map(c => s"__t_$c"): _*)
     }
@@ -102,8 +113,10 @@ object PivotLib {
   ): DataFrame = {
     val agg = Relational.aggExpr(aggFunc, valueCol).as(s"${aggFunc}_$valueCol")
     val gCols = keys.map(k => grouping(col(k)).as(s"__g_$k"))
+    // grouping_id is a DOCUMENTED output column (0 = detail row, higher =
+    // subtotal levels) — callers sort/filter subtotals by it
     val rolled = df.rollup(keys.map(col): _*)
-      .agg(agg, (gCols :+ grouping_id().as("__gid")): _*)
+      .agg(agg, (gCols :+ grouping_id().as("grouping_id")): _*)
     val labeled = keys.foldLeft(rolled) { (d, k) =>
       d.withColumn(k, when(col(s"__g_$k") === 1, lit(rollupLabel)).otherwise(col(k)))
     }
@@ -148,11 +161,19 @@ object PivotLib {
       freq: String, // year | quarter | month | week | day | hour
       valueCol: String,
       aggFunc: String = "sum"
-  ): DataFrame =
-    df.withColumn("__period", date_format(date_trunc(freq, col(timeCol)), "yyyy-MM-dd"))
+  ): DataFrame = {
+    // the label must be as fine as the truncation: a bare date pattern
+    // collapses all 24 hourly buckets of a day into one pivot column
+    val fmt = freq.toLowerCase match {
+      case "hour"   => "yyyy-MM-dd HH"
+      case "minute" => "yyyy-MM-dd HH:mm"
+      case _        => "yyyy-MM-dd"
+    }
+    df.withColumn("__period", date_format(date_trunc(freq, col(timeCol)), fmt))
       .groupBy(index.map(col): _*)
       .pivot("__period")
       .agg(Relational.aggExpr(aggFunc, valueCol))
+  }
 
   /** pivot_summary_stats (pivot_operations.py:437-477): count/avg/stddev/min/max
     * per pivot value in one pass.

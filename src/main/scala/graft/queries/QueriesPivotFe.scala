@@ -23,7 +23,7 @@ object QueriesPivotFe {
       PivotLib.pivotWithSubtotals(t(s, dir, "orders"), Seq("o_orderstatus", "o_orderpriority"),
           "o_totalprice", "sum")
         .select(col("o_orderstatus"), col("o_orderpriority"),
-          round(col("sum_o_totalprice"), 2).as("total"), col("__gid").as("gid"))
+          round(col("sum_o_totalprice"), 2).as("total"), col("grouping_id").as("gid"))
         .orderBy(col("gid"), col("o_orderstatus"), col("o_orderpriority"))),
 
     "q_crosstab_norm" -> ((s, dir) =>

@@ -48,12 +48,10 @@ object Sinks {
   ): Unit = {
     val cols = df.columns.toSeq
     val placeholders = cols.map(_ => "?").mkString(", ")
+    val nonKeyCols = cols.filterNot(keyCols.contains)
     val conflictAction =
-      if (!onConflictUpdate) "DO NOTHING"
-      else {
-        val sets = cols.filterNot(keyCols.contains).map(c => s"$c = EXCLUDED.$c").mkString(", ")
-        s"DO UPDATE SET $sets"
-      }
+      if (!onConflictUpdate || nonKeyCols.isEmpty) "DO NOTHING" // all-key rows have nothing to update
+      else s"DO UPDATE SET ${nonKeyCols.map(c => s"$c = EXCLUDED.$c").mkString(", ")}"
     val sql =
       s"""INSERT INTO $table (${cols.mkString(", ")}) VALUES ($placeholders)
          |ON CONFLICT (${keyCols.mkString(", ")}) $conflictAction""".stripMargin
@@ -71,7 +69,7 @@ object Sinks {
           var i = 0
           while (i < cols.length) {
             val v = row.get(i)
-            if (v == null) st.setObject(i + 1, null) else st.setObject(i + 1, v)
+            if (v == null) st.setNull(i + 1, java.sql.Types.NULL) else st.setObject(i + 1, v)
             i += 1
           }
           st.addBatch()

@@ -117,7 +117,9 @@ object StreamPipeline {
           .option("checkpointLocation", str(sink, "checkpoint"))
           .outputMode("append").start()
       case "kafka" =>
-        StreamOps.kafkaSink(df, str(sink, "servers"), str(sink, "topic"), str(sink, "checkpoint")).start()
+        StreamOps.kafkaSink(df, str(sink, "servers"), str(sink, "topic"), str(sink, "checkpoint"))
+          .outputMode(mode) // the declared output_mode applies to EVERY sink
+          .start()
       case other => throw new IllegalArgumentException(s"Unknown sink type: $other")
     }
   }

@@ -30,6 +30,16 @@ class OrchestrationSpec extends SparkSpec {
     assert(third.priority == 9) // reset item is back at the front
   }
 
+  test("file queue survives quotes/backslashes/commas in paths across restarts") {
+    val dir = Files.createTempDirectory("graft_qesc").toString
+    val q = new Orchestration.FileQueue(dir)
+    val nasty = """/data/a"b\c,"d.csv"""
+    q.add(nasty, """t"1""", priority = 5)
+    val q2 = new Orchestration.FileQueue(dir) // reload parses the journal
+    val item = q2.next().get
+    assert(item.path == nasty && item.table == """t"1""")
+  }
+
   test("lineage records sources, ops and sink") {
     val yaml =
       """name: lin

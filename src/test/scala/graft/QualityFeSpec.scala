@@ -108,6 +108,54 @@ class QualityFeSpec extends SparkSpec {
     assert(k <= 2) // data is essentially rank-1 + tiny noise
   }
 
+  test("timeBasedPivot hour frequency keeps hourly buckets distinct") {
+    val df = Seq(
+      ("a", java.sql.Timestamp.valueOf("2024-01-01 03:10:00"), 1.0),
+      ("a", java.sql.Timestamp.valueOf("2024-01-01 04:50:00"), 2.0)
+    ).toDF("k", "ts", "v")
+    val out = graft.functions.PivotLib.timeBasedPivot(df, Seq("k"), "ts", "hour", "v")
+    val pivotCols = out.columns.filterNot(_ == "k")
+    assert(pivotCols.length == 2, s"hourly buckets collapsed: ${pivotCols.toSeq}")
+  }
+
+  test("pivotTable accepts a string fill value without crashing") {
+    val df = Seq(("a", "x", "v1"), ("b", "y", "v2")).toDF("r", "c", "s")
+    val out = graft.functions.PivotLib.pivotTable(df, Seq("r"), "c", "s",
+      Seq("first"), fillValue = Some("missing"))
+    val vals = out.orderBy("r").collect().flatMap(r => Seq(r.getString(1), r.getString(2)))
+    assert(vals.count(_ == "missing") == 2)
+  }
+
+  test("binQuantile gives null bin for null input (parity with binUniform)") {
+    val df = Seq(Some(1.0), Some(2.0), Some(3.0), Some(4.0), None).toDF("x")
+    val out = FeatureLib.binQuantile(df, "x", 2)
+    assert(out.filter($"x".isNull).select("x_qbin").collect()(0).isNullAt(0))
+  }
+
+  test("transform order is preserved for 5+ chained steps") {
+    // rename a->b, then 4 calculated columns each reading the previous one;
+    // an unordered map would scramble the chain past 4 entries
+    val yaml =
+      """name: order_test
+        |source: { type: parquet, path: "unused" }
+        |operations:
+        |  - type: transform
+        |    params:
+        |      transformations:
+        |        a: { type: rename, params: { new_name: b } }
+        |      calculated_columns:
+        |        c1: "b + 1"
+        |        c2: "c1 + 1"
+        |        c3: "c2 + 1"
+        |        c4: "c3 + 1"
+        |        c5: "c4 + 1"
+        |""".stripMargin
+    val conf = graft.core.PipelineConfig.fromYaml(yaml)
+    val compiled = graft.core.OpCompiler.compile(conf.operations)
+    val out = compiled(Seq(1).toDF("a")).collect()(0)
+    assert(out.getAs[Int]("c5") == 6)
+  }
+
   test("crossTab index-normalization rows sum to 1") {
     val ct = PivotLib.crossTab(df.na.fill("z", Seq("grp")), "grp", "grp", normalize = "index")
     val sums = ct.collect().map(r => (1 until r.length).map(i => r.getDouble(i)).sum)
