@@ -27,6 +27,11 @@ case class ExactPercentile(
     inputAggBufferOffset: Int = 0
 ) extends TypedImperativeAggregate[ArrayBuffer[Double]] {
 
+  // validate eagerly like the built-in percentile: out-of-range p would
+  // otherwise surface as an opaque executor ArrayIndexOutOfBounds mid-agg
+  require(percentage >= 0.0 && percentage <= 1.0,
+    s"percentage must be in [0, 1], got $percentage")
+
   override def children: Seq[Expression] = Seq(child)
   override def nullable: Boolean = true
   override def dataType: DataType = DoubleType

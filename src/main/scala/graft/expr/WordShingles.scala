@@ -28,7 +28,13 @@ case class WordShingles(child: Expression, n: Int)
 
   override protected def nullSafeEval(input: Any): Any = {
     val text = input.asInstanceOf[UTF8String].toString
-    val words = text.toLowerCase(Locale.ROOT).trim.split("\\s+")
+    // no String.trim: it strips ALL chars <= U+0020, peeling control chars
+    // off their tokens and diverging from the \s+-split oracle tokenization
+    // (same rule as WordSetCount); empty artifacts of a leading separator
+    // are filtered instead
+    val rawWords = text.toLowerCase(Locale.ROOT).split("\\s+")
+    val words0 = rawWords.filter(_.nonEmpty)
+    val words = if (words0.isEmpty) Array("") else words0
     val out = new mutable.LinkedHashSet[String]
     if (words.length < n || (words.length == 1 && words(0).isEmpty)) {
       out += words.mkString(" ")

@@ -92,7 +92,9 @@ object Multimodal {
             else {
               var h = 1125899906842597L
               payload.foreach(b => h = h * 31 + b)
-              Array.tabulate(dim)(i => (((h + i * 2654435761L) % 1000L).toDouble / 500.0) - 1.0)
+              // floorMod: signed % would put negative-hash features in
+              // [-3, 1), diverging from decodeToFeatures' pmod range [-1, 1)
+              Array.tabulate(dim)(i => (Math.floorMod(h + i * 2654435761L, 1000L).toDouble / 500.0) - 1.0)
             }
           Row.fromSeq(row.toSeq :+ (if (feats == null) null else feats.toSeq))
         }

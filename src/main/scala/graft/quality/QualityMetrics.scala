@@ -9,11 +9,16 @@ import org.apache.spark.sql.functions._
   */
 object QualityMetrics {
 
-  /** completeness: non-null ratio (quality_monitor.py:49-54). */
-  def completeness(c: String): Column = (count(col(c)) / count(lit(1))).as(s"${c}_completeness")
+  /** completeness: non-null ratio (quality_monitor.py:49-54). Null (not a
+    * DIVIDE_BY_ZERO crash — ANSI is on) for an empty input: the monitoring
+    * job must be able to REPORT "no data arrived".
+    */
+  def completeness(c: String): Column =
+    (count(col(c)) / nullif(count(lit(1)), lit(0L))).as(s"${c}_completeness")
 
   /** uniqueness: distinct/total (quality_monitor.py:56-59). */
-  def uniqueness(c: String): Column = (countDistinct(col(c)) / count(lit(1))).as(s"${c}_uniqueness")
+  def uniqueness(c: String): Column =
+    (countDistinct(col(c)) / nullif(count(lit(1)), lit(0L))).as(s"${c}_uniqueness")
 
   /** validity: fraction of rows satisfying a predicate expression
     * (quality_monitor.py:61-69 — reference uses a Python UDF; graft takes a
@@ -47,9 +52,11 @@ object QualityMetrics {
     */
   def outlierRateZscore(df: DataFrame, c: String, threshold: Double = 3.0): DataFrame = {
     val stats = df.agg(avg(col(c)).as("__mu"), stddev(col(c)).as("__sd"))
+    // nullif: a constant column has sd = 0; the z-score is then undefined →
+    // no outliers (rate 0), not an ANSI DIVIDE_BY_ZERO crash
     df.crossJoin(broadcast(stats))
-      .agg(avg(when(abs((col(c) - col("__mu")) / col("__sd")) > threshold, 1.0).otherwise(0.0))
-        .as(s"${c}_outlier_rate"))
+      .agg(avg(when(abs((col(c) - col("__mu")) / nullif(col("__sd"), lit(0.0))) > threshold, 1.0)
+        .otherwise(0.0)).as(s"${c}_outlier_rate"))
   }
 
   /** Outlier rate via IQR fences (quality_monitor.py:106-116). */

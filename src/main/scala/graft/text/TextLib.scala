@@ -56,17 +56,21 @@ object TextLib {
     val t = col(textCol)
     // ONE char-stats pass (native expr; the regexp-per-class plan ran 4
     // regex passes + an interpreted fold per row) + one stopword pass
-    val nChars = col("__tcs.n_chars")
-    val nWords = col("__tcs.n_tokens")
+    // nullif denominators: empty / whitespace-only docs have n_chars or
+    // n_tokens = 0, and Spark 4's default ANSI mode turns a bare 0-division
+    // into a job-killing DIVIDE_BY_ZERO — exactly the junk documents a
+    // quality filter exists to process. Ratios come out null for them.
+    val nChars = nullif(col("__tcs.n_chars").cast("double"), lit(0.0))
+    val nWords = nullif(col("__tcs.n_tokens").cast("double"), lit(0.0))
     df.withColumn("__tcs", graft.expr.TextCharStats(t))
-      .withColumn("n_chars_calc", nChars)
-      .withColumn("n_words", nWords)
-      .withColumn("punct_ratio", round(col("__tcs.n_punct") / nChars.cast("double"), 6))
-      .withColumn("digit_ratio", round(col("__tcs.n_digit") / nChars.cast("double"), 6))
-      .withColumn("upper_ratio", round(col("__tcs.n_upper") / nChars.cast("double"), 6))
+      .withColumn("n_chars_calc", col("__tcs.n_chars"))
+      .withColumn("n_words", col("__tcs.n_tokens"))
+      .withColumn("punct_ratio", round(col("__tcs.n_punct") / nChars, 6))
+      .withColumn("digit_ratio", round(col("__tcs.n_digit") / nChars, 6))
+      .withColumn("upper_ratio", round(col("__tcs.n_upper") / nChars, 6))
       .withColumn("mean_word_len", round(col("__tcs.n_nonws").cast("double") / nWords, 6))
       .withColumn("stopword_ratio",
-        round(graft.expr.WordSetCount(t, EnglishStopwords) / nWords.cast("double"), 6))
+        round(graft.expr.WordSetCount(t, EnglishStopwords) / nWords, 6))
       .drop("__tcs")
   }
 
@@ -146,7 +150,9 @@ object TextLib {
     val stride = chunkSize - overlap
     val t = col(textCol)
     val nChunks = greatest(ceil((length(t) - overlap).cast("double") / stride).cast("int"), lit(1))
-    df.withColumn("chunk_idx", explode(sequence(lit(0), nChunks - 1)))
+    // explode_outer: a null text must keep its row (null chunk) — a plain
+    // explode over the null sequence would silently drop the document
+    df.withColumn("chunk_idx", explode_outer(sequence(lit(0), nChunks - 1)))
       .withColumn("chunk_text", t.substr(col("chunk_idx") * stride + 1, lit(chunkSize)))
       .drop(textCol)
   }

@@ -27,7 +27,13 @@ object Similarity {
 
   def l2Norm(a: Column): Column = graft.expr.L2NormExpr(a)
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2Norm(a) * l2Norm(b))
+  /** Cosine similarity; null (not DIVIDE_BY_ZERO — ANSI mode is on) when
+    * either vector has zero norm (padding / failed-encode vectors). Null
+    * scores sort last under the desc top-k windows and fail threshold
+    * filters, so degenerate vectors drop out instead of killing the job.
+    */
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / nullif(l2Norm(a) * l2Norm(b), lit(0.0))
 
   /** Exact cosine top-k. `queries` must be broadcast-small (the driver
     * enforces nothing; the plan hints broadcast). Output:
@@ -108,21 +114,40 @@ object Similarity {
     val spark = corpus.sparkSession
     val train = corpus.select(array_to_vector(col(corpusVec).cast("array<double>")).as("features"))
     val model = new KMeans().setK(nlist).setSeed(seed).setFeaturesCol("features").fit(train)
-    val centroids = model.clusterCenters.zipWithIndex.map { case (c, i) => (i, c.toArray) }
-    val centroidDf = broadcast(spark.createDataFrame(centroids.toSeq).toDF("list_id", "__centroid"))
-    def nearestLists(vec: Column, n: Int): DataFrame => DataFrame = df => {
-      val scored = df.crossJoin(centroidDf)
-        .withColumn("__cd", dot(vec, col("__centroid")) / (l2Norm(vec) * l2Norm(col("__centroid"))))
-      val w = Window.partitionBy(col("__pk")).orderBy(col("__cd").desc, col("list_id").asc)
-      scored.withColumn("__lr", row_number().over(w)).filter(col("__lr") <= n)
+    val centroids = model.clusterCenters.map(_.toArray)
+    val centroidNorms = centroids.map(c => math.sqrt(c.map(x => x * x).sum))
+    // per-centroid cosine as a row-local expression over the (driver-side)
+    // centroid literals — assigning the corpus via crossJoin × nlist + a
+    // per-row window would shuffle the nlist×-expanded corpus just to take
+    // an argmax; this computes the same assignment with zero expansion.
+    // Zero-norm vectors coalesce to -2 (< any cosine) so ANSI never throws.
+    def centroidCos(vec: Column, i: Int): Column = coalesce(
+      dot(vec, array(centroids(i).map(lit).toSeq: _*)) /
+        nullif(l2Norm(vec) * lit(centroidNorms(i)), lit(0.0)),
+      lit(-2.0))
+    // argmax via array_max over (cos, -list_id) structs: max cosine, ties →
+    // smallest list id (matching the old window's ORDER BY cd DESC, id ASC)
+    def bestList(vec: Column): Column = {
+      val scored = array((0 until nlist).map(i =>
+        struct(centroidCos(vec, i).as("cd"), lit(-i).as("nl"))): _*)
+      (array_max(scored).getField("nl") * -1).cast("int")
+    }
+    val cAssigned = corpus.select(col(corpusId).as("neighbor_id"), col(corpusVec).as("__cv"))
+      .withColumn("list_id", bestList(col("__cv")))
+    // the query side probes nprobe lists — tiny frame, window formulation is fine
+    val centroidDf = broadcast(spark.createDataFrame(
+      centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq).toDF("list_id", "__centroid"))
+    val qAssigned = {
+      val scored = queries.select(col(queryId).as("query_id"), col(queryVec).as("__qv"))
+        .crossJoin(centroidDf)
+        .withColumn("__cd", coalesce(
+          dot(col("__qv"), col("__centroid")) /
+            nullif(l2Norm(col("__qv")) * l2Norm(col("__centroid")), lit(0.0)),
+          lit(-2.0)))
+      val w = Window.partitionBy(col("query_id")).orderBy(col("__cd").desc, col("list_id").asc)
+      scored.withColumn("__lr", row_number().over(w)).filter(col("__lr") <= nprobe)
         .drop("__centroid", "__cd", "__lr")
     }
-    val cAssigned = nearestLists(col("__cv"), 1)(
-      corpus.select(col(corpusId).as("neighbor_id"), col(corpusVec).as("__cv"), col(corpusId).as("__pk")))
-      .drop("__pk")
-    val qAssigned = nearestLists(col("__qv"), nprobe)(
-      queries.select(col(queryId).as("query_id"), col(queryVec).as("__qv"), col(queryId).as("__pk")))
-      .drop("__pk")
     val cands = cAssigned.join(qAssigned, Seq("list_id"))
       .filter(if (excludeSelf) col("neighbor_id") =!= col("query_id") else lit(true))
       .dropDuplicates("query_id", "neighbor_id")

@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.text.{Dedup, TextLib}
+import graft.vec.Similarity
+import graft.quality.QualityMetrics
+
+/** Degenerate-input robustness: Spark 4 runs ANSI mode by default, where an
+  * unguarded 0-division is a job-killing exception — and the inputs most
+  * likely to hit it (empty docs, zero vectors, constant columns, empty
+  * partitions) are exactly what data-quality tooling exists to process.
+  */
+class DirtyDataSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("qualityFeatures/qualityScore survive empty and whitespace-only docs") {
+    val docs = Seq((1L, "a real document with several words"), (2L, ""), (3L, "   \t "))
+      .toDF("doc_id", "text")
+    val f = TextLib.qualityFeatures(docs, "text").orderBy("doc_id").collect()
+    assert(f.length == 3)
+    assert(f(1).isNullAt(f(1).fieldIndex("punct_ratio"))) // 0 chars → null ratio, not a crash
+    assert(f(2).isNullAt(f(2).fieldIndex("mean_word_len"))) // 0 tokens → null
+    val s = TextLib.qualityScore(docs, "text").orderBy("doc_id").collect()
+    assert(s.length == 3 && !s(1).isNullAt(s(1).fieldIndex("quality_score")))
+  }
+
+  test("similarity tiers tolerate zero-norm vectors") {
+    val corpus = ((1L to 20L).map(i => (i, Seq.fill(8)(i.toFloat))) :+ (99L, Seq.fill(8)(0f)))
+      .toDF("vec_id", "embedding")
+    val queries = corpus.filter(col("vec_id") === 1L)
+    val brute = Similarity.bruteTopK(corpus, "vec_id", "embedding", queries, "vec_id", "embedding", k = 5)
+      .collect()
+    assert(brute.length == 5 && !brute.map(_.getLong(1)).contains(99L)) // zero vector drops out
+    val lsh = Similarity.lshTopK(corpus, "vec_id", "embedding", queries, "vec_id", "embedding",
+      k = 5, dim = 8, bands = 4, bitsPerBand = 4)
+    assert(lsh.count() >= 0) // must not throw
+  }
+
+  test("outlier/completeness metrics survive constant columns and empty frames") {
+    val const = Seq(5.0, 5.0, 5.0).toDF("v")
+    val rate = QualityMetrics.outlierRateZscore(const, "v").collect()(0).getDouble(0)
+    assert(rate == 0.0)
+    val empty = spark.emptyDataFrame.withColumn("c", lit(1))
+    val row = QualityMetrics.report(empty, Seq(QualityMetrics.completeness("c"))).collect()(0)
+    assert(row.isNullAt(0)) // "no data arrived" reports null, not a crash
+  }
+
+  test("chunkDocuments keeps null-text documents visible") {
+    val docs = Seq((1L, Some("abcdefghij" * 30)), (2L, None: Option[String])).toDF("doc_id", "text")
+    val out = TextLib.chunkDocuments(docs, "text", chunkSize = 100, overlap = 10)
+    assert(out.filter(col("doc_id") === 2L).count() == 1) // not silently dropped
+    val r = out.filter(col("doc_id") === 2L).collect()(0)
+    assert(r.isNullAt(r.fieldIndex("chunk_text")))
+  }
+
+  test("shingles keep control chars glued to tokens (oracle tokenization parity)") {
+    val withCtl = Seq((1L, "\u0001the cat sat on the mat")).toDF("id", "t")
+    val sh = withCtl.select(explode(TextLib.shingles(col("t"), 3)).as("s"))
+      .as[String].collect().toSet
+    assert(sh.contains("\u0001the cat sat"), s"got $sh")
+    assert(!sh.contains("the cat sat"))
+  }
+
+  test("exact dedup and near-dedup pass through empty-text corpora") {
+    val docs = Seq((1L, ""), (2L, ""), (3L, "real content here with words"))
+      .toDF("doc_id", "text")
+    val exact = Dedup.exact(docs, "text", "doc_id").select("doc_id").as[Long].collect().toSet
+    assert(exact == Set(1L, 3L)) // the two empties collapse to the min id
+  }
+}
