@@ -75,6 +75,33 @@ object QueriesText {
     "q_vocabulary" -> ((s, dir) =>
       TextLib.vocabulary(t(s, dir, "documents"), "text", idCol = "doc_id", minDf = 2, topK = 50)),
 
+    "q_pii_redact" -> ((s, dir) => {
+      // synthetic corpus has no PII — plant deterministic specimens so the
+      // scrub provably fires, then check flags + the redacted tail
+      val planted = t(s, dir, "documents").withColumn("text",
+        when(col("doc_id") % 4 === 0, concat(col("text"), lit(" contact john.doe@example.com now")))
+          .when(col("doc_id") % 4 === 1, concat(col("text"), lit(" call +1-555-123-4567 today")))
+          .when(col("doc_id") % 4 === 2, concat(col("text"), lit(" server at 192.168.0.1 port")))
+          .otherwise(col("text")))
+      planted.withColumn("__red", TextLib.redactPii(col("text")))
+        .select(col("doc_id"),
+          col("__red").contains("<EMAIL>").as("has_email"),
+          col("__red").contains("<PHONE>").as("has_phone"),
+          col("__red").contains("<IP>").as("has_ip"),
+          expr("right(__red, 30)").as("tail30"))
+        .orderBy("doc_id")
+    }),
+
+    "q_text_repetition" -> ((s, dir) => {
+      // documents ∪ a self-repeated copy (text twice) — repetition must rise
+      val d = t(s, dir, "documents")
+      val repeated = d.withColumn("doc_id", col("doc_id") + 300000L)
+        .withColumn("text", concat(col("text"), lit(" "), col("text")))
+      d.unionByName(repeated)
+        .select(col("doc_id"), TextLib.repetitionRatio(col("text"), 3).as("rep_ratio"))
+        .orderBy("doc_id")
+    }),
+
     "q_dedup_clusters" -> ((s, dir) => { // rows-only: cluster election over LSH candidates
       val cands = Dedup.minhashCandidates(docsWithNearDups(s, dir), "text", "doc_id",
         shingleN = 3, numHashes = 64, bands = 16, threshold = 0.6)
@@ -205,6 +232,52 @@ object QueriesText {
 
   val oracle: Map[String, String] = Map(
     "q_lang_id" -> langIdSql,
+
+    "q_pii_redact" -> {
+      // same regexes (RE2-compatible: no lookaround), same replace order
+      val email = graft.text.TextLib.EmailRe
+      val ip = graft.text.TextLib.Ipv4Re
+      val phone = graft.text.TextLib.PhoneRe
+      s"""WITH planted AS (
+         |  SELECT doc_id, CASE doc_id % 4
+         |    WHEN 0 THEN text || ' contact john.doe@example.com now'
+         |    WHEN 1 THEN text || ' call +1-555-123-4567 today'
+         |    WHEN 2 THEN text || ' server at 192.168.0.1 port'
+         |    ELSE text END AS text
+         |  FROM documents),
+         |red AS (
+         |  SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(text,
+         |    '$email', '<EMAIL>', 'g'),
+         |    '$ip', '<IP>', 'g'),
+         |    '$phone', '<PHONE>', 'g') AS r
+         |  FROM planted)
+         |SELECT doc_id,
+         |  contains(r, '<EMAIL>') AS has_email,
+         |  contains(r, '<PHONE>') AS has_phone,
+         |  contains(r, '<IP>') AS has_ip,
+         |  right(r, 30) AS tail30
+         |FROM red ORDER BY doc_id""".stripMargin
+    },
+
+    "q_text_repetition" ->
+      """WITH u AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 300000, text || ' ' || text FROM documents),
+        |tok AS (
+        |  SELECT doc_id,
+        |    string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS ws
+        |  FROM u),
+        |m AS (
+        |  SELECT doc_id, greatest(len(ws) - 2, 0) AS total,
+        |    CASE WHEN len(ws) >= 3 THEN len(list_distinct(
+        |      list_transform(range(1, len(ws) - 1),
+        |        i -> ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2])))
+        |    ELSE 0 END AS nd
+        |  FROM tok)
+        |SELECT doc_id,
+        |  CASE WHEN total > 0 THEN round(1.0 - nd * 1.0 / total, 6) ELSE 0.0 END AS rep_ratio
+        |FROM m ORDER BY doc_id""".stripMargin,
 
     "q_bloom_exclude" ->
       """SELECT doc_id, lang, n_chars FROM documents

@@ -157,6 +157,43 @@ object TextLib {
       .drop(textCol)
   }
 
+  /** PII redaction for free text: emails, international/US phone numbers,
+    * and IPv4 addresses are replaced with typed placeholder tokens — the
+    * standard corpus-curation scrub before training. Pure regexp_replace
+    * chain (codegen'd, one pass per pattern, oracle-expressible).
+    * Patterns are deliberately conservative (precision over recall): a
+    * missed phone is recoverable downstream, a mangled number-that-wasn't
+    * is not.
+    */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re = "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b"
+  val PhoneRe = "(?:\\+?\\d{1,3}[-. ])?\\(?\\d{3}\\)?[-. ]\\d{3}[-. ]\\d{4}\\b"
+
+  def redactPii(text: Column,
+                emailToken: String = "<EMAIL>",
+                phoneToken: String = "<PHONE>",
+                ipToken: String = "<IP>"): Column = {
+    // order matters: emails first (their local part can contain digits that
+    // would otherwise partially match the phone pattern), then IPs (dotted
+    // digits that overlap phone-ish shapes), phones last
+    val noEmail = regexp_replace(text, EmailRe, emailToken)
+    val noIp = regexp_replace(noEmail, Ipv4Re, ipToken)
+    regexp_replace(noIp, PhoneRe, phoneToken)
+  }
+
+  /** Intra-document repetition ratio (MassiveText/Gopher-style quality
+    * signal): 1 − distinct/total word n-grams. 0 = no repetition; →1 for
+    * template/boilerplate spam. One pass over the shingle multiset.
+    */
+  def repetitionRatio(text: Column, n: Int = 3): Column = {
+    val norm = normalized(text)
+    val words = split(norm, " ")
+    val total = greatest(size(words) - (n - 1), lit(0))
+    // distinct n-grams via the WordShingles expr (already deduplicated)
+    val distinctN = when(size(words) >= n, size(shingles(text, n))).otherwise(lit(0))
+    when(total > 0, round(lit(1.0) - distinctN / total.cast("double"), 6)).otherwise(lit(0.0))
+  }
+
   /** 64-bit document fingerprint: min of xxhash64 over word shingles —
     * stable under whitespace/case noise, computable in one expression.
     * (A 1-permutation MinHash; see MinHashDedup for the k-permutation form.)

@@ -61,6 +61,33 @@ class DirtyDataSpec extends SparkSpec {
     assert(!sh.contains("the cat sat"))
   }
 
+  test("redactPii masks emails, phones, IPs and leaves prose untouched") {
+    val rows = Seq(
+      "mail me at jane_d+spam@sub.example.co.uk please",
+      "call (555) 123-4567 or +44-555-123-4567",
+      "host 10.0.255.3 responded",
+      "version 1.2 of chapter 3.4.5 stays intact" // dots/digits that are NOT an IP
+    ).zipWithIndex.map(_.swap).toDF("id", "t")
+    val out = rows.select(TextLib.redactPii(col("t")).as("r")).as[String].collect()
+    assert(out(0) == "mail me at <EMAIL> please")
+    assert(out(1) == "call <PHONE> or <PHONE>")
+    assert(out(2) == "host <IP> responded")
+    assert(out(3) == "version 1.2 of chapter 3.4.5 stays intact")
+  }
+
+  test("repetitionRatio: 0 for all-distinct, rises toward 1 for repeated text") {
+    val rows = Seq(
+      (1L, "one two three four five six seven eight"),
+      (2L, Seq.fill(10)("spam ham eggs").mkString(" ")),
+      (3L, "ab")
+    ).toDF("id", "t")
+    val out = rows.select(col("id"), TextLib.repetitionRatio(col("t"), 3).as("r"))
+      .orderBy("id").as[(Long, Double)].collect().toMap
+    assert(out(1L) == 0.0)
+    assert(out(2L) > 0.8, s"repeated text scored ${out(2L)}")
+    assert(out(3L) == 0.0) // fewer than n words → defined as 0
+  }
+
   test("exact dedup and near-dedup pass through empty-text corpora") {
     val docs = Seq((1L, ""), (2L, ""), (3L, "real content here with words"))
       .toDF("doc_id", "text")
