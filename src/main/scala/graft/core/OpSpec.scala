@@ -253,6 +253,12 @@ object OpCompiler {
       case "fingerprint" =>
         df.withColumn(s(p, "output_column", "fingerprint"),
           TextLib.fingerprint(col(text), s(p, "shingle_n", "3").toInt))
+      case "redact_pii" =>
+        df.withColumn(text, TextLib.redactPii(col(text),
+          s(p, "email_token", "<EMAIL>"), s(p, "phone_token", "<PHONE>"), s(p, "ip_token", "<IP>")))
+      case "repetition_ratio" =>
+        df.withColumn(s(p, "output_column", "repetition_ratio"),
+          TextLib.repetitionRatio(col(text), s(p, "shingle_n", "3").toInt))
       case "bloom_exclude" =>
         require(tables != null, "bloom_exclude requires a table catalog")
         graft.ops.Scale.excludeKeysBloom(df, s(p, "key_column", id),
