@@ -43,17 +43,24 @@ object Bench {
         .groupBy("l_returnflag").count().write.format("noop").mode("overwrite").save()
     } catch { case _: Throwable => () }
 
+    names.filterNot(qs.contains).foreach(n => System.err.println(s"[bench] unknown query name: $n"))
     val results = names.filter(qs.contains).map { name =>
       def run(): Unit = qs(name)(spark, sfDir).write.format("noop").mode("overwrite").save()
       try run() catch { case e: Throwable => System.err.println(s"[bench] $name warmup failed: ${e.getMessage}") }
       spark.catalog.clearCache() // drop persisted intermediates so queries don't
       val t0 = System.nanoTime() //   inherit (or pay eviction for) earlier caches
-      try run() catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}") }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok = try { run(); true } catch {
+        case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
+      }
+      (name, (System.nanoTime() - t0) / 1e9, ok)
     }
-    val qJson = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qJson,"sf":"$sfDir"}""")
+    // a broken query must NOT deflate the timing line — report it separately
+    def fmt(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val good = results.collect { case (k, v, true) => k -> v }
+    val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
+    val qJson = good.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
+    val failedJson = if (failed.isEmpty) "" else s""","failed":[${failed.mkString(",")}]"""
+    println(s"""{"metric":"total","value":${fmt(good.map(_._2).sum)},"unit":"sec","queries":$qJson$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -11,6 +11,24 @@ import graft.core.{Pipeline, Sessions}
   *   graft.Cli entry               (flagship smoke query)
   */
 object Cli {
+  /** JSON string escape (backslash, quote, control chars) — the run/stream
+    * result lines are machine-readable; an unescaped quote in a pipeline
+    * name would corrupt them.
+    */
+  private def j(s: String): String = "\"" + s.flatMap {
+    case '"'  => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  } + "\""
+
+  /** JSON number: NaN/Infinity are not valid JSON — emit null. */
+  private def jn(v: Double): String =
+    if (v.isNaN || v.isInfinite) "null" else v.toString
+
   def main(args: Array[String]): Unit = args.toList match {
     case "run" :: path :: rest =>
       if (!Files.exists(Paths.get(path))) {
@@ -31,8 +49,8 @@ object Cli {
         val metrics = graft.core.Orchestration.installMetrics(spark)
         try {
           val res = Pipeline.execute(spark, conf)
-          println(s"""{"pipeline":"${res.name}","status":"${res.status}","rows":${res.rowsWritten},""" +
-            s""""validation":{${res.validation.map { case (k, v) => s""""$k":$v""" }.mkString(",")}},""" +
+          println(s"""{"pipeline":${j(res.name)},"status":${j(res.status)},"rows":${res.rowsWritten},""" +
+            s""""validation":{${res.validation.map { case (k, v) => s"${j(k)}:${jn(v)}" }.mkString(",")}},""" +
             s""""errors":${res.errors.size}}""")
           res.errors.foreach(e => System.err.println(s"[pipeline] $e"))
           Thread.sleep(300) // listener delivery is async
@@ -48,10 +66,13 @@ object Cli {
       }
       val conf = graft.streaming.StreamPipeline.fromYaml(Files.readString(Paths.get(path)))
       val spark = Sessions.local(appName = s"graft-stream-${conf.name}")
+      // recentProgress is ring-buffered (numRecentProgressUpdates, default
+      // 100) — a long --drain would undercount batches/rows without this
+      spark.conf.set("spark.sql.streaming.numRecentProgressUpdates", "100000")
       val q = graft.streaming.StreamPipeline.start(spark, conf)
       if (rest.contains("--drain")) { // process what's there, then stop (backfill/test mode)
         q.processAllAvailable()
-        println(s"""{"stream":"${conf.name}","batches":${q.recentProgress.length},""" +
+        println(s"""{"stream":${j(conf.name)},"batches":${q.recentProgress.length},""" +
           s""""rows":${q.recentProgress.map(_.numInputRows).sum}}""")
         q.stop(); spark.stop()
       } else {

@@ -85,24 +85,28 @@ object WindowLib {
       case (_, Some((s, e))) => base.rangeBetween(s, e)
       case _                 => base
     }
+    // The explicit frame applies ONLY to plain aggregates: ranking and
+    // offset functions carry a fixed required frame, and handing them the
+    // op's rows/range frame makes Spark throw for any op that mixes, say,
+    // `rank` with a framed `sum`.
     op.functions.foldLeft(df) { (d, f) =>
       val alias = Option(f.alias).getOrElse(s"${Option(f.column).getOrElse("w")}_${f.funcType}")
       val c: Column = f.funcType match {
-        case "row_number"   => rowNumber(framed)
-        case "rank"         => rankMin(framed)
-        case "dense_rank"   => denseRank(framed)
-        case "percent_rank" => percentRank(framed)
-        case "ntile"        => ntileN(f.n, framed)
-        case "cume_dist"    => cumeDist(framed)
-        case "lag"          => lagCol(f.column, f.offset, f.default, framed)
-        case "lead"         => leadCol(f.column, f.offset, f.default, framed)
+        case "row_number"   => rowNumber(base)
+        case "rank"         => rankMin(base)
+        case "dense_rank"   => denseRank(base)
+        case "percent_rank" => percentRank(base)
+        case "ntile"        => ntileN(f.n, base)
+        case "cume_dist"    => cumeDist(base)
+        case "lag"          => lagCol(f.column, f.offset, f.default, base)
+        case "lead"         => leadCol(f.column, f.offset, f.default, base)
         case "first_value"  => firstValue(f.column, framed)
-        case "last_value"   => lastValue(f.column, spec(op.partitionBy, op.orderBy))
+        case "last_value"   => lastValue(f.column, base)
         case "nth_value"    => nthValue(f.column, f.n, framed)
-        case "running_sum"  => runningSum(f.column, spec(op.partitionBy, op.orderBy))
-        case "running_avg"  => runningAvg(f.column, spec(op.partitionBy, op.orderBy))
-        case "moving_avg"   => movingAverage(f.column, f.n, f.minPeriods, spec(op.partitionBy, op.orderBy))
-        case "moving_sum"   => movingSum(f.column, f.n, f.minPeriods, spec(op.partitionBy, op.orderBy))
+        case "running_sum"  => runningSum(f.column, base)
+        case "running_avg"  => runningAvg(f.column, base)
+        case "moving_avg"   => movingAverage(f.column, f.n, f.minPeriods, base)
+        case "moving_sum"   => movingSum(f.column, f.n, f.minPeriods, base)
         case "sum" | "avg" | "count" | "min" | "max" =>
           Relationalish.agg(f.funcType, f.column).over(framed)
         case other => throw new IllegalArgumentException(s"Unknown window function: $other")

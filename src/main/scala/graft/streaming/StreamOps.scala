@@ -84,7 +84,12 @@ object StreamOps {
     case "min"          => min(col(c))
     case "max"          => max(col(c))
     case "unique_count" => approx_count_distinct(col(c))
+    // "percentile" (bare) = p95 for backward-compat; "pNN"/"median" make
+    // the quantile explicit in the spec (and therefore the output name)
     case "percentile"   => percentile_approx(col(c), lit(0.95), lit(10000))
+    case "median"       => percentile_approx(col(c), lit(0.5), lit(10000))
+    case p if p.matches("p\\d{1,2}") =>
+      percentile_approx(col(c), lit(p.drop(1).toInt / 100.0), lit(10000))
     case other          => throw new IllegalArgumentException(s"Unknown stream agg: $other")
   }
 
@@ -93,6 +98,7 @@ object StreamOps {
     */
   def tumbling(df: DataFrame, tsCol: String, size: String, watermarkDelay: String,
                keys: Seq[String], aggs: Seq[(String, String)]): DataFrame = {
+    require(aggs.nonEmpty, "windowed aggregation needs at least one (column -> function) in `aggregations`")
     val exprs = aggs.map { case (c, f) => streamAgg(f, c).as(s"${c}_$f") }
     df.withWatermark(tsCol, watermarkDelay)
       .groupBy(window(col(tsCol), size) +: keys.map(col): _*)
@@ -104,6 +110,7 @@ object StreamOps {
   /** Sliding window aggregation (stream_processor.py:58-82, 123-144). */
   def sliding(df: DataFrame, tsCol: String, size: String, slide: String, watermarkDelay: String,
               keys: Seq[String], aggs: Seq[(String, String)]): DataFrame = {
+    require(aggs.nonEmpty, "windowed aggregation needs at least one (column -> function) in `aggregations`")
     val exprs = aggs.map { case (c, f) => streamAgg(f, c).as(s"${c}_$f") }
     df.withWatermark(tsCol, watermarkDelay)
       .groupBy(window(col(tsCol), size, slide) +: keys.map(col): _*)
@@ -118,6 +125,7 @@ object StreamOps {
     */
   def session(df: DataFrame, tsCol: String, gap: String, watermarkDelay: String,
               keys: Seq[String], aggs: Seq[(String, String)]): DataFrame = {
+    require(aggs.nonEmpty, "windowed aggregation needs at least one (column -> function) in `aggregations`")
     val exprs = aggs.map { case (c, f) => streamAgg(f, c).as(s"${c}_$f") }
     df.withWatermark(tsCol, watermarkDelay)
       .groupBy(session_window(col(tsCol), gap) +: keys.map(col): _*)
@@ -141,10 +149,13 @@ object StreamOps {
     * the handler function). Exactly-once = checkpoint + idempotent handler
     * (e.g. Sinks.jdbcUpsert keyed on (window, key)).
     */
-  def foreachBatchSink(df: DataFrame, checkpoint: String, intervalMs: Long = 1000L)(
+  def foreachBatchSink(df: DataFrame, checkpoint: String, intervalMs: Long = 1000L,
+                       outputMode: String = "update")(
       handler: (DataFrame, Long) => Unit): DataStreamWriter[org.apache.spark.sql.Row] =
     df.writeStream
-      .outputMode("update")
+      // configurable: Spark rejects update mode for session-window
+      // aggregations — those callers must pass "append"
+      .outputMode(outputMode)
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.ProcessingTime(intervalMs))
       .foreachBatch((batch: DataFrame, id: Long) => handler(batch, id))
