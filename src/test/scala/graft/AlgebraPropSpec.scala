@@ -80,6 +80,22 @@ class AlgebraPropSpec extends SparkSpec {
     }
   }
 
+  test("redactPii is idempotent; repetitionRatio stays within [0, 1]") {
+    import org.apache.spark.sql.functions._
+    val texts = Seq(
+      "plain prose without identifiers",
+      "mail a@b.co or c.d@e.org, dial 555-123-4567, ping 8.8.8.8",
+      "<EMAIL> already redacted stays fixed",
+      "x " * 200, // extreme repetition
+      ""
+    ).zipWithIndex.map(_.swap).toDF("id", "t")
+    val once = texts.select(col("id"), graft.text.TextLib.redactPii(col("t")).as("r1"))
+    val twice = once.select(col("id"), graft.text.TextLib.redactPii(col("r1")).as("r2"), col("r1"))
+    twice.collect().foreach(r => assert(r.getString(1) == r.getString(2), s"not idempotent: ${r.getString(2)}"))
+    val ratios = texts.select(graft.text.TextLib.repetitionRatio(col("t"), 3)).collect().map(_.getDouble(0))
+    ratios.foreach(x => assert(x >= 0.0 && x <= 1.0, s"ratio out of range: $x"))
+  }
+
   test("approx aggregates track exact within tolerance") {
     samples.take(3).foreach { rows =>
       val df = rows.toDF("id", "grp", "v")
