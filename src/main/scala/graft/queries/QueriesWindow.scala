@@ -58,7 +58,11 @@ object QueriesWindow {
     }),
 
     "q_win_running" -> ((s, dir) => {
-      val w = WindowLib.spec(Seq("l_suppkey"), Seq("l_shipdate" -> true, "l_orderkey" -> true, "l_linenumber" -> true))
+      // l_quantity/l_extendedprice tiebreakers: sf0.1 has rows sharing the
+      // full (shipdate, orderkey, linenumber) key, and a non-total ordering
+      // makes window contents engine-arbitrary (caught by the sf0.1 gate)
+      val w = WindowLib.spec(Seq("l_suppkey"), Seq("l_shipdate" -> true, "l_orderkey" -> true,
+        "l_linenumber" -> true, "l_quantity" -> true, "l_extendedprice" -> true))
       t(s, dir, "lineitem")
         .withColumn("run_sum", round(WindowLib.runningSum("l_quantity", w), 3))
         .withColumn("run_avg", roundf(WindowLib.runningAvg("l_quantity", w), 4))
@@ -67,7 +71,11 @@ object QueriesWindow {
     }),
 
     "q_win_moving" -> ((s, dir) => {
-      val w = WindowLib.spec(Seq("l_suppkey"), Seq("l_shipdate" -> true, "l_orderkey" -> true, "l_linenumber" -> true))
+      // l_quantity/l_extendedprice tiebreakers: sf0.1 has rows sharing the
+      // full (shipdate, orderkey, linenumber) key, and a non-total ordering
+      // makes window contents engine-arbitrary (caught by the sf0.1 gate)
+      val w = WindowLib.spec(Seq("l_suppkey"), Seq("l_shipdate" -> true, "l_orderkey" -> true,
+        "l_linenumber" -> true, "l_quantity" -> true, "l_extendedprice" -> true))
       t(s, dir, "lineitem")
         .withColumn("mov_avg", roundf(WindowLib.movingAverage("l_quantity", 5, 3, w), 4))
         .withColumn("mov_sum", round(WindowLib.movingSum("l_quantity", 5, 1, w), 3))
@@ -151,7 +159,7 @@ object QueriesWindow {
         |  round(sum(l_quantity) OVER w, 3) AS run_sum,
         |  round(avg(l_quantity) OVER w + 1e-9, 4) AS run_avg
         |FROM lineitem
-        |WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity, l_extendedprice
         |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
 
@@ -160,7 +168,7 @@ object QueriesWindow {
         |  round(CASE WHEN count(l_quantity) OVER w >= 3 THEN avg(l_quantity) OVER w END + 1e-9, 4) AS mov_avg,
         |  round(sum(l_quantity) OVER w, 3) AS mov_sum
         |FROM lineitem
-        |WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity, l_extendedprice
         |             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
 
