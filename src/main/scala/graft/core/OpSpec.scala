@@ -261,6 +261,10 @@ object OpCompiler {
           TextLib.repetitionRatio(col(text), s(p, "shingle_n", "3").toInt))
       case "bloom_exclude" =>
         require(tables != null, "bloom_exclude requires a table catalog")
+        require(s(p, "blocklist_table") != null,
+          "bloom_exclude requires params.blocklist_table (name of a catalog table)")
+        require(s(p, "blocklist_key") != null,
+          "bloom_exclude requires params.blocklist_key (key column in the blocklist table)")
         graft.ops.Scale.excludeKeysBloom(df, s(p, "key_column", id),
           tables(s(p, "blocklist_table")), s(p, "blocklist_key"),
           s(p, "fpp", "0.01").toDouble)

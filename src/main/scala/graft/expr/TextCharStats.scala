@@ -21,6 +21,13 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * The replaced plan ran 4 separate regexp passes plus an interpreted HOF
   * fold per row; this is one loop over the code points.
+  *
+  * Whitespace dialect caveat: Java regex `\s` = [ \t\n\x0B\f\r] INCLUDES
+  * vertical tab (U+000B); DuckDB's RE2 `\s` excludes it. The engine follows
+  * Java (the spec'd tokenizer is "split on Java \s+"), so a document
+  * containing \x0B would token-count differently under a DuckDB oracle.
+  * The driver corpus contains none; DirtyDataSpec pins the Java-side
+  * behavior so the choice is explicit, not accidental.
   */
 case class TextCharStats(child: Expression) extends UnaryExpression with CodegenFallback {
 

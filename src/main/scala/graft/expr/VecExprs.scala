@@ -55,6 +55,9 @@ case class DotProduct(left: Expression, right: Expression)
     var acc = 0.0
     var i = 0
     while (i < n) {
+      // null element → null result, matching zip_with's null propagation:
+      // a malformed vector must drop out of scoring, not contribute 0.0
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
       acc += VecExprs.get(a, i, leftFloat) * VecExprs.get(b, i, rightFloat)
       i += 1
     }
@@ -76,6 +79,8 @@ object DotProduct {
 case class L2NormExpr(child: Expression) extends UnaryExpression with CodegenFallback {
 
   override def dataType: DataType = DoubleType
+  // null on null array element (below), regardless of child nullability
+  override def nullable: Boolean = true
 
   @transient private lazy val isFloat = VecExprs.isFloatArray(child)
 
@@ -85,6 +90,7 @@ case class L2NormExpr(child: Expression) extends UnaryExpression with CodegenFal
     var acc = 0.0
     var i = 0
     while (i < n) {
+      if (a.isNullAt(i)) return null // null element poisons the norm (HOF parity)
       val x = VecExprs.get(a, i, isFloat)
       acc += x * x
       i += 1
@@ -125,6 +131,13 @@ case class HyperplaneSig(child: Expression, planes: Vector[Double], bands: Int, 
     // was null there, so every sign test failed → bit 0); a truncated dot
     // would instead hash garbage into real buckets
     if (v.numElements() != dim) return new GenericArrayData(out)
+    var i0 = 0
+    while (i0 < dim) {
+      // null element → every per-plane HOF dot was null → every sign test
+      // failed → all-zero bands, same as the wrong-dimension case above
+      if (v.isNullAt(i0)) return new GenericArrayData(out)
+      i0 += 1
+    }
     var bit = 0
     while (bit < nbits) {
       val base = bit * dim

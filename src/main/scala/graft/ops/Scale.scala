@@ -111,40 +111,33 @@ object Scale {
   ): DataFrame = {
     import org.apache.spark.sql.GraftColumnBridge
     import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
-    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
     import org.apache.spark.sql.types.BinaryType
+    import org.apache.spark.util.sketch.BloomFilter
     val est = math.max(1L,
       blocklist.agg(approx_count_distinct(col(blockKeyCol))).first().getLong(0))
-    val numBits = math.max(64L,
-      math.ceil(-est * math.log(fpp) / (math.log(2) * math.log(2))).toLong)
-    // BloomFilterAggregate silently Math.min-clamps est/numBits against the
-    // runtime-bloom confs (default 4M items / 64M bits) — at blocklist
-    // scale that would quietly push effective fpp toward 1 and route the
-    // whole corpus into the anti-join. Raise the caps for this build and
-    // restore them after.
-    val spark = df.sparkSession
-    val itemsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumItems"
-    val bitsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumBits"
-    val oldItems = spark.conf.getOption(itemsKey)
-    val oldBits = spark.conf.getOption(bitsKey)
-    val bloomBytes =
-      try {
-        spark.conf.set(itemsKey, math.max(est, oldItems.map(_.toLong).getOrElse(0L)))
-        spark.conf.set(bitsKey, math.max(numBits, oldBits.map(_.toLong).getOrElse(0L)))
-        val bloomAgg = GraftColumnBridge.column(
-          new BloomFilterAggregate(
-            GraftColumnBridge.expression(xxhash64(col(blockKeyCol))),
-            GraftColumnBridge.expression(lit(est)),
-            GraftColumnBridge.expression(lit(numBits))).toAggregateExpression())
-        blocklist.select(bloomAgg.as("bf")).first().getAs[Array[Byte]](0)
-      } finally {
-        def restore(k: String, v: Option[String]): Unit =
-          v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
-        restore(itemsKey, oldItems)
-        restore(bitsKey, oldBits)
+    // Build the sketch with a treeAggregate over the sketch-library
+    // BloomFilter (same implementation class BloomFilterMightContain
+    // deserializes, so bit layout and hashing match putLong-for-putLong).
+    // NOT BloomFilterAggregate: that aggregate silently Math.min-clamps
+    // est/numBits against the session-global runtime-bloom confs (default
+    // 4M items / 64M bits) — working around it by mutating those confs is
+    // racy for concurrent queries on the same SparkSession. treeAggregate
+    // is conf-free, mergeable across partitions, and ships only the
+    // few-MB bitset to the driver.
+    val bloomBytes: Array[Byte] =
+      if (blocklist.isEmpty) null
+      else {
+        val bf = blocklist.select(xxhash64(col(blockKeyCol)).as("__h"))
+          .rdd.map(_.getLong(0))
+          .treeAggregate(BloomFilter.create(est, fpp))(
+            (acc, h) => { acc.putLong(h); acc },
+            (a, b) => { a.mergeInPlace(b); a })
+        val bos = new java.io.ByteArrayOutputStream()
+        bf.writeTo(bos)
+        bos.toByteArray
       }
     if (bloomBytes == null) {
-      // empty blocklist → BloomFilterAggregate yields null; nothing to drop
+      // empty blocklist → nothing to drop
       df
     } else {
       val might = GraftColumnBridge.column(BloomFilterMightContain(

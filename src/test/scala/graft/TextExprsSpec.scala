@@ -24,6 +24,7 @@ class TextExprsSpec extends SparkSpec {
     "one two",
     "\u0001the cat sat", // control char must stay glued to its token
     "\u0002 the cat",    // control char as its own token
+    "ab\u000Bcd ef",     // vertical tab IS whitespace per Java \s (RE2/DuckDB \s differs - documented caveat)
     "der die das und ist nicht ein",
     "le chat est dans la maison avec le chien"
   )

@@ -52,6 +52,27 @@ class VecExprsSpec extends SparkSpec {
     assert(out(1).isNullAt(1))
   }
 
+  test("null array ELEMENTS poison the result like the HOFs they replaced") {
+    // zip_with/aggregate propagate a null element to a null sum — a
+    // malformed vector must drop out of scoring, not contribute 0.0
+    val df = Seq(
+      (1, Seq[java.lang.Double](1.0, null, 3.0), Seq[java.lang.Double](4.0, 5.0, 6.0)),
+      (2, Seq[java.lang.Double](1.0, 2.0, 3.0), Seq[java.lang.Double](4.0, 5.0, 6.0))
+    ).toDF("id", "a", "b")
+    val out = df.select(col("id"),
+      graft.expr.DotProduct(col("a"), col("b")).as("d"),
+      graft.expr.L2NormExpr(col("a")).as("n")).orderBy("id").collect()
+    assert(out(0).isNullAt(1), "dot with null element must be null")
+    assert(out(0).isNullAt(2), "norm with null element must be null")
+    assert(out(1).getDouble(1) == 32.0)
+    // HyperplaneSig: per-plane dot null → every sign test fails → all-zero bands
+    val planes = Similarity.hyperplanes(3, 8, seed = 7L)
+    val sigs = df.select(col("id"),
+      graft.expr.HyperplaneSig(col("a"), planes, 2, 4).as("sig")).orderBy("id").collect()
+    assert(sigs(0).getSeq[Int](1) == Seq(0, 0), "null element must hash to the zero bands")
+    assert(sigs(1).getSeq[Int](1) != Seq(0, 0))
+  }
+
   test("HyperplaneSig packs the same band hashes as per-plane sign bits") {
     val dim = 16; val bands = 4; val bitsPerBand = 4
     val planes = Similarity.hyperplanes(dim, bands * bitsPerBand, seed = 42L)
