@@ -259,6 +259,14 @@ object OpCompiler {
       case "repetition_ratio" =>
         df.withColumn(s(p, "output_column", "repetition_ratio"),
           TextLib.repetitionRatio(col(text), s(p, "shingle_n", "3").toInt))
+      case "decontaminate" =>
+        require(tables != null, "decontaminate requires a table catalog")
+        require(s(p, "eval_table") != null,
+          "decontaminate requires params.eval_table (name of the held-out eval suite table)")
+        graft.text.Contamination.decontaminate(df, text, id,
+          tables(s(p, "eval_table")),
+          s(p, "eval_text_column", text), s(p, "eval_id_column", id),
+          s(p, "ngram_n", "8").toInt, s(p, "min_overlap", "1").toInt)
       case "bloom_exclude" =>
         require(tables != null, "bloom_exclude requires a table catalog")
         require(s(p, "blocklist_table") != null,

@@ -1,7 +1,8 @@
 package graft.expr
 
-import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
 /** SQL registration for graft's native Catalyst expressions — makes them
   * callable from `custom_sql` / `expr()` / pipeline YAML alongside the
@@ -12,6 +13,12 @@ import org.apache.spark.sql.catalyst.expressions.Expression
   *   graft_exact_percentile(col, p)       → double (aggregate)
   *   graft_dot(a, b)                      → double
   *   graft_l2norm(a)                      → double
+  *
+  * Two registration paths, same builder table:
+  *   - `GraftFunctions.register(spark)` on a live session (temp functions);
+  *   - `spark.sql.extensions=graft.expr.GraftExtensions` at session build,
+  *     the deployment shape — every session on the cluster gets the
+  *     functions without application code.
   */
 object GraftFunctions {
 
@@ -27,18 +34,30 @@ object GraftFunctions {
     case other => throw new IllegalArgumentException(s"$what must be a numeric literal, got $other")
   }
 
+  /** Name → builder, shared by both registration paths. */
+  val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "graft_word_shingles" -> (exprs => WordShingles(exprs.head, intLit(exprs(1), "n"))),
+    "graft_minhash_sig" -> (exprs => MinHashSig(exprs.head, intLit(exprs(1), "numHashes"))),
+    "graft_exact_percentile" ->
+      (exprs => ExactPercentile(exprs.head, doubleLit(exprs(1), "percentage")).toAggregateExpression()),
+    "graft_dot" -> (exprs => DotProduct(exprs.head, exprs(1))),
+    "graft_l2norm" -> (exprs => L2NormExpr(exprs.head)))
+
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    reg.createOrReplaceTempFunction("graft_word_shingles",
-      exprs => WordShingles(exprs.head, intLit(exprs(1), "n")), "scala_udf")
-    reg.createOrReplaceTempFunction("graft_minhash_sig",
-      exprs => MinHashSig(exprs.head, intLit(exprs(1), "numHashes")), "scala_udf")
-    reg.createOrReplaceTempFunction("graft_exact_percentile",
-      exprs => ExactPercentile(exprs.head, doubleLit(exprs(1), "percentage")).toAggregateExpression(),
-      "scala_udf")
-    reg.createOrReplaceTempFunction("graft_dot",
-      exprs => DotProduct(exprs.head, exprs(1)), "scala_udf")
-    reg.createOrReplaceTempFunction("graft_l2norm",
-      exprs => L2NormExpr(exprs.head), "scala_udf")
+    builders.foreach { case (name, b) => reg.createOrReplaceTempFunction(name, b, "scala_udf") }
   }
+}
+
+/** `spark.sql.extensions` hook: injects every graft function at session
+  * build time (SparkSessionExtensions.injectFunction), so SQL-only users —
+  * thrift server, notebooks, `spark-sql` — get the native kernels without
+  * touching the Scala API.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.builders.foreach { case (name, b) =>
+      ext.injectFunction((FunctionIdentifier(name),
+        new ExpressionInfo("graft", name), b))
+    }
 }

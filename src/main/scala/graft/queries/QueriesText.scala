@@ -202,8 +202,36 @@ object QueriesText {
         .select(col("media_id"), col("frame_idx"),
           length(col("frame_payload")).as("frame_len"))
         .orderBy("media_id", "frame_idx")
+    }),
+
+    "q_contamination" -> ((s, dir) => {
+      // benchmark decontamination probe: every 50th doc plays the eval
+      // suite; the train corpus holds the rest plus a mutated copy of each
+      // eval doc (last word dropped, id+100000) — guaranteed contamination
+      val (train, ev) = trainEvalSplit(s, dir)
+      graft.text.Contamination.contaminationStats(
+          train, "text", "doc_id", ev, "text", "doc_id", n = 5)
+        .orderBy("train_id")
+    }),
+
+    "q_decontaminate" -> ((s, dir) => {
+      val (train, ev) = trainEvalSplit(s, dir)
+      graft.text.Contamination.decontaminate(
+          train, "text", "doc_id", ev, "text", "doc_id", n = 5, minOverlap = 3)
+        .select("doc_id", "lang", "n_chars")
+        .orderBy("doc_id")
     })
   )
+
+  /** Shared fixture for the contamination queries: (train corpus, eval suite). */
+  private def trainEvalSplit(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    val d = t(s, dir, "documents")
+    val ev = d.filter(col("doc_id") % 50 === 0)
+    val train = d.filter(col("doc_id") % 50 =!= 0).unionByName(
+      ev.withColumn("doc_id", col("doc_id") + 100000L)
+        .withColumn("text", regexp_replace(col("text"), "\\s+\\S+\\s*$", "")))
+    (train, ev)
+  }
 
   /** langId oracle: built from the SAME marker lists the engine uses
     * (TextLib.Markers) — per-language stopword-occurrence ratio, argmax with
@@ -229,6 +257,33 @@ object QueriesText {
        |  CASE WHEN best > 0.02 THEN (CASE $pick END) ELSE 'und' END AS lang_pred
        |FROM b ORDER BY doc_id""".stripMargin
   }
+
+  /** Shared CTE chain for the contamination oracles: the train/eval split of
+    * trainEvalSplit, distinct word 5-gram shingles of both sides (DuckDB
+    * list ops, same construction the n-gram Jaccard oracle uses), and the
+    * train-shingle × eval-index join.
+    */
+  private val contaminationCte: String =
+    """WITH ev AS (SELECT doc_id, text FROM documents WHERE doc_id % 50 = 0),
+      |tr AS (
+      |  SELECT doc_id, text FROM documents WHERE doc_id % 50 <> 0
+      |  UNION ALL
+      |  SELECT doc_id + 100000, regexp_replace(text, '\s+\S+\s*$', '') FROM ev),
+      |evsh AS (
+      |  SELECT doc_id AS eval_id, unnest(list_distinct(
+      |    CASE WHEN len(ws) < 5 THEN [array_to_string(ws, ' ')]
+      |         ELSE list_transform(range(1, len(ws) - 3),
+      |                i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4])
+      |    END)) AS s
+      |  FROM (SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS ws FROM ev)),
+      |trsh AS (
+      |  SELECT doc_id AS train_id, unnest(list_distinct(
+      |    CASE WHEN len(ws) < 5 THEN [array_to_string(ws, ' ')]
+      |         ELSE list_transform(range(1, len(ws) - 3),
+      |                i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4])
+      |    END)) AS s
+      |  FROM (SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS ws FROM tr)),
+      |hits AS (SELECT t.train_id, e.s, e.eval_id FROM trsh t JOIN evsh e USING (s))""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "q_lang_id" -> langIdSql,
@@ -258,6 +313,25 @@ object QueriesText {
          |  right(r, 30) AS tail30
          |FROM red ORDER BY doc_id""".stripMargin
     },
+
+    "q_contamination" ->
+      // mirrors Contamination.contaminationStats: distinct word 5-gram
+      // shingles (whole text when < 5 words) of both sides, inner join on
+      // the shingle, per-train-doc distinct shingle / eval-doc counts
+      s"""$contaminationCte
+         |SELECT train_id, count(DISTINCT s) AS n_hit_ngrams,
+         |  count(DISTINCT eval_id) AS n_eval_docs
+         |FROM hits GROUP BY train_id ORDER BY train_id""".stripMargin,
+
+    "q_decontaminate" ->
+      s"""$contaminationCte,
+         |flagged AS (
+         |  SELECT train_id FROM hits GROUP BY train_id
+         |  HAVING count(DISTINCT s) >= 3)
+         |SELECT t.doc_id, d.lang, d.n_chars
+         |FROM tr t JOIN documents d ON (t.doc_id % 100000) = d.doc_id
+         |WHERE t.doc_id NOT IN (SELECT train_id FROM flagged)
+         |ORDER BY t.doc_id""".stripMargin,
 
     "q_text_repetition" ->
       """WITH u AS (

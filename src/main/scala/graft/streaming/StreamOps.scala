@@ -142,6 +142,20 @@ object StreamOps {
                            keys: Seq[String]): DataFrame =
     df.withWatermark(tsCol, watermarkDelay).dropDuplicatesWithinWatermark(keys)
 
+  /** Streaming exact TEXT dedup — the ingestion-time shape of `Dedup.exact`:
+    * one survivor per sha2(normalized text) within the watermark horizon.
+    * State per distinct doc is one 256-bit hash, evicted at the watermark,
+    * so state stays bounded by the horizon's distinct-doc count (not the
+    * stream's total history) — the property that makes continuous corpus
+    * ingestion viable.
+    */
+  def dedupTextStream(df: DataFrame, textCol: String, tsCol: String,
+                      watermarkDelay: String): DataFrame =
+    df.withColumn("__text_h", sha2(graft.text.TextLib.normalized(col(textCol)), 256))
+      .withWatermark(tsCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark("__text_h")
+      .drop("__text_h")
+
   // ---------------------------------------------------------------- sinks
 
   /** Checkpointed foreachBatch sink — the fan-out point for Redis/JDBC/Kafka

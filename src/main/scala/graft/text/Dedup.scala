@@ -72,7 +72,7 @@ object Dedup {
     * join-sizes → self-join → dedup chain (5 shuffles → 2) — at 100 TB the
     * bucket relation never gets copied twice through the exchange.
     */
-  private def bucketPairs(buckets: DataFrame, keyCols: Seq[String], maxBucketSize: Int): DataFrame = {
+  private[graft] def bucketPairs(buckets: DataFrame, keyCols: Seq[String], maxBucketSize: Int): DataFrame = {
     val w = Window.partitionBy(keyCols.map(col): _*)
     buckets
       .withColumn("__bsz", count(lit(1)).over(w))

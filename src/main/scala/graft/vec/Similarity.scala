@@ -84,18 +84,27 @@ object Similarity {
       excludeSelf: Boolean = true
   ): DataFrame = {
     val planes = hyperplanes(dim, bands * bitsPerBand, seed)
-    val cSig = corpus.select(col(corpusId).as("neighbor_id"), col(corpusVec).as("__cv"),
+    // Corpus side carries IDS ONLY through the band explosion: riding the
+    // vector through it would push bands× the array bytes through the
+    // (band, bucket) exchange (same argument as minhashCandidates' r3
+    // rework). Vectors re-enter once per surviving candidate below, where
+    // the candidate set is small → AQE broadcasts it and the corpus scan
+    // is probed map-side, never shuffled.
+    val cSig = corpus.select(col(corpusId).as("neighbor_id"),
       posexplode(bandSignature(col(corpusVec), planes, bands, bitsPerBand)))
-      .toDF("neighbor_id", "__cv", "band", "bucket")
+      .toDF("neighbor_id", "band", "bucket")
+    // query side is broadcast-small; its vector rides along
     val qSig = queries.select(col(queryId).as("query_id"), col(queryVec).as("__qv"),
       posexplode(bandSignature(col(queryVec), planes, bands, bitsPerBand)))
       .toDF("query_id", "__qv", "band", "bucket")
-    val cands = cSig.join(qSig, Seq("band", "bucket"))
+    val cands = cSig.join(broadcast(qSig), Seq("band", "bucket"))
       .filter(if (excludeSelf) col("neighbor_id") =!= col("query_id") else lit(true))
       .dropDuplicates("query_id", "neighbor_id")
+    val scored = cands
+      .join(corpus.select(col(corpusId).as("neighbor_id"), col(corpusVec).as("__cv")), Seq("neighbor_id"))
       .withColumn("cos", round(cosine(col("__cv"), col("__qv")), 6))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id").asc)
-    cands.withColumn("__rn", row_number().over(w))
+    scored.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= k)
       .select("query_id", "neighbor_id", "cos")
   }
@@ -107,12 +116,21 @@ object Similarity {
       corpus: DataFrame, corpusId: String, corpusVec: String,
       queries: DataFrame, queryId: String, queryVec: String,
       k: Int, nlist: Int = 16, nprobe: Int = 2, seed: Long = 42L,
-      excludeSelf: Boolean = true
+      excludeSelf: Boolean = true, maxTrainRows: Long = 100000L
   ): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val spark = corpus.sparkSession
-    val train = corpus.select(array_to_vector(col(corpusVec).cast("array<double>")).as("features"))
+    // Coarse centroids need a representative sample, not the corpus: k-means
+    // is iterative (each iteration scans its input), so training on 100 TB
+    // would dominate the whole query. Standard IVF practice caps the
+    // training set; the assignment pass below still covers every row.
+    val corpusRows = corpus.count()
+    val trainBase =
+      if (corpusRows <= maxTrainRows) corpus
+      else corpus.sample(withReplacement = false,
+        math.min(1.0, maxTrainRows.toDouble * 1.05 / corpusRows), seed)
+    val train = trainBase.select(array_to_vector(col(corpusVec).cast("array<double>")).as("features"))
     val model = new KMeans().setK(nlist).setSeed(seed).setFeaturesCol("features").fit(train)
     val centroids = model.clusterCenters.map(_.toArray)
     val centroidNorms = centroids.map(c => math.sqrt(c.map(x => x * x).sum))
@@ -164,17 +182,21 @@ object Similarity {
     */
   def embeddingNearDupPairs(
       corpus: DataFrame, idCol: String, vecCol: String,
-      threshold: Double, dim: Int, bands: Int = 8, bitsPerBand: Int = 8, seed: Long = 42L
+      threshold: Double, dim: Int, bands: Int = 8, bitsPerBand: Int = 8, seed: Long = 42L,
+      maxBucketSize: Int = 1000
   ): DataFrame = {
     val planes = hyperplanes(dim, bands * bitsPerBand, seed)
-    val sig = corpus.select(col(idCol).as("id"), col(vecCol).as("__v"),
+    // Same one-exchange shape as Dedup.minhashCandidates: the band explosion
+    // carries ids only (vectors would ride the exchange bands× — and twice,
+    // once per self-join side, in the old a×b formulation), pair expansion
+    // happens in-array per bucket, vectors re-enter per surviving pair.
+    val sig = corpus.select(col(idCol).as("id"),
       posexplode(bandSignature(col(vecCol), planes, bands, bitsPerBand)))
-      .toDF("id", "__v", "band", "bucket")
-    val a = sig.select(col("band"), col("bucket"), col("id").as("id_a"), col("__v").as("__va"))
-    val b = sig.select(col("band"), col("bucket"), col("id").as("id_b"), col("__v").as("__vb"))
-    a.join(b, Seq("band", "bucket"))
-      .filter(col("id_a") < col("id_b"))
-      .dropDuplicates("id_a", "id_b")
+      .toDF("id", "band", "bucket")
+    val vecs = corpus.select(col(idCol), col(vecCol))
+    graft.text.Dedup.bucketPairs(sig, Seq("band", "bucket"), maxBucketSize)
+      .join(vecs.select(col(idCol).as("id_a"), col(vecCol).as("__va")), Seq("id_a"))
+      .join(vecs.select(col(idCol).as("id_b"), col(vecCol).as("__vb")), Seq("id_b"))
       .withColumn("cos", round(cosine(col("__va"), col("__vb")), 6))
       .filter(col("cos") >= threshold)
       .select("id_a", "id_b", "cos")

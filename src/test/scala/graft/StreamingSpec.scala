@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.streaming.StreamOps
 
 case class Ev(ts: Timestamp, user: String, v: Double)
+case class Doc(ts: Timestamp, id: Long, text: String)
 
 class StreamingSpec extends SparkSpec {
   import spark.implicits._
@@ -147,6 +148,24 @@ class StreamingSpec extends SparkSpec {
       val row = spark.sql("SELECT user_unique_count, v_percentile FROM hll").collect()(0)
       assert(row.getLong(0) == 7L)         // exact at this cardinality
       assert(math.abs(row.getDouble(1) - 48.0) <= 1.0) // p95 of 1..50
+    } finally q.stop()
+  }
+
+  test("dedupTextStream keeps one survivor per normalized text") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Doc]
+    val dd = StreamOps.dedupTextStream(input.toDF(), "text", "ts", "1 hour")
+    val q = StreamOps.runToMemory(dd, "tdd")
+    try {
+      input.addData(
+        Doc(t("2024-01-01 00:00:00"), 1L, "Hello   World"),
+        Doc(t("2024-01-01 00:01:00"), 2L, "hello world"), // same normalized text
+        Doc(t("2024-01-01 00:02:00"), 3L, "different doc"))
+      q.processAllAvailable()
+      val ids = spark.sql("SELECT id FROM tdd").as[Long].collect().sorted.toSeq
+      assert(ids == Seq(1L, 3L), s"expected first-seen survivors, got $ids")
+      // the helper hash column must not leak into the output schema
+      assert(!spark.table("tdd").columns.contains("__text_h"))
     } finally q.stop()
   }
 

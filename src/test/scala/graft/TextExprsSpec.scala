@@ -29,6 +29,22 @@ class TextExprsSpec extends SparkSpec {
     "le chat est dans la maison avec le chien"
   )
 
+  test("GraftExtensions injects the SQL functions the extensions path registers") {
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new graft.expr.GraftExtensions().apply(ext)
+    org.apache.spark.sql.GraftColumnBridge.applyFunctionInjections(ext, spark)
+    val r = spark.sql(
+      """SELECT graft_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d,
+        |       graft_l2norm(array(3.0d, 4.0d)) AS n,
+        |       size(graft_word_shingles('a b c d', 3)) AS k,
+        |       size(graft_minhash_sig(graft_word_shingles('a b c d', 2), 16)) AS m
+        |""".stripMargin).collect()(0)
+    assert(r.getDouble(0) == 11.0)
+    assert(r.getDouble(1) == 5.0)
+    assert(r.getInt(2) == 2)
+    assert(r.getInt(3) == 16)
+  }
+
   test("TextCharStats fields match the regex/HOF formulations exactly") {
     val df = samples.zipWithIndex.map(_.swap).toDF("id", "t")
     val t = col("t")
