@@ -292,17 +292,19 @@ object OpCompiler {
         }
       case _ => Seq((s(p, "expression"), s(p, "min_ratio", "1.0").toDouble))
     }
-    val cached = df.persist()
-    try {
-      val aggs = exps.zipWithIndex.map { case ((e, _), i) =>
-        avg(when(expr(e), 1.0).otherwise(0.0)).as(s"r$i")
-      }
-      val row = cached.agg(aggs.head, aggs.tail: _*).collect()(0)
-      exps.zipWithIndex.foreach { case ((e, minR), i) =>
-        val ratio = if (row.isNullAt(i)) 1.0 else row.getDouble(i)
-        require(ratio >= minR, f"validation failed: '$e' pass ratio $ratio%.4f < $minR")
-      }
-      cached
-    } catch { case t: Throwable => cached.unpersist(); throw t }
+    // No persist: caching here would pin a cache entry for the session's
+    // lifetime (nothing downstream can know to unpersist it). The price is
+    // one extra upstream computation when the pipeline later materializes —
+    // same trade Pipeline.execute's validation stage makes; callers who
+    // want reuse should persist upstream explicitly.
+    val aggs = exps.zipWithIndex.map { case ((e, _), i) =>
+      avg(when(expr(e), 1.0).otherwise(0.0)).as(s"r$i")
+    }
+    val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+    exps.zipWithIndex.foreach { case ((e, minR), i) =>
+      val ratio = if (row.isNullAt(i)) 1.0 else row.getDouble(i)
+      require(ratio >= minR, f"validation failed: '$e' pass ratio $ratio%.4f < $minR")
+    }
+    df
   }
 }

@@ -54,6 +54,12 @@ object PipelineConfig {
     case _                   => Nil
   }
 
+  private def anySeq(m: Map[String, Any], k: String): Seq[Any] = m.get(k) match {
+    case Some(l: ju.List[_]) => l.asScala.toSeq
+    case Some(v)             => Seq(v)
+    case _                   => Nil
+  }
+
   private def subMap(v: Any): Map[String, Any] = v match {
     case m: ju.Map[_, _] => m.asScala.map { case (k, x) => k.toString -> (x: Any) }.toMap
     case _               => Map.empty
@@ -130,8 +136,10 @@ object PipelineConfig {
       case "clean" =>
         Clean(strSeq(params, "operations"))
       case "pivot" =>
+        // pivot_values: declared pivot domain — skips the distinct pre-scan
+        // and bounds output width (the SURVEY §7 scale knob)
         Pivot(strSeq(params, "group_cols"), str(params, "pivot_col"), str(params, "value_col"),
-          str(params, "agg_func", "sum"))
+          str(params, "agg_func", "sum"), anySeq(params, "pivot_values"))
       case "melt" =>
         Melt(strSeq(params, "id_vars"), strSeq(params, "value_vars"),
           str(params, "var_name", "variable"), str(params, "value_name", "value"))

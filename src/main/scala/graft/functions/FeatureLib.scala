@@ -153,13 +153,22 @@ object FeatureLib {
 
   // ------------------------------------------------------------ text / MLlib
 
-  /** Text feature basic stats (feature_engineering.py:197-206). */
-  def textBasicStats(df: DataFrame, c: String): DataFrame =
+  /** Text feature basic stats (feature_engineering.py:197-206). One
+    * TextCharStats pass supplies all three: word count is the pinned
+    * run-count spec (= tokenCountWs), avg word length = non-whitespace
+    * chars / tokens, null (not ANSI DIVIDE_BY_ZERO, not NaN) for empty or
+    * whitespace-only text — same guard TextLib.qualityFeatures uses.
+    */
+  def textBasicStats(df: DataFrame, c: String): DataFrame = {
+    val st = graft.expr.TextCharStats(col(c))
     df.withColumn(s"${c}_char_count", length(col(c)))
-      .withColumn(s"${c}_word_count", graft.text.TextLib.tokenCountWs(col(c)))
+      .withColumn("__tcs", st)
+      .withColumn(s"${c}_word_count", col("__tcs.n_tokens"))
       .withColumn(s"${c}_avg_word_length",
-        round(length(regexp_replace(col(c), "\\s+", "")).cast("double") /
-          graft.text.TextLib.tokenCountWs(col(c)), 6))
+        round(col("__tcs.n_nonws").cast("double") /
+          nullif(col("__tcs.n_tokens"), lit(0)), 6))
+      .drop("__tcs")
+  }
 
   /** TF-IDF features (feature_engineering.py:152-173) via the standard MLlib
     * chain; returns the input plus a `tfidf` vector column.

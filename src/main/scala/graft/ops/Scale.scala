@@ -102,19 +102,25 @@ object Scale {
     * the exact anti-join. No false drops: bloom-negative rows are provably
     * clean, bloom-positive rows are re-checked exactly.
     */
+  /** @param expectedDistinct sizes the bloom; pass the (approximate) count
+    *   of distinct blocklist keys if known to skip the estimation scan —
+    *   otherwise one approx_count_distinct pass computes it.
+    */
   def excludeKeysBloom(
       df: DataFrame,
       keyCol: String,
       blocklist: DataFrame,
       blockKeyCol: String,
-      fpp: Double = 0.01
+      fpp: Double = 0.01,
+      expectedDistinct: Long = -1L
   ): DataFrame = {
     import org.apache.spark.sql.GraftColumnBridge
     import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
     import org.apache.spark.sql.types.BinaryType
     import org.apache.spark.util.sketch.BloomFilter
     val est = math.max(1L,
-      blocklist.agg(approx_count_distinct(col(blockKeyCol))).first().getLong(0))
+      if (expectedDistinct > 0) expectedDistinct
+      else blocklist.agg(approx_count_distinct(col(blockKeyCol))).first().getLong(0))
     // Build the sketch with a treeAggregate over the sketch-library
     // BloomFilter (same implementation class BloomFilterMightContain
     // deserializes, so bit layout and hashing match putLong-for-putLong).
@@ -123,30 +129,22 @@ object Scale {
     // 4M items / 64M bits) — working around it by mutating those confs is
     // racy for concurrent queries on the same SparkSession. treeAggregate
     // is conf-free, mergeable across partitions, and ships only the
-    // few-MB bitset to the driver.
-    val bloomBytes: Array[Byte] =
-      if (blocklist.isEmpty) null
-      else {
-        val bf = blocklist.select(xxhash64(col(blockKeyCol)).as("__h"))
-          .rdd.map(_.getLong(0))
-          .treeAggregate(BloomFilter.create(est, fpp))(
-            (acc, h) => { acc.putLong(h); acc },
-            (a, b) => { a.mergeInPlace(b); a })
-        val bos = new java.io.ByteArrayOutputStream()
-        bf.writeTo(bos)
-        bos.toByteArray
-      }
-    if (bloomBytes == null) {
-      // empty blocklist → nothing to drop
-      df
-    } else {
-      val might = GraftColumnBridge.column(BloomFilterMightContain(
-        Literal(bloomBytes, BinaryType),
-        GraftColumnBridge.expression(xxhash64(col(keyCol)))))
-      val clean = df.filter(!might)
-      val suspect = df.filter(might)
-        .join(blocklist.select(col(blockKeyCol).as(keyCol)).distinct(), Seq(keyCol), "left_anti")
-      clean.unionByName(suspect)
-    }
+    // few-MB bitset to the driver. An empty blocklist needs no special
+    // case: the all-zero bloom answers false for every probe, so the whole
+    // corpus takes the bloom-negative fast path.
+    val bf = blocklist.select(xxhash64(col(blockKeyCol)).as("__h"))
+      .rdd.map(_.getLong(0))
+      .treeAggregate(BloomFilter.create(est, fpp))(
+        (acc, h) => { acc.putLong(h); acc },
+        (a, b) => { a.mergeInPlace(b); a })
+    val bos = new java.io.ByteArrayOutputStream()
+    bf.writeTo(bos)
+    val might = GraftColumnBridge.column(BloomFilterMightContain(
+      Literal(bos.toByteArray, BinaryType),
+      GraftColumnBridge.expression(xxhash64(col(keyCol)))))
+    val clean = df.filter(!might)
+    val suspect = df.filter(might)
+      .join(blocklist.select(col(blockKeyCol).as(keyCol)).distinct(), Seq(keyCol), "left_anti")
+    clean.unionByName(suspect)
   }
 }

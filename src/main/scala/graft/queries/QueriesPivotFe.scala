@@ -272,11 +272,14 @@ object QueriesPivotFe {
         |FROM customer ORDER BY c_custkey""".stripMargin,
 
     "q_text_basic" ->
+      // run-count token spec (non-empty elements of the \s+ split), matching
+      // tokenCountWs on the engine side; nullif guard for token-free text
       """SELECT doc_id,
         |  CAST(length(text) AS INT) AS text_char_count,
-        |  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INT) AS text_word_count,
+        |  CAST(len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS INT) AS text_word_count,
         |  round(length(regexp_replace(text, '\s+', '', 'g')) * 1.0 /
-        |        len(regexp_split_to_array(trim(text), '\s+')), 6) AS text_avg_word_length
+        |        nullif(len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')), 0), 6)
+        |    AS text_avg_word_length
         |FROM documents ORDER BY doc_id""".stripMargin
   )
 }

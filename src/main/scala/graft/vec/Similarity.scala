@@ -116,7 +116,8 @@ object Similarity {
       corpus: DataFrame, corpusId: String, corpusVec: String,
       queries: DataFrame, queryId: String, queryVec: String,
       k: Int, nlist: Int = 16, nprobe: Int = 2, seed: Long = 42L,
-      excludeSelf: Boolean = true, maxTrainRows: Long = 100000L
+      excludeSelf: Boolean = true, maxTrainRows: Long = 100000L,
+      trainFraction: Double = -1.0
   ): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
@@ -125,11 +126,18 @@ object Similarity {
     // is iterative (each iteration scans its input), so training on 100 TB
     // would dominate the whole query. Standard IVF practice caps the
     // training set; the assignment pass below still covers every row.
-    val corpusRows = corpus.count()
+    // Pass trainFraction explicitly to skip the sizing count() — at corpus
+    // scale that dedicated scan is itself worth avoiding.
     val trainBase =
-      if (corpusRows <= maxTrainRows) corpus
-      else corpus.sample(withReplacement = false,
-        math.min(1.0, maxTrainRows.toDouble * 1.05 / corpusRows), seed)
+      if (trainFraction > 0 && trainFraction < 1.0)
+        corpus.sample(withReplacement = false, trainFraction, seed)
+      else if (trainFraction >= 1.0) corpus
+      else {
+        val corpusRows = corpus.count()
+        if (corpusRows <= maxTrainRows) corpus
+        else corpus.sample(withReplacement = false,
+          math.min(1.0, maxTrainRows.toDouble * 1.05 / corpusRows), seed)
+      }
     val train = trainBase.select(array_to_vector(col(corpusVec).cast("array<double>")).as("features"))
     val model = new KMeans().setK(nlist).setSeed(seed).setFeaturesCol("features").fit(train)
     val centroids = model.clusterCenters.map(_.toArray)

@@ -24,6 +24,22 @@ class DirtyDataSpec extends SparkSpec {
     assert(s.length == 3 && !s(1).isNullAt(s(1).fieldIndex("quality_score")))
   }
 
+  test("textBasicStats: empty/whitespace-only docs give null avg word length") {
+    val docs = Seq((1L, "two words"), (2L, ""), (3L, " \t\n "), (4L, "\tabc"))
+      .toDF("doc_id", "text")
+    val f = graft.functions.FeatureLib.textBasicStats(docs, "text").orderBy("doc_id").collect()
+    assert(f(0).getInt(f(0).fieldIndex("text_word_count")) == 2)
+    assert(f(0).getDouble(f(0).fieldIndex("text_avg_word_length")) == 4.0)
+    // 0 tokens → null (not NaN, not ANSI DIVIDE_BY_ZERO)
+    Seq(1, 2).foreach { i =>
+      assert(f(i).getInt(f(i).fieldIndex("text_word_count")) == 0)
+      assert(f(i).isNullAt(f(i).fieldIndex("text_avg_word_length")))
+    }
+    // leading tab: run-count spec says ONE token, not a phantom empty one
+    assert(f(3).getInt(f(3).fieldIndex("text_word_count")) == 1)
+    assert(f(3).getDouble(f(3).fieldIndex("text_avg_word_length")) == 3.0)
+  }
+
   test("similarity tiers tolerate zero-norm vectors") {
     val corpus = ((1L to 20L).map(i => (i, Seq.fill(8)(i.toFloat))) :+ (99L, Seq.fill(8)(0f)))
       .toDF("vec_id", "embedding")

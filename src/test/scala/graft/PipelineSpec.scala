@@ -189,6 +189,21 @@ class PipelineSpec extends SparkSpec {
     assert(results.map(_.rowsWritten).forall(_ == 4)) // ages all >= 5
   }
 
+  test("pivot_values reaches the Pivot op from YAML params (bounded-width knob)") {
+    val vals = new java.util.ArrayList[Any]()
+    vals.add("a"); vals.add("b")
+    val op = PipelineConfig.parseOp(Map("type" -> "pivot",
+      "group_cols" -> "id", "pivot_col" -> "grp", "value_col" -> "num",
+      "agg_func" -> "sum", "pivot_values" -> vals))
+    assert(op.asInstanceOf[graft.core.OpSpec.Pivot].pivotValues == Seq("a", "b"))
+    val df = Seq((1, "a", 10.0), (1, "b", 5.0), (2, "a", 1.0), (2, "zzz", 9.0))
+      .toDF("id", "grp", "num")
+    val out = graft.core.OpCompiler.compile(Seq(op))(df).orderBy("id")
+    // declared domain: zzz is excluded, no distinct pre-scan
+    assert(out.columns.toSeq == Seq("id", "a", "b"))
+    assert(out.count() == 2)
+  }
+
   test("declared-but-undispatched op types compile and run (SURVEY gap)") {
     val df = Seq((1, "a", 10.0, 2.0), (2, "a", 20.0, 4.0), (3, "b", 30.0, 0.0))
       .toDF("id", "grp", "num", "den")
