@@ -259,6 +259,13 @@ object OpCompiler {
       case "repetition_ratio" =>
         df.withColumn(s(p, "output_column", "repetition_ratio"),
           TextLib.repetitionRatio(col(text), s(p, "shingle_n", "3").toInt))
+      case "pack" =>
+        TextLib.packDocuments(df, text, s(p, "budget_tokens", "1024").toInt,
+          s(p, "partition_by", "lang").split(",").map(_.trim).toSeq,
+          s(p, "order_by", id).split(",").map(_.trim).toSeq)
+      case "sample_hash" =>
+        graft.ops.Scale.sampleByHash(df, s(p, "key_column", id),
+          s(p, "fraction").toDouble, s(p, "salt", "42").toInt)
       case "decontaminate" =>
         require(tables != null, "decontaminate requires a table catalog")
         require(s(p, "eval_table") != null,

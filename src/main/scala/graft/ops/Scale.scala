@@ -93,6 +93,36 @@ object Scale {
                    keys: Seq[String], joinType: String = "inner"): DataFrame =
     spark.table(leftTable).join(spark.table(rightTable), keys, joinType)
 
+  /** Deterministic hash-gate sampling: keep rows where
+    * xxhash64(key, salt) lands in the lowest `fraction` slice of the hash
+    * space. Unlike `df.sample` (per-partition RNG seeded by partition id,
+    * so the kept set changes under repartitioning/retries), the decision
+    * is a pure function of the KEY — the same document always lands the
+    * same way across reruns, incremental loads, and speculative tasks;
+    * and the gate is a map-local filter pushed at the scan, no shuffle.
+    */
+  def sampleByHash(df: DataFrame, keyCol: String, fraction: Double, salt: Int = 42): DataFrame = {
+    require(fraction >= 0.0 && fraction <= 1.0, s"fraction must be in [0,1], got $fraction")
+    val buckets = 1000000L
+    df.filter(pmod(xxhash64(col(keyCol), lit(salt)), lit(buckets)) <
+      lit(math.round(fraction * buckets)))
+  }
+
+  /** Weighted corpus mixture: union of hash-gate samples of each source at
+    * its target rate, tagged with a `mixture_source` lineage column — the
+    * "30% web, 30% code, 40% books" recipe step of a training-data
+    * pipeline. Per-source salts decorrelate the gates, so a key kept in
+    * one source implies nothing about its fate in another.
+    */
+  def mixtureSample(sources: Seq[(String, DataFrame, Double)], keyCol: String,
+                    salt: Int = 42): DataFrame = {
+    require(sources.nonEmpty, "mixtureSample needs at least one (name, df, fraction) source")
+    sources.map { case (name, d, f) =>
+      sampleByHash(d, keyCol, f, salt ^ scala.util.hashing.MurmurHash3.stringHash(name))
+        .withColumn("mixture_source", lit(name))
+    }.reduce(_.unionByName(_))
+  }
+
   /** Blocklist exclusion with a Bloom prefilter — the 100 TB shape for
     * "drop every document whose key appears in a known-bad list":
     * a plain left_anti join shuffles the FULL corpus on the key; here a

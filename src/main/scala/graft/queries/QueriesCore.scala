@@ -15,9 +15,13 @@ object QueriesCore {
 
   val queries: Map[String, Q] = Map(
     "q_filter_condition" -> ((s, dir) =>
+      // ALL output columns in the ORDER BY: sf0.1 lineitem has duplicate
+      // (l_orderkey, l_linenumber) pairs with differing values, and a
+      // non-total ordering is engine-arbitrary under a row-order-sensitive
+      // compare (NOTES_r03 tie-divergence class)
       Relational.filterCondition(t(s, dir, "lineitem"), "l_quantity > 45 AND l_returnflag = 'R'")
         .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
-        .orderBy("l_orderkey", "l_linenumber")),
+        .orderBy("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")),
 
     "q_filter_ops" -> ((s, dir) => {
       val c0 = t(s, dir, "customer")
@@ -37,7 +41,7 @@ object QueriesCore {
       val d2 = Relational.cast(d1, Map("l_quantity" -> "int"))
       val d3 = Relational.rename(d2, Map("l_returnflag" -> "flag"))
       d3.select("l_orderkey", "l_linenumber", "l_quantity", "revenue", "flag")
-        .orderBy("l_orderkey", "l_linenumber")
+        .orderBy("l_orderkey", "l_linenumber", "l_quantity", "revenue", "flag")
     }),
 
     "q_date_parts" -> ((s, dir) =>
@@ -188,7 +192,7 @@ object QueriesCore {
     "q_ratio_divzero" -> ((s, dir) =>
       FeatureLib.ratioFeature(t(s, dir, "lineitem"), "disc_tax_ratio", "l_discount", "l_tax", "zero")
         .select(col("l_orderkey"), col("l_linenumber"), round(col("disc_tax_ratio"), 6).as("disc_tax_ratio"))
-        .orderBy("l_orderkey", "l_linenumber")),
+        .orderBy("l_orderkey", "l_linenumber", "disc_tax_ratio")),
 
     "q_json_parse" -> ((s, dir) =>
       t(s, dir, "events")
@@ -238,7 +242,7 @@ object QueriesCore {
     "q_filter_condition" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
         |FROM lineitem WHERE l_quantity > 45 AND l_returnflag = 'R'
-        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+        |ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice""".stripMargin,
 
     "q_filter_ops" ->
       """SELECT c_custkey, c_name, c_mktsegment, c_acctbal FROM customer
@@ -252,7 +256,7 @@ object QueriesCore {
     "q_transform_calc" ->
       """SELECT l_orderkey, l_linenumber, CAST(l_quantity AS INT) AS l_quantity,
         |       l_extendedprice * (1 - l_discount) AS revenue, l_returnflag AS flag
-        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber, l_quantity, revenue, flag""".stripMargin,
 
     "q_date_parts" ->
       """SELECT o_orderkey,
@@ -363,7 +367,7 @@ object QueriesCore {
     "q_ratio_divzero" ->
       """SELECT l_orderkey, l_linenumber,
         |  round(CASE WHEN l_tax = 0 THEN 0 ELSE l_discount / l_tax END, 6) AS disc_tax_ratio
-        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber, disc_tax_ratio""".stripMargin,
 
     "q_json_parse" ->
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k

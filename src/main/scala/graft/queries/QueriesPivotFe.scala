@@ -92,7 +92,8 @@ object QueriesPivotFe {
           round(col("l_quantity_multiply_l_discount"), 6).as("qty_disc"),
           round(col("l_quantity_multiply_l_tax"), 6).as("qty_tax"),
           round(col("l_discount_multiply_l_tax"), 6).as("disc_tax"))
-        .orderBy("l_orderkey", "l_linenumber")),
+        // full tiebreakers: duplicate (orderkey, linenumber) pairs exist
+        .orderBy("l_orderkey", "l_linenumber", "qty_disc", "qty_tax", "disc_tax")),
 
     "q_bin_uniform" -> ((s, dir) =>
       FeatureLib.binUniform(t(s, dir, "orders"), "o_totalprice", 10)
@@ -239,7 +240,7 @@ object QueriesPivotFe {
         |  round(l_quantity * l_discount, 6) AS qty_disc,
         |  round(l_quantity * l_tax, 6) AS qty_tax,
         |  round(l_discount * l_tax, 6) AS disc_tax
-        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber, qty_disc, qty_tax, disc_tax""".stripMargin,
 
     "q_bin_uniform" ->
       """WITH s AS (SELECT min(o_totalprice) AS mn, max(o_totalprice) AS mx FROM orders)

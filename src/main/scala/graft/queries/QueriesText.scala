@@ -18,12 +18,18 @@ object QueriesText {
     * guarantees near-duplicate pairs exist at any scale factor, so candidate
     * generators provably return rows.
     */
+  /** The fixture mutation rule (drop the last word, shift the id by
+    * `offset`) — ONE definition; three oracle SQL strings replicate it as
+    * `regexp_replace(text, '\s+\S+\s*$', '')` + `doc_id + 100000` and must
+    * stay in lockstep.
+    */
+  private def mutateLastWordDrop(d: org.apache.spark.sql.DataFrame, offset: Long = 100000L) =
+    d.withColumn("doc_id", col("doc_id") + offset)
+      .withColumn("text", regexp_replace(col("text"), "\\s+\\S+\\s*$", ""))
+
   private def docsWithNearDups(s: org.apache.spark.sql.SparkSession, dir: String) = {
     val d = t(s, dir, "documents")
-    val mutated = d
-      .withColumn("doc_id", col("doc_id") + 100000L)
-      .withColumn("text", regexp_replace(col("text"), "\\s+\\S+\\s*$", ""))
-    d.unionByName(mutated)
+    d.unionByName(mutateLastWordDrop(d))
   }
 
   val queries: Map[String, Q] = Map(
@@ -220,16 +226,21 @@ object QueriesText {
           train, "text", "doc_id", ev, "text", "doc_id", n = 5, minOverlap = 3)
         .select("doc_id", "lang", "n_chars")
         .orderBy("doc_id")
-    })
+    }),
+
+    "q_pack_docs" -> ((s, dir) =>
+      // per-language sequence packing at a 1024-token budget
+      TextLib.packDocuments(t(s, dir, "documents"), "text", 1024,
+          partitionCols = Seq("lang"), orderCols = Seq("doc_id"))
+        .select("doc_id", "lang", "n_tokens", "pack_offset", "pack_id")
+        .orderBy("doc_id"))
   )
 
   /** Shared fixture for the contamination queries: (train corpus, eval suite). */
   private def trainEvalSplit(s: org.apache.spark.sql.SparkSession, dir: String) = {
     val d = t(s, dir, "documents")
     val ev = d.filter(col("doc_id") % 50 === 0)
-    val train = d.filter(col("doc_id") % 50 =!= 0).unionByName(
-      ev.withColumn("doc_id", col("doc_id") + 100000L)
-        .withColumn("text", regexp_replace(col("text"), "\\s+\\S+\\s*$", "")))
+    val train = d.filter(col("doc_id") % 50 =!= 0).unionByName(mutateLastWordDrop(ev))
     (train, ev)
   }
 
@@ -264,11 +275,11 @@ object QueriesText {
     * train-shingle × eval-index join.
     */
   private val contaminationCte: String =
-    """WITH ev AS (SELECT doc_id, text FROM documents WHERE doc_id % 50 = 0),
+    """WITH ev AS (SELECT doc_id, text, lang, n_chars FROM documents WHERE doc_id % 50 = 0),
       |tr AS (
-      |  SELECT doc_id, text FROM documents WHERE doc_id % 50 <> 0
+      |  SELECT doc_id, text, lang, n_chars FROM documents WHERE doc_id % 50 <> 0
       |  UNION ALL
-      |  SELECT doc_id + 100000, regexp_replace(text, '\s+\S+\s*$', '') FROM ev),
+      |  SELECT doc_id + 100000, regexp_replace(text, '\s+\S+\s*$', ''), lang, n_chars FROM ev),
       |evsh AS (
       |  SELECT doc_id AS eval_id, unnest(list_distinct(
       |    CASE WHEN len(ws) < 5 THEN [array_to_string(ws, ' ')]
@@ -324,14 +335,31 @@ object QueriesText {
          |FROM hits GROUP BY train_id ORDER BY train_id""".stripMargin,
 
     "q_decontaminate" ->
+      // tr carries lang/n_chars itself (the engine's mutated rows keep the
+      // source row's columns) — no join back by id arithmetic, which would
+      // silently break once real doc_ids reach the +100000 offset range
       s"""$contaminationCte,
          |flagged AS (
          |  SELECT train_id FROM hits GROUP BY train_id
          |  HAVING count(DISTINCT s) >= 3)
-         |SELECT t.doc_id, d.lang, d.n_chars
-         |FROM tr t JOIN documents d ON (t.doc_id % 100000) = d.doc_id
-         |WHERE t.doc_id NOT IN (SELECT train_id FROM flagged)
-         |ORDER BY t.doc_id""".stripMargin,
+         |SELECT doc_id, lang, n_chars
+         |FROM tr
+         |WHERE doc_id NOT IN (SELECT train_id FROM flagged)
+         |ORDER BY doc_id""".stripMargin,
+
+    "q_pack_docs" ->
+      // mirrors TextLib.packDocuments: run-count tokens, per-lang running
+      // offset (rows before current), bin = floor(offset / budget)
+      """WITH tk AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS INT) AS n_tokens
+        |  FROM documents)
+        |SELECT doc_id, lang, n_tokens,
+        |  CAST(coalesce(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS pack_offset,
+        |  CAST(floor(coalesce(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 1024) AS INT) AS pack_id
+        |FROM tk ORDER BY doc_id""".stripMargin,
 
     "q_text_repetition" ->
       """WITH u AS (
@@ -485,15 +513,18 @@ object QueriesText {
         |ORDER BY tf DESC, token LIMIT 50""".stripMargin,
 
     "q_chunk_docs" ->
+      // null-text docs stay visible as one all-null chunk row (engine uses
+      // explode_outer for exactly this); NULLS FIRST matches Spark's asc sort
       """WITH c AS (
         |  SELECT doc_id, text,
-        |    unnest(generate_series(0,
-        |      greatest(CAST(ceil((length(text) - 50) / 150.0) AS INT), 1) - 1)) AS chunk_idx
+        |    unnest(CASE WHEN text IS NULL THEN [CAST(NULL AS BIGINT)]
+        |      ELSE generate_series(0,
+        |        greatest(CAST(ceil((length(text) - 50) / 150.0) AS INT), 1) - 1) END) AS chunk_idx
         |  FROM documents)
         |SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
         |  CAST(length(substring(text, chunk_idx * 150 + 1, 200)) AS INT) AS chunk_len,
         |  substring(text, chunk_idx * 150 + 1, 20) AS chunk_head
-        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
+        |FROM c ORDER BY doc_id, chunk_idx NULLS FIRST""".stripMargin,
 
     "q_embed_stats" ->
       """WITH n AS (

@@ -65,12 +65,16 @@ object TextLib {
     df.withColumn("__tcs", graft.expr.TextCharStats(t))
       .withColumn("n_chars_calc", col("__tcs.n_chars"))
       .withColumn("n_words", col("__tcs.n_tokens"))
-      .withColumn("punct_ratio", round(col("__tcs.n_punct") / nChars, 6))
-      .withColumn("digit_ratio", round(col("__tcs.n_digit") / nChars, 6))
-      .withColumn("upper_ratio", round(col("__tcs.n_upper") / nChars, 6))
-      .withColumn("mean_word_len", round(col("__tcs.n_nonws").cast("double") / nWords, 6))
+      // ratios stay RAW: rounding here would double-round under the oracle
+      // convention (roundf = round(x + 1e-9, 6) must see the raw ratio, not
+      // a pre-rounded one — the nudge can't cross the grid twice); callers
+      // that need fixed decimals round at the edge
+      .withColumn("punct_ratio", col("__tcs.n_punct") / nChars)
+      .withColumn("digit_ratio", col("__tcs.n_digit") / nChars)
+      .withColumn("upper_ratio", col("__tcs.n_upper") / nChars)
+      .withColumn("mean_word_len", col("__tcs.n_nonws").cast("double") / nWords)
       .withColumn("stopword_ratio",
-        round(graft.expr.WordSetCount(t, EnglishStopwords) / nWords, 6))
+        graft.expr.WordSetCount(t, EnglishStopwords) / nWords)
       .drop("__tcs")
   }
 
@@ -145,6 +149,34 @@ object TextLib {
     * per chunk: (doc cols..., chunk_idx, chunk_text). Stride =
     * chunkSize - overlap; the final partial chunk is kept.
     */
+  /** Offset-greedy sequence packing: assign each document to a fixed
+    * token-budget bin (pretraining sequence) by its running token offset.
+    * Packing runs PER `partitionCols` group (shard/language/source): a
+    * corpus-global running sum would serialize into one window partition,
+    * so the global formulation is deliberately not offered — at 100 TB the
+    * per-shard window keys the shuffle and every shard packs in parallel.
+    * Deterministic under `orderCols` (make them a total order).
+    *
+    * Adds: n_tokens (whitespace token count), pack_offset (tokens before
+    * this doc within its shard), pack_id (= floor(pack_offset / budget)).
+    * A document straddling a boundary belongs to the bin its offset starts
+    * in, so bins overflow by at most one document — the standard trade of
+    * offset packing (no bin-repair shuffle).
+    */
+  def packDocuments(df: DataFrame, textCol: String, budgetTokens: Int,
+                    partitionCols: Seq[String], orderCols: Seq[String]): DataFrame = {
+    require(budgetTokens > 0, s"budgetTokens must be positive, got $budgetTokens")
+    require(partitionCols.nonEmpty, "packDocuments packs per shard; pass partitionCols " +
+      "(a corpus-global running sum would serialize into one window partition)")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(partitionCols.map(col): _*)
+      .orderBy(orderCols.map(col): _*)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    df.withColumn("n_tokens", tokenCountWs(col(textCol)))
+      .withColumn("pack_offset", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .withColumn("pack_id", floor(col("pack_offset") / budgetTokens).cast("int"))
+  }
+
   def chunkDocuments(df: DataFrame, textCol: String, chunkSize: Int, overlap: Int): DataFrame = {
     require(overlap < chunkSize, "overlap must be < chunkSize")
     val stride = chunkSize - overlap

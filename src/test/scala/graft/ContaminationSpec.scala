@@ -42,6 +42,54 @@ class ContaminationSpec extends SparkSpec {
     assert(strict == Seq(3L))
   }
 
+  test("packDocuments: offsets are running sums per shard, bins respect the budget rule") {
+    val docs = Seq(
+      (1L, "en", "one two three"),        // 3 tokens, offset 0,  bin 0
+      (2L, "en", "four five"),            // 2 tokens, offset 3,  bin 0
+      (3L, "en", "six seven eight nine"), // 4 tokens, offset 5,  bin 1 (5 >= budget 5... floor(5/5)=1)
+      (4L, "de", "eins zwei")             // own shard: offset 0, bin 0
+    ).toDF("doc_id", "lang", "text")
+    val out = graft.text.TextLib.packDocuments(docs, "text", 5,
+      partitionCols = Seq("lang"), orderCols = Seq("doc_id"))
+      .select("doc_id", "n_tokens", "pack_offset", "pack_id")
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2), r.getInt(3)))).toMap
+    assert(out == Map(
+      1L -> ((3, 0L, 0)), 2L -> ((2, 3L, 0)), 3L -> ((4, 5L, 1)), 4L -> ((2, 0L, 0))))
+    // a doc straddling the boundary stays in the bin its offset starts in
+    intercept[IllegalArgumentException] {
+      graft.text.TextLib.packDocuments(docs, "text", 5, Nil, Seq("doc_id"))
+    }
+  }
+
+  test("sampleByHash is deterministic, repartition-stable, and ~fraction-sized") {
+    val df = spark.range(10000).toDF("id")
+    val a = graft.ops.Scale.sampleByHash(df, "id", 0.3).select("id").as[Long].collect().toSet
+    val b = graft.ops.Scale.sampleByHash(df.repartition(7), "id", 0.3)
+      .select("id").as[Long].collect().toSet
+    assert(a == b, "hash gate must not depend on partitioning")
+    assert(math.abs(a.size / 10000.0 - 0.3) < 0.03, s"kept ${a.size} of 10000 at fraction 0.3")
+    // nested fractions: the kept set at 0.1 is a subset of the kept set at 0.3
+    val c = graft.ops.Scale.sampleByHash(df, "id", 0.1).select("id").as[Long].collect().toSet
+    assert(c.subsetOf(a), "hash gates must nest: lower fraction ⊂ higher fraction")
+  }
+
+  test("mixtureSample tags lineage and decorrelates sources") {
+    val web = spark.range(2000).toDF("id")
+    val code = spark.range(2000).toDF("id")
+    val mix = graft.ops.Scale.mixtureSample(
+      Seq(("web", web, 0.5), ("code", code, 0.1)), "id")
+    val bySource = mix.groupBy("mixture_source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(math.abs(bySource("web") / 2000.0 - 0.5) < 0.05)
+    assert(math.abs(bySource("code") / 2000.0 - 0.1) < 0.03)
+    // same id space, different salts: if the gates shared a salt, the 10%
+    // set would nest inside the 50% set — decorrelated salts break that
+    val webIds = mix.filter($"mixture_source" === "web").select("id").as[Long].collect().toSet
+    val codeIds = mix.filter($"mixture_source" === "code").select("id").as[Long].collect().toSet
+    assert(codeIds.nonEmpty && webIds.nonEmpty)
+    assert(!codeIds.subsetOf(webIds), "per-source salts must decorrelate the gates")
+  }
+
   test("eval suite never collides with itself and the plan is join-bucketed") {
     // a clean corpus passes through untouched
     val clean = trainDf.filter(col("doc_id") === 3L)
