@@ -36,7 +36,11 @@ object FeatureLib {
     val guarded = divByZero match {
       case "zero" => when(col(den) === 0, 0.0).otherwise(ratio)
       case "null" => when(col(den) === 0, lit(null)).otherwise(ratio)
-      case "inf"  => when(col(den) === 0 && col(num) >= 0, lit(Double.PositiveInfinity))
+      // null operands stay null under every policy: without the leading
+      // guard, num=null with den=0 makes the +Inf condition null, falls
+      // through to the bare den===0 clause, and fabricates -Infinity
+      case "inf"  => when(col(num).isNull || col(den).isNull, lit(null))
+                      .when(col(den) === 0 && col(num) >= 0, lit(Double.PositiveInfinity))
                       .when(col(den) === 0, lit(Double.NegativeInfinity))
                       .otherwise(ratio)
       case other  => throw new IllegalArgumentException(s"Unknown div_by_zero policy: $other")
@@ -69,10 +73,17 @@ object FeatureLib {
   def binUniform(df: DataFrame, c: String, nBins: Int, outCol: String = null): DataFrame = {
     val out = Option(outCol).getOrElse(s"${c}_bin")
     val stats = df.agg(min(col(c)).cast("double").as("__mn"), max(col(c)).cast("double").as("__mx"))
+    // nullif width guard: a constant column has mx == mn, and the bare
+    // division is an ANSI DIVIDE_BY_ZERO job-killer; all rows then coalesce
+    // to bin 0. Null inputs keep a null bin (greatest() skips nulls, so the
+    // unguarded expression would silently absorb missing data into bin 0).
+    val width = nullif((col("__mx") - col("__mn")) / nBins, lit(0.0))
     df.crossJoin(broadcast(stats))
       .withColumn(out,
-        least(greatest(floor((col(c) - col("__mn")) / ((col("__mx") - col("__mn")) / nBins)), lit(0)),
-          lit(nBins - 1)).cast("int"))
+        when(col(c).isNotNull,
+          coalesce(
+            least(greatest(floor((col(c) - col("__mn")) / width), lit(0)), lit(nBins - 1)),
+            lit(0)).cast("int")))
       .drop("__mn", "__mx")
   }
 

@@ -58,24 +58,30 @@ object PivotLib {
     val p = if (colValues.nonEmpty) g.pivot(colCol, colValues) else g.pivot(colCol)
     val counts = p.agg(count(lit(1)))
     val valueCols = counts.columns.filterNot(_ == rowCol)
-    val filled = counts.na.fill(0, valueCols)
+    // the pivot column names are DATA-derived ('1.5', 'a.com', …): every
+    // re-resolution must backtick-quote, or col("1.5") parses a struct access
+    def q(c: String) = col("`" + c.replace("`", "``") + "`")
+    // not na.fill: it resolves names as dotted paths, so a '1.5' category
+    // column becomes an unresolved `1`.`5` reference
+    val filled = valueCols.foldLeft(counts)((d, c) =>
+      d.withColumn(c, coalesce(q(c), lit(0L))))
     normalize match {
       case "none" => filled
       case "index" => // each row sums to 1 (materialize the row total FIRST —
         // dividing in a fold would let later columns see already-divided ones)
-        val withTotal = filled.withColumn("__rt", valueCols.map(c => col(c)).reduce(_ + _))
+        val withTotal = filled.withColumn("__rt", valueCols.map(q).reduce(_ + _))
         // zero totals (possible when colValues is a subset) → null, not NaN
         valueCols.foldLeft(withTotal)((d, c) =>
-          d.withColumn(c, when(col("__rt") =!= 0, col(c) / col("__rt")))).drop("__rt")
+          d.withColumn(c, when(col("__rt") =!= 0, q(c) / col("__rt")))).drop("__rt")
       case "all" | "columns" =>
         // column/grand totals need a global aggregate: broadcast a 1-row total frame
-        val totals = filled.agg(valueCols.map(c => sum(col(c)).as(s"__t_$c")).head,
-                                valueCols.map(c => sum(col(c)).as(s"__t_$c")).tail: _*)
+        val totals = filled.agg(valueCols.map(c => sum(q(c)).as(s"__t_$c")).head,
+                                valueCols.map(c => sum(q(c)).as(s"__t_$c")).tail: _*)
         val joined = filled.crossJoin(broadcast(totals))
-        val grand = valueCols.map(c => col(s"__t_$c")).reduce(_ + _)
+        val grand = valueCols.map(c => q(s"__t_$c")).reduce(_ + _)
         val out = valueCols.foldLeft(joined) { (d, c) =>
-          val denom = if (normalize == "columns") col(s"__t_$c") else grand
-          d.withColumn(c, when(denom =!= 0, col(c) / denom))
+          val denom = if (normalize == "columns") q(s"__t_$c") else grand
+          d.withColumn(c, when(denom =!= 0, q(c) / denom))
         }
         out.drop(valueCols.map(c => s"__t_$c"): _*)
     }

@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.{Column, DataFrame, Dataset, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DoubleType, TimestampType}
+import org.apache.spark.sql.types.{ByteType, DoubleType, IntegerType, LongType, ShortType, TimestampType}
 
 /** Time-series library — §2.J, graft's equivalent of the reference's
   * transformations/time_series.py (527 LoC), re-expressed as distributed
@@ -60,7 +60,25 @@ object TimeSeriesLib {
         bucketed.groupBy(keys.map(col): _*)
           .agg(min(col("period")).as("__mn"), max(col("period")).as("__mx"))
           .select(keys.map(col) :+ explode(sequence(col("__mn"), col("__mx"), interval)).as("period"): _*)
-    val joined = grid.join(bucketed, keys :+ "period", "left")
+    // null-safe key equality: a null-key group exists on BOTH sides (the
+    // grid is derived from bucketed), but a using-columns join would never
+    // match it, losing the group's real aggregates — and "zero" fill would
+    // then fabricate 0s over the lost data
+    val joined =
+      if (keys.isEmpty) grid.join(bucketed, Seq("period"), "left")
+      else {
+        // explicit aliases: the grid derives FROM bucketed, so unqualified
+        // attribute references trip DetectAmbiguousSelfJoin
+        def bq(c: String) = "`" + c.replace("`", "``") + "`"
+        val g = grid.alias("__g")
+        val b = bucketed.alias("__b")
+        val cond = (keys.map(k => col(s"__g.${bq(k)}") <=> col(s"__b.${bq(k)}")) :+
+          (col("__g.period") === col("__b.period"))).reduce(_ && _)
+        g.join(b, cond, "left")
+          .select(col("__g.period").as("period") +:
+            keys.map(k => col(s"__g.${bq(k)}").as(k)) ++:
+            aggs.map { case (c, f) => col(s"__b.${bq(s"${c}_$f")}").as(s"${c}_$f") }: _*)
+      }
     val valueCols = aggs.map { case (c, f) => s"${c}_$f" }
     fillMethod match {
       case "none" => joined
@@ -168,7 +186,11 @@ object TimeSeriesLib {
         val ww = Window.partitionBy(partitionBy.map(col): _*)
         val mu = avg(col(valueCol)).over(ww)
         val sd = stddev(col(valueCol)).over(ww)
-        df.withColumn(flag, when(sd > 0, abs((col(valueCol) - mu) / sd) > threshold).otherwise(lit(false)))
+        // outer coalesce: a null reading inside the sd>0 branch compares to
+        // null — flag false like the iqr branch, not a filter-splitting null
+        df.withColumn(flag, coalesce(
+          when(sd > 0, abs((col(valueCol) - mu) / sd) > threshold).otherwise(lit(false)),
+          lit(false)))
       case "iqr" =>
         val ww = Window.partitionBy(partitionBy.map(col): _*)
         val q1 = percentile(col(valueCol), lit(0.25)).over(ww)
@@ -184,7 +206,9 @@ object TimeSeriesLib {
         val frame = w(partitionBy, orderCol).rowsBetween(-(k - 1L), Window.currentRow)
         val mu = avg(col(valueCol)).over(frame)
         val sd = stddev(col(valueCol)).over(frame)
-        df.withColumn(flag, when(sd > 0, abs((col(valueCol) - mu) / sd) > threshold).otherwise(lit(false)))
+        df.withColumn(flag, coalesce(
+          when(sd > 0, abs((col(valueCol) - mu) / sd) > threshold).otherwise(lit(false)),
+          lit(false)))
       case other => throw new IllegalArgumentException(s"Unknown outlier method: $other")
     }
   }
@@ -270,25 +294,33 @@ object TimeSeriesLib {
     val keyCol = if (partitionBy.nonEmpty) to_json(struct(partitionBy.map(col): _*))
                  else lit("")
     // order key: epoch MICROS for timestamps (a bare long cast yields
-    // seconds and collides same-second rows); raw long for numerics
+    // seconds and collides same-second rows); raw long for integrals.
+    // Fractional order keys are rejected: cast-to-long truncation would
+    // silently merge ord=1.2 with ord=1.9 into one EWM state entry.
     val ordCol = df.schema(orderCol).dataType match {
       case TimestampType => unix_micros(col(orderCol))
-      case _             => col(orderCol).cast("long")
+      case ByteType | ShortType | IntegerType | LongType => col(orderCol).cast("long")
+      case other => throw new IllegalArgumentException(
+        s"smoothEwm orders by a long-representable key (timestamp or integral); " +
+        s"'$orderCol' is $other — a fractional order key would collide under truncation")
     }
     val slim = df.select(
       keyCol.as("__key"),
       ordCol.as("__ord"),
       col(valueCol).cast(DoubleType).as("__val"))
-      .as[(String, Long, Option[Double])] // Option: null readings must not crash the encoder
+      // Options: null readings AND null order keys must not crash the
+      // encoder; a null order key has no position in the scan — the row is
+      // skipped here and picks up a null EWM through the left join below
+      .as[(String, Option[Long], Option[Double])]
     val ewm = slim.groupByKey(_._1).flatMapGroups { (key, it) =>
-      val rows = it.toArray.sortBy(_._2)
+      val rows = it.toArray.collect { case (_, Some(ord), v) => (ord, v) }.sortBy(_._1)
       var num = 0.0; var den = 0.0
       val oneMinus = 1.0 - alpha
       // ties on __ord keep the LAST running value (map overwrite), so every
       // original row of a tie joins the state after all of them — the old
       // dropDuplicates kept an arbitrary intermediate
       val byOrd = new scala.collection.mutable.LinkedHashMap[Long, Option[Double]]
-      rows.foreach { case (_, ord, v) =>
+      rows.foreach { case (ord, v) =>
         v.foreach { x => // null readings leave the state untouched…
           num = num * oneMinus + x
           den = den * oneMinus + 1.0

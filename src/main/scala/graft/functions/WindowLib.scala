@@ -101,7 +101,13 @@ object WindowLib {
         case "lag"          => lagCol(f.column, f.offset, f.default, base)
         case "lead"         => leadCol(f.column, f.offset, f.default, base)
         case "first_value"  => firstValue(f.column, framed)
-        case "last_value"   => lastValue(f.column, base)
+        case "last_value"   =>
+          // an explicit op frame is respected (parity with first_value);
+          // only WITHOUT one does lastValue's full-partition default apply
+          // (the SQL default frame would make last == current row)
+          if (op.rowsBetween.isDefined || op.rangeBetween.isDefined)
+            last(col(f.column)).over(framed)
+          else lastValue(f.column, base)
         case "nth_value"    => nthValue(f.column, f.n, framed)
         case "running_sum"  => runningSum(f.column, base)
         case "running_avg"  => runningAvg(f.column, base)

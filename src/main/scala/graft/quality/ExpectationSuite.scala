@@ -31,7 +31,9 @@ object ExpectationSuite {
   }
   final case class Unique(column: String) extends Expectation {
     val name = s"${column}_unique"
-    def ratio: Column = countDistinct(col(column)) / count(col(column))
+    // nullif guard: an empty batch (or all-null column) is 0/0, an ANSI
+    // DIVIDE_BY_ZERO job-killer; null ratio falls back at the read site
+    def ratio: Column = countDistinct(col(column)) / nullif(count(col(column)), lit(0L))
   }
 
   final case class Suite(expectations: Seq[Expectation])

@@ -33,8 +33,8 @@ object SchemaInference {
         col("__n").as("n"),
         col("nulls"),
         col("n_distinct"),
-        (col("nulls") / col("__n")).as("null_ratio"),
-        (col("n_distinct") / col("__n")).as("distinct_ratio"),
+        (col("nulls") / nullif(col("__n"), lit(0L))).as("null_ratio"),
+        (col("n_distinct") / nullif(col("__n"), lit(0L))).as("distinct_ratio"),
         (col("nulls") === 0 && col("n_distinct") === col("__n")).as("is_pk_candidate"))
   }
 
@@ -93,7 +93,8 @@ object SchemaInference {
     */
   def qualityScore(df: DataFrame): DataFrame = {
     val cols = df.columns.toSeq
-    val completenessAvg = cols.map(c => count(col(c)).cast("double") / count(lit(1))).reduce(_ + _) / cols.size
+    val completenessAvg = cols.map(c =>
+      count(col(c)).cast("double") / nullif(count(lit(1)), lit(0L))).reduce(_ + _) / cols.size
     df.agg(round(completenessAvg * 100, 2).as("quality_score"))
   }
 }

@@ -46,11 +46,15 @@ object KeyValueSink {
     */
   def streamWriter(df: DataFrame, keyCol: String, checkpoint: String,
                    factory: () => KeyValueSink, mode: String = "kv",
-                   target: String = "graft"): DataStreamWriter[Row] =
+                   target: String = "graft", ttlSeconds: Long = -1L): DataStreamWriter[Row] =
     df.writeStream
       .outputMode("update")
       .option("checkpointLocation", checkpoint)
-      .foreachBatch((batch: DataFrame, _: Long) => writeBatch(batch, keyCol, factory, mode, target))
+      // ttlSeconds reaches the kv put (redis SET+EX parity): without it a
+      // long-lived stream accumulates one unexpiring key per distinct
+      // aggregate key ever seen
+      .foreachBatch((batch: DataFrame, _: Long) =>
+        writeBatch(batch, keyCol, factory, mode, target, ttlSeconds))
 
   /** JVM-local sink for tests (valid in local[k] where executors share the
     * driver JVM). Keyed by a namespace so parallel tests don't collide.

@@ -24,6 +24,89 @@ class DirtyDataSpec extends SparkSpec {
     assert(s.length == 3 && !s(1).isNullAt(s(1).fieldIndex("quality_score")))
   }
 
+  test("binUniform: constant columns bin to 0, null inputs keep a null bin") {
+    val df = Seq((1, Some(5.0)), (2, Some(5.0)), (3, None: Option[Double])).toDF("id", "v")
+    val out = graft.functions.FeatureLib.binUniform(df, "v", 4).orderBy("id").collect()
+    assert(out(0).getInt(out(0).fieldIndex("v_bin")) == 0) // min==max: no ANSI crash
+    assert(out(1).getInt(out(1).fieldIndex("v_bin")) == 0)
+    assert(out(2).isNullAt(out(2).fieldIndex("v_bin")), "null input must not land in bin 0")
+  }
+
+  test("ratioFeature inf policy: null operands stay null") {
+    val df = Seq((1, Some(2.0), Some(0.0)), (2, None: Option[Double], Some(0.0)),
+      (3, Some(-1.0), Some(0.0)), (4, Some(4.0), None: Option[Double]))
+      .toDF("id", "num", "den")
+    val out = graft.functions.FeatureLib.ratioFeature(df, "r", "num", "den", "inf")
+      .orderBy("id").collect()
+    assert(out(0).getDouble(out(0).fieldIndex("r")).isPosInfinity)
+    assert(out(1).isNullAt(out(1).fieldIndex("r")), "null/0 must not fabricate -Inf")
+    assert(out(2).getDouble(out(2).fieldIndex("r")).isNegInfinity)
+    assert(out(3).isNullAt(out(3).fieldIndex("r")))
+  }
+
+  test("flagOutliers: null readings flag false under every method") {
+    val rows = Seq((1, Some(1.0)), (2, Some(2.0)), (3, Some(100.0)), (4, None: Option[Double]),
+      (5, Some(1.5)), (6, Some(2.5)), (7, Some(1.8)), (8, Some(2.2)))
+    val df = rows.toDF("id", "v")
+    Seq("zscore", "iqr").foreach { m =>
+      val out = graft.functions.TimeSeriesLib.flagOutliers(df, "v", m, threshold = 1.5)
+        .filter($"id" === 4).collect()
+      assert(!out(0).isNullAt(out(0).fieldIndex("v_outlier")), s"$m: null flag splits filters")
+      assert(!out(0).getBoolean(out(0).fieldIndex("v_outlier")), s"$m: null reading must flag false")
+    }
+    val roll = graft.functions.TimeSeriesLib.flagOutliers(df, "v", "rolling_zscore",
+      threshold = 1.5, orderCol = "id", k = 4).filter($"id" === 4).collect()
+    assert(!roll(0).isNullAt(roll(0).fieldIndex("v_outlier")) &&
+      !roll(0).getBoolean(roll(0).fieldIndex("v_outlier")))
+  }
+
+  test("smoothEwm: a null order key yields a null EWM instead of killing the job") {
+    val df = Seq((Some(1L), Some(1.0)), (Some(2L), Some(3.0)), (None: Option[Long], Some(9.0)))
+      .toDF("ord", "v")
+    val out = graft.functions.TimeSeriesLib.smoothEwm(df, "v", 0.5, "ord", Nil).collect()
+    assert(out.length == 3)
+    val nullOrd = out.find(_.isNullAt(0)).get
+    assert(nullOrd.isNullAt(nullOrd.fieldIndex("v_ewm")))
+    // fractional order keys are rejected loudly, not silently truncated
+    intercept[IllegalArgumentException] {
+      graft.functions.TimeSeriesLib.smoothEwm(
+        Seq((1.2, 1.0), (1.9, 2.0)).toDF("ord", "v"), "v", 0.5, "ord", Nil)
+    }
+  }
+
+  test("crossTab survives data-derived column names with dots") {
+    val df = Seq(("a", "1.5"), ("a", "2.5"), ("b", "1.5")).toDF("grp", "cat")
+    Seq("index", "columns", "all").foreach { norm =>
+      val out = graft.functions.PivotLib.crossTab(df, "grp", "cat", norm)
+      assert(out.columns.contains("1.5"), s"$norm lost the dotted column")
+      assert(out.count() == 2)
+    }
+  }
+
+  test("resampleWithGrid keeps aggregates for null-key groups") {
+    val df = Seq(
+      (Some("s1"), java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 1.0),
+      (Some("s1"), java.sql.Timestamp.valueOf("2024-01-01 02:00:00"), 2.0),
+      (None: Option[String], java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 7.0))
+      .toDF("sensor", "ts", "v")
+    val out = graft.functions.TimeSeriesLib.resampleWithGrid(df, "ts", "1 hour",
+      Seq("v" -> "sum"), keys = Seq("sensor"))
+    val nullRow = out.filter($"sensor".isNull).collect()
+    assert(nullRow.length == 1, "null-key group must keep its single grid row")
+    assert(nullRow(0).getDouble(nullRow(0).fieldIndex("v_sum")) == 7.0,
+      "null-key aggregates must survive the grid join")
+  }
+
+  test("profiling ratios survive empty inputs (Unique / columnStats / qualityScore)") {
+    val empty = Seq.empty[(Long, String)].toDF("id", "name")
+    val u = graft.quality.ExpectationSuite.Unique("id")
+    val r = empty.agg(u.ratio.as("r")).collect()(0)
+    assert(r.isNullAt(0), "0/0 unique ratio must be null, not DIVIDE_BY_ZERO")
+    assert(graft.quality.SchemaInference.columnStats(empty).collect().forall(_.isNullAt(4)))
+    val qs = graft.quality.SchemaInference.qualityScore(empty).collect()(0)
+    assert(qs.isNullAt(0) || qs.getDouble(0).isNaN == false)
+  }
+
   test("textBasicStats: empty/whitespace-only docs give null avg word length") {
     val docs = Seq((1L, "two words"), (2L, ""), (3L, " \t\n "), (4L, "\tabc"))
       .toDF("doc_id", "text")

@@ -70,6 +70,27 @@ class QualityFeSpec extends SparkSpec {
     assert(a(1).getInt(0) == 2 && a(1).getDouble(1) == 10.0 && a(1).getDouble(2) == 30.0)
   }
 
+  test("window op AST: an explicit frame is honored by last_value (parity with first_value)") {
+    val d = Seq(("a", 1, 10.0), ("a", 2, 20.0), ("a", 3, 30.0), ("a", 4, 40.0)).toDF("grp", "id", "v")
+    val out = WindowLib.applyWindowOp(d, WindowOp(
+      partitionBy = Seq("grp"), orderBy = Seq("id" -> true),
+      functions = Seq(
+        WindowFuncSpec("first_value", column = "v", alias = "fv"),
+        WindowFuncSpec("last_value", column = "v", alias = "lv")),
+      rowsBetween = Some((-1L, 0L))))
+      .orderBy("id").select("fv", "lv").collect()
+    // 2-row trailing frame: first = previous row's v, last = current row's v
+    assert(out.map(_.getDouble(0)).toSeq == Seq(10.0, 10.0, 20.0, 30.0))
+    assert(out.map(_.getDouble(1)).toSeq == Seq(10.0, 20.0, 30.0, 40.0),
+      "framed last_value must not see the whole partition")
+    // and WITHOUT a frame the full-partition default still applies
+    val free = WindowLib.applyWindowOp(d, WindowOp(
+      partitionBy = Seq("grp"), orderBy = Seq("id" -> true),
+      functions = Seq(WindowFuncSpec("last_value", column = "v", alias = "lv"))))
+      .orderBy("id").select("lv").collect()
+    assert(free.map(_.getDouble(0)).toSeq == Seq(40.0, 40.0, 40.0, 40.0))
+  }
+
   test("rankMax equals rank + tie-count - 1 (pandas method='max')") {
     val d = Seq(("g", 10.0), ("g", 10.0), ("g", 20.0), ("g", 30.0), ("g", 30.0), ("g", 30.0))
       .toDF("g", "v")
