@@ -23,9 +23,13 @@ object Orchestration {
     */
   final case class Lineage(pipeline: String, sources: Seq[String], ops: Seq[String], sink: Option[String]) {
     def toJson: String = {
-      def arr(xs: Seq[String]) = xs.map(x => "\"" + x.replace("\"", "'") + "\"").mkString("[", ",", "]")
-      s"""{"pipeline":"$pipeline","sources":${arr(sources)},"operations":${arr(ops)},""" +
-        s""""sink":${sink.map(s => "\"" + s + "\"").getOrElse("null")}}"""
+      // real JSON escaping everywhere (backslashes first), sink included —
+      // a quote or backslash in any path must not emit invalid JSON
+      def j(x: String) = "\"" + x.replace("\\", "\\\\").replace("\"", "\\\"")
+        .replace("\n", "\\n").replace("\r", "\\r") + "\""
+      def arr(xs: Seq[String]) = xs.map(j).mkString("[", ",", "]")
+      s"""{"pipeline":${j(pipeline)},"sources":${arr(sources)},"operations":${arr(ops)},""" +
+        s""""sink":${sink.map(j).getOrElse("null")}}"""
     }
   }
 
@@ -93,27 +97,35 @@ object Orchestration {
     // by a backslash, so the `,(?=")` field-split below stays unambiguous.
     private def esc(s: String): String =
       s.replace("\\", "\\\\").replace("\"", "\\\"").replace("\n", "\\n").replace("\r", "\\r")
-    private def unesc(s: String): String = {
-      val sb = new StringBuilder
-      var i = 0
-      while (i < s.length) {
-        if (s(i) == '\\' && i + 1 < s.length) {
-          s(i + 1) match {
-            case 'n' => sb += '\n'
-            case 'r' => sb += '\r'
-            case c   => sb += c
-          }
-          i += 2
-        } else { sb += s(i); i += 1 }
-      }
-      sb.toString
-    }
-
     private def parse(line: String): QueueItem = {
-      val m = line.stripPrefix("{").stripSuffix("}").split(",(?=\")").map { kv =>
-        val Array(k, v) = kv.split(":", 2)
-        k.trim.stripPrefix("\"").stripSuffix("\"") -> unesc(v.trim.stripPrefix("\"").stripSuffix("\""))
-      }.toMap
+      // escape-aware quoted-string scan: every key and value is a quoted,
+      // esc()-escaped string, so scanning quote-to-quote with backslash
+      // handling is unambiguous. (The previous regex split on `,(?=")`
+      // misfired when a VALUE ended with a comma — the comma precedes the
+      // closing quote and matched the lookahead, corrupting the record.)
+      val fields = scala.collection.mutable.LinkedHashMap.empty[String, String]
+      var i = 0
+      def readQuoted(): String = {
+        i += 1 // opening quote
+        val sb = new StringBuilder
+        while (line(i) != '"') {
+          if (line(i) == '\\' && i + 1 < line.length) {
+            line(i + 1) match { case 'n' => sb += '\n'; case 'r' => sb += '\r'; case c => sb += c }
+            i += 2
+          } else { sb += line(i); i += 1 }
+        }
+        i += 1 // closing quote
+        sb.toString
+      }
+      while (i < line.length) {
+        if (line(i) == '"') {
+          val k = readQuoted()
+          while (i < line.length && line(i) != '"') i += 1 // skip the colon
+          val v = readQuoted()
+          fields(k) = v
+        } else i += 1
+      }
+      val m = fields
       QueueItem(m("id"), m("path"), m("table"), m("priority").toInt, m("created").toLong,
         m("status"), m("attempts").toInt)
     }

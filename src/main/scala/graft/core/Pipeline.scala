@@ -59,18 +59,23 @@ object Pipeline {
       val processed = OpCompiler.compile(conf.operations, catalog)(primary)
 
       // validation stage (pipeline.py:234-256): one aggregate pass
-      val validation: Map[String, Double] =
-        if (conf.expectations.isEmpty) Map.empty
+      val ratios: Seq[Double] =
+        if (conf.expectations.isEmpty) Nil
         else {
           val aggs = conf.expectations.zipWithIndex.map { case (e, i) =>
             avg(when(expr(e.expression), 1.0).otherwise(0.0)).as(s"r$i")
           }
           val row = processed.agg(aggs.head, aggs.tail: _*).collect()(0)
-          conf.expectations.zipWithIndex.map { case (e, i) =>
-            e.name -> (if (row.isNullAt(i)) 1.0 else row.getDouble(i))
-          }.toMap
+          conf.expectations.indices.map(i => if (row.isNullAt(i)) 1.0 else row.getDouble(i))
         }
-      val failed = conf.expectations.filter(e => validation(e.name) < e.minRatio)
+      // check by INDEX: the name-keyed report map collapses duplicate names
+      // (last wins), and checking through it would let a failing expectation
+      // hide behind a passing namesake
+      val validation: Map[String, Double] =
+        conf.expectations.zip(ratios).map { case (e, r) => e.name -> r }.toMap
+      val failed = conf.expectations.zip(ratios).collect {
+        case (e, r) if r < e.minRatio => e
+      }
       if (failed.nonEmpty)
         return Result(conf.name, "validation_failed", 0L,
           validation, failed.map(e => s"expectation '${e.name}' below min_ratio"))

@@ -31,6 +31,9 @@ object Relational {
     def seqOf(v: Any): Seq[Any] = v match {
       case s: Seq[_]   => s
       case a: Array[_] => a.toSeq
+      // YAML lists arrive as java.util.List — without this case the whole
+      // list becomes ONE isin literal and Spark rejects it
+      case l: java.util.List[_] => scala.jdk.CollectionConverters.ListHasAsScala(l).asScala.toSeq
       case other       => Seq(other)
     }
     val pred: Column = op match {
@@ -196,8 +199,9 @@ object Relational {
       case "approx_count_distinct"   => approx_count_distinct(c)
       case "sum_distinct"            => sum_distinct(c)
       case "collect_set"             => collect_set(c)
-      case p if p.startsWith("p") && p.drop(1).forall(_.isDigit) =>
-        percentile(c, lit(p.drop(1).toDouble / 100.0)) // p25, p50, p95 ...
+      case p if p.length > 1 && p.startsWith("p") && p.drop(1).forall(_.isDigit)
+          && p.drop(1).toInt <= 100 => // p25, p50, p95 …; bare "p"/"p200" fall through
+        percentile(c, lit(p.drop(1).toDouble / 100.0))
       case other => throw new IllegalArgumentException(s"Unknown aggregate function: $other")
     }
   }

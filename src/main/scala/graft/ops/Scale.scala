@@ -148,6 +148,13 @@ object Scale {
     import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
     import org.apache.spark.sql.types.BinaryType
     import org.apache.spark.util.sketch.BloomFilter
+    // the hash probe is TYPE-strict (xxhash64("123") != xxhash64(123)) while
+    // the anti-join it fronts would coerce — a dtype mismatch would silently
+    // route blocked rows down the "provably clean" path. Fail loudly instead.
+    require(df.schema(keyCol).dataType == blocklist.schema(blockKeyCol).dataType,
+      s"excludeKeysBloom: key dtypes must match exactly (corpus $keyCol is " +
+      s"${df.schema(keyCol).dataType.simpleString}, blocklist $blockKeyCol is " +
+      s"${blocklist.schema(blockKeyCol).dataType.simpleString}) — cast one side first")
     val est = math.max(1L,
       if (expectedDistinct > 0) expectedDistinct
       else blocklist.agg(approx_count_distinct(col(blockKeyCol))).first().getLong(0))

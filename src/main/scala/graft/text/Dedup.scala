@@ -23,13 +23,17 @@ object Dedup {
     val w = Window.partitionBy(col("__h")).orderBy(col(idCol).asc)
     df.withColumn("__h", h)
       .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
+      // null text → null hash; Window.partitionBy groups nulls TOGETHER, so
+      // without the isNull pass-through every failed-extraction doc would
+      // collapse into one survivor — they are not duplicates of each other
+      .filter(col("__h").isNull || col("__rn") === 1)
       .drop("__h", "__rn")
   }
 
   /** Exact-dup groups: (hash, survivor id, duplicate id) pairs for audit. */
   def exactDupMap(df: DataFrame, textCol: String, idCol: String): DataFrame = {
     val withH = df.withColumn("__h", sha2(TextLib.normalized(col(textCol)), 256))
+      .filter(col("__h").isNotNull) // null texts are not a duplicate group
     withH.groupBy(col("__h"))
       .agg(min(col(idCol)).as("survivor"), collect_set(col(idCol)).as("members"),
            count(lit(1)).as("group_size"))
@@ -159,6 +163,11 @@ object Dedup {
     */
   def simhashCandidates(df: DataFrame, textCol: String, idCol: String, maxHamming: Int = 3,
                         maxBucketSize: Int = 1000): DataFrame = {
+    // the 4×16-bit block scheme guarantees candidate recall only while a
+    // pair within the radius must agree on >= 1 block (pigeonhole: 4 blocks
+    // cover distance <= 3); a larger radius silently misses pairs
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"simhashCandidates' 4-block scheme guarantees recall only for maxHamming <= 3, got $maxHamming")
     val sigs = simhash(df, textCol, idCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) // feeds buckets + 2 lookups
     val blockStructs = (0 until 4).map { i =>
@@ -185,7 +194,7 @@ object Dedup {
       newDf: DataFrame, refDf: DataFrame,
       textCol: String, idCol: String,
       shingleN: Int = 3, numHashes: Int = 64, bands: Int = 16,
-      threshold: Double = 0.5
+      threshold: Double = 0.5, maxBucketSize: Int = 1000
   ): DataFrame = {
     val rowsPerBand = numHashes / bands
     def sigs(df: DataFrame, side: String) = df.select(
@@ -195,7 +204,15 @@ object Dedup {
       .select(col(s"${side}_id"), col(s"sig_$side"),
         col("bh.band").as("band"), col("bh.h").as("bucket"))
     val n = sigs(newDf, "new")
-    val r = sigs(refDf, "ref").persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // hot-bucket cap on the reference side (same invariant as the other
+    // candidate generators): a boilerplate bucket with 10k new × 100k ref
+    // ids would otherwise expand to 10^9 joined rows before the dedup
+    val refBucketW = Window.partitionBy(col("band"), col("bucket"))
+    val r = sigs(refDf, "ref")
+      .withColumn("__bsz", count(lit(1)).over(refBucketW))
+      .filter(col("__bsz") <= maxBucketSize)
+      .drop("__bsz")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     n.join(r, Seq("band", "bucket"))
       .dropDuplicates("new_id", "ref_id")
       .withColumn("est_jaccard",

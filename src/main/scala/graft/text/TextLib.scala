@@ -178,7 +178,9 @@ object TextLib {
   }
 
   def chunkDocuments(df: DataFrame, textCol: String, chunkSize: Int, overlap: Int): DataFrame = {
-    require(overlap < chunkSize, "overlap must be < chunkSize")
+    require(overlap >= 0 && overlap < chunkSize,
+      s"overlap must be in [0, chunkSize); got $overlap — a negative overlap " +
+      "widens the stride past chunkSize and silently skips text between chunks")
     val stride = chunkSize - overlap
     val t = col(textCol)
     val nChunks = greatest(ceil((length(t) - overlap).cast("double") / stride).cast("int"), lit(1))

@@ -22,6 +22,20 @@ class CoreOpsSpec extends SparkSpec {
     assert(Relational.filterColumn(people, "name", "starts_with", "a").count() == 2)
     assert(Relational.filterColumn(people, "name", "ends_with", "b").count() == 1)
     assert(Relational.filterColumn(people, "age", ">=", 30).count() == 3)
+    // YAML path: SnakeYAML hands lists over as java.util.List
+    val jlist = new java.util.ArrayList[String]()
+    jlist.add("NY"); jlist.add("LA")
+    assert(Relational.filterColumn(people, "city", "in", jlist).count() == 4)
+  }
+
+  test("percentile aggregate spellings: valid p-codes work, junk is rejected") {
+    val agg = Relational.aggregate(people, Nil, Seq("spend" -> "p50"))
+    assert(agg.columns.contains("spend_p50"))
+    Seq("p", "p200").foreach { bad =>
+      intercept[IllegalArgumentException] {
+        Relational.aggregate(people, Nil, Seq("spend" -> bad))
+      }
+    }
   }
 
   test("dedup keep=last picks the highest-ordered row") {

@@ -24,6 +24,33 @@ class DirtyDataSpec extends SparkSpec {
     assert(s.length == 3 && !s(1).isNullAt(s(1).fieldIndex("quality_score")))
   }
 
+  test("exact dedup: null-text docs pass through instead of collapsing to one survivor") {
+    val docs = Seq((1L, "same text"), (2L, "same text"),
+      (3L, null: String), (4L, null: String), (5L, null: String))
+      .toDF("doc_id", "text")
+    val kept = graft.text.Dedup.exact(docs, "text", "doc_id")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(1L, 3L, 4L, 5L), "null texts are not duplicates of each other")
+    val dupMap = graft.text.Dedup.exactDupMap(docs, "text", "doc_id").collect()
+    assert(dupMap.length == 1 && dupMap(0).getLong(0) == 1L,
+      "null texts must not be reported as a duplicate group")
+  }
+
+  test("guardrails reject silently-wrong parameterizations") {
+    val docs = Seq((1L, "a b c")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException] { // 4-block simhash covers radius <= 3 only
+      graft.text.Dedup.simhashCandidates(docs, "text", "doc_id", maxHamming = 4)
+    }
+    intercept[IllegalArgumentException] { // negative overlap skips text silently
+      TextLib.chunkDocuments(docs, "text", chunkSize = 100, overlap = -10)
+    }
+    intercept[IllegalArgumentException] { // type-strict bloom probe needs matching dtypes
+      graft.ops.Scale.excludeKeysBloom(
+        docs.select($"doc_id".cast("string").as("doc_id"), $"text"),
+        "doc_id", docs.select($"doc_id".as("bad_id")), "bad_id")
+    }
+  }
+
   test("binUniform: constant columns bin to 0, null inputs keep a null bin") {
     val df = Seq((1, Some(5.0)), (2, Some(5.0)), (3, None: Option[Double])).toDF("id", "v")
     val out = graft.functions.FeatureLib.binUniform(df, "v", 4).orderBy("id").collect()

@@ -40,6 +40,26 @@ class OrchestrationSpec extends SparkSpec {
     assert(item.path == nasty && item.table == """t"1""")
   }
 
+  test("file queue survives a value ENDING with a comma (regex-split regression)") {
+    val dir = Files.createTempDirectory("graft_qcomma").toString
+    val q = new Orchestration.FileQueue(dir)
+    q.add("data,", "t") // the comma precedes the closing quote — the old
+    q.add(",", ",\"")   //   `,(?=")` split corrupted exactly this shape
+    val q2 = new Orchestration.FileQueue(dir)
+    val items = Iterator.continually(q2.next()).takeWhile(_.isDefined).flatten.toSeq
+    assert(items.map(_.path).toSet == Set("data,", ","))
+    assert(items.map(_.table).toSet == Set("t", ",\""))
+  }
+
+  test("lineage toJson emits parseable JSON for quotes and backslashes") {
+    val lin = Orchestration.Lineage("p\"1", Seq("""csv:C:\in"dir"""), Seq("Op\"x"), Some("""out\"""))
+    val parsed = com.fasterxml.jackson.databind.json.JsonMapper.builder().build()
+      .readTree(lin.toJson)
+    assert(parsed.get("pipeline").asText() == "p\"1")
+    assert(parsed.get("sources").get(0).asText() == """csv:C:\in"dir""")
+    assert(parsed.get("sink").asText() == """out\""")
+  }
+
   test("lineage records sources, ops and sink") {
     val yaml =
       """name: lin

@@ -189,6 +189,21 @@ class PipelineSpec extends SparkSpec {
     assert(results.map(_.rowsWritten).forall(_ == 4)) // ages all >= 5
   }
 
+  test("duplicate expectation names cannot hide a failure (index-based check)") {
+    import graft.core.{Pipeline, PipelineConfig}
+    val conf = PipelineConfig.PipelineConf("dupnames",
+      Seq(PipelineConfig.SourceConf("parquet", s"$sfDir/orders.parquet", Map.empty, "orders")),
+      Nil,
+      Seq(
+        PipelineConfig.ExpectationConf("check", "o_totalprice < 0", 0.9), // fails
+        PipelineConfig.ExpectationConf("check", "o_totalprice >= 0", 0.9) // passes, same name
+      ),
+      None)
+    val res = Pipeline.execute(spark, conf)
+    assert(res.status == "validation_failed",
+      "a failing expectation must not hide behind a passing namesake")
+  }
+
   test("pivot_values reaches the Pivot op from YAML params (bounded-width knob)") {
     val vals = new java.util.ArrayList[Any]()
     vals.add("a"); vals.add("b")
