@@ -259,6 +259,8 @@ object OpCompiler {
       case "repetition_ratio" =>
         df.withColumn(s(p, "output_column", "repetition_ratio"),
           TextLib.repetitionRatio(col(text), s(p, "shingle_n", "3").toInt))
+      case "normalize_unicode" =>
+        df.withColumn(text, TextLib.normalizeUnicode(col(text), s(p, "form", "NFC")))
       case "pack" =>
         TextLib.packDocuments(df, text, s(p, "budget_tokens", "1024").toInt,
           s(p, "partition_by", "lang").split(",").map(_.trim).toSeq,

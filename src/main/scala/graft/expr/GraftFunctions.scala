@@ -34,8 +34,16 @@ object GraftFunctions {
     case other => throw new IllegalArgumentException(s"$what must be a numeric literal, got $other")
   }
 
+  private def strLit(e: Expression, what: String): String = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: org.apache.spark.unsafe.types.UTF8String, _) => v.toString
+    case other => throw new IllegalArgumentException(s"$what must be a string literal, got $other")
+  }
+
   /** Name → builder, shared by both registration paths. */
   val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "graft_unicode_normalize" ->
+      (exprs => UnicodeNormalize(exprs.head,
+        if (exprs.length > 1) strLit(exprs(1), "form") else "NFC")),
     "graft_word_shingles" -> (exprs => WordShingles(exprs.head, intLit(exprs(1), "n"))),
     "graft_minhash_sig" -> (exprs => MinHashSig(exprs.head, intLit(exprs(1), "numHashes"))),
     "graft_exact_percentile" ->

@@ -1,0 +1,41 @@
+package graft.expr
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftColumnBridge
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.types.{DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Unicode normalization (NFC/NFD/NFKC/NFKD) as a native expression — the
+  * standard first step of corpus cleaning (one logical character can arrive
+  * as either a precomposed code point or a base+combining sequence, and
+  * every downstream hash/dedup/tokenize op sees them as different bytes
+  * until normalized). Spark has no built-in for this; `java.text.Normalizer`
+  * implements the Unicode standard forms, matching DuckDB's
+  * `nfc_normalize` for the NFC case (oracle-checked).
+  */
+case class UnicodeNormalize(child: Expression, form: String)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = StringType
+
+  @transient private lazy val f = java.text.Normalizer.Form.valueOf(form)
+
+  override protected def nullSafeEval(input: Any): Any =
+    UTF8String.fromString(
+      java.text.Normalizer.normalize(input.asInstanceOf[UTF8String].toString, f))
+
+  override protected def withNewChildInternal(newChild: Expression): UnicodeNormalize =
+    copy(child = newChild)
+
+  override def prettyName: String = "graft_unicode_normalize"
+}
+
+object UnicodeNormalize {
+  private val Forms = Set("NFC", "NFD", "NFKC", "NFKD")
+  def apply(text: Column, form: String): Column = {
+    require(Forms.contains(form), s"Unicode form must be one of ${Forms.mkString("/")}, got $form")
+    GraftColumnBridge.column(UnicodeNormalize(GraftColumnBridge.expression(text), form))
+  }
+}

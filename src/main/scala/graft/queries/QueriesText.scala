@@ -233,6 +233,17 @@ object QueriesText {
       TextLib.packDocuments(t(s, dir, "documents"), "text", 1024,
           partitionCols = Seq("lang"), orderCols = Seq("doc_id"))
         .select("doc_id", "lang", "n_tokens", "pack_offset", "pack_id")
+        .orderBy("doc_id")),
+
+    "q_unicode_nfc" -> ((s, dir) =>
+      // plant a combining sequence (e + U+0301) and a singleton (U+212B
+      // ANGSTROM SIGN → U+00C5) so NFC provably composes something at any SF
+      t(s, dir, "documents")
+        .withColumn("planted", concat(col("text"), lit(" cafe\u0301 \u212B")))
+        .select(col("doc_id"),
+          length(col("planted")).as("len_raw"),
+          length(TextLib.normalizeUnicode(col("planted"))).as("len_nfc"),
+          substring(TextLib.normalizeUnicode(col("planted")), -6, 6).as("tail_nfc"))
         .orderBy("doc_id"))
   )
 
@@ -346,6 +357,19 @@ object QueriesText {
          |FROM tr
          |WHERE doc_id NOT IN (SELECT train_id FROM flagged)
          |ORDER BY doc_id""".stripMargin,
+
+    "q_unicode_nfc" ->
+      // chr(769) = U+0301 COMBINING ACUTE, chr(8491) = U+212B ANGSTROM SIGN;
+      // DuckDB nfc_normalize implements the same Unicode NFC as
+      // java.text.Normalizer; length() counts code points on both engines
+      """WITH p AS (
+        |  SELECT doc_id, text || ' cafe' || chr(769) || ' ' || chr(8491) AS planted
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(length(planted) AS INT) AS len_raw,
+        |  CAST(length(nfc_normalize(planted)) AS INT) AS len_nfc,
+        |  right(nfc_normalize(planted), 6) AS tail_nfc
+        |FROM p ORDER BY doc_id""".stripMargin,
 
     "q_pack_docs" ->
       // mirrors TextLib.packDocuments: run-count tokens, per-lang running

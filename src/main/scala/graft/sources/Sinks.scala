@@ -19,6 +19,30 @@ object Sinks {
     wr.parquet(path)
   }
 
+  /** Size-targeted parquet write — the small-files fix: `rebalance` is the
+    * AQE hint that re-splits shuffle output into partitions of
+    * `spark.sql.adaptive.advisoryPartitionSizeInBytes` (both coalescing
+    * tiny partitions and splitting skewed ones), so file count tracks data
+    * volume instead of upstream parallelism. A 100 TB table lands as
+    * ~targetMB files regardless of how many tasks produced it; a 10 MB
+    * result lands as one file instead of `shuffle.partitions` shards.
+    *
+    * Caveat: the advisory size is a SESSION conf (Spark offers no per-query
+    * override), so the set/restore around this write is visible to
+    * concurrent queries on the same SparkSession — call from the session's
+    * owning thread, or pre-set the conf globally and pass its value here.
+    */
+  def parquetSized(df: DataFrame, path: String, targetMB: Int = 128,
+                   mode: String = "overwrite"): Unit = {
+    val spark = df.sparkSession
+    val key = "spark.sql.adaptive.advisoryPartitionSizeInBytes"
+    val old = spark.conf.getOption(key)
+    try {
+      spark.conf.set(key, s"${targetMB}m")
+      df.hint("rebalance").write.mode(mode).parquet(path)
+    } finally old.fold(spark.conf.unset(key))(spark.conf.set(key, _))
+  }
+
   /** Plain JDBC write (postgresql_storage.py:52-84): append/overwrite with
     * batched inserts (`batchsize` ≙ the reference's chunk_size).
     */

@@ -149,6 +149,13 @@ object TextLib {
     * per chunk: (doc cols..., chunk_idx, chunk_text). Stride =
     * chunkSize - overlap; the final partial chunk is kept.
     */
+  /** Unicode normalization (NFC default) — see graft.expr.UnicodeNormalize:
+    * precomposed vs combining-sequence spellings must collapse before any
+    * hash/dedup/tokenize step sees the bytes.
+    */
+  def normalizeUnicode(text: Column, form: String = "NFC"): Column =
+    graft.expr.UnicodeNormalize(text, form)
+
   /** Offset-greedy sequence packing: assign each document to a fixed
     * token-budget bin (pretraining sequence) by its running token offset.
     * Packing runs PER `partitionCols` group (shard/language/source): a

@@ -66,6 +66,16 @@ class ScaleSpec extends SparkSpec {
     assert(read.count() == 100)
   }
 
+  test("parquetSized compacts a tiny result into few files (small-files fix)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_sized").toString + "/t"
+    // 64 upstream partitions of trivial data: a plain write emits ~64 shards
+    val df = spark.range(0, 1000, 1, 64).toDF("id")
+    graft.sources.Sinks.parquetSized(df, dir, targetMB = 64)
+    val files = new java.io.File(dir).listFiles().count(_.getName.endsWith(".parquet"))
+    assert(files <= 4, s"expected AQE rebalance to coalesce 64 shards, got $files files")
+    assert(spark.read.parquet(dir).count() == 1000)
+  }
+
   test("dynamic partition overwrite rewrites only touched partitions") {
     val dir = java.nio.file.Files.createTempDirectory("graft_dyn").toString + "/t"
     val v1 = Seq((1, "m1", 1.0), (2, "m2", 2.0)).toDF("id", "month", "v")

@@ -45,6 +45,41 @@ class TextExprsSpec extends SparkSpec {
     assert(r.getInt(3) == 16)
   }
 
+  test("UnicodeNormalize matches java.text.Normalizer and is idempotent") {
+    val samples = Seq(
+      "cafe\u0301",     // DEcomposed e + combining acute -> NFC composes
+      "Å",              // ANGSTROM SIGN -> Å (singleton)
+      "already composed é",
+      "",
+      "plain ascii text",
+      "\uFB01le"        // fi ligature: NFC keeps, NFKC expands to 'fi'
+    )
+    val df = samples.zipWithIndex.map(_.swap).toDF("id", "t")
+    Seq("NFC", "NFD", "NFKC", "NFKD").foreach { form =>
+      val got = df.select(col("id"), graft.text.TextLib.normalizeUnicode(col("t"), form).as("n"))
+        .orderBy("id").collect().map(_.getString(1))
+      samples.zip(got).foreach { case (raw, n) =>
+        assert(n == java.text.Normalizer.normalize(raw, java.text.Normalizer.Form.valueOf(form)),
+          s"$form mismatch on ${raw.codePoints().toArray.toSeq}")
+        // idempotence: normalize(normalize(x)) == normalize(x)
+        assert(java.text.Normalizer.normalize(n, java.text.Normalizer.Form.valueOf(form)) == n)
+      }
+    }
+    // null propagates; invalid form rejected at Column construction
+    val nn = Seq((1, null: String)).toDF("id", "t")
+      .select(graft.text.TextLib.normalizeUnicode(col("t")).as("n")).collect()
+    assert(nn(0).isNullAt(0))
+    intercept[IllegalArgumentException] {
+      graft.text.TextLib.normalizeUnicode(col("t"), "NFX")
+    }
+    // SQL path through the registered function (Spark's chr() is mod-256
+    // ASCII — unlike DuckDB's — so embed the combining char directly)
+    graft.expr.GraftFunctions.register(spark)
+    val viaSql = spark.sql("SELECT length(graft_unicode_normalize('cafe\u0301')) AS l")
+      .collect()(0).getInt(0)
+    assert(viaSql == 4)
+  }
+
   test("TextCharStats fields match the regex/HOF formulations exactly") {
     val df = samples.zipWithIndex.map(_.swap).toDF("id", "t")
     val t = col("t")
