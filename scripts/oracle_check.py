@@ -31,6 +31,10 @@ def values_equal(a, b) -> bool:
     # renders as float64; the oracle SQL must CAST(... AS BIGINT)).
     if isinstance(a, float) != isinstance(b, float):
         return False
+    # bool vs int is the same class: Python True == 1, but the driver's
+    # value hash distinguishes a boolean column from an integer one
+    if isinstance(a, bool) != isinstance(b, bool):
+        return False
     if isinstance(a, float) or isinstance(b, float):
         try:
             if pd.isna(a) != pd.isna(b):
@@ -77,21 +81,45 @@ def main():
         if not files:
             results[name] = ["NO SPARK OUTPUT"]
             continue
-        spark_df = pd.concat([pd.read_parquet(f) for f in sorted(files)], ignore_index=True)
+        # exception-isolate the whole per-query body: one pathological
+        # result (mixed-type sort, array cells) must FAIL that query, not
+        # abort the gate mid-loop with no summary
         try:
+            spark_df = pd.concat([pd.read_parquet(f) for f in sorted(files)], ignore_index=True)
             duck_df = con.execute(oracle[name]).fetchdf()
+            results[name] = compare(name, spark_df, duck_df)
         except Exception as e:
-            results[name] = [f"ORACLE SQL ERROR: {e}"]
+            results[name] = [f"CHECK ERROR: {type(e).__name__}: {e}"]
+    # rows-only queries (no oracle): enumerate the REGISTRY when Verify
+    # dumped it (query_names.json) — a rows-only query that crashed in
+    # Verify has no output dir and must FAIL, not silently vanish
+    names_file = os.path.join(out_dir, "query_names.json")
+    if os.path.exists(names_file):
+        with open(names_file) as f:
+            rows_only = [n for n in json.load(f) if n not in oracle]
+    else:
+        rows_only = [os.path.basename(d) for d in sorted(glob.glob(os.path.join(out_dir, "*")))
+                     if os.path.isdir(d) and os.path.basename(d) not in oracle]
+    for name in sorted(rows_only):
+        if only and name not in only:
             continue
-        results[name] = compare(name, spark_df, duck_df)
-    # rows-only queries (no oracle): just check output exists and rows>0
-    for res_dir in sorted(glob.glob(os.path.join(out_dir, "*"))):
-        name = os.path.basename(res_dir)
-        if not os.path.isdir(res_dir) or name in oracle or (only and name not in only):
+        files = glob.glob(os.path.join(out_dir, name, "*.parquet"))
+        try:
+            n = sum(len(pd.read_parquet(f)) for f in files) if files else 0
+        except Exception as e:
+            results[name] = [f"CHECK ERROR: {type(e).__name__}: {e}"]
             continue
-        files = glob.glob(os.path.join(res_dir, "*.parquet"))
-        n = sum(len(pd.read_parquet(f)) for f in files) if files else 0
-        results[name] = [] if n > 0 else ["rows-only: EMPTY OUTPUT"]
+        results[name] = [] if n > 0 else ["rows-only: NO/EMPTY OUTPUT"]
+    if not results:
+        # a vacuous run (typo'd query filter, wrong/empty outDir) must be
+        # loud — "0/0 PASS" is indistinguishable from a green round
+        print(f"ERROR: no queries matched (only={sorted(only)}, out_dir={out_dir})")
+        sys.exit(2)
+    if only:
+        missing = only - set(results)
+        if missing:
+            print(f"ERROR: query name(s) matched nothing: {sorted(missing)}")
+            sys.exit(2)
     npass = sum(1 for v in results.values() if not v)
     print(f"== {npass}/{len(results)} PASS ==")
     for name, problems in sorted(results.items()):

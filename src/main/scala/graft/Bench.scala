@@ -43,7 +43,8 @@ object Bench {
         .groupBy("l_returnflag").count().write.format("noop").mode("overwrite").save()
     } catch { case _: Throwable => () }
 
-    names.filterNot(qs.contains).foreach(n => System.err.println(s"[bench] unknown query name: $n"))
+    val unknown = names.filterNot(qs.contains)
+    unknown.foreach(n => System.err.println(s"[bench] unknown query name: $n"))
     val results = names.filter(qs.contains).map { name =>
       def run(): Unit = qs(name)(spark, sfDir).write.format("noop").mode("overwrite").save()
       try run() catch { case e: Throwable => System.err.println(s"[bench] $name warmup failed: ${e.getMessage}") }
@@ -54,13 +55,16 @@ object Bench {
       }
       (name, (System.nanoTime() - t0) / 1e9, ok)
     }
-    // a broken query must NOT deflate the timing line — report it separately
+    // a broken query must NOT deflate the timing line — report it separately;
+    // unknown names count as failed too (an all-typo invocation previously
+    // emitted a plausible-looking zero-total success line)
     def fmt(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val js = graft.core.Json.str _
     val good = results.collect { case (k, v, true) => k -> v }
-    val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
-    val qJson = good.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
+    val failed = results.collect { case (k, _, false) => js(k) } ++ unknown.map(js)
+    val qJson = good.map { case (k, v) => js(k) + ":" + fmt(v) }.mkString("{", ",", "}")
     val failedJson = if (failed.isEmpty) "" else s""","failed":[${failed.mkString(",")}]"""
-    println(s"""{"metric":"total","value":${fmt(good.map(_._2).sum)},"unit":"sec","queries":$qJson$failedJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(good.map(_._2).sum)},"unit":"sec","queries":$qJson$failedJson,"sf":${js(sfDir)}}""")
     spark.stop()
   }
 }

@@ -15,19 +15,10 @@ object Cli {
     * result lines are machine-readable; an unescaped quote in a pipeline
     * name would corrupt them.
     */
-  private def j(s: String): String = "\"" + s.flatMap {
-    case '"'  => "\\\""
-    case '\\' => "\\\\"
-    case '\n' => "\\n"
-    case '\r' => "\\r"
-    case '\t' => "\\t"
-    case c if c < ' ' => f"\\u${c.toInt}%04x"
-    case c => c.toString
-  } + "\""
+  private def j(s: String): String = graft.core.Json.str(s)
 
   /** JSON number: NaN/Infinity are not valid JSON — emit null. */
-  private def jn(v: Double): String =
-    if (v.isNaN || v.isInfinite) "null" else v.toString
+  private def jn(v: Double): String = graft.core.Json.num(v)
 
   def main(args: Array[String]): Unit = args.toList match {
     case "run" :: path :: rest =>

@@ -14,5 +14,8 @@ object Smoke {
     rows.foreach(r => println(s"entry() row: $r"))
     println(s"SMOKE ${if (rows.nonEmpty) "PASS" else "FAIL"}: entry() returned ${rows.length} rows")
     spark.stop()
+    // callers gate on the exit status — printing FAIL with exit 0 would
+    // read as success to any script
+    if (rows.isEmpty) sys.exit(1)
   }
 }
