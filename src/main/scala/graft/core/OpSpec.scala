@@ -276,6 +276,29 @@ object OpCompiler {
           tables(s(p, "eval_table")),
           s(p, "eval_text_column", text), s(p, "eval_id_column", id),
           s(p, "ngram_n", "8").toInt, s(p, "min_overlap", "1").toInt)
+      case "quota_per_group" =>
+        require(s(p, "group_column") != null,
+          "quota_per_group requires params.group_column (e.g. the domain/source column)")
+        graft.ops.Scale.quotaPerGroup(df, s(p, "group_column"), s(p, "key_column", id),
+          s(p, "quota").toInt, preBuckets = s(p, "pre_buckets", "64").toInt)
+      case "shard_assign" =>
+        graft.ops.Scale.shardAssign(df, s(p, "key_column", id),
+          s(p, "num_shards").toInt, s(p, "salt", "42").toInt)
+      case "length_histogram" =>
+        TextLib.lengthHistogram(df, s(p, "length_column", "n_chars"))
+      case "dedup_against" =>
+        require(tables != null, "dedup_against requires a table catalog")
+        require(s(p, "corpus_table") != null,
+          "dedup_against requires params.corpus_table (name of the accepted-snapshot table)")
+        Dedup.dedupAgainstCorpus(df, text,
+          tables(s(p, "corpus_table")), s(p, "corpus_text_column", text),
+          s(p, "fpp", "0.001").toDouble)
+      case "quantize_int8" =>
+        graft.vec.VectorOps.quantizeInt8(df, s(p, "vector_column", "embedding"),
+          s(p, "output_column", "q"), s(p, "scale_column", "q_scale"))
+      case "l2_normalize" =>
+        graft.vec.VectorOps.l2Normalize(df, s(p, "vector_column", "embedding"),
+          s(p, "output_column", "unit"))
       case "bloom_exclude" =>
         require(tables != null, "bloom_exclude requires a table catalog")
         require(s(p, "blocklist_table") != null,

@@ -144,10 +144,6 @@ object Scale {
       fpp: Double = 0.01,
       expectedDistinct: Long = -1L
   ): DataFrame = {
-    import org.apache.spark.sql.GraftColumnBridge
-    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
-    import org.apache.spark.sql.types.BinaryType
-    import org.apache.spark.util.sketch.BloomFilter
     // the hash probe is TYPE-strict (xxhash64("123") != xxhash64(123)) while
     // the anti-join it fronts would coerce — a dtype mismatch would silently
     // route blocked rows down the "provably clean" path. Fail loudly instead.
@@ -155,33 +151,137 @@ object Scale {
       s"excludeKeysBloom: key dtypes must match exactly (corpus $keyCol is " +
       s"${df.schema(keyCol).dataType.simpleString}, blocklist $blockKeyCol is " +
       s"${blocklist.schema(blockKeyCol).dataType.simpleString}) — cast one side first")
+    val bytes = bloomBytes(blocklist, blockKeyCol, fpp, expectedDistinct)
+    val might = mightContainCol(bytes, col(keyCol))
+    val clean = df.filter(!might)
+    val suspect = df.filter(might)
+      .join(blocklist.select(col(blockKeyCol).as(keyCol)).distinct(), Seq(keyCol), "left_anti")
+    clean.unionByName(suspect)
+  }
+
+  /** Distributed Bloom-sketch build over a key column, returned as the
+    * serialized bitset `BloomFilterMightContain` deserializes.
+    *
+    * Built with a treeAggregate over the sketch-library BloomFilter (same
+    * implementation class the probe expression uses, so bit layout and
+    * hashing match putLong-for-putLong). NOT BloomFilterAggregate: that
+    * aggregate silently Math.min-clamps items/numBits against the
+    * session-global runtime-bloom confs (default 4M items / 64M bits) —
+    * working around it by mutating those confs is racy for concurrent
+    * queries on the same SparkSession. treeAggregate is conf-free,
+    * mergeable across partitions, and ships only the few-MB bitset to the
+    * driver. An empty input needs no special case: the all-zero bloom
+    * answers false for every probe.
+    */
+  private[graft] def bloomBytes(keys: DataFrame, keyCol: String, fpp: Double,
+                                expectedDistinct: Long = -1L): Array[Byte] = {
+    import org.apache.spark.util.sketch.BloomFilter
     val est = math.max(1L,
       if (expectedDistinct > 0) expectedDistinct
-      else blocklist.agg(approx_count_distinct(col(blockKeyCol))).first().getLong(0))
-    // Build the sketch with a treeAggregate over the sketch-library
-    // BloomFilter (same implementation class BloomFilterMightContain
-    // deserializes, so bit layout and hashing match putLong-for-putLong).
-    // NOT BloomFilterAggregate: that aggregate silently Math.min-clamps
-    // est/numBits against the session-global runtime-bloom confs (default
-    // 4M items / 64M bits) — working around it by mutating those confs is
-    // racy for concurrent queries on the same SparkSession. treeAggregate
-    // is conf-free, mergeable across partitions, and ships only the
-    // few-MB bitset to the driver. An empty blocklist needs no special
-    // case: the all-zero bloom answers false for every probe, so the whole
-    // corpus takes the bloom-negative fast path.
-    val bf = blocklist.select(xxhash64(col(blockKeyCol)).as("__h"))
+      else keys.agg(approx_count_distinct(col(keyCol))).first().getLong(0))
+    val bf = keys.select(xxhash64(col(keyCol)).as("__h"))
       .rdd.map(_.getLong(0))
       .treeAggregate(BloomFilter.create(est, fpp))(
         (acc, h) => { acc.putLong(h); acc },
         (a, b) => { a.mergeInPlace(b); a })
     val bos = new java.io.ByteArrayOutputStream()
     bf.writeTo(bos)
-    val might = GraftColumnBridge.column(BloomFilterMightContain(
-      Literal(bos.toByteArray, BinaryType),
-      GraftColumnBridge.expression(xxhash64(col(keyCol)))))
-    val clean = df.filter(!might)
-    val suspect = df.filter(might)
-      .join(blocklist.select(col(blockKeyCol).as(keyCol)).distinct(), Seq(keyCol), "left_anti")
-    clean.unionByName(suspect)
+    bos.toByteArray
+  }
+
+  /** Row-local membership probe against a serialized Bloom sketch. The probe
+    * hashes with xxhash64, matching `bloomBytes`' putLong keys — callers
+    * must probe the same dtype they built with (xxhash64 is type-strict).
+    */
+  private[graft] def mightContainCol(bytes: Array[Byte], key: Column): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.types.BinaryType
+    GraftColumnBridge.column(BloomFilterMightContain(
+      Literal(bytes, BinaryType),
+      GraftColumnBridge.expression(xxhash64(key))))
+  }
+
+  /** Per-group quota: keep at most `quota` rows per group, chosen as the
+    * smallest `orderKey` values (default: xxhash64 of the key — a
+    * deterministic uniform "random" draw, stable under repartitioning and
+    * retries like sampleByHash). The per-domain cap step of a corpus
+    * recipe: "at most N documents from any one domain".
+    *
+    * Skew design: a naive `row_number() over (partition by group)` shuffles
+    * EVERY row of a hot group into one task — at 100 TB a single web domain
+    * is billions of rows. Instead a two-level TakeOrdered: level 1 windows
+    * over (group, hash-bucket) — `preBuckets` tasks per group — keeping each
+    * bucket's local top-`quota`; level 2 windows over the group alone but
+    * now sees at most preBuckets×quota rows per group. The global smallest-N
+    * of a group is preserved because every member of it is also in its own
+    * bucket's smallest-N.
+    *
+    * Ties on (orderKey, keyCol) make the survivor row arbitrary among
+    * identical (orderKey, key) rows — pass a unique key for full
+    * determinism. NULL group values form one group of their own
+    * (Window.partitionBy groups nulls together).
+    */
+  def quotaPerGroup(
+      df: DataFrame,
+      groupCol: String,
+      keyCol: String,
+      quota: Int,
+      orderKey: Option[Column] = None,
+      preBuckets: Int = 64
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(quota > 0, s"quotaPerGroup: quota must be positive, got $quota")
+    require(preBuckets > 0, s"quotaPerGroup: preBuckets must be positive, got $preBuckets")
+    val o = orderKey.getOrElse(xxhash64(col(keyCol), lit(42)))
+    val w1 = Window.partitionBy(col(groupCol), col("__qb"))
+      .orderBy(col("__qo").asc, col(keyCol).asc)
+    val w2 = Window.partitionBy(col(groupCol))
+      .orderBy(col("__qo").asc, col(keyCol).asc)
+    df.withColumn("__qo", o)
+      .withColumn("__qb", pmod(xxhash64(col(keyCol), lit(1042)), lit(preBuckets)))
+      .withColumn("__qrn", row_number().over(w1))
+      .filter(col("__qrn") <= quota)
+      .drop("__qrn", "__qb")
+      .withColumn("__qrn", row_number().over(w2))
+      .filter(col("__qrn") <= quota)
+      .drop("__qrn", "__qo")
+  }
+
+  /** Deterministic training-order sharding: assign every row a shard in
+    * [0, numShards) and a position within its shard, both pure functions of
+    * the key — the "global shuffle" step before writing training shards,
+    * reproducible across reruns and engines (the order key is an md5 hex
+    * string, so an external system can re-derive the exact layout).
+    *
+    * shard = first 15 hex digits of md5("salt:key") mod numShards (60 bits,
+    * always non-negative); pos = rank of the full md5 within the shard.
+    * Uniform hash keys → balanced shards, so the per-shard sort (one
+    * Exchange on shard + in-partition sort, exactly what
+    * `repartition(shard).sortWithinPartitions` does on write) sees
+    * n/numShards rows per task regardless of data skew. Size numShards so a
+    * shard fits a task at the target scale.
+    *
+    * NULL keys get a NULL shard/md5 and sort together at the front of one
+    * window — filter them beforehand if that is not intended.
+    */
+  def shardAssign(
+      df: DataFrame,
+      keyCol: String,
+      numShards: Int,
+      salt: Int = 42,
+      shardCol: String = "shard",
+      posCol: String = "pos"
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(numShards > 0, s"shardAssign: numShards must be positive, got $numShards")
+    val hx = md5(concat(lit(s"$salt:"), col(keyCol).cast("string")))
+    val shard = (conv(substring(col("__hx"), 1, 15), 16, 10).cast("long")
+      % numShards).cast("int")
+    val w = Window.partitionBy(col(shardCol)).orderBy(col("__hx").asc, col(keyCol).asc)
+    df.withColumn("__hx", hx)
+      .withColumn(shardCol, shard)
+      .withColumn(posCol, row_number().over(w))
+      .drop("__hx")
   }
 }

@@ -244,6 +244,55 @@ object QueriesText {
           length(col("planted")).as("len_raw"),
           length(TextLib.normalizeUnicode(col("planted"))).as("len_nfc"),
           substring(TextLib.normalizeUnicode(col("planted")), -6, 6).as("tail_nfc"))
+        .orderBy("doc_id")),
+
+    "q_quota_per_source" -> ((s, dir) =>
+      // per-domain cap: at most 10 docs per source, deterministic md5-order
+      // draw (cross-engine reproducible; the engine's default order is
+      // xxhash64, which DuckDB can't replicate)
+      graft.ops.Scale.quotaPerGroup(t(s, dir, "documents"), "source", "doc_id", 10,
+          orderKey = Some(md5(concat(lit("42:"), col("doc_id").cast("string")))))
+        .select("doc_id", "source")
+        .orderBy("doc_id")),
+
+    "q_dedup_incremental" -> ((s, dir) => {
+      // batch = exact re-crawls (id+200000) ∪ mutated docs (id+100000);
+      // snapshot = the accepted corpus. Survivors = texts the snapshot has
+      // never seen (mutations — except single-word docs the mutation rule
+      // leaves unchanged).
+      val d = t(s, dir, "documents")
+      val batch = d.withColumn("doc_id", col("doc_id") + 200000L)
+        .unionByName(mutateLastWordDrop(d))
+      Dedup.dedupAgainstCorpus(batch, "text", d, "text")
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    }),
+
+    "q_length_histogram" -> ((s, dir) =>
+      TextLib.lengthHistogram(t(s, dir, "documents"), "n_chars")
+        .select(col("len_bin"), col("n_rows"), col("len_lo"), col("len_hi"),
+          col("len_min"), col("len_max"),
+          roundf(col("len_avg"), 4).as("len_avg"),
+          roundf(col("share"), 6).as("share"))
+        .orderBy("len_bin")),
+
+    "q_embed_quantize" -> ((s, dir) => {
+      // int8 max-abs quantization summarized per vector: pinned double math
+      // (x*127.0/scale + 0.5, floor) is bit-reproducible in DuckDB
+      val qd = graft.vec.VectorOps.quantizeInt8(t(s, dir, "embeddings"), "embedding")
+      qd.select(col("vec_id"),
+          size(col("embedding")).as("dim"),
+          roundf(col("q_scale"), 6).as("q_scale"),
+          aggregate(filter(col("q"), _.isNotNull), lit(0L),
+            (a, x) => a + x.cast("long")).as("q_sum"),
+          array_min(col("q")).cast("int").as("q_min"),
+          array_max(col("q")).cast("int").as("q_max"))
+        .orderBy("vec_id")
+    }),
+
+    "q_shard_assign" -> ((s, dir) =>
+      graft.ops.Scale.shardAssign(t(s, dir, "documents"), "doc_id", numShards = 8)
+        .select("doc_id", "shard", "pos")
         .orderBy("doc_id"))
   )
 
@@ -567,6 +616,73 @@ object QueriesText {
         |  WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id)
         |SELECT query_id, neighbor_id, cos FROM scored
         |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) <= 10
-        |ORDER BY query_id, neighbor_id""".stripMargin
+        |ORDER BY query_id, neighbor_id""".stripMargin,
+
+    "q_quota_per_source" ->
+      """SELECT doc_id, source FROM (
+        |  SELECT doc_id, source,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY md5('42:' || CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        |  FROM documents) t
+        |WHERE rn <= 10 ORDER BY doc_id""".stripMargin,
+
+    "q_dedup_incremental" ->
+      """WITH snap AS (
+        |  SELECT DISTINCT trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS nt
+        |  FROM documents WHERE text IS NOT NULL),
+        |b AS (
+        |  SELECT doc_id + 200000 AS doc_id, text, source FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000, regexp_replace(text, '\s+\S+\s*$', ''), source
+        |  FROM documents),
+        |bn AS (
+        |  SELECT doc_id, source,
+        |    trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS nt FROM b)
+        |SELECT doc_id, source FROM bn
+        |WHERE nt IS NULL OR NOT EXISTS (SELECT 1 FROM snap WHERE snap.nt = bn.nt)
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_length_histogram" ->
+      """WITH b AS (
+        |  SELECT CASE WHEN n_chars IS NULL OR n_chars <= 0 THEN -1
+        |              ELSE length(bin(n_chars)) - 1 END AS len_bin, n_chars
+        |  FROM documents),
+        |g AS (
+        |  SELECT len_bin, count(*) AS n_rows, min(n_chars) AS len_min,
+        |    max(n_chars) AS len_max, avg(n_chars) AS len_avg
+        |  FROM b GROUP BY len_bin)
+        |SELECT CAST(len_bin AS INT) AS len_bin, CAST(n_rows AS BIGINT) AS n_rows,
+        |  CASE WHEN len_bin >= 0 THEN CAST(CAST(1 AS BIGINT) << len_bin AS BIGINT) END AS len_lo,
+        |  CASE WHEN len_bin >= 0 THEN CAST((CAST(1 AS BIGINT) << (len_bin + 1)) - 1 AS BIGINT) END AS len_hi,
+        |  CAST(len_min AS BIGINT) AS len_min, CAST(len_max AS BIGINT) AS len_max,
+        |  round(len_avg + 1e-9, 4) AS len_avg,
+        |  round(n_rows / sum(n_rows) OVER () + 1e-9, 6) AS share
+        |FROM g ORDER BY len_bin""".stripMargin,
+
+    "q_embed_quantize" ->
+      """WITH e AS (
+        |  SELECT vec_id, embedding,
+        |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS mx
+        |  FROM embeddings)
+        |SELECT vec_id, CAST(len(embedding) AS INT) AS dim,
+        |  round(mx + 1e-9, 6) AS q_scale,
+        |  CAST(CASE WHEN mx = 0 THEN 0 ELSE list_sum(list_transform(embedding,
+        |    x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 / mx + 0.5) AS BIGINT))) END AS BIGINT) AS q_sum,
+        |  CAST(CASE WHEN mx = 0 THEN 0 ELSE list_min(list_transform(embedding,
+        |    x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 / mx + 0.5) AS BIGINT))) END AS INT) AS q_min,
+        |  CAST(CASE WHEN mx = 0 THEN 0 ELSE list_max(list_transform(embedding,
+        |    x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 / mx + 0.5) AS BIGINT))) END AS INT) AS q_max
+        |FROM e ORDER BY vec_id""".stripMargin,
+
+    "q_shard_assign" ->
+      """WITH h AS (
+        |  SELECT doc_id, md5('42:' || CAST(doc_id AS VARCHAR)) AS hx FROM documents),
+        |s AS (
+        |  SELECT doc_id, hx,
+        |    CAST(CAST('0x' || substr(hx, 1, 15) AS BIGINT) % 8 AS INT) AS shard
+        |  FROM h)
+        |SELECT doc_id, shard,
+        |  CAST(row_number() OVER (PARTITION BY shard ORDER BY hx, doc_id) AS INT) AS pos
+        |FROM s ORDER BY doc_id""".stripMargin
   )
 }

@@ -42,6 +42,48 @@ object Dedup {
       .filter(col("member") =!= col("survivor"))
   }
 
+  /** Incremental dedup: drop every row of `df` (the new batch) whose
+    * normalized text already appears in `corpus` (the accepted snapshot) —
+    * the "don't re-ingest what round N-1 kept" step of a continuously
+    * updated training set.
+    *
+    * Scale orientation is the KEY design point: the snapshot is the huge
+    * side (the whole accepted corpus), the batch is small. A plain
+    * left_anti join would shuffle the full snapshot on the hash; instead a
+    * Bloom sketch is built over the BATCH (the small side — a few MB), and
+    * the snapshot scan keeps only rows that might collide with the batch
+    * (expected |snapshot|·fpp + true duplicates). The batch then anti-joins
+    * that tiny "seen" set — small enough for AQE to broadcast. The snapshot
+    * is still scanned once (membership must be consulted) but never
+    * shuffled. No false drops: a bloom-positive snapshot row only matters
+    * if the exact hash matches in the anti-join.
+    *
+    * Rows with NULL text (failed extraction) pass through unchanged — they
+    * are not duplicates of anything, matching `exact`.
+    */
+  def dedupAgainstCorpus(
+      df: DataFrame,
+      textCol: String,
+      corpus: DataFrame,
+      corpusTextCol: String,
+      fpp: Double = 0.001,
+      expectedBatchRows: Long = -1L
+  ): DataFrame = {
+    val withH = df.withColumn("__h", sha2(TextLib.normalized(col(textCol)), 256))
+    val nullText = withH.filter(col("__h").isNull)
+    val hashed = withH.filter(col("__h").isNotNull)
+    val bytes = graft.ops.Scale.bloomBytes(
+      hashed.select(col("__h")), "__h", fpp, expectedBatchRows)
+    val seen = corpus
+      .select(sha2(TextLib.normalized(col(corpusTextCol)), 256).as("__h"))
+      .filter(col("__h").isNotNull)
+      .filter(graft.ops.Scale.mightContainCol(bytes, col("__h")))
+      .distinct()
+    hashed.join(seen, Seq("__h"), "left_anti")
+      .unionByName(nullText)
+      .drop("__h")
+  }
+
   // ---------------------------------------------------------------- MinHash + LSH
 
   /** k-permutation MinHash signature over word shingles, via the native

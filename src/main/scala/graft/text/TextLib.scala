@@ -92,6 +92,39 @@ object TextLib {
         (when(col("stopword_ratio") > 0.05, 0.1).otherwise(0.0)), 2))
   }
 
+  /** Corpus length distribution in log2 bins: one aggregation pass over a
+    * numeric column (chars, tokens, bytes) → per-bin row count, share, and
+    * min/max/avg — the "what does this corpus look like" histogram that
+    * gates truncation/packing decisions before a training run.
+    *
+    * bin = floor(log2(n)) computed INTEGER-exact as length(bin(n)) - 1 (bit
+    * length of the binary rendering), never through float log2 — the float
+    * path puts exact powers of two on a rounding boundary and engines can
+    * disagree by one bin. NULL or non-positive lengths land in bin -1.
+    * Output is one row per occupied bin (≤ 64 rows whatever the corpus
+    * size); `share`/`len_avg` stay raw doubles — round at the edge.
+    */
+  def lengthHistogram(df: DataFrame, lenCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val n = col(lenCol).cast("long")
+    val b = when(n.isNull || n <= 0, lit(-1))
+      .otherwise((length(bin(n)) - 1).cast("int"))
+    df.withColumn("len_bin", b)
+      .groupBy("len_bin")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        min(n).as("len_min"),
+        max(n).as("len_max"),
+        avg(n).as("len_avg"))
+      .withColumn("share",
+        col("n_rows").cast("double") / sum(col("n_rows")).over(Window.partitionBy()))
+      // Scala-API shiftleft only takes a literal bit count — SQL form here
+      .withColumn("len_lo",
+        when(col("len_bin") >= 0, expr("shiftleft(CAST(1 AS BIGINT), len_bin)")))
+      .withColumn("len_hi",
+        when(col("len_bin") >= 0, expr("shiftleft(CAST(1 AS BIGINT), len_bin + 1) - 1")))
+  }
+
   // ---------------------------------------------------------------- language ID
 
   /** Stopword-marker language ID: score each candidate language by the

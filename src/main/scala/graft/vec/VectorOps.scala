@@ -1,0 +1,69 @@
+package graft.vec
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Embedding-column transforms for training-data pipelines: L2
+  * normalization and int8 max-abs quantization — the storage/bandwidth
+  * step before shipping vectors to an ANN index or a training shard
+  * (4× smaller than float32, 8× smaller than the double render).
+  *
+  * All math runs in DOUBLE with a pinned operation order
+  * (x * 127.0 / scale + 0.5, then floor) so results are bit-reproducible
+  * across engines — IEEE ops on identical doubles give identical results,
+  * which is what lets the DuckDB oracle replicate quantization exactly.
+  * Per-row scalars (the norm / scale) are materialized as columns BEFORE
+  * the element-wise transform: higher-order functions are interpreted with
+  * no common-subexpression elimination, so a scalar referenced inside the
+  * lambda would otherwise be recomputed per element (O(d²) per row).
+  *
+  * NULL elements are preserved positionally (a null in → a null out) and
+  * excluded from the norm/scale, matching the null-propagation choice of
+  * the native kernels in graft.expr.VecExprs. Non-finite elements are the
+  * caller's problem: an Infinity would quantize to NaN and crash the
+  * ANSI cast — filter upstream.
+  */
+object VectorOps {
+
+  private def asDouble(v: Column): Column = transform(v, x => x.cast("double"))
+
+  private def nonNull(v: Column): Column = filter(v, _.isNotNull)
+
+  /** Max absolute value over the (non-null) elements, in double. Exact —
+    * max has no accumulation error, so it is safe to compare raw across
+    * engines. Empty / all-null vectors get 0.0.
+    */
+  def maxAbs(v: Column): Column =
+    aggregate(nonNull(asDouble(v)), lit(0.0), (acc, x) => greatest(acc, abs(x)))
+
+  /** L2 norm over the (non-null) elements, in double. */
+  def l2Norm(v: Column): Column =
+    sqrt(aggregate(nonNull(asDouble(v)), lit(0.0), (acc, x) => acc + x * x))
+
+  /** Unit-normalize `vecCol` into `outCol` (array<double>). Zero vectors
+    * stay zero (no division); null elements stay null in place.
+    */
+  def l2Normalize(df: DataFrame, vecCol: String, outCol: String = "unit"): DataFrame =
+    df.withColumn("__l2n", l2Norm(col(vecCol)))
+      .withColumn(outCol,
+        when(col("__l2n") === 0.0, asDouble(col(vecCol)))
+          .otherwise(transform(asDouble(col(vecCol)), x => x / col("__l2n"))))
+      .drop("__l2n")
+
+  /** Symmetric max-abs int8 quantization: scale = max|x| over the vector,
+    * q_i = floor(x_i * 127.0 / scale + 0.5) as tinyint in [-127, 127]
+    * (round-half-up via floor — NOT round(), whose half-even/half-up
+    * behavior differs between engines). Dequantize as q_i * scale / 127.
+    * Zero vectors quantize to all zeros. Adds `scaleOutCol` (double) and
+    * `outCol` (array<tinyint>).
+    */
+  def quantizeInt8(df: DataFrame, vecCol: String,
+                   outCol: String = "q", scaleOutCol: String = "q_scale"): DataFrame =
+    df.withColumn(scaleOutCol, maxAbs(col(vecCol)))
+      .withColumn(outCol, transform(asDouble(col(vecCol)), x =>
+        when(x.isNull, lit(null))
+          .otherwise(
+            when(col(scaleOutCol) === 0.0, lit(0L))
+              .otherwise(floor(x * lit(127.0) / col(scaleOutCol) + lit(0.5))))
+          .cast("tinyint")))
+}

@@ -208,4 +208,25 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(fp(1L) == fp(4L))
     assert(fp(1L) != fp(3L))
   }
+
+  test("dedupAgainstCorpus equals exact anti-join on normalized text; nulls pass") {
+    val snapshot = Seq(
+      (1L, "The quick brown fox"),
+      (2L, "pack my box with five dozen jugs"),
+      (3L, "some other accepted document")).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "the  QUICK brown fox "),      // normalized dup of snapshot 1 → dropped
+      (11L, "a genuinely new document"),    // kept
+      (12L, null.asInstanceOf[String]),     // null text passes through
+      (13L, "PACK my box with five dozen jugs"), // dup of snapshot 2 → dropped
+      (14L, "some other accepted documents")     // near-dup but NOT exact → kept
+    ).toDF("doc_id", "text")
+    val got = Dedup.dedupAgainstCorpus(batch, "text", snapshot, "text")
+      .select("doc_id").as[Long].collect().toSet
+    assert(got == Set(11L, 12L, 14L))
+    // high-fpp bloom still yields exact results (suspects re-checked exactly)
+    val sloppy = Dedup.dedupAgainstCorpus(batch, "text", snapshot, "text", fpp = 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(sloppy == got)
+  }
 }

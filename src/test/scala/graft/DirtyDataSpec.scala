@@ -220,4 +220,23 @@ class DirtyDataSpec extends SparkSpec {
     val exact = Dedup.exact(docs, "text", "doc_id").select("doc_id").as[Long].collect().toSet
     assert(exact == Set(1L, 3L)) // the two empties collapse to the min id
   }
+
+  test("lengthHistogram bins integer-exactly and routes null/non-positive to bin -1") {
+    val df = Seq[java.lang.Long](null, 0L, -5L, 1L, 2L, 3L, 4L, 7L, 8L, 1024L, 1025L)
+      .toDF("n")
+    val got = TextLib.lengthHistogram(df, "n")
+      .select("len_bin", "n_rows", "len_lo", "len_hi", "len_min", "len_max")
+      .collect().map(r => r.getInt(0) ->
+        (r.getLong(1), if (r.isNullAt(2)) -1L else r.getLong(2),
+         if (r.isNullAt(3)) -1L else r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(got(-1) == ((3L, -1L, -1L, -5L, 0L)))     // null, 0, -5
+    assert(got(0)  == ((1L, 1L, 1L, 1L, 1L)))        // [1,1]: just 1
+    assert(got(1)  == ((2L, 2L, 3L, 2L, 3L)))        // [2,3]: 2,3
+    assert(got(2)  == ((2L, 4L, 7L, 4L, 7L)))        // [4,7]: 4,7 — 8 must NOT leak in
+    assert(got(3)  == ((1L, 8L, 15L, 8L, 8L)))       // exact power of two lands high side
+    assert(got(10) == ((2L, 1024L, 2047L, 1024L, 1025L)))
+    // shares sum to 1 over all bins
+    val share = TextLib.lengthHistogram(df, "n").agg(sum("share")).head().getDouble(0)
+    assert(math.abs(share - 1.0) < 1e-12)
+  }
 }

@@ -71,6 +71,34 @@ class PipelineSpec extends SparkSpec {
     assert(back(0).schema.fieldNames.contains("stopword_ratio"))
   }
 
+  test("YAML quota_per_group, shard_assign, dedup_against drive the Scale/Dedup ops") {
+    val in = Files.createTempDirectory("graft_quota").toString
+    val docs = (1L to 120L).map(i => (i, s"src${i % 4}", s"unique document body number $i"))
+      .toDF("doc_id", "source", "text")
+    docs.coalesce(1).write.mode("overwrite").parquet(in + "/docs")
+    // snapshot holds the first 30 texts — dedup_against must drop exactly those
+    docs.filter($"doc_id" <= 30).coalesce(1).write.mode("overwrite").parquet(in + "/snap")
+    val yaml =
+      s"""name: curation
+         |sources:
+         |  - { type: parquet, path: "$in/docs", table: main }
+         |  - { type: parquet, path: "$in/snap", table: snapshot }
+         |operations:
+         |  - { type: text_processing, params: { operation: dedup_against, corpus_table: snapshot } }
+         |  - { type: text_processing, params: { operation: quota_per_group, group_column: source, quota: 10 } }
+         |  - { type: text_processing, params: { operation: shard_assign, num_shards: 4 } }
+         |""".stripMargin
+    val conf = Pipeline.fromYaml(yaml)
+    val (primary, catalog) = Pipeline.load(spark, conf)
+    val out = graft.core.OpCompiler.compile(conf.operations, catalog)(primary)
+    val rows = out.select("doc_id", "source", "shard", "pos")
+      .as[(Long, String, Int, Int)].collect()
+    assert(rows.forall(_._1 > 30), "snapshot texts must be deduped away")
+    val bySource = rows.groupBy(_._2).map { case (k, v) => k -> v.length }
+    assert(bySource.values.forall(_ <= 10), s"quota violated: $bySource")
+    assert(rows.map(_._3).forall(sh => sh >= 0 && sh < 4))
+  }
+
   test("nearDedup keeps one survivor per near-dup cluster, untouched docs intact") {
     val docs = Seq(
       (10L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),

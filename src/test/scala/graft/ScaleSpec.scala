@@ -115,4 +115,42 @@ class ScaleSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS graft_bucket_b")
     }
   }
+
+  test("quotaPerGroup equals the single-window formulation and is repartition-stable") {
+    import org.apache.spark.sql.expressions.Window
+    val df = (1 to 3000).map { i =>
+      // one hot group (2000 rows) and 50 small ones (20 rows each, under quota)
+      (if (i <= 2000) "hot" else s"g${i % 50}", i.toLong)
+    }.toDF("grp", "id")
+    val got = Scale.quotaPerGroup(df, "grp", "id", quota = 25, preBuckets = 8)
+      .select("grp", "id").as[(String, Long)].collect().toSet
+    val w = Window.partitionBy($"grp").orderBy(xxhash64($"id", lit(42)).asc, $"id".asc)
+    val naive = df.withColumn("rn", row_number().over(w)).filter($"rn" <= 25)
+      .select("grp", "id").as[(String, Long)].collect().toSet
+    assert(got == naive)
+    // groups under quota keep everything
+    val small = naive.count(_._1 != "hot")
+    assert(small == 1000 && got.count(_._1 == "hot") == 25)
+    // pure function of the data, not the partitioning
+    val re = Scale.quotaPerGroup(df.repartition(13), "grp", "id", quota = 25, preBuckets = 3)
+      .select("grp", "id").as[(String, Long)].collect().toSet
+    assert(re == got)
+  }
+
+  test("shardAssign is deterministic, balanced, and densely positioned") {
+    val df = (1L to 4000L).toDF("id")
+    val a = Scale.shardAssign(df, "id", numShards = 16)
+      .select("id", "shard", "pos").as[(Long, Int, Int)].collect()
+    // positions within a shard are exactly 1..n with no gaps or dupes
+    a.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (1 to rows.length).toSeq)
+    }
+    // uniform hash → no shard more than 2× the mean at this n
+    val sizes = a.groupBy(_._2).map(_._2.length)
+    assert(sizes.size == 16 && sizes.max < 2 * 4000 / 16, s"skewed shards: $sizes")
+    // stable under repartitioning (pure function of the key)
+    val b = Scale.shardAssign(df.repartition(7), "id", numShards = 16)
+      .select("id", "shard", "pos").as[(Long, Int, Int)].collect()
+    assert(a.sortBy(_._1).toSeq == b.sortBy(_._1).toSeq)
+  }
 }

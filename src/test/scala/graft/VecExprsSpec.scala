@@ -109,4 +109,49 @@ class VecExprsSpec extends SparkSpec {
     val recall = (exact & approx).size.toDouble / exact.size
     assert(recall >= 0.8, s"LSH recall too low: $recall")
   }
+
+  test("quantizeInt8 round-trips within half a quantization step") {
+    val rnd = new scala.util.Random(7)
+    val df = (1 to 200).map { i =>
+      (i.toLong, Seq.fill(32)((rnd.nextGaussian() * (i % 5 + 1)).toFloat))
+    }.toDF("vec_id", "embedding")
+    val q = graft.vec.VectorOps.quantizeInt8(df, "embedding")
+      .select("vec_id", "embedding", "q_scale", "q")
+      .as[(Long, Seq[Float], Double, Seq[Byte])].collect()
+    q.foreach { case (_, v, scale, qs) =>
+      assert(qs.length == v.length)
+      assert(qs.forall(b => b >= -127 && b <= 127))
+      val step = scale / 127.0
+      v.zip(qs).foreach { case (x, b) =>
+        val back = b * step
+        assert(math.abs(back - x) <= step / 2 + 1e-12,
+          s"x=$x back=$back step=$step")
+      }
+    }
+    // zero vector → zero scale, all-zero codes (no division crash)
+    val z = graft.vec.VectorOps.quantizeInt8(
+      Seq((1L, Seq(0f, 0f, 0f))).toDF("vec_id", "embedding"), "embedding")
+      .select("q_scale", "q").as[(Double, Seq[Byte])].head()
+    assert(z._1 == 0.0 && z._2.forall(_ == 0))
+    // null elements stay null in place and don't poison the scale
+    val withNull = spark.sql(
+      "SELECT 1L AS vec_id, array(CAST(1.0 AS FLOAT), CAST(NULL AS FLOAT), CAST(-2.0 AS FLOAT)) AS embedding")
+    val n = graft.vec.VectorOps.quantizeInt8(withNull, "embedding")
+      .select("q_scale", "q").as[(Double, Seq[Option[Byte]])].head()
+    assert(n._1 == 2.0)
+    assert(n._2 == Seq(Some(64.toByte), None, Some(-127.toByte)))
+  }
+
+  test("l2Normalize yields unit vectors and leaves zero vectors zero") {
+    val rnd = new scala.util.Random(11)
+    val df = (1 to 100).map(i => (i.toLong, Seq.fill(16)(rnd.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+    val norms = graft.vec.VectorOps.l2Normalize(df, "embedding", "unit")
+      .select(graft.vec.VectorOps.l2Norm(col("unit"))).as[Double].collect()
+    norms.foreach(n => assert(math.abs(n - 1.0) < 1e-12))
+    val z = graft.vec.VectorOps.l2Normalize(
+      Seq((1L, Seq(0f, 0f))).toDF("vec_id", "embedding"), "embedding", "unit")
+      .select("unit").as[Seq[Double]].head()
+    assert(z == Seq(0.0, 0.0))
+  }
 }
