@@ -8,8 +8,13 @@ import java.util.Comparator
 object Verify {
 
   private def deleteRecursively(p: Path): Unit =
-    if (Files.exists(p))
-      Files.walk(p).sorted(Comparator.reverseOrder[Path]()).forEach(f => Files.delete(f))
+    if (Files.exists(p)) {
+      // Files.walk holds directory handles until closed — ~128 leaked fds
+      // per run adds up on a low-ulimit container
+      val st = Files.walk(p)
+      try st.sorted(Comparator.reverseOrder[Path]()).forEach(f => Files.delete(f))
+      finally st.close()
+    }
 
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args

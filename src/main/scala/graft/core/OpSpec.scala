@@ -279,9 +279,13 @@ object OpCompiler {
       case "quota_per_group" =>
         require(s(p, "group_column") != null,
           "quota_per_group requires params.group_column (e.g. the domain/source column)")
+        require(s(p, "quota") != null,
+          "quota_per_group requires params.quota (max rows kept per group)")
         graft.ops.Scale.quotaPerGroup(df, s(p, "group_column"), s(p, "key_column", id),
           s(p, "quota").toInt, preBuckets = s(p, "pre_buckets", "64").toInt)
       case "shard_assign" =>
+        require(s(p, "num_shards") != null,
+          "shard_assign requires params.num_shards (number of output shards)")
         graft.ops.Scale.shardAssign(df, s(p, "key_column", id),
           s(p, "num_shards").toInt, s(p, "salt", "42").toInt)
       case "length_histogram" =>
@@ -292,7 +296,8 @@ object OpCompiler {
           "dedup_against requires params.corpus_table (name of the accepted-snapshot table)")
         Dedup.dedupAgainstCorpus(df, text,
           tables(s(p, "corpus_table")), s(p, "corpus_text_column", text),
-          s(p, "fpp", "0.001").toDouble)
+          s(p, "fpp", "0.001").toDouble,
+          s(p, "expected_batch_rows", "-1").toLong)
       case "quantize_int8" =>
         graft.vec.VectorOps.quantizeInt8(df, s(p, "vector_column", "embedding"),
           s(p, "output_column", "q"), s(p, "scale_column", "q_scale"))

@@ -18,6 +18,13 @@ import org.apache.spark.unsafe.types.UTF8String
 case class UnicodeNormalize(child: Expression, form: String)
     extends UnaryExpression with CodegenFallback {
 
+  // validate at construction, not first evaluation: the SQL-function path
+  // builds this case class directly (bypassing the companion apply), and a
+  // bad form string must fail analysis with a clear message, not throw from
+  // every executor task at runtime
+  require(UnicodeNormalize.Forms.contains(form),
+    s"Unicode form must be one of ${UnicodeNormalize.Forms.mkString("/")}, got $form")
+
   override def dataType: DataType = StringType
 
   @transient private lazy val f = java.text.Normalizer.Form.valueOf(form)
@@ -35,7 +42,7 @@ case class UnicodeNormalize(child: Expression, form: String)
 object UnicodeNormalize {
   private val Forms = Set("NFC", "NFD", "NFKC", "NFKD")
   def apply(text: Column, form: String): Column = {
-    require(Forms.contains(form), s"Unicode form must be one of ${Forms.mkString("/")}, got $form")
+    // form validation lives in the case-class constructor (both entry paths)
     GraftColumnBridge.column(UnicodeNormalize(GraftColumnBridge.expression(text), form))
   }
 }

@@ -660,17 +660,23 @@ object QueriesText {
         |FROM g ORDER BY len_bin""".stripMargin,
 
     "q_embed_quantize" ->
+      // coalesce(mx, 0): DuckDB list_max over an empty/all-null list is
+      // NULL where Spark's aggregate-with-0.0-init yields 0.0 — without it
+      // a degenerate vector would fail the gate on correct engine output
       """WITH e AS (
         |  SELECT vec_id, embedding,
-        |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS mx
+        |    coalesce(list_max(list_transform(embedding,
+        |      x -> abs(CAST(x AS DOUBLE)))), 0) AS mx
         |  FROM embeddings)
         |SELECT vec_id, CAST(len(embedding) AS INT) AS dim,
         |  round(mx + 1e-9, 6) AS q_scale,
-        |  CAST(CASE WHEN mx = 0 THEN 0 ELSE list_sum(list_transform(embedding,
-        |    x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 / mx + 0.5) AS BIGINT))) END AS BIGINT) AS q_sum,
-        |  CAST(CASE WHEN mx = 0 THEN 0 ELSE list_min(list_transform(embedding,
+        |  CAST(CASE WHEN mx = 0 THEN 0 ELSE coalesce(list_sum(list_transform(embedding,
+        |    x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 / mx + 0.5) AS BIGINT))), 0) END AS BIGINT) AS q_sum,
+        |  CAST(CASE WHEN len(list_filter(embedding, x -> x IS NOT NULL)) = 0 THEN NULL
+        |    WHEN mx = 0 THEN 0 ELSE list_min(list_transform(embedding,
         |    x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 / mx + 0.5) AS BIGINT))) END AS INT) AS q_min,
-        |  CAST(CASE WHEN mx = 0 THEN 0 ELSE list_max(list_transform(embedding,
+        |  CAST(CASE WHEN len(list_filter(embedding, x -> x IS NOT NULL)) = 0 THEN NULL
+        |    WHEN mx = 0 THEN 0 ELSE list_max(list_transform(embedding,
         |    x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 / mx + 0.5) AS BIGINT))) END AS INT) AS q_max
         |FROM e ORDER BY vec_id""".stripMargin,
 

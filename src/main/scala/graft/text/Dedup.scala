@@ -69,7 +69,16 @@ object Dedup {
       fpp: Double = 0.001,
       expectedBatchRows: Long = -1L
   ): DataFrame = {
+    // Persisted: the batch relation is the tail of the caller's whole
+    // upstream pipeline and feeds THREE consumers — the bloom-sizing
+    // count (skipped when expectedBatchRows is hinted), the bloom
+    // treeAggregate, and the final anti-join — without it the upstream
+    // DAG recomputes per consumer. Same ownership trade as
+    // minhashCandidates' signature cache: the handle stays cached for the
+    // returned frame's lifetime; at extreme scale write the batch to a
+    // table first and pass that in instead.
     val withH = df.withColumn("__h", sha2(TextLib.normalized(col(textCol)), 256))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nullText = withH.filter(col("__h").isNull)
     val hashed = withH.filter(col("__h").isNotNull)
     val bytes = graft.ops.Scale.bloomBytes(

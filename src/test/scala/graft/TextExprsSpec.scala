@@ -78,6 +78,13 @@ class TextExprsSpec extends SparkSpec {
     val viaSql = spark.sql("SELECT length(graft_unicode_normalize('cafe\u0301')) AS l")
       .collect()(0).getInt(0)
     assert(viaSql == 4)
+    // the SQL path must reject a bad form at ANALYSIS time with the clear
+    // message, not throw from executor tasks at first evaluation
+    val bad = intercept[Exception] {
+      spark.sql("SELECT graft_unicode_normalize('x', 'nfc')").collect()
+    }
+    assert(bad.getMessage.contains("Unicode form must be one of"),
+      s"unexpected error: ${bad.getMessage}")
   }
 
   test("TextCharStats fields match the regex/HOF formulations exactly") {
