@@ -290,6 +290,14 @@ object OpCompiler {
           s(p, "num_shards").toInt, s(p, "salt", "42").toInt)
       case "length_histogram" =>
         TextLib.lengthHistogram(df, s(p, "length_column", "n_chars"))
+      case "lm_score" =>
+        val lmCorpus = s(p, "corpus_table")
+        if (lmCorpus != null)
+          require(tables != null, "lm_score with corpus_table requires a table catalog")
+        TextLib.unigramScore(df, text, id,
+          corpus = if (lmCorpus == null) null else tables(lmCorpus),
+          corpusTextCol = s(p, "corpus_text_column", text),
+          vocabSize = s(p, "vocab_size", "50000").toInt)
       case "dedup_against" =>
         require(tables != null, "dedup_against requires a table catalog")
         require(s(p, "corpus_table") != null,

@@ -293,6 +293,14 @@ object QueriesText {
     "q_shard_assign" -> ((s, dir) =>
       graft.ops.Scale.shardAssign(t(s, dir, "documents"), "doc_id", numShards = 8)
         .select("doc_id", "shard", "pos")
+        .orderBy("doc_id")),
+
+    "q_lm_score" -> ((s, dir) =>
+      // self-trained unigram LM; vocabSize 2000 < distinct tokens at every
+      // SF, so the OOV floor provably fires
+      TextLib.unigramScore(t(s, dir, "documents"), "text", "doc_id", vocabSize = 2000)
+        .select(col("doc_id"), col("n_tokens"),
+          roundf(col("lm_logprob"), 4).as("lm_logprob"))
         .orderBy("doc_id"))
   )
 
@@ -679,6 +687,26 @@ object QueriesText {
         |    WHEN mx = 0 THEN 0 ELSE list_max(list_transform(embedding,
         |    x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 / mx + 0.5) AS BIGINT))) END AS INT) AS q_max
         |FROM e ORDER BY vec_id""".stripMargin,
+
+    "q_lm_score" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(
+        |    trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS token
+        |  FROM documents),
+        |tk AS (SELECT doc_id, token FROM toks WHERE token <> ''),
+        |counts AS (SELECT token, count(*) AS tf FROM tk GROUP BY token),
+        |tot AS (SELECT CAST(sum(tf) AS DOUBLE) AS T FROM counts),
+        |vocab AS (SELECT token, tf FROM counts ORDER BY tf DESC, token LIMIT 2000),
+        |lp AS (SELECT v.token, ln(CAST(v.tf AS DOUBLE) / t.T) AS lp FROM vocab v CROSS JOIN tot t),
+        |scored AS (
+        |  SELECT tk.doc_id, count(*) AS n_tokens,
+        |    avg(coalesce(lp.lp, -ln(t.T))) AS lm_logprob
+        |  FROM tk LEFT JOIN lp ON tk.token = lp.token CROSS JOIN tot t
+        |  GROUP BY tk.doc_id)
+        |SELECT d.doc_id, CAST(coalesce(s.n_tokens, 0) AS BIGINT) AS n_tokens,
+        |  round(s.lm_logprob + 1e-9, 4) AS lm_logprob
+        |FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
 
     "q_shard_assign" ->
       """WITH h AS (

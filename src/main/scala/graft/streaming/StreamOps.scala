@@ -156,6 +156,32 @@ object StreamOps {
       .dropDuplicatesWithinWatermark("__text_h")
       .drop("__text_h")
 
+  /** Streaming blocklist exclusion: drop stream rows whose key appears in a
+    * STATIC blocklist — the continuous-ingestion form of
+    * `Scale.excludeKeysBloom`. The blocklist is sketched ONCE at stream
+    * build time into a Bloom literal evaluated row-local per micro-batch;
+    * only the tiny bloom-positive fraction pays the exact stream-static
+    * left_anti re-check (no false drops). Stateless: no watermark, no
+    * streaming state — the sketch and the static side are fixed for the
+    * stream's lifetime; restart the stream to pick up a new blocklist.
+    */
+  def excludeKeysStream(df: DataFrame, keyCol: String,
+                        blocklist: DataFrame, blockKeyCol: String,
+                        fpp: Double = 0.01): DataFrame = {
+    require(df.schema(keyCol).dataType == blocklist.schema(blockKeyCol).dataType,
+      s"excludeKeysStream: key dtypes must match exactly (stream $keyCol is " +
+      s"${df.schema(keyCol).dataType.simpleString}, blocklist $blockKeyCol is " +
+      s"${blocklist.schema(blockKeyCol).dataType.simpleString}) — cast one side first")
+    val bytes = graft.ops.Scale.bloomBytes(blocklist, blockKeyCol, fpp)
+    val might = graft.ops.Scale.mightContainCol(bytes, col(keyCol))
+    val clean = df.filter(!might)
+    // bloom-positive rows get the exact re-check via a stream-static
+    // anti-join (supported by Structured Streaming without state)
+    val suspect = df.filter(might)
+      .join(blocklist.select(col(blockKeyCol).as(keyCol)).distinct(), Seq(keyCol), "left_anti")
+    clean.unionByName(suspect)
+  }
+
   // ---------------------------------------------------------------- sinks
 
   /** Checkpointed foreachBatch sink — the fan-out point for Redis/JDBC/Kafka

@@ -176,6 +176,59 @@ object TextLib {
     if (topK > 0) vocab.limit(topK) else vocab
   }
 
+  /** Unigram language-model document score — the cheap stand-in for the
+    * KenLM-perplexity gate of corpus curation: train token log-probs on a
+    * reference corpus (default: the batch itself), score each document by
+    * its mean token log-prob. Low scores flag gibberish / boilerplate /
+    * wrong-language text that per-document heuristics miss.
+    *
+    * Model: lp(t) = ln(tf_t / T) for the top-`vocabSize` tokens by corpus
+    * frequency (ties broken by token); out-of-vocabulary tokens get the
+    * unseen floor -ln(T) (= ln(1/T)). T counts ALL corpus tokens, not just
+    * the kept vocabulary.
+    *
+    * Scale shape: token counts aggregate with map-side combine (one
+    * shuffle on token); the scored corpus explodes tokens but re-aggregates
+    * per document with partial avg, so the shuffle carries one partial row
+    * per (doc, task) — never the raw token stream. The vocabulary and the
+    * total ride broadcasts. The token-count relation is persisted (it feeds
+    * both the total and the vocabulary; without it the reference corpus
+    * tokenizes twice).
+    *
+    * Adds `n_tokens` (0 for token-free docs) and `lm_logprob` (null for
+    * token-free docs; raw double — round at the edge).
+    */
+  def unigramScore(df: DataFrame, textCol: String, idCol: String,
+                   corpus: DataFrame = null, corpusTextCol: String = null,
+                   vocabSize: Int = 50000): DataFrame = {
+    val train = Option(corpus).getOrElse(df)
+    val trainText = Option(corpusTextCol).getOrElse(textCol)
+    val counts = train
+      .select(explode(split(normalized(col(trainText)), " ")).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy("token").agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val totals = counts.agg(sum("tf").cast("double").as("__T"))
+    val vocab = counts.orderBy(col("tf").desc, col("token").asc).limit(vocabSize)
+    // ln(tf/T) and -ln(T) are the PINNED formulations — the DuckDB oracle
+    // replicates these exact operations; ln(1/T) would differ in ulps
+    val lp = vocab.crossJoin(broadcast(totals))
+      .select(col("token"), log(col("tf").cast("double") / col("__T")).as("__lp"))
+    val perDoc = df
+      .select(col(idCol), explode(split(normalized(col(textCol)), " ")).as("token"))
+      .filter(col("token") =!= "")
+      .join(broadcast(lp), Seq("token"), "left")
+      .crossJoin(broadcast(totals))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+           avg(coalesce(col("__lp"), -log(col("__T")))).as("lm_logprob"))
+    // token-free docs vanish from the explode — left-join them back with
+    // n_tokens 0 / null score. Alias both sides: perDoc derives from df and
+    // unqualified attributes would trip DetectAmbiguousSelfJoin.
+    df.alias("__lm_d").join(perDoc.alias("__lm_s"), Seq(idCol), "left")
+      .withColumn("n_tokens", coalesce(col("n_tokens"), lit(0L)))
+  }
+
   /** Split documents into fixed-size character chunks with overlap — the
     * standard context-window preprocessing step for training/embedding
     * pipelines. Pure expression (sequence + substring), exploded to one row

@@ -221,6 +221,34 @@ class DirtyDataSpec extends SparkSpec {
     assert(exact == Set(1L, 3L)) // the two empties collapse to the min id
   }
 
+  test("unigramScore matches the hand-computed model, floors OOV, nulls token-free docs") {
+    val docs = Seq(
+      (1L, "a a b"),          // two in-vocab tokens + b
+      (2L, "a c"),            // c is out-of-vocab at vocabSize=2
+      (3L, ""),               // token-free → n_tokens 0, null score
+      (4L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    // corpus tf: a=3, b=1, c=1, T=5; vocabSize=2 keeps a then b (tie on tf
+    // broken by token asc), so c takes the -ln(T) floor
+    val got = TextLib.unigramScore(docs, "text", "doc_id", vocabSize = 2)
+      .select("doc_id", "n_tokens", "lm_logprob")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), if (r.isNullAt(2)) Double.NaN else r.getDouble(2))).toMap
+    val T = 5.0
+    val lpA = math.log(3.0 / T); val lpB = math.log(1.0 / T); val floor = -math.log(T)
+    assert(got(1L)._1 == 3 && math.abs(got(1L)._2 - (lpA + lpA + lpB) / 3) < 1e-12)
+    assert(got(2L)._1 == 2 && math.abs(got(2L)._2 - (lpA + floor) / 2) < 1e-12)
+    assert(got(3L) == ((0L, Double.NaN)) || got(3L)._1 == 0 && got(3L)._2.isNaN)
+    assert(got(4L)._1 == 0 && got(4L)._2.isNaN)
+    // a separate reference corpus trains the model: score against it, not df
+    val ref = Seq((10L, "x x x x")).toDF("doc_id", "text")
+    val vs = TextLib.unigramScore(docs.filter($"doc_id" === 1), "text", "doc_id",
+        corpus = ref, corpusTextCol = "text", vocabSize = 10)
+      .select("lm_logprob").collect()(0).getDouble(0)
+    // every token of doc 1 is OOV vs the x-corpus: floor = -ln(4)
+    assert(math.abs(vs - -math.log(4.0)) < 1e-12)
+  }
+
   test("lengthHistogram bins integer-exactly and routes null/non-positive to bin -1") {
     val df = Seq[java.lang.Long](null, 0L, -5L, 1L, 2L, 3L, 4L, 7L, 8L, 1024L, 1025L)
       .toDF("n")

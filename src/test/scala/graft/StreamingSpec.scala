@@ -169,6 +169,27 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("excludeKeysStream drops exactly the blocklisted keys, no state") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Doc]
+    val block = Seq(2L, 4L, 999L).toDF("bad_id")
+    val out = StreamOps.excludeKeysStream(input.toDF(), "id", block, "bad_id", fpp = 0.5)
+    val q = StreamOps.runToMemory(out, "bloomex")
+    try {
+      input.addData((1L to 6L).map(i => Doc(t("2024-01-01 00:00:00"), i, s"doc $i")): _*)
+      q.processAllAvailable()
+      val ids = spark.sql("SELECT id FROM bloomex").as[Long].collect().sorted.toSeq
+      // even at fpp=0.5 the exact anti-join re-check guarantees precision
+      assert(ids == Seq(1L, 3L, 5L, 6L), s"got $ids")
+      // a second batch flows through the same fixed sketch
+      input.addData(Doc(t("2024-01-01 00:10:00"), 4L, "again"),
+                    Doc(t("2024-01-01 00:10:00"), 7L, "new"))
+      q.processAllAvailable()
+      val ids2 = spark.sql("SELECT id FROM bloomex").as[Long].collect().sorted.toSeq
+      assert(ids2 == Seq(1L, 3L, 5L, 6L, 7L), s"got $ids2")
+    } finally q.stop()
+  }
+
   test("dropDuplicatesWithinWatermark dedups keyed events") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Ev]
