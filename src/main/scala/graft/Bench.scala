@@ -24,7 +24,12 @@ object Bench {
     "q_asof_join",         // union+window as-of join
     "q_range_join",        // bucketed interval join
     "q_text_quality",      // full-text expression scan
-    "q_stream_session"     // session windows (batch semantics)
+    "q_stream_session",    // session windows (batch semantics)
+    // round-4 additions (per-query timings comparable across rounds; the
+    // TOTAL line grows with the list — compare per-query, not totals)
+    "q_lm_score",          // corpus-trained unigram LM scoring
+    "q_quota_per_source",  // two-level per-domain cap
+    "q_dedup_incremental"  // batch-bloom snapshot dedup
   )
 
   def main(args: Array[String]): Unit = {
