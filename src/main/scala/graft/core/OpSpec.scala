@@ -268,6 +268,14 @@ object OpCompiler {
       case "sample_hash" =>
         graft.ops.Scale.sampleByHash(df, s(p, "key_column", id),
           s(p, "fraction").toDouble, s(p, "salt", "42").toInt)
+      case "sample_budget" =>
+        require(s(p, "group_column") != null,
+          "sample_budget requires params.group_column (e.g. the domain/source column)")
+        require(s(p, "budget") != null,
+          "sample_budget requires params.budget (target weight kept per group)")
+        graft.ops.Scale.sampleToBudget(df, s(p, "weight_column", "n_tokens"),
+          s(p, "group_column"), s(p, "key_column", id),
+          s(p, "budget").toLong, s(p, "salt", "42").toInt)
       case "decontaminate" =>
         require(tables != null, "decontaminate requires a table catalog")
         require(s(p, "eval_table") != null,

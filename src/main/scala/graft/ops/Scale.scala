@@ -108,6 +108,49 @@ object Scale {
       lit(math.round(fraction * buckets)))
   }
 
+  /** Budget-weighted per-group sampling: keep a deterministic hash-gated
+    * subset of each group sized so the kept rows total ≈ `budget` weight
+    * (tokens, chars, bytes) — the "N billion tokens per domain" step of a
+    * mixture recipe, where quotas are token budgets, not row counts.
+    *
+    * frac_g = min(1, budget / Σ weight_g); a row survives iff its hash
+    * bucket (of 1e6) falls below floor(frac_g × 1e6) — the same pure-
+    * function-of-the-key gate as sampleByHash, so the kept set is stable
+    * under repartitioning, retries, and incremental reruns. Groups under
+    * budget keep everything. Expected kept weight = frac_g × Σ weight_g
+    * (hash is independent of weight); exact-budget packing needs the
+    * ordered quota ops instead.
+    *
+    * Scale shape: one aggregate for the per-group totals (map-side
+    * combine, |groups| rows), broadcast back onto the corpus — the corpus
+    * itself is never shuffled. Rows with a NULL group or NULL weight drop
+    * out (their frac is undefined); filter or fill first if that matters.
+    *
+    * `gate` overrides the default xxhash64 bucket (e.g. an md5-derived
+    * bucket when an external system must re-derive the kept set).
+    */
+  def sampleToBudget(
+      df: DataFrame,
+      weightCol: String,
+      groupCol: String,
+      keyCol: String,
+      budget: Long,
+      salt: Int = 42,
+      gate: Option[Column] = None
+  ): DataFrame = {
+    require(budget > 0, s"sampleToBudget: budget must be positive, got $budget")
+    val bucket = gate.getOrElse(pmod(xxhash64(col(keyCol), lit(salt)), lit(1000000L)))
+    val totals = df.groupBy(col(groupCol))
+      .agg(sum(col(weightCol)).cast("double").as("__gw"))
+    // floor(frac*1e6) is the PINNED threshold formulation (cross-engine:
+    // a bare double→int cast rounds in DuckDB but truncates in Spark)
+    val thresh = floor(least(lit(1.0), lit(budget.toDouble) / col("__gw")) * lit(1000000.0))
+    df.alias("__sb_d")
+      .join(broadcast(totals).alias("__sb_t"), Seq(groupCol))
+      .filter(bucket < thresh)
+      .drop("__gw")
+  }
+
   /** Weighted corpus mixture: union of hash-gate samples of each source at
     * its target rate, tagged with a `mixture_source` lineage column — the
     * "30% web, 30% code, 40% books" recipe step of a training-data

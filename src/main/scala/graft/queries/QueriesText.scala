@@ -295,6 +295,16 @@ object QueriesText {
         .select("doc_id", "shard", "pos")
         .orderBy("doc_id")),
 
+    "q_sample_budget" -> ((s, dir) =>
+      // ~3000 chars of documents per source; md5-derived gate so DuckDB
+      // re-derives the exact kept set (engine default is xxhash64)
+      graft.ops.Scale.sampleToBudget(t(s, dir, "documents"), "n_chars", "source", "doc_id",
+          budget = 3000L,
+          gate = Some(conv(substring(md5(concat(lit("7:"), col("doc_id").cast("string"))), 1, 15),
+            16, 10).cast("long") % 1000000L))
+        .select("doc_id", "source", "n_chars")
+        .orderBy("doc_id")),
+
     "q_lm_score" -> ((s, dir) =>
       // self-trained unigram LM; vocabSize 2000 < distinct tokens at every
       // SF, so the OOV floor provably fires
@@ -687,6 +697,17 @@ object QueriesText {
         |    WHEN mx = 0 THEN 0 ELSE list_max(list_transform(embedding,
         |    x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 / mx + 0.5) AS BIGINT))) END AS INT) AS q_max
         |FROM e ORDER BY vec_id""".stripMargin,
+
+    "q_sample_budget" ->
+      """WITH gt AS (
+        |  SELECT source, CAST(sum(n_chars) AS DOUBLE) AS gw
+        |  FROM documents GROUP BY source)
+        |SELECT d.doc_id, d.source, d.n_chars
+        |FROM documents d JOIN gt USING (source)
+        |WHERE CAST(CAST('0x' || substr(md5('7:' || CAST(d.doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+        |        % 1000000 AS BIGINT)
+        |      < CAST(floor(least(1.0, 3000.0 / gw) * 1000000.0) AS BIGINT)
+        |ORDER BY doc_id""".stripMargin,
 
     "q_lm_score" ->
       """WITH toks AS (

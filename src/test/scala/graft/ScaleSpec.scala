@@ -137,6 +137,24 @@ class ScaleSpec extends SparkSpec {
     assert(re == got)
   }
 
+  test("sampleToBudget keeps ~budget weight per group, all of under-budget groups") {
+    val df = (1 to 4000).map { i =>
+      // "big" carries ~40k weight, "small" ~1k
+      (if (i <= 2000) "big" else "small", i.toLong, if (i <= 2000) 20L else 1L)
+    }.toDF("grp", "id", "w")
+    val kept = Scale.sampleToBudget(df, "w", "grp", "id", budget = 4000L)
+      .select("grp", "id", "w").as[(String, Long, Long)].collect()
+    // under-budget group is untouched
+    assert(kept.count(_._1 == "small") == 2000)
+    // over-budget group lands near frac = 4000/40000 = 10% of its weight
+    val bigW = kept.filter(_._1 == "big").map(_._3).sum
+    assert(bigW > 2000 && bigW < 6400, s"kept big-group weight $bigW, wanted ~4000")
+    // pure function of the key: same kept set under repartitioning
+    val re = Scale.sampleToBudget(df.repartition(11), "w", "grp", "id", budget = 4000L)
+      .select("id").as[Long].collect().toSet
+    assert(re == kept.map(_._2).toSet)
+  }
+
   test("shardAssign is deterministic, balanced, and densely positioned") {
     val df = (1L to 4000L).toDF("id")
     val a = Scale.shardAssign(df, "id", numShards = 16)
