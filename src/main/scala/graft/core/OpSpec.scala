@@ -273,9 +273,15 @@ object OpCompiler {
           "sample_budget requires params.group_column (e.g. the domain/source column)")
         require(s(p, "budget") != null,
           "sample_budget requires params.budget (target weight kept per group)")
+        // YAML "3e9" arrives as a Double rendering ("3.0E9") — accept both
+        // integer and float spellings of the budget
+        val budgetStr = s(p, "budget")
+        val budget = try budgetStr.toLong catch {
+          case _: NumberFormatException => budgetStr.toDouble.toLong
+        }
         graft.ops.Scale.sampleToBudget(df, s(p, "weight_column", "n_tokens"),
           s(p, "group_column"), s(p, "key_column", id),
-          s(p, "budget").toLong, s(p, "salt", "42").toInt)
+          budget, s(p, "salt", "42").toInt)
       case "decontaminate" =>
         require(tables != null, "decontaminate requires a table catalog")
         require(s(p, "eval_table") != null,

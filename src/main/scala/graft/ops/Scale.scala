@@ -123,8 +123,10 @@ object Scale {
     *
     * Scale shape: one aggregate for the per-group totals (map-side
     * combine, |groups| rows), broadcast back onto the corpus — the corpus
-    * itself is never shuffled. Rows with a NULL group or NULL weight drop
-    * out (their frac is undefined); filter or fill first if that matters.
+    * itself is never shuffled. Rows with a NULL group drop out (inner
+    * join); rows with a NULL weight count as ZERO weight toward the group
+    * total but still pass/fail the hash gate like any other row — filter
+    * or fill weights first if they should be excluded.
     *
     * `gate` overrides the default xxhash64 bucket (e.g. an md5-derived
     * bucket when an external system must re-derive the kept set).

@@ -167,20 +167,12 @@ object StreamOps {
     */
   def excludeKeysStream(df: DataFrame, keyCol: String,
                         blocklist: DataFrame, blockKeyCol: String,
-                        fpp: Double = 0.01): DataFrame = {
-    require(df.schema(keyCol).dataType == blocklist.schema(blockKeyCol).dataType,
-      s"excludeKeysStream: key dtypes must match exactly (stream $keyCol is " +
-      s"${df.schema(keyCol).dataType.simpleString}, blocklist $blockKeyCol is " +
-      s"${blocklist.schema(blockKeyCol).dataType.simpleString}) — cast one side first")
-    val bytes = graft.ops.Scale.bloomBytes(blocklist, blockKeyCol, fpp)
-    val might = graft.ops.Scale.mightContainCol(bytes, col(keyCol))
-    val clean = df.filter(!might)
-    // bloom-positive rows get the exact re-check via a stream-static
-    // anti-join (supported by Structured Streaming without state)
-    val suspect = df.filter(might)
-      .join(blocklist.select(col(blockKeyCol).as(keyCol)).distinct(), Seq(keyCol), "left_anti")
-    clean.unionByName(suspect)
-  }
+                        fpp: Double = 0.01): DataFrame =
+    // the batch implementation is stream-safe as-is: the bloom is built
+    // from the STATIC blocklist at call time, the probe is a row-local
+    // filter, and the suspect re-check is a stream-static left_anti join —
+    // this method exists as the documented streaming entry point
+    graft.ops.Scale.excludeKeysBloom(df, keyCol, blocklist, blockKeyCol, fpp)
 
   // ---------------------------------------------------------------- sinks
 

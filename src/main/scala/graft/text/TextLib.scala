@@ -201,32 +201,54 @@ object TextLib {
   def unigramScore(df: DataFrame, textCol: String, idCol: String,
                    corpus: DataFrame = null, corpusTextCol: String = null,
                    vocabSize: Int = 50000): DataFrame = {
+    require(vocabSize > 0, s"unigramScore: vocabSize must be positive, got $vocabSize")
     val train = Option(corpus).getOrElse(df)
     val trainText = Option(corpusTextCol).getOrElse(textCol)
+    // The model is MATERIALIZED at call time (two driver jobs over the
+    // token counts, cached only for their duration): the vocabulary is
+    // exactly what the scoring join broadcasts anyway, and an engine-side
+    // persist here would pin a session-lifetime cache entry nothing could
+    // ever unpersist (the method returns a lazy frame).
     val counts = train
       .select(explode(split(normalized(col(trainText)), " ")).as("token"))
       .filter(col("token") =!= "")
       .groupBy("token").agg(count(lit(1)).as("tf"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val totals = counts.agg(sum("tf").cast("double").as("__T"))
-    val vocab = counts.orderBy(col("tf").desc, col("token").asc).limit(vocabSize)
+    val (lpPairs, totalT) =
+      try {
+        val t = Option(counts.agg(sum("tf")).first().get(0))
+          .map(_.asInstanceOf[Long].toDouble).getOrElse(0.0)
+        val vocab = counts.orderBy(col("tf").desc, col("token").asc)
+          .limit(vocabSize).collect()
+          .map(r => (r.getString(0), r.getLong(1)))
+        (vocab.toSeq, t)
+      } finally counts.unpersist()
+    val sp = df.sparkSession
+    import sp.implicits._
     // ln(tf/T) and -ln(T) are the PINNED formulations — the DuckDB oracle
     // replicates these exact operations; ln(1/T) would differ in ulps
-    val lp = vocab.crossJoin(broadcast(totals))
-      .select(col("token"), log(col("tf").cast("double") / col("__T")).as("__lp"))
+    val lp = lpPairs.toDF("token", "tf")
+      .select(col("token"), log(col("tf").cast("double") / lit(totalT)).as("__lp"))
+    val floorLp = -log(lit(totalT))
     val perDoc = df
       .select(col(idCol), explode(split(normalized(col(textCol)), " ")).as("token"))
       .filter(col("token") =!= "")
       .join(broadcast(lp), Seq("token"), "left")
-      .crossJoin(broadcast(totals))
       .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_tokens"),
-           avg(coalesce(col("__lp"), -log(col("__T")))).as("lm_logprob"))
+      .agg(count(lit(1)).as("__lm_n"),
+           avg(coalesce(col("__lp"), floorLp)).as("__lm_lp"))
     // token-free docs vanish from the explode — left-join them back with
-    // n_tokens 0 / null score. Alias both sides: perDoc derives from df and
-    // unqualified attributes would trip DetectAmbiguousSelfJoin.
-    df.alias("__lm_d").join(perDoc.alias("__lm_s"), Seq(idCol), "left")
-      .withColumn("n_tokens", coalesce(col("n_tokens"), lit(0L)))
+    // n_tokens 0 / null score. Internal names stay __lm_-prefixed through
+    // the join: the input may legitimately already carry n_tokens (the
+    // token_counts / pack ops emit it), which would otherwise make the
+    // coalesce reference ambiguous. Pre-existing n_tokens / lm_logprob
+    // columns are REPLACED in the output. Alias both sides: perDoc derives
+    // from df and unqualified attributes trip DetectAmbiguousSelfJoin.
+    df.drop("n_tokens", "lm_logprob")
+      .alias("__lm_d").join(perDoc.alias("__lm_s"), Seq(idCol), "left")
+      .withColumn("n_tokens", coalesce(col("__lm_n"), lit(0L)))
+      .withColumn("lm_logprob", col("__lm_lp"))
+      .drop("__lm_n", "__lm_lp")
   }
 
   /** Split documents into fixed-size character chunks with overlap — the

@@ -247,6 +247,12 @@ class DirtyDataSpec extends SparkSpec {
       .select("lm_logprob").collect()(0).getDouble(0)
     // every token of doc 1 is OOV vs the x-corpus: floor = -ln(4)
     assert(math.abs(vs - -math.log(4.0)) < 1e-12)
+    // composes after ops that already emit n_tokens (token_counts, pack):
+    // the pre-existing column is replaced, not ambiguous
+    val withN = docs.withColumn("n_tokens", lit(999L))
+    val re = TextLib.unigramScore(withN, "text", "doc_id", vocabSize = 2)
+      .select("doc_id", "n_tokens").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(re(1L) == 3 && re(3L) == 0)
   }
 
   test("lengthHistogram bins integer-exactly and routes null/non-positive to bin -1") {
