@@ -304,6 +304,11 @@ object OpCompiler {
           s(p, "num_shards").toInt, s(p, "salt", "42").toInt)
       case "length_histogram" =>
         TextLib.lengthHistogram(df, s(p, "length_column", "n_chars"))
+      case "bpe_merges" =>
+        graft.text.Bpe.mergesDF(df, text,
+          s(p, "num_merges", "1000").toInt,
+          s(p, "max_words", "1000000").toInt,
+          s(p, "min_pair_count", "2").toLong)
       case "lm_score" =>
         val lmCorpus = s(p, "corpus_table")
         if (lmCorpus != null)

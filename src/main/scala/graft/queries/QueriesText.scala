@@ -295,6 +295,13 @@ object QueriesText {
         .select("doc_id", "shard", "pos")
         .orderBy("doc_id")),
 
+    "q_bpe_merges" -> ((s, dir) =>
+      // tokenizer-training precursor: 50 BPE merges on the documents corpus
+      // (merge loop is engine-specific — rows-only check; BpeSpec pins the
+      // classic hand-computed merge sequence)
+      graft.text.Bpe.mergesDF(t(s, dir, "documents"), "text", numMerges = 50)
+        .orderBy("rank")),
+
     "q_sample_budget" -> ((s, dir) =>
       // ~3000 chars of documents per source; md5-derived gate so DuckDB
       // re-derives the exact kept set (engine default is xxhash64)
