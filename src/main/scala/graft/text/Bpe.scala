@@ -3,94 +3,155 @@ package graft.text
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-/** Byte-pair-encoding merge training — the tokenizer-training precursor of
-  * a training-data pipeline (the reference stops at token counting; real
-  * pipelines train the tokenizer on the cleaned corpus).
+/** Byte-pair-encoding merge training + encoding — the tokenizer-training
+  * precursor of a training-data pipeline (the reference stops at token
+  * counting; real pipelines train the tokenizer on the cleaned corpus).
   *
   * Scale split follows standard practice (subword-nmt, HuggingFace
   * tokenizers): the CORPUS-sized work — word frequency counting — runs in
-  * Spark (one shuffle with map-side combine), and the merge loop runs on
-  * the collected word-frequency table, which is orders of magnitude
-  * smaller than the corpus and capped at `maxWords` by frequency. At
-  * 100 TB the corpus is scanned once; the driver holds ≤ maxWords entries.
+  * Spark (one shuffle with map-side combine, via the shared
+  * `TextLib.wordCounts` tokenization), and the merge loop runs on the
+  * collected word-frequency table, which is orders of magnitude smaller
+  * than the corpus and capped at `maxWords` by frequency. At 100 TB the
+  * corpus is scanned once; the driver holds ≤ maxWords entries.
+  *
+  * The merge loop is INCREMENTAL: pair statistics live in a lazy max-heap
+  * (stale entries verified against the live count on pop) and each merge
+  * rewrites only the words that contain the merged pair (an occurrence
+  * index), not the whole vocabulary — the subword-nmt algorithm. A naive
+  * recount-everything loop is O(numMerges × total symbols) driver work,
+  * hours at the 1M-word / 1k-merge defaults.
   *
   * Determinism: pair selection breaks count ties lexicographically on
   * (left, right), and the word cap breaks frequency ties on the word, so
-  * the same corpus always yields the same merge table.
+  * the same corpus always yields the same merge table. Words split into
+  * UNICODE CODE POINTS (never UTF-16 code units — a lone surrogate is not
+  * a valid string and round-trips through Spark as '?').
   */
 object Bpe {
 
   /** End-of-word sentinel; distinguishes "low ". */
   val EndOfWord = "</w>"
 
+  /** A trained model: the ordered merge table (rank, left, right, merged,
+    * pair_count at selection) and the word → final-pieces map for every
+    * trained word.
+    */
+  final case class BpeModel(merges: Seq[(Int, String, String, String, Long)],
+                            pieces: Map[String, Seq[String]]) {
+    /** (left, right) → rank, for replaying merges on unseen words. */
+    lazy val ranks: Map[(String, String), Int] =
+      merges.map { case (rank, l, r, _, _) => (l, r) -> rank }.toMap
+  }
+
+  private def codePoints(w: String): Array[String] = {
+    val out = Array.newBuilder[String]
+    var i = 0
+    while (i < w.length) {
+      val cp = w.codePointAt(i)
+      out += new String(Character.toChars(cp))
+      i += Character.charCount(cp)
+    }
+    out.result()
+  }
+
   /** Train `numMerges` BPE merges on the word frequencies of `textCol`.
-    * Returns (merges, wordPieces):
-    *  - merges: (rank, left, right, merged, pair_count) — the ordered rule
-    *    table an encoder replays;
-    *  - wordPieces: word → final piece sequence for every trained word
-    *    (the broadcastable application map `encode` uses).
     * Stops early when no pair reaches `minPairCount`.
     */
   def trainMerges(df: DataFrame, textCol: String, numMerges: Int,
-                  maxWords: Int = 1000000, minPairCount: Long = 2L)
-      : (Seq[(Int, String, String, String, Long)], Map[String, Seq[String]]) = {
+                  maxWords: Int = 1000000, minPairCount: Long = 2L): BpeModel = {
     require(numMerges > 0, s"trainMerges: numMerges must be positive, got $numMerges")
     require(maxWords > 0, s"trainMerges: maxWords must be positive, got $maxWords")
-    val wordCounts: Array[(String, Long)] = df
-      .select(explode(split(TextLib.normalized(col(textCol)), " ")).as("w"))
-      .filter(col("w") =!= "")
-      .groupBy("w").agg(count(lit(1)).as("c"))
-      .orderBy(col("c").desc, col("w").asc)
+    val wordCounts: Array[(String, Long)] = TextLib.wordCounts(df, textCol)
+      .orderBy(col("tf").desc, col("token").asc)
       .limit(maxWords)
       .collect().map(r => (r.getString(0), r.getLong(1)))
 
-    // word → symbol sequence (code points + end-of-word sentinel)
-    var pieces: Array[(Vector[String], Long)] = wordCounts.map { case (w, c) =>
-      (w.toSeq.map(_.toString).toVector :+ EndOfWord, c)
+    val words: Array[Array[String]] =
+      wordCounts.map { case (w, _) => codePoints(w) :+ EndOfWord }
+    val wc: Array[Long] = wordCounts.map(_._2)
+
+    import scala.collection.mutable
+    val pairCounts = mutable.HashMap.empty[(String, String), Long]
+    val occur = mutable.HashMap.empty[(String, String), mutable.BitSet]
+
+    def addPairs(i: Int, delta: Int): Unit = {
+      val syms = words(i)
+      var j = 0
+      while (j < syms.length - 1) {
+        val k = (syms(j), syms(j + 1))
+        val next = pairCounts.getOrElse(k, 0L) + delta * wc(i)
+        if (next <= 0L) { pairCounts.remove(k); occur.get(k).foreach(_ -= i) }
+        else {
+          pairCounts.update(k, next)
+          if (delta > 0) occur.getOrElseUpdate(k, mutable.BitSet.empty) += i
+        }
+        j += 1
+      }
     }
-    val merges = Vector.newBuilder[(Int, String, String, String, Long)]
-    var rank = 0
-    var continue = true
-    while (rank < numMerges && continue) {
-      val pairCounts = scala.collection.mutable.HashMap.empty[(String, String), Long]
-      pieces.foreach { case (syms, c) =>
-        var i = 0
-        while (i < syms.length - 1) {
-          val k = (syms(i), syms(i + 1))
-          pairCounts.update(k, pairCounts.getOrElse(k, 0L) + c)
-          i += 1
+    (words.indices).foreach(addPairs(_, 1))
+
+    // lazy max-heap: (count desc, left asc, right asc); entries go stale
+    // when counts change — verified against pairCounts on pop
+    implicit val ord: Ordering[(Long, String, String)] = new Ordering[(Long, String, String)] {
+      def compare(a: (Long, String, String), b: (Long, String, String)): Int = {
+        val c = java.lang.Long.compare(a._1, b._1)
+        if (c != 0) c
+        else {
+          val l = b._2.compareTo(a._2) // smaller left = higher priority
+          if (l != 0) l else b._3.compareTo(a._3)
         }
       }
-      // max by count, ties by (left, right) ascending — deterministic
-      val best = pairCounts.reduceOption[((String, String), Long)] {
-        case (a @ ((al, ar), ac), b @ ((bl, br), bc)) =>
-          if (ac > bc) a
-          else if (bc > ac) b
-          else if (al < bl || (al == bl && ar <= br)) a else b
+    }
+    val heap = mutable.PriorityQueue.empty[(Long, String, String)]
+    pairCounts.foreach { case ((l, r), c) => heap.enqueue((c, l, r)) }
+
+    val merges = Vector.newBuilder[(Int, String, String, String, Long)]
+    val pieceTouched = mutable.HashSet.empty[(String, String)]
+    var rank = 0
+    var done = false
+    while (rank < numMerges && !done) {
+      // pop until a live entry surfaces
+      var selected: Option[(Long, String, String)] = None
+      while (selected.isEmpty && heap.nonEmpty) {
+        val top = heap.dequeue()
+        if (pairCounts.get((top._2, top._3)).contains(top._1)) selected = Some(top)
       }
-      best match {
-        case Some(((l, r), c)) if c >= minPairCount =>
+      selected match {
+        case Some((c, l, r)) if c >= minPairCount =>
+          val k = (l, r)
           val merged = l + r
-          pieces = pieces.map { case (syms, wc) =>
-            if (syms.length < 2) (syms, wc)
-            else {
-              val out = Vector.newBuilder[String]
-              var i = 0
-              while (i < syms.length) {
-                if (i < syms.length - 1 && syms(i) == l && syms(i + 1) == r) {
-                  out += merged; i += 2
-                } else { out += syms(i); i += 1 }
-              }
-              (out.result(), wc)
+          val affected = occur.getOrElse(k, mutable.BitSet.empty).toArray
+          pieceTouched.clear()
+          affected.foreach { i =>
+            // track which pairs change so their fresh counts re-enter the heap
+            val before = words(i)
+            var j = 0; while (j < before.length - 1) { pieceTouched += ((before(j), before(j + 1))); j += 1 }
+            addPairs(i, -1)
+            val out = Array.newBuilder[String]
+            j = 0
+            while (j < before.length) {
+              if (j < before.length - 1 && before(j) == l && before(j + 1) == r) {
+                out += merged; j += 2
+              } else { out += before(j); j += 1 }
             }
+            words(i) = out.result()
+            val after = words(i)
+            j = 0; while (j < after.length - 1) { pieceTouched += ((after(j), after(j + 1))); j += 1 }
+            addPairs(i, 1)
+          }
+          // every touched pair's current count gets a fresh heap entry;
+          // decreased counts would otherwise never resurface (their old,
+          // higher entries are stale and get skipped)
+          pieceTouched.foreach { p =>
+            pairCounts.get(p).foreach(cur => heap.enqueue((cur, p._1, p._2)))
           }
           merges += ((rank, l, r, merged, c))
           rank += 1
-        case _ => continue = false
+        case _ => done = true
       }
     }
-    val pieceMap = wordCounts.map(_._1).zip(pieces.map(_._1.toSeq)).toMap
-    (merges.result(), pieceMap)
+    BpeModel(merges.result(), wordCounts.map(_._1).zip(words.map(_.toSeq)).toMap)
   }
 
   /** Merge table as a DataFrame for storage/inspection. */
@@ -98,24 +159,66 @@ object Bpe {
                maxWords: Int = 1000000, minPairCount: Long = 2L): DataFrame = {
     val sp = df.sparkSession
     import sp.implicits._
-    trainMerges(df, textCol, numMerges, maxWords, minPairCount)._1
+    trainMerges(df, textCol, numMerges, maxWords, minPairCount).merges
       .toDF("rank", "left", "right", "merged", "pair_count")
   }
 
-  /** Encode `textCol` into BPE pieces using a trained word→pieces map:
-    * known words resolve through the broadcast map (one equi-join), words
-    * outside the trained vocabulary fall back to code points + sentinel —
-    * exactly what replaying the merge rules on an unseen word of novel
-    * characters yields with no applicable merge. Adds `bpe_pieces`
-    * (array<string>, token order preserved) and `bpe_len`; token-free
-    * docs get an empty array. Pre-existing bpe_pieces/bpe_len columns are
-    * replaced.
+  /** Replay the merge table on one word — the real BPE encode step for
+    * words outside the trained vocabulary: repeatedly merge the
+    * lowest-rank adjacent pair until none applies. A word of entirely
+    * novel characters falls out unchanged (code points + sentinel).
     */
-  def encode(df: DataFrame, textCol: String, idCol: String,
-             pieceMap: Map[String, Seq[String]]): DataFrame = {
+  private[graft] def segmentWord(w: String, ranks: Map[(String, String), Int]): Seq[String] = {
+    var syms: Vector[String] = codePoints(w).toVector :+ EndOfWord
+    var continue = syms.length > 1 && ranks.nonEmpty
+    while (continue) {
+      var bestRank = Int.MaxValue
+      var i = 0
+      while (i < syms.length - 1) {
+        ranks.get((syms(i), syms(i + 1))).foreach(r => if (r < bestRank) bestRank = r)
+        i += 1
+      }
+      if (bestRank == Int.MaxValue) continue = false
+      else {
+        val (l, r) = { // re-find the pair carrying bestRank
+          var found: (String, String) = null
+          var j = 0
+          while (found == null && j < syms.length - 1) {
+            val k = (syms(j), syms(j + 1))
+            if (ranks.get(k).contains(bestRank)) found = k
+            j += 1
+          }
+          found
+        }
+        val out = Vector.newBuilder[String]
+        var j = 0
+        while (j < syms.length) {
+          if (j < syms.length - 1 && syms(j) == l && syms(j + 1) == r) {
+            out += (l + r); j += 2
+          } else { out += syms(j); j += 1 }
+        }
+        syms = out.result()
+        continue = syms.length > 1
+      }
+    }
+    syms
+  }
+
+  /** Encode `textCol` into BPE pieces: trained words resolve through the
+    * broadcast word→pieces map (one equi-join, the fast majority path);
+    * words outside the trained vocabulary REPLAY the merge table
+    * driver-for-driver identical to training ("lowest" segments to
+    * [low, est</w>] when its merges were learned from other words, never
+    * to bare characters). Adds `bpe_pieces` (array<string>, token order
+    * preserved) and `bpe_len`; token-free docs get an empty array.
+    * Pre-existing bpe_pieces/bpe_len columns are replaced.
+    */
+  def encode(df: DataFrame, textCol: String, idCol: String, model: BpeModel): DataFrame = {
     val sp = df.sparkSession
     import sp.implicits._
-    val pm = pieceMap.toSeq.toDF("__bpe_w", "__bpe_p")
+    val pm = model.pieces.toSeq.toDF("__bpe_w", "__bpe_p")
+    val ranksBc = sp.sparkContext.broadcast(model.ranks)
+    val segment = udf((w: String) => segmentWord(w, ranksBc.value))
     // posexplode, not explode: collect_list gives no cross-shuffle order
     // guarantee — pieces must reassemble in token order
     val toks = df.select(col(idCol),
@@ -125,8 +228,7 @@ object Bpe {
       .join(broadcast(pm), Seq("__bpe_w"), "left")
       .withColumn("__bpe_p",
         when(col("__bpe_w").isNull, array().cast("array<string>"))
-          .otherwise(coalesce(col("__bpe_p"),
-            concat(split(col("__bpe_w"), ""), array(lit(EndOfWord))))))
+          .otherwise(coalesce(col("__bpe_p"), segment(col("__bpe_w")))))
       .groupBy(col(idCol))
       .agg(flatten(transform(
         array_sort(collect_list(struct(col("__bpe_i"), col("__bpe_p")))),

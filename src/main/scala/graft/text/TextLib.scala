@@ -154,6 +154,16 @@ object TextLib {
 
   // ---------------------------------------------------------------- fingerprint
 
+  /** Canonical corpus word frequencies: one explode over the normalized
+    * tokenization → (token, tf). THE shared definition — unigramScore and
+    * Bpe both consume it, so the LM vocabulary and the BPE vocabulary can
+    * never drift apart on tokenization details.
+    */
+  def wordCounts(df: DataFrame, textCol: String): DataFrame =
+    df.select(explode(split(normalized(col(textCol)), " ")).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy("token").agg(count(lit(1)).as("tf"))
+
   /** Corpus vocabulary: token → document frequency + total count, minimum
     * document-frequency filter, deterministic top-k. One explode + two
     * aggregations — the standard tokenizer-training precursor.
@@ -209,10 +219,7 @@ object TextLib {
     // exactly what the scoring join broadcasts anyway, and an engine-side
     // persist here would pin a session-lifetime cache entry nothing could
     // ever unpersist (the method returns a lazy frame).
-    val counts = train
-      .select(explode(split(normalized(col(trainText)), " ")).as("token"))
-      .filter(col("token") =!= "")
-      .groupBy("token").agg(count(lit(1)).as("tf"))
+    val counts = wordCounts(train, trainText)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val (lpPairs, totalT) =
       try {

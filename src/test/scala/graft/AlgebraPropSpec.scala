@@ -96,6 +96,36 @@ class AlgebraPropSpec extends SparkSpec {
     ratios.foreach(x => assert(x >= 0.0 && x <= 1.0, s"ratio out of range: $x"))
   }
 
+  test("quota/budget/shard laws: subset, caps, idempotence, partition-invariance") {
+    samples.take(4).foreach { rows =>
+      // unique keys materialized BEFORE Spark (monotonically_increasing_id
+      // would re-evaluate differently after repartition)
+      val df = rows.zipWithIndex
+        .map { case ((_, grp, v), i) => (i.toLong, grp, v) }
+        .toDF("id", "grp", "v")
+      val all = df.select("id").as[Long].collect().toSet
+
+      val q = graft.ops.Scale.quotaPerGroup(df, "grp", "id", quota = 5, preBuckets = 3)
+      val qRows = q.select("grp", "id").as[(String, Long)].collect()
+      assert(qRows.map(_._2).toSet.subsetOf(all))                     // subset law
+      assert(qRows.groupBy(_._1).values.forall(_.length <= 5))        // cap law
+      val qq = graft.ops.Scale.quotaPerGroup(q, "grp", "id", quota = 5, preBuckets = 3)
+      assert(qq.select("grp", "id").as[(String, Long)].collect().toSet ==
+        qRows.toSet)                                                  // idempotence
+
+      val b = graft.ops.Scale.sampleToBudget(df.withColumn("w",
+          org.apache.spark.sql.functions.abs($"v") + 1.0), "w", "grp", "id", budget = 50L)
+      assert(b.select("id").as[Long].collect().toSet.subsetOf(all))   // subset law
+
+      val s1 = graft.ops.Scale.shardAssign(df, "id", numShards = 4)
+        .select("id", "shard", "pos").as[(Long, Int, Int)].collect().sortBy(_._1).toSeq
+      val s2 = graft.ops.Scale.shardAssign(df.repartition(9), "id", numShards = 4)
+        .select("id", "shard", "pos").as[(Long, Int, Int)].collect().sortBy(_._1).toSeq
+      assert(s1 == s2)                                                // partition-invariance
+      assert(s1.map(_._1).toSet == all)                               // total function
+    }
+  }
+
   test("approx aggregates track exact within tolerance") {
     samples.take(3).foreach { rows =>
       val df = rows.toDF("id", "grp", "v")
