@@ -55,9 +55,14 @@ object QueriesPivotFe {
       PivotLib.pivotSummaryStats(t(s, dir, "part"), Seq("p_brand"), "p_type", "p_retailprice",
           pivotValues = Seq("ECONOMY", "STANDARD"))
         .select(col("p_brand"),
-          col("ECONOMY_count").as("eco_n"), roundf(col("ECONOMY_avg"), 4).as("eco_avg"),
+          // pivot yields NULL counts for absent (brand, type) combos — SQL
+          // count() yields 0; normalize so sparse SFs don't diverge (and so
+          // the parquet column stays integral, not null-forced float)
+          coalesce(col("ECONOMY_count"), lit(0L)).as("eco_n"),
+          roundf(col("ECONOMY_avg"), 4).as("eco_avg"),
           round(col("ECONOMY_stddev"), 4).as("eco_std"),
-          col("STANDARD_count").as("std_n"), roundf(col("STANDARD_avg"), 4).as("std_avg"),
+          coalesce(col("STANDARD_count"), lit(0L)).as("std_n"),
+          roundf(col("STANDARD_avg"), 4).as("std_avg"),
           round(col("STANDARD_stddev"), 4).as("std_std"))
         .orderBy("p_brand")),
 
