@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Scale
+import graft.text.{Bpe, Dedup, TextLib}
+
+/** End-to-end composition of the curation surface — the op chain a real
+  * training-data pipeline runs, in one flow. Composition is where defects
+  * hide (column collisions, null propagation, order assumptions), so this
+  * spec asserts cross-op invariants rather than per-op values.
+  */
+class CurationFlowSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("dedup → quality → LM score → quota → BPE encode → pack → shard composes") {
+    val base = (1L to 200L).map { i =>
+      val words = (0 until (5 + (i % 20)).toInt)
+        .map(j => s"word${(i * 7 + j * 3) % 40}").mkString(" ")
+      (i, s"src${i % 4}", words)
+    }
+    // plant exact duplicates (id+1000 re-crawls) and a null-text doc
+    val rows = base ++ base.take(30).map { case (i, s, t) => (i + 1000L, s, t) } :+
+      ((2000L, "src0", null.asInstanceOf[String]))
+    val docs = rows.toDF("doc_id", "source", "text")
+
+    val deduped = Dedup.exact(docs, "text", "doc_id")
+    assert(deduped.filter($"doc_id" > 1000 && $"doc_id" < 2000).count() == 0,
+      "re-crawled duplicates must lose to the original ids")
+    assert(deduped.filter($"doc_id" === 2000L).count() == 1, "null text passes dedup")
+
+    val scored = TextLib.unigramScore(
+      TextLib.qualityScore(deduped, "text"), "text", "doc_id")
+    assert(scored.columns.contains("quality_score") && scored.columns.contains("lm_logprob"))
+
+    val quota = Scale.quotaPerGroup(scored, "source", "doc_id", quota = 30)
+    val bySource = quota.groupBy("source").count().as[(String, Long)].collect().toMap
+    assert(bySource.values.forall(_ <= 30), s"quota violated: $bySource")
+
+    val model = Bpe.trainMerges(quota.filter($"text".isNotNull), "text", numMerges = 20)
+    assert(model.merges.nonEmpty)
+    val enc = Bpe.encode(quota, "text", "doc_id", model)
+    val lens = enc.select("doc_id", "bpe_len").as[(Long, Int)].collect().toMap
+    assert(lens.filter(_._1 != 2000L).values.forall(_ > 0), "real docs must encode")
+    assert(lens.get(2000L).forall(_ == 0), "null text encodes to empty")
+
+    // packDocuments recomputes n_tokens from text — must REPLACE the
+    // lm-score n_tokens, not collide with it
+    val packed = TextLib.packDocuments(enc, "text", budgetTokens = 64,
+      partitionCols = Seq("source"), orderCols = Seq("doc_id"))
+    assert(packed.columns.count(_ == "n_tokens") == 1)
+
+    val sharded = Scale.shardAssign(packed, "doc_id", numShards = 4)
+    val out = sharded.select("doc_id", "shard", "pos").as[(Long, Int, Int)].collect()
+    assert(out.length == packed.count())
+    assert(out.map(_._2).distinct.sorted.toSeq.forall(s => s >= 0 && s < 4))
+    out.groupBy(_._2).foreach { case (_, g) =>
+      assert(g.map(_._3).sorted.toSeq == (1 to g.length).toSeq, "pos must be dense per shard")
+    }
+  }
+}
