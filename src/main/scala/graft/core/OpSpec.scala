@@ -265,6 +265,10 @@ object OpCompiler {
         TextLib.packDocuments(df, text, s(p, "budget_tokens", "1024").toInt,
           s(p, "partition_by", "lang").split(",").map(_.trim).toSeq,
           s(p, "order_by", id).split(",").map(_.trim).toSeq)
+      case "pack_concat" =>
+        TextLib.materializePacks(df, text,
+          s(p, "partition_by", "lang").split(",").map(_.trim).toSeq,
+          s(p, "separator", "\n\n"))
       case "sample_hash" =>
         graft.ops.Scale.sampleByHash(df, s(p, "key_column", id),
           s(p, "fraction").toDouble, s(p, "salt", "42").toInt)

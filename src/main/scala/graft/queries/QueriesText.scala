@@ -235,6 +235,18 @@ object QueriesText {
         .select("doc_id", "lang", "n_tokens", "pack_offset", "pack_id")
         .orderBy("doc_id")),
 
+    "q_pack_concat" -> ((s, dir) =>
+      // materialized pretraining sequences: pack assignment → ordered
+      // concat; emit lengths + a prefix, not the full concat blob
+      TextLib.materializePacks(
+          TextLib.packDocuments(t(s, dir, "documents"), "text", 1024,
+            partitionCols = Seq("lang"), orderCols = Seq("doc_id")),
+          "text", partitionCols = Seq("lang"), sep = "\n\n")
+        .select(col("lang"), col("pack_id"), col("n_docs"), col("pack_tokens"),
+          length(col("pack_text")).as("pack_chars"),
+          substring(col("pack_text"), 1, 40).as("pack_head"))
+        .orderBy("lang", "pack_id")),
+
     "q_unicode_nfc" -> ((s, dir) =>
       // plant a combining sequence (e + U+0301) and a singleton (U+212B
       // ANGSTROM SIGN → U+00C5) so NFC provably composes something at any SF
@@ -458,6 +470,28 @@ object QueriesText {
         |  CAST(floor(coalesce(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 1024) AS INT) AS pack_id
         |FROM tk ORDER BY doc_id""".stripMargin,
+
+    "q_pack_concat" ->
+      // same pack assignment as q_pack_docs, then ordered string_agg with
+      // the (pack_offset, text) tie rule the engine's struct sort applies
+      """WITH tk AS (
+        |  SELECT doc_id, lang, text,
+        |    CAST(len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS INT) AS n_tokens
+        |  FROM documents),
+        |p AS (
+        |  SELECT doc_id, lang, text, n_tokens,
+        |    CAST(coalesce(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS pack_offset,
+        |    CAST(floor(coalesce(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 1024) AS INT) AS pack_id
+        |  FROM tk)
+        |SELECT lang, pack_id,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS pack_tokens,
+        |  CAST(length(string_agg(text, E'\n\n' ORDER BY pack_offset, text)) AS INT) AS pack_chars,
+        |  substr(string_agg(text, E'\n\n' ORDER BY pack_offset, text), 1, 40) AS pack_head
+        |FROM p GROUP BY lang, pack_id
+        |ORDER BY lang, pack_id""".stripMargin,
 
     "q_text_repetition" ->
       """WITH u AS (

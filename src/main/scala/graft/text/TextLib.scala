@@ -299,6 +299,27 @@ object TextLib {
       .withColumn("pack_id", floor(col("pack_offset") / budgetTokens).cast("int"))
   }
 
+  /** Materialize packed documents into one row per pretraining sequence:
+    * group on (partitionCols, pack_id), concatenate texts in pack_offset
+    * order with `sep` between documents — the step after `packDocuments`
+    * that produces what the trainer actually reads. Order inside a pack is
+    * reassembled via array_sort over (offset, text) structs — collect_list
+    * alone has no cross-shuffle order guarantee; equal offsets (zero-token
+    * docs) tie-break on the text. One shuffle on the pack key; packs are
+    * budget-bounded so no group outgrows a task.
+    */
+  def materializePacks(packed: DataFrame, textCol: String,
+                       partitionCols: Seq[String], sep: String = "\n\n"): DataFrame = {
+    val keys = partitionCols :+ "pack_id"
+    packed.groupBy(keys.map(col): _*)
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("pack_tokens"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("pack_offset"), col(textCol)))),
+          s => s.getField(textCol)), sep).as("pack_text"))
+  }
+
   def chunkDocuments(df: DataFrame, textCol: String, chunkSize: Int, overlap: Int): DataFrame = {
     require(overlap >= 0 && overlap < chunkSize,
       s"overlap must be in [0, chunkSize); got $overlap — a negative overlap " +

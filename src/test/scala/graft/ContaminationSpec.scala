@@ -59,6 +59,18 @@ class ContaminationSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       graft.text.TextLib.packDocuments(docs, "text", 5, Nil, Seq("doc_id"))
     }
+    // materialization: one row per (shard, pack), texts joined in offset
+    // order — survives repartitioning (sorted reassembly, not collect_list)
+    val packed = graft.text.TextLib.packDocuments(docs, "text", 5,
+      partitionCols = Seq("lang"), orderCols = Seq("doc_id"))
+    val mat = graft.text.TextLib.materializePacks(packed.repartition(7), "text",
+        partitionCols = Seq("lang"), sep = " | ")
+      .select("lang", "pack_id", "n_docs", "pack_tokens", "pack_text")
+      .collect().map(r => (r.getString(0), r.getInt(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    assert(mat(("en", 0)) == ((2L, 5L, "one two three | four five")))
+    assert(mat(("en", 1)) == ((1L, 4L, "six seven eight nine")))
+    assert(mat(("de", 0)) == ((1L, 2L, "eins zwei")))
   }
 
   test("sampleByHash is deterministic, repartition-stable, and ~fraction-sized") {
