@@ -308,6 +308,13 @@ object OpCompiler {
           s(p, "num_shards").toInt, s(p, "salt", "42").toInt)
       case "length_histogram" =>
         TextLib.lengthHistogram(df, s(p, "length_column", "n_chars"))
+      case "token_divergence" =>
+        require(tables != null, "token_divergence requires a table catalog")
+        require(s(p, "other_table") != null,
+          "token_divergence requires params.other_table (corpus to compare against)")
+        TextLib.tokenDivergence(df, text,
+          tables(s(p, "other_table")), s(p, "other_text_column", text),
+          s(p, "smoothing", "0.5").toDouble)
       case "bpe_merges" =>
         graft.text.Bpe.mergesDF(df, text,
           s(p, "num_merges", "1000").toInt,

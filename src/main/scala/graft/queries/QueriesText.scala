@@ -235,6 +235,17 @@ object QueriesText {
         .select("doc_id", "lang", "n_tokens", "pack_offset", "pack_id")
         .orderBy("doc_id")),
 
+    "q_token_divergence" -> ((s, dir) => {
+      // drift between the English slice and everything else
+      val d = t(s, dir, "documents")
+      TextLib.tokenDivergence(
+          d.filter(col("lang") === "en"), "text",
+          d.filter(col("lang") =!= "en"), "text")
+        .select(roundf(col("kl_ab"), 4).as("kl_ab"),
+          roundf(col("kl_ba"), 4).as("kl_ba"),
+          roundf(col("js"), 4).as("js"))
+    }),
+
     "q_pack_concat" -> ((s, dir) =>
       // materialized pretraining sequences: pack assignment → ordered
       // concat; emit lengths + a prefix, not the full concat blob
@@ -470,6 +481,33 @@ object QueriesText {
         |  CAST(floor(coalesce(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 1024) AS INT) AS pack_id
         |FROM tk ORDER BY doc_id""".stripMargin,
+
+    "q_token_divergence" ->
+      """WITH ta AS (
+        |  SELECT unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS token
+        |  FROM documents WHERE lang = 'en'),
+        |tb AS (
+        |  SELECT unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS token
+        |  FROM documents WHERE lang <> 'en'),
+        |ca AS (SELECT token, count(*) AS c FROM ta WHERE token <> '' GROUP BY token),
+        |cb AS (SELECT token, count(*) AS c FROM tb WHERE token <> '' GROUP BY token),
+        |j AS (
+        |  SELECT coalesce(ca.c, 0) AS ca, coalesce(cb.c, 0) AS cb
+        |  FROM ca FULL OUTER JOIN cb USING (token)),
+        |tot AS (
+        |  SELECT CAST(sum(ca) AS DOUBLE) AS na, CAST(sum(cb) AS DOUBLE) AS nb,
+        |         CAST(count(*) AS DOUBLE) AS v
+        |  FROM j),
+        |p AS (
+        |  SELECT (CAST(ca AS DOUBLE) + 0.5) / (na + 0.5 * v) AS pa,
+        |         (CAST(cb AS DOUBLE) + 0.5) / (nb + 0.5 * v) AS pb
+        |  FROM j CROSS JOIN tot),
+        |pm AS (SELECT pa, pb, (pa + pb) / 2 AS pm FROM p)
+        |SELECT
+        |  round(sum(pa * ln(pa / pb)) + 1e-9, 4) AS kl_ab,
+        |  round(sum(pb * ln(pb / pa)) + 1e-9, 4) AS kl_ba,
+        |  round((sum(pa * ln(pa / pm)) + sum(pb * ln(pb / pm))) / 2 + 1e-9, 4) AS js
+        |FROM pm""".stripMargin,
 
     "q_pack_concat" ->
       // same pack assignment as q_pack_docs, then ordered string_agg with

@@ -299,6 +299,48 @@ object TextLib {
       .withColumn("pack_id", floor(col("pack_offset") / budgetTokens).cast("int"))
   }
 
+  /** Token-distribution divergence between two corpora — the drift monitor
+    * of a mixture recipe: "has this source's language shifted since the
+    * last snapshot?" / "how far is the web slice from the books slice?".
+    *
+    * Laplace-smoothed unigram distributions over the UNION vocabulary
+    * (smoothing `s`: p(t) = (c(t)+s) / (N + s·V), so zero-count tokens get
+    * mass and KL stays finite), then one row of summary divergences:
+    * kl_ab = Σ p_a·ln(p_a/p_b), kl_ba symmetric, and js = Jensen-Shannon
+    * (½KL(a‖m)+½KL(b‖m), m the mixture — bounded by ln 2, symmetric, the
+    * number to alert on). All ln formulations pinned for the oracle.
+    *
+    * Plan: two word-count aggregates (map-side combine), a full outer join
+    * on token (uniform hash keys), scalar totals broadcast back, one final
+    * reduce to a single row. The corpora never shuffle — only their
+    * vocabularies do.
+    */
+  def tokenDivergence(dfA: DataFrame, textColA: String,
+                      dfB: DataFrame, textColB: String,
+                      smoothing: Double = 0.5): DataFrame = {
+    require(smoothing > 0.0, s"tokenDivergence: smoothing must be > 0, got $smoothing")
+    val ca = wordCounts(dfA, textColA).withColumnRenamed("tf", "ca")
+    val cb = wordCounts(dfB, textColB).withColumnRenamed("tf", "cb")
+    val joined = ca.join(cb, Seq("token"), "full_outer")
+      .select(coalesce(col("ca"), lit(0L)).as("ca"), coalesce(col("cb"), lit(0L)).as("cb"))
+    val totals = joined.agg(
+      sum("ca").cast("double").as("na"),
+      sum("cb").cast("double").as("nb"),
+      count(lit(1)).cast("double").as("v"))
+    joined.crossJoin(broadcast(totals))
+      .select(
+        ((col("ca").cast("double") + lit(smoothing)) /
+          (col("na") + lit(smoothing) * col("v"))).as("pa"),
+        ((col("cb").cast("double") + lit(smoothing)) /
+          (col("nb") + lit(smoothing) * col("v"))).as("pb"))
+      .withColumn("pm", (col("pa") + col("pb")) / 2)
+      .agg(
+        sum(col("pa") * log(col("pa") / col("pb"))).as("kl_ab"),
+        sum(col("pb") * log(col("pb") / col("pa"))).as("kl_ba"),
+        ((sum(col("pa") * log(col("pa") / col("pm"))) +
+          sum(col("pb") * log(col("pb") / col("pm")))) / 2).as("js"))
+  }
+
   /** Materialize packed documents into one row per pretraining sequence:
     * group on (partitionCols, pack_id), concatenate texts in pack_offset
     * order with `sep` between documents — the step after `packDocuments`

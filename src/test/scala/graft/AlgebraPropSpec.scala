@@ -126,6 +126,20 @@ class AlgebraPropSpec extends SparkSpec {
     }
   }
 
+  test("tokenDivergence laws: identity is zero, KL non-negative, JS symmetric and ≤ ln 2") {
+    val a = Seq((1L, "alpha beta beta gamma"), (2L, "alpha delta")).toDF("id", "t")
+    val b = Seq((1L, "epsilon zeta zeta"), (2L, "eta theta iota kappa")).toDF("id", "t")
+    val self = graft.text.TextLib.tokenDivergence(a, "t", a, "t")
+      .head()
+    assert(self.getDouble(0) == 0.0 && self.getDouble(1) == 0.0 && self.getDouble(2) == 0.0)
+    val ab = graft.text.TextLib.tokenDivergence(a, "t", b, "t").head()
+    val ba = graft.text.TextLib.tokenDivergence(b, "t", a, "t").head()
+    assert(ab.getDouble(0) > 0 && ab.getDouble(1) > 0)
+    assert(ab.getDouble(0) == ba.getDouble(1) && ab.getDouble(1) == ba.getDouble(0))
+    assert(math.abs(ab.getDouble(2) - ba.getDouble(2)) < 1e-12) // JS symmetric
+    assert(ab.getDouble(2) > 0 && ab.getDouble(2) <= math.log(2.0) + 1e-12)
+  }
+
   test("approx aggregates track exact within tolerance") {
     samples.take(3).foreach { rows =>
       val df = rows.toDF("id", "grp", "v")
