@@ -266,6 +266,8 @@ object OpCompiler {
           s(p, "partition_by", "lang").split(",").map(_.trim).toSeq,
           s(p, "order_by", id).split(",").map(_.trim).toSeq)
       case "pack_concat" =>
+        require(df.columns.contains("pack_id") && df.columns.contains("pack_offset"),
+          "pack_concat requires pack_id/pack_offset columns — run a `pack` op first")
         TextLib.materializePacks(df, text,
           s(p, "partition_by", "lang").split(",").map(_.trim).toSeq,
           s(p, "separator", "\n\n"))

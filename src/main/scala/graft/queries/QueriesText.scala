@@ -526,8 +526,8 @@ object QueriesText {
         |SELECT lang, pack_id,
         |  CAST(count(*) AS BIGINT) AS n_docs,
         |  CAST(sum(n_tokens) AS BIGINT) AS pack_tokens,
-        |  CAST(length(string_agg(text, E'\n\n' ORDER BY pack_offset, text)) AS INT) AS pack_chars,
-        |  substr(string_agg(text, E'\n\n' ORDER BY pack_offset, text), 1, 40) AS pack_head
+        |  CAST(length(coalesce(string_agg(text, E'\n\n' ORDER BY pack_offset, text), '')) AS INT) AS pack_chars,
+        |  substr(coalesce(string_agg(text, E'\n\n' ORDER BY pack_offset, text), ''), 1, 40) AS pack_head
         |FROM p GROUP BY lang, pack_id
         |ORDER BY lang, pack_id""".stripMargin,
 

@@ -230,9 +230,7 @@ object Bpe {
         when(col("__bpe_w").isNull, array().cast("array<string>"))
           .otherwise(coalesce(col("__bpe_p"), segment(col("__bpe_w")))))
       .groupBy(col(idCol))
-      .agg(flatten(transform(
-        array_sort(collect_list(struct(col("__bpe_i"), col("__bpe_p")))),
-        s => s.getField("__bpe_p"))).as("__bpe_all"))
+      .agg(flatten(TextLib.collectInOrder(col("__bpe_i"), col("__bpe_p"))).as("__bpe_all"))
     df.drop("bpe_pieces", "bpe_len")
       .alias("__bpe_d").join(perDoc.alias("__bpe_s"), Seq(idCol), "left")
       .withColumn("bpe_pieces", coalesce(col("__bpe_all"), array().cast("array<string>")))

@@ -321,34 +321,61 @@ object TextLib {
     require(smoothing > 0.0, s"tokenDivergence: smoothing must be > 0, got $smoothing")
     val ca = wordCounts(dfA, textColA).withColumnRenamed("tf", "ca")
     val cb = wordCounts(dfB, textColB).withColumnRenamed("tf", "cb")
+    // EAGER, like unigramScore: the joined vocabulary feeds two aggregates
+    // (totals, then the divergence sums) — left lazy and uncached, both
+    // corpus scans and the vocabulary join would execute twice; a
+    // session-lifetime persist nothing can release is the alternative
+    // hazard. Cache for exactly the two actions, then release.
     val joined = ca.join(cb, Seq("token"), "full_outer")
       .select(coalesce(col("ca"), lit(0L)).as("ca"), coalesce(col("cb"), lit(0L)).as("cb"))
-    val totals = joined.agg(
-      sum("ca").cast("double").as("na"),
-      sum("cb").cast("double").as("nb"),
-      count(lit(1)).cast("double").as("v"))
-    joined.crossJoin(broadcast(totals))
-      .select(
-        ((col("ca").cast("double") + lit(smoothing)) /
-          (col("na") + lit(smoothing) * col("v"))).as("pa"),
-        ((col("cb").cast("double") + lit(smoothing)) /
-          (col("nb") + lit(smoothing) * col("v"))).as("pb"))
-      .withColumn("pm", (col("pa") + col("pb")) / 2)
-      .agg(
-        sum(col("pa") * log(col("pa") / col("pb"))).as("kl_ab"),
-        sum(col("pb") * log(col("pb") / col("pa"))).as("kl_ba"),
-        ((sum(col("pa") * log(col("pa") / col("pm"))) +
-          sum(col("pb") * log(col("pb") / col("pm")))) / 2).as("js"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val (klAb, klBa, js) =
+      try {
+        val t = joined.agg(
+          sum("ca").cast("double"), sum("cb").cast("double"),
+          count(lit(1)).cast("double")).first()
+        if (t.isNullAt(0) || t.isNullAt(1)) (0.0, 0.0, 0.0) // an empty corpus
+        else {
+          val (na, nb, v) = (t.getDouble(0), t.getDouble(1), t.getDouble(2))
+          val pa = (col("ca").cast("double") + lit(smoothing)) / lit(na + smoothing * v)
+          val pb = (col("cb").cast("double") + lit(smoothing)) / lit(nb + smoothing * v)
+          val r = joined.select(pa.as("pa"), pb.as("pb"))
+            .withColumn("pm", (col("pa") + col("pb")) / 2)
+            .agg(
+              sum(col("pa") * log(col("pa") / col("pb"))),
+              sum(col("pb") * log(col("pb") / col("pa"))),
+              ((sum(col("pa") * log(col("pa") / col("pm"))) +
+                sum(col("pb") * log(col("pb") / col("pm")))) / 2))
+            .first()
+          (r.getDouble(0), r.getDouble(1), r.getDouble(2))
+        }
+      } finally joined.unpersist()
+    val sp = dfA.sparkSession
+    import sp.implicits._
+    Seq((klAb, klBa, js)).toDF("kl_ab", "kl_ba", "js")
   }
+
+  /** Order-preserving collect: gather `payload` values of a group as an
+    * array sorted by `order` — THE idiom for reassembling exploded or
+    * packed rows, shared by materializePacks and Bpe.encode. A bare
+    * collect_list has no cross-shuffle order guarantee; sorting (order,
+    * payload) structs restores it, with payload as the tie-break.
+    */
+  private[graft] def collectInOrder(order: Column, payload: Column): Column =
+    transform(array_sort(collect_list(struct(order.as("__ord"), payload.as("__pay")))),
+      s => s.getField("__pay"))
 
   /** Materialize packed documents into one row per pretraining sequence:
     * group on (partitionCols, pack_id), concatenate texts in pack_offset
     * order with `sep` between documents — the step after `packDocuments`
-    * that produces what the trainer actually reads. Order inside a pack is
-    * reassembled via array_sort over (offset, text) structs — collect_list
-    * alone has no cross-shuffle order guarantee; equal offsets (zero-token
-    * docs) tie-break on the text. One shuffle on the pack key; packs are
-    * budget-bounded so no group outgrows a task.
+    * that produces what the trainer actually reads. Equal offsets
+    * (zero-token docs) tie-break on the text.
+    *
+    * One shuffle on the pack key. Packs are TOKEN-budget-bounded, which
+    * bounds the group only when every doc carries ≥1 token — any number of
+    * zero/null-token docs share one pack_offset and would collect into a
+    * single task, so drop token-free docs before packing (a curation
+    * pipeline's quality gate does this anyway).
     */
   def materializePacks(packed: DataFrame, textCol: String,
                        partitionCols: Seq[String], sep: String = "\n\n"): DataFrame = {
@@ -357,9 +384,7 @@ object TextLib {
       .agg(
         count(lit(1)).as("n_docs"),
         sum(col("n_tokens")).as("pack_tokens"),
-        array_join(transform(
-          array_sort(collect_list(struct(col("pack_offset"), col(textCol)))),
-          s => s.getField(textCol)), sep).as("pack_text"))
+        array_join(collectInOrder(col("pack_offset"), col(textCol)), sep).as("pack_text"))
   }
 
   def chunkDocuments(df: DataFrame, textCol: String, chunkSize: Int, overlap: Int): DataFrame = {

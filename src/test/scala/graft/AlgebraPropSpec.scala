@@ -135,7 +135,10 @@ class AlgebraPropSpec extends SparkSpec {
     val ab = graft.text.TextLib.tokenDivergence(a, "t", b, "t").head()
     val ba = graft.text.TextLib.tokenDivergence(b, "t", a, "t").head()
     assert(ab.getDouble(0) > 0 && ab.getDouble(1) > 0)
-    assert(ab.getDouble(0) == ba.getDouble(1) && ab.getDouble(1) == ba.getDouble(0))
+    // swap symmetry within FP tolerance — the two runs sum identical terms
+    // in different shuffle orders, so last-ulp differences are legitimate
+    assert(math.abs(ab.getDouble(0) - ba.getDouble(1)) < 1e-12)
+    assert(math.abs(ab.getDouble(1) - ba.getDouble(0)) < 1e-12)
     assert(math.abs(ab.getDouble(2) - ba.getDouble(2)) < 1e-12) // JS symmetric
     assert(ab.getDouble(2) > 0 && ab.getDouble(2) <= math.log(2.0) + 1e-12)
   }

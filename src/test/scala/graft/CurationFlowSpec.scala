@@ -41,7 +41,11 @@ class CurationFlowSpec extends SparkSpec {
     val enc = Bpe.encode(quota, "text", "doc_id", model)
     val lens = enc.select("doc_id", "bpe_len").as[(Long, Int)].collect().toMap
     assert(lens.filter(_._1 != 2000L).values.forall(_ > 0), "real docs must encode")
-    assert(lens.get(2000L).forall(_ == 0), "null text encodes to empty")
+    // the null-text doc may or may not survive the hash quota — assert its
+    // encode behavior on the pre-quota frame so the check can't go vacuous
+    val nullEnc = Bpe.encode(scored.filter($"doc_id" === 2000L), "text", "doc_id", model)
+      .select("bpe_len").as[Int].head()
+    assert(nullEnc == 0, "null text encodes to empty")
 
     // packDocuments recomputes n_tokens from text — must REPLACE the
     // lm-score n_tokens, not collide with it
