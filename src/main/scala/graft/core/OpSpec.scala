@@ -162,6 +162,12 @@ object OpCompiler {
           case "uniform"  => FeatureLib.binUniform(df, c, bins)
           case "quantile" => FeatureLib.binQuantile(df, c, bins)
           case "kmeans"   => FeatureLib.binKmeans(df, c, bins)
+          case "quantile_grouped" =>
+            // per-group cuts (CCNet-style head/middle/tail when labels given)
+            FeatureLib.binQuantileGrouped(df, c, bins, seqOf(p, "group_by"),
+              outCol = s(p, "output_column"),
+              labels = { val l = seqOf(p, "labels"); if (l.isEmpty) null else l })
+          case m => throw new IllegalArgumentException(s"Unknown binning method: $m")
         }
       case "onehot"    => FeatureLib.encodeOneHot(df, s(p, "column"), seqOf(p, "values"))
       case "frequency" => FeatureLib.encodeFrequency(df, s(p, "column"))
@@ -303,6 +309,14 @@ object OpCompiler {
           "quota_per_group requires params.quota (max rows kept per group)")
         graft.ops.Scale.quotaPerGroup(df, s(p, "group_column"), s(p, "key_column", id),
           s(p, "quota").toInt, preBuckets = s(p, "pre_buckets", "64").toInt)
+      case "sample_temperature" =>
+        require(s(p, "group_column") != null,
+          "sample_temperature requires params.group_column (the mixture/domain column)")
+        require(s(p, "total_rows") != null,
+          "sample_temperature requires params.total_rows (approximate kept-row target)")
+        graft.ops.Scale.temperatureSample(df, s(p, "group_column"), s(p, "key_column", id),
+          s(p, "alpha", "0.5").toDouble, s(p, "total_rows").toDouble.toLong,
+          s(p, "salt", "42").toInt)
       case "shard_assign" =>
         require(s(p, "num_shards") != null,
           "shard_assign requires params.num_shards (number of output shards)")
@@ -330,6 +344,12 @@ object OpCompiler {
           corpus = if (lmCorpus == null) null else tables(lmCorpus),
           corpusTextCol = s(p, "corpus_text_column", text),
           vocabSize = s(p, "vocab_size", "50000").toInt)
+      case "para_dedup" =>
+        Dedup.paragraphDedup(df, text, id,
+          s(p, "separator", "\n\n"), s(p, "min_chars", "1").toInt)
+      case "dup_spans" =>
+        Dedup.duplicateSpans(df, text, id,
+          s(p, "gram_tokens", "5").toInt, s(p, "min_count", "2").toInt)
       case "dedup_against" =>
         require(tables != null, "dedup_against requires a table catalog")
         require(s(p, "corpus_table") != null,

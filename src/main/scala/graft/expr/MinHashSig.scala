@@ -1,7 +1,7 @@
 package graft.expr
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XxHash64Function}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.GraftColumnBridge
@@ -21,13 +21,19 @@ import org.apache.spark.sql.types._
   * permutation approximations.
   */
 case class MinHashSig(child: Expression, numHashes: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullable: Boolean = child.nullable
 
-  override protected def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
+  override protected def nullSafeEval(input: Any): Any =
+    signature(input.asInstanceOf[ArrayData])
+
+  /** Shared by eval and generated code (reference-call codegen: the child
+    * — typically a WordShingles over a normalization chain — stays
+    * codegen'd; CodegenFallback would re-evaluate it interpreted).
+    */
+  def signature(arr: ArrayData): GenericArrayData = {
     val n = arr.numElements()
     val sig = new Array[Long](numHashes)
     java.util.Arrays.fill(sig, Long.MaxValue)
@@ -45,6 +51,11 @@ case class MinHashSig(child: Expression, numHashes: Int)
       i += 1
     }
     new GenericArrayData(sig)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("minHashSig", this, classOf[MinHashSig].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.signature($c);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): MinHashSig =

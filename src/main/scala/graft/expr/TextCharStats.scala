@@ -2,7 +2,7 @@ package graft.expr
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftColumnBridge
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -29,11 +29,30 @@ import org.apache.spark.unsafe.types.UTF8String
   * The driver corpus contains none; DirtyDataSpec pins the Java-side
   * behavior so the choice is explicit, not accidental.
   */
-case class TextCharStats(child: Expression) extends UnaryExpression with CodegenFallback {
+case class TextCharStats(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = TextCharStats.schema
   override def nullable: Boolean = child.nullable
 
+  override protected def nullSafeEval(input: Any): Any =
+    TextCharStats.compute(input.asInstanceOf[UTF8String])
+
+  /** Codegen = a call to the companion's `compute` on the child's generated
+    * value (NOT CodegenFallback, which re-evaluates the whole subtree
+    * interpreted from a materialized InternalRow — this keeps the child
+    * codegen'd and the projection inside one whole-stage span).
+    */
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.expr.TextCharStats.compute($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): TextCharStats =
+    copy(child = newChild)
+
+  override def prettyName: String = "graft_text_char_stats"
+}
+
+object TextCharStats {
   // Java regex \s = [ \t\n\x0B\f\r] — NOT Character.isWhitespace
   @inline private def isWs(cp: Int): Boolean =
     cp == ' ' || cp == '\t' || cp == '\n' || cp == 0x0B || cp == '\f' || cp == '\r'
@@ -41,8 +60,11 @@ case class TextCharStats(child: Expression) extends UnaryExpression with Codegen
   @inline private def isPunct(cp: Int): Boolean =
     cp == '.' || cp == ',' || cp == ';' || cp == ':' || cp == '!' || cp == '?' || cp == '\'' || cp == '"'
 
-  override protected def nullSafeEval(input: Any): Any = {
-    val s = input.asInstanceOf[UTF8String].toString
+  /** One pass over the code points; called from both eval and generated
+    * code (static call — annotated for Java interop).
+    */
+  def compute(input: UTF8String): GenericInternalRow = {
+    val s = input.toString
     var nChars = 0; var nPunct = 0; var nDigit = 0; var nUpper = 0; var nNonWs = 0; var nTokens = 0
     var inToken = false
     var i = 0
@@ -65,13 +87,6 @@ case class TextCharStats(child: Expression) extends UnaryExpression with Codegen
     row
   }
 
-  override protected def withNewChildInternal(newChild: Expression): TextCharStats =
-    copy(child = newChild)
-
-  override def prettyName: String = "graft_text_char_stats"
-}
-
-object TextCharStats {
   val schema: StructType = StructType(Seq(
     StructField("n_chars", IntegerType, nullable = false),
     StructField("n_punct", IntegerType, nullable = false),

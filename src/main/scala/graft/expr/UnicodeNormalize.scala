@@ -2,7 +2,7 @@ package graft.expr
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftColumnBridge
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.types.{DataType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
@@ -16,7 +16,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * `nfc_normalize` for the NFC case (oracle-checked).
   */
 case class UnicodeNormalize(child: Expression, form: String)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   // validate at construction, not first evaluation: the SQL-function path
   // builds this case class directly (bypassing the companion apply), and a
@@ -30,8 +30,16 @@ case class UnicodeNormalize(child: Expression, form: String)
   @transient private lazy val f = java.text.Normalizer.Form.valueOf(form)
 
   override protected def nullSafeEval(input: Any): Any =
-    UTF8String.fromString(
-      java.text.Normalizer.normalize(input.asInstanceOf[UTF8String].toString, f))
+    normalize(input.asInstanceOf[UTF8String])
+
+  /** Shared by eval and generated code (reference-call codegen). */
+  def normalize(input: UTF8String): UTF8String =
+    UTF8String.fromString(java.text.Normalizer.normalize(input.toString, f))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("unicodeNormalize", this, classOf[UnicodeNormalize].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.normalize($c);")
+  }
 
   override protected def withNewChildInternal(newChild: Expression): UnicodeNormalize =
     copy(child = newChild)

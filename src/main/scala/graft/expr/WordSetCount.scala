@@ -4,7 +4,7 @@ import java.util.regex.Pattern
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftColumnBridge
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -20,7 +20,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * through UTF8String.toLowerCase — bit-compatible with Spark's `lower()`.
   */
 case class WordSetCount(child: Expression, words: Vector[String])
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = IntegerType
   override def nullable: Boolean = child.nullable
@@ -32,12 +32,20 @@ case class WordSetCount(child: Expression, words: Vector[String])
     s
   }
 
-  override protected def nullSafeEval(input: Any): Any = {
-    // no String.trim here: it strips ALL chars <= U+0020, so a leading
-    // control char would be peeled off its token ("the" → "the") and
-    // diverge from the \s+-split oracles; empty split artifacts match no
-    // set entry and are skipped naturally
-    val toks = ws.split(input.asInstanceOf[UTF8String].toString)
+  override protected def nullSafeEval(input: Any): Any = count(input.asInstanceOf[UTF8String])
+
+  /** Shared by eval and generated code (the codegen emits a call on a
+    * reference to this expression instance — the child stays codegen'd,
+    * unlike CodegenFallback which re-evaluates the subtree interpreted
+    * from a materialized InternalRow).
+    *
+    * No String.trim here: it strips ALL chars <= U+0020, so a leading
+    * control char would be peeled off its token and diverge from the
+    * \s+-split oracles; empty split artifacts match no set entry and are
+    * skipped naturally.
+    */
+  def count(input: UTF8String): Int = {
+    val toks = ws.split(input.toString)
     var n = 0
     var i = 0
     while (i < toks.length) {
@@ -46,6 +54,11 @@ case class WordSetCount(child: Expression, words: Vector[String])
       i += 1
     }
     n
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("wordSetCount", this, classOf[WordSetCount].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.count($c);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): WordSetCount =
@@ -64,7 +77,7 @@ object WordSetCount {
   * it per-set re-tokenizes the text 6 times.
   */
 case class WordSetCounts(child: Expression, sets: Vector[Vector[String]])
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
   override def nullable: Boolean = child.nullable
@@ -77,10 +90,13 @@ case class WordSetCounts(child: Expression, sets: Vector[Vector[String]])
       h
     }.toArray
 
-  override protected def nullSafeEval(input: Any): Any = {
+  override protected def nullSafeEval(input: Any): Any = counts(input.asInstanceOf[UTF8String])
+
+  /** Shared by eval and generated code — see WordSetCount.count. */
+  def counts(input: UTF8String): org.apache.spark.sql.catalyst.util.GenericArrayData = {
     val out = new Array[Int](hashSets.length)
     // see WordSetCount: no String.trim (control-char divergence)
-    val toks = ws.split(input.asInstanceOf[UTF8String].toString)
+    val toks = ws.split(input.toString)
     var i = 0
     while (i < toks.length) {
       if (toks(i).nonEmpty) {
@@ -94,6 +110,11 @@ case class WordSetCounts(child: Expression, sets: Vector[Vector[String]])
       i += 1
     }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("wordSetCounts", this, classOf[WordSetCounts].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.counts($c);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): WordSetCounts =

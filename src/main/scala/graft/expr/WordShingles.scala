@@ -5,7 +5,7 @@ import scala.collection.mutable
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftColumnBridge
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types._
@@ -21,13 +21,17 @@ import org.apache.spark.unsafe.types.UTF8String
   * (measured ~10× on the documents corpus).
   */
 case class WordShingles(child: Expression, n: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def nullable: Boolean = child.nullable
 
-  override protected def nullSafeEval(input: Any): Any = {
-    val text = input.asInstanceOf[UTF8String].toString
+  override protected def nullSafeEval(input: Any): Any =
+    shingles(input.asInstanceOf[UTF8String])
+
+  /** Shared by eval and generated code (reference-call codegen). */
+  def shingles(input: UTF8String): GenericArrayData = {
+    val text = input.toString
     // no String.trim: it strips ALL chars <= U+0020, peeling control chars
     // off their tokens and diverging from the \s+-split oracle tokenization
     // (same rule as WordSetCount); empty artifacts of a leading separator
@@ -54,6 +58,11 @@ case class WordShingles(child: Expression, n: Int)
       }
     }
     new GenericArrayData(out.iterator.map(UTF8String.fromString).toArray[Any])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("wordShingles", this, classOf[WordShingles].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.shingles($c);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): WordShingles =

@@ -105,6 +105,47 @@ object FeatureLib {
       .drop((1 until nBins).map(i => s"__q$i"): _*)
   }
 
+  /** Per-group quantile binning: cut points computed per group with the
+    * exact `percentile` aggregate (|groups| rows, broadcast back), bin
+    * assignment row-local. The CCNet-style corpus gate — "keep the head /
+    * middle / tail of the perplexity distribution PER LANGUAGE" — is this
+    * composed after TextLib.unigramScore:
+    * `binQuantileGrouped(scored, "lm_logprob", 3, Seq("lang"),
+    *   labels = Seq("tail", "middle", "head"))`.
+    *
+    * Scale: one map-side-combined aggregate + a broadcast hash join — the
+    * data itself never shuffles (same class as the fill_null-mean /
+    * global-binQuantile scalar-broadcast pattern). NULL group keys join
+    * null-safely (<=>) so they bin within their own group instead of being
+    * dropped; NULL values → NULL bin (binQuantile's convention). With
+    * `labels` (length nBins) the output column is the label string instead
+    * of the bin index.
+    */
+  def binQuantileGrouped(df: DataFrame, c: String, nBins: Int, groupCols: Seq[String],
+                         outCol: String = null, labels: Seq[String] = null): DataFrame = {
+    require(nBins >= 2, s"binQuantileGrouped: nBins must be >= 2, got $nBins")
+    require(labels == null || labels.length == nBins,
+      s"binQuantileGrouped: ${if (labels == null) 0 else labels.length} labels for $nBins bins")
+    val out = Option(outCol).getOrElse(s"${c}_qbin")
+    val cuts = (1 until nBins).map(i => percentile(col(c), lit(i.toDouble / nBins)).as(s"__q$i"))
+    val stats =
+      if (groupCols.isEmpty) df.agg(cuts.head, cuts.tail: _*)
+      else df.groupBy(groupCols.map(col): _*).agg(cuts.head, cuts.tail: _*)
+    val statsR = groupCols.foldLeft(stats)((d, g) => d.withColumnRenamed(g, s"__g_$g"))
+    val joined =
+      if (groupCols.isEmpty) df.crossJoin(broadcast(statsR))
+      else df.join(broadcast(statsR),
+        groupCols.map(g => col(g) <=> col(s"__g_$g")).reduce(_ && _), "left")
+    val binIdx = (1 until nBins).foldLeft(lit(0): Column) { (acc, i) =>
+      acc + when(col(c) > col(s"__q$i"), 1).otherwise(0)
+    }
+    val binned =
+      if (labels != null) when(col(c).isNotNull, element_at(array(labels.map(lit): _*), binIdx.cast("int") + 1))
+      else when(col(c).isNotNull, binIdx.cast("int"))
+    joined.withColumn(out, binned)
+      .drop((1 until nBins).map(i => s"__q$i") ++ groupCols.map(g => s"__g_$g"): _*)
+  }
+
   /** K-means 1-D binning (feature_engineering.py:110-127) via MLlib. */
   def binKmeans(df: DataFrame, c: String, nBins: Int, seed: Long = 42L, outCol: String = null): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans

@@ -153,6 +153,59 @@ object Scale {
       .drop("__gw")
   }
 
+  /** Temperature-based mixture reweighting — the mT5/PaLM "alpha sampling"
+    * recipe: keep fractions derived from group sizes so the kept mixture
+    * follows p_g ∝ n_g^alpha, scaled to ≈`totalRows` kept rows overall.
+    * alpha = 1 keeps source proportions (a uniform totalRows/N gate);
+    * alpha → 0 flattens toward uniform across groups; alpha in (0, 1) is
+    * the standard low-resource-upsampling compromise. This operator only
+    * DROPS rows (target_g caps at n_g) — repeating data to upsample is an
+    * explicit separate step, never an implicit one.
+    *
+    * target_g = totalRows · n_g^alpha / Σ n^alpha; frac_g = target_g/n_g;
+    * a row survives iff its hash bucket (of 1e6) < floor(frac_g·1e6+1e-6).
+    * The same pure-function-of-the-key gate as sampleByHash — stable under
+    * repartitioning, retries, incremental reruns; `gate` overrides the
+    * default xxhash64 bucket (e.g. md5-derived for cross-engine
+    * derivability). The 1e-6 nudge inside floor pins the threshold against
+    * ±ulp drift in the pow/sum chain (Σ n^alpha is accumulated on the
+    * driver in sorted group order, so it is ALSO run-to-run deterministic;
+    * a distributed float sum would not be).
+    *
+    * Scale shape: one map-side-combined count aggregate, collected —
+    * |groups| rows, driver-sized by definition for a mixture recipe — and
+    * re-broadcast as a literal when-chain; the corpus itself never
+    * shuffles. Kept counts are hash-binomial around frac_g·n_g; exact
+    * counts need quotaPerGroup. NULL groups form their own group.
+    */
+  def temperatureSample(
+      df: DataFrame,
+      groupCol: String,
+      keyCol: String,
+      alpha: Double,
+      totalRows: Long,
+      salt: Int = 42,
+      gate: Option[Column] = None
+  ): DataFrame = {
+    require(alpha >= 0.0 && alpha <= 1.0, s"temperatureSample: alpha must be in [0,1], got $alpha")
+    require(totalRows > 0, s"temperatureSample: totalRows must be positive, got $totalRows")
+    val sizes = df.groupBy(col(groupCol)).agg(count(lit(1)).as("__tsn"))
+      .collect()
+      .map(r => (r.get(0), r.getLong(1)))
+      .sortBy { case (g, _) => if (g == null) "" else g.toString }
+    val weights = sizes.map { case (g, n) => (g, n, math.pow(n.toDouble, alpha)) }
+    val tot = weights.foldLeft(0.0)(_ + _._3) // sorted order → deterministic
+    val fracs = weights.map { case (g, n, w) =>
+      (g, math.min(1.0, totalRows.toDouble * w / tot / n.toDouble))
+    }
+    val fracCol = fracs.foldLeft(lit(null).cast("double")) { case (acc, (g, f)) =>
+      if (g == null) when(col(groupCol).isNull, lit(f)).otherwise(acc)
+      else when(col(groupCol) === lit(g), lit(f)).otherwise(acc)
+    }
+    val bucket = gate.getOrElse(pmod(xxhash64(col(keyCol), lit(salt)), lit(1000000L)))
+    df.filter(bucket < floor(fracCol * lit(1000000.0) + lit(1e-6)))
+  }
+
   /** Weighted corpus mixture: union of hash-gate samples of each source at
     * its target rate, tagged with a `mixture_source` lineage column — the
     * "30% web, 30% code, 40% books" recipe step of a training-data

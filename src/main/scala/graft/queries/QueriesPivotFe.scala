@@ -110,6 +110,15 @@ object QueriesPivotFe {
         .groupBy("value_qbin").agg(count(lit(1)).as("n"))
         .orderBy("value_qbin")),
 
+    "q_bin_quantile_grouped" -> ((s, dir) =>
+      // per-language quartiles of doc length — the grouped form of
+      // q_bin_quantile (CCNet-style per-group bucketing); aggregated to
+      // (lang, bin) cells so the gate pins both assignment and coverage
+      FeatureLib.binQuantileGrouped(t(s, dir, "documents"), "n_chars", 4, Seq("lang"))
+        .groupBy("lang", "n_chars_qbin")
+        .agg(count(lit(1)).as("n"), min("n_chars").as("lo"), max("n_chars").as("hi"))
+        .orderBy("lang", "n_chars_qbin")),
+
     "q_encode_freq_label" -> ((s, dir) => {
       val f = FeatureLib.encodeFrequency(t(s, dir, "customer"), "c_mktsegment")
       FeatureLib.encodeLabel(f, "c_mktsegment")
@@ -262,6 +271,23 @@ object QueriesPivotFe {
         |            (CASE WHEN value > q3 THEN 1 ELSE 0 END) AS INT) AS value_qbin,
         |  count(*) AS n
         |FROM events, s GROUP BY 1 ORDER BY value_qbin""".stripMargin,
+
+    "q_bin_quantile_grouped" ->
+      // quantile_cont = Spark's exact percentile (same (n-1)·p linear
+      // interpolation); integer n_chars vs interpolated double cuts keeps
+      // the > comparisons off ulp boundaries
+      """WITH s AS (
+        |  SELECT lang, quantile_cont(n_chars, 0.25) AS q1,
+        |         quantile_cont(n_chars, 0.5) AS q2,
+        |         quantile_cont(n_chars, 0.75) AS q3
+        |  FROM documents GROUP BY lang)
+        |SELECT d.lang,
+        |  CAST((CASE WHEN d.n_chars > s.q1 THEN 1 ELSE 0 END) +
+        |       (CASE WHEN d.n_chars > s.q2 THEN 1 ELSE 0 END) +
+        |       (CASE WHEN d.n_chars > s.q3 THEN 1 ELSE 0 END) AS INT) AS n_chars_qbin,
+        |  count(*) AS n, min(d.n_chars) AS lo, max(d.n_chars) AS hi
+        |FROM documents d JOIN s USING (lang)
+        |GROUP BY 1, 2 ORDER BY d.lang, n_chars_qbin""".stripMargin,
 
     "q_encode_freq_label" ->
       """SELECT c_custkey,

@@ -291,6 +291,35 @@ object QueriesText {
         .orderBy("doc_id")
     }),
 
+    "q_para_dedup" -> ((s, dir) => {
+      // plant a shared boilerplate paragraph on every doc: the first doc
+      // (by id) keeps it, everyone else loses it — paragraph-level dedup's
+      // reason to exist, provable at any SF
+      val d = t(s, dir, "documents")
+        .withColumn("text", concat_ws("\n\n", col("text"),
+          lit("Subscribe to our newsletter. Follow us on social media.")))
+      Dedup.paragraphDedup(d, "text", "doc_id", minChars = 1)
+        .select(col("doc_id"), col("lang"), col("n_paras"), col("n_paras_kept"),
+          length(col("text")).as("n_chars_kept"),
+          substring(col("text"), -20, 20).as("tail"))
+        .orderBy("doc_id")
+    }),
+
+    "q_dup_spans" -> ((s, dir) => {
+      // plant an 11-token sentence on every 3rd doc → a guaranteed
+      // duplicated substring run; sf0.1 additionally has verbatim dup docs
+      val planted = " the quick brown fox jumps over the lazy dog at midnight"
+      val d = t(s, dir, "documents")
+        .withColumn("text",
+          when(col("doc_id") % 3 === 0, concat(col("text"), lit(planted)))
+            .otherwise(col("text")))
+      Dedup.duplicateSpans(d, "text", "doc_id", k = 5, minCount = 2)
+        .select(col("doc_id"), col("lang"), col("n_tokens"), col("n_grams"),
+          col("n_dup_grams"), col("n_spans"), col("dup_tokens"), col("max_span_tokens"),
+          roundf(col("dup_ratio"), 6).as("dup_ratio"))
+        .orderBy("doc_id")
+    }),
+
     "q_length_histogram" -> ((s, dir) =>
       TextLib.lengthHistogram(t(s, dir, "documents"), "n_chars")
         .select(col("len_bin"), col("n_rows"), col("len_lo"), col("len_hi"),
@@ -333,6 +362,16 @@ object QueriesText {
           gate = Some(conv(substring(md5(concat(lit("7:"), col("doc_id").cast("string"))), 1, 15),
             16, 10).cast("long") % 1000000L))
         .select("doc_id", "source", "n_chars")
+        .orderBy("doc_id")),
+
+    "q_sample_temperature" -> ((s, dir) =>
+      // alpha-sampling toward ~300 kept docs with p_lang ∝ n^0.5;
+      // md5-derived gate so DuckDB re-derives the exact kept set
+      graft.ops.Scale.temperatureSample(t(s, dir, "documents"), "lang", "doc_id",
+          alpha = 0.5, totalRows = 300,
+          gate = Some(conv(substring(md5(concat(lit("9:"), col("doc_id").cast("string"))), 1, 15),
+            16, 10).cast("long") % 1000000L))
+        .select("doc_id", "lang", "source")
         .orderBy("doc_id")),
 
     "q_lm_score" -> ((s, dir) =>
@@ -454,6 +493,77 @@ object QueriesText {
          |FROM tr
          |WHERE doc_id NOT IN (SELECT train_id FROM flagged)
          |ORDER BY doc_id""".stripMargin,
+
+    "q_para_dedup" ->
+      // mirrors Dedup.paragraphDedup: split on the literal sep, keep-first
+      // per exact paragraph over (doc_id, idx), minChars=1 exempts empties;
+      // ordered string_agg reassembles. The engine windows on sha2(para) —
+      // same equivalence classes as PARTITION BY para here. Zipped unnests
+      // (DuckDB aligns same-length unnests in one SELECT) carry (idx, para).
+      """WITH u AS (
+        |  SELECT doc_id, lang,
+        |    concat_ws(E'\n\n', text,
+        |      'Subscribe to our newsletter. Follow us on social media.') AS text
+        |  FROM documents),
+        |s AS (SELECT doc_id, lang, string_split(text, E'\n\n') AS ls FROM u),
+        |x AS (SELECT doc_id, unnest(range(1, len(ls) + 1)) AS idx, unnest(ls) AS para FROM s),
+        |k AS (SELECT doc_id, idx, para,
+        |        row_number() OVER (PARTITION BY para ORDER BY doc_id, idx) AS rn FROM x),
+        |f AS (SELECT * FROM k WHERE length(para) < 1 OR rn = 1),
+        |r AS (SELECT doc_id, CAST(count(*) AS INT) AS n_paras_kept,
+        |        coalesce(string_agg(para, E'\n\n' ORDER BY idx), '') AS t2
+        |      FROM f GROUP BY doc_id)
+        |SELECT s.doc_id, s.lang, CAST(len(s.ls) AS INT) AS n_paras,
+        |  coalesce(r.n_paras_kept, 0) AS n_paras_kept,
+        |  CAST(length(coalesce(r.t2, '')) AS INT) AS n_chars_kept,
+        |  right(coalesce(r.t2, ''), 20) AS tail
+        |FROM s LEFT JOIN r USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    "q_dup_spans" ->
+      // mirrors Dedup.duplicateSpans (k=5, minCount=2): positional word
+      // 5-grams, corpus-wide gram counts, gaps-and-islands span merge
+      // (new span when pos > prev + k). The engine keys grams by xxhash64;
+      // grouping by the gram string here is the same partition sans
+      // 64-bit collisions (none at these corpus sizes).
+      """WITH u AS (
+        |  SELECT doc_id, lang,
+        |    CASE WHEN doc_id % 3 = 0
+        |      THEN text || ' the quick brown fox jumps over the lazy dog at midnight'
+        |      ELSE text END AS text
+        |  FROM documents),
+        |t AS (SELECT doc_id, lang,
+        |        list_filter(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+        |          x -> x <> '') AS ws
+        |      FROM u),
+        |g AS (SELECT doc_id, unnest(range(1, len(ws) - 3)) AS pos,
+        |        unnest(list_transform(range(1, len(ws) - 3),
+        |          i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4])) AS gram
+        |      FROM t WHERE len(ws) >= 5),
+        |c AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
+        |f AS (SELECT g.doc_id, g.pos FROM g JOIN c USING (gram)),
+        |i AS (SELECT doc_id, pos,
+        |        CASE WHEN lag(pos) OVER w IS NULL OR pos > lag(pos) OVER w + 5
+        |          THEN 1 ELSE 0 END AS nw
+        |      FROM f WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+        |si AS (SELECT doc_id, pos,
+        |         sum(nw) OVER (PARTITION BY doc_id ORDER BY pos) AS isl FROM i),
+        |sp AS (SELECT doc_id, isl, min(pos) AS s0, max(pos) + 4 AS e0, count(*) AS ng
+        |       FROM si GROUP BY doc_id, isl),
+        |pd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+        |         CAST(sum(e0 - s0 + 1) AS BIGINT) AS dup_tokens,
+        |         CAST(max(e0 - s0 + 1) AS BIGINT) AS max_span_tokens,
+        |         CAST(sum(ng) AS BIGINT) AS n_dup_grams
+        |       FROM sp GROUP BY doc_id)
+        |SELECT t.doc_id, t.lang,
+        |  CAST(coalesce(len(t.ws), 0) AS INT) AS n_tokens,
+        |  CAST(greatest(coalesce(len(t.ws), 0) - 4, 0) AS INT) AS n_grams,
+        |  coalesce(pd.n_dup_grams, 0) AS n_dup_grams,
+        |  coalesce(pd.n_spans, 0) AS n_spans,
+        |  coalesce(pd.dup_tokens, 0) AS dup_tokens,
+        |  coalesce(pd.max_span_tokens, 0) AS max_span_tokens,
+        |  round(CASE WHEN coalesce(len(t.ws), 0) > 0
+        |    THEN coalesce(pd.dup_tokens, 0) * 1.0 / len(t.ws) ELSE 0.0 END + 1e-9, 6) AS dup_ratio
+        |FROM t LEFT JOIN pd USING (doc_id) ORDER BY doc_id""".stripMargin,
 
     "q_unicode_nfc" ->
       // chr(769) = U+0301 COMBINING ACUTE, chr(8491) = U+212B ANGSTROM SIGN;
@@ -786,6 +896,22 @@ object QueriesText {
         |WHERE CAST(CAST('0x' || substr(md5('7:' || CAST(d.doc_id AS VARCHAR)), 1, 15) AS BIGINT)
         |        % 1000000 AS BIGINT)
         |      < CAST(floor(least(1.0, 3000.0 / gw) * 1000000.0) AS BIGINT)
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_sample_temperature" ->
+      // mirrors Scale.temperatureSample exactly: pow/sum/× ÷ chain in the
+      // same operation order, floor(frac·1e6 + 1e-6) pinned threshold
+      """WITH gs AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+        |w AS (SELECT lang, n, pow(CAST(n AS DOUBLE), 0.5) AS w FROM gs),
+        |tot AS (SELECT sum(w) AS tw FROM w),
+        |f AS (SELECT lang,
+        |        least(1.0, 300.0 * w / tw / CAST(n AS DOUBLE)) AS frac
+        |      FROM w CROSS JOIN tot)
+        |SELECT d.doc_id, d.lang, d.source
+        |FROM documents d JOIN f USING (lang)
+        |WHERE CAST(CAST('0x' || substr(md5('9:' || CAST(d.doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+        |        % 1000000 AS BIGINT)
+        |      < CAST(floor(frac * 1000000.0 + 0.000001) AS BIGINT)
         |ORDER BY doc_id""".stripMargin,
 
     "q_lm_score" ->

@@ -331,6 +331,135 @@ object Dedup {
     df.join(losers, Seq(idCol), "left_anti")
   }
 
+  // ---------------------------------------------------------------- paragraph-level
+
+  /** Corpus-wide paragraph deduplication (the RefinedWeb/C4-style
+    * boilerplate scrub): split every document on `sep`, keep only the FIRST
+    * occurrence of each exact paragraph across the whole corpus (order =
+    * (id, paragraph index) — a total order, so the survivor is
+    * deterministic), then reassemble each document from its surviving
+    * paragraphs in original order. Navigation chrome, cookie banners and
+    * share-bars repeat across millions of pages — document-level dedup
+    * never sees them; paragraph-level dedup removes them everywhere but
+    * their first sighting.
+    *
+    * `minChars` exempts short paragraphs from dedup (headings, list
+    * bullets and empty lines repeat legitimately; removing every
+    * "Introduction" but one would mangle the corpus). Default 1 = empty
+    * paragraphs always pass through.
+    *
+    * Scale shape: one exchange on the paragraph hash (keep-first window —
+    * uniform 256-bit keys, no skew), one on the doc id (ordered
+    * reassembly), one id-keyed join back to the input. Paragraph text rides
+    * the two shuffles — the inherent cost of reassembly; the window key is
+    * the hash, never the text.
+    *
+    * NULL text passes through unchanged (failed extraction ≠ duplicate,
+    * matching `exact`). A document whose every paragraph was removed comes
+    * back with empty text — a downstream length gate drops it.
+    *
+    * Adds `n_paras` (input paragraph count; 0 for null text) and
+    * `n_paras_kept`.
+    */
+  def paragraphDedup(df: DataFrame, textCol: String, idCol: String,
+                     sep: String = "\n\n", minChars: Int = 1): DataFrame = {
+    require(sep.nonEmpty, "paragraphDedup: sep must be non-empty")
+    val quoted = java.util.regex.Pattern.quote(sep)
+    val parts = df.select(col(idCol).as("__pd_id"),
+      posexplode(split(col(textCol), quoted)).as(Seq("__pd_idx", "__pd_para")))
+    val w = Window.partitionBy(sha2(col("__pd_para"), 256))
+      .orderBy(col("__pd_id").asc, col("__pd_idx").asc)
+    val kept = parts
+      .withColumn("__pd_rn", row_number().over(w))
+      .filter(length(col("__pd_para")) < minChars || col("__pd_rn") === 1)
+    val rebuilt = kept.groupBy(col("__pd_id"))
+      .agg(count(lit(1)).as("__pd_kept"),
+        array_join(TextLib.collectInOrder(col("__pd_idx"), col("__pd_para")), sep)
+          .as("__pd_text"))
+    df.alias("__pd_l")
+      .join(rebuilt, col(s"__pd_l.$idCol") === col("__pd_id"), "left")
+      .withColumn("n_paras",
+        when(col(textCol).isNotNull, size(split(col(textCol), quoted))).otherwise(lit(0)))
+      .withColumn("n_paras_kept", coalesce(col("__pd_kept"), lit(0L)).cast("int"))
+      .withColumn(textCol,
+        when(col(textCol).isNull, lit(null: String))
+          .otherwise(coalesce(col("__pd_text"), lit(""))))
+      .drop("__pd_id", "__pd_kept", "__pd_text")
+  }
+
+  // ---------------------------------------------------------------- duplicate spans
+
+  /** Substring-level duplicate detection — the k-gram approximation of
+    * suffix-array ExactSubstr dedup (Lee et al. 2022, "Deduplicating
+    * Training Data Makes Language Models Better"): fingerprint the word
+    * k-gram at every token position, count fingerprints corpus-wide, flag
+    * grams occurring >= `minCount` times, and merge overlapping flagged
+    * windows into per-document duplicated SPANS. Documents sharing a long
+    * passage (a license header, a syndicated article body) are caught even
+    * when each document as a whole is unique.
+    *
+    * Output: the input row + n_tokens, n_grams, n_dup_grams, n_spans,
+    * dup_tokens (tokens covered by duplicated spans), max_span_tokens, and
+    * dup_ratio = dup_tokens / n_tokens (raw double — round at the edge).
+    * Span bounds are token positions, so a downstream rewriter can cut
+    * precisely; this operator reports coverage, the cut policy is the
+    * caller's.
+    *
+    * Scale shape: gram rows carry (id, pos, 64-bit gram hash) only — never
+    * the text; the count aggregate combines map-side (the gram relation is
+    * corpus-sized: the same inherent cost as the suffix-array sort in the
+    * reference formulation); flagged hashes re-join the gram stream on the
+    * hash (AQE broadcasts when the duplicated set is small — the common
+    * case); the span merge windows per doc id. xxhash64 collisions
+    * (~n²/2⁶⁵) produce false FLAGS only, an acceptable error for a dup
+    * screen at any realistic corpus size.
+    */
+  def duplicateSpans(df: DataFrame, textCol: String, idCol: String,
+                     k: Int = 5, minCount: Int = 2): DataFrame = {
+    require(k >= 1, s"duplicateSpans: k must be >= 1, got $k")
+    require(minCount >= 2, s"duplicateSpans: minCount must be >= 2, got $minCount")
+    val wsOf = (t: Column) => filter(split(TextLib.normalized(t), " "), x => x =!= "")
+    val toks = df.select(col(idCol).as("__ds_id"), wsOf(col(textCol)).as("__ws"))
+      .withColumn("__n", size(col("__ws")))
+    // positions are 1-based (posexplode is 0-based, hence the +1)
+    val grams = toks.filter(col("__n") >= k)
+      .select(col("__ds_id"),
+        posexplode(transform(sequence(lit(1), col("__n") - (k - 1)),
+          i => concat_ws(" ", slice(col("__ws"), i, lit(k))))).as(Seq("__p0", "__gram")))
+      .select(col("__ds_id"), (col("__p0") + 1).as("__pos"), xxhash64(col("__gram")).as("__gk"))
+    val dupKeys = grams.groupBy(col("__gk")).agg(count(lit(1)).as("__c"))
+      .filter(col("__c") >= minCount).select(col("__gk"))
+    val wOrd = Window.partitionBy(col("__ds_id")).orderBy(col("__pos").asc)
+    // gaps-and-islands: a new span starts when this window no longer
+    // overlaps/touches the previous flagged window (pos > prev + k)
+    val islands = grams.join(dupKeys, Seq("__gk"))
+      .withColumn("__new",
+        when(lag(col("__pos"), 1).over(wOrd).isNull ||
+             col("__pos") > lag(col("__pos"), 1).over(wOrd) + k, 1).otherwise(0))
+      .withColumn("__isl", sum(col("__new")).over(wOrd))
+    val spans = islands.groupBy(col("__ds_id"), col("__isl"))
+      .agg(min(col("__pos")).as("__s"), (max(col("__pos")) + (k - 1)).as("__e"),
+        count(lit(1)).as("__g"))
+    val perDoc = spans.groupBy(col("__ds_id"))
+      .agg(count(lit(1)).as("__ds_spans"),
+        sum(col("__e") - col("__s") + 1).as("__ds_dup"),
+        max(col("__e") - col("__s") + 1).as("__ds_max"),
+        sum(col("__g")).as("__ds_grams"))
+      .withColumnRenamed("__ds_id", idCol)
+    df.drop("n_tokens")
+      .alias("__ds_l").join(perDoc.alias("__ds_r"), Seq(idCol), "left")
+      .withColumn("n_tokens", coalesce(size(wsOf(col(textCol))), lit(0)))
+      .withColumn("n_grams", greatest(col("n_tokens") - (k - 1), lit(0)))
+      .withColumn("n_dup_grams", coalesce(col("__ds_grams"), lit(0L)))
+      .withColumn("n_spans", coalesce(col("__ds_spans"), lit(0L)))
+      .withColumn("dup_tokens", coalesce(col("__ds_dup"), lit(0L)))
+      .withColumn("max_span_tokens", coalesce(col("__ds_max"), lit(0L)))
+      .withColumn("dup_ratio",
+        when(col("n_tokens") > 0, col("dup_tokens").cast("double") / col("n_tokens"))
+          .otherwise(lit(0.0)))
+      .drop("__ds_spans", "__ds_dup", "__ds_max", "__ds_grams")
+  }
+
   // ---------------------------------------------------------------- n-gram Jaccard
 
   /** Exact n-gram Jaccard similarity for candidate pairs, via an inverted

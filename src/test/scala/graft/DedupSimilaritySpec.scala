@@ -229,4 +229,62 @@ class DedupSimilaritySpec extends SparkSpec {
       .select("doc_id").as[Long].collect().toSet
     assert(sloppy == got)
   }
+
+  test("paragraphDedup keeps first occurrence, reassembles in order") {
+    val d = Seq(
+      (1L, "unique one\n\nBOILER"),
+      (2L, "unique two\n\nBOILER"),
+      (3L, "unique one\n\nsomething else"),
+      (4L, null.asInstanceOf[String]),
+      (5L, "unique one") // every paragraph already seen → empty survivor
+    ).toDF("doc_id", "text")
+    val out = Dedup.paragraphDedup(d, "text", "doc_id")
+      .select("doc_id", "text", "n_paras", "n_paras_kept")
+      .as[(Long, String, Int, Int)].collect().sortBy(_._1)
+    assert(out(0) == ((1L, "unique one\n\nBOILER", 2, 2))) // first sighting keeps all
+    assert(out(1) == ((2L, "unique two", 2, 1)))           // boilerplate removed
+    assert(out(2) == ((3L, "something else", 2, 1)))       // leading dup para removed
+    assert(out(3) == ((4L, null, 0, 0)))                   // null text passes through
+    assert(out(4) == ((5L, "", 1, 0)))                     // fully-duplicated doc → empty
+  }
+
+  test("paragraphDedup minChars exempts short paragraphs from dedup") {
+    val d = Seq(
+      (1L, "Intro\n\na long enough paragraph of real content here"),
+      (2L, "Intro\n\nanother long enough paragraph of real content")
+    ).toDF("doc_id", "text")
+    val out = Dedup.paragraphDedup(d, "text", "doc_id", minChars = 10)
+      .select("doc_id", "n_paras_kept").as[(Long, Int)].collect().toMap
+    assert(out == Map(1L -> 2, 2L -> 2)) // "Intro" repeats but is exempt (< 10 chars)
+  }
+
+  test("duplicateSpans finds a shared passage with exact span bounds") {
+    val d = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "one two alpha beta gamma delta epsilon zeta nine ten"),
+      (3L, "completely unrelated words with no shared runs at all")
+    ).toDF("doc_id", "text")
+    val out = Dedup.duplicateSpans(d, "text", "doc_id", k = 3, minCount = 2)
+      .select("doc_id", "n_tokens", "n_grams", "n_dup_grams", "n_spans", "dup_tokens", "max_span_tokens")
+      .as[(Long, Int, Int, Long, Long, Long, Long)].collect().sortBy(_._1)
+    // shared run = "alpha beta gamma delta epsilon zeta" (6 tokens → 4 shared 3-grams)
+    assert(out(0) == ((1L, 8, 6, 4L, 1L, 6L, 6L)))   // span covers tokens 1..6
+    assert(out(1) == ((2L, 10, 8, 4L, 1L, 6L, 6L)))  // span covers tokens 3..8
+    assert(out(2) == ((3L, 9, 7, 0L, 0L, 0L, 0L)))   // nothing flagged
+    assertNoCartesian(Dedup.duplicateSpans(d, "text", "doc_id", k = 3, minCount = 2))
+  }
+
+  test("duplicateSpans merges overlapping windows, splits distant ones") {
+    // two shared passages in one doc separated by > k unique tokens → 2 spans
+    val shared1 = "red orange yellow green"
+    val shared2 = "lion tiger bear wolf"
+    val d = Seq(
+      (1L, s"$shared1 u1 u2 u3 u4 u5 $shared2"),
+      (2L, s"x1 $shared1 x2 x3 x4 x5 x6 $shared2 x7")
+    ).toDF("doc_id", "text")
+    val out = Dedup.duplicateSpans(d, "text", "doc_id", k = 3, minCount = 2)
+      .select("doc_id", "n_spans", "dup_tokens").as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(out(0) == ((1L, 2L, 8L))) // two 4-token spans
+    assert(out(1) == ((2L, 2L, 8L)))
+  }
 }

@@ -99,6 +99,37 @@ class PipelineSpec extends SparkSpec {
     assert(rows.map(_._3).forall(sh => sh >= 0 && sh < 4))
   }
 
+  test("YAML para_dedup, dup_spans and quantile_grouped binning compose") {
+    val in = Files.createTempDirectory("graft_para").toString
+    Seq(
+      (1L, "en", "unique first doc body here\n\nFollow us on social media"),
+      (2L, "en", "second doc text entirely different\n\nFollow us on social media"),
+      (3L, "en", "third doc some shared passage alpha beta gamma delta\n\nFollow us on social media"),
+      (4L, "en", "fourth doc some shared passage alpha beta gamma delta too")
+    ).toDF("doc_id", "lang", "text").coalesce(1).write.mode("overwrite").parquet(in + "/docs")
+    val yaml =
+      s"""name: para_pipeline
+         |source: { type: parquet, path: "$in/docs" }
+         |operations:
+         |  - { type: text_processing, params: { operation: para_dedup } }
+         |  - { type: text_processing, params: { operation: dup_spans, gram_tokens: 3 } }
+         |  - { type: feature_engineering, params: { operation: binning, method: quantile_grouped,
+         |      column: n_tokens, bins: 2, group_by: [lang], output_column: len_bucket } }
+         |""".stripMargin
+    val conf = Pipeline.fromYaml(yaml)
+    val (primary, catalog) = Pipeline.load(spark, conf)
+    val out = graft.core.OpCompiler.compile(conf.operations, catalog)(primary)
+    val rows = out.select("doc_id", "n_paras_kept", "n_spans", "len_bucket")
+      .as[(Long, Int, Long, Int)].collect().sortBy(_._1)
+    // boilerplate paragraph survives only on doc 1
+    assert(rows.map(_._2).toSeq == Seq(2, 1, 1, 1))
+    // docs 3 and 4 share "some shared passage alpha beta gamma delta" → flagged spans
+    assert(rows(2)._3 >= 1L && rows(3)._3 >= 1L)
+    assert(rows(0)._3 == 0L && rows(1)._3 == 0L)
+    // grouped binning ran over the dup_spans-added n_tokens column
+    assert(rows.map(_._4).forall(b => b == 0 || b == 1))
+  }
+
   test("nearDedup keeps one survivor per near-dup cluster, untouched docs intact") {
     val docs = Seq(
       (10L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),

@@ -262,6 +262,38 @@ class QualityFeSpec extends SparkSpec {
     assert(r.getDouble(1) == 0.5) // 1+2=3 holds for row 1 only
   }
 
+  test("binQuantileGrouped bins per group with exact quartile cuts") {
+    val d = ((1 to 8).map(v => ("g1", v.toDouble)) ++
+      Seq(("g2", 10.0), ("g2", 20.0), ("g2", 30.0), ("g2", 40.0)))
+      .toDF("g", "v")
+      .union(Seq(("g1", null.asInstanceOf[java.lang.Double])).toDF("g", "v")) // null value
+    val out = FeatureLib.binQuantileGrouped(d, "v", 4, Seq("g"))
+      .select("g", "v", "v_qbin").collect()
+    // g1 quartiles of 1..8: q1=2.75, q2=4.5, q3=6.25 → two values per bin
+    val g1 = out.filter(r => r.getString(0) == "g1" && !r.isNullAt(1))
+      .map(r => (r.getDouble(1), r.getInt(2))).toMap
+    assert(g1 == Map(1.0 -> 0, 2.0 -> 0, 3.0 -> 1, 4.0 -> 1, 5.0 -> 2, 6.0 -> 2, 7.0 -> 3, 8.0 -> 3))
+    // g2: one value per bin
+    val g2 = out.filter(_.getString(0) == "g2").map(r => (r.getDouble(1), r.getInt(2))).toMap
+    assert(g2 == Map(10.0 -> 0, 20.0 -> 1, 30.0 -> 2, 40.0 -> 3))
+    // null value → null bin, row preserved
+    assert(out.count(r => r.isNullAt(1) && r.isNullAt(2)) == 1)
+  }
+
+  test("binQuantileGrouped labels + null group key survive") {
+    val d = Seq(("en", 1.0), ("en", 2.0), ("en", 3.0),
+      (null.asInstanceOf[String], 5.0), (null.asInstanceOf[String], 6.0),
+      (null.asInstanceOf[String], 7.0)).toDF("lang", "score")
+    val out = FeatureLib.binQuantileGrouped(d, "score", 3, Seq("lang"),
+        outCol = "bucket", labels = Seq("tail", "middle", "head"))
+      .select("lang", "score", "bucket").collect()
+    assert(out.length == 6) // null-lang rows are NOT dropped (null-safe join)
+    val nullG = out.filter(_.isNullAt(0)).map(r => (r.getDouble(1), r.getString(2))).toMap
+    assert(nullG == Map(5.0 -> "tail", 6.0 -> "middle", 7.0 -> "head"))
+    val en = out.filter(r => !r.isNullAt(0)).map(r => (r.getDouble(1), r.getString(2))).toMap
+    assert(en == Map(1.0 -> "tail", 2.0 -> "middle", 3.0 -> "head"))
+  }
+
   test("batched featurizer preserves rows and appends features") {
     val media = Seq((1L, "abc".getBytes), (2L, "def".getBytes)).toDF("id", "payload")
     val out = Multimodal.featurizeBatched(media, "payload", dim = 3, batchSize = 1)

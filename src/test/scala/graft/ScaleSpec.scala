@@ -155,6 +155,31 @@ class ScaleSpec extends SparkSpec {
     assert(re == kept.map(_._2).toSet)
   }
 
+  test("temperatureSample reweights toward n^alpha and never upsamples") {
+    // groups: 400 "big" rows, 100 "small" rows
+    val df = ((1L to 400L).map(i => (i, "big")) ++ (401L to 500L).map(i => (i, "small")))
+      .toDF("id", "grp")
+    // alpha=0.5: w = (20, 10), tot = 30; totalRows = 150 →
+    // frac_big = 150·20/30/400 = 0.25, frac_small = 150·10/30/100 = 0.5
+    val kept = Scale.temperatureSample(df, "grp", "id", alpha = 0.5, totalRows = 150)
+      .select("id", "grp").as[(Long, String)].collect()
+    val byG = kept.groupBy(_._2).map { case (g, v) => g -> v.length }
+    assert(byG("big") > 60 && byG("big") < 140, s"big ≈ 100 expected, got $byG")
+    assert(byG("small") > 30 && byG("small") < 70, s"small ≈ 50 expected, got $byG")
+    // alpha=1 degenerates to one uniform rate (proportions preserved)
+    val prop = Scale.temperatureSample(df, "grp", "id", alpha = 1.0, totalRows = 250)
+      .groupBy("grp").count().as[(String, Long)].collect().toMap
+    assert(prop("big") > 3 * prop("small"), s"alpha=1 must keep proportions: $prop")
+    // a group whose target exceeds its size keeps ALL rows (no upsampling)
+    val all = Scale.temperatureSample(df, "grp", "id", alpha = 0.0, totalRows = 1000)
+      .groupBy("grp").count().as[(String, Long)].collect().toMap
+    assert(all("small") == 100L, s"under-budget group must keep everything: $all")
+    // pure function of the key: stable under repartitioning
+    val re = Scale.temperatureSample(df.repartition(13), "grp", "id", alpha = 0.5, totalRows = 150)
+      .select("id").as[Long].collect().toSet
+    assert(re == kept.map(_._1).toSet)
+  }
+
   test("shardAssign is deterministic, balanced, and densely positioned") {
     val df = (1L to 4000L).toDF("id")
     val a = Scale.shardAssign(df, "id", numShards = 16)

@@ -139,4 +139,33 @@ class TextExprsSpec extends SparkSpec {
       }
     }
   }
+
+  test("text kernels: CODEGEN_ONLY and NO_CODEGEN paths agree exactly") {
+    // the string kernels emit a reference-call doGenCode — prove the
+    // generated Java compiles (CODEGEN_ONLY + fallback off throws
+    // otherwise) and matches interpreted eval on the dirty sample set
+    val df = (samples :+ null.asInstanceOf[String]).zipWithIndex
+      .map { case (t, i) => (i, t) }.toDF("id", "t")
+    def run(): Seq[String] = df.select(col("id"),
+        graft.expr.TextCharStats(col("t")).as("tcs"),
+        graft.expr.WordSetCount(col("t"), TextLib.EnglishStopwords).as("wsc"),
+        graft.expr.WordSetCounts(col("t"), TextLib.Markers.map(_._2)).as("wscs"),
+        graft.expr.WordShingles(col("t"), 2).as("sh"),
+        graft.expr.MinHashSig(graft.expr.WordShingles(col("t"), 2), 16).as("mh"),
+        graft.expr.UnicodeNormalize(col("t"), "NFC").as("nfc"))
+      .orderBy("id").collect().map(_.toString).toSeq
+    val conf = spark.conf
+    val prev = Seq("spark.sql.codegen.factoryMode", "spark.sql.codegen.wholeStage",
+      "spark.sql.codegen.fallback").map(k => k -> conf.getOption(k))
+    try {
+      conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+      conf.set("spark.sql.codegen.wholeStage", "true")
+      conf.set("spark.sql.codegen.fallback", "false")
+      val gen = run()
+      conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+      conf.set("spark.sql.codegen.wholeStage", "false")
+      val interp = run()
+      assert(gen == interp, s"codegen/interpreted divergence:\n$gen\n$interp")
+    } finally prev.foreach { case (k, v) => v.fold(conf.unset(k))(conf.set(k, _)) }
+  }
 }

@@ -92,6 +92,45 @@ class VecExprsSpec extends SparkSpec {
     }
   }
 
+  test("vec kernels: CODEGEN_ONLY and NO_CODEGEN paths agree bit-for-bit") {
+    // the kernels implement real doGenCode — prove the generated Java
+    // compiles (CODEGEN_ONLY + fallback off would throw otherwise) and
+    // matches the interpreted eval exactly, nulls and mismatches included
+    val planes = Similarity.hyperplanes(4, 8, seed = 3L)
+    val df = Seq(
+      (1, Seq[java.lang.Double](1.0, 2.0, 3.0, 4.0), Seq[java.lang.Double](4.0, 5.0, 6.0, 7.0)),
+      (2, Seq[java.lang.Double](1.0, null, 3.0, 4.0), Seq[java.lang.Double](4.0, 5.0, 6.0, 7.0)),
+      (3, Seq[java.lang.Double](1.0, 2.0), Seq[java.lang.Double](4.0, 5.0, 6.0, 7.0)), // dim mismatch
+      (4, null.asInstanceOf[Seq[java.lang.Double]], Seq[java.lang.Double](1.0, 1.0, 1.0, 1.0))
+    ).toDF("id", "a", "b")
+    def run(): Seq[String] = df.select(col("id"),
+        graft.expr.DotProduct(col("a"), col("b")).as("d"),
+        graft.expr.L2NormExpr(col("a")).as("n"),
+        graft.expr.HyperplaneSig(col("a"), planes, 2, 4).as("sig"))
+      .orderBy("id").collect().map(_.toString).toSeq
+    val conf = spark.conf
+    val prevMode = conf.getOption("spark.sql.codegen.factoryMode")
+    val prevWsc = conf.getOption("spark.sql.codegen.wholeStage")
+    val prevFb = conf.getOption("spark.sql.codegen.fallback")
+    try {
+      conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+      conf.set("spark.sql.codegen.wholeStage", "true")
+      conf.set("spark.sql.codegen.fallback", "false")
+      val gen = run()
+      conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+      conf.set("spark.sql.codegen.wholeStage", "false")
+      val interp = run()
+      assert(gen == interp, s"codegen/interpreted divergence:\n$gen\n$interp")
+      assert(gen.head.contains("60.0")) // 1*4+2*5+3*6+4*7
+    } finally {
+      def restore(k: String, v: Option[String]): Unit =
+        v.fold(conf.unset(k))(conf.set(k, _))
+      restore("spark.sql.codegen.factoryMode", prevMode)
+      restore("spark.sql.codegen.wholeStage", prevWsc)
+      restore("spark.sql.codegen.fallback", prevFb)
+    }
+  }
+
   test("lshTopK recall vs bruteTopK stays high on clustered vectors") {
     // 10 tight clusters; queries are jittered cluster members — LSH must
     // recover most true neighbors through band collisions
