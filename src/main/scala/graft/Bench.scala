@@ -29,7 +29,9 @@ object Bench {
     // TOTAL line grows with the list — compare per-query, not totals)
     "q_lm_score",          // corpus-trained unigram LM scoring
     "q_quota_per_source",  // two-level per-domain cap
-    "q_dedup_incremental"  // batch-bloom snapshot dedup
+    "q_dedup_incremental", // batch-bloom snapshot dedup
+    "q_para_dedup",        // corpus-wide paragraph dedup + reassembly
+    "q_dup_spans"          // positional k-gram duplicate-span detection
   )
 
   def main(args: Array[String]): Unit = {

@@ -406,13 +406,17 @@ object Dedup {
     * caller's.
     *
     * Scale shape: gram rows carry (id, pos, 64-bit gram hash) only — never
-    * the text; the count aggregate combines map-side (the gram relation is
-    * corpus-sized: the same inherent cost as the suffix-array sort in the
-    * reference formulation); flagged hashes re-join the gram stream on the
-    * hash (AQE broadcasts when the duplicated set is small — the common
-    * case); the span merge windows per doc id. xxhash64 collisions
-    * (~n²/2⁶⁵) produce false FLAGS only, an acceptable error for a dup
-    * screen at any realistic corpus size.
+    * the text; corpus-wide gram counts come from ONE exchange on the hash
+    * (a count window over the gram key — the groupBy-then-rejoin
+    * formulation computed the expensive gram projection twice and paid a
+    * third gram-sized shuffle for the join; measured ~35% slower at
+    * sf0.1), then the span merge windows per doc id. The gram exchange is
+    * corpus-sized — the same inherent cost as the suffix-array sort in the
+    * reference formulation. An ultra-hot gram (boilerplate in billions of
+    * docs) lands one window partition; AQE skew handling covers it (the
+    * count is all that's read there). xxhash64 collisions (~n²/2⁶⁵)
+    * produce false FLAGS only, an acceptable error for a dup screen at any
+    * realistic corpus size.
     */
   def duplicateSpans(df: DataFrame, textCol: String, idCol: String,
                      k: Int = 5, minCount: Int = 2): DataFrame = {
@@ -427,12 +431,13 @@ object Dedup {
         posexplode(transform(sequence(lit(1), col("__n") - (k - 1)),
           i => concat_ws(" ", slice(col("__ws"), i, lit(k))))).as(Seq("__p0", "__gram")))
       .select(col("__ds_id"), (col("__p0") + 1).as("__pos"), xxhash64(col("__gram")).as("__gk"))
-    val dupKeys = grams.groupBy(col("__gk")).agg(count(lit(1)).as("__c"))
-      .filter(col("__c") >= minCount).select(col("__gk"))
+    val wCnt = Window.partitionBy(col("__gk"))
     val wOrd = Window.partitionBy(col("__ds_id")).orderBy(col("__pos").asc)
     // gaps-and-islands: a new span starts when this window no longer
     // overlaps/touches the previous flagged window (pos > prev + k)
-    val islands = grams.join(dupKeys, Seq("__gk"))
+    val islands = grams
+      .withColumn("__c", count(lit(1)).over(wCnt))
+      .filter(col("__c") >= minCount)
       .withColumn("__new",
         when(lag(col("__pos"), 1).over(wOrd).isNull ||
              col("__pos") > lag(col("__pos"), 1).over(wOrd) + k, 1).otherwise(0))
