@@ -75,3 +75,77 @@ object WordShingles {
   def apply(text: Column, n: Int): Column =
     GraftColumnBridge.column(WordShingles(GraftColumnBridge.expression(text), n))
 }
+
+/** Positional word k-gram hashes: xxhash64 (seed 42, Spark's `xxhash64`
+  * family) of each k-token window of the normalized text, in position
+  * order — array<long> indexed by 0-based start position. The hot inner op
+  * of duplicateSpans: the equivalent HOF chain
+  * (`transform(sequence(...), i -> xxhash64(concat_ws(" ", slice(ws, i,
+  * k))))`) is interpreted, re-slices the token array per position, and
+  * runs TWICE (count pass + flag join) because the gram relation is
+  * deliberately not cached. One tokenize pass + one rolling StringBuilder
+  * here. Texts with fewer than k tokens yield an empty array (no grams).
+  *
+  * Token stream = lowercase → split Java `\s+` → drop empties, identical
+  * to `split(TextLib.normalized(t), " ")` with empty-filter (the
+  * collapse-then-split and split-\s+ formulations produce the same
+  * tokens); lowercasing goes through UTF8String.toLowerCase, bit-
+  * compatible with Spark's `lower()` and the DuckDB oracle's.
+  */
+case class WordGramHashes(child: Expression, k: Int)
+    extends UnaryExpression {
+
+  require(k >= 1, s"WordGramHashes: k must be >= 1, got $k")
+
+  override def dataType: DataType = ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+
+  override protected def nullSafeEval(input: Any): Any =
+    gramHashes(input.asInstanceOf[UTF8String])
+
+  /** Shared by eval and generated code (reference-call codegen). */
+  def gramHashes(input: UTF8String): GenericArrayData = {
+    val toks0 = input.toLowerCase.toString.split("\\s+")
+    var nTok = 0
+    var i = 0
+    while (i < toks0.length) { if (toks0(i).nonEmpty) nTok += 1; i += 1 }
+    val toks = if (nTok == toks0.length) toks0 else {
+      val t = new Array[String](nTok); var j = 0; i = 0
+      while (i < toks0.length) { if (toks0(i).nonEmpty) { t(j) = toks0(i); j += 1 }; i += 1 }
+      t
+    }
+    val n = toks.length
+    if (n < k) return new GenericArrayData(Array.emptyLongArray)
+    val out = new Array[Long](n - k + 1)
+    val sb = new java.lang.StringBuilder(64)
+    i = 0
+    while (i + k <= n) {
+      sb.setLength(0)
+      var j = 0
+      while (j < k) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j))
+        j += 1
+      }
+      out(i) = org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
+        UTF8String.fromString(sb.toString), org.apache.spark.sql.types.StringType, 42L)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("wordGramHashes", this, classOf[WordGramHashes].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.gramHashes($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): WordGramHashes =
+    copy(child = newChild)
+
+  override def prettyName: String = "graft_word_gram_hashes"
+}
+
+object WordGramHashes {
+  def apply(text: Column, k: Int): Column =
+    GraftColumnBridge.column(WordGramHashes(GraftColumnBridge.expression(text), k))
+}

@@ -91,19 +91,8 @@ object FeatureLib {
     * exact percentiles broadcast back (ntile would mis-handle ties at scale;
     * fixed cut points keep bin semantics stable across re-runs).
     */
-  def binQuantile(df: DataFrame, c: String, nBins: Int, outCol: String = null): DataFrame = {
-    val out = Option(outCol).getOrElse(s"${c}_qbin")
-    val cuts = (1 until nBins).map(i => percentile(col(c), lit(i.toDouble / nBins)).as(s"__q$i"))
-    val stats = df.agg(cuts.head, cuts.tail: _*)
-    val joined = df.crossJoin(broadcast(stats))
-    val binExpr = (1 until nBins).foldLeft(lit(0): Column) { (acc, i) =>
-      acc + when(col(c) > col(s"__q$i"), 1).otherwise(0)
-    }
-    // null input → null bin (binUniform propagates null; unguarded, the
-    // null comparisons all fall to otherwise(0) and bin 0 absorbs missing data)
-    joined.withColumn(out, when(col(c).isNotNull, binExpr.cast("int")))
-      .drop((1 until nBins).map(i => s"__q$i"): _*)
-  }
+  def binQuantile(df: DataFrame, c: String, nBins: Int, outCol: String = null): DataFrame =
+    binQuantileGrouped(df, c, nBins, Seq.empty, outCol) // same cuts/'>'/null conventions
 
   /** Per-group quantile binning: cut points computed per group with the
     * exact `percentile` aggregate (|groups| rows, broadcast back), bin

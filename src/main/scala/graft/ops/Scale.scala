@@ -189,10 +189,17 @@ object Scale {
   ): DataFrame = {
     require(alpha >= 0.0 && alpha <= 1.0, s"temperatureSample: alpha must be in [0,1], got $alpha")
     require(totalRows > 0, s"temperatureSample: totalRows must be positive, got $totalRows")
+    // The input is scanned twice — eagerly here for the sizes, again by
+    // the returned filter — the same double-scan trade every
+    // scalar-broadcast op makes (sampleToBudget, unigramScore's scoring
+    // pass). It is deliberately not persisted: the input is corpus-sized.
+    // Checkpoint/write expensive upstream pipelines first.
     val sizes = df.groupBy(col(groupCol)).agg(count(lit(1)).as("__tsn"))
       .collect()
       .map(r => (r.get(0), r.getLong(1)))
-      .sortBy { case (g, _) => if (g == null) "" else g.toString }
+      // null sorts apart from a real "" group — a collision would make the
+      // fold order of those two weights depend on collect() partition order
+      .sortBy { case (g, _) => (g == null, if (g == null) "" else g.toString) }
     val weights = sizes.map { case (g, n) => (g, n, math.pow(n.toDouble, alpha)) }
     val tot = weights.foldLeft(0.0)(_ + _._3) // sorted order → deterministic
     val fracs = weights.map { case (g, n, w) =>

@@ -348,15 +348,25 @@ object Dedup {
     * "Introduction" but one would mangle the corpus). Default 1 = empty
     * paragraphs always pass through.
     *
-    * Scale shape: one exchange on the paragraph hash (keep-first window —
-    * uniform 256-bit keys, no skew), one on the doc id (ordered
-    * reassembly), one id-keyed join back to the input. Paragraph text rides
-    * the two shuffles — the inherent cost of reassembly; the window key is
-    * the hash, never the text.
+    * Scale shape — SKEW-SAFE survivor election: the first (id, idx) per
+    * paragraph hash comes from groupBy(hash).agg(min(struct(id, idx))) —
+    * an associative aggregate that combines map-side, so a cookie-banner
+    * paragraph repeated on 100M pages costs one tiny partial per task, not
+    * 100M text-bearing rows through one window partition (the row_number
+    * draft had exactly that straggler). The keep decision re-joins parts
+    * on the hash (AQE splits skewed JOIN partitions — it cannot split a
+    * skewed window partition); reassembly shuffles on the doc id; one
+    * id-keyed join back to the input. The parts relation feeds the
+    * election AND the keep join and is deliberately NOT cached: it is
+    * corpus-sized (all paragraph text), so at 100 TB a persist would spill
+    * the corpus to local disk — two streaming scans of the input are the
+    * cheaper trade. Checkpoint/write expensive upstream pipelines first.
     *
     * NULL text passes through unchanged (failed extraction ≠ duplicate,
-    * matching `exact`). A document whose every paragraph was removed comes
-    * back with empty text — a downstream length gate drops it.
+    * matching `exact`). NULL ids also pass through untouched — there is no
+    * identity to elect a survivor with, and grouping them would merge
+    * unrelated documents. A document whose every paragraph was removed
+    * comes back with empty text — a downstream length gate drops it.
     *
     * Adds `n_paras` (input paragraph count; 0 for null text) and
     * `n_paras_kept`.
@@ -365,13 +375,15 @@ object Dedup {
                      sep: String = "\n\n", minChars: Int = 1): DataFrame = {
     require(sep.nonEmpty, "paragraphDedup: sep must be non-empty")
     val quoted = java.util.regex.Pattern.quote(sep)
-    val parts = df.select(col(idCol).as("__pd_id"),
-      posexplode(split(col(textCol), quoted)).as(Seq("__pd_idx", "__pd_para")))
-    val w = Window.partitionBy(sha2(col("__pd_para"), 256))
-      .orderBy(col("__pd_id").asc, col("__pd_idx").asc)
-    val kept = parts
-      .withColumn("__pd_rn", row_number().over(w))
-      .filter(length(col("__pd_para")) < minChars || col("__pd_rn") === 1)
+    val parts = df.filter(col(idCol).isNotNull)
+      .select(col(idCol).as("__pd_id"),
+        posexplode(split(col(textCol), quoted)).as(Seq("__pd_idx", "__pd_para")))
+      .withColumn("__pd_h", sha2(col("__pd_para"), 256))
+    val firsts = parts.groupBy(col("__pd_h"))
+      .agg(min(struct(col("__pd_id").as("i"), col("__pd_idx").as("x"))).as("__pd_first"))
+    val kept = parts.join(firsts, Seq("__pd_h"))
+      .filter(length(col("__pd_para")) < minChars ||
+        (col("__pd_id") === col("__pd_first.i") && col("__pd_idx") === col("__pd_first.x")))
     val rebuilt = kept.groupBy(col("__pd_id"))
       .agg(count(lit(1)).as("__pd_kept"),
         array_join(TextLib.collectInOrder(col("__pd_idx"), col("__pd_para")), sep)
@@ -380,9 +392,11 @@ object Dedup {
       .join(rebuilt, col(s"__pd_l.$idCol") === col("__pd_id"), "left")
       .withColumn("n_paras",
         when(col(textCol).isNotNull, size(split(col(textCol), quoted))).otherwise(lit(0)))
-      .withColumn("n_paras_kept", coalesce(col("__pd_kept"), lit(0L)).cast("int"))
+      .withColumn("n_paras_kept",
+        when(col(s"__pd_l.$idCol").isNull, col("n_paras")) // pass-through rows keep all
+          .otherwise(coalesce(col("__pd_kept"), lit(0L))).cast("int"))
       .withColumn(textCol,
-        when(col(textCol).isNull, lit(null: String))
+        when(col(textCol).isNull || col(s"__pd_l.$idCol").isNull, col(textCol))
           .otherwise(coalesce(col("__pd_text"), lit(""))))
       .drop("__pd_id", "__pd_kept", "__pd_text")
   }
@@ -406,38 +420,46 @@ object Dedup {
     * caller's.
     *
     * Scale shape: gram rows carry (id, pos, 64-bit gram hash) only — never
-    * the text; corpus-wide gram counts come from ONE exchange on the hash
-    * (a count window over the gram key — the groupBy-then-rejoin
-    * formulation computed the expensive gram projection twice and paid a
-    * third gram-sized shuffle for the join; measured ~35% slower at
-    * sf0.1), then the span merge windows per doc id. The gram exchange is
-    * corpus-sized — the same inherent cost as the suffix-array sort in the
-    * reference formulation. An ultra-hot gram (boilerplate in billions of
-    * docs) lands one window partition; AQE skew handling covers it (the
-    * count is all that's read there). xxhash64 collisions (~n²/2⁶⁵)
-    * produce false FLAGS only, an acceptable error for a dup screen at any
-    * realistic corpus size.
+    * the text. Corpus-wide gram counts come from groupBy(hash) — an
+    * associative count that combines MAP-SIDE, so an ultra-hot boilerplate
+    * gram (present in billions of docs) costs one partial per task, never
+    * a single-reducer pile-up (a count window over the gram key was ~20%
+    * faster at sf0.1 but funnels every occurrence of a hot gram through
+    * one partition — AQE splits skewed join partitions, not window
+    * partitions). Flagged keys re-join the gram stream (join skew is
+    * AQE-handled; the build side is the distinct-duplicated-gram set,
+    * broadcast when small). The gram relation feeds the count AND the
+    * flag join and is deliberately NOT cached: it is corpus-sized (≈ one
+    * row per token), so a persist would spill ~the corpus to local disk
+    * at 100 TB — recomputing the gram projection on the second consumer
+    * is the cheaper trade (checkpoint expensive upstreams first).
+    * The span merge windows per doc id, bounded by document length.
+    * xxhash64 collisions (~n²/2⁶⁵) produce false FLAGS only, an
+    * acceptable error for a dup screen at any realistic corpus size.
+    *
+    * NULL-id rows do not participate (no identity to report against);
+    * their span stats come back NULL, with row-local n_tokens/n_grams
+    * still computed.
     */
   def duplicateSpans(df: DataFrame, textCol: String, idCol: String,
                      k: Int = 5, minCount: Int = 2): DataFrame = {
     require(k >= 1, s"duplicateSpans: k must be >= 1, got $k")
     require(minCount >= 2, s"duplicateSpans: minCount must be >= 2, got $minCount")
     val wsOf = (t: Column) => filter(split(TextLib.normalized(t), " "), x => x =!= "")
-    val toks = df.select(col(idCol).as("__ds_id"), wsOf(col(textCol)).as("__ws"))
-      .withColumn("__n", size(col("__ws")))
-    // positions are 1-based (posexplode is 0-based, hence the +1)
-    val grams = toks.filter(col("__n") >= k)
-      .select(col("__ds_id"),
-        posexplode(transform(sequence(lit(1), col("__n") - (k - 1)),
-          i => concat_ws(" ", slice(col("__ws"), i, lit(k))))).as(Seq("__p0", "__gram")))
-      .select(col("__ds_id"), (col("__p0") + 1).as("__pos"), xxhash64(col("__gram")).as("__gk"))
-    val wCnt = Window.partitionBy(col("__gk"))
+    // positions are 1-based (posexplode is 0-based, hence the +1); the
+    // native WordGramHashes expr runs one tokenize+hash loop per row —
+    // the interpreted HOF chain it replaces re-sliced the token array per
+    // position and dominated this operator's runtime (it runs twice)
+    val grams = df.filter(col(idCol).isNotNull)
+      .select(col(idCol).as("__ds_id"),
+        posexplode(graft.expr.WordGramHashes(col(textCol), k)).as(Seq("__p0", "__gk")))
+      .select(col("__ds_id"), (col("__p0") + 1).as("__pos"), col("__gk"))
+    val dupKeys = grams.groupBy(col("__gk")).agg(count(lit(1)).as("__c"))
+      .filter(col("__c") >= minCount).select(col("__gk"))
     val wOrd = Window.partitionBy(col("__ds_id")).orderBy(col("__pos").asc)
     // gaps-and-islands: a new span starts when this window no longer
     // overlaps/touches the previous flagged window (pos > prev + k)
-    val islands = grams
-      .withColumn("__c", count(lit(1)).over(wCnt))
-      .filter(col("__c") >= minCount)
+    val islands = grams.join(dupKeys, Seq("__gk"))
       .withColumn("__new",
         when(lag(col("__pos"), 1).over(wOrd).isNull ||
              col("__pos") > lag(col("__pos"), 1).over(wOrd) + k, 1).otherwise(0))
@@ -451,17 +473,21 @@ object Dedup {
         max(col("__e") - col("__s") + 1).as("__ds_max"),
         sum(col("__g")).as("__ds_grams"))
       .withColumnRenamed("__ds_id", idCol)
+    // NULL-id rows did not participate: their span stats stay NULL (a 0
+    // would claim "checked, clean"); row-local n_tokens/n_grams still fill
+    val participated = col(idCol).isNotNull
     df.drop("n_tokens")
       .alias("__ds_l").join(perDoc.alias("__ds_r"), Seq(idCol), "left")
       .withColumn("n_tokens", coalesce(size(wsOf(col(textCol))), lit(0)))
       .withColumn("n_grams", greatest(col("n_tokens") - (k - 1), lit(0)))
-      .withColumn("n_dup_grams", coalesce(col("__ds_grams"), lit(0L)))
-      .withColumn("n_spans", coalesce(col("__ds_spans"), lit(0L)))
-      .withColumn("dup_tokens", coalesce(col("__ds_dup"), lit(0L)))
-      .withColumn("max_span_tokens", coalesce(col("__ds_max"), lit(0L)))
+      .withColumn("n_dup_grams", when(participated, coalesce(col("__ds_grams"), lit(0L))))
+      .withColumn("n_spans", when(participated, coalesce(col("__ds_spans"), lit(0L))))
+      .withColumn("dup_tokens", when(participated, coalesce(col("__ds_dup"), lit(0L))))
+      .withColumn("max_span_tokens", when(participated, coalesce(col("__ds_max"), lit(0L))))
       .withColumn("dup_ratio",
-        when(col("n_tokens") > 0, col("dup_tokens").cast("double") / col("n_tokens"))
-          .otherwise(lit(0.0)))
+        when(participated && col("n_tokens") > 0,
+          col("dup_tokens").cast("double") / col("n_tokens"))
+          .when(participated, lit(0.0)))
       .drop("__ds_spans", "__ds_dup", "__ds_max", "__ds_grams")
   }
 

@@ -274,6 +274,24 @@ class DedupSimilaritySpec extends SparkSpec {
     assertNoCartesian(Dedup.duplicateSpans(d, "text", "doc_id", k = 3, minCount = 2))
   }
 
+  test("null-id rows pass through paragraphDedup/duplicateSpans untouched") {
+    val d = Seq(
+      (java.lang.Long.valueOf(1L), "shared para\n\nunique a"),
+      (java.lang.Long.valueOf(2L), "shared para\n\nunique b"),
+      (null.asInstanceOf[java.lang.Long], "shared para\n\nunique c")
+    ).toDF("doc_id", "text")
+    val pd = Dedup.paragraphDedup(d, "text", "doc_id").collect()
+    val pdNull = pd.find(_.isNullAt(0)).get
+    assert(pdNull.getAs[String]("text") == "shared para\n\nunique c") // untouched
+    assert(pdNull.getAs[Int]("n_paras_kept") == 2)
+    assert(pd.find(_.getLong(0) == 2L).get.getAs[String]("text") == "unique b") // dedup still ran
+    val ds = Dedup.duplicateSpans(d, "text", "doc_id", k = 2, minCount = 2).collect()
+    val dsNull = ds.find(_.isNullAt(0)).get
+    assert(dsNull.isNullAt(dsNull.fieldIndex("n_spans")), "null id → null stats, not 0")
+    assert(dsNull.getAs[Int]("n_tokens") == 4) // row-local stats still fill
+    assert(ds.find(_.getLong(0) == 1L).get.getAs[Long]("n_spans") == 1L)
+  }
+
   test("duplicateSpans merges overlapping windows, splits distant ones") {
     // two shared passages in one doc separated by > k unique tokens → 2 spans
     val shared1 = "red orange yellow green"

@@ -140,6 +140,23 @@ class TextExprsSpec extends SparkSpec {
     }
   }
 
+  test("WordGramHashes matches the HOF gram-hash formulation bit-for-bit") {
+    val df = samples.zipWithIndex.map { case (t, i) => (i, t) }.toDF("id", "t")
+    val ws = filter(split(TextLib.normalized(col("t")), " "), x => x =!= "")
+    val k = 3
+    val hof = when(size(ws) >= k,
+      transform(sequence(lit(1), size(ws) - (k - 1)),
+        i => xxhash64(concat_ws(" ", slice(ws, i, lit(k))))))
+      .otherwise(array().cast("array<bigint>"))
+    val out = df.select(col("id"),
+        graft.expr.WordGramHashes(col("t"), k).as("native"), hof.as("hof"))
+      .orderBy("id").collect()
+    out.foreach { r =>
+      assert(r.getSeq[Long](1) == r.getSeq[Long](2),
+        s"row ${r.getInt(0)}: ${r.getSeq[Long](1)} vs ${r.getSeq[Long](2)}")
+    }
+  }
+
   test("text kernels: CODEGEN_ONLY and NO_CODEGEN paths agree exactly") {
     // the string kernels emit a reference-call doGenCode — prove the
     // generated Java compiles (CODEGEN_ONLY + fallback off throws
