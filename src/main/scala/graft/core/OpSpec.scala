@@ -309,6 +309,26 @@ object OpCompiler {
           "quota_per_group requires params.quota (max rows kept per group)")
         graft.ops.Scale.quotaPerGroup(df, s(p, "group_column"), s(p, "key_column", id),
           s(p, "quota").toInt, preBuckets = s(p, "pre_buckets", "64").toInt)
+      case "assign_split" =>
+        val labels = seqOf(p, "labels")
+        val weights = seqOf(p, "weights").map(_.toDouble)
+        require(labels.nonEmpty && labels.length == weights.length,
+          "assign_split requires params.labels and params.weights of equal length")
+        graft.ops.Scale.assignSplit(df, s(p, "key_column", id), labels.zip(weights),
+          s(p, "salt", "42").toInt, s(p, "output_column", "split"))
+      case "repeat_epochs" =>
+        require(s(p, "group_column") != null,
+          "repeat_epochs requires params.group_column (the mixture/domain column)")
+        val eps = p.get("epochs") match {
+          case Some(m: java.util.Map[_, _]) =>
+            scala.jdk.CollectionConverters.MapHasAsScala(m).asScala
+              .map { case (k, v) => k.toString -> v.toString.toDouble }.toMap
+          case Some(m: Map[_, _]) => m.map { case (k, v) => k.toString -> v.toString.toDouble }
+          case _ => throw new IllegalArgumentException(
+            "repeat_epochs requires params.epochs (a {group: epoch-count} mapping)")
+        }
+        graft.ops.Scale.repeatEpochs(df, s(p, "group_column"), s(p, "key_column", id),
+          eps, s(p, "salt", "42").toInt)
       case "sample_temperature" =>
         require(s(p, "group_column") != null,
           "sample_temperature requires params.group_column (the mixture/domain column)")

@@ -213,6 +213,83 @@ object Scale {
     df.filter(bucket < floor(fracCol * lit(1000000.0) + lit(1e-6)))
   }
 
+  /** Deterministic train/validation/test assignment: label each row by
+    * which cumulative hash-bucket band its key falls in — the split is a
+    * pure function of the key (stable under repartitioning, reruns, and
+    * incremental appends: a document NEVER migrates between splits when
+    * the corpus grows, which a random split cannot guarantee). Weights
+    * must sum to ≤ 1 + 1e-9; any remainder is labeled null (an explicit
+    * holdout). Thresholds are pinned as floor(cum·1e6 + 1e-6) — same
+    * formulation as temperatureSample, cross-engine derivable via `gate`.
+    *
+    * Row-local (no shuffle, no aggregate): the corpus is never touched
+    * beyond the one projection.
+    */
+  def assignSplit(
+      df: DataFrame,
+      keyCol: String,
+      splits: Seq[(String, Double)],
+      salt: Int = 42,
+      outCol: String = "split",
+      gate: Option[Column] = None
+  ): DataFrame = {
+    require(splits.nonEmpty, "assignSplit: need at least one (label, weight)")
+    require(splits.forall(_._2 > 0.0), s"assignSplit: weights must be positive, got $splits")
+    require(splits.map(_._2).sum <= 1.0 + 1e-9,
+      s"assignSplit: weights sum to ${splits.map(_._2).sum} > 1")
+    val bucket = gate.getOrElse(pmod(xxhash64(col(keyCol), lit(salt)), lit(1000000L)))
+    // cumulative thresholds accumulate left-to-right on the driver —
+    // deterministic; later bands win only if earlier ones didn't match
+    val (labelCol, _) = splits.foldLeft((lit(null).cast("string"), 0.0)) {
+      case ((acc, cum), (label, w)) =>
+        val hi = cum + w
+        val cond = bucket < floor(lit(hi) * lit(1000000.0) + lit(1e-6))
+        (when(cond && acc.isNull, lit(label)).otherwise(acc), hi)
+    }
+    df.withColumn(outCol, labelCol)
+  }
+
+  /** Epoch-style data repetition — the explicit UPSAMPLING complement of
+    * temperatureSample's drop-only stance: each group is repeated
+    * `epochs(group)` times, fractional epochs resolved per row by the
+    * deterministic hash gate (epochs = 2.25 → every row appears twice,
+    * and the stable 25% of keys under the gate appear a third time).
+    * "4 epochs of books, 1 of web, 0.5 of forums" is the standard
+    * pretraining-mixture recipe this implements.
+    *
+    * Adds `epoch` (1-based copy index) — downstream sharding should
+    * include it in the order key so copies spread across shards. Groups
+    * absent from `epochs` default to 1 (kept once); 0 drops a group.
+    *
+    * Row-local: the copy count is a pure function of (group, key), the
+    * explode multiplies rows in place — no shuffle, no aggregate, stable
+    * under repartitioning and reruns.
+    */
+  def repeatEpochs(
+      df: DataFrame,
+      groupCol: String,
+      keyCol: String,
+      epochs: Map[String, Double],
+      salt: Int = 42,
+      gate: Option[Column] = None
+  ): DataFrame = {
+    require(epochs.values.forall(_ >= 0.0),
+      s"repeatEpochs: epoch counts must be >= 0, got $epochs")
+    val bucket = gate.getOrElse(pmod(xxhash64(col(keyCol), lit(salt)), lit(1000000L)))
+    // per-group copy count = floor(e) + (bucket < floor(frac(e)·1e6 + 1e-6))
+    val copies = epochs.toSeq.sortBy(_._1).foldLeft(lit(1).cast("int")) {
+      case (acc, (g, e)) =>
+        val base = math.floor(e).toInt
+        val fracThresh = math.floor((e - base) * 1000000.0 + 1e-6)
+        val c = lit(base) + when(bucket < lit(fracThresh), 1).otherwise(0)
+        when(col(groupCol) === lit(g), c).otherwise(acc)
+    }
+    df.withColumn("__re_n", copies)
+      .filter(col("__re_n") > 0)
+      .withColumn("epoch", explode(sequence(lit(1), col("__re_n"))))
+      .drop("__re_n")
+  }
+
   /** Weighted corpus mixture: union of hash-gate samples of each source at
     * its target rate, tagged with a `mixture_source` lineage column — the
     * "30% web, 30% code, 40% books" recipe step of a training-data

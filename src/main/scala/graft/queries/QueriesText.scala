@@ -374,6 +374,24 @@ object QueriesText {
         .select("doc_id", "lang", "source")
         .orderBy("doc_id")),
 
+    "q_assign_split" -> ((s, dir) =>
+      // deterministic 80/10/10 split; md5 gate for cross-engine derivation
+      graft.ops.Scale.assignSplit(t(s, dir, "documents"), "doc_id",
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
+          gate = Some(conv(substring(md5(concat(lit("11:"), col("doc_id").cast("string"))), 1, 15),
+            16, 10).cast("long") % 1000000L))
+        .select("doc_id", "lang", "split")
+        .orderBy("doc_id")),
+
+    "q_repeat_epochs" -> ((s, dir) =>
+      // 2.5 epochs of English, 0.5 of German, 1 of everything else
+      graft.ops.Scale.repeatEpochs(t(s, dir, "documents"), "lang", "doc_id",
+          Map("en" -> 2.5, "de" -> 0.5),
+          gate = Some(conv(substring(md5(concat(lit("13:"), col("doc_id").cast("string"))), 1, 15),
+            16, 10).cast("long") % 1000000L))
+        .select("doc_id", "lang", "epoch")
+        .orderBy("doc_id", "epoch")),
+
     "q_lm_score" -> ((s, dir) =>
       // self-trained unigram LM; vocabSize 2000 < distinct tokens at every
       // SF, so the OOV floor provably fires
@@ -897,6 +915,39 @@ object QueriesText {
         |        % 1000000 AS BIGINT)
         |      < CAST(floor(least(1.0, 3000.0 / gw) * 1000000.0) AS BIGINT)
         |ORDER BY doc_id""".stripMargin,
+
+    "q_assign_split" ->
+      // cumulative thresholds replicate the engine's left-to-right double
+      // accumulation exactly: (0.8), (0.8+0.1), ((0.8+0.1)+0.1)
+      """WITH b AS (
+        |  SELECT doc_id, lang,
+        |    CAST(CAST('0x' || substr(md5('11:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+        |      % 1000000 AS BIGINT) AS bk
+        |  FROM documents)
+        |SELECT doc_id, lang,
+        |  CASE WHEN bk < CAST(floor(0.8 * 1000000.0 + 0.000001) AS BIGINT) THEN 'train'
+        |       WHEN bk < CAST(floor((0.8 + 0.1) * 1000000.0 + 0.000001) AS BIGINT) THEN 'val'
+        |       WHEN bk < CAST(floor(((0.8 + 0.1) + 0.1) * 1000000.0 + 0.000001) AS BIGINT) THEN 'test'
+        |  END AS split
+        |FROM b ORDER BY doc_id""".stripMargin,
+
+    "q_repeat_epochs" ->
+      // copies = floor(e) + (bucket < floor(frac(e)*1e6 + 1e-6)); epoch is
+      // the 1-based copy index via generate_series
+      """WITH b AS (
+        |  SELECT doc_id, lang,
+        |    CAST(CAST('0x' || substr(md5('13:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+        |      % 1000000 AS BIGINT) AS bk
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, lang,
+        |    CASE WHEN lang = 'en' THEN 2 + CASE WHEN bk < 500000 THEN 1 ELSE 0 END
+        |         WHEN lang = 'de' THEN 0 + CASE WHEN bk < 500000 THEN 1 ELSE 0 END
+        |         ELSE 1 END AS n
+        |  FROM b)
+        |SELECT doc_id, lang, CAST(u.e AS INT) AS epoch
+        |FROM c, unnest(generate_series(1, n)) AS u(e)
+        |WHERE n > 0 ORDER BY doc_id, epoch""".stripMargin,
 
     "q_sample_temperature" ->
       // mirrors Scale.temperatureSample exactly: pow/sum/× ÷ chain in the

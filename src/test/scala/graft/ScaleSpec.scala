@@ -180,6 +180,43 @@ class ScaleSpec extends SparkSpec {
     assert(re == kept.map(_._1).toSet)
   }
 
+  test("assignSplit is exhaustive, proportional, and append-stable") {
+    val df = (1L to 5000L).toDF("id")
+    val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val s1 = Scale.assignSplit(df, "id", splits)
+      .select("id", "split").as[(Long, String)].collect()
+    assert(s1.forall(_._2 != null), "weights summing to 1 must label every row")
+    val counts = s1.groupBy(_._2).map { case (k, v) => k -> v.length }
+    assert(counts("train") > 3800 && counts("train") < 4200, s"got $counts")
+    assert(counts("val") > 350 && counts("val") < 650, s"got $counts")
+    // growing the corpus never reassigns an existing key (hash-pure)
+    val s2 = Scale.assignSplit((1L to 10000L).toDF("id"), "id", splits)
+      .filter(col("id") <= 5000).select("id", "split").as[(Long, String)].collect()
+    assert(s1.sortBy(_._1).toSeq == s2.sortBy(_._1).toSeq)
+    // weights < 1 leave a null-labeled holdout
+    val hold = Scale.assignSplit(df, "id", Seq("train" -> 0.5))
+      .filter(col("split").isNull).count()
+    assert(hold > 2300 && hold < 2700, s"expected ~half held out, got $hold")
+  }
+
+  test("repeatEpochs repeats per recipe: fractional, zero, and default groups") {
+    val df = ((1L to 400L).map(i => (i, "en")) ++ (401L to 500L).map(i => (i, "de")) ++
+      (501L to 600L).map(i => (i, "zz"))).toDF("id", "lang")
+    val out = Scale.repeatEpochs(df, "lang", "id", Map("en" -> 2.5, "de" -> 0.0))
+      .select("id", "lang", "epoch").as[(Long, String, Int)].collect()
+    val en = out.filter(_._2 == "en").groupBy(_._1).map(_._2.length)
+    assert(en.forall(n => n == 2 || n == 3), "en docs appear 2 or 3 times")
+    val enTotal = out.count(_._2 == "en")
+    assert(enTotal > 850 && enTotal < 1150, s"~1000 en rows expected, got $enTotal")
+    assert(!out.exists(_._2 == "de"), "0 epochs drops the group")
+    val zz = out.filter(_._2 == "zz")
+    assert(zz.length == 100 && zz.forall(_._3 == 1), "unlisted groups kept once")
+    // epoch indices are dense 1..n per key
+    out.groupBy(r => (r._1, r._2)).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (1 to rows.length).toSeq)
+    }
+  }
+
   test("shardAssign is deterministic, balanced, and densely positioned") {
     val df = (1L to 4000L).toDF("id")
     val a = Scale.shardAssign(df, "id", numShards = 16)
