@@ -130,6 +130,26 @@ class PipelineSpec extends SparkSpec {
     assert(rows.map(_._4).forall(b => b == 0 || b == 1))
   }
 
+  test("examples/training_data_pipeline.yaml runs end-to-end on sf0.001") {
+    // the shipped example must stay executable — it documents the op surface
+    val out = Files.createTempDirectory("graft_example_out").toString + "/chunks"
+    val block = Files.createTempDirectory("graft_example_bl").toString + "/bl.parquet"
+    Seq(7L, 14L, 21L).toDF("bad_id").coalesce(1).write.mode("overwrite").parquet(block)
+    val yaml = new String(Files.readAllBytes(
+      java.nio.file.Paths.get("examples/training_data_pipeline.yaml")), "UTF-8")
+    val conf = Pipeline.fromYaml(PipelineConfig.substituteEnv(yaml,
+      Map("GRAFT_BLOCKLIST" -> block, "GRAFT_OUT" -> out).get))
+    val res = Pipeline.execute(spark, conf)
+    assert(res.status == "success", res.errors.mkString("; "))
+    val back = spark.read.parquet(out)
+    assert(back.count() > 0, "pipeline must keep some chunks")
+    val cols = back.columns.toSet
+    assert(Set("chunk_text", "shard", "pos", "split", "dup_ratio").subsetOf(cols), s"got $cols")
+    assert(back.filter($"doc_id".isin(7L, 14L, 21L)).count() == 0, "blocklist applied")
+    assert(back.select("split").distinct().collect().map(_.getString(0)).toSet.subsetOf(
+      Set("train", "val", "test")))
+  }
+
   test("nearDedup keeps one survivor per near-dup cluster, untouched docs intact") {
     val docs = Seq(
       (10L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
