@@ -364,6 +364,10 @@ object OpCompiler {
           corpus = if (lmCorpus == null) null else tables(lmCorpus),
           corpusTextCol = s(p, "corpus_text_column", text),
           vocabSize = s(p, "vocab_size", "50000").toInt)
+      case "winnow" =>
+        df.withColumn(s(p, "output_column", "fingerprints"),
+          TextLib.winnowFingerprint(col(text),
+            s(p, "gram_tokens", "5").toInt, s(p, "window", "4").toInt))
       case "para_dedup" =>
         Dedup.paragraphDedup(df, text, id,
           s(p, "separator", "\n\n"), s(p, "min_chars", "1").toInt)

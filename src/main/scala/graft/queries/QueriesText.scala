@@ -374,6 +374,15 @@ object QueriesText {
         .select("doc_id", "lang", "source")
         .orderBy("doc_id")),
 
+    "q_winnow" -> ((s, dir) =>
+      // fingerprint VALUES are xxhash64-family → rows-only gate; the
+      // overlap guarantees are spec-pinned (DedupSimilaritySpec)
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextLib.winnowFingerprint(col("text"), 5, 4).as("fp"))
+        .select(col("doc_id"), size(col("fp")).as("n_fp"),
+          element_at(col("fp"), 1).as("fp_min"))
+        .orderBy("doc_id")),
+
     "q_assign_split" -> ((s, dir) =>
       // deterministic 80/10/10 split; md5 gate for cross-engine derivation
       graft.ops.Scale.assignSplit(t(s, dir, "documents"), "doc_id",

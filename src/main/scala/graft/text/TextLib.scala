@@ -445,6 +445,26 @@ object TextLib {
   def fingerprint(text: Column, n: Int = 3): Column =
     array_min(transform(shingles(text, n), s => xxhash64(s)))
 
+  /** Winnowing fingerprint set (Schleimer et al. 2003, the MOSS scheme):
+    * sorted distinct minima of every `w`-window over the positional k-gram
+    * hashes. Guarantees every shared run of at least w+k-1 tokens
+    * contributes at least one COMMON fingerprint between two documents,
+    * at ~1/w the storage of the full gram set — the standard
+    * plagiarism/overlap screen when duplicateSpans' full gram relation is
+    * too heavy to keep around. Texts shorter than k tokens yield an empty
+    * set; k ≤ tokens < w+k-1 yield the single global minimum; NULL text
+    * yields NULL. Fingerprint VALUES are xxhash64-family — engine-side
+    * only (spec-gated overlap laws, no SQL oracle).
+    */
+  def winnowFingerprint(text: Column, k: Int = 5, w: Int = 4): Column = {
+    val h = graft.expr.WordGramHashes(text, k)
+    val n = size(h)
+    when(n === 0, array().cast("array<bigint>"))
+      .when(n < w, array(array_min(h)))
+      .otherwise(array_sort(array_distinct(
+        transform(sequence(lit(1), n - (w - 1)), i => array_min(slice(h, i, lit(w)))))))
+  }
+
   val EnglishStopwords: Seq[String] = Seq(
     "the", "a", "an", "and", "or", "but", "if", "then", "of", "in", "on", "at", "to", "for",
     "with", "by", "from", "as", "is", "are", "was", "were", "be", "been", "it", "this", "that",

@@ -96,6 +96,27 @@ class AlgebraPropSpec extends SparkSpec {
     ratios.foreach(x => assert(x >= 0.0 && x <= 1.0, s"ratio out of range: $x"))
   }
 
+  test("paragraphDedup is idempotent; winnow fingerprints nest in gram sets") {
+    import org.apache.spark.sql.functions._
+    val boiler = "subscribe to the newsletter and follow our channels"
+    val docs = (1L to 40L).map { i =>
+      val body = (0 until 6).map(j => s"w${(i * 5 + j) % 23} token$j content").mkString(" ")
+      (i, s"$body\n\n$boiler")
+    }.toDF("doc_id", "text")
+    val once = graft.text.Dedup.paragraphDedup(docs, "text", "doc_id")
+    val twice = graft.text.Dedup.paragraphDedup(once, "text", "doc_id")
+    val a = once.select("doc_id", "text").as[(Long, String)].collect().sortBy(_._1)
+    val b = twice.select("doc_id", "text").as[(Long, String)].collect().sortBy(_._1)
+    assert(a.toSeq == b.toSeq, "a deduped corpus must be a fixed point")
+    // winnow ⊆ gram-hash set (minima come from the gram hashes themselves)
+    val rows = docs.select(
+        graft.text.TextLib.winnowFingerprint(col("text"), 3, 4).as("fp"),
+        graft.expr.WordGramHashes(col("text"), 3).as("g")).collect()
+    rows.foreach { r =>
+      assert(r.getSeq[Long](0).toSet.subsetOf(r.getSeq[Long](1).toSet))
+    }
+  }
+
   test("quota/budget/shard laws: subset, caps, idempotence, partition-invariance") {
     samples.take(4).foreach { rows =>
       // unique keys materialized BEFORE Spark (monotonically_increasing_id

@@ -292,6 +292,30 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(ds.find(_.getLong(0) == 1L).get.getAs[Long]("n_spans") == 1L)
   }
 
+  test("winnowFingerprint: shared-run guarantee, noise stability, size bound") {
+    val shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val d = Seq(
+      (1L, s"intro words here $shared closing remarks"),
+      (2L, s"совершенно other start $shared and a different tail entirely"),
+      (3L, "nothing in common with those documents at all not one single run"),
+      (4L, s"INTRO   words HERE $shared closing remarks"), // case/ws noise of 1
+      (5L, "tiny doc"),                                    // < k tokens → empty set
+      (6L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val k = 5; val w = 4
+    val fp = d.select(col("doc_id"), graft.text.TextLib.winnowFingerprint(col("text"), k, w).as("fp"))
+      .collect().map(r => r.getLong(0) -> Option(r.getSeq[Long](1))).toMap
+    // 12-token shared run >= w+k-1=8 → at least one common fingerprint
+    assert((fp(1L).get.toSet & fp(2L).get.toSet).nonEmpty, "shared run must share a fingerprint")
+    assert((fp(3L).get.toSet & fp(1L).get.toSet).isEmpty, "unrelated docs share nothing")
+    assert(fp(1L).get == fp(4L).get, "case/whitespace noise must not move fingerprints")
+    assert(fp(5L).get.isEmpty, "sub-k docs have no grams")
+    assert(fp(6L).isEmpty, "null text → null fingerprints")
+    // size bound: |fp| <= #windows <= #grams
+    val n1 = "intro words here".split(" ").length + shared.split(" ").length + 2
+    assert(fp(1L).get.length <= n1 - k + 1)
+  }
+
   test("duplicateSpans merges overlapping windows, splits distant ones") {
     // two shared passages in one doc separated by > k unique tokens → 2 spans
     val shared1 = "red orange yellow green"
