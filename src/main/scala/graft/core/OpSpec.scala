@@ -374,6 +374,11 @@ object OpCompiler {
       case "dup_spans" =>
         Dedup.duplicateSpans(df, text, id,
           s(p, "gram_tokens", "5").toInt, s(p, "min_count", "2").toInt)
+      case "snapshot_diff" =>
+        require(tables != null, "snapshot_diff requires a table catalog")
+        require(s(p, "old_table") != null,
+          "snapshot_diff requires params.old_table (the previous snapshot; the primary frame is the new one)")
+        Dedup.snapshotDiff(tables(s(p, "old_table")), df, id, text)
       case "dedup_against" =>
         require(tables != null, "dedup_against requires a table catalog")
         require(s(p, "corpus_table") != null,

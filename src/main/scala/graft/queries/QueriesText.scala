@@ -374,6 +374,20 @@ object QueriesText {
         .select("doc_id", "lang", "source")
         .orderBy("doc_id")),
 
+    "q_snapshot_diff" -> ((s, dir) => {
+      // new snapshot = old minus %11 ids, with %7 texts edited, plus %13
+      // re-ids — every status provably occurs at any SF
+      val d = t(s, dir, "documents")
+      val newDf = d.filter(col("doc_id") % 11 =!= 0)
+        .withColumn("text",
+          when(col("doc_id") % 7 === 0, concat(col("text"), lit(" edited")))
+            .otherwise(col("text")))
+        .unionByName(d.filter(col("doc_id") % 13 === 0)
+          .withColumn("doc_id", col("doc_id") + 500000L))
+      Dedup.snapshotDiff(d, newDf, "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
     "q_winnow" -> ((s, dir) =>
       // fingerprint VALUES are xxhash64-family → rows-only gate; the
       // overlap guarantees are spec-pinned (DedupSimilaritySpec)
@@ -923,6 +937,32 @@ object QueriesText {
         |WHERE CAST(CAST('0x' || substr(md5('7:' || CAST(d.doc_id AS VARCHAR)), 1, 15) AS BIGINT)
         |        % 1000000 AS BIGINT)
         |      < CAST(floor(least(1.0, 3000.0 / gw) * 1000000.0) AS BIGINT)
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_snapshot_diff" ->
+      // content equality on the normalized text directly (the engine
+      // compares sha2 of the same normalization — same equivalence);
+      // null-safe comparison: null → null is unchanged
+      """WITH o AS (
+        |  SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+        |  FROM documents),
+        |base AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 7 = 0
+        |      THEN trim(regexp_replace(lower(text || ' edited'), '\s+', ' ', 'g'))
+        |      ELSE trim(regexp_replace(lower(text), '\s+', ' ', 'g')) END AS t
+        |  FROM documents WHERE doc_id % 11 <> 0),
+        |adds AS (
+        |  SELECT doc_id + 500000 AS doc_id,
+        |    trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+        |  FROM documents WHERE doc_id % 13 = 0),
+        |n AS (SELECT * FROM base UNION ALL SELECT * FROM adds)
+        |SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+        |  CASE WHEN o.doc_id IS NULL THEN 'added'
+        |       WHEN n.doc_id IS NULL THEN 'removed'
+        |       WHEN o.t IS NOT DISTINCT FROM n.t THEN 'unchanged'
+        |       ELSE 'changed' END AS status
+        |FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
         |ORDER BY doc_id""".stripMargin,
 
     "q_assign_split" ->

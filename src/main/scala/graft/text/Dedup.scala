@@ -491,6 +491,33 @@ object Dedup {
       .drop("__ds_spans", "__ds_dup", "__ds_max", "__ds_grams")
   }
 
+  // ---------------------------------------------------------------- snapshot diff
+
+  /** Snapshot delta between two curation rounds: per-id status
+    * added / removed / changed / unchanged — the audit artifact for "what
+    * did this recipe change?", reviewed before promoting a snapshot.
+    * Content equality is the 256-bit hash of the normalized text (so
+    * whitespace/case noise is not a "change"); NULL texts compare by
+    * null-ness (null → null is unchanged). Ids present only in `newDf`
+    * are added; only in `oldDf`, removed.
+    *
+    * One exchange per side on the id (AQE sort-merge at scale); the hash
+    * comparison is row-local. Presence is tracked by marker columns, not
+    * hash null-ness — a null text is present, not absent.
+    */
+  def snapshotDiff(oldDf: DataFrame, newDf: DataFrame, idCol: String, textCol: String): DataFrame = {
+    def side(df: DataFrame, s: String) = df.select(
+      col(idCol),
+      sha2(TextLib.normalized(col(textCol)), 256).as(s"__sd_h_$s"),
+      lit(true).as(s"__sd_in_$s"))
+    side(oldDf, "old").join(side(newDf, "new"), Seq(idCol), "full_outer")
+      .select(col(idCol),
+        when(col("__sd_in_old").isNull, "added")
+          .when(col("__sd_in_new").isNull, "removed")
+          .when(col("__sd_h_old") <=> col("__sd_h_new"), "unchanged")
+          .otherwise("changed").as("status"))
+  }
+
   // ---------------------------------------------------------------- n-gram Jaccard
 
   /** Exact n-gram Jaccard similarity for candidate pairs, via an inverted

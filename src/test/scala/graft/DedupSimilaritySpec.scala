@@ -292,6 +292,22 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(ds.find(_.getLong(0) == 1L).get.getAs[Long]("n_spans") == 1L)
   }
 
+  test("snapshotDiff classifies added/removed/changed/unchanged incl. nulls") {
+    val oldDf = Seq((1L, "alpha"), (2L, "beta"), (3L, null.asInstanceOf[String]),
+      (4L, "delta"), (6L, "zeta")).toDF("doc_id", "text")
+    val newDf = Seq((1L, "ALPHA  "), (2L, "rewritten"), (3L, null.asInstanceOf[String]),
+      (5L, "epsilon"), (6L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val got = Dedup.snapshotDiff(oldDf, newDf, "doc_id", "text")
+      .as[(Long, String)].collect().toMap
+    assert(got == Map(
+      1L -> "unchanged", // case/whitespace noise is not a change
+      2L -> "changed",
+      3L -> "unchanged", // null -> null
+      4L -> "removed",
+      5L -> "added",
+      6L -> "changed"))  // text -> null IS a change
+  }
+
   test("winnowFingerprint: shared-run guarantee, noise stability, size bound") {
     val shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
     val d = Seq(
