@@ -149,3 +149,69 @@ object WordGramHashes {
   def apply(text: Column, k: Int): Column =
     GraftColumnBridge.column(WordGramHashes(GraftColumnBridge.expression(text), k))
 }
+
+/** Sorted distinct sliding-`w`-window minima of an array<long> — the
+  * winnowing reduction over WordGramHashes (Schleimer et al. 2003).
+  * O(n) via a monotonic index deque; the interpreted
+  * transform/sequence/slice/array_min chain it replaces is O(n·w) with a
+  * per-window array allocation and sits outside whole-stage codegen.
+  *
+  * Semantics (pinned by DedupSimilaritySpec/AlgebraPropSpec): empty input
+  * → empty; 0 < n < w → [global min]; else sorted distinct window minima.
+  * Input elements must be non-null (WordGramHashes' output contract).
+  */
+case class WinnowMins(child: Expression, w: Int) extends UnaryExpression {
+
+  require(w >= 1, s"WinnowMins: window must be >= 1, got $w")
+
+  override def dataType: DataType = ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+
+  override protected def nullSafeEval(input: Any): Any =
+    winnow(input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  /** Shared by eval and generated code (reference-call codegen). */
+  def winnow(arr: org.apache.spark.sql.catalyst.util.ArrayData): GenericArrayData = {
+    val n = arr.numElements()
+    if (n == 0) return new GenericArrayData(Array.emptyLongArray)
+    val h = arr.toLongArray()
+    if (n < w) {
+      var m = h(0); var i = 1
+      while (i < n) { if (h(i) < m) m = h(i); i += 1 }
+      return new GenericArrayData(Array(m))
+    }
+    val dq = new Array[Int](n) // monotonic deque of indices, values increasing
+    var head = 0; var tail = 0
+    val out = new Array[Long](n - w + 1)
+    var oi = 0; var i = 0
+    while (i < n) {
+      while (tail > head && h(dq(tail - 1)) >= h(i)) tail -= 1
+      dq(tail) = i; tail += 1
+      if (dq(head) <= i - w) head += 1
+      if (i >= w - 1) { out(oi) = h(dq(head)); oi += 1 }
+      i += 1
+    }
+    java.util.Arrays.sort(out)
+    var k = 0; var j = 1
+    while (j < out.length) {
+      if (out(j) != out(k)) { k += 1; out(k) = out(j) }
+      j += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOfRange(out, 0, k + 1))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("winnowMins", this, classOf[WinnowMins].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.winnow($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): WinnowMins =
+    copy(child = newChild)
+
+  override def prettyName: String = "graft_winnow_mins"
+}
+
+object WinnowMins {
+  def apply(hashes: Column, w: Int): Column =
+    GraftColumnBridge.column(WinnowMins(GraftColumnBridge.expression(hashes), w))
+}

@@ -178,6 +178,15 @@ object Scale {
     * shuffles. Kept counts are hash-binomial around frac_g·n_g; exact
     * counts need quotaPerGroup. NULL groups form their own group.
     */
+  /** Per-op salt decorrelation (mixtureSample's pattern, applied to every
+    * default hash gate): two gate-based ops chained on the SAME key must
+    * not read the same buckets — e.g. sample_temperature followed by
+    * assign_split would otherwise put every survivor of a frac-downsampled
+    * group below the train threshold and silently starve val/test.
+    */
+  private def opSalt(op: String, salt: Int): Int =
+    salt ^ scala.util.hashing.MurmurHash3.stringHash(op)
+
   def temperatureSample(
       df: DataFrame,
       groupCol: String,
@@ -209,7 +218,8 @@ object Scale {
       if (g == null) when(col(groupCol).isNull, lit(f)).otherwise(acc)
       else when(col(groupCol) === lit(g), lit(f)).otherwise(acc)
     }
-    val bucket = gate.getOrElse(pmod(xxhash64(col(keyCol), lit(salt)), lit(1000000L)))
+    val bucket = gate.getOrElse(
+      pmod(xxhash64(col(keyCol), lit(opSalt("sample_temperature", salt))), lit(1000000L)))
     df.filter(bucket < floor(fracCol * lit(1000000.0) + lit(1e-6)))
   }
 
@@ -237,16 +247,23 @@ object Scale {
     require(splits.forall(_._2 > 0.0), s"assignSplit: weights must be positive, got $splits")
     require(splits.map(_._2).sum <= 1.0 + 1e-9,
       s"assignSplit: weights sum to ${splits.map(_._2).sum} > 1")
-    val bucket = gate.getOrElse(pmod(xxhash64(col(keyCol), lit(salt)), lit(1000000L)))
+    val bucket = gate.getOrElse(
+      pmod(xxhash64(col(keyCol), lit(opSalt("assign_split", salt))), lit(1000000L)))
     // cumulative thresholds accumulate left-to-right on the driver —
-    // deterministic; later bands win only if earlier ones didn't match
-    val (labelCol, _) = splits.foldLeft((lit(null).cast("string"), 0.0)) {
+    // deterministic. A chained when gives first-match semantics in a
+    // LINEAR expression tree (embedding the accumulator in an otherwise()
+    // doubles the tree per band — 2^|splits| nodes)
+    val (labelCol, _) = splits.foldLeft((Option.empty[Column], 0.0)) {
       case ((acc, cum), (label, w)) =>
         val hi = cum + w
         val cond = bucket < floor(lit(hi) * lit(1000000.0) + lit(1e-6))
-        (when(cond && acc.isNull, lit(label)).otherwise(acc), hi)
+        val next = acc match {
+          case None    => when(cond, lit(label))
+          case Some(c) => c.when(cond, lit(label))
+        }
+        (Some(next), hi)
     }
-    df.withColumn(outCol, labelCol)
+    df.withColumn(outCol, labelCol.get)
   }
 
   /** Epoch-style data repetition — the explicit UPSAMPLING complement of
@@ -275,7 +292,8 @@ object Scale {
   ): DataFrame = {
     require(epochs.values.forall(_ >= 0.0),
       s"repeatEpochs: epoch counts must be >= 0, got $epochs")
-    val bucket = gate.getOrElse(pmod(xxhash64(col(keyCol), lit(salt)), lit(1000000L)))
+    val bucket = gate.getOrElse(
+      pmod(xxhash64(col(keyCol), lit(opSalt("repeat_epochs", salt))), lit(1000000L)))
     // per-group copy count = floor(e) + (bucket < floor(frac(e)·1e6 + 1e-6))
     val copies = epochs.toSeq.sortBy(_._1).foldLeft(lit(1).cast("int")) {
       case (acc, (g, e)) =>

@@ -23,6 +23,14 @@ object QueriesText {
     * `regexp_replace(text, '\s+\S+\s*$', '')` + `doc_id + 100000` and must
     * stay in lockstep.
     */
+  /** Cross-engine gate: md5-derived bucket of 1e6 an external SQL engine
+    * can re-derive (the engine default is xxhash64, which DuckDB lacks).
+    * The prefix doubles as the salt — keep it distinct per query.
+    */
+  private def md5Gate(prefix: String) =
+    conv(substring(md5(concat(lit(prefix), col("doc_id").cast("string"))), 1, 15),
+      16, 10).cast("long") % 1000000L
+
   private def mutateLastWordDrop(d: org.apache.spark.sql.DataFrame, offset: Long = 100000L) =
     d.withColumn("doc_id", col("doc_id") + offset)
       .withColumn("text", regexp_replace(col("text"), "\\s+\\S+\\s*$", ""))
@@ -359,8 +367,7 @@ object QueriesText {
       // re-derives the exact kept set (engine default is xxhash64)
       graft.ops.Scale.sampleToBudget(t(s, dir, "documents"), "n_chars", "source", "doc_id",
           budget = 3000L,
-          gate = Some(conv(substring(md5(concat(lit("7:"), col("doc_id").cast("string"))), 1, 15),
-            16, 10).cast("long") % 1000000L))
+          gate = Some(md5Gate("7:")))
         .select("doc_id", "source", "n_chars")
         .orderBy("doc_id")),
 
@@ -369,8 +376,7 @@ object QueriesText {
       // md5-derived gate so DuckDB re-derives the exact kept set
       graft.ops.Scale.temperatureSample(t(s, dir, "documents"), "lang", "doc_id",
           alpha = 0.5, totalRows = 300,
-          gate = Some(conv(substring(md5(concat(lit("9:"), col("doc_id").cast("string"))), 1, 15),
-            16, 10).cast("long") % 1000000L))
+          gate = Some(md5Gate("9:")))
         .select("doc_id", "lang", "source")
         .orderBy("doc_id")),
 
@@ -401,8 +407,7 @@ object QueriesText {
       // deterministic 80/10/10 split; md5 gate for cross-engine derivation
       graft.ops.Scale.assignSplit(t(s, dir, "documents"), "doc_id",
           Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
-          gate = Some(conv(substring(md5(concat(lit("11:"), col("doc_id").cast("string"))), 1, 15),
-            16, 10).cast("long") % 1000000L))
+          gate = Some(md5Gate("11:")))
         .select("doc_id", "lang", "split")
         .orderBy("doc_id")),
 
@@ -410,8 +415,7 @@ object QueriesText {
       // 2.5 epochs of English, 0.5 of German, 1 of everything else
       graft.ops.Scale.repeatEpochs(t(s, dir, "documents"), "lang", "doc_id",
           Map("en" -> 2.5, "de" -> 0.5),
-          gate = Some(conv(substring(md5(concat(lit("13:"), col("doc_id").cast("string"))), 1, 15),
-            16, 10).cast("long") % 1000000L))
+          gate = Some(md5Gate("13:")))
         .select("doc_id", "lang", "epoch")
         .orderBy("doc_id", "epoch")),
 

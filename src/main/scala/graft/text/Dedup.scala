@@ -503,10 +503,14 @@ object Dedup {
     *
     * One exchange per side on the id (AQE sort-merge at scale); the hash
     * comparison is row-local. Presence is tracked by marker columns, not
-    * hash null-ness — a null text is present, not absent.
+    * hash null-ness — a null text is present, not absent. Rows with a
+    * NULL id carry no identity to diff on and are EXCLUDED from the
+    * report (the equi-join would otherwise double-count each as one
+    * removal plus one addition) — same no-identity convention as
+    * paragraphDedup / duplicateSpans.
     */
   def snapshotDiff(oldDf: DataFrame, newDf: DataFrame, idCol: String, textCol: String): DataFrame = {
-    def side(df: DataFrame, s: String) = df.select(
+    def side(df: DataFrame, s: String) = df.filter(col(idCol).isNotNull).select(
       col(idCol),
       sha2(TextLib.normalized(col(textCol)), 256).as(s"__sd_h_$s"),
       lit(true).as(s"__sd_in_$s"))

@@ -454,15 +454,13 @@ object TextLib {
     * too heavy to keep around. Texts shorter than k tokens yield an empty
     * set; k ≤ tokens < w+k-1 yield the single global minimum; NULL text
     * yields NULL. Fingerprint VALUES are xxhash64-family — engine-side
-    * only (spec-gated overlap laws, no SQL oracle).
+    * only (spec-gated overlap laws, no SQL oracle). Both stages are native
+    * expressions (WordGramHashes → WinnowMins, an O(n) monotonic-deque
+    * sliding min) — the HOF slice/array_min chain was O(n·w) interpreted.
     */
   def winnowFingerprint(text: Column, k: Int = 5, w: Int = 4): Column = {
-    val h = graft.expr.WordGramHashes(text, k)
-    val n = size(h)
-    when(n === 0, array().cast("array<bigint>"))
-      .when(n < w, array(array_min(h)))
-      .otherwise(array_sort(array_distinct(
-        transform(sequence(lit(1), n - (w - 1)), i => array_min(slice(h, i, lit(w)))))))
+    require(k >= 1 && w >= 1, s"winnowFingerprint: k and w must be >= 1, got k=$k w=$w")
+    graft.expr.WinnowMins(graft.expr.WordGramHashes(text, k), w)
   }
 
   val EnglishStopwords: Seq[String] = Seq(

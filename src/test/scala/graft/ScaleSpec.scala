@@ -199,6 +199,26 @@ class ScaleSpec extends SparkSpec {
     assert(hold > 2300 && hold < 2700, s"expected ~half held out, got $hold")
   }
 
+  test("chained gate ops stay decorrelated: sampled survivors still split") {
+    // temperatureSample then assignSplit on the SAME key and default salts:
+    // with a shared gate every survivor of a 50%-downsampled group would sit
+    // below the train threshold and val/test would be silently empty
+    val df = (1L to 4000L).map(i => (i, "web")).toDF("id", "grp")
+    val sampled = Scale.temperatureSample(df, "grp", "id", alpha = 1.0, totalRows = 2000)
+    val split = Scale.assignSplit(sampled, "id", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .groupBy("split").count().as[(String, Long)].collect().toMap
+    assert(split.contains("val") && split("val") > 100,
+      s"val band starved — gates correlated: $split")
+    assert(split.contains("test") && split("test") > 100,
+      s"test band starved — gates correlated: $split")
+    // and repeatEpochs' fractional gate is independent of assignSplit's
+    val rep = Scale.repeatEpochs(df, "grp", "id", Map("web" -> 1.5))
+    val repSplit = Scale.assignSplit(rep, "id", Seq("train" -> 0.5, "val" -> 0.5))
+      .filter(col("epoch") === 2).groupBy("split").count()
+      .as[(String, Long)].collect().toMap
+    assert(repSplit.getOrElse("val", 0L) > 600, s"epoch-2 rows must still split: $repSplit")
+  }
+
   test("repeatEpochs repeats per recipe: fractional, zero, and default groups") {
     val df = ((1L to 400L).map(i => (i, "en")) ++ (401L to 500L).map(i => (i, "de")) ++
       (501L to 600L).map(i => (i, "zz"))).toDF("id", "lang")
