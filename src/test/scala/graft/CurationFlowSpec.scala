@@ -61,4 +61,40 @@ class CurationFlowSpec extends SparkSpec {
       assert(g.map(_._3).sorted.toSeq == (1 to g.length).toSeq, "pos must be dense per shard")
     }
   }
+
+  test("CCNet-style gate composes: LM score → per-lang perplexity buckets") {
+    // two languages with distinct vocabularies; a few gibberish docs per
+    // language must land in the tail bucket of THEIR language
+    val docs = ((1L to 60L).map { i =>
+      val t = (0 until 12).map(j => s"en${(i + j) % 9}").mkString(" ")
+      (i, "en", t)
+    } ++ (61L to 120L).map { i =>
+      val t = (0 until 12).map(j => s"de${(i + j) % 9}").mkString(" ")
+      (i, "de", t)
+    } ++ Seq((200L, "en", "zzq wwx vvk jjy qqz xxw kkv yyj zqz wxw"),
+             (201L, "de", "qzq xwx vkv jyj zqz wxw kvk yjy qqq xxx")))
+      .toDF("doc_id", "lang", "text")
+    val scored = graft.text.TextLib.unigramScore(docs, "text", "doc_id")
+    val bucketed = graft.functions.FeatureLib.binQuantileGrouped(
+      scored, "lm_logprob", 3, Seq("lang"),
+      outCol = "ppl_bucket", labels = Seq("tail", "middle", "head"))
+    val rows = bucketed.select("doc_id", "lang", "ppl_bucket")
+      .as[(Long, String, String)].collect()
+    // rare-token docs score lowest within their own language → tail
+    assert(rows.find(_._1 == 200L).get._3 == "tail")
+    assert(rows.find(_._1 == 201L).get._3 == "tail")
+    // tertiles are roughly balanced per language
+    Seq("en", "de").foreach { l =>
+      val c = rows.filter(_._2 == l).groupBy(_._3).map { case (k, v) => k -> v.length }
+      assert(c.keySet == Set("tail", "middle", "head"), s"$l: $c")
+      assert(c.values.min >= 10, s"$l buckets badly unbalanced: $c")
+    }
+    // the gate a pipeline actually applies: drop the tail. With heavily
+    // tied scores (9 distinct values per lang here) the tail absorbs every
+    // doc AT the cut point — so it can exceed a third; the gate still
+    // keeps a meaningful fraction and drops the planted gibberish
+    val kept = bucketed.filter($"ppl_bucket" =!= "tail")
+    assert(kept.count() < docs.count() && kept.count() >= docs.count() / 3)
+    assert(kept.filter($"doc_id".isin(200L, 201L)).count() == 0)
+  }
 }
