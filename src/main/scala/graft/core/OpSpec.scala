@@ -364,6 +364,8 @@ object OpCompiler {
           corpus = if (lmCorpus == null) null else tables(lmCorpus),
           corpusTextCol = s(p, "corpus_text_column", text),
           vocabSize = s(p, "vocab_size", "50000").toInt)
+      case "script_profile" =>
+        TextLib.scriptProfile(df, text)
       case "winnow" =>
         df.withColumn(s(p, "output_column", "fingerprints"),
           TextLib.winnowFingerprint(col(text),

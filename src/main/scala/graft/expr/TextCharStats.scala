@@ -52,6 +52,77 @@ case class TextCharStats(child: Expression) extends UnaryExpression {
   override def prettyName: String = "graft_text_char_stats"
 }
 
+/** Unicode-script composition of a text in ONE pass:
+  * struct<n_chars, n_ws, n_digit, n_latin, n_han, n_cyrillic, n_arabic,
+  * n_other> — the script-mix signal of multilingual corpus curation
+  * (mixed-script spam, wrong-language contamination, transliteration
+  * artifacts). Classification precedence (pinned for the oracle):
+  * whitespace (the Java \s set) → ASCII digit → Unicode Script class →
+  * other. Script assignment via Character.UnicodeScript — the same
+  * Unicode property RE2's \p{Latin}/\p{Han}/... implement, so a DuckDB
+  * oracle counts by regexp-class removal (table-version skew only affects
+  * exotic recent codepoints).
+  */
+case class ScriptCounts(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ScriptCounts.schema
+  override def nullable: Boolean = child.nullable
+
+  override protected def nullSafeEval(input: Any): Any =
+    ScriptCounts.compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.expr.ScriptCounts.compute($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): ScriptCounts =
+    copy(child = newChild)
+
+  override def prettyName: String = "graft_script_counts"
+}
+
+object ScriptCounts {
+  val schema: StructType = StructType(Seq(
+    StructField("n_chars", IntegerType, nullable = false),
+    StructField("n_ws", IntegerType, nullable = false),
+    StructField("n_digit", IntegerType, nullable = false),
+    StructField("n_latin", IntegerType, nullable = false),
+    StructField("n_han", IntegerType, nullable = false),
+    StructField("n_cyrillic", IntegerType, nullable = false),
+    StructField("n_arabic", IntegerType, nullable = false),
+    StructField("n_other", IntegerType, nullable = false)))
+
+  def compute(input: UTF8String): GenericInternalRow = {
+    val s = input.toString
+    var nChars = 0; var nWs = 0; var nDigit = 0; var nLatin = 0
+    var nHan = 0; var nCyr = 0; var nAr = 0; var nOther = 0
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      nChars += 1
+      if (cp == ' ' || cp == '\t' || cp == '\n' || cp == 0x0B || cp == '\f' || cp == '\r') nWs += 1
+      else if (cp >= '0' && cp <= '9') nDigit += 1
+      else {
+        Character.UnicodeScript.of(cp) match {
+          case Character.UnicodeScript.LATIN    => nLatin += 1
+          case Character.UnicodeScript.HAN      => nHan += 1
+          case Character.UnicodeScript.CYRILLIC => nCyr += 1
+          case Character.UnicodeScript.ARABIC   => nAr += 1
+          case _                                => nOther += 1
+        }
+      }
+      i += Character.charCount(cp)
+    }
+    val row = new GenericInternalRow(8)
+    row.setInt(0, nChars); row.setInt(1, nWs); row.setInt(2, nDigit); row.setInt(3, nLatin)
+    row.setInt(4, nHan); row.setInt(5, nCyr); row.setInt(6, nAr); row.setInt(7, nOther)
+    row
+  }
+
+  def apply(text: Column): Column =
+    GraftColumnBridge.column(ScriptCounts(GraftColumnBridge.expression(text)))
+}
+
 object TextCharStats {
   // Java regex \s = [ \t\n\x0B\f\r] — NOT Character.isWhitespace
   @inline private def isWs(cp: Int): Boolean =

@@ -380,6 +380,22 @@ object QueriesText {
         .select("doc_id", "lang", "source")
         .orderBy("doc_id")),
 
+    "q_script_profile" -> ((s, dir) =>
+      // plant a multi-script suffix so every script class provably counts
+      // at any SF; ratios rounded at the edge per convention
+      TextLib.scriptProfile(
+          t(s, dir, "documents")
+            .withColumn("text", concat(col("text"), lit(" Привет مرحبا 你好 ok 42"))),
+          "text")
+        .select(col("doc_id"), col("n_chars_sc"),
+          roundf(col("latin_ratio"), 6).as("latin_ratio"),
+          roundf(col("han_ratio"), 6).as("han_ratio"),
+          roundf(col("cyrillic_ratio"), 6).as("cyrillic_ratio"),
+          roundf(col("arabic_ratio"), 6).as("arabic_ratio"),
+          roundf(col("digit_ratio_sc"), 6).as("digit_ratio_sc"),
+          roundf(col("other_ratio_sc"), 6).as("other_ratio_sc"))
+        .orderBy("doc_id")),
+
     "q_snapshot_diff" -> ((s, dir) => {
       // new snapshot = old minus %11 ids, with %7 texts edited, plus %13
       // re-ids — every status provably occurs at any SF
@@ -942,6 +958,39 @@ object QueriesText {
         |        % 1000000 AS BIGINT)
         |      < CAST(floor(least(1.0, 3000.0 / gw) * 1000000.0) AS BIGINT)
         |ORDER BY doc_id""".stripMargin,
+
+    "q_script_profile" ->
+      // per-class counts by regexp-class removal; classification precedence
+      // mirrors the engine (ws → ASCII digit → script → other), so digits
+      // are subtracted from no script class (Unicode digits are Common
+      // script) and \x0B-class ws is the pinned Java dialect
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    text || ' Привет مرحبا 你好 ok 42' AS t
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id,
+        |    CAST(length(t) AS INT) AS n_chars,
+        |    length(t) - length(regexp_replace(t, '[ \t\n\v\f\r]', '', 'g')) AS n_ws,
+        |    length(t) - length(regexp_replace(t, '[0-9]', '', 'g')) AS n_digit,
+        |    length(t) - length(regexp_replace(t, '[\p{Latin}]', '', 'g')) AS n_latin,
+        |    length(t) - length(regexp_replace(t, '[\p{Han}]', '', 'g')) AS n_han,
+        |    length(t) - length(regexp_replace(t, '[\p{Cyrillic}]', '', 'g')) AS n_cyrillic,
+        |    length(t) - length(regexp_replace(t, '[\p{Arabic}]', '', 'g')) AS n_arabic
+        |  FROM p),
+        |d AS (
+        |  SELECT doc_id, n_chars, n_ws, n_digit, n_latin, n_han, n_cyrillic, n_arabic,
+        |    CAST(nullif(n_chars - n_ws, 0) AS DOUBLE) AS denom
+        |  FROM c)
+        |SELECT doc_id, n_chars AS n_chars_sc,
+        |  round(n_latin / denom + 1e-9, 6) AS latin_ratio,
+        |  round(n_han / denom + 1e-9, 6) AS han_ratio,
+        |  round(n_cyrillic / denom + 1e-9, 6) AS cyrillic_ratio,
+        |  round(n_arabic / denom + 1e-9, 6) AS arabic_ratio,
+        |  round(n_digit / denom + 1e-9, 6) AS digit_ratio_sc,
+        |  round((n_chars - n_ws - n_digit - n_latin - n_han - n_cyrillic - n_arabic) / denom + 1e-9, 6)
+        |    AS other_ratio_sc
+        |FROM d ORDER BY doc_id""".stripMargin,
 
     "q_snapshot_diff" ->
       // content equality on the normalized text directly (the engine

@@ -125,6 +125,26 @@ object TextLib {
         when(col("len_bin") >= 0, expr("shiftleft(CAST(1 AS BIGINT), len_bin + 1) - 1")))
   }
 
+  /** Unicode-script composition per document (native ScriptCounts, one
+    * pass): counts + ratios for latin/han/cyrillic/arabic, digits,
+    * whitespace, other — the mixed-script spam / wrong-language
+    * contamination signal. Ratios are over non-whitespace chars and stay
+    * raw doubles (round at the edge); empty/whitespace-only docs get null
+    * ratios (ANSI-safe nullif denominator).
+    */
+  def scriptProfile(df: DataFrame, textCol: String): DataFrame = {
+    val denom = nullif((col("__sc.n_chars") - col("__sc.n_ws")).cast("double"), lit(0.0))
+    df.withColumn("__sc", graft.expr.ScriptCounts(col(textCol)))
+      .withColumn("n_chars_sc", col("__sc.n_chars"))
+      .withColumn("latin_ratio", col("__sc.n_latin") / denom)
+      .withColumn("han_ratio", col("__sc.n_han") / denom)
+      .withColumn("cyrillic_ratio", col("__sc.n_cyrillic") / denom)
+      .withColumn("arabic_ratio", col("__sc.n_arabic") / denom)
+      .withColumn("digit_ratio_sc", col("__sc.n_digit") / denom)
+      .withColumn("other_ratio_sc", col("__sc.n_other") / denom)
+      .drop("__sc")
+  }
+
   // ---------------------------------------------------------------- language ID
 
   /** Stopword-marker language ID: score each candidate language by the

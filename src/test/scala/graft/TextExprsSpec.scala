@@ -140,6 +140,27 @@ class TextExprsSpec extends SparkSpec {
     }
   }
 
+  test("ScriptCounts pins the classification precedence, hand-computed") {
+    // 15 code points: ws(5: 3 spaces + tab ... ), digits(2: ASCII only),
+    // latin(3: a b z), han(1), cyrillic(1), arabic(2: م and ٣ — the
+    // ARABIC-INDIC digit is script Arabic, NOT an ASCII digit), other(1: €)
+    val s = "ab я 你 ٣م 12\tz€"
+    val out = Seq(Tuple1(s)).toDF("t")
+      .select(graft.expr.ScriptCounts(col("t")).as("sc")).collect()(0).getStruct(0)
+    assert(out.getInt(0) == 15, "n_chars")
+    assert(out.getInt(1) == 5, "n_ws")
+    assert(out.getInt(2) == 2, "n_digit")
+    assert(out.getInt(3) == 3, "n_latin")
+    assert(out.getInt(4) == 1, "n_han")
+    assert(out.getInt(5) == 1, "n_cyrillic")
+    assert(out.getInt(6) == 2, "n_arabic")
+    assert(out.getInt(7) == 1, "n_other")
+    // astral CJK (U+20000, surrogate pair) counts once, as Han
+    val astral = Seq(Tuple1(new String(Character.toChars(0x20000)))).toDF("t")
+      .select(graft.expr.ScriptCounts(col("t")).as("sc")).collect()(0).getStruct(0)
+    assert(astral.getInt(0) == 1 && astral.getInt(4) == 1)
+  }
+
   test("WordGramHashes matches the HOF gram-hash formulation bit-for-bit") {
     val df = samples.zipWithIndex.map { case (t, i) => (i, t) }.toDF("id", "t")
     val ws = filter(split(TextLib.normalized(col("t")), " "), x => x =!= "")
@@ -169,7 +190,9 @@ class TextExprsSpec extends SparkSpec {
         graft.expr.WordSetCounts(col("t"), TextLib.Markers.map(_._2)).as("wscs"),
         graft.expr.WordShingles(col("t"), 2).as("sh"),
         graft.expr.MinHashSig(graft.expr.WordShingles(col("t"), 2), 16).as("mh"),
-        graft.expr.UnicodeNormalize(col("t"), "NFC").as("nfc"))
+        graft.expr.UnicodeNormalize(col("t"), "NFC").as("nfc"),
+        graft.expr.ScriptCounts(col("t")).as("sc"),
+        graft.expr.WinnowMins(graft.expr.WordGramHashes(col("t"), 2), 3).as("wm"))
       .orderBy("id").collect().map(_.toString).toSeq
     val conf = spark.conf
     val prev = Seq("spark.sql.codegen.factoryMode", "spark.sql.codegen.wholeStage",
