@@ -49,7 +49,11 @@ object GraftFunctions {
     "graft_exact_percentile" ->
       (exprs => ExactPercentile(exprs.head, doubleLit(exprs(1), "percentage")).toAggregateExpression()),
     "graft_dot" -> (exprs => DotProduct(exprs.head, exprs(1))),
-    "graft_l2norm" -> (exprs => L2NormExpr(exprs.head)))
+    "graft_l2norm" -> (exprs => L2NormExpr(exprs.head)),
+    "graft_text_char_stats" -> (exprs => TextCharStats(exprs.head)),
+    "graft_script_counts" -> (exprs => ScriptCounts(exprs.head)),
+    "graft_word_gram_hashes" -> (exprs => WordGramHashes(exprs.head, intLit(exprs(1), "k"))),
+    "graft_winnow_mins" -> (exprs => WinnowMins(exprs.head, intLit(exprs(1), "w"))))
 
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry

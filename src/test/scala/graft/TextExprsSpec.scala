@@ -37,12 +37,18 @@ class TextExprsSpec extends SparkSpec {
       """SELECT graft_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d,
         |       graft_l2norm(array(3.0d, 4.0d)) AS n,
         |       size(graft_word_shingles('a b c d', 3)) AS k,
-        |       size(graft_minhash_sig(graft_word_shingles('a b c d', 2), 16)) AS m
+        |       size(graft_minhash_sig(graft_word_shingles('a b c d', 2), 16)) AS m,
+        |       graft_text_char_stats('Ab 12!').n_tokens AS t,
+        |       graft_script_counts('a я 你').n_cyrillic AS c,
+        |       size(graft_winnow_mins(graft_word_gram_hashes('a b c d e', 2), 3)) AS w
         |""".stripMargin).collect()(0)
     assert(r.getDouble(0) == 11.0)
     assert(r.getDouble(1) == 5.0)
     assert(r.getInt(2) == 2)
     assert(r.getInt(3) == 16)
+    assert(r.getInt(4) == 2)
+    assert(r.getInt(5) == 1)
+    assert(r.getInt(6) >= 1 && r.getInt(6) <= 2) // 4 grams, 2 windows, distinct minima
   }
 
   test("UnicodeNormalize matches java.text.Normalizer and is idempotent") {
