@@ -8,11 +8,16 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * callable from `custom_sql` / `expr()` / pipeline YAML alongside the
   * built-ins (guide: functionRegistry.createOrReplaceTempFunction).
   *
+  *   graft_unicode_normalize(text[, form]) → string
   *   graft_word_shingles(text, n)         → array<string>
   *   graft_minhash_sig(shingles, k)       → array<bigint>
   *   graft_exact_percentile(col, p)       → double (aggregate)
   *   graft_dot(a, b)                      → double
   *   graft_l2norm(a)                      → double
+  *   graft_text_char_stats(text)          → struct<n_chars, n_punct, n_digit, n_upper, n_nonws, n_tokens>
+  *   graft_script_counts(text)            → struct<n_chars, n_ws, n_digit, n_latin, n_han, n_cyrillic, n_arabic, n_other>
+  *   graft_word_gram_hashes(text, k)      → array<bigint> (positional k-gram xxhash64)
+  *   graft_winnow_mins(hashes, w)         → array<bigint> (winnowing fingerprint set)
   *
   * Two registration paths, same builder table:
   *   - `GraftFunctions.register(spark)` on a live session (temp functions);

@@ -100,7 +100,7 @@ object ScriptCounts {
     while (i < s.length) {
       val cp = s.codePointAt(i)
       nChars += 1
-      if (cp == ' ' || cp == '\t' || cp == '\n' || cp == 0x0B || cp == '\f' || cp == '\r') nWs += 1
+      if (TextCharStats.isWs(cp)) nWs += 1 // ONE pinned \s dialect for both kernels
       else if (cp >= '0' && cp <= '9') nDigit += 1
       else {
         Character.UnicodeScript.of(cp) match {
@@ -124,8 +124,9 @@ object ScriptCounts {
 }
 
 object TextCharStats {
-  // Java regex \s = [ \t\n\x0B\f\r] — NOT Character.isWhitespace
-  @inline private def isWs(cp: Int): Boolean =
+  // Java regex \s = [ \t\n\x0B\f\r] — NOT Character.isWhitespace.
+  // Shared with ScriptCounts: the whitespace dialect is oracle-pinned once.
+  @inline private[expr] def isWs(cp: Int): Boolean =
     cp == ' ' || cp == '\t' || cp == '\n' || cp == 0x0B || cp == '\f' || cp == '\r'
 
   @inline private def isPunct(cp: Int): Boolean =

@@ -113,6 +113,7 @@ class PipelineSpec extends SparkSpec {
          |operations:
          |  - { type: text_processing, params: { operation: para_dedup } }
          |  - { type: text_processing, params: { operation: dup_spans, gram_tokens: 3 } }
+         |  - { type: text_processing, params: { operation: script_profile } }
          |  - { type: feature_engineering, params: { operation: binning, method: quantile_grouped,
          |      column: n_tokens, bins: 2, group_by: [lang], output_column: len_bucket } }
          |""".stripMargin
@@ -128,6 +129,9 @@ class PipelineSpec extends SparkSpec {
     assert(rows(0)._3 == 0L && rows(1)._3 == 0L)
     // grouped binning ran over the dup_spans-added n_tokens column
     assert(rows.map(_._4).forall(b => b == 0 || b == 1))
+    // script_profile's YAML entry point ran: all-latin corpus → ratio 1
+    val lr = out.select("latin_ratio").collect().map(_.getDouble(0))
+    assert(lr.forall(r => r > 0.9))
   }
 
   test("examples/training_data_pipeline.yaml runs end-to-end on sf0.001") {

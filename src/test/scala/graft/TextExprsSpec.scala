@@ -147,7 +147,7 @@ class TextExprsSpec extends SparkSpec {
   }
 
   test("ScriptCounts pins the classification precedence, hand-computed") {
-    // 15 code points: ws(5: 3 spaces + tab ... ), digits(2: ASCII only),
+    // 15 code points: ws(5: 4 spaces + tab), digits(2: ASCII only),
     // latin(3: a b z), han(1), cyrillic(1), arabic(2: م and ٣ — the
     // ARABIC-INDIC digit is script Arabic, NOT an ASCII digit), other(1: €)
     val s = "ab я 你 ٣م 12\tz€"
