@@ -255,6 +255,37 @@ class DirtyDataSpec extends SparkSpec {
     assert(re(1L) == 3 && re(3L) == 0)
   }
 
+  test("batch-3 operators survive empty and degenerate inputs") {
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(Dedup.paragraphDedup(empty, "text", "doc_id").count() == 0)
+    assert(Dedup.duplicateSpans(empty, "text", "doc_id").count() == 0)
+    assert(Dedup.snapshotDiff(empty, empty, "doc_id", "text").count() == 0)
+    val emptyG = Seq.empty[(Long, String)].toDF("id", "grp")
+    assert(graft.ops.Scale.temperatureSample(emptyG, "grp", "id", 0.5, 100).count() == 0)
+    assert(graft.ops.Scale.assignSplit(emptyG, "id", Seq("train" -> 1.0)).count() == 0)
+    assert(graft.ops.Scale.repeatEpochs(emptyG, "grp", "id", Map("x" -> 2.0)).count() == 0)
+
+    // a fully-duplicated corpus: one survivor paragraph total
+    val clones = (1L to 20L).map(i => (i, "the same paragraph each time")).toDF("doc_id", "text")
+    val pd = Dedup.paragraphDedup(clones, "text", "doc_id")
+      .select("doc_id", "n_paras_kept").as[(Long, Int)].collect().toMap
+    assert(pd(1L) == 1 && (2L to 20L).forall(pd(_) == 0))
+    // duplicateSpans: every gram duplicated → every doc fully covered
+    val ds = Dedup.duplicateSpans(clones, "text", "doc_id", k = 3, minCount = 2)
+      .select("dup_ratio").as[Double].collect()
+    assert(ds.forall(_ == 1.0))
+
+    // constant column: all quantile cuts equal → everything bins to 0
+    val const = Seq(("a", 5.0), ("a", 5.0), ("b", 5.0), ("b", 5.0)).toDF("g", "v")
+    val bins = graft.functions.FeatureLib.binQuantileGrouped(const, "v", 4, Seq("g"))
+      .select("v_qbin").as[Int].collect()
+    assert(bins.forall(_ == 0))
+
+    // single-group temperatureSample ≈ plain rate; tiny group keeps all
+    val one = (1L to 10L).map(i => (i, "only")).toDF("id", "grp")
+    assert(graft.ops.Scale.temperatureSample(one, "grp", "id", 1.0, 1000).count() == 10)
+  }
+
   test("lengthHistogram bins integer-exactly and routes null/non-positive to bin -1") {
     val df = Seq[java.lang.Long](null, 0L, -5L, 1L, 2L, 3L, 4L, 7L, 8L, 1024L, 1025L)
       .toDF("n")
