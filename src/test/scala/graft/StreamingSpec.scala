@@ -169,6 +169,32 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stateless curation ops run unchanged on streaming frames") {
+    // assignSplit / scriptProfile / redactPii are row-local pure
+    // projections — the SAME code drives batch and micro-batch. This pins
+    // that none of them smuggles in an aggregate/window that a stream
+    // would reject at analysis.
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Doc]
+    val piped = graft.ops.Scale.assignSplit(
+      graft.text.TextLib.scriptProfile(
+        input.toDF().withColumn("text", graft.text.TextLib.redactPii(col("text"))),
+        "text"),
+      "id", Seq("train" -> 0.5, "val" -> 0.5))
+    val q = StreamOps.runToMemory(piped, "scur")
+    try {
+      input.addData(
+        Doc(t("2024-01-01 00:00:00"), 1L, "mail me a@b.co about Привет"),
+        Doc(t("2024-01-01 00:01:00"), 2L, "plain latin text here"))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT id, text, split, cyrillic_ratio FROM scur")
+        .collect().map(r => r.getLong(0) -> r).toMap
+      assert(rows(1L).getString(1).contains("<EMAIL>"), "redaction ran in-stream")
+      assert(Set("train", "val").contains(rows(1L).getString(2)))
+      assert(rows(1L).getDouble(3) > 0.0, "script profile ran in-stream")
+    } finally q.stop()
+  }
+
   test("excludeKeysStream drops exactly the blocklisted keys, no state") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Doc]
