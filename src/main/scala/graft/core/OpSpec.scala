@@ -366,6 +366,24 @@ object OpCompiler {
           vocabSize = s(p, "vocab_size", "50000").toInt)
       case "script_profile" =>
         TextLib.scriptProfile(df, text)
+      case "quality_classifier" =>
+        val feats = seqOf(p, "feature_columns")
+        require(feats.nonEmpty,
+          "quality_classifier requires params.feature_columns (numeric feature list)")
+        val labelCol = s(p, "label_column")
+        val signal = s(p, "signal_column")
+        require(labelCol != null || signal != null,
+          "quality_classifier requires params.label_column (0/1 labels) or " +
+            "params.signal_column (pseudo-label from a ranking signal)")
+        val labeled =
+          if (labelCol != null) df
+          else graft.quality.QualityClassifier.pseudoLabelByQuantile(df, signal,
+            s(p, "lo_quantile", "0.3").toDouble, s(p, "hi_quantile", "0.7").toDouble)
+        val m = graft.quality.QualityClassifier.train(labeled,
+          Option(labelCol).getOrElse("quality_label"), feats,
+          s(p, "max_iter", "50").toInt, s(p, "reg_param", "0.01").toDouble)
+        graft.quality.QualityClassifier.score(labeled, m,
+          s(p, "output_column", "quality_prob"))
       case "winnow" =>
         df.withColumn(s(p, "output_column", "fingerprints"),
           TextLib.winnowFingerprint(col(text),

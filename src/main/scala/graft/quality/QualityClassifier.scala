@@ -1,0 +1,76 @@
+package graft.quality
+
+import org.apache.spark.ml.classification.{LogisticRegression, LogisticRegressionModel}
+import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Classifier-based document quality gate — the GPT-3/WebText recipe: train
+  * a linear classifier to distinguish a REFERENCE corpus (curated, assumed
+  * good) from the raw crawl, then keep crawl documents the model scores
+  * reference-like. Heuristic filters (TextLib.qualityScore) are blunt
+  * instruments; the classifier learns which combination of the same
+  * signals separates the corpora.
+  *
+  * Features are plain numeric columns (typically TextLib.qualityFeatures
+  * output: ratios, lengths, lm_logprob) — nulls are imputed to 0.0 before
+  * assembly (empty-doc ratios are null by convention; the classifier
+  * should see them as the degenerate value, not crash). Training is
+  * MLlib's distributed L-BFGS; scoring is a broadcast-model projection
+  * (one codegen'd pass, no shuffle).
+  *
+  * No SQL oracle: L-BFGS coefficients depend on float reduction order —
+  * the gate is rows-only + property specs (separable data → high accuracy,
+  * score monotone in the planted signal).
+  */
+object QualityClassifier {
+
+  case class Model(lr: LogisticRegressionModel, features: Seq[String])
+
+  private def assemble(df: DataFrame, features: Seq[String]): DataFrame =
+    df.withColumn("__qc_f", array_to_vector(
+      array(features.map(f => coalesce(col(f).cast("double"), lit(0.0))): _*)))
+
+  /** Train on a frame with a 0/1 `labelCol` (reference = 1). Rows with a
+    * NULL label are ignored — pseudoLabelByQuantile emits exactly that for
+    * the ambiguous middle.
+    */
+  def train(df: DataFrame, labelCol: String, features: Seq[String],
+            maxIter: Int = 50, regParam: Double = 0.01): Model = {
+    require(features.nonEmpty, "qualityClassifier: need at least one feature column")
+    val prepared = assemble(df.filter(col(labelCol).isNotNull), features)
+      .withColumn("__qc_l", col(labelCol).cast("double"))
+    val lr = new LogisticRegression()
+      .setMaxIter(maxIter).setRegParam(regParam)
+      .setFeaturesCol("__qc_f").setLabelCol("__qc_l")
+    Model(lr.fit(prepared), features)
+  }
+
+  /** Score every row: `outCol` = P(reference-like) in [0, 1]. */
+  def score(df: DataFrame, model: Model, outCol: String = "quality_prob"): DataFrame =
+    model.lr.setPredictionCol("__qc_p").setProbabilityCol("__qc_prob")
+      .setRawPredictionCol("__qc_raw")
+      .transform(assemble(df, model.features))
+      .withColumn(outCol, element_at(vector_to_array(col("__qc_prob")), 2))
+      .drop("__qc_f", "__qc_p", "__qc_prob", "__qc_raw")
+
+  /** Pseudo-labels from a ranking signal when no curated reference exists:
+    * 1 above the `hi` quantile, 0 below `lo`, NULL between (train on the
+    * extremes, leave the ambiguous middle out — standard practice when
+    * bootstrapping a quality model from an LM score).
+    */
+  def pseudoLabelByQuantile(df: DataFrame, signalCol: String,
+                            lo: Double = 0.3, hi: Double = 0.7,
+                            outCol: String = "quality_label"): DataFrame = {
+    require(lo > 0.0 && hi < 1.0 && lo < hi,
+      s"pseudoLabelByQuantile: need 0 < lo < hi < 1, got lo=$lo hi=$hi")
+    val cuts = df.agg(
+      percentile(col(signalCol), lit(lo)).as("__q_lo"),
+      percentile(col(signalCol), lit(hi)).as("__q_hi"))
+    df.crossJoin(broadcast(cuts))
+      .withColumn(outCol,
+        when(col(signalCol) > col("__q_hi"), 1)
+          .when(col(signalCol) < col("__q_lo"), 0))
+      .drop("__q_lo", "__q_hi")
+  }
+}

@@ -380,6 +380,21 @@ object QueriesText {
         .select("doc_id", "lang", "source")
         .orderBy("doc_id")),
 
+    "q_quality_classifier" -> ((s, dir) => {
+      // bootstrap from the LM score: pseudo-label extremes, train LR over
+      // the heuristic features, score everything. L-BFGS coefficients are
+      // float-order-dependent → rows-only gate; laws in QualityFeSpec
+      val feats = TextLib.qualityFeatures(t(s, dir, "documents"), "text")
+      val scored = TextLib.unigramScore(feats, "text", "doc_id", vocabSize = 2000)
+      val labeled = graft.quality.QualityClassifier.pseudoLabelByQuantile(scored, "lm_logprob")
+      val m = graft.quality.QualityClassifier.train(labeled, "quality_label",
+        Seq("punct_ratio", "digit_ratio", "upper_ratio", "mean_word_len",
+          "stopword_ratio", "n_words"))
+      graft.quality.QualityClassifier.score(labeled, m)
+        .select(col("doc_id"), col("quality_label"), col("quality_prob").isNotNull.as("scored"))
+        .orderBy("doc_id")
+    }),
+
     "q_script_profile" -> ((s, dir) =>
       // plant a multi-script suffix so every script class provably counts
       // at any SF; ratios rounded at the edge per convention

@@ -294,6 +294,37 @@ class QualityFeSpec extends SparkSpec {
     assert(en == Map(1.0 -> "tail", 2.0 -> "middle", 3.0 -> "head"))
   }
 
+  test("quality classifier separates planted signal; pseudo-labels leave the middle out") {
+    import graft.quality.QualityClassifier
+    val rnd = new scala.util.Random(5)
+    // good docs: low punct ratio, sane word length; bad docs: the opposite
+    val rows = (1L to 400L).map { i =>
+      val good = i % 2 == 0
+      val punct = (if (good) 0.03 else 0.35) + rnd.nextDouble() * 0.02
+      val mwl = (if (good) 4.5 else 1.4) + rnd.nextDouble() * 0.3
+      (i, if (good) 1 else 0, punct, mwl)
+    }.toDF("id", "label", "punct_ratio", "mean_word_len")
+    val m = QualityClassifier.train(rows, "label", Seq("punct_ratio", "mean_word_len"))
+    val scored = QualityClassifier.score(rows, m)
+      .select("id", "label", "quality_prob").as[(Long, Int, Double)].collect()
+    val acc = scored.count { case (_, l, p) => (p > 0.5) == (l == 1) }.toDouble / scored.length
+    assert(acc > 0.95, s"separable data must separate, accuracy $acc")
+    // probabilities land on the right sides, not just the right class
+    val goodMean = scored.filter(_._2 == 1).map(_._3).sum / 200
+    val badMean = scored.filter(_._2 == 0).map(_._3).sum / 200
+    assert(goodMean > 0.8 && badMean < 0.2, s"means: good=$goodMean bad=$badMean")
+    // null features impute to 0 instead of crashing the scorer
+    val withNull = Seq((999L, null.asInstanceOf[java.lang.Double], 4.0))
+      .toDF("id", "punct_ratio", "mean_word_len")
+    assert(QualityClassifier.score(withNull, m).count() == 1)
+    // pseudo-labeling: extremes labeled, middle null
+    val sig = (1L to 100L).map(i => (i, i.toDouble)).toDF("id", "lm")
+    val lab = QualityClassifier.pseudoLabelByQuantile(sig, "lm", lo = 0.3, hi = 0.7)
+      .select("id", "quality_label").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getInt(1)))).toMap
+    assert(lab(5L).contains(0) && lab(95L).contains(1) && lab(50L).isEmpty)
+  }
+
   test("batched featurizer preserves rows and appends features") {
     val media = Seq((1L, "abc".getBytes), (2L, "def".getBytes)).toDF("id", "payload")
     val out = Multimodal.featurizeBatched(media, "payload", dim = 3, batchSize = 1)
