@@ -34,21 +34,37 @@ object QualityClassifier {
   /** Train on a frame with a 0/1 `labelCol` (reference = 1). Rows with a
     * NULL label are ignored — pseudoLabelByQuantile emits exactly that for
     * the ambiguous middle.
+    *
+    * Fails loudly unless BOTH classes are present: a tied/constant
+    * pseudo-label signal can make a strict quantile cut emit only one
+    * class (or none), and MLlib then fits a constant model whose
+    * downstream `prob >= 0.5` gate silently keeps or deletes the ENTIRE
+    * corpus. The class check is one extra tiny aggregate over the labeled
+    * rows — cheap next to the fit, and the failure names the cause.
     */
   def train(df: DataFrame, labelCol: String, features: Seq[String],
             maxIter: Int = 50, regParam: Double = 0.01): Model = {
     require(features.nonEmpty, "qualityClassifier: need at least one feature column")
     val prepared = assemble(df.filter(col(labelCol).isNotNull), features)
       .withColumn("__qc_l", col(labelCol).cast("double"))
+    val classes = prepared.select("__qc_l").distinct().collect().map(_.getDouble(0)).toSet
+    require(classes == Set(0.0, 1.0),
+      s"qualityClassifier: training needs both classes, got ${classes.toSeq.sorted.mkString("{", ",", "}")} — " +
+        "a constant or heavily-tied pseudo-label signal leaves a strict quantile cut " +
+        "with one class (or none); widen lo/hi or label explicitly")
     val lr = new LogisticRegression()
       .setMaxIter(maxIter).setRegParam(regParam)
       .setFeaturesCol("__qc_f").setLabelCol("__qc_l")
     Model(lr.fit(prepared), features)
   }
 
-  /** Score every row: `outCol` = P(reference-like) in [0, 1]. */
+  /** Score every row: `outCol` = P(reference-like) in [0, 1]. Operates on
+    * a COPY of the model — the Param setters would otherwise mutate the
+    * shared instance (rename its output columns under concurrent users).
+    */
   def score(df: DataFrame, model: Model, outCol: String = "quality_prob"): DataFrame =
-    model.lr.setPredictionCol("__qc_p").setProbabilityCol("__qc_prob")
+    model.lr.copy(org.apache.spark.ml.param.ParamMap.empty)
+      .setPredictionCol("__qc_p").setProbabilityCol("__qc_prob")
       .setRawPredictionCol("__qc_raw")
       .transform(assemble(df, model.features))
       .withColumn(outCol, element_at(vector_to_array(col("__qc_prob")), 2))
@@ -57,7 +73,15 @@ object QualityClassifier {
   /** Pseudo-labels from a ranking signal when no curated reference exists:
     * 1 above the `hi` quantile, 0 below `lo`, NULL between (train on the
     * extremes, leave the ambiguous middle out — standard practice when
-    * bootstrapping a quality model from an LM score).
+    * bootstrapping a quality model from an LM score). Deliberately NOT
+    * built on binQuantileGrouped: these are two arbitrary cuts with a
+    * null middle, not equal-mass bands.
+    *
+    * Scan budget (the temperatureSample convention, documented not
+    * hidden): label+train+score executes the upstream pipeline several
+    * times — one percentile aggregate, the LR fit passes, one scoring
+    * scan. Checkpoint/write an expensive upstream first, or persist the
+    * labeled frame around train+score.
     */
   def pseudoLabelByQuantile(df: DataFrame, signalCol: String,
                             lo: Double = 0.3, hi: Double = 0.7,

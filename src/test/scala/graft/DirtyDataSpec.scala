@@ -284,6 +284,22 @@ class DirtyDataSpec extends SparkSpec {
     // single-group temperatureSample ≈ plain rate; tiny group keeps all
     val one = (1L to 10L).map(i => (i, "only")).toDF("id", "grp")
     assert(graft.ops.Scale.temperatureSample(one, "grp", "id", 1.0, 1000).count() == 10)
+
+    // quality classifier: a constant pseudo-label signal (strict cuts
+    // label nothing) must fail LOUDLY naming the cause — a constant model
+    // would silently keep/delete the whole corpus downstream
+    val constSig = (1L to 50L).map(i => (i, 7.0, 0.1)).toDF("id", "lm", "f")
+    val labeled = graft.quality.QualityClassifier.pseudoLabelByQuantile(constSig, "lm")
+    val err = intercept[IllegalArgumentException] {
+      graft.quality.QualityClassifier.train(labeled, "quality_label", Seq("f"))
+    }
+    assert(err.getMessage.contains("both classes"), err.getMessage)
+    // empty input fails the same guarded way, not with a raw MLlib error
+    val emptyLab = Seq.empty[(Long, java.lang.Integer, Double)].toDF("id", "quality_label", "f")
+    val err2 = intercept[IllegalArgumentException] {
+      graft.quality.QualityClassifier.train(emptyLab, "quality_label", Seq("f"))
+    }
+    assert(err2.getMessage.contains("both classes"), err2.getMessage)
   }
 
   test("lengthHistogram bins integer-exactly and routes null/non-positive to bin -1") {
