@@ -174,6 +174,17 @@ case class WinnowMins(child: Expression, w: Int) extends UnaryExpression {
   def winnow(arr: org.apache.spark.sql.catalyst.util.ArrayData): GenericArrayData = {
     val n = arr.numElements()
     if (n == 0) return new GenericArrayData(Array.emptyLongArray)
+    // registered as the SQL function graft_winnow_mins, so arbitrary
+    // array<bigint> input bypasses WordGramHashes' non-null contract — a
+    // null element would otherwise NPE opaquely inside toLongArray()
+    var ni = 0
+    while (ni < n) {
+      if (arr.isNullAt(ni)) throw new IllegalArgumentException(
+        s"graft_winnow_mins: input array contains NULL at index $ni — " +
+        "winnowing is defined over non-null 64-bit gram hashes " +
+        "(e.g. graft_word_gram_hashes output); filter nulls first")
+      ni += 1
+    }
     val h = arr.toLongArray()
     if (n < w) {
       var m = h(0); var i = 1

@@ -93,10 +93,22 @@ object Scale {
                    keys: Seq[String], joinType: String = "inner"): DataFrame =
     spark.table(leftTable).join(spark.table(rightTable), keys, joinType)
 
+  /** Per-op salt decorrelation (mixtureSample's pattern), applied to EVERY
+    * default hash gate in this object: two gate-based ops chained on the
+    * SAME key must not read the same buckets — e.g. sample_by_hash followed
+    * by sample_to_budget would otherwise produce fully nested keep sets,
+    * and sample_temperature followed by assign_split would put every
+    * survivor of a frac-downsampled group below the train threshold and
+    * silently starve val/test. Callers passing an explicit `gate` own
+    * their own decorrelation.
+    */
+  private def opSalt(op: String, salt: Int): Int =
+    salt ^ scala.util.hashing.MurmurHash3.stringHash(op)
+
   /** Deterministic hash-gate sampling: keep rows where
-    * xxhash64(key, salt) lands in the lowest `fraction` slice of the hash
-    * space. Unlike `df.sample` (per-partition RNG seeded by partition id,
-    * so the kept set changes under repartitioning/retries), the decision
+    * xxhash64(key, op-salt) lands in the lowest `fraction` slice of the
+    * hash space. Unlike `df.sample` (per-partition RNG seeded by partition
+    * id, so the kept set changes under repartitioning/retries), the decision
     * is a pure function of the KEY — the same document always lands the
     * same way across reruns, incremental loads, and speculative tasks;
     * and the gate is a map-local filter pushed at the scan, no shuffle.
@@ -104,7 +116,7 @@ object Scale {
   def sampleByHash(df: DataFrame, keyCol: String, fraction: Double, salt: Int = 42): DataFrame = {
     require(fraction >= 0.0 && fraction <= 1.0, s"fraction must be in [0,1], got $fraction")
     val buckets = 1000000L
-    df.filter(pmod(xxhash64(col(keyCol), lit(salt)), lit(buckets)) <
+    df.filter(pmod(xxhash64(col(keyCol), lit(opSalt("sample_by_hash", salt))), lit(buckets)) <
       lit(math.round(fraction * buckets)))
   }
 
@@ -141,7 +153,8 @@ object Scale {
       gate: Option[Column] = None
   ): DataFrame = {
     require(budget > 0, s"sampleToBudget: budget must be positive, got $budget")
-    val bucket = gate.getOrElse(pmod(xxhash64(col(keyCol), lit(salt)), lit(1000000L)))
+    val bucket = gate.getOrElse(
+      pmod(xxhash64(col(keyCol), lit(opSalt("sample_to_budget", salt))), lit(1000000L)))
     val totals = df.groupBy(col(groupCol))
       .agg(sum(col(weightCol)).cast("double").as("__gw"))
     // floor(frac*1e6) is the PINNED threshold formulation (cross-engine:
@@ -174,19 +187,16 @@ object Scale {
     *
     * Scale shape: one map-side-combined count aggregate, collected —
     * |groups| rows, driver-sized by definition for a mixture recipe — and
-    * re-broadcast as a literal when-chain; the corpus itself never
-    * shuffles. Kept counts are hash-binomial around frac_g·n_g; exact
-    * counts need quotaPerGroup. NULL groups form their own group.
+    * the per-group THRESHOLD delivered back by a broadcast null-safe
+    * equi-join (sampleToBudget's shape); the corpus itself never shuffles.
+    * Only the Σ n^alpha normalizer needs the driver (a deterministic
+    * sorted fold), so the driver round-trip carries |groups| longs — a
+    * when-chain of group literals would instead grow the Catalyst tree
+    * linearly with |groups| and blow up analysis on a high-cardinality
+    * group column (100k domains = a 100k-node expression). Kept counts are
+    * hash-binomial around frac_g·n_g; exact counts need quotaPerGroup.
+    * NULL groups form their own group (the join is null-safe).
     */
-  /** Per-op salt decorrelation (mixtureSample's pattern, applied to every
-    * default hash gate): two gate-based ops chained on the SAME key must
-    * not read the same buckets — e.g. sample_temperature followed by
-    * assign_split would otherwise put every survivor of a frac-downsampled
-    * group below the train threshold and silently starve val/test.
-    */
-  private def opSalt(op: String, salt: Int): Int =
-    salt ^ scala.util.hashing.MurmurHash3.stringHash(op)
-
   def temperatureSample(
       df: DataFrame,
       groupCol: String,
@@ -211,16 +221,26 @@ object Scale {
       .sortBy { case (g, _) => (g == null, if (g == null) "" else g.toString) }
     val weights = sizes.map { case (g, n) => (g, n, math.pow(n.toDouble, alpha)) }
     val tot = weights.foldLeft(0.0)(_ + _._3) // sorted order → deterministic
-    val fracs = weights.map { case (g, n, w) =>
-      (g, math.min(1.0, totalRows.toDouble * w / tot / n.toDouble))
+    // thresholds computed on the driver with the SAME double ops the old
+    // in-plan floor(frac*1e6 + 1e-6) evaluated (IEEE mul/add/floor — bit-
+    // identical), so pinned oracles are unchanged
+    val threshRows = weights.map { case (g, n, w) =>
+      val frac = math.min(1.0, totalRows.toDouble * w / tot / n.toDouble)
+      org.apache.spark.sql.Row(g, math.floor(frac * 1000000.0 + 1e-6).toLong)
     }
-    val fracCol = fracs.foldLeft(lit(null).cast("double")) { case (acc, (g, f)) =>
-      if (g == null) when(col(groupCol).isNull, lit(f)).otherwise(acc)
-      else when(col(groupCol) === lit(g), lit(f)).otherwise(acc)
-    }
+    val spark = df.sparkSession
+    val threshSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("__tsg", df.schema(groupCol).dataType),
+      org.apache.spark.sql.types.StructField("__tsthr", org.apache.spark.sql.types.LongType)))
+    val thresh = spark.createDataFrame(
+      new java.util.ArrayList(java.util.Arrays.asList(threshRows: _*)), threshSchema)
     val bucket = gate.getOrElse(
       pmod(xxhash64(col(keyCol), lit(opSalt("sample_temperature", salt))), lit(1000000L)))
-    df.filter(bucket < floor(fracCol * lit(1000000.0) + lit(1e-6)))
+    // inner join is total: every group in df appears in `thresh` (it was
+    // computed from df); <=> routes NULL-group rows to their own threshold
+    df.join(broadcast(thresh), col(groupCol) <=> col("__tsg"), "inner")
+      .filter(bucket < col("__tsthr"))
+      .drop("__tsg", "__tsthr")
   }
 
   /** Deterministic train/validation/test assignment: label each row by

@@ -431,7 +431,10 @@ object QueriesText {
       t(s, dir, "documents")
         .select(col("doc_id"), TextLib.winnowFingerprint(col("text"), 5, 4).as("fp"))
         .select(col("doc_id"), size(col("fp")).as("n_fp"),
-          element_at(col("fp"), 1).as("fp_min"))
+          // try_element_at: a doc shorter than k tokens yields an EMPTY
+          // fingerprint set, and under ANSI mode element_at(fp, 1) would
+          // throw INVALID_ARRAY_INDEX instead of returning null
+          try_element_at(col("fp"), lit(1)).as("fp_min"))
         .orderBy("doc_id")),
 
     "q_assign_split" -> ((s, dir) =>

@@ -280,10 +280,21 @@ object Dedup {
     * smallest doc id reachable through candidate edges; the cluster id IS
     * the surviving document).
     *
-    * Iterative min-label propagation: each round joins current labels across
-    * edges and keeps the minimum — O(diameter) rounds of shuffle joins; near-
-    * dup clusters are tiny/star-shaped in practice so this converges in 2-3
-    * rounds. `maxIter` bounds pathological chains.
+    * Iterative min-label propagation WITH pointer jumping: each round (a)
+    * joins current labels across edges and keeps the minimum, then (b)
+    * replaces every label by its own label (path halving). Plain min-label
+    * travels one hop per round — O(diameter) rounds; the jump doubles the
+    * reach each round, so convergence is O(log diameter) (maxIter=10 covers
+    * chains ~2^10 long; near-dup clusters are tiny/star-shaped in practice
+    * and converge in 2-3 rounds). Every 4th iteration localCheckpoints the
+    * label frame — per-iteration persists keep the DATA hot but the logical
+    * plan still accrues one join layer per round, and an adversarial graph
+    * would otherwise grow an unboundedly deep plan.
+    *
+    * NOT silent at the bound: if the loop exits with `changed > 0` the
+    * labels are an UNDER-MERGE (a duplicate chain longer than the reach
+    * would keep extra duplicates downstream) — that is corrupted output,
+    * so it throws instead of returning.
     * Input: (id_a, id_b) pairs. Output: (id, cluster_id).
     */
   def clusterCandidates(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
@@ -301,14 +312,30 @@ object Dedup {
         .join(labels.withColumnRenamed("id", "dst").withColumnRenamed("cluster_id", "n_label"), Seq("dst"))
         .groupBy(col("src").as("id"))
         .agg(min(col("n_label")).as("n_min"))
-      val next = labels.join(viaNeighbors, Seq("id"), "left")
+      val propagated = labels.join(viaNeighbors, Seq("id"), "left")
         .select(col("id"), least(col("cluster_id"), coalesce(col("n_min"), col("cluster_id"))).as("cluster_id"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // pointer jump (path halving): label := label's label. Every label IS
+      // an id in the frame (labels start as ids and least() preserves that),
+      // so the left join always matches; coalesce guards the invariant.
+      val jump = propagated.select(col("id").as("cluster_id"), col("cluster_id").as("__cc_up"))
+      val stepped = propagated.join(jump, Seq("cluster_id"), "left")
+        .select(col("id"), least(col("cluster_id"), coalesce(col("__cc_up"), col("cluster_id"))).as("cluster_id"))
+      val next =
+        if ((iter + 1) % 4 == 0) stepped.localCheckpoint(true) // truncate lineage
+        else stepped.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       changed = next.join(labels.withColumnRenamed("cluster_id", "old"), Seq("id"))
         .filter(col("cluster_id") =!= col("old")).count()
       labels.unpersist()
       labels = next
       iter += 1
+    }
+    if (changed > 0) {
+      edges.unpersist()
+      throw new IllegalStateException(
+        s"clusterCandidates did not converge in $maxIter iterations " +
+        s"($changed labels still changing) — the output would silently " +
+        "under-merge duplicate chains; raise maxIter (reach doubles per " +
+        "iteration) or pre-filter degenerate candidate graphs")
     }
     labels
   }

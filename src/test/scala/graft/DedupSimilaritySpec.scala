@@ -172,6 +172,25 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(labels(10L) == 10L && labels(11L) == 10L)
   }
 
+  test("clusterCandidates: a 30-hop duplicate chain fully merges within maxIter=10") {
+    // plain 1-hop min-label needs 30 rounds for this graph; pointer jumping
+    // must close it inside the default bound — the VERDICT r4 silent
+    // under-merge scenario
+    val pairs = (0L until 30L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val labels = Dedup.clusterCandidates(pairs, maxIter = 10).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels.size == 31)
+    assert(labels.values.forall(_ == 0L), s"under-merged: ${labels.filter(_._2 != 0L)}")
+  }
+
+  test("clusterCandidates: non-convergence is LOUD, never a silent under-merge") {
+    val pairs = (0L until 30L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val e = intercept[IllegalStateException] {
+      Dedup.clusterCandidates(pairs, maxIter = 1).collect()
+    }
+    assert(e.getMessage.contains("did not converge"))
+  }
+
   test("vocabulary: df filter, deterministic ordering") {
     val d = Seq((1L, "spark spark table"), (2L, "spark row"), (3L, "table row row"))
       .toDF("doc_id", "text")

@@ -180,6 +180,29 @@ class ScaleSpec extends SparkSpec {
     assert(re == kept.map(_._1).toSet)
   }
 
+  test("temperatureSample: NULL groups form their own group (null-safe join)") {
+    val df = ((1L to 200L).map(i => (i, Option("web"))) ++ (201L to 400L).map(i => (i, Option.empty[String])))
+      .toDF("id", "grp")
+    // alpha=1 → one uniform 50% rate; null-group rows must be gated too,
+    // not dropped by the broadcast equi-join
+    val byG = Scale.temperatureSample(df, "grp", "id", alpha = 1.0, totalRows = 200)
+      .groupBy("grp").count().as[(Option[String], Long)].collect().toMap
+    assert(byG.contains(None), s"null group vanished: $byG")
+    assert(byG(None) > 50 && byG(None) < 150, s"null group ≈ 100 expected: $byG")
+  }
+
+  test("temperatureSample: 50k distinct groups analyze and run in bounded time") {
+    // VERDICT r4: the old when-chain built a 100k-node Catalyst expression
+    // for high-cardinality group columns — analysis-time blowup. The
+    // broadcast-join gate must handle mixture recipes at domain cardinality.
+    val df = (1L to 100000L).map(i => (i, s"domain_${i % 50000}")).toDF("id", "grp")
+    val t0 = System.nanoTime()
+    val n = Scale.temperatureSample(df, "grp", "id", alpha = 0.7, totalRows = 20000).count()
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(n > 10000 && n < 40000, s"kept $n of 100k, wanted ≈20k")
+    assert(secs < 60.0, s"50k-group temperatureSample took ${secs}s — analysis blowup?")
+  }
+
   test("assignSplit is exhaustive, proportional, and append-stable") {
     val df = (1L to 5000L).toDF("id")
     val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
