@@ -17,7 +17,12 @@ object Verify {
     }
 
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    val (Array(sfDir, outDir), extra) = args.splitAt(2)
+    // dev path: extra args = run only these queries (the driver passes two)
+    val only = extra.toSet
+    val selected =
+      if (only.isEmpty) SparkEntry.queries
+      else SparkEntry.queries.filter { case (k, _) => only(k) }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     // the SAME config path Bench/Cli use (Sessions.configure): a hand-rolled
     // builder here once meant the correctness gate ran under different confs
@@ -26,7 +31,7 @@ object Verify {
       SparkSession.builder().master(s"local[$cpus]"), cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    selected.foreach { case (name, fn) =>
       val dest = Paths.get(s"$outDir/$name")
       // stale output from a previous run must go FIRST: if this round's
       // query throws before the overwrite, a leftover dir would make the
@@ -41,12 +46,13 @@ object Verify {
     }
     val q = graft.core.Json.str _
     val json = SparkEntry.oracleSql
+      .filter { case (k, _) => only.isEmpty || only(k) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     // full registry, so the checker can flag rows-only queries that produced
     // NO output (a missing dir would otherwise vanish from the report)
     Files.writeString(Paths.get(s"$outDir/query_names.json"),
-      SparkEntry.queries.keys.toSeq.sorted.map(q).mkString("[", ",", "]"))
+      selected.keys.toSeq.sorted.map(q).mkString("[", ",", "]"))
     spark.stop()
   }
 }

@@ -226,6 +226,40 @@ object FeatureLib {
     idf.transform(cvm.transform(toks)).drop("__tok", "__tok2", "__tf")
   }
 
+  /** Deterministic tf-idf as plain relational ops — the oracle-able sibling
+    * of `textTfidf` (same smooth-idf formulation MLlib/sklearn use, but no
+    * ML fit and no arbitrary tie-break: CountVectorizer orders equal-count
+    * vocabulary terms by hashmap iteration order, so its vector layout is
+    * not reproducible across engines). Tokens = the engine-wide whitespace
+    * dialect (TextLib.normalized, split on ' '); vocabulary = top
+    * `vocabSize` tokens by corpus term frequency, ties broken by token asc;
+    * idf = ln((N+1)/(df+1)); tfidf = tf·idf. Output: one row per (id,
+    * in-vocab token): idCol, token, tf, df, tfidf — a sparse-triplet layout
+    * that joins/aggregates without a vector type.
+    *
+    * Scale shape: one explode with map-side-combined (id, token) counts,
+    * one token-level re-aggregation, a TakeOrdered top-K for the vocabulary
+    * (K rows, broadcast back). One extra count() pass sizes N — pass
+    * `numDocs` to skip it when the caller already knows the corpus size.
+    */
+  def textTfidfTerms(df: DataFrame, c: String, idCol: String, vocabSize: Int = 1000,
+                     numDocs: Long = -1L): DataFrame = {
+    require(vocabSize > 0, s"textTfidfTerms: vocabSize must be positive, got $vocabSize")
+    val n = if (numDocs >= 0) numDocs else df.count()
+    val tf = df
+      .select(col(idCol), explode(split(graft.text.TextLib.normalized(col(c)), " ")).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy(col(idCol), col("token")).agg(count(lit(1)).as("tf"))
+    val vocab = tf.groupBy(col("token"))
+      .agg(sum(col("tf")).as("__total"), count(lit(1)).as("df"))
+      .orderBy(col("__total").desc, col("token").asc)
+      .limit(vocabSize)
+      .drop("__total")
+    tf.join(broadcast(vocab), Seq("token"))
+      .withColumn("tfidf", col("tf") * log(lit(n + 1.0) / (col("df") + lit(1.0))))
+      .select(col(idCol), col("token"), col("tf"), col("df"), col("tfidf"))
+  }
+
   /** Clustering features (feature_engineering.py:450-511): k-means cluster id
     * + distance to own centroid over the given feature columns.
     */

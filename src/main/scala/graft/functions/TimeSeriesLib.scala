@@ -407,14 +407,22 @@ object TimeSeriesLib {
 
   // ---------------------------------------------------------------- decomposition
 
-  /** Classical additive seasonal decomposition (time_series.py:118-169,
-    * statsmodels-style): trend = centered MA over one period (even periods get
-    * half-weight endpoints), seasonal = phase-mean of detrended values
-    * (normalized to mean 0), resid = value − trend − seasonal. All window +
-    * group aggregates — fully distributed per key.
+  /** Classical seasonal decomposition (time_series.py:118-169,
+    * statsmodels-style), additive or multiplicative: trend = centered MA over
+    * one period (even periods get half-weight endpoints); additive seasonal =
+    * phase-mean of (value − trend) normalized to mean 0, resid = value −
+    * trend − seasonal; multiplicative seasonal = phase-mean of
+    * (value / trend) normalized to mean 1, resid = value / (trend × seasonal)
+    * — division guards (nullif) yield null instead of an ANSI
+    * DIVIDE_BY_ZERO on degenerate zero trends/seasonals. All window + group
+    * aggregates — fully distributed per key.
     */
   def seasonalDecompose(df: DataFrame, valueCol: String, period: Int, orderCol: String,
-                        partitionBy: Seq[String] = Nil): DataFrame = {
+                        partitionBy: Seq[String] = Nil,
+                        model: String = "additive"): DataFrame = {
+    require(model == "additive" || model == "multiplicative",
+      s"seasonalDecompose: model must be additive|multiplicative, got '$model'")
+    val mult = model == "multiplicative"
     val base = w(partitionBy, orderCol)
     val v = col(valueCol).cast(DoubleType)
     val trend: Column =
@@ -434,7 +442,8 @@ object TimeSeriesLib {
       .withColumn("__rn", row_number().over(base))
       .withColumn("trend", trend)
       .withColumn("__phase", pmod(col("__rn") - 1, lit(period)))
-      .withColumn("__detr", v - col("trend"))
+      .withColumn("__detr",
+        if (mult) v / nullif(col("trend"), lit(0.0)) else v - col("trend"))
     val phaseW = Window.partitionBy((partitionBy :+ "__phase").map(col): _*)
     val allW = Window.partitionBy(partitionBy.map(col): _*)
     // normalize by the UNWEIGHTED mean across the period's phases (one
@@ -446,8 +455,12 @@ object TimeSeriesLib {
     withTrend
       .withColumn("__phaseMean", avg(col("__detr")).over(phaseW))
       .withColumn("__phaseRep", when(phaseRn === 1, col("__phaseMean")))
-      .withColumn("seasonal", col("__phaseMean") - avg(col("__phaseRep")).over(allW))
-      .withColumn("resid", v - col("trend") - col("seasonal"))
+      .withColumn("seasonal",
+        if (mult) col("__phaseMean") / nullif(avg(col("__phaseRep")).over(allW), lit(0.0))
+        else col("__phaseMean") - avg(col("__phaseRep")).over(allW))
+      .withColumn("resid",
+        if (mult) v / nullif(col("trend") * col("seasonal"), lit(0.0))
+        else v - col("trend") - col("seasonal"))
       .drop("__rn", "__phase", "__detr", "__phaseMean", "__phaseRep")
   }
 }

@@ -136,8 +136,15 @@ object QueriesAgg {
       Profiler.datetimeProfile(t(s, dir, "orders"), "o_orderdate")
         .orderBy("metric")),
 
-    "q_describe" -> ((s, dir) => // rows-only: describe() emits engine-formatted strings
-      t(s, dir, "supplier").describe("s_acctbal", "s_nationkey")),
+    "q_describe" -> ((s, dir) =>
+      // describe() emits engine-formatted strings; Java double toString
+      // round-trips exactly, so casting back to double + the roundf
+      // convention makes the output oracle-comparable
+      t(s, dir, "supplier").describe("s_acctbal", "s_nationkey")
+        .select(col("summary"),
+          roundf(col("s_acctbal").cast("double"), 4).as("s_acctbal"),
+          roundf(col("s_nationkey").cast("double"), 4).as("s_nationkey"))
+        .orderBy("summary")),
 
     "q_fk_candidates" -> ((s, dir) => {
       // star-schema FK probes: two true FKs + one deliberately-false
@@ -152,6 +159,26 @@ object QueriesAgg {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_describe" ->
+      // Spark describe() rows: count (non-null), mean, stddev (sample),
+      // min, max — rebuilt by UNION ALL with the same string labels
+      """WITH st AS (SELECT
+        |  count(s_acctbal) AS c1, avg(s_acctbal) AS m1, stddev_samp(s_acctbal) AS sd1,
+        |  min(s_acctbal) AS mn1, max(s_acctbal) AS mx1,
+        |  count(s_nationkey) AS c2, avg(s_nationkey) AS m2, stddev_samp(s_nationkey) AS sd2,
+        |  min(s_nationkey) AS mn2, max(s_nationkey) AS mx2
+        |FROM supplier)
+        |SELECT 'count' AS summary,
+        |  round(CAST(c1 AS DOUBLE) + 1e-9, 4) AS s_acctbal,
+        |  round(CAST(c2 AS DOUBLE) + 1e-9, 4) AS s_nationkey FROM st
+        |UNION ALL SELECT 'max', round(CAST(mx1 AS DOUBLE) + 1e-9, 4),
+        |  round(CAST(mx2 AS DOUBLE) + 1e-9, 4) FROM st
+        |UNION ALL SELECT 'mean', round(m1 + 1e-9, 4), round(m2 + 1e-9, 4) FROM st
+        |UNION ALL SELECT 'min', round(CAST(mn1 AS DOUBLE) + 1e-9, 4),
+        |  round(CAST(mn2 AS DOUBLE) + 1e-9, 4) FROM st
+        |UNION ALL SELECT 'stddev', round(sd1 + 1e-9, 4), round(sd2 + 1e-9, 4) FROM st
+        |ORDER BY summary""".stripMargin,
+
     "q_distinct_counts" ->
       """SELECT l_returnflag,
         |  count(DISTINCT l_partkey) AS nd_parts,

@@ -165,13 +165,21 @@ object QueriesPivotFe {
         .groupBy("o_totalprice_kbin").agg(count(lit(1)).as("n"))),
 
     "q_fe_tfidf" -> ((s, dir) => {
-      // scalar projection (see q_fe_pca note): nnz + L2 norm of the sparse
-      // tf-idf vector, sortable by the rows-only comparator
-      val arr = org.apache.spark.ml.functions.vector_to_array(col("tfidf"))
-      FeatureLib.textTfidf(t(s, dir, "documents"), "text", vocabSize = 100)
+      // deterministic sparse-triplet tf-idf (textTfidfTerms) — full DuckDB
+      // oracle; the MLlib textTfidf sibling keeps its vector API and is
+      // spec-gated (CountVectorizer's equal-count vocab order is engine-
+      // internal, so its exact layout cannot be oracle-compared)
+      val d = t(s, dir, "documents")
+      val per = FeatureLib.textTfidfTerms(d, "text", "doc_id", vocabSize = 100)
+        .filter(col("tfidf") =!= 0.0)
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("tfidf_nnz"),
+          roundf(sqrt(sum(col("tfidf") * col("tfidf"))), 4).as("tfidf_norm"))
+      d.select("doc_id").join(per, Seq("doc_id"), "left")
         .select(col("doc_id"),
-          size(filter(arr, _ =!= 0.0)).as("tfidf_nnz"),
-          round(sqrt(aggregate(arr, lit(0.0), (acc, x) => acc + x * x)), 4).as("tfidf_norm"))
+          coalesce(col("tfidf_nnz"), lit(0L)).as("tfidf_nnz"),
+          coalesce(col("tfidf_norm"), lit(0.0)).as("tfidf_norm"))
+        .orderBy("doc_id")
     })
   )
 
@@ -312,6 +320,30 @@ object QueriesPivotFe {
         |  round(length(regexp_replace(text, '\s+', '', 'g')) * 1.0 /
         |        nullif(len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')), 0), 6)
         |    AS text_avg_word_length
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_fe_tfidf" ->
+      // deterministic tf-idf contract (textTfidfTerms): whitespace-dialect
+      // tokens, vocab = top-100 by corpus tf (ties → token asc),
+      // idf = ln((N+1)/(df+1)); zero-token docs come back (0, 0.0)
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS token
+        |  FROM documents),
+        |tf AS (SELECT doc_id, token, count(*) AS tf FROM toks
+        |       WHERE token <> '' GROUP BY 1, 2),
+        |vocab AS (SELECT token, sum(tf) AS total, count(*) AS dfreq FROM tf
+        |          GROUP BY 1 ORDER BY total DESC, token ASC LIMIT 100),
+        |n AS (SELECT count(*) AS nd FROM documents),
+        |w AS (SELECT tf.doc_id, tf.tf * ln((nd + 1.0) / (dfreq + 1.0)) AS tfidf
+        |      FROM tf JOIN vocab USING (token) CROSS JOIN n),
+        |per AS (SELECT doc_id, count(*) AS tfidf_nnz,
+        |          round(sqrt(sum(tfidf * tfidf)) + 1e-9, 4) AS tfidf_norm
+        |        FROM w WHERE tfidf <> 0 GROUP BY 1)
+        |SELECT d.doc_id,
+        |  coalesce(per.tfidf_nnz, 0) AS tfidf_nnz,
+        |  coalesce(per.tfidf_norm, 0.0) AS tfidf_norm
+        |FROM documents d LEFT JOIN per USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin
   )
 }

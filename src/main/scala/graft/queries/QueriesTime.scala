@@ -91,9 +91,11 @@ object QueriesTime {
         .orderBy("event_type", "period_str")
     }),
 
-    "q_ts_ewm" -> ((s, dir) => // rows-only: sequential per-key scan; the closed-form
-      // SQL rewrite ((1-α)^-t cumsums) overflows doubles on long series, so
-      // no oracle — pandas-vs-Spark parity is pinned in TimeSeriesSpec
+    "q_ts_ewm" -> ((s, dir) =>
+      // oracle = a DuckDB RECURSIVE CTE running the identical per-key
+      // num/den recurrence (the closed-form (1-α)^-t cumsum rewrite would
+      // overflow doubles on long series — the recurrence doesn't); hand
+      // parity vs pandas stays pinned in TimeSeriesSpec
       TimeSeriesLib.smoothEwm(
           t(s, dir, "events"), "value", 0.3, orderCol = "event_id", partitionBy = Seq("user_id"))
         .select(col("event_id"), col("user_id"), col("value"),
@@ -116,6 +118,19 @@ object QueriesTime {
           roundf(col("trend"), 4).as("trend"),
           roundf(col("seasonal"), 4).as("seasonal"),
           roundf(col("resid"), 4).as("resid"))
+        .orderBy("event_type", "period_str")
+    }),
+
+    "q_ts_seasonal_mult" -> ((s, dir) => {
+      val hourly = TimeSeriesLib.resample(t(s, dir, "events"), "ts", "1 hour",
+        Seq("value" -> "sum"), keys = Seq("event_type"))
+      TimeSeriesLib.seasonalDecompose(hourly, "value_sum", 24, orderCol = "period",
+          partitionBy = Seq("event_type"), model = "multiplicative")
+        .select(col("event_type"), date_format(col("period"), fmt).as("period_str"),
+          // ratios, not levels: 6 digits keeps the comparison meaningful
+          roundf(col("trend"), 4).as("trend"),
+          roundf(col("seasonal"), 6).as("seasonal"),
+          roundf(col("resid"), 6).as("resid"))
         .orderBy("event_type", "period_str")
     }),
 
@@ -196,6 +211,31 @@ object QueriesTime {
   val oracle: Map[String, String] = Map(
     "q_ts_savgol" -> savgolSql,
 
+    "q_ts_ewm" ->
+      // the engine's exact recurrence (num = num·(1-α)+x, den = den·(1-α)+1,
+      // ewm = num/den; null readings leave the state untouched and carry the
+      // prior EWM) replayed per user_id in event_id order — the same IEEE
+      // double ops in the same order, so values match bit-for-bit
+      """WITH RECURSIVE o AS (
+        |  SELECT event_id, user_id, CAST(value AS DOUBLE) AS v,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
+        |  FROM events),
+        |r AS (
+        |  -- base case MUST be CAST to DOUBLE: a bare 1.0 types the column
+        |  -- DECIMAL(2,1) and the recursion silently truncates the state
+        |  SELECT event_id, user_id, rn, v,
+        |    CAST(CASE WHEN v IS NULL THEN 0.0 ELSE v END AS DOUBLE) AS num,
+        |    CAST(CASE WHEN v IS NULL THEN 0.0 ELSE 1.0 END AS DOUBLE) AS den
+        |  FROM o WHERE rn = 1
+        |  UNION ALL
+        |  SELECT o.event_id, o.user_id, o.rn, o.v,
+        |    CASE WHEN o.v IS NULL THEN r.num ELSE r.num * 0.7 + o.v END,
+        |    CASE WHEN o.v IS NULL THEN r.den ELSE r.den * 0.7 + 1.0 END
+        |  FROM r JOIN o ON o.user_id = r.user_id AND o.rn = r.rn + 1)
+        |SELECT event_id, user_id, v AS value,
+        |  round(CASE WHEN den > 0 THEN num / den END, 6) AS value_ewm
+        |FROM r ORDER BY event_id""".stripMargin,
+
     "q_ts_seasonal" ->
       """WITH h AS (
         |  SELECT event_type,
@@ -217,6 +257,29 @@ object QueriesTime {
         |  round(trend + 1e-9, 4) AS trend,
         |  round(seasonal + 1e-9, 4) AS seasonal,
         |  round(v - trend - seasonal + 1e-9, 4) AS resid
+        |FROM s ORDER BY event_type, period_str""".stripMargin,
+
+    "q_ts_seasonal_mult" ->
+      """WITH h AS (
+        |  SELECT event_type,
+        |    make_timestamp(CAST(floor(epoch(ts)/3600) AS BIGINT)*3600*1000000) AS period,
+        |    sum(value) AS v
+        |  FROM events GROUP BY 1, 2),
+        |t AS (SELECT event_type, period, v,
+        |        CASE WHEN count(v) OVER wf = 25 THEN
+        |          (sum(v) OVER wf - (first_value(v) OVER wf + last_value(v) OVER wf)/2) / 24 END AS trend,
+        |        row_number() OVER (PARTITION BY event_type ORDER BY period) AS rn
+        |      FROM h
+        |      WINDOW wf AS (PARTITION BY event_type ORDER BY period ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)),
+        |d AS (SELECT *, (rn - 1) % 24 AS phase, v / nullif(trend, 0) AS detr FROM t),
+        |p AS (SELECT *, avg(detr) OVER (PARTITION BY event_type, phase) AS pm,
+        |        row_number() OVER (PARTITION BY event_type, phase ORDER BY period) AS prn FROM d),
+        |s AS (SELECT *, pm / nullif(avg(CASE WHEN prn = 1 THEN pm END)
+        |                   OVER (PARTITION BY event_type), 0) AS seasonal FROM p)
+        |SELECT event_type, strftime(period, '%Y-%m-%d %H:%M:%S') AS period_str,
+        |  round(trend + 1e-9, 4) AS trend,
+        |  round(seasonal + 1e-9, 6) AS seasonal,
+        |  round(v / nullif(trend * seasonal, 0) + 1e-9, 6) AS resid
         |FROM s ORDER BY event_type, period_str""".stripMargin,
 
     "q_ts_resample" ->

@@ -87,6 +87,26 @@ class TimeSeriesSpec extends SparkSpec {
     out.foreach { case (v, rec) => assert(math.abs(v - rec) < 1e-9) }
   }
 
+  test("multiplicative seasonal decomposition reconstructs v = trend*seasonal*resid") {
+    // clean synthetic series: exponential-ish level × period-4 seasonal factor
+    val season = Seq(1.5, 0.8, 0.9, 0.8)
+    val df = (0 until 40).map(i => (i, (100.0 + i * 3.0) * season(i % 4))).toDF("t", "v")
+    val dec = TimeSeriesLib.seasonalDecompose(df, "v", 4, orderCol = "t",
+      model = "multiplicative")
+    val out = dec.filter($"trend".isNotNull)
+      .select($"v", $"trend" * $"seasonal" * $"resid").as[(Double, Double)].collect()
+    assert(out.nonEmpty)
+    out.foreach { case (v, rec) => assert(math.abs(v - rec) < 1e-6) }
+    // seasonal factors are normalized to mean ≈ 1 and track the planted shape
+    val fac = dec.filter($"trend".isNotNull).select("seasonal").as[Double].collect()
+    assert(math.abs(fac.sum / fac.length - 1.0) < 0.05)
+    assert(fac.max > 1.2 && fac.min < 0.95)
+    // unknown model is rejected loudly
+    intercept[IllegalArgumentException] {
+      TimeSeriesLib.seasonalDecompose(df, "v", 4, orderCol = "t", model = "robust")
+    }
+  }
+
   test("rolling time window counts only rows within the horizon") {
     val df = Seq((1L, "2024-01-01 00:00:00"), (2L, "2024-01-01 00:30:00"),
       (3L, "2024-01-01 02:00:00")).toDF("id", "s")
