@@ -10,9 +10,14 @@ import org.apache.spark.sql.types._
   * `mapPartitions` over batched rows (the Scala analogue of `mapInPandas`
   * batch plumbing).
   *
-  * STUB NOTE: this container ships no image/audio codecs, so `decode*` below
-  * are clearly-marked deterministic FAKES (hash-derived features with the
-  * right shapes). The Spark-side contract — schema, batching, partitioning,
+  * IMAGE decode/resize/encode are REAL: `javax.imageio.ImageIO` ships
+  * PNG/JPEG/GIF/BMP codecs in the JDK, no external dependency
+  * (`decodeImageStats`, `resizeImages`, `syntheticPng`).
+  *
+  * STUB NOTE (audio/video only): this container ships no audio/video
+  * codecs, so `decodeToFeatures`/`sampleFrames` remain clearly-marked
+  * deterministic FAKES (hash-derived features / byte slices with the right
+  * shapes). Their Spark-side contract — schema, batching, partitioning,
   * null passthrough — is real and tested; swapping in a true codec is a
   * one-function change.
   */
@@ -39,9 +44,153 @@ object Multimodal {
       struct(lit(format).as("format"), lit(width).as("width"), lit(height).as("height"),
         lit(durationMs).as("duration_ms")).as("meta"))
 
-  /** STUB decoder: deterministic `dim`-float feature vector derived from the
+  /** Decoded-image stats schema: dims + channel count + exact channel means
+    * (integer sums / pixel count — order-independent, so reproducible and
+    * oracle-able), derived mean luminance, and an 8-bin luminance histogram.
+    */
+  val ImageStatsSchema: StructType = StructType(Seq(
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("channels", IntegerType),
+    StructField("mean_r", DoubleType),
+    StructField("mean_g", DoubleType),
+    StructField("mean_b", DoubleType),
+    StructField("mean_luma", DoubleType),
+    StructField("luma_hist", ArrayType(LongType))))
+
+  /** Decode one image payload with the JDK codec and compute pixel stats.
+    * Returns null for null/undecodable payloads (a corrupt image is data,
+    * not a job-killer). Channel sums are exact integers (≤ 2^53 for any
+    * realistic image), so the means are bit-reproducible across engines;
+    * mean_luma is DEFINED as the Rec.601 combination of the channel means
+    * (linear, so equal to the per-pixel mean in exact arithmetic — pinning
+    * the definition avoids summation-order drift). The histogram bins
+    * per-pixel Rec.601 luma into 8 × 32-value buckets.
+    */
+  private[graft] def imageStats(payload: Array[Byte]): Row = {
+    if (payload == null) return null
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      catch { case _: Exception => null }
+    if (img == null) return null // ImageIO returns null for unknown formats
+    val w = img.getWidth; val h = img.getHeight
+    val channels = img.getRaster.getNumBands
+    var sr = 0L; var sg = 0L; var sb = 0L
+    val hist = new Array[Long](8)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y) // ARGB regardless of the internal raster
+        val r = (rgb >> 16) & 0xFF; val g = (rgb >> 8) & 0xFF; val b = rgb & 0xFF
+        sr += r; sg += g; sb += b
+        val luma = 0.299 * r + 0.587 * g + 0.114 * b
+        hist(math.min(7, (luma / 32.0).toInt)) += 1L
+        x += 1
+      }
+      y += 1
+    }
+    val n = w.toLong * h
+    val mr = sr.toDouble / n; val mg = sg.toDouble / n; val mb = sb.toDouble / n
+    Row(w, h, channels, mr, mg, mb, 0.299 * mr + 0.587 * mg + 0.114 * mb, hist.toSeq)
+  }
+
+  /** REAL image decode → stats column, through the batched mapPartitions
+    * plumbing (the same batch shape a heavier codec would use). Appends a
+    * nullable `outCol` struct (ImageStatsSchema); null/undecodable payloads
+    * yield a null struct. Row-local — no shuffle; at 100 TB the decode cost
+    * scales with executors like any map.
+    */
+  def decodeImageStats(df: DataFrame, payloadCol: String, outCol: String = "image_stats",
+                       batchSize: Int = 256): DataFrame = {
+    val spark = df.sparkSession
+    val inSchema = df.schema
+    val outSchema = inSchema.add(outCol, ImageStatsSchema)
+    val payloadIdx = inSchema.fieldIndex(payloadCol)
+    val rdd = df.rdd.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.map { row =>
+          val stats = imageStats(row.get(payloadIdx).asInstanceOf[Array[Byte]])
+          Row.fromSeq(row.toSeq :+ stats)
+        }
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  /** Deterministic test-image generator (engine-side; also the gate query's
+    * input): renders the pinned gradient pattern
+    *   pixel(x, y) = ((7x+13y+seed) mod 256, (3x+5y+2·seed) mod 256,
+    *                  (x+y+3·seed) mod 256)
+    * and encodes it PNG via ImageIO. PNG is lossless, so decoded stats are
+    * exactly the pattern's — computable independently in plain SQL.
+    */
+  def syntheticPng(seed: Long, w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val r = (((7L * x + 13L * y + seed) % 256 + 256) % 256).toInt
+        val g = (((3L * x + 5L * y + 2L * seed) % 256 + 256) % 256).toInt
+        val b = (((x.toLong + y + 3L * seed) % 256 + 256) % 256).toInt
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** REAL image resize via JDK Graphics2D (bilinear) + PNG re-encode, in the
+    * batched plumbing; metadata records the new dims. Null/undecodable
+    * payloads pass through unchanged with their original meta.
+    */
+  def resizeImages(df: DataFrame, targetW: Int, targetH: Int, batchSize: Int = 256): DataFrame = {
+    require(targetW > 0 && targetH > 0, s"resizeImages: target dims must be positive")
+    val spark = df.sparkSession
+    val inSchema = df.schema
+    val payloadIdx = inSchema.fieldIndex("payload")
+    val metaIdx = inSchema.fieldIndex("meta")
+    val rdd = df.rdd.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.map { row =>
+          val payload = row.get(payloadIdx).asInstanceOf[Array[Byte]]
+          val decoded =
+            if (payload == null) null
+            else try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+                 catch { case _: Exception => null }
+          if (decoded == null) row
+          else {
+            val out = new java.awt.image.BufferedImage(targetW, targetH,
+              java.awt.image.BufferedImage.TYPE_INT_RGB)
+            val g2 = out.createGraphics()
+            g2.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+              java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+            g2.drawImage(decoded, 0, 0, targetW, targetH, null)
+            g2.dispose()
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(out, "png", bos)
+            val oldMeta = row.getStruct(metaIdx)
+            val newMeta = Row("image/png", targetW, targetH, oldMeta.getLong(3))
+            val vals = row.toSeq.toArray
+            vals(payloadIdx) = bos.toByteArray
+            vals(metaIdx) = newMeta
+            Row.fromSeq(vals.toSeq)
+          }
+        }
+      }
+    }
+    spark.createDataFrame(rdd, inSchema)
+  }
+
+  /** STUB decoder for NON-IMAGE media (audio/video — no codec in this
+    * container): deterministic `dim`-float feature vector derived from the
     * payload bytes (xxhash64 seeded per index). Real plumbing: evaluated
-    * per-partition, codegen'd, null payload → null features.
+    * per-partition, codegen'd, null payload → null features. Images should
+    * use `decodeImageStats` (real).
     */
   def decodeToFeatures(df: DataFrame, payloadCol: String, dim: Int = 16,
                        outCol: String = "features"): DataFrame =
@@ -50,8 +199,9 @@ object Multimodal {
         .otherwise(transform(sequence(lit(0), lit(dim - 1)),
           i => (pmod(xxhash64(col(payloadCol), i), lit(1000L)).cast("double") / 500.0) - 1.0)))
 
-  /** STUB resize: records the target dims in metadata and truncates the
-    * payload proportionally — shape-correct placeholder for a real resampler.
+  /** STUB resize for NON-IMAGE media: records the target dims in metadata
+    * and truncates the payload proportionally — shape-correct placeholder
+    * for a real resampler (images: use `resizeImages`).
     */
   def resize(df: DataFrame, targetW: Int, targetH: Int): DataFrame =
     df.withColumn("meta",

@@ -195,11 +195,36 @@ object QueriesText {
         .select(col("doc_id"), TextLib.fingerprint(col("text"), 3).as("fp"))),
 
     "q_multimodal_features" -> ((s, dir) => {
+      // REAL ImageIO round-trip: a deterministic PNG is rendered per doc
+      // (dims vary with doc_id), decoded back by the engine's batched
+      // ImageIO path; the oracle recomputes the pattern's exact pixel
+      // stats in plain SQL — decoded width/height prove a real decode
+      val gen = udf((seed: Long, w: Int, h: Int) => Multimodal.syntheticPng(seed, w, h))
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"),
+          (lit(8) + pmod(col("doc_id"), lit(9))).cast("int").as("w"),
+          (lit(8) + pmod(col("doc_id"), lit(7))).cast("int").as("h"))
+      val media = Multimodal.asMedia(
+        d.withColumn("payload", gen(col("doc_id"), col("w"), col("h"))),
+        "doc_id", "payload", "image/png")
+      Multimodal.decodeImageStats(media, "payload")
+        .select(col("media_id"),
+          col("image_stats.width").as("width"),
+          col("image_stats.height").as("height"),
+          col("image_stats.channels").as("channels"),
+          roundf(col("image_stats.mean_r"), 6).as("mean_r"),
+          roundf(col("image_stats.mean_g"), 6).as("mean_g"),
+          roundf(col("image_stats.mean_b"), 6).as("mean_b"),
+          roundf(col("image_stats.mean_luma"), 6).as("mean_luma"))
+        .orderBy("media_id")
+    }),
+
+    "q_multimodal_stub_features" -> ((s, dir) => {
+      // the NON-IMAGE stub path (audio/video have no codec in this
+      // container): rows-only; array-level assertions live in the specs
       val media = Multimodal.asMedia(
         t(s, dir, "documents").withColumn("payload", col("text").cast("binary")),
-        "doc_id", "payload", "text/plain")
-      // scalar projection: raw float arrays are unhashable in the driver's
-      // rows-only comparator; array-level assertions live in MultimodalSpec
+        "doc_id", "payload", "audio/fake")
       Multimodal.decodeToFeatures(media, "payload", dim = 8)
         .select(col("media_id"), size(col("features")).as("feat_dim"),
           round(aggregate(col("features"), lit(0.0), (acc, x) => acc + x * x), 4).as("feat_sq_sum"),
@@ -524,6 +549,35 @@ object QueriesText {
 
   val oracle: Map[String, String] = Map(
     "q_lang_id" -> langIdSql,
+
+    "q_multimodal_features" ->
+      // the pinned gradient pattern of Multimodal.syntheticPng recomputed
+      // in SQL: PNG is lossless, so the engine's ImageIO decode must
+      // reproduce these exact integer channel sums; mean_luma is DEFINED
+      // as the Rec.601 combination of the channel means
+      """WITH dims AS (
+        |  SELECT doc_id, CAST(8 + doc_id % 9 AS INT) AS w,
+        |         CAST(8 + doc_id % 7 AS INT) AS h
+        |  FROM documents),
+        |xs AS (SELECT doc_id, w, h, unnest(generate_series(0, w - 1)) AS x FROM dims),
+        |px AS (SELECT doc_id, w, h, x, unnest(generate_series(0, h - 1)) AS y FROM xs),
+        |ch AS (SELECT doc_id,
+        |        (7*x + 13*y + doc_id) % 256 AS r,
+        |        (3*x + 5*y + 2*doc_id) % 256 AS g,
+        |        (x + y + 3*doc_id) % 256 AS b
+        |      FROM px),
+        |agg AS (SELECT doc_id,
+        |         CAST(sum(r) AS DOUBLE)/count(*) AS mr,
+        |         CAST(sum(g) AS DOUBLE)/count(*) AS mg,
+        |         CAST(sum(b) AS DOUBLE)/count(*) AS mb
+        |       FROM ch GROUP BY doc_id)
+        |SELECT d.doc_id AS media_id, d.w AS width, d.h AS height,
+        |  CAST(3 AS INT) AS channels,
+        |  round(mr + 1e-9, 6) AS mean_r,
+        |  round(mg + 1e-9, 6) AS mean_g,
+        |  round(mb + 1e-9, 6) AS mean_b,
+        |  round(0.299*mr + 0.587*mg + 0.114*mb + 1e-9, 6) AS mean_luma
+        |FROM dims d JOIN agg USING (doc_id) ORDER BY media_id""".stripMargin,
 
     "q_pii_redact" -> {
       // same regexes (RE2-compatible: no lookaround), same replace order

@@ -194,6 +194,51 @@ class QualityFeSpec extends SparkSpec {
     assert(out1(1).isNullAt(3)) // null payload passthrough
   }
 
+  test("multimodal ImageIO decode: PNG round-trip reproduces exact pixel stats") {
+    // 10x6 PNG of the pinned gradient; stats recomputed in plain Scala
+    val seed = 17L; val w = 10; val h = 6
+    val png = Multimodal.syntheticPng(seed, w, h)
+    assert(png.length > 8 && (png(1) & 0xFF) == 'P' && (png(2) & 0xFF) == 'N')
+    var sr = 0L; var sg = 0L; var sb = 0L
+    for (y <- 0 until h; x <- 0 until w) {
+      sr += ((7L * x + 13L * y + seed) % 256).toInt
+      sg += ((3L * x + 5L * y + 2L * seed) % 256).toInt
+      sb += ((x.toLong + y + 3L * seed) % 256).toInt
+    }
+    val n = (w * h).toDouble
+    val media = Multimodal.asMedia(
+      Seq((1L, png), (2L, "not an image".getBytes), (3L, null: Array[Byte]))
+        .toDF("id", "payload"), "id", "payload", "image/png")
+    val out = Multimodal.decodeImageStats(media, "payload").orderBy("media_id").collect()
+    val st = out(0).getStruct(3)
+    assert(st.getInt(0) == w && st.getInt(1) == h && st.getInt(2) == 3)
+    assert(st.getDouble(3) == sr / n && st.getDouble(4) == sg / n && st.getDouble(5) == sb / n)
+    assert(st.getSeq[Long](7).sum == w.toLong * h) // histogram covers every pixel
+    assert(out(1).isNullAt(3), "undecodable bytes must yield null stats, not a crash")
+    assert(out(2).isNullAt(3), "null payload passthrough")
+  }
+
+  test("multimodal ImageIO: JPEG decodes (lossy ≈), resizeImages re-dims for real") {
+    val png = Multimodal.syntheticPng(5L, 16, 16)
+    // transcode the PNG to JPEG via the same JDK codec, then decode stats
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+    val rgb = new java.awt.image.BufferedImage(16, 16, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    rgb.createGraphics().drawImage(img, 0, 0, null)
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(rgb, "jpg", bos))
+    val jpegStats = Multimodal.imageStats(bos.toByteArray)
+    val pngStats = Multimodal.imageStats(png)
+    assert(jpegStats.getInt(0) == 16 && jpegStats.getInt(1) == 16)
+    assert(math.abs(jpegStats.getDouble(6) - pngStats.getDouble(6)) < 16.0,
+      "JPEG mean luma should be within lossy tolerance of the source")
+    // real resize: decoded dims of the resized payload are the target dims
+    val media = Multimodal.asMedia(Seq((1L, png)).toDF("id", "payload"), "id", "payload", "image/png")
+    val resized = Multimodal.resizeImages(media, 4, 3).collect()(0)
+    val rs = Multimodal.imageStats(resized.getAs[Array[Byte]]("payload"))
+    assert(rs.getInt(0) == 4 && rs.getInt(1) == 3)
+    assert(resized.getStruct(2).getInt(1) == 4 && resized.getStruct(2).getInt(2) == 3)
+  }
+
   test("multimodal frame sampling fans out duration/every rows") {
     val media = Seq((1L, Array.fill(200)(7.toByte))).toDF("id", "payload")
     val m = Multimodal.asMedia(media, "id", "payload", "video/fake", durationMs = 5000L)
