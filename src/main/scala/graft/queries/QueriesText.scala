@@ -547,8 +547,33 @@ object QueriesText {
       |  FROM (SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS ws FROM tr)),
       |hits AS (SELECT t.train_id, e.s, e.eval_id FROM trsh t JOIN evsh e USING (s))""".stripMargin
 
+  /** Golden-file gate for hash-family queries whose VALUES are engine-side
+    * (xxhash64 minhash/simhash signatures, seeded hyperplanes, BPE merge
+    * replay): the committed sf0.01 output is re-read by DuckDB and compared
+    * row-for-row against a fresh engine run. External correctness (recall
+    * laws, no-Cartesian plans, classic BPE sequences) stays spec-gated; the
+    * golden pins cross-round regressions the rows-only check could not see.
+    * Partitioning-independence was verified by diffing runs at different
+    * core counts before committing each file (DedupSimilaritySpec also
+    * pins run-to-run determinism). VALID AT sf0.01 ONLY — the driver's
+    * correctness gate SF.
+    */
+  private def golden(name: String): String =
+    s"""-- GOLDEN gate (sf0.01, the driver's gate SF): pinned engine output
+       |SELECT * FROM read_parquet('/root/repo/goldens/sf0.01/$name.parquet')""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "q_lang_id" -> langIdSql,
+
+    "q_fingerprint" -> golden("q_fingerprint"),
+    "q_winnow" -> golden("q_winnow"),
+    "q_dedup_simhash" -> golden("q_dedup_simhash"),
+    "q_bpe_merges" -> golden("q_bpe_merges"),
+    "q_dedup_minhash" -> golden("q_dedup_minhash"),
+    "q_near_dedup" -> golden("q_near_dedup"),
+    "q_dedup_clusters" -> golden("q_dedup_clusters"),
+    "q_embed_neardup" -> golden("q_embed_neardup"),
+    "q_ann_lsh" -> golden("q_ann_lsh"),
 
     "q_multimodal_features" ->
       // the pinned gradient pattern of Multimodal.syntheticPng recomputed

@@ -191,6 +191,21 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(e.getMessage.contains("did not converge"))
   }
 
+  test("golden-gated queries are run-to-run deterministic (golden methodology guard)") {
+    // the sf0.01 goldens in /root/repo/goldens pin these queries' output;
+    // that is only sound if the queries are pure functions of the data —
+    // two fresh runs must agree exactly (partitioning-independence was
+    // additionally diffed across core counts before committing goldens)
+    val names = Seq("q_fingerprint", "q_winnow", "q_dedup_simhash", "q_bpe_merges",
+      "q_dedup_minhash", "q_near_dedup", "q_dedup_clusters", "q_embed_neardup", "q_ann_lsh")
+    val qs = graft.SparkEntry.queries
+    names.foreach { n =>
+      val a = qs(n)(spark, sfDir).collect().map(_.toString).sorted.toSeq
+      val b = qs(n)(spark, sfDir).collect().map(_.toString).sorted.toSeq
+      assert(a == b, s"$n is not run-to-run deterministic — golden gate unsound")
+    }
+  }
+
   test("vocabulary: df filter, deterministic ordering") {
     val d = Seq((1L, "spark spark table"), (2L, "spark row"), (3L, "table row row"))
       .toDF("doc_id", "text")
