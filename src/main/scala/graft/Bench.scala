@@ -5,7 +5,9 @@ import org.apache.spark.sql.SparkSession
 /** Per-round benchmark: runs the headline queries at SPARK_GRAFT_SF_DIR and
   * prints ONE JSON line. Each query is fully evaluated via a noop-format
   * write (VERDICT r1: `.count()` lets Catalyst prune all columns and
-  * under-measures projection/expression cost).
+  * under-measures projection/expression cost). Reported numbers are
+  * per-query MEDIANS over `SPARK_GRAFT_BENCH_RUNS` (default 3) measured
+  * runs; the JSON carries a `runs` field.
   */
 object Bench {
 
@@ -31,7 +33,9 @@ object Bench {
     "q_quota_per_source",  // two-level per-domain cap
     "q_dedup_incremental", // batch-bloom snapshot dedup
     "q_para_dedup",        // corpus-wide paragraph dedup + reassembly
-    "q_dup_spans"          // positional k-gram duplicate-span detection
+    "q_dup_spans",         // positional k-gram duplicate-span detection
+    // round-5 addition
+    "q_multimodal_features" // real ImageIO encode+decode round-trip
   )
 
   def main(args: Array[String]): Unit = {
@@ -52,26 +56,35 @@ object Bench {
 
     val unknown = names.filterNot(qs.contains)
     unknown.foreach(n => System.err.println(s"[bench] unknown query name: $n"))
+    // per-query MEDIAN of `runs` measured executions (after one warmup):
+    // single-run numbers swing ±20-30% on this box (VERDICT r4 graded a
+    // pure-noise 1.24× as a possible regression) — medians make rounds
+    // comparable without folklore about run variance
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
     val results = names.filter(qs.contains).map { name =>
       def run(): Unit = qs(name)(spark, sfDir).write.format("noop").mode("overwrite").save()
       try run() catch { case e: Throwable => System.err.println(s"[bench] $name warmup failed: ${e.getMessage}") }
-      spark.catalog.clearCache() // drop persisted intermediates so queries don't
-      val t0 = System.nanoTime() //   inherit (or pay eviction for) earlier caches
-      val ok = try { run(); true } catch {
-        case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
+      val times = (1 to runs).flatMap { _ =>
+        spark.catalog.clearCache() // drop persisted intermediates so queries don't
+        val t0 = System.nanoTime() //   inherit (or pay eviction for) earlier caches
+        val ok = try { run(); true } catch {
+          case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
+        }
+        if (ok) Some((System.nanoTime() - t0) / 1e9) else None
       }
-      (name, (System.nanoTime() - t0) / 1e9, ok)
+      val median = times.sorted.drop(times.size / 2).headOption
+      (name, median) // None = every run failed
     }
     // a broken query must NOT deflate the timing line — report it separately;
     // unknown names count as failed too (an all-typo invocation previously
     // emitted a plausible-looking zero-total success line)
     def fmt(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val js = graft.core.Json.str _
-    val good = results.collect { case (k, v, true) => k -> v }
-    val failed = results.collect { case (k, _, false) => js(k) } ++ unknown.map(js)
+    val good = results.collect { case (k, Some(v)) => k -> v }
+    val failed = results.collect { case (k, None) => js(k) } ++ unknown.map(js)
     val qJson = good.map { case (k, v) => js(k) + ":" + fmt(v) }.mkString("{", ",", "}")
     val failedJson = if (failed.isEmpty) "" else s""","failed":[${failed.mkString(",")}]"""
-    println(s"""{"metric":"total","value":${fmt(good.map(_._2).sum)},"unit":"sec","queries":$qJson$failedJson,"sf":${js(sfDir)}}""")
+    println(s"""{"metric":"total","value":${fmt(good.map(_._2).sum)},"unit":"sec","queries":$qJson$failedJson,"runs":$runs,"sf":${js(sfDir)}}""")
     spark.stop()
   }
 }

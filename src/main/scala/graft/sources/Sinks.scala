@@ -56,10 +56,74 @@ object Sinks {
     wr.mode(mode).save()
   }
 
-  /** Upsert via `INSERT … ON CONFLICT (keys) DO UPDATE` executed per
-    * partition (postgresql_storage.py:267-306 `bulk_insert` parity — Spark
-    * has no built-in upsert). Each executor opens its own connection and
-    * batches `batchSize` rows per round trip; the whole write is distributed.
+  /** SQL type for a MERGE source-row CAST — standard-SQL dialects (Derby
+    * included) reject untyped parameter markers inside VALUES.
+    */
+  private def castType(dt: org.apache.spark.sql.types.DataType): String = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case ByteType | ShortType | IntegerType => "INT"
+      case LongType                           => "BIGINT"
+      case FloatType                          => "REAL"
+      case DoubleType                         => "DOUBLE"
+      case BooleanType                        => "BOOLEAN"
+      case TimestampType                      => "TIMESTAMP"
+      case DateType                           => "DATE"
+      case d: DecimalType                     => s"DECIMAL(${d.precision},${d.scale})"
+      case _                                  => "VARCHAR(32672)"
+    }
+  }
+
+  /** The per-row upsert statement for `jdbcUpsert`, plus the COLUMN ORDER
+    * its parameter markers bind in — exposed for the spec to pin both
+    * dialects' SQL text (the Postgres server itself is not in this
+    * container; Derby executes the merge dialect end-to-end).
+    */
+  private[graft] def upsertSql(schema: org.apache.spark.sql.types.StructType, table: String,
+                               keyCols: Seq[String], onConflictUpdate: Boolean,
+                               dialect: String): (String, Seq[String]) = {
+    val cols = schema.fieldNames.toSeq
+    val nonKeyCols = cols.filterNot(keyCols.contains)
+    def cast(c: String) = s"CAST(? AS ${castType(schema(c).dataType)})"
+    dialect match {
+      case "postgres" =>
+        val placeholders = cols.map(_ => "?").mkString(", ")
+        val conflictAction =
+          if (!onConflictUpdate || nonKeyCols.isEmpty) "DO NOTHING" // all-key rows: nothing to update
+          else s"DO UPDATE SET ${nonKeyCols.map(c => s"$c = EXCLUDED.$c").mkString(", ")}"
+        (s"""INSERT INTO $table (${cols.mkString(", ")}) VALUES ($placeholders)
+            |ON CONFLICT (${keyCols.mkString(", ")}) $conflictAction""".stripMargin,
+          cols)
+      case "merge" =>
+        // Derby/DB2-shaped MERGE: the source must be a base table or table
+        // function (Derby ERROR 42XAL rejects a VALUES source), so the
+        // one-row SYSIBM.SYSDUMMY1 carries the row via typed parameters —
+        // bare ? markers are also rejected in these dialects, hence CASTs.
+        // Parameter order: ON keys, UPDATE non-keys, INSERT all columns.
+        val doUpdate = onConflictUpdate && nonKeyCols.nonEmpty
+        val onClause = keyCols.map(k => s"t.$k = ${cast(k)}").mkString(" AND ")
+        val matched =
+          if (!doUpdate) ""
+          else s"WHEN MATCHED THEN UPDATE SET ${nonKeyCols.map(c => s"$c = ${cast(c)}").mkString(", ")}\n"
+        val sql =
+          s"""MERGE INTO $table t USING SYSIBM.SYSDUMMY1 d
+             |ON ($onClause)
+             |${matched}WHEN NOT MATCHED THEN INSERT (${cols.mkString(", ")})
+             |VALUES (${cols.map(cast).mkString(", ")})""".stripMargin
+        (sql, keyCols ++ (if (doUpdate) nonKeyCols else Nil) ++ cols)
+      case other =>
+        throw new IllegalArgumentException(s"jdbcUpsert: dialect must be postgres|merge, got '$other'")
+    }
+  }
+
+  /** Upsert executed per partition (postgresql_storage.py:267-306
+    * `bulk_insert` parity — Spark has no built-in upsert). Two dialects:
+    * `postgres` = `INSERT … ON CONFLICT (keys) DO UPDATE` (the reference's
+    * target DB); `merge` = standard-SQL `MERGE INTO … USING (VALUES …)`
+    * (Derby/DB2/SQL Server/Oracle family — and the executable gate: an
+    * embedded Derby exercises this path in JdbcSpec). Each executor opens
+    * its own connection and batches `batchSize` rows per round trip; the
+    * whole write is distributed.
     */
   def jdbcUpsert(
       df: DataFrame,
@@ -68,17 +132,14 @@ object Sinks {
       keyCols: Seq[String],
       props: Map[String, String] = Map.empty,
       batchSize: Int = 1000,
-      onConflictUpdate: Boolean = true
+      onConflictUpdate: Boolean = true,
+      dialect: String = "postgres"
   ): Unit = {
+    require(keyCols.nonEmpty && keyCols.forall(df.columns.contains),
+      s"jdbcUpsert: keyCols must be non-empty columns of df, got $keyCols")
     val cols = df.columns.toSeq
-    val placeholders = cols.map(_ => "?").mkString(", ")
-    val nonKeyCols = cols.filterNot(keyCols.contains)
-    val conflictAction =
-      if (!onConflictUpdate || nonKeyCols.isEmpty) "DO NOTHING" // all-key rows have nothing to update
-      else s"DO UPDATE SET ${nonKeyCols.map(c => s"$c = EXCLUDED.$c").mkString(", ")}"
-    val sql =
-      s"""INSERT INTO $table (${cols.mkString(", ")}) VALUES ($placeholders)
-         |ON CONFLICT (${keyCols.mkString(", ")}) $conflictAction""".stripMargin
+    val (sql, bindCols) = upsertSql(df.schema, table, keyCols, onConflictUpdate, dialect)
+    val bindIdx = bindCols.map(cols.indexOf).toArray // param position → row ordinal
     df.foreachPartition { (rows: Iterator[Row]) =>
       val conn: Connection = {
         val p = new java.util.Properties()
@@ -91,8 +152,8 @@ object Sinks {
         var n = 0
         rows.foreach { row =>
           var i = 0
-          while (i < cols.length) {
-            val v = row.get(i)
+          while (i < bindIdx.length) {
+            val v = row.get(bindIdx(i))
             if (v == null) st.setNull(i + 1, java.sql.Types.NULL) else st.setObject(i + 1, v)
             i += 1
           }

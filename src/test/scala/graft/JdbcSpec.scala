@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sources.{Readers, Sinks}
+
+/** Executable gate for the JDBC storage surface (VERDICT r4 #7): an
+  * embedded Apache Derby (in /opt/spark/jars — Spark ships it for the Hive
+  * metastore) exercises jdbcWrite, jdbc read incl. predicate pushdown and
+  * partitioned parallel reads, and the MERGE-dialect upsert, all in-JVM.
+  * The postgres-dialect upsert SQL is string-asserted (no Postgres server
+  * in this container — documented in COVERAGE.md).
+  */
+class JdbcSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val url = "jdbc:derby:memory:graftdb;create=true"
+
+  test("jdbcWrite + jdbc read round-trip, filter pushdown, parallel partitions (Derby)") {
+    val df = Seq((1L, "alpha", 10.0), (2L, "beta", 20.0), (3L, "gamma", 30.0))
+      .toDF("ID", "NAME", "V")
+    Sinks.jdbcWrite(df, url, "T_ROUNDTRIP", mode = "overwrite")
+    val back = Readers.jdbc(spark, url, "T_ROUNDTRIP")
+    assert(back.count() == 3)
+    assert(back.columns.toSet == Set("ID", "NAME", "V"))
+    // predicate pushdown reaches the JDBC scan
+    val filtered = back.filter(col("ID") > 1)
+    val plan = filtered.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("ID"),
+      s"filter did not push to the JDBC scan:\n$plan")
+    assert(filtered.count() == 2)
+    // bounded partition column → parallel read (the at-scale path)
+    val par = Readers.jdbc(spark, url, "T_ROUNDTRIP",
+      partitionColumn = "ID", lowerBound = 1L, upperBound = 4L, numPartitions = 2)
+    assert(par.rdd.getNumPartitions == 2)
+    assert(par.count() == 3)
+  }
+
+  test("jdbcUpsert MERGE dialect: updates matches, inserts the rest (Derby)") {
+    val base = Seq((1L, "a", 10.0), (2L, "b", 20.0)).toDF("ID", "NAME", "V")
+    Sinks.jdbcWrite(base, url, "T_UPSERT", mode = "overwrite")
+    val delta = Seq((2L, "B2", 99.0), (3L, "c", 30.0)).toDF("ID", "NAME", "V")
+    Sinks.jdbcUpsert(delta, url, "T_UPSERT", keyCols = Seq("ID"), dialect = "merge")
+    val out = Readers.jdbc(spark, url, "T_UPSERT")
+      .orderBy("ID").as[(Long, String, Double)].collect().toSeq
+    assert(out == Seq((1L, "a", 10.0), (2L, "B2", 99.0), (3L, "c", 30.0)))
+    // idempotent: replaying the same delta changes nothing
+    Sinks.jdbcUpsert(delta, url, "T_UPSERT", keyCols = Seq("ID"), dialect = "merge")
+    assert(Readers.jdbc(spark, url, "T_UPSERT").count() == 3)
+    // all-key frames fall back to insert-if-absent (nothing to update)
+    val keysOnly = Seq(Tuple1(2L), Tuple1(9L)).toDF("ID")
+    Sinks.jdbcWrite(keysOnly, url, "T_KEYS", mode = "overwrite")
+    Sinks.jdbcUpsert(Seq(Tuple1(2L), Tuple1(5L)).toDF("ID"), url, "T_KEYS",
+      keyCols = Seq("ID"), dialect = "merge")
+    assert(Readers.jdbc(spark, url, "T_KEYS").as[Long].collect().toSet == Set(2L, 5L, 9L))
+  }
+
+  test("upsert SQL generation: postgres ON CONFLICT pinned, bad dialect rejected") {
+    // no Postgres server in this container — the exact statement the
+    // reference DB would receive is pinned instead (COVERAGE.md)
+    val schema = Seq((1L, "x", 2.0)).toDF("id", "name", "v").schema
+    val (pg, pgBind) = Sinks.upsertSql(schema, "docs", Seq("id"), onConflictUpdate = true, "postgres")
+    assert(pg ==
+      """INSERT INTO docs (id, name, v) VALUES (?, ?, ?)
+        |ON CONFLICT (id) DO UPDATE SET name = EXCLUDED.name, v = EXCLUDED.v""".stripMargin)
+    assert(pgBind == Seq("id", "name", "v"))
+    val (pgNoUpd, _) = Sinks.upsertSql(schema, "docs", Seq("id"), onConflictUpdate = false, "postgres")
+    assert(pgNoUpd.endsWith("ON CONFLICT (id) DO NOTHING"))
+    val (merge, mBind) = Sinks.upsertSql(schema, "docs", Seq("id"), onConflictUpdate = true, "merge")
+    assert(merge.contains("MERGE INTO docs t USING SYSIBM.SYSDUMMY1 d"))
+    assert(merge.contains("ON (t.id = CAST(? AS BIGINT))"))
+    assert(merge.contains(
+      "WHEN MATCHED THEN UPDATE SET name = CAST(? AS VARCHAR(32672)), v = CAST(? AS DOUBLE)"))
+    assert(mBind == Seq("id", "name", "v", "id", "name", "v"),
+      "merge params bind ON keys, UPDATE non-keys, then INSERT columns")
+    intercept[IllegalArgumentException] {
+      Sinks.upsertSql(schema, "docs", Seq("id"), onConflictUpdate = true, "cassandra")
+    }
+  }
+}
