@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import scala.collection.concurrent.TrieMap
+import scala.collection.mutable.ArrayBuffer
+
+/** Skew-stress gates (VERDICT r4 #8): on a 90%-one-key dataset, the
+  * window-heavy operators must not funnel the hot key through a single
+  * straggler task. Measured with a Spark listener recording per-task
+  * durations; the skew score of a run = max over its heavy stages of
+  * (longest task / stage total task time). A stage whose one task does
+  * ~all the work scores → 1; balanced stages score → 1/numTasks.
+  */
+class SkewStressSpec extends SparkSpec {
+  import spark.implicits._
+
+  private class TaskSpread extends SparkListener {
+    val stages: TrieMap[Int, ArrayBuffer[Long]] = TrieMap.empty
+    override def onTaskEnd(te: SparkListenerTaskEnd): Unit =
+      stages.getOrElseUpdate(te.stageId, ArrayBuffer.empty).synchronized {
+        stages(te.stageId) += te.taskInfo.duration
+      }
+  }
+
+  /** Max straggler ratio across stages heavy enough to matter (≥4 tasks,
+    * ≥500 ms of total task time — tiny stages are all noise). AQE partition
+    * coalescing is disabled for the measured job: at spec scale the whole
+    * shuffle fits one advisory partition and every stage would collapse to
+    * a single task, hiding exactly the distribution this spec measures (at
+    * 100 TB the partitions are far past the advisory size and never
+    * coalesce to one).
+    */
+  private def skewScore(job: => Unit): Double = {
+    val l = new TaskSpread
+    val key = "spark.sql.adaptive.coalescePartitions.enabled"
+    val old = spark.conf.getOption(key)
+    spark.conf.set(key, "false")
+    spark.sparkContext.addSparkListener(l)
+    try {
+      job
+      // listener events are async (the bus drain API is private[spark]):
+      // poll until the task-end stream goes quiet
+      var seen = -1; var now = l.stages.values.map(_.size).sum; var spins = 0
+      while (seen != now && spins < 20) {
+        seen = now; Thread.sleep(250); now = l.stages.values.map(_.size).sum; spins += 1
+      }
+    } finally {
+      spark.sparkContext.removeSparkListener(l)
+      old.fold(spark.conf.unset(key))(spark.conf.set(key, _))
+    }
+    val heavy = l.stages.values.filter(ts => ts.size >= 4 && ts.sum >= 500L)
+    if (heavy.isEmpty) 0.0 else heavy.map(ts => ts.max.toDouble / ts.sum).max
+  }
+
+  private def hotDf = spark.range(4000000).select(
+    when(col("id") % 100 < 99, lit("hot"))
+      .otherwise(concat(lit("g"), pmod(col("id"), lit(1000)))).as("grp"),
+    col("id"))
+
+  test("quotaPerGroup spreads a 90%-hot group; a one-partition-per-group window does not") {
+    // negative control FIRST: prove the metric discriminates. NOT the
+    // row_number+filter shape — Spark 4's WindowGroupLimit pushdown
+    // de-skews exactly that pattern (partial top-K before the exchange, a
+    // fact quotaPerGroup's scaladoc leans on); a running sum has no such
+    // rescue, so the hot group's 900k rows funnel through one task.
+    val naive = hotDf
+      .withColumn("rs", sum(col("id")).over(Window.partitionBy("grp").orderBy("id")))
+    val naiveScore = skewScore(naive.write.format("noop").mode("overwrite").save())
+    assert(naiveScore > 0.5,
+      s"control failed: skewed window scored $naiveScore — dataset/metric not discriminating")
+    // ...while the two-level TakeOrdered shape stays balanced — both in
+    // absolute terms and clearly below the control (the ~0.25 floor for 4
+    // uniform tasks plus per-task overhead bounds how low a score can go)
+    val quota = graft.ops.Scale.quotaPerGroup(hotDf, "grp", "id", quota = 50)
+    val quotaScore = skewScore(quota.write.format("noop").mode("overwrite").save())
+    assert(quotaScore < 0.45 && quotaScore < naiveScore - 0.1,
+      s"quotaPerGroup straggler ratio $quotaScore (skewed-window control: $naiveScore)")
+    // and it still computes the right thing: 50 per group, smallest hash draw
+    val counts = quota.groupBy("grp").count().as[(String, Long)].collect().toMap
+    assert(counts("hot") == 50 && counts.values.forall(_ <= 50))
+  }
+
+  test("duplicateSpans survives a corpus-wide boilerplate gram without a straggler") {
+    // every doc shares one boilerplate sentence: its k-grams occur 60k times
+    // — a count-window formulation would single-reducer them (NOTES_r04);
+    // the map-side-combined groupBy + re-join shape must stay balanced
+    val docs = spark.range(60000).select(
+      col("id").as("doc_id"),
+      concat(lit("unique prefix "), col("id"), lit(" all rights reserved contact the webmaster for details")).as("text"))
+    var out: org.apache.spark.sql.DataFrame = null
+    val score = skewScore {
+      out = graft.text.Dedup.duplicateSpans(docs, "text", "doc_id", k = 3, minCount = 1000)
+      out.write.format("noop").mode("overwrite").save()
+    }
+    assert(score < 0.6, s"duplicateSpans straggler ratio $score")
+    // the boilerplate run is actually flagged in every document
+    val flagged = out.filter(col("n_spans") >= 1).count()
+    assert(flagged == 60000L, s"expected all docs flagged, got $flagged")
+  }
+}
