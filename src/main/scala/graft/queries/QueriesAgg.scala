@@ -106,6 +106,26 @@ object QueriesAgg {
       QualityMetrics.outlierRateIqr(t(s, dir, "events"), "value", 1.5)
         .select(round(col("value_outlier_rate"), 6).as("outlier_rate"))),
 
+    "q_quality_monitor" -> ((s, dir) => {
+      // schema-derived default checks over events, threshold-classified;
+      // asOf pinned past the data's end so timeliness provably FAILs and
+      // the alert path fires at every SF
+      val ev = t(s, dir, "events")
+      graft.quality.QualityMonitor.runChecks(ev, "events",
+          graft.quality.QualityMonitor.defaultChecks(ev),
+          asOf = to_timestamp(lit("2024-01-31 00:00:00")))
+        .orderBy("metric_name", "column_name")
+    }),
+
+    "q_quality_alerts" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val m = graft.quality.QualityMonitor.runChecks(ev, "events",
+        graft.quality.QualityMonitor.defaultChecks(ev),
+        asOf = to_timestamp(lit("2024-01-31 00:00:00")))
+      graft.quality.QualityMonitor.alerts(m, atEpoch = 1706659200L)
+        .orderBy("alert_id")
+    }),
+
     "q_schema_stats" -> ((s, dir) =>
       SchemaInference.columnStats(t(s, dir, "customer"))
         .select(col("column"), col("n"), col("nulls"), col("n_distinct"),
@@ -158,7 +178,67 @@ object QueriesAgg {
     })
   )
 
+  /** Shared monitor CTE: the 12 schema-derived default checks over events
+    * (completeness ×6; uniqueness on the two *_id columns; IQR non-outlier
+    * rate on the three numerics; 24h timeliness on ts vs the pinned asOf),
+    * classified PASS/WARN/FAIL from the RAW value like the engine.
+    */
+  private val monitorCte: String =
+    """WITH st AS (SELECT
+      |    count(*) AS n,
+      |    count(event_id) AS c1, count(user_id) AS c2, count(ts) AS c3,
+      |    count(event_type) AS c4, count(value) AS c5, count(props) AS c6,
+      |    count(DISTINCT event_id) AS d1, count(DISTINCT user_id) AS d2,
+      |    quantile_cont(event_id, 0.25) AS q1a, quantile_cont(event_id, 0.75) AS q3a,
+      |    quantile_cont(user_id, 0.25) AS q1b, quantile_cont(user_id, 0.75) AS q3b,
+      |    quantile_cont(value, 0.25) AS q1c, quantile_cont(value, 0.75) AS q3c,
+      |    avg(CASE WHEN floor(epoch(TIMESTAMP '2024-01-31 00:00:00')) - floor(epoch(ts)) <= 86400.0
+      |             THEN 1.0 ELSE 0.0 END) AS tml
+      |  FROM events),
+      |ol AS (SELECT
+      |    1.0 - avg(CASE WHEN e.event_id IS NOT NULL AND (e.event_id < q1a - 1.5*(q3a-q1a)
+      |                   OR e.event_id > q3a + 1.5*(q3a-q1a)) THEN 1.0 ELSE 0.0 END) AS o1,
+      |    1.0 - avg(CASE WHEN e.user_id IS NOT NULL AND (e.user_id < q1b - 1.5*(q3b-q1b)
+      |                   OR e.user_id > q3b + 1.5*(q3b-q1b)) THEN 1.0 ELSE 0.0 END) AS o2,
+      |    1.0 - avg(CASE WHEN e.value IS NOT NULL AND (e.value < q1c - 1.5*(q3c-q1c)
+      |                   OR e.value > q3c + 1.5*(q3c-q1c)) THEN 1.0 ELSE 0.0 END) AS o3
+      |  FROM events e CROSS JOIN st),
+      |m(metric_name, column_name, raw_value, threshold_value) AS (
+      |  SELECT 'completeness', 'event_id', CAST(c1 AS DOUBLE)/n, CAST(0.95 AS DOUBLE) FROM st
+      |  UNION ALL SELECT 'completeness', 'user_id', CAST(c2 AS DOUBLE)/n, 0.95 FROM st
+      |  UNION ALL SELECT 'completeness', 'ts', CAST(c3 AS DOUBLE)/n, 0.95 FROM st
+      |  UNION ALL SELECT 'completeness', 'event_type', CAST(c4 AS DOUBLE)/n, 0.95 FROM st
+      |  UNION ALL SELECT 'completeness', 'value', CAST(c5 AS DOUBLE)/n, 0.95 FROM st
+      |  UNION ALL SELECT 'completeness', 'props', CAST(c6 AS DOUBLE)/n, 0.95 FROM st
+      |  UNION ALL SELECT 'uniqueness', 'event_id', CAST(d1 AS DOUBLE)/n, CAST(1.0 AS DOUBLE) FROM st
+      |  UNION ALL SELECT 'uniqueness', 'user_id', CAST(d2 AS DOUBLE)/n, 1.0 FROM st
+      |  UNION ALL SELECT 'outlier_iqr', 'event_id', o1, 0.95 FROM ol
+      |  UNION ALL SELECT 'outlier_iqr', 'user_id', o2, 0.95 FROM ol
+      |  UNION ALL SELECT 'outlier_iqr', 'value', o3, 0.95 FROM ol
+      |  UNION ALL SELECT 'timeliness', 'ts', tml, CAST(0.8 AS DOUBLE) FROM st),
+      |cls AS (SELECT 'events' AS table_name, metric_name, column_name,
+      |  round(raw_value, 4) AS metric_value, threshold_value,
+      |  CASE WHEN raw_value >= threshold_value THEN 'PASS'
+      |       WHEN raw_value >= threshold_value * 0.8 THEN 'WARN'
+      |       ELSE 'FAIL' END AS status FROM m)""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "q_quality_monitor" ->
+      s"""$monitorCte
+         |SELECT * FROM cls ORDER BY metric_name, column_name""".stripMargin,
+
+    "q_quality_alerts" ->
+      s"""$monitorCte
+         |SELECT concat('DQ_events_', metric_name, '_', column_name, '_1706659200') AS alert_id,
+         |  table_name, metric_name, column_name, metric_value, threshold_value, status,
+         |  CASE WHEN status = 'FAIL' THEN 'CRITICAL' ELSE 'WARNING' END AS severity,
+         |  'Data quality issue detected in table ''events'' for column ''' || column_name ||
+         |  '''. ' || upper(substr(metric_name, 1, 1)) || substr(metric_name, 2) || ' is ' ||
+         |  printf('%.2f', metric_value * 100) || '% (threshold: ' ||
+         |  printf('%.2f', threshold_value * 100) || '%). Status: ' || status AS message
+         |FROM cls WHERE status IN ('WARN', 'FAIL')
+         |ORDER BY alert_id""".stripMargin,
+
     "q_describe" ->
       // Spark describe() rows: count (non-null), mean, stddev (sample),
       // min, max — rebuilt by UNION ALL with the same string labels

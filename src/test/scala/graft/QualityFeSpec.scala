@@ -194,6 +194,50 @@ class QualityFeSpec extends SparkSpec {
     assert(out1(1).isNullAt(3)) // null payload passthrough
   }
 
+  test("QualityMonitor: default checks, PASS/WARN/FAIL rule, alerts, summary") {
+    import graft.quality.QualityMonitor
+    import graft.quality.QualityMonitor.Check
+    val d = Seq((1L, Option("a"), 10.0), (2L, Option("a"), 11.0),
+      (3L, Option.empty[String], 12.0), (4L, Option("b"), 1000.0))
+      .toDF("row_id", "cat", "v")
+    // schema-derived defaults: completeness everywhere, uniqueness on *_id,
+    // IQR outliers on numerics, no timeliness (no timestamp column)
+    val checks = QualityMonitor.defaultChecks(d)
+    assert(checks.map(c => (c.metric, c.column)).toSet == Set(
+      ("completeness", "row_id"), ("uniqueness", "row_id"), ("outlier_iqr", "row_id"),
+      ("completeness", "cat"), ("completeness", "v"), ("outlier_iqr", "v")))
+    val m = QualityMonitor.runChecks(d, "t", checks)
+    val byKey = m.collect()
+      .map(r => (r.getString(1), r.getString(2)) -> (r.getDouble(3), r.getString(5))).toMap
+    assert(byKey(("uniqueness", "row_id")) == (1.0, "PASS"))
+    assert(byKey(("outlier_iqr", "row_id")) == (1.0, "PASS")) // uniform ids: no outliers
+    assert(byKey(("completeness", "cat")) == (0.75, "FAIL"))  // < 0.8×0.95
+    assert(byKey(("outlier_iqr", "v")) == (0.75, "FAIL"))     // 1000 breaches the IQR fence
+    // the reference's warn band is [0.8t, t): same 0.75 against t=0.9 WARNs
+    val warn = QualityMonitor.runChecks(d, "t", Seq(Check("completeness", "cat", 0.9)))
+      .collect()(0)
+    assert(warn.getString(5) == "WARN")
+    // alerts: WARN/FAIL only, severity mapping, deterministic id, message text
+    val al = QualityMonitor.alerts(m, atEpoch = 42L).collect()
+    assert(al.length == 2 && al.forall(_.getAs[String]("severity") == "CRITICAL"))
+    val catAlert = al.find(_.getAs[String]("column_name") == "cat").get
+    assert(catAlert.getAs[String]("alert_id") == "DQ_t_completeness_cat_42")
+    assert(catAlert.getAs[String]("message") ==
+      "Data quality issue detected in table 't' for column 'cat'. " +
+      "Completeness is 75.00% (threshold: 95.00%). Status: FAIL")
+    // summary rolls up a history by (table, metric)
+    val s = QualityMonitor.summary(m).collect()
+      .map(r => r.getString(1) -> (r.getLong(2), r.getLong(5))).toMap // n_checks, n_fail
+    assert(s("completeness") == (3L, 1L) && s("outlier_iqr") == (2L, 1L))
+    // unknown metric and unknown column fail loudly
+    intercept[IllegalArgumentException] {
+      QualityMonitor.runChecks(d, "t", Seq(Check("entropy", "v", 0.5))).collect()
+    }
+    intercept[IllegalArgumentException] {
+      QualityMonitor.runChecks(d, "t", Seq(Check("completeness", "nope", 0.5)))
+    }
+  }
+
   test("multimodal ImageIO decode: PNG round-trip reproduces exact pixel stats") {
     // 10x6 PNG of the pinned gradient; stats recomputed in plain Scala
     val seed = 17L; val w = 10; val h = 6
