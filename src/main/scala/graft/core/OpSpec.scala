@@ -60,6 +60,16 @@ object OpSpec {
     * language ID, token counts, chunking, Bloom blocklist exclusion.
     */
   final case class TextProcessing(params: Map[String, Any])                         extends OpSpec
+  /** Multimodal media ops (beyond-reference surface): wrap binary payloads,
+    * REAL ImageIO decode/resize, frame sampling, and the audio/video stub
+    * featurizer — see graft.multimodal.Multimodal.
+    */
+  final case class MultimodalOp(params: Map[String, Any])                           extends OpSpec
+  /** Quality monitoring as a pipeline step (utils/quality_monitor.py:133-340):
+    * replaces the frame with the metrics relation (emit: metrics, default)
+    * or the WARN/FAIL alert relation (emit: alerts).
+    */
+  final case class QualityMonitorOp(params: Map[String, Any])                       extends OpSpec
   /** Inline expectation gate (ecommerce_pipeline.yaml:28-39 `validate` op):
     * rows satisfying `expression` must be ≥ min_ratio, else the pipeline
     * fails. NOTE: this is an action (it counts), by design — validation is a
@@ -114,6 +124,8 @@ object OpCompiler {
     case TimeSeriesProcessing(p)       => applyTimeSeries(df, p)
     case Validate(p)                   => applyValidate(df, p)
     case TextProcessing(p)             => applyTextProcessing(df, p, tables)
+    case MultimodalOp(p)               => applyMultimodal(df, p)
+    case QualityMonitorOp(p)           => applyQualityMonitor(df, p)
   }
 
   // ------------------------------------------------- dynamic-param dispatch
@@ -224,7 +236,7 @@ object OpCompiler {
           s(p, "order_by", ts), keys)
       case "decompose" =>
         TimeSeriesLib.seasonalDecompose(df, s(p, "column"), s(p, "period", "24").toInt,
-          s(p, "order_by", ts), keys)
+          s(p, "order_by", ts), keys, s(p, "model", "additive"))
       case other => throw new IllegalArgumentException(s"Unknown time_series operation: $other")
     }
   }
@@ -452,5 +464,47 @@ object OpCompiler {
       require(ratio >= minR, f"validation failed: '$e' pass ratio $ratio%.4f < $minR")
     }
     df
+  }
+
+  /** multimodal op: media-column ops dispatched by `operation`. */
+  private def applyMultimodal(df: DataFrame, p: Map[String, Any]): DataFrame = {
+    import graft.multimodal.Multimodal
+    s(p, "operation") match {
+      case "as_media" =>
+        Multimodal.asMedia(df, s(p, "id_column", "doc_id"), s(p, "payload_column", "payload"),
+          s(p, "format", "application/octet-stream"), s(p, "width", "0").toInt,
+          s(p, "height", "0").toInt, s(p, "duration_ms", "0").toLong)
+      case "decode_image_stats" =>
+        Multimodal.decodeImageStats(df, s(p, "payload_column", "payload"),
+          s(p, "output_column", "image_stats"), s(p, "batch_size", "256").toInt)
+      case "resize_images" =>
+        Multimodal.resizeImages(df, s(p, "width").toInt, s(p, "height").toInt,
+          s(p, "batch_size", "256").toInt)
+      case "sample_frames" =>
+        Multimodal.sampleFrames(df, s(p, "every_ms", "1000").toLong)
+      case "decode_features_stub" => // audio/video: no codec in this container
+        Multimodal.decodeToFeatures(df, s(p, "payload_column", "payload"),
+          s(p, "dim", "16").toInt, s(p, "output_column", "features"))
+      case other => throw new IllegalArgumentException(s"Unknown multimodal operation: $other")
+    }
+  }
+
+  /** quality_monitor op: replaces the frame with its metrics relation
+    * (`emit: metrics`, default) or the WARN/FAIL alerts (`emit: alerts`).
+    * `as_of` (any to_timestamp-parsable string) pins timeliness for
+    * reproducible runs; `at_epoch` pins the alert ids.
+    */
+  private def applyQualityMonitor(df: DataFrame, p: Map[String, Any]): DataFrame = {
+    import org.apache.spark.sql.functions.{current_timestamp, lit, to_timestamp}
+    import graft.quality.QualityMonitor
+    val asOf = Option(s(p, "as_of")).map(v => to_timestamp(lit(v))).getOrElse(current_timestamp())
+    val metrics = QualityMonitor.runChecks(df, s(p, "table_name", "input"),
+      QualityMonitor.defaultChecks(df), asOf)
+    s(p, "emit", "metrics") match {
+      case "metrics" => metrics
+      case "alerts"  => QualityMonitor.alerts(metrics, s(p, "at_epoch", "0").toLong)
+      case other     => throw new IllegalArgumentException(
+        s"quality_monitor: emit must be metrics|alerts, got '$other'")
+    }
   }
 }

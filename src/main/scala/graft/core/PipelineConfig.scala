@@ -149,6 +149,8 @@ object PipelineConfig {
       case "feature_engineering"     => FeatureEngineering(params)
       case "time_series_processing"  => TimeSeriesProcessing(params)
       case "text_processing"         => TextProcessing(params)
+      case "multimodal"              => MultimodalOp(params)
+      case "quality_monitor"         => QualityMonitorOp(params)
       case "windowed_aggregation"    => TimeSeriesProcessing(params + ("operation" -> "resample"))
       case "validate"                => Validate(params)
       case other => throw new IllegalArgumentException(s"Unknown operation type: $other")

@@ -71,6 +71,43 @@ class PipelineSpec extends SparkSpec {
     assert(back(0).schema.fieldNames.contains("stopword_ratio"))
   }
 
+  test("YAML multimodal + quality_monitor ops drive the round-5 surfaces") {
+    val in = Files.createTempDirectory("graft_mm").toString
+    Seq(
+      (1L, graft.multimodal.Multimodal.syntheticPng(1L, 12, 8)),
+      (2L, graft.multimodal.Multimodal.syntheticPng(2L, 9, 9)),
+      (3L, null: Array[Byte]))
+      .toDF("doc_id", "payload").coalesce(1).write.mode("overwrite").parquet(in + "/media")
+    val mmYaml =
+      s"""name: media
+         |source: { type: parquet, path: "$in/media" }
+         |operations:
+         |  - { type: multimodal, params: { operation: as_media, format: image/png } }
+         |  - { type: multimodal, params: { operation: decode_image_stats } }
+         |""".stripMargin
+    val mmConf = Pipeline.fromYaml(mmYaml)
+    val (mmDf, _) = Pipeline.load(spark, mmConf)
+    val stats = graft.core.OpCompiler.compile(mmConf.operations)(mmDf)
+      .orderBy("media_id").collect()
+    assert(stats(0).getStruct(3).getInt(0) == 12 && stats(0).getStruct(3).getInt(1) == 8)
+    assert(stats(1).getStruct(3).getInt(0) == 9)
+    assert(stats(2).isNullAt(3), "null payload passes through as null stats")
+    // quality_monitor replaces the frame with its metrics / alerts relation
+    val qmYaml =
+      s"""name: monitored
+         |source: { type: parquet, path: "$in/media" }
+         |operations:
+         |  - { type: quality_monitor, params: { table_name: media, emit: alerts, at_epoch: 7 } }
+         |""".stripMargin
+    val qmConf = Pipeline.fromYaml(qmYaml)
+    val (qmDf, _) = Pipeline.load(spark, qmConf)
+    val alerts = graft.core.OpCompiler.compile(qmConf.operations)(qmDf).collect()
+    // payload completeness = 2/3 < 0.76 → a CRITICAL alert with pinned id
+    val a = alerts.find(_.getAs[String]("column_name") == "payload").get
+    assert(a.getAs[String]("severity") == "CRITICAL")
+    assert(a.getAs[String]("alert_id") == "DQ_media_completeness_payload_7")
+  }
+
   test("YAML quota_per_group, shard_assign, dedup_against drive the Scale/Dedup ops") {
     val in = Files.createTempDirectory("graft_quota").toString
     val docs = (1L to 120L).map(i => (i, s"src${i % 4}", s"unique document body number $i"))
