@@ -191,6 +191,20 @@ class PipelineSpec extends SparkSpec {
       Set("train", "val", "test")))
   }
 
+  test("examples/monitoring_pipeline.yaml emits pinned quality alerts on sf0.001") {
+    val yaml = new String(Files.readAllBytes(
+      java.nio.file.Paths.get("examples/monitoring_pipeline.yaml")), "UTF-8")
+    val conf = Pipeline.fromYaml(yaml)
+    val (df, catalog) = Pipeline.load(spark, conf)
+    val alerts = graft.core.OpCompiler.compile(conf.operations, catalog)(df).collect()
+    // the pinned as_of sits past the data's end → timeliness FAILs; user_id
+    // uniqueness FAILs; both alerts carry the pinned epoch in their ids
+    val ids = alerts.map(_.getAs[String]("alert_id")).toSet
+    assert(ids.contains("DQ_events_timeliness_ts_1706659200"), s"got $ids")
+    assert(ids.contains("DQ_events_uniqueness_user_id_1706659200"), s"got $ids")
+    assert(alerts.forall(_.getAs[String]("severity") == "CRITICAL"))
+  }
+
   test("nearDedup keeps one survivor per near-dup cluster, untouched docs intact") {
     val docs = Seq(
       (10L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),

@@ -51,6 +51,17 @@ class TextExprsSpec extends SparkSpec {
     assert(r.getInt(6) >= 1 && r.getInt(6) <= 2) // 4 grams, 2 windows, distinct minima
   }
 
+  test("graft_winnow_mins rejects null array elements with a clear message (SQL path)") {
+    // the SQL function bypasses WordGramHashes' non-null contract — an
+    // arbitrary array<bigint> with nulls must fail loudly, not NPE (ADVICE r4)
+    graft.expr.GraftFunctions.register(spark)
+    val e = intercept[Exception] {
+      spark.sql("SELECT graft_winnow_mins(array(1L, CAST(NULL AS BIGINT), 3L), 2)").collect()
+    }
+    val msg = Option(e.getCause).map(_.toString).getOrElse("") + e.toString
+    assert(msg.contains("contains NULL"), s"wanted the explicit null-element error, got: $e")
+  }
+
   test("UnicodeNormalize matches java.text.Normalizer and is idempotent") {
     val samples = Seq(
       "cafe\u0301",     // DEcomposed e + combining acute -> NFC composes
