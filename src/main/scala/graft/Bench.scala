@@ -72,8 +72,13 @@ object Bench {
         }
         if (ok) Some((System.nanoTime() - t0) / 1e9) else None
       }
-      val median = times.sorted.drop(times.size / 2).headOption
-      (name, median) // None = every run failed
+      // a PARTIALLY failing query (some runs ok, some not) must be as loud as
+      // a fully broken one: a median over the surviving runs would grade an
+      // intermittent OOM as healthy. Only an all-runs-green query gets a time.
+      if (times.nonEmpty && times.size < runs)
+        System.err.println(s"[bench] $name: only ${times.size}/$runs runs succeeded — reporting as failed")
+      val median = if (times.size == runs) times.sorted.drop(times.size / 2).headOption else None
+      (name, median) // None = at least one measured run failed
     }
     // a broken query must NOT deflate the timing line — report it separately;
     // unknown names count as failed too (an all-typo invocation previously

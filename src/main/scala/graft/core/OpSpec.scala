@@ -478,6 +478,8 @@ object OpCompiler {
         Multimodal.decodeImageStats(df, s(p, "payload_column", "payload"),
           s(p, "output_column", "image_stats"), s(p, "batch_size", "256").toInt)
       case "resize_images" =>
+        require(s(p, "width") != null && s(p, "height") != null,
+          "multimodal resize_images requires params.width and params.height (target dims)")
         Multimodal.resizeImages(df, s(p, "width").toInt, s(p, "height").toInt,
           s(p, "batch_size", "256").toInt)
       case "sample_frames" =>

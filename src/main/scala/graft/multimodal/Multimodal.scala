@@ -58,6 +58,15 @@ object Multimodal {
     StructField("mean_luma", DoubleType),
     StructField("luma_hist", ArrayType(LongType))))
 
+  /** ImageIO defaults to a temp-FILE-backed stream cache (`getUseCache` is
+    * true), costing one /tmp file create/write/delete per decoded or encoded
+    * image. Our payloads are in-memory byte arrays — no disk cache needed.
+    * Static JVM-wide flag; called at the top of every codec path so it takes
+    * effect in each executor JVM, not just the driver. Idempotent.
+    */
+  private[graft] def noImageIOFileCache(): Unit =
+    if (javax.imageio.ImageIO.getUseCache) javax.imageio.ImageIO.setUseCache(false)
+
   /** Decode one image payload with the JDK codec and compute pixel stats.
     * Returns null for null/undecodable payloads (a corrupt image is data,
     * not a job-killer). Channel sums are exact integers (≤ 2^53 for any
@@ -69,6 +78,7 @@ object Multimodal {
     */
   private[graft] def imageStats(payload: Array[Byte]): Row = {
     if (payload == null) return null
+    noImageIOFileCache()
     val img =
       try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
       catch { case _: Exception => null }
@@ -126,6 +136,7 @@ object Multimodal {
     * exactly the pattern's — computable independently in plain SQL.
     */
   def syntheticPng(seed: Long, w: Int, h: Int): Array[Byte] = {
+    noImageIOFileCache()
     val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
     var y = 0
     while (y < h) {
@@ -155,6 +166,7 @@ object Multimodal {
     val payloadIdx = inSchema.fieldIndex("payload")
     val metaIdx = inSchema.fieldIndex("meta")
     val rdd = df.rdd.mapPartitions { it =>
+      noImageIOFileCache()
       it.grouped(batchSize).flatMap { batch =>
         batch.map { row =>
           val payload = row.get(payloadIdx).asInstanceOf[Array[Byte]]

@@ -31,8 +31,11 @@ object QualityMonitor {
 
   /** Schema-derived default checks (quality_monitor.py:202-241):
     * completeness ≥ 0.95 on every column; uniqueness = 1.0 on id/key/code-
-    * named columns; non-outlier rate ≥ 0.95 (IQR, k=1.5) on numerics;
-    * timeliness ≥ 0.8 within 24h on timestamps.
+    * named columns (SUBSTRING match, faithfully reproducing the reference's
+    * heuristic at :215 — a column named 'width' or 'paid' will get a
+    * uniqueness check too; pass an explicit check list to opt out);
+    * non-outlier rate ≥ 0.95 (IQR, k=1.5) on numerics; timeliness ≥ 0.8
+    * within 24h on timestamps.
     */
   def defaultChecks(df: DataFrame): Seq[Check] = {
     val idish = Seq("id", "key", "code")
@@ -83,12 +86,18 @@ object QualityMonitor {
       case Check("uniqueness", c, _, _) =>
         countDistinct(col(c)).cast("double") / nullif(count(lit(1)), lit(0L))
       case Check("outlier_iqr", c, _, k) =>
-        // NON-outlier fraction (quality_monitor.py:107-123 returns 1 − rate);
-        // null readings are not outliers, matching pandas dropna there
+        // NON-outlier fraction over the NON-NULL readings (pandas-dropna
+        // parity, quality_monitor.py:107-123: rate = outliers/len(values)
+        // after dropna — dividing by total rows would let a mostly-null
+        // column mask its outliers). All-null column → 1.0 like the
+        // reference's empty-values early return.
         val iqr = col(s"__q3_$c") - col(s"__q1_$c")
         val lo = col(s"__q1_$c") - lit(k) * iqr
         val hi = col(s"__q3_$c") + lit(k) * iqr
-        lit(1.0) - avg(when(col(c).isNotNull && (col(c) < lo || col(c) > hi), 1.0).otherwise(0.0))
+        coalesce(
+          lit(1.0) - sum(when(col(c) < lo || col(c) > hi, 1.0).otherwise(0.0))
+            / nullif(count(col(c)).cast("double"), lit(0.0)),
+          lit(1.0))
       case Check("timeliness", c, _, maxAgeSec) =>
         avg(when(unix_timestamp(asOf) - unix_timestamp(col(c)) <= maxAgeSec, 1.0).otherwise(0.0))
       case other =>

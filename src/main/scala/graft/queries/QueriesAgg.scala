@@ -196,12 +196,15 @@ object QueriesAgg {
       |             THEN 1.0 ELSE 0.0 END) AS tml
       |  FROM events),
       |ol AS (SELECT
-      |    1.0 - avg(CASE WHEN e.event_id IS NOT NULL AND (e.event_id < q1a - 1.5*(q3a-q1a)
-      |                   OR e.event_id > q3a + 1.5*(q3a-q1a)) THEN 1.0 ELSE 0.0 END) AS o1,
-      |    1.0 - avg(CASE WHEN e.user_id IS NOT NULL AND (e.user_id < q1b - 1.5*(q3b-q1b)
-      |                   OR e.user_id > q3b + 1.5*(q3b-q1b)) THEN 1.0 ELSE 0.0 END) AS o2,
-      |    1.0 - avg(CASE WHEN e.value IS NOT NULL AND (e.value < q1c - 1.5*(q3c-q1c)
-      |                   OR e.value > q3c + 1.5*(q3c-q1c)) THEN 1.0 ELSE 0.0 END) AS o3
+      |    coalesce(1.0 - sum(CASE WHEN e.event_id < q1a - 1.5*(q3a-q1a)
+      |        OR e.event_id > q3a + 1.5*(q3a-q1a) THEN 1.0 ELSE 0.0 END)
+      |      / nullif(count(e.event_id), 0), 1.0) AS o1,
+      |    coalesce(1.0 - sum(CASE WHEN e.user_id < q1b - 1.5*(q3b-q1b)
+      |        OR e.user_id > q3b + 1.5*(q3b-q1b) THEN 1.0 ELSE 0.0 END)
+      |      / nullif(count(e.user_id), 0), 1.0) AS o2,
+      |    coalesce(1.0 - sum(CASE WHEN e.value < q1c - 1.5*(q3c-q1c)
+      |        OR e.value > q3c + 1.5*(q3c-q1c) THEN 1.0 ELSE 0.0 END)
+      |      / nullif(count(e.value), 0), 1.0) AS o3
       |  FROM events e CROSS JOIN st),
       |m(metric_name, column_name, raw_value, threshold_value) AS (
       |  SELECT 'completeness', 'event_id', CAST(c1 AS DOUBLE)/n, CAST(0.95 AS DOUBLE) FROM st

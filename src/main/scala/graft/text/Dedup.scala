@@ -312,6 +312,13 @@ object Dedup {
         .join(labels.withColumnRenamed("id", "dst").withColumnRenamed("cluster_id", "n_label"), Seq("dst"))
         .groupBy(col("src").as("id"))
         .agg(min(col("n_label")).as("n_min"))
+      // `propagated` is deliberately NOT persisted even though it feeds both
+      // sides of the jump self-join below (≤2× one round's join+agg over the
+      // CACHED labels/edges — bounded): an in-loop persist+unpersist of a
+      // frame that is a subtree of the cached `next` triggers CacheManager
+      // recache of the dependent entry (its materialized data is dropped and
+      // later iterations recompute the full history) — measured as an OOM in
+      // the end-to-end pipeline spec, vs seconds for the recompute trade.
       val propagated = labels.join(viaNeighbors, Seq("id"), "left")
         .select(col("id"), least(col("cluster_id"), coalesce(col("n_min"), col("cluster_id"))).as("cluster_id"))
       // pointer jump (path halving): label := label's label. Every label IS
