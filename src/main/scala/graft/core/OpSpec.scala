@@ -61,8 +61,9 @@ object OpSpec {
     */
   final case class TextProcessing(params: Map[String, Any])                         extends OpSpec
   /** Multimodal media ops (beyond-reference surface): wrap binary payloads,
-    * REAL ImageIO decode/resize, frame sampling, and the audio/video stub
-    * featurizer — see graft.multimodal.Multimodal.
+    * REAL ImageIO decode/resize, REAL WAV decode/trim (AudioSystem), frame
+    * sampling, and the video/compressed-audio stub featurizer — see
+    * graft.multimodal.Multimodal.
     */
   final case class MultimodalOp(params: Map[String, Any])                           extends OpSpec
   /** Quality monitoring as a pipeline step (utils/quality_monitor.py:133-340):
@@ -482,9 +483,15 @@ object OpCompiler {
           "multimodal resize_images requires params.width and params.height (target dims)")
         Multimodal.resizeImages(df, s(p, "width").toInt, s(p, "height").toInt,
           s(p, "batch_size", "256").toInt)
+      case "decode_audio_stats" =>
+        Multimodal.decodeAudioStats(df, s(p, "payload_column", "payload"),
+          s(p, "output_column", "audio_stats"), s(p, "batch_size", "256").toInt)
+      case "trim_audio" =>
+        Multimodal.trimAudio(df, s(p, "max_ms", "60000").toLong,
+          s(p, "batch_size", "256").toInt)
       case "sample_frames" =>
         Multimodal.sampleFrames(df, s(p, "every_ms", "1000").toLong)
-      case "decode_features_stub" => // audio/video: no codec in this container
+      case "decode_features_stub" => // video/compressed audio: no codec here
         Multimodal.decodeToFeatures(df, s(p, "payload_column", "payload"),
           s(p, "dim", "16").toInt, s(p, "output_column", "features"))
       case other => throw new IllegalArgumentException(s"Unknown multimodal operation: $other")

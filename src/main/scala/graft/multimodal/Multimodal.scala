@@ -14,12 +14,17 @@ import org.apache.spark.sql.types._
   * PNG/JPEG/GIF/BMP codecs in the JDK, no external dependency
   * (`decodeImageStats`, `resizeImages`, `syntheticPng`).
   *
-  * STUB NOTE (audio/video only): this container ships no audio/video
-  * codecs, so `decodeToFeatures`/`sampleFrames` remain clearly-marked
-  * deterministic FAKES (hash-derived features / byte slices with the right
-  * shapes). Their Spark-side contract — schema, batching, partitioning,
-  * null passthrough — is real and tested; swapping in a true codec is a
-  * one-function change.
+  * AUDIO decode/trim/encode are REAL for WAV (RIFF PCM):
+  * `javax.sound.sampled.AudioSystem` ships the WAVE reader/writer in the
+  * JDK — pure header+PCM parsing, no audio device needed, works headless
+  * (`decodeAudioStats`, `trimAudio`, `syntheticWav`).
+  *
+  * STUB NOTE (video + compressed audio only): this container ships no
+  * video or MP3/AAC codecs, so `decodeToFeatures`/`sampleFrames` remain
+  * clearly-marked deterministic FAKES (hash-derived features / byte
+  * slices with the right shapes). Their Spark-side contract — schema,
+  * batching, partitioning, null passthrough — is real and tested;
+  * swapping in a true codec is a one-function change.
   */
 object Multimodal {
 
@@ -198,11 +203,158 @@ object Multimodal {
     spark.createDataFrame(rdd, inSchema)
   }
 
-  /** STUB decoder for NON-IMAGE media (audio/video — no codec in this
-    * container): deterministic `dim`-float feature vector derived from the
-    * payload bytes (xxhash64 seeded per index). Real plumbing: evaluated
-    * per-partition, codegen'd, null payload → null features. Images should
-    * use `decodeImageStats` (real).
+  /** Decoded-audio stats schema. The sums are exact integers (16-bit PCM:
+    * |v| ≤ 32768, v² ≤ 2^30 — sums fit a long for any realistic clip and
+    * are summation-order-independent, so reproducible and oracle-able).
+    * Multi-channel clips are reduced over CHANNEL 0 (pinned definition).
+    */
+  val AudioStatsSchema: StructType = StructType(Seq(
+    StructField("sample_rate", IntegerType),
+    StructField("channels", IntegerType),
+    StructField("bits_per_sample", IntegerType),
+    StructField("num_frames", LongType),
+    StructField("duration_ms", LongType),
+    StructField("sum_abs", LongType),
+    StructField("sum_sq", LongType),
+    StructField("zero_crossings", LongType)))
+
+  /** Decode one WAV payload with the JDK codec (`AudioSystem`) and compute
+    * channel-0 sample stats. Returns null for null/undecodable/non-PCM16
+    * payloads (corrupt audio is data, not a job-killer). `zero_crossings`
+    * counts i ≥ 1 where sign(v[i-1]) ≠ sign(v[i]) under `v < 0` as the sign
+    * predicate; `duration_ms` = floor(frames·1000 / rate).
+    */
+  private[graft] def audioStats(payload: Array[Byte]): Row = {
+    if (payload == null) return null
+    val in =
+      try javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      catch { case _: Exception => return null }
+    try {
+      val fmt = in.getFormat
+      if (fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
+          fmt.getSampleSizeInBits != 16) return null
+      val channels = fmt.getChannels
+      val frameSize = fmt.getFrameSize // channels * 2 bytes
+      val bytes = in.readAllBytes()
+      val frames = bytes.length / frameSize
+      val bigEndian = fmt.isBigEndian
+      var sumAbs = 0L; var sumSq = 0L; var zc = 0L
+      var prevNeg = false; var first = true
+      var f = 0
+      while (f < frames) {
+        val off = f * frameSize // channel 0 is the first sample of the frame
+        val v: Int =
+          if (bigEndian) ((bytes(off) << 8) | (bytes(off + 1) & 0xFF)).toShort.toInt
+          else ((bytes(off + 1) << 8) | (bytes(off) & 0xFF)).toShort.toInt
+        sumAbs += math.abs(v.toLong); sumSq += v.toLong * v
+        val neg = v < 0
+        if (!first && neg != prevNeg) zc += 1
+        prevNeg = neg; first = false
+        f += 1
+      }
+      val rate = math.round(fmt.getSampleRate).toInt
+      Row(rate, channels, 16, frames.toLong, frames.toLong * 1000L / rate,
+        sumAbs, sumSq, zc)
+    } catch { case _: Exception => null } finally in.close()
+  }
+
+  /** REAL WAV decode → stats column through the batched mapPartitions
+    * plumbing (same shape as `decodeImageStats`). Appends a nullable
+    * `outCol` struct (AudioStatsSchema). Row-local — no shuffle.
+    */
+  def decodeAudioStats(df: DataFrame, payloadCol: String, outCol: String = "audio_stats",
+                       batchSize: Int = 256): DataFrame = {
+    val spark = df.sparkSession
+    val inSchema = df.schema
+    val outSchema = inSchema.add(outCol, AudioStatsSchema)
+    val payloadIdx = inSchema.fieldIndex(payloadCol)
+    val rdd = df.rdd.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.map { row =>
+          val stats = audioStats(row.get(payloadIdx).asInstanceOf[Array[Byte]])
+          Row.fromSeq(row.toSeq :+ stats)
+        }
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  /** Deterministic test-clip generator (engine-side; also the gate query's
+    * input): mono 16-bit PCM with the pinned sample formula
+    *   v(i) = ((1103·i + 12289·seed + 7) mod 65536) − 32768
+    * encoded WAV via the real JDK writer. WAV PCM is lossless, so decoded
+    * stats are exactly the formula's — computable independently in SQL.
+    */
+  def syntheticWav(seed: Long, numFrames: Int, sampleRate: Int = 16000): Array[Byte] = {
+    val pcm = new Array[Byte](numFrames * 2)
+    var i = 0
+    while (i < numFrames) {
+      val v = (Math.floorMod(1103L * i + 12289L * seed + 7L, 65536L) - 32768L).toInt
+      pcm(2 * i) = (v & 0xFF).toByte        // little-endian
+      pcm(2 * i + 1) = ((v >> 8) & 0xFF).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(sampleRate.toFloat, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, numFrames.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** REAL audio trim: decode WAV, keep the first `maxMs` milliseconds
+    * (frame-aligned: floor(maxMs·rate/1000) frames), re-encode WAV via the
+    * JDK writer, update `meta.duration_ms`. Null/undecodable payloads pass
+    * through unchanged. Row-local — no shuffle.
+    */
+  def trimAudio(df: DataFrame, maxMs: Long, batchSize: Int = 256): DataFrame = {
+    require(maxMs > 0, "trimAudio: maxMs must be positive")
+    val spark = df.sparkSession
+    val inSchema = df.schema
+    val payloadIdx = inSchema.fieldIndex("payload")
+    val metaIdx = inSchema.fieldIndex("meta")
+    val rdd = df.rdd.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.map { row =>
+          val payload = row.get(payloadIdx).asInstanceOf[Array[Byte]]
+          val in =
+            if (payload == null) null
+            else try javax.sound.sampled.AudioSystem.getAudioInputStream(
+                   new java.io.ByteArrayInputStream(payload))
+                 catch { case _: Exception => null }
+          if (in == null) row
+          else try {
+            val fmt = in.getFormat
+            val rate = math.round(fmt.getSampleRate).toLong
+            val keepFrames = math.min(in.getFrameLength, maxMs * rate / 1000L)
+            val keepBytes = (keepFrames * fmt.getFrameSize).toInt
+            val bytes = in.readNBytes(keepBytes)
+            val trimmed = new javax.sound.sampled.AudioInputStream(
+              new java.io.ByteArrayInputStream(bytes), fmt, keepFrames)
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.sound.sampled.AudioSystem.write(trimmed,
+              javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+            val oldMeta = row.getStruct(metaIdx)
+            val newMeta = Row(oldMeta.getString(0), oldMeta.getInt(1), oldMeta.getInt(2),
+              keepFrames * 1000L / rate)
+            val vals = row.toSeq.toArray
+            vals(payloadIdx) = bos.toByteArray
+            vals(metaIdx) = newMeta
+            Row.fromSeq(vals.toSeq)
+          } catch { case _: Exception => row } finally in.close()
+        }
+      }
+    }
+    spark.createDataFrame(rdd, inSchema)
+  }
+
+  /** STUB decoder for NON-DECODABLE media (video / compressed audio — no
+    * codec in this container): deterministic `dim`-float feature vector
+    * derived from the payload bytes (xxhash64 seeded per index). Real
+    * plumbing: evaluated per-partition, codegen'd, null payload → null
+    * features. Images: use `decodeImageStats`; WAV: `decodeAudioStats`.
     */
   def decodeToFeatures(df: DataFrame, payloadCol: String, dim: Int = 16,
                        outCol: String = "features"): DataFrame =

@@ -219,6 +219,30 @@ object QueriesText {
         .orderBy("media_id")
     }),
 
+    "q_multimodal_audio" -> ((s, dir) => {
+      // REAL WAV round-trip: a deterministic PCM16 clip is encoded per doc
+      // (length varies with doc_id), decoded back by the engine's batched
+      // AudioSystem path; the oracle recomputes the pinned sample formula's
+      // exact integer stats in SQL — parsed rate/frames prove a real decode
+      val gen = udf((seed: Long, n: Int) => Multimodal.syntheticWav(seed, n))
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"),
+          (lit(200) + pmod(col("doc_id"), lit(97))).cast("int").as("n"))
+      val media = Multimodal.asMedia(
+        d.withColumn("payload", gen(col("doc_id"), col("n"))),
+        "doc_id", "payload", "audio/wav")
+      Multimodal.decodeAudioStats(media, "payload")
+        .select(col("media_id"),
+          col("audio_stats.sample_rate").as("sample_rate"),
+          col("audio_stats.channels").as("channels"),
+          col("audio_stats.num_frames").as("num_frames"),
+          col("audio_stats.duration_ms").as("duration_ms"),
+          col("audio_stats.sum_abs").as("sum_abs"),
+          col("audio_stats.sum_sq").as("sum_sq"),
+          col("audio_stats.zero_crossings").as("zero_crossings"))
+        .orderBy("media_id")
+    }),
+
     "q_multimodal_stub_features" -> ((s, dir) => {
       // the NON-IMAGE stub path (audio/video have no codec in this
       // container): rows-only; array-level assertions live in the specs
@@ -603,6 +627,34 @@ object QueriesText {
         |  round(mb + 1e-9, 6) AS mean_b,
         |  round(0.299*mr + 0.587*mg + 0.114*mb + 1e-9, 6) AS mean_luma
         |FROM dims d JOIN agg USING (doc_id) ORDER BY media_id""".stripMargin,
+
+    "q_multimodal_audio" ->
+      // the pinned PCM16 formula of Multimodal.syntheticWav recomputed in
+      // SQL: WAV is lossless, so the engine's AudioSystem decode must
+      // reproduce these exact integer sums; zero crossings are sign flips
+      // under the pinned `v < 0` predicate over consecutive samples
+      """WITH lens AS (
+        |  SELECT doc_id, CAST(200 + doc_id % 97 AS INT) AS n FROM documents),
+        |samp AS (
+        |  SELECT doc_id, n, unnest(generate_series(0, n - 1)) AS i FROM lens),
+        |vals AS (
+        |  SELECT doc_id, n, i,
+        |         ((1103*i + 12289*doc_id + 7) % 65536) - 32768 AS v
+        |  FROM samp),
+        |lagged AS (
+        |  SELECT doc_id, n, v,
+        |         lag(v) OVER (PARTITION BY doc_id ORDER BY i) AS pv
+        |  FROM vals)
+        |SELECT doc_id AS media_id,
+        |  CAST(16000 AS INT) AS sample_rate,
+        |  CAST(1 AS INT) AS channels,
+        |  CAST(n AS BIGINT) AS num_frames,
+        |  CAST(n * 1000 // 16000 AS BIGINT) AS duration_ms,
+        |  CAST(sum(abs(v)) AS BIGINT) AS sum_abs,
+        |  CAST(sum(v*v) AS BIGINT) AS sum_sq,
+        |  CAST(sum(CASE WHEN pv IS NOT NULL AND ((pv < 0) <> (v < 0))
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings
+        |FROM lagged GROUP BY doc_id, n ORDER BY media_id""".stripMargin,
 
     "q_pii_redact" -> {
       // same regexes (RE2-compatible: no lookaround), same replace order

@@ -283,6 +283,50 @@ class QualityFeSpec extends SparkSpec {
     assert(resized.getStruct(2).getInt(1) == 4 && resized.getStruct(2).getInt(2) == 3)
   }
 
+  test("multimodal AudioSystem decode: WAV round-trip reproduces exact sample stats") {
+    // 300-frame mono PCM16 clip of the pinned formula; stats recomputed in Scala
+    val seed = 23L; val n = 300
+    val wav = Multimodal.syntheticWav(seed, n)
+    assert(wav.length > 44 && new String(wav, 0, 4, "US-ASCII") == "RIFF" &&
+      new String(wav, 8, 4, "US-ASCII") == "WAVE")
+    var sumAbs = 0L; var sumSq = 0L; var zc = 0L; var prev = 0; var first = true
+    for (i <- 0 until n) {
+      val v = (Math.floorMod(1103L * i + 12289L * seed + 7L, 65536L) - 32768L).toInt
+      sumAbs += math.abs(v.toLong); sumSq += v.toLong * v
+      if (!first && ((prev < 0) != (v < 0))) zc += 1
+      prev = v; first = false
+    }
+    val media = Multimodal.asMedia(
+      Seq((1L, wav), (2L, "not audio".getBytes), (3L, null: Array[Byte]))
+        .toDF("id", "payload"), "id", "payload", "audio/wav")
+    val out = Multimodal.decodeAudioStats(media, "payload").orderBy("media_id").collect()
+    val st = out(0).getStruct(3)
+    assert(st.getInt(0) == 16000 && st.getInt(1) == 1 && st.getInt(2) == 16)
+    assert(st.getLong(3) == n && st.getLong(4) == n * 1000L / 16000)
+    assert(st.getLong(5) == sumAbs && st.getLong(6) == sumSq && st.getLong(7) == zc)
+    assert(out(1).isNullAt(3), "undecodable bytes must yield null stats, not a crash")
+    assert(out(2).isNullAt(3), "null payload passthrough")
+  }
+
+  test("multimodal trimAudio: real frame-aligned cut, re-decodable WAV, meta updated") {
+    val wav = Multimodal.syntheticWav(7L, 16000) // 1 s at 16 kHz
+    val media = Multimodal.asMedia(
+      Seq((1L, wav), (2L, "junk".getBytes)).toDF("id", "payload"),
+      "id", "payload", "audio/wav", durationMs = 1000L)
+    val out = Multimodal.trimAudio(media, maxMs = 250L).orderBy("media_id").collect()
+    val trimmed = out(0).getAs[Array[Byte]]("payload")
+    val st = Multimodal.audioStats(trimmed) // decodes → the trim wrote a valid WAV
+    assert(st.getLong(3) == 4000L, "250 ms at 16 kHz = 4000 frames")
+    assert(out(0).getStruct(2).getLong(3) == 250L, "meta.duration_ms updated")
+    // trimmed prefix stats equal the formula's prefix sums (cut is lossless)
+    var sumAbs = 0L
+    for (i <- 0 until 4000)
+      sumAbs += math.abs(Math.floorMod(1103L * i + 12289L * 7L + 7L, 65536L) - 32768L)
+    assert(st.getLong(5) == sumAbs)
+    assert(java.util.Arrays.equals(out(1).getAs[Array[Byte]]("payload"), "junk".getBytes),
+      "undecodable payload passes through unchanged")
+  }
+
   test("multimodal frame sampling fans out duration/every rows") {
     val media = Seq((1L, Array.fill(200)(7.toByte))).toDF("id", "payload")
     val m = Multimodal.asMedia(media, "id", "payload", "video/fake", durationMs = 5000L)
