@@ -34,8 +34,9 @@ object Bench {
     "q_dedup_incremental", // batch-bloom snapshot dedup
     "q_para_dedup",        // corpus-wide paragraph dedup + reassembly
     "q_dup_spans",         // positional k-gram duplicate-span detection
-    // round-5 addition
-    "q_multimodal_features" // real ImageIO encode+decode round-trip
+    // round-5 additions
+    "q_multimodal_features", // real ImageIO encode+decode round-trip
+    "q_multimodal_audio"     // real AudioSystem WAV encode+decode round-trip
   )
 
   def main(args: Array[String]): Unit = {

@@ -92,6 +92,26 @@ class PipelineSpec extends SparkSpec {
     assert(stats(0).getStruct(3).getInt(0) == 12 && stats(0).getStruct(3).getInt(1) == 8)
     assert(stats(1).getStruct(3).getInt(0) == 9)
     assert(stats(2).isNullAt(3), "null payload passes through as null stats")
+    // audio ops through the same YAML surface: trim to 100 ms, then decode
+    Seq((1L, graft.multimodal.Multimodal.syntheticWav(1L, 3200)), // 200 ms @ 16 kHz
+        (2L, null: Array[Byte]))
+      .toDF("doc_id", "payload").coalesce(1).write.mode("overwrite").parquet(in + "/audio")
+    val auYaml =
+      s"""name: audio
+         |source: { type: parquet, path: "$in/audio" }
+         |operations:
+         |  - { type: multimodal, params: { operation: as_media, format: audio/wav } }
+         |  - { type: multimodal, params: { operation: trim_audio, max_ms: 100 } }
+         |  - { type: multimodal, params: { operation: decode_audio_stats } }
+         |""".stripMargin
+    val auConf = Pipeline.fromYaml(auYaml)
+    val (auDf, _) = Pipeline.load(spark, auConf)
+    val au = graft.core.OpCompiler.compile(auConf.operations)(auDf)
+      .orderBy("media_id").collect()
+    val ast = au(0).getStruct(3)
+    assert(ast.getLong(3) == 1600L, "trim to 100 ms @ 16 kHz = 1600 frames, then real decode")
+    assert(au(0).getStruct(2).getLong(3) == 100L, "meta.duration_ms updated by trim")
+    assert(au(1).isNullAt(3), "null audio payload passes through as null stats")
     // quality_monitor replaces the frame with its metrics / alerts relation
     val qmYaml =
       s"""name: monitored

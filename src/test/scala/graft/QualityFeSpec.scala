@@ -308,6 +308,30 @@ class QualityFeSpec extends SparkSpec {
     assert(out(2).isNullAt(3), "null payload passthrough")
   }
 
+  test("multimodal audio: stereo WAV reduces over channel 0 (pinned contract)") {
+    // interleaved 2-channel PCM16LE: ch0 = the pinned formula, ch1 = noise
+    // that would wreck the sums if it leaked into the reduction
+    val n = 100
+    val pcm = new Array[Byte](n * 4)
+    var sumAbs = 0L
+    for (i <- 0 until n) {
+      val v0 = (Math.floorMod(1103L * i + 7L, 65536L) - 32768L).toInt
+      val v1 = 31007 - 13 * i
+      sumAbs += math.abs(v0.toLong)
+      pcm(4 * i) = (v0 & 0xFF).toByte; pcm(4 * i + 1) = ((v0 >> 8) & 0xFF).toByte
+      pcm(4 * i + 2) = (v1 & 0xFF).toByte; pcm(4 * i + 3) = ((v1 >> 8) & 0xFF).toByte
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 2, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    val st = Multimodal.audioStats(bos.toByteArray)
+    assert(st.getInt(0) == 8000 && st.getInt(1) == 2 && st.getLong(3) == n)
+    assert(st.getLong(5) == sumAbs, "stats must cover channel 0 only")
+  }
+
   test("multimodal trimAudio: real frame-aligned cut, re-decodable WAV, meta updated") {
     val wav = Multimodal.syntheticWav(7L, 16000) // 1 s at 16 kHz
     val media = Multimodal.asMedia(
