@@ -7,7 +7,10 @@ import graft.core.{Pipeline, Sessions}
   * config.yaml` (cli/main.py:41-95).
   *
   * Usage:
-  *   graft.Cli run <pipeline.yaml> [--dry-run]
+  *   graft.Cli run <pipeline.yaml> [--dry-run | --lint]
+  *     --lint: plan (don't execute) and report 100-TB-hostile plan shapes
+  *             (cartesian joins, unpartitioned windows — graft.core.PlanLint);
+  *             exits 1 on a hard finding
   *   graft.Cli entry               (flagship smoke query)
   */
 object Cli {
@@ -28,7 +31,21 @@ object Cli {
       }
       val yaml = Files.readString(Paths.get(path))
       val conf = Pipeline.fromYaml(yaml)
-      if (rest.contains("--dry-run")) {
+      if (rest.contains("--lint")) {
+        // build + plan the pipeline WITHOUT executing it, then report the
+        // scale-guardrail findings (graft.core.PlanLint) as one JSON line
+        val spark = Sessions.local(appName = s"graft-lint-${conf.name}")
+        try {
+          val (primary, catalog) = Pipeline.load(spark, conf)
+          val frame = graft.core.OpCompiler.compile(conf.operations, catalog)(primary)
+          val rep = graft.core.PlanLint.report(frame)
+          val body = rep.toSeq.sortBy(_._1).map { case (rule, nodes) =>
+            s"${j(rule)}:[${nodes.map(j).mkString(",")}]"
+          }.mkString(",")
+          println(s"""{"pipeline":${j(conf.name)},"lint_findings":${rep.values.map(_.size).sum},"findings":{$body}}""")
+          if (rep.contains("cartesian_product") || rep.contains("global_window")) sys.exit(1)
+        } finally spark.stop()
+      } else if (rest.contains("--dry-run")) {
         println(s"pipeline: ${conf.name}")
         println(s"sources : ${conf.sources.map(s => s"${s.typ}:${s.path}").mkString(", ")}")
         println(s"ops     : ${conf.operations.size}")

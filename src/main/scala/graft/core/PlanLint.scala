@@ -1,0 +1,70 @@
+package graft.core
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+import org.apache.spark.sql.execution.window.{WindowExec, WindowGroupLimitExec}
+
+/** Static scale-guardrail over a query's physical plan: flags the shapes
+  * that work at test SF but collapse at cluster scale. The reference has no
+  * analogue (its pandas engine is single-node by construction); on Spark
+  * these are exactly the plans a 100 TB run cannot survive:
+  *
+  *  - `cartesian_product` — an O(n·m) all-pairs join (join with no equi
+  *    keys between two non-broadcast sides).
+  *  - `broadcast_nested_loop` — a non-equi join that ships one whole side
+  *    to every executor and loops; fine only when that side is provably
+  *    tiny (a scalar aggregate, a literal frame), fatal otherwise.
+  *  - `global_window` — a window function with an empty PARTITION BY:
+  *    every row funnels through ONE task regardless of cluster size (and
+  *    AQE cannot split a skewed window partition). The exception is a
+  *    rank-based top-k window that Spark's limit pushdown de-skews
+  *    (TakeOrderedAndProject / WindowGroupLimit before the window) —
+  *    those are reported under the separate `global_window_limited`
+  *    rule so callers can allow them independently.
+  *
+  * Inspection uses `queryExecution.sparkPlan` (the pre-AQE physical plan):
+  * planning only, no job runs. AQE can later rescue a skewed equi-join but
+  * never a cartesian/global-window shape, so linting the static plan is
+  * the right conservatism. Used by `Cli run --lint` and by PlanLintSpec,
+  * which holds every registered gate query to an explicit allow-list.
+  */
+object PlanLint {
+
+  final case class Finding(rule: String, node: String) {
+    override def toString: String = s"$rule: $node"
+  }
+
+  /** Lint one frame. `Finding.node` carries the plan node's one-line
+    * `simpleString` for the report; `rule` is the stable key callers
+    * allow-list on.
+    */
+  def lint(df: DataFrame): Seq[Finding] = {
+    val plan: SparkPlan = df.queryExecution.sparkPlan
+    plan.collect {
+      case c: CartesianProductExec =>
+        Seq(Finding("cartesian_product", c.simpleString(120)))
+      case b: BroadcastNestedLoopJoinExec =>
+        Seq(Finding("broadcast_nested_loop", b.simpleString(120)))
+      case w: WindowExec if w.partitionSpec.isEmpty =>
+        // rank-pushdown rescue: Spark bounds a `row_number over (order by
+        // …) <= k` window before it runs — an empty partition spec plans a
+        // TakeOrderedAndProject (distributed partial top-k) or GlobalLimit
+        // under the window, and a per-group spec plans WindowGroupLimit —
+        // so the window's input is ≤ k rows, not the corpus. Those are
+        // reported under the softer rule so callers can allow them
+        // independently of true corpus-wide windows.
+        val limited = w.child.collectFirst {
+          case t: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => t
+          case l: org.apache.spark.sql.execution.GlobalLimitExec => l
+          case g: WindowGroupLimitExec => g
+        }.isDefined
+        val rule = if (limited) "global_window_limited" else "global_window"
+        Seq(Finding(rule, w.simpleString(120)))
+    }.flatten
+  }
+
+  /** Human/JSON-friendly report: rule → distinct node strings. */
+  def report(df: DataFrame): Map[String, Seq[String]] =
+    lint(df).groupBy(_.rule).map { case (r, fs) => r -> fs.map(_.node).distinct }
+}

@@ -1,0 +1,89 @@
+package graft
+
+import graft.core.PlanLint
+
+/** Sweeping 100-TB-shape audit: every registered gate query is PLANNED
+  * (not executed) at sf0.001 and linted for cluster-hostile physical
+  * shapes — cartesian products, broadcast-nested-loop joins, windows with
+  * an empty PARTITION BY. Anything a query legitimately needs is listed in
+  * `allowed` with its justification; everything else fails the build, so a
+  * future refactor that silently degrades a bucketed join into an
+  * all-pairs scan, or drops a partition spec from a corpus window, is
+  * caught at test time rather than at cluster scale.
+  */
+class PlanLintSpec extends SparkSpec {
+
+  /** rule → queries allowed to carry it, each with its justification.
+    *
+    * `broadcast_nested_loop` entries are all one of two benign shapes:
+    * (a) a deliberately-exact brute-force baseline over a bounded side, or
+    * (b) a scalar/aggregate broadcast (one-row side) used as a threshold.
+    * `global_window_limited` is rank-pushdown-rescued by construction
+    * (partial top-k before the exchange — see PlanLint's scaladoc).
+    */
+  private val allowed: Map[String, Set[String]] = Map(
+    // scalar-broadcast pattern: crossJoin(broadcast(<ONE-ROW aggregate>))
+    // delivering corpus stats (min/max, mean, IQR fences, quantile cuts)
+    // under every row — the broadcast side is 1 row by construction
+    "q_bin_uniform" -> Set("broadcast_nested_loop"),       // FeatureLib.scala:81
+    "q_bin_quantile" -> Set("broadcast_nested_loop"),      // FeatureLib.scala:125
+    "q_fill_null_mean" -> Set("broadcast_nested_loop"),    // Relational.scala:120
+    "q_outlier_rate" -> Set("broadcast_nested_loop"),      // QualityMetrics.scala:57
+    "q_quality_monitor" -> Set("broadcast_nested_loop"),   // QualityMonitor.scala:80
+    "q_quality_alerts" -> Set("broadcast_nested_loop"),    // QualityMonitor.scala:80
+    "q_quality_classifier" -> Set("broadcast_nested_loop"),// QualityClassifier.scala:94
+    // bounded-side broadcast: every vector × the ≤nlist centroid list
+    // (IVF assignment; nlist is a few hundred at any scale)
+    "q_ann_ivf" -> Set("broadcast_nested_loop"),           // Similarity.scala:168
+    // exact ANN baseline: corpus × the SMALL query set (broadcast side) —
+    // the documented O(n·|q|) exact path the LSH/IVF variants approximate
+    "q_ann_brute" -> Set("broadcast_nested_loop"),         // Similarity.scala:50
+    // bounded global windows: ordered cumsum / row_number over an
+    // ALREADY-AGGREGATED frame whose row count is the distinct-value /
+    // bucket count, not the corpus (the same boundedness these operators
+    // already assume by broadcasting that frame back)
+    "q_spearman" -> Set("global_window"),                  // Profiler.scala:115 (distinct-value freq table)
+    "q_encode_freq_label" -> Set("global_window"),         // FeatureLib label codes over distinct categories
+    "q_length_histogram" -> Set("global_window")           // share-of-total over histogram buckets
+  )
+
+  test("every registered gate query plans clean of 100TB-hostile shapes") {
+    val dir = sfDir
+    val violations = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val frame =
+        try fn(spark, dir)
+        catch { case e: Throwable => fail(s"$name failed to build: ${e.getMessage}") }
+      PlanLint.lint(frame)
+        .filterNot(f => f.rule == "global_window_limited") // rescued by construction
+        .filterNot(f => allowed.getOrElse(name, Set.empty).contains(f.rule))
+        .map(f => s"$name → $f")
+    }
+    assert(violations.isEmpty,
+      s"${violations.size} unapproved scale-hostile plan shape(s):\n" +
+        violations.mkString("\n"))
+  }
+
+  test("PlanLint flags the shapes it exists to flag (positive control)") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val a = (1 to 10).toDF("x")
+    val b = (1 to 10).toDF("y")
+    // all-pairs theta join with no equi keys and both sides over the
+    // broadcast threshold path → CartesianProduct
+    val cross = a.hint("shuffle_replicate_nl").crossJoin(b)
+    assert(PlanLint.lint(cross).exists(_.rule == "cartesian_product"))
+    // global running sum: empty partition spec, no rank pushdown possible
+    val g = a.withColumn("s", sum($"x").over(Window.orderBy($"x")))
+    assert(PlanLint.lint(g).exists(_.rule == "global_window"))
+    // rank + filter IS rescued by WindowGroupLimit pushdown → softer rule
+    val topk = a.withColumn("r", row_number().over(Window.orderBy($"x"))).filter($"r" <= 3)
+    val rules = PlanLint.lint(topk).map(_.rule)
+    assert(rules.contains("global_window_limited") && !rules.contains("global_window"),
+      s"expected rescued global window, got: $rules")
+    // partitioned window is clean
+    val part = a.withColumn("p", $"x" % 2)
+      .withColumn("s", sum($"x").over(Window.partitionBy($"p").orderBy($"x")))
+    assert(PlanLint.lint(part).isEmpty)
+  }
+}
