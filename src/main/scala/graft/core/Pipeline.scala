@@ -23,6 +23,13 @@ object Pipeline {
   /** Load all declared sources; returns (primary frame, table catalog). */
   def load(spark: SparkSession, conf: PipelineConfig.PipelineConf): (DataFrame, String => DataFrame) = {
     require(conf.sources.nonEmpty, "pipeline needs at least one source")
+    // make every named graft function available to expr()/custom_sql in
+    // THIS pipeline's YAML — without this, the documented "callable from
+    // pipeline config" contract only held for callers who registered
+    // manually. All three are idempotent (create-or-replace).
+    graft.expr.GraftFunctions.register(spark)
+    graft.functions.CleanLib.registerUdfs(spark)
+    graft.multimodal.Multimodal.registerUdfs(spark)
     // duplicate table names would last-wins-overwrite the primary frame in
     // the map below and silently run the pipeline on the wrong input
     val dupes = conf.sources.groupBy(_.table).collect { case (t, ss) if ss.size > 1 => t }

@@ -236,6 +236,9 @@ object Multimodal {
           fmt.getSampleSizeInBits != 16) return null
       val channels = fmt.getChannels
       val frameSize = fmt.getFrameSize // channels * 2 bytes
+      // AudioFormat fields can be NOT_SPECIFIED (-1) on exotic headers —
+      // guard before they become divisors
+      if (frameSize <= 0 || fmt.getSampleRate <= 0f || channels <= 0) return null
       val bytes = in.readAllBytes()
       val frames = bytes.length / frameSize
       val bigEndian = fmt.isBigEndian
@@ -385,6 +388,19 @@ object Multimodal {
       .withColumn("frame_payload",
         expr("substring(payload, int(frame_idx * 16) + 1, 16)"))
       .select("media_id", "frame_idx", "frame_payload")
+
+  /** Deterministic media generators as named SQL functions, so YAML
+    * pipelines (`transform.calculate`, `custom_sql`) can synthesize test
+    * payloads without Scala code — the engine's analogue of `rand()` for
+    * media columns. Registered by `Pipeline.load` alongside the CleanLib
+    * UDF registry.
+    */
+  def registerUdfs(spark: org.apache.spark.sql.SparkSession): Unit = {
+    spark.udf.register("graft_synthetic_png",
+      (seed: Long, w: Int, h: Int) => syntheticPng(seed, w, h))
+    spark.udf.register("graft_synthetic_wav",
+      (seed: Long, numFrames: Int) => syntheticWav(seed, numFrames))
+  }
 
   /** Batched per-partition featurizer — the mapPartitions path for codecs
     * that need library calls (not expressible as Catalyst expressions).

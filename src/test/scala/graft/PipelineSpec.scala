@@ -211,6 +211,25 @@ class PipelineSpec extends SparkSpec {
       Set("train", "val", "test")))
   }
 
+  test("examples/multimodal_pipeline.yaml curates audio clips end-to-end on sf0.001") {
+    val out = Files.createTempDirectory("graft_mm_out").toString + "/clips"
+    val yaml = new String(Files.readAllBytes(
+      java.nio.file.Paths.get("examples/multimodal_pipeline.yaml")), "UTF-8")
+    val conf = Pipeline.fromYaml(PipelineConfig.substituteEnv(yaml,
+      Map("GRAFT_OUT" -> out).get))
+    val res = Pipeline.execute(spark, conf)
+    assert(res.status == "success", res.errors.mkString("; "))
+    val back = spark.read.parquet(out)
+    assert(back.count() > 0, "gate must keep some clips")
+    // every surviving clip decodes at the synth rate and inside the trim budget
+    assert(back.filter($"sample_rate" =!= 16000 || $"num_frames" > 8000 ||
+      $"num_frames" < 1600).count() == 0)
+    // payloads are real WAVs: re-decode one and match the manifest stats
+    val row = back.orderBy("media_id").collect()(0)
+    val st = graft.multimodal.Multimodal.audioStats(row.getAs[Array[Byte]]("payload"))
+    assert(st.getLong(3) == row.getAs[Long]("num_frames"))
+  }
+
   test("examples/monitoring_pipeline.yaml emits pinned quality alerts on sf0.001") {
     val yaml = new String(Files.readAllBytes(
       java.nio.file.Paths.get("examples/monitoring_pipeline.yaml")), "UTF-8")

@@ -306,6 +306,9 @@ class QualityFeSpec extends SparkSpec {
     assert(st.getLong(5) == sumAbs && st.getLong(6) == sumSq && st.getLong(7) == zc)
     assert(out(1).isNullAt(3), "undecodable bytes must yield null stats, not a crash")
     assert(out(2).isNullAt(3), "null payload passthrough")
+    // degenerate clip: a 0-frame WAV decodes to all-zero stats, not a crash
+    val empty = Multimodal.audioStats(Multimodal.syntheticWav(1L, 0))
+    assert(empty.getLong(3) == 0L && empty.getLong(5) == 0L && empty.getLong(7) == 0L)
   }
 
   test("multimodal audio: stereo WAV reduces over channel 0 (pinned contract)") {
