@@ -53,13 +53,19 @@ object PlanLint {
         // under the window, and a per-group spec plans WindowGroupLimit —
         // so the window's input is ≤ k rows, not the corpus. Those are
         // reported under the softer rule so callers can allow them
-        // independently of true corpus-wide windows.
-        val limited = w.child.collectFirst {
-          case t: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => t
-          case l: org.apache.spark.sql.execution.GlobalLimitExec => l
-          case g: WindowGroupLimitExec => g
-        }.isDefined
-        val rule = if (limited) "global_window_limited" else "global_window"
+        // independently of true corpus-wide windows. The walk follows only
+        // the UNARY chain feeding the window (sort/exchange/project): a
+        // limit buried inside a join branch bounds that branch, not the
+        // window's input, and must not soften the finding.
+        @annotation.tailrec
+        def boundedInput(p: SparkPlan): Boolean = p match {
+          case _: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => true
+          case _: org.apache.spark.sql.execution.GlobalLimitExec => true
+          case _: WindowGroupLimitExec => true
+          case u if u.children.size == 1 => boundedInput(u.children.head)
+          case _ => false
+        }
+        val rule = if (boundedInput(w.child)) "global_window_limited" else "global_window"
         Seq(Finding(rule, w.simpleString(120)))
     }.flatten
   }
