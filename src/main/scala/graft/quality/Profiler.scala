@@ -123,6 +123,41 @@ object Profiler {
       .agg(corr(col("__ra"), col("__rb")).as("spearman"))
   }
 
+  /** Spearman for columns whose DISTINCT-value set may itself be
+    * corpus-sized (continuous data at scale): `spearman` above broadcasts
+    * the distinct-value rank table, which is the right call for discrete/
+    * binned data but caps at the broadcast limit. This variant never
+    * broadcasts and never funnels rows through one task. Global average
+    * ranks use the canonical distributed-ordinal pattern: range-repartition
+    * on the value, sort within partitions, `zipWithIndex` for global
+    * ordinals (one count-per-partition pass + one offset pass, both
+    * narrow), then a groupBy(value) averaging tied ordinals — identical to
+    * rank + (ties−1)/2 — and a shuffle (sort-merge) join back on the
+    * value. Every stage partitions on the value key; nothing depends on
+    * |distinct| or broadcasts anything.
+    */
+  def spearmanLarge(df: DataFrame, a: String, b: String, partitions: Int = 0): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructField}
+    val spark = df.sparkSession
+    val p = if (partitions > 0) partitions
+            else spark.sessionState.conf.numShufflePartitions
+    def ranks(c: String, out: String): DataFrame = {
+      val vals = df.select(col(c).as("__v")).where(col("__v").isNotNull)
+      val sorted = vals.repartitionByRange(p, col("__v")).sortWithinPartitions("__v")
+      val schema = sorted.schema.add(StructField("__ord", LongType, nullable = false))
+      // ordinals are 1-based; a tie group's ordinals are consecutive, so
+      // avg(ordinal) == rank() + (n_ties - 1)/2 exactly (midpoints are
+      // representable: .0 or .5)
+      val ord = sorted.rdd.zipWithIndex.map { case (r, i) => Row.fromSeq(r.toSeq :+ (i + 1L)) }
+      spark.createDataFrame(ord, schema).groupBy(col("__v")).agg(avg(col("__ord")).as(out))
+    }
+    df.select(col(a).as("__a"), col(b).as("__b"))
+      .join(ranks(a, "__ra").withColumnRenamed("__v", "__a"), Seq("__a"))
+      .join(ranks(b, "__rb").withColumnRenamed("__v", "__b"), Seq("__b"))
+      .agg(corr(col("__ra"), col("__rb")).as("spearman"))
+  }
+
   private def toLong(wide: DataFrame, cols: Seq[String]): DataFrame = {
     val metrics = wide.columns.filter(_.contains("__"))
     val stacked = metrics.map { m =>

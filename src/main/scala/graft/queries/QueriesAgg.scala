@@ -141,6 +141,12 @@ object QueriesAgg {
       Profiler.spearman(t(s, dir, "lineitem"), "l_quantity", "l_extendedprice")
         .select(round(col("spearman"), 6).as("spearman"))),
 
+    "q_spearman_scalable" -> ((s, dir) =>
+      // the no-broadcast rank path (distributed ordinals) must land on the
+      // same coefficient as the broadcast fast path and the SQL oracle
+      Profiler.spearmanLarge(t(s, dir, "lineitem"), "l_quantity", "l_extendedprice")
+        .select(round(col("spearman"), 6).as("spearman"))),
+
     "q_corr_matrix" -> ((s, dir) =>
       Profiler.correlationMatrix(t(s, dir, "lineitem"),
           Seq("l_quantity", "l_extendedprice", "l_discount"))
@@ -391,6 +397,14 @@ object QueriesAgg {
         |ORDER BY "column", metric""".stripMargin,
 
     "q_spearman" ->
+      """WITH t AS (SELECT l_quantity, l_extendedprice FROM lineitem),
+        |r AS (SELECT
+        |    rank() OVER (ORDER BY l_quantity) + (count(*) OVER (PARTITION BY l_quantity) - 1) / 2.0 AS ra,
+        |    rank() OVER (ORDER BY l_extendedprice) + (count(*) OVER (PARTITION BY l_extendedprice) - 1) / 2.0 AS rb
+        |  FROM t)
+        |SELECT round(corr(ra, rb), 6) AS spearman FROM r""".stripMargin,
+
+    "q_spearman_scalable" ->
       """WITH t AS (SELECT l_quantity, l_extendedprice FROM lineitem),
         |r AS (SELECT
         |    rank() OVER (ORDER BY l_quantity) + (count(*) OVER (PARTITION BY l_quantity) - 1) / 2.0 AS ra,

@@ -57,6 +57,19 @@ class QualityFeSpec extends SparkSpec {
     assert(math.abs(s - 1.0) < 1e-12)
   }
 
+  test("spearmanLarge (no-broadcast ranks) matches the fast path, ties included") {
+    // ties in both columns across several partitions — the distributed
+    // ordinal average must equal rank() + (ties-1)/2 exactly
+    val d = Seq((1.0, 10.0), (2.0, 20.0), (2.0, 30.0), (3.0, 30.0),
+      (4.0, 25.0), (2.0, 15.0), (5.0, 30.0), (0.5, 10.0))
+      .toDF("x", "y").repartition(5)
+    val fast = Profiler.spearman(d, "x", "y").as[Double].head()
+    val large = Profiler.spearmanLarge(d, "x", "y", partitions = 3).as[Double].head()
+    assert(math.abs(fast - large) < 1e-12, s"fast=$fast large=$large")
+    val mono = Seq((1.0, 10.0), (2.0, 100.0), (3.0, 101.0), (4.0, 500.0)).toDF("a", "b")
+    assert(math.abs(Profiler.spearmanLarge(mono, "a", "b").as[Double].head() - 1.0) < 1e-12)
+  }
+
   test("window op AST applies multiple functions over one spec") {
     val out = WindowLib.applyWindowOp(df, WindowOp(
       partitionBy = Seq("grp"), orderBy = Seq("id" -> true),
