@@ -263,6 +263,9 @@ object OpCompiler {
           s(p, "max_bucket_size", "1000").toInt)
       case "quality_features" => TextLib.qualityFeatures(df, text)
       case "quality_score"    => TextLib.qualityScore(df, text)
+      case "deflate_ratio" => // compression-ratio quality signal
+        df.withColumn(s(p, "output_column", "deflate_ratio"),
+          graft.expr.DeflateRatio(col(text)))
       case "lang_id"          => TextLib.langId(df, text)
       case "token_counts" =>
         df.withColumn(s(p, "output_column", "n_tokens"), TextLib.tokenCountWs(col(text)))

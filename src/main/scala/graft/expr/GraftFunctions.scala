@@ -18,6 +18,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   *   graft_script_counts(text)            → struct<n_chars, n_ws, n_digit, n_latin, n_han, n_cyrillic, n_arabic, n_other>
   *   graft_word_gram_hashes(text, k)      → array<bigint> (positional k-gram xxhash64)
   *   graft_winnow_mins(hashes, w)         → array<bigint> (winnowing fingerprint set)
+  *   graft_deflate_ratio(text)            → double (compressed/raw byte ratio)
   *
   * Two registration paths, same builder table:
   *   - `GraftFunctions.register(spark)` on a live session (temp functions);
@@ -58,7 +59,8 @@ object GraftFunctions {
     "graft_text_char_stats" -> (exprs => TextCharStats(exprs.head)),
     "graft_script_counts" -> (exprs => ScriptCounts(exprs.head)),
     "graft_word_gram_hashes" -> (exprs => WordGramHashes(exprs.head, intLit(exprs(1), "k"))),
-    "graft_winnow_mins" -> (exprs => WinnowMins(exprs.head, intLit(exprs(1), "w"))))
+    "graft_winnow_mins" -> (exprs => WinnowMins(exprs.head, intLit(exprs(1), "w"))),
+    "graft_deflate_ratio" -> (exprs => DeflateRatio(exprs.head)))
 
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry

@@ -194,6 +194,15 @@ object QueriesText {
       t(s, dir, "documents")
         .select(col("doc_id"), TextLib.fingerprint(col("text"), 3).as("fp"))),
 
+    "q_deflate_ratio" -> ((s, dir) =>
+      // compression-ratio quality signal (native Deflater expression);
+      // DuckDB cannot replay DEFLATE → golden-gated at sf0.01, law-gated
+      // (repetitive < prose < random) in TextExprsSpec
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          round(graft.expr.DeflateRatio.deflateRatio(col("text")), 6).as("deflate_ratio"))
+        .orderBy("doc_id")),
+
     "q_multimodal_features" -> ((s, dir) => {
       // REAL ImageIO round-trip: a deterministic PNG is rendered per doc
       // (dims vary with doc_id), decoded back by the engine's batched
@@ -598,6 +607,7 @@ object QueriesText {
     "q_dedup_clusters" -> golden("q_dedup_clusters"),
     "q_embed_neardup" -> golden("q_embed_neardup"),
     "q_ann_lsh" -> golden("q_ann_lsh"),
+    "q_deflate_ratio" -> golden("q_deflate_ratio"),
 
     "q_multimodal_features" ->
       // the pinned gradient pattern of Multimodal.syntheticPng recomputed

@@ -197,7 +197,8 @@ class DedupSimilaritySpec extends SparkSpec {
     // two fresh runs must agree exactly (partitioning-independence was
     // additionally diffed across core counts before committing goldens)
     val names = Seq("q_fingerprint", "q_winnow", "q_dedup_simhash", "q_bpe_merges",
-      "q_dedup_minhash", "q_near_dedup", "q_dedup_clusters", "q_embed_neardup", "q_ann_lsh")
+      "q_dedup_minhash", "q_near_dedup", "q_dedup_clusters", "q_embed_neardup", "q_ann_lsh",
+      "q_deflate_ratio")
     val qs = graft.SparkEntry.queries
     names.foreach { n =>
       val a = qs(n)(spark, sfDir).collect().map(_.toString).sorted.toSeq

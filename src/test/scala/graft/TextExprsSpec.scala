@@ -209,7 +209,8 @@ class TextExprsSpec extends SparkSpec {
         graft.expr.MinHashSig(graft.expr.WordShingles(col("t"), 2), 16).as("mh"),
         graft.expr.UnicodeNormalize(col("t"), "NFC").as("nfc"),
         graft.expr.ScriptCounts(col("t")).as("sc"),
-        graft.expr.WinnowMins(graft.expr.WordGramHashes(col("t"), 2), 3).as("wm"))
+        graft.expr.WinnowMins(graft.expr.WordGramHashes(col("t"), 2), 3).as("wm"),
+        graft.expr.DeflateRatio(col("t")).as("dr"))
       .orderBy("id").collect().map(_.toString).toSeq
     val conf = spark.conf
     val prev = Seq("spark.sql.codegen.factoryMode", "spark.sql.codegen.wholeStage",
@@ -224,5 +225,27 @@ class TextExprsSpec extends SparkSpec {
       val interp = run()
       assert(gen == interp, s"codegen/interpreted divergence:\n$gen\n$interp")
     } finally prev.foreach { case (k, v) => v.fold(conf.unset(k))(conf.set(k, _)) }
+  }
+
+  test("deflate ratio: repetitive < prose < random noise, null/empty edges") {
+    val prose = "The quick brown fox jumps over the lazy dog while seventeen " +
+      "sailors argue about the relative merits of tea and coffee at dawn."
+    val repetitive = "spam ham " * 40
+    val rng = new scala.util.Random(7)
+    val noise = Array.fill(260)((33 + rng.nextInt(94)).toChar).mkString
+    val df = Seq((1, repetitive), (2, prose), (3, noise), (4, ""), (5, null))
+      .toDF("id", "t")
+      .select(col("id"), graft.expr.DeflateRatio(col("t")).as("r"))
+      .orderBy("id").collect()
+    val Seq(rep, pro, noi) = (0 to 2).map(df(_).getDouble(1))
+    assert(rep < pro && pro < noi, s"ordering law violated: $rep, $pro, $noi")
+    assert(rep < 0.2, s"templated text should collapse, got $rep")
+    assert(noi > 0.8, s"uniform printable noise should not compress, got $noi")
+    assert(df(3).getDouble(1) == 0.0, "empty string pinned to 0.0")
+    assert(df(4).isNullAt(1), "null propagates")
+    // row-local determinism: same value from a different partitioning
+    val again = Seq((1, repetitive)).toDF("id", "t").repartition(3)
+      .select(graft.expr.DeflateRatio(col("t"))).collect()(0).getDouble(0)
+    assert(again == rep)
   }
 }
