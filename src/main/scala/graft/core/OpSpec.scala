@@ -492,6 +492,9 @@ object OpCompiler {
       case "trim_audio" =>
         Multimodal.trimAudio(df, s(p, "max_ms", "60000").toLong,
           s(p, "batch_size", "256").toInt)
+      case "sample_gif_frames" => // REAL multi-frame decode (animated GIF)
+        Multimodal.sampleGifFrames(df, s(p, "every_n", "1").toInt,
+          s(p, "batch_size", "64").toInt)
       case "sample_frames" =>
         Multimodal.sampleFrames(df, s(p, "every_ms", "1000").toLong)
       case "decode_features_stub" => // video/compressed audio: no codec here

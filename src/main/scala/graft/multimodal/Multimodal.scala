@@ -88,6 +88,13 @@ object Multimodal {
       try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
       catch { case _: Exception => null }
     if (img == null) return null // ImageIO returns null for unknown formats
+    statsOf(img)
+  }
+
+  /** Pixel-stat loop over a decoded image (shared by the single-image and
+    * per-GIF-frame paths).
+    */
+  private def statsOf(img: java.awt.image.BufferedImage): Row = {
     val w = img.getWidth; val h = img.getHeight
     val channels = img.getRaster.getNumBands
     var sr = 0L; var sg = 0L; var sb = 0L
@@ -201,6 +208,94 @@ object Multimodal {
       }
     }
     spark.createDataFrame(rdd, inSchema)
+  }
+
+  /** Deterministic multi-frame test clip: an animated GIF whose frame f is
+    * the SOLID color
+    *   (r, g, b)(f) = ((11f+7·seed) mod 256, (23f+5·seed) mod 256,
+    *                   (37f+3·seed) mod 256).
+    * Solid frames use a 1-entry palette, so the GIF round-trip is exact —
+    * decoded per-frame channel means equal the formula, computable in SQL.
+    * Written through the real JDK GIF sequence writer.
+    */
+  def syntheticGif(seed: Long, w: Int, h: Int, frames: Int): Array[Byte] = {
+    noImageIOFileCache()
+    val writer = javax.imageio.ImageIO.getImageWritersBySuffix("gif").next()
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      var f = 0
+      while (f < frames) {
+        val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val r = (((11L * f + 7L * seed) % 256 + 256) % 256).toInt
+        val g = (((23L * f + 5L * seed) % 256 + 256) % 256).toInt
+        val b = (((37L * f + 3L * seed) % 256 + 256) % 256).toInt
+        val g2 = img.createGraphics()
+        g2.setColor(new java.awt.Color(r, g, b)); g2.fillRect(0, 0, w, h); g2.dispose()
+        writer.writeToSequence(new javax.imageio.IIOImage(img, null, null),
+          writer.getDefaultWriteParam)
+        f += 1
+      }
+      writer.endWriteSequence()
+    } finally { ios.close(); writer.dispose() }
+    bos.toByteArray
+  }
+
+  /** REAL frame sampling for multi-frame media (animated GIF — the one
+    * moving-picture format the JDK decodes): every `everyN`-th stored frame
+    * is decoded and reduced to pixel stats. Output is one row per sampled
+    * frame: (media_id, frame_idx, width, height, mean_r, mean_g, mean_b).
+    * Null/undecodable payloads contribute no rows. Row-local fan-out — no
+    * shuffle; downstream repartitions by media_id if it needs co-location.
+    * (`sampleFrames` remains the byte-slice STUB for true video formats.)
+    */
+  def sampleGifFrames(df: DataFrame, everyN: Int = 1, batchSize: Int = 64): DataFrame = {
+    require(everyN > 0, "sampleGifFrames: everyN must be positive")
+    val spark = df.sparkSession
+    val inSchema = df.schema
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("frame_idx", IntegerType),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("mean_r", DoubleType),
+      StructField("mean_g", DoubleType),
+      StructField("mean_b", DoubleType)))
+    val idIdx = inSchema.fieldIndex("media_id")
+    val payloadIdx = inSchema.fieldIndex("payload")
+    val rdd = df.rdd.mapPartitions { it =>
+      noImageIOFileCache()
+      it.grouped(batchSize).flatMap { batch =>
+        batch.flatMap { row =>
+          val payload = row.get(payloadIdx).asInstanceOf[Array[Byte]]
+          if (payload == null) Nil
+          else {
+            val iis = javax.imageio.ImageIO.createImageInputStream(
+              new java.io.ByteArrayInputStream(payload))
+            val readers = javax.imageio.ImageIO.getImageReaders(iis)
+            if (!readers.hasNext) { iis.close(); Nil }
+            else {
+              val reader = readers.next()
+              try {
+                reader.setInput(iis)
+                val n = reader.getNumImages(true) // count ALL frames (one pass)
+                (0 until n by everyN).flatMap { i =>
+                  try {
+                    val st = statsOf(reader.read(i))
+                    Seq(Row(row.getLong(idIdx), i, st.getInt(0), st.getInt(1),
+                      st.getDouble(3), st.getDouble(4), st.getDouble(5)))
+                  } catch { case _: Exception => Nil } // corrupt frame: skip, keep the rest
+                }
+              } catch { case _: Exception => Nil }
+              finally { reader.dispose(); iis.close() }
+            }
+          }
+        }
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
   }
 
   /** Decoded-audio stats schema. The sums are exact integers (16-bit PCM:

@@ -264,6 +264,22 @@ object QueriesText {
           round(element_at(col("features"), 1), 4).as("feat_c1"))
     }),
 
+    "q_multimodal_gif_frames" -> ((s, dir) => {
+      // REAL multi-frame decode: an animated GIF of solid-color frames is
+      // written per doc by the JDK sequence writer, every 2nd frame is
+      // decoded back; solid frames round-trip exactly, so the oracle
+      // recomputes frame count, sampled indices, and per-frame channel
+      // means straight from the color formula
+      val gen = udf((seed: Long, n: Int) => Multimodal.syntheticGif(seed, 8, 6, n))
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), (lit(2) + pmod(col("doc_id"), lit(5))).cast("int").as("n"))
+      val media = Multimodal.asMedia(
+        d.withColumn("payload", gen(col("doc_id"), col("n"))),
+        "doc_id", "payload", "image/gif")
+      Multimodal.sampleGifFrames(media, everyN = 2)
+        .orderBy("media_id", "frame_idx")
+    }),
+
     "q_multimodal_frames" -> ((s, dir) => {
       val media = Multimodal.asMedia(
         t(s, dir, "documents").withColumn("payload", col("text").cast("binary")),
@@ -665,6 +681,19 @@ object QueriesText {
         |  CAST(sum(CASE WHEN pv IS NOT NULL AND ((pv < 0) <> (v < 0))
         |                THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings
         |FROM lagged GROUP BY doc_id, n ORDER BY media_id""".stripMargin,
+
+    "q_multimodal_gif_frames" ->
+      // solid-color GIF frames round-trip exactly: sampled index set and
+      // per-frame channel means recomputed from the pinned color formula
+      """WITH lens AS (
+        |  SELECT doc_id, CAST(2 + doc_id % 5 AS INT) AS n FROM documents),
+        |fr AS (SELECT doc_id, n, unnest(generate_series(0, n - 1)) AS f FROM lens)
+        |SELECT doc_id AS media_id, CAST(f AS INT) AS frame_idx,
+        |  CAST(8 AS INT) AS width, CAST(6 AS INT) AS height,
+        |  CAST((11*f + 7*doc_id) % 256 AS DOUBLE) AS mean_r,
+        |  CAST((23*f + 5*doc_id) % 256 AS DOUBLE) AS mean_g,
+        |  CAST((37*f + 3*doc_id) % 256 AS DOUBLE) AS mean_b
+        |FROM fr WHERE f % 2 = 0 ORDER BY media_id, frame_idx""".stripMargin,
 
     "q_pii_redact" -> {
       // same regexes (RE2-compatible: no lookaround), same replace order

@@ -367,6 +367,26 @@ class QualityFeSpec extends SparkSpec {
       "undecodable payload passes through unchanged")
   }
 
+  test("multimodal GIF: real multi-frame decode samples exact solid-color frames") {
+    val seed = 9L
+    val gif = Multimodal.syntheticGif(seed, 4, 3, frames = 5)
+    assert(new String(gif, 0, 3, "US-ASCII") == "GIF")
+    val media = Multimodal.asMedia(
+      Seq((1L, gif), (2L, "not a gif".getBytes), (3L, null: Array[Byte]))
+        .toDF("id", "payload"), "id", "payload", "image/gif")
+    val out = Multimodal.sampleGifFrames(media, everyN = 2)
+      .orderBy("media_id", "frame_idx").collect()
+    assert(out.map(r => (r.getLong(0), r.getInt(1))).toSeq ==
+      Seq((1L, 0), (1L, 2), (1L, 4)), "frames 0,2,4 of 5; bad payloads emit no rows")
+    out.foreach { r =>
+      val f = r.getInt(1)
+      assert(r.getInt(2) == 4 && r.getInt(3) == 3)
+      assert(r.getDouble(4) == ((11L * f + 7L * seed) % 256).toDouble, "exact palette round-trip")
+      assert(r.getDouble(5) == ((23L * f + 5L * seed) % 256).toDouble)
+      assert(r.getDouble(6) == ((37L * f + 3L * seed) % 256).toDouble)
+    }
+  }
+
   test("multimodal frame sampling fans out duration/every rows") {
     val media = Seq((1L, Array.fill(200)(7.toByte))).toDF("id", "payload")
     val m = Multimodal.asMedia(media, "id", "payload", "video/fake", durationMs = 5000L)
