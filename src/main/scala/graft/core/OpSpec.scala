@@ -404,6 +404,11 @@ object OpCompiler {
         df.withColumn(s(p, "output_column", "fingerprints"),
           TextLib.winnowFingerprint(col(text),
             s(p, "gram_tokens", "5").toInt, s(p, "window", "4").toInt))
+      case "url_canonicalize" => // canonical + host + registered-domain cols
+        graft.text.UrlLib.withUrlColumns(df, s(p, "url_column", "url"),
+          s(p, "prefix", "url"))
+      case "url_dedup" => // keep-first per canonical URL
+        graft.text.UrlLib.dedupByUrl(df, s(p, "url_column", "url"), id)
       case "para_dedup" =>
         Dedup.paragraphDedup(df, text, id,
           s(p, "separator", "\n\n"), s(p, "min_chars", "1").toInt)

@@ -64,6 +64,48 @@ object QueriesText {
         .orderBy("survivor", "member")
     }),
 
+    "q_url_canonicalize" -> ((s, dir) => {
+      // six deterministic mess families per doc_id — each exercises a
+      // different canonicalization rule (case, default port, tracking
+      // params + sort, userinfo, empty path, fragment, two-label public
+      // suffix, non-URL passthrough); the oracle recomputes the canonical
+      // form, host, and registered domain straight from the formula
+      val ds = col("doc_id").cast("string")
+      val f = pmod(col("doc_id"), lit(6))
+      val raw = when(f === 0, concat(lit("HTTP://WWW.Example"), ds,
+          lit(".COM:80/A/b"), ds, lit("?z=1&utm_source=feed&a=2#frag")))
+        .when(f === 1, concat(lit("https://News.Site"), ds, lit(".co.uk:443/")))
+        .when(f === 2, concat(lit("https://blog.host"), ds, lit(".org?fbclid=abc"), ds))
+        .when(f === 3, concat(lit("http://user:pw@Host"), ds, lit(".net:8080/p?b=2&a=1&a=0")))
+        .when(f === 4, concat(lit("  doc "), ds, lit(" not a url  ")))
+        .otherwise(concat(lit("https://a.b.site"), ds, lit(".com/x#y")))
+      graft.text.UrlLib.withUrlColumns(
+          t(s, dir, "documents").select(col("doc_id")).withColumn("url", raw), "url")
+        .select(col("doc_id"), col("url_canonical"), col("url_host"), col("url_domain"))
+        .orderBy("doc_id")
+    }),
+
+    "q_url_dedup" -> ((s, dir) => {
+      // URL-keyed keep-first dedup: seed = doc_id % 97 gives ~n/97-sized
+      // collision groups across all six mess families; survivors are the
+      // smallest doc_id per canonical URL
+      val seed = col("doc_id") % 97
+      val ds = seed.cast("string")
+      val f = pmod(seed, lit(6))
+      val raw = when(f === 0, concat(lit("HTTP://WWW.Example"), ds,
+          lit(".COM:80/A/b"), ds, lit("?z=1&utm_source=feed&a=2#frag")))
+        .when(f === 1, concat(lit("https://News.Site"), ds, lit(".co.uk:443/")))
+        .when(f === 2, concat(lit("https://blog.host"), ds, lit(".org?fbclid=abc"), ds))
+        .when(f === 3, concat(lit("http://user:pw@Host"), ds, lit(".net:8080/p?b=2&a=1&a=0")))
+        .when(f === 4, concat(lit("  doc "), ds, lit(" not a url  ")))
+        .otherwise(concat(lit("https://a.b.site"), ds, lit(".com/x#y")))
+      val d = t(s, dir, "documents").select(col("doc_id")).withColumn("url", raw)
+      graft.text.UrlLib.dedupByUrl(d, "url", "doc_id")
+        .select(col("doc_id"),
+          graft.text.UrlLib.canonicalizeUrl(col("url")).as("url_canonical"))
+        .orderBy("doc_id")
+    }),
+
     "q_text_quality" -> ((s, dir) =>
       TextLib.qualityFeatures(t(s, dir, "documents"), "text")
         .select(col("doc_id"), col("n_chars_calc"), col("n_words"),
@@ -694,6 +736,51 @@ object QueriesText {
         |  CAST((23*f + 5*doc_id) % 256 AS DOUBLE) AS mean_g,
         |  CAST((37*f + 3*doc_id) % 256 AS DOUBLE) AS mean_b
         |FROM fr WHERE f % 2 = 0 ORDER BY media_id, frame_idx""".stripMargin,
+
+    "q_url_canonicalize" ->
+      // the oracle recomputes canonical/host/domain from the per-family
+      // formula — each CASE arm is the documented expected output of the
+      // corresponding canonicalization rule
+      """WITH d AS (SELECT doc_id, CAST(doc_id AS VARCHAR) AS ds,
+        |                  doc_id % 6 AS f FROM documents)
+        |SELECT doc_id,
+        |  CASE f
+        |    WHEN 0 THEN 'http://www.example' || ds || '.com/A/b' || ds || '?a=2&z=1'
+        |    WHEN 1 THEN 'https://news.site' || ds || '.co.uk/'
+        |    WHEN 2 THEN 'https://blog.host' || ds || '.org/'
+        |    WHEN 3 THEN 'http://host' || ds || '.net:8080/p?a=0&a=1&b=2'
+        |    WHEN 4 THEN 'doc ' || ds || ' not a url'
+        |    ELSE 'https://a.b.site' || ds || '.com/x' END AS url_canonical,
+        |  CASE f
+        |    WHEN 0 THEN 'www.example' || ds || '.com'
+        |    WHEN 1 THEN 'news.site' || ds || '.co.uk'
+        |    WHEN 2 THEN 'blog.host' || ds || '.org'
+        |    WHEN 3 THEN 'host' || ds || '.net'
+        |    WHEN 4 THEN NULL
+        |    ELSE 'a.b.site' || ds || '.com' END AS url_host,
+        |  CASE f
+        |    WHEN 0 THEN 'example' || ds || '.com'
+        |    WHEN 1 THEN 'site' || ds || '.co.uk'
+        |    WHEN 2 THEN 'host' || ds || '.org'
+        |    WHEN 3 THEN 'host' || ds || '.net'
+        |    WHEN 4 THEN NULL
+        |    ELSE 'site' || ds || '.com' END AS url_domain
+        |FROM d ORDER BY doc_id""".stripMargin,
+
+    "q_url_dedup" ->
+      """WITH d AS (SELECT doc_id, CAST(doc_id % 97 AS VARCHAR) AS ds,
+        |                  (doc_id % 97) % 6 AS f FROM documents),
+        |canon AS (SELECT doc_id, CASE f
+        |    WHEN 0 THEN 'http://www.example' || ds || '.com/A/b' || ds || '?a=2&z=1'
+        |    WHEN 1 THEN 'https://news.site' || ds || '.co.uk/'
+        |    WHEN 2 THEN 'https://blog.host' || ds || '.org/'
+        |    WHEN 3 THEN 'http://host' || ds || '.net:8080/p?a=0&a=1&b=2'
+        |    WHEN 4 THEN 'doc ' || ds || ' not a url'
+        |    ELSE 'https://a.b.site' || ds || '.com/x' END AS url_canonical
+        |  FROM d)
+        |SELECT doc_id, url_canonical FROM canon
+        |QUALIFY row_number() OVER (PARTITION BY url_canonical ORDER BY doc_id) = 1
+        |ORDER BY doc_id""".stripMargin,
 
     "q_pii_redact" -> {
       // same regexes (RE2-compatible: no lookaround), same replace order

@@ -1,0 +1,142 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** URL canonicalization + URL-keyed dedup (beyond-reference surface).
+  *
+  * Web-scale corpora dedup on the URL before they ever touch document text
+  * (crawl frontiers and re-crawls re-emit the same page under trivially
+  * different URLs), so a deterministic canonical form is the cheapest, highest
+  * -yield dedup key a training-data pipeline has. Everything here is a pure
+  * Catalyst column expression — one projection, no UDF, no shuffle; only
+  * `dedupByUrl` exchanges (on the canonical key, uniform via the hash of the
+  * string).
+  *
+  * Canonical form (the SPEC — deliberately simple, deterministic, and
+  * replicable so gate oracles can recompute it):
+  *   - input is `trim`med; null → null
+  *   - a string with no `scheme://authority` prefix passes through trimmed
+  *     and unchanged (not a URL — never dropped, never nulled)
+  *   - scheme and host lowercase; userinfo (`user:pw@`) stripped
+  *   - default port stripped — `:80` for http, `:443` for https, ONLY for
+  *     the matching scheme (http://h:443/ keeps its port)
+  *   - empty path → `/` (http://x.com ≡ http://x.com/); path case preserved
+  *   - fragment dropped
+  *   - query: split on `&`, drop empty tokens and tracking params
+  *     ([[TrackingParamRe]]: utm_*, gclid, fbclid, …), remaining tokens
+  *     sorted lexicographically (repeated keys keep all values, ordered);
+  *     empty result drops the `?`
+  *   - NO percent-encoding normalization (decoding is not idempotent and
+  *     changes semantics for reserved characters — out of scope by design)
+  */
+object UrlLib {
+
+  /** Query-string tokens dropped during canonicalization: the standard
+    * click/campaign trackers that vary per impression but never change the
+    * page. Matched against the whole `key=value` token.
+    */
+  val TrackingParamRe: String =
+    "^(utm_[A-Za-z0-9_]*|gclid|dclid|fbclid|msclkid|mc_cid|mc_eid|igshid|twclid|yclid|_ga|ref|ref_src)(=.*)?$"
+
+  private val SchemeRe = "^([A-Za-z][A-Za-z0-9+.-]*)://"
+  // group-free variant for composing (regexp_extract group 1 must be the
+  // part AFTER the scheme in the composed patterns below)
+  private val SchemePrefix = "^[A-Za-z][A-Za-z0-9+.-]*://"
+
+  /** Two-label public suffixes for [[registeredDomain]]. A compact built-in
+    * set of the common ccTLD second levels — NOT the full Mozilla public
+    * suffix list (thousands of entries, needs periodic refresh); callers with
+    * stricter needs pass their own list. Heuristic documented at the call.
+    */
+  val DefaultTwoLabelSuffixes: Seq[String] = Seq(
+    "co.uk", "ac.uk", "gov.uk", "org.uk", "me.uk",
+    "com.au", "net.au", "org.au", "co.nz", "org.nz",
+    "co.jp", "ne.jp", "or.jp", "ac.jp", "co.kr", "or.kr",
+    "co.in", "net.in", "org.in", "co.za", "org.za",
+    "com.br", "org.br", "com.mx", "com.ar", "com.cn", "com.tw",
+    "com.sg", "com.hk", "com.tr", "com.my", "co.id", "co.th")
+
+  private def parts(u: Column): (Column, Column, Column, Column, Column) = {
+    val t = trim(u)
+    val scheme = lower(regexp_extract(t, SchemeRe, 1))
+    val authority = regexp_extract(t, SchemePrefix + "([^/?#]+)", 1)
+    val rest = regexp_extract(t, SchemePrefix + "[^/?#]+(.*)$", 1)
+    val path = regexp_extract(rest, "^([^?#]*)", 1)
+    val query = regexp_extract(rest, "^[^?#]*\\?([^#]*)", 1)
+    (t, scheme, authority, path, query)
+  }
+
+  /** Host of a URL (lowercase, userinfo and port stripped); null for
+    * non-URLs and null input.
+    */
+  def urlHost(u: Column): Column = {
+    val (_, scheme, authority, _, _) = parts(u)
+    val host = regexp_replace(lower(regexp_replace(authority, "^[^@]*@", "")), ":[0-9]+$", "")
+    when(scheme =!= "" && authority =!= "", nullif(host, lit("")))
+  }
+
+  /** Canonical URL per the object spec; non-URL strings pass through
+    * trimmed, null stays null.
+    */
+  def canonicalizeUrl(u: Column): Column = {
+    val (t, scheme, authority, path, query) = parts(u)
+    val hostport = lower(regexp_replace(authority, "^[^@]*@", ""))
+    val host = regexp_replace(hostport, ":[0-9]+$", "")
+    val port = regexp_extract(hostport, ":([0-9]+)$", 1)
+    val defaultPort = (scheme === "http" && port === "80") ||
+      (scheme === "https" && port === "443")
+    val portPart = when(port =!= "" && !defaultPort, concat(lit(":"), port)).otherwise(lit(""))
+    val pathPart = when(path === "", lit("/")).otherwise(path)
+    val kept = array_sort(filter(split(query, "&"),
+      tok => tok =!= "" && !tok.rlike(TrackingParamRe)))
+    val queryPart = when(size(kept) > 0, concat(lit("?"), array_join(kept, "&")))
+      .otherwise(lit(""))
+    when(scheme === "" || authority === "", t)
+      .otherwise(concat(scheme, lit("://"), host, portPart, pathPart, queryPart))
+  }
+
+  /** Registered (pay-level) domain of a host column: last two labels, or
+    * last three when the last two are a known two-label public suffix
+    * (co.uk, com.au, …). IP literals and single-label hosts return
+    * unchanged. Heuristic by design — `suffixes` defaults to
+    * [[DefaultTwoLabelSuffixes]], not the full public suffix list.
+    */
+  def registeredDomain(host: Column,
+                       suffixes: Seq[String] = DefaultTwoLabelSuffixes): Column = {
+    val labels = split(host, "\\.")
+    val n = size(labels)
+    val last2 = concat_ws(".", element_at(labels, -2), element_at(labels, -1))
+    val isSld = last2.isin(suffixes: _*)
+    // concat_ws treats an all-null argument list as "" — guard null host first
+    when(host.isNull, lit(null).cast("string"))
+      .when(host.rlike("^[0-9.]+$") || n < 2, host)
+      .when(isSld && n >= 3, concat_ws(".", element_at(labels, -3), last2))
+      .otherwise(last2)
+  }
+
+  /** Add canonical/host/registered-domain columns in one projection. */
+  def withUrlColumns(df: DataFrame, urlCol: String,
+                     prefix: String = "url"): DataFrame = {
+    val host = urlHost(col(urlCol))
+    df.withColumn(s"${prefix}_canonical", canonicalizeUrl(col(urlCol)))
+      .withColumn(s"${prefix}_host", host)
+      .withColumn(s"${prefix}_domain", registeredDomain(host))
+  }
+
+  /** URL-keyed dedup: keep the smallest `idCol` row per canonical URL.
+    * Same shape as [[Dedup.exact]] — one exchange on the canonical string
+    * (uniform via hash partitioning); null URLs pass through (a row with no
+    * URL is not a duplicate of other URL-less rows). Non-URL strings DO
+    * dedup by their trimmed text — two rows carrying the same junk key are
+    * duplicates under this key, callers filter first if not.
+    */
+  def dedupByUrl(df: DataFrame, urlCol: String, idCol: String): DataFrame = {
+    val w = Window.partitionBy(col("__cu")).orderBy(col(idCol).asc)
+    df.withColumn("__cu", canonicalizeUrl(col(urlCol)))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__cu").isNull || col("__rn") === 1)
+      .drop("__cu", "__rn")
+  }
+}

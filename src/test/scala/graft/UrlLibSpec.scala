@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.text.UrlLib
+
+class UrlLibSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def canon(urls: String*): Seq[String] =
+    urls.toDF("u").select(UrlLib.canonicalizeUrl(col("u"))).as[String].collect().toSeq
+
+  test("url canonicalization rules") {
+    assert(canon(
+      "HTTP://WWW.Example.COM:80/Path/X?z=1&utm_source=f&a=2#frag",
+      "https://Site.co.uk:443/",           // default https port stripped
+      "http://h.org:443/p",                // 443 on http is NOT default: kept
+      "https://h.org:80/p",                // 80 on https kept
+      "https://blog.host.org?fbclid=abc",  // empty path -> "/", all-tracking query dropped
+      "http://user:pw@Host.net:8080/p?b=2&a=1&a=0", // userinfo stripped, params sorted, dups kept
+      "  plain text, not a url  ",         // passthrough, trimmed
+      "ftp://Files.Example.com/Pub",       // non-http scheme: no default-port rule, still canonical
+      "http://h.io/p?&&a=1&",              // empty tokens dropped
+      "") == Seq(
+      "http://www.example.com/Path/X?a=2&z=1",
+      "https://site.co.uk/",
+      "http://h.org:443/p",
+      "https://h.org:80/p",
+      "https://blog.host.org/",
+      "http://host.net:8080/p?a=0&a=1&b=2",
+      "plain text, not a url",
+      "ftp://files.example.com/Pub",
+      "http://h.io/p?a=1",
+      ""))
+  }
+
+  test("url canonicalization null safety") {
+    val out = Seq[Option[String]](None, Some("https://x.com/a"))
+      .toDF("u").select(UrlLib.canonicalizeUrl(col("u"))).collect()
+    assert(out(0).isNullAt(0), "null url stays null")
+    assert(out(1).getString(0) == "https://x.com/a")
+  }
+
+  test("host and registered domain") {
+    val rows = Seq("https://a.b.Site.com/x", "http://news.site.co.uk/", "http://192.168.0.1/x",
+        "http://localhost:9999/", "not a url")
+      .toDF("u")
+      .select(UrlLib.urlHost(col("u")).as("h"))
+      .select(col("h"), UrlLib.registeredDomain(col("h")).as("d"))
+      .collect()
+    assert(rows(0).getString(0) == "a.b.site.com" && rows(0).getString(1) == "site.com")
+    assert(rows(1).getString(0) == "news.site.co.uk" && rows(1).getString(1) == "site.co.uk")
+    assert(rows(2).getString(0) == "192.168.0.1" && rows(2).getString(1) == "192.168.0.1",
+      "IP literal is its own registered domain")
+    assert(rows(3).getString(0) == "localhost" && rows(3).getString(1) == "localhost",
+      "single-label host unchanged")
+    assert(rows(4).isNullAt(0) && rows(4).isNullAt(1), "non-URL: null host AND null domain")
+  }
+
+  test("dedupByUrl keeps smallest id per canonical url; null urls pass through") {
+    val df = Seq(
+      (1L, "https://X.com/a?utm_source=f"),
+      (2L, "https://x.com:443/a"),   // same canonical as id 1
+      (3L, "https://x.com/b"),
+      (4L, null.asInstanceOf[String]),
+      (5L, null.asInstanceOf[String])).toDF("id", "url")
+    val kept = UrlLib.dedupByUrl(df, "url", "id").select("id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(1L, 3L, 4L, 5L),
+      "ids 1,3 survive dedup; both null-url rows pass through untouched")
+  }
+}
