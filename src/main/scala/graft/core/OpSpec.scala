@@ -188,6 +188,15 @@ object OpCompiler {
       case "aggregation" =>
         FeatureLib.aggregationFeatures(df, seqOf(p, "group_by"), pairs(p, "aggregations"))
       case "text_stats" => FeatureLib.textBasicStats(df, s(p, "column"))
+      case "clustering" => // reference create_clustering_features: kmeans | dbscan
+        s(p, "algorithm", "kmeans") match {
+          case "kmeans" =>
+            FeatureLib.clusteringFeatures(df, seqOf(p, "columns"), s(p, "n_clusters", "5").toInt)
+          case "dbscan" =>
+            graft.functions.Dbscan.clusteringFeaturesDbscan(df, seqOf(p, "columns"),
+              s(p, "eps", "0.5").toDouble, s(p, "min_samples", "5").toInt, s(p, "id_column", "id"))
+          case a => throw new IllegalArgumentException(s"Unknown clustering algorithm: $a")
+        }
       case other => throw new IllegalArgumentException(s"Unknown feature_engineering operation: $other")
     }
   }

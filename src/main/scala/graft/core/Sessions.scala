@@ -22,6 +22,13 @@ object Sessions {
       // TIMESTAMP(NANOS) parquet (e.g. the events table) is otherwise
       // unreadable; consumers convert `ts div 1000` -> timestamp_micros.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // Every job posts its FULL explain string to the SQL listener even
+      // with the UI off; a deep iterative lineage (label-propagation
+      // loops) can make that string gigabytes and OOM the DRIVER on pure
+      // string building. 16 MB keeps any real plan readable and bounds the
+      // event payload. (Belt-and-braces: the loops also checkpoint per
+      // round — see Dedup.clusterCandidates.)
+      .config("spark.sql.maxPlanStringLength", (16 * 1024 * 1024).toString)
       .config("spark.ui.enabled", "false")
 
   /** Local session sized for this container (local[32], 32 shuffle partitions). */

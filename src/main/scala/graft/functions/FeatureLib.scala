@@ -263,14 +263,13 @@ object FeatureLib {
   /** Clustering features (feature_engineering.py:450-511): k-means cluster id
     * + distance to own centroid over the given feature columns.
     *
-    * SCOPE NOTE: the reference's `method='dbscan'` branch (same span) is
-    * deliberately NOT implemented — MLlib has no DBSCAN, and a faithful
-    * distributed DBSCAN needs an epsilon-neighborhood join that is its own
-    * project; k-means covers the reference's documented use (cluster-id
-    * features). Declared out of scope in SURVEY §4; callers wanting
-    * density-style grouping can compose `Similarity.embeddingNearDupPairs`
-    * (epsilon-ball pairs via LSH) with `Dedup.clusterCandidates`
-    * (connected components) — the same result shape at bucketed-join cost.
+    * The reference's `algorithm='dbscan'` branch lives in
+    * [[graft.functions.Dbscan]] (grid-bucketed epsilon-neighborhood join +
+    * pointer-jumping connected components — round 5; MLlib ships no DBSCAN,
+    * so it is a native formulation, eps-grid cells standing in for sklearn's
+    * ball tree). For >4-dim density grouping compose
+    * `Similarity.embeddingNearDupPairs` (epsilon-ball pairs via LSH) with
+    * `Dedup.clusterCandidates` — same result shape at bucketed-join cost.
     */
   def clusteringFeatures(df: DataFrame, cols: Seq[String], k: Int, seed: Long = 42L): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans

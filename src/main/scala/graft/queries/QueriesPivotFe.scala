@@ -180,6 +180,29 @@ object QueriesPivotFe {
           coalesce(col("tfidf_nnz"), lit(0L)).as("tfidf_nnz"),
           coalesce(col("tfidf_norm"), lit(0.0)).as("tfidf_norm"))
         .orderBy("doc_id")
+    }),
+
+    "q_fe_dbscan" -> ((s, dir) => {
+      // distributed DBSCAN on integer geometry derived from doc_id, so the
+      // oracle can replay the whole algorithm (grid pairs → cores → recursive
+      // -CTE connected components → border assignment) exactly. Per group of
+      // 8 docs, family g%3 builds: a chain where all 8 are core and one
+      // cluster; a 5-chain with a border point at distance eps and two noise
+      // points; all-noise spread. Groups sit 1000 apart — isolated.
+      val d = t(s, dir, "documents").select("doc_id")
+      val g = floor(col("doc_id") / 8).cast("long")
+      val j = (col("doc_id") % 8).cast("long")
+      val x = (g % 100) * 1000 +
+        when(g % 3 === 0, j)
+          .when(g % 3 === 1,
+            when(j <= 4, j).when(j === 5, lit(6L)).when(j === 6, lit(40L)).otherwise(lit(50L)))
+          .otherwise(j * 10)
+      val y = floor(g / 100).cast("long") * 1000
+      val pts = d.withColumn("x", x.cast("double")).withColumn("y", y.cast("double"))
+      graft.functions.Dbscan.dbscan(pts, Seq("x", "y"), eps = 2.0, minPts = 3, idCol = "doc_id")
+        .select(col("doc_id"), col("x").cast("bigint").as("x"),
+          col("y").cast("bigint").as("y"), col("cluster"), col("is_core"))
+        .orderBy("doc_id")
     })
   )
 
@@ -344,6 +367,51 @@ object QueriesPivotFe {
         |  coalesce(per.tfidf_nnz, 0) AS tfidf_nnz,
         |  coalesce(per.tfidf_norm, 0.0) AS tfidf_norm
         |FROM documents d LEFT JOIN per USING (doc_id)
-        |ORDER BY d.doc_id""".stripMargin
+        |ORDER BY d.doc_id""".stripMargin,
+
+    "q_fe_dbscan" ->
+      // full DBSCAN replay: eps-pairs via a banded self-join (the BETWEEN
+      // mirrors the engine's grid cells; dist^2 <= eps^2 is the real rule),
+      // core = degree+1 >= minPts, clusters = min-id connected components
+      // via a RECURSIVE CTE over core-core edges, border = min cluster
+      // among core neighbors, noise = -1
+      """WITH RECURSIVE d AS (
+        |  SELECT doc_id, doc_id // 8 AS g, doc_id % 8 AS j FROM documents),
+        |pts AS (SELECT doc_id AS id,
+        |  CAST((g % 100) * 1000 + CASE g % 3
+        |    WHEN 0 THEN j
+        |    WHEN 1 THEN CASE WHEN j <= 4 THEN j WHEN j = 5 THEN 6
+        |                     WHEN j = 6 THEN 40 ELSE 50 END
+        |    ELSE j * 10 END AS BIGINT) AS x,
+        |  CAST((g // 100) * 1000 AS BIGINT) AS y FROM d),
+        |pairs AS (SELECT a.id AS ia, b.id AS ib FROM pts a JOIN pts b
+        |  ON b.x BETWEEN a.x - 2 AND a.x + 2 AND a.id < b.id
+        |  AND (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) <= 4),
+        |deg AS (SELECT id, count(*) AS nbrs FROM (
+        |    SELECT ia AS id FROM pairs UNION ALL SELECT ib FROM pairs) GROUP BY id),
+        |core AS (SELECT p.id FROM pts p LEFT JOIN deg ON deg.id = p.id
+        |         WHERE coalesce(deg.nbrs, 0) + 1 >= 3),
+        |sym AS (SELECT ia AS src, ib AS dst FROM pairs
+        |        WHERE ia IN (SELECT id FROM core) AND ib IN (SELECT id FROM core)
+        |        UNION ALL
+        |        SELECT ib, ia FROM pairs
+        |        WHERE ia IN (SELECT id FROM core) AND ib IN (SELECT id FROM core)),
+        |reach AS (SELECT id AS node, id AS label FROM core
+        |          UNION
+        |          SELECT s.dst, r.label FROM reach r JOIN sym s ON s.src = r.node),
+        |clab AS (SELECT node AS id, min(label) AS cluster FROM reach GROUP BY node),
+        |border AS (SELECT e.nid AS id, min(c.cluster) AS cluster FROM (
+        |    SELECT ia AS nid, ib AS cid FROM pairs
+        |    UNION ALL SELECT ib, ia FROM pairs) e
+        |    JOIN clab c ON c.id = e.cid
+        |  WHERE e.nid NOT IN (SELECT id FROM core) GROUP BY e.nid)
+        |SELECT p.id AS doc_id, p.x, p.y,
+        |  CAST(coalesce(cl.cluster, b.cluster, -1) AS BIGINT) AS cluster,
+        |  (cr.id IS NOT NULL) AS is_core
+        |FROM pts p
+        |LEFT JOIN clab cl ON cl.id = p.id
+        |LEFT JOIN border b ON b.id = p.id
+        |LEFT JOIN core cr ON cr.id = p.id
+        |ORDER BY doc_id""".stripMargin
   )
 }

@@ -327,9 +327,16 @@ object Dedup {
       val jump = propagated.select(col("id").as("cluster_id"), col("cluster_id").as("__cc_up"))
       val stepped = propagated.join(jump, Seq("cluster_id"), "left")
         .select(col("id"), least(col("cluster_id"), coalesce(col("__cc_up"), col("cluster_id"))).as("cluster_id"))
-      val next =
-        if ((iter + 1) % 4 == 0) stepped.localCheckpoint(true) // truncate lineage
-        else stepped.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // EVERY round truncates lineage (was every 4th + persist): the jump
+      // self-join references this round's labels ~4x, so un-truncated
+      // lineage makes the NEXT round's plan — and the full explain string
+      // each job posts to the SQL listener — grow ~4^rounds; four deferred
+      // rounds over a wide upstream (dbscan's grid-pair subtree) built a
+      // multi-GB plan string and OOMed the driver before any task ran.
+      // localCheckpoint is eager + materializing, exactly what the old
+      // persist achieved, without the lineage. (Per-round persist of
+      // `propagated` remains wrong — see the note above.)
+      val next = stepped.localCheckpoint(true)
       changed = next.join(labels.withColumnRenamed("cluster_id", "old"), Seq("id"))
         .filter(col("cluster_id") =!= col("old")).count()
       labels.unpersist()
@@ -344,7 +351,7 @@ object Dedup {
         "under-merge duplicate chains; raise maxIter (reach doubles per " +
         "iteration) or pre-filter degenerate candidate graphs")
     }
-    labels
+    labels // checkpointed every round above: lineage is already truncated
   }
 
   /** End-to-end near-deduplication: MinHash-LSH candidates → connected-
