@@ -20,13 +20,19 @@ object Dedup {
     */
   def exact(df: DataFrame, textCol: String, idCol: String): DataFrame = {
     val h = sha2(TextLib.normalized(col(textCol)), 256)
+    // null text → null hash. Nulls must BOTH pass through (failed
+    // extractions are not duplicates of each other) AND not share a window
+    // partition: Window.partitionBy groups nulls together, and a crawl
+    // corpus routinely carries 1-10% extraction failures — one partition
+    // holding them all is a single-task straggler AQE cannot split. A
+    // per-row sentinel key (" :" + id — sha2 hex never starts with a space)
+    // gives every null row its own singleton partition: kept by rn=1,
+    // no skew, no special-case filter.
+    val key = coalesce(h, concat(lit(" :"), col(idCol).cast("string")))
     val w = Window.partitionBy(col("__h")).orderBy(col(idCol).asc)
-    df.withColumn("__h", h)
+    df.withColumn("__h", key)
       .withColumn("__rn", row_number().over(w))
-      // null text → null hash; Window.partitionBy groups nulls TOGETHER, so
-      // without the isNull pass-through every failed-extraction doc would
-      // collapse into one survivor — they are not duplicates of each other
-      .filter(col("__h").isNull || col("__rn") === 1)
+      .filter(col("__rn") === 1)
       .drop("__h", "__rn")
   }
 

@@ -127,16 +127,24 @@ object UrlLib {
 
   /** URL-keyed dedup: keep the smallest `idCol` row per canonical URL.
     * Same shape as [[Dedup.exact]] — one exchange on the canonical string
-    * (uniform via hash partitioning); null URLs pass through (a row with no
-    * URL is not a duplicate of other URL-less rows). Non-URL strings DO
-    * dedup by their trimmed text — two rows carrying the same junk key are
-    * duplicates under this key, callers filter first if not.
+    * (uniform via hash partitioning); null URLs pass through, each under
+    * its own singleton key (a row with no URL is not a duplicate of other
+    * URL-less rows, and nulls must not share one window partition). Non-URL
+    * strings DO dedup by their trimmed text — two rows carrying the same
+    * junk key are duplicates under this key, callers filter first if not.
     */
   def dedupByUrl(df: DataFrame, urlCol: String, idCol: String): DataFrame = {
+    // null URLs pass through AND get per-row sentinel keys (" :" + id —
+    // canonical values are trimmed, so none starts with a space):
+    // Window.partitionBy groups nulls together, so a corpus with many
+    // URL-less rows would otherwise funnel them into one unsplittable
+    // window partition (same straggler shape Dedup.exact guards against).
+    val key = coalesce(canonicalizeUrl(col(urlCol)),
+      concat(lit(" :"), col(idCol).cast("string")))
     val w = Window.partitionBy(col("__cu")).orderBy(col(idCol).asc)
-    df.withColumn("__cu", canonicalizeUrl(col(urlCol)))
+    df.withColumn("__cu", key)
       .withColumn("__rn", row_number().over(w))
-      .filter(col("__cu").isNull || col("__rn") === 1)
+      .filter(col("__rn") === 1)
       .drop("__cu", "__rn")
   }
 }

@@ -67,4 +67,19 @@ class UrlLibSpec extends SparkSpec {
     assert(kept.toSeq == Seq(1L, 3L, 4L, 5L),
       "ids 1,3 survive dedup; both null-url rows pass through untouched")
   }
+
+  test("ipv6 literal hosts: bracket form survives port rules") {
+    assert(canon(
+      "http://[::1]:8080/p",   // non-default port kept
+      "http://[::1]:80/p",     // default http port stripped
+      "https://[2001:DB8::1]/x") == Seq(
+      "http://[::1]:8080/p",
+      "http://[::1]/p",
+      "https://[2001:db8::1]/x"))
+    val r = Seq("http://[::1]:8080/p").toDF("u")
+      .select(UrlLib.urlHost(col("u")).as("h"))
+      .select(col("h"), UrlLib.registeredDomain(col("h")).as("d")).collect()(0)
+    assert(r.getString(0) == "[::1]" && r.getString(1) == "[::1]",
+      "bracketed v6 literal is the host and its own registered domain")
+  }
 }
