@@ -36,7 +36,8 @@ object Bench {
     "q_dup_spans",         // positional k-gram duplicate-span detection
     // round-5 additions
     "q_multimodal_features", // real ImageIO encode+decode round-trip
-    "q_multimodal_audio"     // real AudioSystem WAV encode+decode round-trip
+    "q_multimodal_audio",    // real AudioSystem WAV encode+decode round-trip
+    "q_fe_dbscan"            // grid-bucketed DBSCAN + pointer-jump components
   )
 
   def main(args: Array[String]): Unit = {

@@ -286,16 +286,22 @@ object Dedup {
     * smallest doc id reachable through candidate edges; the cluster id IS
     * the surviving document).
     *
-    * Iterative min-label propagation WITH pointer jumping: each round (a)
-    * joins current labels across edges and keeps the minimum, then (b)
-    * replaces every label by its own label (path halving). Plain min-label
-    * travels one hop per round — O(diameter) rounds; the jump doubles the
-    * reach each round, so convergence is O(log diameter) (maxIter=10 covers
-    * chains ~2^10 long; near-dup clusters are tiny/star-shaped in practice
-    * and converge in 2-3 rounds). Every 4th iteration localCheckpoints the
-    * label frame — per-iteration persists keep the DATA hot but the logical
-    * plan still accrues one join layer per round, and an adversarial graph
-    * would otherwise grow an unboundedly deep plan.
+    * ADAPTIVE, like every production CC: candidate graphs are usually tiny
+    * relative to the corpus (pairs survive banding + similarity gates), and
+    * an iterative DataFrame loop pays ~6 exchanges of fixed scheduling cost
+    * per round regardless of size. When the pair list fits comfortably on
+    * the driver (≤ `maxLocalEdges`, default 2M edges ≈ tens of MB) the
+    * components are solved with a local min-root union-find — identical
+    * labels (min id of the component, same `least`/`min` ordering Spark
+    * uses), milliseconds instead of seconds. Above the cutoff, iterative
+    * min-label propagation WITH pointer jumping: each round (a) joins
+    * current labels across edges and keeps the minimum, then (b) replaces
+    * every label by its own label (path halving) — O(log diameter) rounds
+    * (maxIter=10 covers chains ~2^10 long). Each round lazily
+    * localCheckpoints the label frame: the convergence count materializes
+    * it in one job, and lineage never accrues (the jump references labels
+    * ~4× per round — un-truncated, the posted explain string alone grows
+    * ~4^rounds).
     *
     * NOT silent at the bound: if the loop exits with `changed > 0` the
     * labels are an UNDER-MERGE (a duplicate chain longer than the reach
@@ -303,9 +309,41 @@ object Dedup {
     * so it throws instead of returning.
     * Input: (id_a, id_b) pairs. Output: (id, cluster_id).
     */
-  def clusterCandidates(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+  def clusterCandidates(pairs: DataFrame, maxIter: Int = 10,
+                        maxLocalEdges: Long = 2000000L): DataFrame = {
+    val p = pairs.select(col("id_a"), col("id_b"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nPairs = p.count() // also materializes the cache for either path
+    if (nPairs <= maxLocalEdges) {
+      val spark = pairs.sparkSession
+      val idType = pairs.schema("id_a").dataType
+      // min-root union-find: parent(maxRoot) := minRoot keeps every root
+      // the component minimum, so find() == the distributed loop's label
+      val parent = new java.util.HashMap[Any, Any]()
+      def find(x: Any): Any = {
+        var r = x
+        while (parent.get(r) != r) { parent.put(r, parent.get(parent.get(r))); r = parent.get(r) }
+        r
+      }
+      def lt(a: Any, b: Any): Boolean = a.asInstanceOf[Comparable[Any]].compareTo(b) < 0
+      p.collect().foreach { row =>
+        val (a, b) = (row.get(0), row.get(1))
+        if (a != null && b != null) {
+          if (parent.get(a) == null) parent.put(a, a)
+          if (parent.get(b) == null) parent.put(b, b)
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) { if (lt(ra, rb)) parent.put(rb, ra) else parent.put(ra, rb) }
+        }
+      }
+      p.unpersist()
+      val rows = new java.util.ArrayList[org.apache.spark.sql.Row](parent.size())
+      parent.keySet().forEach(id => rows.add(org.apache.spark.sql.Row(id, find(id))))
+      return spark.createDataFrame(rows, org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id", idType),
+        org.apache.spark.sql.types.StructField("cluster_id", idType))))
+    }
+    val edges = p.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(p.select(col("id_b").as("src"), col("id_a").as("dst")))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var labels = edges.select(col("src").as("id")).distinct()
@@ -325,30 +363,40 @@ object Dedup {
       // recache of the dependent entry (its materialized data is dropped and
       // later iterations recompute the full history) — measured as an OOM in
       // the end-to-end pipeline spec, vs seconds for the recompute trade.
+      // carry the pre-update label in-row (`__old`) so the convergence
+      // check below is a narrow filter+count on the checkpointed frame —
+      // the previous formulation re-joined next⋈labels just to compare,
+      // a whole extra shuffle per round
       val propagated = labels.join(viaNeighbors, Seq("id"), "left")
-        .select(col("id"), least(col("cluster_id"), coalesce(col("n_min"), col("cluster_id"))).as("cluster_id"))
+        .select(col("id"), col("cluster_id").as("__old"),
+          least(col("cluster_id"), coalesce(col("n_min"), col("cluster_id"))).as("cluster_id"))
       // pointer jump (path halving): label := label's label. Every label IS
       // an id in the frame (labels start as ids and least() preserves that),
       // so the left join always matches; coalesce guards the invariant.
       val jump = propagated.select(col("id").as("cluster_id"), col("cluster_id").as("__cc_up"))
       val stepped = propagated.join(jump, Seq("cluster_id"), "left")
-        .select(col("id"), least(col("cluster_id"), coalesce(col("__cc_up"), col("cluster_id"))).as("cluster_id"))
+        .select(col("id"), col("__old"),
+          least(col("cluster_id"), coalesce(col("__cc_up"), col("cluster_id"))).as("cluster_id"))
       // EVERY round truncates lineage (was every 4th + persist): the jump
       // self-join references this round's labels ~4x, so un-truncated
       // lineage makes the NEXT round's plan — and the full explain string
       // each job posts to the SQL listener — grow ~4^rounds; four deferred
       // rounds over a wide upstream (dbscan's grid-pair subtree) built a
       // multi-GB plan string and OOMed the driver before any task ran.
-      // localCheckpoint is eager + materializing, exactly what the old
-      // persist achieved, without the lineage. (Per-round persist of
-      // `propagated` remains wrong — see the note above.)
-      val next = stepped.localCheckpoint(true)
-      changed = next.join(labels.withColumnRenamed("cluster_id", "old"), Seq("id"))
-        .filter(col("cluster_id") =!= col("old")).count()
+      // LAZY checkpoint: the count below materializes it in the same job
+      // (eager would pay a second job per round for nothing). Same
+      // executor-loss exposure as the old persist + periodic checkpoint —
+      // local checkpoints are not fault-tolerant; an adversarial-scale run
+      // that must survive executor loss uses reliable checkpointing
+      // upstream. (Per-round persist of `propagated` remains wrong — see
+      // the note above.)
+      val next = stepped.localCheckpoint(false)
+      changed = next.filter(col("cluster_id") =!= col("__old")).count()
       labels.unpersist()
       labels = next
       iter += 1
     }
+    p.unpersist() // edges (still cached) is the only derivative in use
     if (changed > 0) {
       edges.unpersist()
       throw new IllegalStateException(
@@ -357,7 +405,9 @@ object Dedup {
         "under-merge duplicate chains; raise maxIter (reach doubles per " +
         "iteration) or pre-filter degenerate candidate graphs")
     }
-    labels // checkpointed every round above: lineage is already truncated
+    // lineage already truncated by the per-round checkpoints; drop the
+    // convergence-bookkeeping column before handing back
+    labels.drop("__old")
   }
 
   /** End-to-end near-deduplication: MinHash-LSH candidates → connected-

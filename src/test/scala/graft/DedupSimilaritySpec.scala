@@ -177,7 +177,9 @@ class DedupSimilaritySpec extends SparkSpec {
     // must close it inside the default bound — the VERDICT r4 silent
     // under-merge scenario
     val pairs = (0L until 30L).map(i => (i, i + 1)).toDF("id_a", "id_b")
-    val labels = Dedup.clusterCandidates(pairs, maxIter = 10).collect()
+    // maxLocalEdges = 0 forces the DISTRIBUTED loop — the small-graph
+    // union-find path would solve any spec-sized graph trivially
+    val labels = Dedup.clusterCandidates(pairs, maxIter = 10, maxLocalEdges = 0L).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(labels.size == 31)
     assert(labels.values.forall(_ == 0L), s"under-merged: ${labels.filter(_._2 != 0L)}")
@@ -186,9 +188,24 @@ class DedupSimilaritySpec extends SparkSpec {
   test("clusterCandidates: non-convergence is LOUD, never a silent under-merge") {
     val pairs = (0L until 30L).map(i => (i, i + 1)).toDF("id_a", "id_b")
     val e = intercept[IllegalStateException] {
-      Dedup.clusterCandidates(pairs, maxIter = 1).collect()
+      Dedup.clusterCandidates(pairs, maxIter = 1, maxLocalEdges = 0L).collect()
     }
     assert(e.getMessage.contains("did not converge"))
+  }
+
+  test("clusterCandidates: local union-find and distributed loop agree exactly") {
+    // mixed shapes: chain, star, triangle + bridge, singleton edge, and
+    // reversed/duplicate pairs — labels must be identical on both paths
+    val raw = (0L until 12L).map(i => (i, i + 1)) ++
+      Seq((50L, 20L), (50L, 21L), (50L, 22L), (30L, 31L), (31L, 32L), (32L, 30L),
+        (32L, 33L), (40L, 41L), (41L, 40L), (40L, 41L))
+    val pairs = raw.toDF("id_a", "id_b")
+    def run(cutoff: Long) = Dedup.clusterCandidates(pairs, maxLocalEdges = cutoff)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val local = run(1000000L)
+    val dist = run(0L)
+    assert(local == dist, s"local=$local dist=$dist")
+    assert(local(33L) == 30L && local(22L) == 20L && local(41L) == 40L && local(12L) == 0L)
   }
 
   test("golden-gated queries are run-to-run deterministic (golden methodology guard)") {

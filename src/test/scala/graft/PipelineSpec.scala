@@ -405,4 +405,20 @@ class PipelineSpec extends SparkSpec {
     val rs = out.select("r").as[Double].collect()
     assert(rs.toSeq == Seq(5.0, 5.0, 0.0))
   }
+
+  test("clustering op: dbscan algorithm dispatches through YAML params") {
+    // two standardized blobs + an outlier; min_samples=2 keeps blobs, the
+    // far point is noise (-1)
+    val df = Seq((0L, 0.0, 0.0), (1L, 0.1, 0.0), (2L, 5.0, 0.0), (3L, 5.1, 0.0),
+        (4L, 100.0, 0.0)).toDF("id", "x", "y")
+    val op = PipelineConfig.parseOp(Map("type" -> "feature_engineering",
+      "operation" -> "clustering", "algorithm" -> "dbscan",
+      // the outlier inflates std to ~39, squeezing the scaled blob gap to
+      // ~0.126 — eps must sit under that and over the ~0.003 intra-blob gap
+      "columns" -> Seq("x", "y"), "eps" -> "0.05", "min_samples" -> "2",
+      "id_column" -> "id"))
+    val out = graft.core.OpCompiler.compile(Seq(op))(df).orderBy("id")
+    assert(out.select("cluster_label").as[Long].collect().toSeq ==
+      Seq(0L, 0L, 2L, 2L, -1L))
+  }
 }
