@@ -70,7 +70,7 @@ object Dbscan {
   val MaxDims = 4
 
   def dbscan(df: DataFrame, cols: Seq[String], eps: Double, minPts: Int,
-             idCol: String, maxIter: Int = 10): DataFrame = {
+             idCol: String, maxIter: Int = 10, maxLocalPairs: Long = 2000000L): DataFrame = {
     val d = cols.size
     require(d >= 1 && d <= MaxDims,
       s"dbscan: ${cols.size} feature columns; grid replication is 3^d — use 1..$MaxDims dims " +
@@ -105,6 +105,67 @@ object Dbscan {
       .filter(col("id_a") < col("id_b") && dist2 <= lit(eps * eps))
       .select("id_a", "id_b")
       .persist(StorageLevel.MEMORY_AND_DISK) // feeds degree, core edges, borders
+    val nPairs = pairs.count() // materializes the cache for either path
+
+    val idType = df.schema(idCol).dataType
+    // Unified no-label fallback: a row in no eps-pair at all is noise —
+    // except at minPts<=1, where every point is core and its own cluster.
+    // (The distributed path labels such rows itself; the expression is
+    // then only reachable for true noise.)
+    def finish(labels: DataFrame): DataFrame =
+      df.join(labels.withColumnRenamed("id", idCol), Seq(idCol), "left")
+        .withColumn("cluster", coalesce(col("cluster_id"),
+          if (minPts <= 1) col(idCol) else lit(-1L).cast(idType)))
+        .withColumn("is_core", coalesce(col("is_core"), lit(minPts <= 1)))
+        .drop("cluster_id")
+
+    if (nPairs <= maxLocalPairs) {
+      // ADAPTIVE small-graph path (same rationale as Dedup.clusterCandidates:
+      // gate-scale graphs pay more in AQE stage scheduling than in data —
+      // the distributed formulation runs ~16 stage-jobs of driver overhead).
+      // Degrees, core flags, min-root union-find and border election all
+      // come from ONE collect of the already-materialized pair list; the
+      // differential spec pins equality against the distributed path.
+      val rows = pairs.collect()
+      pairs.unpersist()
+      val deg = new java.util.HashMap[Any, Integer]()
+      rows.foreach { r =>
+        deg.merge(r.get(0), 1, (a, b) => a + b); deg.merge(r.get(1), 1, (a, b) => a + b)
+      }
+      def isCore(x: Any): Boolean = deg.getOrDefault(x, 0) + 1 >= minPts
+      val parent = new java.util.HashMap[Any, Any]()
+      def find(x: Any): Any = {
+        var r = x
+        while (parent.get(r) != r) { parent.put(r, parent.get(parent.get(r))); r = parent.get(r) }
+        r
+      }
+      def lt(a: Any, b: Any): Boolean = a.asInstanceOf[Comparable[Any]].compareTo(b) < 0
+      rows.foreach { r =>
+        val (a, b) = (r.get(0), r.get(1))
+        if (isCore(a) && isCore(b)) {
+          if (parent.get(a) == null) parent.put(a, a)
+          if (parent.get(b) == null) parent.put(b, b)
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) { if (lt(ra, rb)) parent.put(rb, ra) else parent.put(ra, rb) }
+        }
+      }
+      val label = new java.util.HashMap[Any, Any]()
+      deg.keySet().forEach { id =>
+        if (isCore(id)) label.put(id, if (parent.containsKey(id)) find(id) else id)
+      }
+      val borderLabel = new java.util.HashMap[Any, Any]()
+      def offerBorder(nid: Any, cid: Any): Unit = if (!isCore(nid) && isCore(cid))
+        borderLabel.merge(nid, label.get(cid), (x, y) => if (lt(x, y)) x else y)
+      rows.foreach { r => offerBorder(r.get(0), r.get(1)); offerBorder(r.get(1), r.get(0)) }
+      val out = new java.util.ArrayList[org.apache.spark.sql.Row](label.size() + borderLabel.size())
+      label.forEach { (id, c) => out.add(org.apache.spark.sql.Row(id, c, true)) }
+      borderLabel.forEach { (id, c) => out.add(org.apache.spark.sql.Row(id, c, false)) }
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id", idType),
+        org.apache.spark.sql.types.StructField("cluster_id", idType),
+        org.apache.spark.sql.types.StructField("is_core", org.apache.spark.sql.types.BooleanType)))
+      return finish(broadcast(df.sparkSession.createDataFrame(out, schema)))
+    }
 
     val deg = pairs.select(col("id_a").as("id")).union(pairs.select(col("id_b").as("id")))
       .groupBy("id").agg(count(lit(1)).as("__nbrs"))
@@ -132,12 +193,7 @@ object Dbscan {
 
     val labels = coreLabels.withColumn("is_core", lit(true))
       .union(borderLabels.withColumn("is_core", lit(false)))
-
-    val idType = df.schema(idCol).dataType
-    df.join(labels.withColumnRenamed("id", idCol), Seq(idCol), "left")
-      .withColumn("cluster", coalesce(col("cluster_id"), lit(-1L).cast(idType)))
-      .withColumn("is_core", coalesce(col("is_core"), lit(false)))
-      .drop("cluster_id")
+    finish(labels)
   }
 
   /** The reference op's dbscan mode end-to-end: standardize the feature

@@ -6,8 +6,10 @@ import graft.functions.Dbscan
 class DbscanSpec extends SparkSpec {
   import spark.implicits._
 
-  private def run(pts: Seq[(Long, Double, Double)], eps: Double, minPts: Int) =
-    Dbscan.dbscan(pts.toDF("id", "x", "y"), Seq("x", "y"), eps, minPts, "id")
+  private def run(pts: Seq[(Long, Double, Double)], eps: Double, minPts: Int,
+                  maxLocalPairs: Long = 2000000L) =
+    Dbscan.dbscan(pts.toDF("id", "x", "y"), Seq("x", "y"), eps, minPts, "id",
+        maxLocalPairs = maxLocalPairs)
       .select("id", "cluster", "is_core").as[(Long, Long, Boolean)]
       .collect().map(r => r._1 -> (r._2, r._3)).toMap
 
@@ -63,8 +65,10 @@ class DbscanSpec extends SparkSpec {
     val m = pts.map { case (i, x, y) => i -> Seq(x, y) }.toMap
     for (minPts <- Seq(3, 5)) {
       val expect = brute(m, 1.2, minPts)
-      val got = run(pts, 1.2, minPts)
-      assert(got == expect, s"minPts=$minPts")
+      val local = run(pts, 1.2, minPts)                       // driver union-find path
+      val dist = run(pts, 1.2, minPts, maxLocalPairs = 0L)    // distributed path
+      assert(local == expect, s"local path, minPts=$minPts")
+      assert(dist == expect, s"distributed path, minPts=$minPts")
       val kinds = expect.values.groupBy { case (c, core) =>
         if (core) "core" else if (c >= 0) "border" else "noise" }.map { case (k, v) => k -> v.size }
       assert(kinds.keySet == Set("core", "border", "noise"),

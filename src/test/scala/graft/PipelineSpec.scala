@@ -205,7 +205,8 @@ class PipelineSpec extends SparkSpec {
     val back = spark.read.parquet(out)
     assert(back.count() > 0, "pipeline must keep some chunks")
     val cols = back.columns.toSet
-    assert(Set("chunk_text", "shard", "pos", "split", "dup_ratio").subsetOf(cols), s"got $cols")
+    assert(Set("chunk_text", "shard", "pos", "split", "dup_ratio",
+      "url_canonical", "url_host", "url_domain").subsetOf(cols), s"got $cols")
     assert(back.filter($"doc_id".isin(7L, 14L, 21L)).count() == 0, "blocklist applied")
     assert(back.select("split").distinct().collect().map(_.getString(0)).toSet.subsetOf(
       Set("train", "val", "test")))
