@@ -111,13 +111,18 @@ object Dbscan {
     // Unified no-label fallback: a row in no eps-pair at all is noise —
     // except at minPts<=1, where every point is core and its own cluster.
     // (The distributed path labels such rows itself; the expression is
-    // then only reachable for true noise.)
+    // then only reachable for true noise.) The label frame's columns are
+    // renamed to internal names before the join: the input frame may
+    // legitimately carry `cluster_id`/`is_core` already (e.g. a kmeans
+    // clusteringFeatures pass piped into dbscan), and joining by the bare
+    // names would make the coalesce references ambiguous.
     def finish(labels: DataFrame): DataFrame =
-      df.join(labels.withColumnRenamed("id", idCol), Seq(idCol), "left")
-        .withColumn("cluster", coalesce(col("cluster_id"),
+      df.join(labels.select(col("id").as(idCol), col("cluster_id").as("__dbs_cid"),
+          col("is_core").as("__dbs_core")), Seq(idCol), "left")
+        .withColumn("cluster", coalesce(col("__dbs_cid"),
           if (minPts <= 1) col(idCol) else lit(-1L).cast(idType)))
-        .withColumn("is_core", coalesce(col("is_core"), lit(minPts <= 1)))
-        .drop("cluster_id")
+        .withColumn("is_core", coalesce(col("__dbs_core"), lit(minPts <= 1)))
+        .drop("__dbs_cid", "__dbs_core")
 
     if (nPairs <= maxLocalPairs) {
       // ADAPTIVE small-graph path (same rationale as Dedup.clusterCandidates:
@@ -133,29 +138,18 @@ object Dbscan {
         deg.merge(r.get(0), 1, (a, b) => a + b); deg.merge(r.get(1), 1, (a, b) => a + b)
       }
       def isCore(x: Any): Boolean = deg.getOrDefault(x, 0) + 1 >= minPts
-      val parent = new java.util.HashMap[Any, Any]()
-      def find(x: Any): Any = {
-        var r = x
-        while (parent.get(r) != r) { parent.put(r, parent.get(parent.get(r))); r = parent.get(r) }
-        r
-      }
-      def lt(a: Any, b: Any): Boolean = a.asInstanceOf[Comparable[Any]].compareTo(b) < 0
+      val uf = new graft.core.MinRootUnionFind // root == the distributed min-label
       rows.foreach { r =>
         val (a, b) = (r.get(0), r.get(1))
-        if (isCore(a) && isCore(b)) {
-          if (parent.get(a) == null) parent.put(a, a)
-          if (parent.get(b) == null) parent.put(b, b)
-          val (ra, rb) = (find(a), find(b))
-          if (ra != rb) { if (lt(ra, rb)) parent.put(rb, ra) else parent.put(ra, rb) }
-        }
+        if (isCore(a) && isCore(b)) uf.union(a, b)
       }
       val label = new java.util.HashMap[Any, Any]()
       deg.keySet().forEach { id =>
-        if (isCore(id)) label.put(id, if (parent.containsKey(id)) find(id) else id)
+        if (isCore(id)) label.put(id, if (uf.contains(id)) uf.find(id) else id)
       }
       val borderLabel = new java.util.HashMap[Any, Any]()
       def offerBorder(nid: Any, cid: Any): Unit = if (!isCore(nid) && isCore(cid))
-        borderLabel.merge(nid, label.get(cid), (x, y) => if (lt(x, y)) x else y)
+        borderLabel.merge(nid, label.get(cid), (x, y) => uf.min(x, y))
       rows.foreach { r => offerBorder(r.get(0), r.get(1)); offerBorder(r.get(1), r.get(0)) }
       val out = new java.util.ArrayList[org.apache.spark.sql.Row](label.size() + borderLabel.size())
       label.forEach { (id, c) => out.add(org.apache.spark.sql.Row(id, c, true)) }

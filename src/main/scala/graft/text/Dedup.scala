@@ -15,26 +15,33 @@ object Dedup {
 
   // ---------------------------------------------------------------- exact
 
-  /** Exact dedup: hash the normalized text, keep the smallest id per hash.
-    * groupBy on a 256-bit hash — uniform shuffle keys, no skew.
+  /** Keep the smallest `idCol` row per non-null `key`; null-key rows ALL
+    * pass through (they are not duplicates of each other), each under its
+    * own singleton sentinel partition. Two things make the sentinel sound:
+    *  - Window.partitionBy groups nulls TOGETHER, and a crawl corpus
+    *    routinely carries 1-10% failed extractions — one partition holding
+    *    every null-key row is a single-task straggler AQE cannot split, so
+    *    nulls get per-row keys instead of a pass-through filter;
+    *  - the sentinel is " :" + id — no sha2 hex or trimmed canonical value
+    *    starts with a space — and falls back to a per-row uuid when the id
+    *    itself is null (concat null-propagates; a null sentinel would
+    *    regroup those rows into the shared null partition and keep ONE).
     */
-  def exact(df: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val h = sha2(TextLib.normalized(col(textCol)), 256)
-    // null text → null hash. Nulls must BOTH pass through (failed
-    // extractions are not duplicates of each other) AND not share a window
-    // partition: Window.partitionBy groups nulls together, and a crawl
-    // corpus routinely carries 1-10% extraction failures — one partition
-    // holding them all is a single-task straggler AQE cannot split. A
-    // per-row sentinel key (" :" + id — sha2 hex never starts with a space)
-    // gives every null row its own singleton partition: kept by rn=1,
-    // no skew, no special-case filter.
-    val key = coalesce(h, concat(lit(" :"), col(idCol).cast("string")))
-    val w = Window.partitionBy(col("__h")).orderBy(col(idCol).asc)
-    df.withColumn("__h", key)
+  private[graft] def keepFirstByKey(df: DataFrame, key: Column, idCol: String): DataFrame = {
+    val sentinel = concat(lit(" :"),
+      coalesce(col(idCol).cast("string"), expr("uuid()")))
+    val w = Window.partitionBy(col("__kf")).orderBy(col(idCol).asc)
+    df.withColumn("__kf", coalesce(key, sentinel))
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
-      .drop("__h", "__rn")
+      .drop("__kf", "__rn")
   }
+
+  /** Exact dedup: hash the normalized text, keep the smallest id per hash.
+    * One exchange on a 256-bit hash — uniform shuffle keys, no skew.
+    */
+  def exact(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    keepFirstByKey(df, sha2(TextLib.normalized(col(textCol)), 256), idCol)
 
   /** Exact-dup groups: (hash, survivor id, duplicate id) pairs for audit. */
   def exactDupMap(df: DataFrame, textCol: String, idCol: String): DataFrame = {
@@ -317,27 +324,14 @@ object Dedup {
     if (nPairs <= maxLocalEdges) {
       val spark = pairs.sparkSession
       val idType = pairs.schema("id_a").dataType
-      // min-root union-find: parent(maxRoot) := minRoot keeps every root
-      // the component minimum, so find() == the distributed loop's label
-      val parent = new java.util.HashMap[Any, Any]()
-      def find(x: Any): Any = {
-        var r = x
-        while (parent.get(r) != r) { parent.put(r, parent.get(parent.get(r))); r = parent.get(r) }
-        r
-      }
-      def lt(a: Any, b: Any): Boolean = a.asInstanceOf[Comparable[Any]].compareTo(b) < 0
+      val uf = new graft.core.MinRootUnionFind // root == the distributed loop's min-label
       p.collect().foreach { row =>
         val (a, b) = (row.get(0), row.get(1))
-        if (a != null && b != null) {
-          if (parent.get(a) == null) parent.put(a, a)
-          if (parent.get(b) == null) parent.put(b, b)
-          val (ra, rb) = (find(a), find(b))
-          if (ra != rb) { if (lt(ra, rb)) parent.put(rb, ra) else parent.put(ra, rb) }
-        }
+        if (a != null && b != null) uf.union(a, b)
       }
       p.unpersist()
-      val rows = new java.util.ArrayList[org.apache.spark.sql.Row](parent.size())
-      parent.keySet().forEach(id => rows.add(org.apache.spark.sql.Row(id, find(id))))
+      val rows = new java.util.ArrayList[org.apache.spark.sql.Row](uf.ids.size())
+      uf.ids.forEach(id => rows.add(org.apache.spark.sql.Row(id, uf.find(id))))
       return spark.createDataFrame(rows, org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("id", idType),
         org.apache.spark.sql.types.StructField("cluster_id", idType))))
@@ -396,9 +390,12 @@ object Dedup {
       labels = next
       iter += 1
     }
-    p.unpersist() // edges (still cached) is the only derivative in use
+    p.unpersist()
+    // the final labels are a materialized checkpoint with no lineage into
+    // edges — releasing the cache here (not only on the throw path) keeps
+    // repeated calls (batchwise nearDedup) from accumulating leaked blocks
+    edges.unpersist()
     if (changed > 0) {
-      edges.unpersist()
       throw new IllegalStateException(
         s"clusterCandidates did not converge in $maxIter iterations " +
         s"($changed labels still changing) — the output would silently " +

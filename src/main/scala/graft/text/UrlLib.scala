@@ -1,7 +1,6 @@
 package graft.text
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** URL canonicalization + URL-keyed dedup (beyond-reference surface).
@@ -62,9 +61,13 @@ object UrlLib {
     val t = trim(u)
     val scheme = lower(regexp_extract(t, SchemeRe, 1))
     val authority = regexp_extract(t, SchemePrefix + "([^/?#]+)", 1)
-    val rest = regexp_extract(t, SchemePrefix + "[^/?#]+(.*)$", 1)
-    val path = regexp_extract(rest, "^([^?#]*)", 1)
-    val query = regexp_extract(rest, "^[^?#]*\\?([^#]*)", 1)
+    // (?s): crawl junk carries INTERIOR newlines trim() never touches, and
+    // without DOTALL the `.*`/`$` pattern fails to match such a URL at all
+    // — rest would come back "", silently truncating every newline-bearing
+    // URL to scheme://host/ and FALSE-deduping distinct pages
+    val rest = regexp_extract(t, "(?s)" + SchemePrefix + "[^/?#]+(.*)$", 1)
+    val path = regexp_extract(rest, "(?s)^([^?#]*)", 1)
+    val query = regexp_extract(rest, "(?s)^[^?#]*\\?([^#]*)", 1)
     (t, scheme, authority, path, query)
   }
 
@@ -89,8 +92,10 @@ object UrlLib {
       (scheme === "https" && port === "443")
     val portPart = when(port =!= "" && !defaultPort, concat(lit(":"), port)).otherwise(lit(""))
     val pathPart = when(path === "", lit("/")).otherwise(path)
+    // (?s): a tracker whose value carries an interior newline must still
+    // match `(=.*)$` and be dropped
     val kept = array_sort(filter(split(query, "&"),
-      tok => tok =!= "" && !tok.rlike(TrackingParamRe)))
+      tok => tok =!= "" && !tok.rlike("(?s)" + TrackingParamRe)))
     val queryPart = when(size(kept) > 0, concat(lit("?"), array_join(kept, "&")))
       .otherwise(lit(""))
     when(scheme === "" || authority === "", t)
@@ -133,18 +138,6 @@ object UrlLib {
     * strings DO dedup by their trimmed text — two rows carrying the same
     * junk key are duplicates under this key, callers filter first if not.
     */
-  def dedupByUrl(df: DataFrame, urlCol: String, idCol: String): DataFrame = {
-    // null URLs pass through AND get per-row sentinel keys (" :" + id —
-    // canonical values are trimmed, so none starts with a space):
-    // Window.partitionBy groups nulls together, so a corpus with many
-    // URL-less rows would otherwise funnel them into one unsplittable
-    // window partition (same straggler shape Dedup.exact guards against).
-    val key = coalesce(canonicalizeUrl(col(urlCol)),
-      concat(lit(" :"), col(idCol).cast("string")))
-    val w = Window.partitionBy(col("__cu")).orderBy(col(idCol).asc)
-    df.withColumn("__cu", key)
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .drop("__cu", "__rn")
-  }
+  def dedupByUrl(df: DataFrame, urlCol: String, idCol: String): DataFrame =
+    Dedup.keepFirstByKey(df, canonicalizeUrl(col(urlCol)), idCol)
 }

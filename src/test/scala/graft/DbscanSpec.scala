@@ -109,6 +109,19 @@ class DbscanSpec extends SparkSpec {
     assert(got(4L) == (-1L, false))
   }
 
+  test("input already carrying cluster_id/is_core columns does not collide") {
+    // e.g. a kmeans clusteringFeatures pass piped into dbscan — the label
+    // join must use internal names, not the bare cluster_id/is_core
+    val df = Seq((1L, 0.0, 7L, false), (2L, 0.5, 8L, true), (3L, 50.0, 9L, false))
+      .toDF("id", "x", "cluster_id", "is_core")
+    val out = Dbscan.dbscan(df, Seq("x"), eps = 1.0, minPts = 2, idCol = "id")
+      .select("id", "cluster", "is_core", "cluster_id")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2), r.getLong(3)))).toMap
+    assert(out(1L) == ((1L, true, 7L)) && out(2L) == ((1L, true, 8L)) &&
+      out(3L) == ((-1L, false, 9L)),
+      "is_core is the dbscan output (overwritten by contract); the input cluster_id column is preserved")
+  }
+
   test("guards: dimensionality, eps, minPts") {
     val df = Seq((1L, 0.0)).toDF("id", "x")
     intercept[IllegalArgumentException] {

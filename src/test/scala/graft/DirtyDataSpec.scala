@@ -36,6 +36,17 @@ class DirtyDataSpec extends SparkSpec {
       "null texts must not be reported as a duplicate group")
   }
 
+  test("exact dedup: null text AND null id — every such row still passes through") {
+    // the sentinel key concats the id; concat null-propagates, so a null id
+    // must fall back to a per-row key or all these rows regroup under the
+    // null window partition and collapse to one
+    val docs = Seq((Some(1L), "kept"), (None, null: String), (None, null: String),
+        (None, null: String))
+      .toDF("doc_id", "text")
+    val kept = graft.text.Dedup.exact(docs, "text", "doc_id")
+    assert(kept.count() == 4, "null-text/null-id rows are not duplicates of each other")
+  }
+
   test("guardrails reject silently-wrong parameterizations") {
     val docs = Seq((1L, "a b c")).toDF("doc_id", "text")
     intercept[IllegalArgumentException] { // 4-block simhash covers radius <= 3 only

@@ -68,6 +68,33 @@ class UrlLibSpec extends SparkSpec {
       "ids 1,3 survive dedup; both null-url rows pass through untouched")
   }
 
+  test("interior newlines: path/query survive (no truncation, no false dedup)") {
+    // trim() never touches interior newlines; without DOTALL the rest
+    // pattern failed to match and every such URL collapsed to host + "/"
+    assert(canon(
+      "http://x.com/a\nz",
+      "http://x.com/b\nz",
+      "http://x.com/p?a=1\n2&utm_source=f\nz") == Seq(
+      "http://x.com/a\nz",
+      "http://x.com/b\nz",
+      "http://x.com/p?a=1\n2"))
+    val kept = Seq((1L, "http://x.com/a\nz"), (2L, "http://x.com/b\nz"))
+      .toDF("id", "url")
+    assert(UrlLib.dedupByUrl(kept, "url", "id").count() == 2,
+      "distinct newline-bearing paths are NOT duplicates")
+  }
+
+  test("null url AND null id: every row passes through") {
+    val df = Seq((Some(1L), Some("https://x.com/a")), (None, None),
+        (None, None), (None, Some("https://x.com/a")))
+      .toDF("id", "url")
+    // rows: one real URL w/ id, two fully-null rows, one null-id duplicate
+    // of row 1's URL (dedups against it: id null sorts first -> survivor)
+    val out = UrlLib.dedupByUrl(df, "url", "id")
+    assert(out.filter($"url".isNull).count() == 2,
+      "null-url/null-id rows must ALL pass through (concat null-propagation regression)")
+  }
+
   test("ipv6 literal hosts: bracket form survives port rules") {
     assert(canon(
       "http://[::1]:8080/p",   // non-default port kept
