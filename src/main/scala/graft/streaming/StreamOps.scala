@@ -156,6 +156,41 @@ object StreamOps {
       .dropDuplicatesWithinWatermark("__text_h")
       .drop("__text_h")
 
+  /** Streaming per-group intake quota — the ingestion-time twin of
+    * `Scale.quotaPerGroup`: across ALL micro-batches, at most `quota` rows
+    * per group ever pass (a lifetime intake budget per domain/source — the
+    * batch op's top-k-by-key semantics need the whole corpus; at ingest the
+    * budget is first-come). This is the one operator here that needs CUSTOM
+    * streaming state, so it uses `flatMapGroupsWithState` directly: state =
+    * the kept-count per group, ONE long (8 bytes × #groups, no timeout — a
+    * quota is a lifetime budget; restart with a fresh checkpoint to reset).
+    *
+    * Within one micro-batch the group's iterator order is engine order
+    * (post-shuffle) — the quota COUNT is exact, membership among same-batch
+    * ties is not a contract. Null groups bucket together, like the batch
+    * op's groupBy.
+    */
+  def quotaPerGroupStream(df: DataFrame, groupCol: String, quota: Long): DataFrame = {
+    require(quota > 0, s"quotaPerGroupStream: quota must be positive, got $quota")
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import org.apache.spark.sql.{Encoder, Encoders, Row}
+    implicit val rowEnc: Encoder[Row] = Encoders.row(df.schema)
+    implicit val strEnc: Encoder[String] = Encoders.STRING
+    implicit val longEnc: Encoder[Long] = Encoders.scalaLong
+    val gi = df.schema.fieldIndex(groupCol)
+    df.groupByKey { r =>
+      // ":"-prefixed values cannot collide with the null bucket's key
+      if (r.isNullAt(gi)) " null" else ":" + r.get(gi)
+    }.flatMapGroupsWithState[Long, Row](OutputMode.Append, GroupStateTimeout.NoTimeout) {
+      (_: String, rows: Iterator[Row], state: GroupState[Long]) =>
+        var kept = state.getOption.getOrElse(0L)
+        val out = Seq.newBuilder[Row]
+        while (rows.hasNext && kept < quota) { out += rows.next(); kept += 1 }
+        state.update(kept)
+        out.result().iterator
+    }
+  }
+
   /** Streaming blocklist exclusion: drop stream rows whose key appears in a
     * STATIC blocklist — the continuous-ingestion form of
     * `Scale.excludeKeysBloom`. The blocklist is sketched ONCE at stream

@@ -81,6 +81,8 @@ object StreamPipeline {
         case "parse_json_field"=> StreamOps.parseJsonField(df, str(tr, "field"), StructType.fromDDL(str(tr, "schema")))
         case "flatten_nested"  => StreamOps.flattenNested(df)
         case "filter"          => df.filter(expr(str(tr, "condition")))
+        case "quota_per_group" => StreamOps.quotaPerGroupStream(df,
+          str(tr, "group_column"), str(tr, "quota", "10000").toLong)
         case other             => throw new IllegalArgumentException(s"Unknown stream transform: $other")
       }
     }

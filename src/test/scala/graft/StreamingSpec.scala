@@ -169,6 +169,32 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("quotaPerGroupStream: lifetime per-group budget holds ACROSS micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Doc]
+    // group = first word of text; quota 4 per group for the stream's life
+    val keyed = input.toDF().withColumn("src", split(col("text"), " ")(0))
+    val q = StreamOps.runToMemory(
+      StreamOps.quotaPerGroupStream(keyed, "src", 4L), "quota_stream")
+    try {
+      // batch 1: 3 of "a", 2 of "b" -> all pass (under quota)
+      input.addData((1 to 3).map(i => Doc(t("2024-01-01 00:00:00"), i, s"a doc $i")) ++
+        (4 to 5).map(i => Doc(t("2024-01-01 00:00:00"), i, s"b doc $i")): _*)
+      q.processAllAvailable()
+      // batch 2: 3 more of "a" -> exactly ONE more passes (state remembers 3)
+      input.addData((6 to 8).map(i => Doc(t("2024-01-01 00:01:00"), i, s"a doc $i")): _*)
+      q.processAllAvailable()
+      // batch 3: 1 more of "a" (over), 3 more of "b" (2 pass to reach 4)
+      input.addData(Doc(t("2024-01-01 00:02:00"), 9L, "a doc 9"))
+      input.addData((10 to 12).map(i => Doc(t("2024-01-01 00:02:00"), i, s"b doc $i")): _*)
+      q.processAllAvailable()
+      val bySrc = spark.sql("SELECT src, count(*) FROM quota_stream GROUP BY src")
+        .as[(String, Long)].collect().toMap
+      assert(bySrc == Map("a" -> 4L, "b" -> 4L),
+        s"quota must cap lifetime intake per group, got $bySrc")
+    } finally q.stop()
+  }
+
   test("stateless curation ops run unchanged on streaming frames") {
     // assignSplit / scriptProfile / redactPii are row-local pure
     // projections — the SAME code drives batch and micro-batch. This pins
