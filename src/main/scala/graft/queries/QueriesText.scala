@@ -226,6 +226,28 @@ object QueriesText {
         k = 10, nlist = 8, nprobe = 3)
     }),
 
+    "q_pq_encode" -> ((s, dir) => {
+      // product-quantization codes: the codebook is bit-deterministic
+      // (hash-gated id-sorted sample, driver Lloyd), so the codes are
+      // golden-gatable; DuckDB cannot replay k-means → golden at sf0.01
+      val e = t(s, dir, "embeddings")
+      val model = graft.vec.Pq.train(e, "embedding", "vec_id", m = 8, nbits = 6)
+      graft.vec.Pq.encode(e, "embedding", model)
+        .select(col("vec_id"), hex(col("pq_code")).as("pq_code_hex"))
+        .orderBy("vec_id")
+    }),
+
+    "q_ann_ivfpq" -> ((s, dir) => {
+      // rows-only like q_ann_ivf (float k-means centroids are not
+      // SQL-replayable); externally gated by PqSpec's recall law + the
+      // ADC==reconstructed-distance differential
+      val e = t(s, dir, "embeddings")
+      val model = graft.vec.Pq.train(e, "embedding", "vec_id", m = 8, nbits = 6)
+      graft.vec.Pq.ivfPqTopK(e, "vec_id", "embedding",
+        e.filter(col("vec_id") < 5), "vec_id", "embedding",
+        k = 10, model, nlist = 8, nprobe = 3)
+    }),
+
     "q_lang_id" -> ((s, dir) =>
       // oracle-able: stopword-ratio scores are exact int/count arithmetic
       TextLib.langId(t(s, dir, "documents"), "text")
@@ -666,6 +688,7 @@ object QueriesText {
     "q_embed_neardup" -> golden("q_embed_neardup"),
     "q_ann_lsh" -> golden("q_ann_lsh"),
     "q_deflate_ratio" -> golden("q_deflate_ratio"),
+    "q_pq_encode" -> golden("q_pq_encode"),
 
     "q_multimodal_features" ->
       // the pinned gradient pattern of Multimodal.syntheticPng recomputed

@@ -1,0 +1,252 @@
+package graft.vec
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Product quantization for embedding search at corpus scale.
+  *
+  * Beyond-reference surface: the reference's similarity search holds raw
+  * float vectors end-to-end; at 10^9-10^10 documents the vectors ARE the
+  * bottleneck (a 1024-dim float embedding is 4 KB/row — 40 TB of pure
+  * vector payload at 10^10 docs). PQ (Jégou et al., "Product Quantization
+  * for Nearest Neighbor Search", TPAMI 2011 — the FAISS IVF-PQ recipe)
+  * compresses each vector to `m` one-byte centroid indices and scores
+  * candidates against a per-query lookup table without ever decompressing:
+  * the candidate scan touches m bytes per row instead of 4·d.
+  *
+  * Division of labor, deliberately:
+  *  - TRAINING is driver-side Lloyd iterations over a bounded,
+  *    hash-gated sample (FAISS trains codebooks the same way — k-means on
+  *    ~10^5 sampled vectors in memory; a distributed k-means over 100 TB
+  *    would scan the corpus once per iteration to fit 256 centroids of an
+  *    8-dim subspace). The sample gate is a pure function of the id
+  *    (xxhash64), NOT df.sample — partitioning-independent, and the
+  *    collected rows are sorted by id before training, so the codebook is
+  *    bit-deterministic across core counts and reruns.
+  *  - ENCODE is a native codegen expression over the full corpus scan
+  *    (expr/PqExprs.PqEncode) — one projection, no shuffle.
+  *  - SEARCH routes queries through IVF coarse lists, broadcasts the tiny
+  *    query side (each query row carries its ADC lookup table), scores
+  *    candidates row-local via table lookups, and only the top
+  *    `rerank`-per-query candidates re-join the raw vectors for exact
+  *    cosine. The corpus-sized frames never carry floats past the encode.
+  *
+  * Vectors are L2-normalized before coarse assignment AND encoding, so
+  * squared-L2 ADC ranks identically to cosine (‖a−b‖² = 2−2·cos for unit
+  * vectors) and the exact re-rank agrees with the rest of the ANN surface.
+  * No residual encoding (IVF-Flat-PQ): residuals need a per-(query, list)
+  * lookup table — m·ksub·nprobe doubles per query — and the recall delta
+  * at nprobe ≥ 2 does not justify tripling the broadcast. Documented
+  * trade, revisit if a recall gate ever demands it.
+  */
+object Pq {
+
+  /** Trained model: flat codebook [subspace][centroid][dim] row-major. */
+  final case class PqModel(m: Int, ksub: Int, ds: Int, codebook: Array[Double]) {
+    def dim: Int = m * ds
+    /** Reconstructed (decoded) vector for a code — spec/diagnostic use. */
+    def decode(code: Array[Byte]): Array[Double] = {
+      val out = new Array[Double](dim)
+      var s = 0
+      while (s < m) {
+        val base = (s * ksub + (code(s) & 0xFF)) * ds
+        System.arraycopy(codebook, base, out, s * ds, ds)
+        s += 1
+      }
+      out
+    }
+  }
+
+  /** Deterministic k-means for one subspace: seeded kmeans++ init, fixed
+    * Lloyd iterations, points pre-sorted by caller. Empty clusters keep
+    * their previous centroid (standard; deterministic).
+    */
+  private def lloyd(points: Array[Array[Double]], k: Int, iters: Int, seed: Long): Array[Array[Double]] = {
+    val n = points.length
+    val rnd = new java.util.Random(seed)
+    // kmeans++ init (distances drive the choice; rnd only breaks the spread)
+    val centroids = new Array[Array[Double]](k)
+    centroids(0) = points(rnd.nextInt(n)).clone()
+    val minD = Array.fill(n)(Double.MaxValue)
+    def d2(a: Array[Double], b: Array[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); acc += d * d; i += 1 }
+      acc
+    }
+    var c = 1
+    while (c < k) {
+      var i = 0
+      while (i < n) { val d = d2(points(i), centroids(c - 1)); if (d < minD(i)) minD(i) = d; i += 1 }
+      var total = 0.0; i = 0
+      while (i < n) { total += minD(i); i += 1 }
+      if (total == 0.0) centroids(c) = points(rnd.nextInt(n)).clone() // all dup points
+      else {
+        var target = rnd.nextDouble() * total
+        var pick = 0; i = 0
+        var acc = 0.0
+        while (i < n) { acc += minD(i); if (acc >= target) { pick = i; i = n } else i += 1 }
+        centroids(c) = points(pick).clone()
+      }
+      c += 1
+    }
+    val assign = new Array[Int](n)
+    var it = 0
+    while (it < iters) {
+      var i = 0
+      while (i < n) {
+        var best = 0; var bestD = Double.MaxValue; var cc = 0
+        while (cc < k) {
+          val d = d2(points(i), centroids(cc))
+          if (d < bestD) { bestD = d; best = cc }
+          cc += 1
+        }
+        assign(i) = best
+        i += 1
+      }
+      val sums = Array.fill(k)(new Array[Double](points(0).length))
+      val counts = new Array[Int](k)
+      i = 0
+      while (i < n) {
+        val a = assign(i); counts(a) += 1
+        var j = 0
+        while (j < points(i).length) { sums(a)(j) += points(i)(j); j += 1 }
+        i += 1
+      }
+      var cc = 0
+      while (cc < k) {
+        if (counts(cc) > 0) {
+          var j = 0
+          while (j < sums(cc).length) { sums(cc)(j) /= counts(cc); j += 1 }
+          centroids(cc) = sums(cc)
+        } // empty cluster: keep previous centroid
+        cc += 1
+      }
+      it += 1
+    }
+    centroids
+  }
+
+  /** Train a PQ codebook on a hash-gated, id-sorted sample (deterministic
+    * across partitionings — see object doc). Vectors are L2-normalized
+    * first. `nbits` ≤ 8 (codes are bytes); sample smaller than 2^nbits
+    * falls back to duplicating points (argmin ties resolve to the smallest
+    * index, so duplicate centroids are harmless).
+    */
+  def train(corpus: DataFrame, vecCol: String, idCol: String, m: Int, nbits: Int = 8,
+            seed: Long = 42L, maxTrainRows: Int = 100000, iters: Int = 20): PqModel = {
+    require(nbits >= 1 && nbits <= 8, s"pq: nbits must be 1..8, got $nbits")
+    val ksub = 1 << nbits
+    val unit = VectorOps.l2Normalize(
+      corpus.select(col(idCol).as("__id"), col(vecCol).as("__v")), "__v", "__u")
+    // hash gate sized from a cheap count: keep ~maxTrainRows in expectation
+    val total = unit.count()
+    val keepNum = math.min(total, maxTrainRows.toLong * 105 / 100)
+    val gated =
+      if (total <= maxTrainRows) unit
+      else unit.filter(pmod(xxhash64(col("__id"), lit(seed)), lit(total)) < lit(keepNum))
+    val rows = gated.select(col("__id"), col("__u"))
+      .collect()
+      .sortBy(_.get(0).toString) // deterministic training order (float sums)
+      .take(maxTrainRows)
+    require(rows.nonEmpty, "pq train: empty corpus")
+    val vecs = rows.map(_.getSeq[Double](1).toArray)
+    val dim = vecs(0).length
+    require(dim % m == 0, s"pq: dim $dim not divisible by m=$m")
+    val ds = dim / m
+    val codebook = new Array[Double](m * ksub * ds)
+    for (s <- 0 until m) {
+      val sub = vecs.map(v => java.util.Arrays.copyOfRange(v, s * ds, (s + 1) * ds))
+      val padded = if (sub.length >= ksub) sub
+        else Array.tabulate(ksub)(i => sub(i % sub.length)) // tiny-corpus fallback
+      val cents = lloyd(padded, ksub, iters, seed + s)
+      for (c <- 0 until ksub; j <- 0 until ds)
+        codebook((s * ksub + c) * ds + j) = cents(c)(j)
+    }
+    PqModel(m, ksub, ds, codebook)
+  }
+
+  /** Append the m-byte PQ code of the L2-normalized vector (native codegen
+    * expression; corpus-scan shape, no shuffle). Null/malformed vectors get
+    * a null code.
+    */
+  def encode(df: DataFrame, vecCol: String, model: PqModel, outCol: String = "pq_code"): DataFrame =
+    VectorOps.l2Normalize(df, vecCol, "__pq_u")
+      .withColumn(outCol, graft.expr.PqEncode(
+        col("__pq_u"), model.codebook, model.m, model.ksub, model.ds))
+      .drop("__pq_u")
+
+  /** IVF-PQ top-k cosine search. Coarse lists from the same deterministic
+    * Lloyd (on full normalized vectors); corpus side carries (id, list,
+    * m-byte code) ONLY; queries broadcast with their ADC tables; exact
+    * cosine re-rank touches raw vectors for `rerank`·k candidates per
+    * query. Output (query_id, neighbor_id, cos) like the other ANN paths.
+    */
+  def ivfPqTopK(
+      corpus: DataFrame, corpusId: String, corpusVec: String,
+      queries: DataFrame, queryId: String, queryVec: String,
+      k: Int, model: PqModel, nlist: Int = 16, nprobe: Int = 2,
+      seed: Long = 42L, rerank: Int = 4, excludeSelf: Boolean = true,
+      maxTrainRows: Int = 100000
+  ): DataFrame = {
+    val spark = corpus.sparkSession
+    // coarse centroids: same deterministic sampled Lloyd, full-dim
+    val unit = VectorOps.l2Normalize(
+      corpus.select(col(corpusId).as("__id"), col(corpusVec).as("__v")), "__v", "__u")
+    val total = unit.count()
+    val gated =
+      if (total <= maxTrainRows) unit
+      else unit.filter(pmod(xxhash64(col("__id"), lit(seed)), lit(total)) <
+        lit(maxTrainRows.toLong * 105 / 100))
+    val sample = gated.select("__id", "__u").collect()
+      .sortBy(_.get(0).toString).take(maxTrainRows)
+      .map(_.getSeq[Double](1).toArray)
+    val coarse = lloyd(sample, math.min(nlist, sample.length), 20, seed - 1)
+    val nl = coarse.length
+    // row-local argmin over centroid literals (no expansion, no shuffle)
+    def bestList(vec: Column): Column = {
+      val scored = array((0 until nl).map { i =>
+        val d2 = graft.expr.DotProduct(vec, vec) -
+          lit(2.0) * graft.expr.DotProduct(vec, array(coarse(i).map(lit).toSeq: _*)) +
+          lit(coarse(i).map(x => x * x).sum)
+        struct(coalesce(d2, lit(Double.MaxValue)).as("d"), lit(i).as("l"))
+      }: _*)
+      array_min(scored).getField("l")
+    }
+    val codes = encode(unit, "__u", model, "__code")
+      .withColumn("list_id", bestList(col("__u")))
+      .select(col("__id").as("neighbor_id"), col("list_id"), col("__code"))
+    val qUnit = VectorOps.l2Normalize(
+      queries.select(col(queryId).as("query_id"), col(queryVec).as("__qv")), "__qv", "__qu")
+    val qLut = qUnit.withColumn("__lut",
+      graft.expr.PqLut(col("__qu"), model.codebook, model.m, model.ksub, model.ds))
+    // nprobe nearest coarse lists per query (tiny side: window is fine)
+    val centDf = broadcast(spark.createDataFrame(
+      coarse.zipWithIndex.map { case (cv, i) => (i, cv.toSeq) }.toSeq).toDF("list_id", "__c"))
+    val qw = Window.partitionBy(col("query_id")).orderBy(col("__qd").asc, col("list_id").asc)
+    val qProbes = qLut.crossJoin(centDf)
+      .withColumn("__qd", coalesce(
+        lit(1.0) - graft.expr.DotProduct(col("__qu"), col("__c")),
+        lit(Double.MaxValue)))
+      .withColumn("__qr", row_number().over(qw)).filter(col("__qr") <= nprobe)
+      .select(col("query_id"), col("list_id"), col("__lut"))
+    // candidate scoring: corpus codes never shuffle floats; the broadcast
+    // query side carries the lookup tables
+    val adc = codes.join(broadcast(qProbes), Seq("list_id"))
+      .filter(if (excludeSelf) col("neighbor_id") =!= col("query_id") else lit(true))
+      .withColumn("__adc", graft.expr.PqAdcScore(col("__code"), col("__lut"), model.ksub))
+      .filter(col("__adc").isNotNull)
+    val cw = Window.partitionBy(col("query_id")).orderBy(col("__adc").asc, col("neighbor_id").asc)
+    val shortlist = adc.withColumn("__cr", row_number().over(cw))
+      .filter(col("__cr") <= math.max(k, k * rerank))
+      .select("query_id", "neighbor_id")
+    // exact re-rank on raw vectors, shortlist-sized only
+    val exact = shortlist
+      .join(unit.select(col("__id").as("neighbor_id"), col("__u").as("__nv")), Seq("neighbor_id"))
+      .join(broadcast(qUnit.select(col("query_id"), col("__qu"))), Seq("query_id"))
+      .withColumn("cos", round(graft.expr.DotProduct(col("__nv"), col("__qu")), 6))
+    val fw = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id").asc)
+    exact.withColumn("__rn", row_number().over(fw)).filter(col("__rn") <= k)
+      .select("query_id", "neighbor_id", "cos")
+  }
+}

@@ -35,6 +35,9 @@ class PlanLintSpec extends SparkSpec {
     // bounded-side broadcast: every vector × the ≤nlist centroid list
     // (IVF assignment; nlist is a few hundred at any scale)
     "q_ann_ivf" -> Set("broadcast_nested_loop"),           // Similarity.scala:168
+    // same shape: the tiny QUERY side × the ≤nlist coarse-centroid list
+    // (probe routing); the corpus side never crosses anything
+    "q_ann_ivfpq" -> Set("broadcast_nested_loop"),         // Pq.scala qProbes
     // exact ANN baseline: corpus × the SMALL query set (broadcast side) —
     // the documented O(n·|q|) exact path the LSH/IVF variants approximate
     "q_ann_brute" -> Set("broadcast_nested_loop"),         // Similarity.scala:50
