@@ -443,6 +443,12 @@ object OpCompiler {
       case "l2_normalize" =>
         graft.vec.VectorOps.l2Normalize(df, s(p, "vector_column", "embedding"),
           s(p, "output_column", "unit"))
+      case "pq_encode" => // train-on-the-frame + encode (deterministic codebook)
+        val model = graft.vec.Pq.train(df, s(p, "vector_column", "embedding"),
+          s(p, "id_column", "vec_id"), m = s(p, "m", "8").toInt,
+          nbits = s(p, "nbits", "8").toInt, seed = s(p, "seed", "42").toLong)
+        graft.vec.Pq.encode(df, s(p, "vector_column", "embedding"), model,
+          s(p, "output_column", "pq_code"))
       case "bloom_exclude" =>
         require(tables != null, "bloom_exclude requires a table catalog")
         require(s(p, "blocklist_table") != null,

@@ -407,6 +407,19 @@ class PipelineSpec extends SparkSpec {
     assert(rs.toSeq == Seq(5.0, 5.0, 0.0))
   }
 
+  test("pq_encode op: trains on the frame and emits codes through YAML params") {
+    val rnd = new scala.util.Random(3)
+    val df = (0L until 64L).map(i => (i, Seq.fill(8)(rnd.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+    val op = PipelineConfig.parseOp(Map("type" -> "text_processing",
+      "operation" -> "pq_encode", "vector_column" -> "embedding",
+      "id_column" -> "vec_id", "m" -> "2", "nbits" -> "3"))
+    val out = graft.core.OpCompiler.compile(Seq(op))(df)
+    assert(out.columns.contains("pq_code"))
+    val codes = out.select("pq_code").as[Array[Byte]].collect()
+    assert(codes.forall(_.length == 2), "m=2 -> 2-byte codes")
+  }
+
   test("clustering op: dbscan algorithm dispatches through YAML params") {
     // two standardized blobs + an outlier; min_samples=2 keeps blobs, the
     // far point is noise (-1)
