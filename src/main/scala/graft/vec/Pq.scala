@@ -133,24 +133,33 @@ object Pq {
     * falls back to duplicating points (argmin ties resolve to the smallest
     * index, so duplicate centroids are harmless).
     */
+  /** Bounded, deterministic training sample: L2-normalized vectors,
+    * hash-gated on the id (partitioning-independent, unlike df.sample),
+    * id-sorted before use so float summation order — and therefore the
+    * trained model — is bit-stable across core counts and reruns.
+    */
+  private def unitSample(corpus: DataFrame, idCol: String, vecCol: String,
+                         maxTrainRows: Int, seed: Long): Array[Array[Double]] = {
+    val unit = VectorOps.l2Normalize(
+      corpus.select(col(idCol).as("__id"), col(vecCol).as("__v")), "__v", "__u")
+    val total = unit.count()
+    val gated =
+      if (total <= maxTrainRows) unit
+      else unit.filter(pmod(xxhash64(col("__id"), lit(seed)), lit(total)) <
+        lit(maxTrainRows.toLong * 105 / 100)) // ~maxTrainRows in expectation
+    gated.select(col("__id"), col("__u"))
+      .collect()
+      .sortBy(_.get(0).toString)
+      .take(maxTrainRows)
+      .map(_.getSeq[Double](1).toArray)
+  }
+
   def train(corpus: DataFrame, vecCol: String, idCol: String, m: Int, nbits: Int = 8,
             seed: Long = 42L, maxTrainRows: Int = 100000, iters: Int = 20): PqModel = {
     require(nbits >= 1 && nbits <= 8, s"pq: nbits must be 1..8, got $nbits")
     val ksub = 1 << nbits
-    val unit = VectorOps.l2Normalize(
-      corpus.select(col(idCol).as("__id"), col(vecCol).as("__v")), "__v", "__u")
-    // hash gate sized from a cheap count: keep ~maxTrainRows in expectation
-    val total = unit.count()
-    val keepNum = math.min(total, maxTrainRows.toLong * 105 / 100)
-    val gated =
-      if (total <= maxTrainRows) unit
-      else unit.filter(pmod(xxhash64(col("__id"), lit(seed)), lit(total)) < lit(keepNum))
-    val rows = gated.select(col("__id"), col("__u"))
-      .collect()
-      .sortBy(_.get(0).toString) // deterministic training order (float sums)
-      .take(maxTrainRows)
-    require(rows.nonEmpty, "pq train: empty corpus")
-    val vecs = rows.map(_.getSeq[Double](1).toArray)
+    val vecs = unitSample(corpus, idCol, vecCol, maxTrainRows, seed)
+    require(vecs.nonEmpty, "pq train: empty corpus")
     val dim = vecs(0).length
     require(dim % m == 0, s"pq: dim $dim not divisible by m=$m")
     val ds = dim / m
@@ -193,14 +202,7 @@ object Pq {
     // coarse centroids: same deterministic sampled Lloyd, full-dim
     val unit = VectorOps.l2Normalize(
       corpus.select(col(corpusId).as("__id"), col(corpusVec).as("__v")), "__v", "__u")
-    val total = unit.count()
-    val gated =
-      if (total <= maxTrainRows) unit
-      else unit.filter(pmod(xxhash64(col("__id"), lit(seed)), lit(total)) <
-        lit(maxTrainRows.toLong * 105 / 100))
-    val sample = gated.select("__id", "__u").collect()
-      .sortBy(_.get(0).toString).take(maxTrainRows)
-      .map(_.getSeq[Double](1).toArray)
+    val sample = unitSample(corpus, corpusId, corpusVec, maxTrainRows, seed)
     val coarse = lloyd(sample, math.min(nlist, sample.length), 20, seed - 1)
     val nl = coarse.length
     // row-local argmin over centroid literals (no expansion, no shuffle)

@@ -407,6 +407,21 @@ class PipelineSpec extends SparkSpec {
     assert(rs.toSeq == Seq(5.0, 5.0, 0.0))
   }
 
+  test("examples/embedding_pipeline.yaml builds the index end-to-end on sf0.001") {
+    val out = Files.createTempDirectory("graft_emb_out").toString + "/index"
+    val yaml = new String(Files.readAllBytes(
+      java.nio.file.Paths.get("examples/embedding_pipeline.yaml")), "UTF-8")
+    val conf = Pipeline.fromYaml(PipelineConfig.substituteEnv(yaml,
+      Map("GRAFT_OUT" -> out).get))
+    val res = Pipeline.execute(spark, conf)
+    assert(res.status == "success", res.errors.mkString("; "))
+    val back = spark.read.parquet(out)
+    assert(back.columns.toSet == Set("vec_id", "label", "q", "q_scale", "pq_code"))
+    assert(back.filter($"pq_code".isNull ||
+      org.apache.spark.sql.functions.length($"pq_code") =!= 8).count() == 0)
+    assert(back.count() == 500)
+  }
+
   test("pq_encode op: trains on the frame and emits codes through YAML params") {
     val rnd = new scala.util.Random(3)
     val df = (0L until 64L).map(i => (i, Seq.fill(8)(rnd.nextGaussian().toFloat)))
