@@ -82,6 +82,30 @@ class SkewStressSpec extends SparkSpec {
     assert(counts("hot") == 50 && counts.values.forall(_ <= 50))
   }
 
+  test("keep-first dedup: 90%-null keys spread via per-row sentinels; grouped nulls straggle") {
+    // a crawl batch where most rows failed extraction (null text). The
+    // negative control groups all nulls into ONE window partition — the
+    // shape exact dedup had before the sentinel fix; keepFirstByKey's
+    // per-row sentinel keys must keep the same workload balanced.
+    val docs = spark.range(3000000).select(
+      col("id"),
+      when(col("id") % 10 < 9, lit(null).cast("string"))
+        .otherwise(concat(lit("doc "), col("id"))).as("text"))
+    val control = docs
+      .withColumn("k", sha2(col("text"), 256)) // null text -> null key, nulls group
+      .withColumn("rn", row_number().over(Window.partitionBy("k").orderBy("id")))
+      .filter(col("k").isNull || col("rn") === 1)
+    val controlScore = skewScore(control.write.format("noop").mode("overwrite").save())
+    assert(controlScore > 0.5,
+      s"control failed: grouped-null window scored $controlScore — not discriminating")
+    val fixed = graft.text.Dedup.exact(docs, "text", "id")
+    val fixedScore = skewScore(fixed.write.format("noop").mode("overwrite").save())
+    assert(fixedScore < 0.45 && fixedScore < controlScore - 0.1,
+      s"sentinel-keyed dedup straggler ratio $fixedScore (grouped-null control: $controlScore)")
+    // same answer either way: all null-text rows pass through
+    assert(fixed.count() == docs.count(), "no duplicates in this corpus - all rows survive")
+  }
+
   test("duplicateSpans survives a corpus-wide boilerplate gram without a straggler") {
     // every doc shares one boilerplate sentence: its k-grams occur 60k times
     // — a count-window formulation would single-reducer them (NOTES_r04);
