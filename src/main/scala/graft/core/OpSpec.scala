@@ -443,6 +443,12 @@ object OpCompiler {
       case "l2_normalize" =>
         graft.vec.VectorOps.l2Normalize(df, s(p, "vector_column", "embedding"),
           s(p, "output_column", "unit"))
+      case "semantic_dedup" => // SemDeDup: embedding-space dedup, one survivor/group
+        graft.vec.SemDedup.semanticDedup(df, s(p, "id_column", "vec_id"),
+          s(p, "vector_column", "embedding"),
+          threshold = s(p, "threshold", "0.95").toDouble,
+          nClusters = s(p, "n_clusters", "64").toInt,
+          keep = s(p, "keep", "far_from_centroid"))
       case "pq_encode" => // train-on-the-frame + encode (deterministic codebook)
         val model = graft.vec.Pq.train(df, s(p, "vector_column", "embedding"),
           s(p, "id_column", "vec_id"), m = s(p, "m", "8").toInt,

@@ -212,6 +212,17 @@ object QueriesText {
         threshold = 0.99, dim = 64)
     }),
 
+    "q_semantic_dedup" -> ((s, dir) => {
+      // SemDeDup end-to-end on the corpus + exact copies under shifted ids:
+      // fully deterministic (driver Lloyd centroids, row-local assignment,
+      // min-label components, id-tie-broken election) → golden-gated
+      val e = t(s, dir, "embeddings")
+      val copies = e.withColumn("vec_id", col("vec_id") + 100000L)
+      graft.vec.SemDedup.semanticDupGroups(e.unionByName(copies), "vec_id", "embedding",
+          threshold = 0.999, nClusters = 16)
+        .orderBy("id")
+    }),
+
     "q_ann_lsh" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       Similarity.lshTopK(e, "vec_id", "embedding",
@@ -689,6 +700,7 @@ object QueriesText {
     "q_ann_lsh" -> golden("q_ann_lsh"),
     "q_deflate_ratio" -> golden("q_deflate_ratio"),
     "q_pq_encode" -> golden("q_pq_encode"),
+    "q_semantic_dedup" -> golden("q_semantic_dedup"),
 
     "q_multimodal_features" ->
       // the pinned gradient pattern of Multimodal.syntheticPng recomputed

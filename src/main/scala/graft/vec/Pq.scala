@@ -62,7 +62,7 @@ object Pq {
     * Lloyd iterations, points pre-sorted by caller. Empty clusters keep
     * their previous centroid (standard; deterministic).
     */
-  private def lloyd(points: Array[Array[Double]], k: Int, iters: Int, seed: Long): Array[Array[Double]] = {
+  private[vec] def lloyd(points: Array[Array[Double]], k: Int, iters: Int, seed: Long): Array[Array[Double]] = {
     val n = points.length
     val rnd = new java.util.Random(seed)
     // kmeans++ init (distances drive the choice; rnd only breaks the spread)
@@ -127,18 +127,12 @@ object Pq {
     centroids
   }
 
-  /** Train a PQ codebook on a hash-gated, id-sorted sample (deterministic
-    * across partitionings — see object doc). Vectors are L2-normalized
-    * first. `nbits` ≤ 8 (codes are bytes); sample smaller than 2^nbits
-    * falls back to duplicating points (argmin ties resolve to the smallest
-    * index, so duplicate centroids are harmless).
-    */
   /** Bounded, deterministic training sample: L2-normalized vectors,
     * hash-gated on the id (partitioning-independent, unlike df.sample),
     * id-sorted before use so float summation order — and therefore the
     * trained model — is bit-stable across core counts and reruns.
     */
-  private def unitSample(corpus: DataFrame, idCol: String, vecCol: String,
+  private[vec] def unitSample(corpus: DataFrame, idCol: String, vecCol: String,
                          maxTrainRows: Int, seed: Long): Array[Array[Double]] = {
     val unit = VectorOps.l2Normalize(
       corpus.select(col(idCol).as("__id"), col(vecCol).as("__v")), "__v", "__u")
@@ -154,6 +148,12 @@ object Pq {
       .map(_.getSeq[Double](1).toArray)
   }
 
+  /** Train a PQ codebook on a hash-gated, id-sorted sample (deterministic
+    * across partitionings — see object doc). Vectors are L2-normalized
+    * first. `nbits` ≤ 8 (codes are bytes); sample smaller than 2^nbits
+    * falls back to duplicating points (argmin ties resolve to the smallest
+    * index, so duplicate centroids are harmless).
+    */
   def train(corpus: DataFrame, vecCol: String, idCol: String, m: Int, nbits: Int = 8,
             seed: Long = 42L, maxTrainRows: Int = 100000, iters: Int = 20): PqModel = {
     require(nbits >= 1 && nbits <= 8, s"pq: nbits must be 1..8, got $nbits")

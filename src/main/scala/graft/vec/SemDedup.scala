@@ -1,0 +1,102 @@
+package graft.vec
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** SemDeDup — semantic deduplication over embeddings (Abbas et al. 2023,
+  * "SemDeDup: Data-efficient learning at web-scale through semantic
+  * deduplication"; the recipe behind LAION/web-corpus semantic pruning).
+  *
+  * Pipeline: k-means the embedding space into `nClusters` cells, compare
+  * pairs ONLY within a cell (the paper's trick — near-dups land in the
+  * same cell, so the O(n²) pair space collapses to Σ|cell|²), connect
+  * pairs above the cosine threshold into duplicate groups, and keep ONE
+  * member per group. The paper keeps the member with the LOWEST cosine to
+  * its cluster centroid (the least-typical example — pruning toward
+  * diversity); `keep = "min_id"` gives the corpus-stable election the
+  * other dedup ops use.
+  *
+  * Everything is deterministic by construction: centroids come from the
+  * same hash-gated, id-sorted driver Lloyd as [[Pq]] (bit-stable across
+  * partitionings), assignment/cos are row-local expressions, components
+  * elect min labels, and both survivor elections tie-break on id — so the
+  * gate query is golden-able, unlike an MLlib-backed formulation.
+  *
+  * Scale shape: one exchange on the cluster id for pair generation
+  * (bucketPairs: window cap BEFORE collect_list, ids-only explosion), the
+  * adaptive connected components, and broadcast-joined election — no
+  * all-pairs join anywhere; vectors ride only (a) the corpus-scan
+  * assignment projection and (b) the per-pair cosine re-check join.
+  * `maxClusterSize` caps a degenerate cell (an all-identical blob) the
+  * same way LSH caps a hot bucket; the paper's cluster count (corpus/k ≈
+  * thousands of members) keeps real cells far below it.
+  */
+object SemDedup {
+
+  /** (id, survivor, cos_to_centroid) for every member of a duplicate
+    * group, survivors included — the audit view (like Dedup.exactDupMap).
+    */
+  def semanticDupGroups(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      threshold: Double = 0.95, nClusters: Int = 64, seed: Long = 42L,
+      keep: String = "far_from_centroid",
+      maxTrainRows: Int = 100000, maxClusterSize: Int = 10000
+  ): DataFrame = {
+    require(threshold > 0 && threshold <= 1, s"semantic dedup: threshold in (0,1], got $threshold")
+    require(Set("far_from_centroid", "min_id")(keep),
+      s"semantic dedup: keep must be far_from_centroid|min_id, got $keep")
+    val sample = Pq.unitSample(corpus, idCol, vecCol, maxTrainRows, seed)
+    require(sample.nonEmpty, "semantic dedup: empty corpus")
+    val cents = Pq.lloyd(sample, math.min(nClusters, sample.length), 20, seed)
+    val centArr = array(cents.map(c => array(c.map(lit).toSeq: _*)).toSeq: _*)
+    // row-local nearest-centroid argmin (unit vectors: d² = 2 - 2·dot) and
+    // cosine to the OWN centroid — one projection, no expansion
+    def nearest(u: Column): Column = {
+      val scored = array(cents.indices.map { i =>
+        struct((lit(1.0) - graft.expr.DotProduct(u, array(cents(i).map(lit).toSeq: _*))).as("d"),
+          lit(i).as("l"))
+      }: _*)
+      array_min(scored).getField("l")
+    }
+    val unit = VectorOps.l2Normalize(
+      corpus.select(col(idCol).as("id"), col(vecCol).as("__v")), "__v", "__u")
+      .withColumn("__cl", nearest(col("__u")))
+      .withColumn("__cc", graft.expr.DotProduct(col("__u"), element_at(centArr, col("__cl") + 1)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pairs = graft.text.Dedup.bucketPairs(
+        unit.select(col("id"), col("__cl")), Seq("__cl"), maxClusterSize)
+      .join(unit.select(col("id").as("id_a"), col("__u").as("__ua")), Seq("id_a"))
+      .join(unit.select(col("id").as("id_b"), col("__u").as("__ub")), Seq("id_b"))
+      .filter(graft.expr.DotProduct(col("__ua"), col("__ub")) >= threshold)
+      .select("id_a", "id_b")
+    val groups = graft.text.Dedup.clusterCandidates(pairs)
+      .withColumnRenamed("cluster_id", "__grp")
+    val members = groups.join(unit.select(col("id"), col("__cc")), Seq("id"))
+    // survivor: the paper keeps the member LEAST similar to its centroid
+    // (diversity); min_id keeps the smallest id. Both tie-break on id.
+    val electKey =
+      if (keep == "far_from_centroid") struct(col("__cc"), col("id"))
+      else struct(lit(0.0), col("id"))
+    val survivors = members.withColumn("__ek", electKey)
+      .groupBy(col("__grp")).agg(min(col("__ek")).as("__win"))
+      .select(col("__grp"), col("__win.id").as("survivor"))
+    members.join(survivors, Seq("__grp"))
+      .select(col("id"), col("survivor"), round(col("__cc"), 6).as("cos_to_centroid"))
+  }
+
+  /** The end-to-end op: corpus minus semantic duplicates (one survivor per
+    * duplicate group, election per `keep`).
+    */
+  def semanticDedup(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      threshold: Double = 0.95, nClusters: Int = 64, seed: Long = 42L,
+      keep: String = "far_from_centroid",
+      maxTrainRows: Int = 100000, maxClusterSize: Int = 10000
+  ): DataFrame = {
+    val losers = semanticDupGroups(corpus, idCol, vecCol, threshold, nClusters, seed,
+        keep, maxTrainRows, maxClusterSize)
+      .filter(col("id") =!= col("survivor"))
+      .select(col("id").as(idCol))
+    corpus.join(losers, Seq(idCol), "left_anti")
+  }
+}

@@ -215,7 +215,7 @@ class DedupSimilaritySpec extends SparkSpec {
     // additionally diffed across core counts before committing goldens)
     val names = Seq("q_fingerprint", "q_winnow", "q_dedup_simhash", "q_bpe_merges",
       "q_dedup_minhash", "q_near_dedup", "q_dedup_clusters", "q_embed_neardup", "q_ann_lsh",
-      "q_deflate_ratio", "q_pq_encode")
+      "q_deflate_ratio", "q_pq_encode", "q_semantic_dedup")
     val qs = graft.SparkEntry.queries
     names.foreach { n =>
       val a = qs(n)(spark, sfDir).collect().map(_.toString).sorted.toSeq
