@@ -231,7 +231,12 @@ case class PqAdcScore(left: Expression, right: Expression, ksub: Int)
     var acc = 0.0
     var s = 0
     while (s < code.length) {
-      acc += lut.getDouble(s * ksub + (code(s) & 0xFF))
+      val ci = code(s) & 0xFF
+      // a byte outside the model's centroid range (code from a different
+      // model) must NOT rank: UnsafeArrayData.getDouble has no bounds
+      // check, so an unchecked lookup reads adjacent memory as a distance
+      if (ci >= ksub) return null
+      acc += lut.getDouble(s * ksub + ci)
       s += 1
     }
     acc
@@ -241,13 +246,16 @@ case class PqAdcScore(left: Expression, right: Expression, ksub: Int)
     nullSafeCodeGen(ctx, ev, (code, lut) => {
       val acc = ctx.freshName("acc")
       val s = ctx.freshName("s")
+      val ci = ctx.freshName("ci")
       val bad = ctx.freshName("bad")
       s"""
          |boolean $bad = $lut.numElements() != $code.length * $ksub;
          |double $acc = 0.0;
          |if (!$bad) {
          |  for (int $s = 0; $s < $code.length; $s++) {
-         |    $acc += $lut.getDouble($s * $ksub + ($code[$s] & 0xFF));
+         |    final int $ci = $code[$s] & 0xFF;
+         |    if ($ci >= $ksub) { $bad = true; break; }
+         |    $acc += $lut.getDouble($s * $ksub + $ci);
          |  }
          |}
          |${ev.isNull} = $bad;

@@ -78,7 +78,10 @@ object StreamOps {
     * (distributed sketch).
     */
   def streamAgg(fn: String, c: String): Column = fn match {
-    case "count"        => count(col(c))
+    // record count, not count(col): the reference's per-window aggregator
+    // counts RECORDS (stream_processor.py:147-191) — count(col) would
+    // silently skip rows where the field is null (partial JSON parses)
+    case "count"        => count(lit(1))
     case "sum"          => sum(col(c))
     case "avg"          => avg(col(c))
     case "min"          => min(col(c))
@@ -151,7 +154,14 @@ object StreamOps {
     */
   def dedupTextStream(df: DataFrame, textCol: String, tsCol: String,
                       watermarkDelay: String): DataFrame =
-    df.withColumn("__text_h", sha2(graft.text.TextLib.normalized(col(textCol)), 256))
+    // null text → per-row sentinel key, NOT a shared null key:
+    // dropDuplicatesWithinWatermark treats null keys as equal, which would
+    // collapse every failed-extraction row in the horizon to one survivor —
+    // batch Dedup.exact semantics (nulls all pass through) must hold here
+    // too. uuid() is unique per row, and " :" cannot collide with sha2 hex.
+    df.withColumn("__text_h",
+        coalesce(sha2(graft.text.TextLib.normalized(col(textCol)), 256),
+          concat(lit(" :"), expr("uuid()"))))
       .withWatermark(tsCol, watermarkDelay)
       .dropDuplicatesWithinWatermark("__text_h")
       .drop("__text_h")
@@ -174,21 +184,29 @@ object StreamOps {
     require(quota > 0, s"quotaPerGroupStream: quota must be positive, got $quota")
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     import org.apache.spark.sql.{Encoder, Encoders, Row}
-    implicit val rowEnc: Encoder[Row] = Encoders.row(df.schema)
+    // the grouping key is computed IN SPARK (cast + hash), not via JVM
+    // toString: binary/array group columns stringify by object identity
+    // ([B@...), which would give every row its own group — quota never
+    // enforced AND one state entry per input row forever. cast-to-string
+    // alone can collide across types/values; pairing it with xxhash64
+    // makes a collision require both representations to agree.
+    val keyed = df.withColumn("__qk",
+      when(col(groupCol).isNull, lit(" null"))
+        .otherwise(concat(coalesce(col(groupCol).cast("string"), lit("?")),
+          lit("#"), xxhash64(col(groupCol)).cast("string"))))
+    implicit val rowEnc: Encoder[Row] = Encoders.row(keyed.schema)
     implicit val strEnc: Encoder[String] = Encoders.STRING
     implicit val longEnc: Encoder[Long] = Encoders.scalaLong
-    val gi = df.schema.fieldIndex(groupCol)
-    df.groupByKey { r =>
-      // ":"-prefixed values cannot collide with the null bucket's key
-      if (r.isNullAt(gi)) " null" else ":" + r.get(gi)
-    }.flatMapGroupsWithState[Long, Row](OutputMode.Append, GroupStateTimeout.NoTimeout) {
+    val ki = keyed.schema.fieldIndex("__qk")
+    keyed.groupByKey(_.getString(ki))
+      .flatMapGroupsWithState[Long, Row](OutputMode.Append, GroupStateTimeout.NoTimeout) {
       (_: String, rows: Iterator[Row], state: GroupState[Long]) =>
         var kept = state.getOption.getOrElse(0L)
         val out = Seq.newBuilder[Row]
         while (rows.hasNext && kept < quota) { out += rows.next(); kept += 1 }
         state.update(kept)
         out.result().iterator
-    }
+    }.drop("__qk")
   }
 
   /** Streaming blocklist exclusion: drop stream rows whose key appears in a

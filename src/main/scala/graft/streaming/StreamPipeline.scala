@@ -108,7 +108,16 @@ object StreamPipeline {
   def start(spark: SparkSession, conf: Conf): StreamingQuery = {
     val df = build(spark, conf)
     val sink = sub(conf.raw.getOrElse("sink", null))
-    val mode = str(sink, "output_mode", if (conf.raw.contains("window")) "update" else "append")
+    // session windows REJECT update mode (Spark: session_window aggregation
+    // requires append/complete) — the default must honor that or a YAML
+    // session pipeline dies at start()
+    val windowType = conf.raw.get("window").map(sub).map(w => str(w, "type", "tumbling"))
+    val defaultMode = windowType match {
+      case Some("session") => "append"
+      case Some(_)         => "update"
+      case None            => "append"
+    }
+    val mode = str(sink, "output_mode", defaultMode)
     str(sink, "type", "memory") match {
       case "memory" =>
         df.writeStream.format("memory").queryName(str(sink, "name", conf.name))

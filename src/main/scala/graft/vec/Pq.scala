@@ -47,10 +47,14 @@ object Pq {
     def dim: Int = m * ds
     /** Reconstructed (decoded) vector for a code — spec/diagnostic use. */
     def decode(code: Array[Byte]): Array[Double] = {
+      require(code.length == m, s"pq decode: code has ${code.length} bytes, model has m=$m")
       val out = new Array[Double](dim)
       var s = 0
       while (s < m) {
-        val base = (s * ksub + (code(s) & 0xFF)) * ds
+        val ci = code(s) & 0xFF
+        require(ci < ksub, s"pq decode: code byte $ci out of range for ksub=$ksub " +
+          "(code from a different model?)")
+        val base = (s * ksub + ci) * ds
         System.arraycopy(codebook, base, out, s * ds, ds)
         s += 1
       }
@@ -127,26 +131,47 @@ object Pq {
     centroids
   }
 
-  /** Bounded, deterministic training sample: L2-normalized vectors,
-    * hash-gated on the id (partitioning-independent, unlike df.sample),
-    * id-sorted before use so float summation order — and therefore the
-    * trained model — is bit-stable across core counts and reruns.
+  /** Normalized (__id, __u) frame with malformed rows dropped: null id,
+    * null vector, or any null element — the rows PqEncode would null out
+    * anyway must not crash or pollute training/search.
     */
-  private[vec] def unitSample(corpus: DataFrame, idCol: String, vecCol: String,
-                         maxTrainRows: Int, seed: Long): Array[Array[Double]] = {
-    val unit = VectorOps.l2Normalize(
+  private[vec] def unitFrame(corpus: DataFrame, idCol: String, vecCol: String): DataFrame =
+    VectorOps.l2Normalize(
       corpus.select(col(idCol).as("__id"), col(vecCol).as("__v")), "__v", "__u")
+      .filter(col("__id").isNotNull && col("__u").isNotNull &&
+        !exists(col("__u"), _.isNull))
+      .select("__id", "__u")
+
+  /** Bounded, deterministic training sample from a [[unitFrame]]-shaped
+    * frame: hash-gated on the id (partitioning-independent, unlike
+    * df.sample), id-sorted before use so float summation order — and
+    * therefore the trained model — is bit-stable across core counts and
+    * reruns. Only the MAJORITY vector dimension is kept (ties → larger
+    * dim): a stray wrong-dimension row must neither zero-pad the codebook
+    * nor crash Lloyd with ragged inputs.
+    */
+  private[vec] def sampleFromUnit(unit: DataFrame, maxTrainRows: Int,
+                                  seed: Long): Array[Array[Double]] = {
     val total = unit.count()
     val gated =
       if (total <= maxTrainRows) unit
       else unit.filter(pmod(xxhash64(col("__id"), lit(seed)), lit(total)) <
         lit(maxTrainRows.toLong * 105 / 100)) // ~maxTrainRows in expectation
-    gated.select(col("__id"), col("__u"))
+    val all = gated.select(col("__id"), col("__u"))
       .collect()
       .sortBy(_.get(0).toString)
       .take(maxTrainRows)
       .map(_.getSeq[Double](1).toArray)
+    if (all.isEmpty) all
+    else {
+      val dim = all.groupBy(_.length).maxBy { case (d, vs) => (vs.length, d) }._1
+      all.filter(_.length == dim)
+    }
   }
+
+  private[vec] def unitSample(corpus: DataFrame, idCol: String, vecCol: String,
+                              maxTrainRows: Int, seed: Long): Array[Array[Double]] =
+    sampleFromUnit(unitFrame(corpus, idCol, vecCol), maxTrainRows, seed)
 
   /** Train a PQ codebook on a hash-gated, id-sorted sample (deterministic
     * across partitionings — see object doc). Vectors are L2-normalized
@@ -199,10 +224,14 @@ object Pq {
       maxTrainRows: Int = 100000
   ): DataFrame = {
     val spark = corpus.sparkSession
-    // coarse centroids: same deterministic sampled Lloyd, full-dim
-    val unit = VectorOps.l2Normalize(
-      corpus.select(col(corpusId).as("__id"), col(corpusVec).as("__v")), "__v", "__u")
-    val sample = unitSample(corpus, corpusId, corpusVec, maxTrainRows, seed)
+    // ONE normalized corpus frame, persisted: it feeds the coarse-centroid
+    // sample (count + collect), the code/list projection, and the exact
+    // re-rank join — without the cache each consumer would re-scan and
+    // re-normalize the full corpus (malformed rows already dropped, so
+    // every downstream stage sees clean unit vectors)
+    val unit = unitFrame(corpus, corpusId, corpusVec)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sample = sampleFromUnit(unit, maxTrainRows, seed)
     val coarse = lloyd(sample, math.min(nlist, sample.length), 20, seed - 1)
     val nl = coarse.length
     // row-local argmin over centroid literals (no expansion, no shuffle)
@@ -215,7 +244,12 @@ object Pq {
       }: _*)
       array_min(scored).getField("l")
     }
-    val codes = encode(unit, "__u", model, "__code")
+    // __u is already unit-norm: apply PqEncode directly rather than
+    // encode(), which would re-normalize the whole corpus a second time
+    val codes = unit
+      .withColumn("__code", graft.expr.PqEncode(col("__u"), model.codebook,
+        model.m, model.ksub, model.ds))
+      .filter(col("__code").isNotNull) // wrong-dim stragglers never rank
       .withColumn("list_id", bestList(col("__u")))
       .select(col("__id").as("neighbor_id"), col("list_id"), col("__code"))
     val qUnit = VectorOps.l2Normalize(

@@ -45,22 +45,28 @@ object SemDedup {
     require(threshold > 0 && threshold <= 1, s"semantic dedup: threshold in (0,1], got $threshold")
     require(Set("far_from_centroid", "min_id")(keep),
       s"semantic dedup: keep must be far_from_centroid|min_id, got $keep")
-    val sample = Pq.unitSample(corpus, idCol, vecCol, maxTrainRows, seed)
+    val unitBase = Pq.unitFrame(corpus, idCol, vecCol) // malformed rows already out
+    val sample = Pq.sampleFromUnit(unitBase, maxTrainRows, seed)
     require(sample.nonEmpty, "semantic dedup: empty corpus")
     val cents = Pq.lloyd(sample, math.min(nClusters, sample.length), 20, seed)
     val centArr = array(cents.map(c => array(c.map(lit).toSeq: _*)).toSeq: _*)
     // row-local nearest-centroid argmin (unit vectors: d² = 2 - 2·dot) and
-    // cosine to the OWN centroid — one projection, no expansion
+    // cosine to the OWN centroid — one projection, no expansion. A
+    // wrong-dimension vector (null dot against centroid 0) gets a NULL
+    // cluster, never a default one: funneling malformed rows into cluster
+    // 0 could blow that cell past maxClusterSize and silently drop ALL of
+    // its real duplicate pairs.
     def nearest(u: Column): Column = {
       val scored = array(cents.indices.map { i =>
         struct((lit(1.0) - graft.expr.DotProduct(u, array(cents(i).map(lit).toSeq: _*))).as("d"),
           lit(i).as("l"))
       }: _*)
-      array_min(scored).getField("l")
+      when(graft.expr.DotProduct(u, array(cents(0).map(lit).toSeq: _*)).isNotNull,
+        array_min(scored).getField("l"))
     }
-    val unit = VectorOps.l2Normalize(
-      corpus.select(col(idCol).as("id"), col(vecCol).as("__v")), "__v", "__u")
+    val unit = unitBase.withColumnRenamed("__id", "id")
       .withColumn("__cl", nearest(col("__u")))
+      .filter(col("__cl").isNotNull) // wrong-dim rows: not duplicates of anything
       .withColumn("__cc", graft.expr.DotProduct(col("__u"), element_at(centArr, col("__cl") + 1)))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val pairs = graft.text.Dedup.bucketPairs(

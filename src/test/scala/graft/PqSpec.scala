@@ -78,19 +78,40 @@ class PqSpec extends SparkSpec {
     assert(fine < coarse * 0.7, s"nbits=5 err $fine must beat nbits=2 err $coarse")
   }
 
-  test("malformed vectors get null codes and never rank") {
+  test("malformed vectors get null codes and never rank — even in TRAINING input") {
+    // dirty corpus fed straight to train AND search: a null vector, a
+    // null-element vector, a wrong-dim vector, and a null id — none may
+    // crash the driver sampler (NPE regression), corrupt the codebook
+    // (zero-padding regression), or appear as a neighbor
     val good = clustered(60, 16, 3)
     val df = (good :+ (900L, Seq.fill(7)(0.1f)) :+ (901L, null.asInstanceOf[Seq[Float]]))
       .toDF("vec_id", "embedding")
-    val model = Pq.train(df.filter(col("vec_id") < 900), "embedding", "vec_id", m = 4, nbits = 3)
+      .unionByName(Seq((Some(902L), Seq[java.lang.Float](1f, null, 1f, 1f, 1f, 1f, 1f, 1f, 1f, 1f, 1f, 1f, 1f, 1f, 1f, 1f)),
+        (None, Seq[java.lang.Float](1f, 1f, 1f, 1f, 1f, 1f, 1f, 1f, 1f, 1f, 1f, 1f, 1f, 1f, 1f, 1f)))
+        .toDF("vec_id", "embedding"))
+    val model = Pq.train(df, "embedding", "vec_id", m = 4, nbits = 3)
+    assert(model.dim == 16, "majority dimension wins; the 7-dim straggler must not train")
     val codes = Pq.encode(df, "embedding", model)
-    assert(codes.filter(col("vec_id") >= 900 && col("pq_code").isNotNull).count() == 0,
-      "wrong-dim and null vectors must encode to null")
-    val res = Pq.ivfPqTopK(df.filter(col("vec_id") =!= 901L), "vec_id", "embedding",
+    assert(codes.filter(col("vec_id").isin(900L, 901L, 902L) && col("pq_code").isNotNull).count() == 0,
+      "wrong-dim, null, and null-element vectors must encode to null")
+    val res = Pq.ivfPqTopK(df, "vec_id", "embedding",
       df.filter(col("vec_id") < 3), "vec_id", "embedding",
       k = 5, model, nlist = 4, nprobe = 4)
-    assert(res.filter(col("neighbor_id") === 900L).count() == 0,
-      "null-coded vectors must not appear as neighbors")
+    assert(res.filter(col("neighbor_id") >= 900L).count() == 0,
+      "malformed vectors must not appear as neighbors")
+  }
+
+  test("ADC refuses code bytes outside the model's centroid range") {
+    // a code from an nbits=8 model scored against an nbits=3 LUT whose
+    // total length happens to match would index past the table — must be
+    // null, not a garbage distance that ranks
+    val df = clustered(40, 16, 3).toDF("vec_id", "embedding")
+    val model = Pq.train(df, "embedding", "vec_id", m = 4, nbits = 3) // ksub = 8
+    val q = graft.vec.VectorOps.l2Normalize(df.limit(1), "embedding", "qu")
+    val bad = q.select(lit(Array[Byte](0, 1, 120.toByte, 2)).as("code"),
+      graft.expr.PqLut(col("qu"), model.codebook, model.m, model.ksub, model.ds).as("lut"))
+    val out = bad.select(graft.expr.PqAdcScore(col("code"), col("lut"), model.ksub)).collect()
+    assert(out(0).isNullAt(0), "out-of-range code byte (120 >= ksub=8) must score null")
   }
 
   test("ivfPqTopK recall vs bruteTopK stays high on clustered vectors") {

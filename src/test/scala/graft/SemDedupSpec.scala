@@ -59,6 +59,20 @@ class SemDedupSpec extends SparkSpec {
     assert(!strict.contains(22L), "bit-identical copy of 20 deduped")
   }
 
+  test("malformed vectors pass through and never poison a cluster cell") {
+    // wrong-dim and null vectors must neither crash training nor be
+    // funneled into cluster 0 (where they could blow maxClusterSize and
+    // silently drop that cell's REAL duplicate pairs)
+    val dirty = corpus().unionByName(Seq(
+      (800L, Seq(0.1f, 0.2f)),                    // wrong dimension
+      (801L, null.asInstanceOf[Seq[Float]])).toDF("vec_id", "embedding"))
+    val out = SemDedup.semanticDedup(dirty, "vec_id", "embedding",
+      threshold = 0.98, nClusters = 4, keep = "min_id")
+    val kept = out.select("vec_id").as[Long].collect().toSet
+    assert(kept.contains(800L) && kept.contains(801L), "malformed rows survive untouched")
+    assert(kept.intersect(Set(0L, 1L, 2L)) == Set(0L), "real groups still dedup")
+  }
+
   test("deterministic across partitionings; no cartesian product") {
     val df = corpus()
     def run(parts: Int): Seq[(Long, Long)] =

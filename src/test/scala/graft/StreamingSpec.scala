@@ -99,6 +99,31 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("StreamPipeline: session-window YAML starts without an explicit output_mode") {
+    // Spark rejects update mode for session_window aggregations; the
+    // config layer must default session pipelines to append or the YAML
+    // dies at start()
+    val dir = java.nio.file.Files.createTempDirectory("graft_sess").toString
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/b.json"),
+      """{"ts":"2024-01-01T00:01:00.000Z","user":"a","v":1.0}
+        |{"ts":"2024-01-01T02:00:00.000Z","user":"a","v":2.0}""".stripMargin)
+    val yaml =
+      s"""name: yaml_session
+         |stream_source: { type: file, path: "$dir", format: json, schema: "ts TIMESTAMP, user STRING, v DOUBLE" }
+         |window:
+         |  type: session
+         |  gap: "30 minutes"
+         |  time_column: ts
+         |  watermark: "1 minute"
+         |  keys: [user]
+         |  aggregations: { v: [sum] }
+         |sink: { type: memory, name: yaml_session_out }
+         |""".stripMargin
+    val q = graft.streaming.StreamPipeline.start(spark, graft.streaming.StreamPipeline.fromYaml(yaml))
+    try q.processAllAvailable() // starting at all IS the assertion
+    finally q.stop()
+  }
+
   test("checkpoint recovery: restart resumes without reprocessing (exactly-once sink rows)") {
     val in = java.nio.file.Files.createTempDirectory("graft_cp_in").toString
     val out = java.nio.file.Files.createTempDirectory("graft_cp_out").toString + "/sink"
@@ -166,6 +191,43 @@ class StreamingSpec extends SparkSpec {
       assert(ids == Seq(1L, 3L), s"expected first-seen survivors, got $ids")
       // the helper hash column must not leak into the output schema
       assert(!spark.table("tdd").columns.contains("__text_h"))
+    } finally q.stop()
+  }
+
+  test("dedupTextStream: null-text rows ALL pass through (batch exact-dedup parity)") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Doc]
+    val q = StreamOps.runToMemory(
+      StreamOps.dedupTextStream(input.toDF(), "text", "ts", "1 hour"), "tdd_nulls")
+    try {
+      input.addData(
+        Doc(t("2024-01-01 00:00:00"), 1L, "real doc"),
+        Doc(t("2024-01-01 00:01:00"), 2L, null),
+        Doc(t("2024-01-01 00:02:00"), 3L, null),
+        Doc(t("2024-01-01 00:03:00"), 4L, null))
+      q.processAllAvailable()
+      val ids = spark.sql("SELECT id FROM tdd_nulls").as[Long].collect().sorted.toSeq
+      assert(ids == Seq(1L, 2L, 3L, 4L),
+        s"failed extractions are not duplicates of each other, got $ids")
+    } finally q.stop()
+  }
+
+  test("quotaPerGroupStream: binary group keys quota by VALUE, not JVM identity") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Doc]
+    // group = sha2 binary of the first word: same word -> same byte-array
+    // VALUE but a fresh array object per row — identity keying would give
+    // every row its own group and never enforce the quota
+    val keyed = input.toDF().withColumn("k",
+      sha2(split(col("text"), " ")(0).cast("binary"), 256).cast("binary"))
+    val q = StreamOps.runToMemory(StreamOps.quotaPerGroupStream(keyed, "k", 2L), "quota_bin")
+    try {
+      input.addData((1 to 5).map(i => Doc(t("2024-01-01 00:00:00"), i, s"same doc $i")): _*)
+      q.processAllAvailable()
+      input.addData((6 to 8).map(i => Doc(t("2024-01-01 00:01:00"), i, s"same doc $i")): _*)
+      q.processAllAvailable()
+      assert(spark.sql("SELECT count(*) FROM quota_bin").as[Long].collect()(0) == 2L,
+        "one binary-valued group, quota 2, eight candidate rows")
     } finally q.stop()
   }
 
