@@ -97,4 +97,48 @@ class CurationFlowSpec extends SparkSpec {
     assert(kept.count() < docs.count() && kept.count() >= docs.count() / 3)
     assert(kept.filter($"doc_id".isin(200L, 201L)).count() == 0)
   }
+
+  test("embedding-side funnel composes: URL dedup → semantic dedup → PQ index") {
+    // a re-crawled corpus: 120 docs, each with a URL (40 pages re-crawled
+    // under tracking-param variants) and an embedding (3 semantic groups
+    // re-embedded with tiny jitter across crawls)
+    val rnd = new scala.util.Random(5)
+    val dirs = Array.fill(3)(Array.fill(16)(rnd.nextGaussian()))
+    val rows = (0L until 120L).map { i =>
+      val page = i % 40
+      val url = if (i < 40) s"https://Site.com/page/$page"
+                else s"https://site.com:443/page/$page?utm_source=recrawl$i"
+      val d = dirs((page % 3).toInt)
+      val emb = d.map(x => (x + rnd.nextGaussian() * 0.01).toFloat).toSeq
+      (i, url, emb)
+    }
+    val docs = rows.toDF("doc_id", "url", "embedding")
+
+    // URL dedup first: 3 crawls of 40 pages → 40 survivors (min doc_id)
+    val urlDeduped = graft.text.UrlLib.dedupByUrl(docs, "url", "doc_id")
+    assert(urlDeduped.count() == 40, "three crawls of the same 40 canonical URLs")
+    assert(urlDeduped.agg(max("doc_id")).as[Long].head() < 40L, "first crawl wins")
+
+    // semantic dedup on what's left. SemDeDup pairs only WITHIN a k-means
+    // cell (the paper's design), so a group straddling a cell boundary may
+    // keep one survivor per cell — assert the real invariants, not an
+    // exact count: the funnel shrinks hard, every semantic group keeps at
+    // least one representative, and no two SAME-group survivors sit at
+    // cos ≥ threshold unless a cell boundary separates them
+    val semDeduped = graft.vec.SemDedup.semanticDedup(urlDeduped, "doc_id", "embedding",
+      threshold = 0.98, nClusters = 4, keep = "min_id")
+    val survivors = semDeduped.select("doc_id").as[Long].collect().toSet
+    assert(survivors.size >= 3 && survivors.size <= 8,
+      s"40 near-dup docs in 3 semantic groups must collapse to a handful, got ${survivors.size}")
+    (0 until 3).foreach { g =>
+      assert(survivors.exists(id => id % 40 % 3 == g), s"semantic group $g lost entirely")
+    }
+
+    // PQ index over the survivors — codes must be non-null for every row
+    val model = graft.vec.Pq.train(semDeduped, "embedding", "doc_id", m = 4, nbits = 3)
+    val indexed = graft.vec.Pq.encode(semDeduped, "embedding", model)
+    assert(indexed.filter($"pq_code".isNull).count() == 0)
+    assert(indexed.columns.toSet ==
+      Set("doc_id", "url", "embedding", "pq_code"), "no helper-column leaks")
+  }
 }
