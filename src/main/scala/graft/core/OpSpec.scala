@@ -449,10 +449,20 @@ object OpCompiler {
           threshold = s(p, "threshold", "0.95").toDouble,
           nClusters = s(p, "n_clusters", "64").toInt,
           keep = s(p, "keep", "far_from_centroid"))
-      case "pq_encode" => // train-on-the-frame + encode (deterministic codebook)
-        val model = graft.vec.Pq.train(df, s(p, "vector_column", "embedding"),
-          s(p, "id_column", "vec_id"), m = s(p, "m", "8").toInt,
-          nbits = s(p, "nbits", "8").toInt, seed = s(p, "seed", "42").toLong)
+      case "pq_encode" => // encode with a stored model, or train-on-the-frame
+        // model_path: ENCODE WITH YESTERDAY'S CODEBOOK (appendable index);
+        // without it the op trains on the incoming frame (deterministic)
+        // and save_model_path optionally persists the result for tomorrow
+        val model = Option(s(p, "model_path")) match {
+          case Some(mp) => graft.vec.Pq.loadModel(df.sparkSession, mp)
+          case None =>
+            val m = graft.vec.Pq.train(df, s(p, "vector_column", "embedding"),
+              s(p, "id_column", "vec_id"), m = s(p, "m", "8").toInt,
+              nbits = s(p, "nbits", "8").toInt, seed = s(p, "seed", "42").toLong)
+            Option(s(p, "save_model_path"))
+              .foreach(graft.vec.Pq.saveModel(df.sparkSession, m, _))
+            m
+        }
         graft.vec.Pq.encode(df, s(p, "vector_column", "embedding"), model,
           s(p, "output_column", "pq_code"))
       case "bloom_exclude" =>

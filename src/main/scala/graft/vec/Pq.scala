@@ -200,6 +200,29 @@ object Pq {
     PqModel(m, ksub, ds, codebook)
   }
 
+  /** Persist a trained codebook as a one-row parquet (shape + flat
+    * codebook). An index is only maintainable if tomorrow's batch encodes
+    * with TODAY's model — retraining would renumber every centroid and
+    * invalidate all stored codes.
+    */
+  def saveModel(spark: org.apache.spark.sql.SparkSession, model: PqModel, path: String): Unit = {
+    import spark.implicits._
+    Seq((model.m, model.ksub, model.ds, model.codebook.toSeq))
+      .toDF("m", "ksub", "ds", "codebook")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Load a codebook written by [[saveModel]]; validates the shape. */
+  def loadModel(spark: org.apache.spark.sql.SparkSession, path: String): PqModel = {
+    val r = spark.read.parquet(path).select("m", "ksub", "ds", "codebook").head()
+    val model = PqModel(r.getInt(0), r.getInt(1), r.getInt(2),
+      r.getSeq[Double](3).toArray)
+    require(model.codebook.length == model.m * model.ksub * model.ds,
+      s"pq loadModel: corrupt codebook at $path " +
+      s"(${model.codebook.length} values for m=${model.m} ksub=${model.ksub} ds=${model.ds})")
+    model
+  }
+
   /** Append the m-byte PQ code of the L2-normalized vector (native codegen
     * expression; corpus-scan shape, no shuffle). Null/malformed vectors get
     * a null code.

@@ -129,6 +129,24 @@ class PqSpec extends SparkSpec {
     assert(recall >= 0.7, s"IVF-PQ recall too low: $recall")
   }
 
+  test("model save/load round-trips bit-exactly; new batches encode with the OLD model") {
+    val df = clustered(100, 16, 5).toDF("vec_id", "embedding")
+    val model = Pq.train(df, "embedding", "vec_id", m = 4, nbits = 4, seed = 9L)
+    val path = java.nio.file.Files.createTempDirectory("pq_model").toString + "/m"
+    Pq.saveModel(spark, model, path)
+    val loaded = Pq.loadModel(spark, path)
+    assert(loaded.m == model.m && loaded.ksub == model.ksub && loaded.ds == model.ds)
+    assert(loaded.codebook.toSeq == model.codebook.toSeq, "codebook must round-trip bit-exactly")
+    // a LATER batch encoded under the loaded model matches the original —
+    // the property that makes a stored index appendable
+    val batch2 = clustered(30, 16, 5).toDF("vec_id", "embedding")
+    val a = Pq.encode(batch2, "embedding", model).select("vec_id", "pq_code")
+      .as[(Long, Array[Byte])].collect().map { case (i, c) => i -> c.toSeq }.toMap
+    val b = Pq.encode(batch2, "embedding", loaded).select("vec_id", "pq_code")
+      .as[(Long, Array[Byte])].collect().map { case (i, c) => i -> c.toSeq }.toMap
+    assert(a == b)
+  }
+
   test("pq kernels: CODEGEN_ONLY and NO_CODEGEN agree bit-for-bit") {
     val df = clustered(50, 8, 4).toDF("vec_id", "embedding")
     val model = Pq.train(df, "embedding", "vec_id", m = 2, nbits = 3, seed = 4L)
