@@ -292,6 +292,8 @@ object OpCompiler {
           TextLib.repetitionRatio(col(text), s(p, "shingle_n", "3").toInt))
       case "normalize_unicode" =>
         df.withColumn(text, TextLib.normalizeUnicode(col(text), s(p, "form", "NFC")))
+      case "html_to_text" => // strip tags/scripts, decode entities, keep paragraphs
+        df.withColumn(s(p, "output_column", text), TextLib.htmlToText(col(text)))
       case "pack" =>
         TextLib.packDocuments(df, text, s(p, "budget_tokens", "1024").toInt,
           s(p, "partition_by", "lang").split(",").map(_.trim).toSeq,

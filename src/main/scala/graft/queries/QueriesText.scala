@@ -106,6 +106,26 @@ object QueriesText {
         .orderBy("doc_id")
     }),
 
+    "q_html_to_text" -> ((s, dir) => {
+      // five deterministic markup families per doc_id — script removal,
+      // block-tag paragraphs, inline tags + named entities, numeric
+      // entities (decimal + hex), malformed/plain passthrough; the oracle
+      // recomputes the expected text from the same formula
+      val ds = col("doc_id").cast("string")
+      val f = pmod(col("doc_id"), lit(5))
+      val raw = when(f === 0, concat(lit("<html><script>var x="), ds,
+          lit(";</script><p>Doc "), ds, lit("</p></html>")))
+        .when(f === 1, concat(lit("<div>Part "), ds, lit("</div><div>And more</div>")))
+        .when(f === 2, concat(lit("A &amp; B <b>bold "), ds, lit("</b> &lt;tag&gt;")))
+        .when(f === 3, concat(lit("num &#65;&#x42; id "), ds, lit(" &nbsp;end")))
+        .otherwise(concat(lit("plain & text "), ds, lit(" a<b unclosed")))
+      t(s, dir, "documents").select(col("doc_id"))
+        .withColumn("html", raw)
+        .withColumn("text_out", graft.text.TextLib.htmlToText(col("html")))
+        .select("doc_id", "text_out")
+        .orderBy("doc_id")
+    }),
+
     "q_text_quality" -> ((s, dir) =>
       TextLib.qualityFeatures(t(s, dir, "documents"), "text")
         .select(col("doc_id"), col("n_chars_calc"), col("n_words"),
@@ -771,6 +791,19 @@ object QueriesText {
         |  CAST((23*f + 5*doc_id) % 256 AS DOUBLE) AS mean_g,
         |  CAST((37*f + 3*doc_id) % 256 AS DOUBLE) AS mean_b
         |FROM fr WHERE f % 2 = 0 ORDER BY media_id, frame_idx""".stripMargin,
+
+    "q_html_to_text" ->
+      // each CASE arm is the hand-derived expected output of the
+      // corresponding strip/decode rule on that family's markup
+      """WITH d AS (SELECT doc_id, CAST(doc_id AS VARCHAR) AS ds,
+        |                  doc_id % 5 AS f FROM documents)
+        |SELECT doc_id, CASE f
+        |  WHEN 0 THEN 'Doc ' || ds
+        |  WHEN 1 THEN 'Part ' || ds || chr(10) || chr(10) || 'And more'
+        |  WHEN 2 THEN 'A & B bold ' || ds || ' <tag>'
+        |  WHEN 3 THEN 'num AB id ' || ds || ' end'
+        |  ELSE 'plain & text ' || ds || ' a<b unclosed' END AS text_out
+        |FROM d ORDER BY doc_id""".stripMargin,
 
     "q_url_canonicalize" ->
       // the oracle recomputes canonical/host/domain from the per-family

@@ -16,6 +16,29 @@ object TextLib {
   def normalized(text: Column): Column =
     trim(regexp_replace(lower(text), "\\s+", " "))
 
+  /** HTML → text, the first step of every web-crawl curation pipeline:
+    * script/style blocks and comments removed WITH their content, block-
+    * level tags become newlines (paragraph structure survives for the
+    * downstream chunkers/paragraph dedup), remaining tags become spaces,
+    * entities decode via the native one-pass [[graft.expr.HtmlEntityDecode]]
+    * (named + numeric — a regexp chain cannot do codepoint arithmetic),
+    * then whitespace collapses (3+ newlines → 2, trim). Not a browser: no
+    * DOM, no CSS visibility — the deterministic regex-level strip every
+    * large-scale pipeline actually runs on raw crawl bytes.
+    */
+  def htmlToText(c: Column): Column = {
+    val noScript = regexp_replace(c, "(?is)<(script|style)[^>]*>.*?</\\1\\s*>", " ")
+    val noComment = regexp_replace(noScript, "(?s)<!--.*?-->", " ")
+    val blocks = regexp_replace(noComment,
+      "(?i)</?(p|div|br|li|ul|ol|h[1-6]|tr|td|th|table|blockquote|section|article|header|footer)\\b[^>]*>", "\n")
+    val noTags = regexp_replace(blocks, "(?s)<[^>]*>", " ")
+    val decoded = graft.expr.HtmlEntityDecode(noTags)
+    val hws = regexp_replace(decoded, "[ \\t\\x0B\\f\\r]+", " ")
+    val tightNl = regexp_replace(hws, " ?\\n ?", "\n")
+    // Spark's trim strips SPACES only — newline edges need the regex form
+    regexp_replace(regexp_replace(tightNl, "\\n{3,}", "\n\n"), "^\\s+|\\s+$", "")
+  }
+
   /** Whitespace token count = number of maximal non-whitespace runs.
     * (The earlier `size(split(trim(text), "\\s+"))` formulation counted a
     * phantom empty token when text begins with a tab/newline, because
