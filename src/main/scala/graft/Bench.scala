@@ -37,7 +37,8 @@ object Bench {
     // round-5 additions
     "q_multimodal_features", // real ImageIO encode+decode round-trip
     "q_multimodal_audio",    // real AudioSystem WAV encode+decode round-trip
-    "q_fe_dbscan"            // grid-bucketed DBSCAN + pointer-jump components
+    "q_fe_dbscan",           // grid-bucketed DBSCAN + pointer-jump components
+    "q_html_to_text"         // crawl-markup strip + native entity decode
   )
 
   def main(args: Array[String]): Unit = {
