@@ -27,9 +27,18 @@ object TextLib {
     * large-scale pipeline actually runs on raw crawl bytes.
     */
   def htmlToText(c: Column): Column = {
-    val noScript = regexp_replace(c, "(?is)<(script|style)[^>]*>.*?</\\1\\s*>", " ")
-    val noComment = regexp_replace(noScript, "(?s)<!--.*?-->", " ")
-    val blocks = regexp_replace(noComment,
+    // comments FIRST: a commented-out "<script>" must not arm the content
+    // strip (it would swallow visible text up to the next real close tag
+    // and leave a dangling "<!--" behind)
+    val noComment = regexp_replace(c, "(?s)<!--.*?-->", " ")
+    // content-bearing never-rendered elements, matched with their bodies;
+    // close tags may carry junk ("</script x>") — browsers still close
+    val noHidden = regexp_replace(noComment,
+      "(?is)<(script|style|title|noscript|textarea|svg)[^>]*>.*?</\\1\\b[^>]*>", " ")
+    // a TRUNCATED script/style (crawl cut mid-block) swallows to EOF in a
+    // browser — without this pass its source code leaks into "clean" text
+    val noOpenScript = regexp_replace(noHidden, "(?is)<(script|style)[^>]*>.*$", " ")
+    val blocks = regexp_replace(noOpenScript,
       "(?i)</?(p|div|br|li|ul|ol|h[1-6]|tr|td|th|table|blockquote|section|article|header|footer)\\b[^>]*>", "\n")
     val noTags = regexp_replace(blocks, "(?s)<[^>]*>", " ")
     val decoded = graft.expr.HtmlEntityDecode(noTags)

@@ -39,6 +39,36 @@ class HtmlSpec extends SparkSpec {
       "a b"))
   }
 
+  test("entities: accented letters, windows-1252 numerics, non-ASCII digits") {
+    assert(strip(
+      "caf&eacute; fran&ccedil;ais &Eacute;t&eacute;",  // Latin-1 letters, both cases
+      "it&#146;s &#147;quoted&#148; &#128;5",           // legacy CMS C1 range
+      "a&#160;b &#xA0;c",                               // numeric nbsp = plain space
+      "&#١٢٣; and &#６５; stay literal") == Seq(        // Arabic-Indic / fullwidth digits
+      "café français Été",
+      "it’s “quoted” €5",
+      "a b c",
+      "&#١٢٣; and &#６５; stay literal"))
+    // unmapped C1 slots must NOT inject control bytes
+    assert(strip("x&#129;y") == Seq("x&#129;y"))
+  }
+
+  test("hostile markup: commented scripts, truncation, junk close tags, hidden elements") {
+    assert(strip(
+      "<!-- add <script> here -->Hello<script>x()</script>",  // comment must strip FIRST
+      "<p>Hi</p><script>var a=1;function f(){",               // truncated block swallows to EOF
+      "<script>evil()</script x>done",                        // junk in the close tag
+      "<head><title>Buy cheap | ACME</title></head><p>Article</p>", // title never renders
+      "<noscript>enable js</noscript>visible",
+      "<textarea>draft text</textarea>after") == Seq(
+      "Hello",
+      "Hi",
+      "done",
+      "Article",
+      "visible",
+      "after"))
+  }
+
   test("null and whitespace normalization") {
     val out = Seq[Option[String]](None, Some("  <p> lots   of\t space </p>  "))
       .toDF("h").select(TextLib.htmlToText(col("h"))).collect()
