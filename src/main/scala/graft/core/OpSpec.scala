@@ -391,6 +391,15 @@ object OpCompiler {
           corpus = if (lmCorpus == null) null else tables(lmCorpus),
           corpusTextCol = s(p, "corpus_text_column", text),
           vocabSize = s(p, "vocab_size", "50000").toInt)
+      case "lm_bigram_score" =>
+        val lm2Corpus = s(p, "corpus_table")
+        if (lm2Corpus != null)
+          require(tables != null, "lm_bigram_score with corpus_table requires a table catalog")
+        TextLib.bigramScore(df, text, id,
+          corpus = if (lm2Corpus == null) null else tables(lm2Corpus),
+          corpusTextCol = s(p, "corpus_text_column", text),
+          vocabSize = s(p, "vocab_size", "50000").toInt,
+          bigramSize = s(p, "bigram_size", "200000").toInt)
       case "script_profile" =>
         TextLib.scriptProfile(df, text)
       case "quality_classifier" =>

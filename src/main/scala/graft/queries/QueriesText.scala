@@ -628,6 +628,17 @@ object QueriesText {
       TextLib.unigramScore(t(s, dir, "documents"), "text", "doc_id", vocabSize = 2000)
         .select(col("doc_id"), col("n_tokens"),
           roundf(col("lm_logprob"), 4).as("lm_logprob"))
+        .orderBy("doc_id")),
+
+    "q_lm_bigram" -> ((s, dir) =>
+      // Stupid-Backoff bigram LM, self-trained; vocab and bigram caps both
+      // below the corpus distinct counts at every SF so every branch of the
+      // backoff (seen bigram / backoff-to-vocab / OOV floor / position 1)
+      // provably fires
+      TextLib.bigramScore(t(s, dir, "documents"), "text", "doc_id",
+          vocabSize = 2000, bigramSize = 3000)
+        .select(col("doc_id"), col("n_tokens"),
+          roundf(col("lm2_logprob"), 4).as("lm2_logprob"))
         .orderBy("doc_id"))
   )
 
@@ -1427,6 +1438,53 @@ object QueriesText {
         |  GROUP BY tk.doc_id)
         |SELECT d.doc_id, CAST(coalesce(s.n_tokens, 0) AS BIGINT) AS n_tokens,
         |  round(s.lm_logprob + 1e-9, 4) AS lm_logprob
+        |FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+
+    "q_lm_bigram" ->
+      // replays bigramScore's pinned float chain: ln(btf/ptf) for seen
+      // bigrams, ln(0.4 * (tf/T)) backoff, ln(0.4 / T) OOV floor,
+      // ln(tf/T) / -ln(T) at position 1. Null prev never equi-joins in
+      // either engine, so position-1 rows fall through to the unigram arm.
+      """WITH tok AS (
+        |  SELECT doc_id, list_filter(string_split(
+        |    trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+        |    x -> x <> '') AS ws
+        |  FROM documents),
+        |tk AS (SELECT doc_id, unnest(ws) AS token FROM tok),
+        |counts AS (SELECT token, count(*) AS tf FROM tk GROUP BY token),
+        |tot AS (SELECT CAST(sum(tf) AS DOUBLE) AS T FROM counts),
+        |vocab AS (SELECT token, tf FROM counts ORDER BY tf DESC, token LIMIT 2000),
+        |pairs AS (
+        |  SELECT doc_id, pos, ws[pos] AS cur,
+        |    CASE WHEN pos = 1 THEN NULL ELSE ws[pos - 1] END AS prev
+        |  FROM (SELECT doc_id, ws, unnest(range(1, len(ws) + 1)) AS pos FROM tok)),
+        |bi AS (SELECT prev, cur, count(*) AS btf FROM pairs
+        |       WHERE prev IS NOT NULL GROUP BY prev, cur),
+        |bt AS (SELECT b.prev, b.cur, b.btf, vp.tf AS ptf
+        |       FROM bi b JOIN vocab vp ON b.prev = vp.token
+        |                 JOIN vocab vc ON b.cur = vc.token
+        |       ORDER BY b.btf DESC, b.prev, b.cur LIMIT 3000),
+        |scored AS (
+        |  SELECT p.doc_id, count(*) AS n_tokens,
+        |    avg(CASE
+        |      WHEN bt.btf IS NOT NULL
+        |        THEN ln(CAST(bt.btf AS DOUBLE) / CAST(bt.ptf AS DOUBLE))
+        |      WHEN p.prev IS NULL THEN
+        |        CASE WHEN v.tf IS NOT NULL
+        |          THEN ln(CAST(v.tf AS DOUBLE) / t.T) ELSE -ln(t.T) END
+        |      ELSE
+        |        CASE WHEN v.tf IS NOT NULL
+        |          THEN ln(0.4 * (CAST(v.tf AS DOUBLE) / t.T))
+        |          ELSE ln(0.4 / t.T) END
+        |    END) AS lp
+        |  FROM pairs p
+        |  LEFT JOIN bt ON p.prev = bt.prev AND p.cur = bt.cur
+        |  LEFT JOIN vocab v ON p.cur = v.token
+        |  CROSS JOIN tot t
+        |  GROUP BY p.doc_id)
+        |SELECT d.doc_id, CAST(coalesce(s.n_tokens, 0) AS BIGINT) AS n_tokens,
+        |  round(s.lp + 1e-9, 4) AS lm2_logprob
         |FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
         |ORDER BY d.doc_id""".stripMargin,
 

@@ -310,6 +310,116 @@ object TextLib {
       .drop("__lm_n", "__lm_lp")
   }
 
+  /** Adjacent-token (prev, cur) pairs of the normalized tokenization, one
+    * struct per position; position 1 carries a null prev. Shared by the
+    * bigram trainer and the bigram scorer so the pair definition cannot
+    * drift. The array is bound to a column first so `element_at` inside the
+    * lambda reads the row's materialized array, not a re-evaluated subtree.
+    */
+  private def tokenPairs(text: Column): Column = {
+    val ts = filter(split(normalized(text), " "), t => t =!= "")
+    transform(ts, (t, i) =>
+      struct(when(i === 0, lit(null).cast("string"))
+               .otherwise(element_at(ts, i)).as("prev"),
+             t.as("cur")))
+  }
+
+  /** Bigram language-model score with Stupid Backoff (Brants et al. 2007,
+    * "Large Language Models in Machine Translation") — the next step up
+    * from [[unigramScore]] toward the KenLM-perplexity gate of corpus
+    * curation (CCNet et al.). Context makes the score far more selective:
+    * shuffled or templated text shares a unigram profile with prose but
+    * not a bigram one.
+    *
+    * Model (every float operation pinned — the DuckDB oracle replays it):
+    *  - position 1:       lp = ln(tf_cur / T) if cur in vocab, else -ln(T)
+    *  - bigram seen:      lp = ln(btf / tf_prev)           (conditional MLE)
+    *  - backoff:          lp = ln(0.4 * (tf_cur / T)) if cur in vocab,
+    *                      else ln(0.4 / T)
+    *  - doc score = mean lp over all n positions.
+    * The bigram table holds the top `bigramSize` pairs by count (ties:
+    * prev asc, cur asc) restricted to pairs whose BOTH tokens are in the
+    * top-`vocabSize` unigram vocabulary — so the denominator tf_prev is
+    * always the broadcast vocabulary's own count and the two tables can
+    * never disagree about a token.
+    *
+    * Scale shape mirrors unigramScore: token and pair counts aggregate
+    * with map-side combine (one shuffle each, keys are tokens/pairs —
+    * uniform); the capped vocab + bigram tables ride broadcasts; scoring
+    * explodes pairs but re-aggregates per document with partial avg, so
+    * the shuffle carries one partial row per (doc, task), never the raw
+    * pair stream. Driver memory is bounded by vocabSize + bigramSize.
+    *
+    * Adds `n_tokens` and `lm2_logprob` (null for token-free docs).
+    */
+  def bigramScore(df: DataFrame, textCol: String, idCol: String,
+                  corpus: DataFrame = null, corpusTextCol: String = null,
+                  vocabSize: Int = 50000, bigramSize: Int = 200000): DataFrame = {
+    require(vocabSize > 0, s"bigramScore: vocabSize must be positive, got $vocabSize")
+    require(bigramSize > 0, s"bigramScore: bigramSize must be positive, got $bigramSize")
+    val train = Option(corpus).getOrElse(df)
+    val trainText = Option(corpusTextCol).getOrElse(textCol)
+    val sp = df.sparkSession
+    import sp.implicits._
+
+    // Unigram side: same materialization discipline as unigramScore.
+    val counts = wordCounts(train, trainText)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val (vocabPairs, totalT) =
+      try {
+        val t = Option(counts.agg(sum("tf")).first().get(0))
+          .map(_.asInstanceOf[Long].toDouble).getOrElse(0.0)
+        val v = counts.orderBy(col("tf").desc, col("token").asc)
+          .limit(vocabSize).collect()
+          .map(r => (r.getString(0), r.getLong(1)))
+        (v.toSeq, t)
+      } finally counts.unpersist()
+    val vocabDf = vocabPairs.toDF("token", "tf")
+
+    // Bigram side: distributed pair counts, vocab-restricted via two
+    // broadcast semijoins, capped with a distributed TakeOrdered. Only the
+    // capped table ever reaches the driver.
+    val pairCounts = train
+      .select(explode(tokenPairs(col(trainText))).as("__pr"))
+      .select(col("__pr.prev").as("prev"), col("__pr.cur").as("cur"))
+      .filter(col("prev").isNotNull)
+      .groupBy("prev", "cur").agg(count(lit(1)).as("btf"))
+    val bigramTable = pairCounts
+      .join(broadcast(vocabDf.select(col("token").as("prev"), col("tf").as("ptf"))), Seq("prev"))
+      .join(broadcast(vocabDf.select(col("token").as("cur"))), Seq("cur"))
+      .orderBy(col("btf").desc, col("prev").asc, col("cur").asc)
+      .limit(bigramSize)
+      .collect()
+      .map(r => (r.getAs[String]("prev"), r.getAs[String]("cur"),
+                 r.getAs[Long]("btf"), r.getAs[Long]("ptf")))
+      .toSeq.toDF("prev", "cur", "btf", "ptf")
+
+    val uniLp = vocabDf.select(col("token").as("cur"), col("tf").as("__utf"))
+    val posLp =
+      when(col("__btf").isNotNull,
+        log(col("__btf").cast("double") / col("__ptf").cast("double")))
+      .otherwise(when(col("__prev").isNull,
+          when(col("__utf").isNotNull,
+            log(col("__utf").cast("double") / lit(totalT)))
+          .otherwise(-log(lit(totalT))))
+        .otherwise(when(col("__utf").isNotNull,
+            log(lit(0.4) * (col("__utf").cast("double") / lit(totalT))))
+          .otherwise(log(lit(0.4) / lit(totalT)))))
+    val perDoc = df
+      .select(col(idCol), explode(tokenPairs(col(textCol))).as("__pr"))
+      .select(col(idCol), col("__pr.prev").as("__prev"), col("__pr.cur").as("__cur"))
+      .join(broadcast(bigramTable.select(col("prev").as("__prev"), col("cur").as("__cur"),
+        col("btf").as("__btf"), col("ptf").as("__ptf"))), Seq("__prev", "__cur"), "left")
+      .join(broadcast(uniLp.select(col("cur").as("__cur"), col("__utf"))), Seq("__cur"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("__lm2_n"), avg(posLp).as("__lm2_lp"))
+    df.drop("n_tokens", "lm2_logprob")
+      .alias("__lm2_d").join(perDoc.alias("__lm2_s"), Seq(idCol), "left")
+      .withColumn("n_tokens", coalesce(col("__lm2_n"), lit(0L)))
+      .withColumn("lm2_logprob", col("__lm2_lp"))
+      .drop("__lm2_n", "__lm2_lp")
+  }
+
   /** Split documents into fixed-size character chunks with overlap — the
     * standard context-window preprocessing step for training/embedding
     * pipelines. Pure expression (sequence + substring), exploded to one row

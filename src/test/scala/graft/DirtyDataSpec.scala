@@ -266,6 +266,40 @@ class DirtyDataSpec extends SparkSpec {
     assert(re(1L) == 3 && re(3L) == 0)
   }
 
+  test("bigramScore: every Stupid-Backoff branch fires on the hand-computed model") {
+    val docs = Seq(
+      (1L, "a a b"),  // seen bigrams (a,a), (a,b)
+      (2L, "a c"),    // (a,c): cur OOV → floor backoff
+      (3L, ""),       // token-free → n_tokens 0, null score
+      (4L, null.asInstanceOf[String]),
+      (5L, "b a")     // (b,a) falls off the bigramSize=2 cap → vocab backoff
+    ).toDF("doc_id", "text")
+    // corpus tf: a=4, b=2, c=1, T=7; vocabSize=2 keeps {a, b}. Bigram counts
+    // all 1; the cap's (btf desc, prev asc, cur asc) tie-break keeps
+    // (a,a), (a,b) and drops (b,a) — so doc 5 exercises backoff-to-vocab.
+    val got = TextLib.bigramScore(docs, "text", "doc_id", vocabSize = 2, bigramSize = 2)
+      .select("doc_id", "n_tokens", "lm2_logprob")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), if (r.isNullAt(2)) Double.NaN else r.getDouble(2))).toMap
+    val T = 7.0
+    val p1a = math.log(4.0 / T) // position-1 unigram, in vocab
+    assert(got(1L)._1 == 3 &&
+      math.abs(got(1L)._2 - (p1a + math.log(1.0 / 4.0) + math.log(1.0 / 4.0)) / 3) < 1e-12)
+    assert(got(2L)._1 == 2 &&
+      math.abs(got(2L)._2 - (p1a + math.log(0.4 / T)) / 2) < 1e-12)
+    assert(got(3L)._1 == 0 && got(3L)._2.isNaN)
+    assert(got(4L)._1 == 0 && got(4L)._2.isNaN)
+    assert(got(5L)._1 == 2 &&
+      math.abs(got(5L)._2 - (math.log(2.0 / T) + math.log(0.4 * (4.0 / T))) / 2) < 1e-12)
+    // separate reference corpus: every token of "z z" is OOV vs it; both
+    // positions take a floor (pos 1: -ln(4); pos 2: ln(0.4/4))
+    val ref = Seq((10L, "x x x x")).toDF("doc_id", "text")
+    val vs = TextLib.bigramScore(docs.filter($"doc_id" === 1).withColumn("text", lit("z z")),
+        "text", "doc_id", corpus = ref, corpusTextCol = "text", vocabSize = 10)
+      .select("lm2_logprob").collect()(0).getDouble(0)
+    assert(math.abs(vs - (-math.log(4.0) + math.log(0.4 / 4.0)) / 2) < 1e-12)
+  }
+
   test("batch-3 operators survive empty and degenerate inputs") {
     val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
     assert(Dedup.paragraphDedup(empty, "text", "doc_id").count() == 0)
