@@ -264,7 +264,10 @@ object OpCompiler {
     val text = s(p, "text_column", "text")
     val id = s(p, "id_column", "doc_id")
     s(p, "operation") match {
-      case "exact_dedup" => Dedup.exact(df, text, id)
+      case "exact_dedup" =>
+        val qc = s(p, "quality_column")
+        if (qc == null) Dedup.exact(df, text, id)
+        else Dedup.exactKeepBest(df, text, id, qc)
       case "near_dedup" =>
         Dedup.nearDedup(df, text, id,
           s(p, "shingle_n", "3").toInt, s(p, "num_hashes", "64").toInt,
@@ -329,6 +332,16 @@ object OpCompiler {
           tables(s(p, "eval_table")),
           s(p, "eval_text_column", text), s(p, "eval_id_column", id),
           s(p, "ngram_n", "8").toInt, s(p, "min_overlap", "1").toInt)
+      case "semantic_contamination" =>
+        require(tables != null, "semantic_contamination requires a table catalog")
+        require(s(p, "eval_table") != null,
+          "semantic_contamination requires params.eval_table (name of the held-out eval suite table)")
+        graft.text.Contamination.semanticContamination(df, id,
+          s(p, "vector_column", "embedding"),
+          tables(s(p, "eval_table")),
+          s(p, "eval_id_column", id),
+          s(p, "eval_vector_column", s(p, "vector_column", "embedding")),
+          s(p, "threshold", "0.95").toDouble)
       case "quota_per_group" =>
         require(s(p, "group_column") != null,
           "quota_per_group requires params.group_column (e.g. the domain/source column)")

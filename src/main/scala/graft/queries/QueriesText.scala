@@ -46,6 +46,29 @@ object QueriesText {
         .select("doc_id", "lang", "source", "n_chars")
         .orderBy("doc_id")),
 
+    "q_dedup_keepbest" -> ((s, dir) =>
+      // quality-aware survivor election: a synthetic per-row quality
+      // ((doc_id*37) % 101) varies WITHIN duplicate groups, so keep-best
+      // provably diverges from keep-first wherever a later copy scores higher
+      Dedup.exactKeepBest(
+          docsWithNearDups(s, dir)
+            .withColumn("q", (col("doc_id") * 37 % 101).cast("double")),
+          "text", "doc_id", "q")
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")),
+
+    "q_semantic_contamination" -> ((s, dir) => {
+      // eval suite = every 50th embedding; max-cosine of each remaining
+      // vector against the broadcast eval set; threshold 0.3 sits inside
+      // the observed max_cos range at every SF so both flag values occur
+      val e = t(s, dir, "embeddings")
+      val ev = e.filter(col("vec_id") % 50 === 0)
+      val train = e.filter(col("vec_id") % 50 =!= 0)
+      graft.text.Contamination.semanticContamination(
+          train, "vec_id", "embedding", ev, "vec_id", "embedding", threshold = 0.3)
+        .orderBy("vec_id")
+    }),
+
     "q_bloom_exclude" -> ((s, dir) => {
       // blocklist exclusion via Bloom prefilter + exact anti-join
       // (Scale.excludeKeysBloom); result is exact anti-join semantics
@@ -1132,6 +1155,41 @@ object QueriesText {
         |SELECT doc_id, lang, source, n_chars FROM n
         |QUALIFY row_number() OVER (PARTITION BY nt ORDER BY doc_id) = 1
         |ORDER BY doc_id""".stripMargin,
+
+    "q_dedup_keepbest" ->
+      // same duplicate groups as q_dedup_exact, but the survivor is the
+      // max-quality member (ties -> min doc_id) instead of the first
+      """WITH u AS (
+        |  SELECT doc_id, text, lang, source FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000, regexp_replace(text, '\s+\S+\s*$', ''), lang, source
+        |  FROM documents),
+        |n AS (SELECT *,
+        |  CAST((doc_id * 37) % 101 AS DOUBLE) AS q,
+        |  trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS nt FROM u)
+        |SELECT doc_id, lang, source FROM n
+        |QUALIFY row_number() OVER (PARTITION BY nt ORDER BY q DESC, doc_id) = 1
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_semantic_contamination" ->
+      // max-cosine per training vector vs the broadcast eval set; rounded
+      // to 6dp BEFORE the argmax (ties -> min eval id) like the engine
+      """WITH ev AS (
+        |  SELECT vec_id AS eid, embedding AS e FROM embeddings WHERE vec_id % 50 = 0),
+        |tr AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 50 <> 0),
+        |sc AS (
+        |  SELECT t.vec_id, ev.eid,
+        |    round(list_cosine_similarity(CAST(t.embedding AS DOUBLE[]),
+        |                                 CAST(ev.e AS DOUBLE[])), 6) AS c
+        |  FROM tr t CROSS JOIN ev),
+        |best AS (
+        |  SELECT vec_id, c AS max_cos, eid AS nearest_eval_id FROM sc
+        |  WHERE c IS NOT NULL
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY c DESC, eid) = 1)
+        |SELECT t.vec_id, b.max_cos, b.nearest_eval_id,
+        |  coalesce(b.max_cos >= 0.3, false) AS contaminated
+        |FROM tr t LEFT JOIN best b ON t.vec_id = b.vec_id
+        |ORDER BY t.vec_id""".stripMargin,
 
     "q_dedup_exact_map" ->
       """WITH u AS (

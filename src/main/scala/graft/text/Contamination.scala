@@ -60,4 +60,45 @@ object Contamination {
       .select(col("train_id").as(idCol))
     train.join(flagged, Seq(idCol), "left_anti")
   }
+
+  /** Embedding-side contamination: for each training row, the maximum cosine
+    * similarity against the held-out eval suite's embeddings, plus which eval
+    * row attains it — the semantic sibling of the n-gram overlap check above
+    * (paraphrased eval leakage shares no 8-gram but sits at cosine ≈ 1).
+    *
+    * Scale shape mirrors [[contaminationStats]]: the EVAL side is the small
+    * side (eval suites are thousands of rows) and rides a broadcast; the
+    * training corpus crosses it map-locally (BroadcastNestedLoop over the
+    * broadcast eval set — the corpus itself never shuffles raw vectors) and
+    * re-aggregates per train row with partial max, so the exchange carries
+    * one row per (train row, task). Corpus×corpus never happens.
+    *
+    * Cosine is rounded to 6dp BEFORE the argmax so the winning eval id is
+    * deterministic (ties → smallest eval id). Train rows with a null/zero
+    * vector get null max_cos and false flag. Output: all training rows as
+    * (idCol, max_cos, nearest_eval_id, contaminated).
+    */
+  def semanticContamination(
+      train: DataFrame, idCol: String, vecCol: String,
+      evalDf: DataFrame, evalIdCol: String, evalVecCol: String,
+      threshold: Double = 0.95
+  ): DataFrame = {
+    require(threshold > -1 && threshold <= 1,
+      s"semanticContamination: threshold must be in (-1, 1], got $threshold")
+    val ev = broadcast(evalDf.select(col(evalIdCol).cast("long").as("__eid"),
+      col(evalVecCol).as("__ev")))
+    val scored = train.select(col(idCol), col(vecCol).as("__tv"))
+      .crossJoin(ev)
+      .withColumn("__cos", round(graft.vec.Similarity.cosine(col("__tv"), col("__ev")), 6))
+      .filter(col("__cos").isNotNull) // degenerate vectors score nothing
+      .groupBy(col(idCol))
+      // argmax via max(struct): cos first, then NEGATED eval id — equal cos
+      // resolves to the largest -id, i.e. the smallest eval id
+      .agg(max(struct(col("__cos").as("c"), (-col("__eid")).as("ni"))).as("__m"))
+      .select(col(idCol), col("__m.c").as("max_cos"), (-col("__m.ni")).as("nearest_eval_id"))
+    train.select(col(idCol))
+      .join(scored, Seq(idCol), "left")
+      .withColumn("contaminated",
+        coalesce(col("max_cos") >= lit(threshold), lit(false)))
+  }
 }

@@ -43,6 +43,31 @@ object Dedup {
   def exact(df: DataFrame, textCol: String, idCol: String): DataFrame =
     keepFirstByKey(df, sha2(TextLib.normalized(col(textCol)), 256), idCol)
 
+  /** Quality-aware exact dedup: same duplicate groups as [[exact]] (hash of
+    * the normalized text), but each group's survivor is the member with the
+    * HIGHEST `qualityCol` (ties → smallest id) instead of blindly the first.
+    * This is the curation-correct election: duplicate crawls of one page
+    * differ in extraction quality, and keep-first throws away the good copy
+    * whenever the bad one was crawled earlier. Null quality ranks below
+    * every non-null quality; null-text rows pass through untouched (same
+    * per-row sentinel as keepFirstByKey — a null-key straggler partition
+    * must never exist). Same shape as exact: ONE exchange on the uniform
+    * 256-bit hash, window ordered by (quality desc, id asc).
+    */
+  def exactKeepBest(df: DataFrame, textCol: String, idCol: String,
+                    qualityCol: String): DataFrame = {
+    val key = sha2(TextLib.normalized(col(textCol)), 256)
+    val sentinel = concat(lit(" :"),
+      coalesce(col(idCol).cast("string"), expr("uuid()")))
+    val w = Window.partitionBy(col("__kb"))
+      .orderBy(coalesce(col(qualityCol).cast("double"),
+        lit(Double.NegativeInfinity)).desc, col(idCol).asc)
+    df.withColumn("__kb", coalesce(key, sentinel))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__kb", "__rn")
+  }
+
   /** Exact-dup groups: (hash, survivor id, duplicate id) pairs for audit. */
   def exactDupMap(df: DataFrame, textCol: String, idCol: String): DataFrame = {
     val withH = df.withColumn("__h", sha2(TextLib.normalized(col(textCol)), 256))

@@ -102,6 +102,61 @@ class ContaminationSpec extends SparkSpec {
     assert(!codeIds.subsetOf(webIds), "per-source salts must decorrelate the gates")
   }
 
+  test("semanticContamination: max-cos argmax, tie-break, degenerate vectors, threshold") {
+    val ev = Seq(
+      (100L, Array(1.0f, 0.0f)),
+      (200L, Array(0.0f, 1.0f)),
+      (300L, Array(2.0f, 0.0f)) // same DIRECTION as 100 → cosine ties with it
+    ).toDF("vec_id", "embedding")
+    val train = Seq(
+      (1L, Array(3.0f, 0.0f)),   // cos 1.0 vs eval 100 AND 300 → tie → min eval id 100
+      (2L, Array(1.0f, 1.0f)),   // cos ~0.7071 vs both axes → argmax ties → 100
+      (3L, Array(-1.0f, 0.0f)),  // best is eval 200 at cos 0.0 (vs -1.0 on the x axis)
+      (4L, Array(0.0f, 0.0f))    // zero vector → every cosine null → null max_cos, false
+    ).toDF("vec_id", "embedding")
+    val out = Contamination.semanticContamination(
+        train, "vec_id", "embedding", ev, "vec_id", "embedding", threshold = 0.9)
+      .collect().map(r => r.getLong(0) -> ((
+        if (r.isNullAt(1)) Double.NaN else r.getDouble(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2),
+        r.getBoolean(3)))).toMap
+    assert(out(1L) == ((1.0, 100L, true)))
+    assert(out(2L)._2 == 100L && math.abs(out(2L)._1 - 0.707107) < 1e-9 && !out(2L)._3)
+    assert(out(3L) == ((0.0, 200L, false)))
+    assert(out(4L)._1.isNaN && out(4L)._2 == -1L && !out(4L)._3)
+    // threshold is inclusive at the rounded 6dp value
+    val atEdge = Contamination.semanticContamination(
+        train.filter($"vec_id" === 2L), "vec_id", "embedding",
+        ev, "vec_id", "embedding", threshold = 0.707107)
+      .select("contaminated").collect()(0).getBoolean(0)
+    assert(atEdge)
+  }
+
+  test("exactKeepBest keeps the max-quality member; null quality loses; null text passes") {
+    import graft.text.Dedup
+    val docs = Seq(
+      (1L, "same doc", 0.2),  // dup group: 2 wins on quality
+      (2L, "Same  DOC", 0.9), // normalization collapses case/whitespace
+      (3L, "same doc", 0.9),  // ties with 2 on quality → min id 2 survives
+      (4L, "other", Double.NaN),
+      (5L, "solo", 0.1)
+    ).toDF("doc_id", "text", "q")
+      // NaN stands in for null quality below (Seq of Option is noisier)
+      .withColumn("q", when(isnan(col("q")), lit(null).cast("double")).otherwise(col("q")))
+    val kept = Dedup.exactKeepBest(docs, "text", "doc_id", "q")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(2L, 4L, 5L), s"got $kept")
+    // null-quality member loses to any scored member of its group
+    val mixed = Seq((10L, "d", null.asInstanceOf[java.lang.Double]),
+      (11L, "d", java.lang.Double.valueOf(0.01))).toDF("doc_id", "text", "q")
+    assert(Dedup.exactKeepBest(mixed, "text", "doc_id", "q")
+      .select("doc_id").as[Long].collect().toSeq == Seq(11L))
+    // null texts all pass through (per-row sentinel, no shared null group)
+    val nulls = Seq((20L, null.asInstanceOf[String], 1.0),
+      (21L, null.asInstanceOf[String], 2.0)).toDF("doc_id", "text", "q")
+    assert(Dedup.exactKeepBest(nulls, "text", "doc_id", "q").count() == 2)
+  }
+
   test("eval suite never collides with itself and the plan is join-bucketed") {
     // a clean corpus passes through untouched
     val clean = trainDf.filter(col("doc_id") === 3L)

@@ -41,6 +41,9 @@ class PlanLintSpec extends SparkSpec {
     // exact ANN baseline: corpus × the SMALL query set (broadcast side) —
     // the documented O(n·|q|) exact path the LSH/IVF variants approximate
     "q_ann_brute" -> Set("broadcast_nested_loop"),         // Similarity.scala:50
+    // same bounded-side shape: corpus × the broadcast EVAL-SUITE embedding
+    // set (eval suites are thousands of rows); the corpus never shuffles
+    "q_semantic_contamination" -> Set("broadcast_nested_loop"), // Contamination.scala semanticContamination
     // bounded global windows: ordered cumsum / row_number over an
     // ALREADY-AGGREGATED frame whose row count is the distinct-value /
     // bucket count, not the corpus (the same boundedness these operators
