@@ -38,7 +38,9 @@ object Bench {
     "q_multimodal_features", // real ImageIO encode+decode round-trip
     "q_multimodal_audio",    // real AudioSystem WAV encode+decode round-trip
     "q_fe_dbscan",           // grid-bucketed DBSCAN + pointer-jump components
-    "q_html_to_text"         // crawl-markup strip + native entity decode
+    "q_html_to_text",        // crawl-markup strip + native entity decode
+    "q_lm_bigram",           // Stupid-Backoff bigram LM (pair counts + 2 broadcasts)
+    "q_semantic_contamination" // corpus × broadcast eval-embedding max-cos
   )
 
   def main(args: Array[String]): Unit = {

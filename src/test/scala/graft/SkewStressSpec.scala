@@ -9,28 +9,38 @@ import scala.collection.mutable.ArrayBuffer
 /** Skew-stress gates (VERDICT r4 #8): on a 90%-one-key dataset, the
   * window-heavy operators must not funnel the hot key through a single
   * straggler task. Measured with a Spark listener recording per-task
-  * durations; the skew score of a run = max over its heavy stages of
-  * (longest task / stage total task time). A stage whose one task does
-  * ~all the work scores → 1; balanced stages score → 1/numTasks.
+  * RECORDS (input + shuffle-read); the skew score of a run = max over its
+  * heavy stages of (biggest task's records / stage total records). A stage
+  * whose one task does ~all the work scores → 1; balanced stages score →
+  * 1/numTasks. Records, not durations: the record distribution is a pure
+  * function of the plan and the data, while wall-clock per task flattens
+  * under concurrent machine load (a 0.9-skewed stage once measured 0.35 by
+  * duration with other JVMs pinning the cores — this gate must not depend
+  * on an idle box).
   */
 class SkewStressSpec extends SparkSpec {
   import spark.implicits._
 
   private class TaskSpread extends SparkListener {
     val stages: TrieMap[Int, ArrayBuffer[Long]] = TrieMap.empty
-    override def onTaskEnd(te: SparkListenerTaskEnd): Unit =
-      stages.getOrElseUpdate(te.stageId, ArrayBuffer.empty).synchronized {
-        stages(te.stageId) += te.taskInfo.duration
-      }
+    override def onTaskEnd(te: SparkListenerTaskEnd): Unit = {
+      val m = te.taskMetrics
+      if (m != null)
+        stages.getOrElseUpdate(te.stageId, ArrayBuffer.empty).synchronized {
+          stages(te.stageId) +=
+            (m.inputMetrics.recordsRead + m.shuffleReadMetrics.recordsRead)
+        }
+    }
   }
 
   /** Max straggler ratio across stages heavy enough to matter (≥4 tasks,
-    * ≥500 ms of total task time — tiny stages are all noise). AQE partition
-    * coalescing is disabled for the measured job: at spec scale the whole
-    * shuffle fits one advisory partition and every stage would collapse to
-    * a single task, hiding exactly the distribution this spec measures (at
-    * 100 TB the partitions are far past the advisory size and never
-    * coalesce to one).
+    * ≥50k records total — tiny stages are all noise, and `range`-fed scan
+    * stages report no input records so only real shuffle/scan stages are
+    * measured). AQE partition coalescing is disabled for the measured job:
+    * at spec scale the whole shuffle fits one advisory partition and every
+    * stage would collapse to a single task, hiding exactly the distribution
+    * this spec measures (at 100 TB the partitions are far past the advisory
+    * size and never coalesce to one).
     */
   private def skewScore(job: => Unit): Double = {
     val l = new TaskSpread
@@ -50,7 +60,7 @@ class SkewStressSpec extends SparkSpec {
       spark.sparkContext.removeSparkListener(l)
       old.fold(spark.conf.unset(key))(spark.conf.set(key, _))
     }
-    val heavy = l.stages.values.filter(ts => ts.size >= 4 && ts.sum >= 500L)
+    val heavy = l.stages.values.filter(ts => ts.size >= 4 && ts.sum >= 50000L)
     if (heavy.isEmpty) 0.0 else heavy.map(ts => ts.max.toDouble / ts.sum).max
   }
 
