@@ -310,18 +310,28 @@ object TextLib {
       .drop("__lm_n", "__lm_lp")
   }
 
-  /** Adjacent-token (prev, cur) pairs of the normalized tokenization, one
-    * struct per position; position 1 carries a null prev. Shared by the
+  /** Adjacent-token (prev, cur) pair rows of the normalized tokenization,
+    * one row per position; position 1 carries a null prev. Shared by the
     * bigram trainer and the bigram scorer so the pair definition cannot
-    * drift. The array is bound to a column first so `element_at` inside the
-    * lambda reads the row's materialized array, not a re-evaluated subtree.
+    * drift.
+    *
+    * The token array MUST be materialized as a real column before the
+    * per-element lambda reads it: higher-order functions are interpreted,
+    * and `element_at(<filter(split(regexp...))>, i)` with the raw subtree
+    * inline re-runs the whole tokenization REGEX once per token — O(len²)
+    * per document (measured 2× on the bench corpus). Bound as an attribute,
+    * element_at is an O(1) array read.
     */
-  private def tokenPairs(text: Column): Column = {
-    val ts = filter(split(normalized(text), " "), t => t =!= "")
-    transform(ts, (t, i) =>
-      struct(when(i === 0, lit(null).cast("string"))
-               .otherwise(element_at(ts, i)).as("prev"),
-             t.as("cur")))
+  private def explodedTokenPairs(df: DataFrame, textCol: String,
+                                 keep: Seq[Column]): DataFrame = {
+    val bound = df.select(keep :+
+      filter(split(normalized(col(textCol)), " "), t => t =!= "").as("__ts"): _*)
+    bound.select(keep :+
+      explode(transform(col("__ts"), (t, i) =>
+        struct(when(i === 0, lit(null).cast("string"))
+                 .otherwise(element_at(col("__ts"), i)).as("prev"),
+               t.as("cur")))).as("__pr"): _*)
+      .select(keep :+ col("__pr.prev").as("__prev") :+ col("__pr.cur").as("__cur"): _*)
   }
 
   /** Bigram language-model score with Stupid Backoff (Brants et al. 2007,
@@ -379,9 +389,8 @@ object TextLib {
     // Bigram side: distributed pair counts, vocab-restricted via two
     // broadcast semijoins, capped with a distributed TakeOrdered. Only the
     // capped table ever reaches the driver.
-    val pairCounts = train
-      .select(explode(tokenPairs(col(trainText))).as("__pr"))
-      .select(col("__pr.prev").as("prev"), col("__pr.cur").as("cur"))
+    val pairCounts = explodedTokenPairs(train, trainText, Seq.empty)
+      .select(col("__prev").as("prev"), col("__cur").as("cur"))
       .filter(col("prev").isNotNull)
       .groupBy("prev", "cur").agg(count(lit(1)).as("btf"))
     val bigramTable = pairCounts
@@ -405,9 +414,7 @@ object TextLib {
         .otherwise(when(col("__utf").isNotNull,
             log(lit(0.4) * (col("__utf").cast("double") / lit(totalT))))
           .otherwise(log(lit(0.4) / lit(totalT)))))
-    val perDoc = df
-      .select(col(idCol), explode(tokenPairs(col(textCol))).as("__pr"))
-      .select(col(idCol), col("__pr.prev").as("__prev"), col("__pr.cur").as("__cur"))
+    val perDoc = explodedTokenPairs(df, textCol, Seq(col(idCol)))
       .join(broadcast(bigramTable.select(col("prev").as("__prev"), col("cur").as("__cur"),
         col("btf").as("__btf"), col("ptf").as("__ptf"))), Seq("__prev", "__cur"), "left")
       .join(broadcast(uniLp.select(col("cur").as("__cur"), col("__utf"))), Seq("__cur"), "left")
