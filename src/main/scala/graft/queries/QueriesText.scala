@@ -66,6 +66,10 @@ object QueriesText {
       val train = e.filter(col("vec_id") % 50 =!= 0)
       graft.text.Contamination.semanticContamination(
           train, "vec_id", "embedding", ev, "vec_id", "embedding", threshold = 0.3)
+        // the op preserves ALL train columns (filter-and-continue contract);
+        // the gate projects the scored triple so the oracle compare stays
+        // payload-free
+        .select("vec_id", "max_cos", "nearest_eval_id", "contaminated")
         .orderBy("vec_id")
     }),
 

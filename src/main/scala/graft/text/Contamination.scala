@@ -74,9 +74,15 @@ object Contamination {
     * one row per (train row, task). Corpus×corpus never happens.
     *
     * Cosine is rounded to 6dp BEFORE the argmax so the winning eval id is
-    * deterministic (ties → smallest eval id). Train rows with a null/zero
-    * vector get null max_cos and false flag. Output: all training rows as
-    * (idCol, max_cos, nearest_eval_id, contaminated).
+    * deterministic (ties → smallest eval id, in the id's OWN ordering — ids
+    * may be any orderable type: numeric, string "mmlu_00123", …; the argmin
+    * is min(struct(-cos, id)), no numeric cast). Train rows with a
+    * null/zero vector get null max_cos and false flag; eval rows with a
+    * null id are dropped (nothing to report a hit against). Output: the
+    * FULL training frame (all columns preserved, so a downstream
+    * `filter NOT contaminated` pipeline step keeps working) plus max_cos,
+    * nearest_eval_id, contaminated; pre-existing columns of those names
+    * are replaced.
     */
   def semanticContamination(
       train: DataFrame, idCol: String, vecCol: String,
@@ -85,19 +91,19 @@ object Contamination {
   ): DataFrame = {
     require(threshold > -1 && threshold <= 1,
       s"semanticContamination: threshold must be in (-1, 1], got $threshold")
-    val ev = broadcast(evalDf.select(col(evalIdCol).cast("long").as("__eid"),
-      col(evalVecCol).as("__ev")))
+    val ev = broadcast(evalDf.filter(col(evalIdCol).isNotNull)
+      .select(col(evalIdCol).as("__eid"), col(evalVecCol).as("__ev")))
     val scored = train.select(col(idCol), col(vecCol).as("__tv"))
       .crossJoin(ev)
       .withColumn("__cos", round(graft.vec.Similarity.cosine(col("__tv"), col("__ev")), 6))
       .filter(col("__cos").isNotNull) // degenerate vectors score nothing
       .groupBy(col(idCol))
-      // argmax via max(struct): cos first, then NEGATED eval id — equal cos
-      // resolves to the largest -id, i.e. the smallest eval id
-      .agg(max(struct(col("__cos").as("c"), (-col("__eid")).as("ni"))).as("__m"))
-      .select(col(idCol), col("__m.c").as("max_cos"), (-col("__m.ni")).as("nearest_eval_id"))
-    train.select(col(idCol))
-      .join(scored, Seq(idCol), "left")
+      // argmax via min(struct): -cos first (min -cos == max cos), then the
+      // eval id — equal cos resolves to the SMALLEST id in its native order
+      .agg(min(struct((-col("__cos")).as("nc"), col("__eid").as("i"))).as("__m"))
+      .select(col(idCol), (-col("__m.nc")).as("max_cos"), col("__m.i").as("nearest_eval_id"))
+    train.drop("max_cos", "nearest_eval_id", "contaminated")
+      .alias("__sc_d").join(scored.alias("__sc_s"), Seq(idCol), "left")
       .withColumn("contaminated",
         coalesce(col("max_cos") >= lit(threshold), lit(false)))
   }

@@ -27,10 +27,12 @@ object Dedup {
     *    itself is null (concat null-propagates; a null sentinel would
     *    regroup those rows into the shared null partition and keep ONE).
     */
-  private[graft] def keepFirstByKey(df: DataFrame, key: Column, idCol: String): DataFrame = {
+  private[graft] def keepFirstByKey(df: DataFrame, key: Column, idCol: String,
+                                    ordering: Seq[Column] = Seq.empty): DataFrame = {
     val sentinel = concat(lit(" :"),
       coalesce(col(idCol).cast("string"), expr("uuid()")))
-    val w = Window.partitionBy(col("__kf")).orderBy(col(idCol).asc)
+    val ord = if (ordering.nonEmpty) ordering else Seq(col(idCol).asc)
+    val w = Window.partitionBy(col("__kf")).orderBy(ord: _*)
     df.withColumn("__kf", coalesce(key, sentinel))
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
@@ -48,24 +50,20 @@ object Dedup {
     * HIGHEST `qualityCol` (ties → smallest id) instead of blindly the first.
     * This is the curation-correct election: duplicate crawls of one page
     * differ in extraction quality, and keep-first throws away the good copy
-    * whenever the bad one was crawled earlier. Null quality ranks below
-    * every non-null quality; null-text rows pass through untouched (same
+    * whenever the bad one was crawled earlier. Null AND NaN quality rank
+    * below every real quality (Spark's sort order puts NaN ABOVE +Inf, so a
+    * bare `.desc` would elect a NaN-scored degenerate copy over a 0.9 one —
+    * both map to -Inf instead); null-text rows pass through untouched (same
     * per-row sentinel as keepFirstByKey — a null-key straggler partition
     * must never exist). Same shape as exact: ONE exchange on the uniform
     * 256-bit hash, window ordered by (quality desc, id asc).
     */
   def exactKeepBest(df: DataFrame, textCol: String, idCol: String,
                     qualityCol: String): DataFrame = {
-    val key = sha2(TextLib.normalized(col(textCol)), 256)
-    val sentinel = concat(lit(" :"),
-      coalesce(col(idCol).cast("string"), expr("uuid()")))
-    val w = Window.partitionBy(col("__kb"))
-      .orderBy(coalesce(col(qualityCol).cast("double"),
-        lit(Double.NegativeInfinity)).desc, col(idCol).asc)
-    df.withColumn("__kb", coalesce(key, sentinel))
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .drop("__kb", "__rn")
+    val q = col(qualityCol).cast("double")
+    val qOrd = when(q.isNull || isnan(q), lit(Double.NegativeInfinity)).otherwise(q)
+    keepFirstByKey(df, sha2(TextLib.normalized(col(textCol)), 256), idCol,
+      ordering = Seq(qOrd.desc, col(idCol).asc))
   }
 
   /** Exact-dup groups: (hash, survivor id, duplicate id) pairs for audit. */

@@ -361,9 +361,12 @@ object TextLib {
     * always the broadcast vocabulary's own count and the two tables can
     * never disagree about a token.
     *
-    * Scale shape mirrors unigramScore: token and pair counts aggregate
-    * with map-side combine (one shuffle each, keys are tokens/pairs —
-    * uniform); the capped vocab + bigram tables ride broadcasts; scoring
+    * Scale shape mirrors unigramScore, with ONE tokenization pass for
+    * training: the exploded (prev, cur) relation visits every token
+    * exactly once as `cur` (position 1 rides along with a null prev), so
+    * unigram counts, the total T, the vocabulary and the bigram table all
+    * derive from a single map-side-combined pair-count aggregate — keys
+    * are pairs, uniform; the capped vocab + bigram tables ride broadcasts; scoring
     * explodes pairs but re-aggregates per document with partial avg, so
     * the shuffle carries one partial row per (doc, task), never the raw
     * pair stream. Driver memory is bounded by vocabSize + bigramSize.
@@ -380,36 +383,46 @@ object TextLib {
     val sp = df.sparkSession
     import sp.implicits._
 
-    // Unigram side: same materialization discipline as unigramScore.
-    val counts = wordCounts(train, trainText)
+    // ONE tokenization of the training corpus: aggregate (prev, cur) pair
+    // counts INCLUDING the null-prev position-1 rows. Unigram counts are a
+    // re-aggregation of this relation (each token occurs exactly once as
+    // `cur`), so no second wordCounts scan runs — the tokenize regex is the
+    // dominant training cost at corpus scale. The aggregated relation
+    // (|distinct bigrams| rows, not the token stream) is what persists.
+    // Measured trade at sf0.1: the extra re-agg job costs ~10% wall there
+    // (per-job overhead dominates a 600k-row corpus), bought against a
+    // whole corpus scan+regex pass that dominates at the 100 TB posture.
+    val pairCounts = explodedTokenPairs(train, trainText, Seq.empty)
+      .select(col("__prev").as("prev"), col("__cur").as("cur"))
+      .groupBy("prev", "cur").agg(count(lit(1)).as("btf"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val (vocabPairs, totalT) =
+    val (vocabPairs, totalT, bigramRows) =
       try {
+        val counts = pairCounts.groupBy("cur").agg(sum("btf").as("tf"))
+          .select(col("cur").as("token"), col("tf"))
         val t = Option(counts.agg(sum("tf")).first().get(0))
           .map(_.asInstanceOf[Long].toDouble).getOrElse(0.0)
         val v = counts.orderBy(col("tf").desc, col("token").asc)
           .limit(vocabSize).collect()
           .map(r => (r.getString(0), r.getLong(1)))
-        (v.toSeq, t)
-      } finally counts.unpersist()
+          .toSeq
+        // Bigram side: vocab-restricted via two broadcast semijoins, capped
+        // with a distributed TakeOrdered. Only the capped table ever
+        // reaches the driver.
+        val vDf = v.toDF("token", "tf")
+        val b = pairCounts.filter(col("prev").isNotNull)
+          .join(broadcast(vDf.select(col("token").as("prev"), col("tf").as("ptf"))), Seq("prev"))
+          .join(broadcast(vDf.select(col("token").as("cur"))), Seq("cur"))
+          .orderBy(col("btf").desc, col("prev").asc, col("cur").asc)
+          .limit(bigramSize)
+          .collect()
+          .map(r => (r.getAs[String]("prev"), r.getAs[String]("cur"),
+                     r.getAs[Long]("btf"), r.getAs[Long]("ptf")))
+          .toSeq
+        (v, t, b)
+      } finally pairCounts.unpersist()
     val vocabDf = vocabPairs.toDF("token", "tf")
-
-    // Bigram side: distributed pair counts, vocab-restricted via two
-    // broadcast semijoins, capped with a distributed TakeOrdered. Only the
-    // capped table ever reaches the driver.
-    val pairCounts = explodedTokenPairs(train, trainText, Seq.empty)
-      .select(col("__prev").as("prev"), col("__cur").as("cur"))
-      .filter(col("prev").isNotNull)
-      .groupBy("prev", "cur").agg(count(lit(1)).as("btf"))
-    val bigramTable = pairCounts
-      .join(broadcast(vocabDf.select(col("token").as("prev"), col("tf").as("ptf"))), Seq("prev"))
-      .join(broadcast(vocabDf.select(col("token").as("cur"))), Seq("cur"))
-      .orderBy(col("btf").desc, col("prev").asc, col("cur").asc)
-      .limit(bigramSize)
-      .collect()
-      .map(r => (r.getAs[String]("prev"), r.getAs[String]("cur"),
-                 r.getAs[Long]("btf"), r.getAs[Long]("ptf")))
-      .toSeq.toDF("prev", "cur", "btf", "ptf")
+    val bigramTable = bigramRows.toDF("prev", "cur", "btf", "ptf")
 
     val uniLp = vocabDf.select(col("token").as("cur"), col("tf").as("__utf"))
     val posLp =

@@ -114,8 +114,13 @@ class ContaminationSpec extends SparkSpec {
       (3L, Array(-1.0f, 0.0f)),  // best is eval 200 at cos 0.0 (vs -1.0 on the x axis)
       (4L, Array(0.0f, 0.0f))    // zero vector → every cosine null → null max_cos, false
     ).toDF("vec_id", "embedding")
-    val out = Contamination.semanticContamination(
+    val full = Contamination.semanticContamination(
         train, "vec_id", "embedding", ev, "vec_id", "embedding", threshold = 0.9)
+    // train columns are PRESERVED (a filter-and-continue pipeline needs them)
+    assert(full.columns.toSeq ==
+      Seq("vec_id", "embedding", "max_cos", "nearest_eval_id", "contaminated"))
+    val out = full
+      .select("vec_id", "max_cos", "nearest_eval_id", "contaminated")
       .collect().map(r => r.getLong(0) -> ((
         if (r.isNullAt(1)) Double.NaN else r.getDouble(1),
         if (r.isNullAt(2)) -1L else r.getLong(2),
@@ -130,6 +135,28 @@ class ContaminationSpec extends SparkSpec {
         ev, "vec_id", "embedding", threshold = 0.707107)
       .select("contaminated").collect()(0).getBoolean(0)
     assert(atEdge)
+  }
+
+  test("semanticContamination: string eval ids work; nearest id keeps its type") {
+    // eval suites are routinely keyed by string ids ("mmlu_00123"); the
+    // argmin tie-break must use the id's native ordering, not a long cast
+    // (which under ANSI would crash the job)
+    val ev = Seq(
+      ("mmlu_002", Array(1.0f, 0.0f)),
+      ("mmlu_001", Array(2.0f, 0.0f)), // same direction → cosine tie
+      (null.asInstanceOf[String], Array(0.0f, 1.0f)) // null id rows are dropped
+    ).toDF("eid", "embedding")
+    val train = Seq((1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val out = Contamination.semanticContamination(
+        train, "vec_id", "embedding", ev, "eid", "embedding", threshold = 0.9)
+      .select("vec_id", "max_cos", "nearest_eval_id", "contaminated")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getDouble(1), if (r.isNullAt(2)) null else r.getString(2), r.getBoolean(3)))).toMap
+    assert(out(1L) == ((1.0, "mmlu_001", true))) // tie → lexicographically smallest id
+    // the y-axis eval row had a null id and was dropped: train row 2's best
+    // surviving cosine is 0.0 against the x-axis pair
+    assert(out(2L)._1 == 0.0 && !out(2L)._3)
   }
 
   test("exactKeepBest keeps the max-quality member; null quality loses; null text passes") {
@@ -155,6 +182,15 @@ class ContaminationSpec extends SparkSpec {
     val nulls = Seq((20L, null.asInstanceOf[String], 1.0),
       (21L, null.asInstanceOf[String], 2.0)).toDF("doc_id", "text", "q")
     assert(Dedup.exactKeepBest(nulls, "text", "doc_id", "q").count() == 2)
+    // NaN quality must LOSE to any real score: Spark sorts NaN above +Inf,
+    // so an unmapped NaN would win the desc ordering and elect the
+    // degenerate copy — both null and NaN map to -Infinity instead
+    val nan = Seq((30L, "d", java.lang.Double.valueOf(Double.NaN)),
+      (31L, "d", java.lang.Double.valueOf(0.9)),
+      (32L, "e", java.lang.Double.valueOf(Double.NaN)),
+      (33L, "e", null.asInstanceOf[java.lang.Double])).toDF("doc_id", "text", "q")
+    assert(Dedup.exactKeepBest(nan, "text", "doc_id", "q")
+      .select("doc_id").as[Long].collect().toSet == Set(31L, 32L))
   }
 
   test("eval suite never collides with itself and the plan is join-bucketed") {
