@@ -391,6 +391,15 @@ object OpCompiler {
         TextLib.tokenDivergence(df, text,
           tables(s(p, "other_table")), s(p, "other_text_column", text),
           s(p, "smoothing", "0.5").toDouble)
+      case "psi_drift" => // numeric-feature drift vs a reference snapshot
+        require(tables != null, "psi_drift requires a table catalog")
+        require(s(p, "reference_table") != null,
+          "psi_drift requires params.reference_table (the reference snapshot)")
+        require(s(p, "value_column") != null,
+          "psi_drift requires params.value_column (numeric column to compare)")
+        graft.quality.Profiler.psiBins(
+          tables(s(p, "reference_table")), df, s(p, "value_column"),
+          s(p, "bins", "10").toInt, s(p, "epsilon", "1e-6").toDouble)
       case "bpe_merges" =>
         graft.text.Bpe.mergesDF(df, text,
           s(p, "num_merges", "1000").toInt,

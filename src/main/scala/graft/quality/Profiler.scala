@@ -158,6 +158,64 @@ object Profiler {
       .agg(corr(col("__ra"), col("__rb")).as("spearman"))
   }
 
+  /** Population Stability Index between a REFERENCE frame (the training
+    * snapshot / last accepted batch) and a CURRENT frame over one numeric
+    * column — the standard numeric-feature drift gate (PSI < 0.1 stable,
+    * 0.1-0.25 moderate shift, > 0.25 investigate), complementing the
+    * token-level KL/JS of TextLib.tokenDivergence.
+    *
+    * Bin edges are exact percentiles OF THE REFERENCE (same `percentile`
+    * aggregate + broadcast + sum-of-indicators assignment as
+    * FeatureLib.binQuantileGrouped — cuts are deterministic and DuckDB-
+    * replayable via quantile_cont, unlike approx_percentile). Scale shape:
+    * one map-side-combined aggregate per side for the bin counts, every
+    * join a broadcast of a ≤nBins-row frame — neither corpus ever shuffles.
+    * Null values are excluded on both sides (missingness is a completeness
+    * metric, not drift). Empty bins take the standard max(frac, epsilon)
+    * clamp so the log stays finite; duplicate cut points (discrete data)
+    * simply yield permanently-empty bins, which the clamp also covers.
+    *
+    * Output: one row per bin (bin, ref_n, cur_n, ref_frac, cur_frac,
+    * psi_term); total PSI = sum(psi_term) (see [[psiTotal]]).
+    */
+  def psiBins(ref: DataFrame, cur: DataFrame, valueCol: String, nBins: Int = 10,
+              epsilon: Double = 1e-6): DataFrame = {
+    require(nBins >= 2, s"psiBins: nBins must be >= 2, got $nBins")
+    require(epsilon > 0 && epsilon < 1, s"psiBins: epsilon must be in (0,1), got $epsilon")
+    val c = col(valueCol)
+    val cuts = (1 until nBins).map(i => percentile(c, lit(i.toDouble / nBins)).as(s"__q$i"))
+    val cutRow = broadcast(ref.filter(c.isNotNull).agg(cuts.head, cuts.tail: _*))
+    def binCounts(df: DataFrame, out: String) = {
+      val binIdx = (1 until nBins).foldLeft(lit(0): Column) { (acc, i) =>
+        acc + when(c > col(s"__q$i"), 1).otherwise(0)
+      }
+      df.filter(c.isNotNull).crossJoin(cutRow)
+        .select(binIdx.cast("int").as("bin"))
+        .groupBy("bin").agg(count(lit(1)).as(out))
+    }
+    val refC = binCounts(ref, "ref_n")
+    val curC = binCounts(cur, "cur_n")
+    val spine = ref.sparkSession.range(nBins).select(col("id").cast("int").as("bin"))
+    val p = greatest(col("ref_n").cast("double") / col("__rt"), lit(epsilon))
+    val q = greatest(col("cur_n").cast("double") / col("__ct"), lit(epsilon))
+    spine.join(broadcast(refC), Seq("bin"), "left")
+      .join(broadcast(curC), Seq("bin"), "left")
+      .crossJoin(broadcast(refC.agg(sum("ref_n").as("__rt"))))
+      .crossJoin(broadcast(curC.agg(sum("cur_n").as("__ct"))))
+      .withColumn("ref_n", coalesce(col("ref_n"), lit(0L)))
+      .withColumn("cur_n", coalesce(col("cur_n"), lit(0L)))
+      .withColumn("ref_frac", p)
+      .withColumn("cur_frac", q)
+      .withColumn("psi_term", (col("cur_frac") - col("ref_frac"))
+        * log(col("cur_frac") / col("ref_frac")))
+      .select("bin", "ref_n", "cur_n", "ref_frac", "cur_frac", "psi_term")
+  }
+
+  /** Single-row total PSI — sum of [[psiBins]]' per-bin contributions. */
+  def psiTotal(ref: DataFrame, cur: DataFrame, valueCol: String, nBins: Int = 10,
+               epsilon: Double = 1e-6): DataFrame =
+    psiBins(ref, cur, valueCol, nBins, epsilon).agg(sum("psi_term").as("psi"))
+
   private def toLong(wide: DataFrame, cols: Seq[String]): DataFrame = {
     val metrics = wide.columns.filter(_.contains("__"))
     val stacked = metrics.map { m =>

@@ -23,6 +23,20 @@ object QueriesAgg {
           round(percentile(col("l_extendedprice"), lit(0.95)), 4).as("p95"))
         .orderBy("l_returnflag")),
 
+    "q_psi_drift" -> ((s, dir) => {
+      // PSI numeric drift: reference = every 3rd doc, current = the rest —
+      // both the binning (reference-quantile cuts) and the smoothed-log
+      // terms replay exactly in DuckDB (quantile_cont == Spark percentile)
+      val d = t(s, dir, "documents")
+      Profiler.psiBins(d.filter(col("doc_id") % 3 === 0),
+          d.filter(col("doc_id") % 3 =!= 0), "n_chars", nBins = 10)
+        .select(col("bin"), col("ref_n"), col("cur_n"),
+          roundf(col("ref_frac"), 6).as("ref_frac"),
+          roundf(col("cur_frac"), 6).as("cur_frac"),
+          roundf(col("psi_term"), 6).as("psi_term"))
+        .orderBy("bin")
+    }),
+
     "q_moment_stats" -> ((s, dir) =>
       // skewness/kurtosis via explicit moment formulas — identical SQL on both
       // engines (built-in skewness()/kurtosis() differ between engines in
@@ -232,6 +246,41 @@ object QueriesAgg {
       |       ELSE 'FAIL' END AS status FROM m)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q_psi_drift" ->
+      // replays psiBins: reference-quantile cuts (quantile_cont == Spark's
+      // exact percentile), sum-of-indicators binning, per-side counts over
+      // a full 0..nBins-1 spine, max(frac, 1e-6) smoothing, natural log
+      """WITH refd AS (SELECT CAST(n_chars AS DOUBLE) AS v FROM documents
+        |  WHERE doc_id % 3 = 0 AND n_chars IS NOT NULL),
+        |curd AS (SELECT CAST(n_chars AS DOUBLE) AS v FROM documents
+        |  WHERE doc_id % 3 <> 0 AND n_chars IS NOT NULL),
+        |cuts AS (SELECT
+        |  quantile_cont(v, 0.1) AS q1, quantile_cont(v, 0.2) AS q2,
+        |  quantile_cont(v, 0.3) AS q3, quantile_cont(v, 0.4) AS q4,
+        |  quantile_cont(v, 0.5) AS q5, quantile_cont(v, 0.6) AS q6,
+        |  quantile_cont(v, 0.7) AS q7, quantile_cont(v, 0.8) AS q8,
+        |  quantile_cont(v, 0.9) AS q9 FROM refd),
+        |rb AS (SELECT (CAST(v > q1 AS INT) + CAST(v > q2 AS INT) + CAST(v > q3 AS INT)
+        |  + CAST(v > q4 AS INT) + CAST(v > q5 AS INT) + CAST(v > q6 AS INT)
+        |  + CAST(v > q7 AS INT) + CAST(v > q8 AS INT) + CAST(v > q9 AS INT)) AS bin
+        |  FROM refd, cuts),
+        |cb AS (SELECT (CAST(v > q1 AS INT) + CAST(v > q2 AS INT) + CAST(v > q3 AS INT)
+        |  + CAST(v > q4 AS INT) + CAST(v > q5 AS INT) + CAST(v > q6 AS INT)
+        |  + CAST(v > q7 AS INT) + CAST(v > q8 AS INT) + CAST(v > q9 AS INT)) AS bin
+        |  FROM curd, cuts),
+        |rc AS (SELECT bin, count(*) AS rn FROM rb GROUP BY bin),
+        |cc AS (SELECT bin, count(*) AS cn FROM cb GROUP BY bin),
+        |spine AS (SELECT unnest(range(0, 10)) AS bin),
+        |fr AS (SELECT s.bin,
+        |    COALESCE(rc.rn, 0) AS ref_n, COALESCE(cc.cn, 0) AS cur_n,
+        |    greatest(COALESCE(rc.rn, 0) * 1.0 / (SELECT count(*) FROM refd), 0.000001) AS p,
+        |    greatest(COALESCE(cc.cn, 0) * 1.0 / (SELECT count(*) FROM curd), 0.000001) AS q
+        |  FROM spine s LEFT JOIN rc ON s.bin = rc.bin LEFT JOIN cc ON s.bin = cc.bin)
+        |SELECT CAST(bin AS INT) AS bin, ref_n, cur_n,
+        |  round(p + 1e-9, 6) AS ref_frac, round(q + 1e-9, 6) AS cur_frac,
+        |  round((q - p) * ln(q / p) + 1e-9, 6) AS psi_term
+        |FROM fr ORDER BY bin""".stripMargin,
+
     "q_quality_monitor" ->
       s"""$monitorCte
          |SELECT * FROM cls ORDER BY metric_name, column_name""".stripMargin,

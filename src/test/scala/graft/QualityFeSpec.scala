@@ -524,4 +524,32 @@ class QualityFeSpec extends SparkSpec {
     assert(out.count() == 2)
     assert(out.columns.contains("features"))
   }
+
+  test("psiBins: hand-computed 2-bin PSI, zero-drift law, empty-bin smoothing") {
+    import spark.implicits._
+    // ref [1,2,3,4]: median cut 2.5 -> fracs (0.5, 0.5);
+    // cur [1,3,3,3]: fracs (0.25, 0.75)
+    // PSI = (.25-.5)ln(.25/.5) + (.75-.5)ln(.75/.5) = 0.27465307...
+    val ref = Seq(1.0, 2.0, 3.0, 4.0).toDF("v")
+    val cur = Seq(1.0, 3.0, 3.0, 3.0).toDF("v")
+    val bins = Profiler.psiBins(ref, cur, "v", nBins = 2)
+      .orderBy("bin").collect()
+    assert(bins.map(_.getInt(0)).toSeq == Seq(0, 1))
+    assert(bins.map(_.getLong(1)).toSeq == Seq(2L, 2L)) // ref_n
+    assert(bins.map(_.getLong(2)).toSeq == Seq(1L, 3L)) // cur_n
+    val total = Profiler.psiTotal(ref, cur, "v", nBins = 2).collect()(0).getDouble(0)
+    assert(math.abs(total - 0.2746530722) < 1e-9, s"got $total")
+    // zero drift: identical frames -> every term is exactly 0
+    assert(Profiler.psiTotal(ref, ref, "v", nBins = 2).collect()(0).getDouble(0) == 0.0)
+    // a bin empty on the current side still appears (full spine) and its
+    // fraction takes the epsilon clamp instead of -Infinity
+    val curHi = Seq(3.0, 3.0, 3.0, 4.0).toDF("v")
+    val rows = Profiler.psiBins(ref, curHi, "v", nBins = 2).orderBy("bin").collect()
+    assert(rows(0).getLong(2) == 0L && rows(0).getDouble(4) == 1e-6)
+    assert(rows(0).getDouble(5).isFinite && rows(0).getDouble(5) > 0)
+    // nulls are excluded, not binned
+    val refN = Seq[java.lang.Double](1.0, 2.0, 3.0, 4.0, null).toDF("v")
+    assert(Profiler.psiBins(refN, cur, "v", nBins = 2)
+      .agg(sum("ref_n")).collect()(0).getLong(0) == 4L)
+  }
 }
