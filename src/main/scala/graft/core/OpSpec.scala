@@ -391,15 +391,23 @@ object OpCompiler {
         TextLib.tokenDivergence(df, text,
           tables(s(p, "other_table")), s(p, "other_text_column", text),
           s(p, "smoothing", "0.5").toDouble)
-      case "psi_drift" => // numeric-feature drift vs a reference snapshot
+      case "psi_drift" => // feature drift vs a reference snapshot
         require(tables != null, "psi_drift requires a table catalog")
         require(s(p, "reference_table") != null,
           "psi_drift requires params.reference_table (the reference snapshot)")
         require(s(p, "value_column") != null,
-          "psi_drift requires params.value_column (numeric column to compare)")
-        graft.quality.Profiler.psiBins(
-          tables(s(p, "reference_table")), df, s(p, "value_column"),
-          s(p, "bins", "10").toInt, s(p, "epsilon", "1e-6").toDouble)
+          "psi_drift requires params.value_column (column to compare)")
+        val refT = tables(s(p, "reference_table"))
+        s(p, "kind", "numeric") match {
+          case "numeric" => graft.quality.Profiler.psiBins(
+            refT, df, s(p, "value_column"),
+            s(p, "bins", "10").toInt, s(p, "epsilon", "1e-6").toDouble)
+          case "categorical" => graft.quality.Profiler.psiCategorical(
+            refT, df, s(p, "value_column"),
+            s(p, "top_k", "20").toInt, s(p, "epsilon", "1e-6").toDouble)
+          case other => throw new IllegalArgumentException(
+            s"psi_drift kind must be numeric|categorical, got '$other'")
+        }
       case "bpe_merges" =>
         graft.text.Bpe.mergesDF(df, text,
           s(p, "num_merges", "1000").toInt,

@@ -216,6 +216,59 @@ object Profiler {
                epsilon: Double = 1e-6): DataFrame =
     psiBins(ref, cur, valueCol, nBins, epsilon).agg(sum("psi_term").as("psi"))
 
+  /** Categorical PSI: drift of a category column's distribution — buckets
+    * are the top-`topK` categories BY REFERENCE frequency (ties: count
+    * desc, category asc — deterministic and SQL-replayable), everything
+    * else pooled into the `__other` sentinel (a literal category named
+    * "__other" would pool with it — documented limitation of the sentinel).
+    * Same smoothing and term math as [[psiBins]].
+    *
+    * Scale shape: each corpus aggregates ONCE to its |distinct| count frame
+    * (map-side combined); the top-K election is a bounded TakeOrdered;
+    * bucketing and the spine/total joins all run on aggregated ≤|distinct|-
+    * row frames with broadcast joins — neither corpus shuffles raw rows,
+    * and nothing corpus-sized reaches the driver. Null categories are
+    * excluded (missingness is a completeness metric, not drift).
+    *
+    * Output: (category, ref_n, cur_n, ref_frac, cur_frac, psi_term), one
+    * row per elected category plus `__other`.
+    */
+  def psiCategorical(ref: DataFrame, cur: DataFrame, valueCol: String,
+                     topK: Int = 20, epsilon: Double = 1e-6): DataFrame = {
+    require(topK >= 1, s"psiCategorical: topK must be >= 1, got $topK")
+    require(epsilon > 0 && epsilon < 1, s"psiCategorical: epsilon must be in (0,1), got $epsilon")
+    val c = col(valueCol)
+    def counts(df: DataFrame, out: String) =
+      df.filter(c.isNotNull).select(c.cast("string").as("category"))
+        .groupBy("category").agg(count(lit(1)).as(out))
+    val refC = counts(ref, "ref_n")
+    val curC = counts(cur, "cur_n")
+    val top = refC.orderBy(col("ref_n").desc, col("category").asc)
+      .limit(topK).select("category")
+    // pool the tail of each side's AGGREGATED count frame into __other,
+    // then re-aggregate — |distinct| rows, never the corpus
+    def pooled(cnt: DataFrame, out: String) =
+      cnt.join(broadcast(top.withColumn("__keep", lit(1))), Seq("category"), "left")
+        .select(when(col("__keep").isNotNull, col("category"))
+          .otherwise(lit("__other")).as("category"), col(out))
+        .groupBy("category").agg(sum(out).as(out))
+    val spine = top.unionByName(
+      ref.sparkSession.range(1).select(lit("__other").as("category")))
+    val p = greatest(col("ref_n").cast("double") / col("__rt"), lit(epsilon))
+    val q = greatest(col("cur_n").cast("double") / col("__ct"), lit(epsilon))
+    spine.join(broadcast(pooled(refC, "ref_n")), Seq("category"), "left")
+      .join(broadcast(pooled(curC, "cur_n")), Seq("category"), "left")
+      .crossJoin(broadcast(refC.agg(sum("ref_n").as("__rt"))))
+      .crossJoin(broadcast(curC.agg(sum("cur_n").as("__ct"))))
+      .withColumn("ref_n", coalesce(col("ref_n"), lit(0L)))
+      .withColumn("cur_n", coalesce(col("cur_n"), lit(0L)))
+      .withColumn("ref_frac", p)
+      .withColumn("cur_frac", q)
+      .withColumn("psi_term", (col("cur_frac") - col("ref_frac"))
+        * log(col("cur_frac") / col("ref_frac")))
+      .select("category", "ref_n", "cur_n", "ref_frac", "cur_frac", "psi_term")
+  }
+
   private def toLong(wide: DataFrame, cols: Seq[String]): DataFrame = {
     val metrics = wide.columns.filter(_.contains("__"))
     val stacked = metrics.map { m =>

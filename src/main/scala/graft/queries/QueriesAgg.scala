@@ -37,6 +37,19 @@ object QueriesAgg {
         .orderBy("bin")
     }),
 
+    "q_psi_categorical" -> ((s, dir) => {
+      // categorical drift over lang: top-3 reference categories, the other
+      // two pool into __other at every SF (5 langs exist at each)
+      val d = t(s, dir, "documents")
+      Profiler.psiCategorical(d.filter(col("doc_id") % 3 === 0),
+          d.filter(col("doc_id") % 3 =!= 0), "lang", topK = 3)
+        .select(col("category"), col("ref_n"), col("cur_n"),
+          roundf(col("ref_frac"), 6).as("ref_frac"),
+          roundf(col("cur_frac"), 6).as("cur_frac"),
+          roundf(col("psi_term"), 6).as("psi_term"))
+        .orderBy("category")
+    }),
+
     "q_moment_stats" -> ((s, dir) =>
       // skewness/kurtosis via explicit moment formulas — identical SQL on both
       // engines (built-in skewness()/kurtosis() differ between engines in
@@ -280,6 +293,32 @@ object QueriesAgg {
         |  round(p + 1e-9, 6) AS ref_frac, round(q + 1e-9, 6) AS cur_frac,
         |  round((q - p) * ln(q / p) + 1e-9, 6) AS psi_term
         |FROM fr ORDER BY bin""".stripMargin,
+
+    "q_psi_categorical" ->
+      // replays psiCategorical: top-K by (ref count desc, category asc),
+      // tail pooled to __other, smoothed fractions, natural log. sum() in
+      // DuckDB is HUGEINT — the counts must CAST back to BIGINT.
+      """WITH refd AS (SELECT lang AS v FROM documents WHERE doc_id % 3 = 0 AND lang IS NOT NULL),
+        |curd AS (SELECT lang AS v FROM documents WHERE doc_id % 3 <> 0 AND lang IS NOT NULL),
+        |rc0 AS (SELECT v AS category, count(*) AS rn FROM refd GROUP BY v),
+        |cc0 AS (SELECT v AS category, count(*) AS cn FROM curd GROUP BY v),
+        |top AS (SELECT category FROM rc0 ORDER BY rn DESC, category ASC LIMIT 3),
+        |rc AS (SELECT CASE WHEN category IN (SELECT category FROM top)
+        |    THEN category ELSE '__other' END AS category,
+        |    CAST(sum(rn) AS BIGINT) AS rn FROM rc0 GROUP BY 1),
+        |cc AS (SELECT CASE WHEN category IN (SELECT category FROM top)
+        |    THEN category ELSE '__other' END AS category,
+        |    CAST(sum(cn) AS BIGINT) AS cn FROM cc0 GROUP BY 1),
+        |spine AS (SELECT category FROM top UNION ALL SELECT '__other'),
+        |fr AS (SELECT s.category,
+        |    COALESCE(rc.rn, 0) AS ref_n, COALESCE(cc.cn, 0) AS cur_n,
+        |    greatest(COALESCE(rc.rn, 0) * 1.0 / (SELECT count(*) FROM refd), 0.000001) AS p,
+        |    greatest(COALESCE(cc.cn, 0) * 1.0 / (SELECT count(*) FROM curd), 0.000001) AS q
+        |  FROM spine s LEFT JOIN rc USING (category) LEFT JOIN cc USING (category))
+        |SELECT category, ref_n, cur_n,
+        |  round(p + 1e-9, 6) AS ref_frac, round(q + 1e-9, 6) AS cur_frac,
+        |  round((q - p) * ln(q / p) + 1e-9, 6) AS psi_term
+        |FROM fr ORDER BY category""".stripMargin,
 
     "q_quality_monitor" ->
       s"""$monitorCte

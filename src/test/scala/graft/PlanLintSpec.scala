@@ -29,6 +29,7 @@ class PlanLintSpec extends SparkSpec {
     "q_bin_quantile" -> Set("broadcast_nested_loop"),      // FeatureLib.scala:125
     "q_fill_null_mean" -> Set("broadcast_nested_loop"),    // Relational.scala:120
     "q_psi_drift" -> Set("broadcast_nested_loop"),         // Profiler.psiBins: 1-row cut/total broadcasts
+    "q_psi_categorical" -> Set("broadcast_nested_loop"),   // Profiler.psiCategorical: 1-row total broadcasts
     "q_outlier_rate" -> Set("broadcast_nested_loop"),      // QualityMetrics.scala:57
     "q_quality_monitor" -> Set("broadcast_nested_loop"),   // QualityMonitor.scala:80
     "q_quality_alerts" -> Set("broadcast_nested_loop"),    // QualityMonitor.scala:80

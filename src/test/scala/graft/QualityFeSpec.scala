@@ -552,4 +552,31 @@ class QualityFeSpec extends SparkSpec {
     assert(Profiler.psiBins(refN, cur, "v", nBins = 2)
       .agg(sum("ref_n")).collect()(0).getLong(0) == 4L)
   }
+
+  test("psiCategorical: top-K election, tail pooling, hand-computed terms") {
+    import spark.implicits._
+    // ref: a×4, b×2, c×1, d×1 — topK=2 elects {a, b}; c+d pool to __other
+    val ref = Seq("a", "a", "a", "a", "b", "b", "c", "d").toDF("v")
+    // cur: a×2, b×2, e×4 — e is unseen, pools to __other
+    val cur = Seq("a", "a", "b", "b", "e", "e", "e", "e").toDF("v")
+    val rows = Profiler.psiCategorical(ref, cur, "v", topK = 2)
+      .orderBy("category").collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("__other", "a", "b"))
+    assert(rows.map(_.getLong(1)).toSeq == Seq(2L, 4L, 2L)) // ref_n
+    assert(rows.map(_.getLong(2)).toSeq == Seq(4L, 2L, 2L)) // cur_n
+    // a: (.25-.5)ln(.25/.5); b: 0; __other: (.5-.25)ln(.5/.25)
+    val terms = rows.map(r => r.getString(0) -> r.getDouble(5)).toMap
+    assert(math.abs(terms("a") - 0.25 * math.log(2.0)) < 1e-12)
+    assert(terms("b") == 0.0)
+    assert(math.abs(terms("__other") - 0.25 * math.log(2.0)) < 1e-12)
+    // zero drift law
+    val zero = Profiler.psiCategorical(ref, ref, "v", topK = 2)
+      .agg(sum("psi_term")).collect()(0).getDouble(0)
+    assert(zero == 0.0)
+    // an elected category absent from cur appears with count 0 and the clamp
+    val curNoB = Seq("a", "a").toDF("v")
+    val noB = Profiler.psiCategorical(ref, curNoB, "v", topK = 2)
+      .orderBy("category").collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(noB("b") == 0L && noB("__other") == 0L)
+  }
 }
