@@ -183,15 +183,24 @@ object Profiler {
     require(nBins >= 2, s"psiBins: nBins must be >= 2, got $nBins")
     require(epsilon > 0 && epsilon < 1, s"psiBins: epsilon must be in (0,1), got $epsilon")
     val c = col(valueCol)
-    val cuts = (1 until nBins).map(i => percentile(c, lit(i.toDouble / nBins)).as(s"__q$i"))
-    val cutRow = broadcast(ref.filter(c.isNotNull).agg(cuts.head, cuts.tail: _*))
+    // The cut points are COLLECTED to driver literals (one eager job here,
+    // nBins-1 doubles — the Pq-codebook/bigram-vocab pattern): composed
+    // lazily they would ride a crossJoin into BOTH sides' bin counts, and
+    // Spark has no common-subplan reuse, so the reference would be scanned
+    // once per use. As literals the bin index is pure codegen'd arithmetic.
+    val cutExprs = (1 until nBins).map(i => percentile(c, lit(i.toDouble / nBins)))
+    val cutVals = ref.filter(c.isNotNull).agg(cutExprs.head, cutExprs.tail: _*).first()
     def binCounts(df: DataFrame, out: String) = {
       val binIdx = (1 until nBins).foldLeft(lit(0): Column) { (acc, i) =>
-        acc + when(c > col(s"__q$i"), 1).otherwise(0)
+        acc + (if (cutVals.isNullAt(i - 1)) lit(0) // empty reference: no cuts
+               else when(c > lit(cutVals.getDouble(i - 1)), 1).otherwise(0))
       }
-      df.filter(c.isNotNull).crossJoin(cutRow)
+      df.filter(c.isNotNull)
         .select(binIdx.cast("int").as("bin"))
         .groupBy("bin").agg(count(lit(1)).as(out))
+        // persisted: referenced twice below (spine join + total); bounded at
+        // <= nBins rows, cache-served on the second subtree at action time
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     }
     val refC = binCounts(ref, "ref_n")
     val curC = binCounts(cur, "cur_n")
@@ -238,9 +247,14 @@ object Profiler {
     require(topK >= 1, s"psiCategorical: topK must be >= 1, got $topK")
     require(epsilon > 0 && epsilon < 1, s"psiCategorical: epsilon must be in (0,1), got $epsilon")
     val c = col(valueCol)
+    // persisted: refC feeds the top-K election, the pooled join AND the
+    // total (curC: pooled + total) — without the cache each composed
+    // subtree would re-scan its corpus (no common-subplan reuse in Spark).
+    // Bounded at |distinct| rows, cache-served at action time.
     def counts(df: DataFrame, out: String) =
       df.filter(c.isNotNull).select(c.cast("string").as("category"))
         .groupBy("category").agg(count(lit(1)).as(out))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val refC = counts(ref, "ref_n")
     val curC = counts(cur, "cur_n")
     val top = refC.orderBy(col("ref_n").desc, col("category").asc)
