@@ -183,34 +183,43 @@ object Profiler {
     require(nBins >= 2, s"psiBins: nBins must be >= 2, got $nBins")
     require(epsilon > 0 && epsilon < 1, s"psiBins: epsilon must be in (0,1), got $epsilon")
     val c = col(valueCol)
+    // NaN is excluded like null on BOTH sides (the stated missingness
+    // policy): Spark sorts NaN above +Inf, so a reference NaN would poison
+    // the upper cut points and a current-side NaN would pile into the top
+    // bin — silent distortion, not drift.
+    val keep = c.isNotNull && !isnan(c.cast("double"))
     // The cut points are COLLECTED to driver literals (one eager job here,
     // nBins-1 doubles — the Pq-codebook/bigram-vocab pattern): composed
     // lazily they would ride a crossJoin into BOTH sides' bin counts, and
     // Spark has no common-subplan reuse, so the reference would be scanned
     // once per use. As literals the bin index is pure codegen'd arithmetic.
     val cutExprs = (1 until nBins).map(i => percentile(c, lit(i.toDouble / nBins)))
-    val cutVals = ref.filter(c.isNotNull).agg(cutExprs.head, cutExprs.tail: _*).first()
-    def binCounts(df: DataFrame, out: String) = {
+    val cutVals = ref.filter(keep).agg(cutExprs.head, cutExprs.tail: _*).first()
+    // totals ride a whole-frame window over the ALREADY-AGGREGATED
+    // <= nBins-row count frame (the q_spearman/q_length_histogram
+    // allowance class) so each corpus appears exactly ONCE in the lazy
+    // plan — a separate .agg total would duplicate the corpus-scan
+    // subtree, and a persist would leak cache entries the lazy result
+    // could never release. A spine bin absent from a side has a null
+    // total, which greatest() skips — its fraction takes the epsilon
+    // clamp, the same value 0/total would.
+    def binCounts(df: DataFrame, out: String, tot: String) = {
       val binIdx = (1 until nBins).foldLeft(lit(0): Column) { (acc, i) =>
         acc + (if (cutVals.isNullAt(i - 1)) lit(0) // empty reference: no cuts
                else when(c > lit(cutVals.getDouble(i - 1)), 1).otherwise(0))
       }
-      df.filter(c.isNotNull)
+      df.filter(keep)
         .select(binIdx.cast("int").as("bin"))
         .groupBy("bin").agg(count(lit(1)).as(out))
-        // persisted: referenced twice below (spine join + total); bounded at
-        // <= nBins rows, cache-served on the second subtree at action time
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .withColumn(tot, sum(out).over(Window.partitionBy()))
     }
-    val refC = binCounts(ref, "ref_n")
-    val curC = binCounts(cur, "cur_n")
+    val refC = binCounts(ref, "ref_n", "__rt")
+    val curC = binCounts(cur, "cur_n", "__ct")
     val spine = ref.sparkSession.range(nBins).select(col("id").cast("int").as("bin"))
     val p = greatest(col("ref_n").cast("double") / col("__rt"), lit(epsilon))
     val q = greatest(col("cur_n").cast("double") / col("__ct"), lit(epsilon))
     spine.join(broadcast(refC), Seq("bin"), "left")
       .join(broadcast(curC), Seq("bin"), "left")
-      .crossJoin(broadcast(refC.agg(sum("ref_n").as("__rt"))))
-      .crossJoin(broadcast(curC.agg(sum("cur_n").as("__ct"))))
       .withColumn("ref_n", coalesce(col("ref_n"), lit(0L)))
       .withColumn("cur_n", coalesce(col("cur_n"), lit(0L)))
       .withColumn("ref_frac", p)
@@ -220,10 +229,17 @@ object Profiler {
       .select("bin", "ref_n", "cur_n", "ref_frac", "cur_frac", "psi_term")
   }
 
+  /** Single-row total PSI over an already-built [[psiBins]] /
+    * [[psiCategorical]] frame — use this form to avoid re-running the
+    * eager cut/election job when you need both the detail and the total.
+    */
+  def psiTotal(bins: DataFrame): DataFrame =
+    bins.agg(sum("psi_term").as("psi"))
+
   /** Single-row total PSI — sum of [[psiBins]]' per-bin contributions. */
   def psiTotal(ref: DataFrame, cur: DataFrame, valueCol: String, nBins: Int = 10,
                epsilon: Double = 1e-6): DataFrame =
-    psiBins(ref, cur, valueCol, nBins, epsilon).agg(sum("psi_term").as("psi"))
+    psiTotal(psiBins(ref, cur, valueCol, nBins, epsilon))
 
   /** Categorical PSI: drift of a category column's distribution — buckets
     * are the top-`topK` categories BY REFERENCE frequency (ties: count
@@ -247,33 +263,36 @@ object Profiler {
     require(topK >= 1, s"psiCategorical: topK must be >= 1, got $topK")
     require(epsilon > 0 && epsilon < 1, s"psiCategorical: epsilon must be in (0,1), got $epsilon")
     val c = col(valueCol)
-    // persisted: refC feeds the top-K election, the pooled join AND the
-    // total (curC: pooled + total) — without the cache each composed
-    // subtree would re-scan its corpus (no common-subplan reuse in Spark).
-    // Bounded at |distinct| rows, cache-served at action time.
     def counts(df: DataFrame, out: String) =
       df.filter(c.isNotNull).select(c.cast("string").as("category"))
         .groupBy("category").agg(count(lit(1)).as(out))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val refC = counts(ref, "ref_n")
-    val curC = counts(cur, "cur_n")
-    val top = refC.orderBy(col("ref_n").desc, col("category").asc)
-      .limit(topK).select("category")
-    // pool the tail of each side's AGGREGATED count frame into __other,
-    // then re-aggregate — |distinct| rows, never the corpus
-    def pooled(cnt: DataFrame, out: String) =
-      cnt.join(broadcast(top.withColumn("__keep", lit(1))), Seq("category"), "left")
-        .select(when(col("__keep").isNotNull, col("category"))
+    // The top-K election is COLLECTED to driver literals (one eager
+    // TakeOrdered job over the aggregated count frame — bounded at topK
+    // strings, the cut-literal pattern of psiBins): composed lazily the
+    // elected frame would be referenced by the ref side, the cur side AND
+    // the spine, and Spark's lack of common-subplan reuse would re-scan
+    // the reference corpus once per reference. With literals each corpus
+    // appears exactly once in the lazy plan and membership is a codegen'd
+    // isin. Totals ride a whole-frame window over the pooled <= topK+1-row
+    // frame (pooling preserves the sum; same allowance class as psiBins).
+    val topCats = counts(ref, "ref_n")
+      .orderBy(col("ref_n").desc, col("category").asc)
+      .limit(topK).select("category").collect().map(_.getString(0)).toSeq
+    def pooled(df: DataFrame, out: String, tot: String) =
+      counts(df, out)
+        .select(when(col("category").isin(topCats: _*), col("category"))
           .otherwise(lit("__other")).as("category"), col(out))
         .groupBy("category").agg(sum(out).as(out))
-    val spine = top.unionByName(
-      ref.sparkSession.range(1).select(lit("__other").as("category")))
+        .withColumn(tot, sum(out).over(Window.partitionBy()))
+    import ref.sparkSession.implicits._
+    // distinct: a LITERAL reference category named "__other" (already
+    // elected into the top-K) must not duplicate the sentinel spine row —
+    // its counts pool with the tail either way (documented above)
+    val spine = (topCats :+ "__other").distinct.toDF("category")
     val p = greatest(col("ref_n").cast("double") / col("__rt"), lit(epsilon))
     val q = greatest(col("cur_n").cast("double") / col("__ct"), lit(epsilon))
-    spine.join(broadcast(pooled(refC, "ref_n")), Seq("category"), "left")
-      .join(broadcast(pooled(curC, "cur_n")), Seq("category"), "left")
-      .crossJoin(broadcast(refC.agg(sum("ref_n").as("__rt"))))
-      .crossJoin(broadcast(curC.agg(sum("cur_n").as("__ct"))))
+    spine.join(broadcast(pooled(ref, "ref_n", "__rt")), Seq("category"), "left")
+      .join(broadcast(pooled(cur, "cur_n", "__ct")), Seq("category"), "left")
       .withColumn("ref_n", coalesce(col("ref_n"), lit(0L)))
       .withColumn("cur_n", coalesce(col("cur_n"), lit(0L)))
       .withColumn("ref_frac", p)

@@ -28,8 +28,11 @@ class PlanLintSpec extends SparkSpec {
     "q_bin_uniform" -> Set("broadcast_nested_loop"),       // FeatureLib.scala:81
     "q_bin_quantile" -> Set("broadcast_nested_loop"),      // FeatureLib.scala:125
     "q_fill_null_mean" -> Set("broadcast_nested_loop"),    // Relational.scala:120
-    "q_psi_drift" -> Set("broadcast_nested_loop"),         // Profiler.psiBins: 1-row cut/total broadcasts
-    "q_psi_categorical" -> Set("broadcast_nested_loop"),   // Profiler.psiCategorical: 1-row total broadcasts
+    // whole-frame total over the ALREADY-AGGREGATED <= bins/topK+1-row
+    // count frame (cut points / top-K election are driver literals, so
+    // each corpus appears once in the plan — see Profiler.psiBins)
+    "q_psi_drift" -> Set("global_window"),
+    "q_psi_categorical" -> Set("global_window"),
     "q_outlier_rate" -> Set("broadcast_nested_loop"),      // QualityMetrics.scala:57
     "q_quality_monitor" -> Set("broadcast_nested_loop"),   // QualityMonitor.scala:80
     "q_quality_alerts" -> Set("broadcast_nested_loop"),    // QualityMonitor.scala:80

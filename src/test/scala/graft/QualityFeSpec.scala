@@ -547,10 +547,15 @@ class QualityFeSpec extends SparkSpec {
     val rows = Profiler.psiBins(ref, curHi, "v", nBins = 2).orderBy("bin").collect()
     assert(rows(0).getLong(2) == 0L && rows(0).getDouble(4) == 1e-6)
     assert(rows(0).getDouble(5).isFinite && rows(0).getDouble(5) > 0)
-    // nulls are excluded, not binned
-    val refN = Seq[java.lang.Double](1.0, 2.0, 3.0, 4.0, null).toDF("v")
+    // nulls AND NaN are excluded, not binned: a reference NaN would poison
+    // the upper cuts (NaN sorts above +Inf), a current NaN would pile into
+    // the top bin
+    val refN = Seq[java.lang.Double](1.0, 2.0, 3.0, 4.0, null, Double.NaN).toDF("v")
     assert(Profiler.psiBins(refN, cur, "v", nBins = 2)
       .agg(sum("ref_n")).collect()(0).getLong(0) == 4L)
+    val curN = Seq(1.0, 3.0, 3.0, 3.0, Double.NaN).toDF("v")
+    assert(Profiler.psiBins(ref, curN, "v", nBins = 2)
+      .agg(sum("cur_n")).collect()(0).getLong(0) == 4L)
   }
 
   test("psiCategorical: top-K election, tail pooling, hand-computed terms") {
@@ -578,5 +583,12 @@ class QualityFeSpec extends SparkSpec {
     val noB = Profiler.psiCategorical(ref, curNoB, "v", topK = 2)
       .orderBy("category").collect().map(r => r.getString(0) -> r.getLong(2)).toMap
     assert(noB("b") == 0L && noB("__other") == 0L)
+    // a LITERAL category named "__other" elected into the top-K must not
+    // duplicate the sentinel spine row (its counts pool with the tail)
+    val refO = Seq("__other", "__other", "x").toDF("v")
+    val oRows = Profiler.psiCategorical(refO, refO, "v", topK = 1)
+      .orderBy("category").collect()
+    assert(oRows.map(_.getString(0)).toSeq == Seq("__other"))
+    assert(oRows(0).getLong(1) == 3L) // elected __other + pooled tail merge
   }
 }
