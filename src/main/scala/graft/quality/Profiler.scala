@@ -179,50 +179,86 @@ object Profiler {
     * psi_term); total PSI = sum(psi_term) (see [[psiTotal]]).
     */
   def psiBins(ref: DataFrame, cur: DataFrame, valueCol: String, nBins: Int = 10,
-              epsilon: Double = 1e-6): DataFrame = {
-    require(nBins >= 2, s"psiBins: nBins must be >= 2, got $nBins")
-    require(epsilon > 0 && epsilon < 1, s"psiBins: epsilon must be in (0,1), got $epsilon")
+              epsilon: Double = 1e-6): DataFrame =
+    psiApply(cur, valueCol, psiFit(ref, valueCol, nBins, epsilon))
+
+  /** Fitted PSI reference: cut points (empty when the reference had no
+    * usable values — everything then bins to 0), per-bin reference counts,
+    * and the SMOOTHED reference fractions. All bounded at nBins entries —
+    * safe driver state, reusable across batches (and micro-batches: see
+    * StreamOps.psiDriftMonitor, which fits once and scores every trigger).
+    */
+  case class PsiFit(cuts: Seq[Double], refN: Seq[Long], refFrac: Seq[Double],
+                    epsilon: Double) {
+    def nBins: Int = refN.length
+  }
+
+  /** NaN is excluded like null on BOTH sides (the stated missingness
+    * policy): Spark sorts NaN above +Inf, so a reference NaN would poison
+    * the upper cut points and a current-side NaN would pile into the top
+    * bin — silent distortion, not drift.
+    */
+  private def psiKeep(c: Column): Column = c.isNotNull && !isnan(c.cast("double"))
+
+  /** Sum-of-indicators bin index over driver-literal cuts — pure codegen'd
+    * arithmetic, no join needed to deliver the cut points.
+    */
+  private def psiBinIdx(c: Column, cuts: Seq[Double]): Column =
+    cuts.foldLeft(lit(0): Column)((acc, q) => acc + when(c > lit(q), 1).otherwise(0))
+
+  /** Fit the reference side of a PSI gate: exact percentile cuts and the
+    * per-bin reference fractions, COLLECTED to driver literals (two eager
+    * bounded jobs — the Pq-codebook/bigram-vocab pattern). Composed lazily
+    * the reference subtrees would be re-scanned once per use (Spark has no
+    * common-subplan reuse); as literals the reference corpus is scanned
+    * exactly twice at fit time and never again, however many frames or
+    * micro-batches are scored against the fit.
+    */
+  def psiFit(ref: DataFrame, valueCol: String, nBins: Int = 10,
+             epsilon: Double = 1e-6): PsiFit = {
+    require(nBins >= 2, s"psiFit: nBins must be >= 2, got $nBins")
+    require(epsilon > 0 && epsilon < 1, s"psiFit: epsilon must be in (0,1), got $epsilon")
     val c = col(valueCol)
-    // NaN is excluded like null on BOTH sides (the stated missingness
-    // policy): Spark sorts NaN above +Inf, so a reference NaN would poison
-    // the upper cut points and a current-side NaN would pile into the top
-    // bin — silent distortion, not drift.
-    val keep = c.isNotNull && !isnan(c.cast("double"))
-    // The cut points are COLLECTED to driver literals (one eager job here,
-    // nBins-1 doubles — the Pq-codebook/bigram-vocab pattern): composed
-    // lazily they would ride a crossJoin into BOTH sides' bin counts, and
-    // Spark has no common-subplan reuse, so the reference would be scanned
-    // once per use. As literals the bin index is pure codegen'd arithmetic.
     val cutExprs = (1 until nBins).map(i => percentile(c, lit(i.toDouble / nBins)))
-    val cutVals = ref.filter(keep).agg(cutExprs.head, cutExprs.tail: _*).first()
-    // totals ride a whole-frame window over the ALREADY-AGGREGATED
-    // <= nBins-row count frame (the q_spearman/q_length_histogram
-    // allowance class) so each corpus appears exactly ONCE in the lazy
-    // plan — a separate .agg total would duplicate the corpus-scan
-    // subtree, and a persist would leak cache entries the lazy result
-    // could never release. A spine bin absent from a side has a null
-    // total, which greatest() skips — its fraction takes the epsilon
-    // clamp, the same value 0/total would.
-    def binCounts(df: DataFrame, out: String, tot: String) = {
-      val binIdx = (1 until nBins).foldLeft(lit(0): Column) { (acc, i) =>
-        acc + (if (cutVals.isNullAt(i - 1)) lit(0) // empty reference: no cuts
-               else when(c > lit(cutVals.getDouble(i - 1)), 1).otherwise(0))
-      }
-      df.filter(keep)
-        .select(binIdx.cast("int").as("bin"))
-        .groupBy("bin").agg(count(lit(1)).as(out))
-        .withColumn(tot, sum(out).over(Window.partitionBy()))
-    }
-    val refC = binCounts(ref, "ref_n", "__rt")
-    val curC = binCounts(cur, "cur_n", "__ct")
-    val spine = ref.sparkSession.range(nBins).select(col("id").cast("int").as("bin"))
-    val p = greatest(col("ref_n").cast("double") / col("__rt"), lit(epsilon))
-    val q = greatest(col("cur_n").cast("double") / col("__ct"), lit(epsilon))
-    spine.join(broadcast(refC), Seq("bin"), "left")
-      .join(broadcast(curC), Seq("bin"), "left")
-      .withColumn("ref_n", coalesce(col("ref_n"), lit(0L)))
+    val cutRow = ref.filter(psiKeep(c)).agg(cutExprs.head, cutExprs.tail: _*).first()
+    // percentile returns null only for empty input, so the cuts are all
+    // null or all present — empty reference degrades to a single bin
+    val cuts = if (cutRow.isNullAt(0)) Seq.empty[Double]
+               else (0 until nBins - 1).map(cutRow.getDouble)
+    val counts = ref.filter(psiKeep(c))
+      .select(psiBinIdx(c, cuts).cast("int").as("bin"))
+      .groupBy("bin").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val refN = (0 until nBins).map(b => counts.getOrElse(b, 0L))
+    val total = refN.sum.toDouble
+    // same IEEE ops the in-plan formulation evaluated: long->double
+    // division then the epsilon clamp (empty reference: clamp directly)
+    val refFrac = refN.map(n => if (total == 0) epsilon else math.max(n / total, epsilon))
+    PsiFit(cuts, refN, refFrac, epsilon)
+  }
+
+  /** Score a frame against a fitted PSI reference — the current side's
+    * counts are one map-side-combined aggregate; its total rides a
+    * whole-frame window over the ALREADY-AGGREGATED <= nBins-row count
+    * frame (the q_spearman/q_length_histogram allowance class), and the
+    * reference side is a literal nBins-row spine. The scored corpus
+    * appears exactly once in the plan and never shuffles raw rows. A
+    * spine bin absent from the current side has a null total, which
+    * greatest() skips — its fraction takes the epsilon clamp, the same
+    * value 0/total would.
+    */
+  def psiApply(cur: DataFrame, valueCol: String, fit: PsiFit): DataFrame = {
+    val c = col(valueCol)
+    val curC = cur.filter(psiKeep(c))
+      .select(psiBinIdx(c, fit.cuts).cast("int").as("bin"))
+      .groupBy("bin").agg(count(lit(1)).as("cur_n"))
+      .withColumn("__ct", sum("cur_n").over(Window.partitionBy()))
+    import cur.sparkSession.implicits._
+    val spine = fit.refN.indices.map(b => (b, fit.refN(b), fit.refFrac(b)))
+      .toDF("bin", "ref_n", "ref_frac")
+    val q = greatest(col("cur_n").cast("double") / col("__ct"), lit(fit.epsilon))
+    spine.join(broadcast(curC), Seq("bin"), "left")
       .withColumn("cur_n", coalesce(col("cur_n"), lit(0L)))
-      .withColumn("ref_frac", p)
       .withColumn("cur_frac", q)
       .withColumn("psi_term", (col("cur_frac") - col("ref_frac"))
         * log(col("cur_frac") / col("ref_frac")))

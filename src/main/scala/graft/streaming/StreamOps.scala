@@ -227,6 +227,26 @@ object StreamOps {
     // this method exists as the documented streaming entry point
     graft.ops.Scale.excludeKeysBloom(df, keyCol, blocklist, blockKeyCol, fpp)
 
+  /** Per-micro-batch PSI drift monitor — the ingestion-time form of
+    * Profiler.psiBins: the REFERENCE (training snapshot / last accepted
+    * batch) is fitted ONCE at setup (exact percentile cuts + smoothed
+    * per-bin fractions, bounded driver literals — Profiler.psiFit), then
+    * every micro-batch is scored independently against that fit
+    * (Profiler.psiApply: one tiny batch-local aggregate per trigger; the
+    * reference is never re-scanned). `onResult` receives the per-bin PSI
+    * frame and the batch id — route it to the quality monitor, a KV sink,
+    * or an alert gate (sum(psi_term) > 0.25 = investigate).
+    */
+  def psiDriftMonitor(stream: DataFrame, ref: DataFrame, valueCol: String,
+                      checkpoint: String, nBins: Int = 10, epsilon: Double = 1e-6,
+                      intervalMs: Long = 1000L)(
+      onResult: (DataFrame, Long) => Unit): DataStreamWriter[org.apache.spark.sql.Row] = {
+    val fit = graft.quality.Profiler.psiFit(ref, valueCol, nBins, epsilon)
+    foreachBatchSink(stream, checkpoint, intervalMs, "append") { (batch, id) =>
+      onResult(graft.quality.Profiler.psiApply(batch, valueCol, fit), id)
+    }
+  }
+
   // ---------------------------------------------------------------- sinks
 
   /** Checkpointed foreachBatch sink — the fan-out point for Redis/JDBC/Kafka

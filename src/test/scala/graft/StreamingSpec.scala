@@ -319,4 +319,37 @@ class StreamingSpec extends SparkSpec {
       assert(rows.sorted.toSeq == Seq("a", "b"))
     } finally q.stop()
   }
+
+  test("psiDriftMonitor: fit once, score every micro-batch against it") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    // reference [1,2,3,4]: median cut 2.5 -> fracs (0.5, 0.5)
+    val ref = Seq(1.0, 2.0, 3.0, 4.0).toDF("v")
+    val results = scala.collection.mutable.Map[Long, Map[Int, (Long, Double)]]()
+    val cp = java.nio.file.Files.createTempDirectory("psi_cp").toString
+    val q = StreamOps.psiDriftMonitor(
+        input.toDF(), ref, "v", cp, nBins = 2, intervalMs = 10L) { (psi, id) =>
+      results.synchronized {
+        results(id) = psi.collect()
+          .map(r => r.getInt(0) -> ((r.getLong(2), r.getDouble(5)))).toMap
+      }
+    }.start()
+    try {
+      // batch 0 matches the reference exactly -> every term 0
+      input.addData(Seq(1.0, 2.0, 3.0, 4.0).map(v => Ev(t("2024-01-01 00:00:00"), "a", v)): _*)
+      q.processAllAvailable()
+      // batch 1 is all-high -> bin 0 empty (epsilon clamp), drift positive
+      input.addData(Seq(3.0, 4.0, 9.0).map(v => Ev(t("2024-01-01 00:01:00"), "a", v)): _*)
+      q.processAllAvailable()
+      val b0 = results.synchronized(results(0L))
+      assert(b0(0) == ((2L, 0.0)) && b0(1) == ((2L, 0.0)),
+        s"identical batch must score zero drift, got $b0")
+      val b1 = results.synchronized(results(1L))
+      assert(b1(0)._1 == 0L && b1(1)._1 == 3L, s"got $b1")
+      // bin 1: (1 - 0.5) * ln(1 / 0.5); bin 0: (1e-6 - 0.5) * ln(1e-6 / 0.5)
+      assert(math.abs(b1(1)._2 - 0.5 * math.log(2.0)) < 1e-9)
+      assert(b1(0)._2 > 6.0, "near-empty bin against 0.5 ref mass is a large positive term")
+      // the reference fit is literals: each micro-batch job is batch-local
+    } finally q.stop()
+  }
 }
