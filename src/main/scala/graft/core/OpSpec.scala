@@ -247,6 +247,12 @@ object OpCompiler {
       case "decompose" =>
         TimeSeriesLib.seasonalDecompose(df, s(p, "column"), s(p, "period", "24").toInt,
           s(p, "order_by", ts), keys, s(p, "model", "additive"))
+      case "sessionize" =>
+        TimeSeriesLib.sessionize(df, ts, s(p, "gap_seconds", "1800").toLong, keys,
+          s(p, "session_col", "session_id"))
+      case "session_stats" =>
+        TimeSeriesLib.sessionStats(df, ts, s(p, "gap_seconds", "1800").toLong, keys,
+          pairs(p, "aggregations"))
       case other => throw new IllegalArgumentException(s"Unknown time_series operation: $other")
     }
   }

@@ -463,4 +463,69 @@ object TimeSeriesLib {
         else v - col("trend") - col("seasonal"))
       .drop("__rn", "__phase", "__detr", "__phaseMean", "__phaseRep")
   }
+
+  // ---------------------------------------------------------------- sessions
+
+  /** Batch sessionization (gaps-and-islands): every event gets a per-key
+    * session ordinal; a gap of more than `gapSeconds` between consecutive
+    * events opens a new session. The batch analogue of the streaming
+    * `session_window` aggregate (StreamOps.sessionWindows), but keeps the
+    * EVENT rows — the shape needed to join session context back onto events
+    * or feed per-session downstream features.
+    *
+    * Scale shape: one exchange on `keys`, per-key windows only (no empty
+    * PARTITION BY — parallelism grows with the key space). Null keys would
+    * all land in one unsplittable window partition; `sessionize` leaves them
+    * in a single per-key stream like any other key (callers with null-heavy
+    * keys should pre-filter, as Dedup.exact does with sentinel keys).
+    *
+    * Determinism under timestamp ties: tied events see gap 0, so they never
+    * open a session, and the running `sum(__new)` assigns them the same
+    * ordinal regardless of tie order.
+    */
+  def sessionize(
+      df: DataFrame,
+      tsCol: String,
+      gapSeconds: Long,
+      keys: Seq[String],
+      sessionCol: String = "session_id"
+  ): DataFrame = {
+    require(keys.nonEmpty, "sessionize: at least one key column is required")
+    val kw = Window.partitionBy(keys.map(col): _*).orderBy(col(tsCol))
+    val prevTs = lag(col(tsCol), 1).over(kw)
+    // >= gap opens a new session: Spark's session_window is [ts, ts+gap)
+    // with an EXCLUSIVE end, so an event at exactly prev+gap starts a new
+    // session — batch and streaming sessionization agree on boundaries.
+    val isNew = when(
+      prevTs.isNull ||
+        (unix_micros(col(tsCol)) - unix_micros(prevTs)) >= gapSeconds * 1000000L,
+      1L).otherwise(0L)
+    df.withColumn("__new", isNew)
+      .withColumn(sessionCol, sum(col("__new")).over(kw))
+      .drop("__new")
+  }
+
+  /** Collapse sessionized events to one row per (key, session): bounds,
+    * event count, duration, plus caller aggregations. Composes `sessionize`
+    * with a grouped aggregate — two exchanges total, both on the key space.
+    */
+  def sessionStats(
+      df: DataFrame,
+      tsCol: String,
+      gapSeconds: Long,
+      keys: Seq[String],
+      aggs: Seq[(String, String)] = Nil
+  ): DataFrame = {
+    val sessions = sessionize(df, tsCol, gapSeconds, keys)
+    val baseAggs = Seq(
+      min(col(tsCol)).as("session_start"),
+      max(col(tsCol)).as("session_end"),
+      count(lit(1)).as("n_events"),
+      ((unix_micros(max(col(tsCol))) - unix_micros(min(col(tsCol)))) / 1000000.0)
+        .as("duration_seconds"))
+    val extra = aggs.map { case (c, f) => graft.ops.Relational.aggExpr(f, c).as(s"${c}_$f") }
+    val all = baseAggs ++ extra
+    sessions.groupBy((keys :+ "session_id").map(col): _*)
+      .agg(all.head, all.tail: _*)
+  }
 }

@@ -160,6 +160,16 @@ object QueriesTime {
         .orderBy("signup_id")
     }),
 
+    "q_sessionize" -> ((s, dir) =>
+      TimeSeriesLib.sessionStats(t(s, dir, "events"), "ts", 1800L, Seq("user_id"),
+          Seq("value" -> "sum"))
+        .select(col("user_id"), col("session_id"),
+          date_format(col("session_start"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("session_start"),
+          date_format(col("session_end"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("session_end"),
+          col("n_events"), round(col("duration_seconds"), 3).as("duration_s"),
+          round(col("value_sum"), 3).as("total"))
+        .orderBy("user_id", "session_start")),
+
     "q_stream_tumbling" -> ((s, dir) =>
       t(s, dir, "events")
         .groupBy(window(col("ts"), "5 minutes").as("w"), col("event_type"))
@@ -433,6 +443,26 @@ object QueriesTime {
         |SELECT strftime(make_timestamp(b*1000000), '%Y-%m-%d %H:%M:%S') AS w_start,
         |  event_type, count(*) AS n
         |FROM x GROUP BY 1, 2 ORDER BY w_start, event_type""".stripMargin,
+
+    "q_sessionize" ->
+      // gaps-and-islands replay of TimeSeriesLib.sessionize: >= gap opens a
+      // session (session_window parity); sid uses the DEFAULT (RANGE) frame
+      // on both sides so timestamp ties share an ordinal deterministically
+      """WITH o AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800 * 1000000 THEN 1 ELSE 0 END AS new_s
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |g AS (SELECT user_id, ts, value,
+        |        CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts) AS BIGINT) AS session_id
+        |      FROM o)
+        |SELECT user_id, session_id,
+        |  strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+        |  strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_end,
+        |  count(*) AS n_events,
+        |  round((epoch_us(max(ts)) - epoch_us(min(ts))) / 1000000.0, 3) AS duration_s,
+        |  round(sum(value), 3) AS total
+        |FROM g GROUP BY user_id, session_id ORDER BY user_id, session_start""".stripMargin,
 
     "q_stream_session" ->
       """WITH o AS (

@@ -132,4 +132,36 @@ class TimeSeriesSpec extends SparkSpec {
     val flagged = out.filter($"v_changepoint").select("t").as[Int].collect()
     assert(flagged.nonEmpty && flagged.forall(t => t >= 20 && t <= 26))
   }
+
+  test("sessionize: >= gap opens a session (session_window exclusive-end parity), ties share") {
+    // u1: 10:00, 10:10 (same session), 10:40 (exactly 30min after 10:10 ->
+    // NEW session, exclusive end), plus a tie at 10:40 that must share the
+    // ordinal; u2 independent
+    val df = Seq(
+      ("u1", "2024-01-01 10:00:00"), ("u1", "2024-01-01 10:10:00"),
+      ("u1", "2024-01-01 10:40:00"), ("u1", "2024-01-01 10:40:00"),
+      ("u2", "2024-01-01 09:00:00")
+    ).toDF("u", "s").withColumn("ts", to_timestamp($"s"))
+    val out = TimeSeriesLib.sessionize(df, "ts", 1800L, Seq("u"))
+      .select("u", "s", "session_id").as[(String, String, Long)].collect().toSet
+    assert(out == Set(
+      ("u1", "2024-01-01 10:00:00", 1L), ("u1", "2024-01-01 10:10:00", 1L),
+      ("u1", "2024-01-01 10:40:00", 2L), ("u2", "2024-01-01 09:00:00", 1L)))
+    // both tied rows present and share ordinal 2
+    val tied = TimeSeriesLib.sessionize(df, "ts", 1800L, Seq("u"))
+      .filter($"s" === "2024-01-01 10:40:00").select("session_id").as[Long].collect()
+    assert(tied.toSeq == Seq(2L, 2L))
+  }
+
+  test("sessionStats: bounds, counts, duration, and caller aggs per session") {
+    val df = Seq(
+      ("u1", "2024-01-01 10:00:00", 1.0), ("u1", "2024-01-01 10:10:00", 2.0),
+      ("u1", "2024-01-01 11:00:00", 5.0)
+    ).toDF("u", "s", "v").withColumn("ts", to_timestamp($"s"))
+    val out = TimeSeriesLib.sessionStats(df, "ts", 1800L, Seq("u"), Seq("v" -> "sum"))
+      .orderBy("session_id")
+      .select($"session_id", $"n_events", $"duration_seconds", $"v_sum")
+      .as[(Long, Long, Double, Double)].collect().toSeq
+    assert(out == Seq((1L, 2L, 600.0, 3.0), (2L, 1L, 0.0, 5.0)))
+  }
 }
