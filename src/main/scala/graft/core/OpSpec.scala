@@ -71,6 +71,11 @@ object OpSpec {
     * or the WARN/FAIL alert relation (emit: alerts).
     */
   final case class QualityMonitorOp(params: Map[String, Any])                       extends OpSpec
+  /** SCD Type-2 dimension maintenance (graft.ops.Scd): operation=init turns
+    * the frame into an open-version dimension; operation=apply merges the
+    * change batch in `updates_table` into the frame (the dimension).
+    */
+  final case class Scd2Op(params: Map[String, Any])                                 extends OpSpec
   /** Inline expectation gate (ecommerce_pipeline.yaml:28-39 `validate` op):
     * rows satisfying `expression` must be ≥ min_ratio, else the pipeline
     * fails. NOTE: this is an action (it counts), by design — validation is a
@@ -127,6 +132,15 @@ object OpCompiler {
     case TextProcessing(p)             => applyTextProcessing(df, p, tables)
     case MultimodalOp(p)               => applyMultimodal(df, p)
     case QualityMonitorOp(p)           => applyQualityMonitor(df, p)
+    case Scd2Op(p)                     =>
+      val keys = seqOf(p, "keys"); val tracked = seqOf(p, "tracked")
+      val ts = s(p, "ts_col", "ts")
+      s(p, "operation", "apply") match {
+        case "init"  => graft.ops.Scd.scd2Init(df, keys, tracked, ts)
+        case "apply" => graft.ops.Scd.scd2Apply(df, tables(s(p, "updates_table")),
+          keys, tracked, ts, seqOf(p, "order_by"))
+        case other   => throw new IllegalArgumentException(s"Unknown scd2 operation: $other")
+      }
   }
 
   // ------------------------------------------------- dynamic-param dispatch

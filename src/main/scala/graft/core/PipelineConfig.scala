@@ -151,6 +151,7 @@ object PipelineConfig {
       case "text_processing"         => TextProcessing(params)
       case "multimodal"              => MultimodalOp(params)
       case "quality_monitor"         => QualityMonitorOp(params)
+      case "scd2"                    => Scd2Op(params)
       case "windowed_aggregation"    => TimeSeriesProcessing(params + ("operation" -> "resample"))
       case "validate"                => Validate(params)
       case other => throw new IllegalArgumentException(s"Unknown operation type: $other")

@@ -170,6 +170,29 @@ object QueriesTime {
           round(col("value_sum"), 3).as("total"))
         .orderBy("user_id", "session_start")),
 
+    "q_scd2_apply" -> ((s, dir) => {
+      // two-batch incremental apply must equal the single-pass chain the
+      // oracle computes — this IS the SCD2 merge law (close + no-op-first +
+      // consecutive-dedup across the batch boundary)
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), col("event_type").as("state"), col("ts"), col("event_id"))
+      val Array(cut) = ev.agg(
+        timestamp_micros(((unix_micros(min(col("ts"))) + unix_micros(max(col("ts")))) / 2)
+          .cast("long"))).collect().map(_.getAs[java.sql.Timestamp](0))
+      val batch1 = ev.filter(col("ts") < lit(cut))
+      val batch2 = ev.filter(col("ts") >= lit(cut))
+      val empty = graft.ops.Scd.scd2Init(ev.limit(0), Seq("user_id"), Seq("state"), "ts")
+      val dim1 = graft.ops.Scd.scd2Apply(empty, batch1, Seq("user_id"), Seq("state"), "ts",
+        orderBy = Seq("event_id"))
+      graft.ops.Scd.scd2Apply(dim1, batch2, Seq("user_id"), Seq("state"), "ts",
+          orderBy = Seq("event_id"))
+        .select(col("user_id"), col("state"),
+          date_format(col("valid_from"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("valid_from"),
+          date_format(col("valid_to"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("valid_to"),
+          col("is_current"))
+        .orderBy("user_id", "valid_from", "state")
+    }),
+
     "q_stream_tumbling" -> ((s, dir) =>
       t(s, dir, "events")
         .groupBy(window(col("ts"), "5 minutes").as("w"), col("event_type"))
@@ -443,6 +466,22 @@ object QueriesTime {
         |SELECT strftime(make_timestamp(b*1000000), '%Y-%m-%d %H:%M:%S') AS w_start,
         |  event_type, count(*) AS n
         |FROM x GROUP BY 1, 2 ORDER BY w_start, event_type""".stripMargin,
+
+    "q_scd2_apply" ->
+      // single-pass SCD2 chain over the full change log: lag-dedup of
+      // consecutive identical states, version bounds via lead — the engine
+      // runs the same log as TWO incremental scd2Apply batches, so equality
+      // proves the merge semantics at the batch boundary
+      """WITH e AS (SELECT user_id, event_type AS state, ts, event_id FROM events),
+        |d AS (SELECT *, lag(state) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM e),
+        |c AS (SELECT * FROM d WHERE prev IS NULL OR state IS DISTINCT FROM prev),
+        |v AS (SELECT user_id, state, ts AS valid_from,
+        |        lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to FROM c)
+        |SELECT user_id, state,
+        |  strftime(valid_from, '%Y-%m-%d %H:%M:%S.%f') AS valid_from,
+        |  strftime(valid_to, '%Y-%m-%d %H:%M:%S.%f') AS valid_to,
+        |  valid_to IS NULL AS is_current
+        |FROM v ORDER BY user_id, valid_from, state""".stripMargin,
 
     "q_sessionize" ->
       // gaps-and-islands replay of TimeSeriesLib.sessionize: >= gap opens a
