@@ -76,6 +76,11 @@ object OpSpec {
     * change batch in `updates_table` into the frame (the dimension).
     */
   final case class Scd2Op(params: Map[String, Any])                                 extends OpSpec
+  /** Write-side layout (graft.sources.Layout): operation=zorder_key adds the
+    * Morton key; operation=cluster range-partitions + sorts by it (the
+    * write-ready multi-dimensional clustering).
+    */
+  final case class LayoutOp(params: Map[String, Any])                               extends OpSpec
   /** Inline expectation gate (ecommerce_pipeline.yaml:28-39 `validate` op):
     * rows satisfying `expression` must be ≥ min_ratio, else the pipeline
     * fails. NOTE: this is an action (it counts), by design — validation is a
@@ -140,6 +145,15 @@ object OpCompiler {
         case "apply" => graft.ops.Scd.scd2Apply(df, tables(s(p, "updates_table")),
           keys, tracked, ts, seqOf(p, "order_by"))
         case other   => throw new IllegalArgumentException(s"Unknown scd2 operation: $other")
+      }
+    case LayoutOp(p)                   =>
+      val cols = seqOf(p, "columns"); val bits = s(p, "bits", "8").toInt
+      s(p, "operation", "zorder_key") match {
+        case "zorder_key" => graft.sources.Layout.addZOrderKey(df, cols, bits,
+          s(p, "key_col", "zkey"))
+        case "cluster"    => graft.sources.Layout.clusterByZOrder(df, cols, bits,
+          s(p, "partitions", "0").toInt, s(p, "key_col", "zkey"))
+        case other        => throw new IllegalArgumentException(s"Unknown layout operation: $other")
       }
   }
 

@@ -152,6 +152,7 @@ object PipelineConfig {
       case "multimodal"              => MultimodalOp(params)
       case "quality_monitor"         => QualityMonitorOp(params)
       case "scd2"                    => Scd2Op(params)
+      case "layout"                  => LayoutOp(params)
       case "windowed_aggregation"    => TimeSeriesProcessing(params + ("operation" -> "resample"))
       case "validate"                => Validate(params)
       case other => throw new IllegalArgumentException(s"Unknown operation type: $other")

@@ -14,6 +14,14 @@ import QueryUtil._
 object QueriesCore {
 
   val queries: Map[String, Q] = Map(
+    "q_zorder_key" -> ((s, dir) =>
+      // integer-exact range buckets + Morton interleave — bit-replayable in
+      // SQL, so the layout key itself is hard-gated
+      graft.sources.Layout.addZOrderKey(t(s, dir, "lineitem"),
+          Seq("l_partkey", "l_suppkey"), bits = 8)
+        .select(col("l_orderkey"), col("l_linenumber"), col("zkey"))
+        .orderBy("l_orderkey", "l_linenumber", "zkey")),
+
     "q_filter_condition" -> ((s, dir) =>
       // ALL output columns in the ORDER BY: sf0.1 lineitem has duplicate
       // (l_orderkey, l_linenumber) pairs with differing values, and a
@@ -238,7 +246,26 @@ object QueriesCore {
     })
   )
 
+  /** Morton interleave replay: disjoint bit positions, so `+` == `|`. */
+  private val zorderSql: String = {
+    val terms = for {
+      (b, i) <- Seq("b1", "b2").zipWithIndex
+      j <- 0 until 8
+    } yield s"(((${b} >> $j) & 1) << ${j * 2 + i})"
+    s"""WITH s AS (SELECT min(l_partkey) AS mn1, max(l_partkey) AS mx1,
+       |                 min(l_suppkey) AS mn2, max(l_suppkey) AS mx2 FROM lineitem),
+       |b AS (SELECT l_orderkey, l_linenumber,
+       |        (CAST(l_partkey AS BIGINT) - mn1) * 256 // (mx1 - mn1 + 1) AS b1,
+       |        (CAST(l_suppkey AS BIGINT) - mn2) * 256 // (mx2 - mn2 + 1) AS b2
+       |      FROM lineitem, s)
+       |SELECT l_orderkey, l_linenumber,
+       |  CAST(${terms.mkString(" + ")} AS BIGINT) AS zkey
+       |FROM b ORDER BY l_orderkey, l_linenumber, zkey""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "q_zorder_key" -> zorderSql,
+
     "q_filter_condition" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
         |FROM lineitem WHERE l_quantity > 45 AND l_returnflag = 'R'
