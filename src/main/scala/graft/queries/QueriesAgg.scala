@@ -8,6 +8,17 @@ import QueryUtil._
 object QueriesAgg {
 
   val queries: Map[String, Q] = Map(
+    "q_salted_agg" -> ((s, dir) =>
+      // two-phase salted aggregation must equal the plain grouped agg —
+      // integer-exact aggregates only (a double sum would be re-association-
+      // order noise, the very thing salting changes)
+      graft.ops.Scale.aggregateSalted(t(s, dir, "lineitem"), Seq("l_returnflag"),
+          Seq("l_partkey" -> "sum", "l_quantity" -> "min", "l_quantity" -> "max",
+            "l_orderkey" -> "count"), saltBuckets = 16)
+        .select(col("l_returnflag"), col("l_partkey_sum"), col("l_quantity_min"),
+          col("l_quantity_max"), col("l_orderkey_count"))
+        .orderBy("l_returnflag")),
+
     "q_distinct_counts" -> ((s, dir) =>
       t(s, dir, "lineitem").groupBy("l_returnflag")
         .agg(countDistinct(col("l_partkey")).as("nd_parts"),
@@ -259,6 +270,16 @@ object QueriesAgg {
       |       ELSE 'FAIL' END AS status FROM m)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q_salted_agg" ->
+      // the plain one-level grouped agg: salting must be invisible in the
+      // result (integer-exact aggregates re-associate losslessly)
+      """SELECT l_returnflag,
+        |  CAST(sum(l_partkey) AS BIGINT) AS l_partkey_sum,
+        |  min(l_quantity) AS l_quantity_min,
+        |  max(l_quantity) AS l_quantity_max,
+        |  count(l_orderkey) AS l_orderkey_count
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
     "q_psi_drift" ->
       // replays psiBins: reference-quantile cuts (quantile_cont == Spark's
       // exact percentile), sum-of-indicators binning, per-side counts over
