@@ -19,6 +19,25 @@ object QueriesAgg {
           col("l_quantity_max"), col("l_orderkey_count"))
         .orderBy("l_returnflag")),
 
+    "q_incremental_agg" -> ((s, dir) => {
+      // fit three disjoint shards -> merge states -> finalize must equal the
+      // one-shot full-scan stats (the mergeable-summary law, hard-gated)
+      val li = t(s, dir, "lineitem")
+      val vals = Seq("l_quantity", "l_extendedprice")
+      val states = (0 until 3).map(i =>
+        graft.ops.IncrementalAgg.fit(
+          li.filter(pmod(col("l_orderkey"), lit(3)) === i), Seq("l_returnflag"), vals))
+      val merged = graft.ops.IncrementalAgg.merge(states, Seq("l_returnflag"), vals)
+      graft.ops.IncrementalAgg.finalizeStats(merged, Seq("l_returnflag"), vals)
+        .select(col("l_returnflag"),
+          col("l_quantity_n"), col("l_quantity_nulls"),
+          roundf(col("l_quantity_mean"), 4).as("q_mean"),
+          roundf(col("l_quantity_std"), 4).as("q_std"),
+          col("l_quantity_min").as("q_min"), col("l_quantity_max").as("q_max"),
+          roundf(col("l_extendedprice_mean"), 2).as("p_mean"))
+        .orderBy("l_returnflag")
+    }),
+
     "q_distinct_counts" -> ((s, dir) =>
       t(s, dir, "lineitem").groupBy("l_returnflag")
         .agg(countDistinct(col("l_partkey")).as("nd_parts"),
@@ -270,6 +289,18 @@ object QueriesAgg {
       |       ELSE 'FAIL' END AS status FROM m)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q_incremental_agg" ->
+      // one-shot full scan: sharded fit+merge must land on the same stats
+      """SELECT l_returnflag,
+        |  count(l_quantity) AS l_quantity_n,
+        |  count(*) - count(l_quantity) AS l_quantity_nulls,
+        |  round(avg(l_quantity) + 1e-9, 4) AS q_mean,
+        |  round(sqrt(greatest(0.0, avg(l_quantity * l_quantity)
+        |                           - avg(l_quantity) * avg(l_quantity))) + 1e-9, 4) AS q_std,
+        |  min(l_quantity) AS q_min, max(l_quantity) AS q_max,
+        |  round(avg(l_extendedprice) + 1e-9, 2) AS p_mean
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
     "q_salted_agg" ->
       // the plain one-level grouped agg: salting must be invisible in the
       // result (integer-exact aggregates re-associate losslessly)

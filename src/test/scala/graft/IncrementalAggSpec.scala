@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.IncrementalAgg
+
+class IncrementalAggSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val df = Seq(
+    ("a", Some(1.0), "x1"), ("a", Some(3.0), "x2"), ("a", None, "x3"),
+    ("b", Some(10.0), "x1"), ("b", Some(20.0), "x4")
+  ).toDF("k", "v", "u")
+
+  test("merge of sharded fits equals the one-shot fit") {
+    val whole = IncrementalAgg.fit(df, Seq("k"), Seq("v"))
+    val parts = Seq(
+      IncrementalAgg.fit(df.filter($"u".isin("x1", "x2")), Seq("k"), Seq("v")),
+      IncrementalAgg.fit(df.filter(!$"u".isin("x1", "x2")), Seq("k"), Seq("v")))
+    val merged = IncrementalAgg.merge(parts, Seq("k"), Seq("v"))
+    val a = whole.orderBy("k").collect().toSeq
+    val b = merged.orderBy("k").collect().toSeq
+    assert(a == b)
+  }
+
+  test("finalizeStats: mean/std/nulls from state; empty-count group yields nulls") {
+    val state = IncrementalAgg.merge(
+      Seq(IncrementalAgg.fit(df, Seq("k"), Seq("v"))), Seq("k"), Seq("v"))
+    val out = IncrementalAgg.finalizeStats(state, Seq("k"), Seq("v"))
+      .orderBy("k").collect()
+    val a = out(0) // k=a: values 1,3 + one null
+    assert(a.getAs[Long]("v_n") == 2 && a.getAs[Long]("v_nulls") == 1)
+    assert(math.abs(a.getAs[Double]("v_mean") - 2.0) < 1e-12)
+    assert(math.abs(a.getAs[Double]("v_std") - 1.0) < 1e-12) // population std of {1,3}
+
+    val allNull = Seq(("c", None: Option[Double])).toDF("k", "v")
+    val ns = IncrementalAgg.finalizeStats(
+      IncrementalAgg.fit(allNull, Seq("k"), Seq("v")), Seq("k"), Seq("v")).collect()(0)
+    assert(ns.getAs[Long]("v_n") == 0 && ns.isNullAt(ns.fieldIndex("v_mean")))
+  }
+
+  test("HLL sketch state: merge across shards, estimate tracks exact distinct") {
+    val big = spark.range(0, 20000)
+      .select(col("id"), (col("id") % 4).cast("string").as("k"),
+        concat(lit("u"), col("id") % 5000).as("u"), lit(1.0).as("v"))
+    val shards = (0 until 4).map(i => big.filter(col("id") % 4 === i).drop("id"))
+    val states = shards.map(sh => IncrementalAgg.fit(sh, Nil, Seq("v"), approxDistinctCols = Seq("u")))
+    val merged = IncrementalAgg.merge(states, Nil, Seq("v"), approxDistinctCols = Seq("u"))
+    val est = IncrementalAgg.finalizeStats(merged, Nil, Seq("v"), approxDistinctCols = Seq("u"))
+      .select("u_distinct_est").as[Long].head()
+    assert(math.abs(est - 5000L) < 250, s"HLL estimate $est should be within 5% of 5000")
+    // merged estimate agrees with the one-shot sketch
+    val oneShot = IncrementalAgg.finalizeStats(
+      IncrementalAgg.fit(big.drop("id"), Nil, Seq("v"), approxDistinctCols = Seq("u")),
+      Nil, Seq("v"), approxDistinctCols = Seq("u"))
+      .select("u_distinct_est").as[Long].head()
+    assert(math.abs(est - oneShot) <= math.max(1L, oneShot / 100))
+  }
+}
