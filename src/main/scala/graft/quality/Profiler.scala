@@ -350,4 +350,62 @@ object Profiler {
     }.mkString(", ")
     wide.select(expr(s"stack(${metrics.length}, $stacked) as (column, metric, value)"))
   }
+
+  /** Shannon entropy (bits) of each column's value distribution, plus the
+    * distinct count — the scalar drift/imbalance signal (a near-zero-entropy
+    * `source` column means one domain dominates the mixture).
+    *
+    * ONE corpus scan covers every requested column: values melt to
+    * (column, value) rows via `stack`, then a single groupBy counts them;
+    * totals ride a per-column window over the AGGREGATED count frame
+    * (≤ Σ|distinct| rows — the PSI pattern, no second scan, no global
+    * window). Nulls are excluded per column (value_counts dropna parity).
+    */
+  def entropy(df: DataFrame, columns: Seq[String]): DataFrame = {
+    require(columns.nonEmpty, "entropy: at least one column")
+    val stacked = columns.map(c => s"'$c', CAST(`$c` AS STRING)").mkString(", ")
+    val counts = df
+      .select(expr(s"stack(${columns.size}, $stacked) as (__col, __v)"))
+      .filter(col("__v").isNotNull)
+      .groupBy("__col", "__v").agg(count(lit(1)).as("__n"))
+    val p = col("__n").cast("double") / col("__tot").cast("double")
+    counts
+      .withColumn("__tot", sum(col("__n")).over(Window.partitionBy(col("__col"))))
+      .groupBy(col("__col").as("column_name"))
+      .agg((-sum(p * log2(p))).as("entropy_bits"),
+        count(lit(1)).as("n_distinct"))
+  }
+
+  /** Mutual information (bits) between two categorical columns, with both
+    * marginal entropies — the feature-relevance / redundancy signal
+    * (MI(a,b) == min(H) means one column determines the other; == 0 means
+    * independent). Numeric columns should be binned first (FeatureLib
+    * binning) — MI over raw continuous values degenerates to log(n).
+    *
+    * One corpus exchange builds the joint (a, b, count) table; marginals
+    * and the total ride windows over that aggregated frame (≤ |A|·|B|
+    * rows). Marginal entropies reuse the joint rows — Σ_y n(x,y) = n(x), so
+    * each row contributes p(x,y)·log2(p(x)) — no extra pass. Counts are
+    * cast to double BEFORE the ratio products: n·tot as int64 overflows at
+    * real corpus sizes. Rows with a null in either column are excluded.
+    */
+  def mutualInfo(df: DataFrame, a: String, b: String): DataFrame = {
+    val joint = df.filter(col(a).isNotNull && col(b).isNotNull)
+      .groupBy(col(a).as("__x"), col(b).as("__y")).agg(count(lit(1)).as("__n"))
+    val n = col("__n").cast("double")
+    val nx = col("__nx").cast("double")
+    val ny = col("__ny").cast("double")
+    val tot = col("__tot").cast("double")
+    joint
+      .withColumn("__nx", sum(col("__n")).over(Window.partitionBy(col("__x"))))
+      .withColumn("__ny", sum(col("__n")).over(Window.partitionBy(col("__y"))))
+      // whole-frame total over the aggregated joint frame (≤ |A|·|B| rows):
+      // the documented benign scalar pattern, not a corpus-sized window
+      .withColumn("__tot", sum(col("__n")).over(Window.partitionBy()))
+      .agg(
+        sum((n / tot) * log2((n * tot) / (nx * ny))).as("mi_bits"),
+        (-sum((n / tot) * log2(nx / tot))).as("h_x"),
+        (-sum((n / tot) * log2(ny / tot))).as("h_y"),
+        sum(col("__n")).as("n_rows"))
+  }
 }

@@ -38,6 +38,17 @@ object QueriesAgg {
         .orderBy("l_returnflag")
     }),
 
+    "q_column_entropy" -> ((s, dir) =>
+      Profiler.entropy(t(s, dir, "documents"), Seq("lang", "source"))
+        .select(col("column_name"), roundf(col("entropy_bits"), 6).as("entropy_bits"),
+          col("n_distinct"))
+        .orderBy("column_name")),
+
+    "q_mutual_info" -> ((s, dir) =>
+      Profiler.mutualInfo(t(s, dir, "documents"), "lang", "source")
+        .select(roundf(col("mi_bits"), 6).as("mi_bits"), roundf(col("h_x"), 6).as("h_x"),
+          roundf(col("h_y"), 6).as("h_y"), col("n_rows"))),
+
     "q_distinct_counts" -> ((s, dir) =>
       t(s, dir, "lineitem").groupBy("l_returnflag")
         .agg(countDistinct(col("l_partkey")).as("nd_parts"),
@@ -289,6 +300,39 @@ object QueriesAgg {
       |       ELSE 'FAIL' END AS status FROM m)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q_column_entropy" ->
+      """WITH m AS (
+        |  SELECT 'lang' AS column_name, CAST(lang AS VARCHAR) AS v
+        |  FROM documents WHERE lang IS NOT NULL
+        |  UNION ALL
+        |  SELECT 'source', CAST(source AS VARCHAR)
+        |  FROM documents WHERE source IS NOT NULL),
+        |c AS (SELECT column_name, v, count(*) AS n FROM m GROUP BY 1, 2),
+        |t AS (SELECT column_name, n, sum(n) OVER (PARTITION BY column_name) AS tot FROM c)
+        |SELECT column_name,
+        |  round(-sum((CAST(n AS DOUBLE) / CAST(tot AS DOUBLE))
+        |             * log2(CAST(n AS DOUBLE) / CAST(tot AS DOUBLE))) + 1e-9, 6) AS entropy_bits,
+        |  count(*) AS n_distinct
+        |FROM t GROUP BY column_name ORDER BY column_name""".stripMargin,
+
+    "q_mutual_info" ->
+      """WITH j AS (SELECT lang AS x, source AS y, count(*) AS n FROM documents
+        |           WHERE lang IS NOT NULL AND source IS NOT NULL GROUP BY 1, 2),
+        |w AS (SELECT n,
+        |        sum(n) OVER (PARTITION BY x) AS nx,
+        |        sum(n) OVER (PARTITION BY y) AS ny,
+        |        sum(n) OVER () AS tot FROM j)
+        |SELECT
+        |  round(sum((CAST(n AS DOUBLE) / CAST(tot AS DOUBLE))
+        |            * log2((CAST(n AS DOUBLE) * CAST(tot AS DOUBLE))
+        |                   / (CAST(nx AS DOUBLE) * CAST(ny AS DOUBLE)))) + 1e-9, 6) AS mi_bits,
+        |  round(-sum((CAST(n AS DOUBLE) / CAST(tot AS DOUBLE))
+        |             * log2(CAST(nx AS DOUBLE) / CAST(tot AS DOUBLE))) + 1e-9, 6) AS h_x,
+        |  round(-sum((CAST(n AS DOUBLE) / CAST(tot AS DOUBLE))
+        |             * log2(CAST(ny AS DOUBLE) / CAST(tot AS DOUBLE))) + 1e-9, 6) AS h_y,
+        |  CAST(sum(n) AS BIGINT) AS n_rows
+        |FROM w""".stripMargin,
+
     "q_incremental_agg" ->
       // one-shot full scan: sharded fit+merge must land on the same stats
       """SELECT l_returnflag,

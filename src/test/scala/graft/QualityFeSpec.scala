@@ -591,4 +591,36 @@ class QualityFeSpec extends SparkSpec {
     assert(oRows.map(_.getString(0)).toSeq == Seq("__other"))
     assert(oRows(0).getLong(1) == 3L) // elected __other + pooled tail merge
   }
+
+  test("entropy: uniform = log2(k), constant = 0, nulls excluded, one scan for all columns") {
+    val df = Seq(
+      (Some("a"), "c"), (Some("b"), "c"), (Some("c"), "c"), (Some("d"), "c"),
+      (None, "c")
+    ).toDF("u", "k")
+    val out = Profiler.entropy(df, Seq("u", "k")).orderBy("column_name").collect()
+    val byCol = out.map(r => r.getString(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    assert(math.abs(byCol("u")._1 - 2.0) < 1e-12 && byCol("u")._2 == 4) // null dropped
+    assert(byCol("k")._1 == 0.0 && byCol("k")._2 == 1)
+  }
+
+  test("mutualInfo: 0 for independent, H for identical, hand-computed 2x2") {
+    val ind = Seq(("a", "x"), ("a", "y"), ("b", "x"), ("b", "y")).toDF("p", "q")
+    val r1 = Profiler.mutualInfo(ind, "p", "q").collect()(0)
+    assert(math.abs(r1.getAs[Double]("mi_bits")) < 1e-12)
+    assert(math.abs(r1.getAs[Double]("h_x") - 1.0) < 1e-12)
+
+    val same = Seq(("a", "a"), ("b", "b"), ("c", "c"), ("d", "d")).toDF("p", "q")
+    val r2 = Profiler.mutualInfo(same, "p", "q").collect()(0)
+    assert(math.abs(r2.getAs[Double]("mi_bits") - 2.0) < 1e-12) // == H(X) == 2 bits
+
+    // 2x2 with counts [[2,1],[1,0]]: MI = sum p log2(p/(px py))
+    val skew = Seq(("a", "x"), ("a", "x"), ("a", "y"), ("b", "x")).toDF("p", "q")
+    val r3 = Profiler.mutualInfo(skew, "p", "q").collect()(0)
+    val expected =
+      0.5 * math.log(0.5 / (0.75 * 0.75)) / math.log(2) +
+        0.25 * math.log(0.25 / (0.75 * 0.25)) / math.log(2) +
+        0.25 * math.log(0.25 / (0.25 * 0.75)) / math.log(2)
+    assert(math.abs(r3.getAs[Double]("mi_bits") - expected) < 1e-12)
+    assert(r3.getAs[Long]("n_rows") == 4L)
+  }
 }
