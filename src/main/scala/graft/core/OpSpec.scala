@@ -307,6 +307,10 @@ object OpCompiler {
           s(p, "shingle_n", "3").toInt, s(p, "num_hashes", "64").toInt,
           s(p, "bands", "16").toInt, s(p, "threshold", "0.8").toDouble,
           s(p, "max_bucket_size", "1000").toInt)
+      case "fuzzy_pairs" => // edit-distance self-join (replaces the frame with pairs)
+        graft.text.Fuzzy.fuzzyPairs(df, id, text,
+          s(p, "max_dist", "2").toInt, s(p, "q", "2").toInt,
+          s(p, "max_gram_df", Long.MaxValue.toString).toLong)
       case "quality_features" => TextLib.qualityFeatures(df, text)
       case "quality_score"    => TextLib.qualityScore(df, text)
       case "deflate_ratio" => // compression-ratio quality signal

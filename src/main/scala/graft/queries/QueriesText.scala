@@ -244,6 +244,17 @@ object QueriesText {
     "q_dedup_simhash" -> ((s, dir) =>
       Dedup.simhashCandidates(docsWithNearDups(s, dir), "text", "doc_id", maxHamming = 3)),
 
+    "q_fuzzy_pairs" -> ((s, dir) =>
+      // edit-distance join on 24-char lowercased prefixes: the q-gram
+      // pigeonhole candidates must reproduce the DuckDB brute-force
+      // cross-join exactly (the no-false-negatives law, hard-gated)
+      graft.text.Fuzzy.fuzzyPairs(
+          t(s, dir, "documents")
+            .filter(col("doc_id") % 2 === 0 && col("text").isNotNull)
+            .withColumn("s24", lower(substring(col("text"), 1, 24))),
+          "doc_id", "s24", maxDist = 2, q = 2)
+        .orderBy("id_a", "id_b")),
+
     "q_dedup_ngram_jaccard" -> ((s, dir) =>
       // exact set-Jaccard is engine-independent math → full oracle (the
       // MinHash/SimHash siblings stay rows-only: their hash families are
@@ -1107,6 +1118,17 @@ object QueriesText {
       """SELECT doc_id, lang, n_chars FROM documents
         |WHERE doc_id NOT IN (SELECT doc_id FROM documents WHERE doc_id % 7 = 0)
         |ORDER BY doc_id""".stripMargin,
+
+    "q_fuzzy_pairs" ->
+      // brute force: every pair, exact levenshtein — tractable because the
+      // oracle runs at gate scale only; the engine side never does this
+      """WITH d AS (SELECT doc_id, lower(substring(text, 1, 24)) AS s
+        |           FROM documents WHERE text IS NOT NULL AND doc_id % 2 = 0)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b, levenshtein(a.s, b.s) AS dist
+        |FROM d a JOIN d b
+        |  ON a.doc_id < b.doc_id AND abs(length(a.s) - length(b.s)) <= 2
+        |WHERE levenshtein(a.s, b.s) <= 2
+        |ORDER BY id_a, id_b""".stripMargin,
 
     "q_dedup_ngram_jaccard" ->
       // mirrors Dedup.ngramJaccardPairs exactly: distinct word 3-gram
