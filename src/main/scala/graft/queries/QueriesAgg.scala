@@ -38,6 +38,24 @@ object QueriesAgg {
         .orderBy("l_returnflag")
     }),
 
+    "q_graph_degrees" -> ((s, dir) =>
+      graft.ops.Graph.degrees(
+          t(s, dir, "lineitem").select(col("l_suppkey").cast("long").as("src"),
+            (pmod(col("l_partkey"), lit(5000)) + 1000000L).as("dst")),
+          "src", "dst")
+        .orderBy("node")),
+
+    "q_pagerank" -> ((s, dir) => {
+      // supplier -> synthetic-page edges: dst ids (1000000+) never appear
+      // as src, so the dangling-mass path is exercised for real
+      val edges = t(s, dir, "lineitem").select(
+        col("l_suppkey").cast("long").as("src"),
+        (pmod(col("l_partkey"), lit(5000)) + 1000000L).as("dst"))
+      graft.ops.Graph.pageRank(edges, "src", "dst", iterations = 5)
+        .select(col("node"), roundf(col("rank"), 9).as("rank"))
+        .orderBy("node")
+    }),
+
     "q_column_entropy" -> ((s, dir) =>
       Profiler.entropy(t(s, dir, "documents"), Seq("lang", "source"))
         .select(col("column_name"), roundf(col("entropy_bits"), 6).as("entropy_bits"),
@@ -299,7 +317,50 @@ object QueriesAgg {
       |       WHEN raw_value >= threshold_value * 0.8 THEN 'WARN'
       |       ELSE 'FAIL' END AS status FROM m)""".stripMargin
 
+  /** Fixed-iteration PageRank replay: DuckDB recursive CTEs cannot aggregate
+    * over the recursive reference, so the 5 rounds unroll into 5 chained
+    * CTEs, each computing contributions + dangling mass exactly as the
+    * engine's per-iteration plan does (same IEEE op order per row; sum
+    * re-association absorbed by the round-9).
+    */
+  private val pagerankSql: String = {
+    val d = "0.85"
+    val steps = (1 to 5).map { i =>
+      s"""pr$i AS (
+         |  SELECT nd.n,
+         |    (1 - $d) / cnt.nodecount + $d * (COALESCE(c.s, 0) + dg.s / cnt.nodecount) AS r
+         |  FROM nodes nd
+         |  CROSS JOIN cnt
+         |  CROSS JOIN (SELECT COALESCE(sum(p.r), 0) AS s FROM pr${i - 1} p
+         |              LEFT JOIN deg ON deg.src = p.n WHERE deg.src IS NULL) dg
+         |  LEFT JOIN (SELECT e.dst AS n2, sum(p.r / deg.outd) AS s
+         |             FROM e JOIN pr${i - 1} p ON p.n = e.src
+         |             JOIN deg ON deg.src = e.src GROUP BY e.dst) c ON c.n2 = nd.n)""".stripMargin
+    }
+    s"""WITH e AS (SELECT DISTINCT CAST(l_suppkey AS BIGINT) AS src,
+       |                  CAST(1000000 + l_partkey % 5000 AS BIGINT) AS dst FROM lineitem),
+       |nodes AS (SELECT src AS n FROM e UNION SELECT dst FROM e),
+       |cnt AS (SELECT CAST(count(*) AS DOUBLE) AS nodecount FROM nodes),
+       |deg AS (SELECT src, CAST(count(*) AS DOUBLE) AS outd FROM e GROUP BY src),
+       |pr0 AS (SELECT n, 1.0 / cnt.nodecount AS r FROM nodes CROSS JOIN cnt),
+       |${steps.mkString(",\n")}
+       |SELECT n AS node, round(r + 1e-9, 9) AS rank FROM pr5 ORDER BY node""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "q_graph_degrees" ->
+      """WITH e AS (SELECT DISTINCT CAST(l_suppkey AS BIGINT) AS src,
+        |                  CAST(1000000 + l_partkey % 5000 AS BIGINT) AS dst FROM lineitem),
+        |nodes AS (SELECT src AS n FROM e UNION SELECT dst FROM e)
+        |SELECT n AS node,
+        |  COALESCE(o.c, 0) AS out_degree, COALESCE(i.c, 0) AS in_degree
+        |FROM nodes
+        |LEFT JOIN (SELECT src, CAST(count(*) AS BIGINT) AS c FROM e GROUP BY src) o ON o.src = n
+        |LEFT JOIN (SELECT dst, CAST(count(*) AS BIGINT) AS c FROM e GROUP BY dst) i ON i.dst = n
+        |ORDER BY node""".stripMargin,
+
+    "q_pagerank" -> pagerankSql,
+
     "q_column_entropy" ->
       """WITH m AS (
         |  SELECT 'lang' AS column_name, CAST(lang AS VARCHAR) AS v

@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Graph
+
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("degrees: out/in per node over the distinct simple graph") {
+    val e = Seq((1L, 2L), (1L, 2L), (1L, 3L), (2L, 3L)).toDF("s", "d") // dup edge collapses
+    val out = Graph.degrees(e, "s", "d").orderBy("node")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(out == Seq((1L, 2L, 0L), (2L, 1L, 1L), (3L, 0L, 2L)))
+  }
+
+  test("pageRank conserves total mass and handles dangling nodes (hand calc)") {
+    // a -> b, b dangling. N=2: r1(a) = 0.15/2 + 0.85*(0 + 0.5/2) = 0.2875,
+    // r1(b) = 0.15/2 + 0.85*(0.5 + 0.5/2) = 0.7125
+    val e = Seq(("a", "b")).toDF("s", "d")
+    val r1 = Graph.pageRank(e, "s", "d", iterations = 1)
+      .orderBy("node").as[(String, Double)].collect().toSeq
+    assert(math.abs(r1(0)._2 - 0.2875) < 1e-12 && r1(0)._1 == "a")
+    assert(math.abs(r1(1)._2 - 0.7125) < 1e-12)
+
+    val r5 = Graph.pageRank(e, "s", "d", iterations = 5)
+      .agg(sum("rank")).head().getDouble(0)
+    assert(math.abs(r5 - 1.0) < 1e-9, s"mass must be conserved, got $r5")
+  }
+
+  test("pageRank: a cycle stays exactly uniform; authority ranks above orphans") {
+    val cycle = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("s", "d")
+    val r = Graph.pageRank(cycle, "s", "d", iterations = 7)
+      .select("rank").as[Double].collect()
+    r.foreach(v => assert(math.abs(v - 1.0 / 3) < 1e-12))
+
+    // hub: everyone links to node 99
+    val hub = Seq((1L, 99L), (2L, 99L), (3L, 99L), (1L, 2L)).toDF("s", "d")
+    val byNode = Graph.pageRank(hub, "s", "d", iterations = 10)
+      .as[(Long, Double)].collect().toMap
+    assert(byNode(99L) > byNode(2L) && byNode(2L) > byNode(3L))
+  }
+}
