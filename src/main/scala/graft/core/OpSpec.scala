@@ -213,6 +213,12 @@ object OpCompiler {
       case "onehot"    => FeatureLib.encodeOneHot(df, s(p, "column"), seqOf(p, "values"))
       case "frequency" => FeatureLib.encodeFrequency(df, s(p, "column"))
       case "label"     => FeatureLib.encodeLabel(df, s(p, "column"))
+      case "target" =>
+        FeatureLib.encodeTarget(df, s(p, "column"), s(p, "target_column"),
+          s(p, "smoothing", "20.0").toDouble)
+      case "winsorize" =>
+        FeatureLib.winsorize(df, s(p, "column"), s(p, "lower", "0.05").toDouble,
+          s(p, "upper", "0.95").toDouble, seqOf(p, "group_by"))
       case "aggregation" =>
         FeatureLib.aggregationFeatures(df, seqOf(p, "group_by"), pairs(p, "aggregations"))
       case "text_stats" => FeatureLib.textBasicStats(df, s(p, "column"))
@@ -257,6 +263,8 @@ object OpCompiler {
         TimeSeriesLib.flagOutliers(df, s(p, "column"), s(p, "method", "zscore"),
           s(p, "threshold", "3.0").toDouble, keys, s(p, "order_by", ts), s(p, "window", "20").toInt)
       case "time_features" => TimeSeriesLib.timeFeatures(df, ts)
+      case "trend" =>
+        TimeSeriesLib.trendFeatures(df, s(p, "column"), s(p, "order_by", ts), keys)
       case "smooth" =>
         s(p, "method", "moving_average") match {
           case "moving_average" =>

@@ -179,6 +179,70 @@ object FeatureLib {
     withOther.withColumn(s"${c}_other", when(col(c).isin(values: _*), 0).otherwise(1))
   }
 
+  /** Smoothed target (mean) encoding — the standard supervised sibling of
+    * frequency/label encoding (reference has frequency/label/onehot,
+    * feature_engineering.py:236-287; mean encoding is the step a modeling
+    * pipeline takes next): category → (n·mean_cat + m·prior)/(n + m) with
+    * additive smoothing m pulling rare categories toward the global prior.
+    *
+    * Scale shape: ONE map-side-combined aggregate over the corpus produces
+    * the |distinct|-row stats frame; the global prior is derived from that
+    * same frame (Σ n·mean / Σ n — no second corpus scan) and rides a
+    * one-row broadcast; delivery is a broadcast null-safe equi-join (null
+    * categories encode as their own group, binQuantileGrouped's
+    * convention). Null targets are excluded from both n and the prior
+    * (count/avg semantics); an all-null category falls back to the prior.
+    */
+  def encodeTarget(df: DataFrame, c: String, targetCol: String, smoothing: Double = 20.0,
+                   outCol: String = null): DataFrame = {
+    require(smoothing >= 0, s"encodeTarget: smoothing must be >= 0, got $smoothing")
+    val out = Option(outCol).getOrElse(s"${c}_target")
+    val stats = df.groupBy(col(c).as("__cat"))
+      .agg(count(col(targetCol)).as("__n"), avg(col(targetCol)).as("__mean"))
+    // prior over the aggregated stats frame: each corpus row counted once,
+    // nothing rescans df. sum(n·mean) uses coalesce so all-null categories
+    // (n=0, mean=null) contribute 0, not null-poison.
+    val prior = stats.agg(
+      (sum(coalesce(col("__n") * col("__mean"), lit(0.0))) / nullif(sum(col("__n")), lit(0L)))
+        .as("__prior"))
+    val enc = stats.crossJoin(broadcast(prior))
+      .withColumn(out,
+        when(col("__n") + lit(smoothing) > 0,
+          (col("__n") * coalesce(col("__mean"), lit(0.0)) + lit(smoothing) * col("__prior")) /
+            (col("__n") + lit(smoothing))))
+      .select(col("__cat"), col(out))
+    df.join(broadcast(enc), col(c) <=> col("__cat"), "left").drop("__cat")
+  }
+
+  /** Winsorization: clip a numeric column to its exact [lower, upper]
+    * percentiles, globally or per group — the robust-statistics
+    * complement of flagOutliers (flag vs repair). Cut points are exact
+    * `percentile` aggregates (DuckDB quantile_cont parity, binQuantile's
+    * convention) computed in one map-side-combined aggregate and broadcast
+    * back; the clip itself is row-local least/greatest. Nulls stay null;
+    * null group keys clip within their own group (null-safe join).
+    */
+  def winsorize(df: DataFrame, c: String, lower: Double = 0.05, upper: Double = 0.95,
+                groupCols: Seq[String] = Nil, outCol: String = null): DataFrame = {
+    require(lower >= 0 && upper <= 1 && lower < upper,
+      s"winsorize: need 0 <= lower < upper <= 1, got ($lower, $upper)")
+    val out = Option(outCol).getOrElse(s"${c}_wins")
+    val cuts = Seq(percentile(col(c), lit(lower)).as("__lo"),
+      percentile(col(c), lit(upper)).as("__hi"))
+    val stats =
+      if (groupCols.isEmpty) df.agg(cuts.head, cuts.tail: _*)
+      else df.groupBy(groupCols.map(col): _*).agg(cuts.head, cuts.tail: _*)
+    val statsR = groupCols.foldLeft(stats)((d, g) => d.withColumnRenamed(g, s"__g_$g"))
+    val joined =
+      if (groupCols.isEmpty) df.crossJoin(broadcast(statsR))
+      else df.join(broadcast(statsR),
+        groupCols.map(g => col(g) <=> col(s"__g_$g")).reduce(_ && _), "left")
+    joined.withColumn(out,
+        when(col(c).isNotNull,
+          least(greatest(col(c).cast("double"), col("__lo")), col("__hi"))))
+      .drop("__lo" +: "__hi" +: groupCols.map(g => s"__g_$g"): _*)
+  }
+
   /** Group-aggregate features broadcast onto rows
     * (feature_engineering.py:298-342): window aggregate per key — one
     * shuffle, no join.

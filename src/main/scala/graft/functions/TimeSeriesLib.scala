@@ -165,6 +165,29 @@ object TimeSeriesLib {
       d.withColumn(s"${valueCol}_diff_$k", col(valueCol) - lag(col(valueCol), k).over(ww)))
   }
 
+  /** Per-series linear-trend summary: OLS slope / intercept / R² of
+    * value over order (time as a double, e.g. epoch seconds or a row
+    * index) plus the point count — the per-entity "is this metric
+    * drifting, and how fast" aggregate that complements decompose's
+    * row-level trend column. Pure built-in `regr_*` aggregates: one
+    * map-side-combined shuffle on the group keys, no window, no
+    * collect — the canonical scale shape (both engines define
+    * regr_slope = covar_pop/var_pop and drop rows where either side is
+    * null; a zero-variance or single-point series yields null slope in
+    * both). */
+  def trendFeatures(df: DataFrame, valueCol: String, orderCol: String,
+                    partitionBy: Seq[String] = Nil): DataFrame = {
+    val y = col(valueCol).cast("double")
+    val x = col(orderCol).cast("double")
+    val aggs = Seq(
+      regr_count(y, x).as(s"${valueCol}_n"),
+      regr_slope(y, x).as(s"${valueCol}_slope"),
+      regr_intercept(y, x).as(s"${valueCol}_intercept"),
+      regr_r2(y, x).as(s"${valueCol}_r2"))
+    if (partitionBy.isEmpty) df.agg(aggs.head, aggs.tail: _*)
+    else df.groupBy(partitionBy.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
   // ---------------------------------------------------------------- outliers
 
   /** Outlier flags (time_series.py:171-231). `iqr` and `zscore` use per-group
@@ -201,6 +224,24 @@ object TimeSeriesLib {
         df.withColumn(flag, coalesce(
           col(valueCol) < q1 - lit(1.5) * iqr || col(valueCol) > q3 + lit(1.5) * iqr,
           lit(false)))
+      case "mad" =>
+        // Modified z-score (Iglewicz & Hoaglin): 0.6745·|x − median| / MAD.
+        // Robust where zscore/iqr break: a few huge spikes inflate stddev
+        // enough to mask themselves; the median/MAD pair is 50%-breakdown.
+        // Two stacked window aggregates (median, then median of absolute
+        // deviations) — same per-group broadcast shape as iqr. MAD = 0
+        // (>50% of the group at one value) flags nothing, like sd = 0.
+        val ww = Window.partitionBy(partitionBy.map(col): _*)
+        val med = percentile(col(valueCol), lit(0.5)).over(ww)
+        val dfMed = df.withColumn("__med", med)
+        val mad = percentile(abs(col(valueCol) - col("__med")), lit(0.5)).over(ww)
+        dfMed.withColumn("__mad", mad)
+          .withColumn(flag, coalesce(
+            when(col("__mad") > 0,
+              lit(0.6745) * abs(col(valueCol) - col("__med")) / col("__mad") > threshold)
+              .otherwise(lit(false)),
+            lit(false)))
+          .drop("__med", "__mad")
       case "rolling_zscore" =>
         require(orderCol != null, "rolling_zscore needs orderCol")
         val frame = w(partitionBy, orderCol).rowsBetween(-(k - 1L), Window.currentRow)

@@ -203,7 +203,25 @@ object QueriesPivotFe {
         .select(col("doc_id"), col("x").cast("bigint").as("x"),
           col("y").cast("bigint").as("y"), col("cluster"), col("is_core"))
         .orderBy("doc_id")
-    })
+    }),
+
+    "q_encode_target" -> ((s, dir) => {
+      // smoothed mean encoding of mktsegment against acctbal; BUILDING is
+      // nulled out so the null-category group and the all-null-target
+      // fallback paths are both on the gate
+      val c = t(s, dir, "customer")
+        .withColumn("cat", when(col("c_mktsegment") === "BUILDING", lit(null))
+          .otherwise(col("c_mktsegment")))
+      FeatureLib.encodeTarget(c, "cat", "c_acctbal", smoothing = 20.0)
+        .select(col("c_custkey"), roundf(col("cat_target"), 6).as("enc"))
+        .orderBy("c_custkey")
+    }),
+
+    "q_winsorize" -> ((s, dir) =>
+      FeatureLib.winsorize(t(s, dir, "events"), "value", 0.05, 0.95,
+          groupCols = Seq("event_type"))
+        .select(col("event_id"), roundf(col("value_wins"), 6).as("value_wins"))
+        .orderBy("event_id"))
   )
 
   val oracle: Map[String, String] = Map(
@@ -412,6 +430,39 @@ object QueriesPivotFe {
         |LEFT JOIN clab cl ON cl.id = p.id
         |LEFT JOIN border b ON b.id = p.id
         |LEFT JOIN core cr ON cr.id = p.id
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_encode_target" ->
+      // replay: per-category (n over non-null targets, mean), prior from
+      // the stats frame (Σ n·mean / Σ n), smoothed blend m=20. The
+      // numerator term order matches the engine's IEEE evaluation.
+      """WITH base AS (
+        |  SELECT c_custkey,
+        |    CASE WHEN c_mktsegment = 'BUILDING' THEN NULL ELSE c_mktsegment END AS cat,
+        |    c_acctbal
+        |  FROM customer),
+        |s AS (SELECT cat, count(c_acctbal) AS n, avg(c_acctbal) AS mean
+        |      FROM base GROUP BY cat),
+        |p AS (SELECT sum(n * coalesce(mean, 0)) / sum(n) AS prior FROM s)
+        |SELECT b.c_custkey,
+        |  round((s.n * coalesce(s.mean, 0) + 20 * p.prior) / (s.n + 20) + 1e-9, 6) AS enc
+        |FROM base b
+        |LEFT JOIN s ON b.cat IS NOT DISTINCT FROM s.cat
+        |CROSS JOIN p
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_winsorize" ->
+      // quantile_cont = Spark's exact percentile; clip is row-local.
+      // Explicit null guard: DuckDB least/greatest skip nulls while the
+      // engine keeps null values null.
+      """WITH s AS (SELECT event_type,
+        |             quantile_cont(value, 0.05) AS lo,
+        |             quantile_cont(value, 0.95) AS hi
+        |           FROM events GROUP BY event_type)
+        |SELECT e.event_id,
+        |  CASE WHEN e.value IS NOT NULL
+        |       THEN round(least(greatest(e.value, s.lo), s.hi) + 1e-9, 6) END AS value_wins
+        |FROM events e LEFT JOIN s ON e.event_type IS NOT DISTINCT FROM s.event_type
+        |ORDER BY event_id""".stripMargin
   )
 }

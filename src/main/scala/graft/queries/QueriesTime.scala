@@ -215,7 +215,25 @@ object QueriesTime {
           date_format(col("sw.start"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("session_start"),
           date_format(col("sw.end"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("session_end"),
           col("n_events"), col("total"))
-        .orderBy("user_id", "session_start"))
+        .orderBy("user_id", "session_start")),
+
+    "q_ts_outlier_mad" -> ((s, dir) =>
+      TimeSeriesLib.flagOutliers(t(s, dir, "events"), "value", "mad", 3.5,
+          partitionBy = Seq("event_type"))
+        .select(col("event_id"), col("value_outlier"))
+        .orderBy("event_id")),
+
+    "q_ts_trend" -> ((s, dir) =>
+      // per-user OLS drift of value over event order — event_id as the
+      // regressor keeps x identical in both engines (epoch extraction
+      // rounds differently across them)
+      TimeSeriesLib.trendFeatures(t(s, dir, "events"), "value", "event_id",
+          partitionBy = Seq("user_id"))
+        .select(col("user_id"), col("value_n").cast("bigint").as("n"),
+          roundf(col("value_slope") * 1e6, 4).as("slope_ppm"),
+          roundf(col("value_intercept"), 4).as("intercept"),
+          roundf(col("value_r2"), 6).as("r2"))
+        .orderBy("user_id"))
   )
 
   /** Savitzky–Golay oracle: the FIR coefficients are solved driver-side (the
@@ -517,6 +535,30 @@ object QueriesTime {
         |  strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
         |  strftime(max(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S.%f') AS session_end,
         |  count(*) AS n_events, round(sum(value), 3) AS total
-        |FROM g GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin
+        |FROM g GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin,
+
+    "q_ts_outlier_mad" ->
+      // stacked quantile_cont windows replay median and MAD; the scalar
+      // term keeps the engine's (0.6745·|x−med|)/mad evaluation order
+      """WITH m AS (
+        |  SELECT event_id, event_type, value,
+        |    quantile_cont(value, 0.5) OVER (PARTITION BY event_type) AS med
+        |  FROM events),
+        |d AS (
+        |  SELECT event_id, value, med,
+        |    quantile_cont(abs(value - med), 0.5) OVER (PARTITION BY event_type) AS mad
+        |  FROM m)
+        |SELECT event_id,
+        |  coalesce(CASE WHEN mad > 0 THEN (0.6745 * abs(value - med)) / mad > 3.5
+        |                ELSE false END, false) AS value_outlier
+        |FROM d ORDER BY event_id""".stripMargin,
+
+    "q_ts_trend" ->
+      """SELECT user_id,
+        |  CAST(regr_count(value, event_id) AS BIGINT) AS n,
+        |  round(regr_slope(value, event_id) * 1e6 + 1e-9, 4) AS slope_ppm,
+        |  round(regr_intercept(value, event_id) + 1e-9, 4) AS intercept,
+        |  round(regr_r2(value, event_id) + 1e-9, 6) AS r2
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
   )
 }

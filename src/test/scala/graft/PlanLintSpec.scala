@@ -28,6 +28,7 @@ class PlanLintSpec extends SparkSpec {
     "q_bin_uniform" -> Set("broadcast_nested_loop"),       // FeatureLib.scala:81
     "q_bin_quantile" -> Set("broadcast_nested_loop"),      // FeatureLib.scala:125
     "q_fill_null_mean" -> Set("broadcast_nested_loop"),    // Relational.scala:120
+    "q_encode_target" -> Set("broadcast_nested_loop"),     // FeatureLib.encodeTarget: one-row global-prior broadcast
     // whole-frame total over the ALREADY-AGGREGATED <= bins/topK+1-row
     // count frame (cut points / top-K election are driver literals, so
     // each corpus appears once in the plan — see Profiler.psiBins)

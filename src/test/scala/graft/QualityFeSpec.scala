@@ -623,4 +623,44 @@ class QualityFeSpec extends SparkSpec {
     assert(math.abs(r3.getAs[Double]("mi_bits") - expected) < 1e-12)
     assert(r3.getAs[Long]("n_rows") == 4L)
   }
+
+  test("encodeTarget: hand-computed blend, null category is a group, all-null falls to prior") {
+    val df = Seq(
+      (1, "a", java.lang.Double.valueOf(10.0)), (2, "a", java.lang.Double.valueOf(20.0)),
+      (3, "b", java.lang.Double.valueOf(30.0)),
+      (4, null: String, java.lang.Double.valueOf(40.0)),
+      (5, "c", null.asInstanceOf[java.lang.Double])
+    ).toDF("id", "cat", "y")
+    // prior over non-null targets = (10+20+30+40)/4 = 25; m = 1
+    val enc = FeatureLib.encodeTarget(df, "cat", "y", smoothing = 1.0)
+      .select($"id", $"cat_target").as[(Int, Double)].collect().toMap
+    assert(math.abs(enc(1) - (2 * 15.0 + 25.0) / 3) < 1e-12)
+    assert(math.abs(enc(3) - (30.0 + 25.0) / 2) < 1e-12)
+    assert(math.abs(enc(4) - (40.0 + 25.0) / 2) < 1e-12, "null category encodes as its own group")
+    assert(math.abs(enc(5) - 25.0) < 1e-12, "all-null-target category falls back to the prior")
+  }
+
+  test("winsorize clips to exact per-group percentiles; nulls survive; global path") {
+    val df = ((1 to 10).map(i => ("g1", java.lang.Double.valueOf(i.toDouble))) :+
+      ("g1", null.asInstanceOf[java.lang.Double]) :+
+      ("g2", java.lang.Double.valueOf(100.0))).toDF("g", "v")
+    val out = FeatureLib.winsorize(df, "v", 0.1, 0.9, groupCols = Seq("g"))
+      .select($"g", $"v", $"v_wins").collect()
+    // exact percentile of 1..10: p10 = 1.9, p90 = 9.1 ((n-1)p interpolation)
+    out.foreach { r =>
+      (r.getString(0), Option(r.get(1))) match {
+        case ("g1", Some(v)) =>
+          val w = r.getDouble(2)
+          val expect = math.min(math.max(v.asInstanceOf[Double], 1.9), 9.1)
+          assert(math.abs(w - expect) < 1e-12, s"v=$v clipped to $w, want $expect")
+        case ("g1", None) => assert(r.isNullAt(2), "null value stays null")
+        case ("g2", _) => assert(r.getDouble(2) == 100.0, "singleton group clips to itself")
+        case other => fail(s"unexpected row $other")
+      }
+    }
+    // global: one cut pair over all 12 values
+    val g = FeatureLib.winsorize(df, "v", 0.0, 0.5).select(max($"v_wins")).as[Double].collect()(0)
+    // p50 of (1..10, 100) = 6.0 — everything above clips to it
+    assert(g == 6.0)
+  }
 }

@@ -164,4 +164,38 @@ class TimeSeriesSpec extends SparkSpec {
       .as[(Long, Long, Double, Double)].collect().toSeq
     assert(out == Seq((1L, 2L, 600.0, 3.0), (2L, 1L, 0.0, 5.0)))
   }
+
+  test("MAD outliers: spike flagged, MAD=0 group flags nothing, nulls false") {
+    val rows = (1 to 20).map(i => (i, "a", java.lang.Double.valueOf(10.0 + (i % 5) * 0.1))) ++
+      Seq((21, "a", java.lang.Double.valueOf(1000.0)),
+        (22, "a", null.asInstanceOf[java.lang.Double]),
+        // b: median 5, deviations (0,0,0,4) → MAD 0 → even the 9 stays unflagged
+        (31, "b", java.lang.Double.valueOf(5.0)), (32, "b", java.lang.Double.valueOf(5.0)),
+        (33, "b", java.lang.Double.valueOf(5.0)), (34, "b", java.lang.Double.valueOf(9.0)))
+    val df = rows.toDF("id", "g", "v")
+    val flags = TimeSeriesLib.flagOutliers(df, "v", "mad", 3.5, partitionBy = Seq("g"))
+      .select($"id", $"v_outlier").as[(Int, Boolean)].collect().toMap
+    assert(flags(21), "the 1000.0 spike must flag")
+    assert((1 to 20).forall(i => !flags(i)), "baseline points must not flag")
+    assert(!flags(22), "null reading flags false, not null")
+    assert(Seq(31, 32, 33, 34).forall(i => !flags(i)), "MAD=0 group flags nothing")
+  }
+
+  test("trendFeatures recovers exact linear laws per group; single point yields null slope") {
+    val df = ((1 to 10).flatMap(i => Seq(("u1", i, 2.0 * i + 3), ("u2", i, -0.5 * i + 7))) ++
+      Seq(("u3", 1, 42.0))).toDF("u", "t", "v")
+    val r = TimeSeriesLib.trendFeatures(df, "v", "t", Seq("u"))
+      .collect().map(x => x.getString(0) -> x).toMap
+    def d(u: String, c: String) = r(u).getAs[Double](c)
+    assert(r("u1").getAs[Long]("v_n") == 10L)
+    assert(math.abs(d("u1", "v_slope") - 2.0) < 1e-9)
+    assert(math.abs(d("u1", "v_intercept") - 3.0) < 1e-9)
+    assert(math.abs(d("u1", "v_r2") - 1.0) < 1e-9)
+    assert(math.abs(d("u2", "v_slope") + 0.5) < 1e-9)
+    assert(math.abs(d("u2", "v_intercept") - 7.0) < 1e-9)
+    assert(r("u3").isNullAt(r("u3").fieldIndex("v_slope")), "zero x-variance → null slope")
+    // global form: one row, all 21 points counted
+    val g = TimeSeriesLib.trendFeatures(df, "v", "t").collect()(0)
+    assert(g.getAs[Long]("v_n") == 21L)
+  }
 }
