@@ -388,6 +388,14 @@ object OpCompiler {
           s(p, "eval_id_column", id),
           s(p, "eval_vector_column", s(p, "vector_column", "embedding")),
           s(p, "threshold", "0.95").toDouble)
+      case "bm25_search" =>
+        require(tables != null, "bm25_search requires a table catalog")
+        require(s(p, "query_table") != null,
+          "bm25_search requires params.query_table (the small query/probe table)")
+        graft.text.Search.bm25TopK(df, text, id,
+          tables(s(p, "query_table")),
+          s(p, "query_id_column", "query_id"), s(p, "query_text_column", "query_text"),
+          s(p, "k", "10").toInt, s(p, "k1", "1.2").toDouble, s(p, "b", "0.75").toDouble)
       case "quota_per_group" =>
         require(s(p, "group_column") != null,
           "quota_per_group requires params.group_column (e.g. the domain/source column)")

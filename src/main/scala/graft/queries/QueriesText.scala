@@ -677,7 +677,19 @@ object QueriesText {
           vocabSize = 2000, bigramSize = 3000)
         .select(col("doc_id"), col("n_tokens"),
           roundf(col("lm2_logprob"), 4).as("lm2_logprob"))
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    "q_bm25" -> ((s, dir) => {
+      import s.implicits._
+      // three probes: multi-term, repeated-term-in-query (distinct pairs
+      // collapse it), and a query carrying a corpus-absent term (the term
+      // contributes nothing, the query still retrieves on its live terms)
+      val qs = Seq((1L, "spark hash join"), (2L, "window window sort merge stream"),
+        (3L, "vector scan zzzmissing")).toDF("query_id", "qtext")
+      graft.text.Search.bm25TopK(t(s, dir, "documents"), "text", "doc_id",
+          qs, "query_id", "qtext", k = 10)
+        .orderBy("query_id", "rank")
+    })
   )
 
   /** Shared fixture for the contamination queries: (train corpus, eval suite). */
@@ -1581,6 +1593,50 @@ object QueriesText {
         |  FROM h)
         |SELECT doc_id, shard,
         |  CAST(row_number() OVER (PARTITION BY shard ORDER BY hx, doc_id) AS INT) AS pos
-        |FROM s ORDER BY doc_id""".stripMargin
+        |FROM s ORDER BY doc_id""".stripMargin,
+
+    "q_bm25" ->
+      // full replay of training (N, avgdl, per-term df) and scoring; the
+      // scalar arithmetic mirrors the engine's evaluation order term by
+      // term, incl. the (1.2 + 1.0) literal ADD (a bare 2.2 literal is a
+      // different double than IEEE 1.2+1.0); ranking is on the ROUNDED
+      // score with doc_id tiebreak, so float summation order cannot flip it
+      """WITH q(query_id, qtext) AS (VALUES
+        |    (CAST(1 AS BIGINT), 'spark hash join'),
+        |    (CAST(2 AS BIGINT), 'window window sort merge stream'),
+        |    (CAST(3 AS BIGINT), 'vector scan zzzmissing')),
+        |qt AS (SELECT DISTINCT query_id, token FROM (
+        |    SELECT query_id, unnest(string_split(
+        |      trim(regexp_replace(lower(qtext), '\s+', ' ', 'g')), ' ')) AS token
+        |    FROM q) WHERE token <> ''),
+        |tok AS (SELECT doc_id, list_filter(string_split(
+        |    trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+        |    x -> x <> '') AS ws
+        |  FROM documents),
+        |dl AS (SELECT doc_id, coalesce(len(ws), 0) AS dl FROM tok),
+        |stats AS (SELECT count(*) AS n, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+        |tk AS (SELECT doc_id, unnest(ws) AS token FROM tok),
+        |tf AS (SELECT doc_id, token, count(*) AS tf FROM tk
+        |       WHERE token IN (SELECT token FROM qt) GROUP BY doc_id, token),
+        |dft AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+        |scored AS (
+        |  SELECT qt.query_id, tf.doc_id,
+        |    round(sum( ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5)) *
+        |               (tf.tf * (1.2 + 1.0)) /
+        |               (tf.tf + 1.2 * (1.0 - 0.75 + (0.75 * dl.dl) / s.avgdl)) ) + 1e-9, 6)
+        |      AS bm25,
+        |    count(*) AS n_terms
+        |  FROM tf
+        |  JOIN qt USING (token)
+        |  JOIN dft d USING (token)
+        |  JOIN dl USING (doc_id)
+        |  CROSS JOIN stats s
+        |  GROUP BY qt.query_id, tf.doc_id),
+        |r AS (SELECT query_id, doc_id, bm25, CAST(n_terms AS BIGINT) AS n_terms,
+        |        CAST(row_number() OVER (PARTITION BY query_id
+        |          ORDER BY bm25 DESC, doc_id) AS INT) AS rank
+        |      FROM scored)
+        |SELECT query_id, doc_id, bm25, n_terms, rank
+        |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
   )
 }
