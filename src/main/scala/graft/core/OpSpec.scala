@@ -356,6 +356,12 @@ object OpCompiler {
       case "sample_hash" =>
         graft.ops.Scale.sampleByHash(df, s(p, "key_column", id),
           s(p, "fraction").toDouble, s(p, "salt", "42").toInt)
+      case "sample_weighted" =>
+        require(s(p, "weight_column") != null,
+          "sample_weighted requires params.weight_column (e.g. a quality or length score)")
+        require(s(p, "k") != null, "sample_weighted requires params.k (rows kept)")
+        graft.ops.Scale.weightedSample(df, s(p, "weight_column"), s(p, "key_column", id),
+          s(p, "k").toInt, seqOf(p, "group_by"), s(p, "salt", "42").toInt)
       case "sample_budget" =>
         require(s(p, "group_column") != null,
           "sample_budget requires params.group_column (e.g. the domain/source column)")

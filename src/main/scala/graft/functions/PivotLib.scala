@@ -129,6 +129,34 @@ object PivotLib {
     labeled.drop(keys.map(k => s"__g_$k"): _*)
   }
 
+  /** Arbitrary GROUPING SETS aggregation — the general form rollup/cube
+    * (pivotWithSubtotals, crossTab margins) are special cases of: the
+    * caller names exactly which grouping combinations to materialize, and
+    * all of them compute in ONE pass over the data (Catalyst expands the
+    * sets into a single Expand + aggregate — no per-set rescans, the
+    * reason GROUPING SETS exists at scale). Grouped-out cells take
+    * `rollupLabel` (pivotWithSubtotals' convention) and `grouping_id` is
+    * the documented bitmask output (bit order = `columns` order).
+    */
+  def groupingSetsAgg(
+      df: DataFrame,
+      sets: Seq[Seq[String]],
+      aggs: Seq[(String, String)],
+      rollupLabel: String = "TOTAL"
+  ): DataFrame = {
+    require(sets.nonEmpty, "groupingSetsAgg: need at least one grouping set")
+    require(aggs.nonEmpty, "groupingSetsAgg: need at least one aggregation")
+    val keys = sets.flatten.distinct
+    val aggExprs = aggs.map { case (c, fn) => Relational.aggExpr(fn, c).as(s"${fn}_$c") }
+    val gCols = keys.map(k => grouping(col(k)).as(s"__g_$k"))
+    val grouped = df.groupingSets(sets.map(_.map(col)), keys.map(col): _*)
+      .agg(aggExprs.head, (aggExprs.tail ++ gCols :+ grouping_id().as("grouping_id")): _*)
+    val labeled = keys.foldLeft(grouped) { (d, k) =>
+      d.withColumn(k, when(col(s"__g_$k") === 1, lit(rollupLabel)).otherwise(col(k)))
+    }
+    labeled.drop(keys.map(k => s"__g_$k"): _*)
+  }
+
   /** dynamic_pivot (pivot_operations.py:284-339): data-driven columns with a
     * prefix separator. Spark's pivot is inherently dynamic; the prefix is a
     * rename pass.

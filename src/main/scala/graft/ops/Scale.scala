@@ -504,4 +504,50 @@ object Scale {
       .withColumn(posCol, row_number().over(w))
       .drop("__hx")
   }
+
+  /** Weighted sampling WITHOUT replacement (Efraimidis–Spirakis 2006):
+    * keep the top-k rows by selection key ln(u)/w, where u ∈ (0,1] derives
+    * DETERMINISTICALLY from md5("salt:key") — the hash plays the RNG, so
+    * the sample is reproducible across reruns, partitionings, and engines
+    * (shardAssign's md5-hex arithmetic; the default-salt xxhash gates
+    * can't serve here because the oracle must replay the float math).
+    * The classic "sample k docs proportional to quality/length" curation
+    * gate: P(select) ∝ w without replacement, exactly the A-ES scheme.
+    *
+    * u = (first-60-bits-of-md5 + 1) / 2^60 (never 0, so ln is finite);
+    * es = ln(u)/w, larger is better (u^(1/w) ordering, log-monotone).
+    * Null keys, null weights, and non-positive weights never select.
+    *
+    * Scale shape: the key is row-local; global k is a TakeOrdered (no
+    * global sort materializes), per-group k is a rank-pushdown window
+    * (partial top-k before the exchange). Grouped output carries `rank`.
+    */
+  def weightedSample(
+      df: DataFrame,
+      weightCol: String,
+      keyCol: String,
+      k: Int,
+      groupCols: Seq[String] = Nil,
+      salt: Int = 42,
+      scoreCol: String = "es_key"
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k > 0, s"weightedSample: k must be positive, got $k")
+    val hx = md5(concat(lit(s"$salt:"), col(keyCol).cast("string")))
+    // 15 hex digits = 60 bits; exact as long, then one correctly-rounded
+    // long→double conversion — bit-identical to DuckDB's BIGINT→DOUBLE
+    val u = (conv(substring(col("__hx"), 1, 15), 16, 10).cast("long").cast("double") + lit(1.0)) /
+      lit(1152921504606846976.0) // 2^60, exactly representable
+    val base = df
+      .filter(col(keyCol).isNotNull && col(weightCol).isNotNull && col(weightCol) > 0)
+      .withColumn("__hx", hx)
+      .withColumn(scoreCol, log(u) / col(weightCol).cast("double"))
+      .drop("__hx")
+    if (groupCols.isEmpty) base.orderBy(col(scoreCol).desc, col(keyCol).asc).limit(k)
+    else {
+      val w = Window.partitionBy(groupCols.map(col): _*)
+        .orderBy(col(scoreCol).desc, col(keyCol).asc)
+      base.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+    }
+  }
 }

@@ -408,4 +408,62 @@ object Profiler {
         (-sum((n / tot) * log2(ny / tot))).as("h_y"),
         sum(col("__n")).as("n_rows"))
   }
+
+  /** Pearson chi-square independence test + Cramér's V between two
+    * categorical columns — the significance-flavored sibling of
+    * [[mutualInfo]] (MI measures shared bits; V normalizes association to
+    * [0,1] regardless of table size). Same scale shape: one shuffle to the
+    * |A|·|B| joint-count frame, margins as window sums OVER THAT AGGREGATED
+    * FRAME (the documented benign scalar pattern), one scalar output row
+    * with chi2 / dof / cramers_v / n_rows. Nulls in either column are
+    * excluded (pandas crosstab parity). A single-category side yields dof 0
+    * and a null V (no association is measurable).
+    *
+    * Term order is pinned for the DuckDB oracle: e = (nx·ny)/tot,
+    * term = ((n−e)·(n−e))/e, V = sqrt(chi2/(tot·mindim)).
+    */
+  def chiSquare(df: DataFrame, a: String, b: String): DataFrame = {
+    val joint = df.filter(col(a).isNotNull && col(b).isNotNull)
+      .groupBy(col(a).as("__x"), col(b).as("__y")).agg(count(lit(1)).as("__n"))
+    val n = col("__n").cast("double")
+    val e = (col("__nx").cast("double") * col("__ny").cast("double")) / col("__tot").cast("double")
+    joint
+      .withColumn("__nx", sum(col("__n")).over(Window.partitionBy(col("__x"))))
+      .withColumn("__ny", sum(col("__n")).over(Window.partitionBy(col("__y"))))
+      .withColumn("__tot", sum(col("__n")).over(Window.partitionBy()))
+      .agg(
+        sum(((n - e) * (n - e)) / e).as("chi2"),
+        countDistinct(col("__x")).as("__ra"),
+        countDistinct(col("__y")).as("__rb"),
+        sum(col("__n")).as("n_rows"))
+      .withColumn("dof", (col("__ra") - 1) * (col("__rb") - 1))
+      .withColumn("cramers_v",
+        when(least(col("__ra"), col("__rb")) > 1,
+          sqrt(col("chi2") / (col("n_rows").cast("double") *
+            (least(col("__ra"), col("__rb")) - lit(1)).cast("double")))))
+      .select(col("chi2"), col("dof"), col("cramers_v"), col("n_rows"))
+  }
+
+  /** k-anonymity audit: group sizes over the quasi-identifier columns —
+    * the standard re-identification gate a privacy review runs before a
+    * corpus ships (Sweeney 2002). One map-side-combined shuffle to the
+    * |QI-combinations| frame, then a scalar rollup: total rows, group
+    * count, minimum group size, groups/rows below k, and the pass flag.
+    * Null QI values form their own groups (a null zip code is still a
+    * distinguishable value). Empty input reports 0 groups and a true flag
+    * (nothing to re-identify).
+    */
+  def kAnonymity(df: DataFrame, quasiCols: Seq[String], k: Int): DataFrame = {
+    require(quasiCols.nonEmpty, "kAnonymity: need at least one quasi-identifier column")
+    require(k >= 2, s"kAnonymity: k must be >= 2, got $k")
+    df.groupBy(quasiCols.map(col): _*).agg(count(lit(1)).as("__n"))
+      .agg(
+        coalesce(sum(col("__n")), lit(0L)).as("n_rows"),
+        count(lit(1)).as("n_groups"),
+        min(col("__n")).as("min_group_size"),
+        coalesce(sum(when(col("__n") < k, 1L).otherwise(0L)), lit(0L)).as("violating_groups"),
+        coalesce(sum(when(col("__n") < k, col("__n")).otherwise(0L)), lit(0L)).as("violating_rows"))
+      .withColumn("k", lit(k))
+      .withColumn("anonymity_ok", coalesce(col("min_group_size") >= k, lit(true)))
+  }
 }

@@ -267,7 +267,28 @@ object QueriesAgg {
         .unionByName(SchemaInference.fkCandidateStats(li, "l_partkey", p, "p_partkey"))
         .unionByName(SchemaInference.fkCandidateStats(c, "c_custkey", o, "o_custkey"))
         .orderBy("child_col")
-    })
+    }),
+
+    "q_chi_square" -> ((s, dir) =>
+      Profiler.chiSquare(t(s, dir, "documents"), "lang", "source")
+        .select(roundf(col("chi2"), 6).as("chi2"), col("dof"),
+          roundf(col("cramers_v"), 6).as("cramers_v"), col("n_rows"))),
+
+    "q_k_anonymity" -> ((s, dir) =>
+      // QI = (mktsegment, nationkey): coarse enough that most cells pass
+      // k=10 at sf0.01 while a violating tail exists — both branches live
+      Profiler.kAnonymity(t(s, dir, "customer"), Seq("c_mktsegment", "c_nationkey"), 10)
+        .select(col("n_rows"), col("n_groups"), col("min_group_size"),
+          col("violating_groups"), col("violating_rows"), col("k"), col("anonymity_ok"))),
+
+    "q_weighted_sample" -> ((s, dir) =>
+      // per-lang A-ES sample of 10 docs weighted by length; deterministic
+      // md5-derived u so DuckDB replays selection AND order exactly
+      graft.ops.Scale.weightedSample(t(s, dir, "documents"), "n_chars", "doc_id", 10,
+          groupCols = Seq("lang"))
+        .select(col("lang"), col("doc_id"),
+          roundf(col("es_key") * 1e6, 4).as("es_ppm"), col("rank"))
+        .orderBy("lang", "rank"))
   )
 
   /** Shared monitor CTE: the 12 schema-derived default checks over events
@@ -727,6 +748,65 @@ object QueriesAgg {
         |SELECT 'min_epoch', epoch(min(o_orderdate))::DOUBLE FROM orders
         |UNION ALL
         |SELECT 'max_epoch', epoch(max(o_orderdate))::DOUBLE FROM orders
-        |ORDER BY metric""".stripMargin
+        |ORDER BY metric""".stripMargin,
+
+    "q_chi_square" ->
+      // margins over the aggregated joint frame, e = (nx·ny)/tot,
+      // term = ((n−e)·(n−e))/e, V = sqrt(chi2/(n·mindim)) — the engine's
+      // pinned order
+      """WITH j AS (SELECT lang AS x, source AS y, count(*) AS n FROM documents
+        |           WHERE lang IS NOT NULL AND source IS NOT NULL GROUP BY 1, 2),
+        |w AS (SELECT n,
+        |        sum(n) OVER (PARTITION BY x) AS nx,
+        |        sum(n) OVER (PARTITION BY y) AS ny,
+        |        sum(n) OVER () AS tot FROM j),
+        |a AS (SELECT
+        |        sum(((CAST(n AS DOUBLE) - (CAST(nx AS DOUBLE) * CAST(ny AS DOUBLE)) / CAST(tot AS DOUBLE))
+        |             * (CAST(n AS DOUBLE) - (CAST(nx AS DOUBLE) * CAST(ny AS DOUBLE)) / CAST(tot AS DOUBLE)))
+        |            / ((CAST(nx AS DOUBLE) * CAST(ny AS DOUBLE)) / CAST(tot AS DOUBLE))) AS chi2,
+        |        CAST(sum(n) AS BIGINT) AS n_rows
+        |      FROM w),
+        |d AS (SELECT (SELECT count(DISTINCT x) FROM j) AS ra,
+        |             (SELECT count(DISTINCT y) FROM j) AS rb)
+        |SELECT round(a.chi2 + 1e-9, 6) AS chi2,
+        |  CAST((d.ra - 1) * (d.rb - 1) AS BIGINT) AS dof,
+        |  CASE WHEN least(d.ra, d.rb) > 1
+        |       THEN round(sqrt(a.chi2 / (CAST(a.n_rows AS DOUBLE)
+        |                                 * CAST(least(d.ra, d.rb) - 1 AS DOUBLE))) + 1e-9, 6)
+        |  END AS cramers_v,
+        |  a.n_rows
+        |FROM a CROSS JOIN d""".stripMargin,
+
+    "q_k_anonymity" ->
+      """WITH g AS (SELECT c_mktsegment, c_nationkey, count(*) AS n
+        |           FROM customer GROUP BY 1, 2)
+        |SELECT CAST(sum(n) AS BIGINT) AS n_rows,
+        |  count(*) AS n_groups,
+        |  min(n) AS min_group_size,
+        |  CAST(sum(CASE WHEN n < 10 THEN 1 ELSE 0 END) AS BIGINT) AS violating_groups,
+        |  CAST(sum(CASE WHEN n < 10 THEN n ELSE 0 END) AS BIGINT) AS violating_rows,
+        |  10 AS k,
+        |  min(n) >= 10 AS anonymity_ok
+        |FROM g""".stripMargin,
+
+    "q_weighted_sample" ->
+      // Efraimidis–Spirakis replay: u = (60-bit md5 prefix + 1)/2^60,
+      // es = ln(u)/w; BIGINT→DOUBLE conversion is correctly rounded in
+      // both engines, so the keys are bit-identical
+      """WITH h AS (
+        |  SELECT lang, doc_id, n_chars,
+        |    md5('42:' || CAST(doc_id AS VARCHAR)) AS hx
+        |  FROM documents
+        |  WHERE doc_id IS NOT NULL AND n_chars IS NOT NULL AND n_chars > 0),
+        |s AS (
+        |  SELECT lang, doc_id,
+        |    ln((CAST(CAST('0x' || substr(hx, 1, 15) AS BIGINT) AS DOUBLE) + 1.0)
+        |       / 1152921504606846976.0) / CAST(n_chars AS DOUBLE) AS es
+        |  FROM h),
+        |r AS (SELECT lang, doc_id, es,
+        |        CAST(row_number() OVER (PARTITION BY lang ORDER BY es DESC, doc_id) AS INT) AS rank
+        |      FROM s)
+        |SELECT lang, doc_id, round(es * 1e6 + 1e-9, 4) AS es_ppm, rank
+        |FROM r WHERE rank <= 10 ORDER BY lang, rank""".stripMargin
   )
 }

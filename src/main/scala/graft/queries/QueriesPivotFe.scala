@@ -221,7 +221,19 @@ object QueriesPivotFe {
       FeatureLib.winsorize(t(s, dir, "events"), "value", 0.05, 0.95,
           groupCols = Seq("event_type"))
         .select(col("event_id"), roundf(col("value_wins"), 6).as("value_wins"))
-        .orderBy("event_id"))
+        .orderBy("event_id")),
+
+    "q_grouping_sets" -> ((s, dir) =>
+      // detail + one-key subtotal + grand total in ONE pass (single Expand
+      // + aggregate); grouping_id disambiguates the TOTAL label
+      PivotLib.groupingSetsAgg(t(s, dir, "lineitem"),
+          Seq(Seq("l_returnflag", "l_linestatus"), Seq("l_returnflag"), Seq.empty),
+          Seq(("l_quantity", "sum"), ("l_extendedprice", "avg")))
+        .select(col("l_returnflag"), col("l_linestatus"),
+          roundf(col("sum_l_quantity"), 4).as("sum_qty"),
+          roundf(col("avg_l_extendedprice"), 4).as("avg_price"),
+          col("grouping_id").cast("int").as("grouping_id"))
+        .orderBy("grouping_id", "l_returnflag", "l_linestatus"))
   )
 
   val oracle: Map[String, String] = Map(
@@ -463,6 +475,19 @@ object QueriesPivotFe {
         |  CASE WHEN e.value IS NOT NULL
         |       THEN round(least(greatest(e.value, s.lo), s.hi) + 1e-9, 6) END AS value_wins
         |FROM events e LEFT JOIN s ON e.event_type IS NOT DISTINCT FROM s.event_type
-        |ORDER BY event_id""".stripMargin
+        |ORDER BY event_id""".stripMargin,
+
+    "q_grouping_sets" ->
+      // GROUPING(a, b) packs bits in argument order in both engines
+      // (first argument = highest bit), matching Spark's grouping_id()
+      """SELECT
+        |  CASE WHEN GROUPING(l_returnflag) = 1 THEN 'TOTAL' ELSE l_returnflag END AS l_returnflag,
+        |  CASE WHEN GROUPING(l_linestatus) = 1 THEN 'TOTAL' ELSE l_linestatus END AS l_linestatus,
+        |  round(sum(l_quantity) + 1e-9, 4) AS sum_qty,
+        |  round(avg(l_extendedprice) + 1e-9, 4) AS avg_price,
+        |  CAST(GROUPING(l_returnflag, l_linestatus) AS INT) AS grouping_id
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        |ORDER BY grouping_id, l_returnflag, l_linestatus""".stripMargin
   )
 }

@@ -624,6 +624,56 @@ class QualityFeSpec extends SparkSpec {
     assert(r3.getAs[Long]("n_rows") == 4L)
   }
 
+  test("chiSquare: hand-computed 2x2, perfect independence, degenerate single category") {
+    // counts [[10, 20], [20, 40]] — exactly proportional rows → chi2 = 0
+    val indep = (Seq.fill(10)(("a", "x")) ++ Seq.fill(20)(("a", "y")) ++
+      Seq.fill(20)(("b", "x")) ++ Seq.fill(40)(("b", "y"))).toDF("p", "q")
+    val r0 = Profiler.chiSquare(indep, "p", "q").collect()(0)
+    assert(math.abs(r0.getAs[Double]("chi2")) < 1e-9)
+    assert(r0.getAs[Long]("dof") == 1L)
+    assert(math.abs(r0.getAs[Double]("cramers_v")) < 1e-9)
+    // hand 2x2 [[2,1],[1,0]]: n=4, e11=2.25, e12=0.75, e21=0.75, e22=... only 3 cells
+    val skew = Seq(("a", "x"), ("a", "x"), ("a", "y"), ("b", "x")).toDF("p", "q")
+    val r1 = Profiler.chiSquare(skew, "p", "q").collect()(0)
+    // margins: a=3, b=1, x=3, y=1, tot=4; cells (a,x)=2 e=2.25, (a,y)=1 e=0.75, (b,x)=1 e=0.75
+    val expected = math.pow(2 - 2.25, 2) / 2.25 + math.pow(1 - 0.75, 2) / 0.75 +
+      math.pow(1 - 0.75, 2) / 0.75
+    assert(math.abs(r1.getAs[Double]("chi2") - expected) < 1e-9)
+    assert(math.abs(r1.getAs[Double]("cramers_v") -
+      math.sqrt(expected / (4.0 * 1.0))) < 1e-9)
+    // one-category side: dof 0, V null
+    val deg = Seq(("a", "x"), ("a", "y")).toDF("p", "q")
+    val r2 = Profiler.chiSquare(deg, "p", "q").collect()(0)
+    assert(r2.getAs[Long]("dof") == 0L)
+    assert(r2.isNullAt(r2.fieldIndex("cramers_v")))
+  }
+
+  test("kAnonymity: counts, violations, and the pass flag") {
+    val d = (Seq.fill(5)(("NY", 30)) ++ Seq.fill(2)(("LA", 30)) ++ Seq(("SF", 40))).toDF("city", "age")
+    val r = Profiler.kAnonymity(d, Seq("city", "age"), 3).collect()(0)
+    assert(r.getAs[Long]("n_rows") == 8L)
+    assert(r.getAs[Long]("n_groups") == 3L)
+    assert(r.getAs[Long]("min_group_size") == 1L)
+    assert(r.getAs[Long]("violating_groups") == 2L) // LA(2) and SF(1) < 3
+    assert(r.getAs[Long]("violating_rows") == 3L)
+    assert(!r.getAs[Boolean]("anonymity_ok"))
+    val ok = Profiler.kAnonymity(d.filter($"city" === "NY"), Seq("city"), 3).collect()(0)
+    assert(ok.getAs[Boolean]("anonymity_ok"))
+  }
+
+  test("groupingSetsAgg: one-pass detail + subtotal + total with labels and grouping_id") {
+    val d = Seq(("a", "x", 1.0), ("a", "y", 2.0), ("b", "x", 4.0)).toDF("g1", "g2", "v")
+    val out = PivotLib.groupingSetsAgg(d,
+        Seq(Seq("g1", "g2"), Seq("g1"), Seq.empty), Seq(("v", "sum")))
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getDouble(2), r.getAs[Number](3).longValue())).toSet
+    assert(out.contains(("a", "x", 1.0, 0L)))
+    assert(out.contains(("a", "TOTAL", 3.0, 1L)), "g2 grouped out → label + low bit")
+    assert(out.contains(("b", "TOTAL", 4.0, 1L)))
+    assert(out.contains(("TOTAL", "TOTAL", 7.0, 3L)), "grand total carries both bits")
+    assert(out.size == 6) // 3 detail + 2 subtotal + 1 total
+  }
+
   test("encodeTarget: hand-computed blend, null category is a group, all-null falls to prior") {
     val df = Seq(
       (1, "a", java.lang.Double.valueOf(10.0)), (2, "a", java.lang.Double.valueOf(20.0)),

@@ -276,4 +276,48 @@ class ScaleSpec extends SparkSpec {
       .select("id", "shard", "pos").as[(Long, Int, Int)].collect()
     assert(a.sortBy(_._1).toSeq == b.sortBy(_._1).toSeq)
   }
+
+  /** JVM replica of weightedSample's selection key for the differential. */
+  private def esKey(key: String, w: Double, salt: Int = 42): Double = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"$salt:$key".getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString
+    val h60 = java.lang.Long.parseLong(hex.substring(0, 15), 16)
+    math.log((h60.toDouble + 1.0) / math.pow(2.0, 60)) / w
+  }
+
+  test("weightedSample: differential vs JVM md5 replica, exclusions, determinism") {
+    val rows = (1L to 200L).map(i => (i, (i % 7 + 1).toDouble)) ++
+      Seq((201L, 0.0), (202L, -1.0)) // non-positive weights never select
+    val df = rows.toDF("id", "w")
+    val out = Scale.weightedSample(df, "w", "id", 20)
+      .select($"id", $"w", $"es_key").as[(Long, Double, Double)].collect()
+    assert(out.length == 20)
+    assert(!out.exists(r => r._1 == 201L || r._1 == 202L))
+    // engine keys equal the independent JVM md5+ln replica bit-for-bit
+    out.foreach { case (id, w, es) =>
+      assert(esKey(id.toString, w) == es, s"es mismatch for id=$id")
+    }
+    // the kept set IS the global top-20 of the replica's keys
+    val expect = (1L to 200L).map(i => i -> esKey(i.toString, (i % 7 + 1).toDouble))
+      .sortBy { case (id, es) => (-es, id) }.take(20).map(_._1).toSet
+    assert(out.map(_._1).toSet == expect)
+    // partitioning-independent
+    val again = Scale.weightedSample(df.repartition(11), "w", "id", 20)
+      .select($"id").as[Long].collect().toSet
+    assert(again == expect)
+  }
+
+  test("weightedSample grouped: k per group, contiguous ranks, heavy weight wins") {
+    val df = ((1L to 50L).map(i => (i, "g" + (i % 2), 1.0)) :+ (99L, "g0", 1e9))
+      .toDF("id", "g", "w")
+    val out = Scale.weightedSample(df, "w", "id", 5, groupCols = Seq("g"))
+      .select($"g", $"id", $"rank").as[(String, Long, Int)].collect()
+    assert(out.count(_._1 == "g0") == 5 && out.count(_._1 == "g1") == 5)
+    out.groupBy(_._1).values.foreach { rs =>
+      assert(rs.map(_._3).sorted.toSeq == (1 to 5).toSeq, "ranks contiguous per group")
+    }
+    // ln(u)/1e9 ≈ 0 dominates every unit-weight key (P(miss) ~ e^-1e9·ε)
+    assert(out.find(_._2 == 99L).get._3 == 1, "the 1e9-weight row ranks first in its group")
+  }
 }
