@@ -247,6 +247,52 @@ object StreamOps {
     }
   }
 
+  /** Stream-static enrichment: broadcast-join a bounded dimension frame
+    * onto a stream (the lookup-table pattern — device registry, allowlist,
+    * model metadata). The static side broadcasts once per micro-batch
+    * planning; the stream side never shuffles. Left join by default so
+    * unmatched events survive with null enrichment.
+    */
+  def enrichStream(stream: DataFrame, dim: DataFrame, keys: Seq[String],
+                   joinType: String = "left"): DataFrame =
+    stream.join(broadcast(dim), keys, joinType)
+
+  /** Stream-stream equi-join with an event-time band — the watermarked
+    * two-stream correlation (click↔impression, request↔response). The
+    * band condition (|rightTs − leftTs| ≤ joinWindowSeconds) is what lets
+    * Spark BOUND the join state: with both watermarks plus the time
+    * constraint, rows age out of state once the other side's watermark
+    * passes their band (unbounded state otherwise — Spark would buffer
+    * both streams forever). left_outer/right_outer emit the null-padded
+    * row only after the opposite watermark clears the band, exactly the
+    * semantics a late-data-tolerant pipeline wants.
+    *
+    * Output carries left.* plus the right side's non-key columns;
+    * `rightPrefix` renames them (""= keep names; collisions rejected).
+    */
+  def joinStreams(left: DataFrame, right: DataFrame, keys: Seq[String],
+                  leftTs: String, rightTs: String, watermarkDelay: String,
+                  joinWindowSeconds: Long, joinType: String = "inner",
+                  rightPrefix: String = ""): DataFrame = {
+    require(keys.nonEmpty, "joinStreams: need at least one equi-join key")
+    require(joinWindowSeconds >= 0, "joinStreams: joinWindowSeconds must be >= 0")
+    val rightPayload = right.columns.filterNot(keys.contains).toSeq
+    val renamed = rightPayload.map(c => c -> s"$rightPrefix$c")
+    val collisions = renamed.map(_._2).filter(left.columns.contains)
+    require(collisions.isEmpty,
+      s"joinStreams: right columns ${collisions.mkString(", ")} collide with the left side — set rightPrefix")
+    val l = left.withWatermark(leftTs, watermarkDelay).alias("__l")
+    val rRenamed = renamed.foldLeft(right)((d, p) => d.withColumnRenamed(p._1, p._2))
+    val r = rRenamed.withWatermark(s"$rightPrefix$rightTs", watermarkDelay).alias("__r")
+    val rTs = col(s"__r.$rightPrefix$rightTs")
+    val lTs = col(s"__l.$leftTs")
+    val keyCond = keys.map(k => col(s"__l.$k") === col(s"__r.$k")).reduce(_ && _)
+    val band = rTs >= lTs - expr(s"INTERVAL $joinWindowSeconds SECONDS") &&
+      rTs <= lTs + expr(s"INTERVAL $joinWindowSeconds SECONDS")
+    val joined = l.join(r, keyCond && band, joinType)
+    keys.foldLeft(joined)((d, k) => d.drop(col(s"__r.$k")))
+  }
+
   // ---------------------------------------------------------------- sinks
 
   /** Checkpointed foreachBatch sink — the fan-out point for Redis/JDBC/Kafka

@@ -352,4 +352,65 @@ class StreamingSpec extends SparkSpec {
       // the reference fit is literals: each micro-batch job is batch-local
     } finally q.stop()
   }
+
+  test("enrichStream broadcast-joins a static dimension; unmatched rows survive") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val dim = Seq(("a", "tier1"), ("b", "tier2")).toDF("user", "tier")
+    val out = StreamOps.enrichStream(input.toDF(), dim, Seq("user"))
+    val q = out.writeStream.format("memory").queryName("enr").outputMode("append").start()
+    try {
+      input.addData(Ev(t("2024-01-01 00:00:00"), "a", 1.0),
+        Ev(t("2024-01-01 00:00:01"), "zz", 2.0))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT user, tier FROM enr ORDER BY user")
+        .collect().map(r => (r.getString(0), Option(r.getString(1))))
+      assert(rows.toSeq == Seq("a" -> Some("tier1"), "zz" -> None))
+    } finally q.stop()
+  }
+
+  test("joinStreams: banded stream-stream inner join matches only inside the window") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[Ev]
+    val imps = MemoryStream[Doc] // (ts, id, text) — join on text==user for the test
+    val out = StreamOps.joinStreams(
+      clicks.toDF(), imps.toDF().withColumnRenamed("text", "user"),
+      Seq("user"), "ts", "ts", "10 seconds", joinWindowSeconds = 60,
+      joinType = "inner", rightPrefix = "r_")
+    val q = out.writeStream.format("memory").queryName("ssj").outputMode("append").start()
+    try {
+      clicks.addData(Ev(t("2024-01-01 00:01:00"), "u1", 1.0),
+        Ev(t("2024-01-01 00:05:00"), "u2", 2.0))
+      imps.addData(Doc(t("2024-01-01 00:01:30"), 100L, "u1"),   // in band (30s)
+        Doc(t("2024-01-01 00:03:00"), 101L, "u2"),              // out of band (120s)
+        Doc(t("2024-01-01 00:00:30"), 102L, "u1"))              // in band (-30s)
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT user, r_id FROM ssj ORDER BY r_id")
+        .as[(String, Long)].collect()
+      assert(rows.toSeq == Seq(("u1", 100L), ("u1", 102L)))
+    } finally q.stop()
+  }
+
+  test("joinStreams left_outer emits the null-padded row after the watermark clears the band") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[Ev]
+    val imps = MemoryStream[Doc]
+    val out = StreamOps.joinStreams(
+      clicks.toDF(), imps.toDF().withColumnRenamed("text", "user"),
+      Seq("user"), "ts", "ts", "5 seconds", joinWindowSeconds = 30,
+      joinType = "left_outer", rightPrefix = "r_")
+    val q = out.writeStream.format("memory").queryName("ssjo").outputMode("append").start()
+    try {
+      clicks.addData(Ev(t("2024-01-01 00:00:00"), "lonely", 1.0))
+      imps.addData(Doc(t("2024-01-01 00:00:10"), 1L, "other"))
+      q.processAllAvailable()
+      // push BOTH watermarks far past the band so the unmatched left row emits
+      clicks.addData(Ev(t("2024-01-01 01:00:00"), "later", 9.0))
+      imps.addData(Doc(t("2024-01-01 01:00:00"), 2L, "other2"))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT user, r_id FROM ssjo WHERE user = 'lonely'")
+        .collect().map(r => (r.getString(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+      assert(rows.toSeq == Seq(("lonely", -1L)), "unmatched left row must emit null-padded")
+    } finally q.stop()
+  }
 }
