@@ -623,6 +623,13 @@ object OpCompiler {
           "multimodal resize_images requires params.width and params.height (target dims)")
         Multimodal.resizeImages(df, s(p, "width").toInt, s(p, "height").toInt,
           s(p, "batch_size", "256").toInt)
+      case "image_dhash" => // REAL decode → perceptual 64-bit difference hash
+        Multimodal.imageDHash(df, s(p, "payload_column", "payload"),
+          s(p, "output_column", "dhash"), s(p, "batch_size", "256").toInt)
+      case "image_neardup" => // Hamming-banded image near-dup pairs over a dhash column
+        Multimodal.imageNearDupPairs(df, s(p, "id_column", "media_id"),
+          s(p, "hash_column", "dhash"), s(p, "max_hamming", "3").toInt,
+          s(p, "max_bucket_size", "1000").toInt)
       case "decode_audio_stats" =>
         Multimodal.decodeAudioStats(df, s(p, "payload_column", "payload"),
           s(p, "output_column", "audio_stats"), s(p, "batch_size", "256").toInt)

@@ -167,6 +167,133 @@ object Multimodal {
     bos.toByteArray
   }
 
+  /** Quadratic-pattern sibling of [[syntheticPng]] for the perceptual-hash
+    * gates: pixel(x,y) = (7x²+13y²+(5+seed%97)xy+31·seed,
+    * 3x²+11y²+(7+seed%89)xy+17·seed, 5x²+3y²+(11+seed%83)xy+23·seed) mod
+    * 256. The LINEAR gradient pattern is perceptually degenerate (cell
+    * averages grow monotonically → most dHashes collapse to a handful of
+    * values); the quadratic + seed-dependent cross term gives distinct
+    * seeds distinct hashes (measured: 200/200 distinct, min Hamming 8), so
+    * planted duplicate pairs are the ONLY near-dups and the oracle can
+    * replay every hash from the formula.
+    */
+  def syntheticPng2(seed: Long, w: Int, h: Int): Array[Byte] = {
+    noImageIOFileCache()
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val cr = 5 + (seed % 97); val cg = 7 + (seed % 89); val cb = 11 + (seed % 83)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val xl = x.toLong; val yl = y.toLong
+        val r = (((7L * xl * xl + 13L * yl * yl + cr * xl * yl + 31L * seed) % 256 + 256) % 256).toInt
+        val g = (((3L * xl * xl + 11L * yl * yl + cg * xl * yl + 17L * seed) % 256 + 256) % 256).toInt
+        val b = (((5L * xl * xl + 3L * yl * yl + cb * xl * yl + 23L * seed) % 256 + 256) % 256).toInt
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** 64-bit difference hash (dHash) of a REAL decoded image — the standard
+    * perceptual near-dup key (Krawetz): downsample to a 9×8 luma grid,
+    * bit(x,y) = avg(x+1,y) > avg(x,y). Everything is EXACT integer
+    * arithmetic — area-average cells (cell = floor-partitioned pixel
+    * ranges, no resampling kernel), integer Rec.601 luma (299r+587g+114b,
+    * unscaled), and the comparison as cross-multiplication — so the hash
+    * is bit-reproducible across JVMs and replayable in plain SQL for the
+    * oracle. Images smaller than 9×8, null, or undecodable payloads → null.
+    */
+  private[graft] def dhash64(payload: Array[Byte]): Any = {
+    if (payload == null) return null
+    noImageIOFileCache()
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      catch { case _: Exception => null }
+    if (img == null) return null
+    val w = img.getWidth; val h = img.getHeight
+    if (w < 9 || h < 8) return null
+    val sums = Array.ofDim[Long](8, 9)
+    val cnts = Array.ofDim[Long](8, 9)
+    var y = 0
+    while (y < h) {
+      val gy = math.min((y.toLong * 8 / h).toInt, 7)
+      var x = 0
+      while (x < w) {
+        val gx = math.min((x.toLong * 9 / w).toInt, 8)
+        val rgb = img.getRGB(x, y)
+        val l = 299L * ((rgb >> 16) & 0xFF) + 587L * ((rgb >> 8) & 0xFF) + 114L * (rgb & 0xFF)
+        sums(gy)(gx) += l
+        cnts(gy)(gx) += 1
+        x += 1
+      }
+      y += 1
+    }
+    var hash = 0L
+    var gy = 0
+    while (gy < 8) {
+      var gx = 0
+      while (gx < 8) {
+        if (sums(gy)(gx + 1) * cnts(gy)(gx) > sums(gy)(gx) * cnts(gy)(gx + 1))
+          hash |= 1L << (gy * 8 + gx)
+        gx += 1
+      }
+      gy += 1
+    }
+    hash
+  }
+
+  /** dHash column over a media frame (batched decode, null passthrough). */
+  def imageDHash(df: DataFrame, payloadCol: String, outCol: String = "dhash",
+                 batchSize: Int = 256): DataFrame = {
+    val spark = df.sparkSession
+    val inSchema = df.schema
+    val outSchema = inSchema.add(outCol, LongType)
+    val payloadIdx = inSchema.fieldIndex(payloadCol)
+    val rdd = df.rdd.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.map { row =>
+          Row.fromSeq(row.toSeq :+ dhash64(row.get(payloadIdx).asInstanceOf[Array[Byte]]))
+        }
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  /** Image near-dup pairs within Hamming radius ≤ 3 over a dHash column —
+    * the multimodal sibling of text SimHash dedup, and the same 4×16-bit
+    * block scheme (pigeonhole: distance ≤ 3 pairs must agree on ≥ 1 of 4
+    * blocks; the candidate exchange carries ids only, exact bit_count(xor)
+    * verify after). Null hashes never pair. Output (id_a, id_b, hamming),
+    * id_a < id_b.
+    */
+  def imageNearDupPairs(hashed: DataFrame, idCol: String, hashCol: String = "dhash",
+                        maxHamming: Int = 3, maxBucketSize: Int = 1000): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"imageNearDupPairs' 4-block scheme guarantees recall only for maxHamming <= 3, got $maxHamming")
+    // persisted: feeds the block explosion AND both per-id lookups — the
+    // upstream is typically an ImageIO decode, and recomputing it 3× means
+    // re-decoding the corpus 3× (simhashCandidates' persist rationale)
+    val sigs = hashed.filter(col(hashCol).isNotNull)
+      .select(col(idCol).as("id"), col(hashCol).as("__dh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val blockStructs = (0 until 4).map { i =>
+      struct(lit(i).as("blk"), shiftright(col("__dh"), i * 16).bitwiseAND(0xFFFFL).as("v"))
+    }
+    val blocks = sigs.select(col("id"), explode(array(blockStructs: _*)).as("b"))
+      .select(col("id"), col("b.blk").as("blk"), col("b.v").as("v"))
+    graft.text.Dedup.bucketPairs(blocks, Seq("blk", "v"), maxBucketSize)
+      .join(sigs.select(col("id").as("id_a"), col("__dh").as("dh_a")), Seq("id_a"))
+      .join(sigs.select(col("id").as("id_b"), col("__dh").as("dh_b")), Seq("id_b"))
+      .withColumn("hamming", bit_count(col("dh_a").bitwiseXOR(col("dh_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
   /** REAL image resize via JDK Graphics2D (bilinear) + PNG re-encode, in the
     * batched plumbing; metadata records the new dims. Null/undecodable
     * payloads pass through unchanged with their original meta.

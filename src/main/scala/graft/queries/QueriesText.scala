@@ -679,6 +679,34 @@ object QueriesText {
           roundf(col("lm2_logprob"), 4).as("lm2_logprob"))
         .orderBy("doc_id")),
 
+    "q_image_dhash" -> ((s, dir) => {
+      // REAL decode → perceptual hash: quadratic-pattern PNGs (distinct
+      // hashes per seed), with every doc_id%50==1 sharing its predecessor's
+      // seed — planted identical images. Exact integer dHash arithmetic
+      // means the oracle replays every hash from the pattern formula.
+      val gen = udf((seed: Long) => Multimodal.syntheticPng2(seed, 24, 16))
+      val d = t(s, dir, "documents")
+        .withColumn("seed", col("doc_id") -
+          when(pmod(col("doc_id"), lit(50)) === 1, 1).otherwise(0))
+      Multimodal.imageDHash(d.withColumn("payload", gen(col("seed"))), "payload")
+        .select(col("doc_id"), col("dhash"))
+        .orderBy("doc_id")
+    }),
+
+    "q_image_neardup" -> ((s, dir) => {
+      // same corpus → 4×16-bit block candidates → exact bit_count verify;
+      // output = planted hamming-0 pairs plus any formula-coincident close
+      // pair (the oracle computes the identical set from the hashes)
+      val gen = udf((seed: Long) => Multimodal.syntheticPng2(seed, 24, 16))
+      val d = t(s, dir, "documents")
+        .withColumn("seed", col("doc_id") -
+          when(pmod(col("doc_id"), lit(50)) === 1, 1).otherwise(0))
+      val hashed = Multimodal.imageDHash(d.withColumn("payload", gen(col("seed"))), "payload")
+      Multimodal.imageNearDupPairs(hashed, "doc_id")
+        .select(col("id_a"), col("id_b"), col("hamming").cast("int").as("hamming"))
+        .orderBy("id_a", "id_b")
+    }),
+
     "q_bm25" -> ((s, dir) => {
       import s.implicits._
       // three probes: multi-term, repeated-term-in-query (distinct pairs
@@ -1594,6 +1622,94 @@ object QueriesText {
         |SELECT doc_id, shard,
         |  CAST(row_number() OVER (PARTITION BY shard ORDER BY hx, doc_id) AS INT) AS pos
         |FROM s ORDER BY doc_id""".stripMargin,
+
+    "q_image_dhash" ->
+      // replays decode-side dHash from the pattern formula: 9×8 floor-grid
+      // cells, integer Rec.601 luma, cross-multiplied average compare; bit
+      // 63 is the BIGINT sign bit, so it enters as the min-long literal
+      """WITH seeds AS (
+        |  SELECT DISTINCT doc_id - (CASE WHEN doc_id % 50 = 1 THEN 1 ELSE 0 END) AS seed
+        |  FROM documents),
+        |px AS (
+        |  SELECT s.seed, x.range AS x, y.range AS y
+        |  FROM seeds s, range(0, 24) x, range(0, 16) y),
+        |lum AS (
+        |  SELECT seed, least((x*9)//24, 8) AS gx, (y*8)//16 AS gy,
+        |    299*((7*x*x + 13*y*y + (5 + seed%97)*x*y + 31*seed) % 256)
+        |    + 587*((3*x*x + 11*y*y + (7 + seed%89)*x*y + 17*seed) % 256)
+        |    + 114*((5*x*x + 3*y*y + (11 + seed%83)*x*y + 23*seed) % 256) AS l
+        |  FROM px),
+        |cells AS (SELECT seed, gy, gx, sum(l) AS sm, count(*) AS c FROM lum GROUP BY 1, 2, 3),
+        |bits AS (
+        |  SELECT a.seed, a.gy*8 + a.gx AS idx,
+        |    CASE WHEN b.sm*a.c > a.sm*b.c THEN 1 ELSE 0 END AS bit
+        |  FROM cells a JOIN cells b ON b.seed = a.seed AND b.gy = a.gy AND b.gx = a.gx + 1
+        |  WHERE a.gx < 8),
+        |hashes AS (
+        |  SELECT seed, CAST(sum(CASE WHEN bit = 1 THEN
+        |      CASE WHEN idx = 63 THEN -9223372036854775808
+        |           ELSE (1::BIGINT << CAST(idx AS INT)) END
+        |      ELSE 0 END) AS BIGINT) AS dhash
+        |  FROM bits GROUP BY seed)
+        |SELECT d.doc_id, h.dhash
+        |FROM documents d
+        |JOIN hashes h ON h.seed = d.doc_id - (CASE WHEN d.doc_id % 50 = 1 THEN 1 ELSE 0 END)
+        |ORDER BY d.doc_id""".stripMargin,
+
+    "q_image_neardup" ->
+      // hashes as in q_image_dhash; pairs = same-hash (hamming 0) plus
+      // cross-hash pairs within Hamming 3, found via the same 16-bit block
+      // pigeonhole the engine uses (no all-pairs scan in the oracle either)
+      """WITH seeds AS (
+        |  SELECT DISTINCT doc_id - (CASE WHEN doc_id % 50 = 1 THEN 1 ELSE 0 END) AS seed
+        |  FROM documents),
+        |px AS (
+        |  SELECT s.seed, x.range AS x, y.range AS y
+        |  FROM seeds s, range(0, 24) x, range(0, 16) y),
+        |lum AS (
+        |  SELECT seed, least((x*9)//24, 8) AS gx, (y*8)//16 AS gy,
+        |    299*((7*x*x + 13*y*y + (5 + seed%97)*x*y + 31*seed) % 256)
+        |    + 587*((3*x*x + 11*y*y + (7 + seed%89)*x*y + 17*seed) % 256)
+        |    + 114*((5*x*x + 3*y*y + (11 + seed%83)*x*y + 23*seed) % 256) AS l
+        |  FROM px),
+        |cells AS (SELECT seed, gy, gx, sum(l) AS sm, count(*) AS c FROM lum GROUP BY 1, 2, 3),
+        |bits AS (
+        |  SELECT a.seed, a.gy*8 + a.gx AS idx,
+        |    CASE WHEN b.sm*a.c > a.sm*b.c THEN 1 ELSE 0 END AS bit
+        |  FROM cells a JOIN cells b ON b.seed = a.seed AND b.gy = a.gy AND b.gx = a.gx + 1
+        |  WHERE a.gx < 8),
+        |hashes AS (
+        |  SELECT seed, CAST(sum(CASE WHEN bit = 1 THEN
+        |      CASE WHEN idx = 63 THEN -9223372036854775808
+        |           ELSE (1::BIGINT << CAST(idx AS INT)) END
+        |      ELSE 0 END) AS BIGINT) AS dhash
+        |  FROM bits GROUP BY seed),
+        |doc_h AS (
+        |  SELECT d.doc_id, h.dhash
+        |  FROM documents d
+        |  JOIN hashes h ON h.seed = d.doc_id - (CASE WHEN d.doc_id % 50 = 1 THEN 1 ELSE 0 END)),
+        |hv AS (SELECT DISTINCT dhash FROM doc_h),
+        |blocks AS (
+        |  SELECT hv.dhash, t.range AS blk, (hv.dhash >> CAST(t.range*16 AS INT)) & 65535 AS v
+        |  FROM hv, range(0, 4) t),
+        |cand AS (
+        |  SELECT DISTINCT a.dhash AS ha, b.dhash AS hb
+        |  FROM blocks a JOIN blocks b ON a.blk = b.blk AND a.v = b.v AND a.dhash < b.dhash),
+        |close_h AS (SELECT ha, hb, CAST(bit_count(xor(ha, hb)) AS INT) AS hamming
+        |            FROM cand WHERE bit_count(xor(ha, hb)) <= 3),
+        |p0 AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(0 AS INT) AS hamming
+        |  FROM doc_h a JOIN doc_h b ON a.dhash = b.dhash AND b.doc_id > a.doc_id),
+        |px2 AS (
+        |  SELECT least(a.doc_id, b.doc_id) AS id_a, greatest(a.doc_id, b.doc_id) AS id_b,
+        |    c.hamming
+        |  FROM close_h c
+        |  JOIN doc_h a ON a.dhash = c.ha
+        |  JOIN doc_h b ON b.dhash = c.hb)
+        |SELECT id_a, id_b, hamming FROM p0
+        |UNION ALL
+        |SELECT id_a, id_b, hamming FROM px2
+        |ORDER BY id_a, id_b""".stripMargin,
 
     "q_bm25" ->
       // full replay of training (N, avgdl, per-term df) and scoring; the

@@ -624,6 +624,38 @@ class QualityFeSpec extends SparkSpec {
     assert(r3.getAs[Long]("n_rows") == 4L)
   }
 
+  test("imageDHash: identical images hash alike, distinct patterns differ, degenerate inputs null") {
+    val rows = Seq(
+      (1L, Multimodal.syntheticPng2(7L, 24, 16)),
+      (2L, Multimodal.syntheticPng2(7L, 24, 16)),   // same image as 1
+      (3L, Multimodal.syntheticPng2(8L, 24, 16)),   // different pattern
+      (4L, Multimodal.syntheticPng2(7L, 32, 24)),   // same pattern family, other dims
+      (5L, null.asInstanceOf[Array[Byte]]),
+      (6L, Array[Byte](1, 2, 3)),                   // undecodable
+      (7L, Multimodal.syntheticPng2(7L, 4, 4))      // below the 9x8 grid
+    ).toDF("id", "payload")
+    val out = Multimodal.imageDHash(rows, "payload")
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(2)) None else Some(r.getLong(2)))).toMap
+    assert(out(1L).isDefined && out(1L) == out(2L), "identical bytes → identical hash")
+    assert(out(1L) != out(3L), "different pattern → different hash")
+    assert(Seq(5L, 6L, 7L).forall(out(_).isEmpty), "null/undecodable/tiny → null hash")
+    // dHash is resolution-robust for the SAME underlying pattern only in
+    // spirit; here dims change the pattern too, so just assert it hashes
+    assert(out(4L).isDefined)
+  }
+
+  test("imageNearDupPairs: planted duplicates pair at hamming 0, null hashes never pair") {
+    val imgs = (1L to 20L).map(i => (i, Multimodal.syntheticPng2(i, 24, 16))) ++
+      Seq((21L, Multimodal.syntheticPng2(1L, 24, 16)),  // duplicate of id 1
+        (22L, null.asInstanceOf[Array[Byte]]))
+    val hashed = Multimodal.imageDHash(imgs.toDF("id", "payload"), "payload")
+    val pairs = Multimodal.imageNearDupPairs(hashed, "id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(pairs.contains((1L, 21L, 0)), "planted duplicate must pair at hamming 0")
+    assert(!pairs.exists(p => p._1 == 22L || p._2 == 22L), "null hash never pairs")
+    pairs.foreach(p => assert(p._3 <= 3))
+  }
+
   test("chiSquare: hand-computed 2x2, perfect independence, degenerate single category") {
     // counts [[10, 20], [20, 40]] — exactly proportional rows → chi2 = 0
     val indep = (Seq.fill(10)(("a", "x")) ++ Seq.fill(20)(("a", "y")) ++
