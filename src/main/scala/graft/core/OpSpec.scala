@@ -265,6 +265,15 @@ object OpCompiler {
       case "time_features" => TimeSeriesLib.timeFeatures(df, ts)
       case "trend" =>
         TimeSeriesLib.trendFeatures(df, s(p, "column"), s(p, "order_by", ts), keys)
+      case "cohort_retention" =>
+        require(s(p, "user_column") != null,
+          "cohort_retention requires params.user_column")
+        TimeSeriesLib.cohortRetention(df, s(p, "user_column"), ts, s(p, "period", "week"))
+      case "funnel" =>
+        require(s(p, "user_column") != null && seqOf(p, "steps").nonEmpty,
+          "funnel requires params.user_column and params.steps (ordered step values)")
+        TimeSeriesLib.funnel(df, s(p, "user_column"), ts,
+          s(p, "step_column", "event_type"), seqOf(p, "steps"))
       case "smooth" =>
         s(p, "method", "moving_average") match {
           case "moving_average" =>

@@ -569,4 +569,86 @@ object TimeSeriesLib {
     sessions.groupBy((keys :+ "session_id").map(col): _*)
       .agg(all.head, all.tail: _*)
   }
+
+  /** Cohort retention matrix: users grouped by their FIRST active period
+    * (the cohort), cells = how many of them were active `offset` periods
+    * later. Periods are calendar truncations (`day` | `week` | `month`);
+    * output rows (cohort, period_offset, n_active, cohort_size, retention).
+    *
+    * Scale shape: one distinct over (user, period) — the only corpus-sized
+    * shuffle; cohorts derive from that SAME aggregated relation via a
+    * per-user min window (no second corpus scan, no broadcast of a
+    * corpus-sized side); the final cell rollup aggregates the already-
+    * distinct activity frame. Null users/timestamps are excluded.
+    */
+  def cohortRetention(df: DataFrame, userCol: String, tsCol: String,
+                      period: String = "week"): DataFrame = {
+    require(Set("day", "week", "month").contains(period),
+      s"cohortRetention: period must be day|week|month, got '$period'")
+    val activity = df.filter(col(userCol).isNotNull && col(tsCol).isNotNull)
+      .select(col(userCol).as("__u"), date_trunc(period, col(tsCol)).cast("date").as("__p"))
+      .distinct()
+    val w = Window.partitionBy(col("__u"))
+    val withCohort = activity.withColumn("__cohort", min(col("__p")).over(w))
+    val offset = period match {
+      case "month" => months_between(col("__p"), col("__cohort")).cast("int")
+      case "week"  => (datediff(col("__p"), col("__cohort")) / 7).cast("int")
+      case "day"   => datediff(col("__p"), col("__cohort"))
+    }
+    withCohort.withColumn("__off", offset)
+      .groupBy(col("__cohort").as("cohort"), col("__off").as("period_offset"))
+      .agg(count(lit(1)).as("n_active")) // (user, period) already distinct
+      .withColumn("cohort_size", max(when(col("period_offset") === 0, col("n_active")))
+        .over(Window.partitionBy(col("cohort"))))
+      .withColumn("retention",
+        col("n_active").cast("double") / col("cohort_size").cast("double"))
+  }
+
+  /** Ordered funnel: how many users complete step 1, then step 2 STRICTLY
+    * after their earliest step-1 time, and so on — the earliest-completion
+    * semantics (a user converts if ANY ordered occurrence chain exists,
+    * which greedy earliest-first detects). Output one row per step:
+    * (step_index, step, n_users, conversion_from_first, conversion_from_prev).
+    *
+    * Scale shape: k−1 join+min-aggregate stages over the PER-STEP filtered
+    * event stream (each stage's right side is the per-user earliest-time
+    * frame — one row per surviving user, shrinking every step). The
+    * returned frame unions the per-stage counts lazily; stage i's subtree
+    * contains stages < i, so the full plan is O(k²) stages of |users| —
+    * fine for the handful of steps funnels have (k is a driver literal).
+    */
+  def funnel(df: DataFrame, userCol: String, tsCol: String, stepCol: String,
+             steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "funnel: need at least one step")
+    require(steps.distinct.length == steps.length, "funnel: steps must be distinct")
+    val sp = df.sparkSession
+    import sp.implicits._
+    val stages = steps.zipWithIndex.scanLeft(Option.empty[DataFrame]) {
+      case (prev, (step, i)) =>
+        val hits = df.filter(col(stepCol) === step && col(userCol).isNotNull)
+        val reached = prev match {
+          case None => hits.groupBy(col(userCol).as("__u")).agg(min(col(tsCol)).as("__t"))
+          case Some(p) =>
+            hits.join(p.withColumnRenamed("__t", "__tprev"), col(userCol) === col("__u"))
+              .filter(col(tsCol) > col("__tprev"))
+              .groupBy(col("__u")).agg(min(col(tsCol)).as("__t"))
+        }
+        Some(reached)
+    }.flatten
+    val counts = stages.zip(steps.zipWithIndex).map { case (st, (name, i)) =>
+      st.agg(count(lit(1)).as("n_users"))
+        .select(lit(i + 1).as("step_index"), lit(name).as("step"), col("n_users"))
+    }
+    val unioned = counts.reduce(_ unionAll _)
+    // the global windows below run over the k-row stage frame, not data
+    unioned
+      .withColumn("conversion_from_first",
+        when(first(col("n_users")).over(Window.orderBy(col("step_index"))) > 0,
+          col("n_users").cast("double") /
+            first(col("n_users")).over(Window.orderBy(col("step_index"))).cast("double")))
+      .withColumn("conversion_from_prev",
+        when(lag(col("n_users"), 1).over(Window.orderBy(col("step_index"))) > 0,
+          col("n_users").cast("double") /
+            lag(col("n_users"), 1).over(Window.orderBy(col("step_index"))).cast("double")))
+  }
 }

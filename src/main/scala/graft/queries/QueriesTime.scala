@@ -223,6 +223,21 @@ object QueriesTime {
         .select(col("event_id"), col("value_outlier"))
         .orderBy("event_id")),
 
+    "q_cohort_retention" -> ((s, dir) =>
+      TimeSeriesLib.cohortRetention(t(s, dir, "events"), "user_id", "ts", "week")
+        .select(date_format(col("cohort"), "yyyy-MM-dd").as("cohort"),
+          col("period_offset"), col("n_active"), col("cohort_size"),
+          roundf(col("retention"), 6).as("retention"))
+        .orderBy("cohort", "period_offset")),
+
+    "q_funnel" -> ((s, dir) =>
+      TimeSeriesLib.funnel(t(s, dir, "events"), "user_id", "ts", "event_type",
+          Seq("view", "click", "purchase"))
+        .select(col("step_index"), col("step"), col("n_users"),
+          roundf(col("conversion_from_first"), 6).as("conv_first"),
+          roundf(col("conversion_from_prev"), 6).as("conv_prev"))
+        .orderBy("step_index")),
+
     "q_ts_trend" -> ((s, dir) =>
       // per-user OLS drift of value over event order — event_id as the
       // regressor keeps x identical in both engines (epoch extraction
@@ -552,6 +567,53 @@ object QueriesTime {
         |  coalesce(CASE WHEN mad > 0 THEN (0.6745 * abs(value - med)) / mad > 3.5
         |                ELSE false END, false) AS value_outlier
         |FROM d ORDER BY event_id""".stripMargin,
+
+    "q_cohort_retention" ->
+      // distinct (user, week) activity → per-user min week = cohort →
+      // (cohort, offset) cells; offsets via floor day-diff / 7 (both
+      // engines truncate weeks to Monday)
+      """WITH act AS (
+        |  SELECT DISTINCT user_id AS u, CAST(date_trunc('week', ts) AS DATE) AS p
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |c AS (SELECT u, p, min(p) OVER (PARTITION BY u) AS cohort FROM act),
+        |cells AS (SELECT cohort,
+        |            CAST(date_diff('day', cohort, p) // 7 AS INT) AS period_offset,
+        |            count(*) AS n_active
+        |          FROM c GROUP BY 1, 2),
+        |sized AS (SELECT cohort, period_offset, n_active,
+        |            max(CASE WHEN period_offset = 0 THEN n_active END)
+        |              OVER (PARTITION BY cohort) AS cohort_size
+        |          FROM cells)
+        |SELECT strftime(cohort, '%Y-%m-%d') AS cohort, period_offset, n_active, cohort_size,
+        |  round(CAST(n_active AS DOUBLE) / CAST(cohort_size AS DOUBLE) + 1e-9, 6) AS retention
+        |FROM sized ORDER BY cohort, period_offset""".stripMargin,
+
+    "q_funnel" ->
+      // sequential earliest-completion replay: step i's min ts strictly
+      // after the user's step i-1 time
+      """WITH s1 AS (SELECT user_id AS u, min(ts) AS t FROM events
+        |            WHERE event_type = 'view' AND user_id IS NOT NULL GROUP BY 1),
+        |s2 AS (SELECT e.user_id AS u, min(e.ts) AS t FROM events e
+        |       JOIN s1 ON s1.u = e.user_id
+        |       WHERE e.event_type = 'click' AND e.ts > s1.t GROUP BY 1),
+        |s3 AS (SELECT e.user_id AS u, min(e.ts) AS t FROM events e
+        |       JOIN s2 ON s2.u = e.user_id
+        |       WHERE e.event_type = 'purchase' AND e.ts > s2.t GROUP BY 1),
+        |c AS (
+        |  SELECT 1 AS step_index, 'view' AS step,
+        |    CAST((SELECT count(*) FROM s1) AS BIGINT) AS n_users
+        |  UNION ALL SELECT 2, 'click', CAST((SELECT count(*) FROM s2) AS BIGINT)
+        |  UNION ALL SELECT 3, 'purchase', CAST((SELECT count(*) FROM s3) AS BIGINT)),
+        |w AS (SELECT step_index, step, n_users,
+        |        first_value(n_users) OVER (ORDER BY step_index) AS n1,
+        |        lag(n_users) OVER (ORDER BY step_index) AS np
+        |      FROM c)
+        |SELECT step_index, step, n_users,
+        |  CASE WHEN n1 > 0
+        |       THEN round(CAST(n_users AS DOUBLE) / CAST(n1 AS DOUBLE) + 1e-9, 6) END AS conv_first,
+        |  CASE WHEN np > 0
+        |       THEN round(CAST(n_users AS DOUBLE) / CAST(np AS DOUBLE) + 1e-9, 6) END AS conv_prev
+        |FROM w ORDER BY step_index""".stripMargin,
 
     "q_ts_trend" ->
       """SELECT user_id,

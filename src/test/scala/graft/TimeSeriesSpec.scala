@@ -165,6 +165,48 @@ class TimeSeriesSpec extends SparkSpec {
     assert(out == Seq((1L, 2L, 600.0, 3.0), (2L, 1L, 0.0, 5.0)))
   }
 
+  test("cohortRetention: hand-built two-cohort day matrix") {
+    val df = Seq(
+      ("u1", "2024-01-01 10:00:00"), ("u1", "2024-01-01 12:00:00"), // same day counts once
+      ("u1", "2024-01-02 09:00:00"), ("u1", "2024-01-04 09:00:00"),
+      ("u2", "2024-01-01 23:00:00"), ("u2", "2024-01-02 01:00:00"),
+      ("u3", "2024-01-02 08:00:00")
+    ).toDF("user", "s").withColumn("ts", to_timestamp($"s"))
+    val m = TimeSeriesLib.cohortRetention(df, "user", "ts", "day")
+      .collect().map(r => (r.getDate(0).toString, r.getInt(1)) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(m(("2024-01-01", 0)) == ((2L, 2L, 1.0)))          // u1, u2 start Jan 1
+    assert(m(("2024-01-01", 1)) == ((2L, 2L, 1.0)))          // both active Jan 2
+    assert(m(("2024-01-01", 3)) == ((1L, 2L, 0.5)))          // only u1 on Jan 4
+    assert(m(("2024-01-02", 0)) == ((1L, 1L, 1.0)))          // u3's own cohort
+    assert(m.size == 4)
+  }
+
+  test("funnel: strict ordering, earliest-completion semantics, conversions") {
+    val df = Seq(
+      // u1 completes all three in order
+      ("u1", "view", "2024-01-01 10:00:00"), ("u1", "click", "2024-01-01 10:01:00"),
+      ("u1", "buy", "2024-01-01 10:02:00"),
+      // u2 clicks BEFORE viewing — click must not count; no buy
+      ("u2", "click", "2024-01-01 09:00:00"), ("u2", "view", "2024-01-01 09:30:00"),
+      // u3 views only
+      ("u3", "view", "2024-01-01 08:00:00"),
+      // u4 buys without viewing — never enters the funnel
+      ("u4", "buy", "2024-01-01 07:00:00")
+    ).toDF("user", "step", "s").withColumn("ts", to_timestamp($"s"))
+    val out = TimeSeriesLib.funnel(df, "user", "ts", "step", Seq("view", "click", "buy"))
+      .orderBy("step_index")
+      .select($"step", $"n_users", $"conversion_from_first", $"conversion_from_prev")
+      .collect()
+    assert(out(0).getString(0) == "view" && out(0).getLong(1) == 3L)
+    assert(out(0).getDouble(2) == 1.0 && out(0).isNullAt(3))
+    assert(out(1).getString(0) == "click" && out(1).getLong(1) == 1L, "pre-view click excluded")
+    assert(math.abs(out(1).getDouble(3) - 1.0 / 3) < 1e-12)
+    assert(out(2).getString(0) == "buy" && out(2).getLong(1) == 1L)
+    assert(math.abs(out(2).getDouble(2) - 1.0 / 3) < 1e-12)
+    assert(out(2).getDouble(3) == 1.0)
+  }
+
   test("MAD outliers: spike flagged, MAD=0 group flags nothing, nulls false") {
     val rows = (1 to 20).map(i => (i, "a", java.lang.Double.valueOf(10.0 + (i % 5) * 0.1))) ++
       Seq((21, "a", java.lang.Double.valueOf(1000.0)),
