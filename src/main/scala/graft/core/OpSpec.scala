@@ -144,6 +144,9 @@ object OpCompiler {
         case "init"  => graft.ops.Scd.scd2Init(df, keys, tracked, ts)
         case "apply" => graft.ops.Scd.scd2Apply(df, tables(s(p, "updates_table")),
           keys, tracked, ts, seqOf(p, "order_by"))
+        case "cdc_apply" => // Type-1 CDC merge: df = snapshot, changes from catalog
+          graft.ops.Scd.applyCdc(df, tables(s(p, "changes_table")), keys,
+            s(p, "op_col", "op"), s(p, "seq_col", "seq"))
         case other   => throw new IllegalArgumentException(s"Unknown scd2 operation: $other")
       }
     case LayoutOp(p)                   =>

@@ -148,6 +148,23 @@ object TimeSeriesLib {
     out.drop("__epoch")
   }
 
+  /** Rolling Pearson correlation between two series over a trailing
+    * count window — the co-movement diagnostic (pandas rolling().corr()):
+    * same frame semantics as [[rollingStats]], null when the frame holds
+    * < 2 complete pairs or either side is constant (both engines return
+    * null there).
+    */
+  def rollingCorr(df: DataFrame, a: String, b: String, k: Int, orderCol: String,
+                  partitionBy: Seq[String] = Nil, minPeriods: Int = 2): DataFrame = {
+    require(k >= 2, s"rollingCorr: window must be >= 2, got $k")
+    val frame = w(partitionBy, orderCol).rowsBetween(-(k - 1L), Window.currentRow)
+    val c = corr(col(a), col(b)).over(frame)
+    val guarded =
+      if (minPeriods <= 2) c
+      else when(count(when(col(a).isNotNull && col(b).isNotNull, 1)).over(frame) >= minPeriods, c)
+    df.withColumn(s"${a}_${b}_rolling_corr", guarded)
+  }
+
   // ---------------------------------------------------------------- lags / diffs
 
   /** Multi-lag features (time_series.py:339-378). */

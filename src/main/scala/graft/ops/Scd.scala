@@ -116,4 +116,43 @@ object Scd {
       .unionByName(openAdjusted)
       .unionByName(versions)
   }
+
+  /** Apply a CDC change log (I/U/D rows with a monotonically increasing
+    * sequence — Debezium/binlog shape) onto a Type-1 snapshot: per key,
+    * the HIGHEST-sequence change wins; `D` deletes the key, `I`/`U` upsert
+    * the payload. Untouched snapshot keys pass through an anti-join — the
+    * snapshot never shuffles on anything but the key, and the change log
+    * (the small side at any realistic change rate) is aggregated to one
+    * winner per key BEFORE touching the snapshot.
+    *
+    * Winner election is deterministic under sequence ties via the
+    * max-struct trick ordered on (seq, delete-rank, op, payload): a
+    * same-sequence I/U + D pair resolves to the delete (the conservative
+    * read — an explicit rank, since bare lexicographic op order would put
+    * "U" above "D").
+    */
+  def applyCdc(snapshot: DataFrame, changes: DataFrame, keys: Seq[String],
+               opCol: String = "op", seqCol: String = "seq"): DataFrame = {
+    val payload = snapshot.columns.toSeq // target schema
+    require(payload.forall(changes.columns.contains),
+      s"applyCdc: change log must carry every snapshot column; missing " +
+        payload.filterNot(changes.columns.contains).mkString(", "))
+    // one winner per key: max over (seq, op, tracked payload) — a single
+    // map-side-combined aggregate, no window over the log
+    val winner = changes
+      .groupBy(keys.map(col): _*)
+      .agg(max(struct(
+        col(seqCol).as("__seq") +:
+          when(col(opCol) === "D", 1).otherwise(0).as("__del") +:
+          col(opCol).as("__op") +:
+          payload.filterNot(keys.contains).map(c => col(c).as(s"__p_$c")): _*)).as("__w"))
+    val upserts = winner
+      .filter(col("__w.__op") =!= "D")
+      .select(keys.map(col) ++
+        payload.filterNot(keys.contains).map(c => col(s"__w.__p_$c").as(c)): _*)
+      .select(payload.map(col): _*)
+    val touchedKeys = winner.select(keys.map(col): _*)
+    snapshot.join(touchedKeys, keys, "left_anti")
+      .unionByName(upserts)
+  }
 }

@@ -223,6 +223,36 @@ object QueriesTime {
         .select(col("event_id"), col("value_outlier"))
         .orderBy("event_id")),
 
+    "q_cdc_apply" -> ((s, dir) => {
+      // synthetic Debezium-shaped log over the customer snapshot: deletes
+      // (%10==0), two competing updates per key (%10==1, seq 2 wins), a
+      // same-seq U+D tie (%10==2, delete wins via the explicit rank), and
+      // brand-new inserts (%10==3, key+1000000)
+      val c = t(s, dir, "customer").select("c_custkey", "c_name", "c_acctbal")
+      def log(pred: org.apache.spark.sql.Column, keyShift: Long, delta: Double,
+              op: String, seq: Long) =
+        c.filter(pred).select(
+          (col("c_custkey") + keyShift).as("c_custkey"), col("c_name"),
+          (col("c_acctbal") + delta).as("c_acctbal"),
+          lit(op).as("op"), lit(seq).as("seq"))
+      val changes =
+        log(col("c_custkey") % 10 === 0, 0, 0.0, "D", 5L)
+          .unionByName(log(col("c_custkey") % 10 === 1, 0, 100.0, "U", 1L))
+          .unionByName(log(col("c_custkey") % 10 === 1, 0, 200.0, "U", 2L))
+          .unionByName(log(col("c_custkey") % 10 === 2, 0, 300.0, "U", 7L))
+          .unionByName(log(col("c_custkey") % 10 === 2, 0, 0.0, "D", 7L))
+          .unionByName(log(col("c_custkey") % 10 === 3, 1000000L, 0.0, "I", 1L))
+      graft.ops.Scd.applyCdc(c, changes, Seq("c_custkey"))
+        .select(col("c_custkey"), col("c_name"), roundf(col("c_acctbal"), 2).as("c_acctbal"))
+        .orderBy("c_custkey")
+    }),
+
+    "q_rolling_corr" -> ((s, dir) =>
+      TimeSeriesLib.rollingCorr(t(s, dir, "events"), "value", "event_id", 20,
+          orderCol = "event_id", partitionBy = Seq("user_id"))
+        .select(col("event_id"), roundf(col("value_event_id_rolling_corr"), 4).as("rc"))
+        .orderBy("event_id")),
+
     "q_cohort_retention" -> ((s, dir) =>
       TimeSeriesLib.cohortRetention(t(s, dir, "events"), "user_id", "ts", "week")
         .select(date_format(col("cohort"), "yyyy-MM-dd").as("cohort"),
@@ -567,6 +597,26 @@ object QueriesTime {
         |  coalesce(CASE WHEN mad > 0 THEN (0.6745 * abs(value - med)) / mad > 3.5
         |                ELSE false END, false) AS value_outlier
         |FROM d ORDER BY event_id""".stripMargin,
+
+    "q_cdc_apply" ->
+      // expected-result oracle: the winner-per-key semantics collapse to a
+      // direct expression of the planted log (delete %10∈{0,2}, +200 update
+      // for %10==1, passthrough otherwise, inserts for %10==3)
+      """WITH c AS (SELECT c_custkey, c_name, c_acctbal FROM customer)
+        |SELECT c_custkey, c_name,
+        |  round(c_acctbal + CASE WHEN c_custkey % 10 = 1 THEN 200 ELSE 0 END + 1e-9, 2)
+        |    AS c_acctbal
+        |FROM c WHERE c_custkey % 10 NOT IN (0, 2)
+        |UNION ALL
+        |SELECT c_custkey + 1000000, c_name, round(c_acctbal + 0 + 1e-9, 2)
+        |FROM c WHERE c_custkey % 10 = 3
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_rolling_corr" ->
+      """SELECT event_id,
+        |  round(corr(value, event_id) OVER (PARTITION BY user_id ORDER BY event_id
+        |          ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) + 1e-9, 4) AS rc
+        |FROM events ORDER BY event_id""".stripMargin,
 
     "q_cohort_retention" ->
       // distinct (user, week) activity → per-user min week = cohort →

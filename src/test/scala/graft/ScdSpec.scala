@@ -95,4 +95,27 @@ class ScdSpec extends SparkSpec {
       b2, Seq("k"), Seq("state"), "ts")
     assert(twoShot.exceptAll(oneShot).isEmpty && oneShot.exceptAll(twoShot).isEmpty)
   }
+
+  test("applyCdc: last-seq winner, tie resolves to delete, inserts land, untouched pass through") {
+    val snap = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0), (4L, "d", 40.0))
+      .toDF("k", "name", "v")
+    val changes = Seq(
+      (1L, "a", 11.0, "U", 1L), (1L, "a", 12.0, "U", 3L), (1L, "a", 99.0, "U", 2L), // seq 3 wins
+      (2L, "b", 0.0, "D", 5L),                                                       // delete
+      (3L, "c", 33.0, "U", 7L), (3L, "c", 0.0, "D", 7L),                             // tie → delete
+      (9L, "new", 90.0, "I", 1L)                                                     // insert
+    ).toDF("k", "name", "v", "op", "seq")
+    val out = Scd.applyCdc(snap, changes, Seq("k"))
+      .select($"k", $"name", $"v").as[(Long, String, Double)].collect().sortBy(_._1)
+    assert(out.toSeq == Seq((1L, "a", 12.0), (4L, "d", 40.0), (9L, "new", 90.0)))
+  }
+
+  test("applyCdc is idempotent: re-applying the same log is a no-op") {
+    val snap = Seq((1L, "x", 1.0)).toDF("k", "name", "v")
+    val changes = Seq((1L, "x", 2.0, "U", 1L), (5L, "y", 5.0, "I", 2L))
+      .toDF("k", "name", "v", "op", "seq")
+    val once = Scd.applyCdc(snap, changes, Seq("k"))
+    val twice = Scd.applyCdc(once, changes, Seq("k"))
+    assert(once.exceptAll(twice).isEmpty && twice.exceptAll(once).isEmpty)
+  }
 }

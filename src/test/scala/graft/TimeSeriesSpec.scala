@@ -165,6 +165,23 @@ class TimeSeriesSpec extends SparkSpec {
     assert(out == Seq((1L, 2L, 600.0, 3.0), (2L, 1L, 0.0, 5.0)))
   }
 
+  test("rollingCorr: exact ±1 on linear windows, null under min pairs") {
+    val df = ((1 to 10).map(i => ("up", i, 2.0 * i)) ++
+      (1 to 10).map(i => ("down", i, -3.0 * i)) :+ ("solo", 1, 5.0))
+      .toDF("g", "t", "v")
+    val out = TimeSeriesLib.rollingCorr(df, "v", "t", 4, "t", Seq("g"))
+      .select($"g", $"t", $"v_t_rolling_corr").collect()
+    out.foreach { r =>
+      (r.getString(0), r.getInt(1)) match {
+        case ("up", 1) | ("solo", 1) => assert(r.isNullAt(2), "single-pair frame is null")
+        case ("up", _)   => assert(math.abs(r.getDouble(2) - 1.0) < 1e-12)
+        case ("down", 1) => assert(r.isNullAt(2))
+        case ("down", _) => assert(math.abs(r.getDouble(2) + 1.0) < 1e-12)
+        case _ => ()
+      }
+    }
+  }
+
   test("cohortRetention: hand-built two-cohort day matrix") {
     val df = Seq(
       ("u1", "2024-01-01 10:00:00"), ("u1", "2024-01-01 12:00:00"), // same day counts once
