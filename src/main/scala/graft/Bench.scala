@@ -40,7 +40,11 @@ object Bench {
     "q_fe_dbscan",           // grid-bucketed DBSCAN + pointer-jump components
     "q_html_to_text",        // crawl-markup strip + native entity decode
     "q_lm_bigram",           // Stupid-Backoff bigram LM (pair counts + 2 broadcasts)
-    "q_semantic_contamination" // corpus × broadcast eval-embedding max-cos
+    "q_semantic_contamination", // corpus × broadcast eval-embedding max-cos
+    // round-5 continuation additions
+    "q_bm25",                // lexical retrieval: postings + broadcast query terms
+    "q_image_neardup",       // real decode → dHash → Hamming block join
+    "q_weighted_sample"      // md5-keyed A-ES weighted sample, grouped top-k
   )
 
   def main(args: Array[String]): Unit = {
