@@ -263,6 +263,20 @@ object QueriesText {
           shingleN = 3, threshold = 0.4)
         .orderBy("id_a", "id_b")),
 
+    "q_dedup_containment" -> ((s, dir) => {
+      // planted subset duplicates: the first 10 words of every 5th doc as
+      // a standalone "quotation" doc — near-zero Jaccard against its
+      // source but containment 1.0, exactly the case the asymmetric
+      // measure exists for
+      val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val prefixes = t(s, dir, "documents").filter(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 200000L).as("doc_id"),
+          array_join(slice(split(TextLib.normalized(col("text")), " "), 1, 10), " ").as("text"))
+      Dedup.ngramContainmentPairs(d.unionByName(prefixes), "text", "doc_id",
+          shingleN = 3, threshold = 0.8)
+        .orderBy("id_a", "id_b")
+    }),
+
     "q_embed_neardup" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       val jittered = e.withColumn("vec_id", col("vec_id") + 100000L)
@@ -1203,6 +1217,43 @@ object QueriesText {
         |  JOIN sizes sa ON sa.id = id_a
         |  JOIN sizes sb ON sb.id = id_b)
         |WHERE jaccard >= 0.4 ORDER BY id_a, id_b""".stripMargin,
+
+    "q_dedup_containment" ->
+      // mirrors Dedup.ngramContainmentPairs: same shingle/df-prune relation
+      // as the Jaccard oracle, divided by each side's own size
+      """WITH u AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 200000,
+        |    array_to_string(string_split(
+        |      trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')[1:10], ' ')
+        |  FROM documents WHERE doc_id % 5 = 0),
+        |tok AS (
+        |  SELECT doc_id AS id,
+        |    string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS ws
+        |  FROM u),
+        |sh AS (
+        |  SELECT id, unnest(list_distinct(
+        |    CASE WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+        |         ELSE list_transform(range(1, len(ws) - 1),
+        |                i -> ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2])
+        |    END)) AS s
+        |  FROM tok),
+        |freq AS (SELECT s, count(*) AS df FROM sh GROUP BY s),
+        |pruned AS (SELECT sh.id, sh.s FROM sh JOIN freq USING (s) WHERE freq.df > 1 AND freq.df <= 500),
+        |sizes AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
+        |inter AS (
+        |  SELECT a.id AS id_a, b.id AS id_b, count(*) AS i
+        |  FROM pruned a JOIN pruned b USING (s)
+        |  WHERE a.id < b.id GROUP BY 1, 2)
+        |SELECT id_a, id_b, c_a_in_b, c_b_in_a FROM (
+        |  SELECT id_a, id_b,
+        |    round(i * 1.0 / sa.sz, 4) AS c_a_in_b,
+        |    round(i * 1.0 / sb.sz, 4) AS c_b_in_a
+        |  FROM inter
+        |  JOIN sizes sa ON sa.id = id_a
+        |  JOIN sizes sb ON sb.id = id_b)
+        |WHERE greatest(c_a_in_b, c_b_in_a) >= 0.8 ORDER BY id_a, id_b""".stripMargin,
 
     "q_multimodal_frames" ->
       """SELECT doc_id AS media_id, frame_idx,

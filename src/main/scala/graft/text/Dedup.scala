@@ -671,4 +671,43 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
   }
+
+  /** Directed n-gram containment pairs — the ASYMMETRIC sibling of
+    * [[ngramJaccardPairs]]: c(A⊂B) = |A∩B| / |A|. Jaccard misses
+    * subset duplicates (a paragraph quoted inside a 100× longer page
+    * scores |A|/|B| ≈ 0.01 Jaccard but containment 1.0); this is the
+    * standard boilerplate/quotation detector (Broder's containment,
+    * "syntactic clustering of the web"). Same inverted-index shape as the
+    * Jaccard op: distinct shingles, df prune (shared boilerplate shingles
+    * above maxDocFreq are dropped — the recall/cost trade, documented
+    * there), intersection via the shingle equi-join, sizes joined back.
+    * Emits both directions; keeps pairs where EITHER direction clears the
+    * threshold. Output (id_a, id_b, c_a_in_b, c_b_in_a), id_a < id_b.
+    */
+  def ngramContainmentPairs(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      shingleN: Int = 3,
+      threshold: Double = 0.8,
+      maxDocFreq: Int = 500
+  ): DataFrame = {
+    val sh = df.select(col(idCol).as("id"), explode(TextLib.shingles(col(textCol), shingleN)).as("s"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) // sizes + df-prune + both join sides
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
+    val pruned = sh.join(
+      sh.groupBy("s").agg(count(lit(1)).as("df")).filter(col("df") <= maxDocFreq && col("df") > 1),
+      Seq("s"))
+    val inter = pruned.select(col("s"), col("id").as("id_a"))
+      .join(pruned.select(col("s"), col("id").as("id_b")), Seq("s"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), Seq("id_a"))
+      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), Seq("id_b"))
+      .withColumn("c_a_in_b", round(col("inter") / col("sz_a"), 4))
+      .withColumn("c_b_in_a", round(col("inter") / col("sz_b"), 4))
+      .filter(greatest(col("c_a_in_b"), col("c_b_in_a")) >= threshold)
+      .select("id_a", "id_b", "c_a_in_b", "c_b_in_a")
+  }
 }

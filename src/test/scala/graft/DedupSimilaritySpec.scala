@@ -60,6 +60,23 @@ class DedupSimilaritySpec extends SparkSpec {
     assertNoCartesian(out)
   }
 
+  test("ngramContainmentPairs: subset duplicate scores 1.0 where Jaccard misses it") {
+    val long = (1 to 40).map(i => s"w$i").mkString(" ")
+    val quote = (1 to 8).map(i => s"w$i").mkString(" ")       // strict prefix of `long`
+    val docs = Seq((1L, long), (2L, quote), (3L, "zz yy xx ww vv")).toDF("doc_id", "text")
+    val cont = Dedup.ngramContainmentPairs(docs, "text", "doc_id",
+        shingleN = 2, threshold = 0.8, maxDocFreq = 500)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getDouble(2), r.getDouble(3))).toMap
+    // quote (7 bigrams) fully inside long (39 bigrams): c(2⊂1)=1.0, reverse 7/39
+    assert(cont((1L, 2L))._2 == 1.0, "quote is fully contained in its source")
+    assert(math.abs(cont((1L, 2L))._1 - math.rint(7.0 / 39 * 1e4) / 1e4) < 1e-12)
+    assert(!cont.keys.exists(p => p._1 == 3L || p._2 == 3L), "unrelated doc never pairs")
+    // the symmetric measure on the same data misses the pair entirely
+    val jac = Dedup.ngramJaccardPairs(docs, "text", "doc_id", shingleN = 2, threshold = 0.8)
+    assert(jac.count() == 0, "Jaccard at the same threshold misses the subset duplicate")
+    assertNoCartesian(Dedup.ngramContainmentPairs(docs, "text", "doc_id", 2, 0.8, 500))
+  }
+
   private def vecs = Seq(
     (1L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
     (2L, Array(0.9f, 0.1f, 0.0f, 0.0f)),
