@@ -268,6 +268,11 @@ object OpCompiler {
       case "time_features" => TimeSeriesLib.timeFeatures(df, ts)
       case "trend" =>
         TimeSeriesLib.trendFeatures(df, s(p, "column"), s(p, "order_by", ts), keys)
+      case "active_users" =>
+        require(s(p, "user_column") != null, "active_users requires params.user_column")
+        TimeSeriesLib.activeUsers(df, s(p, "user_column"), ts, intSeq(p, "windows") match {
+          case Nil => Seq(7, 28); case ws => ws
+        })
       case "cohort_retention" =>
         require(s(p, "user_column") != null,
           "cohort_retention requires params.user_column")

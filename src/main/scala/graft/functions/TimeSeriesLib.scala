@@ -621,6 +621,38 @@ object TimeSeriesLib {
         col("n_active").cast("double") / col("cohort_size").cast("double"))
   }
 
+  /** Rolling distinct active users (DAU plus trailing windows, e.g. WAU=7,
+    * MAU=28). `countDistinct` cannot run over a sliding window in either
+    * engine, and per-day `collect_set` unions don't scale — the
+    * distributed formulation is the contribution explode: each distinct
+    * (user, day) row contributes to the w trailing windows ending on
+    * day..day+w−1, so a plain groupBy(day) count-distinct per window size
+    * gives the rolling count. Duplication factor = Σ windows (bounded,
+    * e.g. 35 for 7+28), all keys uniform — no skew, no per-day state.
+    * Days past the observed maximum are dropped (no phantom trailing
+    * windows). Output: (day, dau, active_<w> per window), every observed
+    * day present, zeros filled.
+    */
+  def activeUsers(df: DataFrame, userCol: String, tsCol: String,
+                  windows: Seq[Int] = Seq(7, 28)): DataFrame = {
+    require(windows.forall(_ > 1), s"activeUsers: windows must be > 1, got $windows")
+    val act = df.filter(col(userCol).isNotNull && col(tsCol).isNotNull)
+      .select(col(userCol).as("__u"), to_date(col(tsCol)).as("__d"))
+      .distinct()
+    // scalar max day bounds the exploded windows (one tiny eager job)
+    val maxDay = act.agg(max(col("__d"))).first().getDate(0)
+    val dau = act.groupBy(col("__d").as("day")).agg(count(lit(1)).as("dau"))
+    val rolled = windows.map { w =>
+      act.select(col("__u"),
+          explode(sequence(col("__d"), date_add(col("__d"), w - 1))).as("day"))
+        .filter(col("day") <= lit(maxDay))
+        .groupBy(col("day"))
+        .agg(countDistinct(col("__u")).as(s"active_$w"))
+    }
+    rolled.foldLeft(dau)((acc, r) => acc.join(r, Seq("day"), "full_outer"))
+      .na.fill(0L, "dau" +: windows.map(w => s"active_$w"))
+  }
+
   /** Ordered funnel: how many users complete step 1, then step 2 STRICTLY
     * after their earliest step-1 time, and so on — the earliest-completion
     * semantics (a user converts if ANY ordered occurrence chain exists,

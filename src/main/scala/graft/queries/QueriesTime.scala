@@ -253,6 +253,12 @@ object QueriesTime {
         .select(col("event_id"), roundf(col("value_event_id_rolling_corr"), 4).as("rc"))
         .orderBy("event_id")),
 
+    "q_active_users" -> ((s, dir) =>
+      TimeSeriesLib.activeUsers(t(s, dir, "events"), "user_id", "ts", Seq(7))
+        .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+          col("dau"), col("active_7"))
+        .orderBy("day")),
+
     "q_cohort_retention" -> ((s, dir) =>
       TimeSeriesLib.cohortRetention(t(s, dir, "events"), "user_id", "ts", "week")
         .select(date_format(col("cohort"), "yyyy-MM-dd").as("cohort"),
@@ -617,6 +623,26 @@ object QueriesTime {
         |  round(corr(value, event_id) OVER (PARTITION BY user_id ORDER BY event_id
         |          ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) + 1e-9, 4) AS rc
         |FROM events ORDER BY event_id""".stripMargin,
+
+    "q_active_users" ->
+      // contribution-explode replay: each active (user, day) covers the 7
+      // trailing window-ends; full outer day spine, zeros filled
+      """WITH act AS (
+        |  SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS d
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |mx AS (SELECT max(d) AS md FROM act),
+        |dau AS (SELECT d AS day, count(*) AS dau FROM act GROUP BY 1),
+        |w7 AS (
+        |  SELECT e.day, count(DISTINCT a.u) AS active_7
+        |  FROM act a, mx, LATERAL (
+        |    SELECT unnest(range(0, 7)) AS off) o,
+        |    LATERAL (SELECT a.d + CAST(o.off || ' days' AS INTERVAL) AS day) e
+        |  WHERE e.day <= mx.md GROUP BY 1)
+        |SELECT strftime(CAST(coalesce(dau.day, w7.day) AS DATE), '%Y-%m-%d') AS day,
+        |  CAST(coalesce(dau.dau, 0) AS BIGINT) AS dau,
+        |  CAST(coalesce(w7.active_7, 0) AS BIGINT) AS active_7
+        |FROM dau FULL OUTER JOIN w7 ON w7.day = dau.day
+        |ORDER BY day""".stripMargin,
 
     "q_cohort_retention" ->
       // distinct (user, week) activity → per-user min week = cohort →

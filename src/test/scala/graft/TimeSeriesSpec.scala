@@ -165,6 +165,22 @@ class TimeSeriesSpec extends SparkSpec {
     assert(out == Seq((1L, 2L, 600.0, 3.0), (2L, 1L, 0.0, 5.0)))
   }
 
+  test("activeUsers: DAU and trailing-window distinct counts, zeros on gap days") {
+    val df = Seq(
+      ("u1", "2024-01-01 10:00:00"), ("u1", "2024-01-01 23:00:00"), // same day once
+      ("u2", "2024-01-01 12:00:00"),
+      ("u1", "2024-01-03 08:00:00"),
+      ("u3", "2024-01-04 09:00:00")
+    ).toDF("user", "s").withColumn("ts", to_timestamp($"s"))
+    val m = TimeSeriesLib.activeUsers(df, "user", "ts", Seq(3))
+      .collect().map(r => r.getDate(0).toString -> (r.getLong(1), r.getLong(2))).toMap
+    assert(m("2024-01-01") == ((2L, 2L)))
+    assert(m("2024-01-02") == ((0L, 2L)), "gap day: dau 0, 3-day window still sees u1+u2")
+    assert(m("2024-01-03") == ((1L, 2L)), "u1+u2 in the Jan1-3 window")
+    assert(m("2024-01-04") == ((1L, 2L)), "u1(Jan3)+u3(Jan4); Jan1 actives aged out")
+    assert(!m.contains("2024-01-05"), "windows past the last observed day are dropped")
+  }
+
   test("rollingCorr: exact ±1 on linear windows, null under min pairs") {
     val df = ((1 to 10).map(i => ("up", i, 2.0 * i)) ++
       (1 to 10).map(i => ("down", i, -3.0 * i)) :+ ("solo", 1, 5.0))
