@@ -231,6 +231,22 @@ class PipelineSpec extends SparkSpec {
     assert(st.getLong(3) == row.getAs[Long]("num_frames"))
   }
 
+  test("examples/analytics_pipeline.yaml builds the funnel end-to-end on sf0.001") {
+    val out = Files.createTempDirectory("graft_an_out").toString + "/funnel"
+    val yaml = new String(Files.readAllBytes(
+      java.nio.file.Paths.get("examples/analytics_pipeline.yaml")), "UTF-8")
+    val conf = Pipeline.fromYaml(PipelineConfig.substituteEnv(yaml,
+      Map("GRAFT_OUT" -> out).get))
+    val res = Pipeline.execute(spark, conf)
+    assert(res.status == "success", res.errors.mkString("; "))
+    val back = spark.read.parquet(out).orderBy("step_index").collect()
+    assert(back.length == 3)
+    assert(back.map(_.getAs[String]("step")).toSeq == Seq("view", "click", "purchase"))
+    val counts = back.map(_.getAs[Long]("n_users"))
+    assert(counts.sliding(2).forall(p => p(0) >= p(1)), "funnel counts never increase")
+    assert(counts(0) > 0, "the sf0.001 log has viewers")
+  }
+
   test("examples/monitoring_pipeline.yaml emits pinned quality alerts on sf0.001") {
     val yaml = new String(Files.readAllBytes(
       java.nio.file.Paths.get("examples/monitoring_pipeline.yaml")), "UTF-8")
