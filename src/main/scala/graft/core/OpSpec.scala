@@ -268,6 +268,10 @@ object OpCompiler {
       case "time_features" => TimeSeriesLib.timeFeatures(df, ts)
       case "trend" =>
         TimeSeriesLib.trendFeatures(df, s(p, "column"), s(p, "order_by", ts), keys)
+      case "trending" =>
+        require(s(p, "item_column") != null, "trending requires params.item_column")
+        TimeSeriesLib.trendingTopK(df, ts, s(p, "item_column"),
+          s(p, "k", "10").toInt, s(p, "period", "day"))
       case "active_users" =>
         require(s(p, "user_column") != null, "active_users requires params.user_column")
         TimeSeriesLib.activeUsers(df, s(p, "user_column"), ts, intSeq(p, "windows") match {
@@ -350,6 +354,10 @@ object OpCompiler {
       case "fingerprint" =>
         df.withColumn(s(p, "output_column", "fingerprint"),
           TextLib.fingerprint(col(text), s(p, "shingle_n", "3").toInt))
+      case "kwic" => // keyword-in-context occurrences with ±window tokens
+        require(s(p, "term") != null, "kwic requires params.term (the keyword to locate)")
+        TextLib.keywordInContext(df, text, id, s(p, "term"),
+          s(p, "window", "5").toInt)
       case "redact_pii" =>
         df.withColumn(text, TextLib.redactPii(col(text),
           s(p, "email_token", "<EMAIL>"), s(p, "phone_token", "<PHONE>"), s(p, "ip_token", "<IP>")))

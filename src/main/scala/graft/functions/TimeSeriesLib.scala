@@ -621,6 +621,25 @@ object TimeSeriesLib {
         col("n_active").cast("double") / col("cohort_size").cast("double"))
   }
 
+  /** Trending items: top-k by occurrence count within each calendar
+    * period (day/week/month) — "what moved this week". One
+    * map-side-combined aggregate to (period, item) counts, then a
+    * rank-pushdown window per period (partial top-k before the exchange,
+    * quotaPerGroup's de-skewed shape). Deterministic ties: count desc,
+    * item asc. Null items are excluded (they are absence, not an item).
+    */
+  def trendingTopK(df: DataFrame, tsCol: String, itemCol: String, k: Int,
+                   period: String = "day"): DataFrame = {
+    require(k > 0, s"trendingTopK: k must be positive, got $k")
+    require(Set("day", "week", "month").contains(period),
+      s"trendingTopK: period must be day|week|month, got '$period'")
+    val counts = df.filter(col(itemCol).isNotNull && col(tsCol).isNotNull)
+      .groupBy(date_trunc(period, col(tsCol)).cast("date").as("period"), col(itemCol))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("period")).orderBy(col("n").desc, col(itemCol).asc)
+    counts.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
   /** Rolling distinct active users (DAU plus trailing windows, e.g. WAU=7,
     * MAU=28). `countDistinct` cannot run over a sliding window in either
     * engine, and per-day `collect_set` unions don't scale — the

@@ -263,6 +263,12 @@ object QueriesText {
           shingleN = 3, threshold = 0.4)
         .orderBy("id_a", "id_b")),
 
+    "q_kwic" -> ((s, dir) =>
+      // keyword-in-context audit for a corpus-frequent term; ±3-token
+      // window exercises both edge clamps (term occurs at doc starts/ends)
+      TextLib.keywordInContext(t(s, dir, "documents"), "text", "doc_id", "spark", 3)
+        .orderBy("doc_id", "position")),
+
     "q_dedup_containment" -> ((s, dir) => {
       // planted subset duplicates: the first 10 words of every 5th doc as
       // a standalone "quotation" doc — near-zero Jaccard against its
@@ -1217,6 +1223,22 @@ object QueriesText {
         |  JOIN sizes sa ON sa.id = id_a
         |  JOIN sizes sb ON sb.id = id_b)
         |WHERE jaccard >= 0.4 ORDER BY id_a, id_b""".stripMargin,
+
+    "q_kwic" ->
+      // replay: 1-based positions over the normalized tokens; DuckDB list
+      // slices clamp out-of-range bounds exactly like the engine's
+      // greatest/least guards
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS ws
+        |  FROM documents),
+        |p AS (SELECT doc_id, ws, generate_subscripts(ws, 1) AS pos FROM tok),
+        |hits AS (SELECT doc_id, ws, pos FROM p WHERE ws[pos] = 'spark' AND ws[pos] <> '')
+        |SELECT doc_id, CAST(pos AS INT) AS position,
+        |  coalesce(array_to_string(ws[greatest(1, pos - 3):pos - 1], ' '), '') AS left_context,
+        |  ws[pos] AS keyword,
+        |  coalesce(array_to_string(ws[pos + 1:least(len(ws), pos + 3)], ' '), '') AS right_context
+        |FROM hits ORDER BY doc_id, position""".stripMargin,
 
     "q_dedup_containment" ->
       // mirrors Dedup.ngramContainmentPairs: same shingle/df-prune relation

@@ -253,6 +253,12 @@ object QueriesTime {
         .select(col("event_id"), roundf(col("value_event_id_rolling_corr"), 4).as("rc"))
         .orderBy("event_id")),
 
+    "q_trending" -> ((s, dir) =>
+      TimeSeriesLib.trendingTopK(t(s, dir, "events"), "ts", "event_type", 3, "day")
+        .select(date_format(col("period"), "yyyy-MM-dd").as("period"),
+          col("event_type"), col("n"), col("rank"))
+        .orderBy("period", "rank")),
+
     "q_active_users" -> ((s, dir) =>
       TimeSeriesLib.activeUsers(t(s, dir, "events"), "user_id", "ts", Seq(7))
         .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
@@ -623,6 +629,18 @@ object QueriesTime {
         |  round(corr(value, event_id) OVER (PARTITION BY user_id ORDER BY event_id
         |          ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) + 1e-9, 4) AS rc
         |FROM events ORDER BY event_id""".stripMargin,
+
+    "q_trending" ->
+      """WITH c AS (
+        |  SELECT CAST(date_trunc('day', ts) AS DATE) AS period, event_type, count(*) AS n
+        |  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+        |  GROUP BY 1, 2),
+        |r AS (SELECT period, event_type, n,
+        |        CAST(row_number() OVER (PARTITION BY period
+        |          ORDER BY n DESC, event_type) AS INT) AS rank
+        |      FROM c)
+        |SELECT strftime(period, '%Y-%m-%d') AS period, event_type, n, rank
+        |FROM r WHERE rank <= 3 ORDER BY period, rank""".stripMargin,
 
     "q_active_users" ->
       // contribution-explode replay: each active (user, day) covers the 7

@@ -603,6 +603,38 @@ object TextLib {
   val Ipv4Re = "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b"
   val PhoneRe = "(?:\\+?\\d{1,3}[-. ])?\\(?\\d{3}\\)?[-. ]\\d{3}[-. ]\\d{4}\\b"
 
+  /** Keyword-in-context (KWIC) extraction: every occurrence of `term` in
+    * the normalized tokenization with ±`window` tokens of context — the
+    * corpus-inspection primitive behind "show me how this term is used"
+    * audits (eval-leakage triage, slur-list review, tokenizer debugging).
+    * Row-local posexplode + array slices — embarrassingly parallel, no
+    * shuffle at all; the output is one row per occurrence
+    * (id, position [1-based token index], left_context, keyword,
+    * right_context). Matching is exact on the normalized (lowercased)
+    * token, like every other tokenizer-family op here.
+    */
+  def keywordInContext(df: DataFrame, textCol: String, idCol: String,
+                       term: String, window: Int = 5): DataFrame = {
+    require(window >= 0, s"keywordInContext: window must be >= 0, got $window")
+    require(term != null && term.nonEmpty, "keywordInContext: term must be non-empty")
+    // bind the token array first — posexplode over the inline subtree
+    // would re-run the tokenize regex per position (explodedTokenPairs'
+    // documented O(len²) hazard)
+    val bound = df.select(col(idCol), split(normalized(col(textCol)), " ").as("__toks"))
+    bound
+      .select(col(idCol), col("__toks"),
+        posexplode(col("__toks")).as(Seq("__pos", "__tok")))
+      .filter(col("__tok") === lit(term.toLowerCase) && col("__tok") =!= "")
+      .select(col(idCol),
+        (col("__pos") + 1).as("position"),
+        array_join(slice(col("__toks"),
+          greatest(lit(1), col("__pos") + 1 - window), least(col("__pos"), lit(window))), " ")
+          .as("left_context"),
+        col("__tok").as("keyword"),
+        array_join(slice(col("__toks"), col("__pos") + 2, lit(window)), " ")
+          .as("right_context"))
+  }
+
   def redactPii(text: Column,
                 emailToken: String = "<EMAIL>",
                 phoneToken: String = "<PHONE>",

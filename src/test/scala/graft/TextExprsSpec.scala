@@ -248,4 +248,20 @@ class TextExprsSpec extends SparkSpec {
       .select(graft.expr.DeflateRatio(col("t"))).collect()(0).getDouble(0)
     assert(again == rep)
   }
+
+  test("keywordInContext: positions, edge clamps, case-folding, multi-hit docs") {
+    val docs = Seq(
+      (1L, "Spark at the start and spark at the end spark"),
+      (2L, "no match here"),
+      (3L, null.asInstanceOf[String])
+    ).toDF("id", "t")
+    val out = graft.text.TextLib.keywordInContext(docs, "t", "id", "spark", 3)
+      .orderBy("id", "position")
+      .select($"id", $"position", $"left_context", $"keyword", $"right_context")
+      .as[(Long, Int, String, String, String)].collect().toSeq
+    assert(out == Seq(
+      (1L, 1, "", "spark", "at the start"),          // doc-start clamp: empty left
+      (1L, 6, "the start and", "spark", "at the end"),
+      (1L, 10, "at the end", "spark", "")))          // doc-end clamp: empty right
+  }
 }

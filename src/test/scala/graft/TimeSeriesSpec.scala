@@ -165,6 +165,20 @@ class TimeSeriesSpec extends SparkSpec {
     assert(out == Seq((1L, 2L, 600.0, 3.0), (2L, 1L, 0.0, 5.0)))
   }
 
+  test("trendingTopK: per-period rank with deterministic ties, k cap, null items dropped") {
+    val df = Seq(
+      ("2024-01-01 10:00", "a"), ("2024-01-01 11:00", "a"), ("2024-01-01 12:00", "b"),
+      ("2024-01-01 13:00", "c"), ("2024-01-01 14:00", "c"),      // a=2, c=2 tie → a first
+      ("2024-01-02 10:00", "b"), ("2024-01-02 11:00", null)
+    ).toDF("s", "item").withColumn("ts", to_timestamp($"s"))
+    val out = TimeSeriesLib.trendingTopK(df, "ts", "item", 2, "day")
+      .select(date_format($"period", "yyyy-MM-dd"), $"item", $"n", $"rank")
+      .as[(String, String, Long, Int)].collect().toSet
+    assert(out == Set(
+      ("2024-01-01", "a", 2L, 1), ("2024-01-01", "c", 2L, 2),
+      ("2024-01-02", "b", 1L, 1)))
+  }
+
   test("activeUsers: DAU and trailing-window distinct counts, zeros on gap days") {
     val df = Seq(
       ("u1", "2024-01-01 10:00:00"), ("u1", "2024-01-01 23:00:00"), // same day once
