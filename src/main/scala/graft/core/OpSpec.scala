@@ -219,6 +219,9 @@ object OpCompiler {
       case "target" =>
         FeatureLib.encodeTarget(df, s(p, "column"), s(p, "target_column"),
           s(p, "smoothing", "20.0").toDouble)
+      case "scaling" =>
+        FeatureLib.scaleFeatures(df, seqOf(p, "columns"), s(p, "method", "zscore"),
+          seqOf(p, "group_by"))
       case "winsorize" =>
         FeatureLib.winsorize(df, s(p, "column"), s(p, "lower", "0.05").toDouble,
           s(p, "upper", "0.95").toDouble, seqOf(p, "group_by"))
@@ -268,6 +271,11 @@ object OpCompiler {
       case "time_features" => TimeSeriesLib.timeFeatures(df, ts)
       case "trend" =>
         TimeSeriesLib.trendFeatures(df, s(p, "column"), s(p, "order_by", ts), keys)
+      case "transitions" =>
+        require(seqOf(p, "order_by").nonEmpty && keys.nonEmpty,
+          "transitions requires params.order_by (total per-entity order) and keys/group_by")
+        TimeSeriesLib.transitionMatrix(df, s(p, "state_column", "event_type"),
+          seqOf(p, "order_by"), keys)
       case "trending" =>
         require(s(p, "item_column") != null, "trending requires params.item_column")
         TimeSeriesLib.trendingTopK(df, ts, s(p, "item_column"),

@@ -243,6 +243,52 @@ object FeatureLib {
       .drop("__lo" +: "__hi" +: groupCols.map(g => s"__g_$g"): _*)
   }
 
+  /** Feature scaling — the standalone form of the standardization the
+    * reference buries inside clustering/PCA (feature_engineering.py:477,
+    * 538 StandardScaler): `zscore` (x−μ)/σ, `minmax` (x−min)/(max−min),
+    * `robust` (x−median)/IQR (50%-breakdown outlier-resistant). One
+    * map-side-combined aggregate computes every column's stats; delivery
+    * is the broadcast scalar/null-safe-group join shape shared with
+    * binQuantileGrouped. Degenerate columns (σ=0, constant, IQR=0) scale
+    * to null rather than ±Inf/ANSI-divide errors; null inputs stay null.
+    * Output columns are `<col>_scaled`.
+    */
+  def scaleFeatures(df: DataFrame, cols: Seq[String], method: String = "zscore",
+                    groupCols: Seq[String] = Nil): DataFrame = {
+    require(cols.nonEmpty, "scaleFeatures: need at least one column")
+    val aggs = cols.flatMap { c =>
+      method match {
+        case "zscore" => Seq(avg(col(c)).as(s"__m_$c"), stddev(col(c)).as(s"__s_$c"))
+        case "minmax" => Seq(min(col(c)).cast("double").as(s"__m_$c"),
+          max(col(c)).cast("double").as(s"__s_$c"))
+        case "robust" => Seq(percentile(col(c), lit(0.5)).as(s"__m_$c"),
+          (percentile(col(c), lit(0.75)) - percentile(col(c), lit(0.25))).as(s"__s_$c"))
+        case other => throw new IllegalArgumentException(s"Unknown scaling method: $other")
+      }
+    }
+    val stats =
+      if (groupCols.isEmpty) df.agg(aggs.head, aggs.tail: _*)
+      else df.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+    val statsR = groupCols.foldLeft(stats)((d, g) => d.withColumnRenamed(g, s"__g_$g"))
+    val joined =
+      if (groupCols.isEmpty) df.crossJoin(broadcast(statsR))
+      else df.join(broadcast(statsR),
+        groupCols.map(g => col(g) <=> col(s"__g_$g")).reduce(_ && _), "left")
+    val scaled = cols.foldLeft(joined) { (d, c) =>
+      val x = col(c).cast("double")
+      val expr = method match {
+        case "zscore" => when(col(s"__s_$c") > 0, (x - col(s"__m_$c")) / col(s"__s_$c"))
+        case "minmax" =>
+          when(col(s"__s_$c") > col(s"__m_$c"),
+            (x - col(s"__m_$c")) / (col(s"__s_$c") - col(s"__m_$c")))
+        case "robust" => when(col(s"__s_$c") > 0, (x - col(s"__m_$c")) / col(s"__s_$c"))
+      }
+      d.withColumn(s"${c}_scaled", when(x.isNotNull, expr))
+    }
+    scaled.drop(cols.flatMap(c => Seq(s"__m_$c", s"__s_$c")) ++
+      groupCols.map(g => s"__g_$g"): _*)
+  }
+
   /** Group-aggregate features broadcast onto rows
     * (feature_engineering.py:298-342): window aggregate per key — one
     * shuffle, no join.

@@ -621,6 +621,31 @@ object TimeSeriesLib {
         col("n_active").cast("double") / col("cohort_size").cast("double"))
   }
 
+  /** First-order Markov transition matrix over per-entity event
+    * sequences: count and conditional probability of state→state steps
+    * (the session-flow / user-journey summary). One lead() window on the
+    * entity key (the only corpus-sized exchange; per-entity sequences
+    * stream through their partition), then a map-side-combined count to
+    * the ≤|states|² matrix; probabilities ride a window over that
+    * aggregated frame. `orderCols` must make the per-entity order total —
+    * pass a unique tiebreaker (event id) after the timestamp, or tied
+    * rows would make lead() partition-order-dependent.
+    */
+  def transitionMatrix(df: DataFrame, stateCol: String, orderCols: Seq[String],
+                       partitionBy: Seq[String]): DataFrame = {
+    require(orderCols.nonEmpty, "transitionMatrix: need at least one order column")
+    require(partitionBy.nonEmpty, "transitionMatrix: need the entity key (partitionBy)")
+    val w = Window.partitionBy(partitionBy.map(col): _*).orderBy(orderCols.map(col): _*)
+    df.filter(col(stateCol).isNotNull)
+      .withColumn("__next", lead(col(stateCol), 1).over(w))
+      .filter(col("__next").isNotNull)
+      .groupBy(col(stateCol).as("from_state"), col("__next").as("to_state"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("p",
+        col("n").cast("double") /
+          sum(col("n")).over(Window.partitionBy(col("from_state"))).cast("double"))
+  }
+
   /** Trending items: top-k by occurrence count within each calendar
     * period (day/week/month) — "what moved this week". One
     * map-side-combined aggregate to (period, item) counts, then a

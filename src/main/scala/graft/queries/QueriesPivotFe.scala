@@ -223,6 +223,17 @@ object QueriesPivotFe {
         .select(col("event_id"), roundf(col("value_wins"), 6).as("value_wins"))
         .orderBy("event_id")),
 
+    "q_scale_robust" -> ((s, dir) =>
+      FeatureLib.scaleFeatures(t(s, dir, "events"), Seq("value"), "robust",
+          groupCols = Seq("event_type"))
+        .select(col("event_id"), roundf(col("value_scaled"), 6).as("value_scaled"))
+        .orderBy("event_id")),
+
+    "q_scale_minmax" -> ((s, dir) =>
+      FeatureLib.scaleFeatures(t(s, dir, "orders"), Seq("o_totalprice"), "minmax")
+        .select(col("o_orderkey"), roundf(col("o_totalprice_scaled"), 6).as("sc"))
+        .orderBy("o_orderkey")),
+
     "q_grouping_sets" -> ((s, dir) =>
       // detail + one-key subtotal + grand total in ONE pass (single Expand
       // + aggregate); grouping_id disambiguates the TOTAL label
@@ -476,6 +487,28 @@ object QueriesPivotFe {
         |       THEN round(least(greatest(e.value, s.lo), s.hi) + 1e-9, 6) END AS value_wins
         |FROM events e LEFT JOIN s ON e.event_type IS NOT DISTINCT FROM s.event_type
         |ORDER BY event_id""".stripMargin,
+
+    "q_scale_robust" ->
+      // (x − median)/IQR with exact quantile_cont stats; the engine's
+      // subtraction/division order replayed term by term
+      """WITH s AS (SELECT event_type,
+        |             quantile_cont(value, 0.5) AS med,
+        |             quantile_cont(value, 0.75) - quantile_cont(value, 0.25) AS iqr
+        |           FROM events GROUP BY event_type)
+        |SELECT e.event_id,
+        |  CASE WHEN e.value IS NOT NULL AND s.iqr > 0
+        |       THEN round((e.value - s.med) / s.iqr + 1e-9, 6) END AS value_scaled
+        |FROM events e LEFT JOIN s ON e.event_type IS NOT DISTINCT FROM s.event_type
+        |ORDER BY event_id""".stripMargin,
+
+    "q_scale_minmax" ->
+      """WITH s AS (SELECT CAST(min(o_totalprice) AS DOUBLE) AS mn,
+        |                  CAST(max(o_totalprice) AS DOUBLE) AS mx FROM orders)
+        |SELECT o.o_orderkey,
+        |  CASE WHEN o.o_totalprice IS NOT NULL AND s.mx > s.mn
+        |       THEN round((o.o_totalprice - s.mn) / (s.mx - s.mn) + 1e-9, 6) END AS sc
+        |FROM orders o CROSS JOIN s
+        |ORDER BY o_orderkey""".stripMargin,
 
     "q_grouping_sets" ->
       // GROUPING(a, b) packs bits in argument order in both engines

@@ -253,6 +253,14 @@ object QueriesTime {
         .select(col("event_id"), roundf(col("value_event_id_rolling_corr"), 4).as("rc"))
         .orderBy("event_id")),
 
+    "q_transitions" -> ((s, dir) =>
+      // user-journey Markov matrix; (ts, event_id) makes the per-user
+      // order total so lead() is partition-stable
+      TimeSeriesLib.transitionMatrix(t(s, dir, "events"), "event_type",
+          orderCols = Seq("ts", "event_id"), partitionBy = Seq("user_id"))
+        .select(col("from_state"), col("to_state"), col("n"), roundf(col("p"), 6).as("p"))
+        .orderBy("from_state", "to_state")),
+
     "q_trending" -> ((s, dir) =>
       TimeSeriesLib.trendingTopK(t(s, dir, "events"), "ts", "event_type", 3, "day")
         .select(date_format(col("period"), "yyyy-MM-dd").as("period"),
@@ -629,6 +637,16 @@ object QueriesTime {
         |  round(corr(value, event_id) OVER (PARTITION BY user_id ORDER BY event_id
         |          ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) + 1e-9, 4) AS rc
         |FROM events ORDER BY event_id""".stripMargin,
+
+    "q_transitions" ->
+      """WITH seq AS (
+        |  SELECT event_type AS a,
+        |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS b
+        |  FROM events WHERE event_type IS NOT NULL),
+        |c AS (SELECT a, b, count(*) AS n FROM seq WHERE b IS NOT NULL GROUP BY 1, 2)
+        |SELECT a AS from_state, b AS to_state, n,
+        |  round(CAST(n AS DOUBLE) / CAST(sum(n) OVER (PARTITION BY a) AS DOUBLE) + 1e-9, 6) AS p
+        |FROM c ORDER BY from_state, to_state""".stripMargin,
 
     "q_trending" ->
       """WITH c AS (

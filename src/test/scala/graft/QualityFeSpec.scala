@@ -706,6 +706,26 @@ class QualityFeSpec extends SparkSpec {
     assert(out.size == 6) // 3 detail + 2 subtotal + 1 total
   }
 
+  test("scaleFeatures: hand-computed zscore/minmax/robust, degenerate columns null out") {
+    val d = Seq(1.0, 2.0, 3.0, 4.0, 5.0).zipWithIndex
+      .map { case (v, i) => (i, v, 7.0) }.toDF("id", "v", "const")
+    // zscore: mean 3, sample std sqrt(2.5)
+    val z = FeatureLib.scaleFeatures(d, Seq("v", "const"), "zscore").collect()
+    z.foreach { r =>
+      val v = r.getAs[Double]("v")
+      assert(math.abs(r.getAs[Double]("v_scaled") - (v - 3.0) / math.sqrt(2.5)) < 1e-12)
+      assert(r.isNullAt(r.fieldIndex("const_scaled")), "zero-variance column scales to null")
+    }
+    // minmax: (v-1)/4
+    val mm = FeatureLib.scaleFeatures(d, Seq("v"), "minmax").collect()
+    mm.foreach(r => assert(math.abs(r.getAs[Double]("v_scaled") -
+      (r.getAs[Double]("v") - 1.0) / 4.0) < 1e-12))
+    // robust: median 3, IQR = 4 - 2 = 2
+    val rb = FeatureLib.scaleFeatures(d, Seq("v"), "robust").collect()
+    rb.foreach(r => assert(math.abs(r.getAs[Double]("v_scaled") -
+      (r.getAs[Double]("v") - 3.0) / 2.0) < 1e-12))
+  }
+
   test("encodeTarget: hand-computed blend, null category is a group, all-null falls to prior") {
     val df = Seq(
       (1, "a", java.lang.Double.valueOf(10.0)), (2, "a", java.lang.Double.valueOf(20.0)),

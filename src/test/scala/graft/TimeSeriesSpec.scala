@@ -165,6 +165,20 @@ class TimeSeriesSpec extends SparkSpec {
     assert(out == Seq((1L, 2L, 600.0, 3.0), (2L, 1L, 0.0, 5.0)))
   }
 
+  test("transitionMatrix: hand-built chain, null states skipped, rows condition on from_state") {
+    val df = Seq(
+      ("u1", 1, "A"), ("u1", 2, "B"), ("u1", 3, null), ("u1", 4, "A"), ("u1", 5, "B"),
+      ("u2", 1, "A"), ("u2", 2, "B"),
+      ("u3", 1, "C") // singleton: no transition
+    ).toDF("u", "t", "s")
+    val m = TimeSeriesLib.transitionMatrix(df, "s", Seq("t"), Seq("u"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    // null skipped: u1 sequence is A B A B → A→B ×2, B→A ×1; u2 adds A→B
+    assert(m(("A", "B")) == ((3L, 1.0)))
+    assert(m(("B", "A"))._1 == 1L && m(("B", "A"))._2 == 1.0)
+    assert(m.size == 2, "singleton entity contributes nothing")
+  }
+
   test("trendingTopK: per-period rank with deterministic ties, k cap, null items dropped") {
     val df = Seq(
       ("2024-01-01 10:00", "a"), ("2024-01-01 11:00", "a"), ("2024-01-01 12:00", "b"),
