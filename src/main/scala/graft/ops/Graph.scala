@@ -71,4 +71,49 @@ object Graph {
     }
     ranks
   }
+
+  /** Per-node triangle counts over the undirected simple graph — the link-
+    * farm / clique-spam detector (a crawl node whose neighborhood is a
+    * near-clique is a template network, not organic linking; clustering
+    * coefficient = triangles / (deg·(deg−1)/2) falls out of this joined
+    * with [[degrees]]).
+    *
+    * Distributed shape is the degree-ordered orientation (Chiba–Nishizeki
+    * / "compact-forward"): orient every edge toward the (degree, id)-larger
+    * endpoint, enumerate wedges from each node's OUT-neighbors only, close
+    * them against the oriented edge set. Each triangle is found exactly
+    * once, and — the scale point — wedge fan-out is Σ outdeg(v)², bounded
+    * by O(E^1.5) regardless of hub skew (a 10^6-degree hub under naive
+    * id-orientation would generate 10^12 wedges; degree orientation caps
+    * its out-degree at ~√E). Three shuffles: degree agg, wedge self-join,
+    * closure join.
+    */
+  def triangleCounts(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val canon = edges.select(
+        least(col(srcCol), col(dstCol)).as("a"), greatest(col(srcCol), col(dstCol)).as("b"))
+      .filter(col("a").isNotNull && col("b").isNotNull && col("a") =!= col("b"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) // degrees + orientation + closure
+    val deg = canon.select(explode(array(col("a"), col("b"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("__d"))
+    // orientation key: (degree, id) totalizes node order without a global rank
+    val withKeys = canon
+      .join(deg.select(col("node").as("a"), col("__d").as("__da")), Seq("a"))
+      .join(deg.select(col("node").as("b"), col("__d").as("__db")), Seq("b"))
+    // identical field names on both keys: CASE branches must share a type
+    val ka = struct(col("__da").as("d"), col("a").as("n"))
+    val kb = struct(col("__db").as("d"), col("b").as("n"))
+    val oriented = withKeys.select(
+        when(ka < kb, col("a")).otherwise(col("b")).as("u"),
+        when(ka < kb, col("b")).otherwise(col("a")).as("v"),
+        when(ka < kb, kb).otherwise(ka).as("__kv"))
+    val wedges = oriented.select(col("u"), col("v").as("v1"), col("__kv").as("__k1"))
+      .join(oriented.select(col("u"), col("v").as("v2"), col("__kv").as("__k2")), Seq("u"))
+      .filter(col("__k1") < col("__k2")) // each out-neighbor pair once, orientation-ordered
+    val triangles = wedges
+      .join(oriented.select(col("u").as("v1"), col("v").as("v2")), Seq("v1", "v2"))
+      .select(col("u"), col("v1"), col("v2"))
+    triangles.select(explode(array(col("u"), col("v1"), col("v2"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("n_triangles"))
+  }
 }

@@ -269,6 +269,18 @@ object QueriesAgg {
         .orderBy("child_col")
     }),
 
+    "q_triangles" -> ((s, dir) => {
+      // co-order part-bucket graph: parts bucketed mod 50 joined within an
+      // order — dense enough that real triangles exist at every SF
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("k"), pmod(col("l_partkey"), lit(50)).as("p"))
+      val e = li.alias("x").join(li.alias("y"),
+          col("x.k") === col("y.k") && col("x.p") < col("y.p"))
+        .select(col("x.p").as("src"), col("y.p").as("dst"))
+      graft.ops.Graph.triangleCounts(e, "src", "dst")
+        .orderBy("node")
+    }),
+
     "q_chi_square" -> ((s, dir) =>
       Profiler.chiSquare(t(s, dir, "documents"), "lang", "source")
         .select(roundf(col("chi2"), 6).as("chi2"), col("dof"),
@@ -749,6 +761,25 @@ object QueriesAgg {
         |UNION ALL
         |SELECT 'max_epoch', epoch(max(o_orderdate))::DOUBLE FROM orders
         |ORDER BY metric""".stripMargin,
+
+    "q_triangles" ->
+      // enumeration strategy differs (the oracle uses the simple a<b<c
+      // 3-join; the engine uses degree orientation) but the triangle SET
+      // is identical — that's the point of the differential
+      """WITH li AS (SELECT l_orderkey AS k, l_partkey % 50 AS p FROM lineitem),
+        |e AS (SELECT DISTINCT least(x.p, y.p) AS a, greatest(x.p, y.p) AS b
+        |      FROM li x JOIN li y ON x.k = y.k AND x.p < y.p),
+        |tri AS (
+        |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        |  FROM e e1
+        |  JOIN e e2 ON e2.a = e1.b
+        |  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+        |corners AS (
+        |  SELECT x AS node FROM tri
+        |  UNION ALL SELECT y FROM tri
+        |  UNION ALL SELECT z FROM tri)
+        |SELECT node, count(*) AS n_triangles
+        |FROM corners GROUP BY node ORDER BY node""".stripMargin,
 
     "q_chi_square" ->
       // margins over the aggregated joint frame, e = (nx·ny)/tot,

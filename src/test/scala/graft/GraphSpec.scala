@@ -39,4 +39,21 @@ class GraphSpec extends SparkSpec {
       .as[(Long, Double)].collect().toMap
     assert(byNode(99L) > byNode(2L) && byNode(2L) > byNode(3L))
   }
+
+  test("triangleCounts: K4 has C(3,2)=3 per node; direction/dup/self-loop insensitive") {
+    // K4 on {1..4}, given messy: duplicates, both directions, a self-loop,
+    // and a pendant node 5 in no triangle
+    val e = Seq((1L, 2L), (2L, 1L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (3L, 4L), (4L, 4L), (4L, 5L)).toDF("s", "d")
+    val m = Graph.triangleCounts(e, "s", "d")
+      .as[(Long, Long)].collect().toMap
+    // each K4 node sits in C(3,2) = 3 triangles
+    assert((1L to 4L).forall(m(_) == 3L), s"got $m")
+    assert(!m.contains(5L), "pendant node is in no triangle")
+    // global count = Σ/3 = 4 triangles in K4
+    assert(m.values.sum == 12L)
+    // a pure star has zero triangles
+    val star = Seq((0L, 1L), (0L, 2L), (0L, 3L)).toDF("s", "d")
+    assert(Graph.triangleCounts(star, "s", "d").count() == 0)
+  }
 }
