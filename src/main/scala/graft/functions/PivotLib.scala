@@ -1,6 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.ops.Relational
 
@@ -127,6 +128,34 @@ object PivotLib {
       d.withColumn(k, when(col(s"__g_$k") === 1, lit(rollupLabel)).otherwise(col(k)))
     }
     labeled.drop(keys.map(k => s"__g_$k"): _*)
+  }
+
+  /** Pareto / top-k report with an `__other` rollup: the "top N plus
+    * everything else" summary every dashboard wants, with each row's share
+    * of the GRAND total. One map-side-combined aggregate to the per-key
+    * measure, top-k via TakeOrdered (no global sort materializes), the
+    * tail anti-joined and collapsed to one row; shares and ranks ride a
+    * window over the ≤ k+1-row report frame. Keys render as strings (the
+    * rollup label must coexist with them); `__other` always ranks last.
+    */
+  def paretoReport(df: DataFrame, keyCol: String, k: Int, valueCol: String = null,
+                   otherLabel: String = "__other"): DataFrame = {
+    require(k > 0, s"paretoReport: k must be positive, got $k")
+    val m = if (valueCol == null) count(lit(1)).cast("double")
+            else sum(col(valueCol).cast("double"))
+    val counts = df.groupBy(col(keyCol)).agg(m.as("measure"))
+    val top = counts.orderBy(col("measure").desc, col(keyCol).asc).limit(k)
+    val rest = counts.join(top.select(col(keyCol)), Seq(keyCol), "left_anti")
+      .agg(coalesce(sum(col("measure")), lit(0.0)).as("measure"))
+      .select(lit(otherLabel).as(keyCol), col("measure"))
+      .filter(col("measure") > 0)
+    val unioned = top.select(col(keyCol).cast("string").as(keyCol), col("measure"))
+      .unionByName(rest)
+    val isOther = (col(keyCol) === otherLabel).cast("int")
+    val w = Window.orderBy(isOther.asc, col("measure").desc, col(keyCol).asc)
+    unioned
+      .withColumn("share", col("measure") / sum(col("measure")).over(Window.partitionBy()))
+      .withColumn("rank", row_number().over(w))
   }
 
   /** Arbitrary GROUPING SETS aggregation — the general form rollup/cube

@@ -116,4 +116,28 @@ object Graph {
     triangles.select(explode(array(col("u"), col("v1"), col("v2"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("n_triangles"))
   }
+
+  /** Local clustering coefficient: cc(v) = 2·T(v) / (deg(v)·(deg(v)−1))
+    * over the undirected simple graph — [[triangleCounts]] joined with the
+    * undirected degree; the per-node "is this neighborhood a clique"
+    * signal (1.0 = clique spam / template network, ~0 = organic hub).
+    * Degree here is the UNDIRECTED neighbor count (out+in over distinct
+    * canonical edges); degree-1 nodes get cc 0 (no wedge to close).
+    */
+  def clusteringCoefficient(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val canon = edges.select(
+        least(col(srcCol), col(dstCol)).as("a"), greatest(col(srcCol), col(dstCol)).as("b"))
+      .filter(col("a").isNotNull && col("b").isNotNull && col("a") =!= col("b"))
+      .distinct()
+    val deg = canon.select(explode(array(col("a"), col("b"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("degree"))
+    val tri = triangleCounts(canon, "a", "b")
+    deg.join(tri, Seq("node"), "left")
+      .select(col("node"), col("degree"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"),
+        when(col("degree") > 1,
+          (lit(2.0) * coalesce(col("n_triangles"), lit(0L))) /
+            (col("degree") * (col("degree") - 1)).cast("double"))
+          .otherwise(lit(0.0)).as("clustering_coeff"))
+  }
 }

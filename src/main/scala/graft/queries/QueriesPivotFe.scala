@@ -223,6 +223,27 @@ object QueriesPivotFe {
         .select(col("event_id"), roundf(col("value_wins"), 6).as("value_wins"))
         .orderBy("event_id")),
 
+    "q_pareto" -> ((s, dir) =>
+      // top-3 market segments by customer count + the tail rolled to
+      // __other, shares of the grand total
+      PivotLib.paretoReport(t(s, dir, "customer"), "c_mktsegment", 3)
+        .select(col("c_mktsegment"), col("measure").cast("long").as("n"),
+          roundf(col("share"), 6).as("share"), col("rank"))
+        .orderBy("rank")),
+
+    "q_graph_clustering" -> ((s, dir) => {
+      // same co-order part-bucket graph as q_triangles
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("k"), pmod(col("l_partkey"), lit(50)).as("p"))
+      val e = li.alias("x").join(li.alias("y"),
+          col("x.k") === col("y.k") && col("x.p") < col("y.p"))
+        .select(col("x.p").as("src"), col("y.p").as("dst"))
+      graft.ops.Graph.clusteringCoefficient(e, "src", "dst")
+        .select(col("node"), col("degree"), col("n_triangles"),
+          roundf(col("clustering_coeff"), 6).as("cc"))
+        .orderBy("node")
+    }),
+
     "q_scale_robust" -> ((s, dir) =>
       FeatureLib.scaleFeatures(t(s, dir, "events"), Seq("value"), "robust",
           groupCols = Seq("event_type"))
@@ -487,6 +508,41 @@ object QueriesPivotFe {
         |       THEN round(least(greatest(e.value, s.lo), s.hi) + 1e-9, 6) END AS value_wins
         |FROM events e LEFT JOIN s ON e.event_type IS NOT DISTINCT FROM s.event_type
         |ORDER BY event_id""".stripMargin,
+
+    "q_pareto" ->
+      """WITH c AS (SELECT c_mktsegment AS k, CAST(count(*) AS DOUBLE) AS m
+        |           FROM customer GROUP BY 1),
+        |top AS (SELECT k, m FROM c ORDER BY m DESC, k LIMIT 3),
+        |rest AS (SELECT '__other' AS k, sum(m) AS m FROM c
+        |         WHERE k NOT IN (SELECT k FROM top) HAVING sum(m) > 0),
+        |u AS (SELECT k, m FROM top UNION ALL SELECT k, m FROM rest),
+        |r AS (SELECT k, m, m / sum(m) OVER () AS share,
+        |        CAST(row_number() OVER (
+        |          ORDER BY (CASE WHEN k = '__other' THEN 1 ELSE 0 END), m DESC, k) AS INT) AS rank
+        |      FROM u)
+        |SELECT k AS c_mktsegment, CAST(m AS BIGINT) AS n,
+        |  round(share + 1e-9, 6) AS share, rank
+        |FROM r ORDER BY rank""".stripMargin,
+
+    "q_graph_clustering" ->
+      """WITH li AS (SELECT l_orderkey AS k, l_partkey % 50 AS p FROM lineitem),
+        |e AS (SELECT DISTINCT least(x.p, y.p) AS a, greatest(x.p, y.p) AS b
+        |      FROM li x JOIN li y ON x.k = y.k AND x.p < y.p),
+        |deg AS (SELECT node, count(*) AS degree FROM (
+        |          SELECT a AS node FROM e UNION ALL SELECT b FROM e) GROUP BY node),
+        |tri AS (
+        |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        |  FROM e e1 JOIN e e2 ON e2.a = e1.b JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+        |tc AS (SELECT node, count(*) AS n_triangles FROM (
+        |         SELECT x AS node FROM tri UNION ALL SELECT y FROM tri
+        |         UNION ALL SELECT z FROM tri) GROUP BY node)
+        |SELECT d.node, d.degree, coalesce(tc.n_triangles, 0) AS n_triangles,
+        |  CASE WHEN d.degree > 1
+        |       THEN round((2.0 * coalesce(tc.n_triangles, 0))
+        |                  / CAST(d.degree * (d.degree - 1) AS DOUBLE) + 1e-9, 6)
+        |       ELSE 0.0 END AS cc
+        |FROM deg d LEFT JOIN tc ON tc.node = d.node
+        |ORDER BY d.node""".stripMargin,
 
     "q_scale_robust" ->
       // (x − median)/IQR with exact quantile_cont stats; the engine's

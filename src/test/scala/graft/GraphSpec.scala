@@ -56,4 +56,14 @@ class GraphSpec extends SparkSpec {
     val star = Seq((0L, 1L), (0L, 2L), (0L, 3L)).toDF("s", "d")
     assert(Graph.triangleCounts(star, "s", "d").count() == 0)
   }
+
+  test("clusteringCoefficient: clique 1.0, star hub 0.0, triangle-plus-pendant hand case") {
+    val e = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)).toDF("s", "d") // triangle + pendant 4
+    val m = Graph.clusteringCoefficient(e, "s", "d")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(m(1L) == ((2L, 1L, 1.0)))
+    assert(m(2L) == ((2L, 1L, 1.0)))
+    assert(m(3L) == ((3L, 1L, 2.0 * 1 / (3 * 2))), "deg-3 node in one triangle: cc = 1/3")
+    assert(m(4L) == ((1L, 0L, 0.0)), "degree-1 node has cc 0, not a divide error")
+  }
 }
