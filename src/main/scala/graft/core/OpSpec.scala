@@ -271,6 +271,9 @@ object OpCompiler {
       case "time_features" => TimeSeriesLib.timeFeatures(df, ts)
       case "trend" =>
         TimeSeriesLib.trendFeatures(df, s(p, "column"), s(p, "order_by", ts), keys)
+      case "interarrival" =>
+        require(keys.nonEmpty, "interarrival requires keys/group_by (the entity key)")
+        TimeSeriesLib.interArrivalStats(df, ts, keys, seqOf(p, "order_by"))
       case "transitions" =>
         require(seqOf(p, "order_by").nonEmpty && keys.nonEmpty,
           "transitions requires params.order_by (total per-entity order) and keys/group_by")
@@ -362,6 +365,8 @@ object OpCompiler {
       case "fingerprint" =>
         df.withColumn(s(p, "output_column", "fingerprint"),
           TextLib.fingerprint(col(text), s(p, "shingle_n", "3").toInt))
+      case "readability" => // Flesch reading-ease + word/sentence/syllable counts
+        TextLib.readability(df, text)
       case "kwic" => // keyword-in-context occurrences with ±window tokens
         require(s(p, "term") != null, "kwic requires params.term (the keyword to locate)")
         TextLib.keywordInContext(df, text, id, s(p, "term"),

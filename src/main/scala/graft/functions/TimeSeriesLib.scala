@@ -621,6 +621,28 @@ object TimeSeriesLib {
         col("n_active").cast("double") / col("cohort_size").cast("double"))
   }
 
+  /** Per-entity inter-arrival (dwell-time) statistics: count, mean,
+    * exact-median, and max gap in seconds between consecutive events —
+    * the activity-cadence profile (bot detection: near-constant tiny
+    * gaps; churn features: growing gaps). One lag() window on the entity
+    * key, then a map-side-combined aggregate; entities with < 2 events
+    * yield a zero-gap row (n_gaps 0, null stats).
+    */
+  def interArrivalStats(df: DataFrame, tsCol: String, partitionBy: Seq[String],
+                        orderCols: Seq[String] = Nil): DataFrame = {
+    require(partitionBy.nonEmpty, "interArrivalStats: need the entity key (partitionBy)")
+    val order = if (orderCols.isEmpty) Seq(tsCol) else orderCols
+    val w = Window.partitionBy(partitionBy.map(col): _*).orderBy(order.map(col): _*)
+    val gap = unix_timestamp(col(tsCol)) - unix_timestamp(lag(col(tsCol), 1).over(w))
+    df.filter(col(tsCol).isNotNull)
+      .withColumn("__gap", gap)
+      .groupBy(partitionBy.map(col): _*)
+      .agg(count(col("__gap")).as("n_gaps"),
+        avg(col("__gap")).as("mean_gap_s"),
+        percentile(col("__gap"), lit(0.5)).as("median_gap_s"),
+        max(col("__gap")).as("max_gap_s"))
+  }
+
   /** First-order Markov transition matrix over per-entity event
     * sequences: count and conditional probability of state→state steps
     * (the session-flow / user-journey summary). One lead() window on the

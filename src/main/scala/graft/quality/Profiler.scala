@@ -444,6 +444,33 @@ object Profiler {
       .select(col("chi2"), col("dof"), col("cramers_v"), col("n_rows"))
   }
 
+  /** Benford first-digit profile: observed vs expected leading-digit
+    * distribution of a positive-magnitude column — the classic
+    * fabricated-numbers screen (organic multi-scale quantities follow
+    * log10(1+1/d); uniform or clustered leading digits flag synthetic or
+    * constrained data). Digit extraction is numeric, not string-format
+    * dependent: d = floor(|x| / 10^floor(log10 |x|)) — both engines'
+    * correctly-rounded log10/power make it bit-identical, so the oracle
+    * replays it. Null/zero/NaN/±Inf values are excluded. Output: one row
+    * per observed digit 1-9 with count, observed fraction, Benford
+    * expectation, and the signed deviation.
+    */
+  def benford(df: DataFrame, c: String): DataFrame = {
+    val x = abs(col(c).cast("double"))
+    val digit = floor(x / pow(lit(10.0), floor(log10(x)))).cast("int")
+    val counts = df
+      .filter(col(c).isNotNull && !isnan(col(c).cast("double")) &&
+        x > 0 && x < Double.PositiveInfinity)
+      .select(digit.as("digit"))
+      .filter(col("digit").between(1, 9)) // belt-and-braces vs log boundary drift
+      .groupBy("digit").agg(count(lit(1)).as("n"))
+    counts
+      .withColumn("obs_frac",
+        col("n").cast("double") / sum(col("n")).over(Window.partitionBy()).cast("double"))
+      .withColumn("exp_frac", log10(lit(1.0) + lit(1.0) / col("digit").cast("double")))
+      .withColumn("deviation", col("obs_frac") - col("exp_frac"))
+  }
+
   /** k-anonymity audit: group sizes over the quasi-identifier columns —
     * the standard re-identification gate a privacy review runs before a
     * corpus ships (Sweeney 2002). One map-side-combined shuffle to the

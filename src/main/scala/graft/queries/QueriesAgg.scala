@@ -269,6 +269,14 @@ object QueriesAgg {
         .orderBy("child_col")
     }),
 
+    "q_benford" -> ((s, dir) =>
+      Profiler.benford(t(s, dir, "orders"), "o_totalprice")
+        .select(col("digit"), col("n"),
+          roundf(col("obs_frac"), 6).as("obs_frac"),
+          roundf(col("exp_frac"), 6).as("exp_frac"),
+          roundf(col("deviation"), 6).as("deviation"))
+        .orderBy("digit")),
+
     "q_triangles" -> ((s, dir) => {
       // co-order part-bucket graph: parts bucketed mod 50 joined within an
       // order — dense enough that real triangles exist at every SF
@@ -761,6 +769,23 @@ object QueriesAgg {
         |UNION ALL
         |SELECT 'max_epoch', epoch(max(o_orderdate))::DOUBLE FROM orders
         |ORDER BY metric""".stripMargin,
+
+    "q_benford" ->
+      // numeric digit extraction (floor(|x|/10^floor(log10|x|))) — both
+      // engines' correctly-rounded log10/power make it bit-identical
+      """WITH v AS (
+        |  SELECT abs(CAST(o_totalprice AS DOUBLE)) AS x FROM orders
+        |  WHERE o_totalprice IS NOT NULL AND NOT isnan(CAST(o_totalprice AS DOUBLE))),
+        |d AS (SELECT CAST(floor(x / power(10.0, floor(log10(x)))) AS INT) AS digit
+        |      FROM v WHERE x > 0 AND NOT isinf(x)),
+        |c AS (SELECT digit, count(*) AS n FROM d
+        |      WHERE digit BETWEEN 1 AND 9 GROUP BY digit)
+        |SELECT digit, n,
+        |  round(CAST(n AS DOUBLE) / CAST(sum(n) OVER () AS DOUBLE) + 1e-9, 6) AS obs_frac,
+        |  round(log10(1.0 + 1.0 / CAST(digit AS DOUBLE)) + 1e-9, 6) AS exp_frac,
+        |  round(CAST(n AS DOUBLE) / CAST(sum(n) OVER () AS DOUBLE)
+        |        - log10(1.0 + 1.0 / CAST(digit AS DOUBLE)) + 1e-9, 6) AS deviation
+        |FROM c ORDER BY digit""".stripMargin,
 
     "q_triangles" ->
       // enumeration strategy differs (the oracle uses the simple a<b<c

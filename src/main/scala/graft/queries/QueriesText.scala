@@ -263,6 +263,18 @@ object QueriesText {
           shingleN = 3, threshold = 0.4)
         .orderBy("id_a", "id_b")),
 
+    "q_readability" -> ((s, dir) => {
+      // the synthetic corpus is unpunctuated; appending a pinned
+      // multi-sentence tail makes the sentence counter do real work
+      val d = t(s, dir, "documents")
+        .withColumn("text2",
+          concat_ws(" ", col("text"), lit("one more sentence. and another! done?")))
+      TextLib.readability(d, "text2")
+        .select(col("doc_id"), col("rd_words"), col("rd_sentences"),
+          col("rd_syllables"), roundf(col("flesch"), 4).as("flesch"))
+        .orderBy("doc_id")
+    }),
+
     "q_kwic" -> ((s, dir) =>
       // keyword-in-context audit for a corpus-frequent term; ±3-token
       // window exercises both edge clamps (term occurs at doc starts/ends)
@@ -1223,6 +1235,36 @@ object QueriesText {
         |  JOIN sizes sa ON sa.id = id_a
         |  JOIN sizes sb ON sb.id = id_b)
         |WHERE jaccard >= 0.4 ORDER BY id_a, id_b""".stripMargin,
+
+    "q_readability" ->
+      // replay of the pinned heuristics: [.!?]+ sentence runs (min 1),
+      // [aeiouy]+ vowel groups floored at 1 per word, the Flesch linear
+      // form in the engine's evaluation order
+      """WITH n AS (
+        |  SELECT doc_id,
+        |    trim(regexp_replace(lower(concat_ws(' ', text, 'one more sentence. and another! done?')),
+        |         '\s+', ' ', 'g')) AS nm
+        |  FROM documents),
+        |t AS (SELECT doc_id, nm, list_filter(string_split(nm, ' '), x -> x <> '') AS ws FROM n),
+        |m AS (SELECT doc_id,
+        |        CAST(len(ws) AS BIGINT) AS rd_words,
+        |        CASE WHEN len(ws) > 0
+        |             THEN greatest(CAST(len(string_split_regex(nm, '[.!?]+')) - 1 AS BIGINT), 1)
+        |        END AS rd_sentences,
+        |        CASE WHEN len(ws) > 0
+        |             THEN CAST(list_sum(list_transform(ws,
+        |                    w -> greatest(len(string_split_regex(w, '[aeiouy]+')) - 1, 1)))
+        |                  AS BIGINT)
+        |        END AS rd_syllables
+        |      FROM t)
+        |SELECT doc_id, rd_words, rd_sentences, rd_syllables,
+        |  CASE WHEN rd_words > 0
+        |       THEN round(206.835
+        |                  - 1.015 * (CAST(rd_words AS DOUBLE) / CAST(rd_sentences AS DOUBLE))
+        |                  - 84.6 * (CAST(rd_syllables AS DOUBLE) / CAST(rd_words AS DOUBLE))
+        |                  + 1e-9, 4)
+        |  END AS flesch
+        |FROM m ORDER BY doc_id""".stripMargin,
 
     "q_kwic" ->
       // replay: 1-based positions over the normalized tokens; DuckDB list

@@ -253,6 +253,15 @@ object QueriesTime {
         .select(col("event_id"), roundf(col("value_event_id_rolling_corr"), 4).as("rc"))
         .orderBy("event_id")),
 
+    "q_interarrival" -> ((s, dir) =>
+      TimeSeriesLib.interArrivalStats(t(s, dir, "events"), "ts",
+          partitionBy = Seq("user_id"), orderCols = Seq("ts", "event_id"))
+        .select(col("user_id"), col("n_gaps"),
+          roundf(col("mean_gap_s"), 4).as("mean_gap_s"),
+          roundf(col("median_gap_s"), 4).as("median_gap_s"),
+          col("max_gap_s"))
+        .orderBy("user_id")),
+
     "q_transitions" -> ((s, dir) =>
       // user-journey Markov matrix; (ts, event_id) makes the per-user
       // order total so lead() is partition-stable
@@ -637,6 +646,21 @@ object QueriesTime {
         |  round(corr(value, event_id) OVER (PARTITION BY user_id ORDER BY event_id
         |          ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) + 1e-9, 4) AS rc
         |FROM events ORDER BY event_id""".stripMargin,
+
+    "q_interarrival" ->
+      // DuckDB epoch() keeps the µs fraction; floor to whole seconds for
+      // unix_timestamp parity
+      """WITH g AS (
+        |  SELECT user_id,
+        |    CAST(floor(epoch(ts)) AS BIGINT)
+        |      - CAST(floor(epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)))
+        |             AS BIGINT) AS gap
+        |  FROM events WHERE ts IS NOT NULL)
+        |SELECT user_id, count(gap) AS n_gaps,
+        |  round(avg(gap) + 1e-9, 4) AS mean_gap_s,
+        |  round(quantile_cont(gap, 0.5) + 1e-9, 4) AS median_gap_s,
+        |  max(gap) AS max_gap_s
+        |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "q_transitions" ->
       """WITH seq AS (

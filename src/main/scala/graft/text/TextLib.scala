@@ -603,6 +603,39 @@ object TextLib {
   val Ipv4Re = "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b"
   val PhoneRe = "(?:\\+?\\d{1,3}[-. ])?\\(?\\d{3}\\)?[-. ]\\d{3}[-. ]\\d{4}\\b"
 
+  /** Flesch reading-ease over the normalized text — the classic
+    * readability curation signal (very low scores flag legalese/generated
+    * sludge, implausibly high ones flag word salad). Heuristics are the
+    * standard dictionary-free ones, pinned for the oracle: sentences =
+    * terminal-punctuation runs `[.!?]+` (min 1 when any word exists),
+    * syllables per word = vowel-group count `[aeiouy]+` floored at 1.
+    * flesch = 206.835 − 1.015·(W/S) − 84.6·(Y/W), null for wordless text.
+    * Row-local (one interpreted-HOF pass per row — fine for a scalar
+    * scan; the hot-path kernels stay native). Adds rd_words /
+    * rd_sentences / rd_syllables / flesch.
+    */
+  def readability(df: DataFrame, textCol: String): DataFrame = {
+    val norm = normalized(col(textCol))
+    val bound = df.withColumn("__norm", norm)
+      .withColumn("__ws", filter(split(col("__norm"), " "), t => t =!= ""))
+    val words = size(col("__ws")).cast("long")
+    val sentencesRaw = (size(split(col("__norm"), "[.!?]+")) - 1).cast("long")
+    val sentences = when(words > 0, greatest(sentencesRaw, lit(1L)))
+    val syl = aggregate(col("__ws"), lit(0L),
+      (acc, t) => acc + greatest(size(split(t, "[aeiouy]+")) - 1, lit(1)).cast("long"))
+    val wD = col("rd_words").cast("double")
+    val sD = col("rd_sentences").cast("double")
+    val yD = col("rd_syllables").cast("double")
+    bound
+      .withColumn("rd_words", words)
+      .withColumn("rd_sentences", sentences)
+      .withColumn("rd_syllables", when(words > 0, syl))
+      .withColumn("flesch",
+        when(col("rd_words") > 0,
+          lit(206.835) - lit(1.015) * (wD / sD) - lit(84.6) * (yD / wD)))
+      .drop("__norm", "__ws")
+  }
+
   /** Keyword-in-context (KWIC) extraction: every occurrence of `term` in
     * the normalized tokenization with ±`window` tokens of context — the
     * corpus-inspection primitive behind "show me how this term is used"

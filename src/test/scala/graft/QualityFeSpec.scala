@@ -680,6 +680,21 @@ class QualityFeSpec extends SparkSpec {
     assert(r2.isNullAt(r2.fieldIndex("cramers_v")))
   }
 
+  test("benford: digit extraction across magnitudes, exclusions, expectation values") {
+    val d = Seq[java.lang.Double](1.0, 19.0, 1900.0, 0.0012, 25.0, 3.7, -150.0,
+        0.0, null, Double.NaN)
+      .zipWithIndex.map { case (v, i) => (i, v) }.toDF("id", "v")
+    val out = Profiler.benford(d, "v")
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getDouble(3))).toMap
+    // digits: 1(×4: 1, 19, 1900, 0.0012→1.2e-3, -150), wait -150 → 1 too → ×5? recount
+    // 1.0→1, 19→1, 1900→1, 0.0012→1, 25→2, 3.7→3, -150→1; 0/null/NaN excluded
+    assert(out(1)._1 == 5L)
+    assert(out(2)._1 == 1L)
+    assert(out(3)._1 == 1L)
+    assert(out.values.map(_._1).sum == 7L)
+    assert(math.abs(out(1)._2 - math.log10(2.0)) < 1e-12, "Benford expectation for digit 1")
+  }
+
   test("kAnonymity: counts, violations, and the pass flag") {
     val d = (Seq.fill(5)(("NY", 30)) ++ Seq.fill(2)(("LA", 30)) ++ Seq(("SF", 40))).toDF("city", "age")
     val r = Profiler.kAnonymity(d, Seq("city", "age"), 3).collect()(0)

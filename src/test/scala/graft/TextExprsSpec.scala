@@ -249,6 +249,27 @@ class TextExprsSpec extends SparkSpec {
     assert(again == rep)
   }
 
+  test("readability: hand-computed Flesch, sentence floor, wordless text nulls") {
+    val docs = Seq(
+      (1L, "Hello world. The cat sat!"),
+      (2L, "no terminal punctuation here"),
+      (3L, ""), (4L, null.asInstanceOf[String])
+    ).toDF("id", "t")
+    val m = graft.text.TextLib.readability(docs, "t")
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.get(r.fieldIndex("rd_words"))), Option(r.get(r.fieldIndex("rd_sentences"))),
+          Option(r.get(r.fieldIndex("rd_syllables"))), Option(r.get(r.fieldIndex("flesch"))))).toMap
+    // doc 1: 5 words, 2 sentences, syllables hello=2 world=1 the=1 cat=1 sat=1 → 6
+    assert(m(1L)._1.contains(5L) && m(1L)._2.contains(2L) && m(1L)._3.contains(6L))
+    val expected = 206.835 - 1.015 * (5.0 / 2.0) - 84.6 * (6.0 / 5.0)
+    assert(math.abs(m(1L)._4.get.asInstanceOf[Double] - expected) < 1e-12)
+    // doc 2: zero [.!?] runs → sentence floor 1
+    assert(m(2L)._2.contains(1L))
+    // wordless text: counts 0/null, flesch null
+    assert(m(3L)._1.contains(0L) && m(3L)._4.isEmpty)
+    assert(m(4L)._4.isEmpty)
+  }
+
   test("keywordInContext: positions, edge clamps, case-folding, multi-hit docs") {
     val docs = Seq(
       (1L, "Spark at the start and spark at the end spark"),

@@ -165,6 +165,23 @@ class TimeSeriesSpec extends SparkSpec {
     assert(out == Seq((1L, 2L, 600.0, 3.0), (2L, 1L, 0.0, 5.0)))
   }
 
+  test("interArrivalStats: hand-computed gaps, singleton entity yields empty stats") {
+    val df = Seq(
+      ("u1", "2024-01-01 00:00:00"), ("u1", "2024-01-01 00:00:10"),
+      ("u1", "2024-01-01 00:01:10"), ("u1", "2024-01-01 00:01:40"),
+      ("u2", "2024-01-01 05:00:00")
+    ).toDF("u", "s").withColumn("ts", to_timestamp($"s"))
+    val m = TimeSeriesLib.interArrivalStats(df, "ts", Seq("u"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), Option(r.get(2)), Option(r.get(3)), Option(r.get(4)))).toMap
+    // u1 gaps: 10, 60, 30 → mean 100/3, median 30, max 60
+    assert(m("u1")._1 == 3L)
+    assert(math.abs(m("u1")._2.get.asInstanceOf[Double] - 100.0 / 3) < 1e-12)
+    assert(m("u1")._3.get.asInstanceOf[Double] == 30.0)
+    assert(m("u1")._4.get.asInstanceOf[Long] == 60L)
+    assert(m("u2") == ((0L, None, None, None)), "singleton: zero gaps, null stats")
+  }
+
   test("transitionMatrix: hand-built chain, null states skipped, rows condition on from_state") {
     val df = Seq(
       ("u1", 1, "A"), ("u1", 2, "B"), ("u1", 3, null), ("u1", 4, "A"), ("u1", 5, "B"),
