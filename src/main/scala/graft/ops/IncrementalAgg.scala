@@ -87,4 +87,75 @@ object IncrementalAgg {
       hll_sketch_estimate(col(s"${c}_hll")).as(s"${c}_distinct_est"))
     state.select(outCols: _*)
   }
+
+  // ------------------------------------------------- mergeable quantiles
+
+  /** DDSketch-style mergeable quantile state (Masson, Rim & Lee, VLDB
+    * 2019): values land in log-spaced buckets idx = ceil(ln|x| / ln γ)
+    * with γ = (1+α)/(1−α), which guarantees every quantile estimate is
+    * within RELATIVE error α of the true value — the property
+    * fixed-width histograms lack. The state per (group, sign, bucket) is
+    * one count row: merging shards is a plain groupBy-sum (exact —
+    * `ddMerge(ddFit(A), ddFit(B)) == ddFit(A ∪ B)`, spec-pinned), so
+    * corpus-wide p99s stay current at one scan per new shard, completing
+    * the (n, sum, sumsq, HLL) state family above with quantiles.
+    *
+    * Signed layout: sign ∈ {−1, 0, 1}, bucket of |x|; ordering by
+    * (sign, sign·bucket) walks buckets in true value order. Everything —
+    * ln, division, ceil — is the same correctly-rounded IEEE op in both
+    * engines, so the whole sketch AND its quantile read-out are
+    * DuckDB-replayable. Null values are excluded (nulls have no
+    * quantile).
+    */
+  def ddFit(df: DataFrame, keys: Seq[String], valueCol: String,
+            alpha: Double = 0.01): DataFrame = {
+    require(alpha > 0 && alpha < 1, s"ddFit: alpha must be in (0,1), got $alpha")
+    val gamma = (1 + alpha) / (1 - alpha)
+    val x = col(valueCol).cast("double")
+    val bucket = when(x === 0, lit(0))
+      .otherwise(ceil(log(abs(x)) / lit(math.log(gamma))).cast("int"))
+    val sign = when(x > 0, 1).when(x < 0, -1).otherwise(0)
+    val base = df.filter(x.isNotNull && !isnan(x))
+      .select((keys.map(col) :+ sign.as("sign") :+ bucket.as("bucket")): _*)
+    base.groupBy((keys :+ "sign" :+ "bucket").map(col): _*)
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** Merge ddFit state tables — exact, cost ∝ state size. */
+  def ddMerge(states: Seq[DataFrame], keys: Seq[String]): DataFrame = {
+    require(states.nonEmpty, "ddMerge: at least one state table")
+    states.reduce(_ unionByName _)
+      .groupBy((keys :+ "sign" :+ "bucket").map(col): _*)
+      .agg(sum(col("n")).as("n"))
+  }
+
+  /** Quantile read-out from a ddFit/ddMerge state: for each q, the
+    * DDSketch point estimate sign·2γ^b/(γ+1) of the first bucket whose
+    * cumulative count reaches q·total. Per-key windows run over the
+    * BUCKET frame (≤ log-range/α rows per key), never the data. Output:
+    * one row per (keys, q).
+    */
+  def ddQuantiles(state: DataFrame, keys: Seq[String], qs: Seq[Double],
+                  alpha: Double = 0.01): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(qs.nonEmpty && qs.forall(q => q >= 0 && q <= 1),
+      s"ddQuantiles: quantiles must be in [0,1], got $qs")
+    val sp = state.sparkSession
+    import sp.implicits._
+    val gamma = (1 + alpha) / (1 - alpha)
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("sign").asc, (col("sign") * col("bucket")).asc)
+    val wAll = Window.partitionBy(keys.map(col): _*)
+    val est = when(col("sign") === 0, lit(0.0))
+      .otherwise(col("sign") * (lit(2.0) * pow(lit(gamma), col("bucket")) / lit(gamma + 1)))
+    val cum = state
+      .withColumn("__cum", sum(col("n")).over(w))
+      .withColumn("__tot", sum(col("n")).over(wAll))
+      .withColumn("__est", est)
+    val perQ = cum.crossJoin(broadcast(qs.toDF("q")))
+      .filter(col("__cum").cast("double") >= col("q") * col("__tot").cast("double"))
+    perQ.groupBy((keys :+ "q").map(col): _*)
+      .agg(min_by(col("__est"),
+        struct(col("sign").as("s"), (col("sign") * col("bucket")).as("k"))).as("quantile_est"))
+  }
 }

@@ -269,6 +269,16 @@ object QueriesAgg {
         .orderBy("child_col")
     }),
 
+    "q_dd_quantiles" -> ((s, dir) => {
+      // DDSketch state fit per flag, quantiles read from the sketch alone
+      val st = graft.ops.IncrementalAgg.ddFit(t(s, dir, "lineitem"), Seq("l_returnflag"),
+        "l_extendedprice", alpha = 0.01)
+      graft.ops.IncrementalAgg.ddQuantiles(st, Seq("l_returnflag"), Seq(0.5, 0.95, 0.99), alpha = 0.01)
+        .select(col("l_returnflag"), col("q"),
+          roundf(col("quantile_est"), 4).as("est"))
+        .orderBy("l_returnflag", "q")
+    }),
+
     "q_benford" -> ((s, dir) =>
       Profiler.benford(t(s, dir, "orders"), "o_totalprice")
         .select(col("digit"), col("n"),
@@ -769,6 +779,39 @@ object QueriesAgg {
         |UNION ALL
         |SELECT 'max_epoch', epoch(max(o_orderdate))::DOUBLE FROM orders
         |ORDER BY metric""".stripMargin,
+
+    "q_dd_quantiles" ->
+      // full DDSketch replay: γ = (1+α)/(1−α) computed with the same IEEE
+      // ops as the driver literal, ceil-log bucketing, cumulative walk in
+      // (sign, sign·bucket) order, 2γ^b/(γ+1) point estimates
+      """WITH b AS (
+        |  SELECT l_returnflag,
+        |    CASE WHEN l_extendedprice > 0 THEN 1
+        |         WHEN l_extendedprice < 0 THEN -1 ELSE 0 END AS sign,
+        |    CASE WHEN l_extendedprice = 0 THEN 0
+        |         ELSE CAST(ceil(ln(abs(CAST(l_extendedprice AS DOUBLE)))
+        |                        / ln((1.0 + 0.01) / (1.0 - 0.01))) AS INT) END AS bucket
+        |  FROM lineitem WHERE l_extendedprice IS NOT NULL),
+        |st AS (SELECT l_returnflag, sign, bucket, count(*) AS n FROM b GROUP BY 1, 2, 3),
+        |cum AS (SELECT l_returnflag, sign, bucket, n,
+        |          sum(n) OVER (PARTITION BY l_returnflag
+        |                       ORDER BY sign, sign * bucket) AS cum,
+        |          sum(n) OVER (PARTITION BY l_returnflag) AS tot
+        |        FROM st),
+        |qs(q) AS (VALUES (0.5), (0.95), (0.99)),
+        |hit AS (
+        |  SELECT c.l_returnflag, q.q, c.sign, c.bucket,
+        |    CASE WHEN c.sign = 0 THEN 0.0
+        |         ELSE c.sign * (2.0 * power((1.0 + 0.01) / (1.0 - 0.01), c.bucket)
+        |                        / ((1.0 + 0.01) / (1.0 - 0.01) + 1.0)) END AS est
+        |  FROM cum c CROSS JOIN qs q
+        |  WHERE CAST(c.cum AS DOUBLE) >= q.q * CAST(c.tot AS DOUBLE))
+        |SELECT l_returnflag, q,
+        |  -- composite key = sign·1e8 + sign·bucket: same (sign, sign·bucket)
+        |  -- order as the engine's struct min_by (|bucket| ≪ 1e8 for doubles)
+        |  round(arg_min(est, CAST(sign AS BIGINT) * 100000000 + sign * bucket) + 1e-9, 4) AS est
+        |FROM hit GROUP BY l_returnflag, q
+        |ORDER BY l_returnflag, q""".stripMargin,
 
     "q_benford" ->
       // numeric digit extraction (floor(|x|/10^floor(log10|x|))) — both

@@ -55,4 +55,38 @@ class IncrementalAggSpec extends SparkSpec {
       .select("u_distinct_est").as[Long].head()
     assert(math.abs(est - oneShot) <= math.max(1L, oneShot / 100))
   }
+
+  test("ddFit/ddMerge: sharded merge equals the one-shot sketch EXACTLY") {
+    val data = (1 to 4000).map(i => (i.toLong, math.exp(i % 37 / 5.0) * (i % 7 + 1)))
+      .toDF("id", "v")
+    val shards = (0 until 3).map(i => data.filter($"id" % 3 === i))
+    val merged = IncrementalAgg.ddMerge(shards.map(s => IncrementalAgg.ddFit(s, Nil, "v")), Nil)
+    val oneShot = IncrementalAgg.ddFit(data, Nil, "v")
+    assert(merged.exceptAll(oneShot).isEmpty && oneShot.exceptAll(merged).isEmpty,
+      "bucket counts must merge exactly")
+  }
+
+  test("ddQuantiles: relative error within alpha vs exact percentiles; signed + zero values") {
+    val alpha = 0.01
+    val vs = (1 to 5000).map(i => math.pow(1.002, i) * 3.0) // multi-decade positive spread
+    val df = vs.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "v")
+    val st = IncrementalAgg.ddFit(df, Nil, "v", alpha)
+    val est = IncrementalAgg.ddQuantiles(st, Nil, Seq(0.1, 0.5, 0.99), alpha)
+      .collect().map(r => r.getDouble(r.fieldIndex("q")) -> r.getDouble(r.fieldIndex("quantile_est"))).toMap
+    val sorted = vs.sorted
+    def exact(q: Double) = sorted(((sorted.size - 1) * q).toInt)
+    Seq(0.1, 0.5, 0.99).foreach { q =>
+      val rel = math.abs(est(q) - exact(q)) / exact(q)
+      assert(rel <= 2 * alpha, s"q=$q rel error $rel exceeds guarantee")
+    }
+    // signed + zero: quantile walk crosses negative, zero, and positive tiers
+    val mixed = Seq(-100.0, -1.0, 0.0, 1.0, 100.0).zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }.toDF("id", "v")
+    val mq = IncrementalAgg.ddQuantiles(IncrementalAgg.ddFit(mixed, Nil, "v", alpha),
+        Nil, Seq(0.0, 0.5, 1.0), alpha)
+      .collect().map(r => r.getDouble(r.fieldIndex("q")) -> r.getDouble(r.fieldIndex("quantile_est"))).toMap
+    assert(mq(0.0) < -99.0, "q=0 lands in the most-negative bucket")
+    assert(mq(0.5) == 0.0, "median of the symmetric set is the zero bucket")
+    assert(mq(1.0) > 99.0, "q=1 lands in the most-positive bucket")
+  }
 }

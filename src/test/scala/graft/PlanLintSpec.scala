@@ -61,6 +61,7 @@ class PlanLintSpec extends SparkSpec {
     "q_mutual_info" -> Set("global_window"),               // Profiler.mutualInfo: total over the aggregated joint frame (≤|A|·|B| rows)
     "q_pareto" -> Set("global_window"),                    // PivotLib.paretoReport: share/rank over the ≤k+1-row report frame
     "q_benford" -> Set("global_window"),                   // Profiler.benford: total over the ≤9-row digit frame
+    "q_dd_quantiles" -> Set("broadcast_nested_loop"),      // IncrementalAgg.ddQuantiles: the |qs|-row literal cross onto the bucket frame
     "q_chi_square" -> Set("global_window"),                // Profiler.chiSquare: same aggregated-joint-frame margins as mutualInfo
     "q_funnel" -> Set("global_window")                     // TimeSeriesLib.funnel: conversion ratios over the k-row per-step count frame
   )
