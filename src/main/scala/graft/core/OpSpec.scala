@@ -271,6 +271,9 @@ object OpCompiler {
       case "time_features" => TimeSeriesLib.timeFeatures(df, ts)
       case "trend" =>
         TimeSeriesLib.trendFeatures(df, s(p, "column"), s(p, "order_by", ts), keys)
+      case "volume_anomalies" =>
+        TimeSeriesLib.volumeAnomalies(df, ts, s(p, "period", "day"), keys,
+          s(p, "threshold", "3.5").toDouble)
       case "interarrival" =>
         require(keys.nonEmpty, "interarrival requires keys/group_by (the entity key)")
         TimeSeriesLib.interArrivalStats(df, ts, keys, seqOf(p, "order_by"))

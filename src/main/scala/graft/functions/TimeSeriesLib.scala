@@ -621,6 +621,28 @@ object TimeSeriesLib {
         col("n_active").cast("double") / col("cohort_size").cast("double"))
   }
 
+  /** Ingestion-volume anomaly detection: per-period row counts flagged by
+    * the MAD modified z-score ACROSS periods (per group) — the "did a
+    * source silently drop to half volume / double overnight" pipeline-
+    * health gate, robust exactly where it matters (the anomaly itself
+    * would inflate a stddev-based threshold; median/MAD shrug it off).
+    * One map-side-combined count to the (group, period) frame; the
+    * median/MAD windows then run over that AGGREGATED frame (≤ |groups|·
+    * |periods| rows), not the corpus. Output: group cols, period, n,
+    * volume_outlier.
+    */
+  def volumeAnomalies(df: DataFrame, tsCol: String, period: String = "day",
+                      groupCols: Seq[String] = Nil, threshold: Double = 3.5): DataFrame = {
+    require(Set("hour", "day", "week", "month").contains(period),
+      s"volumeAnomalies: period must be hour|day|week|month, got '$period'")
+    val counts = df.filter(col(tsCol).isNotNull)
+      .groupBy((groupCols.map(col) :+
+        date_trunc(period, col(tsCol)).as("period")): _*)
+      .agg(count(lit(1)).as("n"))
+    flagOutliers(counts, "n", "mad", threshold, partitionBy = groupCols)
+      .withColumnRenamed("n_outlier", "volume_outlier")
+  }
+
   /** Per-entity inter-arrival (dwell-time) statistics: count, mean,
     * exact-median, and max gap in seconds between consecutive events —
     * the activity-cadence profile (bot detection: near-constant tiny

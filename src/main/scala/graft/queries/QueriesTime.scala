@@ -253,6 +253,13 @@ object QueriesTime {
         .select(col("event_id"), roundf(col("value_event_id_rolling_corr"), 4).as("rc"))
         .orderBy("event_id")),
 
+    "q_volume_anomalies" -> ((s, dir) =>
+      TimeSeriesLib.volumeAnomalies(t(s, dir, "events"), "ts", "day",
+          groupCols = Seq("event_type"))
+        .select(col("event_type"), date_format(col("period"), "yyyy-MM-dd").as("period"),
+          col("n"), col("volume_outlier"))
+        .orderBy("event_type", "period")),
+
     "q_interarrival" -> ((s, dir) =>
       TimeSeriesLib.interArrivalStats(t(s, dir, "events"), "ts",
           partitionBy = Seq("user_id"), orderCols = Seq("ts", "event_id"))
@@ -646,6 +653,23 @@ object QueriesTime {
         |  round(corr(value, event_id) OVER (PARTITION BY user_id ORDER BY event_id
         |          ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) + 1e-9, 4) AS rc
         |FROM events ORDER BY event_id""".stripMargin,
+
+    "q_volume_anomalies" ->
+      // MAD replay over the aggregated (group, day) count frame — the same
+      // stacked quantile_cont windows as q_ts_outlier_mad
+      """WITH c AS (
+        |  SELECT event_type, date_trunc('day', ts) AS period, count(*) AS n
+        |  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
+        |m AS (SELECT event_type, period, n,
+        |        quantile_cont(n, 0.5) OVER (PARTITION BY event_type) AS med
+        |      FROM c),
+        |d AS (SELECT event_type, period, n, med,
+        |        quantile_cont(abs(n - med), 0.5) OVER (PARTITION BY event_type) AS mad
+        |      FROM m)
+        |SELECT event_type, strftime(period, '%Y-%m-%d') AS period, n,
+        |  coalesce(CASE WHEN mad > 0 THEN (0.6745 * abs(n - med)) / mad > 3.5
+        |                ELSE false END, false) AS volume_outlier
+        |FROM d ORDER BY event_type, period""".stripMargin,
 
     "q_interarrival" ->
       // DuckDB epoch() keeps the µs fraction; floor to whole seconds for

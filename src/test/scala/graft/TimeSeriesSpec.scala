@@ -165,6 +165,20 @@ class TimeSeriesSpec extends SparkSpec {
     assert(out == Seq((1L, 2L, 600.0, 3.0), (2L, 1L, 0.0, 5.0)))
   }
 
+  test("volumeAnomalies: collapsed day flags, steady days don't, robustness to the spike itself") {
+    // 14 steady days of ~100 rows, one day at 3 rows (collapse) per group
+    val rows = (1 to 14).flatMap { d =>
+      val n = if (d == 7) 3 else 100 + (d % 3)
+      (1 to n).map(i => ("src", f"2024-01-$d%02d 10:00:00"))
+    }
+    val df = rows.toDF("g", "s").withColumn("ts", to_timestamp($"s"))
+    val out = TimeSeriesLib.volumeAnomalies(df, "ts", "day", Seq("g"))
+      .collect().map(r => r.getAs[java.sql.Timestamp]("period").toString.take(10) ->
+        (r.getAs[Long]("n"), r.getAs[Boolean]("volume_outlier"))).toMap
+    assert(out("2024-01-07") == ((3L, true)), "collapsed day must flag")
+    assert(out.filter(_._1 != "2024-01-07").forall(!_._2._2), "steady days must not flag")
+  }
+
   test("interArrivalStats: hand-computed gaps, singleton entity yields empty stats") {
     val df = Seq(
       ("u1", "2024-01-01 00:00:00"), ("u1", "2024-01-01 00:00:10"),
