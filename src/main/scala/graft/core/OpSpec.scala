@@ -228,6 +228,9 @@ object OpCompiler {
       case "aggregation" =>
         FeatureLib.aggregationFeatures(df, seqOf(p, "group_by"), pairs(p, "aggregations"))
       case "text_stats" => FeatureLib.textBasicStats(df, s(p, "column"))
+      case "top_keywords" =>
+        FeatureLib.textTopKeywords(df, s(p, "column", "text"), s(p, "id_column", "doc_id"),
+          s(p, "k", "5").toInt, s(p, "vocab_size", "1000").toInt)
       case "clustering" => // reference create_clustering_features: kmeans | dbscan
         s(p, "algorithm", "kmeans") match {
           case "kmeans" =>

@@ -370,6 +370,23 @@ object FeatureLib {
       .select(col(idCol), col("token"), col("tf"), col("df"), col("tfidf"))
   }
 
+  /** Top-k TF-IDF keywords per document — the keyword-extraction read of
+    * [[textTfidfTerms]] (document tagging, dedup-cluster labeling, corpus
+    * slicing by topic). Ranks are deterministic: tfidf values derive from
+    * integer (tf, df, N) through identical IEEE ops in both engines, and
+    * exact ties break on token order; the per-doc window is
+    * rank-pushdown-rescued (partial top-k before the exchange).
+    */
+  def textTopKeywords(df: DataFrame, c: String, idCol: String, k: Int = 5,
+                      vocabSize: Int = 1000): DataFrame = {
+    require(k > 0, s"textTopKeywords: k must be positive, got $k")
+    val w = Window.partitionBy(col(idCol)).orderBy(col("tfidf").desc, col("token").asc)
+    textTfidfTerms(df, c, idCol, vocabSize)
+      .filter(col("tfidf") > 0)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** Clustering features (feature_engineering.py:450-511): k-means cluster id
     * + distance to own centroid over the given feature columns.
     *

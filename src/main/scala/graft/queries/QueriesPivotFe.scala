@@ -223,6 +223,13 @@ object QueriesPivotFe {
         .select(col("event_id"), roundf(col("value_wins"), 6).as("value_wins"))
         .orderBy("event_id")),
 
+    "q_top_keywords" -> ((s, dir) =>
+      FeatureLib.textTopKeywords(t(s, dir, "documents"), "text", "doc_id",
+          k = 3, vocabSize = 100)
+        .select(col("doc_id"), col("rank"), col("token"),
+          roundf(col("tfidf"), 4).as("tfidf"))
+        .orderBy("doc_id", "rank")),
+
     "q_pareto" -> ((s, dir) =>
       // top-3 market segments by customer count + the tail rolled to
       // __other, shares of the grand total
@@ -508,6 +515,29 @@ object QueriesPivotFe {
         |       THEN round(least(greatest(e.value, s.lo), s.hi) + 1e-9, 6) END AS value_wins
         |FROM events e LEFT JOIN s ON e.event_type IS NOT DISTINCT FROM s.event_type
         |ORDER BY event_id""".stripMargin,
+
+    "q_top_keywords" ->
+      // same tf-idf contract as q_fe_tfidf, read as per-doc top-3 with
+      // (tfidf DESC, token) ranking — tfidf doubles are bit-identical in
+      // both engines (integer tf/df/N through the same IEEE ops)
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS token
+        |  FROM documents),
+        |tf AS (SELECT doc_id, token, count(*) AS tf FROM toks
+        |       WHERE token <> '' GROUP BY 1, 2),
+        |vocab AS (SELECT token, sum(tf) AS total, count(*) AS dfreq FROM tf
+        |          GROUP BY 1 ORDER BY total DESC, token ASC LIMIT 100),
+        |n AS (SELECT count(*) AS nd FROM documents),
+        |w AS (SELECT tf.doc_id, tf.token,
+        |        tf.tf * ln((nd + 1.0) / (dfreq + 1.0)) AS tfidf
+        |      FROM tf JOIN vocab USING (token) CROSS JOIN n),
+        |r AS (SELECT doc_id, token, tfidf,
+        |        CAST(row_number() OVER (PARTITION BY doc_id
+        |          ORDER BY tfidf DESC, token ASC) AS INT) AS rank
+        |      FROM w WHERE tfidf > 0)
+        |SELECT doc_id, rank, token, round(tfidf + 1e-9, 4) AS tfidf
+        |FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
 
     "q_pareto" ->
       """WITH c AS (SELECT c_mktsegment AS k, CAST(count(*) AS DOUBLE) AS m
