@@ -377,6 +377,10 @@ object OpCompiler {
         require(s(p, "term") != null, "kwic requires params.term (the keyword to locate)")
         TextLib.keywordInContext(df, text, id, s(p, "term"),
           s(p, "window", "5").toInt)
+      case "consolidate_values" => // fold typo-splintered categoricals onto the frequent canonical
+        require(s(p, "column") != null, "consolidate_values requires params.column")
+        graft.text.Fuzzy.consolidateValues(df, s(p, "column"),
+          s(p, "max_dist", "2").toInt, s(p, "output_column"))
       case "redact_pii" =>
         df.withColumn(text, TextLib.redactPii(col(text),
           s(p, "email_token", "<EMAIL>"), s(p, "phone_token", "<PHONE>"), s(p, "ip_token", "<IP>")))

@@ -263,6 +263,21 @@ object QueriesText {
           shingleN = 3, threshold = 0.4)
         .orderBy("id_a", "id_b")),
 
+    "q_consolidate" -> ((s, dir) => {
+      // typo-splintered categorical: ~1/7 of rows truncated, ~1/11 with a
+      // trailing X; one consolidation round must fold every variant back
+      // onto its frequent canonical (clean segments sit far apart)
+      val c = t(s, dir, "customer")
+        .withColumn("seg_messy",
+          when(col("c_custkey") % 7 === 0,
+            expr("substring(c_mktsegment, 1, length(c_mktsegment) - 1)"))
+            .when(col("c_custkey") % 11 === 0, concat(col("c_mktsegment"), lit("X")))
+            .otherwise(col("c_mktsegment")))
+      graft.text.Fuzzy.consolidateValues(c, "seg_messy", maxDist = 2, outCol = "seg_clean")
+        .groupBy("seg_clean").agg(count(lit(1)).as("n"))
+        .orderBy("seg_clean")
+    }),
+
     "q_readability" -> ((s, dir) => {
       // the synthetic corpus is unpunctuated; appending a pinned
       // multi-sentence tail makes the sentence counter do real work
@@ -1235,6 +1250,28 @@ object QueriesText {
         |  JOIN sizes sa ON sa.id = id_a
         |  JOIN sizes sb ON sb.id = id_b)
         |WHERE jaccard >= 0.4 ORDER BY id_a, id_b""".stripMargin,
+
+    "q_consolidate" ->
+      // |distinct| is tiny, so the oracle can afford the all-pairs
+      // levenshtein the engine's q-gram path avoids; canonical election =
+      // strictly-better neighbor with (count DESC, value ASC) priority
+      """WITH m AS (
+        |  SELECT c_custkey,
+        |    CASE WHEN c_custkey % 7 = 0 THEN substr(c_mktsegment, 1, length(c_mktsegment) - 1)
+        |         WHEN c_custkey % 11 = 0 THEN c_mktsegment || 'X'
+        |         ELSE c_mktsegment END AS v
+        |  FROM customer),
+        |vals AS (SELECT v, count(*) AS n FROM m GROUP BY v),
+        |nb AS (SELECT a.v AS v, a.n AS n, b.v AS u, b.n AS un
+        |       FROM vals a JOIN vals b ON a.v <> b.v AND levenshtein(a.v, b.v) <= 2),
+        |canon AS (
+        |  SELECT v, u AS canon FROM (
+        |    SELECT v, u, row_number() OVER (PARTITION BY v ORDER BY un DESC, u ASC) AS rn
+        |    FROM nb WHERE un > n OR (un = n AND u < v))
+        |  WHERE rn = 1)
+        |SELECT coalesce(c.canon, m.v) AS seg_clean, count(*) AS n
+        |FROM m LEFT JOIN canon c ON c.v = m.v
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_readability" ->
       // replay of the pinned heuristics: [.!?]+ sentence runs (min 1),

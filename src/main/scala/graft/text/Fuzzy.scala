@@ -82,4 +82,41 @@ object Fuzzy {
       .filter(col("dist") <= k)
       .select(col("__ida").as("id_a"), col("__idb").as("id_b"), col("dist"))
   }
+
+  /** Fuzzy value consolidation — the data-cleaning read of [[fuzzyPairs]]:
+    * map each categorical value to the MOST FREQUENT value within edit
+    * distance `maxDist` (ties → lexicographically smaller), leaving it
+    * unchanged when it is already the local maximum. One round of
+    * standardization for typo-splintered categoricals ("Marketng" →
+    * "Marketing"); deliberately single-hop — a typo chain longer than
+    * maxDist from its canonical needs another round, and silent transitive
+    * merging is exactly how distinct real categories get glued together.
+    *
+    * Scale shape: everything after the groupBy runs on the DISTINCT value
+    * relation (the op's contract: the column is categorical, |distinct| ≪
+    * corpus); pairs come from fuzzyPairs' q-gram candidates (no all-pairs
+    * scan); delivery is a broadcast map join. Nulls pass through.
+    */
+  def consolidateValues(df: DataFrame, c: String, maxDist: Int = 2,
+                        outCol: String = null): DataFrame = {
+    val out = Option(outCol).getOrElse(c)
+    val vals = df.filter(col(c).isNotNull)
+      .groupBy(col(c).as("__v")).agg(count(lit(1)).as("__n"))
+    val pairs = fuzzyPairs(vals, "__v", "__v", maxDist)
+    // neighbors in both directions, each with the neighbor's count
+    val nbrs = pairs.select(col("id_a").as("__v"), col("id_b").as("__u"))
+      .unionByName(pairs.select(col("id_b").as("__v"), col("id_a").as("__u")))
+      .join(vals.select(col("__v").as("__u"), col("__n").as("__un")), Seq("__u"))
+      .join(vals, Seq("__v"))
+      // strictly better neighbors only: more frequent, or equal and smaller
+      .filter(col("__un") > col("__n") ||
+        (col("__un") === col("__n") && col("__u") < col("__v")))
+      .groupBy(col("__v"))
+      // max frequency, then lexicographically smallest: minimize (−n, u)
+      .agg(min_by(col("__u"), struct((-col("__un")).as("negn"), col("__u").as("u")))
+        .as("__canon"))
+    df.join(broadcast(nbrs), col(c) === col("__v"), "left")
+      .withColumn(out, coalesce(col("__canon"), col(c)))
+      .drop("__v", "__canon")
+  }
 }

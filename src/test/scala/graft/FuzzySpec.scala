@@ -67,6 +67,21 @@ class FuzzySpec extends SparkSpec {
     }
   }
 
+  test("consolidateValues: typos fold to the frequent canonical, ties break lexically, single-hop") {
+    val df = (Seq.fill(50)("Marketing") ++ Seq.fill(2)("Marketng") ++ Seq.fill(1)("Marketing.") ++
+      Seq.fill(10)("Sales") ++ Seq.fill(10)("Salex") ++       // tie: Sales < Salex
+      Seq.fill(5)("Operations") :+ null.asInstanceOf[String])
+      .zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "v")
+    val out = Fuzzy.consolidateValues(df, "v", maxDist = 2, outCol = "vc")
+      .groupBy("vc").count().collect()
+      .map(r => Option(r.getString(0)) -> r.getLong(1)).toMap
+    assert(out(Some("Marketing")) == 53L, s"typo variants fold in: $out")
+    assert(out(Some("Sales")) == 20L, "equal-count pair folds to the lexicographically smaller")
+    assert(out(Some("Operations")) == 5L, "isolated value unchanged")
+    assert(out(None) == 1L, "null passes through")
+    assert(!out.keys.flatten.exists(Set("Marketng", "Marketing.", "Salex")), s"variants gone: $out")
+  }
+
   test("fuzzyPairs plan: no cartesian product / broadcast nested loop") {
     val df = Seq((1L, "hello"), (2L, "hallo")).toDF("id", "s")
     val findings = graft.core.PlanLint.lint(Fuzzy.fuzzyPairs(df, "id", "s", 2))
