@@ -145,13 +145,20 @@ object PivotLib {
             else sum(col(valueCol).cast("double"))
     val counts = df.groupBy(col(keyCol)).agg(m.as("measure"))
     val top = counts.orderBy(col("measure").desc, col(keyCol).asc).limit(k)
-    val rest = counts.join(top.select(col(keyCol)), Seq(keyCol), "left_anti")
+    // null-safe anti join: a NULL key can be a top category, and the bare
+    // USING anti-join would keep it in the tail too (null never equals
+    // null), double-counting it
+    val rest = counts.join(top.select(col(keyCol).as("__tk")),
+        col(keyCol) <=> col("__tk"), "left_anti")
       .agg(coalesce(sum(col("measure")), lit(0.0)).as("measure"))
       .select(lit(otherLabel).as(keyCol), col("measure"))
       .filter(col("measure") > 0)
     val unioned = top.select(col(keyCol).cast("string").as(keyCol), col("measure"))
       .unionByName(rest)
-    val isOther = (col(keyCol) === otherLabel).cast("int")
+    // coalesce: a NULL key is a real category (cast to null string), not
+    // the other-bucket — a bare === would rank it null-first regardless
+    // of measure
+    val isOther = coalesce((col(keyCol) === otherLabel).cast("int"), lit(0))
     val w = Window.orderBy(isOther.asc, col("measure").desc, col(keyCol).asc)
     unioned
       .withColumn("share", col("measure") / sum(col("measure")).over(Window.partitionBy()))

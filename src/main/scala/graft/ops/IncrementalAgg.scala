@@ -115,7 +115,9 @@ object IncrementalAgg {
     val bucket = when(x === 0, lit(0))
       .otherwise(ceil(log(abs(x)) / lit(math.log(gamma))).cast("int"))
     val sign = when(x > 0, 1).when(x < 0, -1).otherwise(0)
-    val base = df.filter(x.isNotNull && !isnan(x))
+    // ±Inf must be excluded BEFORE bucketing: ceil(ln(inf)) = inf, and the
+    // ANSI int cast on it is a job-killing CAST_OVERFLOW, not a null
+    val base = df.filter(x.isNotNull && !isnan(x) && abs(x) < lit(Double.PositiveInfinity))
       .select((keys.map(col) :+ sign.as("sign") :+ bucket.as("bucket")): _*)
     base.groupBy((keys :+ "sign" :+ "bucket").map(col): _*)
       .agg(count(lit(1)).as("n"))

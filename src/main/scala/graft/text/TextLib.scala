@@ -657,7 +657,8 @@ object TextLib {
     bound
       .select(col(idCol), col("__toks"),
         posexplode(col("__toks")).as(Seq("__pos", "__tok")))
-      .filter(col("__tok") === lit(term.toLowerCase) && col("__tok") =!= "")
+      .filter(col("__tok") === lit(term.toLowerCase(java.util.Locale.ROOT)) &&
+        col("__tok") =!= "")
       .select(col(idCol),
         (col("__pos") + 1).as("position"),
         array_join(slice(col("__toks"),

@@ -66,6 +66,14 @@ class IncrementalAggSpec extends SparkSpec {
       "bucket counts must merge exactly")
   }
 
+  test("ddFit: NaN/±Inf/null excluded without an ANSI cast crash") {
+    val d = Seq[java.lang.Double](1.0, Double.PositiveInfinity, Double.NegativeInfinity,
+        Double.NaN, null)
+      .zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "v")
+    val st = IncrementalAgg.ddFit(d, Nil, "v").collect()
+    assert(st.map(_.getAs[Long]("n")).sum == 1L, "only the finite value lands in a bucket")
+  }
+
   test("ddQuantiles: relative error within alpha vs exact percentiles; signed + zero values") {
     val alpha = 0.01
     val vs = (1 to 5000).map(i => math.pow(1.002, i) * 3.0) // multi-decade positive spread

@@ -680,6 +680,19 @@ class QualityFeSpec extends SparkSpec {
     assert(r2.isNullAt(r2.fieldIndex("cramers_v")))
   }
 
+  test("paretoReport: top-k + __other shares; a NULL key ranks by measure, not null-first") {
+    val d = (Seq.fill(10)("a") ++ Seq.fill(5)("b") ++ Seq.fill(3)("c") ++
+      Seq.fill(2)("d") ++ Seq.fill(4)(null: String))
+      .zipWithIndex.map { case (v, i) => (i, v) }.toDF("id", "k")
+    val out = PivotLib.paretoReport(d, "k", 3)
+      .collect().map(r => (Option(r.getString(0)), r.getDouble(1), r.getDouble(2), r.getInt(3)))
+    val byRank = out.sortBy(_._4)
+    assert(byRank.map(_._1).toSeq == Seq(Some("a"), Some("b"), None, Some("__other")),
+      s"null key is a real rank-3 category: $byRank")
+    assert(byRank.last._2 == 5.0, "__other rolls c(3)+d(2)")
+    assert(math.abs(out.map(_._3).sum - 1.0) < 1e-12, "shares cover the grand total")
+  }
+
   test("benford: digit extraction across magnitudes, exclusions, expectation values") {
     val d = Seq[java.lang.Double](1.0, 19.0, 1900.0, 0.0012, 25.0, 3.7, -150.0,
         0.0, null, Double.NaN)
