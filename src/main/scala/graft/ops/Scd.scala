@@ -151,8 +151,12 @@ object Scd {
       .select(keys.map(col) ++
         payload.filterNot(keys.contains).map(c => col(s"__w.__p_$c").as(c)): _*)
       .select(payload.map(col): _*)
-    val touchedKeys = winner.select(keys.map(col): _*)
-    snapshot.join(touchedKeys, keys, "left_anti")
+    // null-safe anti join: a change log CAN target a null-keyed row (the
+    // winner groupBy keeps the null group), and the bare USING anti-join
+    // would then retain the old snapshot row alongside the upsert
+    val touchedKeys = winner.select(keys.map(k => col(k).as(s"__tk_$k")): _*)
+    val cond = keys.map(k => col(k) <=> col(s"__tk_$k")).reduce(_ && _)
+    snapshot.join(touchedKeys, cond, "left_anti")
       .unionByName(upserts)
   }
 }

@@ -110,6 +110,17 @@ class ScdSpec extends SparkSpec {
     assert(out.toSeq == Seq((1L, "a", 12.0), (4L, "d", 40.0), (9L, "new", 90.0)))
   }
 
+  test("applyCdc: a null-keyed row updates without duplicating (null-safe anti join)") {
+    val snap = Seq((Some(1L), "a", 1.0), (None, "nk", 9.0))
+      .map { case (k, n, v) => (k.map(Long.box).orNull, n, v) }.toDF("k", "name", "v")
+    val changes = Seq((null.asInstanceOf[java.lang.Long], "nk", 10.0, "U", 1L))
+      .toDF("k", "name", "v", "op", "seq")
+    val out = Scd.applyCdc(snap, changes, Seq("k")).collect()
+      .map(r => Option(r.get(0)) -> r.getDouble(2)).toMap
+    assert(out.size == 2, "no duplicate null-key row")
+    assert(out(None) == 10.0, "the null-keyed row took the update")
+  }
+
   test("applyCdc is idempotent: re-applying the same log is a no-op") {
     val snap = Seq((1L, "x", 1.0)).toDF("k", "name", "v")
     val changes = Seq((1L, "x", 2.0, "U", 1L), (5L, "y", 5.0, "I", 2L))
