@@ -274,6 +274,10 @@ object OpCompiler {
       case "time_features" => TimeSeriesLib.timeFeatures(df, ts)
       case "trend" =>
         TimeSeriesLib.trendFeatures(df, s(p, "column"), s(p, "order_by", ts), keys)
+      case "twap" =>
+        require(keys.nonEmpty, "twap requires keys/group_by (the entity key)")
+        TimeSeriesLib.timeWeightedAvg(df, s(p, "column", "value"), ts, keys,
+          seqOf(p, "order_by"))
       case "volume_anomalies" =>
         TimeSeriesLib.volumeAnomalies(df, ts, s(p, "period", "day"), keys,
           s(p, "threshold", "3.5").toDouble)
@@ -377,6 +381,10 @@ object OpCompiler {
         require(s(p, "term") != null, "kwic requires params.term (the keyword to locate)")
         TextLib.keywordInContext(df, text, id, s(p, "term"),
           s(p, "window", "5").toInt)
+      case "pseudonymize" => // salted sha2 tokenization of identifier columns
+        require(seqOf(p, "columns").nonEmpty && s(p, "salt") != null,
+          "pseudonymize requires params.columns and params.salt")
+        graft.functions.CleanLib.pseudonymize(df, seqOf(p, "columns"), s(p, "salt"))
       case "consolidate_values" => // fold typo-splintered categoricals onto the frequent canonical
         require(s(p, "column") != null, "consolidate_values requires params.column")
         graft.text.Fuzzy.consolidateValues(df, s(p, "column"),

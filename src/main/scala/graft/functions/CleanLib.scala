@@ -80,6 +80,24 @@ object CleanLib {
   /** One-pass cleaning report: standardized phone/email columns + validity
     * flags (data_cleaner.py summary shape).
     */
+  /** Salted-hash pseudonymization: replace identifier columns with
+    * sha2-256("salt:value") — referential integrity survives (equal values
+    * map to equal tokens, so joins/groupBys still work) while the raw
+    * identifier leaves the dataset; the remediation step for columns a
+    * [[graft.quality.Profiler.kAnonymity]] audit flags. NOT encryption —
+    * a guessable identifier space can be brute-forced offline; rotate the
+    * salt per release and treat it as a secret. Nulls stay null.
+    */
+  def pseudonymize(df: DataFrame, cols: Seq[String], salt: String): DataFrame = {
+    require(cols.nonEmpty, "pseudonymize: need at least one column")
+    require(salt != null && salt.nonEmpty, "pseudonymize: a non-empty salt is required")
+    cols.foldLeft(df) { (d, c) =>
+      d.withColumn(c,
+        when(col(c).isNotNull,
+          sha2(concat(lit(s"$salt:"), col(c).cast("string")), 256)))
+    }
+  }
+
   def cleanContacts(df: DataFrame, phoneCol: String = null, emailCol: String = null): DataFrame = {
     var d = df
     if (phoneCol != null) d = d

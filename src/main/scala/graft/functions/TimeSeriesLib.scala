@@ -621,6 +621,33 @@ object TimeSeriesLib {
         col("n_active").cast("double") / col("cohort_size").cast("double"))
   }
 
+  /** Time-weighted average per entity: Σ value·Δt / Σ Δt where Δt is the
+    * seconds each reading was in force (until the NEXT reading) — the
+    * correct average for irregularly-sampled state series (a sensor that
+    * reports rarely when stable would bias a plain avg toward its noisy
+    * periods; finance calls this TWAP). The last reading of each series
+    * has no successor and carries zero weight (the standard half-open
+    * convention — its in-force duration is unknown). One lead() window +
+    * one map-side-combined aggregate. Entities with < 2 readings yield a
+    * null twap.
+    */
+  def timeWeightedAvg(df: DataFrame, valueCol: String, tsCol: String,
+                      partitionBy: Seq[String], orderCols: Seq[String] = Nil): DataFrame = {
+    require(partitionBy.nonEmpty, "timeWeightedAvg: need the entity key (partitionBy)")
+    val order = if (orderCols.isEmpty) Seq(tsCol) else orderCols
+    val w = Window.partitionBy(partitionBy.map(col): _*).orderBy(order.map(col): _*)
+    val dt = (unix_timestamp(lead(col(tsCol), 1).over(w)) - unix_timestamp(col(tsCol)))
+      .cast("double")
+    df.filter(col(tsCol).isNotNull && col(valueCol).isNotNull)
+      .withColumn("__dt", dt)
+      .groupBy(partitionBy.map(col): _*)
+      .agg(
+        (sum(col(valueCol).cast("double") * col("__dt")) / nullif(sum(col("__dt")), lit(0.0)))
+          .as("twap"),
+        sum(col("__dt")).as("total_seconds"),
+        count(lit(1)).as("n_readings"))
+  }
+
   /** Ingestion-volume anomaly detection: per-period row counts flagged by
     * the MAD modified z-score ACROSS periods (per group) — the "did a
     * source silently drop to half volume / double overnight" pipeline-

@@ -14,6 +14,16 @@ import QueryUtil._
 object QueriesCore {
 
   val queries: Map[String, Q] = Map(
+    "q_pseudonymize" -> ((s, dir) =>
+      // salted sha2 tokenization: joins still work (equal → equal), the
+      // raw identifier is gone; null names stay null
+      graft.functions.CleanLib.pseudonymize(
+          t(s, dir, "customer").withColumn("c_name",
+            when(col("c_custkey") % 97 === 0, lit(null)).otherwise(col("c_name"))),
+          Seq("c_name"), salt = "s3cret")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy("c_custkey")),
+
     "q_zorder_key" -> ((s, dir) =>
       // integer-exact range buckets + Morton interleave — bit-replayable in
       // SQL, so the layout key itself is hard-gated
@@ -264,6 +274,12 @@ object QueriesCore {
   }
 
   val oracle: Map[String, String] = Map(
+    "q_pseudonymize" ->
+      """SELECT c_custkey,
+        |  CASE WHEN c_custkey % 97 = 0 THEN NULL
+        |       ELSE sha256('s3cret:' || c_name) END AS c_name
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
     "q_zorder_key" -> zorderSql,
 
     "q_filter_condition" ->

@@ -253,6 +253,13 @@ object QueriesTime {
         .select(col("event_id"), roundf(col("value_event_id_rolling_corr"), 4).as("rc"))
         .orderBy("event_id")),
 
+    "q_twap" -> ((s, dir) =>
+      TimeSeriesLib.timeWeightedAvg(t(s, dir, "events"), "value", "ts",
+          partitionBy = Seq("user_id"), orderCols = Seq("ts", "event_id"))
+        .select(col("user_id"), roundf(col("twap"), 4).as("twap"),
+          roundf(col("total_seconds"), 1).as("total_seconds"), col("n_readings"))
+        .orderBy("user_id")),
+
     "q_volume_anomalies" -> ((s, dir) =>
       TimeSeriesLib.volumeAnomalies(t(s, dir, "events"), "ts", "day",
           groupCols = Seq("event_type"))
@@ -653,6 +660,21 @@ object QueriesTime {
         |  round(corr(value, event_id) OVER (PARTITION BY user_id ORDER BY event_id
         |          ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) + 1e-9, 4) AS rc
         |FROM events ORDER BY event_id""".stripMargin,
+
+    "q_twap" ->
+      // lead-based in-force durations, floored-epoch parity with
+      // unix_timestamp; the last reading carries zero weight
+      """WITH g AS (
+        |  SELECT user_id, value,
+        |    CAST(CAST(floor(epoch(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)))
+        |              AS BIGINT)
+        |         - CAST(floor(epoch(ts)) AS BIGINT) AS DOUBLE) AS dt
+        |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL)
+        |SELECT user_id,
+        |  round(sum(value * dt) / nullif(sum(dt), 0.0) + 1e-9, 4) AS twap,
+        |  round(sum(dt) + 1e-9, 1) AS total_seconds,
+        |  count(*) AS n_readings
+        |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "q_volume_anomalies" ->
       // MAD replay over the aggregated (group, day) count frame — the same

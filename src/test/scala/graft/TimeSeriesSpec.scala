@@ -165,6 +165,23 @@ class TimeSeriesSpec extends SparkSpec {
     assert(out == Seq((1L, 2L, 600.0, 3.0), (2L, 1L, 0.0, 5.0)))
   }
 
+  test("timeWeightedAvg: long-held values dominate; plain avg would not; singleton null") {
+    val df = Seq(
+      // value 10 held 90s, value 100 held 10s, final reading weightless
+      ("u1", "2024-01-01 00:00:00", 10.0),
+      ("u1", "2024-01-01 00:01:30", 100.0),
+      ("u1", "2024-01-01 00:01:40", 55.0),
+      ("u2", "2024-01-01 00:00:00", 7.0)
+    ).toDF("u", "s", "v").withColumn("ts", to_timestamp($"s"))
+    val m = TimeSeriesLib.timeWeightedAvg(df, "v", "ts", Seq("u"))
+      .collect().map(r => r.getString(0) ->
+        (Option(r.get(1)), Option(r.get(2)), r.getLong(3))).toMap
+    val expected = (10.0 * 90 + 100.0 * 10) / 100.0 // = 19.0, vs plain avg 55
+    assert(math.abs(m("u1")._1.get.asInstanceOf[Double] - expected) < 1e-12)
+    assert(m("u1")._2.contains(100.0) && m("u1")._3 == 3L)
+    assert(m("u2")._1.isEmpty && m("u2")._2.isEmpty, "singleton series has no in-force duration")
+  }
+
   test("volumeAnomalies: collapsed day flags, steady days don't, robustness to the spike itself") {
     // 14 steady days of ~100 rows, one day at 3 rows (collapse) per group
     val rows = (1 to 14).flatMap { d =>
