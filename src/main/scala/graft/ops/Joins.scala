@@ -30,8 +30,11 @@ object Joins {
       leftTs: String,
       rightTs: String,
       rightCols: Seq[String],
-      toleranceSeconds: Long = -1L
+      toleranceSeconds: Long = -1L,
+      direction: String = "backward" // backward: last right <= leftTs; forward: first right >= leftTs
   ): DataFrame = {
+    require(Set("backward", "forward").contains(direction),
+      s"asofJoin: direction must be backward|forward, got '$direction'")
     // The whole right payload rides in ONE struct filled by ONE
     // last(ignoreNulls) — filling columns independently would mix values
     // from different right rows whenever a right row holds a NULL payload
@@ -42,8 +45,12 @@ object Joins {
     val l = left.withColumn("__t", col(leftTs).cast("timestamp"))
       .withColumn("__side", lit(1))
     val unioned = r.unionByName(l, allowMissingColumns = true)
+    // forward flips the scan direction: walking ts DESC, the "most recent
+    // right row so far" is the NEAREST FOLLOWING one; the side tiebreak
+    // keeps equal timestamps inclusive in both directions
+    val ord = if (direction == "backward") col("__t").asc else col("__t").desc
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col("__t").asc, col("__side").asc)
+      .orderBy(ord, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val filled = unioned
       .withColumn("__rpay", last(col("__rpay"), ignoreNulls = true).over(w))
@@ -54,8 +61,10 @@ object Joins {
     val tolerated =
       if (toleranceSeconds < 0) onlyLeft
       else {
-        val within = col("__matched_t").isNotNull &&
-          (unix_micros(col("__t")) - unix_micros(col("__matched_t"))) <= toleranceSeconds * 1000000L
+        val gap =
+          if (direction == "backward") unix_micros(col("__t")) - unix_micros(col("__matched_t"))
+          else unix_micros(col("__matched_t")) - unix_micros(col("__t"))
+        val within = col("__matched_t").isNotNull && gap <= toleranceSeconds * 1000000L
         rightCols.foldLeft(onlyLeft)((d, c) => d.withColumn(c, when(within, col(c))))
           .withColumn("__matched_t", when(within, col("__matched_t")))
       }

@@ -146,6 +146,20 @@ object QueriesTime {
         .orderBy("event_id")
     }),
 
+    "q_asof_forward" -> ((s, dir) => {
+      // pandas merge_asof(direction='forward') parity: for each click, the
+      // NEXT purchase within a day
+      val ev = t(s, dir, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("value").as("purch_value"))
+      graft.ops.Joins.asofJoin(clicks, purchases, Seq("user_id"), "ts", "ts",
+          Seq("purch_value"), toleranceSeconds = 86400L, direction = "forward")
+        .select(col("event_id"), col("purch_value"),
+          date_format(col("asof_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("asof_ts"))
+        .orderBy("event_id")
+    }),
+
     "q_range_join" -> ((s, dir) => {
       val ev = t(s, dir, "events")
       val errors = ev.filter(col("event_type") === "error")
@@ -549,6 +563,15 @@ object QueriesTime {
         |  CASE WHEN l.ts - r.rts <= INTERVAL 1 DAY THEN r.purch_value END AS purch_value,
         |  CASE WHEN l.ts - r.rts <= INTERVAL 1 DAY THEN strftime(r.rts, '%Y-%m-%d %H:%M:%S.%f') END AS asof_ts
         |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.rts
+        |ORDER BY event_id""".stripMargin,
+
+    "q_asof_forward" ->
+      """WITH l AS (SELECT * FROM events WHERE event_type = 'click'),
+        |r AS (SELECT user_id, ts AS rts, value AS purch_value FROM events WHERE event_type = 'purchase')
+        |SELECT l.event_id,
+        |  CASE WHEN r.rts - l.ts <= INTERVAL 1 DAY THEN r.purch_value END AS purch_value,
+        |  CASE WHEN r.rts - l.ts <= INTERVAL 1 DAY THEN strftime(r.rts, '%Y-%m-%d %H:%M:%S.%f') END AS asof_ts
+        |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts <= r.rts
         |ORDER BY event_id""".stripMargin,
 
     "q_range_join" ->

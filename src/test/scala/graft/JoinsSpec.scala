@@ -30,6 +30,31 @@ class JoinsSpec extends SparkSpec {
     assert(out(3).getDouble(1) == 50.0)
   }
 
+  test("asofJoin forward picks the NEXT right row >= left ts, tolerance looks ahead") {
+    val quotes = Seq(
+      ("A", ts("2024-01-01 09:00:00"), 100.0),
+      ("A", ts("2024-01-01 10:00:00"), 110.0),
+      ("A", ts("2024-01-01 11:00:00"), 120.0)
+    ).toDF("sym", "qts", "px")
+    val trades = Seq(
+      ("A", ts("2024-01-01 10:00:00"), 1), // equal ts inclusive forward: 110
+      ("A", ts("2024-01-01 10:30:00"), 2), // next is 11:00 -> 120
+      ("A", ts("2024-01-01 12:00:00"), 3)  // after all -> null
+    ).toDF("sym", "tts", "tid")
+    val out = Joins.asofJoin(trades, quotes, Seq("sym"), "tts", "qts", Seq("px"),
+        direction = "forward")
+      .orderBy("tid").select("tid", "px").collect()
+    assert(out(0).getDouble(1) == 110.0)
+    assert(out(1).getDouble(1) == 120.0)
+    assert(out(2).isNullAt(1))
+    // forward tolerance: a next-quote farther than 10 min nulls out
+    val tol = Joins.asofJoin(trades, quotes, Seq("sym"), "tts", "qts", Seq("px"),
+        toleranceSeconds = 600, direction = "forward")
+      .orderBy("tid").select("px").collect()
+    assert(tol(0).getDouble(0) == 110.0) // equal ts: gap 0
+    assert(tol(1).isNullAt(0), "30-minute look-ahead exceeds the 10-minute tolerance")
+  }
+
   test("asofJoin tolerance nulls out stale matches") {
     val r = Seq(("A", ts("2024-01-01 00:00:00"), 1.0)).toDF("k", "rts", "v")
     val l = Seq(("A", ts("2024-01-01 00:30:00"), 1), ("A", ts("2024-01-03 00:00:00"), 2))
