@@ -267,6 +267,18 @@ object QueriesTime {
         .select(col("event_id"), roundf(col("value_event_id_rolling_corr"), 4).as("rc"))
         .orderBy("event_id")),
 
+    "q_resample_p95" -> ((s, dir) =>
+      // the pXX aggExpr path through resample: daily p95/p50 latency-style
+      // rollup per event type (exact percentile, quantile_cont parity)
+      TimeSeriesLib.resample(t(s, dir, "events"), "ts", "1 day",
+          Seq(("value", "p95"), ("value", "p50"), ("value", "count")),
+          keys = Seq("event_type"))
+        .select(date_format(col("period"), "yyyy-MM-dd").as("day"), col("event_type"),
+          roundf(col("value_p95"), 4).as("p95"),
+          roundf(col("value_p50"), 4).as("p50"),
+          col("value_count").as("n"))
+        .orderBy("day", "event_type")),
+
     "q_twap" -> ((s, dir) =>
       TimeSeriesLib.timeWeightedAvg(t(s, dir, "events"), "value", "ts",
           partitionBy = Seq("user_id"), orderCols = Seq("ts", "event_id"))
@@ -683,6 +695,13 @@ object QueriesTime {
         |  round(corr(value, event_id) OVER (PARTITION BY user_id ORDER BY event_id
         |          ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) + 1e-9, 4) AS rc
         |FROM events ORDER BY event_id""".stripMargin,
+
+    "q_resample_p95" ->
+      """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, event_type,
+        |  round(quantile_cont(value, 0.95) + 1e-9, 4) AS p95,
+        |  round(quantile_cont(value, 0.5) + 1e-9, 4) AS p50,
+        |  count(value) AS n
+        |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin,
 
     "q_twap" ->
       // lead-based in-force durations, floored-epoch parity with
