@@ -80,6 +80,33 @@ object CleanLib {
   /** One-pass cleaning report: standardized phone/email columns + validity
     * flags (data_cleaner.py summary shape).
     */
+  /** IPv4 parse/validate/classify — crawl-metadata cleaning (server logs,
+    * WARC headers): adds `<col>_valid` (strict dotted-quad, octets ≤ 255),
+    * `<col>_num` (the 32-bit numeric form — range joins against geo/CIDR
+    * tables become integer BETWEENs), and `<col>_private` (RFC 1918
+    * 10/8, 172.16/12, 192.168/16 plus 127/8 loopback — the addresses a
+    * published dataset must not attribute traffic to). Pure column
+    * expressions; invalid/null inputs yield valid=false and null num.
+    */
+  def parseIpv4(df: DataFrame, c: String): DataFrame = {
+    val parts = split(col(c), "\\.")
+    def oct(i: Int) = element_at(parts, i).cast("long")
+    val shapeOk = col(c).rlike("^([0-9]{1,3})\\.([0-9]{1,3})\\.([0-9]{1,3})\\.([0-9]{1,3})$")
+    val rangeOk = (1 to 4).map(i => oct(i) <= 255).reduce(_ && _)
+    // the octet casts live INSIDE the when: a bare AND gives the optimizer
+    // license to reorder, and the ANSI long cast on junk input would then
+    // be a job-killer; CASE branches are guaranteed lazy
+    val valid = coalesce(when(shapeOk, rangeOk).otherwise(lit(false)), lit(false))
+    val num = when(valid,
+      oct(1) * 16777216L + oct(2) * 65536L + oct(3) * 256L + oct(4))
+    val priv = when(valid,
+      oct(1) === 10 || (oct(1) === 172 && oct(2) >= 16 && oct(2) <= 31) ||
+        (oct(1) === 192 && oct(2) === 168) || oct(1) === 127)
+    df.withColumn(s"${c}_valid", valid)
+      .withColumn(s"${c}_num", num)
+      .withColumn(s"${c}_private", priv)
+  }
+
   /** Salted-hash pseudonymization: replace identifier columns with
     * sha2-256("salt:value") — referential integrity survives (equal values
     * map to equal tokens, so joins/groupBys still work) while the raw

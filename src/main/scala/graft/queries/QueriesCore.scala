@@ -14,6 +14,24 @@ import QueryUtil._
 object QueriesCore {
 
   val queries: Map[String, Q] = Map(
+    "q_parse_ipv4" -> ((s, dir) => {
+      // synthetic mixed-quality IPs off the customer keys: public, RFC1918
+      // private, loopback, octet-overflow, and outright junk
+      val d = t(s, dir, "customer").withColumn("ip",
+        when(col("c_custkey") % 13 === 0, lit("999.1.2.3"))
+          .when(col("c_custkey") % 17 === 0, lit("not-an-ip"))
+          .when(col("c_custkey") % 5 === 0,
+            concat(lit("10."), pmod(col("c_custkey"), lit(256)), lit(".0.1")))
+          .when(col("c_custkey") % 7 === 0, lit("192.168.4.20"))
+          .when(col("c_custkey") % 11 === 0, lit("127.0.0.1"))
+          .otherwise(concat(lit("8."), pmod(col("c_custkey"), lit(256)), lit(".0."),
+            pmod(col("c_custkey") * 7, lit(256)))))
+      graft.functions.CleanLib.parseIpv4(d, "ip")
+        .select(col("c_custkey"), col("ip"), col("ip_valid"),
+          col("ip_num"), col("ip_private"))
+        .orderBy("c_custkey")
+    }),
+
     "q_pseudonymize" -> ((s, dir) =>
       // salted sha2 tokenization: joins still work (equal → equal), the
       // raw identifier is gone; null names stay null
@@ -274,6 +292,40 @@ object QueriesCore {
   }
 
   val oracle: Map[String, String] = Map(
+    "q_parse_ipv4" ->
+      """WITH d AS (
+        |  SELECT c_custkey,
+        |    CASE WHEN c_custkey % 13 = 0 THEN '999.1.2.3'
+        |         WHEN c_custkey % 17 = 0 THEN 'not-an-ip'
+        |         WHEN c_custkey % 5 = 0 THEN '10.' || (c_custkey % 256) || '.0.1'
+        |         WHEN c_custkey % 7 = 0 THEN '192.168.4.20'
+        |         WHEN c_custkey % 11 = 0 THEN '127.0.0.1'
+        |         ELSE '8.' || (c_custkey % 256) || '.0.' || ((c_custkey * 7) % 256)
+        |    END AS ip
+        |  FROM customer),
+        |p AS (
+        |  SELECT c_custkey, ip,
+        |    coalesce(regexp_matches(ip, '^([0-9]{1,3})\.([0-9]{1,3})\.([0-9]{1,3})\.([0-9]{1,3})$')
+        |      AND TRY_CAST(split_part(ip, '.', 1) AS BIGINT) <= 255
+        |      AND TRY_CAST(split_part(ip, '.', 2) AS BIGINT) <= 255
+        |      AND TRY_CAST(split_part(ip, '.', 3) AS BIGINT) <= 255
+        |      AND TRY_CAST(split_part(ip, '.', 4) AS BIGINT) <= 255, false) AS ip_valid
+        |  FROM d)
+        |SELECT c_custkey, ip, ip_valid,
+        |  CASE WHEN ip_valid THEN
+        |    CAST(split_part(ip, '.', 1) AS BIGINT) * 16777216
+        |    + CAST(split_part(ip, '.', 2) AS BIGINT) * 65536
+        |    + CAST(split_part(ip, '.', 3) AS BIGINT) * 256
+        |    + CAST(split_part(ip, '.', 4) AS BIGINT) END AS ip_num,
+        |  CASE WHEN ip_valid THEN
+        |    CAST(split_part(ip, '.', 1) AS BIGINT) = 10
+        |    OR (CAST(split_part(ip, '.', 1) AS BIGINT) = 172
+        |        AND CAST(split_part(ip, '.', 2) AS BIGINT) BETWEEN 16 AND 31)
+        |    OR (CAST(split_part(ip, '.', 1) AS BIGINT) = 192
+        |        AND CAST(split_part(ip, '.', 2) AS BIGINT) = 168)
+        |    OR CAST(split_part(ip, '.', 1) AS BIGINT) = 127 END AS ip_private
+        |FROM p ORDER BY c_custkey""".stripMargin,
+
     "q_pseudonymize" ->
       """SELECT c_custkey,
         |  CASE WHEN c_custkey % 97 = 0 THEN NULL
