@@ -90,7 +90,9 @@ object Bench {
     // round-5 continuation additions
     "q_bm25",                // lexical retrieval: postings + broadcast query terms
     "q_image_neardup",       // real decode → dHash → Hamming block join
-    "q_weighted_sample"      // md5-keyed A-ES weighted sample, grouped top-k
+    "q_weighted_sample",     // md5-keyed A-ES weighted sample, grouped top-k
+    // round-6 additions
+    "q_join_analytic"        // TPC-H Q3 shape: dim broadcast + big-big AQE join + top-k
   )
 
   def main(args: Array[String]): Unit = {

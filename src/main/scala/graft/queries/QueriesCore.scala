@@ -141,6 +141,28 @@ object QueriesCore {
         .orderBy("c_mktsegment")
     }),
 
+    "q_join_analytic" -> ((s, dir) => {
+      // TPC-H Q3 shape (VERDICT r5 #5): selective dim filter broadcast into
+      // a big-big shuffle join, grouped agg, rank-pushdown top-k. The
+      // BUILDING filter prunes customer ~5× before the broadcast; the date
+      // predicates reach both parquet scans (PushedFilters); the final
+      // top-k compiles to TakeOrderedAndProject, not a global sort. Ties
+      // are broken on the ROUNDED revenue so float summation order can't
+      // flip the cut line between engines.
+      val li = t(s, dir, "lineitem").filter(col("l_shipdate") > lit("1998-06-01"))
+      val o  = t(s, dir, "orders").filter(col("o_orderdate") < lit("1998-06-01"))
+      val c  = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+      val oc = Relational.join(o, c, condition = "o_custkey = c_custkey", broadcastRight = true)
+      val j  = Relational.join(li, oc, condition = "l_orderkey = o_orderkey")
+      val g  = j.groupBy(col("l_orderkey"), col("o_orderdate"))
+        .agg(roundf(sum(expr("l_extendedprice * (1 - l_discount)")), 2).as("revenue"),
+          count(lit(1)).as("n_lines"))
+      Relational.topK(g, Seq("revenue", "l_orderkey"), Seq(false, true), 10)
+        .select(col("l_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"),
+          col("revenue"), col("n_lines"))
+    }),
+
     "q_join_theta" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
       val p = t(s, dir, "part")
@@ -400,6 +422,19 @@ object QueriesCore {
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "q_join_analytic" ->
+      """SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+        |  round(sum(l_extendedprice * (1 - l_discount)) + 1e-9, 2) AS revenue,
+        |  count(*) AS n_lines
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-06-01'
+        |  AND l_shipdate > TIMESTAMP '1998-06-01'
+        |GROUP BY l_orderkey, o_orderdate
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
 
     "q_join_theta" ->
       """SELECT p_brand, count(*) AS n, round(sum(l_quantity), 3) AS qty
