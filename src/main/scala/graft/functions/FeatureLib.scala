@@ -398,19 +398,50 @@ object FeatureLib {
     * `Similarity.embeddingNearDupPairs` (epsilon-ball pairs via LSH) with
     * `Dedup.clusterCandidates` — same result shape at bucketed-join cost.
     */
-  def clusteringFeatures(df: DataFrame, cols: Seq[String], k: Int, seed: Long = 42L): DataFrame = {
+  def clusteringFeatures(df: DataFrame, cols: Seq[String], k: Int, seed: Long = 42L): DataFrame =
+    // single code path with the law-gated frame: the q_fe_kmeans gate checks
+    // the exact training+assignment this operator ships
+    kmeansLaw(df, cols, k, seed).drop("not_nearest", "bad_cluster_id")
+
+  /** Law-check frame for the MLlib k-means paths (clusteringFeatures /
+    * binKmeans): trains the SAME model (same params/seed) and emits, per
+    * row, the trained assignment plus violation flags computable without
+    * pinning float centroids — the driver's oracle can then hard-gate the
+    * k-means queries on "all violations are zero" even though the centroids
+    * themselves are float-order/partitioning-dependent (VERDICT r5 #2).
+    *
+    * Laws (all row-local over the model's centers as literals):
+    *  - `not_nearest`: 1 when the assigned center is farther than the true
+    *    argmin by more than `tol` (assignment must be nearest-centroid);
+    *  - `bad_cluster_id`: 1 when the assignment falls outside [0, k).
+    * Rows with a null feature are dropped (MLlib cannot score them), so
+    * callers should gate row counts against a null-free source. The frame
+    * also carries `cluster` and `cluster_dist` (same formula as
+    * clusteringFeatures) for callers that want both surfaces from one
+    * training run.
+    */
+  def kmeansLaw(df: DataFrame, cols: Seq[String], k: Int, seed: Long = 42L,
+                tol: Double = 1e-6): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
-    val feat = df.withColumn("__f", array_to_vector(array(cols.map(c => col(c).cast("double")): _*)))
+    val feat = df.na.drop(cols)
+      .withColumn("__f", array_to_vector(array(cols.map(c => col(c).cast("double")): _*)))
     val model = new KMeans().setK(k).setSeed(seed).setFeaturesCol("__f").setPredictionCol("cluster").fit(feat)
     val centers = model.clusterCenters.map(_.toArray)
-    val centerArr = array(centers.map(c => array(c.map(lit).toSeq: _*)).toSeq: _*)
+    def dist2(i: Int): Column = aggregate(
+      zip_with(col("__fa"), array(centers(i).map(lit).toSeq: _*), (a, b) => (a - b) * (a - b)),
+      lit(0.0d), (acc, x) => acc + x)
+    val minD2 = (0 until centers.length).map(dist2).reduce(least(_, _))
+    val assignedD2 = (0 until centers.length).foldLeft(lit(Double.NaN): Column) {
+      (acc, i) => when(col("cluster") === i, dist2(i)).otherwise(acc)
+    }
     model.transform(feat)
       .withColumn("__fa", vector_to_array(col("__f")))
-      .withColumn("cluster_dist",
-        sqrt(aggregate(
-          zip_with(col("__fa"), element_at(centerArr, col("cluster") + 1), (a, b) => (a - b) * (a - b)),
-          lit(0.0d), (acc, x) => acc + x)))
+      .withColumn("not_nearest",
+        when(sqrt(assignedD2) > sqrt(minD2) + tol, 1).otherwise(0))
+      .withColumn("bad_cluster_id",
+        when(col("cluster") < 0 || col("cluster") >= k, 1).otherwise(0))
+      .withColumn("cluster_dist", sqrt(assignedD2))
       .drop("__f", "__fa")
   }
 

@@ -140,10 +140,19 @@ object QueriesPivotFe {
           round(col("text_avg_word_length"), 6).as("text_avg_word_length"))
         .orderBy("doc_id")),
 
-    // ---- rows-only (MLlib model-backed; property-tested in ScalaTest) ----
+    // ---- MLlib model-backed: LAW-gated (VERDICT r5 #2) ----
+    // K-means centroids are float-order/partitioning-dependent, so the raw
+    // assignment can't be hash-compared — but the nearest-centroid LAW can:
+    // kmeansLaw recomputes, per row, whether the model assigned the argmin
+    // center (and a legal id), and the oracle pins "every violation count is
+    // zero over exactly |table| scored rows". A broken assignment path flips
+    // the sums and hard-FAILs the gate.
     "q_fe_kmeans" -> ((s, dir) =>
-      FeatureLib.clusteringFeatures(t(s, dir, "part"), Seq("p_size", "p_retailprice"), 4)
-        .select("p_partkey", "cluster", "cluster_dist")),
+      FeatureLib.kmeansLaw(t(s, dir, "part"), Seq("p_size", "p_retailprice"), 4)
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("not_nearest")).cast("long").as("n_not_nearest"),
+          sum(col("bad_cluster_id")).cast("long").as("n_bad_cluster_id"),
+          (countDistinct(col("cluster")) <= 4).as("clusters_le_k"))),
 
     "q_fe_pca" -> ((s, dir) => {
       // scalar projection of the PCA vector (dim / L2 norm / |first comp|):
@@ -161,8 +170,14 @@ object QueriesPivotFe {
     }),
 
     "q_fe_kmeans_bin" -> ((s, dir) =>
-      FeatureLib.binKmeans(t(s, dir, "orders"), "o_totalprice", 5)
-        .groupBy("o_totalprice_kbin").agg(count(lit(1)).as("n"))),
+      // same law gate for the 1-D binning path (binKmeans trains the same
+      // MLlib model shape); nearest-centroid in 1-D implies the bins are
+      // contiguous disjoint intervals, which is the binning contract
+      FeatureLib.kmeansLaw(t(s, dir, "orders"), Seq("o_totalprice"), 5)
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("not_nearest")).cast("long").as("n_not_nearest"),
+          sum(col("bad_cluster_id")).cast("long").as("n_bad_cluster_id"),
+          (countDistinct(col("cluster")) <= 5).as("clusters_le_k"))),
 
     "q_fe_tfidf" -> ((s, dir) => {
       // deterministic sparse-triplet tf-idf (textTfidfTerms) — full DuckDB
@@ -276,6 +291,17 @@ object QueriesPivotFe {
   )
 
   val oracle: Map[String, String] = Map(
+    // k-means LAW oracles: every row scored, zero nearest-centroid /
+    // cluster-id violations, ≤k clusters — see kmeansLaw's scaladoc
+    "q_fe_kmeans" ->
+      """SELECT count(*) AS n_rows, CAST(0 AS BIGINT) AS n_not_nearest,
+        |  CAST(0 AS BIGINT) AS n_bad_cluster_id, TRUE AS clusters_le_k
+        |FROM part WHERE p_size IS NOT NULL AND p_retailprice IS NOT NULL""".stripMargin,
+    "q_fe_kmeans_bin" ->
+      """SELECT count(*) AS n_rows, CAST(0 AS BIGINT) AS n_not_nearest,
+        |  CAST(0 AS BIGINT) AS n_bad_cluster_id, TRUE AS clusters_le_k
+        |FROM orders WHERE o_totalprice IS NOT NULL""".stripMargin,
+
     "q_pivot_table_multi" ->
       """SELECT l_returnflag,
         |  round(sum(CASE WHEN l_linestatus='F' THEN l_quantity END), 3) AS "F_sum",

@@ -336,10 +336,42 @@ object QueriesText {
     }),
 
     "q_ann_ivf" -> ((s, dir) => {
+      // LAW gate (VERDICT r5 #2): the IVF neighbor set is MLlib-centroid-
+      // dependent and can't be hash-compared, but two laws are stable
+      // contracts regardless of which centroids Lloyd landed on:
+      //  1. FULL probe (nprobe = nlist) must equal exact brute force
+      //     EXACTLY — every corpus row sits in exactly one list, so probing
+      //     all lists makes the candidate set the whole corpus and both
+      //     paths rank by the same (round(cos,6) DESC, id ASC) key. A row
+      //     lost or duplicated by list assignment, or any scoring/ranking
+      //     divergence, breaks the per-query (neighbor_id, cos) set match.
+      //  2. PARTIAL probe (nprobe = 3 of 8) recall ≥ 0.2: deliberately
+      //     loose — the synthetic embeddings are near-uniform, so honest
+      //     probe loss is ≈ nprobe/nlist and per-query recall swings 0.4-1.0
+      //     with the centroid draw (measured); 0.2 still fails outright
+      //     scoring breakage (random ranking recall ≈ k/N ≈ 0.002).
+      //     Probe-SELECTION quality (nearest lists first) is pinned on
+      //     clustered vectors in PqSpec, where it is actually observable.
       val e = t(s, dir, "embeddings")
-      Similarity.ivfTopK(e, "vec_id", "embedding",
-        e.filter(col("vec_id") < 5), "vec_id", "embedding",
-        k = 10, nlist = 8, nprobe = 3)
+      val q = e.filter(col("vec_id") < 5)
+      def ivf(nprobe: Int) = Similarity.ivfTopK(e, "vec_id", "embedding",
+        q, "vec_id", "embedding", k = 10, nlist = 8, nprobe = nprobe)
+      val exact = Similarity.bruteTopK(e, "vec_id", "embedding",
+        q, "vec_id", "embedding", k = 10)
+      val fullDiff = ivf(8).select("query_id", "neighbor_id", "cos")
+        .unionByName(exact.select("query_id", "neighbor_id", "cos"))
+        .groupBy("query_id", "neighbor_id", "cos").agg(count(lit(1)).as("__n"))
+        .filter(col("__n") =!= 2) // symmetric difference of the scored sets
+        .groupBy("query_id").agg(count(lit(1)).as("n_diff"))
+      val hits = exact.select("query_id", "neighbor_id")
+        .join(ivf(3).select("query_id", "neighbor_id"), Seq("query_id", "neighbor_id"), "left_semi")
+        .groupBy("query_id").agg(count(lit(1)).as("n_hits"))
+      val kExact = exact.groupBy("query_id").agg(count(lit(1)).as("k_exact"))
+      kExact.join(fullDiff, Seq("query_id"), "left").join(hits, Seq("query_id"), "left")
+        .select(col("query_id"),
+          (coalesce(col("n_diff"), lit(0L)) === 0).as("full_probe_matches_exact"),
+          (coalesce(col("n_hits"), lit(0L)) >= col("k_exact") * 0.2).as("partial_recall_ok"))
+        .orderBy("query_id")
     }),
 
     "q_pq_encode" -> ((s, dir) => {
@@ -354,14 +386,33 @@ object QueriesText {
     }),
 
     "q_ann_ivfpq" -> ((s, dir) => {
-      // rows-only like q_ann_ivf (float k-means centroids are not
-      // SQL-replayable); externally gated by PqSpec's recall law + the
-      // ADC==reconstructed-distance differential
+      // recall-LAW gate for the compressed-domain path. Unlike plain IVF,
+      // full probe is NOT exactly equal to brute force — the ADC shortlist
+      // quantizes by design — so the law is probabilistic: recall@10 ≥ 0.5
+      // per query at full probe (nprobe = nlist removes routing loss) with
+      // a shortlist wide enough (rerank=32 → 320 candidates) that measured
+      // recall is 0.9-1.0 at every SF on the near-uniform synthetic
+      // vectors; a broken encode/ADC/re-rank collapses it to ≈ k/N.
+      // PqSpec additionally pins recall ≥ 0.7 on clustered vectors at
+      // partial probe and the ADC==reconstructed-distance differential
+      // in-JVM. Cosine ranking here is over UNIT vectors (ivfPqTopK
+      // normalizes), which matches bruteTopK's cosine ordering exactly.
       val e = t(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") < 5)
       val model = graft.vec.Pq.train(e, "embedding", "vec_id", m = 8, nbits = 6)
-      graft.vec.Pq.ivfPqTopK(e, "vec_id", "embedding",
-        e.filter(col("vec_id") < 5), "vec_id", "embedding",
-        k = 10, model, nlist = 8, nprobe = 3)
+      val approx = graft.vec.Pq.ivfPqTopK(e, "vec_id", "embedding",
+          q, "vec_id", "embedding", k = 10, model, nlist = 8, nprobe = 8, rerank = 32)
+        .select("query_id", "neighbor_id")
+      val exact = Similarity.bruteTopK(e, "vec_id", "embedding",
+          q, "vec_id", "embedding", k = 10)
+        .select("query_id", "neighbor_id")
+      val kExact = exact.groupBy("query_id").agg(count(lit(1)).as("k_exact"))
+      val hits = exact.join(approx, Seq("query_id", "neighbor_id"), "left_semi")
+        .groupBy("query_id").agg(count(lit(1)).as("n_hits"))
+      kExact.join(hits, Seq("query_id"), "left")
+        .select(col("query_id"),
+          (coalesce(col("n_hits"), lit(0L)) >= col("k_exact") * 0.5).as("recall_ok"))
+        .orderBy("query_id")
     }),
 
     "q_lang_id" -> ((s, dir) =>
@@ -854,6 +905,18 @@ object QueriesText {
     "q_dedup_clusters" -> golden("q_dedup_clusters"),
     "q_embed_neardup" -> golden("q_embed_neardup"),
     "q_ann_lsh" -> golden("q_ann_lsh"),
+
+    // recall-LAW oracles: the query computes recall@10 of the approximate
+    // path against the in-plan exact brute-force top-k and emits one
+    // boolean per query id; the oracle independently pins the query-id set
+    // and the all-pass verdict (see the query scaladocs for the bound)
+    "q_ann_ivf" ->
+      """SELECT vec_id AS query_id, TRUE AS full_probe_matches_exact,
+        |  TRUE AS partial_recall_ok
+        |FROM embeddings WHERE vec_id < 5 ORDER BY query_id""".stripMargin,
+    "q_ann_ivfpq" ->
+      """SELECT vec_id AS query_id, TRUE AS recall_ok
+        |FROM embeddings WHERE vec_id < 5 ORDER BY query_id""".stripMargin,
     "q_deflate_ratio" -> golden("q_deflate_ratio"),
     "q_pq_encode" -> golden("q_pq_encode"),
     "q_semantic_dedup" -> golden("q_semantic_dedup"),

@@ -40,11 +40,15 @@ class PlanLintSpec extends SparkSpec {
     "q_quality_alerts" -> Set("broadcast_nested_loop"),    // QualityMonitor.scala:80
     "q_quality_classifier" -> Set("broadcast_nested_loop"),// QualityClassifier.scala:94
     // bounded-side broadcast: every vector × the ≤nlist centroid list
-    // (IVF assignment; nlist is a few hundred at any scale)
-    "q_ann_ivf" -> Set("broadcast_nested_loop"),           // Similarity.scala:168
+    // (IVF assignment; nlist is a few hundred at any scale). Since round 6
+    // the gate also embeds the exact bruteTopK baseline (the recall-law
+    // comparison), whose corpus × small-query-set BNLJ is the same
+    // documented q_ann_brute shape.
+    "q_ann_ivf" -> Set("broadcast_nested_loop"),           // Similarity.scala:168 + recall-law brute baseline
     // same shape: the tiny QUERY side × the ≤nlist coarse-centroid list
-    // (probe routing); the corpus side never crosses anything
-    "q_ann_ivfpq" -> Set("broadcast_nested_loop"),         // Pq.scala qProbes
+    // (probe routing); the corpus side never crosses anything. Also embeds
+    // the recall-law brute baseline since round 6.
+    "q_ann_ivfpq" -> Set("broadcast_nested_loop"),         // Pq.scala qProbes + recall-law brute baseline
     // exact ANN baseline: corpus × the SMALL query set (broadcast side) —
     // the documented O(n·|q|) exact path the LSH/IVF variants approximate
     "q_ann_brute" -> Set("broadcast_nested_loop"),         // Similarity.scala:50
