@@ -92,20 +92,26 @@ object QueriesText {
     }),
 
     "q_url_canonicalize" -> ((s, dir) => {
-      // six deterministic mess families per doc_id — each exercises a
+      // nine deterministic mess families per doc_id — each exercises a
       // different canonicalization rule (case, default port, tracking
-      // params + sort, userinfo, empty path, fragment, two-label public
-      // suffix, non-URL passthrough); the oracle recomputes the canonical
-      // form, host, and registered domain straight from the formula
+      // params + sort, userinfo, empty path, fragment, non-URL
+      // passthrough) or public-suffix rule class (two-label co.uk,
+      // THREE-label k12.ca.us, the *.kawasaki.jp wildcard, and its
+      // !city.kawasaki.jp exception — round 6, VERDICT r5 #3); the oracle
+      // recomputes canonical form, host, and registered domain straight
+      // from the formula
       val ds = col("doc_id").cast("string")
-      val f = pmod(col("doc_id"), lit(6))
+      val f = pmod(col("doc_id"), lit(9))
       val raw = when(f === 0, concat(lit("HTTP://WWW.Example"), ds,
           lit(".COM:80/A/b"), ds, lit("?z=1&utm_source=feed&a=2#frag")))
         .when(f === 1, concat(lit("https://News.Site"), ds, lit(".co.uk:443/")))
         .when(f === 2, concat(lit("https://blog.host"), ds, lit(".org?fbclid=abc"), ds))
         .when(f === 3, concat(lit("http://user:pw@Host"), ds, lit(".net:8080/p?b=2&a=1&a=0")))
         .when(f === 4, concat(lit("  doc "), ds, lit(" not a url  ")))
-        .otherwise(concat(lit("https://a.b.site"), ds, lit(".com/x#y")))
+        .when(f === 5, concat(lit("https://a.b.site"), ds, lit(".com/x#y")))
+        .when(f === 6, concat(lit("https://School"), ds, lit(".K12.CA.US/home")))
+        .when(f === 7, concat(lit("http://Sub.town"), ds, lit(".kawasaki.jp/index")))
+        .otherwise(concat(lit("https://WWW.City.kawasaki.jp/ward"), ds))
       graft.text.UrlLib.withUrlColumns(
           t(s, dir, "documents").select(col("doc_id")).withColumn("url", raw), "url")
         .select(col("doc_id"), col("url_canonical"), col("url_host"), col("url_domain"))
@@ -1007,9 +1013,9 @@ object QueriesText {
     "q_url_canonicalize" ->
       // the oracle recomputes canonical/host/domain from the per-family
       // formula — each CASE arm is the documented expected output of the
-      // corresponding canonicalization rule
+      // corresponding canonicalization / public-suffix rule
       """WITH d AS (SELECT doc_id, CAST(doc_id AS VARCHAR) AS ds,
-        |                  doc_id % 6 AS f FROM documents)
+        |                  doc_id % 9 AS f FROM documents)
         |SELECT doc_id,
         |  CASE f
         |    WHEN 0 THEN 'http://www.example' || ds || '.com/A/b' || ds || '?a=2&z=1'
@@ -1017,21 +1023,30 @@ object QueriesText {
         |    WHEN 2 THEN 'https://blog.host' || ds || '.org/'
         |    WHEN 3 THEN 'http://host' || ds || '.net:8080/p?a=0&a=1&b=2'
         |    WHEN 4 THEN 'doc ' || ds || ' not a url'
-        |    ELSE 'https://a.b.site' || ds || '.com/x' END AS url_canonical,
+        |    WHEN 5 THEN 'https://a.b.site' || ds || '.com/x'
+        |    WHEN 6 THEN 'https://school' || ds || '.k12.ca.us/home'
+        |    WHEN 7 THEN 'http://sub.town' || ds || '.kawasaki.jp/index'
+        |    ELSE 'https://www.city.kawasaki.jp/ward' || ds END AS url_canonical,
         |  CASE f
         |    WHEN 0 THEN 'www.example' || ds || '.com'
         |    WHEN 1 THEN 'news.site' || ds || '.co.uk'
         |    WHEN 2 THEN 'blog.host' || ds || '.org'
         |    WHEN 3 THEN 'host' || ds || '.net'
         |    WHEN 4 THEN NULL
-        |    ELSE 'a.b.site' || ds || '.com' END AS url_host,
+        |    WHEN 5 THEN 'a.b.site' || ds || '.com'
+        |    WHEN 6 THEN 'school' || ds || '.k12.ca.us'
+        |    WHEN 7 THEN 'sub.town' || ds || '.kawasaki.jp'
+        |    ELSE 'www.city.kawasaki.jp' END AS url_host,
         |  CASE f
         |    WHEN 0 THEN 'example' || ds || '.com'
         |    WHEN 1 THEN 'site' || ds || '.co.uk'
         |    WHEN 2 THEN 'host' || ds || '.org'
         |    WHEN 3 THEN 'host' || ds || '.net'
         |    WHEN 4 THEN NULL
-        |    ELSE 'site' || ds || '.com' END AS url_domain
+        |    WHEN 5 THEN 'site' || ds || '.com'
+        |    WHEN 6 THEN 'school' || ds || '.k12.ca.us'
+        |    WHEN 7 THEN 'sub.town' || ds || '.kawasaki.jp'
+        |    ELSE 'city.kawasaki.jp' END AS url_domain
         |FROM d ORDER BY doc_id""".stripMargin,
 
     "q_url_dedup" ->

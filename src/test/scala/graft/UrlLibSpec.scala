@@ -56,6 +56,29 @@ class UrlLibSpec extends SparkSpec {
     assert(rows(4).isNullAt(0) && rows(4).isNullAt(1), "non-URL: null host AND null domain")
   }
 
+  test("registered domain: PSL multi-label rules, wildcards, exceptions") {
+    val cases = Seq(
+      "foo.co.jp" -> "foo.co.jp",             // 2-label rule
+      "a.b.foo.co.jp" -> "foo.co.jp",         // deep host, same suffix
+      "school.k12.ca.us" -> "school.k12.ca.us", // 3-label rule
+      "www.school.k12.ca.us" -> "school.k12.ca.us",
+      "sub.town.kawasaki.jp" -> "sub.town.kawasaki.jp", // *.kawasaki.jp wildcard
+      "www.city.kawasaki.jp" -> "city.kawasaki.jp", // !city.kawasaki.jp exception
+      "city.kawasaki.jp" -> "city.kawasaki.jp", // the exception host itself
+      "shop.example.tokyo.jp" -> "example.tokyo.jp", // prefecture 2-label
+      "foo.bar.ck" -> "foo.bar.ck",           // *.ck wildcard TLD
+      "www.ck" -> "www.ck",                   // !www.ck exception (registrable itself)
+      "a.www.ck" -> "www.ck",                 // subdomain of the exception domain
+      "pvt.example.com" -> "example.com",     // plain gTLD default
+      "co.uk" -> "co.uk",                     // host IS a public suffix → unchanged
+      "metro.tokyo.jp" -> "metro.tokyo.jp")   // suffix tokyo.jp + one label
+    val out = cases.map(_._1).toDF("h")
+      .select(UrlLib.registeredDomain(col("h")).as("d")).as[String].collect()
+    cases.zip(out).foreach { case ((h, want), got) =>
+      assert(got == want, s"registeredDomain($h) = $got, want $want")
+    }
+  }
+
   test("dedupByUrl keeps smallest id per canonical url; null urls pass through") {
     val df = Seq(
       (1L, "https://X.com/a?utm_source=f"),
