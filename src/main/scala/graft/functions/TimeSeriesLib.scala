@@ -7,9 +7,10 @@ import org.apache.spark.sql.types.{ByteType, DoubleType, IntegerType, LongType, 
 
 /** Time-series library — §2.J, graft's equivalent of the reference's
   * transformations/time_series.py (527 LoC), re-expressed as distributed
-  * window/aggregate plans. Sequential-only algorithms (EWM) run per-key via
-  * sorted group scans (`flatMapGroups`) — each key's series must fit in one
-  * task, the standard Spark contract for per-entity sequence models.
+  * window/aggregate plans. The one sequential-only recurrence (EWM) runs as
+  * an affine SEGMENTED SCAN since round 6 — no per-key single-task
+  * requirement anywhere in this file (PlanLintSpec's RDD-shape lint pins
+  * that).
   */
 object TimeSeriesLib {
 
@@ -333,9 +334,34 @@ object TimeSeriesLib {
     df.withColumn(s"${valueCol}_smooth",
       avg(col(valueCol)).over(w(partitionBy, orderCol).rowsBetween(-(k - 1L), Window.currentRow)))
 
+  /** Per-(partition, key-chunk) summary for the EWM segmented scan: the
+    * num/den recurrence s' = (1-α)s + b is an affine map, so a contiguous
+    * chunk of one key's rows composes to s_out = pow·s_in + (bNum, bDen)
+    * with pow = (1-α)^(non-null rows). `b*` are the chunk's local scans
+    * from zero (computed with the exact sequential op order, so a chunk
+    * whose incoming state is zero reproduces the single-scan bits).
+    */
+  private case class EwmChunk(key: String, pow: Double, bNum: Double, bDen: Double)
+  private case class EwmPartSummary(first: EwmChunk, last: EwmChunk, oneChunk: Boolean)
+
   /** Exponentially-weighted mean, pandas `ewm(alpha).mean()` adjust=true
     * semantics (time_series.py:438-447): y_t = Σ w_i x_i / Σ w_i with
-    * w_i = (1-α)^(t-i). No distributed closed form → per-key sorted scan.
+    * w_i = (1-α)^(t-i). The recurrence has no windowed closed form, but it
+    * IS an affine map, so it parallelizes as a segmented scan (round 6,
+    * VERDICT r5 #4 — the old `groupByKey.flatMapGroups` needed each key's
+    * FULL series in one task and died on a single 100×-scale key):
+    *   1. range-repartition by (key, ord) + in-partition sort — one
+    *      shuffle; a big key may span many partitions;
+    *   2. pass 1: per partition, the composed affine maps of its first and
+    *      last key chunks (O(#partitions) driver bytes);
+    *   3. driver fold threads the carry state across partitions (only keys
+    *      that span a boundary compose; interior keys start from zero and
+    *      keep bit-exact single-scan results);
+    *   4. pass 2 re-reads the SAME shuffle output (map stage skipped) and
+    *      emits per-(key, ord) EWM from the broadcast incoming states.
+    * Cross-boundary states are algebraically equal but may differ from a
+    * sequential scan in final ulps (affine composition reorders float ops)
+    * — same class of divergence as pandas' own vectorized ewm.
     * Output: partition cols + order col + value + `{value}_ewm`.
     */
   def smoothEwm(
@@ -362,31 +388,94 @@ object TimeSeriesLib {
         s"smoothEwm orders by a long-representable key (timestamp or integral); " +
         s"'$orderCol' is $other — a fractional order key would collide under truncation")
     }
-    val slim = df.select(
-      keyCol.as("__key"),
-      ordCol.as("__ord"),
-      col(valueCol).cast(DoubleType).as("__val"))
-      // Options: null readings AND null order keys must not crash the
-      // encoder; a null order key has no position in the scan — the row is
-      // skipped here and picks up a null EWM through the left join below
-      .as[(String, Option[Long], Option[Double])]
-    val ewm = slim.groupByKey(_._1).flatMapGroups { (key, it) =>
-      val rows = it.toArray.collect { case (_, Some(ord), v) => (ord, v) }.sortBy(_._1)
-      var num = 0.0; var den = 0.0
-      val oneMinus = 1.0 - alpha
-      // ties on __ord keep the LAST running value (map overwrite), so every
-      // original row of a tie joins the state after all of them — the old
-      // dropDuplicates kept an arbitrary intermediate
-      val byOrd = new scala.collection.mutable.LinkedHashMap[Long, Option[Double]]
-      rows.foreach { case (ord, v) =>
-        v.foreach { x => // null readings leave the state untouched…
-          num = num * oneMinus + x
-          den = den * oneMinus + 1.0
+    val oneMinus = 1.0 - alpha
+    // null order keys have no position in the scan — skipped here, they
+    // pick up a null EWM through the left join below. RangePartitioner
+    // keeps equal (key, ord) rows in one partition, so tie groups never
+    // straddle a boundary.
+    val sorted = df.select(
+        keyCol.as("__key"), ordCol.as("__ord"),
+        col(valueCol).cast(DoubleType).as("__val"))
+      .filter(col("__ord").isNotNull)
+      .repartitionByRange(col("__key"), col("__ord"))
+      .sortWithinPartitions("__key", "__ord")
+      .as[(String, Long, Option[Double])]
+
+    // pass 1: first/last chunk affine summaries per partition
+    val summaries: Array[(Int, EwmPartSummary)] =
+      sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
+        var cur: String = null
+        var pow = 1.0; var bNum = 0.0; var bDen = 0.0
+        var first: EwmChunk = null
+        var any = false
+        def chunk() = EwmChunk(cur, pow, bNum, bDen)
+        it.foreach { case (key, _, v) =>
+          if (!any) { cur = key; any = true }
+          else if (key != cur) {
+            if (first == null) first = chunk()
+            cur = key; pow = 1.0; bNum = 0.0; bDen = 0.0
+          }
+          v.foreach { x =>
+            pow *= oneMinus; bNum = bNum * oneMinus + x; bDen = bDen * oneMinus + 1.0
+          }
         }
-        byOrd(ord) = if (den > 0) Some(num / den) else None // …and carry the prior EWM
+        if (!any) Iterator.empty
+        else {
+          val lastC = chunk()
+          Iterator.single((pid, EwmPartSummary(
+            if (first == null) lastC else first, lastC, first == null)))
+        }
+      }.collect()
+
+    // driver fold: incoming (num, den) state for each partition's FIRST
+    // chunk; carry threads through empty partitions untouched
+    val incoming = scala.collection.mutable.Map[Int, (Double, Double)]()
+    var carryKey: String = null
+    var cn = 0.0; var cd = 0.0
+    def applyChunk(c: EwmChunk, n0: Double, d0: Double): (Double, Double) =
+      if (n0 == 0.0 && d0 == 0.0) (c.bNum, c.bDen) // fresh key: bit-exact local scan
+      else (c.pow * n0 + c.bNum, c.pow * d0 + c.bDen)
+    summaries.sortBy(_._1).foreach { case (pid, s) =>
+      val continues = s.first.key == carryKey && carryKey != null
+      if (continues) incoming(pid) = (cn, cd)
+      val (n1, d1) =
+        if (s.oneChunk && continues) applyChunk(s.last, cn, cd)
+        else applyChunk(s.last, 0.0, 0.0)
+      carryKey = s.last.key; cn = n1; cd = d1
+    }
+    val bIncoming = spark.sparkContext.broadcast(incoming.toMap)
+
+    // pass 2: same shuffle output, sequential scan per partition seeded by
+    // the incoming state; one output row per (key, ord) — ties on __ord
+    // keep the state AFTER the whole tie group (pandas parity with the old
+    // LinkedHashMap formulation)
+    val ewmRdd = sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
+      // NB: named `rows`, not `buffered` — inside `new Iterator` that name
+      // would resolve to the INHERITED Iterator.buffered method (shadowing
+      // the local) and recurse hasNext→buffered→hasNext to a StackOverflow
+      val rows = it.buffered
+      new Iterator[(String, Long, Option[Double])] {
+        var cur: String = null
+        var started = false
+        var num = 0.0; var den = 0.0
+        def hasNext: Boolean = rows.hasNext
+        def next(): (String, Long, Option[Double]) = {
+          val (key, ord, _) = rows.head
+          if (key != cur) {
+            val in = if (!started) bIncoming.value.getOrElse(pid, (0.0, 0.0)) else (0.0, 0.0)
+            num = in._1; den = in._2; cur = key; started = true
+          }
+          // consume the whole (key, ord) tie group
+          while (rows.hasNext && rows.head._1 == key && rows.head._2 == ord) {
+            rows.next()._3.foreach { x =>
+              num = num * oneMinus + x; den = den * oneMinus + 1.0
+            }
+          }
+          (key, ord, if (den > 0) Some(num / den) else None)
+        }
       }
-      byOrd.iterator.map { case (ord, e) => (key, ord, e) }
-    }.toDF("__key", "__ord", s"${valueCol}_ewm")
+    }
+    val ewm = ewmRdd.toDF("__key", "__ord", s"${valueCol}_ewm")
     // join back so callers keep their original columns
     df.withColumn("__key", keyCol)
       .withColumn("__ord", ordCol)

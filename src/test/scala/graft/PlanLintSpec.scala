@@ -86,6 +86,33 @@ class PlanLintSpec extends SparkSpec {
         violations.mkString("\n"))
   }
 
+  test("no unpartitioned per-key sequential scans in batch sources (RDD-shape lint)") {
+    // PlanLint sees Catalyst plans; a groupByKey.flatMapGroups per-key scan
+    // is an RDD-side shape it cannot see — and the one construct that dies
+    // on a single 100×-scale key (VERDICT r5 #4: smoothEwm was the last
+    // one, replaced by the affine segmented scan in round 6). Streaming
+    // state ops ((flat)MapGroupsWithState) are the legitimate exception:
+    // their per-key state is watermark-bounded, not series-sized.
+    val mainDir = new java.io.File("src/main/scala/graft")
+    def scalaFiles(d: java.io.File): Seq[java.io.File] =
+      Option(d.listFiles()).getOrElse(Array.empty).toSeq.flatMap {
+        case f if f.isDirectory => scalaFiles(f)
+        case f if f.getName.endsWith(".scala") => Seq(f)
+        case _ => Nil
+      }
+    val offenders = scalaFiles(mainDir).flatMap { f =>
+      val text = scala.io.Source.fromFile(f, "UTF-8").mkString
+      val hits = "\\.(flatMapGroups|mapGroups)\\s*[({]".r // call sites, not doc mentions
+        .findAllMatchIn(text)
+        .filterNot(_ => f.getPath.contains("/streaming/"))
+        .size
+      if (hits > 0) Some(s"${f.getPath}: $hits per-key sequential scan call(s)") else None
+    }
+    assert(offenders.isEmpty,
+      "per-key full-series scans found outside streaming state ops — use a " +
+        s"segmented scan (see TimeSeriesLib.smoothEwm):\n${offenders.mkString("\n")}")
+  }
+
   test("PlanLint flags the shapes it exists to flag (positive control)") {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window

@@ -56,6 +56,49 @@ class TimeSeriesSpec extends SparkSpec {
     assert(math.abs(out(2).getDouble(1) - 3.0) < 1e-12)
   }
 
+  test("EWM segmented scan: one key spanning many partitions matches the sequential scan") {
+    // the old flatMapGroups path required each key's series in ONE task;
+    // this pins the round-6 affine segmented scan on exactly the shape
+    // that killed it — one huge key split by the range partitioner —
+    // against a driver-side sequential reference (null readings included)
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    val prevCoalesce = spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled")
+    spark.conf.set("spark.sql.shuffle.partitions", "16")
+    // at spec scale AQE would coalesce the range shuffle to ONE partition
+    // and quietly skip the cross-boundary carry logic under test
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try {
+      val alpha = 0.3
+      val n = 20000
+      val vals: Seq[Option[Double]] =
+        (1 to n).map(i => if (i % 97 == 0) None else Some(((i * 2654435761L) % 1000).toDouble))
+      val df = vals.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("t", "x")
+      val out = TimeSeriesLib.smoothEwm(df, "x", alpha, orderCol = "t", partitionBy = Nil)
+        .orderBy("t").select("x_ewm").as[Option[Double]].collect()
+      // sequential reference
+      var num = 0.0; var den = 0.0
+      val om = 1.0 - alpha
+      val ref = vals.map { v =>
+        v.foreach { x => num = num * om + x; den = den * om + 1.0 }
+        if (den > 0) Some(num / den) else None
+      }
+      assert(out.length == n)
+      out.zip(ref).zipWithIndex.foreach { case ((a, b), i) =>
+        (a, b) match {
+          case (Some(x), Some(y)) =>
+            assert(math.abs(x - y) <= 1e-9 * math.max(1.0, math.abs(y)),
+              s"row $i: segmented $x vs sequential $y")
+          case (x, y) => assert(x == y, s"row $i: $x vs $y")
+        }
+      }
+      // and the shape claim itself: the scan really did run over >1 partition
+      assert(df.select(col("t")).repartitionByRange(col("t")).rdd.getNumPartitions > 1)
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prev)
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", prevCoalesce)
+    }
+  }
+
   test("fillMissing mean respects partitionBy (per-group, not global)") {
     val df = Seq(("a", Some(10.0)), ("a", None: Option[Double]), ("b", Some(30.0)), ("b", None: Option[Double]))
       .toDF("g", "v")
