@@ -192,12 +192,19 @@ object FeatureLib {
     * categories encode as their own group, binQuantileGrouped's
     * convention). Null targets are excluded from both n and the prior
     * (count/avg semantics); an all-null category falls back to the prior.
+    *
+    * LEAKAGE caveat (round-6 ADVICE): with the default `fit = null` the
+    * category means include each row's OWN target, so fitting and
+    * transforming the same frame leaks the label into the feature. For
+    * supervised use, pass the TRAINING split as `fit` and transform
+    * held-out frames with it (the psiFit/psiApply discipline); same-frame
+    * encoding is only sound for unsupervised/analytics uses.
     */
   def encodeTarget(df: DataFrame, c: String, targetCol: String, smoothing: Double = 20.0,
-                   outCol: String = null): DataFrame = {
+                   outCol: String = null, fit: DataFrame = null): DataFrame = {
     require(smoothing >= 0, s"encodeTarget: smoothing must be >= 0, got $smoothing")
     val out = Option(outCol).getOrElse(s"${c}_target")
-    val stats = df.groupBy(col(c).as("__cat"))
+    val stats = Option(fit).getOrElse(df).groupBy(col(c).as("__cat"))
       .agg(count(col(targetCol)).as("__n"), avg(col(targetCol)).as("__mean"))
     // prior over the aggregated stats frame: each corpus row counted once,
     // nothing rescans df. sum(n·mean) uses coalesce so all-null categories

@@ -144,6 +144,13 @@ object PivotLib {
     val m = if (valueCol == null) count(lit(1)).cast("double")
             else sum(col(valueCol).cast("double"))
     val counts = df.groupBy(col(keyCol)).agg(m.as("measure"))
+    // a genuine category whose string value equals otherLabel would be
+    // indistinguishable from the rollup row (and mis-ranked as the tail) —
+    // reject loudly; the check runs on the ≤|distinct|-row aggregated
+    // frame, not the corpus (round-6 ADVICE)
+    require(counts.filter(col(keyCol).cast("string") === otherLabel).isEmpty,
+      s"paretoReport: a key value equals otherLabel '$otherLabel' — pass a " +
+        "non-colliding otherLabel")
     val top = counts.orderBy(col("measure").desc, col(keyCol).asc).limit(k)
     // null-safe anti join: a NULL key can be a top category, and the bare
     // USING anti-join would keep it in the tail too (null never equals
@@ -152,7 +159,10 @@ object PivotLib {
         col(keyCol) <=> col("__tk"), "left_anti")
       .agg(coalesce(sum(col("measure")), lit(0.0)).as("measure"))
       .select(lit(otherLabel).as(keyCol), col("measure"))
-      .filter(col("measure") > 0)
+      // =!= 0, not > 0: a NEGATIVE tail (negative measures are legal for
+      // sum) must stay in the report or `share` stops summing to 1 over
+      // the grand total; only a truly empty tail drops out (round-6 ADVICE)
+      .filter(col("measure") =!= 0)
     val unioned = top.select(col(keyCol).cast("string").as(keyCol), col("measure"))
       .unionByName(rest)
     // coalesce: a NULL key is a real category (cast to null string), not

@@ -840,6 +840,11 @@ object TimeSeriesLib {
   def activeUsers(df: DataFrame, userCol: String, tsCol: String,
                   windows: Seq[Int] = Seq(7, 28)): DataFrame = {
     require(windows.forall(_ > 1), s"activeUsers: windows must be > 1, got $windows")
+    // duplicate sizes would emit two identically-named active_<w> columns
+    // and fail ambiguously at the join below (round-6 ADVICE; funnel's
+    // distinct-steps check, same class)
+    require(windows.distinct.length == windows.length,
+      s"activeUsers: window sizes must be distinct, got $windows")
     val act = df.filter(col(userCol).isNotNull && col(tsCol).isNotNull)
       .select(col(userCol).as("__u"), to_date(col(tsCol)).as("__d"))
       .distinct()

@@ -89,11 +89,29 @@ object Graph {
     * closure join.
     */
   def triangleCounts(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
-    val canon = edges.select(
+    val canon = canonical(edges, srcCol, dstCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) // degrees + orientation + closure
+    // materialize the (|nodes|-sized) result, then release the cached edges
+    // — the un-released persist accumulated for the session lifetime on
+    // repeated calls (round-6 ADVICE)
+    val out = triangleCountsOnCanonical(canon).localCheckpoint()
+    canon.unpersist()
+    out
+  }
+
+  /** Canonical undirected simple-graph edge relation (a < b, nulls/loops
+    * dropped, duplicates collapsed). */
+  private def canonical(edges: DataFrame, srcCol: String, dstCol: String): DataFrame =
+    edges.select(
         least(col(srcCol), col(dstCol)).as("a"), greatest(col(srcCol), col(dstCol)).as("b"))
       .filter(col("a").isNotNull && col("b").isNotNull && col("a") =!= col("b"))
       .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) // degrees + orientation + closure
+
+  /** Triangle counting over an ALREADY-canonical (and ideally cached) edge
+    * frame — shared by [[triangleCounts]] and [[clusteringCoefficient]] so
+    * the latter doesn't canonicalize/persist the same edges twice.
+    */
+  private def triangleCountsOnCanonical(canon: DataFrame): DataFrame = {
     val deg = canon.select(explode(array(col("a"), col("b"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("__d"))
     // orientation key: (degree, id) totalizes node order without a global rank
@@ -125,19 +143,23 @@ object Graph {
     * canonical edges); degree-1 nodes get cc 0 (no wedge to close).
     */
   def clusteringCoefficient(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
-    val canon = edges.select(
-        least(col(srcCol), col(dstCol)).as("a"), greatest(col(srcCol), col(dstCol)).as("b"))
-      .filter(col("a").isNotNull && col("b").isNotNull && col("a") =!= col("b"))
-      .distinct()
+    // ONE canonicalization + persist shared by the degree agg and the
+    // triangle pass (previously this called triangleCounts on its own
+    // canonical frame, which re-canonicalized and persisted a second copy)
+    val canon = canonical(edges, srcCol, dstCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val deg = canon.select(explode(array(col("a"), col("b"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("degree"))
-    val tri = triangleCounts(canon, "a", "b")
-    deg.join(tri, Seq("node"), "left")
+    val tri = triangleCountsOnCanonical(canon)
+    val out = deg.join(tri, Seq("node"), "left")
       .select(col("node"), col("degree"),
         coalesce(col("n_triangles"), lit(0L)).as("n_triangles"),
         when(col("degree") > 1,
           (lit(2.0) * coalesce(col("n_triangles"), lit(0L))) /
             (col("degree") * (col("degree") - 1)).cast("double"))
           .otherwise(lit(0.0)).as("clustering_coeff"))
+      .localCheckpoint()
+    canon.unpersist()
+    out
   }
 }
