@@ -783,23 +783,76 @@ object TimeSeriesLib {
 
   /** First-order Markov transition matrix over per-entity event
     * sequences: count and conditional probability of state→state steps
-    * (the session-flow / user-journey summary). One lead() window on the
-    * entity key (the only corpus-sized exchange; per-entity sequences
-    * stream through their partition), then a map-side-combined count to
-    * the ≤|states|² matrix; probabilities ride a window over that
-    * aggregated frame. `orderCols` must make the per-entity order total —
-    * pass a unique tiebreaker (event id) after the timestamp, or tied
-    * rows would make lead() partition-order-dependent.
+    * (the session-flow / user-journey summary). `orderCols` must make the
+    * per-entity order total — pass a unique tiebreaker (event id) after
+    * the timestamp, or tied rows would make adjacency
+    * partition-order-dependent.
+    *
+    * Scale shape (round 6): adjacency needs only CONSECUTIVE rows, so a
+    * per-entity `lead()` window — which funnels a hyperactive entity's
+    * whole series through one unsplittable task (one bot 99%-dominating an
+    * event log is normal reality; SkewStressSpec pins it) — is replaced by
+    * the smoothEwm segmented-scan discipline: range-repartition by
+    * (entity, order) + in-partition sort (a big entity spans many
+    * partitions), emit in-partition adjacent pairs, stitch the
+    * O(#partitions) boundary pairs from each partition's first/last row on
+    * the driver. The pair counts then map-side-combine to the ≤|states|²
+    * matrix; probabilities ride a window over that aggregated frame.
     */
   def transitionMatrix(df: DataFrame, stateCol: String, orderCols: Seq[String],
                        partitionBy: Seq[String]): DataFrame = {
     require(orderCols.nonEmpty, "transitionMatrix: need at least one order column")
     require(partitionBy.nonEmpty, "transitionMatrix: need the entity key (partitionBy)")
-    val w = Window.partitionBy(partitionBy.map(col): _*).orderBy(orderCols.map(col): _*)
-    df.filter(col(stateCol).isNotNull)
-      .withColumn("__next", lead(col(stateCol), 1).over(w))
-      .filter(col("__next").isNotNull)
-      .groupBy(col(stateCol).as("from_state"), col("__next").as("to_state"))
+    val spark = df.sparkSession
+    // unambiguous, null-safe composite entity key (smoothEwm's convention)
+    val keyCol = to_json(struct(partitionBy.map(col): _*))
+    val sorted = df.filter(col(stateCol).isNotNull)
+      .select((keyCol.as("__key") +: orderCols.map(col)) :+ col(stateCol).as("__state"): _*)
+      .repartitionByRange(col("__key") +: orderCols.map(col): _*)
+      .sortWithinPartitions("__key", orderCols: _*)
+    val stateIdx = sorted.schema.fieldNames.indexOf("__state")
+    // pass 1: each partition's first and last (key, state) — the only rows
+    // a cross-boundary pair can involve
+    val edges: Array[(Int, (String, Any), (String, Any))] =
+      sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
+        var first: (String, Any) = null
+        var last: (String, Any) = null
+        it.foreach { r =>
+          val ks = (r.getString(0), r.get(stateIdx))
+          if (first == null) first = ks
+          last = ks
+        }
+        if (first == null) Iterator.empty else Iterator.single((pid, first, last))
+      }.collect()
+    // driver stitch: a boundary pair exists when consecutive non-empty
+    // partitions open and close on the SAME entity
+    val boundary = scala.collection.mutable.ArrayBuffer[(Any, Any)]()
+    var prev: (String, Any) = null
+    edges.sortBy(_._1).foreach { case (_, first, last) =>
+      if (prev != null && prev._1 == first._1) boundary += ((prev._2, first._2))
+      prev = last
+    }
+    // pass 2: in-partition adjacent pairs (same shuffle output, map stage
+    // skipped); pairs leave each task pre-shaped for the count aggregate
+    val inPart = sorted.rdd.mapPartitions { it =>
+      var prevKey: String = null
+      var prevState: Any = null
+      it.flatMap { r =>
+        val k = r.getString(0); val s = r.get(stateIdx)
+        val out = if (prevKey != null && prevKey == k) Iterator.single((prevState, s))
+                  else Iterator.empty
+        prevKey = k; prevState = s
+        out
+      }
+    }
+    val stateType = df.schema(stateCol).dataType
+    val pairSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("from_state", stateType),
+      org.apache.spark.sql.types.StructField("to_state", stateType)))
+    val pairRows = inPart.union(spark.sparkContext.parallelize(boundary.toSeq, 1))
+      .map { case (a, b) => org.apache.spark.sql.Row(a, b) }
+    spark.createDataFrame(pairRows, pairSchema)
+      .groupBy(col("from_state"), col("to_state"))
       .agg(count(lit(1)).as("n"))
       .withColumn("p",
         col("n").cast("double") /

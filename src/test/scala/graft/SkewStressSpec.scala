@@ -116,6 +116,99 @@ class SkewStressSpec extends SparkSpec {
     assert(fixed.count() == docs.count(), "no duplicates in this corpus - all rows survive")
   }
 
+  test("cohortRetention: a 99%-one-user event log stays balanced (map-side distinct absorbs it)") {
+    // one bot user generates 99% of events in one period. cohortRetention's
+    // only corpus-sized shuffle is the (user, period) DISTINCT — a
+    // hash-aggregate whose map side collapses the bot's duplicates to one
+    // row per partition BEFORE the exchange; the per-user cohort window
+    // then runs over ≤ |periods| rows per user. The negative control is
+    // the same dedup done as a row_number window (no partial aggregation):
+    // every bot row rides the exchange into one task.
+    // the bot's whole mass lands in ONE (user, week) cell — the worst case
+    // for any per-(user, period) window; real users spread over the month
+    val events = spark.range(3000000).select(
+      col("id"),
+      when(col("id") % 100 < 99, lit("bot"))
+        .otherwise(concat(lit("u"), pmod(col("id"), lit(5000)))).as("user_id"),
+      to_timestamp(when(col("id") % 100 < 99, lit("2024-01-15"))
+        .otherwise(concat(lit("2024-01-"),
+          lpad((pmod(col("id"), lit(28)) + 1).cast("string"), 2, "0")))).as("ts"))
+    // control: per-(user, period) dedup WITHOUT partial aggregation — a
+    // running-sum window (row_number+filter would be WindowGroupLimit-
+    // rescued, the existing quotaPerGroup lesson)
+    val control = events
+      .withColumn("p", date_trunc("week", col("ts")).cast("date"))
+      .withColumn("rs", sum(col("id")).over(Window.partitionBy("user_id", "p").orderBy("id")))
+    val controlScore = skewScore(control.write.format("noop").mode("overwrite").save())
+    assert(controlScore > 0.5,
+      s"control failed: window-dedup scored $controlScore — not discriminating")
+    val ret = graft.functions.TimeSeriesLib.cohortRetention(events, "user_id", "ts", "week")
+    val retScore = skewScore(ret.write.format("noop").mode("overwrite").save())
+    assert(retScore < 0.45 && retScore < controlScore - 0.1,
+      s"cohortRetention straggler ratio $retScore (window-dedup control: $controlScore)")
+    // and the matrix is right: Σ offset-0 actives = distinct users. Only
+    // ids ≡ 99 (mod 100) are non-bot, so pmod(id, 5000) yields 50 distinct
+    // user labels, plus the bot = 51.
+    val cohort0 = ret.filter(col("period_offset") === 0)
+      .agg(sum(col("n_active"))).first().getLong(0)
+    assert(cohort0 == 51L, s"expected 51 cohort-0 actives (50 users + bot), got $cohort0")
+  }
+
+  test("bm25TopK: a query term present in 99% of docs stays balanced") {
+    // the postings aggregate keys on (doc, dl, term) — uniform even when
+    // one term is corpus-wide — and the per-query top-k window is
+    // rank-pushdown-rescued (partial top-k before the exchange), so the
+    // 99%-match query must not straggle. Absolute gate (the discriminating
+    // controls for both shapes are already pinned above and in
+    // quotaPerGroup's test).
+    val docs = spark.range(200000).select(
+      col("id").as("doc_id"),
+      concat(lit("filler"), pmod(col("id"), lit(50000)),
+        when(col("id") % 100 < 99, lit(" boilerplate")).otherwise(lit(" rareword")),
+        lit(" tail"), col("id")).as("text"))
+    val queries = Seq((1L, "boilerplate rareword")).toDF("query_id", "qtext")
+    var out: org.apache.spark.sql.DataFrame = null
+    val score = skewScore {
+      out = graft.text.Search.bm25TopK(docs, "text", "doc_id", queries, "query_id", "qtext", k = 10)
+      out.write.format("noop").mode("overwrite").save()
+    }
+    assert(score < 0.5, s"bm25TopK straggler ratio $score")
+    // rare-term docs must win: idf(boilerplate) ≈ 0 vs idf(rareword) ≫ 0
+    val topDocs = out.filter(col("rank") <= 10).select("doc_id").as[Long].collect()
+    assert(topDocs.forall(_ % 100 == 99), s"expected rareword docs on top, got ${topDocs.toSeq}")
+  }
+
+  test("transitionMatrix: one hyperactive entity spans partitions instead of straggling") {
+    // 99% of events belong to one entity. The old per-entity lead() window
+    // (the negative control) funnels its whole series through one task;
+    // the segmented adjacent-pair formulation range-splits it.
+    val events = spark.range(3000000).select(
+      when(col("id") % 100 < 99, lit("bot"))
+        .otherwise(concat(lit("u"), pmod(col("id"), lit(1000)))).as("entity"),
+      col("id").as("seq"),
+      concat(lit("s"), pmod(col("id"), lit(5))).as("state"))
+    val control = events
+      .withColumn("__next", lead(col("state"), 1).over(
+        Window.partitionBy("entity").orderBy("seq")))
+      .filter(col("__next").isNotNull)
+      .groupBy(col("state"), col("__next")).agg(count(lit(1)).as("n"))
+    val controlScore = skewScore(control.write.format("noop").mode("overwrite").save())
+    assert(controlScore > 0.5,
+      s"control failed: per-entity lead window scored $controlScore — not discriminating")
+    var out: org.apache.spark.sql.DataFrame = null
+    val score = skewScore {
+      out = graft.functions.TimeSeriesLib.transitionMatrix(
+        events, "state", Seq("seq"), Seq("entity"))
+      out.write.format("noop").mode("overwrite").save()
+    }
+    assert(score < 0.45 && score < controlScore - 0.1,
+      s"transitionMatrix straggler ratio $score (lead-window control: $controlScore)")
+    // segmented pairs == window pairs: same total transition count
+    val nSeg = out.agg(sum(col("n"))).first().getLong(0)
+    val nWin = control.agg(sum(col("n"))).first().getLong(0)
+    assert(nSeg == nWin, s"segmented $nSeg vs window $nWin transition totals")
+  }
+
   test("duplicateSpans survives a corpus-wide boilerplate gram without a straggler") {
     // every doc shares one boilerplate sentence: its k-grams occur 60k times
     // — a count-window formulation would single-reducer them (NOTES_r04);
