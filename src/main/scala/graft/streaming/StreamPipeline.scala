@@ -104,6 +104,27 @@ object StreamPipeline {
     }
   }
 
+  /** Start the query with a metrics listener when the YAML declares a
+    * `monitoring` section (reference streaming_pipeline.yaml:83-97):
+    * {{{
+    * monitoring: { max_batch_ms: 1000, min_records_per_second: 10 }
+    * }}}
+    * Returns the query plus the attached [[StreamMetrics]] (None without a
+    * monitoring section). Caller detaches the listener when done.
+    */
+  def startMonitored(spark: SparkSession, conf: Conf): (StreamingQuery, Option[StreamMetrics]) = {
+    val metrics = conf.raw.get("monitoring").map(sub).map { m =>
+      val sink = sub(conf.raw.getOrElse("sink", null))
+      StreamMetrics.attach(spark,
+        maxBatchMs = str(m, "max_batch_ms", "1000").toLong,
+        minRecordsPerSec = str(m, "min_records_per_second", "10").toDouble,
+        // memory sinks carry a query name to filter on; other sinks record
+        // every query in the session (single-query pipelines in practice)
+        queryName = str(sink, "name", null))
+    }
+    (start(spark, conf), metrics)
+  }
+
   /** Start the query against the configured sink. */
   def start(spark: SparkSession, conf: Conf): StreamingQuery = {
     val df = build(spark, conf)

@@ -99,6 +99,87 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("StreamMetrics: per-batch latency/rate metrics with PASS/WARN/FAIL classification") {
+    // the reference declares processing_latency_p95 and records/s alert
+    // thresholds (streaming_pipeline.yaml:83-97); two listeners on the SAME
+    // run prove both the collection and the classification rule: a
+    // 0ms-latency threshold must FAIL every non-trivial batch, a loose one
+    // must PASS them all
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val agg = StreamOps.tumbling(input.toDF(), "ts", "5 minutes", "10 minutes",
+      Seq("user"), Seq("v" -> "sum"))
+    val strict = graft.streaming.StreamMetrics.attach(spark,
+      maxBatchMs = 0L, minRecordsPerSec = 0.0, queryName = "metrx")
+    val loose = graft.streaming.StreamMetrics.attach(spark,
+      maxBatchMs = 600000L, minRecordsPerSec = 0.0, queryName = "metrx")
+    val q = agg.writeStream.format("memory").queryName("metrx").outputMode("complete").start()
+    try {
+      input.addData(Ev(t("2024-01-01 00:01:00"), "a", 1.0), Ev(t("2024-01-01 00:02:00"), "b", 2.0))
+      q.processAllAvailable()
+      input.addData(Ev(t("2024-01-01 00:03:00"), "a", 3.0))
+      q.processAllAvailable()
+      // listener bus is async — poll until both listeners saw the data batches
+      var spins = 0
+      while (spins < 40 && loose.metrics.count(_.numInputRows > 0) < 2) {
+        Thread.sleep(250); spins += 1
+      }
+      val got = loose.metrics.filter(_.numInputRows > 0)
+      assert(got.size >= 2, s"expected >=2 data batches, got ${loose.metrics}")
+      assert(got.map(_.numInputRows).sum == 3L, s"row accounting: $got")
+      assert(got.forall(_.batchDurationMs > 0), s"durations must be positive: $got")
+      assert(got.forall(_.status == "PASS"), s"loose thresholds must PASS: $got")
+      val s = strict.metrics.filter(_.numInputRows > 0)
+      assert(s.forall(_.status == "FAIL"), s"0ms threshold must FAIL every batch: $s")
+      // rollup: p95 over recorded batches + worst status
+      val (n, rows, p95, rps, worst) = loose.summary
+      assert(n >= 2 && rows == 3L && p95 > 0 && rps > 0 && worst == "PASS",
+        s"summary ($n, $rows, $p95, $rps, $worst)")
+      assert(strict.summary._5 == "FAIL")
+    } finally {
+      q.stop()
+      graft.streaming.StreamMetrics.detach(spark, strict)
+      graft.streaming.StreamMetrics.detach(spark, loose)
+    }
+  }
+
+  test("StreamPipeline: YAML monitoring section attaches metrics to the run") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_mon").toString
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/batch1.json"),
+      """{"ts":"2024-01-01T00:01:00.000Z","user":"a","v":1.0}
+        |{"ts":"2024-01-01T00:02:00.000Z","user":"b","v":2.0}""".stripMargin)
+    val yaml =
+      s"""name: mon_stream
+         |stream_source: { type: file, path: "$dir", format: json, schema: "ts TIMESTAMP, user STRING, v DOUBLE" }
+         |window:
+         |  type: tumbling
+         |  size: "5 minutes"
+         |  time_column: ts
+         |  watermark: "1 minute"
+         |  keys: [user]
+         |  aggregations: { v: [sum] }
+         |sink: { type: memory, name: mon_stream_out, output_mode: complete }
+         |monitoring: { max_batch_ms: 600000, min_records_per_second: 0 }
+         |""".stripMargin
+    val (q, metricsOpt) = graft.streaming.StreamPipeline.startMonitored(
+      spark, graft.streaming.StreamPipeline.fromYaml(yaml))
+    try {
+      assert(metricsOpt.isDefined, "monitoring section must attach a listener")
+      q.processAllAvailable()
+      var spins = 0
+      while (spins < 40 && !metricsOpt.get.metrics.exists(_.numInputRows > 0)) {
+        Thread.sleep(250); spins += 1
+      }
+      val m = metricsOpt.get.metrics
+      assert(m.exists(_.numInputRows > 0), s"expected a data batch in $m")
+      assert(m.forall(_.queryName == "mon_stream_out"), s"name filter: $m")
+      assert(metricsOpt.get.summary._5 == "PASS")
+    } finally {
+      q.stop()
+      metricsOpt.foreach(graft.streaming.StreamMetrics.detach(spark, _))
+    }
+  }
+
   test("StreamPipeline: session-window YAML starts without an explicit output_mode") {
     // Spark rejects update mode for session_window aggregations; the
     // config layer must default session pipelines to append or the YAML
