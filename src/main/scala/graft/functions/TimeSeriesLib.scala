@@ -614,21 +614,31 @@ object TimeSeriesLib {
   // ---------------------------------------------------------------- sessions
 
   /** Batch sessionization (gaps-and-islands): every event gets a per-key
-    * session ordinal; a gap of more than `gapSeconds` between consecutive
-    * events opens a new session. The batch analogue of the streaming
-    * `session_window` aggregate (StreamOps.sessionWindows), but keeps the
-    * EVENT rows — the shape needed to join session context back onto events
-    * or feed per-session downstream features.
+    * session ordinal; a gap of `gapSeconds` or more between consecutive
+    * events opens a new session (>= — Spark's `session_window` is
+    * [ts, ts+gap) with an EXCLUSIVE end, so batch and streaming agree on
+    * boundaries). The batch analogue of the streaming `session_window`
+    * aggregate (StreamOps.sessionWindows), but keeps the EVENT rows — the
+    * shape needed to join session context back onto events or feed
+    * per-session downstream features.
     *
-    * Scale shape: one exchange on `keys`, per-key windows only (no empty
-    * PARTITION BY — parallelism grows with the key space). Null keys would
-    * all land in one unsplittable window partition; `sessionize` leaves them
-    * in a single per-key stream like any other key (callers with null-heavy
-    * keys should pre-filter, as Dedup.exact does with sentinel keys).
+    * Scale shape (round 6): the lag + running-sum per-key window funneled a
+    * hyperactive entity's whole series through one unsplittable task (one
+    * bot dominating an event log is normal reality). Session assignment is
+    * a prefix scan — only the first row of a key's chunk depends on
+    * anything outside the chunk (the previous event time, for the gap
+    * test, and the running session count) — so it runs as the smoothEwm
+    * segmented scan: range-repartition by (key, ts), per-partition chunk
+    * summaries (first/last event time, fresh-start session count), a
+    * driver fold threading (count, lastTs) across partition boundaries,
+    * and a second pass over the same shuffle output emitting per-(key, ts)
+    * session ids, joined back to the caller's rows.
     *
     * Determinism under timestamp ties: tied events see gap 0, so they never
-    * open a session, and the running `sum(__new)` assigns them the same
-    * ordinal regardless of tie order.
+    * open a session and share one ordinal (spec-pinned). Rows with a NULL
+    * event time have no position in the scan and get a null session id
+    * (the old window formulation sorted them first — a null event time is
+    * missing data, not the earliest event).
     */
   def sessionize(
       df: DataFrame,
@@ -638,18 +648,88 @@ object TimeSeriesLib {
       sessionCol: String = "session_id"
   ): DataFrame = {
     require(keys.nonEmpty, "sessionize: at least one key column is required")
-    val kw = Window.partitionBy(keys.map(col): _*).orderBy(col(tsCol))
-    val prevTs = lag(col(tsCol), 1).over(kw)
-    // >= gap opens a new session: Spark's session_window is [ts, ts+gap)
-    // with an EXCLUSIVE end, so an event at exactly prev+gap starts a new
-    // session — batch and streaming sessionization agree on boundaries.
-    val isNew = when(
-      prevTs.isNull ||
-        (unix_micros(col(tsCol)) - unix_micros(prevTs)) >= gapSeconds * 1000000L,
-      1L).otherwise(0L)
-    df.withColumn("__new", isNew)
-      .withColumn(sessionCol, sum(col("__new")).over(kw))
-      .drop("__new")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val gapMicros = gapSeconds * 1000000L
+    val keyCol = to_json(struct(keys.map(col): _*))
+    val sorted = df.select(keyCol.as("__key"), unix_micros(col(tsCol)).as("__ord"))
+      .filter(col("__ord").isNotNull)
+      .repartitionByRange(col("__key"), col("__ord"))
+      .sortWithinPartitions("__key", "__ord")
+      .as[(String, Long)]
+
+    // pass 1: first/last chunk summaries — (firstTs, lastTs, session count
+    // under a FRESH start). Only the first row's is-new flag depends on the
+    // incoming state, so a continuing chunk's true count is
+    // firstIsNew + (freshCount - 1).
+    case class Chunk(key: String, firstTs: Long, lastTs: Long, freshCount: Long)
+    val summaries = sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
+      var cur: String = null; var firstTs = 0L; var prevTs = 0L; var cnt = 0L
+      var first: Chunk = null; var any = false
+      def chunk() = Chunk(cur, firstTs, prevTs, cnt)
+      it.foreach { case (key, ts) =>
+        if (!any) { any = true; cur = key; firstTs = ts; prevTs = ts; cnt = 1L }
+        else if (key != cur) {
+          if (first == null) first = chunk()
+          cur = key; firstTs = ts; prevTs = ts; cnt = 1L
+        } else {
+          if (ts - prevTs >= gapMicros) cnt += 1L
+          prevTs = ts
+        }
+      }
+      if (!any) Iterator.empty
+      else Iterator.single((pid, (if (first == null) chunk() else first, chunk(), first == null)))
+    }.collect()
+
+    // driver fold: incoming (sessionCount, lastTs) per partition whose
+    // first chunk continues the previous partition's last key
+    val incoming = scala.collection.mutable.Map[Int, (Long, Long)]()
+    var carryKey: String = null; var carryCnt = 0L; var carryTs = 0L
+    summaries.sortBy(_._1).foreach { case (pid, (firstC, lastC, oneChunk)) =>
+      val continues = carryKey != null && firstC.key == carryKey
+      if (continues) incoming(pid) = (carryCnt, carryTs)
+      val (n1, t1) =
+        if (oneChunk && continues) {
+          val firstIsNew = if (firstC.firstTs - carryTs >= gapMicros) 1L else 0L
+          (carryCnt + firstIsNew + (lastC.freshCount - 1L), lastC.lastTs)
+        } else (lastC.freshCount, lastC.lastTs)
+      carryKey = lastC.key; carryCnt = n1; carryTs = t1
+    }
+    val bIncoming = spark.sparkContext.broadcast(incoming.toMap)
+
+    // pass 2: same shuffle output; emit one (key, ts, session) row per
+    // distinct (key, ts) — tied events share the post-group ordinal
+    val sessRdd = sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
+      val rows = it.buffered
+      new Iterator[(String, Long, Long)] {
+        var cur: String = null
+        var started = false
+        var cnt = 0L; var prevTs = 0L; var havePrev = false
+        def hasNext: Boolean = rows.hasNext
+        def next(): (String, Long, Long) = {
+          val (key, ts) = rows.head
+          if (key != cur) {
+            if (!started) {
+              started = true
+              bIncoming.value.get(pid) match {
+                case Some((c, t)) => cnt = c; prevTs = t; havePrev = true
+                case None         => cnt = 0L; havePrev = false
+              }
+            } else { cnt = 0L; havePrev = false }
+            cur = key
+          }
+          if (!havePrev || ts - prevTs >= gapMicros) cnt += 1L
+          prevTs = ts; havePrev = true
+          while (rows.hasNext && rows.head._1 == key && rows.head._2 == ts) rows.next()
+          (key, ts, cnt)
+        }
+      }
+    }
+    val sess = sessRdd.toDF("__key", "__ord", sessionCol)
+    df.withColumn("__key", keyCol)
+      .withColumn("__ord", unix_micros(col(tsCol)))
+      .join(sess, Seq("__key", "__ord"), "left")
+      .drop("__key", "__ord")
   }
 
   /** Collapse sessionized events to one row per (key, session): bounds,

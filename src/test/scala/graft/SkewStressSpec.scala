@@ -209,6 +209,38 @@ class SkewStressSpec extends SparkSpec {
     assert(nSeg == nWin, s"segmented $nSeg vs window $nWin transition totals")
   }
 
+  test("sessionize: one hyperactive entity spans partitions instead of straggling") {
+    // same bot reality as transitionMatrix; the old lag+running-sum window
+    // (the control) funnels the bot's series through one task, the
+    // segmented prefix scan range-splits it
+    val events = spark.range(3000000).select(
+      when(col("id") % 100 < 99, lit("bot"))
+        .otherwise(concat(lit("u"), pmod(col("id"), lit(1000)))).as("user"),
+      // ~1 event/minute with a >30min gap every 1000 events
+      timestamp_micros(col("id") * 60000000L +
+        floor(col("id") / 1000).cast("long") * 3600000000L).as("ts"))
+    val w = Window.partitionBy("user").orderBy("ts")
+    val control = events
+      .withColumn("__new", when(lag(col("ts"), 1).over(w).isNull ||
+        unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w)) >= 1800000000L, 1L)
+        .otherwise(0L))
+      .withColumn("sid", sum(col("__new")).over(w))
+    val controlScore = skewScore(control.write.format("noop").mode("overwrite").save())
+    assert(controlScore > 0.5,
+      s"control failed: window sessionize scored $controlScore — not discriminating")
+    var out: org.apache.spark.sql.DataFrame = null
+    val score = skewScore {
+      out = graft.functions.TimeSeriesLib.sessionize(events, "ts", 1800L, Seq("user"))
+      out.write.format("noop").mode("overwrite").save()
+    }
+    assert(score < 0.45 && score < controlScore - 0.1,
+      s"sessionize straggler ratio $score (window control: $controlScore)")
+    // segmented == window: same (user, session) count
+    val nSeg = out.select("user", "session_id").distinct().count()
+    val nWin = control.select(col("user"), col("sid")).distinct().count()
+    assert(nSeg == nWin, s"segmented $nSeg vs window $nWin sessions")
+  }
+
   test("duplicateSpans survives a corpus-wide boilerplate gram without a straggler") {
     // every doc shares one boilerplate sentence: its k-grams occur 60k times
     // — a count-window formulation would single-reducer them (NOTES_r04);

@@ -99,6 +99,39 @@ class TimeSeriesSpec extends SparkSpec {
     }
   }
 
+  test("sessionize segmented scan: one key spanning many partitions matches a sequential reference") {
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    val prevCoalesce = spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled")
+    spark.conf.set("spark.sql.shuffle.partitions", "16")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try {
+      val n = 20000
+      // ~1 event/min, a >=30min gap every 97 events, plus ties every 13
+      val micros = (0 until n).scanLeft(0L) { (acc, i) =>
+        acc + (if (i % 97 == 0) 1800000000L else if (i % 13 == 0) 0L else 60000000L)
+      }.tail
+      val df = micros.zipWithIndex.map { case (m, i) => (i.toLong, new java.sql.Timestamp(m / 1000)) }
+        .toDF("id", "ts").withColumn("u", lit("one"))
+      val out = TimeSeriesLib.sessionize(df, "ts", 1800L, Seq("u"))
+        .orderBy("id").select("session_id").as[Long].collect()
+      // sequential reference over the sorted distinct times, then mapped back
+      var cnt = 0L; var prevTs = Long.MinValue
+      val byTs = micros.distinct.sorted.map { t =>
+        if (prevTs == Long.MinValue || t - prevTs >= 1800000000L) cnt += 1L
+        prevTs = t
+        t -> cnt
+      }.toMap
+      val ref = micros.map(byTs)
+      assert(out.length == n)
+      out.zip(ref).zipWithIndex.foreach { case ((a, b), i) =>
+        assert(a == b, s"row $i: segmented $a vs sequential $b")
+      }
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prev)
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", prevCoalesce)
+    }
+  }
+
   test("fillMissing mean respects partitionBy (per-group, not global)") {
     val df = Seq(("a", Some(10.0)), ("a", None: Option[Double]), ("b", Some(30.0)), ("b", None: Option[Double]))
       .toDF("g", "v")
