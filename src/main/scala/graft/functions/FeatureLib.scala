@@ -218,7 +218,14 @@ object FeatureLib {
           (col("__n") * coalesce(col("__mean"), lit(0.0)) + lit(smoothing) * col("__prior")) /
             (col("__n") + lit(smoothing))))
       .select(col("__cat"), col(out))
-    df.join(broadcast(enc), col(c) <=> col("__cat"), "left").drop("__cat")
+    // categories UNSEEN in the fit frame take the global prior (standard
+    // target-encoding semantics; with fit = df every category matches and
+    // the coalesce is a no-op) — without this, a test-frame category absent
+    // from training silently encoded as null (round-6 review)
+    df.join(broadcast(enc), col(c) <=> col("__cat"), "left")
+      .crossJoin(broadcast(prior.select(col("__prior").as("__gprior"))))
+      .withColumn(out, coalesce(col(out), col("__gprior")))
+      .drop("__cat", "__gprior")
   }
 
   /** Winsorization: clip a numeric column to its exact [lower, upper]

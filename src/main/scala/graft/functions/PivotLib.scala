@@ -146,9 +146,11 @@ object PivotLib {
     val counts = df.groupBy(col(keyCol)).agg(m.as("measure"))
     // a genuine category whose string value equals otherLabel would be
     // indistinguishable from the rollup row (and mis-ranked as the tail) —
-    // reject loudly; the check runs on the ≤|distinct|-row aggregated
-    // frame, not the corpus (round-6 ADVICE)
-    require(counts.filter(col(keyCol).cast("string") === otherLabel).isEmpty,
+    // reject loudly. Checked with a pushed-down filter + isEmpty (limit-1
+    // short-circuit) on the RAW frame, not an aggregate: the one eager job
+    // this costs reads almost nothing when the scan supports pushdown
+    // (round-6 ADVICE + review)
+    require(df.filter(col(keyCol).cast("string") === otherLabel).isEmpty,
       s"paretoReport: a key value equals otherLabel '$otherLabel' — pass a " +
         "non-colliding otherLabel")
     val top = counts.orderBy(col("measure").desc, col(keyCol).asc).limit(k)

@@ -398,7 +398,13 @@ object TimeSeriesLib {
         col(valueCol).cast(DoubleType).as("__val"))
       .filter(col("__ord").isNotNull)
       .repartitionByRange(col("__key"), col("__ord"))
-      .sortWithinPartitions("__key", "__ord")
+      // __val as tertiary sort key: rows tied on (key, ord) with DIFFERENT
+      // values must fold in one deterministic order, or the pass-1 chunk
+      // summaries and pass-2 emission (separate jobs re-sorting the same
+      // shuffle blocks) could disagree on the tie order and hand later
+      // partitions an incoming state matching no single scan (round-6
+      // review; any fixed tie order is as valid as the old arbitrary one)
+      .sortWithinPartitions("__key", "__ord", "__val")
       .as[(String, Long, Option[Double])]
 
     // pass 1: first/last chunk affine summaries per partition
@@ -648,6 +654,10 @@ object TimeSeriesLib {
       sessionCol: String = "session_id"
   ): DataFrame = {
     require(keys.nonEmpty, "sessionize: at least one key column is required")
+    // gap 0 would make every tied-timestamp row "open a session" in the
+    // chunk summaries but not in the tie-group-collapsing emission pass —
+    // and a zero/negative gap is semantically meaningless anyway
+    require(gapSeconds > 0, s"sessionize: gapSeconds must be positive, got $gapSeconds")
     val spark = df.sparkSession
     import spark.implicits._
     val gapMicros = gapSeconds * 1000000L
@@ -845,6 +855,15 @@ object TimeSeriesLib {
     * gaps; churn features: growing gaps). One lag() window on the entity
     * key, then a map-side-combined aggregate; entities with < 2 events
     * yield a zero-gap row (n_gaps 0, null stats).
+    *
+    * Scale caveat: this keeps the per-entity window (unlike sessionize /
+    * transitionMatrix, de-skewed in round 6) deliberately — the EXACT
+    * median already requires every one of an entity's gaps in one
+    * aggregation buffer, so segmenting the lag would only move the
+    * hyperactive-entity bottleneck from the window to the final aggregate.
+    * For bot-dominated logs either pre-cap per-entity events
+    * (Scale.quotaPerGroup) or trade the exact median for
+    * `approx_percentile` (mergeable sketch) in a caller-side variant.
     */
   def interArrivalStats(df: DataFrame, tsCol: String, partitionBy: Seq[String],
                         orderCols: Seq[String] = Nil): DataFrame = {

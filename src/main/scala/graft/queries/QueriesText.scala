@@ -360,8 +360,12 @@ object QueriesText {
       //     clustered vectors in PqSpec, where it is actually observable.
       val e = t(s, dir, "embeddings")
       val q = e.filter(col("vec_id") < 5)
+      // ONE coarse-centroid training shared by both probe settings — two
+      // bare ivfTopK calls would fit the identical model twice (round-6
+      // review)
+      val cents = Similarity.ivfTrainCentroids(e, "embedding", nlist = 8)
       def ivf(nprobe: Int) = Similarity.ivfTopK(e, "vec_id", "embedding",
-        q, "vec_id", "embedding", k = 10, nlist = 8, nprobe = nprobe)
+        q, "vec_id", "embedding", k = 10, nlist = 8, nprobe = nprobe, centroids = cents)
       val exact = Similarity.bruteTopK(e, "vec_id", "embedding",
         q, "vec_id", "embedding", k = 10)
       val fullDiff = ivf(8).select("query_id", "neighbor_id", "cos")

@@ -24,8 +24,10 @@ import org.apache.spark.sql.streaming.StreamingQueryListener
 final class StreamMetrics(
     maxBatchMs: Long = 1000L,
     minRecordsPerSec: Double = 10.0,
-    queryName: String = null
+    queryName: String = null,
+    maxBatches: Int = 10000
 ) extends StreamingQueryListener {
+  require(maxBatches > 0, s"StreamMetrics: maxBatches must be positive, got $maxBatches")
 
   final case class BatchMetric(
       queryName: String,
@@ -36,7 +38,16 @@ final class StreamMetrics(
       processedRowsPerSec: Double,
       status: String)
 
+  // bounded retention (round-6 review): a weeks-long 1 s-trigger query
+  // would otherwise accumulate millions of entries on the driver. The
+  // newest `maxBatches` metrics are retained for p95/rate readout;
+  // lifetime totals and worst-status are tracked cumulatively so the
+  // summary stays honest past the window.
   private val buf = ArrayBuffer.empty[BatchMetric]
+  private var totalBatches = 0L
+  private var totalRows = 0L
+  private var sawWarn = false
+  private var sawFail = false
 
   override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
   override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
@@ -50,7 +61,14 @@ final class StreamMetrics(
       val in = if (p.inputRowsPerSecond.isNaN) 0.0 else p.inputRowsPerSecond
       val m = BatchMetric(p.name, p.batchId, p.numInputRows, dur, in, proc,
         classify(p.numInputRows, dur, proc))
-      buf.synchronized { buf += m }
+      buf.synchronized {
+        buf += m
+        if (buf.length > maxBatches) buf.remove(0, buf.length - maxBatches)
+        totalBatches += 1L
+        totalRows += m.numInputRows
+        if (m.status == "WARN") sawWarn = true
+        if (m.status == "FAIL") sawFail = true
+      }
     }
   }
 
@@ -69,27 +87,29 @@ final class StreamMetrics(
     else "PASS"
   }
 
-  /** Snapshot of every recorded batch, in arrival order. */
+  /** Snapshot of the newest (up to `maxBatches`) recorded batches, in
+    * arrival order. */
   def metrics: Seq[BatchMetric] = buf.synchronized { buf.toVector }
 
-  /** Rollup over the recorded batches: (n_batches, total_rows,
-    * processing_latency_p95 ms, mean processed rows/s over non-empty
-    * batches, worst status). p95 is the nearest-rank percentile of batch
-    * durations — the reference's alert metric.
+  /** Rollup: (lifetime n_batches, lifetime total_rows,
+    * processing_latency_p95 ms over the RETAINED window, mean processed
+    * rows/s over retained non-empty batches, lifetime worst status). p95
+    * is the nearest-rank percentile of batch durations — the reference's
+    * alert metric.
     */
   def summary: (Long, Long, Long, Double, String) = {
-    val ms = metrics
-    if (ms.isEmpty) (0L, 0L, 0L, 0.0, "PASS")
+    val (ms, n, rows, warned, failed) = buf.synchronized {
+      (buf.toVector, totalBatches, totalRows, sawWarn, sawFail)
+    }
+    if (ms.isEmpty) (n, rows, 0L, 0.0, if (failed) "FAIL" else if (warned) "WARN" else "PASS")
     else {
       val durs = ms.map(_.batchDurationMs).sorted
       val p95 = durs(math.min(durs.length - 1, math.ceil(0.95 * durs.length).toInt - 1))
       val nonEmpty = ms.filter(_.numInputRows > 0)
       val meanRps =
         if (nonEmpty.isEmpty) 0.0 else nonEmpty.map(_.processedRowsPerSec).sum / nonEmpty.size
-      val worst =
-        if (ms.exists(_.status == "FAIL")) "FAIL"
-        else if (ms.exists(_.status == "WARN")) "WARN" else "PASS"
-      (ms.length.toLong, ms.map(_.numInputRows).sum, p95, meanRps, worst)
+      val worst = if (failed) "FAIL" else if (warned) "WARN" else "PASS"
+      (n, rows, p95, meanRps, worst)
     }
   }
 }
@@ -99,8 +119,9 @@ object StreamMetrics {
     * [[detach]] when the query stops.
     */
   def attach(spark: SparkSession, maxBatchMs: Long = 1000L,
-             minRecordsPerSec: Double = 10.0, queryName: String = null): StreamMetrics = {
-    val m = new StreamMetrics(maxBatchMs, minRecordsPerSec, queryName)
+             minRecordsPerSec: Double = 10.0, queryName: String = null,
+             maxBatches: Int = 10000): StreamMetrics = {
+    val m = new StreamMetrics(maxBatchMs, minRecordsPerSec, queryName, maxBatches)
     spark.streams.addListener(m)
     m
   }

@@ -120,9 +120,17 @@ object StreamPipeline {
         minRecordsPerSec = str(m, "min_records_per_second", "10").toDouble,
         // memory sinks carry a query name to filter on; other sinks record
         // every query in the session (single-query pipelines in practice)
-        queryName = str(sink, "name", null))
+        queryName = str(sink, "name", null),
+        maxBatches = str(m, "max_batches", "10000").toInt)
     }
-    (start(spark, conf), metrics)
+    // a start() failure must not leak the already-attached listener on the
+    // shared session (round-6 review)
+    try (start(spark, conf), metrics)
+    catch {
+      case e: Throwable =>
+        metrics.foreach(StreamMetrics.detach(spark, _))
+        throw e
+    }
   }
 
   /** Start the query against the configured sink. */

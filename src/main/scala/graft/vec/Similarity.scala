@@ -112,20 +112,22 @@ object Similarity {
   /** IVF (inverted-file) approximate top-k: coarse-quantize the corpus with
     * k-means, score queries only against the `nprobe` nearest centroid lists.
     */
-  def ivfTopK(
-      corpus: DataFrame, corpusId: String, corpusVec: String,
-      queries: DataFrame, queryId: String, queryVec: String,
-      k: Int, nlist: Int = 16, nprobe: Int = 2, seed: Long = 42L,
-      excludeSelf: Boolean = true, maxTrainRows: Long = 100000L,
+  /** Train the IVF coarse centroids alone — callers running several probe
+    * configurations against ONE index (e.g. the q_ann_ivf recall-law gate)
+    * train once and pass the result as `ivfTopK`'s `centroids` instead of
+    * re-fitting an identical model per call.
+    */
+  def ivfTrainCentroids(
+      corpus: DataFrame, corpusVec: String,
+      nlist: Int = 16, seed: Long = 42L, maxTrainRows: Long = 100000L,
       trainFraction: Double = -1.0
-  ): DataFrame = {
+  ): Array[Array[Double]] = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
-    val spark = corpus.sparkSession
     // Coarse centroids need a representative sample, not the corpus: k-means
     // is iterative (each iteration scans its input), so training on 100 TB
     // would dominate the whole query. Standard IVF practice caps the
-    // training set; the assignment pass below still covers every row.
+    // training set; the assignment pass still covers every row.
     // Pass trainFraction explicitly to skip the sizing count() — at corpus
     // scale that dedicated scan is itself worth avoiding.
     val trainBase =
@@ -139,22 +141,36 @@ object Similarity {
           math.min(1.0, maxTrainRows.toDouble * 1.05 / corpusRows), seed)
       }
     val train = trainBase.select(array_to_vector(col(corpusVec).cast("array<double>")).as("features"))
-    val model = new KMeans().setK(nlist).setSeed(seed).setFeaturesCol("features").fit(train)
-    val centroids = model.clusterCenters.map(_.toArray)
-    val centroidNorms = centroids.map(c => math.sqrt(c.map(x => x * x).sum))
+    new KMeans().setK(nlist).setSeed(seed).setFeaturesCol("features").fit(train)
+      .clusterCenters.map(_.toArray)
+  }
+
+  def ivfTopK(
+      corpus: DataFrame, corpusId: String, corpusVec: String,
+      queries: DataFrame, queryId: String, queryVec: String,
+      k: Int, nlist: Int = 16, nprobe: Int = 2, seed: Long = 42L,
+      excludeSelf: Boolean = true, maxTrainRows: Long = 100000L,
+      trainFraction: Double = -1.0,
+      centroids: Array[Array[Double]] = null
+  ): DataFrame = {
+    val spark = corpus.sparkSession
+    val cents =
+      if (centroids != null) centroids
+      else ivfTrainCentroids(corpus, corpusVec, nlist, seed, maxTrainRows, trainFraction)
+    val centroidNorms = cents.map(c => math.sqrt(c.map(x => x * x).sum))
     // per-centroid cosine as a row-local expression over the (driver-side)
     // centroid literals — assigning the corpus via crossJoin × nlist + a
     // per-row window would shuffle the nlist×-expanded corpus just to take
     // an argmax; this computes the same assignment with zero expansion.
     // Zero-norm vectors coalesce to -2 (< any cosine) so ANSI never throws.
     def centroidCos(vec: Column, i: Int): Column = coalesce(
-      dot(vec, array(centroids(i).map(lit).toSeq: _*)) /
+      dot(vec, array(cents(i).map(lit).toSeq: _*)) /
         nullif(l2Norm(vec) * lit(centroidNorms(i)), lit(0.0)),
       lit(-2.0))
     // argmax via array_max over (cos, -list_id) structs: max cosine, ties →
     // smallest list id (matching the old window's ORDER BY cd DESC, id ASC)
     def bestList(vec: Column): Column = {
-      val scored = array((0 until nlist).map(i =>
+      val scored = array(cents.indices.map(i =>
         struct(centroidCos(vec, i).as("cd"), lit(-i).as("nl"))): _*)
       (array_max(scored).getField("nl") * -1).cast("int")
     }
@@ -162,7 +178,7 @@ object Similarity {
       .withColumn("list_id", bestList(col("__cv")))
     // the query side probes nprobe lists — tiny frame, window formulation is fine
     val centroidDf = broadcast(spark.createDataFrame(
-      centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq).toDF("list_id", "__centroid"))
+      cents.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq).toDF("list_id", "__centroid"))
     val qAssigned = {
       val scored = queries.select(col(queryId).as("query_id"), col(queryVec).as("__qv"))
         .crossJoin(centroidDf)
