@@ -283,7 +283,13 @@ object OpCompiler {
           s(p, "threshold", "3.5").toDouble)
       case "interarrival" =>
         require(keys.nonEmpty, "interarrival requires keys/group_by (the entity key)")
-        TimeSeriesLib.interArrivalStats(df, ts, keys, seqOf(p, "order_by"))
+        // scalable=true: segmented-pair gaps + mergeable approx median —
+        // the bot-dominated-log variant (exact median needs every gap of a
+        // key in one buffer; see interArrivalStats' scaladoc)
+        if (s(p, "scalable", "false").toBoolean)
+          TimeSeriesLib.interArrivalStatsScalable(df, ts, keys, seqOf(p, "order_by"),
+            s(p, "accuracy", "10000").toInt)
+        else TimeSeriesLib.interArrivalStats(df, ts, keys, seqOf(p, "order_by"))
       case "transitions" =>
         require(seqOf(p, "order_by").nonEmpty && keys.nonEmpty,
           "transitions requires params.order_by (total per-entity order) and keys/group_by")

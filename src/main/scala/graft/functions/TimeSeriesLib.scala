@@ -898,26 +898,35 @@ object TimeSeriesLib {
     * the driver. The pair counts then map-side-combine to the ≤|states|²
     * matrix; probabilities ride a window over that aggregated frame.
     */
-  def transitionMatrix(df: DataFrame, stateCol: String, orderCols: Seq[String],
-                       partitionBy: Seq[String]): DataFrame = {
-    require(orderCols.nonEmpty, "transitionMatrix: need at least one order column")
-    require(partitionBy.nonEmpty, "transitionMatrix: need the entity key (partitionBy)")
-    val spark = df.sparkSession
-    // unambiguous, null-safe composite entity key (smoothEwm's convention)
-    val keyCol = to_json(struct(partitionBy.map(col): _*))
-    val sorted = df.filter(col(stateCol).isNotNull)
-      .select((keyCol.as("__key") +: orderCols.map(col)) :+ col(stateCol).as("__state"): _*)
+  /** Segmented adjacent-pair extraction — the shared skeleton of the
+    * round-6 de-skewed sequence operators ([[transitionMatrix]],
+    * [[interArrivalStatsScalable]]): range-repartition by (entity key,
+    * order), in-partition sort, emit in-partition (prev, cur) payload
+    * pairs, stitch the O(#partitions) cross-boundary pairs from each
+    * partition's first/last row on the driver. No per-entity single-task
+    * requirement: a hyperactive entity spans range partitions.
+    *
+    * `pre` must already carry `__key` (string entity key) first, then the
+    * order columns, then the payload as its LAST column; rows with null
+    * payload must be pre-filtered. Output: (from, to) of `payloadType`,
+    * one row per adjacent pair, keyed frame variant adds `__key`.
+    */
+  private def segmentedAdjacentPairs(pre: DataFrame, orderCols: Seq[String],
+                                     payloadType: org.apache.spark.sql.types.DataType,
+                                     keepKey: Boolean): DataFrame = {
+    val spark = pre.sparkSession
+    val sorted = pre
       .repartitionByRange(col("__key") +: orderCols.map(col): _*)
       .sortWithinPartitions("__key", orderCols: _*)
-    val stateIdx = sorted.schema.fieldNames.indexOf("__state")
-    // pass 1: each partition's first and last (key, state) — the only rows
-    // a cross-boundary pair can involve
+    val payloadIdx = sorted.schema.fields.length - 1
+    // pass 1: each partition's first and last (key, payload) — the only
+    // rows a cross-boundary pair can involve
     val edges: Array[(Int, (String, Any), (String, Any))] =
       sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
         var first: (String, Any) = null
         var last: (String, Any) = null
         it.foreach { r =>
-          val ks = (r.getString(0), r.get(stateIdx))
+          val ks = (r.getString(0), r.get(payloadIdx))
           if (first == null) first = ks
           last = ks
         }
@@ -925,37 +934,88 @@ object TimeSeriesLib {
       }.collect()
     // driver stitch: a boundary pair exists when consecutive non-empty
     // partitions open and close on the SAME entity
-    val boundary = scala.collection.mutable.ArrayBuffer[(Any, Any)]()
+    val boundary = scala.collection.mutable.ArrayBuffer[(String, Any, Any)]()
     var prev: (String, Any) = null
     edges.sortBy(_._1).foreach { case (_, first, last) =>
-      if (prev != null && prev._1 == first._1) boundary += ((prev._2, first._2))
+      if (prev != null && prev._1 == first._1) boundary += ((prev._1, prev._2, first._2))
       prev = last
     }
     // pass 2: in-partition adjacent pairs (same shuffle output, map stage
-    // skipped); pairs leave each task pre-shaped for the count aggregate
+    // skipped); pairs leave each task pre-shaped for downstream aggregates
     val inPart = sorted.rdd.mapPartitions { it =>
       var prevKey: String = null
-      var prevState: Any = null
+      var prevPayload: Any = null
       it.flatMap { r =>
-        val k = r.getString(0); val s = r.get(stateIdx)
-        val out = if (prevKey != null && prevKey == k) Iterator.single((prevState, s))
+        val k = r.getString(0); val v = r.get(payloadIdx)
+        val out = if (prevKey != null && prevKey == k) Iterator.single((k, prevPayload, v))
                   else Iterator.empty
-        prevKey = k; prevState = s
+        prevKey = k; prevPayload = v
         out
       }
     }
-    val stateType = df.schema(stateCol).dataType
-    val pairSchema = org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("from_state", stateType),
-      org.apache.spark.sql.types.StructField("to_state", stateType)))
+    import org.apache.spark.sql.types.{StructField, StructType, StringType}
+    val fields =
+      (if (keepKey) Seq(StructField("__key", StringType)) else Nil) ++
+        Seq(StructField("__from", payloadType), StructField("__to", payloadType))
     val pairRows = inPart.union(spark.sparkContext.parallelize(boundary.toSeq, 1))
-      .map { case (a, b) => org.apache.spark.sql.Row(a, b) }
-    spark.createDataFrame(pairRows, pairSchema)
+      .map { case (k, a, b) =>
+        if (keepKey) org.apache.spark.sql.Row(k, a, b) else org.apache.spark.sql.Row(a, b)
+      }
+    spark.createDataFrame(pairRows, StructType(fields))
+  }
+
+  def transitionMatrix(df: DataFrame, stateCol: String, orderCols: Seq[String],
+                       partitionBy: Seq[String]): DataFrame = {
+    require(orderCols.nonEmpty, "transitionMatrix: need at least one order column")
+    require(partitionBy.nonEmpty, "transitionMatrix: need the entity key (partitionBy)")
+    // unambiguous, null-safe composite entity key (smoothEwm's convention)
+    val keyCol = to_json(struct(partitionBy.map(col): _*))
+    val pre = df.filter(col(stateCol).isNotNull)
+      .select((keyCol.as("__key") +: orderCols.map(col)) :+ col(stateCol).as("__state"): _*)
+    segmentedAdjacentPairs(pre, orderCols, df.schema(stateCol).dataType, keepKey = false)
+      .select(col("__from").as("from_state"), col("__to").as("to_state"))
       .groupBy(col("from_state"), col("to_state"))
       .agg(count(lit(1)).as("n"))
       .withColumn("p",
         col("n").cast("double") /
           sum(col("n")).over(Window.partitionBy(col("from_state"))).cast("double"))
+  }
+
+  /** Skew-safe sibling of [[interArrivalStats]] for bot-dominated logs:
+    * gaps come from [[segmentedAdjacentPairs]] (no per-entity window — a
+    * hyperactive entity's series range-splits across partitions) and the
+    * median is `approx_percentile` (mergeable sketch; EXACT while an
+    * entity's gap count stays within `accuracy`, which covers the oracle
+    * gate — at true scale it degrades gracefully instead of funneling
+    * every gap of the hot entity into one exact-percentile buffer).
+    * Entities with < 2 events keep their (n_gaps 0, null stats) row via
+    * the distinct-entity left join. Output schema matches
+    * interArrivalStats.
+    */
+  def interArrivalStatsScalable(df: DataFrame, tsCol: String, partitionBy: Seq[String],
+                                orderCols: Seq[String] = Nil,
+                                accuracy: Int = 10000): DataFrame = {
+    require(partitionBy.nonEmpty, "interArrivalStatsScalable: need the entity key (partitionBy)")
+    val order = if (orderCols.isEmpty) Seq(tsCol) else orderCols
+    val keyCol = to_json(struct(partitionBy.map(col): _*))
+    val base = df.filter(col(tsCol).isNotNull)
+    val pre = base
+      .select((keyCol.as("__key") +: order.map(col)) :+
+        unix_timestamp(col(tsCol)).as("__ep"): _*)
+    val gaps = segmentedAdjacentPairs(pre, order,
+        org.apache.spark.sql.types.LongType, keepKey = true)
+      .select(col("__key"), (col("__to") - col("__from")).as("__gap"))
+      .groupBy("__key")
+      .agg(count(col("__gap")).as("n_gaps"),
+        avg(col("__gap")).as("mean_gap_s"),
+        approx_percentile(col("__gap"), lit(0.5), lit(accuracy)).cast("double")
+          .as("median_gap_s"),
+        max(col("__gap")).as("max_gap_s"))
+    val entities = base.select(partitionBy.map(col): _*).distinct()
+      .withColumn("__key", keyCol)
+    entities.join(gaps, Seq("__key"), "left")
+      .drop("__key")
+      .na.fill(0L, Seq("n_gaps"))
   }
 
   /** Trending items: top-k by occurrence count within each calendar

@@ -293,6 +293,19 @@ object QueriesTime {
           col("n"), col("volume_outlier"))
         .orderBy("event_type", "period")),
 
+    "q_interarrival_scalable" -> ((s, dir) =>
+      // the de-skewed sibling: segmented-pair gap extraction + mergeable
+      // approx median (exact at gate scale — every entity's gap count is
+      // far under the sketch accuracy, so the sketch retains all samples
+      // and returns the discrete median element)
+      TimeSeriesLib.interArrivalStatsScalable(t(s, dir, "events"), "ts",
+          partitionBy = Seq("user_id"), orderCols = Seq("ts", "event_id"))
+        .select(col("user_id"), col("n_gaps"),
+          roundf(col("mean_gap_s"), 4).as("mean_gap_s"),
+          col("median_gap_s"),
+          col("max_gap_s"))
+        .orderBy("user_id")),
+
     "q_interarrival" -> ((s, dir) =>
       TimeSeriesLib.interArrivalStats(t(s, dir, "events"), "ts",
           partitionBy = Seq("user_id"), orderCols = Seq("ts", "event_id"))
@@ -734,6 +747,19 @@ object QueriesTime {
         |  coalesce(CASE WHEN mad > 0 THEN (0.6745 * abs(n - med)) / mad > 3.5
         |                ELSE false END, false) AS volume_outlier
         |FROM d ORDER BY event_type, period""".stripMargin,
+
+    "q_interarrival_scalable" ->
+      """WITH g AS (
+        |  SELECT user_id,
+        |    CAST(floor(epoch(ts)) AS BIGINT)
+        |      - CAST(floor(epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)))
+        |             AS BIGINT) AS gap
+        |  FROM events WHERE ts IS NOT NULL)
+        |SELECT user_id, count(gap) AS n_gaps,
+        |  round(avg(gap) + 1e-9, 4) AS mean_gap_s,
+        |  CAST(quantile_disc(gap, 0.5) AS DOUBLE) AS median_gap_s,
+        |  max(gap) AS max_gap_s
+        |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "q_interarrival" ->
       // DuckDB epoch() keeps the µs fraction; floor to whole seconds for

@@ -241,6 +241,35 @@ class SkewStressSpec extends SparkSpec {
     assert(nSeg == nWin, s"segmented $nSeg vs window $nWin sessions")
   }
 
+  test("interArrivalStatsScalable: a bot entity stays balanced; exact sibling straggles") {
+    // the exact variant is the control — its lag window AND its exact
+    // per-key percentile buffer both funnel the bot's series/gaps into
+    // one task; the scalable variant extracts gaps via segmented pairs
+    // and merges approx-median sketches map-side
+    val events = spark.range(3000000).select(
+      when(col("id") % 100 < 99, lit("bot"))
+        .otherwise(concat(lit("u"), pmod(col("id"), lit(1000)))).as("user"),
+      timestamp_micros(col("id") * 60000000L).as("ts"),
+      col("id"))
+    val control = graft.functions.TimeSeriesLib.interArrivalStats(
+      events, "ts", Seq("user"), Seq("ts", "id"))
+    val controlScore = skewScore(control.write.format("noop").mode("overwrite").save())
+    assert(controlScore > 0.5,
+      s"control failed: exact interArrival scored $controlScore — not discriminating")
+    var out: org.apache.spark.sql.DataFrame = null
+    val score = skewScore {
+      out = graft.functions.TimeSeriesLib.interArrivalStatsScalable(
+        events, "ts", Seq("user"), Seq("ts", "id"))
+      out.write.format("noop").mode("overwrite").save()
+    }
+    assert(score < 0.45 && score < controlScore - 0.1,
+      s"interArrivalStatsScalable straggler ratio $score (exact control: $controlScore)")
+    // same gap accounting as the exact sibling
+    val nSeg = out.agg(sum(col("n_gaps"))).first().getLong(0)
+    val nExact = control.agg(sum(col("n_gaps"))).first().getLong(0)
+    assert(nSeg == nExact, s"scalable $nSeg vs exact $nExact total gaps")
+  }
+
   test("duplicateSpans survives a corpus-wide boilerplate gram without a straggler") {
     // every doc shares one boilerplate sentence: its k-grams occur 60k times
     // — a count-window formulation would single-reducer them (NOTES_r04);

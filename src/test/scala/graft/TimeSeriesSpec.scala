@@ -272,6 +272,30 @@ class TimeSeriesSpec extends SparkSpec {
     assert(out.filter(_._1 != "2024-01-07").forall(!_._2._2), "steady days must not flag")
   }
 
+  test("interArrivalStatsScalable: matches exact stats; discrete median convention pinned") {
+    // gaps for u1: 10, 20, 40, 80 (even count, all distinct) — the
+    // q_interarrival_scalable oracle uses DuckDB quantile_disc(0.5), which
+    // takes the LOWER middle element (20); this pins Spark's
+    // approx_percentile (exact at this size) to the same convention so the
+    // oracle cannot silently depend on lucky gate data. u2 has one event →
+    // (0, null, null, null) row must survive.
+    val t0 = 1700000000L
+    val df = (Seq(0L, 10L, 30L, 70L, 150L).map(off => ("u1", new java.sql.Timestamp((t0 + off) * 1000L)))
+        :+ (("u2", new java.sql.Timestamp(t0 * 1000L))))
+      .toDF("u", "ts")
+    val out = TimeSeriesLib.interArrivalStatsScalable(df, "ts", Seq("u"))
+      .orderBy("u").collect()
+    assert(out(0).getLong(1) == 4L && out(0).getDouble(2) == 37.5 &&
+      out(0).getDouble(3) == 20.0 && out(0).getLong(4) == 80L,
+      s"u1 stats: ${out(0)}")
+    assert(out(1).getLong(1) == 0L && out(1).isNullAt(2) && out(1).isNullAt(3),
+      s"u2 singleton row: ${out(1)}")
+    // and the exact sibling agrees on everything except the median
+    // convention (percentile interpolates: (20+40)/2 = 30)
+    val exact = TimeSeriesLib.interArrivalStats(df, "ts", Seq("u")).orderBy("u").collect()
+    assert(exact(0).getDouble(3) == 30.0, s"exact median: ${exact(0)}")
+  }
+
   test("interArrivalStats: hand-computed gaps, singleton entity yields empty stats") {
     val df = Seq(
       ("u1", "2024-01-01 00:00:00"), ("u1", "2024-01-01 00:00:10"),
