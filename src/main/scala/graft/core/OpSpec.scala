@@ -600,6 +600,15 @@ object OpCompiler {
           tables(s(p, "corpus_table")), s(p, "corpus_text_column", text),
           s(p, "fpp", "0.001").toDouble,
           s(p, "expected_batch_rows", "-1").toLong)
+      case "rrf_fuse" =>
+        // hybrid-retrieval fusion: the primary frame is the first ranked
+        // list; params.lists names further lists in the table catalog
+        require(tables != null || seqOf(p, "lists").isEmpty,
+          "rrf_fuse with params.lists requires a table catalog")
+        graft.text.Search.rrfFuse(df +: seqOf(p, "lists").map(tables),
+          s(p, "query_id_column", "query_id"), id,
+          s(p, "rank_column", "rank"),
+          s(p, "k_rrf", "60").toInt, s(p, "k", "10").toInt)
       case "quantize_int8" =>
         graft.vec.VectorOps.quantizeInt8(df, s(p, "vector_column", "embedding"),
           s(p, "output_column", "q"), s(p, "scale_column", "q_scale"))

@@ -425,6 +425,27 @@ object QueriesText {
         .orderBy("query_id")
     }),
 
+    "q_hybrid_rrf" -> ((s, dir) => {
+      // reciprocal-rank fusion over two deterministic synthetic retriever
+      // lists (rank formulas are pure functions of doc_id and query id, so
+      // the oracle replays retrieval AND fusion end-to-end in SQL); the
+      // fusion op itself is retriever-agnostic — this hard-gates the RRF
+      // math, dedup across lists, tie handling, and top-k
+      import org.apache.spark.sql.expressions.{Window => W}
+      val d = t(s, dir, "documents").select("doc_id")
+      val withQ = d.crossJoin(broadcast(s.range(0, 3).toDF("query_id")))
+      def rankedList(mult: Long, off: Long, mod: Long) = {
+        val key = pmod(col("doc_id") * mult + col("query_id") * off, lit(mod))
+        val w = W.partitionBy(col("query_id")).orderBy(key.asc, col("doc_id").asc)
+        withQ.withColumn("rank", row_number().over(w)).filter(col("rank") <= 20)
+          .select("query_id", "doc_id", "rank")
+      }
+      graft.text.Search.rrfFuse(
+          Seq(rankedList(7L, 11L, 1000L), rankedList(13L, 5L, 997L)),
+          "query_id", "doc_id", k = 10)
+        .orderBy("query_id", "rank")
+    }),
+
     "q_lang_id" -> ((s, dir) =>
       // oracle-able: stopword-ratio scores are exact int/count arithmetic
       TextLib.langId(t(s, dir, "documents"), "text")
@@ -927,6 +948,32 @@ object QueriesText {
     "q_ann_ivfpq" ->
       """SELECT vec_id AS query_id, TRUE AS recall_ok
         |FROM embeddings WHERE vec_id < 5 ORDER BY query_id""".stripMargin,
+
+    "q_hybrid_rrf" ->
+      // full replay: both synthetic retriever rankings AND the RRF math
+      """WITH q AS (SELECT unnest(generate_series(0, 2)) AS query_id),
+        |dq AS (SELECT doc_id, query_id FROM documents CROSS JOIN q),
+        |la AS (
+        |  SELECT query_id, doc_id, row_number() OVER (
+        |    PARTITION BY query_id
+        |    ORDER BY (doc_id * 7 + query_id * 11) % 1000, doc_id) AS r
+        |  FROM dq QUALIFY r <= 20),
+        |lb AS (
+        |  SELECT query_id, doc_id, row_number() OVER (
+        |    PARTITION BY query_id
+        |    ORDER BY (doc_id * 13 + query_id * 5) % 997, doc_id) AS r
+        |  FROM dq QUALIFY r <= 20),
+        |u AS (SELECT * FROM la UNION ALL SELECT * FROM lb),
+        |fused AS (
+        |  SELECT query_id, doc_id,
+        |    round(sum(1.0 / (60.0 + r)) + 1e-9, 6) AS rrf_score
+        |  FROM u GROUP BY query_id, doc_id),
+        |ranked AS (
+        |  SELECT query_id, doc_id, rrf_score, row_number() OVER (
+        |    PARTITION BY query_id ORDER BY rrf_score DESC, doc_id) AS rank
+        |  FROM fused QUALIFY rank <= 10)
+        |SELECT query_id, doc_id, rrf_score, rank FROM ranked
+        |ORDER BY query_id, rank""".stripMargin,
     "q_deflate_ratio" -> golden("q_deflate_ratio"),
     "q_pq_encode" -> golden("q_pq_encode"),
     "q_semantic_dedup" -> golden("q_semantic_dedup"),

@@ -123,4 +123,45 @@ object Search {
       .filter(col("rank") <= k)
       .select(col(queryIdCol), col(idCol), col("bm25"), col("n_terms"), col("rank"))
   }
+
+  /** Reciprocal-rank fusion (Cormack, Clarke & Buettcher, SIGIR 2009) —
+    * the standard hybrid-retrieval combiner: given ranked result lists
+    * from different retrievers over the same (query, doc) space (e.g.
+    * [[bm25TopK]] lexical + [[graft.vec.Similarity.lshTopK]] semantic),
+    * score every candidate Σ_lists 1/(kRrf + rank) and re-rank. Score
+    * magnitudes of the input retrievers never mix — only their RANKS do —
+    * which is the whole point (BM25 scores and cosines are not
+    * commensurable).
+    *
+    * Scale shape: a union of per-query candidate lists (each already
+    * top-k-bounded by its retriever) + one map-side-combined aggregate on
+    * (query, doc) + a rank-pushdown per-query window. Nothing corpus-sized
+    * appears here at all. Determinism: RRF scores are sums of exact
+    * double reciprocals of small integers computed in one aggregate
+    * (addition order over ≤ |lists| values; rounded before ranking), ties
+    * break on ascending doc id.
+    *
+    * Inputs must carry (queryIdCol, idCol, rankCol); rows with null rank
+    * are ignored. Output: (queryIdCol, idCol, rrf_score, rank).
+    */
+  def rrfFuse(lists: Seq[DataFrame], queryIdCol: String, idCol: String,
+              rankCol: String = "rank", kRrf: Int = 60, k: Int = 10,
+              roundScale: Int = 6): DataFrame = {
+    require(lists.nonEmpty, "rrfFuse: need at least one ranked list")
+    require(kRrf > 0, s"rrfFuse: kRrf must be positive, got $kRrf")
+    require(k > 0, s"rrfFuse: k must be positive, got $k")
+    val slim = lists.map(_.select(col(queryIdCol), col(idCol), col(rankCol).cast("long").as("__r"))
+      .filter(col("__r").isNotNull))
+    val unioned = slim.reduce(_.unionByName(_))
+    val scored = unioned
+      .groupBy(col(queryIdCol), col(idCol))
+      .agg(round(sum(lit(1.0) / (lit(kRrf.toDouble) + col("__r"))) + lit(1e-9), roundScale)
+        .as("rrf_score"),
+        count(lit(1)).as("__n_lists"))
+    val w = Window.partitionBy(col(queryIdCol))
+      .orderBy(col("rrf_score").desc, col(idCol).asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(queryIdCol), col(idCol), col("rrf_score"), col("rank"))
+  }
 }

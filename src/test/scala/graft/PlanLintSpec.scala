@@ -55,6 +55,11 @@ class PlanLintSpec extends SparkSpec {
     // same bounded-side shape: corpus × the broadcast EVAL-SUITE embedding
     // set (eval suites are thousands of rows); the corpus never shuffles
     "q_semantic_contamination" -> Set("broadcast_nested_loop"), // Contamination.scala semanticContamination
+    // GATE-ONLY shape: the synthetic-retriever construction crosses doc ids
+    // with the 3-row broadcast query frame to derive deterministic rank
+    // lists for the oracle; the rrfFuse OPERATOR under test only ever sees
+    // per-query top-k-bounded lists (no corpus-sized side)
+    "q_hybrid_rrf" -> Set("broadcast_nested_loop"),
     // bounded global windows: ordered cumsum / row_number over an
     // ALREADY-AGGREGATED frame whose row count is the distinct-value /
     // bucket count, not the corpus (the same boundedness these operators

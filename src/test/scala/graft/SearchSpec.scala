@@ -61,6 +61,43 @@ class SearchSpec extends SparkSpec {
     }
   }
 
+  test("rrfFuse: hand-computed fusion — consensus beats either single-list winner") {
+    // list A: d1@1, d2@2, d3@3; list B: d3@1, d2@2, d4@3 (kRrf = 60)
+    // d2: 1/62 + 1/62        = 0.032258
+    // d3: 1/63 + 1/61        = 0.032264  <- top (consensus of mid+high)
+    // d1: 1/61               = 0.016393, d4: 1/63 = 0.015873
+    val a = Seq((1L, "d1", 1), (1L, "d2", 2), (1L, "d3", 3)).toDF("qid", "doc", "rank")
+    val b = Seq((1L, "d3", 1), (1L, "d2", 2), (1L, "d4", 3)).toDF("qid", "doc", "rank")
+    val out = Search.rrfFuse(Seq(a, b), "qid", "doc", k = 4).orderBy("rank")
+      .select("doc", "rrf_score", "rank").collect()
+    assert(out.map(_.getString(0)).toSeq == Seq("d3", "d2", "d1", "d4"),
+      s"fusion order: ${out.toSeq}")
+    assert(math.abs(out(0).getDouble(1) - (1.0 / 63 + 1.0 / 61)) < 1e-6)
+    // null ranks are ignored, k caps output
+    val withNull = Seq((1L, "d9", null.asInstanceOf[Integer])).toDF("qid", "doc", "rank")
+    assert(Search.rrfFuse(Seq(a, withNull), "qid", "doc", k = 2).count() == 2)
+  }
+
+  test("rrfFuse: fuses real bm25 + brute-ANN lists over a shared id space") {
+    val docs = Seq(
+      (1L, "spark query engine"), (2L, "spark shuffle service"),
+      (3L, "cooking pasta recipe"), (4L, "spark catalyst optimizer")).toDF("id", "text")
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.1f)), (2L, Array(0.9f, 0.2f)),
+      (3L, Array(0.0f, 1.0f)), (4L, Array(0.8f, 0.1f))).toDF("vec_id", "embedding")
+    val lex = Search.bm25TopK(docs, "text", "id", Seq((7L, "spark")).toDF("qid", "q"),
+      "qid", "q", k = 3).select(col("qid"), col("id"), col("rank"))
+    val sem = graft.vec.Similarity.bruteTopK(vecs, "vec_id", "embedding",
+        Seq((7L, Array(1.0f, 0.0f))).toDF("qid", "qv"), "qid", "qv", k = 3,
+        excludeSelf = false)
+      .withColumn("rank", row_number().over(org.apache.spark.sql.expressions.Window
+        .partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id").asc)))
+      .select(col("query_id").as("qid"), col("neighbor_id").as("id"), col("rank"))
+    val fused = Search.rrfFuse(Seq(lex, sem), "qid", "id", k = 4).collect()
+    // docs 1/2/4 appear in both lists; doc 3 (pasta, orthogonal vector) in neither
+    assert(fused.map(_.getLong(1)).toSet == Set(1L, 2L, 4L), s"fused: ${fused.toSeq}")
+  }
+
   test("bm25TopK: repeated query term counts once; rarer term outweighs common one") {
     val docs = Seq(
       (1L, "rare common common"),
