@@ -600,6 +600,20 @@ object OpCompiler {
           tables(s(p, "corpus_table")), s(p, "corpus_text_column", text),
           s(p, "fpp", "0.001").toDouble,
           s(p, "expected_batch_rows", "-1").toLong)
+      case "near_dedup_against" =>
+        // incremental NEAR-dup: drop batch rows whose MinHash-estimated
+        // Jaccard against any accepted-snapshot doc reaches the threshold
+        // (dedup_against's exact-hash sibling; ref signatures scale with
+        // the snapshot ONCE, the join with the batch)
+        require(tables != null, "near_dedup_against requires a table catalog")
+        require(s(p, "corpus_table") != null,
+          "near_dedup_against requires params.corpus_table (name of the accepted-snapshot table)")
+        val dupIds = Dedup.minhashCandidatesAgainst(df, tables(s(p, "corpus_table")),
+            text, id,
+            s(p, "shingle_n", "3").toInt, s(p, "num_hashes", "64").toInt,
+            s(p, "bands", "16").toInt, s(p, "threshold", "0.8").toDouble)
+          .select(col("new_id").as(id)).distinct()
+        df.join(dupIds, Seq(id), "left_anti")
       case "rrf_fuse" =>
         // hybrid-retrieval fusion: the primary frame is the first ranked
         // list; params.lists names further lists in the table catalog

@@ -425,6 +425,36 @@ object QueriesText {
         .orderBy("query_id")
     }),
 
+    "q_dedup_minhash_incr" -> ((s, dir) => {
+      // incremental NEAR-dup screening (batch vs accepted snapshot) made
+      // SQL-oracle-able: the batch plants EXACT copies of every 7th doc
+      // (identical text → identical signatures → est_jaccard exactly 1.0
+      // and guaranteed candidacy, no LSH luck involved) plus fresh docs of
+      // corpus-disjoint tokens (empty shingle overlap → no shared band
+      // buckets). The gate pins, per batch doc: did ANY snapshot match
+      // fire, and was the true source among the matches — both pure
+      // functions of the plant.
+      val d = t(s, dir, "documents")
+      val copies = d.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 500000L).as("doc_id"), col("text"))
+      val fresh = d.filter(col("doc_id") % 7 === 1)
+        .select((col("doc_id") + 900000L).as("doc_id"),
+          concat(lit("zxqv unique "), col("doc_id"),
+            lit(" plumbus vortkel grumbo blit snarfle quxx")).as("text"))
+      val batch = copies.unionByName(fresh)
+      val cands = Dedup.minhashCandidatesAgainst(batch, d, "text", "doc_id",
+        threshold = 0.8)
+      val flags = cands.groupBy(col("new_id"))
+        .agg(max(when(col("ref_id") === col("new_id") - 500000L, 1).otherwise(0)).as("__src"),
+          count(lit(1)).as("__n"))
+      batch.select(col("doc_id"))
+        .join(flags, col("doc_id") === col("new_id"), "left")
+        .select(col("doc_id"),
+          col("__n").isNotNull.as("matched"),
+          coalesce(col("__src") === 1, lit(false)).as("src_matched"))
+        .orderBy("doc_id")
+    }),
+
     "q_hybrid_rrf" -> ((s, dir) => {
       // reciprocal-rank fusion over two deterministic synthetic retriever
       // lists (rank formulas are pure functions of doc_id and query id, so
@@ -948,6 +978,17 @@ object QueriesText {
     "q_ann_ivfpq" ->
       """SELECT vec_id AS query_id, TRUE AS recall_ok
         |FROM embeddings WHERE vec_id < 5 ORDER BY query_id""".stripMargin,
+
+    "q_dedup_minhash_incr" ->
+      // the plant is the oracle: every copied doc must match its source
+      // (est 1.0 — identical signatures), every fresh doc must match
+      // nothing (disjoint shingles)
+      """SELECT doc_id + 500000 AS doc_id, TRUE AS matched, TRUE AS src_matched
+        |FROM documents WHERE doc_id % 7 = 0
+        |UNION ALL
+        |SELECT doc_id + 900000 AS doc_id, FALSE AS matched, FALSE AS src_matched
+        |FROM documents WHERE doc_id % 7 = 1
+        |ORDER BY doc_id""".stripMargin,
 
     "q_hybrid_rrf" ->
       // full replay: both synthetic retriever rankings AND the RRF math
