@@ -156,6 +156,34 @@ class PipelineSpec extends SparkSpec {
     assert(rows.map(_._3).forall(sh => sh >= 0 && sh < 4))
   }
 
+  test("YAML near_dedup_against drops near-copies of the snapshot, keeps fresh docs") {
+    val in = Files.createTempDirectory("graft_neardedup").toString
+    val snap = (1L to 40L).map(i =>
+      (i, s"accepted corpus document body number $i with stable words"))
+      .toDF("doc_id", "text")
+    snap.coalesce(1).write.mode("overwrite").parquet(in + "/snap")
+    // batch: 10 exact copies of snapshot docs (new ids) + 10 fresh docs
+    val batch = ((1L to 10L).map(i =>
+        (1000 + i, s"accepted corpus document body number $i with stable words")) ++
+      (1L to 10L).map(i => (2000 + i, s"zxqv fresh item $i plumbus vortkel grumbo")))
+      .toDF("doc_id", "text")
+    batch.coalesce(1).write.mode("overwrite").parquet(in + "/batch")
+    val yaml =
+      s"""name: near_incr
+         |sources:
+         |  - { type: parquet, path: "$in/batch", table: main }
+         |  - { type: parquet, path: "$in/snap", table: snapshot }
+         |operations:
+         |  - { type: text_processing, params: { operation: near_dedup_against,
+         |        corpus_table: snapshot, threshold: 0.8 } }
+         |""".stripMargin
+    val conf = Pipeline.fromYaml(yaml)
+    val (primary, catalog) = Pipeline.load(spark, conf)
+    val out = graft.core.OpCompiler.compile(conf.operations, catalog)(primary)
+      .select("doc_id").as[Long].collect().sorted
+    assert(out.toSeq == (2001L to 2010L), s"survivors: ${out.toSeq}")
+  }
+
   test("YAML para_dedup, dup_spans and quantile_grouped binning compose") {
     val in = Files.createTempDirectory("graft_para").toString
     Seq(
