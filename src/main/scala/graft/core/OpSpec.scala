@@ -614,6 +614,11 @@ object OpCompiler {
             s(p, "bands", "16").toInt, s(p, "threshold", "0.8").toDouble)
           .select(col("new_id").as(id)).distinct()
         df.join(dupIds, Seq(id), "left_anti")
+      case "mmr_select" =>
+        // diversify a bounded retrieval candidate frame (per-query lists)
+        graft.text.Search.mmrSelect(df, s(p, "query_id_column", "query_id"), id,
+          s(p, "relevance_column", "relevance"), s(p, "vector_column", "embedding"),
+          s(p, "k", "10").toInt, s(p, "lambda", "0.5").toDouble)
       case "rrf_fuse" =>
         // hybrid-retrieval fusion: the primary frame is the first ranked
         // list; params.lists names further lists in the table catalog

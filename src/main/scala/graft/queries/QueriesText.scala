@@ -455,6 +455,30 @@ object QueriesText {
         .orderBy("doc_id")
     }),
 
+    "q_mmr" -> ((s, dir) => {
+      // MMR diversification hard-oracled by construction: candidates carry
+      // ONE-HOT embeddings (pairwise cosine ∈ {0, 1} exactly), so the
+      // greedy selection order is provable by hand — relevance descends in
+      // doc_id, docs 0-2 and 5-11 share direction 0, doc 3 is direction 1,
+      // doc 4 direction 2. With λ=0.6 the greedy picks 0 (top relevance),
+      // then 3 and 4 (unseen directions beat the 0.4 duplicate penalty),
+      // then 1 and 2 — order [0,3,4,1,2], NOT relevance order, so a broken
+      // penalty term cannot pass. The oracle replays scores with the same
+      // IEEE arithmetic.
+      val d = t(s, dir, "documents").select("doc_id").filter(col("doc_id") < 12)
+      val withQ = d.crossJoin(broadcast(s.range(0, 3).toDF("query_id")))
+        .withColumn("relevance", (lit(100) - col("doc_id") * 5) / lit(100.0))
+        .withColumn("__dir",
+          when(col("doc_id") === 3, 1).when(col("doc_id") === 4, 2).otherwise(0))
+        .withColumn("vec", array(
+          when(col("__dir") === 0, 1.0f).otherwise(0.0f),
+          when(col("__dir") === 1, 1.0f).otherwise(0.0f),
+          when(col("__dir") === 2, 1.0f).otherwise(0.0f)))
+      graft.text.Search.mmrSelect(withQ, "query_id", "doc_id",
+          "relevance", "vec", k = 5, lambda = 0.6)
+        .orderBy("query_id", "mmr_rank")
+    }),
+
     "q_hybrid_rrf" -> ((s, dir) => {
       // reciprocal-rank fusion over two deterministic synthetic retriever
       // lists (rank formulas are pure functions of doc_id and query id, so
@@ -989,6 +1013,18 @@ object QueriesText {
         |SELECT doc_id + 900000 AS doc_id, FALSE AS matched, FALSE AS src_matched
         |FROM documents WHERE doc_id % 7 = 1
         |ORDER BY doc_id""".stripMargin,
+
+    "q_mmr" ->
+      // the provable greedy order with the same IEEE score arithmetic:
+      // picks [0, 3, 4, 1, 2]; penalty 0 for unseen directions (picks
+      // 1-3), 0.4 = (1-λ)·1 once every direction is covered (picks 4-5)
+      """WITH q AS (SELECT unnest(generate_series(0, 2)) AS query_id),
+        |sel(doc_id, mmr_rank, pen) AS (VALUES
+        |  (0, 1, 0.0), (3, 2, 0.0), (4, 3, 0.0), (1, 4, 0.4), (2, 5, 0.4))
+        |SELECT query_id, CAST(doc_id AS BIGINT) AS doc_id,
+        |  round(0.6 * ((100 - doc_id * 5) / 100.0) - pen + 1e-9, 6) AS mmr_score,
+        |  CAST(mmr_rank AS INT) AS mmr_rank
+        |FROM q CROSS JOIN sel ORDER BY query_id, mmr_rank""".stripMargin,
 
     "q_hybrid_rrf" ->
       // full replay: both synthetic retriever rankings AND the RRF math

@@ -164,4 +164,90 @@ object Search {
       .filter(col("rank") <= k)
       .select(col(queryIdCol), col(idCol), col("rrf_score"), col("rank"))
   }
+
+  /** Maximal Marginal Relevance re-ranking (Carbonell & Goldstein, SIGIR
+    * 1998) — the standard diversification step after retrieval: greedily
+    * select k candidates maximizing
+    * `lambda·relevance − (1−lambda)·max cos-sim to already-selected`, so
+    * near-duplicate results don't crowd the top of the list (a RAG context
+    * window of five copies of the same passage wastes four slots).
+    *
+    * Scale shape: the GREEDY loop is inherently sequential per query, but
+    * its input is the retriever's already top-k-bounded candidate list —
+    * so each query's candidates `collect_list` into ONE row (bounded by
+    * `maxCandidates`, enforced) and the selection runs row-local. This is
+    * the documented bounded-input UDF exception (BPE segmenter precedent):
+    * nothing corpus-sized is collected, parallelism = |queries|.
+    * Determinism: ties break on (score desc, id asc) with exact double
+    * comparison of a fixed-order computation — bit-stable across
+    * partitionings, so the gate can hard-oracle a provable construction.
+    *
+    * Input: (queryIdCol, idCol: Long, relevanceCol: Double,
+    * vecCol: array<float>). Output: (queryIdCol, idCol, mmr_score DOUBLE
+    * rounded to `roundScale`, mmr_rank) — mmr_score of the first pick is
+    * `lambda·relevance` (no selected set yet).
+    */
+  def mmrSelect(candidates: DataFrame, queryIdCol: String, idCol: String,
+                relevanceCol: String, vecCol: String, k: Int,
+                lambda: Double = 0.5, maxCandidates: Int = 10000,
+                roundScale: Int = 6): DataFrame = {
+    require(k > 0, s"mmrSelect: k must be positive, got $k")
+    require(lambda >= 0 && lambda <= 1, s"mmrSelect: lambda must be in [0,1], got $lambda")
+    val mmr = udf { (cands: Seq[org.apache.spark.sql.Row]) =>
+      require(cands.length <= maxCandidates,
+        s"mmrSelect: ${cands.length} candidates for one query exceeds maxCandidates=" +
+          s"$maxCandidates — MMR re-ranks a retriever's bounded list, not a corpus")
+      // deterministic candidate order: id asc (collect_list order is
+      // partitioning-dependent)
+      val arr = cands.sortBy(_.getLong(0)).toArray
+      val n = arr.length
+      val ids = arr.map(_.getLong(0))
+      val rels = arr.map(_.getDouble(1))
+      val vecs = arr.map(_.getSeq[Float](2).toArray)
+      val norms = vecs.map(v => math.sqrt(v.map(x => x.toDouble * x).sum))
+      def cos(i: Int, j: Int): Double = {
+        val d = norms(i) * norms(j)
+        if (d == 0) 0.0
+        else vecs(i).zip(vecs(j)).map { case (a, b) => a.toDouble * b }.sum / d
+      }
+      val selected = scala.collection.mutable.ArrayBuffer[Int]()
+      val picked = new Array[Boolean](n)
+      val maxSim = Array.fill(n)(0.0)
+      val out = scala.collection.mutable.ArrayBuffer[(Long, Double, Int)]()
+      var rank = 1
+      while (rank <= math.min(k, n)) {
+        var best = -1; var bestScore = Double.NegativeInfinity
+        var i = 0
+        while (i < n) {
+          if (!picked(i)) {
+            val s = lambda * rels(i) -
+              (1 - lambda) * (if (selected.isEmpty) 0.0 else maxSim(i))
+            if (s > bestScore || (s == bestScore && best >= 0 && ids(i) < ids(best))) {
+              best = i; bestScore = s
+            }
+          }
+          i += 1
+        }
+        picked(best) = true
+        selected += best
+        out += ((ids(best), bestScore, rank))
+        var j = 0
+        while (j < n) { // update incremental max-sim against the new pick
+          if (!picked(j)) maxSim(j) = math.max(maxSim(j), cos(j, best))
+          j += 1
+        }
+        rank += 1
+      }
+      out.toSeq
+    }
+    candidates
+      .groupBy(col(queryIdCol))
+      .agg(collect_list(struct(col(idCol).cast("long"), col(relevanceCol).cast("double"),
+        col(vecCol))).as("__cands"))
+      .withColumn("__sel", explode(mmr(col("__cands"))))
+      .select(col(queryIdCol),
+        col("__sel._1").as(idCol),
+        round(col("__sel._2") + lit(1e-9), roundScale).as("mmr_score"),
+        col("__sel._3").as("mmr_rank"))
+  }
 }

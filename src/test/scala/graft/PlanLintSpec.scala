@@ -60,6 +60,9 @@ class PlanLintSpec extends SparkSpec {
     // lists for the oracle; the rrfFuse OPERATOR under test only ever sees
     // per-query top-k-bounded lists (no corpus-sized side)
     "q_hybrid_rrf" -> Set("broadcast_nested_loop"),
+    // same gate-only 3-row query-frame cross (mmrSelect's own input is the
+    // retriever's bounded candidate list)
+    "q_mmr" -> Set("broadcast_nested_loop"),
     // bounded global windows: ordered cumsum / row_number over an
     // ALREADY-AGGREGATED frame whose row count is the distinct-value /
     // bucket count, not the corpus (the same boundedness these operators

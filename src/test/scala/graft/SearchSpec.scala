@@ -98,6 +98,36 @@ class SearchSpec extends SparkSpec {
     assert(fused.map(_.getLong(1)).toSet == Set(1L, 2L, 4L), s"fused: ${fused.toSeq}")
   }
 
+  test("mmrSelect: hand-computed greedy with non-binary cosines; lambda=1 is pure relevance") {
+    // vectors at 0°, 45°, 90°: cos(0°,45°) = cos(45°,90°) = √2/2 ≈ .7071
+    // relevance: d1 .9 (0°), d2 .8 (45°), d3 .7 (90°); λ = 0.5
+    //   pick1: d1 (.45)
+    //   then d2: .5·.8 − .5·.7071 = .0464;  d3: .5·.7 − 0 = .35 → d3
+    //   then d2: maxSim vs {d1,d3} = .7071 → .0464 → d2 last
+    val r2 = (math.sqrt(2.0) / 2).toFloat
+    val cands = Seq(
+      (1L, 1L, 0.9, Array(1.0f, 0.0f)),
+      (1L, 2L, 0.8, Array(r2, r2)),
+      (1L, 3L, 0.7, Array(0.0f, 1.0f))).toDF("qid", "id", "rel", "vec")
+    val out = Search.mmrSelect(cands, "qid", "id", "rel", "vec", k = 3, lambda = 0.5)
+      .orderBy("mmr_rank").select("id", "mmr_score").collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 3L, 2L), s"greedy order: ${out.toSeq}")
+    assert(math.abs(out(0).getDouble(1) - 0.45) < 1e-6)
+    assert(math.abs(out(2).getDouble(1) - (0.4 - 0.5 * math.sqrt(2.0) / 2)) < 1e-6)
+    // λ=1 degenerates to relevance order (penalty term gone)
+    val pure = Search.mmrSelect(cands, "qid", "id", "rel", "vec", k = 3, lambda = 1.0)
+      .orderBy("mmr_rank").select("id").as[Long].collect()
+    assert(pure.toSeq == Seq(1L, 2L, 3L), s"lambda=1 order: ${pure.toSeq}")
+    // exact duplicates of the top pick sink below a diverse lower-relevance doc
+    val dup = Seq(
+      (1L, 1L, 0.9, Array(1.0f, 0.0f)),
+      (1L, 2L, 0.89, Array(1.0f, 0.0f)),
+      (1L, 3L, 0.2, Array(0.0f, 1.0f))).toDF("qid", "id", "rel", "vec")
+    val d = Search.mmrSelect(dup, "qid", "id", "rel", "vec", k = 3, lambda = 0.5)
+      .orderBy("mmr_rank").select("id").as[Long].collect()
+    assert(d.toSeq == Seq(1L, 3L, 2L), s"duplicate demotion: ${d.toSeq}")
+  }
+
   test("bm25TopK: repeated query term counts once; rarer term outweighs common one") {
     val docs = Seq(
       (1L, "rare common common"),
