@@ -120,7 +120,11 @@ object PipelineConfig {
       case "aggregate" =>
         Aggregate(strSeq(params, "group_by"), parseAggregations(params.getOrElse("aggregations", null)))
       case "join" =>
-        Join(str(params, "right_table"), strSeq(params, "on"), str(params, "condition"),
+        // `using` aliases `on`: bare `on:` is a YAML 1.1 BOOLEAN token, so
+        // an unquoted `on: [k]` silently parses as key `true` and the join
+        // "loses" its keys — accept the unambiguous spelling too
+        val joinOn = { val o = strSeq(params, "on"); if (o.nonEmpty) o else strSeq(params, "using") }
+        Join(str(params, "right_table"), joinOn, str(params, "condition"),
           str(params, "join_type", "inner"), str(params, "broadcast", "false").toBoolean)
       case "sort" =>
         val asc = params.get("ascending") match {

@@ -184,6 +184,41 @@ class PipelineSpec extends SparkSpec {
     assert(out.toSeq == (2001L to 2010L), s"survivors: ${out.toSeq}")
   }
 
+  test("YAML rrf_fuse + mmr_select compose a retrieval post-processing pipeline") {
+    val in = Files.createTempDirectory("graft_retrieval").toString
+    // two ranked lists sharing a (qid, doc) space; docs 1/2 appear in both
+    Seq((1L, 1L, 1), (1L, 2L, 2), (1L, 3L, 3)).toDF("query_id", "doc_id", "rank")
+      .coalesce(1).write.mode("overwrite").parquet(in + "/lex")
+    Seq((1L, 2L, 1), (1L, 1L, 2), (1L, 4L, 3)).toDF("query_id", "doc_id", "rank")
+      .coalesce(1).write.mode("overwrite").parquet(in + "/sem")
+    // embeddings: docs 1 and 2 are near-identical directions, 3/4 diverse
+    Seq((1L, Array(1.0f, 0.0f)), (2L, Array(1.0f, 0.0f)),
+        (3L, Array(0.0f, 1.0f)), (4L, Array(0.7f, 0.7f)))
+      .toDF("doc_id", "embedding")
+      .coalesce(1).write.mode("overwrite").parquet(in + "/vecs")
+    val yaml =
+      s"""name: retrieval_post
+         |sources:
+         |  - { type: parquet, path: "$in/lex", table: main }
+         |  - { type: parquet, path: "$in/sem", table: semantic }
+         |  - { type: parquet, path: "$in/vecs", table: vectors }
+         |operations:
+         |  - { type: text_processing, params: { operation: rrf_fuse, lists: [semantic],
+         |        id_column: doc_id, k: 4 } }
+         |  - { type: join, params: { right_table: vectors, "on": [doc_id] } }
+         |  - { type: text_processing, params: { operation: mmr_select, id_column: doc_id,
+         |        relevance_column: rrf_score, vector_column: embedding, k: 3, lambda: 0.5 } }
+         |""".stripMargin
+    val conf = Pipeline.fromYaml(yaml)
+    val (primary, catalog) = Pipeline.load(spark, conf)
+    val out = graft.core.OpCompiler.compile(conf.operations, catalog)(primary)
+      .orderBy("mmr_rank").select("doc_id").as[Long].collect()
+    // RRF puts consensus docs 1/2 first; MMR keeps one of them on top and
+    // promotes a diverse doc over the near-duplicate
+    assert(out.length == 3 && Set(1L, 2L).contains(out(0)), s"selection: ${out.toSeq}")
+    assert(out.toSet.intersect(Set(3L, 4L)).nonEmpty, s"no diversity: ${out.toSeq}")
+  }
+
   test("YAML para_dedup, dup_spans and quantile_grouped binning compose") {
     val in = Files.createTempDirectory("graft_para").toString
     Seq(
