@@ -608,7 +608,12 @@ object OpCompiler {
         require(tables != null, "near_dedup_against requires a table catalog")
         require(s(p, "corpus_table") != null,
           "near_dedup_against requires params.corpus_table (name of the accepted-snapshot table)")
-        val dupIds = Dedup.minhashCandidatesAgainst(df, tables(s(p, "corpus_table")),
+        // column-name parity with dedup_against: a snapshot whose text/id
+        // columns are named differently maps them here (round-6 review)
+        val snapshot = tables(s(p, "corpus_table"))
+          .withColumnRenamed(s(p, "corpus_text_column", text), text)
+          .withColumnRenamed(s(p, "corpus_id_column", id), id)
+        val dupIds = Dedup.minhashCandidatesAgainst(df, snapshot,
             text, id,
             s(p, "shingle_n", "3").toInt, s(p, "num_hashes", "64").toInt,
             s(p, "bands", "16").toInt, s(p, "threshold", "0.8").toDouble)

@@ -156,8 +156,7 @@ object Search {
     val scored = unioned
       .groupBy(col(queryIdCol), col(idCol))
       .agg(round(sum(lit(1.0) / (lit(kRrf.toDouble) + col("__r"))) + lit(1e-9), roundScale)
-        .as("rrf_score"),
-        count(lit(1)).as("__n_lists"))
+        .as("rrf_score"))
     val w = Window.partitionBy(col(queryIdCol))
       .orderBy(col("rrf_score").desc, col(idCol).asc)
     scored.withColumn("rank", row_number().over(w))
@@ -202,34 +201,37 @@ object Search {
       val arr = cands.sortBy(_.getLong(0)).toArray
       val n = arr.length
       val ids = arr.map(_.getLong(0))
-      val rels = arr.map(_.getDouble(1))
-      val vecs = arr.map(_.getSeq[Float](2).toArray)
-      val norms = vecs.map(v => math.sqrt(v.map(x => x.toDouble * x).sum))
+      // NaN relevance sinks to the bottom instead of poisoning every
+      // comparison in the greedy loop (round-6 review: an all-NaN final
+      // round left best = -1 and crashed the task)
+      val rels = arr.map { r =>
+        val v = r.getDouble(1); if (v.isNaN) Double.NegativeInfinity else v
+      }
+      val vecs = arr.map(_.getSeq[Double](2).toArray)
+      val norms = vecs.map(v => math.sqrt(v.map(x => x * x).sum))
       def cos(i: Int, j: Int): Double = {
         val d = norms(i) * norms(j)
         if (d == 0) 0.0
-        else vecs(i).zip(vecs(j)).map { case (a, b) => a.toDouble * b }.sum / d
+        else vecs(i).zip(vecs(j)).map { case (a, b) => a * b }.sum / d
       }
-      val selected = scala.collection.mutable.ArrayBuffer[Int]()
       val picked = new Array[Boolean](n)
       val maxSim = Array.fill(n)(0.0)
       val out = scala.collection.mutable.ArrayBuffer[(Long, Double, Int)]()
       var rank = 1
       while (rank <= math.min(k, n)) {
+        // id-ascending scan order IS the tie-break: on equal scores the
+        // earlier (smaller-id) candidate stays `best`
         var best = -1; var bestScore = Double.NegativeInfinity
         var i = 0
         while (i < n) {
           if (!picked(i)) {
             val s = lambda * rels(i) -
-              (1 - lambda) * (if (selected.isEmpty) 0.0 else maxSim(i))
-            if (s > bestScore || (s == bestScore && best >= 0 && ids(i) < ids(best))) {
-              best = i; bestScore = s
-            }
+              (1 - lambda) * (if (rank == 1) 0.0 else maxSim(i))
+            if (best == -1 || s > bestScore) { best = i; bestScore = s }
           }
           i += 1
         }
         picked(best) = true
-        selected += best
         out += ((ids(best), bestScore, rank))
         var j = 0
         while (j < n) { // update incremental max-sim against the new pick
@@ -241,9 +243,14 @@ object Search {
       out.toSeq
     }
     candidates
+      // null relevance/vector rows cannot rank (and would NPE in the UDF)
+      .filter(col(relevanceCol).isNotNull && col(vecCol).isNotNull)
       .groupBy(col(queryIdCol))
+      // array<double> cast: callers hand float or double embeddings; the
+      // row decoder must see ONE type (review: a double vector column
+      // ClassCastException'd per element deep in the executor)
       .agg(collect_list(struct(col(idCol).cast("long"), col(relevanceCol).cast("double"),
-        col(vecCol))).as("__cands"))
+        col(vecCol).cast("array<double>"))).as("__cands"))
       .withColumn("__sel", explode(mmr(col("__cands"))))
       .select(col(queryIdCol),
         col("__sel._1").as(idCol),
