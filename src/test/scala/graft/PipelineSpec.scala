@@ -182,6 +182,19 @@ class PipelineSpec extends SparkSpec {
     val out = graft.core.OpCompiler.compile(conf.operations, catalog)(primary)
       .select("doc_id").as[Long].collect().sorted
     assert(out.toSeq == (2001L to 2010L), s"survivors: ${out.toSeq}")
+    // column-name parity with dedup_against: a snapshot with differently
+    // named text/id columns maps via corpus_text_column / corpus_id_column
+    snap.withColumnRenamed("text", "body").withColumnRenamed("doc_id", "sid")
+      .coalesce(1).write.mode("overwrite").parquet(in + "/snap2")
+    val yaml2 = yaml
+      .replace(s""""$in/snap"""", s""""$in/snap2"""")
+      .replace("corpus_table: snapshot, threshold: 0.8",
+        "corpus_table: snapshot, threshold: 0.8, corpus_text_column: body, corpus_id_column: sid")
+    val conf2 = Pipeline.fromYaml(yaml2)
+    val (primary2, catalog2) = Pipeline.load(spark, conf2)
+    val out2 = graft.core.OpCompiler.compile(conf2.operations, catalog2)(primary2)
+      .select("doc_id").as[Long].collect().sorted
+    assert(out2.toSeq == (2001L to 2010L), s"renamed-snapshot survivors: ${out2.toSeq}")
   }
 
   test("YAML rrf_fuse + mmr_select compose a retrieval post-processing pipeline") {

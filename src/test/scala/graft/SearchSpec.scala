@@ -128,6 +128,21 @@ class SearchSpec extends SparkSpec {
     assert(d.toSeq == Seq(1L, 3L, 2L), s"duplicate demotion: ${d.toSeq}")
   }
 
+  test("mmrSelect: NaN/null relevance and double vectors don't crash; NaN ranks last") {
+    // regression (round-6 review): an all-NaN final round left best = -1
+    // and threw AIOOBE; null relevance NPE'd in the UDF; double vectors
+    // ClassCastException'd per element
+    val cands = Seq(
+      (1L, 1L, Some(0.9), Array(1.0, 0.0)),
+      (1L, 2L, Some(Double.NaN), Array(0.0, 1.0)),
+      (1L, 3L, None: Option[Double], Array(0.5, 0.5)),
+      (1L, 4L, Some(0.5), Array(0.0, 1.0))).toDF("qid", "id", "rel", "vec")
+    val out = Search.mmrSelect(cands, "qid", "id", "rel", "vec", k = 4, lambda = 0.5)
+      .orderBy("mmr_rank").select("id").as[Long].collect()
+    // null row filtered; NaN candidate still emitted but last
+    assert(out.toSeq == Seq(1L, 4L, 2L), s"order: ${out.toSeq}")
+  }
+
   test("bm25TopK: repeated query term counts once; rarer term outweighs common one") {
     val docs = Seq(
       (1L, "rare common common"),
