@@ -92,7 +92,10 @@ object Bench {
     "q_image_neardup",       // real decode → dHash → Hamming block join
     "q_weighted_sample",     // md5-keyed A-ES weighted sample, grouped top-k
     // round-6 additions
-    "q_join_analytic"        // TPC-H Q3 shape: dim broadcast + big-big AQE join + top-k
+    "q_join_analytic",       // TPC-H Q3 shape: dim broadcast + big-big AQE join + top-k
+    "q_ts_ewm",              // affine segmented scan (ex per-key flatMapGroups)
+    "q_sessionize",          // segmented prefix scan (ex lag+running-sum window)
+    "q_transitions"          // segmented adjacent pairs (ex per-entity lead window)
   )
 
   def main(args: Array[String]): Unit = {
