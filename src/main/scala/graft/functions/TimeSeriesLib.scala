@@ -659,14 +659,19 @@ object TimeSeriesLib {
     // and a zero/negative gap is semantically meaningless anyway
     require(gapSeconds > 0, s"sessionize: gapSeconds must be positive, got $gapSeconds")
     val spark = df.sparkSession
-    import spark.implicits._
     val gapMicros = gapSeconds * 1000000L
     val keyCol = to_json(struct(keys.map(col): _*))
-    val sorted = df.select(keyCol.as("__key"), unix_micros(col(tsCol)).as("__ord"))
-      .filter(col("__ord").isNotNull)
+    // FULL rows ride the range shuffle (one corpus exchange total, same
+    // bytes as the old window formulation) — an id-only scan + join-back
+    // would pay two more corpus-sized exchanges just to reunite rows with
+    // their ordinals
+    val pre = df.withColumn("__key", keyCol)
+      .withColumn("__ord", unix_micros(col(tsCol)))
+    val sorted = pre.filter(col("__ord").isNotNull)
       .repartitionByRange(col("__key"), col("__ord"))
       .sortWithinPartitions("__key", "__ord")
-      .as[(String, Long)]
+    val keyIdx = sorted.schema.fieldNames.indexOf("__key")
+    val ordIdx = sorted.schema.fieldNames.indexOf("__ord")
 
     // pass 1: first/last chunk summaries — (firstTs, lastTs, session count
     // under a FRESH start). Only the first row's is-new flag depends on the
@@ -677,7 +682,8 @@ object TimeSeriesLib {
       var cur: String = null; var firstTs = 0L; var prevTs = 0L; var cnt = 0L
       var first: Chunk = null; var any = false
       def chunk() = Chunk(cur, firstTs, prevTs, cnt)
-      it.foreach { case (key, ts) =>
+      it.foreach { r =>
+        val key = r.getString(keyIdx); val ts = r.getLong(ordIdx)
         if (!any) { any = true; cur = key; firstTs = ts; prevTs = ts; cnt = 1L }
         else if (key != cur) {
           if (first == null) first = chunk()
@@ -707,39 +713,50 @@ object TimeSeriesLib {
     }
     val bIncoming = spark.sparkContext.broadcast(incoming.toMap)
 
-    // pass 2: same shuffle output; emit one (key, ts, session) row per
-    // distinct (key, ts) — tied events share the post-group ordinal
-    val sessRdd = sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
+    // pass 2: same shuffle output, rows re-emitted WITH their ordinal —
+    // tied events share the post-group ordinal, so each (key, ts) tie
+    // group is buffered (bounded by the tie width) and flushed together
+    val outRdd = sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
       val rows = it.buffered
-      new Iterator[(String, Long, Long)] {
-        var cur: String = null
-        var started = false
-        var cnt = 0L; var prevTs = 0L; var havePrev = false
-        def hasNext: Boolean = rows.hasNext
-        def next(): (String, Long, Long) = {
-          val (key, ts) = rows.head
-          if (key != cur) {
-            if (!started) {
-              started = true
-              bIncoming.value.get(pid) match {
-                case Some((c, t)) => cnt = c; prevTs = t; havePrev = true
-                case None         => cnt = 0L; havePrev = false
-              }
-            } else { cnt = 0L; havePrev = false }
-            cur = key
+      var cur: String = null
+      var started = false
+      var cnt = 0L; var prevTs = 0L; var havePrev = false
+      new Iterator[org.apache.spark.sql.Row] {
+        private var pending: Iterator[org.apache.spark.sql.Row] = Iterator.empty
+        def hasNext: Boolean = pending.hasNext || rows.hasNext
+        def next(): org.apache.spark.sql.Row = {
+          if (!pending.hasNext) {
+            val key = rows.head.getString(keyIdx); val ts = rows.head.getLong(ordIdx)
+            if (key != cur) {
+              if (!started) {
+                started = true
+                bIncoming.value.get(pid) match {
+                  case Some((c, t)) => cnt = c; prevTs = t; havePrev = true
+                  case None         => cnt = 0L; havePrev = false
+                }
+              } else { cnt = 0L; havePrev = false }
+              cur = key
+            }
+            if (!havePrev || ts - prevTs >= gapMicros) cnt += 1L
+            prevTs = ts; havePrev = true
+            val group = scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.Row]()
+            while (rows.hasNext && rows.head.getString(keyIdx) == key &&
+              rows.head.getLong(ordIdx) == ts) group += rows.next()
+            val c = cnt
+            pending = group.iterator.map(r => org.apache.spark.sql.Row.fromSeq(r.toSeq :+ c))
           }
-          if (!havePrev || ts - prevTs >= gapMicros) cnt += 1L
-          prevTs = ts; havePrev = true
-          while (rows.hasNext && rows.head._1 == key && rows.head._2 == ts) rows.next()
-          (key, ts, cnt)
+          pending.next()
         }
       }
     }
-    val sess = sessRdd.toDF("__key", "__ord", sessionCol)
-    df.withColumn("__key", keyCol)
-      .withColumn("__ord", unix_micros(col(tsCol)))
-      .join(sess, Seq("__key", "__ord"), "left")
-      .drop("__key", "__ord")
+    val outSchema = org.apache.spark.sql.types.StructType(
+      sorted.schema.fields :+ org.apache.spark.sql.types.StructField(
+        sessionCol, org.apache.spark.sql.types.LongType))
+    val withSess = spark.createDataFrame(outRdd, outSchema)
+    // null event times have no position in the scan → null session id
+    val nullRows = pre.filter(col("__ord").isNull)
+      .withColumn(sessionCol, lit(null).cast("long"))
+    withSess.unionByName(nullRows).drop("__key", "__ord")
   }
 
   /** Collapse sessionized events to one row per (key, session): bounds,
