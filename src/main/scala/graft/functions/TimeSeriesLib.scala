@@ -389,14 +389,16 @@ object TimeSeriesLib {
         s"'$orderCol' is $other — a fractional order key would collide under truncation")
     }
     val oneMinus = 1.0 - alpha
-    // null order keys have no position in the scan — skipped here, they
-    // pick up a null EWM through the left join below. RangePartitioner
-    // keeps equal (key, ord) rows in one partition, so tie groups never
-    // straddle a boundary.
-    val sorted = df.select(
-        keyCol.as("__key"), ordCol.as("__ord"),
-        col(valueCol).cast(DoubleType).as("__val"))
-      .filter(col("__ord").isNotNull)
+    // null order keys have no position in the scan — they bypass below and
+    // carry a null EWM. RangePartitioner keeps equal (key, ord) rows in
+    // one partition, so tie groups never straddle a boundary. FULL rows
+    // ride the range shuffle (one corpus exchange; the previous id-only
+    // scan + join-back paid two more corpus-sized exchanges to reunite
+    // rows with their EWM — sessionize's round-6 lesson applied here too).
+    val pre = df.withColumn("__key", keyCol)
+      .withColumn("__ord", ordCol)
+      .withColumn("__val", col(valueCol).cast(DoubleType))
+    val sorted = pre.filter(col("__ord").isNotNull)
       .repartitionByRange(col("__key"), col("__ord"))
       // __val as tertiary sort key: rows tied on (key, ord) with DIFFERENT
       // values must fold in one deterministic order, or the pass-1 chunk
@@ -405,7 +407,9 @@ object TimeSeriesLib {
       // partitions an incoming state matching no single scan (round-6
       // review; any fixed tie order is as valid as the old arbitrary one)
       .sortWithinPartitions("__key", "__ord", "__val")
-      .as[(String, Long, Option[Double])]
+    val keyIdx = sorted.schema.fieldNames.indexOf("__key")
+    val ordIdx = sorted.schema.fieldNames.indexOf("__ord")
+    val valIdx = sorted.schema.fieldNames.indexOf("__val")
 
     // pass 1: first/last chunk affine summaries per partition
     val summaries: Array[(Int, EwmPartSummary)] =
@@ -415,13 +419,15 @@ object TimeSeriesLib {
         var first: EwmChunk = null
         var any = false
         def chunk() = EwmChunk(cur, pow, bNum, bDen)
-        it.foreach { case (key, _, v) =>
+        it.foreach { r =>
+          val key = r.getString(keyIdx)
           if (!any) { cur = key; any = true }
           else if (key != cur) {
             if (first == null) first = chunk()
             cur = key; pow = 1.0; bNum = 0.0; bDen = 0.0
           }
-          v.foreach { x =>
+          if (!r.isNullAt(valIdx)) {
+            val x = r.getDouble(valIdx)
             pow *= oneMinus; bNum = bNum * oneMinus + x; bDen = bDen * oneMinus + 1.0
           }
         }
@@ -451,42 +457,53 @@ object TimeSeriesLib {
     }
     val bIncoming = spark.sparkContext.broadcast(incoming.toMap)
 
-    // pass 2: same shuffle output, sequential scan per partition seeded by
-    // the incoming state; one output row per (key, ord) — ties on __ord
-    // keep the state AFTER the whole tie group (pandas parity with the old
-    // LinkedHashMap formulation)
-    val ewmRdd = sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
+    // pass 2: same shuffle output, rows re-emitted WITH their EWM — ties
+    // on __ord keep the state AFTER the whole tie group (pandas parity
+    // with the old LinkedHashMap formulation), so each tie group is
+    // buffered (bounded by the tie width) and flushed together
+    val outRdd = sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
       // NB: named `rows`, not `buffered` — inside `new Iterator` that name
       // would resolve to the INHERITED Iterator.buffered method (shadowing
       // the local) and recurse hasNext→buffered→hasNext to a StackOverflow
       val rows = it.buffered
-      new Iterator[(String, Long, Option[Double])] {
-        var cur: String = null
-        var started = false
-        var num = 0.0; var den = 0.0
-        def hasNext: Boolean = rows.hasNext
-        def next(): (String, Long, Option[Double]) = {
-          val (key, ord, _) = rows.head
-          if (key != cur) {
-            val in = if (!started) bIncoming.value.getOrElse(pid, (0.0, 0.0)) else (0.0, 0.0)
-            num = in._1; den = in._2; cur = key; started = true
-          }
-          // consume the whole (key, ord) tie group
-          while (rows.hasNext && rows.head._1 == key && rows.head._2 == ord) {
-            rows.next()._3.foreach { x =>
-              num = num * oneMinus + x; den = den * oneMinus + 1.0
+      var cur: String = null
+      var started = false
+      var num = 0.0; var den = 0.0
+      new Iterator[org.apache.spark.sql.Row] {
+        private var pending: Iterator[org.apache.spark.sql.Row] = Iterator.empty
+        def hasNext: Boolean = pending.hasNext || rows.hasNext
+        def next(): org.apache.spark.sql.Row = {
+          if (!pending.hasNext) {
+            val key = rows.head.getString(keyIdx); val ord = rows.head.getLong(ordIdx)
+            if (key != cur) {
+              val in = if (!started) bIncoming.value.getOrElse(pid, (0.0, 0.0)) else (0.0, 0.0)
+              num = in._1; den = in._2; cur = key; started = true
             }
+            val group = scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.Row]()
+            while (rows.hasNext && rows.head.getString(keyIdx) == key &&
+              rows.head.getLong(ordIdx) == ord) {
+              val r = rows.next()
+              if (!r.isNullAt(valIdx)) {
+                val x = r.getDouble(valIdx)
+                num = num * oneMinus + x; den = den * oneMinus + 1.0
+              }
+              group += r
+            }
+            val e: Any = if (den > 0) num / den else null
+            pending = group.iterator.map(r => org.apache.spark.sql.Row.fromSeq(r.toSeq :+ e))
           }
-          (key, ord, if (den > 0) Some(num / den) else None)
+          pending.next()
         }
       }
     }
-    val ewm = ewmRdd.toDF("__key", "__ord", s"${valueCol}_ewm")
-    // join back so callers keep their original columns
-    df.withColumn("__key", keyCol)
-      .withColumn("__ord", ordCol)
-      .join(ewm, Seq("__key", "__ord"), "left")
-      .drop("__key", "__ord")
+    val outSchema = org.apache.spark.sql.types.StructType(
+      sorted.schema.fields :+ org.apache.spark.sql.types.StructField(
+        s"${valueCol}_ewm", org.apache.spark.sql.types.DoubleType))
+    val withEwm = spark.createDataFrame(outRdd, outSchema)
+    // null order keys have no position in the scan → null EWM
+    val nullRows = pre.filter(col("__ord").isNull)
+      .withColumn(s"${valueCol}_ewm", lit(null).cast("double"))
+    withEwm.unionByName(nullRows).drop("__key", "__ord", "__val")
   }
 
   /** Savitzky–Golay smoothing (time_series.py:448-470): the symmetric FIR
