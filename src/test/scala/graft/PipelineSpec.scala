@@ -232,6 +232,38 @@ class PipelineSpec extends SparkSpec {
     assert(out.toSet.intersect(Set(3L, 4L)).nonEmpty, s"no diversity: ${out.toSeq}")
   }
 
+  test("examples/sales_pipeline.yaml and quality_pipeline.yaml run end-to-end on sf0.001") {
+    // the remaining batch examples execute too — every committed example
+    // must run, not just parse
+    for (name <- Seq("sales_pipeline", "quality_pipeline")) {
+      val yaml = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(s"examples/$name.yaml")), "UTF-8")
+        .replace("storage: { type: parquet, path: \"/tmp/graft_examples/sales_out\", mode: overwrite }",
+          "storage: { type: noop, path: \"\" }")
+      val conf = Pipeline.fromYaml(yaml)
+      val (primary, catalog) = Pipeline.load(spark, conf)
+      val out = graft.core.OpCompiler.compile(conf.operations, catalog)(primary)
+      assert(out.count() > 0, s"$name produced no rows")
+    }
+  }
+
+  test("examples/stream_pipeline.yaml runs on a real file stream") {
+    val in = Files.createTempDirectory("graft_stream_example").toString
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$in/b1.json"),
+      """{"ts":"2024-01-01T00:01:00.000Z","user":"a","v":1.0}
+        |{"ts":"2024-01-01T00:02:00.000Z","user":"b","v":2.0}""".stripMargin)
+    val yaml = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("examples/stream_pipeline.yaml")), "UTF-8")
+    val conf = graft.streaming.StreamPipeline.fromYaml(
+      yaml.replace("${GRAFT_STREAM_IN:/tmp/graft_stream_in}", in))
+    val q = graft.streaming.StreamPipeline.start(spark, conf)
+    try {
+      q.processAllAvailable()
+      val n = spark.sql("SELECT count(*) FROM events_stream_out").first().getLong(0)
+      assert(n == 2L, s"expected 2 windowed rows, got $n")
+    } finally q.stop()
+  }
+
   test("YAML para_dedup, dup_spans and quantile_grouped binning compose") {
     val in = Files.createTempDirectory("graft_para").toString
     Seq(
