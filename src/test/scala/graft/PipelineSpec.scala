@@ -197,6 +197,27 @@ class PipelineSpec extends SparkSpec {
     assert(out2.toSeq == (2001L to 2010L), s"renamed-snapshot survivors: ${out2.toSeq}")
   }
 
+  test("examples/retrieval_pipeline.yaml runs end-to-end on synthetic ranked lists") {
+    val in = Files.createTempDirectory("graft_retrieval_ex").toString
+    Seq((1L, 1L, 1), (1L, 2L, 2), (1L, 3L, 3)).toDF("query_id", "doc_id", "rank")
+      .coalesce(1).write.mode("overwrite").parquet(in + "/lex")
+    Seq((1L, 2L, 1), (1L, 1L, 2), (1L, 4L, 3)).toDF("query_id", "doc_id", "rank")
+      .coalesce(1).write.mode("overwrite").parquet(in + "/sem")
+    Seq((1L, Array(1.0f, 0.0f)), (2L, Array(1.0f, 0.0f)),
+        (3L, Array(0.0f, 1.0f)), (4L, Array(0.7f, 0.7f)))
+      .toDF("doc_id", "embedding").coalesce(1).write.mode("overwrite").parquet(in + "/vecs")
+    val yaml = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("examples/retrieval_pipeline.yaml")), "UTF-8")
+      .replace("${GRAFT_LEX:/tmp/graft_retrieval/lex}", in + "/lex")
+      .replace("${GRAFT_SEM:/tmp/graft_retrieval/sem}", in + "/sem")
+      .replace("${GRAFT_VEC:/tmp/graft_retrieval/vecs}", in + "/vecs")
+    val conf = Pipeline.fromYaml(yaml)
+    val (primary, catalog) = Pipeline.load(spark, conf)
+    val out = graft.core.OpCompiler.compile(conf.operations, catalog)(primary)
+    assert(out.count() == 4 && out.columns.contains("mmr_rank"),
+      "example retrieval pipeline must emit MMR-ranked context")
+  }
+
   test("YAML rrf_fuse + mmr_select compose a retrieval post-processing pipeline") {
     val in = Files.createTempDirectory("graft_retrieval").toString
     // two ranked lists sharing a (qid, doc) space; docs 1/2 appear in both
