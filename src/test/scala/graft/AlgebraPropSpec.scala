@@ -164,6 +164,45 @@ class AlgebraPropSpec extends SparkSpec {
     assert(ab.getDouble(2) > 0 && ab.getDouble(2) <= math.log(2.0) + 1e-12)
   }
 
+  test("rrfFuse is list-order invariant and score-monotone in rank") {
+    samples.take(4).foreach { rows =>
+      // two ranked lists derived from the sample: ids ranked by v and by id
+      val df = rows.toDF("id", "grp", "v").dropDuplicates("id").limit(30)
+      val byV = df.withColumn("rank", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy($"v".desc, $"id"))).select(
+        org.apache.spark.sql.functions.lit(1L).as("qid"), $"id", $"rank")
+      val byId = df.withColumn("rank", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy($"id"))).select(
+        org.apache.spark.sql.functions.lit(1L).as("qid"), $"id", $"rank")
+      val ab = graft.text.Search.rrfFuse(Seq(byV, byId), "qid", "id", k = 10)
+        .orderBy("rank").collect().map(r => (r.getInt(1), r.getDouble(2)))
+      val ba = graft.text.Search.rrfFuse(Seq(byId, byV), "qid", "id", k = 10)
+        .orderBy("rank").collect().map(r => (r.getInt(1), r.getDouble(2)))
+      assert(ab.toSeq == ba.toSeq, "fusion must not depend on list order")
+      // rrf_score non-increasing down the fused ranking
+      ab.map(_._2).sliding(2).foreach { case Array(a, b) => assert(a >= b); case _ => }
+    }
+  }
+
+  test("sessionize: ids contiguous from 1 per key, non-decreasing in event time") {
+    samples.take(3).foreach { rows =>
+      val df = rows.map { case (id, grp, v) =>
+        (grp, new java.sql.Timestamp(1700000000000L + (math.abs(v) * 1e7).toLong + id))
+      }.toDF("u", "ts")
+      val out = graft.functions.TimeSeriesLib.sessionize(df, "ts", 30L, Seq("u"))
+        .select($"u", $"ts", $"session_id").orderBy("u", "ts")
+        .as[(String, java.sql.Timestamp, Long)].collect()
+      out.groupBy(_._1).foreach { case (_, evs) =>
+        val sids = evs.sortBy(_._2.getTime).map(_._3)
+        assert(sids.head == 1L, "first session of each key is 1")
+        sids.sliding(2).foreach {
+          case Array(a, b) => assert(b == a || b == a + 1, s"session ids must step by ≤1: $a -> $b")
+          case _ =>
+        }
+      }
+    }
+  }
+
   test("approx aggregates track exact within tolerance") {
     samples.take(3).foreach { rows =>
       val df = rows.toDF("id", "grp", "v")
