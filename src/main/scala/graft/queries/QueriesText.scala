@@ -771,9 +771,13 @@ object QueriesText {
         .orderBy("doc_id")),
 
     "q_quality_classifier" -> ((s, dir) => {
-      // bootstrap from the LM score: pseudo-label extremes, train LR over
-      // the heuristic features, score everything. L-BFGS coefficients are
-      // float-order-dependent → rows-only gate; laws in QualityFeSpec
+      // LAW gate (round 6): L-BFGS coefficients are float-order-dependent,
+      // but logistic regression is CONVEX — the optimum is essentially
+      // unique — so two laws are stable contracts: every probability lies
+      // in [0, 1], and the trained model SEPARATES its own pseudo-labels
+      // (mean prob of label-1 docs > mean prob of label-0 docs; the
+      // QualityFeSpec separation law promoted into the driver's oracle).
+      // The oracle also pins that every document was scored.
       val feats = TextLib.qualityFeatures(t(s, dir, "documents"), "text")
       val scored = TextLib.unigramScore(feats, "text", "doc_id", vocabSize = 2000)
       val labeled = graft.quality.QualityClassifier.pseudoLabelByQuantile(scored, "lm_logprob")
@@ -781,8 +785,13 @@ object QueriesText {
         Seq("punct_ratio", "digit_ratio", "upper_ratio", "mean_word_len",
           "stopword_ratio", "n_words"))
       graft.quality.QualityClassifier.score(labeled, m)
-        .select(col("doc_id"), col("quality_label"), col("quality_prob").isNotNull.as("scored"))
-        .orderBy("doc_id")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(when(col("quality_prob").isNull ||
+            col("quality_prob") < 0 || col("quality_prob") > 1, 1L).otherwise(0L))
+            .as("n_bad_prob"),
+          (avg(when(col("quality_label") === 1, col("quality_prob"))) >
+            avg(when(col("quality_label") === 0, col("quality_prob"))))
+            .as("separates"))
     }),
 
     "q_script_profile" -> ((s, dir) =>
@@ -1025,6 +1034,13 @@ object QueriesText {
         |  round(0.6 * ((100 - doc_id * 5) / 100.0) - pen + 1e-9, 6) AS mmr_score,
         |  CAST(mmr_rank AS INT) AS mmr_rank
         |FROM q CROSS JOIN sel ORDER BY query_id, mmr_rank""".stripMargin,
+
+    "q_quality_classifier" ->
+      // convexity makes the separation law partitioning-robust: all docs
+      // scored, probabilities legal, pseudo-label separation positive
+      """SELECT count(*) AS n_rows, CAST(0 AS BIGINT) AS n_bad_prob,
+        |  TRUE AS separates
+        |FROM documents""".stripMargin,
 
     "q_hybrid_rrf" ->
       // full replay: both synthetic retriever rankings AND the RRF math
