@@ -459,8 +459,14 @@ object TimeSeriesLib {
 
     // pass 2: same shuffle output, rows re-emitted WITH their EWM — ties
     // on __ord keep the state AFTER the whole tie group (pandas parity
-    // with the old LinkedHashMap formulation), so each tie group is
-    // buffered (bounded by the tie width) and flushed together
+    // with the old LinkedHashMap formulation), which requires buffering
+    // the tie group before emitting. Tie width is bounded by how many
+    // SAME-INSTANT readings one key has — pathological only for degenerate
+    // order keys, so a guard turns the would-be executor OOM into a
+    // diagnosable error telling the caller to use a finer order column
+    // (round-6 review; sessionize streams instead because its ordinal is
+    // known at group start).
+    val maxTieWidth = 1000000
     val outRdd = sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
       // NB: named `rows`, not `buffered` — inside `new Iterator` that name
       // would resolve to the INHERITED Iterator.buffered method (shadowing
@@ -488,6 +494,10 @@ object TimeSeriesLib {
                 num = num * oneMinus + x; den = den * oneMinus + 1.0
               }
               group += r
+              require(group.length <= maxTieWidth,
+                s"smoothEwm: more than $maxTieWidth rows share one (key, $orderCol) " +
+                  "instant — tied readings must buffer to share the post-group EWM; " +
+                  "use a finer-grained order column")
             }
             val e: Any = if (den > 0) num / den else null
             pending = group.iterator.map(r => org.apache.spark.sql.Row.fromSeq(r.toSeq :+ e))
@@ -731,39 +741,30 @@ object TimeSeriesLib {
     val bIncoming = spark.sparkContext.broadcast(incoming.toMap)
 
     // pass 2: same shuffle output, rows re-emitted WITH their ordinal —
-    // tied events share the post-group ordinal, so each (key, ts) tie
-    // group is buffered (bounded by the tie width) and flushed together
+    // STREAMING, O(1) memory per task: a session ordinal is fully
+    // determined at its tie group's FIRST row (tied events see gap 0 and
+    // never increment), so each row emits immediately; no tie-group
+    // buffering (round-6 review: coarse timestamps × one bot key make tie
+    // widths corpus-sized)
     val outRdd = sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
-      val rows = it.buffered
       var cur: String = null
       var started = false
       var cnt = 0L; var prevTs = 0L; var havePrev = false
-      new Iterator[org.apache.spark.sql.Row] {
-        private var pending: Iterator[org.apache.spark.sql.Row] = Iterator.empty
-        def hasNext: Boolean = pending.hasNext || rows.hasNext
-        def next(): org.apache.spark.sql.Row = {
-          if (!pending.hasNext) {
-            val key = rows.head.getString(keyIdx); val ts = rows.head.getLong(ordIdx)
-            if (key != cur) {
-              if (!started) {
-                started = true
-                bIncoming.value.get(pid) match {
-                  case Some((c, t)) => cnt = c; prevTs = t; havePrev = true
-                  case None         => cnt = 0L; havePrev = false
-                }
-              } else { cnt = 0L; havePrev = false }
-              cur = key
+      it.map { r =>
+        val key = r.getString(keyIdx); val ts = r.getLong(ordIdx)
+        if (key != cur) {
+          if (!started) {
+            started = true
+            bIncoming.value.get(pid) match {
+              case Some((c, t)) => cnt = c; prevTs = t; havePrev = true
+              case None         => cnt = 0L; havePrev = false
             }
-            if (!havePrev || ts - prevTs >= gapMicros) cnt += 1L
-            prevTs = ts; havePrev = true
-            val group = scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.Row]()
-            while (rows.hasNext && rows.head.getString(keyIdx) == key &&
-              rows.head.getLong(ordIdx) == ts) group += rows.next()
-            val c = cnt
-            pending = group.iterator.map(r => org.apache.spark.sql.Row.fromSeq(r.toSeq :+ c))
-          }
-          pending.next()
+          } else { cnt = 0L; havePrev = false }
+          cur = key
         }
+        if (!havePrev || ts - prevTs >= gapMicros) cnt += 1L
+        prevTs = ts; havePrev = true
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ cnt)
       }
     }
     val outSchema = org.apache.spark.sql.types.StructType(

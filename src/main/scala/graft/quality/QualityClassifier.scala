@@ -19,9 +19,12 @@ import org.apache.spark.sql.functions._
   * MLlib's distributed L-BFGS; scoring is a broadcast-model projection
   * (one codegen'd pass, no shuffle).
   *
-  * No SQL oracle: L-BFGS coefficients depend on float reduction order —
-  * the gate is rows-only + property specs (separable data → high accuracy,
-  * score monotone in the planted signal).
+  * Oracle strategy (round 6): L-BFGS coefficients depend on float
+  * reduction order, but logistic regression is CONVEX — the optimum is
+  * essentially unique — so the q_quality_classifier gate hard-oracles
+  * LAWS instead of coefficients: all rows scored, probabilities in
+  * [0, 1], positive pseudo-label separation. Property specs add the
+  * planted-signal accuracy/monotonicity checks.
   */
 object QualityClassifier {
 

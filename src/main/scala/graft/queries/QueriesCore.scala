@@ -246,26 +246,36 @@ object QueriesCore {
     "q_sample_seeded" -> ((s, dir) => {
       // LAW gate (round 6): the kept SET is per-partition-RNG/partitioning-
       // dependent by design (the deterministic hash-gate samplers are the
-      // set-stable alternative), but three laws are stable contracts:
-      // every kept row exists in the source (checked via anti-join count),
-      // no row is duplicated (withReplacement = false), and the kept
-      // fraction sits within ±6σ binomial bounds of 0.1 (at sf0.001's
-      // ~6k-row lineitem that is ±2.3 points — far beyond any plausible
-      // RNG drift, while a broken fraction or a with-replacement
-      // regression flips it).
+      // set-stable alternative), but three laws are stable contracts,
+      // all computed IN-PLAN (no eager jobs at registry-planning time):
+      //  - the kept fraction sits within ±6σ binomial bounds of 0.1 (at
+      //    sf0.001's ~6k-row lineitem that is ±2.3 points — far beyond
+      //    plausible RNG drift, caught if the fraction plumbing breaks);
+      //  - no source row is drawn MORE TIMES than it occurs (per-triple
+      //    kept multiplicity ≤ source multiplicity — a with-replacement
+      //    regression duplicates hundreds of rows at this scale and trips
+      //    this deterministically);
+      //  - every kept row exists in the source (overdraw of an absent
+      //    triple is a special case of the multiplicity law, via the left
+      //    join's null source count).
       val li = t(s, dir, "lineitem")
+      val cols = Seq("l_orderkey", "l_linenumber", "l_quantity")
       val kept = li.sample(withReplacement = false, 0.1, 42L)
-        .select("l_orderkey", "l_linenumber", "l_quantity")
-      val nTotal = li.count().toDouble
-      val sigma = math.sqrt(nTotal * 0.1 * 0.9)
-      val lo = 0.1 * nTotal - 6 * sigma
-      val hi = 0.1 * nTotal + 6 * sigma
-      val foreign = kept.join(
-        li.select("l_orderkey", "l_linenumber", "l_quantity"),
-        Seq("l_orderkey", "l_linenumber", "l_quantity"), "left_anti")
-      kept.agg(count(lit(1)).as("__n")).select(
-        (col("__n") >= lo && col("__n") <= hi).as("fraction_in_bounds"),
-        lit(foreign.count()).as("n_foreign_rows"))
+        .select(cols.map(col): _*)
+      val srcCounts = li.select(cols.map(col): _*)
+        .groupBy(cols.map(col): _*).agg(count(lit(1)).as("__n_src"))
+      val overdraw = kept.groupBy(cols.map(col): _*).agg(count(lit(1)).as("__n_kept"))
+        .join(srcCounts, cols, "left")
+        .agg(sum(when(col("__n_kept") > coalesce(col("__n_src"), lit(0L)), 1L)
+          .otherwise(0L)).as("n_overdrawn_triples"))
+      val total = li.agg(count(lit(1)).as("__n_total"))
+      kept.agg(count(lit(1)).as("__n_kept_total"))
+        .crossJoin(broadcast(total))
+        .crossJoin(broadcast(overdraw))
+        .select(
+          (abs(col("__n_kept_total") - lit(0.1) * col("__n_total")) <=
+            lit(6.0) * sqrt(lit(0.09) * col("__n_total"))).as("fraction_in_bounds"),
+          col("n_overdrawn_triples"))
     }),
 
     "q_ratio_divzero" -> ((s, dir) =>
@@ -477,9 +487,10 @@ object QueriesCore {
         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
 
     "q_sample_seeded" ->
-      // sampling laws: fraction within binomial bounds, kept rows a subset
-      // of the source (the kept SET itself is partitioning-dependent RNG)
-      """SELECT TRUE AS fraction_in_bounds, CAST(0 AS BIGINT) AS n_foreign_rows""",
+      // sampling laws: fraction within binomial bounds, no triple drawn
+      // beyond its source multiplicity (the kept SET itself is
+      // partitioning-dependent RNG)
+      """SELECT TRUE AS fraction_in_bounds, CAST(0 AS BIGINT) AS n_overdrawn_triples""",
 
     "q_dedup_keepfirst" ->
       """SELECT l_orderkey, l_linenumber, l_partkey FROM lineitem

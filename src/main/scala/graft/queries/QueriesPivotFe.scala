@@ -5,8 +5,11 @@ import graft.functions.{FeatureLib, PivotLib}
 import QueryUtil._
 
 /** Oracle-backed queries for the pivot library (§2.I) and the
-  * expression-backed feature-engineering surface (§2.K). MLlib-backed members
-  * (kmeans/pca/tfidf) are rows-only here and property-tested in ScalaTest.
+  * feature-engineering surface (§2.K). MLlib-backed members carry
+  * LAW-based hard oracles since round 6 (kmeans: nearest-centroid
+  * violation counts; pca: projection contraction + auto-k bounds) — the
+  * model floats are partitioning-dependent, the laws are not; property
+  * specs add the in-JVM checks.
   */
 object QueriesPivotFe {
 

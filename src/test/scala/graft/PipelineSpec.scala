@@ -257,10 +257,10 @@ class PipelineSpec extends SparkSpec {
     // the remaining batch examples execute too — every committed example
     // must run, not just parse
     for (name <- Seq("sales_pipeline", "quality_pipeline")) {
+      // storage is untouched: the test compiles and counts the op chain
+      // only, never invoking conf.storage
       val yaml = new String(java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get(s"examples/$name.yaml")), "UTF-8")
-        .replace("storage: { type: parquet, path: \"/tmp/graft_examples/sales_out\", mode: overwrite }",
-          "storage: { type: noop, path: \"\" }")
       val conf = Pipeline.fromYaml(yaml)
       val (primary, catalog) = Pipeline.load(spark, conf)
       val out = graft.core.OpCompiler.compile(conf.operations, catalog)(primary)

@@ -31,6 +31,7 @@ class PlanLintSpec extends SparkSpec {
     "q_encode_target" -> Set("broadcast_nested_loop"),     // FeatureLib.encodeTarget: one-row global-prior broadcast
     "q_scale_minmax" -> Set("broadcast_nested_loop"),      // FeatureLib.scaleFeatures global: one-row stats broadcast
     "q_fe_pca" -> Set("broadcast_nested_loop"),            // contraction-law gate: one-row mean/std stats broadcast
+    "q_sample_seeded" -> Set("broadcast_nested_loop"),     // sampling-law gate: two one-row law-aggregate broadcasts
     // whole-frame total over the ALREADY-AGGREGATED <= bins/topK+1-row
     // count frame (cut points / top-K election are driver literals, so
     // each corpus appears once in the plan — see Profiler.psiBins)
