@@ -90,6 +90,23 @@ class MetricsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](ThresholdRule("r", "v", 1.0, "between"))
   }
 
+  test("health checks: gauges + duration recorded, throwing check counts unhealthy") {
+    val (clock, setTime) = fixedClock(0L)
+    val c = new Collector(clock = clock)
+    val h = new HealthChecker(c, clock)
+    h.addCheck("storage", () => true)
+    h.addCheck("jdbc", () => { setTime(clock() + 50L); false })
+    h.addCheck("boom", () => throw new RuntimeException("nope"))
+    val (overall, results) = h.runChecks()
+    assert(!overall)
+    assert(results("storage").healthy && !results("jdbc").healthy)
+    assert(results("boom").error.contains("nope"))
+    assert(c.getMetrics("health_check_storage", "1h").map(_.value) == Seq(1.0))
+    assert(c.getMetrics("health_check_jdbc", "1h").map(_.value) == Seq(0.0))
+    assert(c.getMetrics("health_check_duration_seconds", "1h").size == 2,
+      "throwing check records no duration (reference parity)")
+  }
+
   test("alert lifecycle: fire once, stay active, resolve, reappear in history") {
     val (clock, setTime) = fixedClock(0L)
     val c = new Collector(clock = clock)
