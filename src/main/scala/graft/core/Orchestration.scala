@@ -58,6 +58,22 @@ object Orchestration {
       buf.add(QueryMetric(funcName, -1L, -1L, failed = true))
     def snapshot: Seq[QueryMetric] = buf.asScala.toSeq
     def totalDurationMs: Double = snapshot.filterNot(_.failed).map(_.durationNs).sum / 1e6
+
+    /** Pour the current snapshot into the observability registry
+      * ([[graft.core.Metrics.Collector]]): per action a duration
+      * histogram, an output-rows counter, and a failure counter — the
+      * bridge from Spark-truthful query metrics to windowed
+      * aggregation / Prometheus export / threshold alerting.
+      */
+    def exportTo(registry: Metrics.Collector): Unit = snapshot.foreach { m =>
+      val tags = Map("action" -> m.action)
+      if (m.failed) registry.recordCounter("query_failures", 1.0, tags)
+      else {
+        registry.recordHistogram("query_duration_seconds", m.durationNs / 1e9, tags)
+        if (m.outputRows >= 0)
+          registry.recordCounter("query_output_rows", m.outputRows.toDouble, tags)
+      }
+    }
   }
 
   def installMetrics(spark: SparkSession): MetricsCollector = {

@@ -85,5 +85,11 @@ class OrchestrationSpec extends SparkSpec {
     while (c.snapshot.isEmpty && tries < 50) { Thread.sleep(100); tries += 1 }
     assert(c.snapshot.nonEmpty)
     assert(c.snapshot.exists(m => !m.failed && m.durationNs > 0))
+    // bridge into the observability registry: durations become windowed
+    // histograms ready for aggregation/Prometheus export/alerting
+    val reg = new graft.core.Metrics.Collector()
+    c.exportTo(reg)
+    val agg = reg.aggregated("query_duration_seconds", "1h")
+    assert(agg.nonEmpty && agg("count") >= 1.0 && agg("max") > 0.0, s"bridge: $agg")
   }
 }
