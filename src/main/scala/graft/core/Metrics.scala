@@ -54,17 +54,25 @@ object Metrics {
                         maxPerName: Int = 1000,
                         clock: () => Long = () => System.currentTimeMillis()) {
     private val series = mutable.LinkedHashMap.empty[String, mutable.ArrayDeque[Metric]]
+    private val sweepIntervalMs = 300000L // the reference sweeps every 300s
+    private var lastSweepMs = Long.MinValue
 
     private def add(m: Metric): Unit = synchronized {
       val dq = series.getOrElseUpdate(m.name, mutable.ArrayDeque.empty)
       dq.append(m)
       if (dq.length > maxPerName) dq.removeHead()
-      // retention: drop aged entries and empty series (the reference's
-      // cleanup, minus its timer — a bounded ring makes eager trimming cheap)
-      val cutoff = clock() - retentionHours * 3600000L
-      series.filterInPlace { (_, d) =>
-        while (d.nonEmpty && d.head.timestampMs < cutoff) d.removeHead()
-        d.nonEmpty
+      val cutoff = m.timestampMs - retentionHours * 3600000L
+      // always trim the deque being appended to — O(aged) for this series
+      while (dq.nonEmpty && dq.head.timestampMs < cutoff) dq.removeHead()
+      // full retention sweep across ALL series is throttled: with many
+      // distinct names an every-record sweep makes the hot recording path
+      // O(total series) under the collector lock
+      if (lastSweepMs == Long.MinValue || m.timestampMs - lastSweepMs >= sweepIntervalMs) {
+        lastSweepMs = m.timestampMs
+        series.filterInPlace { (_, d) =>
+          while (d.nonEmpty && d.head.timestampMs < cutoff) d.removeHead()
+          d.nonEmpty
+        }
       }
     }
 
@@ -209,6 +217,11 @@ object Metrics {
     private val rules = mutable.ArrayBuffer.empty[AlertRule]
     private val active = mutable.LinkedHashMap.empty[String, Alert]
     private val history = mutable.ArrayBuffer.empty[Alert]
+    // per-rule record of the key its current alert fired under, so a
+    // custom AlertRule whose emitted alert tags differ from its rule tags
+    // still resolves (keying fire by alert.tags but resolve by rule.tags
+    // would leave such an alert active forever)
+    private val firedKeys = mutable.HashMap.empty[Int, String]
 
     private def key(name: String, tags: Map[String, String]): String =
       name + "|" + tags.toSeq.sorted.mkString(",")
@@ -222,17 +235,18 @@ object Metrics {
     def checkAlerts(): Seq[Alert] = synchronized {
       val now = clock()
       val fresh = mutable.ArrayBuffer.empty[Alert]
-      rules.foreach { rule =>
+      rules.zipWithIndex.foreach { case (rule, idx) =>
         rule.evaluate(collector, now) match {
           case Some(alert) =>
             val k = key(rule.name, alert.tags)
+            firedKeys(idx) = k
             if (!active.contains(k)) {
               active(k) = alert
               history += alert
               fresh += alert
             }
           case None =>
-            val k = key(rule.name, rule.tags)
+            val k = firedKeys.remove(idx).getOrElse(key(rule.name, rule.tags))
             active.remove(k).foreach(_.resolved = true)
         }
       }

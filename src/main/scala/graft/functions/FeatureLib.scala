@@ -135,14 +135,19 @@ object FeatureLib {
       .drop((1 until nBins).map(i => s"__q$i") ++ groupCols.map(g => s"__g_$g"): _*)
   }
 
-  /** K-means 1-D binning (feature_engineering.py:110-127) via MLlib. */
+  /** K-means 1-D binning (feature_engineering.py:110-127) via MLlib.
+    *
+    * Thin rename over [[kmeansLaw]] — the ONE k-means fit/transform path in
+    * the library (clusteringFeatures shares it too), so the
+    * q_fe_kmeans_bin nearest-centroid gate exercises the shipped operator
+    * rather than a parallel training path. Rows with a null `c` are dropped
+    * (MLlib cannot score them — previously they crashed the fit).
+    */
   def binKmeans(df: DataFrame, c: String, nBins: Int, seed: Long = 42L, outCol: String = null): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
     val out = Option(outCol).getOrElse(s"${c}_kbin")
-    val feat = df.withColumn("__f", array_to_vector(array(col(c).cast("double"))))
-    val model = new KMeans().setK(nBins).setSeed(seed).setFeaturesCol("__f").setPredictionCol(out).fit(feat)
-    model.transform(feat).drop("__f")
+    kmeansLaw(df, Seq(c), nBins, seed)
+      .drop("not_nearest", "bad_cluster_id", "cluster_dist")
+      .withColumnRenamed("cluster", out)
   }
 
   // ------------------------------------------------------------ categorical

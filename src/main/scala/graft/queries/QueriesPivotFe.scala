@@ -190,9 +190,11 @@ object QueriesPivotFe {
     }),
 
     "q_fe_kmeans_bin" -> ((s, dir) =>
-      // same law gate for the 1-D binning path (binKmeans trains the same
-      // MLlib model shape); nearest-centroid in 1-D implies the bins are
-      // contiguous disjoint intervals, which is the binning contract
+      // same law gate for the 1-D binning path — binKmeans IS kmeansLaw
+      // modulo column renames (round 7: the separate fit path was removed),
+      // so this gate exercises the shipped operator's training+assignment;
+      // nearest-centroid in 1-D implies the bins are contiguous disjoint
+      // intervals, which is the binning contract
       FeatureLib.kmeansLaw(t(s, dir, "orders"), Seq("o_totalprice"), 5)
         .agg(count(lit(1)).as("n_rows"),
           sum(col("not_nearest")).cast("long").as("n_not_nearest"),

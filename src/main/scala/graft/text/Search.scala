@@ -215,7 +215,11 @@ object Search {
         else vecs(i).zip(vecs(j)).map { case (a, b) => a * b }.sum / d
       }
       val picked = new Array[Boolean](n)
-      val maxSim = Array.fill(n)(0.0)
+      // NegativeInfinity until the first pick updates it: a candidate whose
+      // cosine to every selected doc is negative must carry that negative
+      // max-sim (a diversity BOOST under Carbonell–Goldstein), not a 0 clamp.
+      // The empty-selected-set case is handled by the rank==1 guard below.
+      val maxSim = Array.fill(n)(Double.NegativeInfinity)
       val out = scala.collection.mutable.ArrayBuffer[(Long, Double, Int)]()
       var rank = 1
       while (rank <= math.min(k, n)) {

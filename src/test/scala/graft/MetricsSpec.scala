@@ -131,4 +131,40 @@ class MetricsSpec extends AnyFunSuite {
     setTime(25L * 3600000L)
     assert(am.alertHistory(24).isEmpty, "old alerts age out of the history read")
   }
+
+  test("custom rule whose alert tags differ from its rule tags still resolves (ADVICE r6)") {
+    val (clock, _) = fixedClock(0L)
+    val c = new Collector(clock = clock)
+    val am = new AlertManager(c, clock)
+    // a rule that decorates its emitted alert with dynamic tags the rule
+    // itself doesn't carry — previously fired under (name, alert.tags) but
+    // resolved under (name, rule.tags), so it could never clear
+    am.addRule(new AlertRule {
+      val name = "dyn"
+      val tags = Map("static" -> "rule")
+      def evaluate(collector: Collector, now: Long): Option[Alert] =
+        collector.aggregated("y", "1h").get("latest").filter(_ > 10.0)
+          .map(v => Alert(name, s"y=$v", Warning, Map("value_band" -> "high"), now))
+    })
+    c.recordGauge("y", 50.0)
+    assert(am.checkAlerts().size == 1)
+    assert(am.activeAlerts.size == 1)
+    c.recordGauge("y", 1.0) // stops firing → must resolve the recorded key
+    assert(am.checkAlerts().isEmpty)
+    assert(am.activeAlerts.isEmpty, "alert with divergent tags resolved")
+    assert(am.alertHistory().map(_.resolved) == Seq(true))
+  }
+
+  test("retention: cross-series sweep fires after the throttle interval; appended deque always trims") {
+    val (clock, setTime) = fixedClock(0L)
+    val c = new Collector(retentionHours = 1, clock = clock)
+    c.recordGauge("a", 1.0)   // initial sweep at t=0
+    setTime(3600000L + 1000L) // a's sample is now past retention
+    c.recordGauge("b", 1.0)   // >300s since last sweep → full sweep removes a
+    assert(c.getMetrics("a", "24h").isEmpty, "aged series swept on the next eligible add")
+    // between sweeps the deque being appended to is still trimmed eagerly
+    setTime(2L * 3600000L + 2000L)
+    c.recordGauge("b", 2.0)   // b's t=3601000 sample aged out; trimmed on append
+    assert(c.getMetrics("b", "24h").map(_.value) == Seq(2.0))
+  }
 }

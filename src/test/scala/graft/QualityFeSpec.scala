@@ -132,6 +132,24 @@ class QualityFeSpec extends SparkSpec {
     assert(out.agg(max("cluster_dist")).as[Double].head() < 2.0)
   }
 
+  test("binKmeans: 1-D bins are contiguous disjoint intervals; null rows dropped") {
+    // ADVICE r6: binKmeans now shares the kmeansLaw fit path. In 1-D,
+    // nearest-centroid assignment ⇒ each bin covers a contiguous value
+    // interval, so sorted-by-value bin ranges must not overlap.
+    val d = ((1 to 30).map(i => (i, Some(i.toDouble))) ++
+      (31 to 60).map(i => (i, Some(100.0 + i))) ++ Seq((61, None: Option[Double])))
+      .toDF("id", "x")
+    val out = FeatureLib.binKmeans(d, "x", 3)
+    assert(out.columns.contains("x_kbin") && !out.columns.contains("cluster"))
+    assert(out.count() == 60, "null x row dropped, not crashed")
+    val ranges = out.groupBy("x_kbin").agg(min("x").as("lo"), max("x").as("hi"))
+      .orderBy("lo").as[(Int, Double, Double)].collect()
+    assert(ranges.length == 3)
+    ranges.sliding(2).foreach { case Array((_, _, hi), (_, lo, _)) =>
+      assert(hi < lo, s"bins overlap: ${ranges.toSeq}")
+    }
+  }
+
   test("pca auto-k explains requested variance") {
     val d = (1 to 50).map { i =>
       val x = i.toDouble

@@ -143,6 +143,23 @@ class SearchSpec extends SparkSpec {
     assert(out.toSeq == Seq(1L, 4L, 2L), s"order: ${out.toSeq}")
   }
 
+  test("mmrSelect: negative similarity to every selected doc is a boost, not clamped to 0") {
+    // ADVICE r6: maxSim initialized to 0.0 clamped negative cosines. An
+    // anti-parallel candidate (cos = −1 to the pick) must get score
+    // λ·rel − (1−λ)·(−1) = λ·rel + (1−λ) under Carbonell–Goldstein.
+    //   pick1: d1 (rel .9, (1,0)) → .45
+    //   rank2: d2 (rel .5, (−1,0)): .25 + .5 = .75  beats  d3 (rel .6, (0,1)): .30
+    //   (the 0-clamp gave d2 .25 and wrongly picked d3)
+    val cands = Seq(
+      (1L, 1L, 0.9, Array(1.0f, 0.0f)),
+      (1L, 2L, 0.5, Array(-1.0f, 0.0f)),
+      (1L, 3L, 0.6, Array(0.0f, 1.0f))).toDF("qid", "id", "rel", "vec")
+    val out = Search.mmrSelect(cands, "qid", "id", "rel", "vec", k = 3, lambda = 0.5)
+      .orderBy("mmr_rank").select("id", "mmr_score").collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L), s"order: ${out.toSeq}")
+    assert(math.abs(out(1).getDouble(1) - 0.75) < 1e-6, s"boosted score: ${out.toSeq}")
+  }
+
   test("bm25TopK: repeated query term counts once; rarer term outweighs common one") {
     val docs = Seq(
       (1L, "rare common common"),
