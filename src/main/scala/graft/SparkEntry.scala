@@ -33,7 +33,8 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     QueriesCore.queries ++ QueriesWindow.queries ++ QueriesAgg.queries ++
-      QueriesTime.queries ++ QueriesPivotFe.queries ++ QueriesText.queries
+      QueriesTime.queries ++ QueriesPivotFe.queries ++ QueriesText.queries ++
+      QueriesLaws.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops → driver
@@ -41,5 +42,6 @@ object SparkEntry {
     */
   def oracleSql: Map[String, String] =
     QueriesCore.oracle ++ QueriesWindow.oracle ++ QueriesAgg.oracle ++
-      QueriesTime.oracle ++ QueriesPivotFe.oracle ++ QueriesText.oracle
+      QueriesTime.oracle ++ QueriesPivotFe.oracle ++ QueriesText.oracle ++
+      QueriesLaws.oracle
 }

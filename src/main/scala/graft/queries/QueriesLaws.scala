@@ -1,0 +1,372 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.text.{Dedup, TextLib}
+import graft.vec.Similarity
+import QueryUtil._
+
+/** SF-independent LAW gates for the 12 golden-pinned hash-family queries
+  * (round 7, VERDICT r6 #1). The goldens (goldens/sf0.01/) pin engine
+  * output at ONE scale; each `*_law` query here states a property of the
+  * same operator that a DuckDB oracle can verify from the raw tables at
+  * EVERY scale factor — planted-pair recall by construction, re-encode
+  * round-trips, structural connected-component invariants, coverage laws.
+  * Pattern precedents: q_ann_ivf's full-probe equivalence (VERDICT r5 #2)
+  * and q_dedup_minhash_incr's planted-copy oracle (round 6).
+  *
+  * The planted-truth fixture: exact copies are candidates BY CONSTRUCTION
+  * under any correct MinHash/SimHash family — identical text gives an
+  * identical signature, hence shared buckets in every band, estimated
+  * Jaccard exactly 1.0 / Hamming exactly 0. Token-disjoint fresh docs
+  * (every word carries its own id suffix) share no shingle — and hence no
+  * honest signature band — with any other document, so they must appear
+  * in no output pair. The oracle never replays the engine's hashes; it
+  * pins the plant's provable outcomes.
+  */
+object QueriesLaws {
+
+  /** Fresh text whose every token embeds the (already-offset) doc id:
+    * disjoint from the corpus AND from every other fresh doc. 7 words so
+    * 3-shingles exist.
+    */
+  private def freshText: Column = {
+    val idS = col("doc_id").cast("string")
+    concat(Seq("zxqv", "plumbus", "vortkel", "grumbo", "blit", "snarfle", "quxx")
+      .map(w => concat(lit(w), idS)).reduce((a, b) => concat(a, lit(" "), b)))
+  }
+
+  /** (corpus, exact copies of every 3rd doc at +700000, token-disjoint
+    * fresh docs for every 3rd+1 doc at +800000).
+    */
+  private def plantedDocs(s: SparkSession, dir: String): (DataFrame, DataFrame, DataFrame) = {
+    val d = t(s, dir, "documents").select("doc_id", "text")
+    val copies = d.filter(col("doc_id") % 3 === 0)
+      .select((col("doc_id") + 700000L).as("doc_id"), col("text"))
+    val fresh = d.filter(col("doc_id") % 3 === 1)
+      .select((col("doc_id") + 800000L).as("doc_id"))
+      .withColumn("text", freshText)
+    (d, copies, fresh)
+  }
+
+  /** Shared planted-pair report over a candidate-pair frame: per planted
+    * doc, did its (source, copy) pair surface with the perfect score
+    * (`srcPerfect` — est_jaccard 1.0 / hamming 0), and per planted OR
+    * fresh doc, does it appear in ANY pair. Copy ids sit at exactly
+    * source+700000, and no other id arithmetic in the fixture can produce
+    * a 700000 gap, so the id-offset filter identifies the planted pairs.
+    */
+  private def plantedPairReport(copies: DataFrame, fresh: DataFrame,
+                                cands: DataFrame, srcPerfect: Column): DataFrame = {
+    val srcOk = cands
+      .filter(col("id_b") === col("id_a") + 700000L && srcPerfect)
+      .select(col("id_b").as("doc_id")).distinct()
+      .withColumn("__src", lit(true))
+    val inPair = cands.select(col("id_a").as("doc_id"))
+      .unionByName(cands.select(col("id_b").as("doc_id"))).distinct()
+      .withColumn("__in", lit(true))
+    copies.select("doc_id").unionByName(fresh.select("doc_id"))
+      .join(srcOk, Seq("doc_id"), "left")
+      .join(inPair, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("__src"), lit(false)).as("src_pair_found"),
+        coalesce(col("__in"), lit(false)).as("in_any_pair"))
+      .orderBy("doc_id")
+  }
+
+  val queries: Map[String, Q] = Map(
+
+    "q_dedup_minhash_law" -> ((s, dir) => {
+      // exact copies agree on all 64 hashes → candidate in every band with
+      // est_jaccard exactly 1.0; token-disjoint fresh docs share zero
+      // shingles → no honest min-hash agreement can reach threshold 0.8
+      // (52/64 matching hashes over disjoint shingle sets)
+      val (d, copies, fresh) = plantedDocs(s, dir)
+      val cands = Dedup.minhashCandidates(
+        d.unionByName(copies).unionByName(fresh), "text", "doc_id",
+        shingleN = 3, numHashes = 64, bands = 16, threshold = 0.8)
+      plantedPairReport(copies, fresh, cands, col("est_jaccard") === 1.0)
+    }),
+
+    "q_dedup_simhash_law" -> ((s, dir) => {
+      // identical token streams → identical 64-bit SimHash → all 4 blocks
+      // agree → candidate with Hamming exactly 0; disjoint-token docs get
+      // independent hashes (expected Hamming ≈ 32, P[≤3] ≈ 4e-14 per pair
+      // — and the check is deterministic for fixed data)
+      val (d, copies, fresh) = plantedDocs(s, dir)
+      val cands = Dedup.simhashCandidates(
+        d.unionByName(copies).unionByName(fresh), "text", "doc_id", maxHamming = 3)
+      plantedPairReport(copies, fresh, cands, col("hamming") === 0)
+    }),
+
+    "q_near_dedup_law" -> ((s, dir) => {
+      // end-to-end composite: an exact copy is ALWAYS a candidate of its
+      // source (est 1.0 ≥ 0.8), lands in its source's component, and the
+      // min-id survivor election can never elect the (larger-id) copy —
+      // so zero copies survive; identical texts can never BOTH survive;
+      // the output is a subset of the input
+      val (d, copies, _) = plantedDocs(s, dir)
+      val all = d.unionByName(copies)
+      val out = Dedup.nearDedup(all, "text", "doc_id", threshold = 0.8)
+      val aggA = out.agg(
+        sum(when(col("doc_id") >= 700000L, 1L).otherwise(0L)).as("n_copies_surviving"),
+        (count(lit(1)) > 0).as("has_rows"))
+      val aggB = out.groupBy(sha2(TextLib.normalized(col("text")), 256).as("__h"))
+        .agg(count(lit(1)).as("__c")).filter(col("__c") > 1)
+        .agg(count(lit(1)).as("n_dup_text_groups"))
+      val aggC = out.select("doc_id")
+        .join(all.select("doc_id"), Seq("doc_id"), "left_anti")
+        .agg(count(lit(1)).as("n_foreign"))
+      aggA.crossJoin(aggB).crossJoin(aggC)
+    }),
+
+    "q_dedup_clusters_law" -> ((s, dir) => {
+      // connected-component structural laws, checkable without knowing the
+      // engine's hash values: every candidate edge's endpoints share one
+      // label (the defining CC property), labels are component minima
+      // (never above a member id, and each label maps to itself), every
+      // endpoint is covered, and each planted (source, copy) pair — a
+      // guaranteed candidate — lands in one component
+      val (d, copies, _) = plantedDocs(s, dir)
+      val cands = Dedup.minhashCandidates(d.unionByName(copies), "text", "doc_id",
+        shingleN = 3, numHashes = 64, bands = 16, threshold = 0.8)
+        .select("id_a", "id_b")
+      val lab = Dedup.clusterCandidates(cands)
+      val edgeAgg = cands
+        .join(lab.select(col("id").as("id_a"), col("cluster_id").as("__ca")), Seq("id_a"), "left")
+        .join(lab.select(col("id").as("id_b"), col("cluster_id").as("__cb")), Seq("id_b"), "left")
+        .agg(sum(when(col("__ca").isNull || col("__cb").isNull, 1L).otherwise(0L)).as("n_uncovered"),
+          sum(when(col("__ca").isNotNull && col("__cb").isNotNull &&
+            col("__ca") =!= col("__cb"), 1L).otherwise(0L)).as("n_edge_split"))
+      val minAgg = lab.agg(
+        sum(when(col("cluster_id") > col("id"), 1L).otherwise(0L)).as("n_label_gt_member"))
+      val rootAgg = lab.select(col("cluster_id")).distinct()
+        .join(lab.filter(col("id") === col("cluster_id")).select(col("cluster_id")).distinct(),
+          Seq("cluster_id"), "left_anti")
+        .agg(count(lit(1)).as("n_root_not_self"))
+      val plantedAgg = d.filter(col("doc_id") % 3 === 0).select(col("doc_id").as("id"))
+        .join(lab.select(col("id"), col("cluster_id").as("__co")), Seq("id"), "left")
+        .join(lab.select((col("id") - 700000L).as("id"), col("cluster_id").as("__cc")), Seq("id"), "left")
+        .agg(count(lit(1)).as("n_planted"),
+          sum(when(col("__co").isNull || col("__cc").isNull ||
+            col("__co") =!= col("__cc"), 1L).otherwise(0L)).as("n_planted_viol"))
+      edgeAgg.crossJoin(minAgg).crossJoin(rootAgg).crossJoin(plantedAgg)
+    }),
+
+    "q_ann_lsh_law" -> ((s, dir) => {
+      // an exact copy of each query vector planted into the corpus shares
+      // every band bucket with its query (identical sign bits under the
+      // same hyperplanes) → guaranteed candidate, cosine exactly 1.0 → the
+      // maximum possible score puts it inside any top-10
+      val e = t(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") < 5)
+      val corpus = e.unionByName(q.withColumn("vec_id", col("vec_id") + 100000L))
+      val res = Similarity.lshTopK(corpus, "vec_id", "embedding",
+        q, "vec_id", "embedding", k = 10, dim = 64, bands = 8, bitsPerBand = 4)
+      q.select(col("vec_id").as("query_id"))
+        .join(res.filter(col("neighbor_id") === col("query_id") + 100000L),
+          Seq("query_id"), "left")
+        .select(col("query_id"),
+          col("neighbor_id").isNotNull.as("copy_found"),
+          coalesce(col("cos") === 1.0, lit(false)).as("copy_cos_one"))
+        .orderBy("query_id")
+    }),
+
+    "q_embed_neardup_law" -> ((s, dir) => {
+      // identical vectors agree on every sign-bit band → the planted
+      // (v, v+100000) pair is a guaranteed bucket candidate with cosine
+      // exactly 1.0 ≥ the 0.99 threshold, for EVERY vector
+      val e = t(s, dir, "embeddings")
+      val copies = e.withColumn("vec_id", col("vec_id") + 100000L)
+      val pairs = Similarity.embeddingNearDupPairs(e.unionByName(copies),
+        "vec_id", "embedding", threshold = 0.99, dim = 64)
+      e.select(col("vec_id"))
+        .join(pairs.filter(col("id_b") === col("id_a") + 100000L),
+          col("vec_id") === col("id_a"), "left")
+        .select(col("vec_id"),
+          col("id_b").isNotNull.as("copy_pair_found"),
+          coalesce(col("cos") === 1.0, lit(false)).as("cos_is_one"))
+        .orderBy("vec_id")
+    }),
+
+    "q_semantic_dedup_law" -> ((s, dir) => {
+      // SemDeDup with planted exact copies: identical embeddings get the
+      // same (row-local, deterministic) cluster, their pair scores cosine
+      // 1.0 ≥ 0.999, so source and copy always share a duplicate group;
+      // min_id election makes the survivor the group minimum (never above
+      // a member) and self-mapped
+      val e = t(s, dir, "embeddings")
+      val copies = e.withColumn("vec_id", col("vec_id") + 100000L)
+      val g = graft.vec.SemDedup.semanticDupGroups(e.unionByName(copies),
+        "vec_id", "embedding", threshold = 0.999, nClusters = 16, keep = "min_id")
+      val orig = g.filter(col("id") < 100000L).select(col("id"), col("survivor").as("__so"))
+      val cop = g.filter(col("id") >= 100000L)
+        .select((col("id") - 100000L).as("id"), col("survivor").as("__sc"))
+      val pairAgg = e.select(col("vec_id").as("id"))
+        .join(orig, Seq("id"), "left").join(cop, Seq("id"), "left")
+        .agg(count(lit(1)).as("n_vecs"),
+          sum(when(col("__so").isNull || col("__sc").isNull, 1L).otherwise(0L)).as("n_missing"),
+          sum(when(col("__so").isNotNull && col("__sc").isNotNull &&
+            col("__so") =!= col("__sc"), 1L).otherwise(0L)).as("n_group_mismatch"))
+      val survAgg = g.agg(
+        sum(when(col("survivor") > col("id"), 1L).otherwise(0L)).as("n_surv_gt_member"))
+      val rootAgg = g.select(col("survivor")).distinct()
+        .join(g.filter(col("id") === col("survivor")).select(col("survivor")).distinct(),
+          Seq("survivor"), "left_anti")
+        .agg(count(lit(1)).as("n_surv_not_self"))
+      pairAgg.crossJoin(survAgg).crossJoin(rootAgg)
+    }),
+
+    "q_pq_encode_law" -> ((s, dir) => {
+      // re-encode round-trip: decode every code against the (driver-side)
+      // codebook IN-PLAN — byte s read from the hex string, codeword
+      // sliced from the literal flat codebook — then re-encode the
+      // reconstruction with the SAME PqEncode kernel. Nearest-centroid of
+      // a codeword is the codeword itself (d²=0; duplicate centroids
+      // resolve to the smaller index on BOTH passes), so recode == code
+      // exactly; any byte out of [0, ksub) or a null code breaks the laws
+      val e = t(s, dir, "embeddings")
+      val model = graft.vec.Pq.train(e, "embedding", "vec_id", m = 8, nbits = 6)
+      val enc = graft.vec.Pq.encode(e, "embedding", model)
+      val hexc = hex(col("pq_code"))
+      val cb = array(model.codebook.map(lit).toIndexedSeq: _*)
+      val byteArr = transform(sequence(lit(0), lit(model.m - 1)),
+        sC => conv(substring(hexc, sC * 2 + 1, lit(2)), 16, 10).cast("int"))
+      val recon = flatten(transform(byteArr, (bC, sIdx) =>
+        slice(cb, (sIdx * model.ksub + bC) * model.ds + 1, lit(model.ds))))
+      val recode = graft.expr.PqEncode(recon, model.codebook, model.m, model.ksub, model.ds)
+      enc.select(col("pq_code"),
+          size(filter(byteArr, b => b < 0 || b >= model.ksub)).as("__nbad"),
+          recode.as("__recode"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(when(col("pq_code").isNull, 1L).otherwise(0L)).as("n_null_code"),
+          sum(when(col("__nbad") > 0, 1L).otherwise(0L)).as("n_bad_byte"),
+          sum(when(!(col("__recode") <=> col("pq_code")), 1L).otherwise(0L)).as("n_recode_mismatch"))
+    }),
+
+    "q_bpe_merges_law" -> ((s, dir) => {
+      // re-encode round-trip: BPE merges only ever CONCATENATE adjacent
+      // symbols, so each word's pieces join back to word + "</w>" — both
+      // on the trained-vocab fast path and the merge-replay path. Joining
+      // every doc's pieces and mapping "</w>" to a space must reproduce
+      // the normalized text exactly (corpus verified free of literal
+      // "</w>")
+      val d = t(s, dir, "documents")
+      val model = graft.text.Bpe.trainMerges(d, "text", numMerges = 50)
+      graft.text.Bpe.encode(d.select("doc_id", "text"), "text", "doc_id", model)
+        .select(col("doc_id"),
+          trim(regexp_replace(array_join(col("bpe_pieces"), ""), "</w>", " ")).as("__detok"),
+          TextLib.normalized(col("text")).as("__norm"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(!(col("__detok") <=> col("__norm")), 1L).otherwise(0L)).as("n_roundtrip_viol"))
+    }),
+
+    "q_deflate_ratio_law" -> ((s, dir) => {
+      // DEFLATE monotonicity: text repeated 4× is dominated by window
+      // back-references (every doc is far under the 32 KB window), so its
+      // ratio is strictly below the single-copy ratio; single-copy ratios
+      // stay inside (0, 2] (short texts can exceed 1 on header overhead)
+      val d = t(s, dir, "documents")
+      val r1 = graft.expr.DeflateRatio.deflateRatio(col("text"))
+      val r4 = graft.expr.DeflateRatio.deflateRatio(repeat(col("text"), 4))
+      d.select(r1.as("__r1"), r4.as("__r4"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("__r4") >= col("__r1"), 1L).otherwise(0L)).as("n_monotone_viol"),
+          sum(when(col("__r1") <= 0.0 || col("__r1") > 2.0, 1L).otherwise(0L)).as("n_bounds_viol"))
+    }),
+
+    "q_fingerprint_law" -> ((s, dir) => {
+      // (a) formulation equivalence: the array-expression min-hash must
+      // equal the relational explode → groupBy → min over the same
+      // shingles; (b) the documented invariance contract: upper-casing and
+      // whitespace inflation must not move the fingerprint (normalization
+      // is part of the operator)
+      val d = t(s, dir, "documents")
+      val noisy = concat(lit("  "),
+        regexp_replace(upper(col("text")), " ", "   "), lit(" \t"))
+      val fpRel = d.select(col("doc_id"),
+          explode(TextLib.shingles(col("text"), 3)).as("__s"))
+        .groupBy("doc_id").agg(min(xxhash64(col("__s"))).as("__fp_rel"))
+      d.select(col("doc_id"),
+          TextLib.fingerprint(col("text"), 3).as("__fp"),
+          TextLib.fingerprint(noisy, 3).as("__fp_n"))
+        .join(fpRel, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          (col("__fp") <=> col("__fp_rel")).as("formulation_ok"),
+          (col("__fp") <=> col("__fp_n")).as("invariance_ok"))
+        .orderBy("doc_id")
+    }),
+
+    "q_winnow_law" -> ((s, dir) => {
+      // the full winnowing spec replayed per row with interpreted HOFs
+      // against the native WinnowMins kernel: sorted distinct minima of
+      // every w-window (w=4) over the positional k-gram hashes, the
+      // single-global-min degenerate case included — window COVERAGE and
+      // no-extra-fingerprint in one equality
+      val d = t(s, dir, "documents")
+      val g = graft.expr.WordGramHashes(col("text"), 5)
+      val fp = TextLib.winnowFingerprint(col("text"), 5, 4)
+      val wins = when(size(g) >= 4,
+          transform(sequence(lit(0), size(g) - 4), i => array_min(slice(g, i + 1, lit(4)))))
+        .when(size(g) > 0, array(array_min(g)))
+        .otherwise(array().cast("array<bigint>"))
+      d.select(col("doc_id"),
+          (array_sort(array_distinct(wins)) <=> fp).as("winnow_ok"))
+        .orderBy("doc_id")
+    })
+  )
+
+  /** DuckDB oracles: the plant/law outcome pinned from the raw tables —
+    * no engine hash is ever replayed (that impossibility is exactly why
+    * these queries were golden-only before round 7).
+    */
+  val oracle: Map[String, String] = {
+    val plantedPairSql =
+      """SELECT doc_id + 700000 AS doc_id, TRUE AS src_pair_found, TRUE AS in_any_pair
+        |FROM documents WHERE doc_id % 3 = 0
+        |UNION ALL
+        |SELECT doc_id + 800000 AS doc_id, FALSE AS src_pair_found, FALSE AS in_any_pair
+        |FROM documents WHERE doc_id % 3 = 1
+        |ORDER BY doc_id""".stripMargin
+    Map(
+      "q_dedup_minhash_law" -> plantedPairSql,
+      "q_dedup_simhash_law" -> plantedPairSql,
+      "q_near_dedup_law" ->
+        """SELECT CAST(0 AS BIGINT) AS n_copies_surviving, TRUE AS has_rows,
+          |  CAST(0 AS BIGINT) AS n_dup_text_groups, CAST(0 AS BIGINT) AS n_foreign""".stripMargin,
+      "q_dedup_clusters_law" ->
+        """SELECT CAST(0 AS BIGINT) AS n_uncovered, CAST(0 AS BIGINT) AS n_edge_split,
+          |  CAST(0 AS BIGINT) AS n_label_gt_member, CAST(0 AS BIGINT) AS n_root_not_self,
+          |  (SELECT count(*) FROM documents WHERE doc_id % 3 = 0) AS n_planted,
+          |  CAST(0 AS BIGINT) AS n_planted_viol""".stripMargin,
+      "q_ann_lsh_law" ->
+        """SELECT vec_id AS query_id, TRUE AS copy_found, TRUE AS copy_cos_one
+          |FROM embeddings WHERE vec_id < 5 ORDER BY query_id""".stripMargin,
+      "q_embed_neardup_law" ->
+        """SELECT vec_id, TRUE AS copy_pair_found, TRUE AS cos_is_one
+          |FROM embeddings ORDER BY vec_id""".stripMargin,
+      "q_semantic_dedup_law" ->
+        """SELECT count(*) AS n_vecs, CAST(0 AS BIGINT) AS n_missing,
+          |  CAST(0 AS BIGINT) AS n_group_mismatch, CAST(0 AS BIGINT) AS n_surv_gt_member,
+          |  CAST(0 AS BIGINT) AS n_surv_not_self
+          |FROM embeddings""".stripMargin,
+      "q_pq_encode_law" ->
+        """SELECT count(*) AS n_rows, CAST(0 AS BIGINT) AS n_null_code,
+          |  CAST(0 AS BIGINT) AS n_bad_byte, CAST(0 AS BIGINT) AS n_recode_mismatch
+          |FROM embeddings""".stripMargin,
+      "q_bpe_merges_law" ->
+        """SELECT count(*) AS n_docs, CAST(0 AS BIGINT) AS n_roundtrip_viol
+          |FROM documents""".stripMargin,
+      "q_deflate_ratio_law" ->
+        """SELECT count(*) AS n_docs, CAST(0 AS BIGINT) AS n_monotone_viol,
+          |  CAST(0 AS BIGINT) AS n_bounds_viol
+          |FROM documents""".stripMargin,
+      "q_fingerprint_law" ->
+        """SELECT doc_id, TRUE AS formulation_ok, TRUE AS invariance_ok
+          |FROM documents ORDER BY doc_id""".stripMargin,
+      "q_winnow_law" ->
+        """SELECT doc_id, TRUE AS winnow_ok
+          |FROM documents ORDER BY doc_id""".stripMargin
+    )
+  }
+}

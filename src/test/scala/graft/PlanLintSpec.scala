@@ -32,6 +32,11 @@ class PlanLintSpec extends SparkSpec {
     "q_scale_minmax" -> Set("broadcast_nested_loop"),      // FeatureLib.scaleFeatures global: one-row stats broadcast
     "q_fe_pca" -> Set("broadcast_nested_loop"),            // contraction-law gate: one-row mean/std stats broadcast
     "q_sample_seeded" -> Set("broadcast_nested_loop"),     // sampling-law gate: two one-row law-aggregate broadcasts
+    // round-7 law gates (QueriesLaws): final assembly crossJoins of one-row
+    // law aggregates — the same scalar-broadcast shape as q_sample_seeded
+    "q_near_dedup_law" -> Set("broadcast_nested_loop"),
+    "q_dedup_clusters_law" -> Set("broadcast_nested_loop"),
+    "q_semantic_dedup_law" -> Set("broadcast_nested_loop"),
     // whole-frame total over the ALREADY-AGGREGATED <= bins/topK+1-row
     // count frame (cut points / top-K election are driver literals, so
     // each corpus appears once in the plan — see Profiler.psiBins)
