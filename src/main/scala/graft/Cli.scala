@@ -100,10 +100,53 @@ object Cli {
           println(f"expectation ${o.name}%-40s ratio=${o.ratio}%.4f ${if (o.passed) "PASS" else "FAIL"}")
         }
       } finally spark.stop()
+    case "catalog" :: sub :: rest =>
+      // data-catalog registry (utils/data_catalog.py parity):
+      //   catalog register <parquet-path> --dir <catalogDir> [--name n]
+      //     [--schema s] [--desc d] [--owner o] [--tags a,b]
+      //   catalog search --dir <catalogDir> [--term t] [--tag g] [--owner o] [--column c]
+      //   catalog report --dir <catalogDir>
+      def flag(name: String): Option[String] =
+        rest.sliding(2).collectFirst { case List(`name`, v) => v }
+      val catDir = flag("--dir").getOrElse(".graft-catalog")
+      val cat = new graft.core.DataCatalog(catDir)
+      sub match {
+        case "register" =>
+          val path = rest.headOption.filterNot(_.startsWith("--")).getOrElse {
+            System.err.println("error: catalog register needs a dataset path"); sys.exit(1)
+          }
+          val spark = Sessions.local(appName = "graft-catalog")
+          try {
+            val df = if (path.endsWith(".csv")) graft.sources.Readers.csv(spark, path)
+                     else spark.read.parquet(path)
+            val name = flag("--name").getOrElse(
+              new java.io.File(path).getName.replaceAll("\\.(parquet|csv)$", ""))
+            val e = cat.registerTable(df, name,
+              schema = flag("--schema").getOrElse("default"),
+              description = flag("--desc"), owner = flag("--owner"),
+              tags = flag("--tags").map(_.split(",").toSeq).getOrElse(Nil),
+              path = Some(path))
+            println(s"""{"registered":${j(s"${e.schema}.${e.table}")},""" +
+              s""""columns":${e.columns.size},"rows":${e.rowCount.getOrElse(-1L)},""" +
+              s""""size_bytes":${e.sizeBytes.getOrElse(-1L)}}""")
+          } finally spark.stop()
+        case "search" =>
+          val hits = cat.searchTables(term = flag("--term"),
+            tags = flag("--tag").toSeq, owner = flag("--owner"), column = flag("--column"))
+          hits.foreach { e =>
+            println(s"""{"table":${j(e.table)},"schema":${j(e.schema)},""" +
+              s""""tags":[${e.tags.map(j).mkString(",")}],"rows":${e.rowCount.getOrElse(-1L)}}""")
+          }
+        case "report" =>
+          println(cat.generateCatalogReport())
+        case other =>
+          System.err.println(s"usage: graft.Cli catalog register|search|report ... (got: $other)")
+          sys.exit(2)
+      }
     case "entry" :: _ =>
       Smoke.main(Array.empty)
     case other =>
-      System.err.println(s"usage: graft.Cli run <pipeline.yaml> [--dry-run] | graft.Cli stream <yaml> [--drain] | graft.Cli entry (got: $other)")
+      System.err.println(s"usage: graft.Cli run <pipeline.yaml> [--dry-run] | graft.Cli stream <yaml> [--drain] | graft.Cli catalog register|search|report | graft.Cli entry (got: $other)")
       sys.exit(2)
   }
 }
