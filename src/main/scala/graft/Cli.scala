@@ -56,7 +56,19 @@ object Cli {
         val spark = Sessions.local(appName = s"graft-${conf.name}")
         val metrics = graft.core.Orchestration.installMetrics(spark)
         try {
-          val res = Pipeline.execute(spark, conf)
+          // structured JSON event log (structured_logging.py parity):
+          // --log-file appends events there; default stderr (stdout stays
+          // the machine-readable result line)
+          val sink: String => Unit =
+            rest.sliding(2).collectFirst { case List("--log-file", p) => p } match {
+              case Some(p) => line => java.nio.file.Files.write(
+                java.nio.file.Paths.get(p), (line + "\n").getBytes("UTF-8"),
+                java.nio.file.StandardOpenOption.CREATE,
+                java.nio.file.StandardOpenOption.APPEND)
+              case None => line => System.err.println(line)
+            }
+          val plog = new graft.core.StructuredLog.PipelineLogger(conf.name, sink = sink)
+          val res = Pipeline.execute(spark, conf, Some(plog))
           println(s"""{"pipeline":${j(res.name)},"status":${j(res.status)},"rows":${res.rowsWritten},""" +
             s""""validation":{${res.validation.map { case (k, v) => s"${j(k)}:${jn(v)}" }.mkString(",")}},""" +
             s""""errors":${res.errors.size}}""")

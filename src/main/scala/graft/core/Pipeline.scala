@@ -59,11 +59,33 @@ object Pipeline {
   }
 
   /** Execute the full lifecycle. */
-  def execute(spark: SparkSession, conf: PipelineConfig.PipelineConf): Result = {
+  def execute(spark: SparkSession, conf: PipelineConfig.PipelineConf): Result =
+    execute(spark, conf, None)
+
+  /** Execute with structured event logging (monitoring/structured_logging.py
+    * parity): pipeline_start/end, per-stage step events, one
+    * data_quality_check event per expectation, a data_write event for the
+    * storage stage — all correlated by the logger's (pipeline_name,
+    * run_id) context. `plog = None` is the no-logging fast path.
+    */
+  def execute(spark: SparkSession, conf: PipelineConfig.PipelineConf,
+              plog: Option[StructuredLog.PipelineLogger]): Result = {
     val errors = scala.collection.mutable.ArrayBuffer.empty[String]
+    var stage = "load"
     try {
+      plog.foreach(_.startPipeline(Map(
+        "sources" -> conf.sources.map(s => s"${s.typ}:${s.path}"),
+        "operations" -> conf.operations.size,
+        "expectations" -> conf.expectations.size,
+        "storage" -> conf.storage.map(_.typ).getOrElse("none"))))
+      plog.foreach(_.startStep("load"))
       val (primary, catalog) = load(spark, conf)
+      plog.foreach(_.endStep("load"))
+      stage = "process"
+      plog.foreach(_.startStep("process"))
       val processed = OpCompiler.compile(conf.operations, catalog)(primary)
+      plog.foreach(_.endStep("process"))
+      stage = "validate"
 
       // validation stage (pipeline.py:234-256): one aggregate pass
       val ratios: Seq[Double] =
@@ -83,11 +105,21 @@ object Pipeline {
       val failed = conf.expectations.zip(ratios).collect {
         case (e, r) if r < e.minRatio => e
       }
-      if (failed.nonEmpty)
+      plog.foreach { p =>
+        conf.expectations.zip(ratios).foreach { case (e, r) =>
+          p.logger.logDataQualityCheck(conf.name, e.name, r, e.minRatio,
+            if (r < e.minRatio) "fail" else "pass")
+        }
+      }
+      if (failed.nonEmpty) {
+        plog.foreach(_.endPipeline("validation_failed"))
         return Result(conf.name, "validation_failed", 0L,
           validation, failed.map(e => s"expectation '${e.name}' below min_ratio"))
+      }
 
       // storage stage
+      stage = "store"
+      val storeT0 = System.currentTimeMillis()
       val rows = conf.storage match {
         case Some(st) =>
           val counted = processed.persist()
@@ -106,10 +138,19 @@ object Pipeline {
           n
         case None => -1L
       }
+      plog.foreach { p =>
+        conf.storage.foreach(st => p.logDataWrite(s"${st.typ}:${st.path}",
+          math.max(rows, 0L), (System.currentTimeMillis() - storeT0) / 1000.0))
+        p.endPipeline("success", recordsProcessed = math.max(rows, 0L))
+      }
       Result(conf.name, "success", rows, validation, errors.toSeq)
     } catch {
       case t: Throwable =>
         errors += t.getMessage
+        plog.foreach { p =>
+          p.logStepError(stage, t)
+          p.endPipeline("failed", errorMessage = Option(t.getMessage))
+        }
         Result(conf.name, "failed", 0L, Map.empty, errors.toSeq)
     }
   }
