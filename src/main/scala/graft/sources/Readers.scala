@@ -60,6 +60,37 @@ object Readers {
   def text(spark: SparkSession, path: String, lineageCol: String = "_source_file"): DataFrame =
     withLineage(spark.read.text(path), lineageCol)
 
+  /** Full object key under the configured prefix (s3_source.py:200-204
+    * `_build_s3_key`): `prefix.rstrip('/')/source.lstrip('/')`; no prefix →
+    * source unchanged. Pure — offline-gated in ConnectorConfSpec.
+    */
+  def s3Key(source: String, prefix: String = ""): String =
+    if (prefix.nonEmpty) s"${prefix.reverse.dropWhile(_ == '/').reverse}/${source.dropWhile(_ == '/')}"
+    else source
+
+  /** `s3a://bucket/key` URI for a (bucket, prefix, source-or-glob) config —
+    * the translation layer between the reference's S3Source config shape
+    * and Spark's Hadoop-S3A path world (globs pass through; S3A expands
+    * them server-side the way `_read_multiple_objects` fnmatches keys).
+    */
+  def s3aUri(bucket: String, source: String, prefix: String = ""): String = {
+    require(bucket != null && bucket.nonEmpty, "s3aUri: bucket must be non-empty")
+    s"s3a://$bucket/${s3Key(source, prefix).dropWhile(_ == '/')}"
+  }
+
+  /** Extension → format with the reference's exact mapping and default
+    * (s3_source.py:206-216 `_infer_format`: csv/json/jsonl/ndjson/parquet,
+    * anything else → csv). Works on globs — the extension comes from the
+    * basename.
+    */
+  def inferFormat(source: String): String = {
+    val base = source.substring(source.lastIndexOf('/') + 1)
+    val dot = base.lastIndexOf('.')
+    val ext = if (dot < 0) "" else base.substring(dot).toLowerCase
+    Map(".csv" -> "csv", ".json" -> "json", ".jsonl" -> "jsonl",
+      ".ndjson" -> "ndjson", ".parquet" -> "parquet").getOrElse(ext, "csv")
+  }
+
   /** Object-store read (s3_source.py:50-121): same readers over `s3a://`
     * URIs — Hadoop S3A supplies listing/globbing; `_source_s3_key` parity
     * comes from the same lineage column.
@@ -67,13 +98,26 @@ object Readers {
   def objectStore(spark: SparkSession, uri: String, format: String = "parquet",
                   lineageCol: String = "_source_s3_key"): DataFrame = {
     val df = format match {
-      case "parquet"        => spark.read.parquet(uri)
-      case "csv"            => spark.read.option("header", "true").option("inferSchema", "true").csv(uri)
-      case "json" | "jsonl" => spark.read.json(uri)
-      case other            => throw new IllegalArgumentException(s"Unknown format: $other")
+      case "parquet"                   => spark.read.parquet(uri)
+      case "csv"                       => spark.read.option("header", "true").option("inferSchema", "true").csv(uri)
+      case "json" | "jsonl" | "ndjson" => spark.read.json(uri)
+      case other                       => throw new IllegalArgumentException(s"Unknown format: $other")
     }
     withLineage(df, lineageCol)
   }
+
+  /** The reference S3Source.read config shape end-to-end: (bucket, prefix,
+    * source-or-glob, optional format — inferred from the extension when
+    * absent) → s3a URI → the format-dispatched reader above. The URI/
+    * format/dispatch halves are offline-gated (ConnectorConfSpec drives
+    * the dispatch through local files); only the s3a:// network hop needs
+    * a real object store.
+    */
+  def objectStoreRead(spark: SparkSession, bucket: String, source: String,
+                      prefix: String = "", format: String = null,
+                      lineageCol: String = "_source_s3_key"): DataFrame =
+    objectStore(spark, s3aUri(bucket, source, prefix),
+      Option(format).getOrElse(inferFormat(source)), lineageCol)
 
   /** JDBC read with pushdown (postgresql_storage.py:86-118's generated
     * projection/WHERE/LIMIT SQL is replaced by Spark's own jdbc pushdown —

@@ -166,17 +166,29 @@ object Sinks {
     }
   }
 
-  /** Kafka producer sink (kafka_source.py:254-348): whole row as JSON value,
-    * optional key column — one `to_json(struct(*))` projection, written by
-    * Spark's Kafka batch sink (no per-row driver loop).
+  /** Key/value projection for the Kafka producer sink — the reference's
+    * send_dataframe serialization (kafka_source.py:307-348: each row JSON-
+    * serialized as the value, `key_column` stringified as the key) as ONE
+    * `to_json(struct(*))` projection. The key column stays in the value
+    * payload (the reference pops it; keeping it makes the value
+    * self-contained — documented divergence). Pure — offline-gated in
+    * ConnectorConfSpec; only the broker write needs Kafka.
     */
-  def kafkaWrite(df: DataFrame, bootstrapServers: String, topic: String, keyCol: String = null): Unit = {
-    val base = if (keyCol != null)
-      df.select(col(keyCol).cast("string").as("key"), to_json(struct(df.columns.map(col).toSeq: _*)).as("value"))
+  def kafkaPayload(df: DataFrame, keyCol: String = null): DataFrame = {
+    require(keyCol == null || df.columns.contains(keyCol),
+      s"kafkaPayload: key column '$keyCol' not in ${df.columns.mkString(", ")}")
+    if (keyCol != null)
+      df.select(col(keyCol).cast("string").as("key"),
+        to_json(struct(df.columns.map(col).toSeq: _*)).as("value"))
     else df.select(to_json(struct(df.columns.map(col).toSeq: _*)).as("value"))
-    base.write.format("kafka")
+  }
+
+  /** Kafka producer sink (kafka_source.py:254-348): the payload projection
+    * above written by Spark's Kafka batch sink (no per-row driver loop).
+    */
+  def kafkaWrite(df: DataFrame, bootstrapServers: String, topic: String, keyCol: String = null): Unit =
+    kafkaPayload(df, keyCol).write.format("kafka")
       .option("kafka.bootstrap.servers", bootstrapServers)
       .option("topic", topic)
       .save()
-  }
 }

@@ -19,24 +19,65 @@ object StreamOps {
 
   // ---------------------------------------------------------------- sources
 
-  /** Kafka stream source (streaming/kafka_source.py:23-213). The reference's
-    * envelope (topic/partition/offset/timestamp/key/value) is Spark's native
-    * Kafka schema; the JSON value is parsed with `from_json` against an
-    * explicit schema.
+  /** Spark option map for the Kafka stream source — the reference consumer
+    * config translated (kafka_source.py:26-61): `bootstrap_servers` list →
+    * comma-joined `kafka.bootstrap.servers`, `topics` list → `subscribe`,
+    * `auto_offset_reset` → `startingOffsets` (latest/earliest, or an
+    * explicit `{"topic":{"0":offset}}` JSON spec), `group_id` →
+    * `kafka.group.id`, `max_poll_records` → `maxOffsetsPerTrigger` (the
+    * per-trigger record cap — Spark's analogue of the poll batch bound).
+    * `enable_auto_commit` has no analogue by design: Spark tracks offsets
+    * in the sink checkpoint (the exactly-once the reference YAML declares).
+    * Pure — offline-gated in ConnectorConfSpec.
     */
-  def kafka(spark: SparkSession, bootstrapServers: String, topics: String,
-            valueSchema: StructType, startingOffsets: String = "latest"): DataFrame =
-    spark.readStream.format("kafka")
-      .option("kafka.bootstrap.servers", bootstrapServers)
-      .option("subscribe", topics)
-      .option("startingOffsets", startingOffsets)
-      .load()
+  def kafkaSourceOptions(bootstrapServers: Seq[String], topics: Seq[String],
+                         autoOffsetReset: String = "latest",
+                         groupId: Option[String] = None,
+                         maxPollRecords: Option[Long] = None): Map[String, String] = {
+    require(bootstrapServers.nonEmpty && bootstrapServers.forall(_.nonEmpty),
+      "kafkaSourceOptions: bootstrapServers must be non-empty")
+    require(topics.nonEmpty && topics.forall(_.nonEmpty),
+      "kafkaSourceOptions: topics must be non-empty")
+    require(autoOffsetReset == "latest" || autoOffsetReset == "earliest" ||
+      autoOffsetReset.trim.startsWith("{"),
+      s"kafkaSourceOptions: autoOffsetReset must be latest|earliest|{json offsets}, got '$autoOffsetReset'")
+    maxPollRecords.foreach(n => require(n > 0,
+      s"kafkaSourceOptions: maxPollRecords must be positive, got $n"))
+    Map(
+      "kafka.bootstrap.servers" -> bootstrapServers.mkString(","),
+      "subscribe" -> topics.mkString(","),
+      "startingOffsets" -> autoOffsetReset) ++
+      groupId.map("kafka.group.id" -> _) ++
+      maxPollRecords.map(n => "maxOffsetsPerTrigger" -> n.toString)
+  }
+
+  /** The reference's message envelope (kafka_source.py:126-139
+    * `_process_message`: topic/partition/offset/timestamp/key/value)
+    * applied to Spark's native Kafka wire frame: key decoded to string,
+    * the JSON value parsed against `valueSchema` and flattened. Pure
+    * projection shared by [[kafka]] and the offline gate (a batch frame
+    * with the Kafka wire schema exercises it without a broker).
+    */
+  def kafkaEnvelope(raw: DataFrame, valueSchema: StructType): DataFrame =
+    raw
       .select(
         col("topic"), col("partition"), col("offset"),
         col("timestamp").as("kafka_timestamp"),
         col("key").cast("string").as("key"),
         from_json(col("value").cast("string"), valueSchema).as("v"))
       .select(col("topic"), col("partition"), col("offset"), col("kafka_timestamp"), col("key"), col("v.*"))
+
+  /** Kafka stream source (streaming/kafka_source.py:23-213): the option
+    * map above + the envelope projection over Spark's native Kafka source.
+    */
+  def kafka(spark: SparkSession, bootstrapServers: String, topics: String,
+            valueSchema: StructType, startingOffsets: String = "latest"): DataFrame =
+    kafkaEnvelope(
+      spark.readStream.format("kafka")
+        .options(kafkaSourceOptions(bootstrapServers.split(",").toSeq,
+          topics.split(",").toSeq, startingOffsets))
+        .load(),
+      valueSchema)
 
   /** File stream source (drop-in for local tests and backfills). */
   def files(spark: SparkSession, path: String, format: String, schema: StructType): DataFrame =
