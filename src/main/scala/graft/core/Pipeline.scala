@@ -134,6 +134,22 @@ object Pipeline {
             case "noop" => counted.write.format("noop").mode("overwrite").save()
             case other  => throw new IllegalArgumentException(s"Unknown storage type: $other")
           }
+          // storage.options.catalog_dir: register the written dataset into
+          // the DataCatalog (utils/data_catalog.py parity — the reference
+          // catalogs its DB tables; graft catalogs the written dataset).
+          // The analysis runs over the still-persisted frame — one cheap
+          // aggregate; catalog_table/catalog_tags override the defaults.
+          st.options.get("catalog_dir").foreach { catDir =>
+            val cat = new DataCatalog(catDir)
+            cat.registerTable(counted,
+              table = st.options.getOrElse("catalog_table", conf.name),
+              description = Some(s"output of pipeline '${conf.name}'"),
+              tags = st.options.get("catalog_tags").map(_.split(",").toSeq).getOrElse(Nil),
+              path = if (st.typ == "jdbc" || st.typ == "noop") None else Some(st.path))
+            plog.foreach(_.logger.logDataLineage(
+              conf.sources.map(_.table).mkString(","),
+              st.options.getOrElse("catalog_table", conf.name), "pipeline", conf.name))
+          }
           counted.unpersist()
           n
         case None => -1L

@@ -112,6 +112,32 @@ class CatalogSpec extends SparkSpec {
     assert(rep.contains("    Rows: 1,234"), s"grouped row count missing:\n$rep")
   }
 
+  test("pipeline storage auto-registers into the catalog via storage.options.catalog_dir") {
+    val in = tmpDir()
+    sampleDf.coalesce(1).write.mode("overwrite").parquet(s"$in/t")
+    val out = tmpDir() + "/res"
+    val catDir = tmpDir()
+    val yaml =
+      s"""name: cat_demo
+         |source: { type: parquet, path: "$in/t" }
+         |operations:
+         |  - { type: filter, condition: "user_id >= 2" }
+         |storage:
+         |  type: parquet
+         |  path: "$out"
+         |  mode: overwrite
+         |  options: { catalog_dir: "$catDir", catalog_table: users_clean, catalog_tags: "dim,clean" }
+         |""".stripMargin
+    val res = graft.core.Pipeline.execute(spark, graft.core.Pipeline.fromYaml(yaml))
+    assert(res.status == "success", res.errors.mkString("; "))
+    val e = new DataCatalog(catDir).getTableMetadata("users_clean").get
+    assert(e.rowCount.contains(2L), "analysis ran over the WRITTEN (filtered) frame")
+    assert(e.tags == Seq("dim", "clean"))
+    assert(e.description.contains("output of pipeline 'cat_demo'"))
+    assert(e.path.contains(out) && e.sizeBytes.exists(_ > 0L))
+    assert(e.columns.map(_.name) == Seq("user_id", "name", "score", "org_key"))
+  }
+
   test("registering a parquet path records the dataset size") {
     val dir = tmpDir()
     val dataPath = s"$dir/data.parquet"
