@@ -61,10 +61,16 @@ object Cli {
           // the machine-readable result line)
           val sink: String => Unit =
             rest.sliding(2).collectFirst { case List("--log-file", p) => p } match {
-              case Some(p) => line => java.nio.file.Files.write(
-                java.nio.file.Paths.get(p), (line + "\n").getBytes("UTF-8"),
-                java.nio.file.StandardOpenOption.CREATE,
-                java.nio.file.StandardOpenOption.APPEND)
+              case Some(p) =>
+                // CREATE doesn't make parent dirs — a missing directory
+                // would otherwise fail the very first event (the logger
+                // degrades to dropping events, but the user asked for a file)
+                Option(java.nio.file.Paths.get(p).toAbsolutePath.getParent)
+                  .foreach(java.nio.file.Files.createDirectories(_))
+                line => java.nio.file.Files.write(
+                  java.nio.file.Paths.get(p), (line + "\n").getBytes("UTF-8"),
+                  java.nio.file.StandardOpenOption.CREATE,
+                  java.nio.file.StandardOpenOption.APPEND)
               case None => line => System.err.println(line)
             }
           val plog = new graft.core.StructuredLog.PipelineLogger(conf.name, sink = sink)

@@ -14,8 +14,11 @@ import org.apache.spark.sql.DataFrame
   * probe. Here the engine's tables are datasets, so:
   *
   *  - the store is a JSONL journal under `dir` (the Orchestration
-  *    FileQueue precedent — last write per (schema, table) wins, appends
-  *    are crash-safe, state survives restarts; single writer per dir);
+  *    FileQueue precedent — last write per (schema, table) wins, state
+  *    survives restarts, a truncated last line from a crash mid-append is
+  *    skipped on load rather than bricking the catalog; single writer per
+  *    dir). Lines serialize via [[Json.value]] and load via
+  *    [[Json.parse]] — one JSON implementation, no bespoke parser;
   *  - auto-analysis reuses [[graft.quality.SchemaInference.columnStats]]
   *    (ONE aggregate pass: per-column nulls/distinct/PK-candidate) plus
   *    the type mapping of `sqlTypeFor`; the FK flag is the reference's
@@ -51,11 +54,6 @@ object DataCatalog {
       rowCount: Option[Long], sizeBytes: Option[Long], lastAnalyzedMs: Option[Long],
       createdMs: Long, updatedMs: Long)
 
-  // journal field/record separators inside the columns/tags values; both
-  // are control chars, so Json.str escapes them and they cannot collide
-  // with real content short of a column literally containing a raw unit-separator control char
-  private val RS = '\u001e'
-  private val FS = '\u001f'
 }
 
 final class DataCatalog(dir: String,
@@ -171,9 +169,13 @@ final class DataCatalog(dir: String,
         dataType = f.dataType.simpleString,
         sqlType = graft.quality.SchemaInference.sqlTypeFor(f.dataType),
         nullable = f.nullable,
-        nNulls = st.map(_.getLong(2)).getOrElse(-1L),
-        nDistinct = st.map(_.getLong(3)).getOrElse(-1L),
-        isPkCandidate = st.exists(_.getBoolean(6)),
+        // aggregates over an EMPTY frame: count() is 0 but sum()/the
+        // pk-candidate conjunction come back NULL — an empty dataset must
+        // register cleanly (a pipeline whose filter drops every row still
+        // auto-registers its output), not NPE in getLong
+        nNulls = st.map(r => if (r.isNullAt(2)) 0L else r.getLong(2)).getOrElse(-1L),
+        nDistinct = st.map(r => if (r.isNullAt(3)) 0L else r.getLong(3)).getOrElse(-1L),
+        isPkCandidate = st.exists(r => !r.isNullAt(6) && r.getBoolean(6)),
         isFkNameCandidate = lower.endsWith("_id") || lower.endsWith("key"))
     }
     (cols, rowCount)
@@ -203,79 +205,59 @@ final class DataCatalog(dir: String,
 
   private def load(): Map[(String, String), CatalogEntry] =
     if (!Files.exists(journal)) Map.empty
-    else Files.readAllLines(journal).asScala.filter(_.nonEmpty)
-      .map(parseLine)
-      .foldLeft(Map.empty[(String, String), CatalogEntry])((m, e) => m + (key(e) -> e))
+    else {
+      // a crash mid-append can leave a partial line WITHOUT a newline;
+      // terminate it now or the next append would concatenate onto the
+      // junk and corrupt a GOOD record too
+      val bytes = Files.readAllBytes(journal)
+      if (bytes.nonEmpty && bytes.last != '\n')
+        Files.write(journal, "\n".getBytes("UTF-8"), StandardOpenOption.APPEND)
+      Files.readAllLines(journal).asScala.filter(_.nonEmpty)
+        .flatMap(parseLine)
+        .foldLeft(Map.empty[(String, String), CatalogEntry])((m, e) => m + (key(e) -> e))
+    }
 
   private def toLine(e: CatalogEntry): String = {
-    val cols = e.columns.map(c => Seq(
-      c.name, c.dataType, c.sqlType, c.nullable.toString, c.nNulls.toString,
-      c.nDistinct.toString, c.isPkCandidate.toString, c.isFkNameCandidate.toString)
-      .mkString(FS.toString)).mkString(RS.toString)
-    val fields = Seq(
-      Some("table" -> e.table), Some("schema" -> e.schema),
-      e.description.map("description" -> _), e.owner.map("owner" -> _),
-      Some("tags" -> e.tags.mkString(RS.toString)), e.path.map("path" -> _),
-      Some("columns" -> cols),
-      e.rowCount.map("row_count" -> _.toString),
-      e.sizeBytes.map("size_bytes" -> _.toString),
-      e.lastAnalyzedMs.map("last_analyzed" -> _.toString),
-      Some("created" -> e.createdMs.toString),
-      Some("updated" -> e.updatedMs.toString)).flatten
-    fields.map { case (k, v) => s"${Json.str(k)}:${Json.str(v)}" }
-      .mkString("{", ",", "}")
+    val cols = e.columns.map(c => Map(
+      "name" -> c.name, "data_type" -> c.dataType, "sql_type" -> c.sqlType,
+      "nullable" -> c.nullable, "n_nulls" -> c.nNulls, "n_distinct" -> c.nDistinct,
+      "is_pk_candidate" -> c.isPkCandidate, "is_fk_name_candidate" -> c.isFkNameCandidate))
+    Json.value(Map(
+      "table" -> e.table, "schema" -> e.schema,
+      "description" -> e.description, "owner" -> e.owner,
+      "tags" -> e.tags, "path" -> e.path, "columns" -> cols,
+      "row_count" -> e.rowCount, "size_bytes" -> e.sizeBytes,
+      "last_analyzed" -> e.lastAnalyzedMs,
+      "created" -> e.createdMs, "updated" -> e.updatedMs))
   }
 
-  /** Escape-aware flat {"k":"v",...} scan with full JSON string unescape
-    * (incl. \uXXXX — the separators RS/FS round-trip through it). Same
-    * shape as Orchestration.FileQueue's parser.
+  /** One journal line via [[Json.parse]]. Malformed lines — a truncated
+    * tail from a crash mid-append, or hand-edited junk — are SKIPPED, not
+    * fatal: the whole point of the append-only journal is that a partial
+    * last record costs one update, never the catalog (the previous
+    * bespoke parser threw on truncation and bricked every load).
     */
-  private def parseLine(line: String): CatalogEntry = {
-    val fields = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    var i = 0
-    def readQuoted(): String = {
-      i += 1
-      val sb = new StringBuilder
-      while (line(i) != '"') {
-        if (line(i) == '\\' && i + 1 < line.length) {
-          line(i + 1) match {
-            case 'n' => sb += '\n'; i += 2
-            case 'r' => sb += '\r'; i += 2
-            case 't' => sb += '\t'; i += 2
-            case 'u' =>
-              sb += Integer.parseInt(line.substring(i + 2, i + 6), 16).toChar
-              i += 6
-            case c => sb += c; i += 2
-          }
-        } else { sb += line(i); i += 1 }
+  private def parseLine(line: String): Option[CatalogEntry] =
+    try {
+      val m = Json.parse(line).asInstanceOf[Map[String, Any]]
+      def str(k: String): Option[String] = m.get(k).collect { case s: String => s }
+      def long(k: String): Option[Long] = m.get(k).collect { case l: Long => l }
+      val cols = m.get("columns").toSeq.collect { case l: List[_] => l }.flatten.collect {
+        case cm: Map[_, _] =>
+          val c = cm.map { case (k, v) => k.toString -> v }
+          CatalogColumn(c("name").toString, c("data_type").toString, c("sql_type").toString,
+            c("nullable").asInstanceOf[Boolean], c("n_nulls").asInstanceOf[Long],
+            c("n_distinct").asInstanceOf[Long], c("is_pk_candidate").asInstanceOf[Boolean],
+            c("is_fk_name_candidate").asInstanceOf[Boolean])
       }
-      i += 1
-      sb.toString
+      val tags = m.get("tags").toSeq.collect { case l: List[_] => l }.flatten.map(_.toString)
+      Some(CatalogEntry(
+        str("table").get, str("schema").get, str("description"), str("owner"),
+        tags, str("path"), cols, long("row_count"), long("size_bytes"),
+        long("last_analyzed"), long("created").get, long("updated").get))
+    } catch {
+      case e: Exception =>
+        System.err.println(s"[catalog] skipping malformed journal line (${e.getClass.getSimpleName})")
+        None
     }
-    while (i < line.length) {
-      if (line(i) == '"') {
-        val k = readQuoted()
-        while (i < line.length && line(i) != '"') i += 1
-        val v = readQuoted()
-        fields(k) = v
-      } else i += 1
-    }
-    val m = fields
-    def opt(k: String): Option[String] = m.get(k)
-    val cols = m.getOrElse("columns", "") match {
-      case "" => Seq.empty[CatalogColumn]
-      case s => s.split(RS).toSeq.map { c =>
-        val f = c.split(FS.toString, -1)
-        CatalogColumn(f(0), f(1), f(2), f(3).toBoolean, f(4).toLong, f(5).toLong,
-          f(6).toBoolean, f(7).toBoolean)
-      }
-    }
-    val tags = m.getOrElse("tags", "") match {
-      case "" => Seq.empty[String]
-      case s => s.split(RS).toSeq
-    }
-    CatalogEntry(m("table"), m("schema"), opt("description"), opt("owner"), tags,
-      opt("path"), cols, opt("row_count").map(_.toLong), opt("size_bytes").map(_.toLong),
-      opt("last_analyzed").map(_.toLong), m("created").toLong, m("updated").toLong)
-  }
 }

@@ -44,6 +44,9 @@ object Json {
       m.toSeq.map { case (k, x) => s"${str(k.toString)}:${value(x)}" }
         .sorted.mkString("{", ",", "}")
     case xs: Iterable[_] => xs.map(value).mkString("[", ",", "]")
+    // JVM arrays are not Iterable — without this case they'd fall through
+    // to toString and emit identity garbage ("[J@1a2b3c") into event lines
+    case a: Array[_]  => a.map(value).mkString("[", ",", "]")
     case other        => str(other.toString)
   }
 

@@ -217,11 +217,13 @@ object Metrics {
     private val rules = mutable.ArrayBuffer.empty[AlertRule]
     private val active = mutable.LinkedHashMap.empty[String, Alert]
     private val history = mutable.ArrayBuffer.empty[Alert]
-    // per-rule record of the key its current alert fired under, so a
-    // custom AlertRule whose emitted alert tags differ from its rule tags
-    // still resolves (keying fire by alert.tags but resolve by rule.tags
-    // would leave such an alert active forever)
-    private val firedKeys = mutable.HashMap.empty[Int, String]
+    // per-rule record of the key(s) its alerts fired under, so a custom
+    // AlertRule whose emitted alert tags differ from its rule tags — or
+    // CHANGE between checks (value_band high → critical) — still resolves
+    // every variant: keying fire by alert.tags but resolve by rule.tags
+    // would leave such alerts active forever, and a single recorded key
+    // would strand the previous variant when the tags move
+    private val firedKeys = mutable.HashMap.empty[Int, Set[String]]
 
     private def key(name: String, tags: Map[String, String]): String =
       name + "|" + tags.toSeq.sorted.mkString(",")
@@ -229,25 +231,30 @@ object Metrics {
     def addRule(rule: AlertRule): Unit = synchronized { rules += rule }
 
     /** Evaluate every rule: a newly-firing (rule, tags) raises ONE alert
-      * until it resolves; a rule that stops firing resolves and clears
-      * its active alert. Returns only the NEW alerts of this check.
+      * until it resolves; a rule that stops firing — or fires under
+      * different tags than last check — resolves its no-longer-current
+      * alerts. Returns only the NEW alerts of this check.
       */
     def checkAlerts(): Seq[Alert] = synchronized {
       val now = clock()
       val fresh = mutable.ArrayBuffer.empty[Alert]
+      def resolve(k: String): Unit = active.remove(k).foreach(_.resolved = true)
       rules.zipWithIndex.foreach { case (rule, idx) =>
         rule.evaluate(collector, now) match {
           case Some(alert) =>
             val k = key(rule.name, alert.tags)
-            firedKeys(idx) = k
+            // a tag variant the rule fired under before but not now has
+            // stopped firing — resolve it, or it stays active forever and
+            // swallows its next fresh episode via the dedup below
+            (firedKeys.getOrElse(idx, Set.empty) - k).foreach(resolve)
+            firedKeys(idx) = Set(k)
             if (!active.contains(k)) {
               active(k) = alert
               history += alert
               fresh += alert
             }
           case None =>
-            val k = firedKeys.remove(idx).getOrElse(key(rule.name, rule.tags))
-            active.remove(k).foreach(_.resolved = true)
+            firedKeys.remove(idx).getOrElse(Set(key(rule.name, rule.tags))).foreach(resolve)
         }
       }
       fresh.toVector

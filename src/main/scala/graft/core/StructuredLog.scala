@@ -45,6 +45,14 @@ object StructuredLog {
     private def iso(ms: Long): String =
       java.time.Instant.ofEpochMilli(ms).toString
 
+    // the four head keys are RESERVED: a context/field under one of these
+    // names would emit a duplicate JSON member, and last-wins parsers
+    // (Json.parse included) would read the caller's value as the event's
+    // level/identity — e.g. an error event re-leveled by a context field
+    private val ReservedKeys = Set("timestamp", "logger", "level", "event")
+
+    @volatile private var sinkBroken = false
+
     private def emit(level: String, message: String, fields: Seq[(String, Any)]): Unit = {
       val merged = synchronized { (context.toSeq ++ fields) }
       val head = Seq(
@@ -52,9 +60,24 @@ object StructuredLog {
         s"${Json.str("logger")}:${Json.str(name)}",
         s"${Json.str("level")}:${Json.str(level)}",
         s"${Json.str("event")}:${Json.str(message)}")
-      val body = merged.toMap.toSeq.sortBy(_._1)
+      val body = merged.toMap.toSeq
+        .filterNot { case (k, _) => ReservedKeys(k) }
+        .sortBy(_._1)
         .map { case (k, v) => s"${Json.str(k)}:${Json.value(v)}" }
-      sink((head ++ body).mkString("{", ",", "}"))
+      // observability must never take the pipeline down: a failing sink
+      // (unwritable --log-file path, disk full) drops events with ONE
+      // stderr warning instead of throwing into the caller — an exception
+      // here would otherwise re-throw from the pipeline's own error
+      // handler (which logs) and mask the real Result
+      try {
+        sink((head ++ body).mkString("{", ",", "}"))
+        sinkBroken = false
+      } catch {
+        case e: Exception =>
+          if (!sinkBroken) System.err.println(
+            s"[structured-log] sink failed (${e.getClass.getSimpleName}: ${e.getMessage}) — dropping events")
+          sinkBroken = true
+      }
     }
 
     def debug(message: String, fields: (String, Any)*): Unit = emit("debug", message, fields)

@@ -137,17 +137,20 @@ object FeatureLib {
 
   /** K-means 1-D binning (feature_engineering.py:110-127) via MLlib.
     *
-    * Thin rename over [[kmeansLaw]] — the ONE k-means fit/transform path in
-    * the library (clusteringFeatures shares it too), so the
+    * Thin wrapper over [[kmeansLaw]] — the ONE k-means fit/transform path
+    * in the library (clusteringFeatures shares it too), so the
     * q_fe_kmeans_bin nearest-centroid gate exercises the shipped operator
     * rather than a parallel training path. Rows with a null `c` are dropped
     * (MLlib cannot score them — previously they crashed the fit).
     */
   def binKmeans(df: DataFrame, c: String, nBins: Int, seed: Long = 42L, outCol: String = null): DataFrame = {
     val out = Option(outCol).getOrElse(s"${c}_kbin")
-    kmeansLaw(df, Seq(c), nBins, seed)
-      .drop("not_nearest", "bad_cluster_id", "cluster_dist")
-      .withColumnRenamed("cluster", out)
+    // the law columns ride under private temp names so an input frame that
+    // already carries cluster/not_nearest/... (a prior clustering step) is
+    // neither clobbered nor rejected — the prediction goes straight to `out`
+    kmeansLaw(df, Seq(c), nBins, seed, predCol = out,
+        notNearestCol = "__bk_nn", badIdCol = "__bk_bad", distCol = "__bk_dist")
+      .drop("__bk_nn", "__bk_bad", "__bk_dist")
   }
 
   // ------------------------------------------------------------ categorical
@@ -440,27 +443,30 @@ object FeatureLib {
     * training run.
     */
   def kmeansLaw(df: DataFrame, cols: Seq[String], k: Int, seed: Long = 42L,
-                tol: Double = 1e-6): DataFrame = {
+                tol: Double = 1e-6, predCol: String = "cluster",
+                notNearestCol: String = "not_nearest",
+                badIdCol: String = "bad_cluster_id",
+                distCol: String = "cluster_dist"): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
     val feat = df.na.drop(cols)
       .withColumn("__f", array_to_vector(array(cols.map(c => col(c).cast("double")): _*)))
-    val model = new KMeans().setK(k).setSeed(seed).setFeaturesCol("__f").setPredictionCol("cluster").fit(feat)
+    val model = new KMeans().setK(k).setSeed(seed).setFeaturesCol("__f").setPredictionCol(predCol).fit(feat)
     val centers = model.clusterCenters.map(_.toArray)
     def dist2(i: Int): Column = aggregate(
       zip_with(col("__fa"), array(centers(i).map(lit).toSeq: _*), (a, b) => (a - b) * (a - b)),
       lit(0.0d), (acc, x) => acc + x)
     val minD2 = (0 until centers.length).map(dist2).reduce(least(_, _))
     val assignedD2 = (0 until centers.length).foldLeft(lit(Double.NaN): Column) {
-      (acc, i) => when(col("cluster") === i, dist2(i)).otherwise(acc)
+      (acc, i) => when(col(predCol) === i, dist2(i)).otherwise(acc)
     }
     model.transform(feat)
       .withColumn("__fa", vector_to_array(col("__f")))
-      .withColumn("not_nearest",
+      .withColumn(notNearestCol,
         when(sqrt(assignedD2) > sqrt(minD2) + tol, 1).otherwise(0))
-      .withColumn("bad_cluster_id",
-        when(col("cluster") < 0 || col("cluster") >= k, 1).otherwise(0))
-      .withColumn("cluster_dist", sqrt(assignedD2))
+      .withColumn(badIdCol,
+        when(col(predCol) < 0 || col(predCol) >= k, 1).otherwise(0))
+      .withColumn(distCol, sqrt(assignedD2))
       .drop("__f", "__fa")
   }
 

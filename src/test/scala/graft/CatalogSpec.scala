@@ -138,6 +138,32 @@ class CatalogSpec extends SparkSpec {
     assert(e.columns.map(_.name) == Seq("user_id", "name", "score", "org_key"))
   }
 
+  test("empty dataset registers cleanly (round-7 review: sum-over-0-rows NULLs)") {
+    val cat = new DataCatalog(tmpDir())
+    val e = cat.registerTable(sampleDf.filter(col("user_id") < 0), "empty")
+    assert(e.rowCount.contains(0L))
+    assert(e.columns.size == 4 && e.columns.forall(c => c.nNulls == 0L && c.nDistinct == 0L))
+    assert(e.columns.forall(!_.isPkCandidate))
+  }
+
+  test("a truncated journal line is skipped, not fatal (crash mid-append)") {
+    val dir = tmpDir()
+    val cat = new DataCatalog(dir)
+    cat.registerTable(sampleDf, "users", description = Some("good"))
+    // simulate a crash mid-append: a partial JSON line at the tail
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/catalog.jsonl"),
+      "{\"table\":\"half\",\"sch".getBytes("UTF-8"),
+      java.nio.file.StandardOpenOption.APPEND)
+    val reloaded = new DataCatalog(dir)
+    assert(reloaded.getTableMetadata("users").exists(_.description.contains("good")),
+      "intact entries survive a corrupt tail")
+    assert(reloaded.searchTables().size == 1)
+    // load() terminated the partial line, so subsequent appends land on
+    // their own lines and survive another restart intact
+    reloaded.registerTable(sampleDf, "users2")
+    assert(new DataCatalog(dir).searchTables().map(_.table).toSet == Set("users", "users2"))
+  }
+
   test("registering a parquet path records the dataset size") {
     val dir = tmpDir()
     val dataPath = s"$dir/data.parquet"

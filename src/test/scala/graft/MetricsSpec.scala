@@ -155,6 +155,34 @@ class MetricsSpec extends AnyFunSuite {
     assert(am.alertHistory().map(_.resolved) == Seq(true))
   }
 
+  test("rule whose alert tags CHANGE between checks resolves the previous variant (round-7 review)") {
+    val (clock, _) = fixedClock(0L)
+    val c = new Collector(clock = clock)
+    val am = new AlertManager(c, clock)
+    // band derived from the metric value: the alert's tags move as the
+    // value crosses 100 — the high-band alert must resolve when the
+    // critical-band one fires, and a later high-band episode is FRESH
+    am.addRule(new AlertRule {
+      val name = "band"
+      val tags = Map.empty[String, String]
+      def evaluate(collector: Collector, now: Long): Option[Alert] =
+        collector.aggregated("z", "1h").get("latest").filter(_ > 10.0).map { v =>
+          Alert(name, s"z=$v", Warning,
+            Map("band" -> (if (v > 100.0) "critical" else "high")), now)
+        }
+    })
+    c.recordGauge("z", 50.0)
+    assert(am.checkAlerts().size == 1)              // high fires
+    c.recordGauge("z", 500.0)
+    assert(am.checkAlerts().size == 1)              // critical fires
+    assert(am.activeAlerts.map(_.tags("band")) == Seq("critical"),
+      "the high-band variant resolved when the tags moved")
+    c.recordGauge("z", 50.0)
+    assert(am.checkAlerts().size == 1, "returning to high is a FRESH episode")
+    c.recordGauge("z", 1.0)
+    assert(am.checkAlerts().isEmpty && am.activeAlerts.isEmpty, "full resolution")
+  }
+
   test("retention: cross-series sweep fires after the throttle interval; appended deque always trims") {
     val (clock, setTime) = fixedClock(0L)
     val c = new Collector(retentionHours = 1, clock = clock)

@@ -150,6 +150,18 @@ class QualityFeSpec extends SparkSpec {
     }
   }
 
+  test("binKmeans preserves pre-existing cluster/law-named columns (round-7 review)") {
+    // a frame that already carries `cluster` (a prior clustering step) and
+    // a column named like a law output must pass through untouched
+    val d = (1 to 20).map(i => (i, i.toDouble, s"c$i", i * 10))
+      .toDF("id", "x", "cluster", "not_nearest")
+    val out = FeatureLib.binKmeans(d, "x", 2)
+    assert(out.columns.toSeq == Seq("id", "x", "cluster", "not_nearest", "x_kbin"))
+    assert(out.filter(col("cluster").startsWith("c")).count() == 20,
+      "user's cluster column survives verbatim")
+    assert(out.select("x_kbin").distinct().count() == 2)
+  }
+
   test("pca auto-k explains requested variance") {
     val d = (1 to 50).map { i =>
       val x = i.toDouble

@@ -109,6 +109,24 @@ class StructuredLogSpec extends SparkSpec {
     p.endStep("never_started")
   }
 
+  test("reserved head keys can't be shadowed; arrays render as JSON; broken sink degrades") {
+    val (buf, sink) = capture()
+    val log = new StructuredLogger("res", sink)
+    // round-7 review: a context field named `level` produced duplicate JSON
+    // members and last-wins parsers re-leveled the event
+    log.setContext("level" -> "audit", "event" -> "shadow")
+    log.error("real failure", "timestamp" -> "fake", "ids" -> Array(1L, 2L, 3L))
+    val m = parsed(buf.head)
+    assert(m("level") == "error" && m("event") == "real failure",
+      s"reserved keys must win: $m")
+    assert(m("ids") == List(1L, 2L, 3L), s"array field renders as a JSON array: $m")
+    // a throwing sink must not propagate into the caller (observability
+    // never takes the pipeline down) — events drop with a stderr warning
+    val broken = new StructuredLogger("bad", _ => throw new RuntimeException("disk full"))
+    broken.info("lost")
+    broken.error("also lost") // and no exception on repeat
+  }
+
   test("LogAnalyzer: pipeline metrics + error summary; junk lines skipped") {
     val (buf, sink) = capture()
     val log = new StructuredLogger("an", sink)
