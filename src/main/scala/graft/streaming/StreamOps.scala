@@ -354,8 +354,11 @@ object StreamOps {
 
   /** Kafka producer sink (kafka_source.py:254-348 streaming parity). */
   def kafkaSink(df: DataFrame, bootstrapServers: String, topic: String,
-                checkpoint: String): DataStreamWriter[org.apache.spark.sql.Row] =
-    df.selectExpr("to_json(struct(*)) AS value")
+                checkpoint: String,
+                keyCol: String = null): DataStreamWriter[org.apache.spark.sql.Row] =
+    // same offline-gated key/value projection as the batch producer sink
+    // (ConnectorConfSpec) — whole row as JSON value, optional string key
+    graft.sources.Sinks.kafkaPayload(df, keyCol)
       .writeStream.format("kafka")
       .option("kafka.bootstrap.servers", bootstrapServers)
       .option("topic", topic)

@@ -343,12 +343,19 @@ object Dedup {
                         maxLocalEdges: Long = 2000000L): DataFrame = {
     val p = pairs.select(col("id_a"), col("id_b"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val nPairs = p.count() // also materializes the cache for either path
-    if (nPairs <= maxLocalEdges) {
+    // ONE action decides the path AND fetches the local edges: collecting
+    // limit(max+1) replaces the previous count()-then-collect() pair —
+    // candidate graphs are usually tiny, and on the hot q_semantic_dedup /
+    // near-dedup composites every extra driver action is a visible share
+    // of the wall clock (the limit row caps driver memory exactly like
+    // the old count gate did)
+    val cap = math.min(maxLocalEdges, Int.MaxValue.toLong - 1).toInt
+    val localRows = p.limit(cap + 1).collect()
+    if (localRows.length <= cap) {
       val spark = pairs.sparkSession
       val idType = pairs.schema("id_a").dataType
       val uf = new graft.core.MinRootUnionFind // root == the distributed loop's min-label
-      p.collect().foreach { row =>
+      localRows.foreach { row =>
         val (a, b) = (row.get(0), row.get(1))
         if (a != null && b != null) uf.union(a, b)
       }

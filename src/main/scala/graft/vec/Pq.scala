@@ -152,13 +152,19 @@ object Pq {
     */
   private[vec] def sampleFromUnit(unit: DataFrame, maxTrainRows: Int,
                                   seed: Long): Array[Array[Double]] = {
-    val total = unit.count()
-    val gated =
-      if (total <= maxTrainRows) unit
-      else unit.filter(pmod(xxhash64(col("__id"), lit(seed)), lit(total)) <
-        lit(maxTrainRows.toLong * 105 / 100)) // ~maxTrainRows in expectation
-    val all = gated.select(col("__id"), col("__u"))
-      .collect()
+    // fast path in ONE action: collect limit(max+1) — when the corpus fits
+    // the budget (every gate-scale run) that IS the whole training set, and
+    // the sizing count() the hash gate needs is skipped entirely; only a
+    // genuinely over-budget corpus pays count + gated collect
+    val probe = unit.select(col("__id"), col("__u")).limit(maxTrainRows + 1).collect()
+    val all = (if (probe.length <= maxTrainRows) probe
+      else {
+        val total = unit.count()
+        unit.filter(pmod(xxhash64(col("__id"), lit(seed)), lit(total)) <
+            lit(maxTrainRows.toLong * 105 / 100)) // ~maxTrainRows in expectation
+          .select(col("__id"), col("__u"))
+          .collect()
+      })
       .sortBy(_.get(0).toString)
       .take(maxTrainRows)
       .map(_.getSeq[Double](1).toArray)
