@@ -55,18 +55,23 @@ object Graph {
 
     var ranks = nodes.withColumn("rank", lit(1.0 / n)).localCheckpoint()
     for (_ <- 1 to iterations) {
-      // mass sitting on nodes with no out-edges, redistributed uniformly;
-      // ranks is materialized (localCheckpoint), so this one-row job reads
-      // state, not the iteration history
+      // mass sitting on nodes with no out-edges, redistributed uniformly.
+      // The one-row dangling aggregate rides IN-PLAN as a broadcast under
+      // every row (the scalar-broadcast pattern binQuantile et al. use)
+      // instead of a head() to the driver — each iteration is then ONE
+      // job (the eager localCheckpoint), not a dangling job + a compute
+      // job; ranks is materialized, so the subtree reads state, not the
+      // iteration history
       val dangling = ranks.join(outd, ranks("node") === outd("src"), "left_anti")
-        .agg(coalesce(sum(col("rank")), lit(0.0))).head().getDouble(0)
+        .agg(coalesce(sum(col("rank")), lit(0.0)).as("__dangling"))
       val contribs = eDeg.join(ranks, eDeg("src") === ranks("node"))
         .select(col("dst").as("node"), (col("rank") / col("outd")).as("__c"))
         .groupBy("node").agg(sum(col("__c")).as("__contrib"))
       ranks = nodes.join(contribs, Seq("node"), "left")
+        .crossJoin(broadcast(dangling))
         .select(col("node"),
           (lit((1 - damping) / n) + lit(damping) *
-            (coalesce(col("__contrib"), lit(0.0)) + lit(dangling / n))).as("rank"))
+            (coalesce(col("__contrib"), lit(0.0)) + col("__dangling") / n)).as("rank"))
         .localCheckpoint()
     }
     ranks
