@@ -161,6 +161,30 @@ object Cli {
           System.err.println(s"usage: graft.Cli catalog register|search|report ... (got: $other)")
           sys.exit(2)
       }
+    case "lineage" :: sub :: rest =>
+      // cross-run lineage registry (utils/lineage_tracker.py parity):
+      //   lineage report <table> --dir <lineageDir>
+      //   lineage graph <table> --dir <lineageDir> [--depth n]
+      def lflag(name: String): Option[String] =
+        rest.sliding(2).collectFirst { case List(`name`, v) => v }
+      val tracker = new graft.core.LineageTracker(lflag("--dir").getOrElse(".graft-lineage"))
+      val table = rest.headOption.filterNot(_.startsWith("--")).getOrElse {
+        System.err.println(s"error: lineage $sub needs a table name"); sys.exit(1)
+      }
+      sub match {
+        case "report" => println(tracker.generateLineageReport(table))
+        case "graph" =>
+          val (nodes, edges) = tracker.lineageGraph(table,
+            lflag("--depth").map(_.toInt).getOrElse(2))
+          val es = edges.map(e =>
+            s"""{"source":${j(e.source)},"target":${j(e.target)},""" +
+              s""""transformation":${j(e.transformation)},"pipeline":${j(e.pipeline)}}""")
+          println(s"""{"table":${j(table)},"nodes":[${nodes.map(j).mkString(",")}],""" +
+            s""""edges":[${es.mkString(",")}]}""")
+        case other =>
+          System.err.println(s"usage: graft.Cli lineage report|graph <table> --dir <d> (got: $other)")
+          sys.exit(2)
+      }
     case "entry" :: _ =>
       Smoke.main(Array.empty)
     case other =>

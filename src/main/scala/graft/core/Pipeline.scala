@@ -150,6 +150,16 @@ object Pipeline {
               conf.sources.map(_.table).mkString(","),
               st.options.getOrElse("catalog_table", conf.name), "pipeline", conf.name))
           }
+          // storage.options.lineage_dir: persist the cross-run lineage
+          // edges (lineage_tracker.py parity — every source table → the
+          // written table, attributed to this pipeline)
+          st.options.get("lineage_dir").foreach { ld =>
+            new LineageTracker(ld).trackTransformation(
+              conf.sources.map(_.table),
+              st.options.getOrElse("catalog_table", conf.name),
+              "pipeline", conf.name,
+              Map("storage_type" -> st.typ, "path" -> st.path))
+          }
           counted.unpersist()
           n
         case None => -1L
