@@ -161,6 +161,27 @@ object Cli {
           System.err.println(s"usage: graft.Cli catalog register|search|report ... (got: $other)")
           sys.exit(2)
       }
+    case "quality" :: path :: rest =>
+      // quality check over a dataset (cli/quality_commands.py `quality
+      // check` parity): run the default checks, print per-metric rows and
+      // the WARN/FAIL alerts as JSON lines
+      val spark = Sessions.local(appName = "graft-quality")
+      try {
+        val df = if (path.endsWith(".csv")) graft.sources.Readers.csv(spark, path)
+                 else spark.read.parquet(path)
+        val name = new java.io.File(path).getName.replaceAll("\\.(parquet|csv)$", "")
+        val metrics = graft.quality.QualityMonitor.runChecks(df, name,
+          graft.quality.QualityMonitor.defaultChecks(df),
+          org.apache.spark.sql.functions.current_timestamp())
+        val showAlerts = rest.contains("--alerts")
+        val out = if (showAlerts) graft.quality.QualityMonitor.alerts(metrics, 0L) else metrics
+        out.collect().foreach { r =>
+          val fields = r.schema.fieldNames.zipWithIndex.map { case (f, i) =>
+            s"${j(f)}:${if (r.isNullAt(i)) "null" else graft.core.Json.value(r.get(i))}"
+          }
+          println(fields.mkString("{", ",", "}"))
+        }
+      } finally spark.stop()
     case "lineage" :: sub :: rest =>
       // cross-run lineage registry (utils/lineage_tracker.py parity):
       //   lineage report <table> --dir <lineageDir>
