@@ -93,6 +93,25 @@ class LineageSpec extends SparkSpec {
       .map(_.targetTable) == Seq("mart"), "appends after a repaired tail survive")
   }
 
+  test("examples/governed_pipeline.yaml: write + catalog + lineage in one run") {
+    val gov = "/tmp/graft-governed" // the example's env default
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(gov))
+    val yaml = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("examples/governed_pipeline.yaml")), "UTF-8")
+    val res = graft.core.Pipeline.execute(spark, graft.core.Pipeline.fromYaml(yaml))
+    assert(res.status == "success", res.errors.mkString("; "))
+    assert(res.rowsWritten > 0)
+    val cat = new graft.core.DataCatalog(s"$gov/catalog")
+    val e = cat.getTableMetadata("docs_clean").get
+    assert(e.rowCount.contains(res.rowsWritten) && e.tags == Seq("text", "curated"))
+    assert(cat.searchTables(column = Some("stopword_ratio")).map(_.table) == Seq("docs_clean"),
+      "quality-feature columns are searchable")
+    val lin = new LineageTracker(s"$gov/lineage")
+    val up = lin.upstreamDependencies("docs_clean")
+    assert(up.map(_.sourceTable) == Seq("documents_raw"))
+    assert(up.head.pipelineName == "governed_curation")
+  }
+
   test("pipeline storage persists lineage edges via storage.options.lineage_dir") {
     val in = tmpDir()
     Seq((1L, 30), (2L, 10)).toDF("id", "age").coalesce(1)
