@@ -22,14 +22,18 @@ import org.apache.spark.sql.functions._
   * elect min labels, and both survivor elections tie-break on id — so the
   * gate query is golden-able, unlike an MLlib-backed formulation.
   *
-  * Scale shape: one exchange on the cluster id for pair generation
-  * (bucketPairs: window cap BEFORE collect_list, ids-only explosion), the
-  * adaptive connected components, and broadcast-joined election — no
-  * all-pairs join anywhere; vectors ride only (a) the corpus-scan
-  * assignment projection and (b) the per-pair cosine re-check join.
-  * `maxClusterSize` caps a degenerate cell (an all-identical blob) the
-  * same way LSH caps a hot bucket; the paper's cluster count (corpus/k ≈
-  * thousands of members) keeps real cells far below it.
+  * Scale shape: one exchange on the unit vector (exact-duplicate
+  * collapse — identical vectors never enter the quadratic pair space,
+  * see semanticDupGroups), one exchange on the cluster id for pair
+  * generation over the REPRESENTATIVES only (bucketPairs: window cap
+  * BEFORE collect_list, ids-only explosion), the adaptive connected
+  * components, and broadcast-joined election — no all-pairs join
+  * anywhere; vectors ride only (a) the corpus-scan assignment
+  * projection and (b) the per-rep-pair cosine re-check join.
+  * `maxClusterSize` caps a degenerate cell the same way LSH caps a hot
+  * bucket — counted in distinct vectors, so only a genuinely diverse
+  * giant cell trips it; the paper's cluster count (corpus/k ≈ thousands
+  * of members) keeps real cells far below it.
   */
 object SemDedup {
 
@@ -64,19 +68,49 @@ object SemDedup {
       when(graft.expr.DotProduct(u, array(cents(0).map(lit).toSeq: _*)).isNotNull,
         array_min(scored).getField("l"))
     }
+    // Exact-duplicate collapse BEFORE pair generation: vectors that
+    // normalize to the same unit vector are mutual cos-exactly-1
+    // duplicates for every valid threshold (threshold ≤ 1 is required
+    // above), so only ONE representative per identical-vector group (the
+    // min id) needs to enter the quadratic within-cell pair space; the
+    // group expands back onto its rep's component afterwards. Real
+    // corpora are exactly-duplicate-heavy, and the pair space shrinks by
+    // the SQUARE of the duplication depth — the sf≈1 scale-stress (10
+    // byte-identical copies, 20-deep groups in the gate query) drops
+    // from ~50M generated pairs to ~125k. Output-equivalent: identical
+    // groups are cliques, so member-level components = rep-level
+    // components expanded, and min-member labels = min-rep labels
+    // (reps ARE their groups' minima). One deliberate divergence: the
+    // maxClusterSize degenerate-cell cap now counts DISTINCT vectors,
+    // not members — an all-identical blob no longer trips it (strictly
+    // better recall; the cap exists for adversarial cells, and those are
+    // now collapsed before it applies).
+    val wIdent = org.apache.spark.sql.expressions.Window.partitionBy(col("__u"))
     val unit = unitBase.withColumnRenamed("__id", "id")
       .withColumn("__cl", nearest(col("__u")))
       .filter(col("__cl").isNotNull) // wrong-dim rows: not duplicates of anything
       .withColumn("__cc", graft.expr.DotProduct(col("__u"), element_at(centArr, col("__cl") + 1)))
+      .withColumn("__rep", min(col("id")).over(wIdent))
+      .withColumn("__gsz", count(lit(1)).over(wIdent))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val reps = unit.filter(col("id") === col("__rep"))
     val pairs = graft.text.Dedup.bucketPairs(
-        unit.select(col("id"), col("__cl")), Seq("__cl"), maxClusterSize)
-      .join(unit.select(col("id").as("id_a"), col("__u").as("__ua")), Seq("id_a"))
-      .join(unit.select(col("id").as("id_b"), col("__u").as("__ub")), Seq("id_b"))
+        reps.select(col("id"), col("__cl")), Seq("__cl"), maxClusterSize)
+      .join(reps.select(col("id").as("id_a"), col("__u").as("__ua")), Seq("id_a"))
+      .join(reps.select(col("id").as("id_b"), col("__u").as("__ub")), Seq("id_b"))
       .filter(graft.expr.DotProduct(col("__ua"), col("__ub")) >= threshold)
       .select("id_a", "id_b")
-    val groups = graft.text.Dedup.clusterCandidates(pairs)
+    val repGroups = graft.text.Dedup.clusterCandidates(pairs)
       .withColumnRenamed("cluster_id", "__grp")
+    // an identical group (size ≥ 2) whose rep pairs with no OTHER vector
+    // is a component of its own, labeled by its min member id — the rep
+    val soloDupReps = reps.filter(col("__gsz") >= 2).select(col("id"))
+      .join(repGroups.select("id"), Seq("id"), "left_anti")
+      .withColumn("__grp", col("id"))
+    val repLabeled = repGroups.unionByName(soloDupReps)
+    val groups = unit.select(col("id"), col("__rep"))
+      .join(repLabeled.select(col("id").as("__rep"), col("__grp")), Seq("__rep"))
+      .select(col("id"), col("__grp"))
     val members = groups.join(unit.select(col("id"), col("__cc")), Seq("id"))
     // survivor: the paper keeps the member LEAST similar to its centroid
     // (diversity); min_id keeps the smallest id. Both tie-break on id.
