@@ -440,6 +440,67 @@ object Multimodal {
     StructField("sum_sq", LongType),
     StructField("zero_crossings", LongType)))
 
+  /** javax.sound's `AudioSystem` entry points re-scan every installed SPI
+    * provider on EVERY call, and the scan serializes on a JVM-global lock
+    * (`SoftMidiAudioFileReader`'s probe consults the MIDI soft-synth
+    * registry on the read side; the writer registry locks the same way on
+    * the write side). Measured on this container's JDK 17: ~100 µs/call
+    * with ZERO parallel speedup across 32 threads — the 10× scale-stress
+    * showed 19× wall growth for 10× rows because all decode ran on one
+    * core. The SPI providers themselves are stateless and scale linearly
+    * (22–42 µs/call, ~32× speedup at 32 threads), so they are resolved
+    * ONCE per JVM here and dispatched directly — readers by sniffed
+    * container magic, writers by target-type support. Anything
+    * unrecognized falls back to the stock `AudioSystem` path, preserving
+    * behavior for exotic formats.
+    */
+  private lazy val audioReaders: Seq[javax.sound.sampled.spi.AudioFileReader] = {
+    val buf = Seq.newBuilder[javax.sound.sampled.spi.AudioFileReader]
+    java.util.ServiceLoader.load(classOf[javax.sound.sampled.spi.AudioFileReader])
+      .forEach(r => buf += r)
+    buf.result()
+  }
+
+  private lazy val audioWriters: Seq[javax.sound.sampled.spi.AudioFileWriter] = {
+    val buf = Seq.newBuilder[javax.sound.sampled.spi.AudioFileWriter]
+    java.util.ServiceLoader.load(classOf[javax.sound.sampled.spi.AudioFileWriter])
+      .forEach(w => buf += w)
+    buf.result()
+  }
+
+  /** Open `payload` as audio: magic-sniffed direct reader dispatch, stock
+    * `AudioSystem` fallback. Throws like `getAudioInputStream` on
+    * undecodable input — callers keep their existing catch-to-null.
+    */
+  private def openAudio(payload: Array[Byte]): javax.sound.sampled.AudioInputStream = {
+    def magic(s: String): Boolean =
+      payload.length >= 4 && (0 until 4).forall(i => payload(i) == s.charAt(i).toByte)
+    val preferred =
+      if (magic("RIFF")) audioReaders.filter(_.getClass.getSimpleName.startsWith("Wave"))
+      else if (magic("FORM")) audioReaders.filter(_.getClass.getSimpleName.startsWith("Aiff"))
+      else if (magic(".snd")) audioReaders.filter(_.getClass.getSimpleName.startsWith("AuFile"))
+      else Nil
+    val it = preferred.iterator
+    while (it.hasNext) {
+      try return it.next().getAudioInputStream(new java.io.ByteArrayInputStream(payload))
+      catch { case _: javax.sound.sampled.UnsupportedAudioFileException => () }
+    }
+    javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(payload))
+  }
+
+  /** WAV-encode `ais` into `bos`: first cached writer that supports the
+    * stream, stock `AudioSystem.write` fallback.
+    */
+  private def writeWav(ais: javax.sound.sampled.AudioInputStream,
+                       bos: java.io.OutputStream): Unit = {
+    val wave = javax.sound.sampled.AudioFileFormat.Type.WAVE
+    audioWriters.find(_.isFileTypeSupported(wave, ais)) match {
+      case Some(w) => w.write(ais, wave, bos)
+      case None    => javax.sound.sampled.AudioSystem.write(ais, wave, bos)
+    }
+  }
+
   /** Decode one WAV payload with the JDK codec (`AudioSystem`) and compute
     * channel-0 sample stats. Returns null for null/undecodable/non-PCM16
     * payloads (corrupt audio is data, not a job-killer). `zero_crossings`
@@ -449,8 +510,7 @@ object Multimodal {
   private[graft] def audioStats(payload: Array[Byte]): Row = {
     if (payload == null) return null
     val in =
-      try javax.sound.sampled.AudioSystem.getAudioInputStream(
-        new java.io.ByteArrayInputStream(payload))
+      try openAudio(payload)
       catch { case _: Exception => return null }
     try {
       val fmt = in.getFormat
@@ -524,8 +584,7 @@ object Multimodal {
     val ais = new javax.sound.sampled.AudioInputStream(
       new java.io.ByteArrayInputStream(pcm), fmt, numFrames.toLong)
     val bos = new java.io.ByteArrayOutputStream()
-    javax.sound.sampled.AudioSystem.write(ais,
-      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    writeWav(ais, bos)
     bos.toByteArray
   }
 
@@ -546,8 +605,7 @@ object Multimodal {
           val payload = row.get(payloadIdx).asInstanceOf[Array[Byte]]
           val in =
             if (payload == null) null
-            else try javax.sound.sampled.AudioSystem.getAudioInputStream(
-                   new java.io.ByteArrayInputStream(payload))
+            else try openAudio(payload)
                  catch { case _: Exception => null }
           if (in == null) row
           else try {
@@ -559,8 +617,7 @@ object Multimodal {
             val trimmed = new javax.sound.sampled.AudioInputStream(
               new java.io.ByteArrayInputStream(bytes), fmt, keepFrames)
             val bos = new java.io.ByteArrayOutputStream()
-            javax.sound.sampled.AudioSystem.write(trimmed,
-              javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+            writeWav(trimmed, bos)
             val oldMeta = row.getStruct(metaIdx)
             val newMeta = Row(oldMeta.getString(0), oldMeta.getInt(1), oldMeta.getInt(2),
               keepFrames * 1000L / rate)
