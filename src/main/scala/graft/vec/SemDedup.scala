@@ -85,12 +85,26 @@ object SemDedup {
     // not members — an all-identical blob no longer trips it (strictly
     // better recall; the cap exists for adversarial cells, and those are
     // now collapsed before it applies).
+    // A group is collapsible ONLY if the exact pair predicate holds for
+    // the identical pair itself: dot(u, u) ≥ threshold. This keeps the
+    // collapse bit-faithful to the uncollapsed filter at the edges the
+    // "identical ⇒ cos 1" argument glosses over — all-zero vectors
+    // (l2Normalize passes them through; self-dot 0 fails every positive
+    // threshold, so the original never pairs them) stay singletons, and
+    // a float self-dot a hair under a threshold of exactly 1.0 rejects
+    // the same pairs the original rejects. NaN vectors follow Spark's
+    // NaN-largest comparison on both paths. Non-collapsible rows are
+    // their own representatives and enter pair generation individually,
+    // exactly as before.
     val wIdent = org.apache.spark.sql.expressions.Window.partitionBy(col("__u"))
     val unit = unitBase.withColumnRenamed("__id", "id")
       .withColumn("__cl", nearest(col("__u")))
       .filter(col("__cl").isNotNull) // wrong-dim rows: not duplicates of anything
       .withColumn("__cc", graft.expr.DotProduct(col("__u"), element_at(centArr, col("__cl") + 1)))
-      .withColumn("__rep", min(col("id")).over(wIdent))
+      .withColumn("__selfdup",
+        coalesce(graft.expr.DotProduct(col("__u"), col("__u")) >= lit(threshold), lit(false)))
+      .withColumn("__rep",
+        when(col("__selfdup"), min(col("id")).over(wIdent)).otherwise(col("id")))
       .withColumn("__gsz", count(lit(1)).over(wIdent))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val reps = unit.filter(col("id") === col("__rep"))
@@ -104,7 +118,7 @@ object SemDedup {
       .withColumnRenamed("cluster_id", "__grp")
     // an identical group (size ≥ 2) whose rep pairs with no OTHER vector
     // is a component of its own, labeled by its min member id — the rep
-    val soloDupReps = reps.filter(col("__gsz") >= 2).select(col("id"))
+    val soloDupReps = reps.filter(col("__gsz") >= 2 && col("__selfdup")).select(col("id"))
       .join(repGroups.select("id"), Seq("id"), "left_anti")
       .withColumn("__grp", col("id"))
     val repLabeled = repGroups.unionByName(soloDupReps)

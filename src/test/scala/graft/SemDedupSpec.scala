@@ -73,6 +73,31 @@ class SemDedupSpec extends SparkSpec {
     assert(kept.intersect(Set(0L, 1L, 2L)) == Set(0L), "real groups still dedup")
   }
 
+  test("identical vectors dedup via the collapse; zero vectors never do") {
+    // exact byte-copies are cos-exactly-1 duplicates and must collapse to
+    // the min id WITHOUT entering pair generation; all-zero vectors are
+    // byte-identical too but their self-dot is 0 — the pair predicate
+    // fails, so (matching the uncollapsed formulation) they are NOT
+    // duplicates of each other or of anything else
+    val withCopies = corpus().unionByName(Seq(
+      (300L, Seq(1.0f, 0f, 0f, 0f)),  // exact copy of id 0's direction AND bytes
+      (301L, Seq(1.0f, 0f, 0f, 0f)),
+      (400L, Seq(0f, 0f, 0f, 0f)),    // zero vectors: identical, never dups
+      (401L, Seq(0f, 0f, 0f, 0f))).toDF("vec_id", "embedding"))
+    val groups = SemDedup.semanticDupGroups(withCopies, "vec_id", "embedding",
+      threshold = 0.98, nClusters = 4, keep = "min_id")
+      .select("id", "survivor").as[(Long, Long)].collect().toMap
+    assert(groups.get(300L).contains(0L) && groups.get(301L).contains(0L),
+      "exact copies join id 0's group and elect its min id")
+    assert(!groups.contains(400L) && !groups.contains(401L),
+      "identical zero vectors are not semantic duplicates")
+    val kept = SemDedup.semanticDedup(withCopies, "vec_id", "embedding",
+      threshold = 0.98, nClusters = 4, keep = "min_id")
+      .select("vec_id").as[Long].collect().toSet
+    assert(kept.contains(400L) && kept.contains(401L), "zero vectors both survive")
+    assert(!kept.contains(300L) && !kept.contains(301L), "copies are pruned")
+  }
+
   test("deterministic across partitionings; no cartesian product") {
     val df = corpus()
     def run(parts: Int): Seq[(Long, Long)] =
