@@ -249,3 +249,92 @@ object HyperplaneSig {
     GraftColumnBridge.column(HyperplaneSig(
       GraftColumnBridge.expression(vec), planes.flatten.toVector, bands, bitsPerBand))
 }
+
+/** One-pass L2 normalization of a numeric array into array<double> —
+  * replaces the interpreted `aggregate` (norm) + `transform` (divide) +
+  * `exists` (null screen) HOF chain that cost ~350 µs/row on the
+  * unit-vector path under every ANN/PQ/SemDedup/contamination operator
+  * (profiled at sf0.1: 1.4 s of a 4 000-row sample collect was this
+  * chain). Bit-identical arithmetic to the HOF formulation: sequential
+  * left-to-right Σx² accumulation, sqrt in double, x/norm per element,
+  * zero-norm vectors pass through as casts.
+  *
+  * `dropIfAnyNull = false` (the public l2Normalize contract): null
+  * elements are preserved positionally and excluded from the norm.
+  * `dropIfAnyNull = true` (the unitFrame screen): a null element nulls
+  * the whole result — the row then falls to the existing isNotNull
+  * filter, replacing the interpreted `exists` pass.
+  */
+case class UnitizeExpr(child: Expression, dropIfAnyNull: Boolean) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = !dropIfAnyNull)
+  override def nullable: Boolean = true
+
+  @transient private lazy val isFloat = VecExprs.isFloatArray(child)
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val a = input.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i)) { if (dropIfAnyNull) return null }
+      else { val x = VecExprs.get(a, i, isFloat); acc += x * x }
+      i += 1
+    }
+    val norm = math.sqrt(acc)
+    val out = new Array[Any](n)
+    i = 0
+    while (i < n) {
+      if (!a.isNullAt(i)) {
+        val x = VecExprs.get(a, i, isFloat)
+        out(i) = if (norm == 0.0) x else x / norm
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val acc = ctx.freshName("acc")
+      val bad = ctx.freshName("bad")
+      val norm = ctx.freshName("norm")
+      val vals = ctx.freshName("vals")
+      val x = ctx.freshName("x")
+      s"""
+         |final int $n = $a.numElements();
+         |boolean $bad = false;
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.isNullAt($i)) { if ($dropIfAnyNull) { $bad = true; break; } }
+         |  else { final double $x = ${VecExprs.getJava(a, i, isFloat)}; $acc += $x * $x; }
+         |}
+         |if (!$bad) {
+         |  final double $norm = java.lang.Math.sqrt($acc);
+         |  final Object[] $vals = new Object[$n];
+         |  for (int $j = 0; $j < $n; $j++) {
+         |    if (!$a.isNullAt($j)) {
+         |      final double $x = ${VecExprs.getJava(a, j, isFloat)};
+         |      $vals[$j] = ($norm == 0.0) ? $x : $x / $norm;
+         |    }
+         |  }
+         |  ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($vals);
+         |}
+         |${ev.isNull} = $bad;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): UnitizeExpr =
+    copy(child = newChild)
+
+  override def prettyName: String = "graft_unitize"
+}
+
+object UnitizeExpr {
+  def apply(a: Column, dropIfAnyNull: Boolean): Column =
+    GraftColumnBridge.column(UnitizeExpr(GraftColumnBridge.expression(a), dropIfAnyNull))
+}

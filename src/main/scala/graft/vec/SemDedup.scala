@@ -53,7 +53,13 @@ object SemDedup {
     val sample = Pq.sampleFromUnit(unitBase, maxTrainRows, seed)
     require(sample.nonEmpty, "semantic dedup: empty corpus")
     val cents = Pq.lloyd(sample, math.min(nClusters, sample.length), 20, seed)
-    val centArr = array(cents.map(c => array(c.map(lit).toSeq: _*)).toSeq: _*)
+    // ONE nested-array literal node, not k×dim composed lit()s: the wide
+    // (2 000+-node) literal tree was re-analyzed by Catalyst on every one
+    // of this composite's ~10 actions, and that driver-side plan work —
+    // not data — dominated the sf0.1 timing. element_at over the single
+    // literal constant-folds to the same per-centroid arrays in codegen.
+    val centArr = typedlit(cents.map(_.toSeq).toSeq)
+    def centAt(i: Int): Column = element_at(centArr, i + 1)
     // row-local nearest-centroid argmin (unit vectors: d² = 2 - 2·dot) and
     // cosine to the OWN centroid — one projection, no expansion. A
     // wrong-dimension vector (null dot against centroid 0) gets a NULL
@@ -62,10 +68,10 @@ object SemDedup {
     // its real duplicate pairs.
     def nearest(u: Column): Column = {
       val scored = array(cents.indices.map { i =>
-        struct((lit(1.0) - graft.expr.DotProduct(u, array(cents(i).map(lit).toSeq: _*))).as("d"),
+        struct((lit(1.0) - graft.expr.DotProduct(u, centAt(i))).as("d"),
           lit(i).as("l"))
       }: _*)
-      when(graft.expr.DotProduct(u, array(cents(0).map(lit).toSeq: _*)).isNotNull,
+      when(graft.expr.DotProduct(u, centAt(0)).isNotNull,
         array_min(scored).getField("l"))
     }
     // Exact-duplicate collapse BEFORE pair generation: vectors that

@@ -42,13 +42,23 @@ object VectorOps {
 
   /** Unit-normalize `vecCol` into `outCol` (array<double>). Zero vectors
     * stay zero (no division); null elements stay null in place.
+    *
+    * float/double arrays run the native one-pass [[graft.expr.UnitizeExpr]]
+    * kernel (bit-identical arithmetic — sequential Σx², sqrt, x/norm);
+    * other numeric element types keep the HOF formulation (cold path).
     */
   def l2Normalize(df: DataFrame, vecCol: String, outCol: String = "unit"): DataFrame =
-    df.withColumn("__l2n", l2Norm(col(vecCol)))
-      .withColumn(outCol,
-        when(col("__l2n") === 0.0, asDouble(col(vecCol)))
-          .otherwise(transform(asDouble(col(vecCol)), x => x / col("__l2n"))))
-      .drop("__l2n")
+    df.schema(vecCol).dataType match {
+      case org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType | org.apache.spark.sql.types.DoubleType, _) =>
+        df.withColumn(outCol, graft.expr.UnitizeExpr(col(vecCol), dropIfAnyNull = false))
+      case _ =>
+        df.withColumn("__l2n", l2Norm(col(vecCol)))
+          .withColumn(outCol,
+            when(col("__l2n") === 0.0, asDouble(col(vecCol)))
+              .otherwise(transform(asDouble(col(vecCol)), x => x / col("__l2n"))))
+          .drop("__l2n")
+    }
 
   /** Symmetric max-abs int8 quantization: scale = max|x| over the vector,
     * q_i = floor(x_i * 127.0 / scale + 0.5) as tinyint in [-127, 127]
