@@ -181,6 +181,81 @@ class VecExprsSpec extends SparkSpec {
     assert(n._2 == Seq(Some(64.toByte), None, Some(-127.toByte)))
   }
 
+  test("UnitizeExpr matches the HOF l2-normalize formulation bit-for-bit") {
+    // the kernel replaced aggregate(Σx²)+transform(x/norm); identical
+    // left-to-right accumulation order → exact equality is the contract
+    // (q_semantic_dedup / q_pq_encode goldens are hash-pinned on it)
+    val df = (1 to 200).map(i => (i.toLong, Seq.fill(48)(rnd.nextGaussian())))
+      .toDF("id", "v")
+    val hofNorm = sqrt(aggregate(col("v"), lit(0.0d), (acc, x) => acc + x * x))
+    val hof = when(hofNorm === 0.0, col("v"))
+      .otherwise(transform(col("v"), x => x / hofNorm))
+    val out = df.select(
+      graft.expr.UnitizeExpr(col("v"), dropIfAnyNull = false).as("n"),
+      hof.as("h")).as[(Seq[Double], Seq[Double])].collect()
+    out.foreach { case (n, h) => assert(n == h, "unitize diverged from the HOF chain") }
+  }
+
+  test("UnitizeExpr null policies: positional preserve vs whole-row drop") {
+    val df = spark.sql(
+      """SELECT * FROM VALUES
+        |  (1L, array(CAST(3.0 AS DOUBLE), NULL, CAST(4.0 AS DOUBLE))),
+        |  (2L, array(CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE))),
+        |  (3L, CAST(NULL AS ARRAY<DOUBLE>)) AS t(id, v)""".stripMargin)
+    val out = df.select(col("id"),
+        graft.expr.UnitizeExpr(col("v"), dropIfAnyNull = false).as("keep"),
+        graft.expr.UnitizeExpr(col("v"), dropIfAnyNull = true).as("drop"))
+      .orderBy("id").collect()
+    // keep: nulls excluded from the norm (=5.0) and preserved in place
+    assert(out(0).getSeq[Any](1) == Seq(0.6, null, 0.8))
+    assert(out(0).isNullAt(2), "dropIfAnyNull must null the whole vector")
+    // zero vector passes through under both policies
+    assert(out(1).getSeq[Double](1) == Seq(0.0, 0.0, 0.0))
+    assert(out(1).getSeq[Double](2) == Seq(0.0, 0.0, 0.0))
+    // null input → null output (nullSafeEval)
+    assert(out(2).isNullAt(1) && out(2).isNullAt(2))
+  }
+
+  test("UnitizeExpr: CODEGEN_ONLY and NO_CODEGEN paths agree bit-for-bit") {
+    val df = spark.sql(
+      """SELECT * FROM VALUES
+        |  (1L, array(CAST(1.5 AS FLOAT), CAST(-2.5 AS FLOAT), CAST(0.25 AS FLOAT))),
+        |  (2L, array(CAST(1.0 AS FLOAT), NULL, CAST(2.0 AS FLOAT))),
+        |  (3L, array(CAST(0.0 AS FLOAT), CAST(0.0 AS FLOAT))),
+        |  (4L, CAST(NULL AS ARRAY<FLOAT>)) AS t(id, v)""".stripMargin)
+    def run(): Seq[String] = df.select(col("id"),
+        graft.expr.UnitizeExpr(col("v"), dropIfAnyNull = false).as("keep"),
+        graft.expr.UnitizeExpr(col("v"), dropIfAnyNull = true).as("drop"))
+      .orderBy("id").collect().map(_.toString).toSeq
+    val conf = spark.conf
+    val prevMode = conf.getOption("spark.sql.codegen.factoryMode")
+    val prevWsc = conf.getOption("spark.sql.codegen.wholeStage")
+    val prevFb = conf.getOption("spark.sql.codegen.fallback")
+    try {
+      conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+      conf.set("spark.sql.codegen.wholeStage", "true")
+      conf.set("spark.sql.codegen.fallback", "false")
+      val gen = run()
+      conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+      conf.set("spark.sql.codegen.wholeStage", "false")
+      val interp = run()
+      assert(gen == interp, s"codegen/interpreted divergence:\n$gen\n$interp")
+    } finally {
+      def restore(k: String, v: Option[String]): Unit =
+        v.fold(conf.unset(k))(conf.set(k, _))
+      restore("spark.sql.codegen.factoryMode", prevMode)
+      restore("spark.sql.codegen.wholeStage", prevWsc)
+      restore("spark.sql.codegen.fallback", prevFb)
+    }
+  }
+
+  test("l2Normalize non-float element types keep working via the HOF fallback") {
+    val df = spark.sql("SELECT 1L AS id, array(3, 4) AS v")
+    val out = graft.vec.VectorOps.l2Normalize(df, "v", "unit")
+      .select("unit").as[Seq[Double]].head()
+    assert(out == Seq(0.6, 0.8))
+  }
+
   test("l2Normalize yields unit vectors and leaves zero vectors zero") {
     val rnd = new scala.util.Random(11)
     val df = (1 to 100).map(i => (i.toLong, Seq.fill(16)(rnd.nextGaussian().toFloat)))
