@@ -273,11 +273,15 @@ object Pq {
     val sample = sampleFromUnit(unit, maxTrainRows, seed)
     val coarse = lloyd(sample, math.min(nlist, sample.length), 20, seed - 1)
     val nl = coarse.length
-    // row-local argmin over centroid literals (no expansion, no shuffle)
+    // row-local argmin over centroid literals (no expansion, no shuffle).
+    // ONE nested-array literal node (SemDedup precedent): the nl×dim
+    // composed-lit() tree was re-analyzed by Catalyst per action; element_at
+    // over the single literal constant-folds to the same per-centroid arrays.
+    val coarseArr = typedlit(coarse.map(_.toSeq).toSeq)
     def bestList(vec: Column): Column = {
       val scored = array((0 until nl).map { i =>
         val d2 = graft.expr.DotProduct(vec, vec) -
-          lit(2.0) * graft.expr.DotProduct(vec, array(coarse(i).map(lit).toSeq: _*)) +
+          lit(2.0) * graft.expr.DotProduct(vec, element_at(coarseArr, i + 1)) +
           lit(coarse(i).map(x => x * x).sum)
         struct(coalesce(d2, lit(Double.MaxValue)).as("d"), lit(i).as("l"))
       }: _*)

@@ -162,9 +162,13 @@ object Similarity {
     // centroid literals — assigning the corpus via crossJoin × nlist + a
     // per-row window would shuffle the nlist×-expanded corpus just to take
     // an argmax; this computes the same assignment with zero expansion.
+    // ONE nested-array literal node (SemDedup precedent): the nlist×dim
+    // composed-lit() tree was re-analyzed by Catalyst per action; element_at
+    // over the single literal constant-folds to the same per-centroid arrays.
     // Zero-norm vectors coalesce to -2 (< any cosine) so ANSI never throws.
+    val centArr = typedlit(cents.map(_.toSeq).toSeq)
     def centroidCos(vec: Column, i: Int): Column = coalesce(
-      dot(vec, array(cents(i).map(lit).toSeq: _*)) /
+      dot(vec, element_at(centArr, i + 1)) /
         nullif(l2Norm(vec) * lit(centroidNorms(i)), lit(0.0)),
       lit(-2.0))
     // argmax via array_max over (cos, -list_id) structs: max cosine, ties →
