@@ -44,7 +44,7 @@ object Bench {
     * only — adjudicated object values in newer artifacts are skipped by the
     * regex, which is fine: an adjudicated query's `queries` entry is still
     * the flat isolated number). */
-  private def priorRound(): Map[String, Double] = {
+  private def priorRound(sfDir: String): Map[String, Double] = {
     val explicit = sys.env.get("SPARK_GRAFT_BENCH_PRIOR").map(new java.io.File(_))
     val latest = explicit.orElse {
       val rx = "BENCH_r(\\d+)\\.json".r
@@ -52,7 +52,16 @@ object Bench {
         .flatMap(f => f.getName match { case rx(n) => Some((n.toInt, f)); case _ => None })
         .sortBy(_._1).lastOption.map(_._2)
     }
-    latest.filter(_.isFile).map { f =>
+    latest.filter(_.isFile).filter { f =>
+      // priors are only comparable at the SAME scale factor: a 100× stress
+      // run against sf0.1 priors would flag EVERY query as a regression and
+      // re-measure the whole suite isolated (observed on the sf≈10 stress)
+      val text = try scala.io.Source.fromFile(f, "UTF-8").mkString catch { case _: Throwable => "" }
+      val priorSf = "\"sf\"\\s*:\\s*\"([^\"]*)\"".r.findFirstMatchIn(text).map(_.group(1))
+      val same = priorSf.contains(sfDir)
+      if (!same) System.err.println(s"[bench] prior ${f.getName} is for sf ${priorSf.getOrElse("?")}, current is $sfDir — skipping self-adjudication")
+      same
+    }.map { f =>
       val text = try scala.io.Source.fromFile(f, "UTF-8").mkString catch { case _: Throwable => "" }
       val body = {
         val i = text.indexOf("\"queries\"")
@@ -174,7 +183,7 @@ object Bench {
     // both figures preserved under `adjudicated`. (The trigger was 2× in
     // round 6; BENCH_r06 carried a broad 1.1-1.6× contention drift that sat
     // under it — VERDICT r6 #4 lowered it to 1.5×.)
-    val prior = priorRound()
+    val prior = priorRound(sfDir)
     val suspects = measured.collect {
       case (name, Some(suite), _, _) if suite >= 0.3 &&
         prior.get(name).exists(p => p > 0 && suite > 1.5 * p) => name -> suite

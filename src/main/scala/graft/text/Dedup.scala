@@ -183,6 +183,25 @@ object Dedup {
     * full signature agreement. `maxBucketSize` caps pathological buckets
     * (boilerplate) — dropped buckets are the standard recall/cost trade.
     * Output: (id_a, id_b, est_jaccard), id_a < id_b.
+    *
+    * Identical-signature collapse (the SemDedup exact-duplicate precedent):
+    * docs whose FULL signatures are equal elect a min-id representative,
+    * only representatives enter the banded pair space, and groups expand
+    * back afterwards. Real corpora are exact-duplicate-heavy, and the
+    * banded pair generation is quadratic in the duplication depth (a
+    * 100-deep byte-identical family costs C(100,2) pairs × every band
+    * before dedup); post-collapse it costs one row. Output-equivalent:
+    * est_jaccard is a function of the two signatures only, and group
+    * members share their representative's signature EXACTLY, so every
+    * expanded pair carries the bit-identical estimate the uncollapsed
+    * plan computed. A group is collapsible only if the pair predicate
+    * holds on the identical pair itself (est(sig, sig) >= threshold) —
+    * the same self-predicate gate SemDedup uses, so degenerate
+    * signatures follow the uncollapsed filter exactly. One deliberate
+    * divergence (same as SemDedup's): bucket caps now count distinct
+    * signatures, not members, so a bucket the cap previously dropped
+    * because exact duplicates inflated it now survives — strictly better
+    * recall; the cap exists for genuinely diverse hot buckets.
     */
   def minhashCandidates(
       df: DataFrame,
@@ -195,28 +214,65 @@ object Dedup {
       maxBucketSize: Int = 1000
   ): DataFrame = {
     val rowsPerBand = numHashes / bands
-    // Persisted: the signature relation feeds band explosion AND the two
-    // per-id signature lookups — without it the signature computation runs
-    // 3× (MLlib's LSH caches for the same reason). 64×8B per doc; at
-    // extreme scale write signatures to a table instead.
+    def est(a: Column, b: Column): Column =
+      size(filter(zip_with(a, b, (x, y) => x === y), m => m)) / lit(numHashes.toDouble)
+    // Persisted: the signature relation feeds the group aggregation, the
+    // band explosion, AND the per-id signature lookups — without it the
+    // signature computation runs per consumer (MLlib's LSH caches for the
+    // same reason). 64×8B per doc; at extreme scale write signatures to a
+    // table instead.
     val sigs = df.select(
       col(idCol).as("id"),
       minhashSignature(col(textCol), shingleN, numHashes).as("sig"))
+      .withColumn("__selfdup", coalesce(est(col("sig"), col("sig")) >= threshold, lit(false)))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // min-id representative + size per identical-signature group: a
+    // map-side-combined aggregation (NOT a window over the signature —
+    // a million-deep duplicate blob would strangle one task), joined back
+    // by signature equality where members are needed.
+    val groups = sigs.filter(col("__selfdup"))
+      .groupBy(col("sig").as("__gsig"))
+      .agg(min(col("id")).as("__rep"), count(lit(1)).as("__gsz"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val reps = groups.select(col("__rep").as("id"), col("__gsig").as("sig"))
+      .unionByName(sigs.filter(!col("__selfdup")).select("id", "sig"))
     // Bucket rows carry IDS ONLY: exploding the 64-long signature into all
     // `bands` bucket rows would push bands× the array bytes through every
     // shuffle below (measured ~2× wall-clock on the LSH stage). Signatures
     // re-enter per-id after pair dedup, where each is read exactly twice.
-    val buckets = sigs.select(col("id"),
+    val buckets = reps.select(col("id"),
         explode(lshBandHashes(col("sig"), bands, rowsPerBand)).as("bh"))
       .select(col("id"), col("bh.band").as("band"), col("bh.h").as("bucket"))
-    bucketPairs(buckets, Seq("band", "bucket"), maxBucketSize)
+    val repPairs = bucketPairs(buckets, Seq("band", "bucket"), maxBucketSize)
       .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
       .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
-      .withColumn("est_jaccard",
-        size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), m => m))
-          / lit(numHashes.toDouble))
+      .withColumn("est_jaccard", est(col("sig_a"), col("sig_b")))
       .filter(col("est_jaccard") >= threshold)
+      .select("id_a", "id_b", "est_jaccard")
+    // expand rep-level pairs onto members: every member carries its rep's
+    // exact signature, so the verified estimate transfers verbatim
+    val mem = sigs.filter(col("__selfdup"))
+      .join(groups, col("sig") === col("__gsig"))
+      .select(col("id"), col("__rep"))
+      .unionByName(sigs.filter(!col("__selfdup")).select(col("id"), col("id").as("__rep")))
+    val cross = repPairs
+      .join(mem.select(col("__rep").as("id_a"), col("id").as("__ma")), Seq("id_a"))
+      .join(mem.select(col("__rep").as("id_b"), col("id").as("__mb")), Seq("id_b"))
+      .select(least(col("__ma"), col("__mb")).as("id_a"),
+        greatest(col("__ma"), col("__mb")).as("id_b"), col("est_jaccard"))
+      .filter(col("id_a") < col("id_b")) // duplicate id values would emit (x, x)
+    // within-group pairs (identical signatures always share every band):
+    // output-bound C(g,2) per group; a group past the cap was inside a
+    // >cap bucket before the collapse too, so it drops on both paths
+    val within = bucketPairs(
+        sigs.filter(col("__selfdup"))
+          .join(groups.filter(col("__gsz") <= maxBucketSize), col("sig") === col("__gsig"))
+          .select(col("id"), col("__rep")),
+        Seq("__rep"), maxBucketSize)
+      .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
+      .withColumn("est_jaccard", est(col("sig_a"), col("sig_a")))
+      .select("id_a", "id_b", "est_jaccard")
+    cross.unionByName(within)
       .select(col("id_a"), col("id_b"), round(col("est_jaccard"), 4).as("est_jaccard"))
   }
 
@@ -256,18 +312,44 @@ object Dedup {
     require(maxHamming >= 0 && maxHamming <= 3,
       s"simhashCandidates' 4-block scheme guarantees recall only for maxHamming <= 3, got $maxHamming")
     val sigs = simhash(df, textCol, idCol)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) // feeds buckets + 2 lookups
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) // feeds groups + buckets + 2 lookups
+    // identical-simhash collapse (the minhashCandidates/SemDedup precedent):
+    // hamming(x, x) = 0 passes every valid radius (maxHamming >= 0 required
+    // above), so EVERY identical-value group collapses to its min-id rep for
+    // the quadratic block-bucket pair space and expands back afterwards —
+    // hamming is a function of the two signatures only, so expanded pairs
+    // carry the bit-identical distance. Same recall-only cap divergence:
+    // buckets now count distinct signatures, not members.
+    val groups = sigs.groupBy(col("simhash").as("__gsh"))
+      .agg(min(col("id")).as("__rep"), count(lit(1)).as("__gsz"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val reps = groups.select(col("__rep").as("id"), col("__gsh").as("simhash"))
     val blockStructs = (0 until 4).map { i =>
       struct(lit(i).as("blk"), shiftright(col("simhash"), i * 16).bitwiseAND(0xFFFFL).as("v"))
     }
-    val blocks = sigs.select(col("id"), explode(array(blockStructs: _*)).as("b"))
+    val blocks = reps.select(col("id"), explode(array(blockStructs: _*)).as("b"))
       .select(col("id"), col("b.blk").as("blk"), col("b.v").as("v"))
-    bucketPairs(blocks, Seq("blk", "v"), maxBucketSize)
+    val repPairs = bucketPairs(blocks, Seq("blk", "v"), maxBucketSize)
       .join(sigs.select(col("id").as("id_a"), col("simhash").as("sh_a")), Seq("id_a"))
       .join(sigs.select(col("id").as("id_b"), col("simhash").as("sh_b")), Seq("id_b"))
       .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
       .filter(col("hamming") <= maxHamming)
       .select("id_a", "id_b", "hamming")
+    val mem = sigs.join(groups, col("simhash") === col("__gsh")).select(col("id"), col("__rep"))
+    val cross = repPairs
+      .join(mem.select(col("__rep").as("id_a"), col("id").as("__ma")), Seq("id_a"))
+      .join(mem.select(col("__rep").as("id_b"), col("id").as("__mb")), Seq("id_b"))
+      .select(least(col("__ma"), col("__mb")).as("id_a"),
+        greatest(col("__ma"), col("__mb")).as("id_b"), col("hamming"))
+      .filter(col("id_a") < col("id_b")) // duplicate id values would emit (x, x)
+    val within = bucketPairs(
+        sigs.join(groups.filter(col("__gsz") <= maxBucketSize),
+          col("simhash") === col("__gsh")).select(col("id"), col("__rep")),
+        Seq("__rep"), maxBucketSize)
+      .join(sigs.select(col("id").as("id_a"), col("simhash").as("sh_a")), Seq("id_a"))
+      .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_a"))))
+      .select("id_a", "id_b", "hamming")
+    cross.unionByName(within)
   }
 
   /** Incremental near-dup screening: candidates between a NEW batch and an

@@ -42,6 +42,52 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(j14.toSeq == Seq(1.0))
   }
 
+  test("identical-signature collapse: a deep exact-duplicate family expands to all pairs at est 1.0") {
+    // 40 byte-identical copies collapse to one representative for banding,
+    // then expand back — the pair space must come back complete, every
+    // pair at the identical-signature estimate (exactly 1.0), and the
+    // near-dup must pair with EVERY member at the rep pair's estimate
+    val fam = (1L to 40L).map(i => (i, "the quick brown fox jumps over the lazy dog every single day"))
+    val deep = (fam ++ Seq(
+      (100L, "the quick brown fox jumps over the lazy dog every single night"), // near-dup of the family
+      (200L, "unrelated text about catalyst tungsten and parquet row groups"))).toDF("doc_id", "text")
+    val out = Dedup.minhashCandidates(deep, "text", "doc_id",
+        shingleN = 3, numHashes = 32, bands = 8, threshold = 0.5, maxBucketSize = 1000)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val famPairs = out.filter { case (a, b, _) => a <= 40 && b <= 40 }
+    assert(famPairs.length == 40 * 39 / 2, s"family must expand to all pairs, got ${famPairs.length}")
+    assert(famPairs.forall(_._3 == 1.0), "identical signatures must estimate exactly 1.0")
+    val nearPairs = out.filter { case (_, b, _) => b == 100L }
+    if (nearPairs.nonEmpty) { // whether the near-dup is a candidate depends on banding luck...
+      assert(nearPairs.length == 40, "a rep-level near-dup pair must expand to every member")
+      assert(nearPairs.map(_._3).distinct.length == 1, "expanded pairs must share the rep pair's estimate")
+    }
+    assert(!out.exists { case (a, b, _) => a == 200L || b == 200L }, "unrelated doc must not pair")
+  }
+
+  test("collapse cap parity: a family deeper than maxBucketSize stays dropped") {
+    // pre-collapse the 40-member family inflated every one of its band
+    // buckets past the cap (bucket >= family), so the family emitted no
+    // pairs; post-collapse the within-group expansion is gated on the same
+    // cap, so it must STILL emit none
+    val fam = (1L to 40L).map(i => (i, "the quick brown fox jumps over the lazy dog every single day"))
+    val deep = (fam :+ (200L, "unrelated text about catalyst tungsten and parquet row groups")).toDF("doc_id", "text")
+    val out = Dedup.minhashCandidates(deep, "text", "doc_id",
+      shingleN = 3, numHashes = 32, bands = 8, threshold = 0.5, maxBucketSize = 10)
+    assert(out.filter($"id_a" <= 40 && $"id_b" <= 40).count() == 0,
+      "a family past the bucket cap must not emit within-group pairs")
+  }
+
+  test("simhash identical-value collapse expands a deep family at hamming 0") {
+    val fam = (1L to 30L).map(i => (i, "the quick brown fox jumps over the lazy dog every single day"))
+    val deep = (fam :+ (200L, "unrelated text about catalyst tungsten and parquet row groups")).toDF("doc_id", "text")
+    val out = Dedup.simhashCandidates(deep, "text", "doc_id", maxHamming = 3, maxBucketSize = 1000)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val famPairs = out.filter { case (a, b, _) => a <= 30 && b <= 30 }
+    assert(famPairs.length == 30 * 29 / 2, s"family must expand to all pairs, got ${famPairs.length}")
+    assert(famPairs.forall(_._3 == 0), "identical simhash values must report hamming 0")
+  }
+
   test("simhash of identical normalized text is identical; hamming candidates surface it") {
     val sh = Dedup.simhash(docs, "text", "doc_id").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(sh(1L) == sh(4L))
