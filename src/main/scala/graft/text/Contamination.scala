@@ -92,10 +92,15 @@ object Contamination {
     require(threshold > -1 && threshold <= 1,
       s"semanticContamination: threshold must be in (-1, 1], got $threshold")
     val ev = broadcast(evalDf.filter(col(evalIdCol).isNotNull)
-      .select(col(evalIdCol).as("__eid"), col(evalVecCol).as("__ev")))
+      .select(col(evalIdCol).as("__eid"), col(evalVecCol).as("__ev"))
+      .withColumn("__en", graft.vec.Similarity.l2Norm(col("__ev"))))
     val scored = train.select(col(idCol), col(vecCol).as("__tv"))
+      // norms hoisted above the train×eval pair space: computed once per
+      // row instead of once per pair (bit-identical — cosinePreNorm)
+      .withColumn("__tn", graft.vec.Similarity.l2Norm(col("__tv")))
       .crossJoin(ev)
-      .withColumn("__cos", round(graft.vec.Similarity.cosine(col("__tv"), col("__ev")), 6))
+      .withColumn("__cos", round(
+        graft.vec.Similarity.cosinePreNorm(col("__tv"), col("__tn"), col("__ev"), col("__en")), 6))
       .filter(col("__cos").isNotNull) // degenerate vectors score nothing
       .groupBy(col(idCol))
       // argmax via min(struct): -cos first (min -cos == max cos), then the

@@ -35,6 +35,16 @@ object Similarity {
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / nullif(l2Norm(a) * l2Norm(b), lit(0.0))
 
+  /** [[cosine]] with the norms pre-hoisted: bit-identical when na/nb are
+    * l2Norm(a)/l2Norm(b) (the division and the na*nb order are the same
+    * expressions). Under a pair join the plain form recomputes BOTH norms
+    * once per PAIR; hoisting computes each once per ROW above the join —
+    * at 784M pairs (the sf≈10 contamination stress) that is 2/3 of the
+    * arithmetic.
+    */
+  def cosinePreNorm(a: Column, na: Column, b: Column, nb: Column): Column =
+    dot(a, b) / nullif(na * nb, lit(0.0))
+
   /** Exact cosine top-k. `queries` must be broadcast-small (the driver
     * enforces nothing; the plan hints broadcast). Output:
     * (query_id, neighbor_id, cos) — k rows per query, deterministic ties
@@ -45,11 +55,13 @@ object Similarity {
       queries: DataFrame, queryId: String, queryVec: String,
       k: Int, excludeSelf: Boolean = true
   ): DataFrame = {
-    val q = broadcast(queries.select(col(queryId).as("query_id"), col(queryVec).as("__qv")))
+    val q = broadcast(queries.select(col(queryId).as("query_id"), col(queryVec).as("__qv"))
+      .withColumn("__qn", l2Norm(col("__qv"))))
     val scored = corpus.select(col(corpusId).as("neighbor_id"), col(corpusVec).as("__cv"))
+      .withColumn("__cn", l2Norm(col("__cv"))) // norm once per row, not per pair
       .crossJoin(q) // broadcast nested loop over the small query set — NOT corpus×corpus
       .filter(if (excludeSelf) col("neighbor_id") =!= col("query_id") else lit(true))
-      .withColumn("cos", round(cosine(col("__cv"), col("__qv")), 6))
+      .withColumn("cos", round(cosinePreNorm(col("__cv"), col("__cn"), col("__qv"), col("__qn")), 6))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id").asc)
     scored.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= k)
@@ -95,14 +107,16 @@ object Similarity {
       .toDF("neighbor_id", "band", "bucket")
     // query side is broadcast-small; its vector rides along
     val qSig = queries.select(col(queryId).as("query_id"), col(queryVec).as("__qv"),
+      l2Norm(col(queryVec)).as("__qn"),
       posexplode(bandSignature(col(queryVec), planes, bands, bitsPerBand)))
-      .toDF("query_id", "__qv", "band", "bucket")
+      .toDF("query_id", "__qv", "__qn", "band", "bucket")
     val cands = cSig.join(broadcast(qSig), Seq("band", "bucket"))
       .filter(if (excludeSelf) col("neighbor_id") =!= col("query_id") else lit(true))
       .dropDuplicates("query_id", "neighbor_id")
     val scored = cands
-      .join(corpus.select(col(corpusId).as("neighbor_id"), col(corpusVec).as("__cv")), Seq("neighbor_id"))
-      .withColumn("cos", round(cosine(col("__cv"), col("__qv")), 6))
+      .join(corpus.select(col(corpusId).as("neighbor_id"), col(corpusVec).as("__cv"))
+        .withColumn("__cn", l2Norm(col("__cv"))), Seq("neighbor_id"))
+      .withColumn("cos", round(cosinePreNorm(col("__cv"), col("__cn"), col("__qv"), col("__qn")), 6))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id").asc)
     scored.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= k)
@@ -179,16 +193,18 @@ object Similarity {
       (array_max(scored).getField("nl") * -1).cast("int")
     }
     val cAssigned = corpus.select(col(corpusId).as("neighbor_id"), col(corpusVec).as("__cv"))
+      .withColumn("__cn", l2Norm(col("__cv"))) // norm once per row, not per candidate pair
       .withColumn("list_id", bestList(col("__cv")))
     // the query side probes nprobe lists — tiny frame, window formulation is fine
     val centroidDf = broadcast(spark.createDataFrame(
       cents.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq).toDF("list_id", "__centroid"))
     val qAssigned = {
       val scored = queries.select(col(queryId).as("query_id"), col(queryVec).as("__qv"))
+        .withColumn("__qn", l2Norm(col("__qv")))
         .crossJoin(centroidDf)
         .withColumn("__cd", coalesce(
           dot(col("__qv"), col("__centroid")) /
-            nullif(l2Norm(col("__qv")) * l2Norm(col("__centroid")), lit(0.0)),
+            nullif(col("__qn") * l2Norm(col("__centroid")), lit(0.0)),
           lit(-2.0)))
       val w = Window.partitionBy(col("query_id")).orderBy(col("__cd").desc, col("list_id").asc)
       scored.withColumn("__lr", row_number().over(w)).filter(col("__lr") <= nprobe)
@@ -197,7 +213,7 @@ object Similarity {
     val cands = cAssigned.join(qAssigned, Seq("list_id"))
       .filter(if (excludeSelf) col("neighbor_id") =!= col("query_id") else lit(true))
       .dropDuplicates("query_id", "neighbor_id")
-      .withColumn("cos", round(cosine(col("__cv"), col("__qv")), 6))
+      .withColumn("cos", round(cosinePreNorm(col("__cv"), col("__cn"), col("__qv"), col("__qn")), 6))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id").asc)
     cands.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= k)
@@ -222,10 +238,11 @@ object Similarity {
       posexplode(bandSignature(col(vecCol), planes, bands, bitsPerBand)))
       .toDF("id", "band", "bucket")
     val vecs = corpus.select(col(idCol), col(vecCol))
+      .withColumn("__n", l2Norm(col(vecCol))) // norm once per row, not per pair
     graft.text.Dedup.bucketPairs(sig, Seq("band", "bucket"), maxBucketSize)
-      .join(vecs.select(col(idCol).as("id_a"), col(vecCol).as("__va")), Seq("id_a"))
-      .join(vecs.select(col(idCol).as("id_b"), col(vecCol).as("__vb")), Seq("id_b"))
-      .withColumn("cos", round(cosine(col("__va"), col("__vb")), 6))
+      .join(vecs.select(col(idCol).as("id_a"), col(vecCol).as("__va"), col("__n").as("__na")), Seq("id_a"))
+      .join(vecs.select(col(idCol).as("id_b"), col(vecCol).as("__vb"), col("__n").as("__nb")), Seq("id_b"))
+      .withColumn("cos", round(cosinePreNorm(col("__va"), col("__na"), col("__vb"), col("__nb")), 6))
       .filter(col("cos") >= threshold)
       .select("id_a", "id_b", "cos")
   }
