@@ -22,9 +22,11 @@ import org.apache.spark.sql.functions._
   * elect min labels, and both survivor elections tie-break on id — so the
   * gate query is golden-able, unlike an MLlib-backed formulation.
   *
-  * Scale shape: one exchange on the unit vector (exact-duplicate
-  * collapse — identical vectors never enter the quadratic pair space,
-  * see semanticDupGroups), one exchange on the cluster id for pair
+  * Scale shape: a map-side-combined aggregation + skew-splittable join
+  * on the unit vector (exact-duplicate collapse — identical vectors
+  * never enter the quadratic pair space, see semanticDupGroups; AQE can
+  * split the join partition a million-deep identical blob lands in,
+  * which a window over `__u` could not), one exchange on the cluster id for pair
   * generation over the REPRESENTATIVES only (bucketPairs: window cap
   * BEFORE collect_list, ids-only explosion), the adaptive connected
   * components, and broadcast-joined election — no all-pairs join
@@ -102,16 +104,25 @@ object SemDedup {
     // NaN-largest comparison on both paths. Non-collapsible rows are
     // their own representatives and enter pair generation individually,
     // exactly as before.
-    val wIdent = org.apache.spark.sql.expressions.Window.partitionBy(col("__u"))
-    val unit = unitBase.withColumnRenamed("__id", "id")
+    // The rep/size election is a map-side-combined aggregation + join, NOT
+    // a window over __u (the minhashCandidates pattern): a window sends a
+    // million-deep identical blob to ONE task and cannot be skew-split,
+    // while AQE can split the skewed join partition. __gsz is only read
+    // under __selfdup (soloDupReps), so non-selfdup rows coalesce to 1.
+    val unit0 = unitBase.withColumnRenamed("__id", "id")
       .withColumn("__cl", nearest(col("__u")))
       .filter(col("__cl").isNotNull) // wrong-dim rows: not duplicates of anything
       .withColumn("__cc", graft.expr.DotProduct(col("__u"), element_at(centArr, col("__cl") + 1)))
       .withColumn("__selfdup",
         coalesce(graft.expr.DotProduct(col("__u"), col("__u")) >= lit(threshold), lit(false)))
-      .withColumn("__rep",
-        when(col("__selfdup"), min(col("id")).over(wIdent)).otherwise(col("id")))
-      .withColumn("__gsz", count(lit(1)).over(wIdent))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val identGroups = unit0.filter(col("__selfdup"))
+      .groupBy(col("__u").as("__gu"))
+      .agg(min(col("id")).as("__grep"), count(lit(1)).as("__ggsz"))
+    val unit = unit0.join(identGroups, unit0("__u") === identGroups("__gu"), "left")
+      .withColumn("__rep", when(col("__selfdup"), col("__grep")).otherwise(col("id")))
+      .withColumn("__gsz", coalesce(col("__ggsz"), lit(1L)))
+      .drop("__gu", "__grep", "__ggsz")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val reps = unit.filter(col("id") === col("__rep"))
     val pairs = graft.text.Dedup.bucketPairs(
