@@ -194,14 +194,31 @@ object Dedup {
     * est_jaccard is a function of the two signatures only, and group
     * members share their representative's signature EXACTLY, so every
     * expanded pair carries the bit-identical estimate the uncollapsed
-    * plan computed. A group is collapsible only if the pair predicate
-    * holds on the identical pair itself (est(sig, sig) >= threshold) —
-    * the same self-predicate gate SemDedup uses, so degenerate
-    * signatures follow the uncollapsed filter exactly. One deliberate
-    * divergence (same as SemDedup's): bucket caps now count distinct
-    * signatures, not members, so a bucket the cap previously dropped
-    * because exact duplicates inflated it now survives — strictly better
-    * recall; the cap exists for genuinely diverse hot buckets.
+    * plan computed.
+    *
+    * The collapse is priced for the duplicate-LIGHT case too (a corpus
+    * of mostly-unique docs must not pay for machinery it doesn't need —
+    * the first formulation cost 1.56× on the sf0.1 bench): the
+    * self-predicate est(sig, sig) is DATA-INDEPENDENT (MinHashSig emits
+    * non-null fixed-length long arrays, so est(sig, sig) = 1.0 exactly
+    * for every non-null signature) and therefore never evaluated per
+    * row; within-group pairs carry literal est 1.0 gated by the same
+    * `est >= threshold` filter the uncollapsed plan applies (a
+    * threshold > 1 yields the empty set on both paths); rep-pair
+    * signature lookups join the distinct-signature relation on long rep
+    * keys; and group membership rides IN the group row via the bounded
+    * [[graft.expr.BoundedMinList]] aggregate (complete for every group
+    * at or under the bucket cap, O(cap) buffer memory regardless of
+    * group depth), so within-group pairs are combined in-plan with no
+    * exchange and member expansion left-joins a projection — only
+    * groups DEEPER than the cap (pathological) fall back to a signature
+    * join, which AQE prunes to nothing when no such group exists.
+    * Divergences from the uncollapsed plan, both recall-only: bucket
+    * caps count distinct signatures, not members (a bucket previously
+    * dropped because exact duplicates inflated it now survives), and
+    * null-signature docs (null text) skip banding entirely — they can
+    * never emit output (est against a null signature is null on both
+    * paths), they could only inflate a bucket toward the cap.
     */
   def minhashCandidates(
       df: DataFrame,
@@ -216,62 +233,80 @@ object Dedup {
     val rowsPerBand = numHashes / bands
     def est(a: Column, b: Column): Column =
       size(filter(zip_with(a, b, (x, y) => x === y), m => m)) / lit(numHashes.toDouble)
-    // Persisted: the signature relation feeds the group aggregation, the
-    // band explosion, AND the per-id signature lookups — without it the
-    // signature computation runs per consumer (MLlib's LSH caches for the
-    // same reason). 64×8B per doc; at extreme scale write signatures to a
-    // table instead.
+    // Persisted: the signature relation feeds the group aggregation AND the
+    // member expansion — without it the signature computation runs per
+    // consumer (MLlib's LSH caches for the same reason). 64×8B per doc; at
+    // extreme scale write signatures to a table instead.
     val sigs = df.select(
       col(idCol).as("id"),
       minhashSignature(col(textCol), shingleN, numHashes).as("sig"))
-      .withColumn("__selfdup", coalesce(est(col("sig"), col("sig")) >= threshold, lit(false)))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // min-id representative + size per identical-signature group: a
+    // size + bounded membership per identical-signature group: ONE
     // map-side-combined aggregation (NOT a window over the signature —
-    // a million-deep duplicate blob would strangle one task), joined back
-    // by signature equality where members are needed.
-    val groups = sigs.filter(col("__selfdup"))
-      .groupBy(col("sig").as("__gsig"))
-      .agg(min(col("id")).as("__rep"), count(lit(1)).as("__gsz"))
+    // a million-deep duplicate blob would strangle one task). Membership
+    // rides IN the group row via the O(cap)-memory BoundedMinList (a
+    // group at or under the bucket cap is complete; rep = first element
+    // = min id), so the common expansion path needs NO join-back shuffle
+    // of the signature relation. Null signatures stay out: they can
+    // never emit output.
+    val groups = sigs.filter(col("sig").isNotNull)
+      .groupBy(col("sig"))
+      .agg(count(lit(1)).as("__gsz"),
+        graft.expr.BoundedMinList(col("id"), maxBucketSize).as("__ids"))
+      .withColumn("__rep", col("__ids").getItem(0))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val reps = groups.select(col("__rep").as("id"), col("__gsig").as("sig"))
-      .unionByName(sigs.filter(!col("__selfdup")).select("id", "sig"))
     // Bucket rows carry IDS ONLY: exploding the 64-long signature into all
     // `bands` bucket rows would push bands× the array bytes through every
     // shuffle below (measured ~2× wall-clock on the LSH stage). Signatures
-    // re-enter per-id after pair dedup, where each is read exactly twice.
-    val buckets = reps.select(col("id"),
+    // re-enter per-rep after pair dedup, where each is read exactly twice —
+    // from the distinct-signature relation on LONG rep keys (a rep id is
+    // the min member id, unique per group).
+    val buckets = groups.select(col("__rep").as("id"),
         explode(lshBandHashes(col("sig"), bands, rowsPerBand)).as("bh"))
       .select(col("id"), col("bh.band").as("band"), col("bh.h").as("bucket"))
     val repPairs = bucketPairs(buckets, Seq("band", "bucket"), maxBucketSize)
-      .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
-      .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
+      .join(groups.select(col("__rep").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
+      .join(groups.select(col("__rep").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
       .withColumn("est_jaccard", est(col("sig_a"), col("sig_b")))
       .filter(col("est_jaccard") >= threshold)
       .select("id_a", "id_b", "est_jaccard")
-    // expand rep-level pairs onto members: every member carries its rep's
-    // exact signature, so the verified estimate transfers verbatim
-    val mem = sigs.filter(col("__selfdup"))
-      .join(groups, col("sig") === col("__gsig"))
-      .select(col("id"), col("__rep"))
-      .unionByName(sigs.filter(!col("__selfdup")).select(col("id"), col("id").as("__rep")))
+    // members of MULTI-doc groups, straight from the in-row bounded list
+    // (complete for every group at or under the cap — no shuffle at all);
+    // groups DEEPER than the cap (pathological) fall back to one
+    // signature join, which AQE prunes to nothing via empty-relation
+    // propagation when no such group exists. Duplicate-light corpora keep
+    // the whole relation broadcast-small, so the expansion below never
+    // shuffles the rep pairs; solo reps pass through the left joins via
+    // coalesce.
+    val mem = groups.filter(col("__gsz").between(2, maxBucketSize))
+      .select(col("__rep"), explode(col("__ids")).as("id"))
+      .unionByName(
+        sigs.join(groups.filter(col("__gsz") > maxBucketSize)
+          .select(col("sig"), col("__rep")), Seq("sig"))
+          .select(col("__rep"), col("id")))
     val cross = repPairs
-      .join(mem.select(col("__rep").as("id_a"), col("id").as("__ma")), Seq("id_a"))
-      .join(mem.select(col("__rep").as("id_b"), col("id").as("__mb")), Seq("id_b"))
-      .select(least(col("__ma"), col("__mb")).as("id_a"),
-        greatest(col("__ma"), col("__mb")).as("id_b"), col("est_jaccard"))
+      .join(mem.select(col("__rep").as("id_a"), col("id").as("__ma")), Seq("id_a"), "left")
+      .join(mem.select(col("__rep").as("id_b"), col("id").as("__mb")), Seq("id_b"), "left")
+      .select(least(coalesce(col("__ma"), col("id_a")), coalesce(col("__mb"), col("id_b"))).as("id_a"),
+        greatest(coalesce(col("__ma"), col("id_a")), coalesce(col("__mb"), col("id_b"))).as("id_b"),
+        col("est_jaccard"))
       .filter(col("id_a") < col("id_b")) // duplicate id values would emit (x, x)
-    // within-group pairs (identical signatures always share every band):
-    // output-bound C(g,2) per group; a group past the cap was inside a
-    // >cap bucket before the collapse too, so it drops on both paths
-    val within = bucketPairs(
-        sigs.filter(col("__selfdup"))
-          .join(groups.filter(col("__gsz") <= maxBucketSize), col("sig") === col("__gsig"))
-          .select(col("id"), col("__rep")),
-        Seq("__rep"), maxBucketSize)
-      .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
-      .withColumn("est_jaccard", est(col("sig_a"), col("sig_a")))
-      .select("id_a", "id_b", "est_jaccard")
+    // within-group pairs (identical signatures always share every band, at
+    // est exactly 1.0 — MinHashSig arrays are non-null fixed-length),
+    // combined IN-PLAN from the sorted member list: no window, no
+    // exchange, output-bound C(g,2) per group. A group past the cap was
+    // inside a >cap bucket before the collapse too, so it drops on both
+    // paths. The est >= threshold filter is the uncollapsed plan's own
+    // pair predicate — constant-folded, it empties this branch iff
+    // threshold > 1.
+    val within = groups.filter(col("__gsz").between(2, maxBucketSize))
+      .withColumn("__d", array_distinct(col("__ids"))) // duplicate id values would emit (x, x)
+      .select(explode(flatten(transform(col("__d"), (x, i) =>
+        transform(slice(col("__d"), i + lit(2), size(col("__d"))),
+          y => struct(x.as("id_a"), y.as("id_b")))))).as("__p"))
+      .select(col("__p.id_a").as("id_a"), col("__p.id_b").as("id_b"))
+      .withColumn("est_jaccard", lit(1.0))
+      .filter(col("est_jaccard") >= threshold)
     cross.unionByName(within)
       .select(col("id_a"), col("id_b"), round(col("est_jaccard"), 4).as("est_jaccard"))
   }
@@ -312,43 +347,62 @@ object Dedup {
     require(maxHamming >= 0 && maxHamming <= 3,
       s"simhashCandidates' 4-block scheme guarantees recall only for maxHamming <= 3, got $maxHamming")
     val sigs = simhash(df, textCol, idCol)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) // feeds groups + buckets + 2 lookups
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) // feeds groups + member expansion
     // identical-simhash collapse (the minhashCandidates/SemDedup precedent):
     // hamming(x, x) = 0 passes every valid radius (maxHamming >= 0 required
     // above), so EVERY identical-value group collapses to its min-id rep for
     // the quadratic block-bucket pair space and expands back afterwards —
     // hamming is a function of the two signatures only, so expanded pairs
-    // carry the bit-identical distance. Same recall-only cap divergence:
-    // buckets now count distinct signatures, not members.
-    val groups = sigs.groupBy(col("simhash").as("__gsh"))
-      .agg(min(col("id")).as("__rep"), count(lit(1)).as("__gsz"))
+    // carry the bit-identical distance (within-group pairs at literal 0).
+    // Same recall-only cap divergence: buckets count distinct signatures,
+    // not members. Priced for duplicate-light corpora like minhash: rep-pair
+    // value lookups ride the distinct-value relation on long rep keys, and
+    // expansion left-joins only multi-doc groups' members (AQE broadcasts
+    // that relation when duplication is light).
+    val groups = sigs.groupBy(col("simhash"))
+      .agg(count(lit(1)).as("__gsz"),
+        graft.expr.BoundedMinList(col("id"), maxBucketSize).as("__ids"))
+      .withColumn("__rep", col("__ids").getItem(0))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val reps = groups.select(col("__rep").as("id"), col("__gsh").as("simhash"))
     val blockStructs = (0 until 4).map { i =>
       struct(lit(i).as("blk"), shiftright(col("simhash"), i * 16).bitwiseAND(0xFFFFL).as("v"))
     }
-    val blocks = reps.select(col("id"), explode(array(blockStructs: _*)).as("b"))
+    val blocks = groups.select(col("__rep").as("id"), explode(array(blockStructs: _*)).as("b"))
       .select(col("id"), col("b.blk").as("blk"), col("b.v").as("v"))
     val repPairs = bucketPairs(blocks, Seq("blk", "v"), maxBucketSize)
-      .join(sigs.select(col("id").as("id_a"), col("simhash").as("sh_a")), Seq("id_a"))
-      .join(sigs.select(col("id").as("id_b"), col("simhash").as("sh_b")), Seq("id_b"))
+      .join(groups.select(col("__rep").as("id_a"), col("simhash").as("sh_a")), Seq("id_a"))
+      .join(groups.select(col("__rep").as("id_b"), col("simhash").as("sh_b")), Seq("id_b"))
       .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
       .filter(col("hamming") <= maxHamming)
       .select("id_a", "id_b", "hamming")
-    val mem = sigs.join(groups, col("simhash") === col("__gsh")).select(col("id"), col("__rep"))
+    // membership from the in-row bounded list (minhashCandidates shape):
+    // complete for groups at or under the cap, >cap groups fall back to
+    // one value join (empty-relation-pruned when none exist)
+    val mem = groups.filter(col("__gsz").between(2, maxBucketSize))
+      .select(col("__rep"), explode(col("__ids")).as("id"))
+      .unionByName(
+        sigs.join(groups.filter(col("__gsz") > maxBucketSize)
+          .select(col("simhash"), col("__rep")), Seq("simhash"))
+          .select(col("__rep"), col("id")))
     val cross = repPairs
-      .join(mem.select(col("__rep").as("id_a"), col("id").as("__ma")), Seq("id_a"))
-      .join(mem.select(col("__rep").as("id_b"), col("id").as("__mb")), Seq("id_b"))
-      .select(least(col("__ma"), col("__mb")).as("id_a"),
-        greatest(col("__ma"), col("__mb")).as("id_b"), col("hamming"))
+      .join(mem.select(col("__rep").as("id_a"), col("id").as("__ma")), Seq("id_a"), "left")
+      .join(mem.select(col("__rep").as("id_b"), col("id").as("__mb")), Seq("id_b"), "left")
+      .select(least(coalesce(col("__ma"), col("id_a")), coalesce(col("__mb"), col("id_b"))).as("id_a"),
+        greatest(coalesce(col("__ma"), col("id_a")), coalesce(col("__mb"), col("id_b"))).as("id_b"),
+        col("hamming"))
       .filter(col("id_a") < col("id_b")) // duplicate id values would emit (x, x)
-    val within = bucketPairs(
-        sigs.join(groups.filter(col("__gsz") <= maxBucketSize),
-          col("simhash") === col("__gsh")).select(col("id"), col("__rep")),
-        Seq("__rep"), maxBucketSize)
-      .join(sigs.select(col("id").as("id_a"), col("simhash").as("sh_a")), Seq("id_a"))
-      .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_a"))))
-      .select("id_a", "id_b", "hamming")
+    // within-group pairs at literal hamming 0, combined IN-PLAN from the
+    // sorted member list — no window, no exchange; the radius filter is
+    // the uncollapsed plan's own pair predicate (constant-folds away:
+    // maxHamming >= 0 is required above)
+    val within = groups.filter(col("__gsz").between(2, maxBucketSize))
+      .withColumn("__d", array_distinct(col("__ids"))) // duplicate id values would emit (x, x)
+      .select(explode(flatten(transform(col("__d"), (x, i) =>
+        transform(slice(col("__d"), i + lit(2), size(col("__d"))),
+          y => struct(x.as("id_a"), y.as("id_b")))))).as("__p"))
+      .select(col("__p.id_a").as("id_a"), col("__p.id_b").as("id_b"))
+      .withColumn("hamming", lit(0))
+      .filter(col("hamming") <= maxHamming)
     cross.unionByName(within)
   }
 

@@ -116,11 +116,17 @@ object SemDedup {
       .withColumn("__selfdup",
         coalesce(graft.expr.DotProduct(col("__u"), col("__u")) >= lit(threshold), lit(false)))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Only MULTI-member groups ride the join-back (a duplicate-light
+    // corpus keeps this relation broadcast-small, so AQE broadcasts it
+    // instead of shuffling the whole corpus on array keys); selfdup
+    // singletons coalesce to themselves — bit-identical to joining every
+    // group, since a singleton's elected rep IS its own id.
     val identGroups = unit0.filter(col("__selfdup"))
       .groupBy(col("__u").as("__gu"))
       .agg(min(col("id")).as("__grep"), count(lit(1)).as("__ggsz"))
+      .filter(col("__ggsz") >= 2)
     val unit = unit0.join(identGroups, unit0("__u") === identGroups("__gu"), "left")
-      .withColumn("__rep", when(col("__selfdup"), col("__grep")).otherwise(col("id")))
+      .withColumn("__rep", when(col("__selfdup"), coalesce(col("__grep"), col("id"))).otherwise(col("id")))
       .withColumn("__gsz", coalesce(col("__ggsz"), lit(1L)))
       .drop("__gu", "__grep", "__ggsz")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

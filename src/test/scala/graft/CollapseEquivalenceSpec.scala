@@ -1,0 +1,123 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.text.Dedup
+
+/** The identical-signature collapse inside minhash/simhash candidate
+  * generation is an OPTIMIZATION, not a semantics change: with the bucket
+  * caps out of play (cap >= corpus size on both paths) the collapsed plan
+  * must produce EXACTLY the pair set of the uncollapsed formulation it
+  * replaced. This suite replays the pre-collapse plans inline (per-doc
+  * banding, per-id signature lookups, pair-level estimate + filter) and
+  * pins set equality over (id_a, id_b, estimate) on seeded random
+  * duplicate-heavy corpora — families of exact copies, near-duplicates,
+  * unique docs, empty and null texts.
+  *
+  * Deliberately NOT covered: cap-edge behavior, which is a documented
+  * recall-only divergence (caps count distinct signatures post-collapse,
+  * and null-signature docs no longer inflate buckets) — see the
+  * minhashCandidates scaladoc and the cap-parity test in
+  * DedupSimilaritySpec.
+  */
+class CollapseEquivalenceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val NoCap = 1000000
+
+  /** Seeded random corpus: unique docs + exact-copy families (depth 2-5)
+    * + near-duplicates (one appended token) + degenerate rows.
+    */
+  private def corpus(seed: Int, n: Int): DataFrame = {
+    val rnd = new scala.util.Random(seed)
+    val vocab = Vector("alpha", "bravo", "charlie", "delta", "echo", "foxtrot",
+      "golf", "hotel", "india", "juliet", "kilo", "lima", "mike", "november",
+      "oscar", "papa", "quebec", "romeo", "sierra", "tango")
+    def doc(): String =
+      Seq.fill(8 + rnd.nextInt(10))(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    val base = (0 until n).map(i => (i.toLong, doc()))
+    val copies = base.take(n / 4).flatMap { case (id, t) =>
+      (1 to 1 + rnd.nextInt(4)).map(k => (id + 1000L * k, t))
+    }
+    val nears = base.slice(n / 4, n / 3).map { case (id, t) =>
+      (id + 50000L, t + " zulu")
+    }
+    val degenerate = Seq((90000L, null: String), (90001L, ""), (90002L, ""))
+    (base ++ copies ++ nears ++ degenerate).toDF("doc_id", "text")
+  }
+
+  /** The pre-collapse minhash plan, verbatim: every doc bands
+    * individually, signatures re-join per id, estimate per pair.
+    */
+  private def uncollapsedMinhash(df: DataFrame, shingleN: Int, numHashes: Int,
+                                 bands: Int, threshold: Double): DataFrame = {
+    val rpb = numHashes / bands
+    val sigs = df.select(col("doc_id").as("id"),
+      Dedup.minhashSignature(col("text"), shingleN, numHashes).as("sig"))
+    val buckets = sigs.select(col("id"),
+        explode(Dedup.lshBandHashes(col("sig"), bands, rpb)).as("bh"))
+      .select(col("id"), col("bh.band").as("band"), col("bh.h").as("bucket"))
+    Dedup.bucketPairs(buckets, Seq("band", "bucket"), NoCap)
+      .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
+      .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
+      .withColumn("est_jaccard",
+        size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), m => m))
+          / lit(numHashes.toDouble))
+      .filter(col("est_jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("est_jaccard"), 4).as("est_jaccard"))
+  }
+
+  /** The pre-collapse simhash plan, verbatim. */
+  private def uncollapsedSimhash(df: DataFrame, maxHamming: Int): DataFrame = {
+    val sigs = Dedup.simhash(df, "text", "doc_id")
+    val blockStructs = (0 until 4).map { i =>
+      struct(lit(i).as("blk"), shiftright(col("simhash"), i * 16).bitwiseAND(0xFFFFL).as("v"))
+    }
+    val blocks = sigs.select(col("id"), explode(array(blockStructs: _*)).as("b"))
+      .select(col("id"), col("b.blk").as("blk"), col("b.v").as("v"))
+    Dedup.bucketPairs(blocks, Seq("blk", "v"), NoCap)
+      .join(sigs.select(col("id").as("id_a"), col("simhash").as("sh_a")), Seq("id_a"))
+      .join(sigs.select(col("id").as("id_b"), col("simhash").as("sh_b")), Seq("id_b"))
+      .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
+
+  test("minhash: collapsed == uncollapsed pair set on random duplicate-heavy corpora") {
+    for (seed <- Seq(7, 23, 101)) {
+      val df = corpus(seed, 48).cache()
+      val collapsed = Dedup.minhashCandidates(df, "text", "doc_id",
+          shingleN = 3, numHashes = 32, bands = 8, threshold = 0.5, maxBucketSize = NoCap)
+        .as[(Long, Long, Double)].collect().toSet
+      val reference = uncollapsedMinhash(df, 3, 32, 8, 0.5)
+        .as[(Long, Long, Double)].collect().toSet
+      assert(collapsed == reference,
+        s"seed $seed: collapsed minus ref = ${(collapsed -- reference).take(5)}; " +
+          s"ref minus collapsed = ${(reference -- collapsed).take(5)}")
+      assert(collapsed.nonEmpty, s"seed $seed: corpus must actually exercise pairs")
+      df.unpersist()
+    }
+  }
+
+  test("minhash: threshold > 1 is empty on both paths (within-branch gate)") {
+    val df = corpus(7, 24)
+    assert(Dedup.minhashCandidates(df, "text", "doc_id",
+      shingleN = 3, numHashes = 32, bands = 8, threshold = 1.5, maxBucketSize = NoCap).count() == 0)
+    assert(uncollapsedMinhash(df, 3, 32, 8, 1.5).count() == 0)
+  }
+
+  test("simhash: collapsed == uncollapsed pair set on random duplicate-heavy corpora") {
+    for (seed <- Seq(7, 23, 101)) {
+      val df = corpus(seed, 48).cache()
+      val collapsed = Dedup.simhashCandidates(df, "text", "doc_id",
+          maxHamming = 3, maxBucketSize = NoCap)
+        .as[(Long, Long, Int)].collect().toSet
+      val reference = uncollapsedSimhash(df, 3).as[(Long, Long, Int)].collect().toSet
+      assert(collapsed == reference,
+        s"seed $seed: collapsed minus ref = ${(collapsed -- reference).take(5)}; " +
+          s"ref minus collapsed = ${(reference -- collapsed).take(5)}")
+      assert(collapsed.nonEmpty, s"seed $seed: corpus must actually exercise pairs")
+      df.unpersist()
+    }
+  }
+}

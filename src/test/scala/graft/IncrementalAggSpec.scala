@@ -97,4 +97,29 @@ class IncrementalAggSpec extends SparkSpec {
     assert(mq(0.5) == 0.0, "median of the symmetric set is the zero bucket")
     assert(mq(1.0) > 99.0, "q=1 lands in the most-positive bucket")
   }
+
+  test("BoundedMinList: k smallest, sorted, partitioning-independent, nulls skipped") {
+    // 1000 values per key in scrambled order (deterministic LCG-ish
+    // permutation), interleaved nulls; k = 7 must return exactly the 7
+    // smallest ascending no matter how the input is partitioned
+    val rows = (0 until 1000).map(i => ("g", Some(((i * 613) % 1000).toLong))) ++
+      Seq(("g", None), ("h", Some(42L)))
+    def run(parts: Int): Map[String, Seq[Long]] =
+      rows.toDF("k", "v").repartition(parts)
+        .groupBy("k").agg(graft.expr.BoundedMinList(col("v"), 7).as("ids"))
+        .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    for (parts <- Seq(1, 3, 32)) {
+      val m = run(parts)
+      assert(m("g") == (0L to 6L), s"parts=$parts: expected the 7 smallest ascending, got ${m("g")}")
+      assert(m("h") == Seq(42L), s"parts=$parts: under-full group keeps all members")
+    }
+  }
+
+  test("BoundedMinList: duplicates kept (multiset), bound enforced at duplicates") {
+    val m = Seq(("g", 5L), ("g", 5L), ("g", 5L), ("g", 1L), ("g", 9L))
+      .toDF("k", "v")
+      .groupBy("k").agg(graft.expr.BoundedMinList(col("v"), 3).as("ids"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    assert(m("g") == Seq(1L, 5L, 5L), "k=3 keeps the three smallest INCLUDING duplicates")
+  }
 }
