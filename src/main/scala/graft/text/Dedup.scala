@@ -209,10 +209,11 @@ object Dedup {
     * keys; and group membership rides IN the group row via the bounded
     * [[graft.expr.BoundedMinList]] aggregate (complete for every group
     * at or under the bucket cap, O(cap) buffer memory regardless of
-    * group depth), so within-group pairs are combined in-plan with no
-    * exchange and member expansion left-joins a projection — only
-    * groups DEEPER than the cap (pathological) fall back to a signature
-    * join, which AQE prunes to nothing when no such group exists.
+    * group depth), so within-group pairs AND cross-pair member expansion
+    * are combined in-plan from the carried lists — no member relation,
+    * no join, no broadcast. Only groups DEEPER than the cap
+    * (pathological) fall back to a signature join, against a relation
+    * that is empty (AQE-erased) when no such group exists.
     * Divergences from the uncollapsed plan, both recall-only: bucket
     * caps count distinct signatures, not members (a bucket previously
     * dropped because exact duplicates inflated it now survives), and
@@ -264,31 +265,49 @@ object Dedup {
     val buckets = groups.select(col("__rep").as("id"),
         explode(lshBandHashes(col("sig"), bands, rowsPerBand)).as("bh"))
       .select(col("id"), col("bh.band").as("band"), col("bh.h").as("bucket"))
+    // the rep-pair join against the group relation ALSO carries each side's
+    // bounded member list (null for groups past the cap), so the common-case
+    // expansion below is a pure in-plan explode — no member relation, no
+    // join, no broadcast. The signature relation is read exactly twice, on
+    // LONG rep keys (a rep id is the min member id, unique per group).
+    // member lists ride only for MULTI-doc groups (null for singletons —
+    // the vast majority — and for >cap groups): keeps the joined group
+    // relation at ~2 longs/row on duplicate-light data, preserving its
+    // broadcastability.
+    def grp(side: String) = groups.select(col("__rep").as(s"id_$side"),
+      col("sig").as(s"sig_$side"),
+      when(col("__gsz").between(2, maxBucketSize), col("__ids")).as(s"__mids_$side"))
     val repPairs = bucketPairs(buckets, Seq("band", "bucket"), maxBucketSize)
-      .join(groups.select(col("__rep").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
-      .join(groups.select(col("__rep").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
+      .join(grp("a"), Seq("id_a"))
+      .join(grp("b"), Seq("id_b"))
       .withColumn("est_jaccard", est(col("sig_a"), col("sig_b")))
       .filter(col("est_jaccard") >= threshold)
-      .select("id_a", "id_b", "est_jaccard")
-    // members of MULTI-doc groups, straight from the in-row bounded list
-    // (complete for every group at or under the cap — no shuffle at all);
-    // groups DEEPER than the cap (pathological) fall back to one
-    // signature join, which AQE prunes to nothing via empty-relation
-    // propagation when no such group exists. Duplicate-light corpora keep
-    // the whole relation broadcast-small, so the expansion below never
-    // shuffles the rep pairs; solo reps pass through the left joins via
-    // coalesce.
-    val mem = groups.filter(col("__gsz").between(2, maxBucketSize))
-      .select(col("__rep"), explode(col("__ids")).as("id"))
-      .unionByName(
-        sigs.join(groups.filter(col("__gsz") > maxBucketSize)
-          .select(col("sig"), col("__rep")), Seq("sig"))
-          .select(col("__rep"), col("id")))
+      .select("id_a", "id_b", "est_jaccard", "__mids_a", "__mids_b")
+    // member expansion: groups at or under the cap explode their in-row
+    // bounded list (complete by construction — the overwhelmingly common
+    // case, zero extra stages); ONLY groups DEEPER than the cap
+    // (pathological boilerplate) need a membership join, against a relation
+    // that is EMPTY whenever no such group exists — AQE's empty-relation
+    // propagation then erases the joins, and an empty broadcast build needs
+    // no memory. (A full member relation here was wrong twice over: it
+    // scales with the corpus's duplicate mass — not a dim table at 100 TB —
+    // and in local mode its broadcast build raced the banding shuffles for
+    // the unified pool: a 6 MB broadcast was DENIED memory at sf≈10 while
+    // 32 tasks held the pool.) A deep side left-joins one row per member,
+    // each exploding a one-element array; a light side joins nothing and
+    // explodes its list.
+    val memDeep = sigs.join(groups.filter(col("__gsz") > maxBucketSize)
+        .select(col("sig"), col("__rep")), Seq("sig"))
+      .select(col("__rep"), col("id"))
     val cross = repPairs
-      .join(mem.select(col("__rep").as("id_a"), col("id").as("__ma")), Seq("id_a"), "left")
-      .join(mem.select(col("__rep").as("id_b"), col("id").as("__mb")), Seq("id_b"), "left")
-      .select(least(coalesce(col("__ma"), col("id_a")), coalesce(col("__mb"), col("id_b"))).as("id_a"),
-        greatest(coalesce(col("__ma"), col("id_a")), coalesce(col("__mb"), col("id_b"))).as("id_b"),
+      .join(memDeep.select(col("__rep").as("id_a"), col("id").as("__da")), Seq("id_a"), "left")
+      .join(memDeep.select(col("__rep").as("id_b"), col("id").as("__db")), Seq("id_b"), "left")
+      .select(explode(coalesce(col("__mids_a"), array(coalesce(col("__da"), col("id_a"))))).as("__ma"),
+        col("__mids_b"), col("__db"), col("id_b"), col("est_jaccard"))
+      .select(col("__ma"), explode(coalesce(col("__mids_b"), array(coalesce(col("__db"), col("id_b"))))).as("__mb"),
+        col("est_jaccard"))
+      .select(least(col("__ma"), col("__mb")).as("id_a"),
+        greatest(col("__ma"), col("__mb")).as("id_b"),
         col("est_jaccard"))
       .filter(col("id_a") < col("id_b")) // duplicate id values would emit (x, x)
     // within-group pairs (identical signatures always share every band, at
@@ -369,26 +388,43 @@ object Dedup {
     }
     val blocks = groups.select(col("__rep").as("id"), explode(array(blockStructs: _*)).as("b"))
       .select(col("id"), col("b.blk").as("blk"), col("b.v").as("v"))
+    // in-plan member expansion (minhashCandidates shape, see there for the
+    // full rationale): each side's bounded member list rides the rep-pair
+    // join (null past the cap); only >cap groups need the membership join,
+    // against a relation that is EMPTY when none exist — erased by AQE,
+    // and never a corpus-scaled broadcast.
+    // shuffle_hash on the group-relation joins: the simhash group row is
+    // small enough (2 longs + a usually-null list) that AQE would BROADCAST
+    // it at exactly the scale where the block-bucket stages saturate the
+    // local unified pool — the measured sf≈10 OOM-at-8g was that build
+    // being denied memory while 32 banding tasks held the pool. A
+    // shuffled-hash join has no driver-side build, no global sort, and its
+    // per-partition maps are O(|groups|/parts); measured FASTER than the
+    // broadcast plan at sf≈10 (37-42 s vs 51 s) and within noise at sf0.1.
+    // (minhashCandidates needs no hint: its 64-long signatures keep the
+    // group relation past the broadcast threshold on real corpora, and the
+    // hint measured +0.5 s at sf0.1 for no sf≈10 gain.)
+    def grp(side: String) = groups.select(col("__rep").as(s"id_$side"),
+      col("simhash").as(s"sh_$side"),
+      when(col("__gsz").between(2, maxBucketSize), col("__ids")).as(s"__mids_$side"))
     val repPairs = bucketPairs(blocks, Seq("blk", "v"), maxBucketSize)
-      .join(groups.select(col("__rep").as("id_a"), col("simhash").as("sh_a")), Seq("id_a"))
-      .join(groups.select(col("__rep").as("id_b"), col("simhash").as("sh_b")), Seq("id_b"))
+      .join(grp("a").hint("shuffle_hash"), Seq("id_a"))
+      .join(grp("b").hint("shuffle_hash"), Seq("id_b"))
       .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
       .filter(col("hamming") <= maxHamming)
-      .select("id_a", "id_b", "hamming")
-    // membership from the in-row bounded list (minhashCandidates shape):
-    // complete for groups at or under the cap, >cap groups fall back to
-    // one value join (empty-relation-pruned when none exist)
-    val mem = groups.filter(col("__gsz").between(2, maxBucketSize))
-      .select(col("__rep"), explode(col("__ids")).as("id"))
-      .unionByName(
-        sigs.join(groups.filter(col("__gsz") > maxBucketSize)
-          .select(col("simhash"), col("__rep")), Seq("simhash"))
-          .select(col("__rep"), col("id")))
+      .select("id_a", "id_b", "hamming", "__mids_a", "__mids_b")
+    val memDeep = sigs.join(groups.filter(col("__gsz") > maxBucketSize)
+        .select(col("simhash"), col("__rep")), Seq("simhash"))
+      .select(col("__rep"), col("id"))
     val cross = repPairs
-      .join(mem.select(col("__rep").as("id_a"), col("id").as("__ma")), Seq("id_a"), "left")
-      .join(mem.select(col("__rep").as("id_b"), col("id").as("__mb")), Seq("id_b"), "left")
-      .select(least(coalesce(col("__ma"), col("id_a")), coalesce(col("__mb"), col("id_b"))).as("id_a"),
-        greatest(coalesce(col("__ma"), col("id_a")), coalesce(col("__mb"), col("id_b"))).as("id_b"),
+      .join(memDeep.select(col("__rep").as("id_a"), col("id").as("__da")), Seq("id_a"), "left")
+      .join(memDeep.select(col("__rep").as("id_b"), col("id").as("__db")), Seq("id_b"), "left")
+      .select(explode(coalesce(col("__mids_a"), array(coalesce(col("__da"), col("id_a"))))).as("__ma"),
+        col("__mids_b"), col("__db"), col("id_b"), col("hamming"))
+      .select(col("__ma"), explode(coalesce(col("__mids_b"), array(coalesce(col("__db"), col("id_b"))))).as("__mb"),
+        col("hamming"))
+      .select(least(col("__ma"), col("__mb")).as("id_a"),
+        greatest(col("__ma"), col("__mb")).as("id_b"),
         col("hamming"))
       .filter(col("id_a") < col("id_b")) // duplicate id values would emit (x, x)
     // within-group pairs at literal hamming 0, combined IN-PLAN from the
