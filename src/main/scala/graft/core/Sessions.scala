@@ -29,6 +29,16 @@ object Sessions {
       // event payload. (Belt-and-braces: the loops also checkpoint per
       // round — see Dedup.clusterCandidates.)
       .config("spark.sql.maxPlanStringLength", (16 * 1024 * 1024).toString)
+      // In local mode the driver, every executor thread, the block cache,
+      // AND broadcast builds share ONE unified pool. The default 0.5
+      // storageFraction lets edge-sized checkpoints (pageRank's eDeg, the
+      // dedup signature caches) squat in eviction-protected storage while
+      // 32 concurrent aggregations starve (measured: AGGREGATE_OUT_OF_
+      // MEMORY at the 100x scale-stress with the heap half-free). 0.3
+      // protects enough for hot small state; big cached blocks spill to
+      // local disk, which costs far less than a dead query. No effect at
+      // bench SFs (storage never nears the boundary there).
+      .config("spark.memory.storageFraction", "0.3")
       .config("spark.ui.enabled", "false")
 
   /** Local session sized for this container (local[32], 32 shuffle partitions). */

@@ -43,15 +43,26 @@ object Graph {
                iterations: Int = 10, damping: Double = 0.85): DataFrame = {
     require(iterations >= 1, s"pageRank: iterations must be >= 1, got $iterations")
     require(damping > 0 && damping < 1, s"pageRank: damping must be in (0,1), got $damping")
+    // ONE edge-sized artifact lives at a time: the distinct edge relation
+    // is never materialized on its own (it is computed twice — into outd
+    // and into eDeg — trading one cheap re-aggregation for an edge-sized
+    // block footprint of zero), and nodes derives from the CHECKPOINTED
+    // eDeg, not from a third distinct pass. Superseded rank generations
+    // are released as soon as their successor exists, and everything is
+    // released at return. Stale checkpoint blocks are what choked the
+    // 100x scale-stress: e + eDeg + old rank generations sat in storage
+    // while the per-iteration hash aggregations were denied execution
+    // memory (AGGREGATE_OUT_OF_MEMORY at the default heap).
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .filter(col("src").isNotNull && col("dst").isNotNull).distinct()
-      .localCheckpoint()
-    val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct().localCheckpoint()
+    val outd = e.groupBy("src").agg(count(lit(1)).as("outd")).localCheckpoint()
+    // every edge row survives the outd join (outd covers every src), so
+    // eDeg IS the distinct edge relation, degree-annotated
+    val eDeg = e.join(outd, Seq("src")).localCheckpoint()
+    val nodes = eDeg.select(col("src").as("node"))
+      .union(eDeg.select(col("dst").as("node"))).distinct().localCheckpoint()
     val n = nodes.count()
     require(n > 0, "pageRank: empty graph")
-    val outd = e.groupBy("src").agg(count(lit(1)).as("outd")).localCheckpoint()
-    val eDeg = e.join(outd, Seq("src")).localCheckpoint()
 
     var ranks = nodes.withColumn("rank", lit(1.0 / n)).localCheckpoint()
     for (_ <- 1 to iterations) {
@@ -67,15 +78,32 @@ object Graph {
       val contribs = eDeg.join(ranks, eDeg("src") === ranks("node"))
         .select(col("dst").as("node"), (col("rank") / col("outd")).as("__c"))
         .groupBy("node").agg(sum(col("__c")).as("__contrib"))
-      ranks = nodes.join(contribs, Seq("node"), "left")
+      val next = nodes.join(contribs, Seq("node"), "left")
         .crossJoin(broadcast(dangling))
         .select(col("node"),
           (lit((1 - damping) / n) + lit(damping) *
             (coalesce(col("__contrib"), lit(0.0)) + col("__dangling") / n)).as("rank"))
         .localCheckpoint()
+      freeLocalCheckpoint(ranks) // the superseded generation is never read again
+      ranks = next
     }
+    // the returned ranks is materialized and lineage-free: the edge-sized
+    // eDeg (and nodes/outd) checkpoint blocks can be released too
+    freeLocalCheckpoint(eDeg); freeLocalCheckpoint(outd); freeLocalCheckpoint(nodes)
     ranks
   }
+
+  /** Release the storage blocks behind a `localCheckpoint`ed frame that
+    * will never be read again. `Dataset.unpersist` cannot do this (the
+    * blocks belong to the checkpointed RDD, not the cache manager), so the
+    * RDD handle is pulled out of the LogicalRDD leaf. Safe ONLY for frames
+    * with no future consumers — a local checkpoint's blocks are the sole
+    * copy of its data (lineage is truncated by design).
+    */
+  private def freeLocalCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.collect {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+    }.foreach(_.unpersist(false))
 
   /** Per-node triangle counts over the undirected simple graph — the link-
     * farm / clique-spam detector (a crawl node whose neighborhood is a
