@@ -57,6 +57,27 @@ class GraphSpec extends SparkSpec {
     assert(Graph.triangleCounts(star, "s", "d").count() == 0)
   }
 
+  test("pageRank releases every intermediate checkpoint — only the result's blocks survive") {
+    // the 100x scale-stress regression class: edge-sized checkpoint blocks
+    // (e, eDeg, superseded rank generations) accumulating in storage and
+    // starving the iteration aggregations. The contract: after pageRank
+    // returns, at most ONE persisted RDD (the returned ranks) exists per
+    // call, and repeated calls do not accumulate.
+    def persistedCount(): Int =
+      spark.sparkContext.getPersistentRDDs.count { case (_, r) => r.getStorageLevel.useMemory || r.getStorageLevel.useDisk }
+    val before = persistedCount()
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L)).toDF("s", "d")
+    val r1 = Graph.pageRank(e, "s", "d", iterations = 3)
+    assert(r1.count() == 4)
+    val afterOne = persistedCount()
+    assert(afterOne <= before + 1,
+      s"pageRank must leave at most its result persisted: before=$before after=$afterOne")
+    val r2 = Graph.pageRank(e, "s", "d", iterations = 3)
+    assert(r2.count() == 4)
+    assert(persistedCount() <= before + 2,
+      s"repeated pageRank calls must not accumulate checkpoint blocks")
+  }
+
   test("clusteringCoefficient: clique 1.0, star hub 0.0, triangle-plus-pendant hand case") {
     val e = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)).toDF("s", "d") // triangle + pendant 4
     val m = Graph.clusteringCoefficient(e, "s", "d")
