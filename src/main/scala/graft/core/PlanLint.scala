@@ -46,6 +46,30 @@ object PlanLint {
         Seq(Finding("cartesian_product", c.simpleString(120)))
       case b: BroadcastNestedLoopJoinExec =>
         Seq(Finding("broadcast_nested_loop", b.simpleString(120)))
+      case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+        // `expensive_scan_filter` — filter pushdown substituted an
+        // EXPENSIVE computed alias into the scan's residual data filters,
+        // where expressions run interpreted per row (no whole-stage
+        // codegen, no subexpression sharing with the projection that
+        // computes the same alias again). Measured: a null-check on a
+        // nearest-centroid column re-ran its whole 17-subexpression tree
+        // interpreted per scan row — 57 s vs 2 s on 400k rows. Screen such
+        // rows with cheap structural predicates (size, isnotnull on the
+        // STORED column) instead. A single custom kernel in a filter
+        // (e.g. `isnotnull(graft_unitize(v))` — unitFrame's null screen)
+        // is a deliberate, priced pattern and stays allowed; a
+        // higher-order function (always interpreted, per-element lambda
+        // dispatch) or a stack of two or more custom kernels is not.
+        s.dataFilters.filter { f =>
+          var graftNodes = 0
+          var hof = false
+          f.foreach {
+            case _: org.apache.spark.sql.catalyst.expressions.HigherOrderFunction => hof = true
+            case e if e.getClass.getName.startsWith("graft.expr.") => graftNodes += 1
+            case _ => ()
+          }
+          hof || graftNodes >= 2
+        }.map(f => Finding("expensive_scan_filter", f.toString.take(160)))
       case w: WindowExec if w.partitionSpec.isEmpty =>
         // rank-pushdown rescue: Spark bounds a `row_number over (order by
         // …) <= k` window before it runs — an empty partition spec plans a

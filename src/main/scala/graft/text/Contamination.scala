@@ -99,9 +99,18 @@ object Contamination {
       // row instead of once per pair (bit-identical — cosinePreNorm)
       .withColumn("__tn", graft.vec.Similarity.l2Norm(col("__tv")))
       .crossJoin(ev)
+      // degenerate vectors score nothing — screened CHEAPLY before the
+      // cosine exists: `isnotnull(__cos)` would re-evaluate the substituted
+      // dot per pair in a filter below the projection (2x the pair-space
+      // arithmetic; the SemDedup filter-on-alias lesson). Equivalent:
+      // cosinePreNorm is null exactly when a norm is null (null vector /
+      // null element, via dot(v,v)), the norm product is 0, or the dims
+      // mismatch; NaN products compare non-equal-to-zero and stay, like
+      // the NaN cosines they produce did.
+      .filter(size(col("__tv")) === size(col("__ev")) &&
+        (col("__tn") * col("__en")) =!= lit(0.0))
       .withColumn("__cos", round(
         graft.vec.Similarity.cosinePreNorm(col("__tv"), col("__tn"), col("__ev"), col("__en")), 6))
-      .filter(col("__cos").isNotNull) // degenerate vectors score nothing
       .groupBy(col(idCol))
       // argmax via min(struct): -cos first (min -cos == max cos), then the
       // eval id — equal cos resolves to the SMALLEST id in its native order

@@ -278,21 +278,29 @@ object Pq {
     // composed-lit() tree was re-analyzed by Catalyst per action; element_at
     // over the single literal constant-folds to the same per-centroid arrays.
     val coarseArr = typedlit(coarse.map(_.toSeq).toSeq)
-    def bestList(vec: Column): Column = {
-      val scored = array((0 until nl).map { i =>
+    // outer coalesce: non-nullable ⇒ the list_id equi-join infers no
+    // isnotnull filter ⇒ this argmin tree never lands in scan data filters
+    // (the ivfTopK/SemDedup lesson; expensive_scan_filter lint)
+    def bestList(vec: Column): Column = coalesce(
+      array_min(array((0 until nl).map { i =>
         val d2 = graft.expr.DotProduct(vec, vec) -
           lit(2.0) * graft.expr.DotProduct(vec, element_at(coarseArr, i + 1)) +
           lit(coarse(i).map(x => x * x).sum)
         struct(coalesce(d2, lit(Double.MaxValue)).as("d"), lit(i).as("l"))
-      }: _*)
-      array_min(scored).getField("l")
-    }
+      }: _*)).getField("l"),
+      lit(-1))
     // __u is already unit-norm: apply PqEncode directly rather than
     // encode(), which would re-normalize the whole corpus a second time
     val codes = unit
+      // wrong-dim stragglers never rank. Screened by SIZE, not by
+      // `isnotnull(__code)`: filter pushdown substitutes the alias, so a
+      // null-check on the code would re-run PqEncode per corpus row
+      // interpreted inside the scan's data filters (the SemDedup
+      // filter-on-nearest lesson). Equivalent: unitFrame guarantees
+      // non-null elements, so PqEncode is null exactly on wrong dim.
+      .filter(size(col("__u")) === lit(model.m * model.ds))
       .withColumn("__code", graft.expr.PqEncode(col("__u"), model.codebook,
         model.m, model.ksub, model.ds))
-      .filter(col("__code").isNotNull) // wrong-dim stragglers never rank
       .withColumn("list_id", bestList(col("__u")))
       .select(col("__id").as("neighbor_id"), col("list_id"), col("__code"))
     val qUnit = VectorOps.l2Normalize(

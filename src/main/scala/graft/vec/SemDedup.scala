@@ -109,9 +109,19 @@ object SemDedup {
     // million-deep identical blob to ONE task and cannot be skew-split,
     // while AQE can split the skewed join partition. __gsz is only read
     // under __selfdup (soloDupReps), so non-selfdup rows coalesce to 1.
+    // Wrong-dimension rows are screened with a CHEAP predicate (size ==
+    // the trained dim) BEFORE the cluster column exists — NOT with
+    // `filter(isnotnull(__cl))`. Filter pushdown substitutes an alias's
+    // defining expression into the pushed predicate, so a null-check on
+    // __cl re-evaluates the ENTIRE nearest-centroid tree (k dots over the
+    // inlined unitize) per row inside the scan's data filters, where it
+    // runs interpreted: measured 57 s vs 2 s on a 400k-row corpus for the
+    // SAME rows kept. Equivalent by construction: unitFrame already
+    // guarantees __u non-null with non-null elements, so __cl is null
+    // exactly when the dimension mismatches.
     val unit0 = unitBase.withColumnRenamed("__id", "id")
+      .filter(size(col("__u")) === lit(cents(0).length)) // wrong-dim rows: not duplicates of anything
       .withColumn("__cl", nearest(col("__u")))
-      .filter(col("__cl").isNotNull) // wrong-dim rows: not duplicates of anything
       .withColumn("__cc", graft.expr.DotProduct(col("__u"), element_at(centArr, col("__cl") + 1)))
       .withColumn("__selfdup",
         coalesce(graft.expr.DotProduct(col("__u"), col("__u")) >= lit(threshold), lit(false)))

@@ -186,12 +186,19 @@ object Similarity {
         nullif(l2Norm(vec) * lit(centroidNorms(i)), lit(0.0)),
       lit(-2.0))
     // argmax via array_max over (cos, -list_id) structs: max cosine, ties →
-    // smallest list id (matching the old window's ORDER BY cd DESC, id ASC)
-    def bestList(vec: Column): Column = {
-      val scored = array(cents.indices.map(i =>
-        struct(centroidCos(vec, i).as("cd"), lit(-i).as("nl"))): _*)
-      (array_max(scored).getField("nl") * -1).cast("int")
-    }
+    // smallest list id (matching the old window's ORDER BY cd DESC, id ASC).
+    // The outer coalesce is LOAD-BEARING for the plan, not the values (the
+    // argmax over a non-empty literal-sized array never returns null): it
+    // makes the expression non-nullable, so the inner equi-join on list_id
+    // below cannot infer an `isnotnull(list_id)` filter — which pushdown
+    // would substitute as this WHOLE argmax tree into the corpus scan's
+    // data filters, re-running it interpreted per row (caught by the
+    // expensive_scan_filter plan lint).
+    def bestList(vec: Column): Column = coalesce(
+      (array_max(array(cents.indices.map(i =>
+        struct(centroidCos(vec, i).as("cd"), lit(-i).as("nl"))): _*))
+        .getField("nl") * -1).cast("int"),
+      lit(-1))
     val cAssigned = corpus.select(col(corpusId).as("neighbor_id"), col(corpusVec).as("__cv"))
       .withColumn("__cn", l2Norm(col("__cv"))) // norm once per row, not per candidate pair
       .withColumn("list_id", bestList(col("__cv")))
