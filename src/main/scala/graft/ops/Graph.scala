@@ -84,26 +84,15 @@ object Graph {
           (lit((1 - damping) / n) + lit(damping) *
             (coalesce(col("__contrib"), lit(0.0)) + col("__dangling") / n)).as("rank"))
         .localCheckpoint()
-      freeLocalCheckpoint(ranks) // the superseded generation is never read again
+      graft.core.Checkpoints.free(ranks) // the superseded generation is never read again
       ranks = next
     }
     // the returned ranks is materialized and lineage-free: the edge-sized
     // eDeg (and nodes/outd) checkpoint blocks can be released too
-    freeLocalCheckpoint(eDeg); freeLocalCheckpoint(outd); freeLocalCheckpoint(nodes)
+    graft.core.Checkpoints.free(eDeg); graft.core.Checkpoints.free(outd); graft.core.Checkpoints.free(nodes)
     ranks
   }
 
-  /** Release the storage blocks behind a `localCheckpoint`ed frame that
-    * will never be read again. `Dataset.unpersist` cannot do this (the
-    * blocks belong to the checkpointed RDD, not the cache manager), so the
-    * RDD handle is pulled out of the LogicalRDD leaf. Safe ONLY for frames
-    * with no future consumers — a local checkpoint's blocks are the sole
-    * copy of its data (lineage is truncated by design).
-    */
-  private def freeLocalCheckpoint(df: DataFrame): Unit =
-    df.queryExecution.analyzed.collect {
-      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
-    }.foreach(_.unpersist(false))
 
   /** Per-node triangle counts over the undirected simple graph — the link-
     * farm / clique-spam detector (a crawl node whose neighborhood is a

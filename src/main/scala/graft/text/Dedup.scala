@@ -588,7 +588,10 @@ object Dedup {
       // the note above.)
       val next = stepped.localCheckpoint(false)
       changed = next.filter(col("cluster_id") =!= col("__old")).count()
-      labels.unpersist()
+      labels.unpersist() // round 1: labels is a CacheManager persist
+      // rounds >= 2: labels is a checkpoint — unpersist() above is a no-op
+      // on its blocks, which would otherwise leak one generation per round
+      graft.core.Checkpoints.free(labels)
       labels = next
       iter += 1
     }
