@@ -9,6 +9,17 @@ import org.apache.spark.sql.SparkSession
   * per-query MEDIANS over `SPARK_GRAFT_BENCH_RUNS` (default 3) measured
   * runs; the JSON carries a `runs` field.
   *
+  * Artifact split (VERDICT r7 #1): the driver captures only a bounded tail
+  * of stdout, and round 7's single line — which had grown `adjudicated`,
+  * `gc_sec`, and `load_avg` objects — was cut mid-`queries`, losing the
+  * round's whole perf signal (BENCH_r07.json `parsed: null`). The stdout
+  * line is now ONLY `{metric,value,unit,queries,failed?,runs,sf,detail}`
+  * (~1 KB at 34 queries); everything diagnostic — adjudication figures,
+  * per-query GC, load averages, and the law-query ring — is written to a
+  * committed side file (`bench_detail.json`, path overridable via
+  * SPARK_GRAFT_BENCH_DETAIL). The stdout `queries` values are unchanged in
+  * meaning: the isolated truth still wins when adjudication fires.
+  *
   * Self-adjudication (VERDICT r5 #1): in-suite medians on this box can be
   * poisoned by machine contention for one query's whole 3-run window
   * (BENCH_r05 reported q_dedup_incremental at 4.24 s where the isolated
@@ -17,12 +28,21 @@ import org.apache.spark.sql.SparkSession
   * its previous-round value (read from the latest BENCH_r*.json in the CWD,
   * or SPARK_GRAFT_BENCH_PRIOR; 2× in round 6 — lowered per VERDICT r6 #4)
   * is re-measured in a FRESH SparkSession (suite session stopped first);
-  * the artifact reports the isolated median in `queries` and carries both
-  * figures in `adjudicated`. Per-query mean GC time per run (`gc_sec`) and
-  * the 1-minute system load average sampled after each query (`load_avg`)
-  * ride in the artifact so machine contention has visible signals.
+  * the stdout `queries` reports the isolated median and the side file
+  * carries both figures under `adjudicated`.
+  *
+  * Configuration is env-var based for the driver, with a same-name system
+  * property override so a ScalaTest spec can exercise the full artifact
+  * path (including a forced adjudication) in-process — `sys.env` is
+  * immutable inside a JVM.
   */
 object Bench {
+
+  /** Env var with same-name system-property override (props win: they are
+    * settable in-process, which is how BenchArtifactSpec forces a synthetic
+    * prior / tiny SF without a subprocess). */
+  private def cfg(name: String): Option[String] =
+    sys.props.get(name).orElse(sys.env.get(name))
 
   /** Cumulative JVM GC milliseconds (all collectors; local-mode executors
     * share this JVM, so this sees executor GC too). */
@@ -41,11 +61,11 @@ object Bench {
     java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
 
   /** queries map of the most recent BENCH_r*.json (flat numeric entries
-    * only — adjudicated object values in newer artifacts are skipped by the
+    * only — adjudicated object values in older artifacts are skipped by the
     * regex, which is fine: an adjudicated query's `queries` entry is still
     * the flat isolated number). */
   private def priorRound(sfDir: String): Map[String, Double] = {
-    val explicit = sys.env.get("SPARK_GRAFT_BENCH_PRIOR").map(new java.io.File(_))
+    val explicit = cfg("SPARK_GRAFT_BENCH_PRIOR").map(new java.io.File(_))
     val latest = explicit.orElse {
       val rx = "BENCH_r(\\d+)\\.json".r
       Option(new java.io.File(".").listFiles()).getOrElse(Array.empty).toSeq
@@ -122,12 +142,33 @@ object Bench {
     "q_semantic_dedup"       // SemDeDup: driver Lloyd + cell pairs + CC + election
   )
 
+  /** Secondary ring (VERDICT r7 #8): the heaviest CORRECTNESS-only law
+    * queries get a timing track in the side file so a plan regression in a
+    * law gate is visible between rounds. Not part of the stdout total —
+    * they are oracle shapes, not headliners. */
+  val lawRing: Seq[String] = Seq(
+    "q_dedup_minhash_law",   // planted-pair MinHash oracle (brute pair check)
+    "q_semantic_dedup_law",  // SemDedup vs exact threshold-graph components
+    "q_winnow_law"           // winnowing kernel replayed via HOFs
+  )
+
   def main(args: Array[String]): Unit = {
     val names = if (args.nonEmpty) args.toSeq else headline // dev: bench a subset
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = graft.core.Sessions.configure(
-      SparkSession.builder().master(s"local[$cpus]"), cpus.toInt).getOrCreate()
+    val sfDir = cfg("SPARK_GRAFT_SF_DIR").getOrElse("/root/testdata/sf0.1")
+    val cpus = cfg("SPARK_GRAFT_CPUS").getOrElse("32")
+    val detailPath = cfg("SPARK_GRAFT_BENCH_DETAIL").getOrElse("bench_detail.json")
+    // In-process invocation (BenchArtifactSpec) must not stop the suite's
+    // shared session/context — getOrCreate would RETURN that session and
+    // `stop()` would kill every subsequent suite. Driver invocation owns its
+    // session as before; adjudication's fresh-session isolation is nominal
+    // under an inherited context (one SparkContext per JVM), which is fine —
+    // the spec gates the ARTIFACT path, not isolation physics.
+    val inheritedSession = SparkSession.getDefaultSession.filter(s => !s.sparkContext.isStopped)
+    val ownsSession = inheritedSession.isEmpty
+    val spark = inheritedSession.getOrElse {
+      graft.core.Sessions.configure(
+        SparkSession.builder().master(s"local[$cpus]"), cpus.toInt).getOrCreate()
+    }
     spark.sparkContext.setLogLevel("WARN")
 
     val qs = SparkEntry.queries
@@ -144,7 +185,7 @@ object Bench {
     // single-run numbers swing ±20-30% on this box (VERDICT r4 graded a
     // pure-noise 1.24× as a possible regression) — medians make rounds
     // comparable without folklore about run variance
-    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
+    val runs = cfg("SPARK_GRAFT_BENCH_RUNS").getOrElse("3").toInt
 
     /** Measure each query from a CLEAN memory slate: clearCache drops
       * CacheManager entries, but localCheckpoint blocks (iterative
@@ -193,26 +234,41 @@ object Bench {
       val (median, gc, la) = measure(spark, name)
       (name, median, gc, la)
     }
-    spark.stop()
+    // Law ring rides the same warmed session, after the headliners, and only
+    // on a full (no-args) invocation — a dev subset run shouldn't pay for it.
+    val lawMeasured =
+      if (args.nonEmpty) Seq.empty
+      else lawRing.filter(qs.contains).map { name =>
+        val (median, gc, la) = measure(spark, name)
+        (name, median, gc, la)
+      }
+    if (ownsSession) spark.stop()
 
     // Self-adjudication: a suite median >1.5× the prior round's value (and
     // above a 0.3 s noise floor) gets ONE isolated re-measure in a fresh
     // SparkSession; the isolated median is what `queries` reports, with
-    // both figures preserved under `adjudicated`. (The trigger was 2× in
+    // both figures preserved in the side file. (The trigger was 2× in
     // round 6; BENCH_r06 carried a broad 1.1-1.6× contention drift that sat
     // under it — VERDICT r6 #4 lowered it to 1.5×.)
     val prior = priorRound(sfDir)
+    // noise floor: sub-0.3 s queries swing multiples on pure scheduling
+    // noise; overridable so the artifact spec can force an adjudication on
+    // a fast sf0.001 query without a synthetic sleep
+    val noiseFloor = cfg("SPARK_GRAFT_BENCH_NOISE_FLOOR").map(_.toDouble).getOrElse(0.3)
     val suspects = measured.collect {
-      case (name, Some(suite), _, _) if suite >= 0.3 &&
+      case (name, Some(suite), _, _) if suite >= noiseFloor &&
         prior.get(name).exists(p => p > 0 && suite > 1.5 * p) => name -> suite
     }
     val adjudicated: Map[String, (Double, Double, Double)] = suspects.map { case (name, suite) =>
       System.err.println(f"[bench] $name suite median $suite%.3f s > 1.5x prior ${prior(name)}%.3f s — re-measuring isolated")
-      SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
-      val fresh = graft.core.Sessions.configure(
-        SparkSession.builder().master(s"local[$cpus]"), cpus.toInt).getOrCreate()
-      fresh.sparkContext.setLogLevel("WARN")
-      val (isoMedian, _, _) = try measure(fresh, name) finally fresh.stop()
+      val fresh = inheritedSession.getOrElse {
+        SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
+        val f = graft.core.Sessions.configure(
+          SparkSession.builder().master(s"local[$cpus]"), cpus.toInt).getOrCreate()
+        f.sparkContext.setLogLevel("WARN")
+        f
+      }
+      val (isoMedian, _, _) = try measure(fresh, name) finally { if (ownsSession) fresh.stop() }
       name -> (suite, isoMedian.getOrElse(suite), prior(name))
     }.toMap
 
@@ -226,14 +282,27 @@ object Bench {
     }
     val failed = measured.collect { case (k, None, _, _) => js(k) } ++ unknown.map(js)
     val qJson = good.map { case (k, v) => js(k) + ":" + fmt(v) }.mkString("{", ",", "}")
-    val gcJson = measured.collect { case (k, Some(_), gc, _) => js(k) + ":" + fmt(gc) }.mkString("{", ",", "}")
-    val laJson = measured.collect { case (k, Some(_), _, la) => js(k) + ":" + fmt(la) }.mkString("{", ",", "}")
-    val adjJson =
-      if (adjudicated.isEmpty) ""
-      else adjudicated.toSeq.sortBy(_._1).map { case (k, (s, i, p)) =>
-        js(k) + s""":{"suite":${fmt(s)},"isolated":${fmt(i)},"prior":${fmt(p)}}"""
-      }.mkString(""","adjudicated":{""", ",", "}")
     val failedJson = if (failed.isEmpty) "" else s""","failed":[${failed.mkString(",")}]"""
-    println(s"""{"metric":"total","value":${fmt(good.map(_._2).sum)},"unit":"sec","queries":$qJson$failedJson$adjJson,"gc_sec":$gcJson,"load_avg":$laJson,"runs":$runs,"sf":${js(sfDir)}}""")
+
+    // Diagnostics go to the SIDE FILE, never the stdout line (VERDICT r7 #1).
+    val all = measured ++ lawMeasured
+    val gcJson = all.collect { case (k, Some(_), gc, _) => js(k) + ":" + fmt(gc) }.mkString("{", ",", "}")
+    val laJson = all.collect { case (k, Some(_), _, la) => js(k) + ":" + fmt(la) }.mkString("{", ",", "}")
+    val adjJson = adjudicated.toSeq.sortBy(_._1).map { case (k, (s, i, p)) =>
+      js(k) + s""":{"suite":${fmt(s)},"isolated":${fmt(i)},"prior":${fmt(p)}}"""
+    }.mkString("{", ",", "}")
+    val lawJson = lawMeasured.collect { case (k, Some(v), _, _) => js(k) + ":" + fmt(v) }.mkString("{", ",", "}")
+    val lawFailed = lawMeasured.collect { case (k, None, _, _) => js(k) }
+    val lawFailedJson = if (lawFailed.isEmpty) "" else s""","law_failed":[${lawFailed.mkString(",")}]"""
+    val detail =
+      s"""{"adjudicated":$adjJson,"law_ring":$lawJson$lawFailedJson,"gc_sec":$gcJson,"load_avg":$laJson,"runs":$runs,"sf":${js(sfDir)}}"""
+    try {
+      java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),
+        (detail + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } catch {
+      case e: Throwable => System.err.println(s"[bench] could not write $detailPath: ${e.getMessage}")
+    }
+
+    println(s"""{"metric":"total","value":${fmt(good.map(_._2).sum)},"unit":"sec","queries":$qJson$failedJson,"runs":$runs,"sf":${js(sfDir)},"detail":${js(detailPath)}}""")
   }
 }
