@@ -86,8 +86,12 @@ class CollapseEquivalenceSpec extends SparkSpec {
   test("minhash: collapsed == uncollapsed pair set on random duplicate-heavy corpora") {
     for (seed <- Seq(7, 23, 101)) {
       val df = corpus(seed, 48).cache()
+      // forceCollapse pins the collapsed plan — these corpora are
+      // duplicate-heavy so the probe would pick it anyway, but the spec's
+      // claim is about the PLAN, not the router
       val collapsed = Dedup.minhashCandidates(df, "text", "doc_id",
-          shingleN = 3, numHashes = 32, bands = 8, threshold = 0.5, maxBucketSize = NoCap)
+          shingleN = 3, numHashes = 32, bands = 8, threshold = 0.5, maxBucketSize = NoCap,
+          forceCollapse = Some(true))
         .as[(Long, Long, Double)].collect().toSet
       val reference = uncollapsedMinhash(df, 3, 32, 8, 0.5)
         .as[(Long, Long, Double)].collect().toSet
@@ -97,6 +101,21 @@ class CollapseEquivalenceSpec extends SparkSpec {
       assert(collapsed.nonEmpty, s"seed $seed: corpus must actually exercise pairs")
       df.unpersist()
     }
+  }
+
+  test("minhash default plan == both pinned plans, on heavy AND light corpora") {
+    // heavy: the random corpus carries exact-copy families (~40% dup mass);
+    // light: unique docs only (drop the copy/near blocks by id range)
+    val heavy = corpus(7, 48).cache()
+    val light = corpus(7, 48).filter(col("doc_id") < 1000L).cache()
+    def pairs(df: org.apache.spark.sql.DataFrame, force: Option[Boolean]) =
+      Dedup.minhashCandidates(df, "text", "doc_id", 3, 32, 8, 0.5, NoCap, force)
+        .as[(Long, Long, Double)].collect().toSet
+    for (df <- Seq(heavy, light)) {
+      val default = pairs(df, None)
+      assert(default == pairs(df, Some(true)) && default == pairs(df, Some(false)))
+    }
+    heavy.unpersist(); light.unpersist()
   }
 
   test("minhash: threshold > 1 is empty on both paths (within-branch gate)") {

@@ -195,6 +195,28 @@ class TextExprsSpec extends SparkSpec {
     }
   }
 
+  test("LshBands: bucket membership equals the sub-signature equality structure") {
+    // The native band kernel replaced a concat_ws/xxhash64 HOF — bucket
+    // VALUES changed, but two rows must share a (band, h) bucket iff their
+    // band sub-signatures are equal. Pin that against the signature slices.
+    val df = (samples ++ samples.take(4) :+ null.asInstanceOf[String]) // dup texts → guaranteed collisions
+      .zipWithIndex.map { case (t, i) => (i, t) }.toDF("id", "t")
+    val bands = 4; val rpb = 4
+    val sig = graft.expr.MinHashSig(graft.expr.WordShingles(col("t"), 2), bands * rpb)
+    val rows = df.select(col("id"), sig.as("sig"),
+        graft.expr.LshBands(sig, bands, rpb).as("bh"))
+      .collect().filter(!_.isNullAt(1))
+      .map(r => (r.getSeq[Long](1), r.getSeq[org.apache.spark.sql.Row](2)))
+    assert(rows.nonEmpty && rows.forall(_._2.length == bands))
+    for (((sa, ba), i) <- rows.zipWithIndex; ((sb, bb), j) <- rows.zipWithIndex if i < j;
+         b <- 0 until bands) {
+      val subEq = sa.slice(b * rpb, (b + 1) * rpb) == sb.slice(b * rpb, (b + 1) * rpb)
+      val bucketEq = ba(b).getLong(1) == bb(b).getLong(1)
+      assert(subEq == bucketEq, s"rows $i,$j band $b: subsigEq=$subEq bucketEq=$bucketEq")
+      assert(ba(b).getInt(0) == b && bb(b).getInt(0) == b)
+    }
+  }
+
   test("text kernels: CODEGEN_ONLY and NO_CODEGEN paths agree exactly") {
     // the string kernels emit a reference-call doGenCode — prove the
     // generated Java compiles (CODEGEN_ONLY + fallback off throws
@@ -210,6 +232,8 @@ class TextExprsSpec extends SparkSpec {
         graft.expr.UnicodeNormalize(col("t"), "NFC").as("nfc"),
         graft.expr.ScriptCounts(col("t")).as("sc"),
         graft.expr.WinnowMins(graft.expr.WordGramHashes(col("t"), 2), 3).as("wm"),
+        graft.expr.LshBands(
+          graft.expr.MinHashSig(graft.expr.WordShingles(col("t"), 2), 16), 4, 4).as("lb"),
         graft.expr.DeflateRatio(col("t")).as("dr"))
       .orderBy("id").collect().map(_.toString).toSeq
     val conf = spark.conf
