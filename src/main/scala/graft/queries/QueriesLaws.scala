@@ -297,6 +297,45 @@ object QueriesLaws {
         .orderBy("doc_id")
     }),
 
+    "q_multimodal_stub_features_law" -> ((s, dir) => {
+      // the last rows-only gate law-twinned (VERDICT r7 #3): the stub
+      // featurizer's SHAPE contract is oracle-able without a codec —
+      // (a) null payload → null features, non-null → non-null;
+      // (b) fixed output dim (8 here);
+      // (c) every value in the documented [-1, 1) range;
+      // (d) per-payload determinism: two INDEPENDENT evaluations (separate
+      //     plans from the raw table, joined on media_id) agree exactly.
+      // Payload nulls are injected at doc_id % 7 = 0 so the null law has
+      // both populations at every SF; DuckDB recomputes n_rows/n_null_in
+      // from the documents table and pins every violation count at zero.
+      import graft.multimodal.Multimodal
+      def eval(): DataFrame = {
+        val d = t(s, dir, "documents")
+          .withColumn("payload",
+            when(pmod(col("doc_id"), lit(7)) === 0, lit(null).cast("binary"))
+              .otherwise(col("text").cast("binary")))
+        Multimodal.decodeToFeatures(
+          Multimodal.asMedia(d, "doc_id", "payload", "audio/fake"),
+          "payload", dim = 8)
+          .select(col("media_id"), col("payload"), col("features"))
+      }
+      val a = eval()
+      val b = eval().select(col("media_id"), col("features").as("features_b"))
+      a.join(b, Seq("media_id"))
+        .agg(
+          count(lit(1)).as("n_rows"),
+          sum(when(col("payload").isNull, 1L).otherwise(0L)).as("n_null_in"),
+          sum(when(col("payload").isNull =!= col("features").isNull, 1L)
+            .otherwise(0L)).as("n_null_mismatch"),
+          sum(when(col("features").isNotNull && size(col("features")) =!= 8, 1L)
+            .otherwise(0L)).as("n_bad_dim"),
+          sum(when(col("features").isNotNull &&
+              exists(col("features"), x => x < -1.0 || x >= 1.0), 1L)
+            .otherwise(0L)).as("n_oob"),
+          sum(when(!(col("features") <=> col("features_b")), 1L)
+            .otherwise(0L)).as("n_eval_mismatch"))
+    }),
+
     "q_winnow_law" -> ((s, dir) => {
       // the full winnowing spec replayed per row with interpreted HOFs
       // against the native WinnowMins kernel: sorted distinct minima of
@@ -366,7 +405,13 @@ object QueriesLaws {
           |FROM documents ORDER BY doc_id""".stripMargin,
       "q_winnow_law" ->
         """SELECT doc_id, TRUE AS winnow_ok
-          |FROM documents ORDER BY doc_id""".stripMargin
+          |FROM documents ORDER BY doc_id""".stripMargin,
+      "q_multimodal_stub_features_law" ->
+        """SELECT count(*) AS n_rows,
+          |  CAST(sum(CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_null_in,
+          |  CAST(0 AS BIGINT) AS n_null_mismatch, CAST(0 AS BIGINT) AS n_bad_dim,
+          |  CAST(0 AS BIGINT) AS n_oob, CAST(0 AS BIGINT) AS n_eval_mismatch
+          |FROM documents""".stripMargin
     )
   }
 }

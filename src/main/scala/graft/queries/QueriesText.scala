@@ -570,7 +570,9 @@ object QueriesText {
 
     "q_multimodal_stub_features" -> ((s, dir) => {
       // the NON-IMAGE stub path (audio/video have no codec in this
-      // container): rows-only; array-level assertions live in the specs
+      // container): golden-gated at sf0.01 (deterministic seeded-hash
+      // features) with SF-independent shape laws in
+      // q_multimodal_stub_features_law; array-level assertions in specs
       val media = Multimodal.asMedia(
         t(s, dir, "documents").withColumn("payload", col("text").cast("binary")),
         "doc_id", "payload", "audio/fake")
@@ -998,6 +1000,11 @@ object QueriesText {
     "q_near_dedup" -> golden("q_near_dedup"),
     "q_dedup_clusters" -> golden("q_dedup_clusters"),
     "q_embed_neardup" -> golden("q_embed_neardup"),
+    // round 8 (VERDICT r7 #3): the featurizer is deterministic (seeded
+    // xxhash64 over the payload), so its sf0.01 output pins like any other
+    // engine-valued hash family; SF-independent shape laws live in
+    // q_multimodal_stub_features_law
+    "q_multimodal_stub_features" -> golden("q_multimodal_stub_features"),
     "q_ann_lsh" -> golden("q_ann_lsh"),
 
     // recall-LAW oracles: the query computes recall@10 of the approximate
