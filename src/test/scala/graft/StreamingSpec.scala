@@ -226,6 +226,72 @@ class StreamingSpec extends SparkSpec {
     assert(rows.length == 2, s"expected exactly 2 rows (no reprocessing), got ${rows.length}")
   }
 
+  test("checkpoint recovery: windowed STATE survives a mid-stream kill (batch-equivalent oracle)") {
+    // VERDICT r7 #4: the reference YAML declares exactly-once + 30 s
+    // checkpointing (streaming_pipeline.yaml:100-105). The earlier recovery
+    // test proved source-OFFSET recovery on a stateless pass-through; this
+    // one kills a stateful tumbling aggregation while a window is OPEN
+    // (half its events ingested), resumes from the checkpoint, and asserts
+    // the final sink equals the batch computation over the full input —
+    // no lost window, no duplicated counts, the open window's state merged
+    // across the kill.
+    val in = java.nio.file.Files.createTempDirectory("graft_cpw_in").toString
+    val out = java.nio.file.Files.createTempDirectory("graft_cpw_out").toString + "/sink"
+    val cp = java.nio.file.Files.createTempDirectory("graft_cpw_meta").toString
+    val schema = org.apache.spark.sql.types.StructType.fromDDL("ts TIMESTAMP, user STRING, v DOUBLE")
+    def write(name: String, lines: String*): Unit =
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$in/$name"), lines.mkString("\n"))
+    def start() = {
+      val win = StreamOps.tumbling(StreamOps.files(spark, in, "json", schema),
+        "ts", "1 minute", "0 seconds", Seq.empty, Seq("v" -> "count", "v" -> "sum"))
+      win.writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", cp)
+        .outputMode("append").start()
+    }
+    // phase 1: W1 [00:00,00:01) complete; W2 [00:01,00:02) OPEN (one of
+    // its three events) — watermark after phase 1 = 00:01:05, closing W1
+    write("b1.json",
+      """{"ts":"2024-01-01T00:00:10Z","user":"a","v":1.0}""",
+      """{"ts":"2024-01-01T00:00:20Z","user":"b","v":2.0}""",
+      """{"ts":"2024-01-01T00:01:05Z","user":"a","v":3.0}""")
+    val q1 = start(); q1.processAllAvailable(); q1.stop()
+    val mid = spark.read.schema(StreamOps.tumbling(
+        spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), schema),
+        "ts", "1 minute", "0 seconds", Seq.empty, Seq("v" -> "count", "v" -> "sum")).schema)
+      .parquet(out).collect()
+    assert(mid.length == 1 && mid.head.getLong(2) == 2L,
+      s"kill point: exactly W1 (count 2) should be emitted, got ${mid.mkString(";")}")
+    // phase 2: W2 completes ACROSS the restart, W3 arrives, and a sentinel
+    // far ahead advances the watermark past both so append mode flushes them
+    write("b2.json",
+      """{"ts":"2024-01-01T00:01:30Z","user":"b","v":4.0}""",
+      """{"ts":"2024-01-01T00:01:40Z","user":"a","v":5.0}""",
+      """{"ts":"2024-01-01T00:02:10Z","user":"c","v":6.0}""",
+      """{"ts":"2024-01-01T01:00:00Z","user":"z","v":0.0}""")
+    val q2 = start(); q2.processAllAvailable(); q2.stop()
+
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("window_start").cast("string"), col("window_end").cast("string"),
+        col("v_count"), round(col("v_sum"), 6).cast("string"))
+      .as[(String, String, Long, String)].collect().toSet
+    val streamed = canon(spark.read.parquet(out))
+    // batch oracle: same window aggregation over ALL input, restricted to
+    // windows the final watermark (01:00:00, the sentinel) has closed —
+    // the sentinel's own window is still open in the stream by design
+    val batch = spark.read.schema(schema).json(in)
+      .groupBy(window(col("ts"), "1 minute"))
+      .agg(count(lit(1)).as("v_count"), sum(col("v")).as("v_sum"))
+      .filter(col("window.end") <= lit("2024-01-01T01:00:00Z").cast("timestamp"))
+      .select(col("window.start").as("window_start"), col("window.end").as("window_end"),
+        col("v_count"), col("v_sum"))
+    assert(streamed == canon(batch),
+      s"stream-after-recovery != batch oracle:\nstream=$streamed\nbatch=${canon(batch)}")
+    assert(streamed.size == 3, s"W1+W2+W3 expected, got $streamed")
+    // the cross-kill window W2 must carry BOTH phases' events
+    assert(streamed.exists(r => r._1.startsWith("2024-01-01 00:01") && r._3 == 3L),
+      s"W2 must merge state across the kill (count 3): $streamed")
+  }
+
   test("record transforms and filters work on streaming frames") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Ev]
