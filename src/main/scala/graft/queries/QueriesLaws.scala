@@ -297,6 +297,34 @@ object QueriesLaws {
         .orderBy("doc_id")
     }),
 
+    "q_semantic_contamination_law" -> ((s, dir) => {
+      // the IVF-cell pre-screen (round 8, VERDICT r7 #5) vs the brute path
+      // on the headliner's own fixture: flags must agree on every row,
+      // contaminated rows must carry the brute (max_cos, nearest_eval_id)
+      // exactly (ties included), and clean rows must report null under the
+      // screened contract. The full outer join catches dropped/invented
+      // rows on either side.
+      val e = t(s, dir, "embeddings")
+      val ev = e.filter(col("vec_id") % 50 === 0)
+      val tr = e.filter(col("vec_id") % 50 =!= 0)
+      def run(cells: Int) = graft.text.Contamination.semanticContamination(
+        tr, "vec_id", "embedding", ev, "vec_id", "embedding",
+        threshold = 0.3, prescreenCells = cells)
+      val brute = run(0).select(col("vec_id"), col("max_cos").as("b_cos"),
+        col("nearest_eval_id").as("b_id"), col("contaminated").as("b_flag"))
+      val scr = run(8).select(col("vec_id"), col("max_cos").as("s_cos"),
+        col("nearest_eval_id").as("s_id"), col("contaminated").as("s_flag"))
+      brute.join(scr, Seq("vec_id"), "full")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(when(!(col("b_flag") <=> col("s_flag")), 1L).otherwise(0L))
+            .as("n_flag_mismatch"),
+          sum(when(coalesce(col("b_flag"), lit(false)) &&
+              (!(col("b_cos") <=> col("s_cos")) || !(col("b_id") <=> col("s_id"))), 1L)
+            .otherwise(0L)).as("n_flagged_value_mismatch"),
+          sum(when(!coalesce(col("s_flag"), lit(true)) && col("s_cos").isNotNull, 1L)
+            .otherwise(0L)).as("n_clean_nonnull"))
+    }),
+
     "q_multimodal_stub_features_law" -> ((s, dir) => {
       // the last rows-only gate law-twinned (VERDICT r7 #3): the stub
       // featurizer's SHAPE contract is oracle-able without a codec —
@@ -406,6 +434,11 @@ object QueriesLaws {
       "q_winnow_law" ->
         """SELECT doc_id, TRUE AS winnow_ok
           |FROM documents ORDER BY doc_id""".stripMargin,
+      "q_semantic_contamination_law" ->
+        """SELECT CAST((SELECT count(*) FROM embeddings WHERE vec_id % 50 <> 0) AS BIGINT) AS n_rows,
+          |  CAST(0 AS BIGINT) AS n_flag_mismatch,
+          |  CAST(0 AS BIGINT) AS n_flagged_value_mismatch,
+          |  CAST(0 AS BIGINT) AS n_clean_nonnull""".stripMargin,
       "q_multimodal_stub_features_law" ->
         """SELECT count(*) AS n_rows,
           |  CAST(sum(CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_null_in,

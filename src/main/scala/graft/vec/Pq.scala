@@ -66,7 +66,7 @@ object Pq {
     * Lloyd iterations, points pre-sorted by caller. Empty clusters keep
     * their previous centroid (standard; deterministic).
     */
-  private[vec] def lloyd(points: Array[Array[Double]], k: Int, iters: Int, seed: Long): Array[Array[Double]] = {
+  private[graft] def lloyd(points: Array[Array[Double]], k: Int, iters: Int, seed: Long): Array[Array[Double]] = {
     val n = points.length
     val rnd = new java.util.Random(seed)
     // kmeans++ init (distances drive the choice; rnd only breaks the spread)

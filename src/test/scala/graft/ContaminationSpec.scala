@@ -137,6 +137,84 @@ class ContaminationSpec extends SparkSpec {
     assert(atEdge)
   }
 
+  test("semanticContamination pre-screen == brute: flags, flagged values, clean nulls") {
+    // adversarial geometry for the IVF-cell bound: random directions, exact
+    // duplicates of eval rows in train (cos 1.0 + argmax ties), antipodal
+    // vectors, zero vectors, a null eval id, and a mixed-dimension row on
+    // each side; several cell counts, including more cells than eval rows
+    val rnd = new scala.util.Random(11)
+    def vec(d: Int): Array[Float] = Array.fill(d)((rnd.nextGaussian()).toFloat)
+    val evRows = (0 until 25).map(i => (100L + i, vec(8))) ++ Seq(
+      (900L, Array.fill(8)(0.0f)),          // zero eval vector: never scoreable
+      (901L, vec(5)))                        // off-dimension eval row → residual cell
+    val ev = (evRows.map { case (i, v) => (java.lang.Long.valueOf(i), v) } :+
+      ((null.asInstanceOf[java.lang.Long], vec(8)))).toDF("vec_id", "embedding")
+    val trRows = (0 until 40).map(i => (i.toLong, vec(8))) ++
+      evRows.take(6).map { case (i, v) => (1000L + i, v.map(x => x * 2.5f)) } ++ // exact directions → ties
+      Seq((800L, Array.fill(8)(0.0f)),       // zero train vector
+          (801L, vec(5)),                    // train row matching the off-dim eval row's dim
+          (802L, evRows.head._2.map(-_)))    // antipodal
+    val tr = trRows.toDF("vec_id", "embedding")
+    for (threshold <- Seq(0.3, 0.8); cells <- Seq(2, 4, 64)) {
+      def run(c: Int) = Contamination.semanticContamination(
+          tr, "vec_id", "embedding", ev, "vec_id", "embedding", threshold, prescreenCells = c)
+        .select("vec_id", "max_cos", "nearest_eval_id", "contaminated")
+        .collect().map(r => r.getLong(0) -> ((
+          if (r.isNullAt(1)) null else r.getDouble(1),
+          if (r.isNullAt(2)) null else r.getLong(2),
+          r.getBoolean(3)))).toMap
+      val brute = run(0); val scr = run(cells)
+      assert(brute.keySet == scr.keySet)
+      val flagged = brute.count(_._2._3)
+      assert(flagged > 0 && flagged < brute.size,
+        s"threshold $threshold must split the corpus: $flagged/${brute.size} flagged")
+      for ((id, (bCos, bId, bFlag)) <- brute) {
+        val (sCos, sId, sFlag) = scr(id)
+        assert(sFlag == bFlag, s"flag mismatch at $id (cells=$cells, thr=$threshold)")
+        if (bFlag) assert(sCos == bCos && sId == bId,
+          s"flagged value mismatch at $id: brute=($bCos,$bId) screened=($sCos,$sId)")
+        else assert(sCos == null && sId == null,
+          s"clean row $id must report nulls under the screened contract, got ($sCos,$sId)")
+      }
+    }
+  }
+
+  test("semanticContamination pre-screen on CLUSTERED eval: pruning engages, output still brute") {
+    // the geometry the screen is FOR: tight eval clusters (paraphrase
+    // families) → small θ ranges per cell → a train vector far from every
+    // cluster prunes ALL cells (zero surviving members — the left-join-null
+    // path) while near-cluster vectors keep only their cluster's cell.
+    // Isotropic gaussian suites (the bench fixture) provably cannot prune:
+    // measured 0% at every in-range threshold, which is why the headliner
+    // keeps the brute plan.
+    val rnd = new scala.util.Random(5)
+    def axis(i: Int, jitter: Double): Array[Float] = {
+      val v = Array.fill(8)(rnd.nextGaussian() * jitter)
+      v(i) += 1.0
+      v.map(_.toFloat)
+    }
+    val ev = (0 until 30).map(j => (100L + j, axis(j % 3, 0.02))).toDF("vec_id", "embedding")
+    val tr = ((0 until 10).map(j => (j.toLong, axis(j % 3, 0.05))) ++   // near a cluster
+      (0 until 10).map(j => (50L + j, axis(5 + j % 3, 0.05)))           // far from all clusters
+      ).toDF("vec_id", "embedding")
+    def run(c: Int) = Contamination.semanticContamination(
+        tr, "vec_id", "embedding", ev, "vec_id", "embedding", threshold = 0.9, prescreenCells = c)
+      .select("vec_id", "max_cos", "nearest_eval_id", "contaminated")
+      .collect().map(r => r.getLong(0) -> ((
+        if (r.isNullAt(1)) null else r.getDouble(1),
+        if (r.isNullAt(2)) null else r.getLong(2),
+        r.getBoolean(3)))).toMap
+    val brute = run(0); val scr = run(4)
+    assert(brute.count(_._2._3) == 10 && scr.count(_._2._3) == 10,
+      "every near-cluster vector must flag at 0.9; every far one must not")
+    for ((id, (bCos, bId, bFlag)) <- brute) {
+      val (sCos, sId, sFlag) = scr(id)
+      assert(sFlag == bFlag, s"flag mismatch at $id")
+      if (bFlag) assert(sCos == bCos && sId == bId, s"value mismatch at $id")
+      else assert(sCos == null && sId == null, s"clean row $id must be null")
+    }
+  }
+
   test("semanticContamination: string eval ids work; nearest id keeps its type") {
     // eval suites are routinely keyed by string ids ("mmlu_00123"); the
     // argmin tie-break must use the id's native ordering, not a long cast
