@@ -87,6 +87,16 @@ object OpSpec {
     * barrier in the reference lifecycle too (pipeline.py:234-256).
     */
   final case class Validate(params: Map[String, Any])                               extends OpSpec
+  /** In-run result cache (reference performance/cache.py:98-256; SURVEY §4
+    * scopes CROSS-run caching out — `df.persist` is the Spark-native
+    * in-run equivalent). `storageLevel` is any
+    * `org.apache.spark.storage.StorageLevel.fromString` name
+    * (MEMORY_ONLY, MEMORY_AND_DISK, DISK_ONLY, ..._SER, ..._2, NONE).
+    * Pipeline.execute unpersists every cache-op frame when the run ends,
+    * success or failure — the op marks a reuse point, it must not leak
+    * executor storage past its run.
+    */
+  final case class CacheOp(storageLevel: String = "MEMORY_AND_DISK")                 extends OpSpec
 
   /** One window-function application inside a WindowOp
     * (spark_processor.py:244-263 function specs). */
@@ -104,9 +114,17 @@ object OpCompiler {
   import OpSpec._
 
   def compile(ops: Seq[OpSpec], tables: String => DataFrame = null): DataFrame => DataFrame =
-    df => ops.foldLeft(df)((d, op) => applyOp(d, op, tables))
+    compile(ops, tables, null)
 
-  def applyOp(df: DataFrame, op: OpSpec, tables: String => DataFrame = null): DataFrame = op match {
+  /** `caches` (when non-null) collects every frame a CacheOp persisted so
+    * the caller — Pipeline.execute — can unpersist them when the run ends;
+    * without it a cache op still works but its lifetime is the session's. */
+  def compile(ops: Seq[OpSpec], tables: String => DataFrame,
+              caches: scala.collection.mutable.Buffer[DataFrame]): DataFrame => DataFrame =
+    df => ops.foldLeft(df)((d, op) => applyOp(d, op, tables, caches))
+
+  def applyOp(df: DataFrame, op: OpSpec, tables: String => DataFrame = null,
+              caches: scala.collection.mutable.Buffer[DataFrame] = null): DataFrame = op match {
     case FilterCondition(c)            => Relational.filterCondition(df, c)
     case FilterColumn(c, o, v)         => Relational.filterColumn(df, c, o, v)
     case Select(cols, excl)            => Relational.select(df, cols, excl)
@@ -130,7 +148,16 @@ object OpCompiler {
     case Melt(id, vv, vn, valn)        => Relational.melt(df, id, vv, vn, valn)
     case w: WindowOp                   => graft.functions.WindowLib.applyWindowOp(df, w)
     case CustomSql(q, tv)              => Relational.customSql(df, q, tv)
-    case Sequence(ops2)                => ops2.foldLeft(df)((d, o) => applyOp(d, o, tables))
+    case CacheOp(level)                =>
+      val sl = try org.apache.spark.storage.StorageLevel.fromString(level.trim.toUpperCase) catch {
+        case _: IllegalArgumentException =>
+          throw new IllegalArgumentException(
+            s"cache op: unknown storage_level '$level' (use MEMORY_ONLY, MEMORY_AND_DISK, DISK_ONLY, ..._SER, ..._2, NONE)")
+      }
+      val cached = df.persist(sl)
+      if (caches != null) caches += cached
+      cached
+    case Sequence(ops2)                => ops2.foldLeft(df)((d, o) => applyOp(d, o, tables, caches))
     case FeatureEngineering(p)         => applyFeatureEngineering(df, p)
     case TimeSeriesProcessing(p)       => applyTimeSeries(df, p)
     case Validate(p)                   => applyValidate(df, p)

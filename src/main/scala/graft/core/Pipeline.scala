@@ -71,6 +71,10 @@ object Pipeline {
   def execute(spark: SparkSession, conf: PipelineConfig.PipelineConf,
               plog: Option[StructuredLog.PipelineLogger]): Result = {
     val errors = scala.collection.mutable.ArrayBuffer.empty[String]
+    // frames persisted by `cache` ops — unpersisted when the run ends
+    // (success, validation failure, or crash): an in-run cache must not
+    // squat in executor storage after its pipeline is gone
+    val caches = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.DataFrame]
     var stage = "load"
     try {
       plog.foreach(_.startPipeline(Map(
@@ -83,7 +87,7 @@ object Pipeline {
       plog.foreach(_.endStep("load"))
       stage = "process"
       plog.foreach(_.startStep("process"))
-      val processed = OpCompiler.compile(conf.operations, catalog)(primary)
+      val processed = OpCompiler.compile(conf.operations, catalog, caches)(primary)
       plog.foreach(_.endStep("process"))
       stage = "validate"
 
@@ -178,6 +182,8 @@ object Pipeline {
           p.endPipeline("failed", errorMessage = Option(t.getMessage))
         }
         Result(conf.name, "failed", 0L, Map.empty, errors.toSeq)
+    } finally {
+      caches.foreach(c => try c.unpersist(blocking = false) catch { case _: Throwable => () })
     }
   }
 }

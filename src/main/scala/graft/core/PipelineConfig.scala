@@ -159,6 +159,10 @@ object PipelineConfig {
       case "layout"                  => LayoutOp(params)
       case "windowed_aggregation"    => TimeSeriesProcessing(params + ("operation" -> "resample"))
       case "validate"                => Validate(params)
+      // in-run result cache (performance/cache.py:98-256; "persist" is the
+      // Spark-native spelling of the same op)
+      case "cache"                   => CacheOp(str(params, "storage_level", "MEMORY_AND_DISK"))
+      case "persist"                 => CacheOp(str(params, "storage_level", "MEMORY_AND_DISK"))
       case other => throw new IllegalArgumentException(s"Unknown operation type: $other")
     }
   }

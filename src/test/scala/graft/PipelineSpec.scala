@@ -45,6 +45,46 @@ class PipelineSpec extends SparkSpec {
     assert(back.map(_.getDouble(1)).toSeq == Seq(100.0, 500.0, 400.0))
   }
 
+  test("YAML cache op: persists mid-pipeline with the named level, unpersists at run end") {
+    val in = Files.createTempDirectory("graft_cache_in").toString
+    val out = Files.createTempDirectory("graft_cache_out").toString + "/result"
+    writeCsv(in)
+    def persistedCount(): Int = spark.sparkContext.getPersistentRDDs.size
+    val before = persistedCount()
+    val yaml =
+      s"""name: cache_test
+         |source: { type: csv, path: "$in/*.csv", options: { header: true } }
+         |operations:
+         |  - { type: filter, condition: "age >= 25" }
+         |  - { type: cache, params: { storage_level: DISK_ONLY } }
+         |  - { type: aggregate, params: { group_by: [city], aggregations: { spend: [sum] } } }
+         |storage: { type: parquet, path: "$out", mode: overwrite }
+         |""".stripMargin
+    val res = Pipeline.execute(spark, Pipeline.fromYaml(yaml))
+    assert(res.status == "success", res.errors.mkString("; "))
+    assert(res.rowsWritten == 3)
+    // run-scoped lifetime: the cache-op frame must be gone after execute
+    // (the storage stage's own persist already cleans up after itself)
+    assert(persistedCount() == before,
+      s"cache-op frame leaked: $before persisted RDDs before, ${persistedCount()} after")
+    // the op really persists with the requested level while the run lives
+    val caches = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.DataFrame]
+    val cached = graft.core.OpCompiler.applyOp(
+      Seq((1, "x")).toDF("a", "b"), graft.core.OpSpec.CacheOp("MEMORY_ONLY"), null, caches)
+    assert(cached.storageLevel == org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+    assert(caches.size == 1)
+    caches.foreach(_.unpersist(blocking = true))
+    // an unknown level is a config error, not a silent MEMORY_AND_DISK
+    val bad = intercept[IllegalArgumentException] {
+      graft.core.OpCompiler.applyOp(
+        Seq((1, "x")).toDF("a", "b"), graft.core.OpSpec.CacheOp("MEMORY_MOSTLY"))
+    }
+    assert(bad.getMessage.contains("storage_level"))
+    // "persist" is an alias in YAML
+    assert(PipelineConfig.parseOp(Map("type" -> "persist")) ==
+      graft.core.OpSpec.CacheOp("MEMORY_AND_DISK"))
+  }
+
   test("text_processing ops in a YAML pipeline: near-dedup then quality filter") {
     val in = Files.createTempDirectory("graft_txt").toString
     val out = Files.createTempDirectory("graft_txt_out").toString + "/clean"
