@@ -65,24 +65,16 @@ object Bench {
     * regex, which is fine: an adjudicated query's `queries` entry is still
     * the flat isolated number). */
   private def priorRound(sfDir: String): Map[String, Double] = {
-    val explicit = cfg("SPARK_GRAFT_BENCH_PRIOR").map(new java.io.File(_))
-    val latest = explicit.orElse {
-      val rx = "BENCH_r(\\d+)\\.json".r
-      Option(new java.io.File(".").listFiles()).getOrElse(Array.empty).toSeq
-        .flatMap(f => f.getName match { case rx(n) => Some((n.toInt, f)); case _ => None })
-        .sortBy(_._1).lastOption.map(_._2)
-    }
-    latest.filter(_.isFile).filter { f =>
+    def parse(f: java.io.File): Map[String, Double] = {
+      val text = try scala.io.Source.fromFile(f, "UTF-8").mkString catch { case _: Throwable => "" }
       // priors are only comparable at the SAME scale factor: a 100× stress
       // run against sf0.1 priors would flag EVERY query as a regression and
       // re-measure the whole suite isolated (observed on the sf≈10 stress)
-      val text = try scala.io.Source.fromFile(f, "UTF-8").mkString catch { case _: Throwable => "" }
       val priorSf = "\"sf\"\\s*:\\s*\"([^\"]*)\"".r.findFirstMatchIn(text).map(_.group(1))
-      val same = priorSf.contains(sfDir)
-      if (!same) System.err.println(s"[bench] prior ${f.getName} is for sf ${priorSf.getOrElse("?")}, current is $sfDir — skipping self-adjudication")
-      same
-    }.map { f =>
-      val text = try scala.io.Source.fromFile(f, "UTF-8").mkString catch { case _: Throwable => "" }
+      if (!priorSf.contains(sfDir)) {
+        System.err.println(s"[bench] prior ${f.getName} is for sf ${priorSf.getOrElse("?")}, current is $sfDir — skipping it")
+        return Map.empty
+      }
       val body = {
         val i = text.indexOf("\"queries\"")
         if (i < 0) "" else {
@@ -93,7 +85,20 @@ object Bench {
       }
       val pair = "\"([^\"]+)\"\\s*:\\s*(-?\\d+(?:\\.\\d+)?)".r
       pair.findAllMatchIn(body).map(m => m.group(1) -> m.group(2).toDouble).toMap
-    }.getOrElse(Map.empty)
+    }
+    cfg("SPARK_GRAFT_BENCH_PRIOR").map(p => parse(new java.io.File(p))).getOrElse {
+      // newest VALID artifact wins: a truncated/wrong-sf round (BENCH_r07's
+      // parsed-null capture) must not silently disable adjudication when an
+      // older comparable round exists
+      val rx = "BENCH_r(\\d+)\\.json".r
+      Option(new java.io.File(".").listFiles()).getOrElse(Array.empty).toSeq
+        .flatMap(f => f.getName match { case rx(n) => Some((n.toInt, f)); case _ => None })
+        .sortBy(-_._1).view.map { case (_, f) => (f, parse(f)) }
+        .collectFirst { case (f, m) if m.nonEmpty =>
+          System.err.println(s"[bench] self-adjudication priors: ${f.getName} (${m.size} queries)")
+          m
+        }.getOrElse(Map.empty)
+    }
   }
 
   /** Headline set: one representative heavy query per subsystem. */
