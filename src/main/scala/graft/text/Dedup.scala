@@ -156,26 +156,33 @@ object Dedup {
     graft.expr.LshBands(signature, bands, rowsPerBand)
 
   /** Distinct unordered id pairs that share a bucket, generated WITHOUT a
-    * self-join: one shuffle on the bucket key does cap-check AND pair
-    * expansion in a single aggregation — [[graft.expr.BoundedMinList]] with
-    * bound cap+1 keeps at most cap+1 member ids per bucket (O(cap) buffer
-    * memory, map-side partials), so a list of size cap+1 means "bucket
-    * exceeded the cap: drop" and any smaller list is complete and expands
-    * to its k(k-1)/2 pairs in-plan. Replaces two earlier shapes:
-    * the r1 join-sizes → self-join → dedup chain (5 shuffles), and the
-    * r3 window-count + collect_list pass — the window SORTED every
-    * partition and, worse, shipped a pathological bucket's full membership
-    * into one task before the filter could drop it (the exact per-key
-    * blow-up the skew rules exist for); the bounded aggregate caps that at
-    * the map side. At 100 TB the bucket relation crosses the wire once,
-    * narrow, with per-bucket state bounded by the cap.
+    * self-join: one shuffle on the bucket key does cap-check (window count)
+    * AND pair expansion (collect_list + in-array combination — the groupBy
+    * reuses the window's exchange). A bucket of k ids yields k(k-1)/2 pairs
+    * in-memory; `maxBucketSize` bounds that BEFORE collect_list, so no
+    * pathological array materializes. Replaces the previous
+    * join-sizes → self-join → dedup chain (5 shuffles → 2) — at 100 TB the
+    * bucket relation never gets copied twice through the exchange.
+    *
+    * Round-8 measurement note: a "one-pass" BoundedMinList(cap+1)
+    * reformulation (drop the window, bound membership in the aggregate)
+    * was built and REVERTED — at the ×100 stress it ran q_dedup_minhash
+    * 140 s vs ~40 s, because the imperative aggregate then buffers EVERY
+    * bucket (the overwhelmingly-singleton majority included: millions of
+    * per-group heaps through ObjectHashAggregate's sort-based fallback),
+    * where the window's count pass filters singletons and over-cap buckets
+    * away before any array state exists. The window's per-partition sort is
+    * the cheaper machine; a hot bucket lands on a single reducer under
+    * EITHER formulation (same keyed exchange), and the count filter drops
+    * it before collect_list materializes anything.
     */
   private[graft] def bucketPairs(buckets: DataFrame, keyCols: Seq[String], maxBucketSize: Int): DataFrame = {
-    require(maxBucketSize < Int.MaxValue, "maxBucketSize must leave room for the cap+1 sentinel")
+    val w = Window.partitionBy(keyCols.map(col): _*)
     buckets
+      .withColumn("__bsz", count(lit(1)).over(w))
+      .filter(col("__bsz") > 1 && col("__bsz") <= maxBucketSize)
       .groupBy(keyCols.map(col): _*)
-      .agg(graft.expr.BoundedMinList(col("id"), maxBucketSize + 1).as("__ids"))
-      .filter(size(col("__ids")).between(2, maxBucketSize))
+      .agg(collect_list(col("id")).as("__ids"))
       .select(explode(flatten(transform(col("__ids"), (x, i) =>
         transform(slice(col("__ids"), i + lit(2), size(col("__ids"))),
           y => struct(least(x, y).as("id_a"), greatest(x, y).as("id_b")))))).as("__p"))
