@@ -96,6 +96,44 @@ object Contamination {
     if (prescreenCells > 1)
       return semanticContaminationScreened(train, idCol, vecCol,
         evalDf, evalIdCol, evalVecCol, threshold, prescreenCells)
+    // Default path (round 8): the per-row MaxCosAgainst kernel — the exact
+    // brute scorer without the pair space. The plan-level crossJoin
+    // formulation below remains the fallback for eval suites too large to
+    // collect (at which point "broadcast-small" has already failed and the
+    // join is the only honest shape). Kernel output is bit-identical to
+    // the join formulation (see MaxCosAgainst's scaladoc) with ONE
+    // documented per-row divergence: duplicate or null train ids now score
+    // independently instead of sharing/losing a result through the old
+    // groupBy(id) + left join — per-row semantics is the operator's
+    // documented intent ("for each training row").
+    val maxIndexRows = 100000
+    val evCollected = evalDf.filter(col(evalIdCol).isNotNull)
+      .select(col(evalIdCol).as("__eid"), col(evalVecCol).as("__ev"))
+      .withColumn("__en", graft.vec.Similarity.l2Norm(col("__ev")))
+      .filter(col("__en").isNotNull) // null-element vectors never score (null denom pairs)
+      .orderBy(col("__eid"))         // ascending native order: kernel tie-break = min id
+      .limit(maxIndexRows + 1)
+      .collect()
+    if (evCollected.length <= maxIndexRows) {
+      val evalIdType = evalDf.schema(evalIdCol).dataType
+      def toD(v: Any): Array[Double] = v.asInstanceOf[scala.collection.Seq[Any]].map {
+        case f: Float => f.toDouble; case d: Double => d
+        case n: Number => n.doubleValue()
+      }.toArray
+      val idx = new graft.expr.EvalIndex(
+        evCollected.map(r => toD(r.get(1))),
+        evCollected.map(_.getDouble(2)),
+        evCollected.map(_.get(0)).asInstanceOf[Array[Any]],
+        evalIdType)
+      val mc = graft.expr.MaxCosAgainst(col(vecCol), idx)
+      return train.drop("max_cos", "nearest_eval_id", "contaminated")
+        .withColumn("__mc", mc)
+        .withColumn("max_cos", col("__mc.cos"))
+        .withColumn("nearest_eval_id", col("__mc.id"))
+        .withColumn("contaminated",
+          coalesce(col("max_cos") >= lit(threshold), lit(false)))
+        .drop("__mc")
+    }
     val ev = broadcast(evalDf.filter(col(evalIdCol).isNotNull)
       .select(col(evalIdCol).as("__eid"), col(evalVecCol).as("__ev"))
       .withColumn("__en", graft.vec.Similarity.l2Norm(col("__ev"))))

@@ -137,6 +137,64 @@ class ContaminationSpec extends SparkSpec {
     assert(atEdge)
   }
 
+  test("semanticContamination kernel == the crossJoin plan it replaced, hostile inputs included") {
+    // the MaxCosAgainst kernel claims bit-equality with the old plan-level
+    // formulation (crossJoin → cosinePreNorm → round 6 → min(struct)) —
+    // replay that plan inline and compare on a corpus with every hostile
+    // shape: NaN elements, zero vectors, null elements, mismatched dims,
+    // duplicate eval directions (rounded ties), and near-tie values
+    import graft.vec.Similarity
+    val rnd = new scala.util.Random(17)
+    def vec(d: Int): Array[Float] = Array.fill(d)(rnd.nextGaussian().toFloat)
+    val ev = ((0 until 40).map(i => (100L + i, vec(8))) ++ Seq(
+      (900L, vec(8).map(_ * 0.0f)),                    // zero eval vector
+      (901L, vec(5)),                                   // off-dim eval
+      (902L, Array(1f, 2f, Float.NaN, 0f, 0f, 0f, 0f, 0f)), // NaN eval element
+      (903L, vec(8)))).toDF("eid", "embedding")
+    val evTies = ev.unionByName(                         // exact direction duplicates → ties
+      ev.filter(col("eid") === 103L).select((col("eid") + 800L).as("eid"),
+        transform(col("embedding"), x => x * 2.0f).as("embedding")))
+    val tr = ((0 until 60).map(i => (i.toLong, vec(8))) ++ Seq(
+      (800L, vec(8).map(_ * 0.0f)),                    // zero train vector
+      (801L, vec(5)),                                   // matches only the off-dim eval row
+      (802L, Array(0.5f, Float.NaN, 1f, 0f, 0f, 0f, 0f, 0f)), // NaN train element
+      (803L, null.asInstanceOf[Array[Float]])           // null train vector
+      )).toDF("vec_id", "embedding")
+    // inline replay of the pre-kernel plan, verbatim
+    def joinPlan(threshold: Double) = {
+      val evB = broadcast(evTies.filter(col("eid").isNotNull)
+        .select(col("eid").as("__eid"), col("embedding").as("__ev"))
+        .withColumn("__en", Similarity.l2Norm(col("__ev"))))
+      val scored = tr.select(col("vec_id"), col("embedding").as("__tv"))
+        .withColumn("__tn", Similarity.l2Norm(col("__tv")))
+        .crossJoin(evB)
+        .filter(size(col("__tv")) === size(col("__ev")) &&
+          (col("__tn") * col("__en")) =!= lit(0.0))
+        .withColumn("__cos", round(
+          Similarity.cosinePreNorm(col("__tv"), col("__tn"), col("__ev"), col("__en")), 6))
+        .groupBy(col("vec_id"))
+        .agg(min(struct((-col("__cos")).as("nc"), col("__eid").as("i"))).as("__m"))
+        .select(col("vec_id"), (-col("__m.nc")).as("max_cos"), col("__m.i").as("nearest_eval_id"))
+      tr.join(scored, Seq("vec_id"), "left")
+        .withColumn("contaminated", coalesce(col("max_cos") >= lit(threshold), lit(false)))
+        .select("vec_id", "max_cos", "nearest_eval_id", "contaminated")
+    }
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> ((
+        if (r.isNullAt(1)) "null" else r.getDouble(1).toString, // NaN-safe compare via string
+        if (r.isNullAt(2)) -1L else r.getLong(2),
+        r.getBoolean(3)))).toMap
+    for (threshold <- Seq(0.3, 0.95)) {
+      val kernel = canon(Contamination.semanticContamination(
+          tr, "vec_id", "embedding", evTies, "eid", "embedding", threshold)
+        .select("vec_id", "max_cos", "nearest_eval_id", "contaminated"))
+      val replay = canon(joinPlan(threshold))
+      assert(kernel.keySet == replay.keySet)
+      for (id <- kernel.keySet)
+        assert(kernel(id) == replay(id), s"row $id: kernel=${kernel(id)} join=${replay(id)}")
+    }
+  }
+
   test("semanticContamination pre-screen == brute: flags, flagged values, clean nulls") {
     // adversarial geometry for the IVF-cell bound: random directions, exact
     // duplicates of eval rows in train (cos 1.0 + argmax ties), antipodal

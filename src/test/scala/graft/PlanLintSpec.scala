@@ -61,11 +61,12 @@ class PlanLintSpec extends SparkSpec {
     "q_ann_brute" -> Set("broadcast_nested_loop"),         // Similarity.scala:50
     // same bounded-side shape: corpus × the broadcast EVAL-SUITE embedding
     // set (eval suites are thousands of rows); the corpus never shuffles
-    "q_semantic_contamination" -> Set("broadcast_nested_loop"), // Contamination.scala semanticContamination
-    // screened-vs-brute law: the brute side's corpus × broadcast-eval BNLJ
-    // (the line above) PLUS the screen's corpus × ≤cells+1-row cell-bounds
-    // BNLJ (Contamination.semanticContaminationScreened — the bound lookup
-    // is the q_ann_ivf centroid-assignment shape)
+    // q_semantic_contamination itself needs NO allowance since round 8: the
+    // MaxCosAgainst kernel made it a pure map (an allowance left behind
+    // would hide a future accidental BNLJ). The law query keeps one for the
+    // screen's corpus × ≤cells+1-row cell-bounds BNLJ
+    // (Contamination.semanticContaminationScreened — the bound lookup is
+    // the q_ann_ivf centroid-assignment shape).
     "q_semantic_contamination_law" -> Set("broadcast_nested_loop"),
     // GATE-ONLY shape: the synthetic-retriever construction crosses doc ids
     // with the 3-row broadcast query frame to derive deterministic rank
