@@ -68,11 +68,16 @@ object Contamination {
     * (paraphrased eval leakage shares no 8-gram but sits at cosine ≈ 1).
     *
     * Scale shape mirrors [[contaminationStats]]: the EVAL side is the small
-    * side (eval suites are thousands of rows) and rides a broadcast; the
-    * training corpus crosses it map-locally (BroadcastNestedLoop over the
-    * broadcast eval set — the corpus itself never shuffles raw vectors) and
-    * re-aggregates per train row with partial max, so the exchange carries
-    * one row per (train row, task). Corpus×corpus never happens.
+    * side (eval suites are thousands of rows). Since round 8 the default
+    * plan is a PURE MAP — the [[graft.expr.MaxCosAgainst]] kernel scans the
+    * corpus once with the eval matrix embedded in the stage's task binary:
+    * no join, no pair space, no aggregation, zero shuffles (measured 230 s
+    * → 7 s at the ×100 stress vs the crossJoin formulation, which
+    * materialized a joined row per pair). Suites too large to collect fall
+    * back to that crossJoin(broadcast) + partial-max plan — still
+    * map-local; corpus×corpus never happens. Scoring is per ROW: duplicate
+    * or null train ids score independently (the old groupBy(id)+join made
+    * them share/lose results — an artifact, not a contract).
     *
     * Cosine is rounded to 6dp BEFORE the argmax so the winning eval id is
     * deterministic (ties → smallest eval id, in the id's OWN ordering — ids
