@@ -279,8 +279,11 @@ object Dedup {
       forceCollapse: Option[Boolean]
   ): DataFrame = {
     val rowsPerBand = numHashes / bands
+    // native overlap counter — the zip_with chain it replaces is
+    // interpreted per PAIR (110M evaluations at the ×100 stress);
+    // CollapseEquivalenceSpec's replay keeps the HOF form as the oracle
     def est(a: Column, b: Column): Column =
-      size(filter(zip_with(a, b, (x, y) => x === y), m => m)) / lit(numHashes.toDouble)
+      graft.expr.SigAgree(a, b) / lit(numHashes.toDouble)
     // Persisted: the signature relation feeds the group aggregation AND the
     // member expansion — without it the signature computation runs per
     // consumer (MLlib's LSH caches for the same reason). 64×8B per doc; at
@@ -542,8 +545,7 @@ object Dedup {
     n.join(r, Seq("band", "bucket"))
       .dropDuplicates("new_id", "ref_id")
       .withColumn("est_jaccard",
-        size(filter(zip_with(col("sig_new"), col("sig_ref"), (x, y) => x === y), m => m))
-          / lit(numHashes.toDouble))
+        graft.expr.SigAgree(col("sig_new"), col("sig_ref")) / lit(numHashes.toDouble))
       .filter(col("est_jaccard") >= threshold)
       .select(col("new_id"), col("ref_id"), round(col("est_jaccard"), 4).as("est_jaccard"))
   }

@@ -195,6 +195,31 @@ class TextExprsSpec extends SparkSpec {
     }
   }
 
+  test("SigAgree matches the zip_with overlap formulation on hostile arrays") {
+    // null arrays, mismatched lengths (zip_with pads with nulls — padded
+    // positions never count), null elements on either side, full/zero/
+    // partial agreement
+    val rows = Seq(
+      (0, Seq[java.lang.Long](1L, 2L, 3L, 4L), Seq[java.lang.Long](1L, 2L, 3L, 4L)),
+      (1, Seq[java.lang.Long](1L, 2L, 3L, 4L), Seq[java.lang.Long](9L, 2L, 9L, 4L)),
+      (2, Seq[java.lang.Long](1L, 2L, 3L, 4L), Seq[java.lang.Long](5L, 6L, 7L, 8L)),
+      (3, Seq[java.lang.Long](1L, 2L, 3L, 4L), Seq[java.lang.Long](1L, 2L)),
+      (4, Seq[java.lang.Long](1L, 2L), Seq[java.lang.Long](1L, 2L, 3L, 4L)),
+      (5, Seq[java.lang.Long](1L, null, 3L), Seq[java.lang.Long](1L, null, 3L)),
+      (6, null, Seq[java.lang.Long](1L, 2L)),
+      (7, Seq[java.lang.Long](1L, 2L), null),
+      (8, Seq.empty[java.lang.Long], Seq[java.lang.Long](1L))
+    ).toDF("id", "a", "b")
+    val hof = size(filter(zip_with(col("a"), col("b"), (x, y) => x === y), m => m))
+    val out = rows.select(col("id"), graft.expr.SigAgree(col("a"), col("b")).as("native"), hof.as("hof"))
+      .collect()
+    out.foreach { r =>
+      val n = if (r.isNullAt(1)) null else Int.box(r.getInt(1))
+      val h = if (r.isNullAt(2)) null else Int.box(r.getInt(2))
+      assert(n == h, s"row ${r.getInt(0)}: native=$n hof=$h")
+    }
+  }
+
   test("LshBands: bucket membership equals the sub-signature equality structure") {
     // The native band kernel replaced a concat_ws/xxhash64 HOF — bucket
     // VALUES changed, but two rows must share a (band, h) bucket iff their
@@ -234,6 +259,9 @@ class TextExprsSpec extends SparkSpec {
         graft.expr.WinnowMins(graft.expr.WordGramHashes(col("t"), 2), 3).as("wm"),
         graft.expr.LshBands(
           graft.expr.MinHashSig(graft.expr.WordShingles(col("t"), 2), 16), 4, 4).as("lb"),
+        graft.expr.SigAgree(
+          graft.expr.MinHashSig(graft.expr.WordShingles(col("t"), 2), 16),
+          graft.expr.MinHashSig(graft.expr.WordShingles(upper(col("t")), 2), 16)).as("sa"),
         graft.expr.DeflateRatio(col("t")).as("dr"))
       .orderBy("id").collect().map(_.toString).toSeq
     val conf = spark.conf
