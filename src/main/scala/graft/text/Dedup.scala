@@ -183,11 +183,11 @@ object Dedup {
       .filter(col("__bsz") > 1 && col("__bsz") <= maxBucketSize)
       .groupBy(keyCols.map(col): _*)
       .agg(collect_list(col("id")).as("__ids"))
-      .select(explode(flatten(transform(col("__ids"), (x, i) =>
-        transform(slice(col("__ids"), i + lit(2), size(col("__ids"))),
-          y => struct(least(x, y).as("id_a"), greatest(x, y).as("id_b")))))).as("__p"))
+      // native expansion kernel: (least, greatest) pairs with equal ids
+      // skipped — the old nested-transform HOF + filter(id_a < id_b),
+      // without a slice allocation per outer element (PairCombos)
+      .select(explode(graft.expr.PairCombos(col("__ids"), normalize = true)).as("__p"))
       .select(col("__p.id_a").as("id_a"), col("__p.id_b").as("id_b"))
-      .filter(col("id_a") < col("id_b")) // duplicate ids would emit (x, x)
       .dropDuplicates("id_a", "id_b")
   }
 
@@ -390,9 +390,7 @@ object Dedup {
     // threshold > 1.
     val within = groups.filter(col("__gsz").between(2, maxBucketSize))
       .withColumn("__d", array_distinct(col("__ids"))) // duplicate id values would emit (x, x)
-      .select(explode(flatten(transform(col("__d"), (x, i) =>
-        transform(slice(col("__d"), i + lit(2), size(col("__d"))),
-          y => struct(x.as("id_a"), y.as("id_b")))))).as("__p"))
+      .select(explode(graft.expr.PairCombos(col("__d"), normalize = false)).as("__p"))
       .select(col("__p.id_a").as("id_a"), col("__p.id_b").as("id_b"))
       .withColumn("est_jaccard", lit(1.0))
       .filter(col("est_jaccard") >= threshold)
@@ -503,9 +501,7 @@ object Dedup {
     // maxHamming >= 0 is required above)
     val within = groups.filter(col("__gsz").between(2, maxBucketSize))
       .withColumn("__d", array_distinct(col("__ids"))) // duplicate id values would emit (x, x)
-      .select(explode(flatten(transform(col("__d"), (x, i) =>
-        transform(slice(col("__d"), i + lit(2), size(col("__d"))),
-          y => struct(x.as("id_a"), y.as("id_b")))))).as("__p"))
+      .select(explode(graft.expr.PairCombos(col("__d"), normalize = false)).as("__p"))
       .select(col("__p.id_a").as("id_a"), col("__p.id_b").as("id_b"))
       .withColumn("hamming", lit(0))
       .filter(col("hamming") <= maxHamming)

@@ -195,6 +195,33 @@ class TextExprsSpec extends SparkSpec {
     }
   }
 
+  test("PairCombos matches the nested-transform expansion, both modes") {
+    val rows = Seq(
+      (0, Seq(1L, 2L, 3L, 4L)),
+      (1, Seq(5L, 3L, 5L, 1L)),   // duplicates + unsorted (normalize folds/skips)
+      (2, Seq(7L)),
+      (3, Seq.empty[Long]),
+      (4, Seq(2L, 2L)),
+      (5, (1L to 40L).toSeq)
+    ).toDF("id", "ids")
+    // the HOF formulations PairCombos replaced, verbatim
+    val hofNorm = filter(flatten(transform(col("ids"), (x, i) =>
+      transform(slice(col("ids"), i + lit(2), size(col("ids"))),
+        y => struct(least(x, y).as("id_a"), greatest(x, y).as("id_b"))))),
+      p => p.getField("id_a") < p.getField("id_b"))
+    val hofPlain = flatten(transform(col("ids"), (x, i) =>
+      transform(slice(col("ids"), i + lit(2), size(col("ids"))),
+        y => struct(x.as("id_a"), y.as("id_b")))))
+    val out = rows.select(col("id"),
+        graft.expr.PairCombos(col("ids"), normalize = true).as("nn"), hofNorm.as("hn"),
+        graft.expr.PairCombos(col("ids"), normalize = false).as("np"), hofPlain.as("hp"))
+      .collect()
+    out.foreach { r =>
+      assert(r.getSeq[Any](1) == r.getSeq[Any](2), s"normalize mismatch at id ${r.getInt(0)}")
+      assert(r.getSeq[Any](3) == r.getSeq[Any](4), s"plain mismatch at id ${r.getInt(0)}")
+    }
+  }
+
   test("SigAgree matches the zip_with overlap formulation on hostile arrays") {
     // null arrays, mismatched lengths (zip_with pads with nulls — padded
     // positions never count), null elements on either side, full/zero/
