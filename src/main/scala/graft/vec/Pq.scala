@@ -323,17 +323,16 @@ object Pq {
       .filter(if (excludeSelf) col("neighbor_id") =!= col("query_id") else lit(true))
       .withColumn("__adc", graft.expr.PqAdcScore(col("__code"), col("__lut"), model.ksub))
       .filter(col("__adc").isNotNull)
-    val cw = Window.partitionBy(col("query_id")).orderBy(col("__adc").asc, col("neighbor_id").asc)
-    val shortlist = adc.withColumn("__cr", row_number().over(cw))
-      .filter(col("__cr") <= math.max(k, k * rerank))
+    // bounded rank tails (Similarity.topKPerQuery — ascending ADC distance
+    // for the shortlist): the candidate stream never sorts whole
+    val shortlist = Similarity.topKPerQuery(adc, "__adc", math.max(k, k * rerank),
+        scoreDesc = false)
       .select("query_id", "neighbor_id")
     // exact re-rank on raw vectors, shortlist-sized only
     val exact = shortlist
       .join(unit.select(col("__id").as("neighbor_id"), col("__u").as("__nv")), Seq("neighbor_id"))
       .join(broadcast(qUnit.select(col("query_id"), col("__qu"))), Seq("query_id"))
       .withColumn("cos", round(graft.expr.DotProduct(col("__nv"), col("__qu")), 6))
-    val fw = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id").asc)
-    exact.withColumn("__rn", row_number().over(fw)).filter(col("__rn") <= k)
-      .select("query_id", "neighbor_id", "cos")
+    Similarity.topKPerQuery(exact, "cos", k)
   }
 }

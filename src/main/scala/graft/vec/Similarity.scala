@@ -45,6 +45,23 @@ object Similarity {
   def cosinePreNorm(a: Column, na: Column, b: Column, nb: Column): Column =
     dot(a, b) / nullif(na * nb, lit(0.0))
 
+  /** Rank tail shared by every ANN operator: the k best candidates per
+    * query under (score desc|asc, neighbor_id asc) — Spark null placement
+    * included — via the bounded [[graft.expr.BoundedTopK]] aggregate.
+    * The previous `row_number().over(Window.partitionBy(query_id))` tail
+    * shuffled the FULL candidate relation and sorted each query's whole
+    * candidate stream in one task to keep k≈10 rows; the aggregate keeps
+    * an O(k) heap per query with map-side partials, so the exchange
+    * carries ≤ k rows per query per task. Same top-k set (the total order
+    * makes it partitioning-independent), byte-identical outputs.
+    */
+  private[graft] def topKPerQuery(scored: DataFrame, scoreCol: String, k: Int,
+                                scoreDesc: Boolean = true): DataFrame =
+    scored.groupBy(col("query_id"))
+      .agg(graft.expr.BoundedTopK(col(scoreCol), col("neighbor_id"), k, scoreDesc).as("__top"))
+      .select(col("query_id"), explode(col("__top")).as("__t"))
+      .select(col("query_id"), col("__t.id").as("neighbor_id"), col("__t.score").as(scoreCol))
+
   /** Exact cosine top-k. `queries` must be broadcast-small (the driver
     * enforces nothing; the plan hints broadcast). Output:
     * (query_id, neighbor_id, cos) — k rows per query, deterministic ties
@@ -62,10 +79,7 @@ object Similarity {
       .crossJoin(q) // broadcast nested loop over the small query set — NOT corpus×corpus
       .filter(if (excludeSelf) col("neighbor_id") =!= col("query_id") else lit(true))
       .withColumn("cos", round(cosinePreNorm(col("__cv"), col("__cn"), col("__qv"), col("__qn")), 6))
-    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id").asc)
-    scored.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") <= k)
-      .select("query_id", "neighbor_id", "cos")
+    topKPerQuery(scored, "cos", k)
   }
 
   /** Deterministic random hyperplanes: `nbits × dim` doubles seeded from
@@ -117,10 +131,7 @@ object Similarity {
       .join(corpus.select(col(corpusId).as("neighbor_id"), col(corpusVec).as("__cv"))
         .withColumn("__cn", l2Norm(col("__cv"))), Seq("neighbor_id"))
       .withColumn("cos", round(cosinePreNorm(col("__cv"), col("__cn"), col("__qv"), col("__qn")), 6))
-    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id").asc)
-    scored.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") <= k)
-      .select("query_id", "neighbor_id", "cos")
+    topKPerQuery(scored, "cos", k)
   }
 
   /** IVF (inverted-file) approximate top-k: coarse-quantize the corpus with
@@ -221,10 +232,7 @@ object Similarity {
       .filter(if (excludeSelf) col("neighbor_id") =!= col("query_id") else lit(true))
       .dropDuplicates("query_id", "neighbor_id")
       .withColumn("cos", round(cosinePreNorm(col("__cv"), col("__cn"), col("__qv"), col("__qn")), 6))
-    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id").asc)
-    cands.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") <= k)
-      .select("query_id", "neighbor_id", "cos")
+    topKPerQuery(cands, "cos", k)
   }
 
   /** Embedding-cosine near-duplicate pairs (dedup by embedding): LSH

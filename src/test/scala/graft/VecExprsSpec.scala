@@ -131,6 +131,44 @@ class VecExprsSpec extends SparkSpec {
     }
   }
 
+  test("BoundedTopK rank tail == the window formulation, null placement and ties included") {
+    import org.apache.spark.sql.expressions.Window
+    // hostile candidate frame: null scores, null ids, exact score ties,
+    // NaN scores, duplicate (query, score) rows, many partitions so the
+    // partial heaps MERGE and the buffers round-trip serialization
+    val rnd2 = new scala.util.Random(23)
+    val rows = (0 until 2000).map { i =>
+      val q = (i % 7).toLong
+      val score: java.lang.Double = (i % 19) match {
+        case 0 => null
+        case 1 => Double.NaN
+        case _ => math.round(rnd2.nextDouble() * 20) / 20.0 // coarse grid → frequent ties
+      }
+      val id: java.lang.Long = if (i % 23 == 0) null else (i % 400).toLong
+      (q, id, score)
+    }
+    val cands = rows.toDF("query_id", "neighbor_id", "cos").repartition(13)
+    for (desc <- Seq(true, false); k <- Seq(1, 5, 40)) {
+      val order = if (desc) Seq(col("cos").desc, col("neighbor_id").asc)
+        else Seq(col("cos").asc, col("neighbor_id").asc)
+      val w = Window.partitionBy(col("query_id")).orderBy(order: _*)
+      def canon(df: org.apache.spark.sql.DataFrame) = df.collect().map(r => (
+        r.getLong(0),
+        if (r.isNullAt(1)) null else Long.box(r.getLong(1)),
+        if (r.isNullAt(2)) "null" else r.getDouble(2).toString)).sorted(Ordering.by {
+          t: (Long, Any, String) => (t._1, String.valueOf(t._2), t._3) }).toSeq
+      val windowed = canon(cands.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") <= k).select("query_id", "neighbor_id", "cos"))
+      val bounded = canon(Similarity.topKPerQuery(cands, "cos", k, scoreDesc = desc))
+      assert(bounded == windowed, s"desc=$desc k=$k:\nbounded=$bounded\nwindow=$windowed")
+    }
+    // string ids keep their type and native ordering through the aggregate
+    val sCands = Seq((1L, "mmlu_002", 0.5), (1L, "mmlu_001", 0.5), (1L, "arc_9", 0.4))
+      .toDF("query_id", "neighbor_id", "cos")
+    val top = Similarity.topKPerQuery(sCands, "cos", 2).collect()
+    assert(top.map(_.getString(1)).toSeq == Seq("mmlu_001", "mmlu_002"))
+  }
+
   test("lshTopK recall vs bruteTopK stays high on clustered vectors") {
     // 10 tight clusters; queries are jittered cluster members — LSH must
     // recover most true neighbors through band collisions
