@@ -1068,8 +1068,18 @@ object TimeSeriesLib {
     val counts = df.filter(col(itemCol).isNotNull && col(tsCol).isNotNull)
       .groupBy(date_trunc(period, col(tsCol)).cast("date").as("period"), col(itemCol))
       .agg(count(lit(1)).as("n"))
-    val w = Window.partitionBy(col("period")).orderBy(col("n").desc, col(itemCol).asc)
-    counts.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+    // bounded rank tail (graft.expr.BoundedTopK): with only a handful of
+    // periods, the per-period window concentrated the whole distinct-item
+    // census into a few sort tasks; the O(k) heap aggregates map-side.
+    // Count rides the id struct behind the item tie-break (items are
+    // unique per period, so ordering never reaches it); the count cast is
+    // exact (counts < 2^53) and the output keeps the original long `n`.
+    counts.groupBy(col("period"))
+      .agg(graft.expr.BoundedTopK(col("n").cast("double"),
+        struct(col(itemCol), col("n")), k, scoreDesc = true).as("__top"))
+      .select(col("period"), posexplode(col("__top")))
+      .select(col("period"), col("col.id").getField(itemCol).as(itemCol),
+        col("col.id").getField("n").as("n"), (col("pos") + 1).as("rank"))
   }
 
   /** Rolling distinct active users (DAU plus trailing windows, e.g. WAU=7,

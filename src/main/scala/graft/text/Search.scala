@@ -118,10 +118,18 @@ object Search {
       .agg(round(sum(col("__s")) + lit(1e-9), roundScale).as("bm25"),
         count(lit(1)).as("n_terms"))
 
-    val w = Window.partitionBy(col(queryIdCol)).orderBy(col("bm25").desc, col(idCol).asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col(queryIdCol), col(idCol), col("bm25"), col("n_terms"), col("rank"))
+    // bounded rank tail (BoundedTopK — the ANN-family argument): the old
+    // per-query window sorted each query's whole matched-posting stream in
+    // one task; the aggregate keeps an O(k) heap with map-side partials.
+    // n_terms rides inside the id struct (ordering touches it only after
+    // the doc id, which is unique per group); rank = array position.
+    scored.groupBy(col(queryIdCol))
+      .agg(graft.expr.BoundedTopK(col("bm25"),
+        struct(col(idCol), col("n_terms")), k, scoreDesc = true).as("__top"))
+      .select(col(queryIdCol), posexplode(col("__top")))
+      .select(col(queryIdCol), col("col.id").getField(idCol).as(idCol),
+        col("col.score").as("bm25"), col("col.id").getField("n_terms").as("n_terms"),
+        (col("pos") + 1).as("rank"))
   }
 
   /** Reciprocal-rank fusion (Cormack, Clarke & Buettcher, SIGIR 2009) —
@@ -157,11 +165,12 @@ object Search {
       .groupBy(col(queryIdCol), col(idCol))
       .agg(round(sum(lit(1.0) / (lit(kRrf.toDouble) + col("__r"))) + lit(1e-9), roundScale)
         .as("rrf_score"))
-    val w = Window.partitionBy(col(queryIdCol))
-      .orderBy(col("rrf_score").desc, col(idCol).asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col(queryIdCol), col(idCol), col("rrf_score"), col("rank"))
+    // bounded rank tail (see bm25TopK) — rank = array position
+    scored.groupBy(col(queryIdCol))
+      .agg(graft.expr.BoundedTopK(col("rrf_score"), col(idCol), k, scoreDesc = true).as("__top"))
+      .select(col(queryIdCol), posexplode(col("__top")))
+      .select(col(queryIdCol), col("col.id").as(idCol),
+        col("col.score").as("rrf_score"), (col("pos") + 1).as("rank"))
   }
 
   /** Maximal Marginal Relevance re-ranking (Carbonell & Goldstein, SIGIR
