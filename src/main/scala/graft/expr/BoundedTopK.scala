@@ -45,6 +45,15 @@ case class BoundedTopK(
 
   require(k > 0, s"bounded top-k: k must be positive, got $k")
 
+  // cmp pattern-matches java.lang.Double — a non-double score must fail at
+  // analysis time, not as a MatchError inside the aggregate (ADVICE r8).
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (score.dataType == DoubleType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires a DOUBLE score, got ${score.dataType.catalogString}")
+
   override def children: Seq[Expression] = Seq(score, id)
   override def nullable: Boolean = false
   private def elemType: StructType = StructType(Seq(

@@ -33,6 +33,17 @@ import org.apache.spark.sql.types._
 case class LshBands(child: Expression, bands: Int, rowsPerBand: Int)
     extends UnaryExpression {
 
+  // The kernel reads sig.getLong — any other element type must fail at
+  // analysis time (ADVICE r8).
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires an array<bigint> signature, got ${other.catalogString}")
+    }
+
   override def dataType: DataType = ArrayType(
     StructType(Seq(StructField("band", IntegerType, nullable = false),
       StructField("h", LongType, nullable = false))),
@@ -53,7 +64,11 @@ case class LshBands(child: Expression, bands: Int, rowsPerBand: Int)
       var i = b * rowsPerBand
       val end = math.min(i + rowsPerBand, n)
       while (i < end) {
-        h = XXH64.hashLong(sig.getLong(i), h)
+        // Skip null positions, matching the replaced concat_ws formulation
+        // (which dropped null elements); sig.getLong on a null slot would
+        // read an undefined value (ADVICE r8). Signatures from MinHashSig /
+        // BoundedMinList are null-free, so this branch is defensive only.
+        if (!sig.isNullAt(i)) h = XXH64.hashLong(sig.getLong(i), h)
         i += 1
       }
       val row = new GenericInternalRow(2)

@@ -27,6 +27,19 @@ import org.apache.spark.sql.types._
 case class PairCombos(child: Expression, normalize: Boolean)
     extends UnaryExpression {
 
+  // The kernel reads ids.getLong and emits a long struct — any other element
+  // type must fail at analysis time, not with undefined values at runtime
+  // (ADVICE r8; bucketPairs is a shared helper with callers in Similarity,
+  // SemDedup, Multimodal, tools).
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires array<bigint> ids, got ${other.catalogString}")
+    }
+
   override def dataType: DataType = ArrayType(
     StructType(Seq(StructField("id_a", LongType, nullable = false),
       StructField("id_b", LongType, nullable = false))),

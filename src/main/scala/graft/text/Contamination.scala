@@ -290,9 +290,20 @@ object Contamination {
     val tRows = train.select(col(idCol), col(vecCol).as("__tv"))
       .withColumn("__tn", Similarity.l2Norm(col("__tv")))
     val survivors = tRows.crossJoin(broadcast(cellBounds))
-      .withColumn("__thT", acos(clamp(
-        Similarity.cosinePreNorm(col("__tv"), col("__tn"), col("__cvec"), lit(1.0)))))
+      .withColumn("__cc",
+        Similarity.cosinePreNorm(col("__tv"), col("__tn"), col("__cvec"), lit(1.0)))
+      .withColumn("__thT", acos(clamp(col("__cc"))))
+      // A NaN centroid cosine (NaN elements / NaN norm in the train vector)
+      // must be UNPRUNABLE: clamp() would map it to 1.0 (Spark least/greatest
+      // rank NaN above non-NaN) giving __thT=0 and a finite bound that can
+      // prune every cell — while the brute/kernel path flags such rows
+      // (max_cos NaN >= threshold is TRUE under Spark NaN ordering). A NaN
+      // bound survives the >= filter for ANY threshold, so the row reaches
+      // the scored stage, which replays the brute pair predicate exactly
+      // (ADVICE r8). isnan(null)=false, so null vectors still prune → clean,
+      // matching brute's size/norm pair predicate dropping them.
       .withColumn("__ub", when(col("__cell") === -1, lit(1.0))
+        .when(isnan(col("__cc")), lit(Double.NaN))
         .otherwise(cos(greatest(lit(0.0), col("__thmin") - col("__thT"),
           col("__thT") - col("__thmax")))))
       .filter(col("__ub") >= lit(threshold - margin))

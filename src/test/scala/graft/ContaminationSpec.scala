@@ -211,7 +211,15 @@ class ContaminationSpec extends SparkSpec {
       evRows.take(6).map { case (i, v) => (1000L + i, v.map(x => x * 2.5f)) } ++ // exact directions → ties
       Seq((800L, Array.fill(8)(0.0f)),       // zero train vector
           (801L, vec(5)),                    // train row matching the off-dim eval row's dim
-          (802L, evRows.head._2.map(-_)))    // antipodal
+          (802L, evRows.head._2.map(-_)),    // antipodal
+          // NaN train elements (ADVICE r8): the centroid cosine is NaN, which
+          // clamp() used to map to 1.0 → θ=0 → a FINITE bound that could
+          // prune every cell — while brute flags the row (NaN >= threshold
+          // under Spark ordering). The fix pins the bound at NaN (unprunable);
+          // these rows must come back flagged with max_cos NaN and the same
+          // tie-broken nearest id as brute.
+          (803L, Array(0.5f, Float.NaN, 1f, 0f, 0f, 0f, 0f, 0f)),
+          (804L, Array.fill(8)(Float.NaN)))
     val tr = trRows.toDF("vec_id", "embedding")
     for (threshold <- Seq(0.3, 0.8); cells <- Seq(2, 4, 64)) {
       def run(c: Int) = Contamination.semanticContamination(
@@ -223,13 +231,24 @@ class ContaminationSpec extends SparkSpec {
           r.getBoolean(3)))).toMap
       val brute = run(0); val scr = run(cells)
       assert(brute.keySet == scr.keySet)
+      // the NaN rows must actually exercise the unprunable branch: brute
+      // flags them (NaN >= threshold), so a pruned screened row would fail
+      // the per-row comparison below rather than vacuously agree
+      for (id <- Seq(803L, 804L))
+        assert(brute(id)._3, s"NaN train row $id must be flagged by the brute path")
       val flagged = brute.count(_._2._3)
       assert(flagged > 0 && flagged < brute.size,
         s"threshold $threshold must split the corpus: $flagged/${brute.size} flagged")
       for ((id, (bCos, bId, bFlag)) <- brute) {
         val (sCos, sId, sFlag) = scr(id)
         assert(sFlag == bFlag, s"flag mismatch at $id (cells=$cells, thr=$threshold)")
-        if (bFlag) assert(sCos == bCos && sId == bId,
+        // NaN-safe: Scala == unboxes boxed doubles (NaN != NaN); total-order
+        // compare treats the NaN max_cos of the new NaN-train rows as equal
+        def deq(a: Any, b: Any): Boolean = (a, b) match {
+          case (x: Double, y: Double) => java.lang.Double.compare(x, y) == 0
+          case _ => a == b
+        }
+        if (bFlag) assert(deq(sCos, bCos) && sId == bId,
           s"flagged value mismatch at $id: brute=($bCos,$bId) screened=($sCos,$sId)")
         else assert(sCos == null && sId == null,
           s"clean row $id must report nulls under the screened contract, got ($sCos,$sId)")
