@@ -13,12 +13,23 @@ import org.apache.spark.sql.SparkSession
   * of stdout, and round 7's single line — which had grown `adjudicated`,
   * `gc_sec`, and `load_avg` objects — was cut mid-`queries`, losing the
   * round's whole perf signal (BENCH_r07.json `parsed: null`). The stdout
-  * line is now ONLY `{metric,value,unit,queries,failed?,runs,sf,detail}`
-  * (~1 KB at 34 queries); everything diagnostic — adjudication figures,
-  * per-query GC, load averages, and the law-query ring — is written to a
-  * committed side file (`bench_detail.json`, path overridable via
-  * SPARK_GRAFT_BENCH_DETAIL). The stdout `queries` values are unchanged in
-  * meaning: the isolated truth still wins when adjudication fires.
+  * line is now ONLY `{metric,value,unit,queries,failed?,runs,
+  * calibration_sec,sf,detail}` (~1 KB at 34 queries); everything
+  * diagnostic — adjudication figures, per-query GC, load averages, and the
+  * law-query ring — is written to a committed side file
+  * (`bench_detail.json`, path overridable via SPARK_GRAFT_BENCH_DETAIL).
+  * The stdout `queries` values are unchanged in meaning: the isolated truth
+  * still wins when adjudication fires.
+  *
+  * Box-speed calibration (VERDICT r8 #1): before the suite, a fixed
+  * deterministic sort+shuffle+hash-agg probe over generated data is timed
+  * (median of 3) and stamped as `calibration_sec` on the stdout line (so
+  * the NEXT round can read it from BENCH_r*.json) and as a `calibration`
+  * object in the side file. Self-adjudication scales its 1.5× trigger by
+  * the calibration ratio vs the prior artifact (clamped to [1.0, 2.5]) —
+  * a box measuring 2× slower for unchanged code stops re-measuring the
+  * whole suite, and the artifact itself distinguishes "plan regressed"
+  * from "box slowed".
   *
   * Self-adjudication (VERDICT r5 #1): in-suite medians on this box can be
   * poisoned by machine contention for one query's whole 3-run window
@@ -60,12 +71,13 @@ object Bench {
   private def loadAvg(): Double =
     java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
 
-  /** queries map of the most recent BENCH_r*.json (flat numeric entries
-    * only — adjudicated object values in older artifacts are skipped by the
-    * regex, which is fine: an adjudicated query's `queries` entry is still
-    * the flat isolated number). */
-  private def priorRound(sfDir: String): Map[String, Double] = {
-    def parse(f: java.io.File): Map[String, Double] = {
+  /** queries map + calibration of the most recent BENCH_r*.json (flat
+    * numeric entries only — adjudicated object values in older artifacts are
+    * skipped by the regex, which is fine: an adjudicated query's `queries`
+    * entry is still the flat isolated number). Pre-round-9 artifacts carry
+    * no `calibration_sec`; their calibration comes back None. */
+  private def priorRound(sfDir: String): (Map[String, Double], Option[Double]) = {
+    def parse(f: java.io.File): (Map[String, Double], Option[Double]) = {
       val text = try scala.io.Source.fromFile(f, "UTF-8").mkString catch { case _: Throwable => "" }
       // priors are only comparable at the SAME scale factor: a 100× stress
       // run against sf0.1 priors would flag EVERY query as a regression and
@@ -73,7 +85,7 @@ object Bench {
       val priorSf = "\"sf\"\\s*:\\s*\"([^\"]*)\"".r.findFirstMatchIn(text).map(_.group(1))
       if (!priorSf.contains(sfDir)) {
         System.err.println(s"[bench] prior ${f.getName} is for sf ${priorSf.getOrElse("?")}, current is $sfDir — skipping it")
-        return Map.empty
+        return (Map.empty, None)
       }
       val body = {
         val i = text.indexOf("\"queries\"")
@@ -84,7 +96,9 @@ object Bench {
         }
       }
       val pair = "\"([^\"]+)\"\\s*:\\s*(-?\\d+(?:\\.\\d+)?)".r
-      pair.findAllMatchIn(body).map(m => m.group(1) -> m.group(2).toDouble).toMap
+      val cal = "\"calibration_sec\"\\s*:\\s*(\\d+(?:\\.\\d+)?)".r
+        .findFirstMatchIn(text).map(_.group(1).toDouble).filter(_ > 0)
+      (pair.findAllMatchIn(body).map(m => m.group(1) -> m.group(2).toDouble).toMap, cal)
     }
     cfg("SPARK_GRAFT_BENCH_PRIOR").map(p => parse(new java.io.File(p))).getOrElse {
       // newest VALID artifact wins: a truncated/wrong-sf round (BENCH_r07's
@@ -94,10 +108,47 @@ object Bench {
       Option(new java.io.File(".").listFiles()).getOrElse(Array.empty).toSeq
         .flatMap(f => f.getName match { case rx(n) => Some((n.toInt, f)); case _ => None })
         .sortBy(-_._1).view.map { case (_, f) => (f, parse(f)) }
-        .collectFirst { case (f, m) if m.nonEmpty =>
-          System.err.println(s"[bench] self-adjudication priors: ${f.getName} (${m.size} queries)")
+        .collectFirst { case (f, m) if m._1.nonEmpty =>
+          System.err.println(s"[bench] self-adjudication priors: ${f.getName} (${m._1.size} queries)")
           m
-        }.getOrElse(Map.empty)
+        }.getOrElse((Map.empty, None))
+    }
+  }
+
+  /** Fixed-size box-speed probe (VERDICT r8 #1): a deterministic in-memory
+    * sort + shuffle + hash-agg over generated data, ~2-3 s nominal on this
+    * box's healthy state, INDEPENDENT of the scale factor. Cross-round wall
+    * numbers on this container swing 1.3-2× for unchanged code (host-level
+    * contention invisible from inside); the probe's ratio vs the prior
+    * artifact's lets the artifact say "the box is slow" instead of leaving
+    * judges and adjudication to guess. Median of `calRuns` after a warmup,
+    * same slate discipline as the queries. SPARK_GRAFT_BENCH_CAL_FAKE
+    * (test-only) pins the value without running; SPARK_GRAFT_BENCH_CAL_ROWS
+    * scales the workload for in-process specs. */
+  private def calibrate(s: SparkSession): Double = {
+    cfg("SPARK_GRAFT_BENCH_CAL_FAKE").map(_.toDouble).getOrElse {
+      import org.apache.spark.sql.functions._
+      val rows = cfg("SPARK_GRAFT_BENCH_CAL_ROWS").map(_.toLong).getOrElse(36000000L)
+      val calRuns = 3
+      def run(): Unit =
+        s.range(0L, rows, 1L, 64)
+          .select((xxhash64(col("id")) % 1000000L).as("k"),
+            (col("id") % 997L).cast("double").as("v"))
+          .groupBy("k")
+          .agg(sum("v").as("sv"), count(lit(1)).as("c"), avg("v").as("av"))
+          .orderBy(desc("sv"), col("k")).limit(100)
+          .write.format("noop").mode("overwrite").save()
+      try {
+        run() // warmup
+        val times = (1 to calRuns).map { _ =>
+          val t0 = System.nanoTime(); run(); (System.nanoTime() - t0) / 1e9
+        }
+        times.sorted.apply(times.size / 2)
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] calibration probe failed: ${e.getMessage}")
+          -1.0
+      }
     }
   }
 
@@ -184,6 +235,11 @@ object Bench {
         .groupBy("l_returnflag").count().write.format("noop").mode("overwrite").save()
     } catch { case _: Throwable => () }
 
+    // Box-speed probe BEFORE the suite (after warmup): the number every
+    // later comparison is conditioned on.
+    val calSec = calibrate(spark)
+    System.err.println(f"[bench] calibration probe: $calSec%.3f s")
+
     val unknown = names.filterNot(qs.contains)
     unknown.foreach(n => System.err.println(s"[bench] unknown query name: $n"))
     // per-query MEDIAN of `runs` measured executions (after one warmup):
@@ -255,14 +311,29 @@ object Bench {
     // both figures preserved in the side file. (The trigger was 2× in
     // round 6; BENCH_r06 carried a broad 1.1-1.6× contention drift that sat
     // under it — VERDICT r6 #4 lowered it to 1.5×.)
-    val prior = priorRound(sfDir)
+    val (prior, priorCal) = priorRound(sfDir)
+    // Calibration-aware trigger (VERDICT r8 #1): when the prior artifact
+    // carries a calibration and the probe says THIS box is slower, scale the
+    // 1.5× trigger by the slowdown ratio — a box running 1.8× slower for
+    // unchanged code must not send half the suite through isolated
+    // re-measures. Clamped: never below 1.0 (a fast box doesn't tighten the
+    // trigger — sub-1.5× regressions staying invisible is the status quo),
+    // never above 2.5 (a broken/contended probe must not disable
+    // adjudication outright).
+    val calRatio = (priorCal, Some(calSec).filter(_ > 0)) match {
+      case (Some(p), Some(c)) if p > 0 => c / p
+      case _ => 1.0
+    }
+    val triggerScale = math.min(2.5, math.max(1.0, calRatio))
+    if (triggerScale != 1.0)
+      System.err.println(f"[bench] box calibration ratio $calRatio%.2f vs prior — adjudication trigger scaled to ${1.5 * triggerScale}%.2fx")
     // noise floor: sub-0.3 s queries swing multiples on pure scheduling
     // noise; overridable so the artifact spec can force an adjudication on
     // a fast sf0.001 query without a synthetic sleep
     val noiseFloor = cfg("SPARK_GRAFT_BENCH_NOISE_FLOOR").map(_.toDouble).getOrElse(0.3)
     val suspects = measured.collect {
       case (name, Some(suite), _, _) if suite >= noiseFloor &&
-        prior.get(name).exists(p => p > 0 && suite > 1.5 * p) => name -> suite
+        prior.get(name).exists(p => p > 0 && suite > 1.5 * triggerScale * p) => name -> suite
     }
     val adjudicated: Map[String, (Double, Double, Double)] = suspects.map { case (name, suite) =>
       System.err.println(f"[bench] $name suite median $suite%.3f s > 1.5x prior ${prior(name)}%.3f s — re-measuring isolated")
@@ -299,8 +370,12 @@ object Bench {
     val lawJson = lawMeasured.collect { case (k, Some(v), _, _) => js(k) + ":" + fmt(v) }.mkString("{", ",", "}")
     val lawFailed = lawMeasured.collect { case (k, None, _, _) => js(k) }
     val lawFailedJson = if (lawFailed.isEmpty) "" else s""","law_failed":[${lawFailed.mkString(",")}]"""
+    val calJson = {
+      val p = priorCal.map(fmt).getOrElse("null")
+      s"""{"sec":${fmt(calSec)},"prior_sec":$p,"ratio":${fmt(calRatio)},"trigger_scale":${fmt(triggerScale)}}"""
+    }
     val detail =
-      s"""{"adjudicated":$adjJson,"law_ring":$lawJson$lawFailedJson,"gc_sec":$gcJson,"load_avg":$laJson,"runs":$runs,"sf":${js(sfDir)}}"""
+      s"""{"adjudicated":$adjJson,"law_ring":$lawJson$lawFailedJson,"calibration":$calJson,"gc_sec":$gcJson,"load_avg":$laJson,"runs":$runs,"sf":${js(sfDir)}}"""
     try {
       java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),
         (detail + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -308,6 +383,9 @@ object Bench {
       case e: Throwable => System.err.println(s"[bench] could not write $detailPath: ${e.getMessage}")
     }
 
-    println(s"""{"metric":"total","value":${fmt(good.map(_._2).sum)},"unit":"sec","queries":$qJson$failedJson,"runs":$runs,"sf":${js(sfDir)},"detail":${js(detailPath)}}""")
+    // calibration_sec rides the stdout line BY DESIGN (~30 B): BENCH_r*.json
+    // is the only artifact the next round's priorRound reads, so the box
+    // probe must live there to be comparable cross-round
+    println(s"""{"metric":"total","value":${fmt(good.map(_._2).sum)},"unit":"sec","queries":$qJson$failedJson,"runs":$runs,"calibration_sec":${fmt(calSec)},"sf":${js(sfDir)},"detail":${js(detailPath)}}""")
   }
 }

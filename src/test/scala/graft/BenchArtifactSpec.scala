@@ -47,7 +47,8 @@ class BenchArtifactSpec extends SparkSpec {
       "SPARK_GRAFT_BENCH_RUNS" -> "1",
       "SPARK_GRAFT_BENCH_NOISE_FLOOR" -> "0.0",
       "SPARK_GRAFT_BENCH_PRIOR" -> priorPath,
-      "SPARK_GRAFT_BENCH_DETAIL" -> detailPath
+      "SPARK_GRAFT_BENCH_DETAIL" -> detailPath,
+      "SPARK_GRAFT_BENCH_CAL_FAKE" -> "2.0" // pin the probe: artifact shape, not box speed, is under test
     )) {
       out = captureOut { Bench.main(Array("q_agg_grouped", "q_join_equi")) }
     }
@@ -67,6 +68,10 @@ class BenchArtifactSpec extends SparkSpec {
     val queries = parsed("queries").asInstanceOf[Map[String, Any]]
     assert(queries.keySet == Set("q_agg_grouped", "q_join_equi"), s"queries=${queries.keySet}")
     assert(parsed("detail") == detailPath)
+    // the box probe must ride the stdout line: BENCH_r*.json is what the
+    // next round's priorRound reads (VERDICT r8 #1)
+    assert(parsed("calibration_sec").asInstanceOf[Double] == 2.0,
+      s"calibration_sec missing/wrong on the stdout line: ${parsed.get("calibration_sec")}")
 
     val detail = graft.core.Json.parse(
       new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(detailPath)), "UTF-8")
@@ -86,8 +91,78 @@ class BenchArtifactSpec extends SparkSpec {
       val m = detail(k).asInstanceOf[Map[String, Any]]
       assert(m.contains("q_agg_grouped") && m.contains("q_join_equi"), s"$k missing queries: ${m.keySet}")
     }
+    // calibration annotation: prior carried no calibration_sec → ratio and
+    // trigger_scale default to 1.0 (pre-round-9 artifact compatibility)
+    val cal = detail("calibration").asInstanceOf[Map[String, Any]]
+    assert(cal("sec").asInstanceOf[Double] == 2.0 && cal("prior_sec") == null &&
+      cal("ratio").asInstanceOf[Double] == 1.0 && cal("trigger_scale").asInstanceOf[Double] == 1.0,
+      s"calibration annotation wrong: $cal")
     // subset (dev) invocation skips the law ring by design
     assert(detail("law_ring").asInstanceOf[Map[String, Any]].isEmpty)
+  }
+
+  test("slow-box calibration ratio scales the adjudication trigger (VERDICT r8 #1)") {
+    spark
+    val dir = java.nio.file.Files.createTempDirectory("graft-bench-cal").toString
+    val detailPath = s"$dir/bench_detail.json"
+    def bench(props: Map[String, String]): (Map[String, Any], Map[String, Any]) = {
+      var out = ""
+      withProps(Map(
+        "SPARK_GRAFT_SF_DIR" -> sfDir,
+        "SPARK_GRAFT_CPUS" -> "4",
+        "SPARK_GRAFT_BENCH_RUNS" -> "1",
+        "SPARK_GRAFT_BENCH_NOISE_FLOOR" -> "0.0",
+        "SPARK_GRAFT_BENCH_DETAIL" -> detailPath
+      ) ++ props) {
+        out = captureOut { Bench.main(Array("q_agg_grouped")) }
+      }
+      val line = out.split("\n").filter(_.nonEmpty).head
+      val parsed = graft.core.Json.parse(line).asInstanceOf[Map[String, Any]]
+      val detail = graft.core.Json.parse(
+        new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(detailPath)), "UTF-8")
+      ).asInstanceOf[Map[String, Any]]
+      (parsed, detail)
+    }
+    // phase A: no usable prior — measure the query's actual wall on this box
+    val (base, _) = bench(Map(
+      "SPARK_GRAFT_BENCH_PRIOR" -> s"$dir/nonexistent.json",
+      "SPARK_GRAFT_BENCH_CAL_FAKE" -> "1.0"))
+    val m = base("queries").asInstanceOf[Map[String, Any]]("q_agg_grouped").asInstanceOf[Double]
+    assert(m > 0)
+    // shared prior: query at m/2.2 (a 2.2× apparent "regression"), box
+    // calibration 1.0 s
+    val priorPath = s"$dir/prior.json"
+    java.nio.file.Files.write(java.nio.file.Paths.get(priorPath),
+      (s"""{"metric":"total","value":${m / 2.2},"unit":"sec","queries":{"q_agg_grouped":${m / 2.2}},""" +
+        s""""runs":1,"calibration_sec":1.0,"sf":"$sfDir"}""").getBytes("UTF-8"))
+    // phase B: the box now measures 2.4× slower → trigger 1.5×2.4 = 3.6× —
+    // the 2.2× apparent regression is box state and must NOT adjudicate
+    val (slowLine, slowDetail) = bench(Map(
+      "SPARK_GRAFT_BENCH_PRIOR" -> priorPath,
+      "SPARK_GRAFT_BENCH_CAL_FAKE" -> "2.4"))
+    val slowCal = slowDetail("calibration").asInstanceOf[Map[String, Any]]
+    assert(slowCal("prior_sec").asInstanceOf[Double] == 1.0 &&
+      math.abs(slowCal("ratio").asInstanceOf[Double] - 2.4) < 1e-9 &&
+      math.abs(slowCal("trigger_scale").asInstanceOf[Double] - 2.4) < 1e-9,
+      s"slow-box calibration annotation wrong: $slowCal")
+    assert(slowDetail("adjudicated").asInstanceOf[Map[String, Any]].isEmpty,
+      "a 2.2x wall on a 2.4x-slower box must not trigger an isolated re-measure")
+    assert(slowLine("calibration_sec").asInstanceOf[Double] == 2.4)
+    // phase C: same prior, box at parity (ratio 1) → the same wall IS a
+    // >1.5× suspect and adjudication fires — proving B's suppression came
+    // from the calibration ratio, not a disabled trigger
+    val (_, parityDetail) = bench(Map(
+      "SPARK_GRAFT_BENCH_PRIOR" -> priorPath,
+      "SPARK_GRAFT_BENCH_CAL_FAKE" -> "1.0"))
+    assert(parityDetail("adjudicated").asInstanceOf[Map[String, Any]].contains("q_agg_grouped"),
+      s"at calibration parity the 2.2x wall must adjudicate: ${parityDetail("adjudicated")}")
+    // the scale is CLAMPED: a broken probe (huge ratio) cannot disable
+    // adjudication beyond 2.5×
+    val (_, clampDetail) = bench(Map(
+      "SPARK_GRAFT_BENCH_PRIOR" -> priorPath,
+      "SPARK_GRAFT_BENCH_CAL_FAKE" -> "1000.0"))
+    assert(clampDetail("calibration").asInstanceOf[Map[String, Any]]("trigger_scale")
+      .asInstanceOf[Double] == 2.5, s"trigger_scale must clamp at 2.5")
   }
 
   test("full headline + law-ring stdout stays under the tail-capture ceiling by construction") {
@@ -96,7 +171,7 @@ class BenchArtifactSpec extends SparkSpec {
     // envelope. Gate the INPUT (name lengths) so a future rename can't push
     // the real artifact over the r7 cliff silently.
     val maxName = (Bench.headline ++ Bench.lawRing).map(_.length).max
-    val estimate = 120 + Bench.headline.map(_.length + 10).sum // envelope + "name":0.000,
+    val estimate = 150 + Bench.headline.map(_.length + 10).sum // envelope (incl calibration_sec) + "name":0.000,
     assert(maxName <= 40, s"a headline name grew past 40 chars ($maxName)")
     assert(estimate < 2500, s"estimated stdout line $estimate B — trim the headline list or split the artifact further")
     // every law-ring query must exist in the registry, else the ring silently benches nothing
