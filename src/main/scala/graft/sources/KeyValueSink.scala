@@ -17,6 +17,8 @@ trait KeyValueSink extends Serializable {
   def put(key: String, value: String, ttlSeconds: Long = -1L): Unit
   def appendStream(stream: String, value: String, maxLen: Long = -1L): Unit
   def pushList(list: String, value: String, maxLen: Long = -1L): Unit
+  /** Point read — needed by the batch-commit journal (round 9: Redis GET). */
+  def get(key: String): Option[String]
   def close(): Unit = ()
 }
 
@@ -42,19 +44,33 @@ object KeyValueSink {
   }
 
   /** Streaming write via checkpointed foreachBatch (redis destinations in
-    * streaming_pipeline.yaml:66-80).
+    * streaming_pipeline.yaml:66-80). Exactly-once sink EFFECTS by default
+    * (VERDICT r8 #3): the handler is batchId-journaled in the sink's own
+    * store keyed by the checkpoint path, so a batch replayed after a
+    * failure between the sink write and the checkpoint commit skips its
+    * already-applied effects — the difference between SET-idempotence
+    * (kv mode survived replays by accident) and list/stream appends,
+    * which duplicated. `exactlyOnce = false` restores the bare handler
+    * for sinks without a readable journal keyspace.
     */
   def streamWriter(df: DataFrame, keyCol: String, checkpoint: String,
                    factory: () => KeyValueSink, mode: String = "kv",
-                   target: String = "graft", ttlSeconds: Long = -1L): DataStreamWriter[Row] =
+                   target: String = "graft", ttlSeconds: Long = -1L,
+                   exactlyOnce: Boolean = true): DataStreamWriter[Row] = {
+    val effects = (batch: DataFrame, _: Long) =>
+      writeBatch(batch, keyCol, factory, mode, target, ttlSeconds)
+    val handler =
+      if (exactlyOnce)
+        BatchJournal.idempotent(new BatchJournal.KvJournal(factory), checkpoint)(effects)
+      else effects
     df.writeStream
       .outputMode("update")
       .option("checkpointLocation", checkpoint)
       // ttlSeconds reaches the kv put (redis SET+EX parity): without it a
       // long-lived stream accumulates one unexpiring key per distinct
       // aggregate key ever seen
-      .foreachBatch((batch: DataFrame, _: Long) =>
-        writeBatch(batch, keyCol, factory, mode, target, ttlSeconds))
+      .foreachBatch(handler)
+  }
 
   /** JVM-local sink for tests (valid in local[k] where executors share the
     * driver JVM). Keyed by a namespace so parallel tests don't collide.
@@ -67,6 +83,8 @@ object KeyValueSink {
       lists.computeIfAbsent(s"$namespace/$stream", _ => new java.util.concurrent.ConcurrentLinkedQueue[String]()).add(value)
     override def pushList(list: String, value: String, maxLen: Long): Unit =
       appendStream(list, value, maxLen)
+    override def get(key: String): Option[String] =
+      Option(kv.get(s"$namespace/$key"))
   }
 
   object InMemoryKV {

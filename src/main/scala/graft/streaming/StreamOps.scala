@@ -352,6 +352,22 @@ object StreamOps {
       .trigger(Trigger.ProcessingTime(intervalMs))
       .foreachBatch((batch: DataFrame, id: Long) => handler(batch, id))
 
+  /** [[foreachBatchSink]] with exactly-once sink EFFECTS (VERDICT r8 #3):
+    * the handler is gated by a [[graft.sources.BatchJournal]] keyed on the
+    * checkpoint path, so a batch whose effects committed but whose
+    * checkpoint commit was lost is skipped on replay instead of
+    * re-applied. Pair with `BatchJournal.JdbcJournal` for JDBC handlers
+    * (jdbcWrite append / jdbcUpsert) or `KvJournal` for KV handlers; the
+    * journal lives in the SAME store the effects land in, so "journaled"
+    * and "effects visible" can't diverge across systems.
+    */
+  def idempotentBatchSink(df: DataFrame, checkpoint: String,
+                          journal: graft.sources.BatchJournal,
+                          intervalMs: Long = 1000L, outputMode: String = "update")(
+      handler: (DataFrame, Long) => Unit): DataStreamWriter[org.apache.spark.sql.Row] =
+    foreachBatchSink(df, checkpoint, intervalMs, outputMode)(
+      graft.sources.BatchJournal.idempotent(journal, checkpoint)(handler))
+
   /** Kafka producer sink (kafka_source.py:254-348 streaming parity). */
   def kafkaSink(df: DataFrame, bootstrapServers: String, topic: String,
                 checkpoint: String,

@@ -54,6 +54,47 @@ class JdbcSpec extends SparkSpec {
     assert(Readers.jdbc(spark, url, "T_KEYS").as[Long].collect().toSet == Set(2L, 5L, 9L))
   }
 
+  test("JdbcJournal: batchId commits are durable, idempotent, and per-query-key") {
+    val j = new graft.sources.BatchJournal.JdbcJournal(url)
+    assert(!j.committed("qA", 0L))
+    j.commit("qA", 0L)
+    assert(j.committed("qA", 0L))
+    j.commit("qA", 0L) // re-commit (replay after effects) must not throw
+    assert(j.committed("qA", 0L))
+    assert(!j.committed("qA", 1L) && !j.committed("qB", 0L),
+      "journal entries must be scoped to (query_key, batch_id)")
+  }
+
+  test("exactly-once JDBC sink effects: forced replay does not re-INSERT (VERDICT r8 #3)") {
+    // Append-mode jdbcWrite is the JDBC effect that DUPLICATES on a
+    // foreachBatch replay (upsert was idempotent already). Same scenario as
+    // the streaming KV test: run a batch, drop its checkpoint commit marker
+    // (the kill-between-sink-write-and-checkpoint-commit window), restart —
+    // the journaled handler must skip the replayed batch.
+    val table = "T_STREAM_APPEND"
+    Sinks.jdbcWrite(Seq.empty[(Long, String)].toDF("ID", "NAME"), url, table, mode = "overwrite")
+    val in = java.nio.file.Files.createTempDirectory("graft_jeo_in").toString
+    val cp = java.nio.file.Files.createTempDirectory("graft_jeo_cp").toString
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$in/b1.json"),
+      """{"ID":1,"NAME":"a"}""" + "\n" + """{"ID":2,"NAME":"b"}""")
+    val schema = org.apache.spark.sql.types.StructType.fromDDL("ID BIGINT, NAME STRING")
+    val journal = new graft.sources.BatchJournal.JdbcJournal(url)
+    def start() = graft.streaming.StreamOps.idempotentBatchSink(
+        graft.streaming.StreamOps.files(spark, in, "json", schema), cp, journal,
+        outputMode = "append") { (batch, _) =>
+      Sinks.jdbcWrite(batch, url, table, mode = "append")
+    }.start()
+    val q1 = start(); q1.processAllAvailable(); q1.stop()
+    assert(Readers.jdbc(spark, url, table).count() == 2)
+    val commits = new java.io.File(s"$cp/commits").listFiles().filter(_.getName.forall(_.isDigit))
+    val last = commits.maxBy(_.getName.toInt)
+    new java.io.File(last.getParent, s".${last.getName}.crc").delete() // stale crc breaks the rewrite
+    assert(commits.nonEmpty && last.delete())
+    val q2 = start(); q2.processAllAvailable(); q2.stop()
+    assert(Readers.jdbc(spark, url, table).count() == 2,
+      "replayed batch re-applied its INSERTs — the journal gate failed")
+  }
+
   test("upsert SQL generation: postgres ON CONFLICT pinned, bad dialect rejected") {
     // no Postgres server in this container — the exact statement the
     // reference DB would receive is pinned instead (COVERAGE.md)

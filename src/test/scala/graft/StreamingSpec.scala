@@ -292,6 +292,117 @@ class StreamingSpec extends SparkSpec {
       s"W2 must merge state across the kill (count 3): $streamed")
   }
 
+  test("exactly-once sink EFFECTS: a replayed batch does not duplicate KV appends (VERDICT r8 #3)") {
+    // Forces the at-least-once failure mode directly: after the sink's
+    // effects are applied and the batch journal is written, the CHECKPOINT
+    // commit is lost (the kill-between-sink-write-and-checkpoint-commit
+    // window — simulated by deleting the last commits/<N> marker). On
+    // restart Spark replays that batchId with the same offsets; the
+    // journaled handler must skip the already-applied effects. List mode is
+    // the sink mode where replays actually DUPLICATE (kv-mode SET was
+    // replay-idempotent by accident), so the control run below proves the
+    // replay happens at all.
+    import graft.sources.KeyValueSink
+    val schema = org.apache.spark.sql.types.StructType.fromDDL("ts TIMESTAMP, user STRING, v DOUBLE")
+    def run(ns: String, exactlyOnce: Boolean): Seq[String] = {
+      KeyValueSink.InMemoryKV.clear(ns)
+      val in = java.nio.file.Files.createTempDirectory("graft_eo_in").toString
+      val cp = java.nio.file.Files.createTempDirectory("graft_eo_cp").toString
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$in/b1.json"),
+        """{"ts":"2024-01-01T00:00:00Z","user":"a","v":1.0}""" + "\n" +
+          """{"ts":"2024-01-01T00:00:10Z","user":"b","v":2.0}""")
+      def start() = KeyValueSink.streamWriter(
+        StreamOps.files(spark, in, "json", schema).withColumn("k", col("user")),
+        "k", cp, () => new KeyValueSink.InMemoryKV(ns),
+        mode = "list", target = "events", exactlyOnce = exactlyOnce).start()
+      val q1 = start(); q1.processAllAvailable(); q1.stop()
+      val commits = new java.io.File(s"$cp/commits").listFiles()
+        .filter(_.getName.forall(_.isDigit))
+      assert(commits.nonEmpty, "no commit markers — the scenario setup is broken")
+      val last = commits.maxBy(_.getName.toInt)
+      // drop the Hadoop checksum sidecar too: a stale .N.crc makes the
+      // replayed commit's atomic rename throw FileAlreadyExistsException
+      new java.io.File(last.getParent, s".${last.getName}.crc").delete()
+      assert(last.delete(), "could not drop the commit marker")
+      val q2 = start(); q2.processAllAvailable(); q2.stop()
+      KeyValueSink.InMemoryKV.list(ns, "events")
+    }
+    val journaled = run("eo_on", exactlyOnce = true)
+    assert(journaled.size == 2,
+      s"journaled sink replay duplicated effects: ${journaled.size} entries, $journaled")
+    val bare = run("eo_off", exactlyOnce = false)
+    assert(bare.size == 4,
+      s"control (no journal) must duplicate — otherwise this test forced no replay: $bare")
+  }
+
+  test("checkpoint recovery + forced replay: journaled KV sink equals the batch oracle (sink-level)") {
+    // The r8 kill/resume test proved STATE-level recovery into a
+    // transactional file sink; this extends it to SINK-level effects
+    // through the journaled foreachBatch KV path (VERDICT r8 #3): a
+    // stateful tumbling aggregation is killed while a window is OPEN, the
+    // last checkpoint commit is dropped (forced replay on restart), and
+    // the final KV contents must equal the batch computation — every
+    // window present, aggregates exact, cross-kill window merged.
+    import graft.sources.KeyValueSink
+    val ns = "eo_win"
+    KeyValueSink.InMemoryKV.clear(ns)
+    // Spark 4.1's state-store commit accounting trips on a SAME-JVM replay
+    // of a stateful batch (the state version it re-commits already exists);
+    // in a real kill the replay happens in a fresh JVM where this is the
+    // normal recovery path. Disable the accounting check for this test only
+    // — the test's own oracle (KV contents == batch aggregation) is the
+    // correctness assertion.
+    val valKey = "spark.sql.streaming.stateStore.commitValidation.enabled"
+    val valPrev = spark.conf.getOption(valKey)
+    spark.conf.set(valKey, "false")
+    try {
+    val in = java.nio.file.Files.createTempDirectory("graft_eow_in").toString
+    val cp = java.nio.file.Files.createTempDirectory("graft_eow_cp").toString
+    val schema = org.apache.spark.sql.types.StructType.fromDDL("ts TIMESTAMP, user STRING, v DOUBLE")
+    def write(name: String, lines: String*): Unit =
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$in/$name"), lines.mkString("\n"))
+    def start() = KeyValueSink.streamWriter(
+      StreamOps.tumbling(StreamOps.files(spark, in, "json", schema),
+          "ts", "1 minute", "0 seconds", Seq.empty, Seq("v" -> "count", "v" -> "sum"))
+        .withColumn("k", col("window_start").cast("string")),
+      "k", cp, () => new KeyValueSink.InMemoryKV(ns)).start()
+    // phase 1: W1 complete, W2 OPEN (one of its three events)
+    write("b1.json",
+      """{"ts":"2024-01-01T00:00:10Z","user":"a","v":1.0}""",
+      """{"ts":"2024-01-01T00:00:20Z","user":"b","v":2.0}""",
+      """{"ts":"2024-01-01T00:01:05Z","user":"a","v":3.0}""")
+    val q1 = start(); q1.processAllAvailable(); q1.stop()
+    // kill between sink write and checkpoint commit
+    val commits = new java.io.File(s"$cp/commits").listFiles().filter(_.getName.forall(_.isDigit))
+    val last = commits.maxBy(_.getName.toInt)
+    new java.io.File(last.getParent, s".${last.getName}.crc").delete() // stale crc breaks the rewrite
+    assert(commits.nonEmpty && last.delete())
+    // phase 2: W2 completes ACROSS the restart, W3 arrives
+    write("b2.json",
+      """{"ts":"2024-01-01T00:01:30Z","user":"b","v":4.0}""",
+      """{"ts":"2024-01-01T00:01:40Z","user":"a","v":5.0}""",
+      """{"ts":"2024-01-01T00:02:10Z","user":"c","v":6.0}""")
+    val q2 = start(); q2.processAllAvailable(); q2.stop()
+    // batch oracle over ALL input (update mode: every window's final value
+    // is the last put for its key — open windows included)
+    val got = KeyValueSink.InMemoryKV.keys(ns)
+      .filterNot(_.contains("/__graft/journal/")) // the journal shares the store by design
+      .map { k =>
+        val v = graft.core.Json.parse(KeyValueSink.InMemoryKV.get(ns, k.stripPrefix(s"$ns/")).get)
+          .asInstanceOf[Map[String, Any]]
+        k.stripPrefix(s"$ns/") -> ((v("v_count").asInstanceOf[Long], v("v_sum").asInstanceOf[Double]))
+      }.toMap
+    val want = spark.read.schema(schema).json(in)
+      .groupBy(window(col("ts"), "1 minute"))
+      .agg(count(lit(1)).as("c"), sum("v").as("s"))
+      .select(col("window.start").cast("string"), col("c"), col("s"))
+      .as[(String, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got == want, s"sink-level state != batch oracle:\nkv=$got\nbatch=$want")
+    assert(want.size == 3 && want.exists { case (w, (c, _)) => w.startsWith("2024-01-01 00:01") && c == 3L },
+      s"cross-kill window W2 must merge to count 3 in the oracle itself: $want")
+    } finally valPrev.fold(spark.conf.unset(valKey))(spark.conf.set(valKey, _))
+  }
+
   test("record transforms and filters work on streaming frames") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Ev]
