@@ -388,6 +388,41 @@ object QueriesLaws {
         .select(col("doc_id"),
           (array_sort(array_distinct(wins)) <=> fp).as("winnow_ok"))
         .orderBy("doc_id")
+    }),
+
+    "q_dup_spans_law" -> ((s, dir) => {
+      // ExactSubstr guarantee on PLANTED geometry (round 9, VERDICT r8 #7):
+      // synthetic docs built from per-doc-unique filler + fixed shared
+      // plants at varying offsets (doc_id % 7 shifts the plant position) —
+      // the oracle computes the expected span stats ANALYTICALLY from the
+      // plant geometry, no gram replay. Classes by doc_id % 4:
+      //   0: one 11-token plant   → 1 span, 11 covered, 7 dup grams
+      //   1: one 4-token plant    → k-1 < k: INVISIBLE (the documented
+      //      threshold floor — this row QUANTIFIES the miss class)
+      //   2: 6-token + 6-token plants split by one unique token → 2 spans
+      //   3: filler only          → clean
+      // Filler grams embed the doc id, so no window that touches filler
+      // can repeat; coverage is exactly the plants' interiors.
+      val k = 5
+      val d = t(s, dir, "documents").select(col("doc_id"))
+      def filler(n: Column, tag: String): Column = array_join(
+        transform(sequence(lit(1), n),
+          i => concat(lit("u"), col("doc_id").cast("string"), lit(tag), i.cast("string"))), " ")
+      val pre = filler((col("doc_id") % 7).cast("int") + 1, "a")
+      val post = filler(lit(6), "b")
+      val text = when(col("doc_id") % 4 === 0,
+          concat_ws(" ", pre, lit((1 to 11).map(i => s"zq$i").mkString(" ")), post))
+        .when(col("doc_id") % 4 === 1,
+          concat_ws(" ", pre, lit((1 to 4).map(i => s"zs$i").mkString(" ")), post))
+        .when(col("doc_id") % 4 === 2,
+          concat_ws(" ", pre, lit((1 to 6).map(i => s"zt$i").mkString(" ")),
+            filler(lit(1), "m"), lit((1 to 6).map(i => s"zu$i").mkString(" ")), post))
+        .otherwise(concat_ws(" ", pre, post))
+      Dedup.duplicateSpans(d.withColumn("text", text), "text", "doc_id",
+          k = k, minCount = 2)
+        .select(col("doc_id"), col("n_tokens"), col("n_spans"), col("dup_tokens"),
+          col("max_span_tokens"), col("n_dup_grams"))
+        .orderBy("doc_id")
     })
   )
 
@@ -441,6 +476,19 @@ object QueriesLaws {
           |FROM documents ORDER BY doc_id""".stripMargin,
       "q_winnow_law" ->
         """SELECT doc_id, TRUE AS winnow_ok
+          |FROM documents ORDER BY doc_id""".stripMargin,
+      "q_dup_spans_law" ->
+        // expected values derive from the PLANT GEOMETRY alone: pre filler
+        // 1+(id%7), post filler 6, plants by class (0: 11 tokens → one span
+        // of 11 with 11-5+1=7 grams; 1: 4 tokens → BELOW the k=5 floor,
+        // zero everything; 2: 6+1+6 → two spans of 6, 2 grams each)
+        """SELECT doc_id,
+          |  CAST((1 + doc_id % 7) + 6 +
+          |    CASE doc_id % 4 WHEN 0 THEN 11 WHEN 1 THEN 4 WHEN 2 THEN 13 ELSE 0 END AS INT) AS n_tokens,
+          |  CAST(CASE doc_id % 4 WHEN 0 THEN 1 WHEN 2 THEN 2 ELSE 0 END AS BIGINT) AS n_spans,
+          |  CAST(CASE doc_id % 4 WHEN 0 THEN 11 WHEN 2 THEN 12 ELSE 0 END AS BIGINT) AS dup_tokens,
+          |  CAST(CASE doc_id % 4 WHEN 0 THEN 11 WHEN 2 THEN 6 ELSE 0 END AS BIGINT) AS max_span_tokens,
+          |  CAST(CASE doc_id % 4 WHEN 0 THEN 7 WHEN 2 THEN 4 ELSE 0 END AS BIGINT) AS n_dup_grams
           |FROM documents ORDER BY doc_id""".stripMargin,
       "q_semantic_contamination_law" ->
         """SELECT CAST((SELECT count(*) FROM embeddings WHERE vec_id % 50 <> 0) AS BIGINT) AS n_rows,

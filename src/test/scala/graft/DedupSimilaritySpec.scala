@@ -15,6 +15,65 @@ class DedupSimilaritySpec extends SparkSpec {
     (5L, "another unrelated document mentioning parquet and shuffles")
   ).toDF("doc_id", "text")
 
+  test("duplicateSpans == maximal-shared-span ExactSubstr truth (differential, VERDICT r8 #7)") {
+    // Independent truth: enumerate the longest common token extension of
+    // EVERY pair of corpus locations (the suffix-array semantics, done the
+    // brute O(n²·len) way — fine at spec scale), keep extensions >= k, and
+    // union the covered positions. duplicateSpans must report exactly this
+    // coverage (dup_tokens), its maximal runs (n_spans), and the longest
+    // run (max_span_tokens) — proving the scaladoc theorem that the
+    // repeated-k-window union IS the maximal-shared-span union, on hostile
+    // geometry: arbitrary offsets, a period-1 self-repeat, two spans with
+    // a 1-token gap, spans at doc start/end, and the one documented miss
+    // class (a shared span of k-1 tokens → invisible, quantified below).
+    val k = 5
+    def fill(tag: String, n: Int): Vector[String] = (1 to n).map(i => s"${tag}x$i").toVector
+    val s8 = (1 to 8).map(i => s"s$i").toVector   // shared by docs 1, 2, 7
+    val t5 = (1 to 5).map(i => s"t$i").toVector   // shared by docs 4, 5 (= k)
+    val u6 = (1 to 6).map(i => s"u$i").toVector   // shared by docs 4, 5
+    val v4 = (1 to 4).map(i => s"v$i").toVector   // shared by docs 6, 7 — BELOW the floor
+    val corpus: Map[Long, Vector[String]] = Map(
+      1L -> (fill("a1", 3) ++ s8 ++ fill("a2", 4)),
+      2L -> (fill("b1", 6) ++ s8 ++ fill("b2", 2)),          // same span, different offset
+      3L -> Vector.fill(9)("spam"),                          // self-overlapping repeat
+      4L -> (fill("c1", 2) ++ t5 ++ Vector("cgap") ++ u6 ++ fill("c2", 3)), // 1-token gap between spans
+      5L -> (u6 ++ fill("d1", 4) ++ t5),                     // spans at doc START and END
+      6L -> (fill("e1", 5) ++ v4 ++ fill("e2", 5)),          // only a k-1 shared span: zero coverage
+      7L -> (fill("f1", 3) ++ v4 ++ fill("f2", 2) ++ s8),    // sub-floor span + real span at doc end
+      8L -> fill("g1", 12))                                  // clean
+    // ---- truth ----
+    val locs = for ((id, ts) <- corpus.toSeq; p <- ts.indices) yield (id, p)
+    val covered = scala.collection.mutable.Map[Long, scala.collection.mutable.Set[Int]]()
+    corpus.keys.foreach(id => covered(id) = scala.collection.mutable.Set[Int]())
+    for ((d1, p1) <- locs; (d2, p2) <- locs if (d1, p1) != (d2, p2)) {
+      var len = 0
+      val (w1, w2) = (corpus(d1), corpus(d2))
+      while (p1 + len < w1.size && p2 + len < w2.size && w1(p1 + len) == w2(p2 + len)) len += 1
+      if (len >= k) { covered(d1) ++= (p1 until p1 + len); covered(d2) ++= (p2 until p2 + len) }
+    }
+    def runs(s: Set[Int]): Seq[Int] = { // lengths of maximal consecutive runs
+      val sorted = s.toSeq.sorted
+      if (sorted.isEmpty) Seq.empty
+      else sorted.tail.foldLeft(List((sorted.head, 1))) { case ((st, n) :: rest, p) =>
+        if (p == st + n) (st, n + 1) :: rest else (p, 1) :: (st, n) :: rest
+      }.map(_._2).reverse
+    }
+    // the miss class is real in the truth itself: v4 IS shared between 6 and
+    // 7 as text, but no >= k extension exists through it
+    assert(covered(6L).isEmpty, "k-1 shared span must be invisible at threshold k (the documented floor)")
+    assert(covered(3L) == (0 until 9).toSet, "self-repeat must cover the whole doc")
+    // ---- engine ----
+    val df = corpus.toSeq.map { case (id, ts) => (id, ts.mkString(" ")) }.toDF("doc_id", "text")
+    val out = Dedup.duplicateSpans(df, "text", "doc_id", k = k, minCount = 2)
+      .select("doc_id", "n_spans", "dup_tokens", "max_span_tokens")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    for (id <- corpus.keys.toSeq.sorted) {
+      val rl = runs(covered(id).toSet)
+      val want = (rl.size.toLong, rl.sum.toLong, (if (rl.isEmpty) 0 else rl.max).toLong)
+      assert(out(id) == want, s"doc $id: engine=${out(id)} truth(spans,dup,max)=$want")
+    }
+  }
+
   test("exact dedup collapses case/whitespace variants, keeps min id") {
     val out = Dedup.exact(docs, "text", "doc_id").select("doc_id").as[Long].collect().sorted
     assert(out.toSeq == Seq(1L, 2L, 3L, 5L)) // 4 collapsed into 1
