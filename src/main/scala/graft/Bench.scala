@@ -71,6 +71,24 @@ object Bench {
   private def loadAvg(): Double =
     java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
 
+  /** JIT state: (MB used across CodeCache/CodeHeap pools, cumulative JIT
+    * compilation ms). Stamped per query (VERDICT r8 #4): the suite-context
+    * penalty hypothesis list starts with code-cache exhaustion — 34
+    * codegen-heavy queries generate hundreds of classes, and a full code
+    * cache silently disables the JIT for everything after it. These two
+    * numbers either confirm that (usage near the reserve, compile time
+    * flat-lining late in the suite) or eliminate it.
+    */
+  private def jitState(): (Double, Long) = {
+    import scala.jdk.CollectionConverters._
+    val used = java.lang.management.ManagementFactory.getMemoryPoolMXBeans.asScala
+      .filter(p => p.getName.contains("CodeHeap") || p.getName.contains("Code Cache"))
+      .map(_.getUsage.getUsed).sum / 1e6
+    val comp = Option(java.lang.management.ManagementFactory.getCompilationMXBean)
+      .filter(_.isCompilationTimeMonitoringSupported).map(_.getTotalCompilationTime).getOrElse(-1L)
+    (used, comp)
+  }
+
   /** queries map + calibration of the most recent BENCH_r*.json (flat
     * numeric entries only — adjudicated object values in older artifacts are
     * skipped by the regex, which is fine: an adjudicated query's `queries`
@@ -267,8 +285,9 @@ object Bench {
 
     /** One warmup + `runs` measured executions of `name` on `s`; returns
       * (median seconds if ALL runs green, mean GC sec per measured run,
-      * system load average sampled right after the runs). */
-    def measure(s: SparkSession, name: String): (Option[Double], Double, Double) = {
+      * system load average sampled right after the runs, code-cache MB +
+      * cumulative JIT ms sampled after the runs). */
+    def measure(s: SparkSession, name: String): (Option[Double], Double, Double, (Double, Long)) = {
       def run(): Unit = qs(name)(s, sfDir).write.format("noop").mode("overwrite").save()
       cleanSlate(s)
       try run() catch { case e: Throwable => System.err.println(s"[bench] $name warmup failed: ${e.getMessage}") }
@@ -288,20 +307,20 @@ object Bench {
       if (times.nonEmpty && times.size < runs)
         System.err.println(s"[bench] $name: only ${times.size}/$runs runs succeeded — reporting as failed")
       val median = if (times.size == runs) times.sorted.drop(times.size / 2).headOption else None
-      (median, gcPerRun, loadAvg())
+      (median, gcPerRun, loadAvg(), jitState())
     }
 
     val measured = names.filter(qs.contains).map { name =>
-      val (median, gc, la) = measure(spark, name)
-      (name, median, gc, la)
+      val (median, gc, la, jit) = measure(spark, name)
+      (name, median, gc, la, jit)
     }
     // Law ring rides the same warmed session, after the headliners, and only
     // on a full (no-args) invocation — a dev subset run shouldn't pay for it.
     val lawMeasured =
       if (args.nonEmpty) Seq.empty
       else lawRing.filter(qs.contains).map { name =>
-        val (median, gc, la) = measure(spark, name)
-        (name, median, gc, la)
+        val (median, gc, la, jit) = measure(spark, name)
+        (name, median, gc, la, jit)
       }
     if (ownsSession) spark.stop()
 
@@ -332,7 +351,7 @@ object Bench {
     // a fast sf0.001 query without a synthetic sleep
     val noiseFloor = cfg("SPARK_GRAFT_BENCH_NOISE_FLOOR").map(_.toDouble).getOrElse(0.3)
     val suspects = measured.collect {
-      case (name, Some(suite), _, _) if suite >= noiseFloor &&
+      case (name, Some(suite), _, _, _) if suite >= noiseFloor &&
         prior.get(name).exists(p => p > 0 && suite > 1.5 * triggerScale * p) => name -> suite
     }
     val adjudicated: Map[String, (Double, Double, Double)] = suspects.map { case (name, suite) =>
@@ -344,7 +363,7 @@ object Bench {
         f.sparkContext.setLogLevel("WARN")
         f
       }
-      val (isoMedian, _, _) = try measure(fresh, name) finally { if (ownsSession) fresh.stop() }
+      val (isoMedian, _, _, _) = try measure(fresh, name) finally { if (ownsSession) fresh.stop() }
       name -> (suite, isoMedian.getOrElse(suite), prior(name))
     }.toMap
 
@@ -353,29 +372,34 @@ object Bench {
     // emitted a plausible-looking zero-total success line)
     def fmt(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val js = graft.core.Json.str _
-    val good = measured.collect { case (k, Some(v), _, _) =>
+    val good = measured.collect { case (k, Some(v), _, _, _) =>
       k -> adjudicated.get(k).map(_._2).getOrElse(v) // isolated truth wins
     }
-    val failed = measured.collect { case (k, None, _, _) => js(k) } ++ unknown.map(js)
+    val failed = measured.collect { case (k, None, _, _, _) => js(k) } ++ unknown.map(js)
     val qJson = good.map { case (k, v) => js(k) + ":" + fmt(v) }.mkString("{", ",", "}")
     val failedJson = if (failed.isEmpty) "" else s""","failed":[${failed.mkString(",")}]"""
 
     // Diagnostics go to the SIDE FILE, never the stdout line (VERDICT r7 #1).
     val all = measured ++ lawMeasured
-    val gcJson = all.collect { case (k, Some(_), gc, _) => js(k) + ":" + fmt(gc) }.mkString("{", ",", "}")
-    val laJson = all.collect { case (k, Some(_), _, la) => js(k) + ":" + fmt(la) }.mkString("{", ",", "}")
+    val gcJson = all.collect { case (k, Some(_), gc, _, _) => js(k) + ":" + fmt(gc) }.mkString("{", ",", "}")
+    val laJson = all.collect { case (k, Some(_), _, la, _) => js(k) + ":" + fmt(la) }.mkString("{", ",", "}")
+    // JIT track (VERDICT r8 #4): code-cache MB + cumulative compile ms after
+    // each query — the suite-context-penalty diagnosis data
+    val jitJson = all.collect { case (k, Some(_), _, _, (cc, cm)) =>
+      js(k) + s""":{"code_cache_mb":${fmt(cc)},"compile_ms":$cm}"""
+    }.mkString("{", ",", "}")
     val adjJson = adjudicated.toSeq.sortBy(_._1).map { case (k, (s, i, p)) =>
       js(k) + s""":{"suite":${fmt(s)},"isolated":${fmt(i)},"prior":${fmt(p)}}"""
     }.mkString("{", ",", "}")
-    val lawJson = lawMeasured.collect { case (k, Some(v), _, _) => js(k) + ":" + fmt(v) }.mkString("{", ",", "}")
-    val lawFailed = lawMeasured.collect { case (k, None, _, _) => js(k) }
+    val lawJson = lawMeasured.collect { case (k, Some(v), _, _, _) => js(k) + ":" + fmt(v) }.mkString("{", ",", "}")
+    val lawFailed = lawMeasured.collect { case (k, None, _, _, _) => js(k) }
     val lawFailedJson = if (lawFailed.isEmpty) "" else s""","law_failed":[${lawFailed.mkString(",")}]"""
     val calJson = {
       val p = priorCal.map(fmt).getOrElse("null")
       s"""{"sec":${fmt(calSec)},"prior_sec":$p,"ratio":${fmt(calRatio)},"trigger_scale":${fmt(triggerScale)}}"""
     }
     val detail =
-      s"""{"adjudicated":$adjJson,"law_ring":$lawJson$lawFailedJson,"calibration":$calJson,"gc_sec":$gcJson,"load_avg":$laJson,"runs":$runs,"sf":${js(sfDir)}}"""
+      s"""{"adjudicated":$adjJson,"law_ring":$lawJson$lawFailedJson,"calibration":$calJson,"gc_sec":$gcJson,"load_avg":$laJson,"jit":$jitJson,"runs":$runs,"sf":${js(sfDir)}}"""
     try {
       java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),
         (detail + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
