@@ -729,6 +729,22 @@ object QueriesText {
         .orderBy("doc_id")
     }),
 
+    "q_dsir_weights" -> ((s, dir) => {
+      // DSIR importance weights (Xie et al. 2023) vs a target slice of the
+      // corpus: target = every 10th doc's n-gram distribution, raw = the
+      // rest. The exact string-feature variant is the oracle path — DuckDB
+      // replays tokenization, unigram+bigram MULTISET counts, Laplace
+      // smoothing over the joint observed vocabulary, and the per-doc sum.
+      // (The hashed-bucket scale variant is differentially pinned against
+      // a driver-side replay in DsirSpec.)
+      val d = t(s, dir, "documents")
+      graft.text.Dsir.logWeights(
+          d.filter(col("doc_id") % 10 =!= 0),
+          d.filter(col("doc_id") % 10 === 0), "text", "doc_id")
+        .select(col("doc_id"), roundf(col("log_weight"), 6).as("log_weight"))
+        .orderBy("doc_id")
+    }),
+
     "q_length_histogram" -> ((s, dir) =>
       TextLib.lengthHistogram(t(s, dir, "documents"), "n_chars")
         .select(col("len_bin"), col("n_rows"), col("len_lo"), col("len_hi"),
@@ -1342,6 +1358,39 @@ object QueriesText {
         |  round(CASE WHEN coalesce(len(t.ws), 0) > 0
         |    THEN coalesce(pd.dup_tokens, 0) * 1.0 / len(t.ws) ELSE 0.0 END + 1e-9, 6) AS dup_ratio
         |FROM t LEFT JOIN pd USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    "q_dsir_weights" ->
+      // mirrors Dsir.logWeights (string features, unigrams+bigrams,
+      // alpha=1): multiset gram counts per corpus, full-outer vocabulary,
+      // Laplace smoothing over (N + V), per-doc occurrence-weighted sum of
+      // log ratios. Tokenization is the engine's normalized() split (the
+      // q_dup_spans-proven replay). Docs with zero features report the
+      // neutral 0.0.
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+        |      x -> x <> '') AS ws
+        |  FROM documents),
+        |g1 AS (SELECT doc_id, unnest(ws) AS f FROM d),
+        |g2 AS (SELECT doc_id,
+        |         unnest(list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])) AS f
+        |       FROM d WHERE len(ws) >= 2),
+        |g AS (SELECT * FROM g1 UNION ALL SELECT * FROM g2),
+        |tg AS (SELECT f FROM g WHERE doc_id % 10 = 0),
+        |rg AS (SELECT doc_id, f FROM g WHERE doc_id % 10 <> 0),
+        |tc AS (SELECT f, count(*) AS ct FROM tg GROUP BY 1),
+        |rc AS (SELECT f, count(*) AS cr FROM rg GROUP BY 1),
+        |v AS (SELECT coalesce(tc.f, rc.f) AS f, coalesce(ct, 0) AS ct, coalesce(cr, 0) AS cr
+        |      FROM tc FULL JOIN rc ON tc.f = rc.f),
+        |s AS (SELECT CAST(sum(ct) AS DOUBLE) AS nt, CAST(sum(cr) AS DOUBLE) AS nr,
+        |        CAST(count(*) AS DOUBLE) AS vv FROM v),
+        |w AS (SELECT f, ln((ct + 1.0) / (nt + vv)) - ln((cr + 1.0) / (nr + vv)) AS lw
+        |      FROM v, s),
+        |pd AS (SELECT doc_id, sum(lw) AS lw FROM rg JOIN w USING (f) GROUP BY 1)
+        |SELECT d.doc_id, round(coalesce(pd.lw, 0.0) + 1e-9, 6) AS log_weight
+        |FROM d LEFT JOIN pd USING (doc_id)
+        |WHERE d.doc_id % 10 <> 0
+        |ORDER BY d.doc_id""".stripMargin,
 
     "q_unicode_nfc" ->
       // chr(769) = U+0301 COMBINING ACUTE, chr(8491) = U+212B ANGSTROM SIGN;

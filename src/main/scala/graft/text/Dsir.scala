@@ -1,0 +1,155 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** DSIR — Data Selection via Importance Resampling (Xie et al. 2023,
+  * "Data Selection for Language Models via Importance Resampling",
+  * arXiv:2302.03169): score every raw document by how much its n-gram
+  * feature distribution looks like a TARGET corpus, as the log importance
+  * ratio Σ_f c_f · (ln p̂_target(f) − ln p̂_raw(f)) over the document's
+  * feature occurrences, with Laplace-smoothed unigram feature models
+  * fitted on each corpus. Selecting k docs ∝ exp(weight) (the paper's
+  * resampling step) composes with the existing A-ES weighted sampler —
+  * [[select]] wires the two together.
+  *
+  * Beyond-reference operator: the reference framework has no
+  * distribution-matching selection; this is a standard LLM-data curation
+  * stage (the "match Wikipedia+books" recipe) sitting naturally next to
+  * quality scoring and dedup.
+  *
+  * Two feature spaces:
+  *  - [[logWeights]] — EXACT string features (word unigrams + bigrams by
+  *    default): the oracle-checkable path (DuckDB replays tokenization,
+  *    counts, smoothing, and the per-doc sum; q_dsir_weights).
+  *  - [[logWeightsHashed]] — the paper's hashed variant and the 100 TB
+  *    path: features bucket to `hash(gram) mod B` via the native
+  *    positional [[graft.expr.WordGramHashes]] kernel, so the weight
+  *    table is AT MOST B rows regardless of corpus vocabulary (B = 2^20
+  *    default ⇒ the table always broadcasts) and the smoothing vocabulary
+  *    is the fixed bucket space, exactly as in the paper. DsirSpec pins
+  *    hashed ≡ string on a collision-free fixture.
+  *
+  * Scale shape (both variants): the feature stream is one row per gram
+  * OCCURRENCE — linear in tokens, never materialized beyond the two
+  * count aggregations (map-side combinable: hot boilerplate grams cost
+  * one partial per task). The fitted weight table is vocab/bucket-sized —
+  * Catalyst broadcasts it when small, AQE handles the shuffle-join + skew
+  * otherwise (a stop-word bucket is exactly the skewed-key case). The
+  * per-doc weight sum partial-aggregates map-side. ONE scalar aggregate
+  * (N_target, N_raw, V) crosses to the driver — three numbers, not data.
+  * Nothing here is quadratic; the operator is two linear scans + two
+  * keyed counts + one keyed sum.
+  *
+  * Contracts: null/absent text ⇒ zero features ⇒ log_weight 0.0 (the
+  * neutral ratio — such docs sample at the exp(0) base rate rather than
+  * silently disappearing); docs with a null id are dropped from the raw
+  * side (no identity to weight); target rows only contribute their grams,
+  * null target texts contribute nothing. Raw-side features ALWAYS appear
+  * in the fitted vocabulary (they are part of the raw fit), so the
+  * per-doc join loses no occurrence.
+  */
+object Dsir {
+
+  /** Whitespace tokens of the normalized text (the corpus-wide
+    * tokenization every text operator shares). */
+  private def tokens(textCol: Column): Column =
+    filter(split(TextLib.normalized(textCol), " "), x => x =!= "")
+
+  /** Positional word n-grams as strings over a HOISTED token-array column
+    * — multiset semantics (WordShingles dedups; feature counts must not).
+    * `ws` must be a plain column reference: an inline expression would be
+    * re-evaluated per lambda element (the q_winnow_law lesson). */
+  private def gramStrings(ws: Column, n: Int): Column =
+    when(size(ws) >= n,
+      transform(sequence(lit(1), size(ws) - (n - 1)), i => array_join(slice(ws, i, lit(n)), " ")))
+      .otherwise(array().cast("array<string>"))
+
+  /** (id?, feature) occurrence stream — one row per gram occurrence. */
+  private def featureStream(df: DataFrame, textCol: String, idCols: Seq[Column],
+                            ns: Seq[Int]): DataFrame = {
+    val withWs = df.withColumn("__ws", tokens(col(textCol)))
+    val grams = flatten(array(ns.map(n => gramStrings(col("__ws"), n)): _*))
+    withWs.select((idCols :+ explode(grams).as("__f")): _*)
+  }
+
+  /** Hashed-bucket occurrence stream: native positional gram hashes →
+    * non-negative bucket id. */
+  private def bucketStream(df: DataFrame, textCol: String, idCols: Seq[Column],
+                           ns: Seq[Int], buckets: Int): DataFrame = {
+    val grams = flatten(array(ns.map(n =>
+      coalesce(graft.expr.WordGramHashes(col(textCol), n),
+        array().cast("array<bigint>"))): _*))
+    df.select((idCols :+ explode(grams).as("__h")): _*)
+      .select((idCols :+ pmod(col("__h"), lit(buckets.toLong)).as("__f")): _*)
+  }
+
+  /** Shared fit + per-doc sum over any feature stream. `vocabSize`:
+    * None = observed vocabulary (string variant, the paper's exact case);
+    * Some(B) = fixed bucket space (hashed variant). */
+  private def weigh(raw: DataFrame, idCol: String,
+                    rawFeats: DataFrame, targetFeats: DataFrame,
+                    alpha: Double, vocabSize: Option[Long]): DataFrame = {
+    val tc = targetFeats.groupBy(col("__f")).agg(count(lit(1)).as("__ct"))
+    val rc = rawFeats.groupBy(col("__f")).agg(count(lit(1)).as("__cr"))
+    val vocab = tc.join(rc, Seq("__f"), "full")
+      .select(col("__f"), coalesce(col("__ct"), lit(0L)).as("__ct"),
+        coalesce(col("__cr"), lit(0L)).as("__cr"))
+    // three scalars — the only driver-side data movement
+    val s = vocab.agg(sum(col("__ct")), sum(col("__cr")), count(lit(1))).head()
+    val nT = Option(s.get(0)).fold(0L)(_.asInstanceOf[Long]).toDouble
+    val nR = Option(s.get(1)).fold(0L)(_.asInstanceOf[Long]).toDouble
+    val v = vocabSize.getOrElse(s.getLong(2)).toDouble
+    val w = vocab.select(col("__f"),
+      (log((col("__ct") + alpha) / lit(nT + alpha * v)) -
+        log((col("__cr") + alpha) / lit(nR + alpha * v))).as("__lw"))
+    val perDoc = rawFeats.join(w, Seq("__f")) // raw features are in the fit by construction
+      .groupBy(col(idCol)).agg(sum(col("__lw")).as("__dsir_lw"))
+    raw.filter(col(idCol).isNotNull)
+      .join(perDoc, Seq(idCol), "left")
+      .withColumn("log_weight", coalesce(col("__dsir_lw"), lit(0.0)))
+      .drop("__dsir_lw")
+  }
+
+  /** Exact string-feature DSIR log weights: raw rows + `log_weight`. */
+  def logWeights(raw: DataFrame, target: DataFrame, textCol: String, idCol: String,
+                 ns: Seq[Int] = Seq(1, 2), alpha: Double = 1.0): DataFrame = {
+    require(ns.nonEmpty && ns.forall(_ >= 1), s"dsir: gram orders must be >= 1, got $ns")
+    require(alpha > 0, s"dsir: smoothing alpha must be positive, got $alpha")
+    val rawF = featureStream(raw.filter(col(idCol).isNotNull), textCol, Seq(col(idCol)), ns)
+    val tgtF = featureStream(target, textCol, Seq.empty, ns)
+    weigh(raw, idCol, rawF, tgtF, alpha, vocabSize = None)
+  }
+
+  /** Hashed-feature DSIR (the scale path): identical pipeline over
+    * `hash(gram) mod buckets`; smoothing vocabulary = the bucket space. */
+  def logWeightsHashed(raw: DataFrame, target: DataFrame, textCol: String, idCol: String,
+                       ns: Seq[Int] = Seq(1, 2), alpha: Double = 1.0,
+                       buckets: Int = 1 << 20): DataFrame = {
+    require(buckets > 0, s"dsir: buckets must be positive, got $buckets")
+    require(ns.nonEmpty && ns.forall(_ >= 1), s"dsir: gram orders must be >= 1, got $ns")
+    require(alpha > 0, s"dsir: smoothing alpha must be positive, got $alpha")
+    val rawF = bucketStream(raw.filter(col(idCol).isNotNull), textCol, Seq(col(idCol)), ns, buckets)
+    val tgtF = bucketStream(target, textCol, Seq.empty, ns, buckets)
+    weigh(raw, idCol, rawF, tgtF, alpha, vocabSize = Some(buckets.toLong))
+  }
+
+  /** The paper's resampling step: k docs sampled ∝ exp(log_weight),
+    * via the deterministic A-ES sampler ([[graft.ops.Scale.weightedSample]]).
+    * Weights are exp-normalized by the global max (one scalar aggregate)
+    * so the positive-weight domain the sampler requires never overflows;
+    * docs whose normalized weight underflows to 0.0 (log-ratio more than
+    * ~745 nats below the best doc) are unsampleable anyway and drop out.
+    */
+  def select(raw: DataFrame, target: DataFrame, textCol: String, idCol: String, k: Int,
+             ns: Seq[Int] = Seq(1, 2), alpha: Double = 1.0, hashedBuckets: Int = 0,
+             salt: Int = 42): DataFrame = {
+    val weighted =
+      if (hashedBuckets > 0) logWeightsHashed(raw, target, textCol, idCol, ns, alpha, hashedBuckets)
+      else logWeights(raw, target, textCol, idCol, ns, alpha)
+    val maxLw = weighted.agg(max(col("log_weight"))).head().getDouble(0)
+    val w = weighted.withColumn("__dsir_w", exp(col("log_weight") - lit(maxLw)))
+    graft.ops.Scale.weightedSample(w, "__dsir_w", idCol, k, salt = salt)
+      .drop("__dsir_w")
+  }
+}
