@@ -729,6 +729,25 @@ object QueriesText {
         .orderBy("doc_id")
     }),
 
+    "q_cut_dup_spans" -> ((s, dir) => {
+      // the CUT half of ExactSubstr (Lee et al. 2022): same plant as
+      // q_dup_spans (an 11-token sentence on every 3rd doc) — the
+      // smallest planted doc keeps its copy verbatim (canonical first
+      // occurrence), every later copy has the plant's dup-covered tokens
+      // removed. Oracle replays grams, the min-(doc,pos) canonical,
+      // window→position coverage, and the token-stream rewrite.
+      val planted = " the quick brown fox jumps over the lazy dog at midnight"
+      val d = t(s, dir, "documents")
+        .withColumn("text",
+          when(col("doc_id") % 3 === 0, concat(col("text"), lit(planted)))
+            .otherwise(col("text")))
+      Dedup.cutDuplicateSpans(d, "text", "doc_id", k = 5, minCount = 2)
+        .select(col("doc_id"), col("lang"), col("n_tokens"),
+          col("n_removed_tokens"), col("n_kept_tokens"),
+          length(col("text")).as("n_chars_kept"), md5(col("text")).as("text_md5"))
+        .orderBy("doc_id")
+    }),
+
     "q_dsir_weights" -> ((s, dir) => {
       // DSIR importance weights (Xie et al. 2023) vs a target slice of the
       // corpus: target = every 10th doc's n-gram distribution, raw = the
@@ -1358,6 +1377,54 @@ object QueriesText {
         |  round(CASE WHEN coalesce(len(t.ws), 0) > 0
         |    THEN coalesce(pd.dup_tokens, 0) * 1.0 / len(t.ws) ELSE 0.0 END + 1e-9, 6) AS dup_ratio
         |FROM t LEFT JOIN pd USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    "q_cut_dup_spans" ->
+      // mirrors Dedup.cutDuplicateSpans (k=5, minCount=2): string-keyed
+      // grams (engine uses xxhash64 — same partition sans 2^-64
+      // collisions), canonical = min (doc, pos) encoded as doc*1e6+pos
+      // (positions < 1e6 at every fixture SF), per-position coverage via
+      // window expansion, keep-first rewrite over the token stream.
+      """WITH u AS (
+        |  SELECT doc_id, lang,
+        |    CASE WHEN doc_id % 3 = 0
+        |      THEN text || ' the quick brown fox jumps over the lazy dog at midnight'
+        |      ELSE text END AS text
+        |  FROM documents),
+        |t AS (SELECT doc_id, lang, text,
+        |        list_filter(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+        |          x -> x <> '') AS ws
+        |      FROM u),
+        |g AS (SELECT doc_id, unnest(range(1, len(ws) - 3)) AS pos,
+        |        unnest(list_transform(range(1, len(ws) - 3),
+        |          i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4])) AS gram
+        |      FROM t WHERE len(ws) >= 5),
+        |fk AS (SELECT gram, min(doc_id * 1000000 + pos) AS canon
+        |       FROM g GROUP BY gram HAVING count(*) >= 2),
+        |cov AS (SELECT g.doc_id, unnest(range(g.pos, g.pos + 5)) AS tp,
+        |          unnest(list_transform(range(g.pos, g.pos + 5),
+        |            x -> g.doc_id * 1000000 + g.pos = fk.canon)) AS is_canon
+        |        FROM g JOIN fk USING (gram)),
+        |cv AS (SELECT doc_id, tp, bool_or(is_canon) AS any_canon
+        |       FROM cov GROUP BY 1, 2),
+        |tok AS (SELECT doc_id, unnest(range(1, len(ws) + 1)) AS tp, unnest(ws) AS tok
+        |        FROM t WHERE text IS NOT NULL),
+        |kp AS (SELECT tok.doc_id, tok.tp, tok.tok,
+        |         coalesce(NOT cv.any_canon, FALSE) AS rm
+        |       FROM tok LEFT JOIN cv USING (doc_id, tp)),
+        |rb AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |         CAST(sum(CASE WHEN rm THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+        |         coalesce(string_agg(CASE WHEN NOT rm THEN tok END, ' ' ORDER BY tp), '') AS text2
+        |       FROM kp GROUP BY 1)
+        |SELECT t.doc_id, t.lang,
+        |  coalesce(rb.n_tokens, 0) AS n_tokens,
+        |  coalesce(rb.n_removed, 0) AS n_removed_tokens,
+        |  coalesce(rb.n_tokens - rb.n_removed, 0) AS n_kept_tokens,
+        |  CAST(length(CASE WHEN t.text IS NULL THEN NULL
+        |    ELSE coalesce(rb.text2, t.text) END) AS INT) AS n_chars_kept,
+        |  md5(CASE WHEN t.text IS NULL THEN NULL
+        |    ELSE coalesce(rb.text2, t.text) END) AS text_md5
+        |FROM t LEFT JOIN rb USING (doc_id)
+        |ORDER BY t.doc_id""".stripMargin,
 
     "q_dsir_weights" ->
       // mirrors Dsir.logWeights (string features, unigrams+bigrams,

@@ -875,6 +875,91 @@ object Dedup {
       .drop("__ds_spans", "__ds_dup", "__ds_max", "__ds_grams")
   }
 
+  /** ExactSubstr CUT (round 9): rewrite each document's normalized token
+    * stream with duplicated spans REMOVED, keeping the corpus-wide
+    * canonical (first) occurrence — the other half of Lee et al. 2022's
+    * ExactSubstr dedup ([[duplicateSpans]] reports coverage; this applies
+    * the keep-first cut policy).
+    *
+    * Semantics: for every k-gram occurring >= `minCount` times corpus-wide,
+    * its CANONICAL occurrence is the minimal (doc, position). A token is
+    * removed iff it is covered by at least one flagged window and by NO
+    * canonical window — so the first copy of every duplicated span
+    * survives verbatim (including within-document self-repeats, whose
+    * first window is canonical), later copies are cut, and unique text is
+    * untouched. Output text is the surviving NORMALIZED tokens joined by
+    * single spaces (the operator family's shared tokenization; original
+    * whitespace/casing is not reconstructed — same contract as
+    * paragraphDedup's reassembly).
+    *
+    * Scale shape: gram rows (id, pos, hash) as in duplicateSpans; the
+    * canonical argmin rides the SAME map-side-combinable count aggregate
+    * (min(struct(doc,pos)) combines like count). Window→position coverage
+    * explodes k rows per FLAGGED gram (duplication-bound, not corpus-
+    * bound); the token stream is one row per token (linear — the rewrite
+    * has to touch every token by definition). Per-doc reassembly
+    * collect_lists surviving (pos, token) pairs — bounded by document
+    * length, the paragraphDedup precedent. Null-id rows pass through
+    * untouched (stats null); null/token-free texts pass through with
+    * n_tokens 0 and nothing cut.
+    *
+    * Output: input row + rewritten `textCol` + n_tokens (pre-cut),
+    * n_removed_tokens, n_kept_tokens.
+    */
+  def cutDuplicateSpans(df: DataFrame, textCol: String, idCol: String,
+                        k: Int = 5, minCount: Int = 2): DataFrame = {
+    require(k >= 1, s"cutDuplicateSpans: k must be >= 1, got $k")
+    require(minCount >= 2, s"cutDuplicateSpans: minCount must be >= 2, got $minCount")
+    val base = df.filter(col(idCol).isNotNull && col(textCol).isNotNull)
+    val grams = base
+      .select(col(idCol).as("__cd_id"),
+        posexplode(graft.expr.WordGramHashes(col(textCol), k)).as(Seq("__p0", "__gk")))
+      .select(col("__cd_id"), (col("__p0") + 1).as("__pos"), col("__gk"))
+    val flaggedKeys = grams.groupBy(col("__gk"))
+      .agg(count(lit(1)).as("__c"),
+        min(struct(col("__cd_id").as("d"), col("__pos").as("p"))).as("__canon"))
+      .filter(col("__c") >= minCount)
+      .select(col("__gk"), col("__canon"))
+    // flagged occurrences, each expanded to its k covered token positions;
+    // per (doc, position): presence = dup-covered, any canonical window?
+    val coverage = grams.join(flaggedKeys, Seq("__gk"))
+      .withColumn("__is_canon",
+        col("__cd_id") === col("__canon.d") && col("__pos") === col("__canon.p"))
+      .select(col("__cd_id"),
+        explode(sequence(col("__pos"), col("__pos") + (k - 1))).as("__tp"),
+        col("__is_canon"))
+      .groupBy(col("__cd_id"), col("__tp"))
+      .agg(max(col("__is_canon")).as("__any_canon"))
+    val toks = base
+      .select(col(idCol).as("__cd_id"),
+        posexplode(filter(split(TextLib.normalized(col(textCol)), " "), x => x =!= ""))
+          .as(Seq("__tp0", "__tok")))
+      .select(col("__cd_id"), (col("__tp0") + 1).as("__tp"), col("__tok"))
+    val rebuilt = toks.join(coverage, Seq("__cd_id", "__tp"), "left")
+      // absent from coverage → not dup-covered → kept; present → removed
+      // unless some covering window is canonical
+      .withColumn("__rm",
+        when(col("__any_canon").isNull, lit(false)).otherwise(!col("__any_canon")))
+      .groupBy(col("__cd_id"))
+      .agg(count(lit(1)).as("__cd_n"),
+        sum(when(col("__rm"), 1L).otherwise(0L)).as("__cd_rm"),
+        array_join(transform(
+          array_sort(collect_list(when(!col("__rm"), struct(col("__tp"), col("__tok"))))),
+          s => s.getField("__tok")), " ").as("__cd_text"))
+    val participated = col(idCol).isNotNull
+    df.drop("n_tokens", "n_removed_tokens", "n_kept_tokens")
+      .alias("__cd_l").join(rebuilt.alias("__cd_r"),
+        col(s"__cd_l.$idCol") === col("__cd_r.__cd_id"), "left")
+      .withColumn("n_tokens", when(participated, coalesce(col("__cd_n"), lit(0L))))
+      .withColumn("n_removed_tokens", when(participated, coalesce(col("__cd_rm"), lit(0L))))
+      .withColumn("n_kept_tokens",
+        when(participated, coalesce(col("__cd_n") - col("__cd_rm"), lit(0L))))
+      .withColumn(textCol,
+        when(!participated || col(textCol).isNull || col("__cd_text").isNull, col(textCol))
+          .otherwise(col("__cd_text")))
+      .drop("__cd_id", "__cd_n", "__cd_rm", "__cd_text")
+  }
+
   // ---------------------------------------------------------------- snapshot diff
 
   /** Snapshot delta between two curation rounds: per-id status

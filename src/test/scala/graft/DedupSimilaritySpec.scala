@@ -74,6 +74,42 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("cutDuplicateSpans: keep-first cut — canonical copy survives verbatim, later copies are cut") {
+    val k = 5
+    val corpus = Seq(
+      // doc 1 < doc 2 share an 8-token span: 1 is canonical, 2 loses it
+      (1L, "p1 p2 s1 s2 s3 s4 s5 s6 s7 s8 p3"),
+      (2L, "q1 q2 q3 s1 s2 s3 s4 s5 s6 s7 s8 q4 q5"),
+      // doc 3: within-doc self-repeat — FIRST occurrence is canonical
+      (3L, "a b c d e XX a b c d e"),
+      // doc 4 is ENTIRELY a later copy of doc 1's span → fully cut
+      (4L, "s1 s2 s3 s4 s5 s6 s7 s8"),
+      (5L, "unique tokens only here nothing shared at all"),
+      (6L, "shrt"),                           // under k tokens: no grams
+      (7L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val out = graft.text.Dedup.cutDuplicateSpans(corpus, "text", "doc_id", k = k, minCount = 2)
+      .select("doc_id", "text", "n_tokens", "n_removed_tokens", "n_kept_tokens")
+      .collect().map(r => r.getLong(0) -> ((
+        if (r.isNullAt(1)) null else r.getString(1),
+        r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // canonical doc: nothing removed, text re-emitted as normalized tokens
+    assert(out(1L) == ("p1 p2 s1 s2 s3 s4 s5 s6 s7 s8 p3", 11L, 0L, 11L), s"doc1: ${out(1L)}")
+    // later copy: exactly the 8 span tokens cut, fillers survive in order
+    assert(out(2L) == ("q1 q2 q3 q4 q5", 13L, 8L, 5L), s"doc2: ${out(2L)}")
+    // self-repeat: first occurrence kept (its window is canonical), second cut;
+    // the separator token is uncovered and survives (lowercased)
+    assert(out(3L) == ("a b c d e xx", 11L, 5L, 6L), s"doc3: ${out(3L)}")
+    // a document that IS a later copy is cut to empty
+    assert(out(4L) == ("", 8L, 8L, 0L), s"doc4: ${out(4L)}")
+    assert(out(5L)._3 == 0L && out(5L)._2 == 8L, s"unique doc untouched: ${out(5L)}")
+    assert(out(6L) == ("shrt", 1L, 0L, 1L), s"sub-k doc untouched: ${out(6L)}")
+    assert(out(7L) == ((null, 0L, 0L, 0L)), s"null text passes through: ${out(7L)}")
+    // corpus-level guarantee: every flagged gram's text survives SOMEWHERE
+    // (the canonical copy) — s1..s8 and a..e remain findable
+    assert(out(1L)._1.contains("s1 s2 s3 s4 s5 s6 s7 s8") && out(3L)._1.startsWith("a b c d e"))
+  }
+
   test("exact dedup collapses case/whitespace variants, keeps min id") {
     val out = Dedup.exact(docs, "text", "doc_id").select("doc_id").as[Long].collect().sorted
     assert(out.toSeq == Seq(1L, 2L, 3L, 5L)) // 4 collapsed into 1
