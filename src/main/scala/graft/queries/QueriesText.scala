@@ -906,6 +906,16 @@ object QueriesText {
           roundf(col("lm_logprob"), 4).as("lm_logprob"))
         .orderBy("doc_id")),
 
+    "q_ppl_buckets" -> ((s, dir) =>
+      // CCNet head/middle/tail: per-language ntile(3) over the 6dp-rounded
+      // unigram LM logprob (desc = lowest perplexity first), ties by
+      // doc_id. Same self-trained vocab-2000 model as q_lm_score, so the
+      // oracle reuses that replay verbatim.
+      TextLib.perplexityBuckets(t(s, dir, "documents"), "text", "doc_id",
+          groupCols = Seq("lang"), nBuckets = 3, vocabSize = 2000)
+        .select(col("doc_id"), col("lang"), col("n_tokens"), col("ppl_bucket"))
+        .orderBy("doc_id")),
+
     "q_lm_bigram" -> ((s, dir) =>
       // Stupid-Backoff bigram LM, self-trained; vocab and bigram caps both
       // below the corpus distinct counts at every SF so every branch of the
@@ -2070,6 +2080,34 @@ object QueriesText {
         |  round(s.lm_logprob + 1e-9, 4) AS lm_logprob
         |FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
         |ORDER BY d.doc_id""".stripMargin,
+
+    "q_ppl_buckets" ->
+      // q_lm_score's model replay + per-language ntile over the rounded
+      // score; token-free docs are never ranked (null bucket) so they
+      // cannot shift a boundary
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(
+        |    trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS token
+        |  FROM documents),
+        |tk AS (SELECT doc_id, token FROM toks WHERE token <> ''),
+        |counts AS (SELECT token, count(*) AS tf FROM tk GROUP BY token),
+        |tot AS (SELECT CAST(sum(tf) AS DOUBLE) AS T FROM counts),
+        |vocab AS (SELECT token, tf FROM counts ORDER BY tf DESC, token LIMIT 2000),
+        |lp AS (SELECT v.token, ln(CAST(v.tf AS DOUBLE) / t.T) AS lp FROM vocab v CROSS JOIN tot t),
+        |scored AS (
+        |  SELECT tk.doc_id, count(*) AS n_tokens,
+        |    avg(coalesce(lp.lp, -ln(t.T))) AS lm_logprob
+        |  FROM tk LEFT JOIN lp ON tk.token = lp.token CROSS JOIN tot t
+        |  GROUP BY tk.doc_id),
+        |r AS (SELECT d.doc_id, d.lang, s.n_tokens, s.lm_logprob
+        |      FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id),
+        |b AS (SELECT doc_id, ntile(3) OVER (
+        |        PARTITION BY lang ORDER BY round(lm_logprob + 1e-9, 6) DESC, doc_id) AS ppl_bucket
+        |      FROM r WHERE lm_logprob IS NOT NULL)
+        |SELECT r.doc_id, r.lang, CAST(coalesce(r.n_tokens, 0) AS BIGINT) AS n_tokens,
+        |  CAST(b.ppl_bucket AS INT) AS ppl_bucket
+        |FROM r LEFT JOIN b ON r.doc_id = b.doc_id
+        |ORDER BY r.doc_id""".stripMargin,
 
     "q_lm_bigram" ->
       // replays bigramScore's pinned float chain: ln(btf/ptf) for seen

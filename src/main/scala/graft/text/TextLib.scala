@@ -318,6 +318,44 @@ object TextLib {
       .drop("__lm_n", "__lm_lp")
   }
 
+  /** CCNet-style perplexity buckets (Wenzek et al. 2020, "CCNet:
+    * Extracting High Quality Monolingual Datasets from Web Crawl Data"):
+    * per group (language, in CCNet), split documents into `nBuckets`
+    * equal-population buckets by LM score — bucket 1 = "head" (highest
+    * logprob = lowest perplexity), nBuckets = "tail". The bucket is the
+    * standard curation handle: keep head+middle, drop or re-sample tail.
+    *
+    * The rank basis is the 6dp-ROUNDED logprob (ties by id): avg() is
+    * float-summation-order dependent, so ranking raw doubles would make
+    * bucket boundaries partition-layout- and engine-dependent; rounding
+    * pins the order (the oracle discipline every float gate here uses).
+    * Token-free docs (null lm_logprob) get a null bucket — they were
+    * never scored, and counting them in a bucket would shift every
+    * boundary.
+    *
+    * Scale: one window per GROUP — pass real group columns (language) so
+    * no single task sorts the corpus; the LM fit itself is the
+    * [[unigramScore]] broadcast model. An ungrouped call is a global sort
+    * and is only for small frames (PlanLint would flag it in a registered
+    * query).
+    */
+  def perplexityBuckets(df: DataFrame, textCol: String, idCol: String,
+                        groupCols: Seq[String] = Nil, nBuckets: Int = 3,
+                        corpus: DataFrame = null, corpusTextCol: String = null,
+                        vocabSize: Int = 50000): DataFrame = {
+    require(nBuckets >= 2, s"perplexityBuckets: nBuckets must be >= 2, got $nBuckets")
+    import org.apache.spark.sql.expressions.Window
+    val scored = unigramScore(df, textCol, idCol, corpus, corpusTextCol, vocabSize)
+    val w = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(round(col("lm_logprob") + lit(1e-9), 6).desc, col(idCol).asc)
+    val ranked = scored.filter(col("lm_logprob").isNotNull && col(idCol).isNotNull)
+      .select((groupCols.map(col) :+ col(idCol) :+
+        ntile(nBuckets).over(w).as("ppl_bucket")): _*)
+      .select(col(idCol), col("ppl_bucket"))
+    scored.drop("ppl_bucket")
+      .alias("__pb_d").join(ranked.alias("__pb_r"), Seq(idCol), "left")
+  }
+
   /** Adjacent-token (prev, cur) pair rows of the normalized tokenization,
     * one row per position; position 1 carries a null prev. Shared by the
     * bigram trainer and the bigram scorer so the pair definition cannot

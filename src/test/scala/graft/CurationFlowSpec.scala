@@ -62,6 +62,39 @@ class CurationFlowSpec extends SparkSpec {
     }
   }
 
+  test("perplexityBuckets: exact per-lang ntile — balanced, ordered, null-safe (round 9)") {
+    // the dedicated rank-based operator (vs the quantile-threshold
+    // composition below): buckets are EXACTLY balanced (±1 per group, no
+    // tie-absorption), head scores >= tail scores within each group, and
+    // unscoreable docs never shift a boundary
+    val docs = ((1L to 31L).map { i =>
+      (i, "en", (0 until 10).map(j => s"en${(i * 3 + j) % 11}").mkString(" "))
+    } ++ (101L to 123L).map { i =>
+      (i, "de", (0 until 10).map(j => s"de${(i * 5 + j) % 13}").mkString(" "))
+    } ++ Seq((300L, "en", ""), (301L, "de", null.asInstanceOf[String])))
+      .toDF("doc_id", "lang", "text")
+    val out = graft.text.TextLib.perplexityBuckets(docs, "text", "doc_id",
+        groupCols = Seq("lang"), nBuckets = 3)
+      .select("doc_id", "lang", "lm_logprob", "ppl_bucket").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) Double.NaN else r.getDouble(2),
+        if (r.isNullAt(3)) -1 else r.getInt(3)))
+    // token-free docs: null bucket, and the SCORED population still splits
+    // into exact tertiles (31 → 11/10/10, 23 → 8/8/7)
+    assert(out.filter(r => r._1 >= 300L).forall(_._4 == -1), "unscoreable docs must get a null bucket")
+    for ((lang, n) <- Seq("en" -> 31, "de" -> 23)) {
+      val g = out.filter(r => r._2 == lang && r._4 > 0)
+      assert(g.length == n)
+      val sizes = g.groupBy(_._4).view.mapValues(_.length).toMap
+      assert(sizes.keySet == Set(1, 2, 3) && sizes.values.max - sizes.values.min <= 1,
+        s"$lang ntile must balance exactly: $sizes")
+      // ordering: every head (1) score >= every tail (3) score
+      val head = g.filter(_._4 == 1).map(_._3)
+      val tail = g.filter(_._4 == 3).map(_._3)
+      assert(head.min >= tail.max - 1e-12, s"$lang head/tail inverted: ${head.min} < ${tail.max}")
+    }
+  }
+
   test("CCNet-style gate composes: LM score → per-lang perplexity buckets") {
     // two languages with distinct vocabularies; a few gibberish docs per
     // language must land in the tail bucket of THEIR language
