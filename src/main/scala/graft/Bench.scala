@@ -213,7 +213,13 @@ object Bench {
     // no timing track — an iterative-graph loop and a golden-family
     // cells → pairs → connected-components composite)
     "q_pagerank",            // iterative convergence loop + per-iteration localCheckpoint
-    "q_semantic_dedup"       // SemDeDup: driver Lloyd + cell pairs + CC + election
+    "q_semantic_dedup",      // SemDeDup: driver Lloyd + cell pairs + CC + election
+    // round-9 additions (new beyond-reference operators get a perf track
+    // from birth; priors appear in BENCH_r09, adjudication skips them
+    // until then)
+    "q_dsir_weights",        // DSIR: 2 gram scans + fit + per-doc sum
+    "q_cut_dup_spans",       // ExactSubstr cut: flag + canonical + token rewrite
+    "q_ppl_buckets"          // CCNet: LM score + per-lang ntile
   )
 
   /** Secondary ring (VERDICT r7 #8): the heaviest CORRECTNESS-only law

@@ -103,6 +103,15 @@ object Dsir {
     val w = vocab.select(col("__f"),
       (log((col("__ct") + alpha) / lit(nT + alpha * v)) -
         log((col("__cr") + alpha) / lit(nR + alpha * v))).as("__lw"))
+    // Occurrence-stream join, deliberately NOT pre-aggregated to
+    // (doc, gram, count): the "obvious" refinement (join doc-distinct
+    // grams, sum c·lw) was built and MEASURED at the ×100 stress —
+    // same-box A/B bracketed runs: occurrence join 38.1/36.5 s,
+    // pre-agg 39.0 s. Parity within noise: the wall is the two tokenize+
+    // gram scans, not the join (AQE handles the weight-table side), and
+    // the pre-agg pays an extra (doc, gram) exchange for nothing. Revert
+    // recorded here so the idea isn't re-tried naively (the bucketPairs
+    // precedent).
     val perDoc = rawFeats.join(w, Seq("__f")) // raw features are in the fit by construction
       .groupBy(col(idCol)).agg(sum(col("__lw")).as("__dsir_lw"))
     raw.filter(col(idCol).isNotNull)
