@@ -729,6 +729,21 @@ object QueriesText {
         .orderBy("doc_id")
     }),
 
+    "q_cut_contaminated" -> ((s, dir) => {
+      // surgical decontamination on the q_contamination fixture: the
+      // mutated eval copies share every interior 5-gram with their eval
+      // source, so their overlapping spans are cut while clean text (and
+      // clean docs) survive verbatim — the span-level alternative to
+      // q_decontaminate's whole-doc drop
+      val (train, ev) = trainEvalSplit(s, dir)
+      graft.text.Contamination.cutContaminatedSpans(
+          train, "text", "doc_id", ev, "text", n = 5)
+        .select(col("doc_id"), col("lang"), col("n_tokens"),
+          col("n_removed_tokens"), col("n_kept_tokens"),
+          length(col("text")).as("n_chars_kept"), md5(col("text")).as("text_md5"))
+        .orderBy("doc_id")
+    }),
+
     "q_cut_dup_spans" -> ((s, dir) => {
       // the CUT half of ExactSubstr (Lee et al. 2022): same plant as
       // q_dup_spans (an 11-token sentence on every 3rd doc) — the
@@ -1387,6 +1402,54 @@ object QueriesText {
         |  round(CASE WHEN coalesce(len(t.ws), 0) > 0
         |    THEN coalesce(pd.dup_tokens, 0) * 1.0 / len(t.ws) ELSE 0.0 END + 1e-9, 6) AS dup_ratio
         |FROM t LEFT JOIN pd USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    "q_cut_contaminated" ->
+      // mirrors Contamination.cutContaminatedSpans (n=5): POSITIONAL
+      // grams (no short-doc fallback — WordGramHashes emits nothing under
+      // n tokens, unlike the shingle index q_contamination replays), the
+      // eval gram SET, coverage positions, token rewrite
+      """WITH ev AS (SELECT doc_id, text, lang FROM documents WHERE doc_id % 50 = 0),
+        |tr AS (
+        |  SELECT doc_id, text, lang FROM documents WHERE doc_id % 50 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 100000, regexp_replace(text, '\s+\S+\s*$', ''), lang FROM ev),
+        |t AS (SELECT doc_id, lang, text,
+        |        list_filter(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+        |          x -> x <> '') AS ws
+        |      FROM tr),
+        |eg AS (SELECT DISTINCT gram FROM (
+        |        SELECT unnest(list_transform(range(1, len(ws) - 3),
+        |          i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4])) AS gram
+        |        FROM (SELECT list_filter(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+        |                x -> x <> '') AS ws
+        |              FROM ev WHERE text IS NOT NULL)
+        |        WHERE len(ws) >= 5)),
+        |tg AS (SELECT doc_id, unnest(range(1, len(ws) - 3)) AS pos,
+        |        unnest(list_transform(range(1, len(ws) - 3),
+        |          i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4])) AS gram
+        |      FROM t WHERE len(ws) >= 5),
+        |rmpos AS (SELECT DISTINCT doc_id, tp FROM (
+        |        SELECT tg.doc_id, unnest(range(tg.pos, tg.pos + 5)) AS tp
+        |        FROM tg JOIN eg USING (gram))),
+        |tok AS (SELECT doc_id, unnest(range(1, len(ws) + 1)) AS tp, unnest(ws) AS tok
+        |        FROM t WHERE text IS NOT NULL),
+        |kp AS (SELECT tok.doc_id, tok.tp, tok.tok,
+        |         (rmpos.tp IS NOT NULL) AS rm
+        |       FROM tok LEFT JOIN rmpos USING (doc_id, tp)),
+        |rb AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |         CAST(sum(CASE WHEN rm THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+        |         coalesce(string_agg(CASE WHEN NOT rm THEN tok END, ' ' ORDER BY tp), '') AS text2
+        |       FROM kp GROUP BY 1)
+        |SELECT t.doc_id, t.lang,
+        |  coalesce(rb.n_tokens, 0) AS n_tokens,
+        |  coalesce(rb.n_removed, 0) AS n_removed_tokens,
+        |  coalesce(rb.n_tokens - rb.n_removed, 0) AS n_kept_tokens,
+        |  CAST(length(CASE WHEN t.text IS NULL THEN NULL
+        |    ELSE coalesce(rb.text2, t.text) END) AS INT) AS n_chars_kept,
+        |  md5(CASE WHEN t.text IS NULL THEN NULL
+        |    ELSE coalesce(rb.text2, t.text) END) AS text_md5
+        |FROM t LEFT JOIN rb USING (doc_id)
+        |ORDER BY t.doc_id""".stripMargin,
 
     "q_cut_dup_spans" ->
       // mirrors Dedup.cutDuplicateSpans (k=5, minCount=2): string-keyed

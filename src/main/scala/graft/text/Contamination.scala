@@ -62,6 +62,49 @@ object Contamination {
     train.join(flagged, Seq(idCol), "left_anti")
   }
 
+  /** Surgical span-level decontamination (round 9): instead of DROPPING a
+    * training document that overlaps the eval suite ([[decontaminate]]),
+    * CUT the overlapping spans and keep the rest — the right tool when a
+    * long document quotes one benchmark question but carries a megabyte of
+    * clean text. Every training token covered by an n-gram window that
+    * appears anywhere in the eval suite is removed (no keep-first here:
+    * eval text must not survive in ANY training copy); the output is the
+    * rewritten normalized token stream + n_tokens / n_removed_tokens /
+    * n_kept_tokens (the [[Dedup.cutDuplicateSpans]] stat family — both
+    * cuts share [[Dedup.rewriteWithoutPositions]]).
+    *
+    * Scale shape: the eval n-gram HASH set broadcasts (suites are MBs —
+    * the same contract as [[contaminationStats]]); the corpus probes it
+    * map-side on positional gram hashes, so only matched windows reach the
+    * coverage aggregation, and the token-stream rewrite is linear. The
+    * corpus never shuffles on content. Spans shorter than n tokens are
+    * invisible — same threshold semantics as the flag-side check (pick n
+    * accordingly; 8 here vs GPT-3's 13-gram).
+    *
+    * Null contracts match the cut family: null-id / null-text rows pass
+    * through untouched (stats null for null ids; 0/unchanged for null
+    * texts), token-free docs report 0.
+    */
+  def cutContaminatedSpans(
+      train: DataFrame, textCol: String, idCol: String,
+      evalDf: DataFrame, evalTextCol: String,
+      n: Int = 8
+  ): DataFrame = {
+    require(n >= 1, s"cutContaminatedSpans: n must be >= 1, got $n")
+    val evalGrams = broadcast(evalDf.filter(col(evalTextCol).isNotNull)
+      .select(explode(graft.expr.WordGramHashes(col(evalTextCol), n)).as("__gk"))
+      .distinct())
+    val base = train.filter(col(idCol).isNotNull && col(textCol).isNotNull)
+    val removed = base
+      .select(col(idCol).as("__cd_id"),
+        posexplode(graft.expr.WordGramHashes(col(textCol), n)).as(Seq("__p0", "__gk")))
+      .join(evalGrams, Seq("__gk")) // broadcast: corpus stays map-local
+      .select(col("__cd_id"),
+        explode(sequence(col("__p0") + 1, col("__p0") + n)).as("__tp"))
+      .distinct() // overlapping matched windows cover a position once
+    Dedup.rewriteWithoutPositions(train, base, textCol, idCol, removed)
+  }
+
   /** Embedding-side contamination: for each training row, the maximum cosine
     * similarity against the held-out eval suite's embeddings, plus which eval
     * row attains it — the semantic sibling of the n-gram overlap check above

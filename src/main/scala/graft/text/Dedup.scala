@@ -930,16 +930,28 @@ object Dedup {
         col("__is_canon"))
       .groupBy(col("__cd_id"), col("__tp"))
       .agg(max(col("__is_canon")).as("__any_canon"))
+    val removed = coverage.filter(!col("__any_canon"))
+      .select(col("__cd_id"), col("__tp"))
+    rewriteWithoutPositions(df, base, textCol, idCol, removed)
+  }
+
+  /** Shared token-stream rewrite: drop the (id, position) pairs in
+    * `removed` (columns __cd_id, __tp, 1-based over the normalized
+    * tokenization) from every `base` doc, join the rebuilt text + stats
+    * back onto `df`. Used by [[cutDuplicateSpans]] (keep-first policy
+    * computes `removed`) and Contamination.cutContaminatedSpans (every
+    * eval-matching window is removed). Per-doc reassembly is bounded by
+    * document length — the paragraphDedup precedent. */
+  private[text] def rewriteWithoutPositions(df: DataFrame, base: DataFrame,
+      textCol: String, idCol: String, removed: DataFrame): DataFrame = {
     val toks = base
       .select(col(idCol).as("__cd_id"),
         posexplode(filter(split(TextLib.normalized(col(textCol)), " "), x => x =!= ""))
           .as(Seq("__tp0", "__tok")))
       .select(col("__cd_id"), (col("__tp0") + 1).as("__tp"), col("__tok"))
-    val rebuilt = toks.join(coverage, Seq("__cd_id", "__tp"), "left")
-      // absent from coverage → not dup-covered → kept; present → removed
-      // unless some covering window is canonical
-      .withColumn("__rm",
-        when(col("__any_canon").isNull, lit(false)).otherwise(!col("__any_canon")))
+    val rebuilt = toks.join(
+        removed.withColumn("__rm0", lit(true)), Seq("__cd_id", "__tp"), "left")
+      .withColumn("__rm", coalesce(col("__rm0"), lit(false)))
       .groupBy(col("__cd_id"))
       .agg(count(lit(1)).as("__cd_n"),
         sum(when(col("__rm"), 1L).otherwise(0L)).as("__cd_rm"),

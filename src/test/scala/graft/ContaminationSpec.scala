@@ -137,6 +137,31 @@ class ContaminationSpec extends SparkSpec {
     assert(atEdge)
   }
 
+  test("cutContaminatedSpans: eval text is cut from train, clean text survives verbatim") {
+    val ev = Seq(
+      (900L, "what is the capital of assyria in the late bronze age"),
+      (901L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val train = Seq(
+      // benchmark question quoted mid-document → exactly those tokens cut
+      (1L, "intro words here what is the capital of assyria in the late bronze age and some closing thoughts"),
+      (2L, "完全 unrelated clean document with enough tokens to matter"),
+      // partial overlap UNDER n tokens (4 < 5) → invisible, untouched
+      (3L, "askers wonder what is the capital maybe"),
+      (4L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val out = Contamination.cutContaminatedSpans(train, "text", "doc_id", ev, "text", n = 5)
+      .select("doc_id", "text", "n_tokens", "n_removed_tokens", "n_kept_tokens")
+      .collect().map(r => r.getLong(0) -> ((
+        if (r.isNullAt(1)) null else r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    // doc 1: 11 eval tokens cut, the 3+4 filler tokens survive in order
+    assert(out(1L) == ("intro words here and some closing thoughts", 18L, 11L), s"doc1: ${out(1L)}")
+    assert(!out(1L)._1.contains("assyria"), "no eval token may survive in the cut span")
+    assert(out(2L)._3 == 0L, s"clean doc untouched: ${out(2L)}")
+    assert(out(3L)._3 == 0L, s"sub-n overlap is invisible (threshold semantics): ${out(3L)}")
+    assert(out(4L) == ((null, 0L, 0L)), s"null text passes through: ${out(4L)}")
+  }
+
   test("semanticContamination kernel == the crossJoin plan it replaced, hostile inputs included") {
     // the MaxCosAgainst kernel claims bit-equality with the old plan-level
     // formulation (crossJoin → cosinePreNorm → round 6 → min(struct)) —
