@@ -423,6 +423,35 @@ object QueriesLaws {
         .select(col("doc_id"), col("n_tokens"), col("n_spans"), col("dup_tokens"),
           col("max_span_tokens"), col("n_dup_grams"))
         .orderBy("doc_id")
+    }),
+
+    "q_dsir_hashed_law" -> ((s, dir) => {
+      // the DSIR train-then-apply split == the fused aggregate formulation
+      // (round 9): fitHashed collects the B-bounded weight table once and
+      // applyHashed scores via the pure-map BucketWeightSum kernel (the
+      // streaming ingest path); logWeightsHashed is the join/agg plan.
+      // Both are engine-valued (xxhash buckets), so the law compares them
+      // IN-ENGINE and the oracle pins the zeroed mismatch counters
+      // analytically (the q_semantic_contamination_law pattern). 1e-9
+      // tolerance: the kernel sums per-doc in array order, the aggregate
+      // in partition order.
+      val d = t(s, dir, "documents")
+      val raw = d.filter(col("doc_id") % 10 =!= 0)
+      val target = d.filter(col("doc_id") % 10 === 0)
+      val buckets = 1 << 18
+      val agg = graft.text.Dsir.logWeightsHashed(raw, target, "text", "doc_id",
+          buckets = buckets)
+        .select(col("doc_id"), col("log_weight").as("__a"))
+      val model = graft.text.Dsir.fitHashed(raw, target, "text", buckets = buckets)
+      val kern = graft.text.Dsir.applyHashed(raw.select(col("doc_id"), col("text")),
+          "text", model)
+        .select(col("doc_id"), col("log_weight").as("__k"))
+      agg.join(kern, Seq("doc_id"), "full")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(when(col("__a").isNull || col("__k").isNull, 1L).otherwise(0L))
+            .as("n_missing"),
+          sum(when(abs(col("__a") - col("__k")) > 1e-9, 1L).otherwise(0L))
+            .as("n_mismatch"))
     })
   )
 
@@ -490,6 +519,10 @@ object QueriesLaws {
           |  CAST(CASE doc_id % 4 WHEN 0 THEN 11 WHEN 2 THEN 6 ELSE 0 END AS BIGINT) AS max_span_tokens,
           |  CAST(CASE doc_id % 4 WHEN 0 THEN 7 WHEN 2 THEN 4 ELSE 0 END AS BIGINT) AS n_dup_grams
           |FROM documents ORDER BY doc_id""".stripMargin,
+      "q_dsir_hashed_law" ->
+        """SELECT CAST((SELECT count(*) FROM documents WHERE doc_id % 10 <> 0) AS BIGINT) AS n_rows,
+          |  CAST(0 AS BIGINT) AS n_missing,
+          |  CAST(0 AS BIGINT) AS n_mismatch""".stripMargin,
       "q_semantic_contamination_law" ->
         """SELECT CAST((SELECT count(*) FROM embeddings WHERE vec_id % 50 <> 0) AS BIGINT) AS n_rows,
           |  CAST(0 AS BIGINT) AS n_flag_mismatch,

@@ -143,6 +143,56 @@ object Dsir {
     weigh(raw, idCol, rawF, tgtF, alpha, vocabSize = Some(buckets.toLong))
   }
 
+  /** Fit the hashed model ONCE and return the B-bounded weight table —
+    * the train-then-apply split [[logWeightsHashed]] fuses. The table is
+    * at most `buckets` doubles (2 MB at the 2^18 default here, 8 MB at
+    * 2^20), so it collects and broadcasts by construction; unobserved
+    * buckets carry the shared ct=cr=0 smoothing weight. Use with
+    * [[applyHashed]] for STREAMING ingest gates (the fit's count
+    * aggregations cannot run per micro-batch; the fitted table can) and
+    * for scoring new corpora against a frozen reference fit. */
+  def fitHashed(raw: DataFrame, target: DataFrame, textCol: String,
+                ns: Seq[Int] = Seq(1, 2), alpha: Double = 1.0,
+                buckets: Int = 1 << 18): graft.expr.DsirWeights = {
+    require(buckets > 0, s"dsir: buckets must be positive, got $buckets")
+    require(ns.nonEmpty && ns.forall(_ >= 1), s"dsir: gram orders must be >= 1, got $ns")
+    require(alpha > 0, s"dsir: smoothing alpha must be positive, got $alpha")
+    val rawF = bucketStream(raw, textCol, Seq.empty, ns, buckets)
+    val tgtF = bucketStream(target, textCol, Seq.empty, ns, buckets)
+    val tc = tgtF.groupBy(col("__f")).agg(count(lit(1)).as("__ct"))
+    val rc = rawF.groupBy(col("__f")).agg(count(lit(1)).as("__cr"))
+    val vocab = tc.join(rc, Seq("__f"), "full")
+      .select(col("__f"), coalesce(col("__ct"), lit(0L)).as("__ct"),
+        coalesce(col("__cr"), lit(0L)).as("__cr"))
+      .collect() // ≤ buckets rows by construction — the table IS the model
+    val nT = vocab.map(_.getLong(1)).sum.toDouble
+    val nR = vocab.map(_.getLong(2)).sum.toDouble
+    val v = buckets.toDouble
+    def lw(ct: Long, cr: Long): Double =
+      math.log((ct + alpha) / (nT + alpha * v)) - math.log((cr + alpha) / (nR + alpha * v))
+    val w = Array.fill(buckets)(lw(0L, 0L))
+    vocab.foreach(r => w(r.getLong(0).toInt) = lw(r.getLong(1), r.getLong(2)))
+    new graft.expr.DsirWeights(buckets, w)
+  }
+
+  /** Score any frame — batch or STREAMING — against a fitted hashed model:
+    * a pure map (the [[graft.expr.BucketWeightSum]] kernel sums bucket
+    * weights over the native positional gram hashes), zero joins, zero
+    * shuffles, so it composes into `readStream → applyHashed → filter`
+    * ingest gates. Agreement with [[logWeightsHashed]] on the SAME
+    * raw/target fit is pinned by q_dsir_hashed_law (1e-9 — the kernel sums
+    * per-document in array order, the aggregate in partition order).
+    * Null/token-free texts score the neutral 0.0, as everywhere in DSIR. */
+  def applyHashed(df: DataFrame, textCol: String,
+                  model: graft.expr.DsirWeights,
+                  ns: Seq[Int] = Seq(1, 2)): DataFrame = {
+    require(ns.nonEmpty && ns.forall(_ >= 1), s"dsir: gram orders must be >= 1, got $ns")
+    df.withColumn("log_weight",
+      ns.map(n => coalesce(
+        graft.expr.BucketWeightSum(graft.expr.WordGramHashes(col(textCol), n), model),
+        lit(0.0))).reduce(_ + _))
+  }
+
   /** The paper's resampling step: k docs sampled ∝ exp(log_weight),
     * via the deterministic A-ES sampler ([[graft.ops.Scale.weightedSample]]).
     * Weights are exp-normalized by the global max (one scalar aggregate)

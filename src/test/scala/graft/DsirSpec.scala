@@ -94,6 +94,41 @@ class DsirSpec extends SparkSpec {
     assert(got(1L) > got(2L) && got(3L) > got(2L))
   }
 
+  test("fitHashed + applyHashed: the fitted kernel gates a STREAM, values match the batch fit") {
+    // the point of the train-then-apply split: the fit's count aggregations
+    // cannot run per micro-batch, but the collected B-bounded table scores
+    // any frame as a pure map — including a streaming one. Fit on the batch
+    // fixture, apply to the SAME rows arriving as a stream, compare to the
+    // fused batch formulation.
+    val buckets = 1 << 12
+    val model = graft.text.Dsir.fitHashed(raw, target, "text", buckets = buckets)
+    val batch = graft.text.Dsir.logWeightsHashed(raw, target, "text", "doc_id", buckets = buckets)
+      .select("doc_id", "log_weight").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // batch apply agrees with the fused aggregate (the q_dsir_hashed_law claim)
+    val applied = graft.text.Dsir.applyHashed(raw, "text", model)
+      .select("doc_id", "log_weight").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    for ((id, w) <- batch)
+      assert(math.abs(applied(id) - w) < 1e-9, s"doc $id: apply=${applied(id)} agg=$w")
+    // streaming apply: same rows through a MemoryStream → memory sink
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val in = MemoryStream[(Long, String)]
+    val q = graft.text.Dsir.applyHashed(
+        in.toDF().toDF("doc_id", "text"), "text", model)
+      .writeStream.format("memory").queryName("dsir_stream").outputMode("append").start()
+    try {
+      in.addData(raw.select("doc_id", "text").as[(Long, String)].collect().toSeq: _*)
+      q.processAllAvailable()
+      val streamed = spark.sql("SELECT doc_id, log_weight FROM dsir_stream")
+        .as[(Long, Double)].collect().toMap
+      assert(streamed.keySet == batch.keySet)
+      for ((id, w) <- batch)
+        assert(math.abs(streamed(id) - w) < 1e-9, s"stream doc $id: ${streamed(id)} vs $w")
+    } finally q.stop()
+  }
+
   test("select: resampling prefers target-like docs, k bounds the output, plan is sane") {
     // DSIR semantics: the importance ratio rewards features COMMON in
     // target but RARE in raw — so the preference only dominates when the

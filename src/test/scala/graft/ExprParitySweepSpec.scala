@@ -122,6 +122,10 @@ class ExprParitySweepSpec extends SparkSpec {
       "graft.expr.MinHashSig" -> (() => run(textDf, "id", sig(col("t")))),
       "graft.expr.LshBands" -> (() => run(textDf, "id", LshBands(sig(col("t")), 4, 4))),
       "graft.expr.SigAgree" -> (() => run(sigDf, "id", SigAgree(col("sa"), col("sb")))),
+      "graft.expr.BucketWeightSum" -> (() => {
+        val w = new DsirWeights(16, Array.tabulate(16)(i => (i - 8) * 0.125))
+        run(sigDf, "id", BucketWeightSum(col("sa"), w))
+      }),
       "graft.expr.PairCombos" -> (() => run(sigDf, "id",
         PairCombos(col("sa"), normalize = true), PairCombos(col("sa"), normalize = false))),
       "graft.expr.DotProduct" -> (() => run(vecDf, "id", DotProduct(col("a"), col("b")))),
