@@ -442,7 +442,8 @@ object QueriesLaws {
       val agg = graft.text.Dsir.logWeightsHashed(raw, target, "text", "doc_id",
           buckets = buckets)
         .select(col("doc_id"), col("log_weight").as("__a"))
-      val model = graft.text.Dsir.fitHashed(raw, target, "text", buckets = buckets)
+      val model = graft.text.Dsir.fitHashed(raw, target, "text", buckets = buckets,
+        idCol = "doc_id")
       val kern = graft.text.Dsir.applyHashed(raw.select(col("doc_id"), col("text")),
           "text", model)
         .select(col("doc_id"), col("log_weight").as("__k"))

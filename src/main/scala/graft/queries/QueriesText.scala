@@ -779,6 +779,23 @@ object QueriesText {
         .orderBy("doc_id")
     }),
 
+    "q_dsir_select" -> ((s, dir) => {
+      // the COMPOSITION seam of Dsir.select (VERDICT r9 #4): logWeights →
+      // exp-normalize by the global max (one scalar agg) → deterministic
+      // A-ES top-k. Same raw/target split as q_dsir_weights; k=100 < the
+      // 450-row raw side at every SF. Output is the selection SET sorted
+      // by doc_id with the 6dp-rounded weight — not the float es ranks:
+      // membership only flips if adjacent es order stats sit within the
+      // ~1e-12 cross-engine drift of the unrounded per-doc float sums,
+      // and the fixture's gaps are orders of magnitude wider.
+      val d = t(s, dir, "documents")
+      graft.text.Dsir.select(
+          d.filter(col("doc_id") % 10 =!= 0),
+          d.filter(col("doc_id") % 10 === 0), "text", "doc_id", k = 100)
+        .select(col("doc_id"), roundf(col("log_weight"), 6).as("log_weight"))
+        .orderBy("doc_id")
+    }),
+
     "q_length_histogram" -> ((s, dir) =>
       TextLib.lengthHistogram(t(s, dir, "documents"), "n_chars")
         .select(col("len_bin"), col("n_rows"), col("len_lo"), col("len_hi"),
@@ -1531,6 +1548,45 @@ object QueriesText {
         |FROM d LEFT JOIN pd USING (doc_id)
         |WHERE d.doc_id % 10 <> 0
         |ORDER BY d.doc_id""".stripMargin,
+
+    "q_dsir_select" ->
+      // q_dsir_weights' replay kept UNROUNDED, then the select seam:
+      // exp(lw − max lw) over the full raw frame (zero-feature docs carry
+      // the neutral 0.0 and compete), the q_weighted_sample A-ES key from
+      // md5('42:'||doc_id), top-100 by es desc / doc_id asc. exp underflow
+      // to 0.0 (lw more than ~745 nats under the max) drops the row in
+      // both engines — IEEE-identical.
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+        |      x -> x <> '') AS ws
+        |  FROM documents),
+        |g1 AS (SELECT doc_id, unnest(ws) AS f FROM d),
+        |g2 AS (SELECT doc_id,
+        |         unnest(list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])) AS f
+        |       FROM d WHERE len(ws) >= 2),
+        |g AS (SELECT * FROM g1 UNION ALL SELECT * FROM g2),
+        |tg AS (SELECT f FROM g WHERE doc_id % 10 = 0),
+        |rg AS (SELECT doc_id, f FROM g WHERE doc_id % 10 <> 0),
+        |tc AS (SELECT f, count(*) AS ct FROM tg GROUP BY 1),
+        |rc AS (SELECT f, count(*) AS cr FROM rg GROUP BY 1),
+        |v AS (SELECT coalesce(tc.f, rc.f) AS f, coalesce(ct, 0) AS ct, coalesce(cr, 0) AS cr
+        |      FROM tc FULL JOIN rc ON tc.f = rc.f),
+        |s AS (SELECT CAST(sum(ct) AS DOUBLE) AS nt, CAST(sum(cr) AS DOUBLE) AS nr,
+        |        CAST(count(*) AS DOUBLE) AS vv FROM v),
+        |w AS (SELECT f, ln((ct + 1.0) / (nt + vv)) - ln((cr + 1.0) / (nr + vv)) AS lw
+        |      FROM v, s),
+        |pd AS (SELECT doc_id, sum(lw) AS lw FROM rg JOIN w USING (f) GROUP BY 1),
+        |lwx AS (SELECT d.doc_id, coalesce(pd.lw, 0.0) AS lw
+        |        FROM d LEFT JOIN pd USING (doc_id) WHERE d.doc_id % 10 <> 0),
+        |m AS (SELECT max(lw) AS mx FROM lwx),
+        |ww AS (SELECT doc_id, lw, exp(lw - m.mx) AS dw FROM lwx, m),
+        |es AS (SELECT doc_id, lw,
+        |         ln((CAST(CAST('0x' || substr(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) AS DOUBLE) + 1.0)
+        |            / 1152921504606846976.0) / dw AS es
+        |       FROM ww WHERE doc_id IS NOT NULL AND dw > 0),
+        |k AS (SELECT doc_id, lw FROM es ORDER BY es DESC, doc_id ASC LIMIT 100)
+        |SELECT doc_id, round(lw + 1e-9, 6) AS log_weight FROM k ORDER BY doc_id""".stripMargin,
 
     "q_unicode_nfc" ->
       // chr(769) = U+0301 COMBINING ACUTE, chr(8491) = U+212B ANGSTROM SIGN;

@@ -153,11 +153,17 @@ object Dsir {
     * for scoring new corpora against a frozen reference fit. */
   def fitHashed(raw: DataFrame, target: DataFrame, textCol: String,
                 ns: Seq[Int] = Seq(1, 2), alpha: Double = 1.0,
-                buckets: Int = 1 << 18): graft.expr.DsirWeights = {
+                buckets: Int = 1 << 18, idCol: String = null): graft.expr.DsirWeights = {
     require(buckets > 0, s"dsir: buckets must be positive, got $buckets")
     require(ns.nonEmpty && ns.forall(_ >= 1), s"dsir: gram orders must be >= 1, got $ns")
     require(alpha > 0, s"dsir: smoothing alpha must be positive, got $alpha")
-    val rawF = bucketStream(raw, textCol, Seq.empty, ns, buckets)
+    // id contract (ADVICE r9): logWeightsHashed fits on id-bearing raw rows
+    // only (a null id has no identity to weight). Pass the same idCol here
+    // and the fit populations — hence applyHashed ≡ logWeightsHashed —
+    // stay aligned even when raw carries null ids; with no idCol, the fit
+    // deliberately uses every raw row (scoring corpora that have no ids).
+    val rawFit = Option(idCol).fold(raw)(c => raw.filter(col(c).isNotNull))
+    val rawF = bucketStream(rawFit, textCol, Seq.empty, ns, buckets)
     val tgtF = bucketStream(target, textCol, Seq.empty, ns, buckets)
     val tc = tgtF.groupBy(col("__f")).agg(count(lit(1)).as("__ct"))
     val rc = rawF.groupBy(col("__f")).agg(count(lit(1)).as("__cr"))
@@ -206,9 +212,16 @@ object Dsir {
     val weighted =
       if (hashedBuckets > 0) logWeightsHashed(raw, target, textCol, idCol, ns, alpha, hashedBuckets)
       else logWeights(raw, target, textCol, idCol, ns, alpha)
-    val maxLw = weighted.agg(max(col("log_weight"))).head().getDouble(0)
-    val w = weighted.withColumn("__dsir_w", exp(col("log_weight") - lit(maxLw)))
-    graft.ops.Scale.weightedSample(w, "__dsir_w", idCol, k, salt = salt)
-      .drop("__dsir_w")
+    // empty raw (or all-null ids) ⇒ max is NULL — return the empty frame
+    // instead of NPEing on getDouble (ADVICE r9)
+    Option(weighted.agg(max(col("log_weight"))).head().get(0)) match {
+      case None => // schema-stable: weightedSample would have added es_key
+        weighted.limit(0).withColumn("es_key", lit(null).cast("double"))
+      case Some(maxLw) =>
+        val w = weighted.withColumn("__dsir_w",
+          exp(col("log_weight") - lit(maxLw.asInstanceOf[Double])))
+        graft.ops.Scale.weightedSample(w, "__dsir_w", idCol, k, salt = salt)
+          .drop("__dsir_w")
+    }
   }
 }
