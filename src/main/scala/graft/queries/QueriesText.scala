@@ -948,6 +948,36 @@ object QueriesText {
         .select(col("doc_id"), col("lang"), col("n_tokens"), col("ppl_bucket"))
         .orderBy("doc_id")),
 
+    "q_ppl_fit_apply_law" -> ((s, dir) => {
+      // the CCNet fit/apply split (round 10): pplFit freezes per-lang
+      // bucket floors from the batch ntile; pplApply scores via the
+      // pure-map LmVocab kernel and compares to the frozen floors. The law:
+      // apply == ntile everywhere EXCEPT scores tying a boundary, where
+      // apply lands in the head-most bucket whose floor equals the score
+      // (= min ntile bucket over the tie group). The oracle replays the
+      // whole thing analytically — model, ntile, floors, counting apply,
+      // tie minimum — so law_ok is pinned TRUE row by row, not just
+      // asserted in-engine.
+      import org.apache.spark.sql.expressions.Window
+      val d = t(s, dir, "documents")
+      val model = TextLib.pplFit(d, "text", "doc_id", Seq("lang"),
+        nBuckets = 3, vocabSize = 2000)
+      val applied = TextLib.pplApply(d, "text", model)
+        .select(col("doc_id"), col("lang"),
+          col("ppl_bucket").as("bucket_apply"),
+          round(col("lm_logprob") + lit(1e-9), 6).as("__r"))
+      val nt = TextLib.perplexityBuckets(d, "text", "doc_id", Seq("lang"),
+          nBuckets = 3, vocabSize = 2000)
+        .select(col("doc_id"), col("ppl_bucket").as("bucket_ntile"))
+      val wt = Window.partitionBy(col("lang"), col("__r"))
+      applied.alias("__pa").join(nt.alias("__pn"), Seq("doc_id"))
+        .withColumn("__mb", min(col("bucket_ntile")).over(wt))
+        .select(col("doc_id"), col("lang"), col("bucket_ntile"), col("bucket_apply"),
+          (col("bucket_apply") <=> col("bucket_ntile") ||
+            col("bucket_apply") <=> col("__mb")).as("law_ok"))
+        .orderBy("doc_id")
+    }),
+
     "q_lm_bigram" -> ((s, dir) =>
       // Stupid-Backoff bigram LM, self-trained; vocab and bigram caps both
       // below the corpus distinct counts at every SF so every branch of the
@@ -2227,6 +2257,49 @@ object QueriesText {
         |  CAST(b.ppl_bucket AS INT) AS ppl_bucket
         |FROM r LEFT JOIN b ON r.doc_id = b.doc_id
         |ORDER BY r.doc_id""".stripMargin,
+
+    "q_ppl_fit_apply_law" ->
+      // full analytic replay of the fit/apply split: q_lm_score's model,
+      // per-lang ntile, bucket floors = min rounded score of buckets 1..2,
+      // apply = 1 + count(floors strictly above the score), tie minimum =
+      // min ntile bucket over (lang, rounded score). law_ok composes the
+      // two legal outcomes exactly as the engine does.
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(
+        |    trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS token
+        |  FROM documents),
+        |tk AS (SELECT doc_id, token FROM toks WHERE token <> ''),
+        |counts AS (SELECT token, count(*) AS tf FROM tk GROUP BY token),
+        |tot AS (SELECT CAST(sum(tf) AS DOUBLE) AS T FROM counts),
+        |vocab AS (SELECT token, tf FROM counts ORDER BY tf DESC, token LIMIT 2000),
+        |lp AS (SELECT v.token, ln(CAST(v.tf AS DOUBLE) / t.T) AS lp FROM vocab v CROSS JOIN tot t),
+        |scored AS (
+        |  SELECT tk.doc_id, avg(coalesce(lp.lp, -ln(t.T))) AS lm_logprob
+        |  FROM tk LEFT JOIN lp ON tk.token = lp.token CROSS JOIN tot t
+        |  GROUP BY tk.doc_id),
+        |rr AS (SELECT d.doc_id, d.lang, round(s.lm_logprob + 1e-9, 6) AS rv
+        |       FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id),
+        |b AS (SELECT doc_id, rv, ntile(3) OVER (
+        |        PARTITION BY lang ORDER BY rv DESC, doc_id) AS bn
+        |      FROM rr WHERE rv IS NOT NULL),
+        |bounds AS (SELECT rr.lang, b.bn, min(b.rv) AS bv
+        |           FROM b JOIN rr USING (doc_id) WHERE b.bn < 3 GROUP BY rr.lang, b.bn),
+        |app AS (SELECT rr.doc_id,
+        |          CASE WHEN rr.rv IS NULL THEN NULL
+        |               WHEN NOT EXISTS (SELECT 1 FROM bounds WHERE bounds.lang = rr.lang) THEN NULL
+        |               ELSE 1 + (SELECT count(*) FROM bounds
+        |                         WHERE bounds.lang = rr.lang AND rr.rv < bounds.bv) END AS ba
+        |        FROM rr),
+        |mt AS (SELECT rr.lang, b.rv, min(b.bn) AS mb
+        |       FROM b JOIN rr USING (doc_id) GROUP BY rr.lang, b.rv)
+        |SELECT rr.doc_id, rr.lang,
+        |  CAST(b.bn AS INT) AS bucket_ntile, CAST(app.ba AS INT) AS bucket_apply,
+        |  ((app.ba IS NOT DISTINCT FROM b.bn) OR (app.ba IS NOT DISTINCT FROM mt.mb)) AS law_ok
+        |FROM rr
+        |LEFT JOIN b USING (doc_id)
+        |JOIN app USING (doc_id)
+        |LEFT JOIN mt ON mt.lang = rr.lang AND mt.rv = rr.rv
+        |ORDER BY rr.doc_id""".stripMargin,
 
     "q_lm_bigram" ->
       // replays bigramScore's pinned float chain: ln(btf/ptf) for seen

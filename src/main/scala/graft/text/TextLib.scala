@@ -268,28 +268,35 @@ object TextLib {
     * Adds `n_tokens` (0 for token-free docs) and `lm_logprob` (null for
     * token-free docs; raw double — round at the edge).
     */
+  /** The unigram LM fit [[unigramScore]] and [[pplFit]] share: top-`vocabSize`
+    * (token, tf) pairs by corpus frequency (ties by token) plus the total
+    * token count T. The model is MATERIALIZED at call time (two driver jobs
+    * over the token counts, cached only for their duration): the vocabulary
+    * is exactly what the scoring join broadcasts anyway, and an engine-side
+    * persist here would pin a session-lifetime cache entry nothing could
+    * ever unpersist (callers return lazy frames).
+    */
+  private def unigramModel(train: DataFrame, trainText: String,
+                           vocabSize: Int): (Seq[(String, Long)], Double) = {
+    val counts = wordCounts(train, trainText)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val t = Option(counts.agg(sum("tf")).first().get(0))
+        .map(_.asInstanceOf[Long].toDouble).getOrElse(0.0)
+      val vocab = counts.orderBy(col("tf").desc, col("token").asc)
+        .limit(vocabSize).collect()
+        .map(r => (r.getString(0), r.getLong(1)))
+      (vocab.toSeq, t)
+    } finally counts.unpersist()
+  }
+
   def unigramScore(df: DataFrame, textCol: String, idCol: String,
                    corpus: DataFrame = null, corpusTextCol: String = null,
                    vocabSize: Int = 50000): DataFrame = {
     require(vocabSize > 0, s"unigramScore: vocabSize must be positive, got $vocabSize")
     val train = Option(corpus).getOrElse(df)
     val trainText = Option(corpusTextCol).getOrElse(textCol)
-    // The model is MATERIALIZED at call time (two driver jobs over the
-    // token counts, cached only for their duration): the vocabulary is
-    // exactly what the scoring join broadcasts anyway, and an engine-side
-    // persist here would pin a session-lifetime cache entry nothing could
-    // ever unpersist (the method returns a lazy frame).
-    val counts = wordCounts(train, trainText)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val (lpPairs, totalT) =
-      try {
-        val t = Option(counts.agg(sum("tf")).first().get(0))
-          .map(_.asInstanceOf[Long].toDouble).getOrElse(0.0)
-        val vocab = counts.orderBy(col("tf").desc, col("token").asc)
-          .limit(vocabSize).collect()
-          .map(r => (r.getString(0), r.getLong(1)))
-        (vocab.toSeq, t)
-      } finally counts.unpersist()
+    val (lpPairs, totalT) = unigramModel(train, trainText, vocabSize)
     val sp = df.sparkSession
     import sp.implicits._
     // ln(tf/T) and -ln(T) are the PINNED formulations — the DuckDB oracle
@@ -354,6 +361,116 @@ object TextLib {
       .select(col(idCol), col("ppl_bucket"))
     scored.drop("ppl_bucket")
       .alias("__pb_d").join(ranked.alias("__pb_r"), Seq(idCol), "left")
+  }
+
+  /** A frozen CCNet bucket model (round 10 — the [[graft.text.Dsir]]
+    * fit/apply precedent): the unigram LM as a [[graft.expr.LmVocab]]
+    * (vocabSize-bounded, collected once) plus per-group DESCENDING bucket
+    * boundaries — `bounds` row g carries the group columns and the min
+    * 6dp-rounded score of buckets 1..nBuckets−1 under [[perplexityBuckets]]'
+    * ntile on the fit corpus (array index i−1 = bucket i's floor; shorter
+    * than nBuckets−1 when the fit group had fewer docs than buckets). The
+    * bounds table is |groups|×(nBuckets−1) values — it collects and
+    * broadcasts by construction, like the DSIR weight table.
+    */
+  final class PplModel(val lm: graft.expr.LmVocab, val nBuckets: Int,
+                       val groupCols: Seq[String],
+                       val boundsSchema: org.apache.spark.sql.types.StructType,
+                       val bounds: Array[org.apache.spark.sql.Row]) extends Serializable {
+    override def toString: String =
+      s"PplModel(V=${lm.lp.size}, nBuckets=$nBuckets, groups=${bounds.length})"
+  }
+
+  /** Fit the CCNet gate once: train the unigram LM (on `corpus` when given,
+    * else on `df` itself — [[unigramScore]]'s contract), score the fit
+    * corpus, and freeze each group's bucket boundaries from the SAME
+    * ranking [[perplexityBuckets]] uses (6dp-rounded score desc, id asc).
+    * CCNet's production shape: boundaries come from a reference corpus
+    * once; ingest then gates documents against the frozen floors as a pure
+    * map — [[pplApply]] — instead of re-running a corpus-wide ntile.
+    *
+    * Scale: the boundary aggregate is one window per GROUP (the
+    * perplexityBuckets caveat carries over: pass real group columns) plus
+    * a |groups|-bounded collect — groups are low-cardinality by contract
+    * (languages), exactly like the sampler's quota collects.
+    */
+  def pplFit(df: DataFrame, textCol: String, idCol: String,
+             groupCols: Seq[String] = Nil, nBuckets: Int = 3,
+             corpus: DataFrame = null, corpusTextCol: String = null,
+             vocabSize: Int = 50000): PplModel = {
+    require(nBuckets >= 2, s"pplFit: nBuckets must be >= 2, got $nBuckets")
+    import org.apache.spark.sql.expressions.Window
+    val train = Option(corpus).getOrElse(df)
+    val trainText = Option(corpusTextCol).getOrElse(textCol)
+    val (pairs, totalT) = unigramModel(train, trainText, vocabSize)
+    // math.log IS java.lang.Math.log IS Catalyst's Log — the driver-built
+    // model is bit-identical to the engine-side ln(tf/T) / −ln(T) the
+    // oracle replays
+    val lm = graft.expr.LmVocab(
+      pairs.map { case (t, tf) => t -> math.log(tf.toDouble / totalT) },
+      -math.log(totalT))
+    val scored = unigramScore(df, textCol, idCol, corpus, corpusTextCol, vocabSize)
+    val w = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(col("__r").desc, col(idCol).asc)
+    val ranked = scored.filter(col("lm_logprob").isNotNull && col(idCol).isNotNull)
+      .select((groupCols.map(col) :+ col(idCol) :+
+        round(col("lm_logprob") + lit(1e-9), 6).as("__r")): _*)
+      .withColumn("__b", ntile(nBuckets).over(w))
+    // min rounded score per (group, bucket<n) → per-group array in bucket
+    // order; sort_array on struct(__b, __m) orders by __b ascending
+    val bmin = ranked.filter(col("__b") < nBuckets)
+      .groupBy((groupCols.map(col) :+ col("__b")): _*).agg(min(col("__r")).as("__m"))
+    val boundsDf = bmin
+      .groupBy(groupCols.map(col): _*)
+      .agg(sort_array(collect_list(struct(col("__b"), col("__m")))).as("__bm"))
+      .select((groupCols.map(col) :+
+        transform(col("__bm"), x => x.getField("__m")).as("__ppl_bounds")): _*)
+    new PplModel(lm, nBuckets, groupCols, boundsDf.schema, boundsDf.collect())
+  }
+
+  /** Gate any frame — batch or STREAMING — against a fitted [[PplModel]]:
+    * tokenize (one hoisted array column), score via the pure-map
+    * [[graft.expr.VocabLogProbMean]] kernel (zero joins, zero per-doc
+    * aggregation), then assign `ppl_bucket` = 1 + |{boundary b of the
+    * doc's group : rounded score < b}| against the broadcast bounds table
+    * (a stream-static broadcast join — stateless, so the whole gate
+    * composes into `readStream → pplApply → filter` ingest).
+    *
+    * Tie policy (the documented apply ≡ ntile seam): a score EQUAL to a
+    * boundary lands in the head-most bucket whose floor it matches, while
+    * ntile splits that tie group across the boundary by id — everywhere
+    * else the two paths agree (q_ppl_buckets_law pins both statements).
+    * Null/token-free texts and groups absent from the fit get a null
+    * bucket: they were never scored/fitted, and inventing a bucket would
+    * shift downstream keep/drop rates silently. Docs scoring below every
+    * boundary get bucket min(fitGroupDocs, nBuckets) — the fit group's
+    * tail. Outputs `n_tokens`, `lm_logprob`, `ppl_bucket` (replacing any
+    * pre-existing columns of those names, as unigramScore does).
+    */
+  def pplApply(df: DataFrame, textCol: String, model: PplModel): DataFrame = {
+    val sp = df.sparkSession
+    val scored = df.drop("n_tokens", "lm_logprob", "ppl_bucket")
+      .withColumn("__ws", filter(split(normalized(col(textCol)), " "), t => t =!= ""))
+      .withColumn("n_tokens", coalesce(size(col("__ws")).cast("long"), lit(0L)))
+      .withColumn("lm_logprob", graft.expr.VocabLogProbMean(col("__ws"), model.lm))
+      .drop("__ws")
+    val withBounds =
+      if (model.groupCols.isEmpty) {
+        val b = if (model.bounds.isEmpty) lit(null).cast("array<double>")
+                else typedLit(model.bounds(0).getSeq[Double](0))
+        scored.withColumn("__ppl_bounds", b)
+      } else {
+        val boundsDf = sp.createDataFrame(
+          java.util.Arrays.asList(model.bounds: _*), model.boundsSchema)
+        scored.join(broadcast(boundsDf), model.groupCols, "left")
+      }
+    // the HOF lambda runs interpreted, but over ≤ nBuckets−1 elements of a
+    // broadcast array — nothing per-token happens here
+    val r = round(col("lm_logprob") + lit(1e-9), 6)
+    withBounds.withColumn("ppl_bucket",
+        when(col("lm_logprob").isNotNull && col("__ppl_bounds").isNotNull,
+          (lit(1) + size(filter(col("__ppl_bounds"), b => r < b))).cast("int")))
+      .drop("__ppl_bounds")
   }
 
   /** Adjacent-token (prev, cur) pair rows of the normalized tokenization,

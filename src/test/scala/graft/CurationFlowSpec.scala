@@ -95,6 +95,62 @@ class CurationFlowSpec extends SparkSpec {
     }
   }
 
+  test("pplFit/pplApply: frozen floors ≡ batch ntile (mod boundary ties); the gate runs on a STREAM (round 10)") {
+    import org.apache.spark.sql.expressions.Window
+    val docs = ((1L to 31L).map { i =>
+      (i, "en", (0 until 10).map(j => s"en${(i * 3 + j) % 11}").mkString(" "))
+    } ++ (101L to 123L).map { i =>
+      (i, "de", (0 until 10).map(j => s"de${(i * 5 + j) % 13}").mkString(" "))
+    } ++ Seq((300L, "en", ""), (301L, "de", null.asInstanceOf[String])))
+      .toDF("doc_id", "lang", "text")
+    val model = graft.text.TextLib.pplFit(docs, "text", "doc_id", Seq("lang"), nBuckets = 3)
+    // apply ≡ ntile modulo the documented tie policy (the q_ppl_fit_apply_law
+    // claim, asserted here on a hostile fixture with heavy 6dp score ties)
+    val applied = graft.text.TextLib.pplApply(docs, "text", model)
+      .select($"doc_id", $"lang", round($"lm_logprob" + lit(1e-9), 6).as("r"),
+        $"ppl_bucket".as("ba"))
+    val ntiled = graft.text.TextLib.perplexityBuckets(docs, "text", "doc_id",
+        groupCols = Seq("lang"), nBuckets = 3)
+      .select($"doc_id", $"ppl_bucket".as("bn"))
+    val w = Window.partitionBy($"lang", $"r")
+    val j = applied.alias("__a").join(ntiled.alias("__n"), Seq("doc_id"))
+      .withColumn("mb", min($"bn").over(w))
+    assert(j.filter(!($"ba" <=> $"bn" || $"ba" <=> $"mb")).count() == 0,
+      "apply must equal ntile except head-most assignment on boundary ties")
+    assert(j.filter($"ba" <=> $"bn").count() >= 40, "ties must not dominate the fixture")
+    // unscoreable docs and unfitted groups get a null bucket; a NEW doc in
+    // a fitted group gates WITHOUT a refit
+    val newDocs = Seq(
+      (400L, "en", (0 until 10).map(j => s"en${j % 11}").mkString(" ")),
+      (401L, "fr", "bonjour le monde entier"),
+      (402L, "en", null.asInstanceOf[String])).toDF("doc_id", "lang", "text")
+    val nb = graft.text.TextLib.pplApply(newDocs, "text", model)
+      .select("doc_id", "ppl_bucket").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1 else r.getInt(1))).toMap
+    assert(nb(400L) >= 1 && nb(400L) <= 3, "known-group doc must bucket against frozen floors")
+    assert(nb(401L) == -1, "unfitted group must get a null bucket")
+    assert(nb(402L) == -1, "token-free doc must get a null bucket")
+    // the streaming ingest gate: same rows through a MemoryStream → the
+    // pure-map kernel + stream-static broadcast bounds join, vs batch apply
+    val batchBuckets = graft.text.TextLib.pplApply(docs, "text", model)
+      .select("doc_id", "ppl_bucket").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1 else r.getInt(1))).toMap
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val in = MemoryStream[(Long, String, String)]
+    val q = graft.text.TextLib.pplApply(
+        in.toDF().toDF("doc_id", "lang", "text"), "text", model)
+      .select("doc_id", "ppl_bucket")
+      .writeStream.format("memory").queryName("ppl_stream").outputMode("append").start()
+    try {
+      in.addData(docs.as[(Long, String, String)].collect().toSeq: _*)
+      q.processAllAvailable()
+      val streamed = spark.sql("SELECT doc_id, ppl_bucket FROM ppl_stream").collect()
+        .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1 else r.getInt(1))).toMap
+      assert(streamed == batchBuckets, "stream gate must equal batch apply")
+    } finally q.stop()
+  }
+
   test("CCNet-style gate composes: LM score → per-lang perplexity buckets") {
     // two languages with distinct vocabularies; a few gibberish docs per
     // language must land in the tail bucket of THEIR language

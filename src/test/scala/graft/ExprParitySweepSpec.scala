@@ -122,6 +122,13 @@ class ExprParitySweepSpec extends SparkSpec {
       "graft.expr.MinHashSig" -> (() => run(textDf, "id", sig(col("t")))),
       "graft.expr.LshBands" -> (() => run(textDf, "id", LshBands(sig(col("t")), 4, 4))),
       "graft.expr.SigAgree" -> (() => run(sigDf, "id", SigAgree(col("sa"), col("sb")))),
+      "graft.expr.VocabLogProbMean" -> (() => {
+        val lm = LmVocab(
+          Seq("the" -> -1.5, "fox" -> -3.25, "spam" -> -0.5, "café" -> -2.0),
+          -9.75)
+        run(textDf, "id",
+          VocabLogProbMean(filter(split(lower(col("t")), " "), x => x =!= ""), lm))
+      }),
       "graft.expr.BucketWeightSum" -> (() => {
         val w = new DsirWeights(16, Array.tabulate(16)(i => (i - 8) * 0.125))
         run(sigDf, "id", BucketWeightSum(col("sa"), w))
