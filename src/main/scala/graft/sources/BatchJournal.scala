@@ -16,16 +16,19 @@ import org.apache.spark.sql.DataFrame
   * the last unCOMMITTED batchId) — applies effects once.
   *
   * Honest boundary (documented, not hidden): effects and the journal write
-  * are not one atomic action. A crash BETWEEN the last effect and the
+  * are not one atomic action HERE. A crash BETWEEN the last effect and the
   * journal write still replays that batch's effects. For the KV sink in
   * `kv` mode and jdbcUpsert the effects are per-key idempotent, so the
-  * replay converges; for append-shaped effects (KV stream/list, plain JDBC
-  * INSERT) closing that residual window needs a transactional target (a
-  * Redis MULTI/EXEC or a single JDBC transaction carrying both effects and
-  * journal row — possible per-partition, not across partitions without XA).
-  * The journal is still the load-bearing half: Spark's own failure surface
-  * (query restarts, driver kills, checkpoint races) replays WHOLE batches
-  * whose effects completed, which is exactly what the journal gates.
+  * replay converges. For JDBC APPENDS the window is CLOSED as of round 10:
+  * [[Sinks.jdbcAppendExactlyOnce]] applies the batch's INSERTs and the
+  * journal marker in ONE transaction on one connection (JdbcSpec proves it
+  * with a forced crash between effects and commit) — use that instead of
+  * wrapping jdbcWrite-append in this journal. The residual window is now
+  * scoped to NON-transactional append targets only (KV stream/list — a
+  * Redis MULTI/EXEC would close it the same way). The journal is still the
+  * load-bearing half everywhere: Spark's own failure surface (query
+  * restarts, driver kills, checkpoint races) replays WHOLE batches whose
+  * effects completed, which is exactly what the journal gates.
   */
 trait BatchJournal extends Serializable {
   /** Has (queryKey, batchId) been committed by a prior attempt? */

@@ -95,6 +95,71 @@ class JdbcSpec extends SparkSpec {
       "replayed batch re-applied its INSERTs — the journal gate failed")
   }
 
+  test("transactional append closes the effects→journal window: crash before commit leaves NOTHING, the journaled control DUPLICATES (round 10)") {
+    import org.apache.spark.sql.types.StructType
+    val schema = StructType.fromDDL("ID BIGINT, NAME STRING")
+    def mkInput(): String = {
+      val in = java.nio.file.Files.createTempDirectory("graft_txn_in").toString
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$in/b1.json"),
+        """{"ID":1,"NAME":"a"}""" + "\n" + """{"ID":2,"NAME":"b"}""")
+      in
+    }
+    // ---- CONTROL: the old shape (journal-wrapped jdbcWrite append) with a
+    // crash between effects and journal write — this is the window
+    // BatchJournal documents: the restart re-applies the batch → 4 rows.
+    val ctrlTable = "T_CTRL_WINDOW"
+    Sinks.jdbcWrite(Seq.empty[(Long, String)].toDF("ID", "NAME"), url, ctrlTable, mode = "overwrite")
+    val ctrlIn = mkInput()
+    val ctrlCp = java.nio.file.Files.createTempDirectory("graft_txn_ccp").toString
+    val journal = new graft.sources.BatchJournal.JdbcJournal(url, table = "J_CTRL")
+    @volatile var ctrlCrash = true
+    def startCtrl() = graft.streaming.StreamOps.idempotentBatchSink(
+        graft.streaming.StreamOps.files(spark, ctrlIn, "json", schema), ctrlCp, journal,
+        outputMode = "append") { (batch, _) =>
+      Sinks.jdbcWrite(batch, url, ctrlTable, mode = "append")
+      if (ctrlCrash) throw new RuntimeException("injected crash AFTER effects, BEFORE journal")
+    }.start()
+    val c1 = startCtrl()
+    intercept[org.apache.spark.sql.streaming.StreamingQueryException](c1.processAllAvailable())
+    c1.stop()
+    assert(Readers.jdbc(spark, url, ctrlTable).count() == 2, "control: effects landed before the crash")
+    ctrlCrash = false
+    val c2 = startCtrl(); c2.processAllAvailable(); c2.stop()
+    assert(Readers.jdbc(spark, url, ctrlTable).count() == 4,
+      "control must DUPLICATE — if this stops failing, the documented window moved")
+    // ---- TRANSACTIONAL PATH: same crash point (after every effect, before
+    // commit) — the one-transaction handler leaves nothing behind, the
+    // restart applies the batch exactly once, and a forced checkpoint
+    // replay of the COMMITTED batch is skipped by the in-txn journal PK.
+    val table = "T_TXN_APPEND"
+    Sinks.jdbcWrite(Seq.empty[(Long, String)].toDF("ID", "NAME"), url, table, mode = "overwrite")
+    val in = mkInput()
+    val cp = java.nio.file.Files.createTempDirectory("graft_txn_cp").toString
+    @volatile var crash = true
+    def start() = graft.streaming.StreamOps.foreachBatchSink(
+        graft.streaming.StreamOps.files(spark, in, "json", schema), cp,
+        outputMode = "append")(
+      Sinks.jdbcAppendExactlyOnce(url, table, "q_txn", journalTable = "J_TXN",
+        beforeCommit = () => if (crash) throw new RuntimeException("injected crash BEFORE commit")))
+      .start()
+    val q1 = start()
+    intercept[org.apache.spark.sql.streaming.StreamingQueryException](q1.processAllAvailable())
+    q1.stop()
+    assert(Readers.jdbc(spark, url, table).count() == 0,
+      "crash between effects and commit must leave NO rows (single-txn atomicity)")
+    crash = false
+    val q2 = start(); q2.processAllAvailable(); q2.stop()
+    assert(Readers.jdbc(spark, url, table).count() == 2, "restart applies the batch exactly once")
+    // forced replay of the committed batch (drop the checkpoint commit)
+    val commits = new java.io.File(s"$cp/commits").listFiles().filter(_.getName.forall(_.isDigit))
+    val last = commits.maxBy(_.getName.toInt)
+    new java.io.File(last.getParent, s".${last.getName}.crc").delete()
+    assert(commits.nonEmpty && last.delete())
+    val q3 = start(); q3.processAllAvailable(); q3.stop()
+    assert(Readers.jdbc(spark, url, table).count() == 2,
+      "replayed committed batch must trip the journal PK before any effect")
+  }
+
   test("upsert SQL generation: postgres ON CONFLICT pinned, bad dialect rejected") {
     // no Postgres server in this container — the exact statement the
     // reference DB would receive is pinned instead (COVERAGE.md)
