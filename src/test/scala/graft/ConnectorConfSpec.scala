@@ -156,6 +156,11 @@ class ConnectorConfSpec extends SparkSpec {
       "org.apache.hadoop.fs.s3a.S3AFileSystem",
       "org.apache.kafka.clients.consumer.KafkaConsumer",
       "org.apache.spark.sql.kafka010.KafkaSourceProvider")
+    // negative path (round 10): the probe MECHANISM must detect presence —
+    // a classloader quirk that made absent() true for everything would
+    // silently green this test forever
+    assert(!absent("org.apache.spark.sql.SparkSession"),
+      "probe helper reports a loaded class as absent — the probe is broken, not the environment")
     val present = probes.filterNot(absent)
     assert(present.isEmpty,
       s"connector classes now AVAILABLE: ${present.mkString(", ")} — upgrade COVERAGE " +

@@ -172,6 +172,13 @@ class ExprParitySweepSpec extends SparkSpec {
         "add an invocation to ExprParitySweepSpec.coverage")
     val stale = coverage.keys.filterNot(classes.contains)
     assert(stale.isEmpty, s"coverage entries for deleted kernels: ${stale.mkString(", ")}")
+    // negative paths (round 10): both directions must fail when their
+    // precondition flips — dropping a real entry is caught, and a
+    // coverage key for a non-existent kernel is caught
+    assert(classes.filterNot((coverage - classes.head).contains).nonEmpty,
+      "missing-entry detection is dead: removing a real entry went unnoticed")
+    assert((coverage.keySet + "graft.expr.NoSuchKernel").filterNot(classes.contains).nonEmpty,
+      "stale-entry detection is dead: a fabricated kernel key went unnoticed")
   }
 
   test("kernel type misuse fails at ANALYSIS time, not inside the operator (ADVICE r8)") {
