@@ -23,9 +23,13 @@ import org.apache.spark.sql.DataFrame
   * [[Sinks.jdbcAppendExactlyOnce]] applies the batch's INSERTs and the
   * journal marker in ONE transaction on one connection (JdbcSpec proves it
   * with a forced crash between effects and commit) — use that instead of
-  * wrapping jdbcWrite-append in this journal. The residual window is now
-  * scoped to NON-transactional append targets only (KV stream/list — a
-  * Redis MULTI/EXEC would close it the same way). The journal is still the
+  * wrapping jdbcWrite-append in this journal. KV appends got the same
+  * treatment: [[AtomicKeyValueSink.applyJournaled]] +
+  * [[KeyValueSink.streamWriterAtomic]] execute effects + marker as one
+  * atomic sink action (Redis EVAL parity; StreamingSpec forces the crash).
+  * Every SHIPPED sink shape now has an airtight path; this wrapper and its
+  * documented window remain only for stores offering no server-side atomic
+  * primitive. The journal is still the
   * load-bearing half everywhere: Spark's own failure surface (query
   * restarts, driver kills, checkpoint races) replays WHOLE batches whose
   * effects completed, which is exactly what the journal gates.

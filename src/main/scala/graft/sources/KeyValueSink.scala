@@ -22,6 +22,31 @@ trait KeyValueSink extends Serializable {
   def close(): Unit = ()
 }
 
+/** One queued KV effect — the unit [[AtomicKeyValueSink.applyJournaled]]
+  * executes atomically with the journal marker. */
+sealed trait KvOp extends Serializable
+object KvOp {
+  final case class Put(key: String, value: String, ttlSeconds: Long = -1L) extends KvOp
+  final case class PushList(list: String, value: String) extends KvOp
+  final case class AppendStream(stream: String, value: String) extends KvOp
+}
+
+/** A KV store that can apply a batch of effects AND the batch's journal
+  * marker as ONE atomic action (round 10 — closes the last
+  * [[BatchJournal]] residual window, the KV list/stream append). Redis
+  * parity: a single EVAL'd Lua script (`if EXISTS marker then return 0;
+  * <ops>; SET marker; return 1`) — note MULTI/EXEC alone cannot express
+  * the conditional, which is exactly why the journal wrapper's separate
+  * GET/SET had the window. Stores without a server-side atomic primitive
+  * stay on the wrapper path and keep the documented window.
+  */
+trait AtomicKeyValueSink extends KeyValueSink {
+  /** Apply every op plus the `journalKey` marker atomically IFF the marker
+    * is absent; return false (and apply NOTHING) when it exists — the
+    * committed-then-replayed batch. A crash mid-call leaves no effect. */
+  def applyJournaled(journalKey: String, ops: Iterator[KvOp]): Boolean
+}
+
 object KeyValueSink {
 
   /** Batch write: one sink instance per partition (connection-per-executor
@@ -42,6 +67,54 @@ object KeyValueSink {
       } finally sink.close()
     }
   }
+
+  /** Exactly-once KV batch: effects + journal marker in ONE atomic sink
+    * action ([[AtomicKeyValueSink.applyJournaled]] — Redis EVAL parity), so
+    * the crash-between-effects-and-journal window of the wrapper path does
+    * not exist here, for LIST/STREAM appends included. Rows stream through
+    * the driver (the jdbcAppendExactlyOnce scope note applies: micro-batch
+    * shape, not bulk loads — the atomic script is one server-side action).
+    * Returns false when the batch was already journaled (replay; nothing
+    * is applied).
+    */
+  def writeBatchJournaled(df: DataFrame, keyCol: String, factory: () => AtomicKeyValueSink,
+                          journalKey: String, mode: String = "kv", target: String = "graft",
+                          ttlSeconds: Long = -1L): Boolean = {
+    val prepared = df.select(col(keyCol).cast("string").as("__k"),
+      to_json(struct(df.columns.map(col).toSeq: _*)).as("__v"))
+    val sink = factory()
+    try {
+      val ops = prepared.toLocalIterator().asScala.map { r =>
+        mode match {
+          case "kv"     => KvOp.Put(r.getString(0), r.getString(1), ttlSeconds)
+          case "stream" => KvOp.AppendStream(target, r.getString(1))
+          case "list"   => KvOp.PushList(target, r.getString(1))
+        }
+      }
+      val applied = sink.applyJournaled(journalKey, ops)
+      if (!applied)
+        System.err.println(s"[journal] $journalKey already committed — skipping replayed effects")
+      applied
+    } finally sink.close()
+  }
+
+  /** [[streamWriter]] for atomic sinks: each micro-batch lands via
+    * [[writeBatchJournaled]] under the KvJournal key convention
+    * (`__graft/journal/<checkpoint>/<batchId>`), giving LIST/STREAM appends
+    * the same airtight exactly-once the JDBC path got from
+    * [[Sinks.jdbcAppendExactlyOnce]].
+    */
+  def streamWriterAtomic(df: DataFrame, keyCol: String, checkpoint: String,
+                         factory: () => AtomicKeyValueSink, mode: String = "kv",
+                         target: String = "graft", ttlSeconds: Long = -1L): DataStreamWriter[Row] =
+    df.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        writeBatchJournaled(batch, keyCol, factory,
+          s"__graft/journal/$checkpoint/$id", mode, target, ttlSeconds)
+        ()
+      }
 
   /** Streaming write via checkpointed foreachBatch (redis destinations in
     * streaming_pipeline.yaml:66-80). Exactly-once sink EFFECTS by default
@@ -75,7 +148,7 @@ object KeyValueSink {
   /** JVM-local sink for tests (valid in local[k] where executors share the
     * driver JVM). Keyed by a namespace so parallel tests don't collide.
     */
-  final class InMemoryKV(namespace: String) extends KeyValueSink {
+  final class InMemoryKV(namespace: String) extends AtomicKeyValueSink {
     import InMemoryKV._
     override def put(key: String, value: String, ttl: Long): Unit =
       kv.put(s"$namespace/$key", value)
@@ -85,9 +158,29 @@ object KeyValueSink {
       appendStream(list, value, maxLen)
     override def get(key: String): Option[String] =
       Option(kv.get(s"$namespace/$key"))
+    /** The in-memory model of Redis's atomic EVAL: the ops iterator is
+      * drained FIRST (a throw while draining — the crash seam — mutates
+      * nothing), then marker-check + effects + marker commit run under one
+      * lock as pure memory mutation. */
+    override def applyJournaled(journalKey: String, ops: Iterator[KvOp]): Boolean = {
+      val staged = ops.toVector
+      commitLock.synchronized {
+        if (get(journalKey).isDefined) false
+        else {
+          staged.foreach {
+            case KvOp.Put(k, v, ttl)     => put(k, v, ttl)
+            case KvOp.PushList(l, v)     => pushList(l, v)
+            case KvOp.AppendStream(s, v) => appendStream(s, v)
+          }
+          put(journalKey, "1")
+          true
+        }
+      }
+    }
   }
 
   object InMemoryKV {
+    private val commitLock = new Object
     private val kv = new ConcurrentHashMap[String, String]()
     private val lists = new ConcurrentHashMap[String, java.util.concurrent.ConcurrentLinkedQueue[String]]()
     def get(namespace: String, key: String): Option[String] = Option(kv.get(s"$namespace/$key"))

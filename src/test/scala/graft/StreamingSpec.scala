@@ -403,6 +403,67 @@ class StreamingSpec extends SparkSpec {
     } finally valPrev.fold(spark.conf.unset(valKey))(spark.conf.set(valKey, _))
   }
 
+  test("atomic KV append: crash before the atomic EXEC leaves NOTHING; committed replay is skipped (round 10)") {
+    // closes the LAST BatchJournal residual window (KV list/stream appends)
+    // the way the JDBC path closed its own: effects + journal marker in ONE
+    // atomic sink action (Redis EVAL parity, modeled by InMemoryKV's
+    // drain-then-locked-commit applyJournaled)
+    import graft.sources.{AtomicKeyValueSink, KeyValueSink, KvOp}
+    val ns = "eo_atomic"
+    KeyValueSink.InMemoryKV.clear(ns)
+    // sink-level atomicity first: an ops iterator that throws MID-DRAIN
+    // (crash while effects are being queued) mutates nothing
+    val s0 = new KeyValueSink.InMemoryKV(ns)
+    intercept[RuntimeException] {
+      s0.applyJournaled("__graft/journal/t/0",
+        Iterator[KvOp](KvOp.PushList("l", "a"), KvOp.PushList("l", "b")) ++
+          { throw new RuntimeException("mid-drain crash"); Iterator.empty[KvOp] })
+    }
+    assert(KeyValueSink.InMemoryKV.list(ns, "l").isEmpty, "mid-drain crash must apply nothing")
+    assert(s0.get("__graft/journal/t/0").isEmpty, "mid-drain crash must not journal")
+    // streaming: crash injected AFTER all effects are staged, BEFORE the
+    // atomic commit — the exact point that duplicated on the wrapper path
+    val in = java.nio.file.Files.createTempDirectory("graft_eoa_in").toString
+    val cp = java.nio.file.Files.createTempDirectory("graft_eoa_cp").toString
+    val schema = org.apache.spark.sql.types.StructType.fromDDL("ID BIGINT, NAME STRING")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$in/b1.json"),
+      """{"ID":1,"NAME":"a"}""" + "\n" + """{"ID":2,"NAME":"b"}""")
+    @volatile var crash = true
+    def factory(): AtomicKeyValueSink = new AtomicKeyValueSink {
+      private val inner = new KeyValueSink.InMemoryKV(ns)
+      override def put(k: String, v: String, t: Long): Unit = inner.put(k, v, t)
+      override def appendStream(s: String, v: String, m: Long): Unit = inner.appendStream(s, v, m)
+      override def pushList(l: String, v: String, m: Long): Unit = inner.pushList(l, v, m)
+      override def get(k: String): Option[String] = inner.get(k)
+      override def applyJournaled(key: String, ops: Iterator[KvOp]): Boolean = {
+        val staged = ops.toVector // every effect staged — the "after effects" point
+        if (crash) throw new RuntimeException("injected crash before atomic EXEC")
+        inner.applyJournaled(key, staged.iterator)
+      }
+    }
+    def start() = KeyValueSink.streamWriterAtomic(
+      StreamOps.files(spark, in, "json", schema), "ID", cp, () => factory(),
+      mode = "list", target = "out").start()
+    val q1 = start()
+    intercept[org.apache.spark.sql.streaming.StreamingQueryException](q1.processAllAvailable())
+    q1.stop()
+    assert(KeyValueSink.InMemoryKV.list(ns, "out").isEmpty,
+      "crash before the atomic commit must leave NO list entries")
+    assert(!KeyValueSink.InMemoryKV.keys(ns).exists(_.contains("/__graft/journal/")),
+      "crash before the atomic commit must leave NO journal marker")
+    crash = false
+    val q2 = start(); q2.processAllAvailable(); q2.stop()
+    assert(KeyValueSink.InMemoryKV.list(ns, "out").size == 2, "restart applies the batch exactly once")
+    // forced replay of the committed batch: drop the checkpoint commit
+    val commits = new java.io.File(s"$cp/commits").listFiles().filter(_.getName.forall(_.isDigit))
+    val last = commits.maxBy(_.getName.toInt)
+    new java.io.File(last.getParent, s".${last.getName}.crc").delete()
+    assert(commits.nonEmpty && last.delete())
+    val q3 = start(); q3.processAllAvailable(); q3.stop()
+    assert(KeyValueSink.InMemoryKV.list(ns, "out").size == 2,
+      "replayed committed batch must be skipped by the in-EXEC journal marker")
+  }
+
   test("record transforms and filters work on streaming frames") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Ev]
