@@ -328,6 +328,13 @@ object Bench {
         val (median, gc, la, jit) = measure(spark, name)
         (name, median, gc, la, jit)
       }
+    // Box-speed probe AFTER the suite too (round 10): the start probe is a
+    // point sample — STRESS_r10's first cut carried 2-5× normalized
+    // "regressions" that same-session isolated re-measures dissolved as
+    // mid-run host drift; bracketing probes make that drift visible IN the
+    // artifact instead of requiring a forensic re-run.
+    val calEndSec = calibrate(spark)
+    System.err.println(f"[bench] calibration probe (end): $calEndSec%.3f s")
     if (ownsSession) spark.stop()
 
     // Self-adjudication: a suite median >1.5× the prior round's value (and
@@ -402,7 +409,7 @@ object Bench {
     val lawFailedJson = if (lawFailed.isEmpty) "" else s""","law_failed":[${lawFailed.mkString(",")}]"""
     val calJson = {
       val p = priorCal.map(fmt).getOrElse("null")
-      s"""{"sec":${fmt(calSec)},"prior_sec":$p,"ratio":${fmt(calRatio)},"trigger_scale":${fmt(triggerScale)}}"""
+      s"""{"sec":${fmt(calSec)},"end_sec":${fmt(calEndSec)},"prior_sec":$p,"ratio":${fmt(calRatio)},"trigger_scale":${fmt(triggerScale)}}"""
     }
     val detail =
       s"""{"adjudicated":$adjJson,"law_ring":$lawJson$lawFailedJson,"calibration":$calJson,"gc_sec":$gcJson,"load_avg":$laJson,"jit":$jitJson,"runs":$runs,"sf":${js(sfDir)}}"""
@@ -416,6 +423,6 @@ object Bench {
     // calibration_sec rides the stdout line BY DESIGN (~30 B): BENCH_r*.json
     // is the only artifact the next round's priorRound reads, so the box
     // probe must live there to be comparable cross-round
-    println(s"""{"metric":"total","value":${fmt(good.map(_._2).sum)},"unit":"sec","queries":$qJson$failedJson,"runs":$runs,"calibration_sec":${fmt(calSec)},"sf":${js(sfDir)},"detail":${js(detailPath)}}""")
+    println(s"""{"metric":"total","value":${fmt(good.map(_._2).sum)},"unit":"sec","queries":$qJson$failedJson,"runs":$runs,"calibration_sec":${fmt(calSec)},"calibration_end_sec":${fmt(calEndSec)},"sf":${js(sfDir)},"detail":${js(detailPath)}}""")
   }
 }
