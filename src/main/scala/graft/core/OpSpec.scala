@@ -614,6 +614,50 @@ object OpCompiler {
       case "dup_spans" =>
         Dedup.duplicateSpans(df, text, id,
           s(p, "gram_tokens", "5").toInt, s(p, "min_count", "2").toInt)
+      case "cut_dup_spans" => // ExactSubstr CUT: rewrite texts, keep-first canonical span
+        Dedup.cutDuplicateSpans(df, text, id,
+          s(p, "gram_tokens", "5").toInt, s(p, "min_count", "2").toInt)
+      case "cut_contaminated" => // surgical span decontamination vs an eval corpus
+        require(tables != null, "cut_contaminated requires a table catalog")
+        require(s(p, "eval_table") != null,
+          "cut_contaminated requires params.eval_table (the benchmark/eval corpus)")
+        graft.text.Contamination.cutContaminatedSpans(df, text, id,
+          tables(s(p, "eval_table")), s(p, "eval_text_column", text),
+          s(p, "gram_tokens", "8").toInt)
+      case "dsir_weights" => // DSIR importance log-weights vs a target corpus (Xie 2023)
+        require(tables != null, "dsir_weights requires a table catalog")
+        require(s(p, "target_table") != null,
+          "dsir_weights requires params.target_table (the target-distribution corpus)")
+        val target = tables(s(p, "target_table"))
+          .withColumnRenamed(s(p, "target_text_column", text), text)
+        val ns = { val o = intSeq(p, "gram_orders"); if (o.isEmpty) Seq(1, 2) else o }
+        val buckets = s(p, "hashed_buckets", "0").toInt
+        if (buckets > 0)
+          graft.text.Dsir.logWeightsHashed(df, target, text, id, ns,
+            s(p, "alpha", "1.0").toDouble, buckets)
+        else graft.text.Dsir.logWeights(df, target, text, id, ns,
+          s(p, "alpha", "1.0").toDouble)
+      case "dsir_select" => // the paper's resampling step: k docs ∝ exp(weight)
+        require(tables != null, "dsir_select requires a table catalog")
+        require(s(p, "target_table") != null,
+          "dsir_select requires params.target_table (the target-distribution corpus)")
+        require(s(p, "k") != null, "dsir_select requires params.k (sample size)")
+        val target = tables(s(p, "target_table"))
+          .withColumnRenamed(s(p, "target_text_column", text), text)
+        val ns = { val o = intSeq(p, "gram_orders"); if (o.isEmpty) Seq(1, 2) else o }
+        graft.text.Dsir.select(df, target, text, id, s(p, "k").toInt, ns,
+          s(p, "alpha", "1.0").toDouble, s(p, "hashed_buckets", "0").toInt,
+          s(p, "salt", "42").toInt)
+      case "perplexity_buckets" => // CCNet head/middle/tail per group
+        val corpusTable = s(p, "corpus_table")
+        val corpus = if (corpusTable == null) null else {
+          require(tables != null, "perplexity_buckets with corpus_table requires a table catalog")
+          tables(corpusTable)
+        }
+        TextLib.perplexityBuckets(df, text, id,
+          seqOf(p, "group_columns"), s(p, "n_buckets", "3").toInt,
+          corpus, s(p, "corpus_text_column", text),
+          s(p, "vocab_size", "50000").toInt)
       case "snapshot_diff" =>
         require(tables != null, "snapshot_diff requires a table catalog")
         require(s(p, "old_table") != null,

@@ -123,20 +123,27 @@ class BenchArtifactSpec extends SparkSpec {
       ).asInstanceOf[Map[String, Any]]
       (parsed, detail)
     }
-    // phase A: no usable prior — measure the query's actual wall on this box
-    val (base, _) = bench(Map(
-      "SPARK_GRAFT_BENCH_PRIOR" -> s"$dir/nonexistent.json",
-      "SPARK_GRAFT_BENCH_CAL_FAKE" -> "1.0"))
-    val m = base("queries").asInstanceOf[Map[String, Any]]("q_agg_grouped").asInstanceOf[Double]
-    assert(m > 0)
-    // shared prior: query at m/2.2 (a 2.2× apparent "regression"), box
-    // calibration 1.0 s
+    // Each phase derives its prior from a wall measured SECONDS before it
+    // (same bench path, no usable prior): a single phase-A measurement
+    // reused for every phase flaked in-suite when the box drifted >64%
+    // between phase A and phase B (round-10 full-suite run on a stormy
+    // box) — the margins only hold when the reference wall is fresh.
+    def freshWall(): Double = {
+      val (base, _) = bench(Map(
+        "SPARK_GRAFT_BENCH_PRIOR" -> s"$dir/nonexistent.json",
+        "SPARK_GRAFT_BENCH_CAL_FAKE" -> "1.0"))
+      val m = base("queries").asInstanceOf[Map[String, Any]]("q_agg_grouped").asInstanceOf[Double]
+      assert(m > 0)
+      m
+    }
     val priorPath = s"$dir/prior.json"
-    java.nio.file.Files.write(java.nio.file.Paths.get(priorPath),
-      (s"""{"metric":"total","value":${m / 2.2},"unit":"sec","queries":{"q_agg_grouped":${m / 2.2}},""" +
-        s""""runs":1,"calibration_sec":1.0,"sf":"$sfDir"}""").getBytes("UTF-8"))
-    // phase B: the box now measures 2.4× slower → trigger 1.5×2.4 = 3.6× —
-    // the 2.2× apparent regression is box state and must NOT adjudicate
+    def writePrior(m: Double): Unit =
+      java.nio.file.Files.write(java.nio.file.Paths.get(priorPath),
+        (s"""{"metric":"total","value":${m / 2.2},"unit":"sec","queries":{"q_agg_grouped":${m / 2.2}},""" +
+          s""""runs":1,"calibration_sec":1.0,"sf":"$sfDir"}""").getBytes("UTF-8"))
+    // phase B: prior at wall/2.2 (a 2.2× apparent "regression"), box now
+    // 2.4× slower → trigger 1.5×2.4 = 3.6× — box state, must NOT adjudicate
+    writePrior(freshWall())
     val (slowLine, slowDetail) = bench(Map(
       "SPARK_GRAFT_BENCH_PRIOR" -> priorPath,
       "SPARK_GRAFT_BENCH_CAL_FAKE" -> "2.4"))
@@ -148,9 +155,10 @@ class BenchArtifactSpec extends SparkSpec {
     assert(slowDetail("adjudicated").asInstanceOf[Map[String, Any]].isEmpty,
       "a 2.2x wall on a 2.4x-slower box must not trigger an isolated re-measure")
     assert(slowLine("calibration_sec").asInstanceOf[Double] == 2.4)
-    // phase C: same prior, box at parity (ratio 1) → the same wall IS a
+    // phase C: fresh prior, box at parity (ratio 1) → the same wall IS a
     // >1.5× suspect and adjudication fires — proving B's suppression came
     // from the calibration ratio, not a disabled trigger
+    writePrior(freshWall())
     val (_, parityDetail) = bench(Map(
       "SPARK_GRAFT_BENCH_PRIOR" -> priorPath,
       "SPARK_GRAFT_BENCH_CAL_FAKE" -> "1.0"))

@@ -360,6 +360,77 @@ class PipelineSpec extends SparkSpec {
     assert(lr.forall(r => r > 0.9))
   }
 
+  test("YAML round-10 curation ops: cut_dup_spans, perplexity_buckets, cut_contaminated, dsir_weights, dsir_select") {
+    val in = Files.createTempDirectory("graft_r10ops").toString
+    Seq(
+      (1L, "en", "alpha beta gamma delta epsilon unique one"),
+      (2L, "en", "second doc alpha beta gamma delta epsilon trailing words"),
+      (3L, "en", "totally different content words here nothing shared at all"),
+      (4L, "de", "deutsches dokument mit eigenen worten und saetzen hier"),
+      (5L, "de", "noch ein deutsches dokument mit anderen worten ganz neu")
+    ).toDF("doc_id", "lang", "text").coalesce(1).write.mode("overwrite").parquet(in + "/docs")
+    Seq((100L, "different content words here nothing shared"))
+      .toDF("eid", "etext").coalesce(1).write.mode("overwrite").parquet(in + "/eval")
+    Seq((200L, "deutsches dokument mit worten"), (201L, "ein dokument mit eigenen saetzen"))
+      .toDF("tid", "ttext").coalesce(1).write.mode("overwrite").parquet(in + "/target")
+
+    // ExactSubstr cut + CCNet buckets in one chain: the duplicated
+    // "alpha beta gamma delta epsilon" span survives only in its canonical
+    // (earliest) occurrence; every doc then gets a per-lang bucket
+    val yaml1 =
+      s"""name: cut_then_bucket
+         |source: { type: parquet, path: "$in/docs" }
+         |operations:
+         |  - { type: text_processing, params: { operation: cut_dup_spans, gram_tokens: 3 } }
+         |  - { type: text_processing, params: { operation: perplexity_buckets, n_buckets: 2,
+         |      group_columns: [lang] } }
+         |""".stripMargin
+    val conf1 = Pipeline.fromYaml(yaml1)
+    val (p1, cat1) = Pipeline.load(spark, conf1)
+    val out1 = graft.core.OpCompiler.compile(conf1.operations, cat1)(p1)
+      .select("doc_id", "n_removed_tokens", "ppl_bucket")
+      .as[(Long, Long, Int)].collect().sortBy(_._1)
+    assert(out1.map(_._1).toSeq == Seq(1L, 2L, 3L, 4L, 5L))
+    assert(out1(0)._2 == 0L, "canonical occurrence must keep its span")
+    assert(out1(1)._2 == 5L, s"doc 2 must lose the 5-token duplicated span, lost ${out1(1)._2}")
+    assert(out1.forall(r => r._3 == 1 || r._3 == 2), s"every doc buckets per-lang: ${out1.toSeq}")
+
+    // surgical decontamination + DSIR weights + the resampling step, all
+    // through the table catalog
+    def yaml2(extra: String) =
+      s"""name: decon_dsir
+         |sources:
+         |  - { type: parquet, path: "$in/docs", table: main }
+         |  - { type: parquet, path: "$in/eval", table: evalset }
+         |  - { type: parquet, path: "$in/target", table: targetset }
+         |operations:
+         |  - { type: text_processing, params: { operation: cut_contaminated, eval_table: evalset,
+         |      eval_text_column: etext, gram_tokens: 3 } }
+         |  - { type: text_processing, params: { operation: dsir_weights, target_table: targetset,
+         |      target_text_column: ttext } }
+         |$extra""".stripMargin
+    val conf2 = Pipeline.fromYaml(yaml2(""))
+    val (p2, cat2) = Pipeline.load(spark, conf2)
+    val out2 = graft.core.OpCompiler.compile(conf2.operations, cat2)(p2)
+      .select("doc_id", "n_removed_tokens", "log_weight")
+      .as[(Long, Long, Double)].collect().sortBy(_._1)
+    assert(out2(2)._2 == 6L, s"doc 3 must lose the 6-token eval phrase, lost ${out2(2)._2}")
+    assert(out2.filter(_._1 != 3L).forall(_._2 == 0L), "only the contaminated doc is rewritten")
+    val (deW, enW) = (out2.filter(_._1 >= 4L).map(_._3), out2.filter(_._1 <= 3L).map(_._3))
+    assert(deW.min > enW.max,
+      s"target-like (de) docs must outweigh en docs: de=${deW.toSeq} en=${enW.toSeq}")
+    // the resampling step: k=2 with an e^{>3}-nat weight gap picks the two
+    // de docs deterministically
+    val conf3 = Pipeline.fromYaml(yaml2(
+      s"""  - { type: text_processing, params: { operation: dsir_select, target_table: targetset,
+         |      target_text_column: ttext, k: 2 } }
+         |""".stripMargin))
+    val (p3, cat3) = Pipeline.load(spark, conf3)
+    val picked = graft.core.OpCompiler.compile(conf3.operations, cat3)(p3)
+      .select("doc_id").as[Long].collect().toSet
+    assert(picked == Set(4L, 5L), s"dsir_select must resample the target-like docs, got $picked")
+  }
+
   test("examples/training_data_pipeline.yaml runs end-to-end on sf0.001") {
     // the shipped example must stay executable — it documents the op surface
     val out = Files.createTempDirectory("graft_example_out").toString + "/chunks"
