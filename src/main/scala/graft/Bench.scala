@@ -229,7 +229,11 @@ object Bench {
   val lawRing: Seq[String] = Seq(
     "q_dedup_minhash_law",   // planted-pair MinHash oracle (brute pair check)
     "q_semantic_dedup_law",  // SemDedup vs exact threshold-graph components
-    "q_winnow_law"           // winnowing kernel replayed via HOFs
+    "q_winnow_law",          // winnowing kernel replayed via HOFs
+    // round-10 addition: the fit/apply split's apply is the new pure-map
+    // scoring path (VocabLogProbMean + broadcast floors) — tracked from
+    // birth like the r9 headliner additions
+    "q_ppl_fit_apply_law"    // CCNet fit/apply vs batch ntile, both paths priced
   )
 
   def main(args: Array[String]): Unit = {
