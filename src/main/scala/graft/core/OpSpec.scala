@@ -648,6 +648,17 @@ object OpCompiler {
         graft.text.Dsir.select(df, target, text, id, s(p, "k").toInt, ns,
           s(p, "alpha", "1.0").toDouble, s(p, "hashed_buckets", "0").toInt,
           s(p, "salt", "42").toInt)
+      case "ppl_apply" => // gate against a FROZEN CCNet model (pplFit + savePplModel)
+        require(s(p, "model_path") != null,
+          "ppl_apply requires params.model_path (written by TextLib.savePplModel)")
+        TextLib.pplApply(df, text,
+          TextLib.loadPplModel(df.sparkSession, s(p, "model_path")))
+      case "dsir_apply" => // score against a FROZEN hashed DSIR model (pure map)
+        require(s(p, "model_path") != null,
+          "dsir_apply requires params.model_path (written by Dsir.saveModel)")
+        val ns = { val o = intSeq(p, "gram_orders"); if (o.isEmpty) Seq(1, 2) else o }
+        graft.text.Dsir.applyHashed(df, text,
+          graft.text.Dsir.loadModel(df.sparkSession, s(p, "model_path")), ns)
       case "perplexity_buckets" => // CCNet head/middle/tail per group
         val corpusTable = s(p, "corpus_table")
         val corpus = if (corpusTable == null) null else {

@@ -199,6 +199,27 @@ object Dsir {
         lit(0.0))).reduce(_ + _))
   }
 
+  /** Persist a fitted hashed model (round 10): the production shape is
+    * "fit ONCE on a reference raw/target pair, gate every ingest job —
+    * batch or streaming — against the frozen table", which requires the
+    * model to survive the fitting job. One parquet row carries the dense
+    * B-double table (2 MB at 2^18; the same single-row idiom as
+    * [[graft.vec.Pq.saveModel]]). */
+  def saveModel(spark: org.apache.spark.sql.SparkSession,
+                model: graft.expr.DsirWeights, path: String): Unit = {
+    import spark.implicits._
+    Seq((model.buckets, model.weights.toSeq)).toDF("buckets", "weights")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Load a table written by [[saveModel]]; the DsirWeights constructor
+    * validates one weight per bucket. */
+  def loadModel(spark: org.apache.spark.sql.SparkSession,
+                path: String): graft.expr.DsirWeights = {
+    val r = spark.read.parquet(path).select("buckets", "weights").head()
+    new graft.expr.DsirWeights(r.getInt(0), r.getSeq[Double](1).toArray)
+  }
+
   /** The paper's resampling step: k docs sampled ∝ exp(log_weight),
     * via the deterministic A-ES sampler ([[graft.ops.Scale.weightedSample]]).
     * Weights are exp-normalized by the global max (one scalar aggregate)

@@ -428,6 +428,42 @@ object TextLib {
     new PplModel(lm, nBuckets, groupCols, boundsDf.schema, boundsDf.collect())
   }
 
+  /** Persist a fitted [[PplModel]] (round 10 — the CCNet production shape:
+    * fit once on a reference corpus, gate every ingest job against the
+    * frozen model): three parquet pieces under `path` — vocab/ (token, lp),
+    * bounds/ (group cols + __ppl_bounds, the floors table verbatim), and
+    * meta/ (floor_lp, n_buckets, group_cols). */
+  def savePplModel(spark: org.apache.spark.sql.SparkSession,
+                   model: PplModel, path: String): Unit = {
+    import scala.jdk.CollectionConverters._
+    import spark.implicits._
+    model.lm.lp.entrySet().asScala.toSeq
+      .map(e => (e.getKey.toString, e.getValue.doubleValue()))
+      .toDF("token", "lp")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/vocab")
+    spark.createDataFrame(java.util.Arrays.asList(model.bounds: _*), model.boundsSchema)
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/bounds")
+    Seq((model.lm.floorLp, model.nBuckets, model.groupCols))
+      .toDF("floor_lp", "n_buckets", "group_cols")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Load a model written by [[savePplModel]]; [[pplApply]] on the loaded
+    * model is bit-identical to the in-memory fit (CurationFlowSpec pins
+    * it — lp doubles and floors round-trip exactly through parquet). */
+  def loadPplModel(spark: org.apache.spark.sql.SparkSession, path: String): PplModel = {
+    val meta = spark.read.parquet(s"$path/meta")
+      .select("floor_lp", "n_buckets", "group_cols").head()
+    val groupCols = meta.getSeq[String](2)
+    val lm = graft.expr.LmVocab(
+      spark.read.parquet(s"$path/vocab").select("token", "lp").collect()
+        .map(r => r.getString(0) -> r.getDouble(1)).toSeq,
+      meta.getDouble(0))
+    val boundsDf = spark.read.parquet(s"$path/bounds")
+      .select((groupCols :+ "__ppl_bounds").map(col): _*)
+    new PplModel(lm, meta.getInt(1), groupCols, boundsDf.schema, boundsDf.collect())
+  }
+
   /** Gate any frame — batch or STREAMING — against a fitted [[PplModel]]:
     * tokenize (one hoisted array column), score via the pure-map
     * [[graft.expr.VocabLogProbMean]] kernel (zero joins, zero per-doc

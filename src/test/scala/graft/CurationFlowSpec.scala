@@ -151,6 +151,25 @@ class CurationFlowSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("PplModel save/load: the frozen gate round-trips bit-exactly (round 10)") {
+    val docs = ((1L to 40L).map { i =>
+      (i, if (i % 2 == 0) "en" else "de", (0 until 8).map(j => s"w${(i * 3 + j) % 13}").mkString(" "))
+    } :+ ((99L, "en", null.asInstanceOf[String]))).toDF("doc_id", "lang", "text")
+    val model = graft.text.TextLib.pplFit(docs, "text", "doc_id", Seq("lang"), nBuckets = 3)
+    val path = java.nio.file.Files.createTempDirectory("graft_ppl_model").toString
+    graft.text.TextLib.savePplModel(spark, model, path)
+    val loaded = graft.text.TextLib.loadPplModel(spark, path)
+    assert(loaded.nBuckets == model.nBuckets && loaded.groupCols == model.groupCols)
+    assert(loaded.lm.lp.size == model.lm.lp.size && loaded.lm.floorLp == model.lm.floorLp)
+    // lp doubles and floors round-trip exactly through parquet → apply is
+    // bit-identical (the whole point: ingest jobs load, never refit)
+    val a = graft.text.TextLib.pplApply(docs, "text", model)
+      .select("doc_id", "lm_logprob", "ppl_bucket").collect().map(_.toString).sorted.toSeq
+    val b = graft.text.TextLib.pplApply(docs, "text", loaded)
+      .select("doc_id", "lm_logprob", "ppl_bucket").collect().map(_.toString).sorted.toSeq
+    assert(a == b, "loaded-model apply must equal in-memory-model apply exactly")
+  }
+
   test("CCNet-style gate composes: LM score → per-lang perplexity buckets") {
     // two languages with distinct vocabularies; a few gibberish docs per
     // language must land in the tail bucket of THEIR language

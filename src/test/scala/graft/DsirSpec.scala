@@ -94,6 +94,22 @@ class DsirSpec extends SparkSpec {
     assert(got(1L) > got(2L) && got(3L) > got(2L))
   }
 
+  test("DsirWeights save/load: the frozen model round-trips bit-exactly (round 10)") {
+    val buckets = 1 << 12
+    val model = Dsir.fitHashed(raw, target, "text", buckets = buckets)
+    val path = java.nio.file.Files.createTempDirectory("graft_dsir_model").toString
+    Dsir.saveModel(spark, model, path)
+    val loaded = Dsir.loadModel(spark, path)
+    assert(loaded.buckets == model.buckets)
+    assert(java.util.Arrays.equals(loaded.weights, model.weights),
+      "weight table must round-trip bit-exactly through parquet")
+    val a = Dsir.applyHashed(raw, "text", model)
+      .select("doc_id", "log_weight").collect().map(_.toString).sorted.toSeq
+    val b = Dsir.applyHashed(raw, "text", loaded)
+      .select("doc_id", "log_weight").collect().map(_.toString).sorted.toSeq
+    assert(a == b, "loaded-model apply must equal in-memory-model apply exactly")
+  }
+
   test("fitHashed + applyHashed: the fitted kernel gates a STREAM, values match the batch fit") {
     // the point of the train-then-apply split: the fit's count aggregations
     // cannot run per micro-batch, but the collected B-bounded table scores

@@ -429,6 +429,37 @@ class PipelineSpec extends SparkSpec {
     val picked = graft.core.OpCompiler.compile(conf3.operations, cat3)(p3)
       .select("doc_id").as[Long].collect().toSet
     assert(picked == Set(4L, 5L), s"dsir_select must resample the target-like docs, got $picked")
+
+    // frozen-model ingest gates: fit + save once, then YAML pipelines that
+    // only APPLY (the production ingest shape — no refit per job)
+    val modelDir = Files.createTempDirectory("graft_r10_models").toString
+    val fitDocs = spark.read.parquet(in + "/docs")
+    graft.text.TextLib.savePplModel(spark,
+      graft.text.TextLib.pplFit(fitDocs, "text", "doc_id", Seq("lang"), nBuckets = 2),
+      s"$modelDir/ppl")
+    graft.text.Dsir.saveModel(spark,
+      graft.text.Dsir.fitHashed(
+        fitDocs.filter($"lang" === "en"),
+        spark.read.parquet(in + "/target").withColumnRenamed("ttext", "text"),
+        "text", buckets = 1 << 12),
+      s"$modelDir/dsir")
+    val yaml5 =
+      s"""name: frozen_gates
+         |source: { type: parquet, path: "$in/docs" }
+         |operations:
+         |  - { type: text_processing, params: { operation: ppl_apply, model_path: "$modelDir/ppl" } }
+         |  - { type: text_processing, params: { operation: dsir_apply, model_path: "$modelDir/dsir" } }
+         |""".stripMargin
+    val conf5 = Pipeline.fromYaml(yaml5)
+    val (p5, cat5) = Pipeline.load(spark, conf5)
+    val gated = graft.core.OpCompiler.compile(conf5.operations, cat5)(p5)
+      .select("doc_id", "lang", "ppl_bucket", "log_weight")
+      .as[(Long, String, Int, Double)].collect()
+    assert(gated.length == 5 && gated.forall(r => r._3 == 1 || r._3 == 2),
+      s"every doc gates against the frozen floors: ${gated.toSeq}")
+    val (deLw, enLw) = (gated.filter(_._2 == "de").map(_._4), gated.filter(_._2 == "en").map(_._4))
+    assert(deLw.min > enLw.max,
+      s"frozen DSIR model (en raw vs de-like target) must upweight de docs: de=${deLw.toSeq} en=${enLw.toSeq}")
   }
 
   test("examples/training_data_pipeline.yaml runs end-to-end on sf0.001") {
