@@ -81,6 +81,17 @@ object StreamPipeline {
         case "parse_json_field"=> StreamOps.parseJsonField(df, str(tr, "field"), StructType.fromDDL(str(tr, "schema")))
         case "flatten_nested"  => StreamOps.flattenNested(df)
         case "filter"          => df.filter(expr(str(tr, "condition")))
+        case "dsir_gate" => // frozen hashed-DSIR model as a pure-map stream gate (round 10)
+          val m = graft.text.Dsir.loadModel(df.sparkSession, str(tr, "model_path"))
+          val scored = graft.text.Dsir.applyHashed(df, str(tr, "text_field", "text"), m)
+          val min = str(tr, "min_log_weight")
+          if (min == null) scored else scored.filter(col("log_weight") >= min.toDouble)
+        case "ppl_gate" => // frozen CCNet floors as a stream gate: keep head..max_bucket
+          val m = graft.text.TextLib.loadPplModel(df.sparkSession, str(tr, "model_path"))
+          val bucketed = graft.text.TextLib.pplApply(df, str(tr, "text_field", "text"), m)
+          val max = str(tr, "max_bucket")
+          if (max == null) bucketed
+          else bucketed.filter(col("ppl_bucket").isNotNull && col("ppl_bucket") <= max.toInt)
         case "quota_per_group" => StreamOps.quotaPerGroupStream(df,
           str(tr, "group_column"), str(tr, "quota", "10000").toLong)
         case other             => throw new IllegalArgumentException(s"Unknown stream transform: $other")

@@ -403,6 +403,59 @@ class StreamingSpec extends SparkSpec {
     } finally valPrev.fold(spark.conf.unset(valKey))(spark.conf.set(valKey, _))
   }
 
+  test("StreamPipeline: frozen DSIR + CCNet gates filter a YAML stream at ingest (round 10)") {
+    // the full streaming curation-ingest shape: models fitted + saved by a
+    // batch job, a YAML stream that only APPLIES them — pure maps + a
+    // broadcast floors join, no stateful operators before the sink
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_gate_stream").toString
+    val modelDir = java.nio.file.Files.createTempDirectory("graft_gate_models").toString
+    // Bimodal fixture — the two known traps are designed OUT:
+    //  - ppl: 20 tok docs (one shared text → one rounded score) + 20 junk
+    //    docs → bucket 1 is exactly the tok mode; a streamed copy of the
+    //    tok text TIES the bucket-1 floor and the head-most tie policy
+    //    keeps it; the junk text ties bucket 2's values and drops.
+    //  - dsir: the raw fit must be target-POOR (DsirSpec's lesson: a raw
+    //    corpus rich in target-like text drives those grams' raw
+    //    probabilities up and the ratio NEGATIVE), and the streamed junk
+    //    doc must reuse RAW-OBSERVED junk grams (fully-unseen grams score
+    //    the mildly-positive ln((nR+V)/(nT+V)) prior, not a penalty).
+    val tokText = (0 until 10).map(j => s"tok${j % 7}").mkString(" ")
+    val junkText = (0 until 10).map(j => s"junk$j").mkString(" ")
+    val pplFitDocs = ((1L to 20L).map(i => (i, "en", tokText)) ++
+      (21L to 40L).map(i => (i, "en", junkText))).toDF("doc_id", "lang", "text")
+    graft.text.TextLib.savePplModel(spark,
+      graft.text.TextLib.pplFit(pplFitDocs, "text", "doc_id", Seq("lang"), nBuckets = 2),
+      s"$modelDir/ppl")
+    val dsirRaw = ((1L to 2L).map(i => (i, tokText)) ++
+      (3L to 40L).map(i => (i, junkText))).toDF("doc_id", "text")
+    val dsirTarget = (1L to 20L).map(i => (i, tokText)).toDF("tid", "text")
+    graft.text.Dsir.saveModel(spark,
+      graft.text.Dsir.fitHashed(dsirRaw, dsirTarget, "text", buckets = 1 << 12),
+      s"$modelDir/dsir")
+    // stream: two tok docs (pass both gates), one junk doc (tail bucket
+    // AND negative DSIR weight)
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/b1.json"),
+      s"""{"doc_id":101,"lang":"en","text":"$tokText"}
+         |{"doc_id":102,"lang":"en","text":"$tokText"}
+         |{"doc_id":103,"lang":"en","text":"$junkText"}""".stripMargin)
+    val yaml =
+      s"""name: gated_ingest
+         |stream_source: { type: file, path: "$dir", format: json, schema: "doc_id BIGINT, lang STRING, text STRING" }
+         |transforms:
+         |  - { type: ppl_gate, model_path: "$modelDir/ppl", max_bucket: 1 }
+         |  - { type: dsir_gate, model_path: "$modelDir/dsir", min_log_weight: 0.0 }
+         |sink: { type: memory, name: gated_ingest_out, output_mode: append }
+         |""".stripMargin
+    val q = graft.streaming.StreamPipeline.start(spark, graft.streaming.StreamPipeline.fromYaml(yaml))
+    try {
+      q.processAllAvailable()
+      val kept = spark.sql("SELECT doc_id FROM gated_ingest_out").as[Long].collect().toSet
+      assert(kept == Set(101L, 102L),
+        s"gates must keep the target-like docs and drop the junk doc: $kept")
+    } finally q.stop()
+  }
+
   test("atomic KV append: crash before the atomic EXEC leaves NOTHING; committed replay is skipped (round 10)") {
     // closes the LAST BatchJournal residual window (KV list/stream appends)
     // the way the JDBC path closed its own: effects + journal marker in ONE
