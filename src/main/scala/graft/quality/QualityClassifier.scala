@@ -73,6 +73,26 @@ object QualityClassifier {
       .withColumn(outCol, element_at(vector_to_array(col("__qc_prob")), 2))
       .drop("__qc_f", "__qc_p", "__qc_prob", "__qc_raw")
 
+  /** Persist a trained model (round 10 — the FastText-classifier
+    * production shape: train once against a curated reference, gate every
+    * crawl snapshot after): MLlib's own writer for the LR (path/lr) plus
+    * the feature-column list (path/features), so a loaded model can never
+    * silently bind to a different feature order. */
+  def saveModel(spark: org.apache.spark.sql.SparkSession, model: Model, path: String): Unit = {
+    import spark.implicits._
+    model.lr.write.overwrite().save(s"$path/lr")
+    model.features.zipWithIndex.toDF("feature", "pos")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/features")
+  }
+
+  /** Load a model written by [[saveModel]]; scoring with it is identical
+    * to the in-memory model (same coefficients, same feature order). */
+  def loadModel(spark: org.apache.spark.sql.SparkSession, path: String): Model = {
+    val feats = spark.read.parquet(s"$path/features")
+      .orderBy("pos").select("feature").collect().map(_.getString(0)).toSeq
+    Model(LogisticRegressionModel.load(s"$path/lr"), feats)
+  }
+
   /** Pseudo-labels from a ranking signal when no curated reference exists:
     * 1 above the `hi` quantile, 0 below `lo`, NULL between (train on the
     * extremes, leave the ambiguous middle out — standard practice when

@@ -170,6 +170,28 @@ object Similarity {
       .clusterCenters.map(_.toArray)
   }
 
+  /** Persist trained IVF coarse centroids (round 10): at 100 TB the
+    * coarse structure is trained once on a sample and reused by every
+    * search job — it must survive the training job. Same one-row parquet
+    * idiom as [[graft.vec.Pq.saveModel]]. */
+  def saveCentroids(spark: org.apache.spark.sql.SparkSession,
+                    centroids: Array[Array[Double]], path: String): Unit = {
+    import spark.implicits._
+    Seq(Tuple1(centroids.map(_.toSeq).toSeq)).toDF("centroids")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Load centroids written by [[saveCentroids]]; validates rectangular
+    * shape so a corrupt file fails here, not inside a search plan. */
+  def loadCentroids(spark: org.apache.spark.sql.SparkSession,
+                    path: String): Array[Array[Double]] = {
+    val cents = spark.read.parquet(path).select("centroids").head()
+      .getSeq[scala.collection.Seq[Double]](0).map(_.toArray).toArray
+    require(cents.nonEmpty && cents.forall(_.length == cents(0).length),
+      s"ivf loadCentroids: corrupt/ragged centroid table at $path")
+    cents
+  }
+
   def ivfTopK(
       corpus: DataFrame, corpusId: String, corpusVec: String,
       queries: DataFrame, queryId: String, queryVec: String,

@@ -345,6 +345,21 @@ class DirtyDataSpec extends SparkSpec {
       graft.quality.QualityClassifier.train(emptyLab, "quality_label", Seq("f"))
     }
     assert(err2.getMessage.contains("both classes"), err2.getMessage)
+
+    // save/load (round 10): the frozen classifier scores identically —
+    // train once against a curated reference, gate every later snapshot
+    val sig = (1L to 60L).map(i => (i, i.toDouble, i.toDouble / 60.0)).toDF("id", "lm", "f")
+    val lab = graft.quality.QualityClassifier.pseudoLabelByQuantile(sig, "lm")
+    val m = graft.quality.QualityClassifier.train(lab, "quality_label", Seq("f"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_qc_model").toString
+    graft.quality.QualityClassifier.saveModel(spark, m, dir)
+    val loaded = graft.quality.QualityClassifier.loadModel(spark, dir)
+    assert(loaded.features == m.features)
+    val a = graft.quality.QualityClassifier.score(sig, m)
+      .select("id", "quality_prob").collect().map(_.toString).sorted.toSeq
+    val b = graft.quality.QualityClassifier.score(sig, loaded)
+      .select("id", "quality_prob").collect().map(_.toString).sorted.toSeq
+    assert(a == b, "loaded classifier must score identically to the in-memory model")
   }
 
   test("lengthHistogram bins integer-exactly and routes null/non-positive to bin -1") {

@@ -76,6 +76,23 @@ class RecallSpec extends SparkSpec {
     assert(ivfpq >= 0.90, f"IVF-PQ recall@$k regressed: $ivfpq%.3f < 0.90")
   }
 
+  test("IVF centroids save/load: a frozen coarse index answers identically (round 10)") {
+    val cents = Similarity.ivfTrainCentroids(corpus, "embedding", nlist = 16)
+    val path = java.nio.file.Files.createTempDirectory("graft_ivf_cents").toString
+    Similarity.saveCentroids(spark, cents, path)
+    val loaded = Similarity.loadCentroids(spark, path)
+    assert(loaded.length == cents.length &&
+      loaded.zip(cents).forall { case (a, b) => java.util.Arrays.equals(a, b) },
+      "centroids must round-trip bit-exactly through parquet")
+    val a = Similarity.ivfTopK(corpus, "vec_id", "embedding", queries, "vec_id", "embedding",
+        k, nlist = 16, nprobe = 4, centroids = cents)
+      .select("query_id", "neighbor_id", "cos").collect().map(_.toString).sorted.toSeq
+    val b = Similarity.ivfTopK(corpus, "vec_id", "embedding", queries, "vec_id", "embedding",
+        k, nlist = 16, nprobe = 4, centroids = loaded)
+      .select("query_id", "neighbor_id", "cos").collect().map(_.toString).sorted.toSeq
+    assert(a == b, "search against loaded centroids must equal the in-memory index exactly")
+  }
+
   test("recall responds to the quality knobs: nprobe and rerank do what they claim") {
     // the knob gates: quality must be monotone-ish in nprobe — a wiring bug
     // that ignores nprobe (probing one list regardless) fails the spread
