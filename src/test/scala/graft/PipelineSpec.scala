@@ -477,7 +477,7 @@ class PipelineSpec extends SparkSpec {
     assert(back.count() > 0, "pipeline must keep some chunks")
     val cols = back.columns.toSet
     assert(Set("chunk_text", "shard", "pos", "split", "dup_ratio",
-      "url_canonical", "url_host", "url_domain").subsetOf(cols), s"got $cols")
+      "url_canonical", "url_host", "url_domain", "ppl_bucket").subsetOf(cols), s"got $cols")
     assert(back.filter($"doc_id".isin(7L, 14L, 21L)).count() == 0, "blocklist applied")
     assert(back.select("split").distinct().collect().map(_.getString(0)).toSet.subsetOf(
       Set("train", "val", "test")))
