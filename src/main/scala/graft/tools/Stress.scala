@@ -29,12 +29,31 @@ object Stress {
     sys.props("SPARK_GRAFT_SF_DIR") = sfDir
     sys.props("SPARK_GRAFT_BENCH_RUNS") = "1"
     sys.props("SPARK_GRAFT_BENCH_DETAIL") = detail
+    // Self-adjudication against the newest committed STRESS artifact
+    // (round 10): the sf≈10 replica matches no BENCH_r*.json prior, so
+    // storm-elevated walls used to ship un-adjudicated (this round's
+    // forensics). A STRESS artifact parses as a prior (bench.queries, sf,
+    // calibration_sec are all inside its `bench` object), so flagged
+    // queries now re-measure isolated — calibration-scaled — IN-ARTIFACT.
+    // An explicit SPARK_GRAFT_BENCH_PRIOR (env or prop) still wins.
+    val setPrior = sys.props.get("SPARK_GRAFT_BENCH_PRIOR").isEmpty &&
+      sys.env.get("SPARK_GRAFT_BENCH_PRIOR").isEmpty
+    if (setPrior) {
+      val rxS = "STRESS_r(\\d+)\\.json".r
+      Option(new java.io.File(".").listFiles()).getOrElse(Array.empty).toSeq
+        .flatMap(f => f.getName match { case rxS(n) => Some((n.toInt, f)); case _ => None })
+        .sortBy(-_._1).headOption.foreach { case (_, f) =>
+          sys.props("SPARK_GRAFT_BENCH_PRIOR") = f.getPath
+          System.err.println(s"[stress] adjudication prior: ${f.getName}")
+        }
+    }
     val bos = new java.io.ByteArrayOutputStream()
     try Console.withOut(new java.io.PrintStream(bos, true, "UTF-8")) {
       graft.Bench.main(graft.Bench.headline.toArray)
     } finally {
       sys.props -= "SPARK_GRAFT_SF_DIR"; sys.props -= "SPARK_GRAFT_BENCH_RUNS"
       sys.props -= "SPARK_GRAFT_BENCH_DETAIL"
+      if (setPrior) sys.props -= "SPARK_GRAFT_BENCH_PRIOR"
     }
     val benchLine = new String(bos.toByteArray, "UTF-8").split("\n").filter(_.nonEmpty).last.trim
     // Bench owned and stopped its session; a fresh one serves the counts
