@@ -526,6 +526,39 @@ object OpCompiler {
         graft.ops.Scale.temperatureSample(df, s(p, "group_column"), s(p, "key_column", id),
           s(p, "alpha", "0.5").toDouble, s(p, "total_rows").toDouble.toLong,
           s(p, "salt", "42").toInt)
+      case "gopher_rules" =>
+        TextLib.gopherRules(df, text,
+          s(p, "min_words", "50").toInt, s(p, "max_words", "100000").toInt,
+          s(p, "min_mean_word_len", "3.0").toDouble, s(p, "max_mean_word_len", "10.0").toDouble,
+          s(p, "max_symbol_ratio", "0.1").toDouble, s(p, "max_bullet_ratio", "0.9").toDouble,
+          s(p, "max_ellipsis_ratio", "0.3").toDouble, s(p, "min_alpha_ratio", "0.8").toDouble,
+          s(p, "min_stopwords", "2").toInt)
+      case "gopher_filter" =>
+        // the gate applied: keep surviving rows, drop the audit columns
+        TextLib.gopherRules(df, text,
+          s(p, "min_words", "50").toInt, s(p, "max_words", "100000").toInt,
+          s(p, "min_mean_word_len", "3.0").toDouble, s(p, "max_mean_word_len", "10.0").toDouble,
+          s(p, "max_symbol_ratio", "0.1").toDouble, s(p, "max_bullet_ratio", "0.9").toDouble,
+          s(p, "max_ellipsis_ratio", "0.3").toDouble, s(p, "min_alpha_ratio", "0.8").toDouble,
+          s(p, "min_stopwords", "2").toInt)
+          .filter(col("gopher_keep"))
+          .drop("gopher_word_count_ok", "gopher_mean_word_len_ok", "gopher_symbol_ratio_ok",
+            "gopher_bullet_lines_ok", "gopher_ellipsis_lines_ok", "gopher_alpha_words_ok",
+            "gopher_stopwords_ok", "gopher_keep", "gopher_fail_reasons")
+      case "unimax_sample" =>
+        require(s(p, "group_column") != null,
+          "unimax_sample requires params.group_column (the language/domain column)")
+        require(s(p, "weight_column") != null,
+          "unimax_sample requires params.weight_column (chars/tokens per row)")
+        require(s(p, "budget") != null,
+          "unimax_sample requires params.budget (total weight units to allocate)")
+        val uxBudgetStr = s(p, "budget")
+        val uxBudget = try uxBudgetStr.toLong catch {
+          case _: NumberFormatException => uxBudgetStr.toDouble.toLong
+        }
+        graft.ops.Scale.unimaxSample(df, s(p, "group_column"), s(p, "weight_column"),
+          s(p, "key_column", id), uxBudget,
+          s(p, "max_epochs", "4.0").toDouble, s(p, "salt", "42").toInt)
       case "shard_assign" =>
         require(s(p, "num_shards") != null,
           "shard_assign requires params.num_shards (number of output shards)")

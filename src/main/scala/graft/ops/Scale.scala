@@ -328,6 +328,114 @@ object Scale {
       .drop("__re_n")
   }
 
+  /** UniMax budget allocation (Chung et al. 2023, "UniMax: Fairer and More
+    * Effective Language Sampling for Large-Scale Multilingual Pretraining",
+    * ICLR 2023): split a total training `budget` (in `weightCol`
+    * units — chars/tokens) across groups by WATER-FILLING under a per-group
+    * repetition cap of `maxEpochs` epochs. Every group would ideally get an
+    * equal share; a group whose entire corpus repeated `maxEpochs` times
+    * still undershoots that share is CAPPED at cap_g = ⌊n_g·maxEpochs⌋ and
+    * its unused share is re-leveled across the rest. Temperature sampling
+    * (the mT5 recipe, [[temperatureSample]]) fixes the mixture by corpus
+    * SIZE — UniMax instead bounds per-document repetition, which is the
+    * quantity that actually degrades models (the paper's argument).
+    *
+    * Closed form instead of an iterative loop: with groups sorted by
+    * ascending cap, the capped set is exactly a PREFIX — group j caps iff
+    * cap_j·(L−j+1) ≤ budget − Σ_{i<j} cap_i, and once that test fails for
+    * the smallest remaining cap it provably fails for every later one
+    * (level_{j+1} = (level_j·(L−j) − cap_j)/(L−j−1) < level_j < cap_j ≤
+    * cap_{j+1}), so the flag computes per-row from prefix sums alone. All
+    * waterfall arithmetic is INTEGER (caps floor to longs; the prefix-sum
+    * test promotes to decimal(38,0) so cap·remaining cannot overflow at
+    * 100 TB weights) — bit-exact in any engine, which is what lets a plain
+    * SQL oracle replay the allocation. Only the final level division is a
+    * double.
+    *
+    * Returns one row per group: group, `group_weight` (Σ weightCol),
+    * `cap`, `capped`, `allocation` (weight units granted), and `epochs`
+    * (= allocation/weight — ≤ maxEpochs by construction; feed to
+    * [[unimaxSample]] or [[repeatEpochs]]). If budget ≥ Σ cap every group
+    * caps and the surplus is deliberately left unallocated (spending it
+    * would exceed the epoch bound — the whole point of the method).
+    *
+    * Scale shape: one map-side-combined aggregate to |groups| rows, then
+    * ONE global-sort window chain over that |groups|-row frame — bounded
+    * by definition for a mixture recipe (languages/domains/sources), the
+    * same allowance class as q_funnel's k-row window. The corpus is
+    * scanned once and never shuffled.
+    */
+  def unimaxAllocation(
+      df: DataFrame,
+      groupCol: String,
+      weightCol: String,
+      budget: Long,
+      maxEpochs: Double
+  ): DataFrame = {
+    require(budget > 0, s"unimaxAllocation: budget must be positive, got $budget")
+    require(maxEpochs > 0, s"unimaxAllocation: maxEpochs must be positive, got $maxEpochs")
+    import org.apache.spark.sql.expressions.Window
+    val sizes = df.groupBy(col(groupCol))
+      .agg(sum(col(weightCol)).cast("long").as("group_weight"))
+      // ⌊n·E + 1e-6⌋: the house pinned-floor formulation (the nudge absorbs
+      // ±ulp in the one double multiply so both engines land the same long)
+      .withColumn("cap",
+        floor(col("group_weight").cast("double") * lit(maxEpochs) + lit(1e-6)).cast("long"))
+    val w = Window.orderBy(col("cap"), col(groupCol))
+    val wPrev = w.rowsBetween(Window.unboundedPreceding, -1)
+    val wAll = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    sizes
+      .withColumn("__idx", row_number().over(w))
+      .withColumn("__cum", coalesce(sum(col("cap")).over(wPrev), lit(0L)))
+      .withColumn("__l", count(lit(1)).over(wAll))
+      // decimal(38,0): cap·remaining at 100 TB char weights overflows a long
+      .withColumn("capped",
+        col("cap").cast("decimal(38,0)") * (col("__l") - col("__idx") + 1).cast("decimal(38,0)")
+          <= (lit(budget) - col("__cum")).cast("decimal(38,0)"))
+      .withColumn("__spent", coalesce(sum(when(col("capped"), col("cap"))).over(wAll), lit(0L)))
+      .withColumn("__ncap", sum(when(col("capped"), 1L).otherwise(0L)).over(wAll))
+      .withColumn("allocation",
+        when(col("capped"), col("cap").cast("double"))
+          .otherwise((lit(budget) - col("__spent")).cast("double") /
+            (col("__l") - col("__ncap")).cast("double")))
+      .withColumn("epochs", col("allocation") / col("group_weight").cast("double"))
+      .drop("__idx", "__cum", "__l", "__spent", "__ncap")
+  }
+
+  /** Materialize a UniMax mixture: repeat each group's rows `epochs_g`
+    * times (from [[unimaxAllocation]]), the fractional part resolved per
+    * row by the deterministic hash gate — [[repeatEpochs]]' copy rule with
+    * the epoch map coming from the allocation instead of the operator's
+    * when-chain, delivered by a broadcast join so a 100k-domain recipe
+    * costs a join, not a 100k-node expression tree. Adds `epoch` (1-based
+    * copy index); epochs ≤ maxEpochs bounds the blow-up by construction.
+    * NULL groups join null-safely to their own allocation row.
+    */
+  def unimaxSample(
+      df: DataFrame,
+      groupCol: String,
+      weightCol: String,
+      keyCol: String,
+      budget: Long,
+      maxEpochs: Double,
+      salt: Int = 42,
+      gate: Option[Column] = None
+  ): DataFrame = {
+    val alloc = unimaxAllocation(df, groupCol, weightCol, budget, maxEpochs)
+      .select(col(groupCol).as("__ux_g"),
+        floor(col("epochs")).cast("int").as("__ux_base"),
+        // per-key copy count = base + (bucket < ⌊frac·1e6 + 1e-6⌋)
+        floor((col("epochs") - floor(col("epochs"))) * lit(1000000.0) + lit(1e-6))
+          .cast("long").as("__ux_fthr"))
+    val bucket = gate.getOrElse(
+      pmod(xxhash64(col(keyCol), lit(opSalt("unimax_sample", salt))), lit(1000000L)))
+    df.join(broadcast(alloc), col(groupCol) <=> col("__ux_g"), "inner")
+      .withColumn("__ux_n", col("__ux_base") + when(bucket < col("__ux_fthr"), 1).otherwise(0))
+      .filter(col("__ux_n") > 0)
+      .withColumn("epoch", explode(sequence(lit(1), col("__ux_n"))))
+      .drop("__ux_g", "__ux_base", "__ux_fthr", "__ux_n")
+  }
+
   /** Weighted corpus mixture: union of hash-gate samples of each source at
     * its target rate, tagged with a `mixture_source` lineage column — the
     * "30% web, 30% code, 40% books" recipe step of a training-data

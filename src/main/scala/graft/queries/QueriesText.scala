@@ -848,6 +848,64 @@ object QueriesText {
         .select("doc_id", "lang", "source")
         .orderBy("doc_id")),
 
+    "q_unimax_alloc" -> ((s, dir) => {
+      // UniMax water-filling: budget = ⌊1.6·total chars⌋ at 2-epoch cap —
+      // mid-waterfall at every SF (the small langs cap at 2 epochs, the
+      // big ones level-share the remainder), so both branches of the
+      // closed form execute. The whole waterfall is integer arithmetic;
+      // DuckDB replays it exactly (HUGEINT = the decimal(38,0) promotion).
+      val d = t(s, dir, "documents")
+      val total = d.agg(sum(col("n_chars"))).head().getLong(0)
+      val budget = math.floor(1.6 * total.toDouble + 1e-6).toLong
+      graft.ops.Scale.unimaxAllocation(d, "lang", "n_chars", budget, maxEpochs = 2.0)
+        .select(col("lang"), col("group_weight"), col("cap"), col("capped"),
+          roundf(col("allocation"), 4).as("allocation"),
+          roundf(col("epochs"), 6).as("epochs"))
+        .orderBy("lang")
+    }),
+
+    "q_unimax_sample" -> ((s, dir) => {
+      // materialized UniMax mixture: per-lang epochs from the allocation,
+      // fractional epochs resolved by the md5 gate DuckDB re-derives
+      val d = t(s, dir, "documents")
+      val total = d.agg(sum(col("n_chars"))).head().getLong(0)
+      val budget = math.floor(1.6 * total.toDouble + 1e-6).toLong
+      graft.ops.Scale.unimaxSample(d, "lang", "n_chars", "doc_id", budget,
+          maxEpochs = 2.0, gate = Some(md5Gate("17:")))
+        .select("doc_id", "lang", "epoch")
+        .orderBy("doc_id", "epoch")
+    }),
+
+    "q_lsh_tune" -> ((s, dir) =>
+      // parameter plan for the minhash defaults (64 hashes, 0.5 target
+      // Jaccard): S-curve FP/FN areas per factorization + the argmin rank.
+      // Purely analytic — the oracle replays the same midpoint sum.
+      graft.text.Dedup.tuneLsh(s, numHashes = 64, threshold = 0.5)
+        .orderBy("bands")),
+
+    "q_gopher_rules" -> ((s, dir) => {
+      // Gopher heuristic gate over per-class planted pathologies so every
+      // rule provably fires at any SF (bullet walls, trailing ellipses,
+      // symbol spam, numeric floods, a stopword-rich control); the oracle
+      // replays plant + all seven rules + the reason string
+      val cls = col("doc_id") % 5
+      val planted = t(s, dir, "documents").withColumn("text",
+        when(cls === 0, concat(col("text"),
+          lit("\n- one\n- two\n- three\n- four\n- five\n- six\n- seven\n- eight\n- nine\n- ten")))
+          .when(cls === 1, concat(col("text"),
+            lit(" see more...\nnext line trails off...\nanother...\nyet another...")))
+          .when(cls === 2, concat(col("text"), lit(" ## ## ## ## ## ## ## ##")))
+          .when(cls === 3, concat(col("text"),
+            lit(" 111 222 333 444 555 666 777 888 999 000 123 456 789 012 345 678 901 234 567 890")))
+          .otherwise(concat(col("text"), lit(" to be of and that have with"))))
+      TextLib.gopherRules(planted, "text", minWords = 30)
+        .select(col("doc_id"), col("gopher_word_count_ok"), col("gopher_mean_word_len_ok"),
+          col("gopher_symbol_ratio_ok"), col("gopher_bullet_lines_ok"),
+          col("gopher_ellipsis_lines_ok"), col("gopher_alpha_words_ok"),
+          col("gopher_stopwords_ok"), col("gopher_keep"), col("gopher_fail_reasons"))
+        .orderBy("doc_id")
+    }),
+
     "q_quality_classifier" -> ((s, dir) => {
       // LAW gate (round 6): L-BFGS coefficients are float-order-dependent,
       // but logistic regression is CONVEX — the optimum is essentially
@@ -2209,6 +2267,174 @@ object QueriesText {
         |        % 1000000 AS BIGINT)
         |      < CAST(floor(frac * 1000000.0 + 0.000001) AS BIGINT)
         |ORDER BY doc_id""".stripMargin,
+
+    "q_unimax_alloc" ->
+      // integer waterfall replay: caps sort ascending, the capped set is a
+      // prefix (see Scale.unimaxAllocation scaladoc for the proof), HUGEINT
+      // mirrors the engine's decimal(38,0) overflow guard; only the final
+      // level division is a double, edge-rounded on both sides
+      """WITH tot AS (
+        |  SELECT CAST(floor(1.6 * CAST(sum(n_chars) AS DOUBLE) + 0.000001) AS BIGINT) AS b
+        |  FROM documents),
+        |gs AS (SELECT lang, CAST(sum(n_chars) AS BIGINT) AS group_weight
+        |       FROM documents GROUP BY lang),
+        |c AS (SELECT lang, group_weight,
+        |        CAST(floor(CAST(group_weight AS DOUBLE) * 2.0 + 0.000001) AS BIGINT) AS cap
+        |      FROM gs),
+        |o AS (SELECT lang, group_weight, cap,
+        |        row_number() OVER w AS idx,
+        |        coalesce(sum(cap) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |          AS cumprev,
+        |        count(*) OVER () AS l
+        |      FROM c WINDOW w AS (ORDER BY cap, lang)),
+        |f AS (SELECT o.*, t.b,
+        |        (CAST(cap AS HUGEINT) * (l - idx + 1) <= CAST(b - cumprev AS HUGEINT)) AS capped
+        |      FROM o CROSS JOIN tot t),
+        |g AS (SELECT f.*,
+        |        coalesce(sum(CASE WHEN capped THEN cap END) OVER (), 0) AS spent,
+        |        coalesce(sum(CASE WHEN capped THEN 1 ELSE 0 END) OVER (), 0) AS ncap
+        |      FROM f)
+        |SELECT lang, group_weight, cap, capped,
+        |  round(CASE WHEN capped THEN CAST(cap AS DOUBLE)
+        |             ELSE CAST(b - spent AS DOUBLE) / CAST(l - ncap AS DOUBLE) END + 1e-9, 4)
+        |    AS allocation,
+        |  round(CASE WHEN capped THEN CAST(cap AS DOUBLE)
+        |             ELSE CAST(b - spent AS DOUBLE) / CAST(l - ncap AS DOUBLE) END
+        |        / CAST(group_weight AS DOUBLE) + 1e-9, 6) AS epochs
+        |FROM g ORDER BY lang""".stripMargin,
+
+    "q_unimax_sample" ->
+      // allocation chain above → per-lang (base, frac-threshold) → the
+      // repeatEpochs copy rule with the md5 gate
+      """WITH tot AS (
+        |  SELECT CAST(floor(1.6 * CAST(sum(n_chars) AS DOUBLE) + 0.000001) AS BIGINT) AS b
+        |  FROM documents),
+        |gs AS (SELECT lang, CAST(sum(n_chars) AS BIGINT) AS group_weight
+        |       FROM documents GROUP BY lang),
+        |c AS (SELECT lang, group_weight,
+        |        CAST(floor(CAST(group_weight AS DOUBLE) * 2.0 + 0.000001) AS BIGINT) AS cap
+        |      FROM gs),
+        |o AS (SELECT lang, group_weight, cap,
+        |        row_number() OVER w AS idx,
+        |        coalesce(sum(cap) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |          AS cumprev,
+        |        count(*) OVER () AS l
+        |      FROM c WINDOW w AS (ORDER BY cap, lang)),
+        |f AS (SELECT o.*, t.b,
+        |        (CAST(cap AS HUGEINT) * (l - idx + 1) <= CAST(b - cumprev AS HUGEINT)) AS capped
+        |      FROM o CROSS JOIN tot t),
+        |g AS (SELECT f.*,
+        |        coalesce(sum(CASE WHEN capped THEN cap END) OVER (), 0) AS spent,
+        |        coalesce(sum(CASE WHEN capped THEN 1 ELSE 0 END) OVER (), 0) AS ncap
+        |      FROM f),
+        |e AS (SELECT lang,
+        |        CAST(floor(ep) AS INT) AS base,
+        |        CAST(floor((ep - floor(ep)) * 1000000.0 + 0.000001) AS BIGINT) AS fthr
+        |      FROM (SELECT lang,
+        |              CASE WHEN capped THEN CAST(cap AS DOUBLE)
+        |                   ELSE CAST(b - spent AS DOUBLE) / CAST(l - ncap AS DOUBLE) END
+        |              / CAST(group_weight AS DOUBLE) AS ep
+        |            FROM g)),
+        |k AS (SELECT d.doc_id, d.lang,
+        |        e.base + CASE WHEN
+        |          CAST(CAST('0x' || substr(md5('17:' || CAST(d.doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+        |            % 1000000 AS BIGINT) < e.fthr THEN 1 ELSE 0 END AS n
+        |      FROM documents d JOIN e USING (lang))
+        |SELECT doc_id, lang, CAST(u.e AS INT) AS epoch
+        |FROM k, unnest(generate_series(1, n)) AS u(e)
+        |WHERE n > 0 ORDER BY doc_id, epoch""".stripMargin,
+
+    "q_lsh_tune" ->
+      // same midpoint Riemann sum over the banding S-curve, folded in index
+      // order; 6dp edge-rounding absorbs pow/fold ulp before the rank
+      """WITH br AS (
+        |  SELECT CAST(b AS INT) AS bands, CAST(64 // b AS INT) AS rows_per_band
+        |  FROM unnest(generate_series(1, 64)) AS g(b) WHERE 64 % b = 0),
+        |a AS (
+        |  SELECT bands, rows_per_band,
+        |    list_sum(list_transform(generate_series(1, 200), i ->
+        |      CASE WHEN (CAST(i AS DOUBLE) - 0.5) / 200.0 < 0.5
+        |        THEN 1.0 - pow(1.0 - pow((CAST(i AS DOUBLE) - 0.5) / 200.0,
+        |               CAST(rows_per_band AS DOUBLE)), CAST(bands AS DOUBLE))
+        |        ELSE 0.0 END)) / 200.0 AS fp,
+        |    list_sum(list_transform(generate_series(1, 200), i ->
+        |      CASE WHEN (CAST(i AS DOUBLE) - 0.5) / 200.0 >= 0.5
+        |        THEN 1.0 - (1.0 - pow(1.0 - pow((CAST(i AS DOUBLE) - 0.5) / 200.0,
+        |               CAST(rows_per_band AS DOUBLE)), CAST(bands AS DOUBLE)))
+        |        ELSE 0.0 END)) / 200.0 AS fn
+        |  FROM br)
+        |SELECT bands, rows_per_band,
+        |  round(fp + 1e-9, 6) AS fp_area,
+        |  round(fn + 1e-9, 6) AS fn_area,
+        |  round(fp + fn + 1e-9, 6) AS total_err,
+        |  CAST(rank() OVER (ORDER BY round(fp + fn + 1e-9, 6), bands DESC) AS INT) AS pick_rank
+        |FROM a ORDER BY bands""".stripMargin,
+
+    "q_gopher_rules" ->
+      // full rule replay: the mean-word-length identity (len(norm) − n + 1)/n
+      // holds because the normalization collapses to single spaces; '...'
+      // counts are replace-diffs over 3 (exact multiples); every rule is
+      // null→FALSE like the engine
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    CASE CAST(doc_id % 5 AS INT)
+        |      WHEN 0 THEN text || e'\n- one\n- two\n- three\n- four\n- five\n- six\n- seven\n- eight\n- nine\n- ten'
+        |      WHEN 1 THEN text || e' see more...\nnext line trails off...\nanother...\nyet another...'
+        |      WHEN 2 THEN text || ' ## ## ## ## ## ## ## ##'
+        |      WHEN 3 THEN text || ' 111 222 333 444 555 666 777 888 999 000 123 456 789 012 345 678 901 234 567 890'
+        |      ELSE text || ' to be of and that have with' END AS text
+        |  FROM documents),
+        |b AS (
+        |  SELECT doc_id, text,
+        |    trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
+        |  FROM p),
+        |c AS (
+        |  SELECT doc_id, text, norm,
+        |    list_filter(string_split(norm, ' '), x -> x <> '') AS ws,
+        |    list_filter(string_split(text, chr(10)), l -> trim(l) <> '') AS lines
+        |  FROM b),
+        |d AS (
+        |  SELECT doc_id, text, norm, ws, lines,
+        |    CAST(len(ws) AS DOUBLE) AS n,
+        |    CAST(len(lines) AS DOUBLE) AS nl,
+        |    length(text) - length(regexp_replace(text, '#', '', 'g')) AS hashcnt,
+        |    (length(text) - length(regexp_replace(text, '\.\.\.', '', 'g'))) / 3 AS ellcnt
+        |  FROM c),
+        |r AS (
+        |  SELECT doc_id,
+        |    coalesce(n >= 30 AND n <= 100000, FALSE) AS r_words,
+        |    coalesce(
+        |      CAST(length(norm) - len(ws) + 1 AS DOUBLE) / nullif(n, 0.0) >= 3.0 AND
+        |      CAST(length(norm) - len(ws) + 1 AS DOUBLE) / nullif(n, 0.0) <= 10.0, FALSE)
+        |      AS r_mwl,
+        |    coalesce(CAST(hashcnt + ellcnt AS DOUBLE) / nullif(n, 0.0) <= 0.1, FALSE)
+        |      AS r_symbol,
+        |    coalesce(CAST(len(list_filter(lines, l -> regexp_matches(l, '^\s*[-*•]')))
+        |      AS DOUBLE) / nullif(nl, 0.0) <= 0.9, FALSE) AS r_bullet,
+        |    coalesce(CAST(len(list_filter(lines, l -> regexp_matches(l, '\.\.\.\s*$')))
+        |      AS DOUBLE) / nullif(nl, 0.0) <= 0.3, FALSE) AS r_ellipsis,
+        |    coalesce(CAST(len(list_filter(ws, w -> regexp_matches(w, '[a-z]')))
+        |      AS DOUBLE) / nullif(n, 0.0) >= 0.8, FALSE) AS r_alpha,
+        |    coalesce(len(list_filter(['the','be','to','of','and','that','have','with'],
+        |      s -> list_contains(ws, s))) >= 2, FALSE) AS r_stop
+        |  FROM d)
+        |SELECT doc_id,
+        |  r_words AS gopher_word_count_ok, r_mwl AS gopher_mean_word_len_ok,
+        |  r_symbol AS gopher_symbol_ratio_ok, r_bullet AS gopher_bullet_lines_ok,
+        |  r_ellipsis AS gopher_ellipsis_lines_ok, r_alpha AS gopher_alpha_words_ok,
+        |  r_stop AS gopher_stopwords_ok,
+        |  (r_words AND r_mwl AND r_symbol AND r_bullet AND r_ellipsis AND r_alpha AND r_stop)
+        |    AS gopher_keep,
+        |  coalesce(array_to_string(list_filter([
+        |    CASE WHEN NOT r_words THEN 'word_count' END,
+        |    CASE WHEN NOT r_mwl THEN 'mean_word_len' END,
+        |    CASE WHEN NOT r_symbol THEN 'symbol_ratio' END,
+        |    CASE WHEN NOT r_bullet THEN 'bullet_lines' END,
+        |    CASE WHEN NOT r_ellipsis THEN 'ellipsis_lines' END,
+        |    CASE WHEN NOT r_alpha THEN 'alpha_words' END,
+        |    CASE WHEN NOT r_stop THEN 'stopwords' END], x -> x IS NOT NULL), ','), '')
+        |    AS gopher_fail_reasons
+        |FROM r ORDER BY doc_id""".stripMargin,
 
     "q_lm_score" ->
       """WITH toks AS (

@@ -92,6 +92,16 @@ object StreamPipeline {
           val max = str(tr, "max_bucket")
           if (max == null) bucketed
           else bucketed.filter(col("ppl_bucket").isNotNull && col("ppl_bucket") <= max.toInt)
+        case "gopher_gate" => // Gopher rules as a stream gate — pure map, no
+          // fitted model to freeze: keep survivors, keep the audit string
+          graft.text.TextLib.gopherRules(df, str(tr, "text_field", "text"),
+              minWords = str(tr, "min_words", "50").toInt,
+              minStopwords = str(tr, "min_stopwords", "2").toInt)
+            .filter(col("gopher_keep"))
+            .drop("gopher_word_count_ok", "gopher_mean_word_len_ok",
+              "gopher_symbol_ratio_ok", "gopher_bullet_lines_ok",
+              "gopher_ellipsis_lines_ok", "gopher_alpha_words_ok",
+              "gopher_stopwords_ok", "gopher_keep")
         case "quota_per_group" => StreamOps.quotaPerGroupStream(df,
           str(tr, "group_column"), str(tr, "quota", "10000").toLong)
         case other             => throw new IllegalArgumentException(s"Unknown stream transform: $other")

@@ -155,6 +155,82 @@ object Dedup {
   def lshBandHashes(signature: Column, bands: Int, rowsPerBand: Int): Column =
     graft.expr.LshBands(signature, bands, rowsPerBand)
 
+  /** LSH parameter tuner (Leskovec/Rajaraman/Ullman, *Mining of Massive
+    * Datasets* §3.4.3): for every (bands b, rows r) factorization of
+    * `numHashes`, integrate the banding S-curve P(candidate | s) =
+    * 1−(1−s^r)^b against the target Jaccard `threshold` t — false-positive
+    * area = ∫₀ᵗ P ds (pairs BELOW the threshold that still collide),
+    * false-negative area = ∫ₜ¹ (1−P) ds (true pairs the banding misses) —
+    * via a midpoint Riemann sum on `gridSteps` points. One row per
+    * factorization with both areas, their sum, and `pick_rank` (1 = the
+    * recommended setting; ties break toward more bands = higher recall).
+    * A pure analytic table — |divisors(numHashes)| rows, the grid folds
+    * inside an `aggregate` HOF in index order, so any engine replays it
+    * bit-for-bit modulo pow ulp (areas are edge-rounded at 6dp before the
+    * rank for exactly that reason).
+    *
+    * Why it exists: RecallSpec pins recall FLOORS for the shipped defaults,
+    * but nothing explained WHERE the defaults come from — this makes the
+    * bands/rows choice a measured argmin instead of folklore, and lets a
+    * pipeline derive parameters from its own dedup threshold.
+    */
+  def tuneLsh(spark: org.apache.spark.sql.SparkSession, numHashes: Int = 64,
+              threshold: Double = 0.5, gridSteps: Int = 200): DataFrame = {
+    require(numHashes > 0, s"tuneLsh: numHashes must be positive, got $numHashes")
+    require(threshold > 0.0 && threshold < 1.0,
+      s"tuneLsh: threshold must be in (0,1), got $threshold")
+    require(gridSteps > 0, s"tuneLsh: gridSteps must be positive, got $gridSteps")
+    import spark.implicits._
+    val pairs = (1 to numHashes).filter(numHashes % _ == 0).map(b => (b, numHashes / b))
+    val d = pairs.toDF("bands", "rows_per_band")
+    // midpoint s_i = (i − 0.5)/g; the fold accumulates in index order —
+    // deterministic, and tiny (|divisors| × gridSteps interpreted steps)
+    def area(fp: Boolean) = {
+      val acc = aggregate(sequence(lit(1), lit(gridSteps)), lit(0.0), (a, i) => {
+        val s = (i.cast("double") - lit(0.5)) / lit(gridSteps.toDouble)
+        val p = lit(1.0) - pow(lit(1.0) - pow(s, col("rows_per_band").cast("double")),
+          col("bands").cast("double"))
+        if (fp) a + when(s < lit(threshold), p).otherwise(lit(0.0))
+        else a + when(s >= lit(threshold), lit(1.0) - p).otherwise(lit(0.0))
+      })
+      acc / lit(gridSteps.toDouble)
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("total_err"), col("bands").desc)
+    d.withColumn("fp_area", round(area(fp = true) + lit(1e-9), 6))
+      .withColumn("fn_area", round(area(fp = false) + lit(1e-9), 6))
+      .withColumn("total_err", round(area(fp = true) + area(fp = false) + lit(1e-9), 6))
+      .withColumn("pick_rank", rank().over(w))
+  }
+
+  /** Driver-side twin of [[tuneLsh]]'s pick for operators that need the
+    * (bands, rowsPerBand) pair directly — same grid, same fold order, same
+    * 6dp-rounded key, ties toward more bands; TuningSpec pins equality with
+    * the DataFrame's pick_rank = 1 row.
+    */
+  def pickLshParams(numHashes: Int = 64, threshold: Double = 0.5,
+                    gridSteps: Int = 200): (Int, Int) = {
+    require(numHashes > 0 && threshold > 0.0 && threshold < 1.0 && gridSteps > 0,
+      s"pickLshParams: bad arguments ($numHashes, $threshold, $gridSteps)")
+    val cands = (1 to numHashes).filter(numHashes % _ == 0).map { b =>
+      val r = numHashes / b
+      var fp = 0.0; var fn = 0.0
+      var i = 1
+      while (i <= gridSteps) {
+        val s = (i - 0.5) / gridSteps.toDouble
+        val p = 1.0 - math.pow(1.0 - math.pow(s, r.toDouble), b.toDouble)
+        if (s < threshold) fp += p else fn += 1.0 - p
+        i += 1
+      }
+      (b, r, (fp / gridSteps + fn / gridSteps))
+    }
+    // the same rounded key Spark's round() produces (HALF_UP on the decimal)
+    def key6(x: Double): BigDecimal =
+      BigDecimal(x + 1e-9).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    val best = cands.minBy { case (b, _, e) => (key6(e), -b) }
+    (best._1, best._2)
+  }
+
   /** Distinct unordered id pairs that share a bucket, generated WITHOUT a
     * self-join: one shuffle on the bucket key does cap-check (window count)
     * AND pair expansion (collect_list + in-array combination — the groupBy

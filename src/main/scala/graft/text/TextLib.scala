@@ -132,6 +132,89 @@ object TextLib {
         (when(col("stopword_ratio") > 0.05, 0.1).otherwise(0.0)), 2))
   }
 
+  /** Gopher-rules document gate (Rae et al. 2021, "Scaling Language Models:
+    * Methods, Analysis & Insights from Training Gopher", Appendix A1.1 —
+    * the heuristic baseline FineWeb/Dolma-class pipelines still start
+    * from): seven per-document rules, each emitted as its OWN boolean
+    * column plus a composite `gopher_keep` and an audit
+    * `gopher_fail_reasons` (comma-joined failed-rule names in fixed
+    * order) — production curation needs the per-rule attribution for
+    * drop-rate dashboards and appeal/debug trails, not just a verdict.
+    * [[qualityScore]] is the scalar cousin; this is the named-recipe gate.
+    *
+    * Rules (names as emitted): `word_count` (tokens in [minWords,
+    * maxWords]), `mean_word_len` (in [minMeanWordLen, maxMeanWordLen]),
+    * `symbol_ratio` ('#' chars + '...' runs per word ≤ maxSymbolRatio),
+    * `bullet_lines` (≤ maxBulletRatio of nonempty lines start with a
+    * bullet), `ellipsis_lines` (≤ maxEllipsisRatio of nonempty lines end
+    * with '...'), `alpha_words` (≥ minAlphaRatio of words contain a
+    * letter), `stopwords` (≥ minStopwords distinct common stop words —
+    * the Gopher eight). Tokens are the corpus-wide normalized whitespace
+    * tokens; lines split the RAW text on newlines. Null/empty documents
+    * fail every denominator-bearing rule (each rule is null→false), so
+    * they never leak through a composite keep.
+    *
+    * Mean word length is computed integer-exactly from the normalized
+    * length ((len − n + 1)/n: single spaces by construction) — one
+    * integer subtraction and one division, so an oracle replays the
+    * boundary comparisons bit-for-bit without rounding conventions.
+    *
+    * Scale shape: a pure per-row map (token/line arrays hoisted to
+    * columns once — HOF lambdas re-evaluate inline subtrees per element,
+    * the q_winnow_law lesson); no shuffle, no aggregate, embarrassingly
+    * parallel at any corpus size.
+    */
+  def gopherRules(df: DataFrame, textCol: String,
+                  minWords: Int = 50, maxWords: Int = 100000,
+                  minMeanWordLen: Double = 3.0, maxMeanWordLen: Double = 10.0,
+                  maxSymbolRatio: Double = 0.1, maxBulletRatio: Double = 0.9,
+                  maxEllipsisRatio: Double = 0.3, minAlphaRatio: Double = 0.8,
+                  minStopwords: Int = 2): DataFrame = {
+    val t = col(textCol)
+    val gopherStops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+    val staged = df
+      .withColumn("__gr_norm", normalized(t))
+      .withColumn("__gr_ws", filter(split(col("__gr_norm"), " "), x => x =!= ""))
+      .withColumn("__gr_lines",
+        filter(split(t, "\n"), l => trim(l) =!= ""))
+      .withColumn("__gr_n", size(col("__gr_ws")).cast("double"))
+      .withColumn("__gr_nl", size(col("__gr_lines")).cast("double"))
+    val n = col("__gr_n")
+    val nl = col("__gr_nl")
+    def ok(c: Column): Column = coalesce(c, lit(false))
+    val mwl = (length(col("__gr_norm")) - size(col("__gr_ws")) + 1).cast("double") /
+      nullif(n, lit(0.0))
+    val hashCount = length(t) - length(regexp_replace(t, "#", ""))
+    val ellipsisCount = (length(t) - length(regexp_replace(t, "\\.\\.\\.", ""))) / 3
+    val rules = Seq(
+      "word_count" -> ok(n >= minWords && n <= maxWords),
+      "mean_word_len" -> ok(mwl >= minMeanWordLen && mwl <= maxMeanWordLen),
+      "symbol_ratio" -> ok((hashCount + ellipsisCount).cast("double") / nullif(n, lit(0.0))
+        <= maxSymbolRatio),
+      "bullet_lines" -> ok(size(filter(col("__gr_lines"), l => l.rlike("^\\s*[-*•]")))
+        .cast("double") / nullif(nl, lit(0.0)) <= maxBulletRatio),
+      "ellipsis_lines" -> ok(size(filter(col("__gr_lines"), l => l.rlike("\\.\\.\\.\\s*$")))
+        .cast("double") / nullif(nl, lit(0.0)) <= maxEllipsisRatio),
+      "alpha_words" -> ok(size(filter(col("__gr_ws"), w => w.rlike("[a-z]")))
+        .cast("double") / nullif(n, lit(0.0)) >= minAlphaRatio),
+      "stopwords" -> ok(size(filter(
+        array(gopherStops.map(lit): _*), s => array_contains(col("__gr_ws"), s)))
+        >= minStopwords)
+    )
+    val withRules = rules.foldLeft(staged) { case (d, (name, c)) =>
+      d.withColumn(s"gopher_${name}_ok", c)
+    }
+    withRules
+      .withColumn("gopher_keep",
+        rules.map { case (name, _) => col(s"gopher_${name}_ok") }.reduce(_ && _))
+      .withColumn("gopher_fail_reasons",
+        concat_ws(",", filter(
+          array(rules.map { case (name, _) =>
+            when(!col(s"gopher_${name}_ok"), lit(name))
+          }: _*), x => x.isNotNull)))
+      .drop("__gr_norm", "__gr_ws", "__gr_lines", "__gr_n", "__gr_nl")
+  }
+
   /** Corpus length distribution in log2 bins: one aggregation pass over a
     * numeric column (chars, tokens, bytes) → per-bin row count, share, and
     * min/max/avg — the "what does this corpus look like" histogram that

@@ -360,6 +360,32 @@ class PipelineSpec extends SparkSpec {
     assert(lr.forall(r => r > 0.9))
   }
 
+  test("YAML unimax_sample: budget water-fills across langs with an epoch cap") {
+    val in = Files.createTempDirectory("graft_unimax").toString
+    // en: 8 docs × 10 chars (cap 160 at 2 epochs), de: 2 docs × 10 (cap 40)
+    // budget 120 → de caps at 40 (2 epochs each), en levels at 80 = 1 epoch
+    ((1L to 8L).map(i => (i, "en", 10L)) ++ Seq((9L, "de", 10L), (10L, "de", 10L)))
+      .toDF("doc_id", "lang", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(in + "/docs")
+    val yaml =
+      s"""name: unimax
+         |source: { type: parquet, path: "$in/docs" }
+         |operations:
+         |  - { type: text_processing, params: { operation: unimax_sample, group_column: lang,
+         |      weight_column: n_chars, budget: 120, max_epochs: 2.0 } }
+         |""".stripMargin
+    val conf = Pipeline.fromYaml(yaml)
+    val (p, cat) = Pipeline.load(spark, conf)
+    val out = graft.core.OpCompiler.compile(conf.operations, cat)(p)
+      .select("doc_id", "lang", "epoch").as[(Long, String, Int)].collect()
+    val de = out.filter(_._2 == "de")
+    assert(de.length == 4 && de.map(_._1).distinct.length == 2,
+      s"both de docs repeat twice (capped at 2 epochs): ${de.toSeq}")
+    val en = out.filter(_._2 == "en")
+    assert(en.length == 8 && en.forall(_._3 == 1),
+      s"en levels at exactly 1 epoch (80 of 80 chars): ${en.toSeq}")
+  }
+
   test("YAML round-10 curation ops: cut_dup_spans, perplexity_buckets, cut_contaminated, dsir_weights, dsir_select") {
     val in = Files.createTempDirectory("graft_r10ops").toString
     Seq(

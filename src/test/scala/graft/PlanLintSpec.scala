@@ -88,7 +88,15 @@ class PlanLintSpec extends SparkSpec {
     "q_benford" -> Set("global_window"),                   // Profiler.benford: total over the ≤9-row digit frame
     "q_dd_quantiles" -> Set("broadcast_nested_loop"),      // IncrementalAgg.ddQuantiles: the |qs|-row literal cross onto the bucket frame
     "q_chi_square" -> Set("global_window"),                // Profiler.chiSquare: same aggregated-joint-frame margins as mutualInfo
-    "q_funnel" -> Set("global_window")                     // TimeSeriesLib.funnel: conversion ratios over the k-row per-step count frame
+    "q_funnel" -> Set("global_window"),                    // TimeSeriesLib.funnel: conversion ratios over the k-row per-step count frame
+    // UniMax waterfall: the global-sort window chain runs over the
+    // |groups|-row allocation frame (a mixture recipe is driver-sized by
+    // definition; the corpus itself is aggregated once, never windowed)
+    "q_unimax_alloc" -> Set("global_window"),              // Scale.unimaxAllocation
+    "q_unimax_sample" -> Set("global_window"),             // same windows riding inside the allocation
+    // analytic parameter table: rank over the |divisors(numHashes)|-row
+    // S-curve error frame (≤ a few dozen rows for any hash count)
+    "q_lsh_tune" -> Set("global_window")                   // Dedup.tuneLsh
   )
 
   test("every registered gate query plans clean of 100TB-hostile shapes") {

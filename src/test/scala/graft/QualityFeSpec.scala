@@ -9,6 +9,62 @@ import graft.multimodal.Multimodal
 class QualityFeSpec extends SparkSpec {
   import spark.implicits._
 
+  test("gopherRules: each rule fires on its planted pathology, clean doc keeps") {
+    val clean = Array.fill(4)(
+      "the quick brown fox jumps over that lazy dog with vigor and grace to be of sound mind")
+      .mkString(" ") // 72 words, stopword-rich, mean word len ~4
+    val rows = Seq(
+      (1L, clean),
+      (2L, "too short to pass"),
+      (3L, clean + "\n- a\n- b\n- c\n- d\n- e\n- f\n- g\n- h\n- i\n- j\n- k"),
+      (4L, clean + " more...\nended...\ntrailing...\nagain..."),
+      (5L, clean + " " + Array.fill(9)("#").mkString(" ")),
+      (6L, clean + " " + (1 to 25).map(_.toString).mkString(" ")),
+      (7L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val out = graft.text.TextLib.gopherRules(rows, "text")
+      .select("doc_id", "gopher_keep", "gopher_fail_reasons")
+      .as[(Long, Boolean, String)].collect().sortBy(_._1)
+    assert(out(0) == ((1L, true, "")), s"clean doc: ${out(0)}")
+    assert(!out(1)._2 && out(1)._3.contains("word_count"))
+    assert(!out(2)._2 && out(2)._3 == "bullet_lines", s"bullet wall: ${out(2)}")
+    assert(!out(3)._2 && out(3)._3 == "ellipsis_lines", s"ellipsis: ${out(3)}")
+    assert(!out(4)._2 && out(4)._3.contains("symbol_ratio"), s"symbols: ${out(4)}")
+    assert(!out(5)._2 && out(5)._3 == "alpha_words", s"numeric flood: ${out(5)}")
+    // null text: every rule is null→false, all seven reasons reported
+    assert(!out(6)._2 && out(6)._3.split(",").length == 7, s"null doc: ${out(6)}")
+  }
+
+  test("gopherRules boundary math: mean word length is integer-exact") {
+    // 50 words of length exactly 3 → mwl = 3.0, inclusive boundary keeps
+    val d = Seq((1L, Array.fill(50)("abc").mkString(" ")),
+      (2L, Array.fill(50)("ab").mkString(" "))).toDF("doc_id", "text")
+    val out = graft.text.TextLib.gopherRules(d, "text")
+      .select("doc_id", "gopher_mean_word_len_ok").as[(Long, Boolean)].collect().sortBy(_._1)
+    assert(out(0)._2, "mwl == 3.0 is inside the inclusive [3,10] band")
+    assert(!out(1)._2, "mwl == 2.0 fails")
+  }
+
+  test("YAML gopher_filter keeps survivors and drops the audit columns") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_gopher").toString
+    val clean = Array.fill(4)(
+      "the quick brown fox jumps over that lazy dog with vigor and grace to be of sound mind")
+      .mkString(" ")
+    Seq((1L, clean), (2L, "too short")).toDF("doc_id", "text")
+      .coalesce(1).write.mode("overwrite").parquet(dir + "/docs")
+    val yaml =
+      s"""name: gopher
+         |source: { type: parquet, path: "$dir/docs" }
+         |operations:
+         |  - { type: text_processing, params: { operation: gopher_filter } }
+         |""".stripMargin
+    val conf = graft.core.Pipeline.fromYaml(yaml)
+    val (p, cat) = graft.core.Pipeline.load(spark, conf)
+    val out = graft.core.OpCompiler.compile(conf.operations, cat)(p)
+    assert(out.columns.toSeq == Seq("doc_id", "text"), s"audit cols dropped: ${out.columns.toSeq}")
+    assert(out.select("doc_id").as[Long].collect().toSeq == Seq(1L))
+  }
+
   private def df = Seq(
     (1, "a", 10.0), (2, "a", 20.0), (3, "b", 30.0), (4, "b", 40.0), (5, null: String, 50.0)
   ).toDF("id", "grp", "v")

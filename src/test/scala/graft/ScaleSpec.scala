@@ -320,4 +320,105 @@ class ScaleSpec extends SparkSpec {
     // ln(u)/1e9 ≈ 0 dominates every unit-weight key (P(miss) ~ e^-1e9·ε)
     assert(out.find(_._2 == 99L).get._3 == 1, "the 1e9-weight row ranks first in its group")
   }
+
+  /** Textbook ITERATIVE water-filling (the loop the closed form replaces):
+    * repeatedly cap the smallest-capacity group whose cap fits under the
+    * current equal share, then split what remains equally. Differential
+    * truth for unimaxAllocation's prefix-sum formulation.
+    */
+  private def waterfallRef(caps: Seq[(String, Long)], budget: Long): Map[String, Double] = {
+    var pool = caps.sortBy { case (g, c) => (c, g) }.toList
+    var rem = BigInt(budget)
+    val out = scala.collection.mutable.Map[String, Double]()
+    while (pool.nonEmpty) {
+      val (g, c) = pool.head
+      if (BigInt(c) * pool.size <= rem) { out(g) = c.toDouble; rem -= c; pool = pool.tail }
+      else {
+        val level = rem.toDouble / pool.size // the one double op, same as the operator's
+        pool.foreach { case (g2, _) => out(g2) = level }
+        pool = Nil
+      }
+    }
+    out.toMap
+  }
+
+  test("unimaxAllocation: hand fixture caps the small groups, levels the rest") {
+    // weights: a=100, b=200, c=1000; E=2 → caps 200/400/2000; budget 1500
+    // waterfall: L=3 level 500 → a caps (200); level 650 → b caps (400);
+    // c gets the remaining 900 (0.9 epochs)
+    val df = (Seq.fill(10)(("a", 10L)) ++ Seq.fill(10)(("b", 20L)) ++
+      Seq.fill(10)(("c", 100L))).toDF("grp", "w")
+    val out = Scale.unimaxAllocation(df, "grp", "w", budget = 1500L, maxEpochs = 2.0)
+      .orderBy("grp").collect()
+    val byG = out.map(r => r.getAs[String]("grp") ->
+      (r.getAs[Long]("cap"), r.getAs[Boolean]("capped"),
+        r.getAs[Double]("allocation"), r.getAs[Double]("epochs"))).toMap
+    assert(byG("a") == ((200L, true, 200.0, 2.0)))
+    assert(byG("b") == ((400L, true, 400.0, 2.0)))
+    assert(byG("c")._1 == 2000L && !byG("c")._2 && byG("c")._3 == 900.0)
+    assert(math.abs(byG("c")._4 - 0.9) < 1e-12)
+  }
+
+  test("unimaxAllocation: budget above total capacity caps everything, surplus unspent") {
+    val df = Seq(("a", 100L), ("b", 300L)).toDF("grp", "w")
+    val out = Scale.unimaxAllocation(df, "grp", "w", budget = 10000L, maxEpochs = 3.0)
+      .collect()
+    out.foreach { r =>
+      assert(r.getAs[Boolean]("capped"))
+      assert(r.getAs[Double]("allocation") == r.getAs[Long]("cap").toDouble)
+      assert(math.abs(r.getAs[Double]("epochs") - 3.0) < 1e-9)
+    }
+  }
+
+  test("unimaxAllocation equals the iterative waterfall on random mixtures") {
+    // AlgebraPropSpec convention: manual ScalaCheck generators, fixed seeds
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val mixGen = for {
+      nGroups <- Gen.choose(2, 8)
+      weights <- Gen.listOfN(nGroups, Gen.choose(1L, 5000L))
+      budgetFrac <- Gen.choose(0.05, 3.0)
+      epochs <- Gen.oneOf(0.5, 1.0, 2.0, 3.5)
+    } yield (weights, budgetFrac, epochs)
+    (1 to 10).foreach { seed =>
+      val (weights, bf, e) = mixGen.apply(Gen.Parameters.default, Seed(seed.toLong)).get
+      val rows = weights.zipWithIndex.map { case (w, i) => (s"g$i", w) }
+      val budget = math.max(1L, (bf * weights.sum).toLong)
+      val df = rows.toDF("grp", "w")
+      val got = Scale.unimaxAllocation(df, "grp", "w", budget, e).collect()
+        .map(r => r.getAs[String]("grp") -> r.getAs[Double]("allocation")).toMap
+      val caps = rows.map { case (g, w) => g -> math.floor(w * e + 1e-6).toLong }
+      val want = waterfallRef(caps, budget)
+      assert(got.keySet == want.keySet, s"seed $seed")
+      got.foreach { case (g, a) =>
+        assert(a == want(g), s"seed $seed group $g: got $a want ${want(g)}")
+      }
+      // invariants: never over cap, never over budget (modulo the one
+      // double division), epochs bounded by maxEpochs
+      val capOf = caps.toMap
+      got.foreach { case (g, a) => assert(a <= capOf(g) + 1e-6, s"seed $seed $g over cap") }
+      assert(got.values.sum <= budget + 1e-6 * got.size, s"seed $seed over budget")
+    }
+  }
+
+  test("unimaxSample repeats each group per its allocation epochs, deterministically") {
+    // a: 50 keys × w=2 (cap 200 = full 2 epochs), b: 100 keys × w=10;
+    // budget 700 → a caps at 200, b gets 500 = 0.5 epochs
+    val df = ((1L to 50L).map(i => (i, "a", 2L)) ++ (101L to 200L).map(i => (i, "b", 10L)))
+      .toDF("id", "grp", "w")
+    val out = Scale.unimaxSample(df, "grp", "w", "id", budget = 700L, maxEpochs = 2.0)
+      .select($"id", $"grp", $"epoch").as[(Long, String, Int)].collect()
+    val aRows = out.filter(_._2 == "a")
+    assert(aRows.length == 100, "every a-key exactly twice (2.0 epochs)")
+    aRows.groupBy(_._1).values.foreach(c => assert(c.map(_._3).sorted.toSeq == Seq(1, 2)))
+    val bRows = out.filter(_._2 == "b")
+    // 0.5 epochs → the stable ~half of keys under the gate, each epoch=1
+    assert(bRows.forall(_._3 == 1))
+    assert(bRows.length > 20 && bRows.length < 80, s"got ${bRows.length} b-rows")
+    // pure function of the key: repartitioning changes nothing
+    val again = Scale.unimaxSample(df.repartition(13), "grp", "w", "id",
+        budget = 700L, maxEpochs = 2.0)
+      .select($"id", $"grp", $"epoch").as[(Long, String, Int)].collect()
+    assert(again.sortBy(r => (r._1, r._3)).toSeq == out.sortBy(r => (r._1, r._3)).toSeq)
+  }
 }

@@ -456,6 +456,36 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("StreamPipeline: gopher_gate drops rule-violating docs from a YAML stream") {
+    // the stateless sibling of ppl_gate/dsir_gate: no fitted model, pure
+    // per-row map, so the full Gopher recipe composes into ingest directly
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_gopher_stream").toString
+    val clean = Array.fill(4)(
+      "the quick brown fox jumps over that lazy dog with vigor and grace to be of sound mind")
+      .mkString(" ")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/b1.json"),
+      s"""{"doc_id":1,"text":"$clean"}
+         |{"doc_id":2,"text":"too short to pass"}
+         |{"doc_id":3,"text":"$clean ${"# " * 12}"}""".stripMargin)
+    val yaml =
+      s"""name: gopher_ingest
+         |stream_source: { type: file, path: "$dir", format: json, schema: "doc_id BIGINT, text STRING" }
+         |transforms:
+         |  - { type: gopher_gate, min_words: 50 }
+         |sink: { type: memory, name: gopher_ingest_out, output_mode: append }
+         |""".stripMargin
+    val q = graft.streaming.StreamPipeline.start(spark, graft.streaming.StreamPipeline.fromYaml(yaml))
+    try {
+      q.processAllAvailable()
+      val out = spark.sql("SELECT doc_id, gopher_fail_reasons FROM gopher_ingest_out")
+        .as[(Long, String)].collect()
+      assert(out.map(_._1).toSet == Set(1L),
+        s"only the clean doc survives (short + symbol-spam drop): ${out.toSeq}")
+      assert(out.head._2 == "", "survivors carry an empty audit string")
+    } finally q.stop()
+  }
+
   test("atomic KV append: crash before the atomic EXEC leaves NOTHING; committed replay is skipped (round 10)") {
     // closes the LAST BatchJournal residual window (KV list/stream appends)
     // the way the JDBC path closed its own: effects + journal marker in ONE
