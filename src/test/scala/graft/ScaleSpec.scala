@@ -401,6 +401,25 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("unimaxAllocation: equal caps cap together — allocation is tie-order independent") {
+    // if cap_a == cap_b, a's capping test (c·k ≤ rem) is EXACTLY b's test
+    // after a caps ((c·(k−1) ≤ rem−c)), so equal caps always decide the
+    // same way and the waterfall never depends on how ties sort (this is
+    // why null-group sort-order differences between engines cannot change
+    // the result). Fixture: two equal small caps right at the boundary.
+    val df = Seq(("a", 100L), ("b", 100L), ("c", 1000L)).toDF("grp", "w")
+    // caps 100/100/1000 at E=1; budget 240: level 80 → neither a nor b caps
+    val low = Scale.unimaxAllocation(df, "grp", "w", budget = 240L, maxEpochs = 1.0)
+      .collect().map(r => r.getAs[String]("grp") -> r.getAs[Boolean]("capped")).toMap
+    assert(!low("a") && !low("b"), s"equal caps above the level both stay uncapped: $low")
+    // budget 360: level 120 → a caps (100·3 ≤ 360), then b (100·2 ≤ 260)
+    val high = Scale.unimaxAllocation(df, "grp", "w", budget = 360L, maxEpochs = 1.0)
+      .collect().map(r => r.getAs[String]("grp") ->
+        (r.getAs[Boolean]("capped"), r.getAs[Double]("allocation"))).toMap
+    assert(high("a") == ((true, 100.0)) && high("b") == ((true, 100.0)), s"both cap: $high")
+    assert(high("c") == ((false, 160.0)), s"c levels at the remainder: $high")
+  }
+
   test("unimaxSample repeats each group per its allocation epochs, deterministically") {
     // a: 50 keys × w=2 (cap 200 = full 2 epochs), b: 100 keys × w=10;
     // budget 700 → a caps at 200, b gets 500 = 0.5 epochs
