@@ -527,6 +527,7 @@ object OpCompiler {
           s(p, "alpha", "0.5").toDouble, s(p, "total_rows").toDouble.toLong,
           s(p, "salt", "42").toInt)
       case "gopher_rules" =>
+        // audit mode: per-rule booleans + gopher_keep + gopher_fail_reasons
         TextLib.gopherRules(df, text,
           s(p, "min_words", "50").toInt, s(p, "max_words", "100000").toInt,
           s(p, "min_mean_word_len", "3.0").toDouble, s(p, "max_mean_word_len", "10.0").toDouble,
@@ -534,7 +535,12 @@ object OpCompiler {
           s(p, "max_ellipsis_ratio", "0.3").toDouble, s(p, "min_alpha_ratio", "0.8").toDouble,
           s(p, "min_stopwords", "2").toInt)
       case "gopher_filter" =>
-        // the gate applied: keep surviving rows, drop the audit columns
+        // the gate applied: survivors only, audit columns dropped. The
+        // threshold parsing deliberately REPEATS gopher_rules' above —
+        // OpsDocSpec mechanically pins both case arms to identical param
+        // lists (the doc generator reads each arm's source), so a missed
+        // edit in one arm fails the build instead of gating silently
+        // differently in audit vs filter mode.
         TextLib.gopherRules(df, text,
           s(p, "min_words", "50").toInt, s(p, "max_words", "100000").toInt,
           s(p, "min_mean_word_len", "3.0").toDouble, s(p, "max_mean_word_len", "10.0").toDouble,

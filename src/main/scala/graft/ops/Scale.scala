@@ -375,8 +375,12 @@ object Scale {
     require(budget > 0, s"unimaxAllocation: budget must be positive, got $budget")
     require(maxEpochs > 0, s"unimaxAllocation: maxEpochs must be positive, got $maxEpochs")
     import org.apache.spark.sql.expressions.Window
+    // all-NULL weights coalesce to 0: such a group must cap at 0 and absorb
+    // nothing — a NULL group_weight would make `capped` NULL, fall into the
+    // uncapped branch, and silently steal a level share from real groups
+    // (round-10 review catch, probe-confirmed)
     val sizes = df.groupBy(col(groupCol))
-      .agg(sum(col(weightCol)).cast("long").as("group_weight"))
+      .agg(coalesce(sum(col(weightCol)), lit(0L)).cast("long").as("group_weight"))
       // ⌊n·E + 1e-6⌋: the house pinned-floor formulation (the nudge absorbs
       // ±ulp in the one double multiply so both engines land the same long)
       .withColumn("cap",
@@ -398,7 +402,12 @@ object Scale {
         when(col("capped"), col("cap").cast("double"))
           .otherwise((lit(budget) - col("__spent")).cast("double") /
             (col("__l") - col("__ncap")).cast("double")))
-      .withColumn("epochs", col("allocation") / col("group_weight").cast("double"))
+      // zero-weight groups define epochs = 0.0 (allocation is 0 by the cap);
+      // the bare division would DIVIDE_BY_ZERO under Spark 4's default ANSI
+      // mode (round-10 review catch, probe-confirmed)
+      .withColumn("epochs",
+        coalesce(col("allocation") / nullif(col("group_weight").cast("double"), lit(0.0)),
+          lit(0.0)))
       .drop("__idx", "__cum", "__l", "__spent", "__ncap")
   }
 

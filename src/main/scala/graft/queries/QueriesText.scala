@@ -2276,7 +2276,7 @@ object QueriesText {
       """WITH tot AS (
         |  SELECT CAST(floor(1.6 * CAST(sum(n_chars) AS DOUBLE) + 0.000001) AS BIGINT) AS b
         |  FROM documents),
-        |gs AS (SELECT lang, CAST(sum(n_chars) AS BIGINT) AS group_weight
+        |gs AS (SELECT lang, CAST(coalesce(sum(n_chars), 0) AS BIGINT) AS group_weight
         |       FROM documents GROUP BY lang),
         |c AS (SELECT lang, group_weight,
         |        CAST(floor(CAST(group_weight AS DOUBLE) * 2.0 + 0.000001) AS BIGINT) AS cap
@@ -2298,10 +2298,10 @@ object QueriesText {
         |  round(CASE WHEN capped THEN CAST(cap AS DOUBLE)
         |             ELSE CAST(b - spent AS DOUBLE) / CAST(l - ncap AS DOUBLE) END + 1e-9, 4)
         |    AS allocation,
-        |  round(CASE WHEN capped THEN CAST(cap AS DOUBLE)
+        |  round(coalesce(CASE WHEN capped THEN CAST(cap AS DOUBLE)
         |             ELSE CAST(b - spent AS DOUBLE) / CAST(l - ncap AS DOUBLE) END
-        |        / CAST(group_weight AS DOUBLE) + 1e-9, 6) AS epochs
-        |FROM g ORDER BY lang""".stripMargin,
+        |        / nullif(CAST(group_weight AS DOUBLE), 0.0), 0.0) + 1e-9, 6) AS epochs
+        |FROM g ORDER BY lang NULLS FIRST""".stripMargin,
 
     "q_unimax_sample" ->
       // allocation chain above → per-lang (base, frac-threshold) → the
@@ -2309,7 +2309,7 @@ object QueriesText {
       """WITH tot AS (
         |  SELECT CAST(floor(1.6 * CAST(sum(n_chars) AS DOUBLE) + 0.000001) AS BIGINT) AS b
         |  FROM documents),
-        |gs AS (SELECT lang, CAST(sum(n_chars) AS BIGINT) AS group_weight
+        |gs AS (SELECT lang, CAST(coalesce(sum(n_chars), 0) AS BIGINT) AS group_weight
         |       FROM documents GROUP BY lang),
         |c AS (SELECT lang, group_weight,
         |        CAST(floor(CAST(group_weight AS DOUBLE) * 2.0 + 0.000001) AS BIGINT) AS cap
@@ -2331,15 +2331,15 @@ object QueriesText {
         |        CAST(floor(ep) AS INT) AS base,
         |        CAST(floor((ep - floor(ep)) * 1000000.0 + 0.000001) AS BIGINT) AS fthr
         |      FROM (SELECT lang,
-        |              CASE WHEN capped THEN CAST(cap AS DOUBLE)
+        |              coalesce(CASE WHEN capped THEN CAST(cap AS DOUBLE)
         |                   ELSE CAST(b - spent AS DOUBLE) / CAST(l - ncap AS DOUBLE) END
-        |              / CAST(group_weight AS DOUBLE) AS ep
+        |              / nullif(CAST(group_weight AS DOUBLE), 0.0), 0.0) AS ep
         |            FROM g)),
         |k AS (SELECT d.doc_id, d.lang,
         |        e.base + CASE WHEN
         |          CAST(CAST('0x' || substr(md5('17:' || CAST(d.doc_id AS VARCHAR)), 1, 15) AS BIGINT)
         |            % 1000000 AS BIGINT) < e.fthr THEN 1 ELSE 0 END AS n
-        |      FROM documents d JOIN e USING (lang))
+        |      FROM documents d JOIN e ON d.lang IS NOT DISTINCT FROM e.lang)
         |SELECT doc_id, lang, CAST(u.e AS INT) AS epoch
         |FROM k, unnest(generate_series(1, n)) AS u(e)
         |WHERE n > 0 ORDER BY doc_id, epoch""".stripMargin,

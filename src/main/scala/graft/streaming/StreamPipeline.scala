@@ -93,15 +93,25 @@ object StreamPipeline {
           if (max == null) bucketed
           else bucketed.filter(col("ppl_bucket").isNotNull && col("ppl_bucket") <= max.toInt)
         case "gopher_gate" => // Gopher rules as a stream gate — pure map, no
-          // fitted model to freeze: keep survivors, keep the audit string
+          // fitted model to freeze. All nine thresholds are exposed (the
+          // batch gopher_rules/gopher_filter parity); survivors drop every
+          // audit column — gopher_fail_reasons is '' on every kept row by
+          // construction, a dead constant downstream.
           graft.text.TextLib.gopherRules(df, str(tr, "text_field", "text"),
               minWords = str(tr, "min_words", "50").toInt,
+              maxWords = str(tr, "max_words", "100000").toInt,
+              minMeanWordLen = str(tr, "min_mean_word_len", "3.0").toDouble,
+              maxMeanWordLen = str(tr, "max_mean_word_len", "10.0").toDouble,
+              maxSymbolRatio = str(tr, "max_symbol_ratio", "0.1").toDouble,
+              maxBulletRatio = str(tr, "max_bullet_ratio", "0.9").toDouble,
+              maxEllipsisRatio = str(tr, "max_ellipsis_ratio", "0.3").toDouble,
+              minAlphaRatio = str(tr, "min_alpha_ratio", "0.8").toDouble,
               minStopwords = str(tr, "min_stopwords", "2").toInt)
             .filter(col("gopher_keep"))
             .drop("gopher_word_count_ok", "gopher_mean_word_len_ok",
               "gopher_symbol_ratio_ok", "gopher_bullet_lines_ok",
               "gopher_ellipsis_lines_ok", "gopher_alpha_words_ok",
-              "gopher_stopwords_ok", "gopher_keep")
+              "gopher_stopwords_ok", "gopher_keep", "gopher_fail_reasons")
         case "quota_per_group" => StreamOps.quotaPerGroupStream(df,
           str(tr, "group_column"), str(tr, "quota", "10000").toLong)
         case other             => throw new IllegalArgumentException(s"Unknown stream transform: $other")

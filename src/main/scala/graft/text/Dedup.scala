@@ -197,10 +197,16 @@ object Dedup {
     }
     val w = org.apache.spark.sql.expressions.Window
       .orderBy(col("total_err"), col("bands").desc)
-    d.withColumn("fp_area", round(area(fp = true) + lit(1e-9), 6))
-      .withColumn("fn_area", round(area(fp = false) + lit(1e-9), 6))
-      .withColumn("total_err", round(area(fp = true) + area(fp = false) + lit(1e-9), 6))
+    // raw areas computed ONCE as columns (multi-use aliases of a non-cheap
+    // expression — CollapseProject won't inline them, so the interpreted
+    // fold runs twice per row, not four times), all three outputs derived
+    d.withColumn("__fp", area(fp = true))
+      .withColumn("__fn", area(fp = false))
+      .withColumn("fp_area", round(col("__fp") + lit(1e-9), 6))
+      .withColumn("fn_area", round(col("__fn") + lit(1e-9), 6))
+      .withColumn("total_err", round(col("__fp") + col("__fn") + lit(1e-9), 6))
       .withColumn("pick_rank", rank().over(w))
+      .drop("__fp", "__fn")
   }
 
   /** Driver-side twin of [[tuneLsh]]'s pick for operators that need the

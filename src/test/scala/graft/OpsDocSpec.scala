@@ -22,6 +22,20 @@ class OpsDocSpec extends AnyFunSuite {
         "'target/scala-2.13/classes:/opt/spark/jars/...' graft.tools.OpsDoc")
   }
 
+  test("gopher_rules and gopher_filter accept identical thresholds (anti-divergence pin)") {
+    // the two case arms repeat the same 9-param parsing by design (the doc
+    // generator reads each arm's source, so delegation would hide the
+    // params from docs/OPS.md); this pin makes a missed edit in one arm a
+    // build failure instead of a silent audit-vs-filter gating divergence
+    def paramsOf(op: String): String = {
+      val row = generated.linesIterator.find(_.startsWith(s"| `$op` |"))
+        .getOrElse(fail(s"no generated row for $op"))
+      row.split("\\|")(2).trim
+    }
+    assert(paramsOf("gopher_rules") == paramsOf("gopher_filter"),
+      s"threshold param lists diverged:\n rules:  ${paramsOf("gopher_rules")}\n filter: ${paramsOf("gopher_filter")}")
+  }
+
   test("extraction sees the real dispatch surface (blind-regex control)") {
     // top-level types + transform sub-ops
     Seq("`filter`", "`text_processing`", "`windowed_aggregation`", "`validate`",

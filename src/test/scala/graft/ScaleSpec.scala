@@ -401,6 +401,26 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("unimaxAllocation: zero- and all-null-weight groups cap at 0 and steal nothing") {
+    // round-10 review catches, both probe-confirmed pre-fix: a zero-weight
+    // group DIVIDE_BY_ZEROed the epochs division under ANSI, and an
+    // all-null-weight group got capped=NULL → the uncapped branch → a full
+    // level share stolen from real groups
+    val df = Seq(("a", Some(20L)), ("a", Some(20L)), ("z", Some(0L)),
+      ("n", None: Option[Long]), ("n", None: Option[Long])).toDF("grp", "w")
+    val out = Scale.unimaxAllocation(df, "grp", "w", budget = 30L, maxEpochs = 2.0).collect()
+    val byG = out.map(r => r.getAs[String]("grp") ->
+      ((r.getAs[Long]("cap"), r.getAs[Double]("allocation"), r.getAs[Double]("epochs")))).toMap
+    assert(byG("z") == ((0L, 0.0, 0.0)), s"zero-weight group: ${byG("z")}")
+    assert(byG("n") == ((0L, 0.0, 0.0)), s"all-null-weight group: ${byG("n")}")
+    assert(byG("a")._2 == 30.0, s"the real group absorbs the whole budget: ${byG("a")}")
+    // and the sampler emits nothing for the empty groups
+    val sampled = Scale.unimaxSample(df.withColumn("id", monotonically_increasing_id()),
+        "grp", "w", "id", budget = 30L, maxEpochs = 2.0)
+      .select("grp").as[String].collect()
+    assert(sampled.forall(_ == "a"), s"only the real group materializes: ${sampled.toSeq}")
+  }
+
   test("unimaxAllocation: equal caps cap together — allocation is tie-order independent") {
     // if cap_a == cap_b, a's capping test (c·k ≤ rem) is EXACTLY b's test
     // after a caps ((c·(k−1) ≤ rem−c)), so equal caps always decide the
