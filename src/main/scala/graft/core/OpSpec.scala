@@ -526,6 +526,10 @@ object OpCompiler {
         graft.ops.Scale.temperatureSample(df, s(p, "group_column"), s(p, "key_column", id),
           s(p, "alpha", "0.5").toDouble, s(p, "total_rows").toDouble.toLong,
           s(p, "salt", "42").toInt)
+      case "dedup_lines" =>
+        // within-document repeated-line removal (keep-first; short lines
+        // exempt so blank-line paragraph breaks survive)
+        TextLib.dedupLines(df, text, s(p, "min_chars", "1").toInt)
       case "gopher_rules" =>
         // audit mode: per-rule booleans + gopher_keep + gopher_fail_reasons
         TextLib.gopherRules(df, text,

@@ -906,6 +906,24 @@ object QueriesText {
         .orderBy("doc_id")
     }),
 
+    "q_dedup_lines" -> ((s, dir) => {
+      // within-doc repeated-line removal over planted boilerplate: class 0
+      // repeats a share-bar line 3×, class 1 appends unique lines, class 2
+      // repeats a short line between EXEMPT blank lines (minChars=1 keeps
+      // paragraph breaks); md5 of the rebuilt text keeps the gate compact
+      val cls = col("doc_id") % 3
+      val planted = t(s, dir, "documents").withColumn("text",
+        when(cls === 0, concat(col("text"),
+          lit("\nfollow us on social\nunique tail one\nfollow us on social\nfollow us on social")))
+          .when(cls === 1, concat(col("text"), lit("\nline a\nline b")))
+          .otherwise(concat(col("text"), lit("\n\nshort\n\nshort"))))
+      // n_lines from the PLANTED text (the op rewrites `text` in place)
+      TextLib.dedupLines(planted.withColumn("__pre", col("text")), "text")
+        .select(col("doc_id"), size(split(col("__pre"), "\n")).as("n_lines"),
+          col("n_removed_lines"), md5(col("text")).as("dedup_md5"))
+        .orderBy("doc_id")
+    }),
+
     "q_quality_classifier" -> ((s, dir) => {
       // LAW gate (round 6): L-BFGS coefficients are float-order-dependent,
       // but logistic regression is CONVEX — the optimum is essentially
@@ -2435,6 +2453,25 @@ object QueriesText {
         |    CASE WHEN NOT r_stop THEN 'stopwords' END], x -> x IS NOT NULL), ','), '')
         |    AS gopher_fail_reasons
         |FROM r ORDER BY doc_id""".stripMargin,
+
+    "q_dedup_lines" ->
+      // first-occurrence keep replayed via list_position (1-based, = the
+      // engine's array_position == i+1 with a 0-based lambda index)
+      """WITH p AS (
+        |  SELECT doc_id, text || CASE CAST(doc_id % 3 AS INT)
+        |    WHEN 0 THEN e'\nfollow us on social\nunique tail one\nfollow us on social\nfollow us on social'
+        |    WHEN 1 THEN e'\nline a\nline b'
+        |    ELSE e'\n\nshort\n\nshort' END AS text
+        |  FROM documents),
+        |l AS (SELECT doc_id, text, string_split(text, chr(10)) AS lines FROM p),
+        |k AS (SELECT doc_id, lines,
+        |        list_filter(lines, (x, i) -> length(x) < 1 OR list_position(lines, x) = i)
+        |          AS kept
+        |      FROM l)
+        |SELECT doc_id, CAST(len(lines) AS INT) AS n_lines,
+        |  CAST(len(lines) - len(kept) AS INT) AS n_removed_lines,
+        |  md5(array_to_string(kept, chr(10))) AS dedup_md5
+        |FROM k ORDER BY doc_id""".stripMargin,
 
     "q_lm_score" ->
       """WITH toks AS (

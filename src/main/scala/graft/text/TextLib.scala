@@ -215,6 +215,40 @@ object TextLib {
       .drop("__gr_norm", "__gr_ws", "__gr_lines", "__gr_n", "__gr_nl")
   }
 
+  /** Within-document repeated-line removal — the "repetitious lines"
+    * cleaner of the MassiveText/Gopher pipeline family (Rae et al. 2021,
+    * A1.1 repetition filters): every line keeps only its FIRST occurrence
+    * inside the document (navigation chrome, cookie banners, and share
+    * bars repeat verbatim within a page long before they repeat across
+    * pages — [[graft.text.Dedup.paragraphDedup]] is the ACROSS-document
+    * sibling). Lines shorter than `minChars` are exempt from removal
+    * (default 1: blank lines survive, so paragraph structure does), and
+    * [[qualityFeatures]]/q_text_repetition MEASURE repetition where this
+    * op acts on it.
+    *
+    * REWRITES `textCol` in place (kept lines re-joined with newlines; null
+    * text stays null) and adds `n_removed_lines` — the same in-place
+    * convention as [[graft.text.Dedup.cutDuplicateSpans]], so the op
+    * composes into a YAML chain without downstream column switches. Pure
+    * per-row map — no shuffle, no aggregate; the first-occurrence test is
+    * `array_position(lines, x) == i+1` over a HOISTED line-array column,
+    * O(lines²) per document in the worst case but line counts are
+    * document-bounded, and the identical `list_position` form replays
+    * exactly in an external SQL engine.
+    */
+  def dedupLines(df: DataFrame, textCol: String, minChars: Int = 1): DataFrame = {
+    require(minChars >= 0, s"dedupLines: minChars must be >= 0, got $minChars")
+    val staged = df.withColumn("__dl_lines", split(col(textCol), "\n"))
+    val kept = filter(col("__dl_lines"),
+      (x, i) => length(x) < minChars || array_position(col("__dl_lines"), x) === i + 1)
+    staged
+      .withColumn("__dl_kept", kept)
+      .withColumn("n_removed_lines",
+        coalesce(size(col("__dl_lines")) - size(col("__dl_kept")), lit(0)).cast("int"))
+      .withColumn(textCol, array_join(col("__dl_kept"), "\n")) // null in → null out
+      .drop("__dl_lines", "__dl_kept")
+  }
+
   /** Corpus length distribution in log2 bins: one aggregation pass over a
     * numeric column (chars, tokens, bytes) → per-bin row count, share, and
     * min/max/avg — the "what does this corpus look like" histogram that

@@ -35,6 +35,25 @@ class QualityFeSpec extends SparkSpec {
     assert(!out(6)._2 && out(6)._3.split(",").length == 7, s"null doc: ${out(6)}")
   }
 
+  test("dedupLines keeps first occurrences, exempts blank lines, nulls pass through") {
+    val rows = Seq(
+      (1L, "intro\nbanner\nbody one\nbanner\nbody two\nbanner"),
+      (2L, "para one\n\npara two\n\npara one"),
+      (3L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val out = graft.text.TextLib.dedupLines(rows, "text")
+      .select("doc_id", "text", "n_removed_lines")
+      .as[(Long, String, Int)].collect().sortBy(_._1)
+    assert(out(0) == ((1L, "intro\nbanner\nbody one\nbody two", 2)), s"${out(0)}")
+    // both blank lines survive (exempt), the repeated paragraph drops
+    assert(out(1) == ((2L, "para one\n\npara two\n", 1)), s"${out(1)}")
+    assert(out(2)._2 == null && out(2)._3 == 0, s"null text passes through: ${out(2)}")
+    // minChars raises the exemption bar: every planted line is < 9 chars
+    val keepAll = graft.text.TextLib.dedupLines(rows, "text", minChars = 9)
+      .select("n_removed_lines").as[Int].collect()
+    assert(keepAll.forall(_ == 0), s"everything under minChars is exempt: ${keepAll.toSeq}")
+  }
+
   test("gopherRules boundary math: mean word length is integer-exact") {
     // 50 words of length exactly 3 → mwl = 3.0, inclusive boundary keeps
     val d = Seq((1L, Array.fill(50)("abc").mkString(" ")),
