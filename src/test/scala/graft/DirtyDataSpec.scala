@@ -24,6 +24,52 @@ class DirtyDataSpec extends SparkSpec {
     assert(s.length == 3 && !s(1).isNullAt(s(1).fieldIndex("quality_score")))
   }
 
+  test("gopherRules and dedupLines survive degenerate and non-ASCII inputs") {
+    val docs = Seq(
+      (1L, ""), (2L, "   \t "), (3L, null: String),
+      (4L, "你好世界 " * 30),                       // CJK, no [a-z] words
+      (5L, "emoji 🎉🎉 line\nemoji 🎉🎉 line\nok"), // non-BMP chars + a dup line
+      (6L, "x" * 50000),                             // one pathological token
+      (7L, "\n\n\n\n")                               // newlines only
+    ).toDF("doc_id", "text")
+    val g = TextLib.gopherRules(docs, "text").orderBy("doc_id").collect()
+    assert(g.length == 7)
+    g.foreach { r =>
+      assert(!r.isNullAt(r.fieldIndex("gopher_keep")), s"keep must never be null: $r")
+      assert(!r.isNullAt(r.fieldIndex("gopher_fail_reasons")))
+    }
+    assert(g.count(_.getAs[Boolean]("gopher_keep")) == 0,
+      "every degenerate doc fails at least one rule")
+    val d = TextLib.dedupLines(docs, "text").orderBy("doc_id").collect()
+    assert(d.length == 7)
+    assert(d(2).isNullAt(d(2).fieldIndex("text")), "null text passes through")
+    assert(d(4).getAs[String]("text") == "emoji 🎉🎉 line\nok",
+      "non-BMP duplicate lines dedup by exact equality")
+    assert(d(6).getAs[String]("text") == "\n\n\n\n" &&
+      d(6).getAs[Int]("n_removed_lines") == 0,
+      "blank-only docs are untouched (exempt lines)")
+  }
+
+  test("dedupLines is idempotent on random line soups") {
+    // after a pass, every surviving non-exempt line IS its first occurrence,
+    // so a second pass removes nothing — the fixpoint law, on seeded
+    // generated docs whose lines draw from a small pool (forcing dups)
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val docGen = Gen.listOfN(12, Gen.oneOf("alpha", "beta", "", "gamma gamma", "alpha"))
+      .map(_.mkString("\n"))
+    val docs = (1 to 30).map(i =>
+      (i.toLong, docGen.apply(Gen.Parameters.default, Seed(i.toLong)).get))
+    val df = docs.toDF("doc_id", "text")
+    val once = TextLib.dedupLines(df, "text")
+    val twice = TextLib.dedupLines(once.drop("n_removed_lines"), "text")
+    assert(twice.filter(col("n_removed_lines") =!= 0).count() == 0,
+      "second pass removes nothing")
+    val a = once.select("doc_id", "text").as[(Long, String)].collect().sortBy(_._1).toSeq
+    val b = twice.select("doc_id", "text").as[(Long, String)].collect().sortBy(_._1).toSeq
+    assert(a == b, "text is a fixpoint after one pass")
+  }
+
   test("exact dedup: null-text docs pass through instead of collapsing to one survivor") {
     val docs = Seq((1L, "same text"), (2L, "same text"),
       (3L, null: String), (4L, null: String), (5L, null: String))
