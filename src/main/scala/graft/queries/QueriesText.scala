@@ -917,10 +917,12 @@ object QueriesText {
           lit("\nfollow us on social\nunique tail one\nfollow us on social\nfollow us on social")))
           .when(cls === 1, concat(col("text"), lit("\nline a\nline b")))
           .otherwise(concat(col("text"), lit("\n\nshort\n\nshort"))))
-      // n_lines from the PLANTED text (the op rewrites `text` in place)
-      TextLib.dedupLines(planted.withColumn("__pre", col("text")), "text")
-        .select(col("doc_id"), size(split(col("__pre"), "\n")).as("n_lines"),
-          col("n_removed_lines"), md5(col("text")).as("dedup_md5"))
+      // n_lines computed BEFORE the in-place rewrite (no duplicate text
+      // column, no second split — round-10 review)
+      TextLib.dedupLines(planted.withColumn("n_lines", size(split(col("text"), "\n"))),
+          "text")
+        .select(col("doc_id"), col("n_lines"), col("n_removed_lines"),
+          md5(col("text")).as("dedup_md5"))
         .orderBy("doc_id")
     }),
 
@@ -2469,7 +2471,7 @@ object QueriesText {
         |          AS kept
         |      FROM l)
         |SELECT doc_id, CAST(len(lines) AS INT) AS n_lines,
-        |  CAST(len(lines) - len(kept) AS INT) AS n_removed_lines,
+        |  CAST(coalesce(len(lines) - len(kept), 0) AS INT) AS n_removed_lines,
         |  md5(array_to_string(kept, chr(10))) AS dedup_md5
         |FROM k ORDER BY doc_id""".stripMargin,
 
