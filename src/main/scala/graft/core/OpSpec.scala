@@ -569,6 +569,12 @@ object OpCompiler {
         graft.ops.Scale.unimaxSample(df, s(p, "group_column"), s(p, "weight_column"),
           s(p, "key_column", id), uxBudget,
           s(p, "max_epochs", "4.0").toDouble, s(p, "salt", "42").toInt)
+      case "unimax_apply" =>
+        require(s(p, "allocation_path") != null,
+          "unimax_apply requires params.allocation_path (a saved unimaxAllocation parquet)")
+        graft.ops.Scale.unimaxApply(df,
+          df.sparkSession.read.parquet(s(p, "allocation_path")),
+          s(p, "group_column", "lang"), s(p, "key_column", id), s(p, "salt", "42").toInt)
       case "shard_assign" =>
         require(s(p, "num_shards") != null,
           "shard_assign requires params.num_shards (number of output shards)")

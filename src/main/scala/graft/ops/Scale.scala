@@ -429,8 +429,31 @@ object Scale {
       maxEpochs: Double,
       salt: Int = 42,
       gate: Option[Column] = None
+  ): DataFrame =
+    unimaxApply(df, unimaxAllocation(df, groupCol, weightCol, budget, maxEpochs),
+      groupCol, keyCol, salt, gate)
+
+  /** Materialize a mixture against a FROZEN allocation frame (any frame
+    * with `groupCol` + `epochs`, usually [[unimaxAllocation]]'s output
+    * persisted as parquet) — the apply half of the fit/apply split, same
+    * production shape as the DSIR/CCNet gates: allocate ONCE on the
+    * reference corpus, then every later job — batch or a STREAMING ingest
+    * (the repeat rule is a stateless join + explode, so it composes into
+    * `readStream → unimaxApply`) — repeats rows per the frozen epochs.
+    * Groups absent from the allocation are dropped (no epochs = no
+    * budget); NULL groups join null-safely to their own row.
+    */
+  def unimaxApply(
+      df: DataFrame,
+      allocation: DataFrame,
+      groupCol: String,
+      keyCol: String,
+      salt: Int = 42,
+      gate: Option[Column] = None
   ): DataFrame = {
-    val alloc = unimaxAllocation(df, groupCol, weightCol, budget, maxEpochs)
+    require(allocation.columns.contains("epochs"),
+      s"unimaxApply: allocation frame needs an `epochs` column, has ${allocation.columns.toSeq}")
+    val alloc = allocation
       .select(col(groupCol).as("__ux_g"),
         floor(col("epochs")).cast("int").as("__ux_base"),
         // per-key copy count = base + (bucket < ⌊frac·1e6 + 1e-6⌋)

@@ -112,6 +112,17 @@ object StreamPipeline {
               "gopher_symbol_ratio_ok", "gopher_bullet_lines_ok",
               "gopher_ellipsis_lines_ok", "gopher_alpha_words_ok",
               "gopher_stopwords_ok", "gopher_keep", "gopher_fail_reasons")
+        case "unimax_gate" => // frozen UniMax allocation as a stream mixture
+          // gate: a stateless broadcast join + explode (epoch column added),
+          // so upsampling composes into ingest like the other frozen gates
+          val alloc = df.sparkSession.read.parquet(str(tr, "allocation_path"))
+          graft.ops.Scale.unimaxApply(df, alloc,
+            str(tr, "group_field", "lang"), str(tr, "key_field", "doc_id"),
+            str(tr, "salt", "42").toInt)
+        case "dedup_lines" => // within-document repeated-line removal —
+          // pure per-row map, directly streamable
+          graft.text.TextLib.dedupLines(df, str(tr, "text_field", "text"),
+            str(tr, "min_chars", "1").toInt)
         case "quota_per_group" => StreamOps.quotaPerGroupStream(df,
           str(tr, "group_column"), str(tr, "quota", "10000").toLong)
         case other             => throw new IllegalArgumentException(s"Unknown stream transform: $other")

@@ -421,6 +421,27 @@ class ScaleSpec extends SparkSpec {
     assert(sampled.forall(_ == "a"), s"only the real group materializes: ${sampled.toSeq}")
   }
 
+  test("unimaxApply on a persisted allocation equals the fused unimaxSample") {
+    // the fit/apply split (DSIR/CCNet pattern): allocate once, persist,
+    // apply to any later frame — must reproduce the fused path exactly
+    // (epochs round-trip bit-exact through parquet)
+    val df = ((1L to 50L).map(i => (i, "a", 2L)) ++ (101L to 200L).map(i => (i, "b", 10L)))
+      .toDF("id", "grp", "w")
+    val fused = Scale.unimaxSample(df, "grp", "w", "id", budget = 700L, maxEpochs = 2.0)
+      .select($"id", $"grp", $"epoch").as[(Long, String, Int)].collect()
+      .sortBy(r => (r._1, r._3)).toSeq
+    val dir = java.nio.file.Files.createTempDirectory("graft_ux_alloc").toString
+    Scale.unimaxAllocation(df, "grp", "w", budget = 700L, maxEpochs = 2.0)
+      .write.mode("overwrite").parquet(dir)
+    val applied = Scale.unimaxApply(df, spark.read.parquet(dir), "grp", "id")
+      .select($"id", $"grp", $"epoch").as[(Long, String, Int)].collect()
+      .sortBy(r => (r._1, r._3)).toSeq
+    assert(applied == fused, "apply(frozen allocation) ≡ fused sample")
+    // a group missing from the allocation is dropped, not defaulted
+    val foreign = Seq((999L, "zz", 1L)).toDF("id", "grp", "w")
+    assert(Scale.unimaxApply(foreign, spark.read.parquet(dir), "grp", "id").count() == 0)
+  }
+
   test("unimaxAllocation: equal caps cap together — allocation is tie-order independent") {
     // if cap_a == cap_b, a's capping test (c·k ≤ rem) is EXACTLY b's test
     // after a caps ((c·(k−1) ≤ rem−c)), so equal caps always decide the

@@ -488,6 +488,43 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("StreamPipeline: unimax_gate repeats stream records per the frozen allocation; dedup_lines streams") {
+    // the mixture sampler joins the frozen-gate family: allocation fitted +
+    // saved by a batch job, ingest repeats records per its epochs (a
+    // stateless broadcast join + explode — upsampling at ingest)
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_ux_stream").toString
+    val modelDir = java.nio.file.Files.createTempDirectory("graft_ux_model").toString
+    // en: 8 docs × 10 chars (cap 160), de: 2 × 10 (cap 40); budget 120 →
+    // de caps at 2.0 epochs, en levels at exactly 1.0 — integer epochs, so
+    // the streamed copy counts are hash-independent
+    val fit = ((1L to 8L).map(i => (i, "en", 10L)) ++ Seq((9L, "de", 10L), (10L, "de", 10L)))
+      .toDF("doc_id", "lang", "n_chars")
+    graft.ops.Scale.unimaxAllocation(fit, "lang", "n_chars", budget = 120L, maxEpochs = 2.0)
+      .write.mode("overwrite").parquet(s"$modelDir/alloc")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/b1.json"),
+      s"""{"doc_id":501,"lang":"en","text":"alpha\\nalpha\\nbeta"}
+         |{"doc_id":502,"lang":"de","text":"gamma"}
+         |{"doc_id":503,"lang":"xx","text":"dropped"}""".stripMargin)
+    val yaml =
+      s"""name: unimax_ingest
+         |stream_source: { type: file, path: "$dir", format: json, schema: "doc_id BIGINT, lang STRING, text STRING" }
+         |transforms:
+         |  - { type: dedup_lines }
+         |  - { type: unimax_gate, allocation_path: "$modelDir/alloc", group_field: lang, key_field: doc_id }
+         |sink: { type: memory, name: unimax_ingest_out, output_mode: append }
+         |""".stripMargin
+    val q = graft.streaming.StreamPipeline.start(spark, graft.streaming.StreamPipeline.fromYaml(yaml))
+    try {
+      q.processAllAvailable()
+      val out = spark.sql("SELECT doc_id, text, epoch FROM unimax_ingest_out")
+        .as[(Long, String, Int)].collect().sortBy(r => (r._1, r._3))
+      assert(out.map(r => (r._1, r._3)).toSeq == Seq((501L, 1), (502L, 1), (502L, 2)),
+        s"en ×1, de ×2, unknown lang dropped: ${out.toSeq}")
+      assert(out.head._2 == "alpha\nbeta", s"dedup_lines rewrote the streamed text: ${out.head}")
+    } finally q.stop()
+  }
+
   test("atomic KV append: crash before the atomic EXEC leaves NOTHING; committed replay is skipped (round 10)") {
     // closes the LAST BatchJournal residual window (KV list/stream appends)
     // the way the JDBC path closed its own: effects + journal marker in ONE
