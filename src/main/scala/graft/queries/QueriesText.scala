@@ -926,6 +926,37 @@ object QueriesText {
         .orderBy("doc_id")
     }),
 
+    "q_curation_recipe" -> ((s, dir) => {
+      // END-TO-END recipe COMPOSITION gate: plant boilerplate → dedup_lines
+      // (in-place rewrite) → gopher gate (filter on the REWRITTEN text) →
+      // exact dedup against planted whole-document copies. Pins the
+      // inter-op contracts (rewrite feeds the gate, survivors feed dedup)
+      // that the per-op gates cannot see — the oracle replays the whole
+      // chain in one CTE pipeline.
+      val cls = col("doc_id") % 3
+      val base = t(s, dir, "documents").withColumn("text",
+        when(cls === 0, concat(col("text"),
+          lit("\nfollow us on social\nmore text here\nfollow us on social")))
+          .otherwise(col("text")))
+      val withCopies = base.select("doc_id", "text").unionByName(
+        base.filter(col("doc_id") % 2 === 0)
+          .select((col("doc_id") + 600000L).as("doc_id"), col("text")))
+      // dedup BEFORE the quality gate: recipe-equivalent for exact
+      // duplicates (the gate is a pure function of the text, so it decides
+      // identically for every copy), and it parks the expensive rule-tree
+      // filter ABOVE the dedup exchange — a gate-then-dedup order would
+      // push the substituted gopher trees into the parquet scan's data
+      // filters (the round-7 filter-on-computed-alias pathology; PlanLint's
+      // expensive_scan_filter caught exactly that in this query's first
+      // formulation)
+      val lineDeduped = TextLib.dedupLines(withCopies, "text")
+      val deduped = Dedup.exact(lineDeduped, "text", "doc_id")
+      TextLib.gopherRules(deduped, "text", minWords = 30, minStopwords = 1)
+        .filter(col("gopher_keep"))
+        .select(col("doc_id"), col("n_removed_lines"), md5(col("text")).as("text_md5"))
+        .orderBy("doc_id")
+    }),
+
     "q_quality_classifier" -> ((s, dir) => {
       // LAW gate (round 6): L-BFGS coefficients are float-order-dependent,
       // but logistic regression is CONVEX — the optimum is essentially
@@ -2474,6 +2505,55 @@ object QueriesText {
         |  CAST(coalesce(len(lines) - len(kept), 0) AS INT) AS n_removed_lines,
         |  md5(array_to_string(kept, chr(10))) AS dedup_md5
         |FROM k ORDER BY doc_id""".stripMargin,
+
+    "q_curation_recipe" ->
+      // the whole chain in one CTE pipeline: plant → copies → line dedup →
+      // gopher rules over the REBUILT text (minWords 30, minStopwords 1) →
+      // keep-first exact dedup on the normalized rewritten text
+      """WITH b AS (
+        |  SELECT doc_id, CASE WHEN doc_id % 3 = 0
+        |    THEN text || e'\nfollow us on social\nmore text here\nfollow us on social'
+        |    ELSE text END AS text
+        |  FROM documents),
+        |u AS (
+        |  SELECT doc_id, text FROM b
+        |  UNION ALL
+        |  SELECT doc_id + 600000 AS doc_id, text FROM b WHERE doc_id % 2 = 0),
+        |l AS (SELECT doc_id, string_split(text, chr(10)) AS lines FROM u),
+        |dl AS (SELECT doc_id, lines,
+        |        list_filter(lines, (x, i) -> length(x) < 1 OR list_position(lines, x) = i)
+        |          AS kept
+        |      FROM l),
+        |t2 AS (SELECT doc_id,
+        |        CAST(coalesce(len(lines) - len(kept), 0) AS INT) AS n_removed_lines,
+        |        array_to_string(kept, chr(10)) AS text
+        |      FROM dl),
+        |g0 AS (SELECT doc_id, n_removed_lines, text,
+        |        trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm FROM t2),
+        |dd AS (
+        |  SELECT doc_id, n_removed_lines, text, norm FROM g0
+        |  QUALIFY row_number() OVER (PARTITION BY norm ORDER BY doc_id) = 1),
+        |g1 AS (SELECT *, list_filter(string_split(norm, ' '), x -> x <> '') AS ws,
+        |        list_filter(string_split(text, chr(10)), l2 -> trim(l2) <> '') AS lns
+        |      FROM dd),
+        |g2 AS (SELECT *, CAST(len(ws) AS DOUBLE) AS n, CAST(len(lns) AS DOUBLE) AS nl,
+        |        length(text) - length(regexp_replace(text, '#', '', 'g')) AS hashcnt,
+        |        (length(text) - length(regexp_replace(text, '\.\.\.', '', 'g'))) / 3 AS ellcnt
+        |      FROM g1)
+        |SELECT doc_id, n_removed_lines, md5(text) AS text_md5 FROM g2
+        |WHERE coalesce(n >= 30 AND n <= 100000, FALSE)
+        |  AND coalesce(CAST(length(norm) - len(ws) + 1 AS DOUBLE) / nullif(n, 0.0) >= 3.0
+        |    AND CAST(length(norm) - len(ws) + 1 AS DOUBLE) / nullif(n, 0.0) <= 10.0, FALSE)
+        |  AND coalesce(CAST(hashcnt + ellcnt AS DOUBLE) / nullif(n, 0.0) <= 0.1, FALSE)
+        |  AND coalesce(CAST(len(list_filter(lns, l2 -> regexp_matches(l2, '^\s*[-*•]')))
+        |    AS DOUBLE) / nullif(nl, 0.0) <= 0.9, FALSE)
+        |  AND coalesce(CAST(len(list_filter(lns, l2 -> regexp_matches(l2, '\.\.\.\s*$')))
+        |    AS DOUBLE) / nullif(nl, 0.0) <= 0.3, FALSE)
+        |  AND coalesce(CAST(len(list_filter(ws, w -> regexp_matches(w, '[a-z]')))
+        |    AS DOUBLE) / nullif(n, 0.0) >= 0.8, FALSE)
+        |  AND coalesce(len(list_filter(['the','be','to','of','and','that','have','with'],
+        |    st -> list_contains(ws, st))) >= 1, FALSE)
+        |ORDER BY doc_id""".stripMargin,
 
     "q_lm_score" ->
       """WITH toks AS (
