@@ -374,6 +374,16 @@ object Scale {
   ): DataFrame = {
     require(budget > 0, s"unimaxAllocation: budget must be positive, got $budget")
     require(maxEpochs > 0, s"unimaxAllocation: maxEpochs must be positive, got $maxEpochs")
+    // fail fast at submit: cap = ⌊w·E⌋ is computed in one double multiply;
+    // with E ≤ 2^20 (any real epoch bound is single digits) a 100 TB char
+    // weight (~1e14) keeps w·E < 2^50 — inside both the double-exact
+    // integer range (2^53) and Long range, so the ANSI cast can't throw
+    // mid-job and the bit-exact-oracle claim holds. An absurd E (e.g. a
+    // units mix-up passing a budget as epochs) is a misconfiguration.
+    require(maxEpochs <= (1 << 20),
+      s"unimaxAllocation: maxEpochs must be ≤ 2^20 (got $maxEpochs) — " +
+        "caps are computed as floor(group_weight * maxEpochs) in double, " +
+        "which loses integer exactness past 2^53 and overflows Long past 2^63")
     import org.apache.spark.sql.expressions.Window
     // all-NULL weights coalesce to 0: such a group must cap at 0 and absorb
     // nothing — a NULL group_weight would make `capped` NULL, fall into the
@@ -419,6 +429,12 @@ object Scale {
     * costs a join, not a 100k-node expression tree. Adds `epoch` (1-based
     * copy index); epochs ≤ maxEpochs bounds the blow-up by construction.
     * NULL groups join null-safely to their own allocation row.
+    *
+    * NOTE this fused form evaluates `df` TWICE when uncached — once
+    * aggregated for the allocation, once as the join probe side — i.e.
+    * two full corpus scans per run. For a large corpus either persist
+    * `df` first or use the fit/apply split ([[unimaxAllocation]] saved to
+    * parquet, then [[unimaxApply]]), which scans the corpus once per job.
     */
   def unimaxSample(
       df: DataFrame,

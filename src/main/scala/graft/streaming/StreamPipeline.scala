@@ -82,11 +82,15 @@ object StreamPipeline {
         case "flatten_nested"  => StreamOps.flattenNested(df)
         case "filter"          => df.filter(expr(str(tr, "condition")))
         case "dsir_gate" => // frozen hashed-DSIR model as a pure-map stream gate (round 10)
+          require(str(tr, "model_path") != null,
+            "dsir_gate requires model_path (a saved Dsir.saveModel parquet)")
           val m = graft.text.Dsir.loadModel(df.sparkSession, str(tr, "model_path"))
           val scored = graft.text.Dsir.applyHashed(df, str(tr, "text_field", "text"), m)
           val min = str(tr, "min_log_weight")
           if (min == null) scored else scored.filter(col("log_weight") >= min.toDouble)
         case "ppl_gate" => // frozen CCNet floors as a stream gate: keep head..max_bucket
+          require(str(tr, "model_path") != null,
+            "ppl_gate requires model_path (a saved pplFit model directory)")
           val m = graft.text.TextLib.loadPplModel(df.sparkSession, str(tr, "model_path"))
           val bucketed = graft.text.TextLib.pplApply(df, str(tr, "text_field", "text"), m)
           val max = str(tr, "max_bucket")
@@ -115,6 +119,8 @@ object StreamPipeline {
         case "unimax_gate" => // frozen UniMax allocation as a stream mixture
           // gate: a stateless broadcast join + explode (epoch column added),
           // so upsampling composes into ingest like the other frozen gates
+          require(str(tr, "allocation_path") != null,
+            "unimax_gate requires allocation_path (a saved unimaxAllocation parquet)")
           val alloc = df.sparkSession.read.parquet(str(tr, "allocation_path"))
           graft.ops.Scale.unimaxApply(df, alloc,
             str(tr, "group_field", "lang"), str(tr, "key_field", "doc_id"),

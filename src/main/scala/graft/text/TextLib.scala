@@ -163,6 +163,15 @@ object TextLib {
     * columns once — HOF lambdas re-evaluate inline subtrees per element,
     * the q_winnow_law lesson); no shuffle, no aggregate, embarrassingly
     * parallel at any corpus size.
+    *
+    * ENGLISH-ONLY SCOPE (like the cited Rae 2021 pipeline, which is
+    * English-only): `alpha_words` matches `[a-z]` on the lowercased
+    * normalized tokens and `stopwords` uses the English Gopher-eight, so
+    * every non-Latin-script document fails BOTH rules and is dropped. In
+    * a multilingual recipe either run this gate after language ID on the
+    * English slice only, or neutralize the two anglocentric rules with
+    * `minAlphaRatio = 0, minStopwords = 0` (the remaining five rules are
+    * script-agnostic).
     */
   def gopherRules(df: DataFrame, textCol: String,
                   minWords: Int = 50, maxWords: Int = 100000,
