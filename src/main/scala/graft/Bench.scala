@@ -21,15 +21,18 @@ import org.apache.spark.sql.SparkSession
   * The stdout `queries` values are unchanged in meaning: the isolated truth
   * still wins when adjudication fires.
   *
-  * Box-speed calibration (VERDICT r8 #1): before the suite, a fixed
-  * deterministic sort+shuffle+hash-agg probe over generated data is timed
-  * (median of 3) and stamped as `calibration_sec` on the stdout line (so
-  * the NEXT round can read it from BENCH_r*.json) and as a `calibration`
-  * object in the side file. Self-adjudication scales its 1.5× trigger by
-  * the calibration ratio vs the prior artifact (clamped to [1.0, 2.5]) —
-  * a box measuring 2× slower for unchanged code stops re-measuring the
-  * whole suite, and the artifact itself distinguishes "plan regressed"
-  * from "box slowed".
+  * Box-speed calibration (VERDICT r8 #1, dual since round 11 per VERDICT
+  * r10 #1): before and after the suite, TWO fixed deterministic probes are
+  * timed (median of 3 each) and stamped on the stdout line (so the NEXT
+  * round can read them from BENCH_r*.json) and as a `calibration` object in
+  * the side file — a CPU-bound sort+shuffle+hash-agg (`calibration_sec`)
+  * and a >LLC ~2 GB wide-row shuffle+sort (`calibration_mem_sec`) that
+  * detects the host's large-working-set/GC storms the CPU probe misses.
+  * Self-adjudication scales its 1.5× trigger by the WORSE of the two
+  * probe ratios vs the prior artifact (clamped to [1.0, 2.5]) — a box
+  * measuring 2× slower for unchanged code stops re-measuring the whole
+  * suite, and the artifact itself distinguishes "plan regressed" from
+  * "box slowed".
   *
   * Self-adjudication (VERDICT r5 #1): in-suite medians on this box can be
   * poisoned by machine contention for one query's whole 3-run window
@@ -89,13 +92,14 @@ object Bench {
     (used, comp)
   }
 
-  /** queries map + calibration of the most recent BENCH_r*.json (flat
-    * numeric entries only — adjudicated object values in older artifacts are
-    * skipped by the regex, which is fine: an adjudicated query's `queries`
-    * entry is still the flat isolated number). Pre-round-9 artifacts carry
-    * no `calibration_sec`; their calibration comes back None. */
-  private def priorRound(sfDir: String): (Map[String, Double], Option[Double]) = {
-    def parse(f: java.io.File): (Map[String, Double], Option[Double]) = {
+  /** queries map + CPU/memory calibrations of the most recent BENCH_r*.json
+    * (flat numeric entries only — adjudicated object values in older
+    * artifacts are skipped by the regex, which is fine: an adjudicated
+    * query's `queries` entry is still the flat isolated number). Pre-round-9
+    * artifacts carry no `calibration_sec`, pre-round-11 none carry
+    * `calibration_mem_sec`; absent probes come back None. */
+  private def priorRound(sfDir: String): (Map[String, Double], Option[Double], Option[Double]) = {
+    def parse(f: java.io.File): (Map[String, Double], Option[Double], Option[Double]) = {
       val text = try scala.io.Source.fromFile(f, "UTF-8").mkString catch { case _: Throwable => "" }
       // priors are only comparable at the SAME scale factor: a 100× stress
       // run against sf0.1 priors would flag EVERY query as a regression and
@@ -103,7 +107,7 @@ object Bench {
       val priorSf = "\"sf\"\\s*:\\s*\"([^\"]*)\"".r.findFirstMatchIn(text).map(_.group(1))
       if (!priorSf.contains(sfDir)) {
         System.err.println(s"[bench] prior ${f.getName} is for sf ${priorSf.getOrElse("?")}, current is $sfDir — skipping it")
-        return (Map.empty, None)
+        return (Map.empty, None, None)
       }
       val body = {
         val i = text.indexOf("\"queries\"")
@@ -116,7 +120,9 @@ object Bench {
       val pair = "\"([^\"]+)\"\\s*:\\s*(-?\\d+(?:\\.\\d+)?)".r
       val cal = "\"calibration_sec\"\\s*:\\s*(\\d+(?:\\.\\d+)?)".r
         .findFirstMatchIn(text).map(_.group(1).toDouble).filter(_ > 0)
-      (pair.findAllMatchIn(body).map(m => m.group(1) -> m.group(2).toDouble).toMap, cal)
+      val calMem = "\"calibration_mem_sec\"\\s*:\\s*(\\d+(?:\\.\\d+)?)".r
+        .findFirstMatchIn(text).map(_.group(1).toDouble).filter(_ > 0)
+      (pair.findAllMatchIn(body).map(m => m.group(1) -> m.group(2).toDouble).toMap, cal, calMem)
     }
     cfg("SPARK_GRAFT_BENCH_PRIOR").map(p => parse(new java.io.File(p))).getOrElse {
       // newest VALID artifact wins: a truncated/wrong-sf round (BENCH_r07's
@@ -129,7 +135,7 @@ object Bench {
         .collectFirst { case (f, m) if m._1.nonEmpty =>
           System.err.println(s"[bench] self-adjudication priors: ${f.getName} (${m._1.size} queries)")
           m
-        }.getOrElse((Map.empty, None))
+        }.getOrElse((Map.empty, None, None))
     }
   }
 
@@ -165,6 +171,46 @@ object Bench {
       } catch {
         case e: Throwable =>
           System.err.println(s"[bench] calibration probe failed: ${e.getMessage}")
+          -1.0
+      }
+    }
+  }
+
+  /** Memory-bandwidth/GC-sensitive box probe (VERDICT r10 #1): the
+    * CPU-bound [[calibrate]] probe read healthy (1.78/1.48 s) across six
+    * same-day sf10 runs in which q_dedup_minhash swung 37–126 s — including
+    * 65.9 s on the UNCHANGED round-9 binary — because this container's
+    * large-working-set degradation (GC wall 5–10×, JIT +45%) never shows up
+    * in a probe whose working set fits cache. This probe shuffles and sorts
+    * a fixed ~2 GB of wide deterministic rows (12 M × ~170 B: an id plus a
+    * 128-char hex pad derived from it), far past any LLC, so host-level
+    * memory-bandwidth/GC storms move it the way they move the real heavy
+    * queries. Median of 3 after a warmup, like the CPU probe; adjudication
+    * scales its trigger by the WORSE of the two ratios.
+    * SPARK_GRAFT_BENCH_CAL_MEM_FAKE (test-only) pins the value;
+    * SPARK_GRAFT_BENCH_CAL_MEM_ROWS scales the workload for in-process
+    * specs. */
+  private def calibrateMem(s: SparkSession): Double = {
+    cfg("SPARK_GRAFT_BENCH_CAL_MEM_FAKE").map(_.toDouble).getOrElse {
+      import org.apache.spark.sql.functions._
+      val rows = cfg("SPARK_GRAFT_BENCH_CAL_MEM_ROWS").map(_.toLong).getOrElse(12000000L)
+      val calRuns = 3
+      def run(): Unit =
+        s.range(0L, rows, 1L, 64)
+          .select(col("id"),
+            concat_ws("", Seq.tabulate(8)(i => hex(xxhash64(col("id"), lit(i)))): _*).as("pad"))
+          .repartition(64, col("id"))
+          .sortWithinPartitions(col("pad"), col("id"))
+          .write.format("noop").mode("overwrite").save()
+      try {
+        run() // warmup
+        val times = (1 to calRuns).map { _ =>
+          val t0 = System.nanoTime(); run(); (System.nanoTime() - t0) / 1e9
+        }
+        times.sorted.apply(times.size / 2)
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] memory calibration probe failed: ${e.getMessage}")
           -1.0
       }
     }
@@ -263,10 +309,13 @@ object Bench {
         .groupBy("l_returnflag").count().write.format("noop").mode("overwrite").save()
     } catch { case _: Throwable => () }
 
-    // Box-speed probe BEFORE the suite (after warmup): the number every
-    // later comparison is conditioned on.
+    // Box-speed probes BEFORE the suite (after warmup): the numbers every
+    // later comparison is conditioned on. Two probes since round 11: the
+    // CPU-bound one and the >LLC shuffle+sort one (VERDICT r10 #1).
     val calSec = calibrate(spark)
-    System.err.println(f"[bench] calibration probe: $calSec%.3f s")
+    System.err.println(f"[bench] calibration probe (cpu): $calSec%.3f s")
+    val calMemSec = calibrateMem(spark)
+    System.err.println(f"[bench] calibration probe (mem): $calMemSec%.3f s")
 
     val unknown = names.filterNot(qs.contains)
     unknown.foreach(n => System.err.println(s"[bench] unknown query name: $n"))
@@ -338,7 +387,9 @@ object Bench {
     // mid-run host drift; bracketing probes make that drift visible IN the
     // artifact instead of requiring a forensic re-run.
     val calEndSec = calibrate(spark)
-    System.err.println(f"[bench] calibration probe (end): $calEndSec%.3f s")
+    System.err.println(f"[bench] calibration probe (cpu, end): $calEndSec%.3f s")
+    val calMemEndSec = calibrateMem(spark)
+    System.err.println(f"[bench] calibration probe (mem, end): $calMemEndSec%.3f s")
     if (ownsSession) spark.stop()
 
     // Self-adjudication: a suite median >1.5× the prior round's value (and
@@ -347,22 +398,29 @@ object Bench {
     // both figures preserved in the side file. (The trigger was 2× in
     // round 6; BENCH_r06 carried a broad 1.1-1.6× contention drift that sat
     // under it — VERDICT r6 #4 lowered it to 1.5×.)
-    val (prior, priorCal) = priorRound(sfDir)
+    val (prior, priorCal, priorCalMem) = priorRound(sfDir)
     // Calibration-aware trigger (VERDICT r8 #1): when the prior artifact
     // carries a calibration and the probe says THIS box is slower, scale the
     // 1.5× trigger by the slowdown ratio — a box running 1.8× slower for
     // unchanged code must not send half the suite through isolated
-    // re-measures. Clamped: never below 1.0 (a fast box doesn't tighten the
+    // re-measures. Since round 11 the trigger uses the WORSE of the CPU and
+    // memory-probe ratios (VERDICT r10 #1): a host memory-bandwidth/GC storm
+    // the CPU probe under-detects must not grade unchanged heavy queries as
+    // regressions. Clamped: never below 1.0 (a fast box doesn't tighten the
     // trigger — sub-1.5× regressions staying invisible is the status quo),
     // never above 2.5 (a broken/contended probe must not disable
     // adjudication outright).
-    val calRatio = (priorCal, Some(calSec).filter(_ > 0)) match {
-      case (Some(p), Some(c)) if p > 0 => c / p
-      case _ => 1.0
-    }
+    def ratioOf(priorSec: Option[Double], sec: Double): Option[Double] =
+      (priorSec, Some(sec).filter(_ > 0)) match {
+        case (Some(p), Some(c)) if p > 0 => Some(c / p)
+        case _ => None
+      }
+    val calRatioCpu = ratioOf(priorCal, calSec)
+    val calRatioMem = ratioOf(priorCalMem, calMemSec)
+    val calRatio = (calRatioCpu.toSeq ++ calRatioMem.toSeq).maxOption.getOrElse(1.0)
     val triggerScale = math.min(2.5, math.max(1.0, calRatio))
     if (triggerScale != 1.0)
-      System.err.println(f"[bench] box calibration ratio $calRatio%.2f vs prior — adjudication trigger scaled to ${1.5 * triggerScale}%.2fx")
+      System.err.println(f"[bench] box calibration ratio $calRatio%.2f vs prior (cpu ${calRatioCpu.getOrElse(-1.0)}%.2f, mem ${calRatioMem.getOrElse(-1.0)}%.2f) — adjudication trigger scaled to ${1.5 * triggerScale}%.2fx")
     // noise floor: sub-0.3 s queries swing multiples on pure scheduling
     // noise; overridable so the artifact spec can force an adjudication on
     // a fast sf0.001 query without a synthetic sleep
@@ -412,8 +470,12 @@ object Bench {
     val lawFailed = lawMeasured.collect { case (k, None, _, _, _) => js(k) }
     val lawFailedJson = if (lawFailed.isEmpty) "" else s""","law_failed":[${lawFailed.mkString(",")}]"""
     val calJson = {
-      val p = priorCal.map(fmt).getOrElse("null")
-      s"""{"sec":${fmt(calSec)},"end_sec":${fmt(calEndSec)},"prior_sec":$p,"ratio":${fmt(calRatio)},"trigger_scale":${fmt(triggerScale)}}"""
+      def opt(v: Option[Double]) = v.map(fmt).getOrElse("null")
+      // `ratio` is the ratio the trigger actually used = worse of cpu/mem
+      s"""{"sec":${fmt(calSec)},"end_sec":${fmt(calEndSec)},"prior_sec":${opt(priorCal)},""" +
+        s""""mem_sec":${fmt(calMemSec)},"mem_end_sec":${fmt(calMemEndSec)},"mem_prior_sec":${opt(priorCalMem)},""" +
+        s""""cpu_ratio":${opt(calRatioCpu)},"mem_ratio":${opt(calRatioMem)},""" +
+        s""""ratio":${fmt(calRatio)},"trigger_scale":${fmt(triggerScale)}}"""
     }
     val detail =
       s"""{"adjudicated":$adjJson,"law_ring":$lawJson$lawFailedJson,"calibration":$calJson,"gc_sec":$gcJson,"load_avg":$laJson,"jit":$jitJson,"runs":$runs,"sf":${js(sfDir)}}"""
@@ -427,6 +489,6 @@ object Bench {
     // calibration_sec rides the stdout line BY DESIGN (~30 B): BENCH_r*.json
     // is the only artifact the next round's priorRound reads, so the box
     // probe must live there to be comparable cross-round
-    println(s"""{"metric":"total","value":${fmt(good.map(_._2).sum)},"unit":"sec","queries":$qJson$failedJson,"runs":$runs,"calibration_sec":${fmt(calSec)},"calibration_end_sec":${fmt(calEndSec)},"sf":${js(sfDir)},"detail":${js(detailPath)}}""")
+    println(s"""{"metric":"total","value":${fmt(good.map(_._2).sum)},"unit":"sec","queries":$qJson$failedJson,"runs":$runs,"calibration_sec":${fmt(calSec)},"calibration_end_sec":${fmt(calEndSec)},"calibration_mem_sec":${fmt(calMemSec)},"calibration_mem_end_sec":${fmt(calMemEndSec)},"sf":${js(sfDir)},"detail":${js(detailPath)}}""")
   }
 }

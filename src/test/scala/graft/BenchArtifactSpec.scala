@@ -48,7 +48,9 @@ class BenchArtifactSpec extends SparkSpec {
       "SPARK_GRAFT_BENCH_NOISE_FLOOR" -> "0.0",
       "SPARK_GRAFT_BENCH_PRIOR" -> priorPath,
       "SPARK_GRAFT_BENCH_DETAIL" -> detailPath,
-      "SPARK_GRAFT_BENCH_CAL_FAKE" -> "2.0" // pin the probe: artifact shape, not box speed, is under test
+      // pin both probes: artifact shape, not box speed, is under test
+      "SPARK_GRAFT_BENCH_CAL_FAKE" -> "2.0",
+      "SPARK_GRAFT_BENCH_CAL_MEM_FAKE" -> "3.0"
     )) {
       out = captureOut { Bench.main(Array("q_agg_grouped", "q_join_equi")) }
     }
@@ -72,6 +74,10 @@ class BenchArtifactSpec extends SparkSpec {
     // next round's priorRound reads (VERDICT r8 #1)
     assert(parsed("calibration_sec").asInstanceOf[Double] == 2.0,
       s"calibration_sec missing/wrong on the stdout line: ${parsed.get("calibration_sec")}")
+    // the round-11 memory-bandwidth probe rides the stdout line too — the
+    // next round's priorRound reads BOTH probes from BENCH_r*.json
+    assert(parsed("calibration_mem_sec").asInstanceOf[Double] == 3.0,
+      s"calibration_mem_sec missing/wrong on the stdout line: ${parsed.get("calibration_mem_sec")}")
 
     val detail = graft.core.Json.parse(
       new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(detailPath)), "UTF-8")
@@ -97,6 +103,9 @@ class BenchArtifactSpec extends SparkSpec {
     assert(cal("sec").asInstanceOf[Double] == 2.0 && cal("prior_sec") == null &&
       cal("ratio").asInstanceOf[Double] == 1.0 && cal("trigger_scale").asInstanceOf[Double] == 1.0,
       s"calibration annotation wrong: $cal")
+    assert(cal("mem_sec").asInstanceOf[Double] == 3.0 && cal("mem_prior_sec") == null &&
+      cal("cpu_ratio") == null && cal("mem_ratio") == null,
+      s"memory-probe calibration annotation wrong: $cal")
     // subset (dev) invocation skips the law ring by design
     assert(detail("law_ring").asInstanceOf[Map[String, Any]].isEmpty)
   }
@@ -112,7 +121,8 @@ class BenchArtifactSpec extends SparkSpec {
         "SPARK_GRAFT_CPUS" -> "4",
         "SPARK_GRAFT_BENCH_RUNS" -> "1",
         "SPARK_GRAFT_BENCH_NOISE_FLOOR" -> "0.0",
-        "SPARK_GRAFT_BENCH_DETAIL" -> detailPath
+        "SPARK_GRAFT_BENCH_DETAIL" -> detailPath,
+        "SPARK_GRAFT_BENCH_CAL_MEM_FAKE" -> "1.0" // overridable per-phase
       ) ++ props) {
         out = captureOut { Bench.main(Array("q_agg_grouped")) }
       }
@@ -137,10 +147,12 @@ class BenchArtifactSpec extends SparkSpec {
       m
     }
     val priorPath = s"$dir/prior.json"
-    def writePrior(m: Double): Unit =
+    def writePrior(m: Double, withMemCal: Boolean = false): Unit = {
+      val memCal = if (withMemCal) """"calibration_mem_sec":1.0,""" else ""
       java.nio.file.Files.write(java.nio.file.Paths.get(priorPath),
         (s"""{"metric":"total","value":${m / 2.2},"unit":"sec","queries":{"q_agg_grouped":${m / 2.2}},""" +
-          s""""runs":1,"calibration_sec":1.0,"sf":"$sfDir"}""").getBytes("UTF-8"))
+          s""""runs":1,"calibration_sec":1.0,$memCal"sf":"$sfDir"}""").getBytes("UTF-8"))
+    }
     // phase B: prior at wall/2.2 (a 2.2× apparent "regression"), box now
     // 2.4× slower → trigger 1.5×2.4 = 3.6× — box state, must NOT adjudicate
     writePrior(freshWall())
@@ -171,6 +183,22 @@ class BenchArtifactSpec extends SparkSpec {
       "SPARK_GRAFT_BENCH_CAL_FAKE" -> "1000.0"))
     assert(clampDetail("calibration").asInstanceOf[Map[String, Any]]("trigger_scale")
       .asInstanceOf[Double] == 2.5, s"trigger_scale must clamp at 2.5")
+    // phase D (VERDICT r10 #1): CPU probe at PARITY but the memory probe
+    // 2.4× slower — the trigger must use the WORSE ratio, so the same 2.2×
+    // wall is again suppressed. This is exactly the q_dedup_minhash storm
+    // shape: a host memory-bandwidth/GC degradation the CPU probe misses.
+    writePrior(freshWall(), withMemCal = true)
+    val (_, memDetail) = bench(Map(
+      "SPARK_GRAFT_BENCH_PRIOR" -> priorPath,
+      "SPARK_GRAFT_BENCH_CAL_FAKE" -> "1.0",
+      "SPARK_GRAFT_BENCH_CAL_MEM_FAKE" -> "2.4"))
+    val memCal = memDetail("calibration").asInstanceOf[Map[String, Any]]
+    assert(math.abs(memCal("cpu_ratio").asInstanceOf[Double] - 1.0) < 1e-9 &&
+      math.abs(memCal("mem_ratio").asInstanceOf[Double] - 2.4) < 1e-9 &&
+      math.abs(memCal("trigger_scale").asInstanceOf[Double] - 2.4) < 1e-9,
+      s"memory-probe ratio must drive the trigger when worse: $memCal")
+    assert(memDetail("adjudicated").asInstanceOf[Map[String, Any]].isEmpty,
+      "a 2.2x wall under a 2.4x-slower MEMORY probe must not trigger an isolated re-measure")
   }
 
   test("full headline + law-ring stdout stays under the tail-capture ceiling by construction") {
@@ -179,7 +207,7 @@ class BenchArtifactSpec extends SparkSpec {
     // envelope. Gate the INPUT (name lengths) so a future rename can't push
     // the real artifact over the r7 cliff silently.
     val maxName = (Bench.headline ++ Bench.lawRing).map(_.length).max
-    val estimate = 150 + Bench.headline.map(_.length + 10).sum // envelope (incl calibration_sec) + "name":0.000,
+    val estimate = 250 + Bench.headline.map(_.length + 10).sum // envelope (incl both calibration probes) + "name":0.000,
     assert(maxName <= 40, s"a headline name grew past 40 chars ($maxName)")
     assert(estimate < 2500, s"estimated stdout line $estimate B — trim the headline list or split the artifact further")
     // every law-ring query must exist in the registry, else the ring silently benches nothing
