@@ -129,6 +129,40 @@ object QueriesLaws {
       aggA.crossJoin(aggB).crossJoin(aggC)
     }),
 
+    "q_near_dedup_keepbest_law" -> ((s, dir) => {
+      // keep-best election laws on the REAL minhash composite: (a) copies
+      // carry quality 2.0 vs the originals' 1.0, and an exact copy is a
+      // guaranteed candidate of its source, so a planted source can never
+      // survive keep-best (a strictly-better member shares its cluster);
+      // (b) with CONSTANT quality the tie-break is the min id — exactly
+      // nearDedup's keep-first election — so the two outputs must be the
+      // SAME SET (symmetric difference 0). One minhash+cluster pass: the
+      // candidates don't depend on quality, and clusterCandidates returns
+      // a materialized frame (local union-find / checkpoint), so all three
+      // elections reuse it.
+      val (d, copies, _) = plantedDocs(s, dir)
+      val all = d.unionByName(copies)
+        .withColumn("quality", when(col("doc_id") >= 700000L, 2.0).otherwise(1.0))
+      val cands = Dedup.minhashCandidates(all, "text", "doc_id",
+        shingleN = 3, numHashes = 64, bands = 16, threshold = 0.8)
+      val clusters = Dedup.clusterCandidates(cands.select("id_a", "id_b"))
+      val best = Dedup.keepBestByCluster(all, "doc_id", "quality", clusters)
+      val aggA = best.agg(
+        sum(when(col("doc_id") < 700000L && col("doc_id") % 3 === 0, 1L)
+          .otherwise(0L)).as("n_sources_surviving"),
+        (count(lit(1)) > 0).as("has_rows"))
+      val kbConst = Dedup.keepBestByCluster(
+        all.withColumn("quality", lit(1.0)), "doc_id", "quality", clusters)
+        .select("doc_id")
+      val kf = all.join(clusters.filter(col("id") =!= col("cluster_id"))
+          .select(col("id").as("doc_id")), Seq("doc_id"), "left_anti")
+        .select("doc_id")
+      val symDiff = kbConst.unionByName(kf).groupBy("doc_id")
+        .agg(count(lit(1)).as("__c")).filter(col("__c") =!= 2)
+        .agg(count(lit(1)).as("n_law_sym_diff"))
+      aggA.crossJoin(symDiff)
+    }),
+
     "q_dedup_clusters_law" -> ((s, dir) => {
       // connected-component structural laws, checkable without knowing the
       // engine's hash values: every candidate edge's endpoints share one
@@ -493,6 +527,9 @@ object QueriesLaws {
       "q_near_dedup_law" ->
         """SELECT CAST(0 AS BIGINT) AS n_copies_surviving, TRUE AS has_rows,
           |  CAST(0 AS BIGINT) AS n_dup_text_groups, CAST(0 AS BIGINT) AS n_foreign""".stripMargin,
+      "q_near_dedup_keepbest_law" ->
+        """SELECT CAST(0 AS BIGINT) AS n_sources_surviving, TRUE AS has_rows,
+          |  CAST(0 AS BIGINT) AS n_law_sym_diff""".stripMargin,
       "q_dedup_clusters_law" ->
         """SELECT CAST(0 AS BIGINT) AS n_uncovered, CAST(0 AS BIGINT) AS n_edge_split,
           |  CAST(0 AS BIGINT) AS n_label_gt_member, CAST(0 AS BIGINT) AS n_root_not_self,

@@ -231,6 +231,28 @@ object QueriesText {
         .select("doc_id", "lang", "n_chars")
         .orderBy("doc_id")),
 
+    "q_near_dedup_keepbest" -> ((s, dir) => {
+      // hash-exact gate for the cluster keep-best election on a fully
+      // deterministic fixture: md5-gated chain edges (doc → doc-1 where the
+      // gate fires — expected chain length 3) + an md5-derived INTEGER
+      // quality in [0, 97) so ties exercise the min-id tie-break. DuckDB
+      // replays the edges, the connected components (recursive CTE, min
+      // label = the engine's cluster_id), and the (quality desc, id asc)
+      // argmin election. Survivors only; singletons are their own cluster.
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), (md5Gate("kbq:") % 97L).cast("int").as("quality"))
+      val pairs = d.filter(md5Gate("kbe:") % 3L =!= 0L)
+        .select((col("doc_id") - 1L).as("id_a"), col("doc_id").as("id_b"))
+        .join(d.select(col("doc_id").as("id_a")), Seq("id_a"), "left_semi")
+      val clusters = Dedup.clusterCandidates(pairs)
+      Dedup.keepBestByCluster(d, "doc_id", "quality", clusters)
+        .join(clusters.select(col("id").as("doc_id"), col("cluster_id")),
+          Seq("doc_id"), "left")
+        .select(col("doc_id"), col("quality"),
+          coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+        .orderBy("doc_id")
+    }),
+
     "q_chunk_docs" -> ((s, dir) =>
       TextLib.chunkDocuments(t(s, dir, "documents"), "text", chunkSize = 200, overlap = 50)
         .select(col("doc_id"), col("chunk_idx"), length(col("chunk_text")).as("chunk_len"),
@@ -1223,6 +1245,38 @@ object QueriesText {
     "q_bpe_merges" -> golden("q_bpe_merges"),
     "q_dedup_minhash" -> golden("q_dedup_minhash"),
     "q_near_dedup" -> golden("q_near_dedup"),
+
+    // keep-best election on the md5 fixture: DuckDB re-derives the chain
+    // edges and quality, computes min-label components with a recursive
+    // CTE, and elects per cluster by (quality DESC, doc_id ASC)
+    "q_near_dedup_keepbest" ->
+      """WITH RECURSIVE d AS (
+        |  SELECT doc_id,
+        |    CAST(CAST('0x' || substr(md5('kbq:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+        |      % 1000000 % 97 AS INT) AS quality
+        |  FROM documents),
+        |e AS (
+        |  SELECT doc_id - 1 AS a, doc_id AS b FROM documents
+        |  WHERE CAST('0x' || substr(md5('kbe:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+        |      % 1000000 % 3 <> 0
+        |    AND doc_id - 1 IN (SELECT doc_id FROM documents)),
+        |sym AS (SELECT a AS src, b AS dst FROM e UNION ALL SELECT b, a FROM e),
+        |reach AS (
+        |  SELECT src AS node, src AS label FROM sym
+        |  UNION
+        |  SELECT s.dst, r.label FROM reach r JOIN sym s ON s.src = r.node),
+        |lab AS (SELECT node AS doc_id, min(label) AS cluster_id FROM reach GROUP BY node),
+        |f AS (
+        |  SELECT d.doc_id, d.quality, coalesce(l.cluster_id, d.doc_id) AS cluster_id
+        |  FROM d LEFT JOIN lab l ON l.doc_id = d.doc_id),
+        |surv AS (
+        |  SELECT doc_id FROM (
+        |    SELECT doc_id,
+        |      row_number() OVER (PARTITION BY cluster_id ORDER BY quality DESC, doc_id ASC) AS rn
+        |    FROM f) WHERE rn = 1)
+        |SELECT f.doc_id, f.quality, f.cluster_id
+        |FROM f JOIN surv s ON s.doc_id = f.doc_id
+        |ORDER BY f.doc_id""".stripMargin,
     "q_dedup_clusters" -> golden("q_dedup_clusters"),
     "q_embed_neardup" -> golden("q_embed_neardup"),
     // round 8 (VERDICT r7 #3): the featurizer is deterministic (seeded

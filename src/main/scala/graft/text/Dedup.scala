@@ -777,6 +777,60 @@ object Dedup {
     df.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** Cluster-wise KEEP-BEST election: given `clusters` = (id, cluster_id)
+    * labels (usually [[clusterCandidates]] output), keep per cluster the
+    * member with the HIGHEST `qualityCol` (ties → smallest id) and drop
+    * the rest; rows of `df` with no cluster label pass through untouched
+    * (a singleton is its own survivor). The [[exactKeepBest]] election
+    * generalized to near-dup components — the FineWeb-class "keep the
+    * best extraction of the page", where min-id keep-first throws away
+    * the good copy whenever a worse one got a smaller id.
+    *
+    * Null AND NaN quality rank below every real quality (Spark sorts NaN
+    * ABOVE +Inf, so a bare desc would elect a NaN-scored copy — both map
+    * to -Inf instead, the exactKeepBest rule).
+    *
+    * Scale shape: the election is ONE `min(struct(-quality, id))`
+    * aggregate riding the cluster frame — which is proportional to the
+    * candidate-pair MEMBERS (duplicate mass), not the corpus — plus one
+    * id-keyed join to fetch qualities and one anti-join back to `df`.
+    * The corpus itself never shuffles; uniform keys throughout (cluster
+    * ids are component-min ids).
+    */
+  def keepBestByCluster(df: DataFrame, idCol: String, qualityCol: String,
+                        clusters: DataFrame): DataFrame = {
+    val q = col(qualityCol).cast("double")
+    val qOrd = when(q.isNull || isnan(q), lit(Double.NegativeInfinity)).otherwise(q)
+    val members = clusters.select(col("id"), col("cluster_id"))
+      .join(df.select(col(idCol).as("id"), (-qOrd).as("__nq")), Seq("id"))
+    val best = members.groupBy(col("cluster_id"))
+      .agg(min(struct(col("__nq"), col("id"))).as("__b"))
+      .select(col("cluster_id"), col("__b.id").as("__surv"))
+    val losers = clusters.join(best, Seq("cluster_id"))
+      .filter(col("id") =!= col("__surv"))
+      .select(col("id").as(idCol))
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+
+  /** End-to-end near-deduplication with keep-BEST survivor election:
+    * MinHash-LSH candidates → connected-component clusters → per cluster
+    * keep the highest-`qualityCol` member (ties → smallest id). Same
+    * candidate/cluster pipeline as [[nearDedup]] (identical clusters);
+    * only the election differs — with constant quality the tie-break is
+    * the min id, so the output is EXACTLY [[nearDedup]]'s (the
+    * q_near_dedup_keepbest_law gate pins this).
+    */
+  def nearDedupKeepBest(
+      df: DataFrame, textCol: String, idCol: String, qualityCol: String,
+      shingleN: Int = 3, numHashes: Int = 64, bands: Int = 16,
+      threshold: Double = 0.8, maxBucketSize: Int = 1000
+  ): DataFrame = {
+    val cands = minhashCandidates(df, textCol, idCol, shingleN, numHashes, bands,
+      threshold, maxBucketSize)
+    keepBestByCluster(df, idCol, qualityCol,
+      clusterCandidates(cands.select("id_a", "id_b")))
+  }
+
   // ---------------------------------------------------------------- paragraph-level
 
   /** Corpus-wide paragraph deduplication (the RefinedWeb/C4-style

@@ -330,6 +330,45 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(labels(10L) == 10L && labels(11L) == 10L)
   }
 
+  test("keepBestByCluster elects the highest quality per cluster, ties to min id; null/NaN lose") {
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L),
+      (20L, 20L), (21L, 20L)).toDF("id", "cluster_id")
+    val frame = Seq(
+      (1L, 0.2), (2L, 0.9), (3L, 0.9),           // cluster 1: 2 and 3 tie at 0.9 → 2 wins
+      (10L, Double.NaN), (11L, 0.1),             // NaN must lose to a real 0.1
+      (20L, 0.5), (21L, 0.7),                    // plain argmax
+      (99L, 0.0)                                 // unclustered: passes through
+    ).toDF("doc_id", "quality")
+    val out = Dedup.keepBestByCluster(frame, "doc_id", "quality", clusters)
+      .select("doc_id").as[Long].collect().sorted
+    assert(out.toSeq == Seq(2L, 11L, 21L, 99L))
+    // null quality loses too
+    val withNull = Seq((10L, None: Option[Double]), (11L, Some(0.1))).toDF("doc_id", "quality")
+    val out2 = Dedup.keepBestByCluster(withNull, "doc_id", "quality",
+        Seq((10L, 10L), (11L, 10L)).toDF("id", "cluster_id"))
+      .select("doc_id").as[Long].collect()
+    assert(out2.toSeq == Seq(11L))
+  }
+
+  test("nearDedupKeepBest: constant quality reduces to nearDedup; higher-quality dup wins otherwise") {
+    val qDocs = docs.withColumn("quality",
+      when(col("doc_id") === 4L, 5.0).otherwise(1.0))
+    // doc 4 is the exact dup of doc 1 (case/ws) — with quality 5 it must
+    // be the survivor of that cluster instead of min-id 1
+    val best = Dedup.nearDedupKeepBest(qDocs, "text", "doc_id", "quality",
+        shingleN = 2, numHashes = 64, bands = 16, threshold = 0.9)
+      .select("doc_id").as[Long].collect().toSet
+    assert(best.contains(4L) && !best.contains(1L), s"quality-5 copy must win: $best")
+    // the keepfirst ≡ keepbest law under constant quality
+    val const = Dedup.nearDedupKeepBest(docs.withColumn("quality", lit(1.0)),
+        "text", "doc_id", "quality", shingleN = 2, numHashes = 64, bands = 16, threshold = 0.9)
+      .select("doc_id").as[Long].collect().toSet
+    val kf = Dedup.nearDedup(docs, "text", "doc_id",
+        shingleN = 2, numHashes = 64, bands = 16, threshold = 0.9)
+      .select("doc_id").as[Long].collect().toSet
+    assert(const == kf, s"constant-quality keepbest $const != keepfirst $kf")
+  }
+
   test("clusterCandidates: a 30-hop duplicate chain fully merges within maxIter=10") {
     // plain 1-hop min-label needs 30 rounds for this graph; pointer jumping
     // must close it inside the default bound — the VERDICT r4 silent
