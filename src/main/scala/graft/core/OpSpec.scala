@@ -400,6 +400,12 @@ object OpCompiler {
         df.withColumn(s(p, "output_column", "deflate_ratio"),
           graft.expr.DeflateRatio(col(text)))
       case "lang_id"          => TextLib.langId(df, text)
+      case "lang_id_apply" => // classify against a FROZEN char-n-gram model
+        require(s(p, "model_path") != null,
+          "lang_id_apply requires params.model_path (written by TextLib.saveLangIdModel)")
+        TextLib.langIdApply(df, text,
+          TextLib.loadLangIdModel(df.sparkSession, s(p, "model_path")),
+          s(p, "output_column", "lang_pred"))
       case "token_counts" =>
         df.withColumn(s(p, "output_column", "n_tokens"), TextLib.tokenCountWs(col(text)))
       case "chunk" =>

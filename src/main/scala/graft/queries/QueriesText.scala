@@ -537,6 +537,20 @@ object QueriesText {
         .select("doc_id", "lang", "lang_pred")
         .orderBy("doc_id")),
 
+    "q_lang_id_model" -> ((s, dir) => {
+      // char-trigram fit/apply language ID: fit on the labeled 2/3 split
+      // (doc_id % 3 <> 2), apply to EVERY document as a pure map. DuckDB
+      // replays the whole model — integer gram counts, the ln(tf/T) table
+      // with its (tf desc, gram asc) top-2000 cap, the −ln(T) OOV floor,
+      // the 6dp-rounded mean score, and the (score desc, lang desc) argmax
+      val d = t(s, dir, "documents")
+      val m = TextLib.langIdFit(d.filter(col("doc_id") % 3 =!= 2), "text", "lang",
+        n = 3, tableSize = 2000)
+      TextLib.langIdApply(d, "text", m)
+        .select(col("doc_id"), col("lang"), col("lang_pred"), col("lang_score"))
+        .orderBy("doc_id")
+    }),
+
     "q_fingerprint" -> ((s, dir) =>
       t(s, dir, "documents")
         .select(col("doc_id"), TextLib.fingerprint(col("text"), 3).as("fp"))),
@@ -1238,6 +1252,53 @@ object QueriesText {
 
   val oracle: Map[String, String] = Map(
     "q_lang_id" -> langIdSql,
+
+    "q_lang_id_model" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang,
+        |    trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+        |  FROM documents),
+        |fit AS (SELECT lang, t FROM d
+        |        WHERE doc_id % 3 <> 2 AND lang IS NOT NULL AND t IS NOT NULL),
+        |g0 AS (
+        |  SELECT lang, t,
+        |    unnest(range(1, CASE WHEN len(t) <= 3 THEN 2 ELSE len(t) - 1 END)) AS i
+        |  FROM fit WHERE len(t) > 0),
+        |g AS (
+        |  SELECT lang,
+        |    CASE WHEN len(t) <= 3 THEN t ELSE substr(t, CAST(i AS INT), 3) END AS gram
+        |  FROM g0),
+        |cnt AS (SELECT lang, gram, count(*) AS tf FROM g GROUP BY 1, 2),
+        |tot AS (SELECT lang, sum(tf) AS tl FROM cnt GROUP BY 1),
+        |top AS (SELECT lang, gram, tf FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY lang ORDER BY tf DESC, gram ASC) AS rn
+        |    FROM cnt) WHERE rn <= 2000),
+        |model AS (
+        |  SELECT top.lang, gram, ln(CAST(tf AS DOUBLE) / tl) AS lp
+        |  FROM top JOIN tot USING (lang)),
+        |ag0 AS (
+        |  SELECT doc_id, t,
+        |    unnest(range(1, CASE WHEN len(t) <= 3 THEN 2 ELSE len(t) - 1 END)) AS i
+        |  FROM d WHERE t IS NOT NULL AND len(t) > 0),
+        |ag AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(t) <= 3 THEN t ELSE substr(t, CAST(i AS INT), 3) END AS gram
+        |  FROM ag0),
+        |fl AS (SELECT lang, -ln(CAST(tl AS DOUBLE)) AS floor_lp FROM tot),
+        |sc AS (
+        |  SELECT ag.doc_id, fl.lang,
+        |    round(avg(coalesce(m.lp, fl.floor_lp)) + 1e-9, 6) AS s
+        |  FROM ag CROSS JOIN fl
+        |  LEFT JOIN model m ON m.lang = fl.lang AND m.gram = ag.gram
+        |  GROUP BY 1, 2),
+        |best AS (
+        |  SELECT doc_id, lang AS pl, s,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY s DESC, lang DESC) AS rn
+        |  FROM sc)
+        |SELECT d.doc_id, d.lang,
+        |  coalesce(b.pl, 'und') AS lang_pred, b.s AS lang_score
+        |FROM d LEFT JOIN (SELECT doc_id, pl, s FROM best WHERE rn = 1) b USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
 
     "q_fingerprint" -> golden("q_fingerprint"),
     "q_winnow" -> golden("q_winnow"),

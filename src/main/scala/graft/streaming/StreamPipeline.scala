@@ -129,6 +129,17 @@ object StreamPipeline {
           // pure per-row map, directly streamable
           graft.text.TextLib.dedupLines(df, str(tr, "text_field", "text"),
             str(tr, "min_chars", "1").toInt)
+        case "langid_gate" => // frozen char-n-gram language ID as a stream
+          // gate: pure-map scoring (VocabLogProbMean per language), optional
+          // keep_langs filter on the prediction
+          require(str(tr, "model_path") != null,
+            "langid_gate requires model_path (a saved TextLib.saveLangIdModel directory)")
+          val m = graft.text.TextLib.loadLangIdModel(df.sparkSession, str(tr, "model_path"))
+          val pred = graft.text.TextLib.langIdApply(df, str(tr, "text_field", "text"), m)
+          str(tr, "keep_langs") match {
+            case null  => pred
+            case langs => pred.filter(col("lang_pred").isin(langs.split(",").map(_.trim): _*))
+          }
         case "quota_per_group" => StreamOps.quotaPerGroupStream(df,
           str(tr, "group_column"), str(tr, "quota", "10000").toLong)
         case other             => throw new IllegalArgumentException(s"Unknown stream transform: $other")

@@ -338,6 +338,147 @@ object TextLib {
       .drop(Markers.map { case (l, _) => s"__s_$l" } ++ Seq("__best", "__norm", "__wsc"): _*)
   }
 
+  /** Frozen character-n-gram language-ID model (round 11, VERDICT r10 #4):
+    * one [[graft.expr.LmVocab]] per language — n-gram → ln(tf/T_lang) over
+    * the top-`tableSize` grams of that language's labeled fit text, OOV
+    * floor −ln(T_lang). All counts are integers and the log math is the
+    * pinned ln(tf/T) form, so a SQL oracle replays the whole model.
+    * Driver/broadcast memory is |langs| × tableSize entries by construction.
+    */
+  final class LangIdModel(val n: Int, val langs: Seq[String],
+                          val lms: Seq[graft.expr.LmVocab]) extends Serializable {
+    override def toString: String =
+      s"LangIdModel(n=$n, langs=${langs.mkString(",")})"
+  }
+
+  /** Positional character n-grams of a PRE-BOUND text column (pass an
+    * attribute — the HOF lambda re-evaluates the subtree per position, the
+    * [[charShingles]] warning). Multiset, not deduplicated: LM scoring
+    * weighs repeated grams. Text shorter than n scores as one whole-text
+    * gram; empty → empty array (→ null score downstream).
+    */
+  private def charGramArray(t: Column, n: Int): Column =
+    when(length(t) === 0, array().cast("array<string>"))
+      .when(length(t) <= n, array(t))
+      .otherwise(transform(sequence(lit(1), length(t) - n + 1),
+        i => substring(t, i, lit(n))))
+
+  /** Fit a character-n-gram language-ID model on labeled text — the
+    * fit/apply upgrade over the [[langId]] stopword heuristic (which stays
+    * as the zero-model fallback): a char-trigram log-prob profile
+    * discriminates languages the eight-stopword lists cannot, and the
+    * frozen model applies as a PURE MAP ([[langIdApply]]) so the gate
+    * composes into streaming ingest like the DSIR/CCNet gates.
+    *
+    * Per language: gram → ln(tf/T) over the top `tableSize` grams by
+    * (tf desc, gram asc), OOV floor −ln(T); T is the language's TOTAL gram
+    * count (pre-cap), so capped models stay proper sub-distributions.
+    * Rows with a null label or null text are ignored.
+    *
+    * Scale shape: ONE tokenize+explode pass over the fit corpus into a
+    * map-side-combined (lang, gram) count aggregate (uniform keys), one
+    * |langs|-row total collect, one per-lang top-k window over the
+    * aggregated counts (|distinct grams| rows, not the gram stream).
+    */
+  def langIdFit(df: DataFrame, textCol: String, langCol: String,
+                n: Int = 3, tableSize: Int = 5000): LangIdModel = {
+    require(n >= 1, s"langIdFit: n must be >= 1, got $n")
+    require(tableSize > 0, s"langIdFit: tableSize must be positive, got $tableSize")
+    import org.apache.spark.sql.expressions.Window
+    val counts = df.filter(col(langCol).isNotNull && col(textCol).isNotNull)
+      .select(col(langCol).cast("string").as("__lang"),
+        normalized(col(textCol)).as("__t"))
+      .select(col("__lang"), explode(charGramArray(col("__t"), n)).as("gram"))
+      .groupBy("__lang", "gram").agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val totals = counts.groupBy("__lang").agg(sum("tf").as("T")).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val w = Window.partitionBy(col("__lang")).orderBy(col("tf").desc, col("gram").asc)
+      val top = counts.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") <= tableSize)
+        .select("__lang", "gram", "tf").collect()
+      val langs = totals.keys.toSeq.sorted
+      val lms = langs.map { l =>
+        val t = totals(l).toDouble
+        graft.expr.LmVocab(
+          top.filter(_.getString(0) == l).toSeq
+            .map(r => r.getString(1) -> math.log(r.getLong(2) / t)),
+          -math.log(t))
+      }
+      new LangIdModel(n, langs, lms)
+    } finally counts.unpersist()
+  }
+
+  /** Score any frame — batch or STREAMING — against a frozen
+    * [[LangIdModel]]: per language the 6dp-rounded mean gram log-prob
+    * (the [[graft.expr.VocabLogProbMean]] kernel — zero joins, zero
+    * aggregation, a stateless projection), argmax wins. Tie policy:
+    * equal rounded scores elect the lexicographically LAST language code
+    * (greatest(struct(score, lang)) — pinned so the oracle replays it).
+    * Null/empty texts predict `und` with a null score, mirroring
+    * [[langId]]'s no-evidence rule. Adds `outCol` (default `lang_pred`)
+    * and `lang_score` (replacing pre-existing columns of those names).
+    */
+  def langIdApply(df: DataFrame, textCol: String, model: LangIdModel,
+                  outCol: String = "lang_pred"): DataFrame = {
+    val withG = df.drop(outCol, "lang_score")
+      .withColumn("__li_t", normalized(col(textCol)))
+      .withColumn("__li_g", charGramArray(col("__li_t"), model.n))
+    val scored = model.langs.zip(model.lms).foldLeft(withG) { case (d, (l, lm)) =>
+      d.withColumn(s"__li_s_$l",
+        round(graft.expr.VocabLogProbMean(col("__li_g"), lm) + lit(1e-9), 6))
+    }
+    // gram-free docs score null for EVERY language (one shared gram array),
+    // so best.s null <=> no evidence
+    val best = model.langs.map(l => struct(col(s"__li_s_$l").as("s"), lit(l).as("l")))
+    scored
+      .withColumn("__li_best", greatest(best: _*))
+      .withColumn(outCol,
+        when(col("__li_best.s").isNotNull, col("__li_best.l")).otherwise(lit("und")))
+      .withColumn("lang_score", col("__li_best.s"))
+      .drop(model.langs.map(l => s"__li_s_$l") ++ Seq("__li_best", "__li_t", "__li_g"): _*)
+  }
+
+  /** Persist a fitted [[LangIdModel]]: vocab/ (lang, gram, lp) +
+    * meta/ (n, lang, floor_lp — one row per language). The
+    * [[savePplModel]] production shape: fit once, gate every later batch
+    * or streaming job against the frozen file. */
+  def saveLangIdModel(spark: org.apache.spark.sql.SparkSession,
+                      model: LangIdModel, path: String): Unit = {
+    import scala.jdk.CollectionConverters._
+    import spark.implicits._
+    model.langs.zip(model.lms).flatMap { case (l, lm) =>
+      lm.lp.entrySet().asScala.toSeq
+        .map(e => (l, e.getKey.toString, e.getValue.doubleValue()))
+    }.toDF("lang", "gram", "lp")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/vocab")
+    model.langs.zip(model.lms).map { case (l, lm) => (model.n, l, lm.floorLp) }
+      .toDF("n", "lang", "floor_lp")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Load a model written by [[saveLangIdModel]]; [[langIdApply]] on the
+    * loaded model is bit-identical to the in-memory fit (lp doubles
+    * round-trip exactly through parquet). */
+  def loadLangIdModel(spark: org.apache.spark.sql.SparkSession,
+                      path: String): LangIdModel = {
+    val meta = spark.read.parquet(s"$path/meta").select("n", "lang", "floor_lp")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getDouble(2)))
+    require(meta.nonEmpty, s"loadLangIdModel: empty meta at $path")
+    val byLang = spark.read.parquet(s"$path/vocab").select("lang", "gram", "lp")
+      .collect().groupBy(_.getString(0))
+    val langs = meta.map(_._2).toSeq.sorted
+    val floors = meta.map(m => m._2 -> m._3).toMap
+    val lms = langs.map { l =>
+      graft.expr.LmVocab(
+        byLang.getOrElse(l, Array.empty).toSeq
+          .map(r => r.getString(1) -> r.getDouble(2)),
+        floors(l))
+    }
+    new LangIdModel(meta.head._1, langs, lms)
+  }
+
   // ---------------------------------------------------------------- fingerprint
 
   /** Canonical corpus word frequencies: one explode over the normalized

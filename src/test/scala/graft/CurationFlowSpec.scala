@@ -151,6 +151,63 @@ class CurationFlowSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("langIdFit/langIdApply: trigram model separates real languages; stream ≡ batch; save/load bit-exact (round 11)") {
+    // discriminative power is proven HERE on real sentences: the synthetic
+    // documents corpus shares ONE vocabulary across its lang labels (like
+    // the isotropic embeddings for ANN recall), so q_lang_id_model can only
+    // gate the fit/apply ARITHMETIC, not separation
+    val fitDocs = Seq(
+      (1L, "en", "the cat is on the table and it was not happy with this situation at all"),
+      (2L, "en", "there is a house in the town where the children play with their friends"),
+      (3L, "de", "der Hund ist nicht mit der Katze auf den Tisch und das Haus ist schoen"),
+      (4L, "de", "die Kinder spielen in dem Garten und sie haben einen schoenen Tag zusammen"),
+      (5L, "fr", "le chat est dans la maison et il est pour les enfants de la ville"),
+      (6L, "fr", "les amis jouent dans le jardin avec leurs enfants pendant la journee"),
+      (7L, "es", "el gato es una mascota que vive en la casa con los ninos del pueblo"),
+      (8L, "es", "los amigos juegan en el jardin con sus hijos durante todo el dia")
+    ).toDF("doc_id", "lang", "text")
+    val model = graft.text.TextLib.langIdFit(fitDocs, "text", "lang", n = 3, tableSize = 5000)
+    assert(model.langs == Seq("de", "en", "es", "fr"))
+    val held = Seq(
+      (11L, "en", "the dog was in the house with the cat and the children"),
+      (12L, "de", "der Garten und das Haus sind schoen und die Kinder spielen"),
+      (13L, "fr", "le jardin de la maison est pour les enfants et leurs amis"),
+      (14L, "es", "la casa del pueblo es para los ninos y sus amigos"),
+      (15L, "xx", ""),
+      (16L, "xx", null.asInstanceOf[String])
+    ).toDF("doc_id", "lang", "text")
+    val out = graft.text.TextLib.langIdApply(held, "text", model)
+      .select("doc_id", "lang_pred").as[(Long, String)].collect().toMap
+    assert(out(11L) == "en" && out(12L) == "de" && out(13L) == "fr" && out(14L) == "es",
+      s"held-out sentences must classify correctly: $out")
+    assert(out(15L) == "und" && out(16L) == "und", "no-evidence docs predict und")
+    // the pure-map gate runs on a STREAM and equals batch apply
+    val batch = graft.text.TextLib.langIdApply(held, "text", model)
+      .select("doc_id", "lang_pred", "lang_score").collect().map(_.toString).sorted.toSeq
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val in = MemoryStream[(Long, String, String)]
+    val q = graft.text.TextLib.langIdApply(
+        in.toDF().toDF("doc_id", "lang", "text"), "text", model)
+      .select("doc_id", "lang_pred", "lang_score")
+      .writeStream.format("memory").queryName("langid_stream").outputMode("append").start()
+    try {
+      in.addData(held.as[(Long, String, String)].collect().toSeq: _*)
+      q.processAllAvailable()
+      val streamed = spark.sql("SELECT doc_id, lang_pred, lang_score FROM langid_stream")
+        .collect().map(_.toString).sorted.toSeq
+      assert(streamed == batch, "stream gate must equal batch apply")
+    } finally q.stop()
+    // save/load: lp doubles round-trip exactly through parquet
+    val path = java.nio.file.Files.createTempDirectory("graft_langid_model").toString
+    graft.text.TextLib.saveLangIdModel(spark, model, path)
+    val loaded = graft.text.TextLib.loadLangIdModel(spark, path)
+    assert(loaded.n == model.n && loaded.langs == model.langs)
+    val b = graft.text.TextLib.langIdApply(held, "text", loaded)
+      .select("doc_id", "lang_pred", "lang_score").collect().map(_.toString).sorted.toSeq
+    assert(b == batch, "loaded-model apply must equal in-memory-model apply exactly")
+  }
+
   test("PplModel save/load: the frozen gate round-trips bit-exactly (round 10)") {
     val docs = ((1L to 40L).map { i =>
       (i, if (i % 2 == 0) "en" else "de", (0 until 8).map(j => s"w${(i * 3 + j) % 13}").mkString(" "))

@@ -488,6 +488,43 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("StreamPipeline: langid_gate classifies and filters a YAML stream against a frozen model (round 11)") {
+    // the char-trigram language-ID model joins the frozen-gate family: fit
+    // + saved by a batch job, ingest classifies as a pure map and keep_langs
+    // drops off-language records at the source
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_li_stream").toString
+    val modelDir = java.nio.file.Files.createTempDirectory("graft_li_model").toString
+    val fitDocs = Seq(
+      (1L, "en", "the cat is on the table and it was not happy with this situation"),
+      (2L, "en", "there is a house in the town where the children play with their friends"),
+      (3L, "de", "der Hund ist nicht mit der Katze auf den Tisch und das Haus ist schoen"),
+      (4L, "de", "die Kinder spielen in dem Garten und sie haben einen schoenen Tag")
+    ).toDF("doc_id", "lang", "text")
+    graft.text.TextLib.saveLangIdModel(spark,
+      graft.text.TextLib.langIdFit(fitDocs, "text", "lang"), s"$modelDir/langid")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/b1.json"),
+      """{"doc_id":601,"text":"the dog was in the house with the cat and the children"}
+        |{"doc_id":602,"text":"der Garten und das Haus sind schoen und die Kinder spielen"}
+        |{"doc_id":603,"text":""}""".stripMargin)
+    val yaml =
+      s"""name: langid_ingest
+         |stream_source: { type: file, path: "$dir", format: json, schema: "doc_id BIGINT, text STRING" }
+         |transforms:
+         |  - { type: langid_gate, model_path: "$modelDir/langid", keep_langs: en }
+         |sink: { type: memory, name: langid_ingest_out, output_mode: append }
+         |""".stripMargin
+    val q = graft.streaming.StreamPipeline.start(spark, graft.streaming.StreamPipeline.fromYaml(yaml))
+    try {
+      q.processAllAvailable()
+      val kept = spark.sql("SELECT doc_id, lang_pred FROM langid_ingest_out")
+        .as[(Long, String)].collect().toMap
+      assert(kept.keySet == Set(601L),
+        s"keep_langs=en must keep the English doc, drop the German and the no-evidence doc: $kept")
+      assert(kept(601L) == "en")
+    } finally q.stop()
+  }
+
   test("StreamPipeline: unimax_gate repeats stream records per the frozen allocation; dedup_lines streams") {
     // the mixture sampler joins the frozen-gate family: allocation fitted +
     // saved by a batch job, ingest repeats records per its epochs (a
