@@ -123,6 +123,71 @@ object OpCompiler {
               caches: scala.collection.mutable.Buffer[DataFrame]): DataFrame => DataFrame =
     df => ops.foldLeft(df)((d, op) => applyOp(d, op, tables, caches))
 
+  /** One stage of an attrition report (round 11, VERDICT r10 #5): rows and
+    * (when the declared weight column exists at that point of the chain)
+    * weight entering and leaving stage `stage` (1-based; `op` is the
+    * OpSpec's class name). */
+  final case class StageAttrition(stage: Int, op: String,
+                                  rowsIn: Long, rowsOut: Long,
+                                  weightIn: Option[Long], weightOut: Option[Long]) {
+    def rowsDropped: Long = rowsIn - rowsOut
+  }
+
+  /** Compile an op list WITH stage-attrition accounting: a
+    * `Dataset.observe` node (count + optional weight sum) is threaded
+    * before the first op and after every op, so the per-stage in/out
+    * counts ride the SAME action that executes the chain — zero extra
+    * corpus passes, the `observe()` production shape. Returns the
+    * instrumented output frame and a `report()` thunk valid after ONE
+    * action has executed on (a descendant of) that frame; the report is a
+    * |ops|-row driver-local frame (stage, op, rows_in, rows_out,
+    * rows_dropped, weight_in, weight_out).
+    *
+    * `weightCol` (e.g. tokens/chars) is summed as a long wherever the
+    * column exists in the schema at that stage boundary — stages that drop
+    * or have not yet created it report a null weight, never an error.
+    */
+  def compileObserved(ops: Seq[OpSpec], tables: String => DataFrame,
+                      caches: scala.collection.mutable.Buffer[DataFrame],
+                      weightCol: Option[String])(
+      df: DataFrame): (DataFrame, () => Seq[StageAttrition]) = {
+    import org.apache.spark.sql.functions._
+    val observations = scala.collection.mutable.ArrayBuffer.empty[
+      (org.apache.spark.sql.Observation, Boolean)] // (obs, hasWeight)
+    def instrument(d: DataFrame): DataFrame = {
+      val obs = org.apache.spark.sql.Observation()
+      val withW = weightCol.filter(d.columns.contains)
+      observations += ((obs, withW.isDefined))
+      withW match {
+        case Some(w) => d.observe(obs, count(lit(1)).as("rows"),
+          sum(col(w).cast("long")).as("weight"))
+        case None    => d.observe(obs, count(lit(1)).as("rows"))
+      }
+    }
+    val out = ops.foldLeft(instrument(df))((d, op) =>
+      instrument(applyOp(d, op, tables, caches)))
+    val report = () => {
+      val vals: Seq[(Long, Option[Long])] = observations.toSeq.map { case (obs, hasW) =>
+        val row = org.apache.spark.sql.GraftColumnBridge.observationRow(obs)
+          .getOrElse(throw new IllegalStateException(
+          "attrition report requested before any action executed the instrumented chain"))
+        val rows = row.getLong(row.fieldIndex("rows"))
+        val weight =
+          if (!hasW) None
+          else {
+            val i = row.fieldIndex("weight")
+            if (row.isNullAt(i)) None else Some(row.getLong(i))
+          }
+        (rows, weight)
+      }
+      ops.zipWithIndex.map { case (op, i) =>
+        StageAttrition(i + 1, op.getClass.getSimpleName,
+          vals(i)._1, vals(i + 1)._1, vals(i)._2, vals(i + 1)._2)
+      }
+    }
+    (out, report)
+  }
+
   def applyOp(df: DataFrame, op: OpSpec, tables: String => DataFrame = null,
               caches: scala.collection.mutable.Buffer[DataFrame] = null): DataFrame = op match {
     case FilterCondition(c)            => Relational.filterCondition(df, c)

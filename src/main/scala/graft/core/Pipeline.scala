@@ -16,7 +16,11 @@ object Pipeline {
       status: String, // success | validation_failed | failed
       rowsWritten: Long,
       validation: Map[String, Double],
-      errors: Seq[String])
+      errors: Seq[String],
+      // per-stage rows/weight in-out when the YAML declared an `attrition:`
+      // block (round 11) — populated from observe() metrics, zero extra
+      // corpus passes
+      attrition: Seq[OpCompiler.StageAttrition] = Nil)
 
   def fromYaml(yaml: String): PipelineConfig.PipelineConf = PipelineConfig.fromYaml(yaml)
 
@@ -87,7 +91,30 @@ object Pipeline {
       plog.foreach(_.endStep("load"))
       stage = "process"
       plog.foreach(_.startStep("process"))
-      val processed = OpCompiler.compile(conf.operations, catalog, caches)(primary)
+      val (processed, attritionThunk) = conf.attrition match {
+        case Some(a) =>
+          val (out, rep) = OpCompiler.compileObserved(
+            conf.operations, catalog, caches, a.weightColumn)(primary)
+          (out, Some(rep))
+        case None =>
+          (OpCompiler.compile(conf.operations, catalog, caches)(primary), None)
+      }
+      // observe() metrics ride the run's own validation/storage actions —
+      // zero extra passes; a run with neither gets one cheap noop drive
+      def attritionReport(actionRan: Boolean): Seq[OpCompiler.StageAttrition] =
+        attritionThunk.map { rep =>
+          if (!actionRan) processed.write.format("noop").mode("overwrite").save()
+          val report = rep()
+          conf.attrition.flatMap(_.reportPath).foreach { rp =>
+            import spark.implicits._
+            report.map(sa => (sa.stage, sa.op, sa.rowsIn, sa.rowsOut,
+                sa.rowsDropped, sa.weightIn, sa.weightOut))
+              .toDF("stage", "op", "rows_in", "rows_out", "rows_dropped",
+                "weight_in", "weight_out")
+              .coalesce(1).write.mode("overwrite").parquet(rp)
+          }
+          report
+        }.getOrElse(Nil)
       plog.foreach(_.endStep("process"))
       stage = "validate"
 
@@ -117,8 +144,12 @@ object Pipeline {
       }
       if (failed.nonEmpty) {
         plog.foreach(_.endPipeline("validation_failed"))
+        // the validation aggregate WAS an action, so the attrition metrics
+        // fired — a failing run's drop profile is exactly when the report
+        // matters most
         return Result(conf.name, "validation_failed", 0L,
-          validation, failed.map(e => s"expectation '${e.name}' below min_ratio"))
+          validation, failed.map(e => s"expectation '${e.name}' below min_ratio"),
+          attritionReport(actionRan = true))
       }
 
       // storage stage
@@ -173,7 +204,8 @@ object Pipeline {
           math.max(rows, 0L), (System.currentTimeMillis() - storeT0) / 1000.0))
         p.endPipeline("success", recordsProcessed = math.max(rows, 0L))
       }
-      Result(conf.name, "success", rows, validation, errors.toSeq)
+      Result(conf.name, "success", rows, validation, errors.toSeq,
+        attritionReport(actionRan = conf.storage.nonEmpty || conf.expectations.nonEmpty))
     } catch {
       case t: Throwable =>
         errors += t.getMessage

@@ -24,12 +24,20 @@ object PipelineConfig {
   final case class StorageConf(typ: String, path: String, mode: String,
                                partitionBy: Seq[String], options: Map[String, String])
   final case class ExpectationConf(name: String, expression: String, minRatio: Double)
+  /** `attrition:` block (round 11): per-stage rows/weight in-out
+    * accounting via observe() — `weight_column` is summed wherever it
+    * exists in the chain; `report_path` optionally persists the report as
+    * parquet next to the run. */
+  final case class AttritionConf(weightColumn: Option[String],
+                                 reportPath: Option[String])
+
   final case class PipelineConf(
       name: String,
       sources: Seq[SourceConf],           // first = primary; others joinable by table name
       operations: Seq[OpSpec],
       expectations: Seq[ExpectationConf], // validation stage
-      storage: Option[StorageConf])
+      storage: Option[StorageConf],
+      attrition: Option[AttritionConf] = None)
 
   /** `${VAR}` / `${VAR:default}` substitution (config.py:123-139). */
   def substituteEnv(raw: String, env: String => Option[String] = sys.env.get): String =
@@ -100,7 +108,10 @@ object PipelineConfig {
         strSeq(s, "partition_by"),
         subMap(s.getOrElse("options", null)).map { case (k, v) => k -> v.toString })
     }
-    PipelineConf(name, sources, ops, expectations, storage)
+    val attrition = root.get("attrition").map(subMap).map { a =>
+      AttritionConf(Option(str(a, "weight_column")), Option(str(a, "report_path")))
+    }
+    PipelineConf(name, sources, ops, expectations, storage, attrition)
   }
 
   private def parseSource(m: Map[String, Any]): SourceConf =

@@ -993,6 +993,29 @@ object QueriesText {
         .orderBy("doc_id")
     }),
 
+    "q_recipe_attrition" -> ((s, dir) => {
+      // stage-attrition accounting (round 11, VERDICT r10 #5): rows + a
+      // declared weight column (n_chars) in/out per recipe stage, metered
+      // by observe() nodes riding ONE noop pass of the 4-stage chain — no
+      // per-stage count jobs. DuckDB recomputes every stage boundary from
+      // the raw table; integer-exact throughout.
+      import graft.core.{OpCompiler, OpSpec => OS}
+      val ops = Seq[graft.core.OpSpec](
+        OS.FilterCondition("doc_id % 5 <> 1"),
+        OS.Calculate("n_chars", "n_chars - 10"),
+        OS.FilterCondition("n_chars >= 190"),
+        OS.FilterCondition("lang IN ('en','de')"))
+      val (out, report) = OpCompiler.compileObserved(ops, null, null,
+        Some("n_chars"))(t(s, dir, "documents").select("doc_id", "lang", "n_chars"))
+      out.write.format("noop").mode("overwrite").save()
+      import s.implicits._
+      report().map(a => (a.stage, a.op, a.rowsIn, a.rowsOut, a.rowsDropped,
+          a.weightIn, a.weightOut))
+        .toDF("stage", "op", "rows_in", "rows_out", "rows_dropped",
+          "weight_in", "weight_out")
+        .orderBy("stage")
+    }),
+
     "q_quality_classifier" -> ((s, dir) => {
       // LAW gate (round 6): L-BFGS coefficients are float-order-dependent,
       // but logistic regression is CONVEX — the optimum is essentially
@@ -2620,6 +2643,26 @@ object QueriesText {
         |  CAST(coalesce(len(lines) - len(kept), 0) AS INT) AS n_removed_lines,
         |  md5(array_to_string(kept, chr(10))) AS dedup_md5
         |FROM k ORDER BY doc_id""".stripMargin,
+
+    "q_recipe_attrition" ->
+      """WITH s0 AS (SELECT doc_id, lang, n_chars FROM documents),
+        |s1 AS (SELECT * FROM s0 WHERE doc_id % 5 <> 1),
+        |s2 AS (SELECT doc_id, lang, n_chars - 10 AS n_chars FROM s1),
+        |s3 AS (SELECT * FROM s2 WHERE n_chars >= 190),
+        |s4 AS (SELECT * FROM s3 WHERE lang IN ('en', 'de')),
+        |m AS (
+        |  SELECT 0 AS stage, count(*) AS r, CAST(sum(n_chars) AS BIGINT) AS w FROM s0
+        |  UNION ALL SELECT 1, count(*), CAST(sum(n_chars) AS BIGINT) FROM s1
+        |  UNION ALL SELECT 2, count(*), CAST(sum(n_chars) AS BIGINT) FROM s2
+        |  UNION ALL SELECT 3, count(*), CAST(sum(n_chars) AS BIGINT) FROM s3
+        |  UNION ALL SELECT 4, count(*), CAST(sum(n_chars) AS BIGINT) FROM s4)
+        |SELECT a.stage AS stage,
+        |  CASE a.stage WHEN 2 THEN 'Calculate' ELSE 'FilterCondition' END AS op,
+        |  b.r AS rows_in, a.r AS rows_out, b.r - a.r AS rows_dropped,
+        |  b.w AS weight_in, a.w AS weight_out
+        |FROM m a JOIN m b ON b.stage = a.stage - 1
+        |WHERE a.stage >= 1
+        |ORDER BY stage""".stripMargin,
 
     "q_curation_recipe" ->
       // the whole chain in one CTE pipeline: plant → copies → line dedup →

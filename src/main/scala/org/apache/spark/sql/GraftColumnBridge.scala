@@ -17,4 +17,9 @@ object GraftColumnBridge {
     */
   def applyFunctionInjections(ext: SparkSessionExtensions, spark: SparkSession): Unit =
     ext.registerFunctions(spark.sessionState.functionRegistry)
+
+  /** Non-blocking Observation read (getRowOrEmpty is private[sql]; the
+    * public get() blocks forever when no action has fired — an attrition
+    * report must fail loudly instead). */
+  def observationRow(o: Observation): Option[Row] = o.getRowOrEmpty
 }

@@ -45,6 +45,57 @@ class PipelineSpec extends SparkSpec {
     assert(back.map(_.getDouble(1)).toSeq == Seq(100.0, 500.0, 400.0))
   }
 
+  test("YAML attrition block: per-stage rows/weight in-out via observe, zero extra passes (round 11)") {
+    val in = Files.createTempDirectory("graft_attr_in").toString
+    val out = Files.createTempDirectory("graft_attr_out").toString + "/result"
+    val reportPath = Files.createTempDirectory("graft_attr_rep").toString + "/report"
+    writeCsv(in) // ids 1-4, ages 30/25/35/25, spends 100/200/150/50
+    val yaml =
+      s"""name: attr_test
+         |source: { type: csv, path: "$in/*.csv", options: { header: true } }
+         |operations:
+         |  - { type: filter, condition: "age >= 25" }
+         |  - { type: filter, condition: "spend >= 100" }
+         |  - type: transform
+         |    params: { calculated_columns: { spend: "spend - 50" } }
+         |  - { type: filter, condition: "city = 'NY'" }
+         |attrition: { weight_column: spend, report_path: "$reportPath" }
+         |storage: { type: parquet, path: "$out", mode: overwrite }
+         |""".stripMargin
+    val res = Pipeline.execute(spark, Pipeline.fromYaml(yaml))
+    assert(res.status == "success", res.errors.mkString("; "))
+    // chain: 4 rows (Σspend 500) → age gate keeps all 4 → spend gate drops
+    // dan (3 rows, Σ450) → calculate shifts spend −50/row (Σ300) → NY gate
+    // keeps alice+carol (Σ150)
+    val got = res.attrition.map(a =>
+      (a.stage, a.op, a.rowsIn, a.rowsOut, a.weightIn, a.weightOut))
+    assert(got == Seq(
+      (1, "FilterCondition", 4L, 4L, Some(500L), Some(500L)),
+      (2, "FilterCondition", 4L, 3L, Some(500L), Some(450L)),
+      (3, "Calculate",       3L, 3L, Some(450L), Some(300L)),
+      (4, "FilterCondition", 3L, 2L, Some(300L), Some(150L))), s"attrition report wrong: $got")
+    assert(res.attrition.map(_.rowsDropped) == Seq(0L, 1L, 0L, 1L))
+    // the report also persists as parquet for dashboards
+    val rep = spark.read.parquet(reportPath).orderBy("stage")
+      .select("stage", "rows_in", "rows_out", "weight_out").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rep.toSeq == Seq((1, 4L, 4L, 500L), (2, 4L, 3L, 450L),
+      (3, 3L, 3L, 300L), (4, 3L, 2L, 150L)))
+    // a weight column missing from the frame reports null weights, not an error
+    val yaml2 =
+      s"""name: attr_noweight
+         |source: { type: csv, path: "$in/*.csv", options: { header: true } }
+         |operations:
+         |  - { type: filter, condition: "age >= 30" }
+         |attrition: { weight_column: nonexistent }
+         |storage: { type: noop, path: "x" }
+         |""".stripMargin
+    val res2 = Pipeline.execute(spark, Pipeline.fromYaml(yaml2))
+    assert(res2.status == "success", res2.errors.mkString("; "))
+    assert(res2.attrition == Seq(
+      graft.core.OpCompiler.StageAttrition(1, "FilterCondition", 4L, 2L, None, None)))
+  }
+
   test("YAML cache op: persists mid-pipeline with the named level, unpersists at run end") {
     val in = Files.createTempDirectory("graft_cache_in").toString
     val out = Files.createTempDirectory("graft_cache_out").toString + "/result"
