@@ -219,6 +219,26 @@ object StreamPipeline {
         StreamOps.kafkaSink(df, str(sink, "servers"), str(sink, "topic"), str(sink, "checkpoint"))
           .outputMode(mode) // the declared output_mode applies to EVERY sink
           .start()
+      case "kv" => // journaled exactly-once KV sink (AtomicKeyValueSink):
+        // effects + batch marker land in ONE atomic sink action, so
+        // list/stream appends survive micro-batch replays without
+        // duplicating. store=memory is the Redis-EVAL-parity in-JVM
+        // implementation (the only loadable one in this sandbox — the
+        // ConnectorConfSpec probe situation); a production Redis client
+        // plugs in as another AtomicKeyValueSink factory arm.
+        val factory: () => graft.sources.AtomicKeyValueSink =
+          str(sink, "store", "memory") match {
+            case "memory" =>
+              val ns = str(sink, "namespace", conf.name)
+              () => new graft.sources.KeyValueSink.InMemoryKV(ns)
+            case other => throw new IllegalArgumentException(
+              s"Unknown kv store: $other (supported here: memory)")
+          }
+        graft.sources.KeyValueSink.streamWriterAtomic(df,
+          str(sink, "key_field", "doc_id"), str(sink, "checkpoint"), factory,
+          mode = str(sink, "mode", "kv"), target = str(sink, "target", "graft"),
+          ttlSeconds = str(sink, "ttl_seconds", "-1").toLong)
+          .start()
       case other => throw new IllegalArgumentException(s"Unknown sink type: $other")
     }
   }

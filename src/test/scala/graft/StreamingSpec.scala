@@ -488,6 +488,79 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("examples/curation_stream_pipeline.yaml: the FULL chained recipe gates one stream end-to-end (round 11)") {
+    // dedup_lines → gopher_gate → ppl_gate → unimax_gate → journaled kv
+    // sink, driven through the committed example YAML — the config-level
+    // proof of the "every stage streams" claim. Pins the kept set, the
+    // dropped set (gopher word-count, ppl tail bucket, unfitted group),
+    // the unimax copy multiplicities, the in-stream line rewrite, and the
+    // sink's batch journal markers.
+    import spark.implicits._
+    import graft.sources.KeyValueSink
+    val in = java.nio.file.Files.createTempDirectory("graft_cur_stream").toString
+    val cp = java.nio.file.Files.createTempDirectory("graft_cur_cp").toString
+    val modelDir = java.nio.file.Files.createTempDirectory("graft_cur_models").toString
+    val ns = s"curation_e2e_${java.util.UUID.randomUUID().toString.take(8)}"
+    KeyValueSink.InMemoryKV.clear(ns)
+    // ppl model (the round-10 bimodal fixture, per lang): tok docs form
+    // bucket 1, junk docs bucket 2; a streamed tok copy TIES the bucket-1
+    // floor and the head-most tie rule keeps it
+    val tokLine = (0 until 10).map(j => s"tok${j % 7}").mkString(" ")
+    val junkLine = (0 until 10).map(j => s"junk$j").mkString(" ")
+    val pplFitDocs = (for {
+      lang <- Seq("en", "de"); i <- 1L to 20L
+    } yield (lang match { case "en" => i; case _ => i + 100L }, lang, tokLine)) ++ (for {
+      lang <- Seq("en", "de"); i <- 21L to 40L
+    } yield (lang match { case "en" => i; case _ => i + 100L }, lang, junkLine))
+    graft.text.TextLib.savePplModel(spark,
+      graft.text.TextLib.pplFit(pplFitDocs.toDF("doc_id", "lang", "text"),
+        "text", "doc_id", Seq("lang"), nBuckets = 2),
+      s"$modelDir/ppl")
+    // unimax allocation: en levels at exactly 1.0 epoch, de caps at 2.0 —
+    // integer epochs, so copy counts are hash-independent
+    graft.ops.Scale.unimaxAllocation(
+      ((1L to 8L).map(i => (i, "en", 10L)) ++ Seq((9L, "de", 10L), (10L, "de", 10L)))
+        .toDF("doc_id", "lang", "n_chars"),
+      "lang", "n_chars", budget = 120L, maxEpochs = 2.0)
+      .write.mode("overwrite").parquet(s"$modelDir/alloc")
+    // the stream: 701 en tok with a duplicated line (kept ×1, line removed),
+    // 702 de tok (kept ×2), 703 en junk (ppl tail → drop), 704 en short
+    // (gopher word_count → drop), 705 fr tok (unfitted group → drop)
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$in/b1.json"),
+      s"""{"doc_id":701,"lang":"en","text":"$tokLine\\n$tokLine"}
+         |{"doc_id":702,"lang":"de","text":"$tokLine"}
+         |{"doc_id":703,"lang":"en","text":"$junkLine"}
+         |{"doc_id":704,"lang":"en","text":"too short to pass"}
+         |{"doc_id":705,"lang":"fr","text":"$tokLine"}""".stripMargin)
+    val yaml = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("examples/curation_stream_pipeline.yaml")), "UTF-8")
+      .replace("${GRAFT_CURATION_IN:/tmp/graft_curation_in}", in)
+      .replace("${GRAFT_PPL_MODEL:/models/ccnet_floors}", s"$modelDir/ppl")
+      .replace("${GRAFT_UNIMAX_ALLOC:/models/unimax_alloc}", s"$modelDir/alloc")
+      .replace("${GRAFT_KV_NAMESPACE:curation_stream}", ns)
+      .replace("${GRAFT_CURATION_CP:/tmp/graft_curation_cp}", cp)
+    val q = graft.streaming.StreamPipeline.start(spark, graft.streaming.StreamPipeline.fromYaml(yaml))
+    try {
+      q.processAllAvailable()
+      val rows = KeyValueSink.InMemoryKV.list(ns, "curated")
+        .map(graft.core.Json.parse(_).asInstanceOf[Map[String, Any]])
+      def num(v: Any): Long = v match {
+        case l: Long => l; case i: Int => i.toLong; case d: Double => d.toLong
+        case other   => other.toString.toDouble.toLong
+      }
+      val got = rows.map(r => (num(r("doc_id")), num(r("epoch")).toInt)).sorted
+      assert(got == Seq((701L, 1), (702L, 1), (702L, 2)),
+        s"kept/copied sets wrong: $got (703 junk, 704 short, 705 unfitted must drop)")
+      // the in-place line rewrite happened IN the stream, before the gates
+      val d701 = rows.find(r => num(r("doc_id")) == 701L).get
+      assert(num(d701("n_removed_lines")) == 1L &&
+        d701("text") == tokLine, s"dedup_lines must rewrite in-stream: $d701")
+      // exactly-once: the micro-batch committed its journal marker atomically
+      assert(KeyValueSink.InMemoryKV.keys(ns).exists(_.contains("__graft/journal/")),
+        s"journaled sink must leave a batch marker: ${KeyValueSink.InMemoryKV.keys(ns)}")
+    } finally { q.stop(); KeyValueSink.InMemoryKV.clear(ns) }
+  }
+
   test("StreamPipeline: langid_gate classifies and filters a YAML stream against a frozen model (round 11)") {
     // the char-trigram language-ID model joins the frozen-gate family: fit
     // + saved by a batch job, ingest classifies as a pure map and keep_langs
