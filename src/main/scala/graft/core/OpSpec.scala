@@ -451,10 +451,23 @@ object OpCompiler {
         if (qc == null) Dedup.exact(df, text, id)
         else Dedup.exactKeepBest(df, text, id, qc)
       case "near_dedup" =>
-        Dedup.nearDedup(df, text, id,
-          s(p, "shingle_n", "3").toInt, s(p, "num_hashes", "64").toInt,
-          s(p, "bands", "16").toInt, s(p, "threshold", "0.8").toDouble,
-          s(p, "max_bucket_size", "1000").toInt)
+        // bands omitted → derived from the threshold via pickLshParams
+        // (state the dedup threshold, get the S-curve-optimal LSH shape);
+        // an explicit bands: still wins
+        val ndHashes = s(p, "num_hashes", "64").toInt
+        val ndThreshold = s(p, "threshold", "0.8").toDouble
+        val ndBands = Dedup.bandsFor(ndHashes, ndThreshold, Option(s(p, "bands")).map(_.toInt))
+        val qc = s(p, "quality_column")
+        if (qc == null)
+          Dedup.nearDedup(df, text, id,
+            s(p, "shingle_n", "3").toInt, ndHashes,
+            ndBands, ndThreshold,
+            s(p, "max_bucket_size", "1000").toInt)
+        else // keep-best survivor election (round 11) — exact_dedup parity
+          Dedup.nearDedupKeepBest(df, text, id, qc,
+            s(p, "shingle_n", "3").toInt, ndHashes,
+            ndBands, ndThreshold,
+            s(p, "max_bucket_size", "1000").toInt)
       case "fuzzy_pairs" => // edit-distance self-join (replaces the frame with pairs)
         graft.text.Fuzzy.fuzzyPairs(df, id, text,
           s(p, "max_dist", "2").toInt, s(p, "q", "2").toInt,
@@ -815,10 +828,13 @@ object OpCompiler {
         val snapshot = tables(s(p, "corpus_table"))
           .withColumnRenamed(s(p, "corpus_text_column", text), text)
           .withColumnRenamed(s(p, "corpus_id_column", id), id)
+        val naHashes = s(p, "num_hashes", "64").toInt
+        val naThreshold = s(p, "threshold", "0.8").toDouble
         val dupIds = Dedup.minhashCandidatesAgainst(df, snapshot,
             text, id,
-            s(p, "shingle_n", "3").toInt, s(p, "num_hashes", "64").toInt,
-            s(p, "bands", "16").toInt, s(p, "threshold", "0.8").toDouble)
+            s(p, "shingle_n", "3").toInt, naHashes,
+            Dedup.bandsFor(naHashes, naThreshold, Option(s(p, "bands")).map(_.toInt)),
+            naThreshold)
           .select(col("new_id").as(id)).distinct()
         df.join(dupIds, Seq(id), "left_anti")
       case "mmr_select" =>

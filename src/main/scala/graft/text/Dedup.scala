@@ -237,6 +237,16 @@ object Dedup {
     (best._1, best._2)
   }
 
+  /** Band-count routing for the YAML dedup ops (round 11, VERDICT r10 #7):
+    * an explicit `bands:` wins; otherwise the count derives from the op's
+    * own similarity `threshold` via [[pickLshParams]] — a pipeline states
+    * WHAT it deduplicates at and the S-curve tuner picks HOW. The Scala
+    * defaults (bands = 16) are deliberately untouched: the golden-pinned
+    * queries and every committed call site keep their hand-set shapes.
+    */
+  def bandsFor(numHashes: Int, threshold: Double, explicit: Option[Int]): Int =
+    explicit.getOrElse(pickLshParams(numHashes, threshold)._1)
+
   /** Distinct unordered id pairs that share a bucket, generated WITHOUT a
     * self-join: one shuffle on the bucket key does cap-check (window count)
     * AND pair expansion (collect_list + in-array combination — the groupBy

@@ -45,6 +45,33 @@ class TuningSpec extends SparkSpec {
     assert(picks == Seq((32, 2), (16, 4), (8, 8), (4, 16)))
   }
 
+  test("YAML near_dedup derives bands from its threshold via pickLshParams; explicit bands wins (round 11)") {
+    import spark.implicits._
+    // routing law: threshold 0.5 → the classic (16, 4); 0.8 → (4, 16);
+    // an explicit bands: always overrides the tuner
+    assert(Dedup.bandsFor(64, 0.5, None) == 16)
+    assert(Dedup.bandsFor(64, 0.8, None) == 4)
+    assert(Dedup.bandsFor(64, 0.8, Some(16)) == 16)
+    // end-to-end: a YAML near_dedup with threshold 0.5 and NO bands must
+    // produce exactly the programmatic bands=16 result
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again"),
+      (3L, "completely different content about spark catalyst optimizer internals"),
+      (4L, "another unrelated document mentioning parquet and shuffle exchanges")
+    ).toDF("doc_id", "text")
+    val viaYaml = graft.core.OpCompiler.applyOp(docs,
+      graft.core.PipelineConfig.parseOp(Map(
+        "type" -> "text_processing",
+        "params" -> java.util.Map.of("operation", "near_dedup", "threshold", "0.5"))))
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    val direct = Dedup.nearDedup(docs, "text", "doc_id",
+        shingleN = 3, numHashes = 64, bands = 16, threshold = 0.5)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(viaYaml == direct, s"derived-bands YAML run $viaYaml != bands=16 run $direct")
+    assert(viaYaml.size < 4, "the near-dup pair must have collapsed")
+  }
+
   test("rejects degenerate parameters") {
     intercept[IllegalArgumentException](Dedup.tuneLsh(spark, numHashes = 0, threshold = 0.5))
     intercept[IllegalArgumentException](Dedup.tuneLsh(spark, numHashes = 64, threshold = 1.0))
