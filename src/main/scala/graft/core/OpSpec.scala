@@ -474,6 +474,11 @@ object OpCompiler {
           s(p, "max_gram_df", Long.MaxValue.toString).toLong)
       case "quality_features" => TextLib.qualityFeatures(df, text)
       case "quality_score"    => TextLib.qualityScore(df, text)
+      case "soft_dedup" => // reweight-instead-of-drop exact dedup
+        TextLib.softDedupWeights(df, text)
+      case "repetition_signals" => // Gopher A1.1 repetition fractions
+        TextLib.repetitionSignals(df, text, id,
+          s(p, "top_n", "2").toInt, s(p, "dup_n", "5").toInt)
       case "deflate_ratio" => // compression-ratio quality signal
         df.withColumn(s(p, "output_column", "deflate_ratio"),
           graft.expr.DeflateRatio(col(text)))

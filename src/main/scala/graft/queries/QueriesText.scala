@@ -993,6 +993,39 @@ object QueriesText {
         .orderBy("doc_id")
     }),
 
+    "q_soft_dedup" -> ((s, dir) => {
+      // SoftDeDup: reweight instead of drop — planted exact copies at
+      // +900000 make dup_count 2 groups by construction; DuckDB replays
+      // the group sizes over the normalized text (the sha2 key's
+      // equivalence classes) and the 1/n weights
+      val d = t(s, dir, "documents").select("doc_id", "text")
+      val withCopies = d.unionByName(d.filter(col("doc_id") % 4 === 0)
+        .select((col("doc_id") + 900000L).as("doc_id"), col("text")))
+      TextLib.softDedupWeights(withCopies, "text")
+        .select(col("doc_id"), col("dup_count"), col("soft_weight"))
+        .orderBy("doc_id")
+    }),
+
+    "q_repetition_signals" -> ((s, dir) => {
+      // the full Gopher A1.1 repetition family on planted spam: every 3rd
+      // doc gains a twice-repeated line (dup_line signals), every 4th a
+      // repeated 5-gram (dup_ngram); top_ngram fires on natural bigram
+      // repetition everywhere. DuckDB replays lines, gram counts, the
+      // (count desc, gram asc) top election, and all four fractions.
+      val planted = t(s, dir, "documents").select(col("doc_id"),
+        when(col("doc_id") % 3 === 0,
+          concat(col("text"), lit("\nrepeat me line\nrepeat me line")))
+          .otherwise(col("text")).as("text"))
+        .select(col("doc_id"),
+          when(col("doc_id") % 4 === 0,
+            concat(col("text"), lit(" r1 r2 r3 r4 r5 r1 r2 r3 r4 r5")))
+            .otherwise(col("text")).as("text"))
+      TextLib.repetitionSignals(planted, "text", "doc_id", topN = 2, dupN = 5)
+        .select(col("doc_id"), col("dup_line_frac"), col("dup_line_char_frac"),
+          col("top_ngram_char_frac"), col("dup_ngram_char_frac"))
+        .orderBy("doc_id")
+    }),
+
     "q_recipe_attrition" -> ((s, dir) => {
       // stage-attrition accounting (round 11, VERDICT r10 #5): rows + a
       // declared weight column (n_chars) in/out per recipe stage, metered
@@ -2643,6 +2676,81 @@ object QueriesText {
         |  CAST(coalesce(len(lines) - len(kept), 0) AS INT) AS n_removed_lines,
         |  md5(array_to_string(kept, chr(10))) AS dedup_md5
         |FROM k ORDER BY doc_id""".stripMargin,
+
+    "q_soft_dedup" ->
+      """WITH u AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 900000 AS doc_id, text FROM documents WHERE doc_id % 4 = 0),
+        |n AS (SELECT doc_id,
+        |        trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+        |      FROM u),
+        |c AS (SELECT doc_id, t,
+        |        CASE WHEN t IS NULL THEN 1 ELSE count(*) OVER (PARTITION BY t) END AS dc
+        |      FROM n)
+        |SELECT doc_id, dc AS dup_count,
+        |  round(1.0 / dc + 1e-9, 6) AS soft_weight
+        |FROM c ORDER BY doc_id""".stripMargin,
+
+    "q_repetition_signals" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 4 = 0 THEN t2 || ' r1 r2 r3 r4 r5 r1 r2 r3 r4 r5' ELSE t2 END AS text
+        |  FROM (
+        |    SELECT doc_id,
+        |      CASE WHEN doc_id % 3 = 0 THEN text || e'\nrepeat me line\nrepeat me line'
+        |           ELSE text END AS t2
+        |    FROM documents)),
+        |base AS (
+        |  SELECT doc_id, text,
+        |    list_filter(string_split(text, chr(10)), x -> trim(x) <> '') AS lines,
+        |    trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
+        |  FROM p),
+        |lf AS (
+        |  SELECT doc_id, lines, norm,
+        |    list_filter(lines, (x, i) -> list_position(lines, x) <> i) AS dup_lines
+        |  FROM base),
+        |lsig AS (
+        |  SELECT doc_id, norm,
+        |    CASE WHEN len(lines) > 0
+        |      THEN round(CAST(len(dup_lines) AS DOUBLE) / len(lines) + 1e-9, 6) END AS dup_line_frac,
+        |    CASE WHEN list_sum(list_transform(lines, x -> length(x))) > 0
+        |      THEN round(CAST(coalesce(list_sum(list_transform(dup_lines, x -> length(x))), 0) AS DOUBLE)
+        |                 / list_sum(list_transform(lines, x -> length(x))) + 1e-9, 6) END AS dup_line_char_frac
+        |  FROM lf),
+        |toks AS (
+        |  SELECT doc_id, norm,
+        |    list_filter(string_split(norm, ' '), x -> x <> '') AS ws
+        |  FROM base WHERE norm IS NOT NULL),
+        |g2 AS (
+        |  SELECT doc_id, norm,
+        |    array_to_string(list_slice(ws, CAST(i AS INT), CAST(i AS INT) + 1), ' ') AS gram
+        |  FROM (SELECT doc_id, norm, ws, unnest(range(1, len(ws))) AS i
+        |        FROM toks WHERE len(ws) >= 2)),
+        |g5 AS (
+        |  SELECT doc_id, norm,
+        |    array_to_string(list_slice(ws, CAST(i AS INT), CAST(i AS INT) + 4), ' ') AS gram
+        |  FROM (SELECT doc_id, norm, ws, unnest(range(1, len(ws) - 3)) AS i
+        |        FROM toks WHERE len(ws) >= 5)),
+        |c2 AS (SELECT doc_id, norm, gram, count(*) AS c FROM g2 GROUP BY 1, 2, 3),
+        |c5 AS (SELECT doc_id, norm, gram, count(*) AS c FROM g5 GROUP BY 1, 2, 3),
+        |top2 AS (
+        |  SELECT doc_id,
+        |    round(c * length(gram) / CAST(length(norm) AS DOUBLE) + 1e-9, 6) AS top_frac
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, gram ASC) AS rn
+        |        FROM c2) WHERE rn = 1),
+        |dup5 AS (
+        |  SELECT doc_id,
+        |    round(CAST(coalesce(sum(CASE WHEN c >= 2 THEN c * length(gram) END), 0) AS DOUBLE)
+        |          / any_value(length(norm)) + 1e-9, 6) AS dup_frac
+        |  FROM c5 GROUP BY doc_id)
+        |SELECT l.doc_id, l.dup_line_frac, l.dup_line_char_frac,
+        |  CASE WHEN length(l.norm) > 0 THEN t.top_frac END AS top_ngram_char_frac,
+        |  CASE WHEN length(l.norm) > 0 THEN d.dup_frac END AS dup_ngram_char_frac
+        |FROM lsig l
+        |LEFT JOIN top2 t ON t.doc_id = l.doc_id
+        |LEFT JOIN dup5 d ON d.doc_id = l.doc_id
+        |ORDER BY l.doc_id""".stripMargin,
 
     "q_recipe_attrition" ->
       """WITH s0 AS (SELECT doc_id, lang, n_chars FROM documents),

@@ -1167,6 +1167,118 @@ object TextLib {
     when(total > 0, round(lit(1.0) - distinctN / total.cast("double"), 6)).otherwise(lit(0.0))
   }
 
+  /** SoftDeDup weighting (round 11 — the reweight-instead-of-drop
+    * alternative to [[graft.text.Dedup.exact]]): every document KEEPS its
+    * row but gains `dup_count` (the size of its exact-duplicate group,
+    * keyed by the sha2 of the normalized text — [[Dedup.exact]]'s group
+    * definition verbatim) and `soft_weight` = 1/dup_count, 6dp-rounded —
+    * the per-sample loss weight that makes n copies of a page together
+    * count as one, without discarding any copy's surrounding mixture
+    * context. Null-text rows are no duplicate of anything: dup_count 1,
+    * weight 1.0.
+    *
+    * Scale shape: ONE exchange on the uniform 256-bit hash (a window
+    * count over the same partitioning exact-dedup elects in) — no join
+    * back, the corpus streams through once.
+    */
+  def softDedupWeights(df: DataFrame, textCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("__sd_h"))
+    df.withColumn("__sd_h", sha2(normalized(col(textCol)), 256))
+      .withColumn("dup_count",
+        when(col("__sd_h").isNull, lit(1L)).otherwise(count(lit(1)).over(w)))
+      .withColumn("soft_weight",
+        round(lit(1.0) / col("dup_count").cast("double") + lit(1e-9), 6))
+      .drop("__sd_h")
+  }
+
+  /** The full MassiveText/Gopher A1.1 repetition-signal family (Rae et al.
+    * 2021, Table A1) as ONE pass — the measurement side of the repetition
+    * cleaners ([[dedupLines]] acts on lines, [[repetitionRatio]] is the
+    * distinct-gram summary; these are the per-signal fractions the paper
+    * thresholds):
+    *
+    *  - `dup_line_frac`: non-first-occurrence lines / total non-empty
+    *    lines (lines = raw text split on newline, trimmed-empty excluded).
+    *  - `dup_line_char_frac`: characters in those duplicated lines /
+    *    total line characters.
+    *  - `top_ngram_char_frac`: occurrences(most frequent word `topN`-gram)
+    *    × gram length / normalized text length (the gram renders with
+    *    single spaces — the normalized-text convention; ties on count
+    *    break toward the lexicographically smallest gram, pinned for the
+    *    oracle).
+    *  - `dup_ngram_char_frac`: Σ over duplicated `dupN`-grams (count ≥ 2)
+    *    of count × gram length / normalized text length. Overlapping
+    *    occurrences each count — the sum can exceed 1 on degenerate spam;
+    *    reported RAW (a gate clips where it thresholds).
+    *
+    * Fractions are null for documents with no lines / too few tokens (the
+    * gopherRules null→false convention applies at any consuming gate).
+    *
+    * Scale shape: the line signals are a pure per-row map (arrays hoisted
+    * once); the n-gram signals explode grams into a map-side-combined
+    * (id, gram) count aggregate — uniform keys, the bigramScore trainer's
+    * exchange — then ONE per-id aggregate and an id-keyed join back.
+    * Adds the four columns, 6dp-rounded.
+    */
+  def repetitionSignals(df: DataFrame, textCol: String, idCol: String,
+                        topN: Int = 2, dupN: Int = 5): DataFrame = {
+    require(topN >= 1, s"repetitionSignals: topN must be >= 1, got $topN")
+    require(dupN >= 1, s"repetitionSignals: dupN must be >= 1, got $dupN")
+    val staged = df
+      .withColumn("__rs_lines", filter(split(col(textCol), "\n"), l => trim(l) =!= ""))
+      .withColumn("__rs_norm", normalized(col(textCol)))
+    // line signals: first occurrence via array_position == own index
+    val dupLines = filter(col("__rs_lines"),
+      (x, i) => array_position(col("__rs_lines"), x) =!= i + 1)
+    val lineChars = aggregate(col("__rs_lines"), lit(0L), (a, x) => a + length(x))
+    val dupLineChars = aggregate(dupLines, lit(0L), (a, x) => a + length(x))
+    val withLines = staged
+      .withColumn("dup_line_frac",
+        when(size(col("__rs_lines")) > 0,
+          round(size(dupLines).cast("double") / size(col("__rs_lines")) + lit(1e-9), 6)))
+      .withColumn("dup_line_char_frac",
+        when(lineChars > 0,
+          round(dupLineChars.cast("double") / lineChars + lit(1e-9), 6)))
+    // n-gram signals: exploded gram counts per doc (both orders in one
+    // relation via a struct tag), then one per-doc aggregate
+    def gramRel(n: Int, tag: String) = withLines
+      .filter(col(idCol).isNotNull)
+      .select(col(idCol).as("__rs_id"),
+        filter(split(col("__rs_norm"), " "), t => t =!= "").as("__ws"))
+      .filter(size(col("__ws")) >= n)
+      .select(col("__rs_id"),
+        explode(transform(sequence(lit(0), size(col("__ws")) - n),
+          i => concat_ws(" ", slice(col("__ws"), i + 1, lit(n))))).as("gram"))
+      .groupBy(col("__rs_id"), col("gram")).agg(count(lit(1)).as("c"))
+      .withColumn("__tag", lit(tag))
+    val counts = gramRel(topN, "top").unionByName(gramRel(dupN, "dup"))
+    val perDoc = counts.groupBy(col("__rs_id"))
+      .agg(
+        // deterministic top gram: max count, ties to smallest gram — min
+        // over (−c, gram) instead of fighting struct max semantics
+        min(when(col("__tag") === "top", struct((-col("c")).as("nc"), col("gram").as("g"))))
+          .as("__top"),
+        max(when(col("__tag") === "dup", lit(1))).as("__hasdup"),
+        sum(when(col("__tag") === "dup" && col("c") >= 2,
+          col("c") * length(col("gram")))).as("__dupchars"))
+      .select(col("__rs_id"),
+        (-col("__top.nc")).as("__topc"), length(col("__top.g")).as("__toplen"),
+        col("__hasdup"), col("__dupchars"))
+    withLines
+      .join(perDoc, col(idCol) === col("__rs_id"), "left")
+      .withColumn("top_ngram_char_frac",
+        when(length(col("__rs_norm")) > 0 && col("__topc").isNotNull,
+          round(col("__topc") * col("__toplen") / length(col("__rs_norm")).cast("double")
+            + lit(1e-9), 6)))
+      // null ⇔ the doc had fewer than dupN tokens (absent from the dup
+      // relation) — a doc WITH dupN-grams but no duplicated ones reads 0.0
+      .withColumn("dup_ngram_char_frac",
+        when(length(col("__rs_norm")) > 0 && col("__hasdup").isNotNull,
+          round(coalesce(col("__dupchars"), lit(0L)).cast("double")
+            / length(col("__rs_norm")) + lit(1e-9), 6)))
+      .drop("__rs_lines", "__rs_norm", "__rs_id", "__topc", "__toplen", "__hasdup", "__dupchars")
+  }
+
   /** 64-bit document fingerprint: min of xxhash64 over word shingles —
     * stable under whitespace/case noise, computable in one expression.
     * (A 1-permutation MinHash; see MinHashDedup for the k-permutation form.)

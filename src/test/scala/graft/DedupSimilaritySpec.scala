@@ -330,6 +330,47 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(labels(10L) == 10L && labels(11L) == 10L)
   }
 
+  test("softDedupWeights: group sizes over normalized text, 1/n weights, nulls weigh 1.0") {
+    val frame = Seq(
+      (1L, "the SAME   text here"),
+      (2L, "the same text here"),          // dup of 1 modulo case/ws
+      (3L, "the same text here"),          // dup of 1 and 2
+      (4L, "something else entirely"),
+      (5L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val out = TextLib.softDedupWeights(frame, "text")
+      .select("doc_id", "dup_count", "soft_weight")
+      .as[(Long, Long, Double)].collect().sortBy(_._1)
+    assert(out.toSeq == Seq((1L, 3L, 0.333333), (2L, 3L, 0.333333), (3L, 3L, 0.333333),
+      (4L, 1L, 1.0), (5L, 1L, 1.0)), s"weights wrong: ${out.toSeq}")
+  }
+
+  test("repetitionSignals: the four Gopher A1.1 fractions, hand-computed") {
+    val frame = Seq(
+      (1L, "aa bb aa bb aa bb"),                // top bigram "aa bb"×3, no dup 5-grams
+      (2L, "x\ny\nx\n x "),                     // third line dups the first; " x " does not
+      (3L, null.asInstanceOf[String]),          // no evidence anywhere
+      (4L, "one two three"),                    // < 5 tokens → dup_ngram null
+      (5L, "r1 r2 r3 r4 r5 r1 r2 r3 r4 r5")     // the 5-gram repeats once
+    ).toDF("doc_id", "text")
+    val out = TextLib.repetitionSignals(frame, "text", "doc_id", topN = 2, dupN = 5)
+      .select("doc_id", "dup_line_frac", "dup_line_char_frac",
+        "top_ngram_char_frac", "dup_ngram_char_frac")
+      .collect().map(r => (r.getLong(0),
+        Option(r.get(1)).map(_.asInstanceOf[Double]),
+        Option(r.get(2)).map(_.asInstanceOf[Double]),
+        Option(r.get(3)).map(_.asInstanceOf[Double]),
+        Option(r.get(4)).map(_.asInstanceOf[Double]))).sortBy(_._1)
+    assert(out(0) == ((1L, Some(0.0), Some(0.0), Some(0.882353), Some(0.0))),
+      s"doc 1: ${out(0)}")  // 3×5 chars of "aa bb" / 17
+    assert(out(1) == ((2L, Some(0.25), Some(0.166667), Some(0.428571), None)),
+      s"doc 2: ${out(1)}")  // 1 of 4 lines dup; 1 of 6 chars; top "x x" 3/7; <5 toks
+    assert(out(2) == ((3L, None, None, None, None)), s"doc 3: ${out(2)}")
+    assert(out(3)._5.isEmpty && out(3)._4.nonEmpty, s"doc 4: ${out(3)}")
+    assert(out(4) == ((5L, Some(0.0), Some(0.0), Some(0.344828), Some(0.965517))),
+      s"doc 5: ${out(4)}")  // top "r1 r2" 2×5/29; dup 2×14/29
+  }
+
   test("keepBestByCluster elects the highest quality per cluster, ties to min id; null/NaN lose") {
     val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L),
       (20L, 20L), (21L, 20L)).toDF("id", "cluster_id")
