@@ -58,7 +58,16 @@ object StreamPipeline {
   }
 
   /** Build the streaming DataFrame (source → transforms → window agg). */
-  def build(spark: SparkSession, conf: Conf): DataFrame = {
+  def build(spark: SparkSession, conf: Conf): DataFrame =
+    buildWithAttrition(spark, conf)._1
+
+  /** [[build]] plus the stream-attrition listener when the YAML declares
+    * an `attrition:` block (round 11 — the batch Pipeline feature's
+    * streaming half): named observe nodes between every transform, per-
+    * micro-batch rows/weight accumulated by [[StreamAttrition]]. The
+    * caller attaches/detaches the listener ([[startWithAttrition]] does
+    * both ends). */
+  def buildWithAttrition(spark: SparkSession, conf: Conf): (DataFrame, Option[StreamAttrition]) = {
     val src = sub(conf.raw("stream_source"))
     val base = str(src, "type", "file") match {
       case "file" =>
@@ -70,10 +79,11 @@ object StreamPipeline {
       case other => throw new IllegalArgumentException(s"Unknown stream source: $other")
     }
 
-    val transformed = (conf.raw.get("transforms") match {
+    val trList = conf.raw.get("transforms") match {
       case Some(l: ju.List[_]) => l.asScala.map(sub).toSeq
       case _                   => Nil
-    }).foldLeft(base) { (df, tr) =>
+    }
+    def applyTr(df: DataFrame, tr: Map[String, Any]): DataFrame =
       str(tr, "type") match {
         case "calculate_field" => StreamOps.calculateField(df, str(tr, "field"), str(tr, "expression"))
         case "rename_field"    => StreamOps.renameField(df, str(tr, "from"), str(tr, "to"))
@@ -144,9 +154,18 @@ object StreamPipeline {
           str(tr, "group_column"), str(tr, "quota", "10000").toLong)
         case other             => throw new IllegalArgumentException(s"Unknown stream transform: $other")
       }
+
+    val (transformed, attrition) = conf.raw.get("attrition").map(sub) match {
+      case Some(a) =>
+        val stages = trList.map(tr => (str(tr, "type"), (d: DataFrame) => applyTr(d, tr)))
+        val (out, l) = StreamAttrition.instrument(base, stages,
+          Option(str(a, "weight_column")))
+        (out, Some(l))
+      case None =>
+        (trList.foldLeft(base)(applyTr), None)
     }
 
-    conf.raw.get("window").map(sub) match {
+    val out = conf.raw.get("window").map(sub) match {
       case None => transformed
       case Some(w) =>
         val ts = str(w, "time_column", "ts")
@@ -160,6 +179,21 @@ object StreamPipeline {
           case "session"  => StreamOps.session(transformed, ts, str(w, "gap", "30 minutes"), wm, keys, aggs)
           case other      => throw new IllegalArgumentException(s"Unknown window type: $other")
         }
+    }
+    (out, attrition)
+  }
+
+  /** [[start]] plus the attrition listener (attached before start; the
+    * caller detaches via [[StreamAttrition.detach]] when done — a start()
+    * failure must not leak it, the startMonitored discipline). */
+  def startWithAttrition(spark: SparkSession, conf: Conf): (StreamingQuery, Option[StreamAttrition]) = {
+    val (df, attrition) = buildWithAttrition(spark, conf)
+    attrition.foreach(StreamAttrition.attach(spark, _))
+    try (startFrame(spark, conf, df), attrition)
+    catch {
+      case e: Throwable =>
+        attrition.foreach(StreamAttrition.detach(spark, _))
+        throw e
     }
   }
 
@@ -193,8 +227,10 @@ object StreamPipeline {
   }
 
   /** Start the query against the configured sink. */
-  def start(spark: SparkSession, conf: Conf): StreamingQuery = {
-    val df = build(spark, conf)
+  def start(spark: SparkSession, conf: Conf): StreamingQuery =
+    startFrame(spark, conf, build(spark, conf))
+
+  private def startFrame(spark: SparkSession, conf: Conf, df: DataFrame): StreamingQuery = {
     val sink = sub(conf.raw.getOrElse("sink", null))
     // session windows REJECT update mode (Spark: session_window aggregation
     // requires append/complete) — the default must honor that or a YAML

@@ -180,6 +180,52 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("StreamPipeline: attrition block accumulates per-stage rows/weight across micro-batches (round 11)") {
+    // the batch attrition feature's streaming half: named observes ride
+    // each micro-batch; the listener accumulates in/out per stage. Two
+    // separate files prove cross-batch accumulation.
+    val dir = java.nio.file.Files.createTempDirectory("graft_attr_stream").toString
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/b1.json"),
+      """{"doc_id":1,"v":5}
+        |{"doc_id":2,"v":-1}
+        |{"doc_id":3,"v":7}""".stripMargin)
+    val yaml =
+      s"""name: attr_stream
+         |stream_source: { type: file, path: "$dir", format: json, schema: "doc_id BIGINT, v BIGINT" }
+         |transforms:
+         |  - { type: filter, condition: "v > 0" }
+         |  - { type: filter, condition: "v < 7" }
+         |attrition: { weight_column: v }
+         |sink: { type: memory, name: attr_stream_out, output_mode: append }
+         |""".stripMargin
+    val (q, attrOpt) = graft.streaming.StreamPipeline.startWithAttrition(
+      spark, graft.streaming.StreamPipeline.fromYaml(yaml))
+    try {
+      assert(attrOpt.isDefined, "attrition block must attach a listener")
+      def reportWhen(cond: Seq[graft.core.OpCompiler.StageAttrition] => Boolean) = {
+        var spins = 0
+        while (spins < 40 && !cond(attrOpt.get.report())) { Thread.sleep(250); spins += 1 }
+        attrOpt.get.report()
+      }
+      q.processAllAvailable()
+      val r1 = reportWhen(_.headOption.exists(_.rowsIn == 3))
+      assert(r1.map(a => (a.stage, a.op, a.rowsIn, a.rowsOut, a.weightIn, a.weightOut)) == Seq(
+        (1, "filter", 3L, 2L, Some(11L), Some(12L)),
+        (2, "filter", 2L, 1L, Some(12L), Some(5L))), s"batch-1 report wrong: $r1")
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/b2.json"),
+        """{"doc_id":4,"v":3}
+          |{"doc_id":5,"v":-2}""".stripMargin)
+      q.processAllAvailable()
+      val r2 = reportWhen(_.headOption.exists(_.rowsIn == 5))
+      assert(r2.map(a => (a.stage, a.rowsIn, a.rowsOut, a.weightIn, a.weightOut)) == Seq(
+        (1, 5L, 3L, Some(12L), Some(15L)),
+        (2, 3L, 2L, Some(15L), Some(8L))), s"accumulated report wrong: $r2")
+    } finally {
+      q.stop()
+      attrOpt.foreach(graft.streaming.StreamAttrition.detach(spark, _))
+    }
+  }
+
   test("StreamPipeline: session-window YAML starts without an explicit output_mode") {
     // Spark rejects update mode for session_window aggregations; the
     // config layer must default session pipelines to append or the YAML
