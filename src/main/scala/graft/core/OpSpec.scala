@@ -476,6 +476,14 @@ object OpCompiler {
       case "quality_score"    => TextLib.qualityScore(df, text)
       case "soft_dedup" => // reweight-instead-of-drop exact dedup
         TextLib.softDedupWeights(df, text)
+      case "seen_corpus_apply" => // flag/drop against a FROZEN corpus bloom
+        require(s(p, "bloom_path") != null,
+          "seen_corpus_apply requires params.bloom_path (written by Dedup.saveSeenBloom)")
+        val flagged = Dedup.seenCorpusApply(df, text,
+          Dedup.loadSeenBloom(df.sparkSession, s(p, "bloom_path")))
+        if (s(p, "drop", "false").toBoolean)
+          flagged.filter(!col("maybe_seen")).drop("maybe_seen")
+        else flagged
       case "repetition_signals" => // Gopher A1.1 repetition fractions
         TextLib.repetitionSignals(df, text, id,
           s(p, "top_n", "2").toInt, s(p, "dup_n", "5").toInt)

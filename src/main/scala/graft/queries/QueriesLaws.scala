@@ -129,6 +129,36 @@ object QueriesLaws {
       aggA.crossJoin(aggB).crossJoin(aggC)
     }),
 
+    "q_seen_bloom_law" -> ((s, dir) => {
+      // frozen seen-corpus bloom gate laws: (a) NO FALSE NEGATIVES — the
+      // corpus re-applied against its own sketch must flag every
+      // non-null-text document (a case/whitespace variant flags too: the
+      // key is the normalized hash — checked via an upper-cased copy);
+      // (b) the false-positive rate on token-disjoint fresh docs stays an
+      // order of magnitude under the generous 1% bound (fpp 0.001;
+      // deterministic for fixed data + the sketch's fixed seeds);
+      // (c) save/load round-trips the flags exactly.
+      val d = t(s, dir, "documents").select("doc_id", "text")
+      val bloom = Dedup.seenCorpusFit(d, "text", fpp = 0.001)
+      val path = java.nio.file.Files.createTempDirectory("graft_seen_bloom").toString
+      Dedup.saveSeenBloom(s, bloom, s"$path/bloom")
+      val loaded = Dedup.loadSeenBloom(s, s"$path/bloom")
+      val variants = d.withColumn("text", upper(col("text")))
+      val seenAgg = Dedup.seenCorpusApply(d, "text", loaded)
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("text").isNotNull && !col("maybe_seen"), 1L).otherwise(0L))
+            .as("n_seen_missed"))
+      val varAgg = Dedup.seenCorpusApply(variants, "text", loaded)
+        .agg(sum(when(col("text").isNotNull && !col("maybe_seen"), 1L).otherwise(0L))
+          .as("n_variant_missed"))
+      val fresh = d.select((col("doc_id") + 800000L).as("doc_id"))
+        .withColumn("text", freshText)
+      val fpAgg = Dedup.seenCorpusApply(fresh, "text", loaded)
+        .agg((sum(when(col("maybe_seen"), 1L).otherwise(0L)) <=
+          greatest(ceil(count(lit(1)) * lit(0.01)), lit(5L))).as("fp_rate_ok"))
+      seenAgg.crossJoin(varAgg).crossJoin(fpAgg)
+    }),
+
     "q_near_dedup_keepbest_law" -> ((s, dir) => {
       // keep-best election laws on the REAL minhash composite: (a) copies
       // carry quality 2.0 vs the originals' 1.0, and an exact copy is a
@@ -530,6 +560,10 @@ object QueriesLaws {
       "q_near_dedup_keepbest_law" ->
         """SELECT CAST(0 AS BIGINT) AS n_sources_surviving, TRUE AS has_rows,
           |  CAST(0 AS BIGINT) AS n_law_sym_diff""".stripMargin,
+      "q_seen_bloom_law" ->
+        """SELECT count(*) AS n_docs, CAST(0 AS BIGINT) AS n_seen_missed,
+          |  CAST(0 AS BIGINT) AS n_variant_missed, TRUE AS fp_rate_ok
+          |FROM documents""".stripMargin,
       "q_dedup_clusters_law" ->
         """SELECT CAST(0 AS BIGINT) AS n_uncovered, CAST(0 AS BIGINT) AS n_edge_split,
           |  CAST(0 AS BIGINT) AS n_label_gt_member, CAST(0 AS BIGINT) AS n_root_not_self,

@@ -150,6 +150,15 @@ object StreamPipeline {
             case null  => pred
             case langs => pred.filter(col("lang_pred").isin(langs.split(",").map(_.trim): _*))
           }
+        case "seen_gate" => // frozen accepted-corpus bloom: drop records
+          // whose text was already ingested — a pure row-local probe
+          // against the few-MB sketch, never touching the snapshot at
+          // ingest (a ~fpp fraction of fresh docs is the documented cost)
+          require(str(tr, "bloom_path") != null,
+            "seen_gate requires bloom_path (a saved Dedup.saveSeenBloom parquet)")
+          graft.text.Dedup.seenCorpusApply(df, str(tr, "text_field", "text"),
+            graft.text.Dedup.loadSeenBloom(df.sparkSession, str(tr, "bloom_path")))
+            .filter(!col("maybe_seen")).drop("maybe_seen")
         case "quota_per_group" => StreamOps.quotaPerGroupStream(df,
           str(tr, "group_column"), str(tr, "quota", "10000").toLong)
         case other             => throw new IllegalArgumentException(s"Unknown stream transform: $other")

@@ -129,6 +129,53 @@ object Dedup {
       .drop("__h")
   }
 
+  /** Fit half of the FROZEN seen-corpus gate (round 11): a Bloom sketch
+    * over the accepted corpus's normalized-text hashes (sha2-256, the
+    * [[exact]]/[[dedupAgainstCorpus]] group key), built distributed and
+    * returned as serialized bytes. The production "don't re-ingest what we
+    * already kept" shape: a nightly batch job blooms the snapshot ONCE;
+    * every later batch or STREAMING ingest loads the few-MB sketch and
+    * gates as a pure map — the snapshot itself is never read at ingest
+    * (contrast [[dedupAgainstCorpus]], which scans it for an exact
+    * anti-join and therefore never false-drops). Size the trade with
+    * `fpp`: a ~fpp fraction of genuinely fresh documents will flag seen.
+    * `expectedRows` skips the sizing scan when the snapshot count is
+    * known.
+    */
+  def seenCorpusFit(corpus: DataFrame, textCol: String,
+                    fpp: Double = 0.001, expectedRows: Long = -1L): Array[Byte] =
+    graft.ops.Scale.bloomBytes(
+      corpus.select(sha2(TextLib.normalized(col(textCol)), 256).as("__h"))
+        .filter(col("__h").isNotNull),
+      "__h", fpp, expectedRows)
+
+  /** Persist a [[seenCorpusFit]] sketch (one binary row). */
+  def saveSeenBloom(spark: org.apache.spark.sql.SparkSession,
+                    bytes: Array[Byte], path: String): Unit = {
+    import spark.implicits._
+    Seq(Tuple1(bytes)).toDF("bloom").coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Load a sketch written by [[saveSeenBloom]] — byte-identical, so apply
+    * flags round-trip exactly. */
+  def loadSeenBloom(spark: org.apache.spark.sql.SparkSession, path: String): Array[Byte] =
+    spark.read.parquet(path).select("bloom").head().getAs[Array[Byte]](0)
+
+  /** Apply half: adds `maybe_seen` — true iff the sketch might contain the
+    * row's normalized-text hash. NO FALSE NEGATIVES by Bloom construction:
+    * an exact copy (modulo case/whitespace) of any corpus document always
+    * flags true — that is the q_seen_bloom_law claim; a ~fpp fraction of
+    * fresh documents flags true (the documented trade). Null text flags
+    * false (a failed extraction is no duplicate of anything). Pure row-
+    * local projection — zero joins, zero state — so it composes into
+    * `readStream` like every other frozen gate.
+    */
+  def seenCorpusApply(df: DataFrame, textCol: String, bloom: Array[Byte]): DataFrame =
+    df.withColumn("maybe_seen",
+      coalesce(
+        graft.ops.Scale.mightContainCol(bloom, sha2(TextLib.normalized(col(textCol)), 256)),
+        lit(false)))
+
   // ---------------------------------------------------------------- MinHash + LSH
 
   /** k-permutation MinHash signature over word shingles, via the native

@@ -607,6 +607,40 @@ class StreamingSpec extends SparkSpec {
     } finally { q.stop(); KeyValueSink.InMemoryKV.clear(ns) }
   }
 
+  test("StreamPipeline: seen_gate drops already-ingested text via the frozen corpus bloom (round 11)") {
+    // "don't re-ingest what we accepted": the snapshot is bloomed once by
+    // a batch job; the stream probes the sketch row-locally and never
+    // reads the snapshot. Case/whitespace variants of accepted text drop
+    // too (the key is the normalized hash).
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_seen_stream").toString
+    val modelDir = java.nio.file.Files.createTempDirectory("graft_seen_model").toString
+    val accepted = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "completely different content about catalyst internals")
+    ).toDF("doc_id", "text")
+    graft.text.Dedup.saveSeenBloom(spark,
+      graft.text.Dedup.seenCorpusFit(accepted, "text", fpp = 0.001), s"$modelDir/bloom")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/b1.json"),
+      """{"doc_id":801,"text":"THE QUICK   BROWN fox jumps over the lazy dog"}
+        |{"doc_id":802,"text":"completely different content about catalyst internals"}
+        |{"doc_id":803,"text":"genuinely fresh never before seen writing zxqv plumbus"}""".stripMargin)
+    val yaml =
+      s"""name: seen_ingest
+         |stream_source: { type: file, path: "$dir", format: json, schema: "doc_id BIGINT, text STRING" }
+         |transforms:
+         |  - { type: seen_gate, bloom_path: "$modelDir/bloom" }
+         |sink: { type: memory, name: seen_ingest_out, output_mode: append }
+         |""".stripMargin
+    val q = graft.streaming.StreamPipeline.start(spark, graft.streaming.StreamPipeline.fromYaml(yaml))
+    try {
+      q.processAllAvailable()
+      val kept = spark.sql("SELECT doc_id FROM seen_ingest_out").as[Long].collect().toSet
+      assert(kept == Set(803L),
+        s"the two accepted texts (one a case/ws variant) must drop, the fresh one passes: $kept")
+    } finally q.stop()
+  }
+
   test("StreamPipeline: langid_gate classifies and filters a YAML stream against a frozen model (round 11)") {
     // the char-trigram language-ID model joins the frozen-gate family: fit
     // + saved by a batch job, ingest classifies as a pure map and keep_langs
