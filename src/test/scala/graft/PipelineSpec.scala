@@ -555,6 +555,14 @@ class PipelineSpec extends SparkSpec {
     val cols = back.columns.toSet
     assert(Set("chunk_text", "shard", "pos", "split", "dup_ratio",
       "url_canonical", "url_host", "url_domain", "ppl_bucket").subsetOf(cols), s"got $cols")
+    // the example's attrition block: one report row per operation, the
+    // input row count on stage 1, monotone non-increasing... is false in
+    // general (chunking EXPLODES rows) — pin shape + the chunk blow-up
+    assert(res.attrition.size == conf.operations.size,
+      s"attrition must cover every stage: ${res.attrition.size} vs ${conf.operations.size}")
+    assert(res.attrition.head.rowsIn > 0)
+    assert(res.attrition.exists(a => a.rowsOut > a.rowsIn),
+      s"the chunking stage multiplies rows; report: ${res.attrition.map(a => (a.op, a.rowsIn, a.rowsOut))}")
     assert(back.filter($"doc_id".isin(7L, 14L, 21L)).count() == 0, "blocklist applied")
     assert(back.select("split").distinct().collect().map(_.getString(0)).toSet.subsetOf(
       Set("train", "val", "test")))
