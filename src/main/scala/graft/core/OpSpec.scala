@@ -476,6 +476,8 @@ object OpCompiler {
       case "quality_score"    => TextLib.qualityScore(df, text)
       case "soft_dedup" => // reweight-instead-of-drop exact dedup
         TextLib.softDedupWeights(df, text)
+      case "fix_mojibake" => // ftfy-style one-layer encoding repair, in place
+        df.withColumn(text, TextLib.fixMojibake(col(text)))
       case "seen_corpus_apply" => // flag/drop against a FROZEN corpus bloom
         require(s(p, "bloom_path") != null,
           "seen_corpus_apply requires params.bloom_path (written by Dedup.saveSeenBloom)")

@@ -129,6 +129,25 @@ object QueriesLaws {
       aggA.crossJoin(aggB).crossJoin(aggC)
     }),
 
+    "q_mojibake_law" -> ((s, dir) => {
+      // ftfy-style repair laws: (a) planting ONE UTF-8-as-Latin-1
+      // mis-decode layer over text + a non-ASCII suffix (accents, cp1252
+      // punctuation, CJK) is EXACTLY undone by fixMojibake; (b) the clean
+      // corpus is a strict no-op (the conservative guards never rewrite
+      // legitimate text). Both engine-side; the oracle pins the zeros.
+      val withSuffix = t(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"), lit(" café – ‘quote’ 你好")).as("text"))
+      val planted = withSuffix
+        .withColumn("m", decode(encode(col("text"), "UTF-8"), "ISO-8859-1"))
+      val aggA = planted.agg(count(lit(1)).as("n_docs"),
+        sum(when(TextLib.fixMojibake(col("m")) =!= col("text"), 1L).otherwise(0L))
+          .as("n_roundtrip_viol"))
+      val aggB = t(s, dir, "documents")
+        .agg(sum(when(!(TextLib.fixMojibake(col("text")) <=> col("text")), 1L)
+          .otherwise(0L)).as("n_clean_viol"))
+      aggA.crossJoin(aggB)
+    }),
+
     "q_seen_bloom_law" -> ((s, dir) => {
       // frozen seen-corpus bloom gate laws: (a) NO FALSE NEGATIVES — the
       // corpus re-applied against its own sketch must flag every
@@ -563,6 +582,10 @@ object QueriesLaws {
       "q_seen_bloom_law" ->
         """SELECT count(*) AS n_docs, CAST(0 AS BIGINT) AS n_seen_missed,
           |  CAST(0 AS BIGINT) AS n_variant_missed, TRUE AS fp_rate_ok
+          |FROM documents""".stripMargin,
+      "q_mojibake_law" ->
+        """SELECT count(*) AS n_docs, CAST(0 AS BIGINT) AS n_roundtrip_viol,
+          |  CAST(0 AS BIGINT) AS n_clean_viol
           |FROM documents""".stripMargin,
       "q_dedup_clusters_law" ->
         """SELECT CAST(0 AS BIGINT) AS n_uncovered, CAST(0 AS BIGINT) AS n_edge_split,

@@ -1167,6 +1167,46 @@ object TextLib {
     when(total > 0, round(lit(1.0) - distinctN / total.cast("double"), 6)).otherwise(lit(0.0))
   }
 
+  /** The 27 cp1252-specific characters (€ ‚ ƒ „ … † ‡ ˆ ‰ Š ‹ Œ Ž ‘ ’ “ ”
+    * • – — ˜ ™ š › œ ž Ÿ) and the 0x80–0x9F bytes they decode from — the
+    * "sloppy windows-1252" table ftfy uses: translating them back to the
+    * raw byte values makes a plain ISO-8859-1 encode reproduce the
+    * original mis-decoded byte stream exactly. */
+  private val Cp1252Chars =
+    "€‚ƒ„…†‡ˆ‰Š‹ŒŽ" +
+    "‘’“”•–—˜™š›œžŸ"
+  private val Cp1252Bytes =
+    "" +
+    ""
+
+  /** ftfy-style mojibake repair (ONE decoding layer): text whose UTF-8
+    * bytes were mis-decoded as Latin-1/Windows-1252 — "cafÃ©",
+    * "donâ€™t" — is re-encoded through the sloppy-cp1252 table and
+    * re-decoded as UTF-8. The repair is ACCEPTED only when all three
+    * guards hold, else the row passes through untouched:
+    *   1. the text matches the mojibake marker pattern (a UTF-8
+    *      lead-byte character Â–ï followed by a continuation-class
+    *      character — legitimate prose essentially never does);
+    *   2. the candidate contains no U+FFFD (the re-decode consumed every
+    *      byte as well-formed UTF-8);
+    *   3. the candidate is strictly shorter (a real fix always collapses
+    *      2–3 characters into 1).
+    * Conservative by design: a document mixing mojibake WITH legitimate
+    * cp1252-specific characters (a real € next to â€™) fails guard 2 and
+    * is left alone rather than half-repaired. Doubly-encoded mojibake
+    * needs one application per layer (apply twice if your crawl has it;
+    * q_mojibake_law pins single-layer round-trip + clean-text no-op +
+    * idempotence after a successful fix). Null → null.
+    */
+  def fixMojibake(text: Column): Column = {
+    val marker = "[Â-ßà-ï][-¿" + Cp1252Chars + "]"
+    val candidate = decode(encode(translate(text, Cp1252Chars, Cp1252Bytes),
+      "ISO-8859-1"), "UTF-8")
+    when(text.isNotNull && text.rlike(marker) &&
+        !candidate.contains("�") && length(candidate) < length(text),
+      candidate).otherwise(text)
+  }
+
   /** SoftDeDup weighting (round 11 — the reweight-instead-of-drop
     * alternative to [[graft.text.Dedup.exact]]): every document KEEPS its
     * row but gains `dup_count` (the size of its exact-duplicate group,

@@ -50,6 +50,35 @@ class DirtyDataSpec extends SparkSpec {
       "blank-only docs are untouched (exempt lines)")
   }
 
+  test("fixMojibake repairs mis-decoded UTF-8, never touches clean text, idempotent after a fix (round 11)") {
+    val rows = Seq(
+      (1L, "cafÃ© au lait"),              // café mis-decoded as latin-1
+      (2L, "donâ€™t stop"),              // don’t via cp1252 punctuation
+      (3L, "plain ascii text"),
+      (4L, "legit euro € price"),        // clean cp1252-specific char: must not change
+      (5L, "你好 world"),                // CJK clean
+      (6L, null.asInstanceOf[String])
+    ).toDF("id", "t")
+    val out = rows
+      .withColumn("fixed", TextLib.fixMojibake(col("t")))
+      .withColumn("refix", TextLib.fixMojibake(col("fixed")))
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)), Option(r.getString(2)), Option(r.getString(3))))
+    assert(out(0)._3.contains("café au lait"), s"latin-1 layer: ${out(0)}")
+    assert(out(1)._3.contains("don’t stop"), s"cp1252 layer: ${out(1)}")
+    assert(out(2)._3 == out(2)._2 && out(3)._3 == out(3)._2 && out(4)._3 == out(4)._2,
+      s"clean rows must pass through untouched: ${out.toSeq}")
+    assert(out(5)._3.isEmpty, "null stays null")
+    out.foreach(r => assert(r._4 == r._3, s"idempotent after fix: $r"))
+    // round-trip law on arbitrary non-ASCII: plant one mis-decode layer
+    // engine-side, the repair must restore the original exactly
+    val plant = rows.filter(col("t").isNotNull && !col("t").rlike("^[\\x00-\\x7F]*$"))
+      .withColumn("m", decode(encode(col("t"), "UTF-8"), "ISO-8859-1"))
+      .withColumn("back", TextLib.fixMojibake(col("m")))
+    assert(plant.filter(col("back") =!= col("t")).count() == 0,
+      s"round-trip: ${plant.select("t", "m", "back").collect().toSeq}")
+  }
+
   test("dedupLines is idempotent on random line soups") {
     // after a pass, every surviving non-exempt line IS its first occurrence,
     // so a second pass removes nothing — the fixpoint law, on seeded
