@@ -629,6 +629,19 @@ object OpCompiler {
         // within-document repeated-line removal (keep-first; short lines
         // exempt so blank-line paragraph breaks survive)
         TextLib.dedupLines(df, text, s(p, "min_chars", "1").toInt)
+      case "c4_rules" =>
+        // audit mode: rewritten text + c4_n_lines_kept/c4_n_sentences/c4_keep
+        TextLib.c4Rules(df, text,
+          s(p, "min_words_per_line", "3").toInt, s(p, "min_sentences", "5").toInt,
+          seqOf(p, "badwords"))
+      case "c4_filter" =>
+        // the gate applied: survivors only, audit columns dropped (same
+        // param-parity discipline as gopher_rules/gopher_filter)
+        TextLib.c4Rules(df, text,
+          s(p, "min_words_per_line", "3").toInt, s(p, "min_sentences", "5").toInt,
+          seqOf(p, "badwords"))
+          .filter(col("c4_keep"))
+          .drop("c4_n_lines_kept", "c4_n_sentences", "c4_keep")
       case "gopher_rules" =>
         // audit mode: per-rule booleans + gopher_keep + gopher_fail_reasons
         TextLib.gopherRules(df, text,

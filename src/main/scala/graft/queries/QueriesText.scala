@@ -993,6 +993,31 @@ object QueriesText {
         .orderBy("doc_id")
     }),
 
+    "q_c4_clean" -> ((s, dir) => {
+      // the C4 line+page rules on planted classes: %4=0 gains five good
+      // sentence-lines plus a too-short line and a javascript line (both
+      // dropped); %8=0 additionally carries the badword → page-dropped
+      // while %8=4 keeps; %4=1 gains only two sentences (under the floor);
+      // %4=2 gains the five good lines AND "lorem ipsum" (page-dropped);
+      // %4=3 is untouched. DuckDB replays every rule from the raw table.
+      val good = "\nA good line with punctuation.\nAnother fine sentence here today!" +
+        "\nYes this line also ends well?\nShort no.\njavascript line is removed ok." +
+        "\nFive more words arrive here.\nAnd a final sentence lands."
+      val two = "\nOnly two good sentences here.\nAnd one more proper line."
+      val planted = t(s, dir, "documents").select(col("doc_id"),
+        when(col("doc_id") % 4 === 0,
+          concat(col("text"),
+            when(col("doc_id") % 8 === 0, lit(" grumbo")).otherwise(lit("")), lit(good)))
+          .when(col("doc_id") % 4 === 1, concat(col("text"), lit(two)))
+          .when(col("doc_id") % 4 === 2, concat(col("text"), lit(" lorem ipsum"), lit(good)))
+          .otherwise(col("text")).as("text"))
+      TextLib.c4Rules(planted, "text", minWordsPerLine = 3, minSentences = 5,
+          badwords = Seq("grumbo"))
+        .select(col("doc_id"), col("c4_n_lines_kept"), col("c4_n_sentences"),
+          col("c4_keep"), md5(col("text")).as("text_md5"))
+        .orderBy("doc_id")
+    }),
+
     "q_soft_dedup" -> ((s, dir) => {
       // SoftDeDup: reweight instead of drop — planted exact copies at
       // +900000 make dup_count 2 groups by construction; DuckDB replays
@@ -2676,6 +2701,55 @@ object QueriesText {
         |  CAST(coalesce(len(lines) - len(kept), 0) AS INT) AS n_removed_lines,
         |  md5(array_to_string(kept, chr(10))) AS dedup_md5
         |FROM k ORDER BY doc_id""".stripMargin,
+
+    "q_c4_clean" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    CASE
+        |      WHEN doc_id % 4 = 0 THEN text ||
+        |        (CASE WHEN doc_id % 8 = 0 THEN ' grumbo' ELSE '' END) ||
+        |        e'\nA good line with punctuation.\nAnother fine sentence here today!' ||
+        |        e'\nYes this line also ends well?\nShort no.\njavascript line is removed ok.' ||
+        |        e'\nFive more words arrive here.\nAnd a final sentence lands.'
+        |      WHEN doc_id % 4 = 1 THEN text ||
+        |        e'\nOnly two good sentences here.\nAnd one more proper line.'
+        |      WHEN doc_id % 4 = 2 THEN text || ' lorem ipsum' ||
+        |        e'\nA good line with punctuation.\nAnother fine sentence here today!' ||
+        |        e'\nYes this line also ends well?\nShort no.\njavascript line is removed ok.' ||
+        |        e'\nFive more words arrive here.\nAnd a final sentence lands.'
+        |      ELSE text END AS text
+        |  FROM documents),
+        |k AS (
+        |  SELECT doc_id, text,
+        |    list_filter(string_split(text, chr(10)), x ->
+        |      regexp_matches(x, '[.!?"”]\s*$')
+        |      AND len(list_filter(regexp_split_to_array(trim(x), '\s+'), t -> t <> '')) >= 3
+        |      AND NOT regexp_matches(lower(x), 'javascript')) AS kept
+        |  FROM p),
+        |r AS (
+        |  SELECT doc_id, text AS orig,
+        |    CASE WHEN text IS NULL THEN NULL
+        |         ELSE coalesce(array_to_string(kept, chr(10)), '') END AS newt,
+        |    CASE WHEN text IS NULL THEN NULL ELSE len(kept) END AS nk
+        |  FROM k),
+        |s AS (
+        |  SELECT doc_id, orig, newt, nk,
+        |    CASE WHEN newt IS NULL THEN NULL
+        |         ELSE length(newt) - length(regexp_replace(newt, '[.!?]', '', 'g')) END AS ns
+        |  FROM r),
+        |tk AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(trim(regexp_replace(lower(orig), '\s+', ' ', 'g')), ' '),
+        |      x -> x <> '') AS toks
+        |  FROM s)
+        |SELECT s.doc_id, CAST(nk AS INT) AS c4_n_lines_kept, CAST(ns AS INT) AS c4_n_sentences,
+        |  CASE WHEN orig IS NULL THEN NULL ELSE
+        |    ns >= 5 AND NOT regexp_matches(lower(orig), 'lorem ipsum')
+        |    AND strpos(orig, '{') = 0
+        |    AND NOT list_contains(tk.toks, 'grumbo') END AS c4_keep,
+        |  md5(newt) AS text_md5
+        |FROM s JOIN tk ON tk.doc_id = s.doc_id
+        |ORDER BY s.doc_id""".stripMargin,
 
     "q_soft_dedup" ->
       """WITH u AS (

@@ -224,6 +224,72 @@ object TextLib {
       .drop("__gr_norm", "__gr_ws", "__gr_lines", "__gr_n", "__gr_nl")
   }
 
+  /** C4 cleaning rules (Raffel et al. 2020, "Exploring the Limits of
+    * Transfer Learning…", §2.2 — the rules that built C4 from Common
+    * Crawl), as one line-rewrite + page-gate pass:
+    *
+    * LINE rules (a line survives iff ALL hold; kept lines re-join with
+    * newlines into the rewritten `textCol`):
+    *  - ends in a terminal punctuation mark — period, exclamation,
+    *    question mark, or closing quote (pinned set: `. ! ? " ”`, with
+    *    trailing whitespace ignored);
+    *  - has at least `minWordsPerLine` whitespace words (default 3);
+    *  - does not contain the word "javascript" (case-insensitive).
+    *
+    * PAGE rules (flags; `c4_keep` is their conjunction):
+    *  - at least `minSentences` sentences survive the line rules, where a
+    *    sentence is PINNED as an occurrence of `.`, `!` or `?` in the
+    *    rewritten text (the paper used a sentence tokenizer; an exact
+    *    character count is what a SQL oracle can replay bit-for-bit);
+    *  - the ORIGINAL page contains no "lorem ipsum" (case-insensitive),
+    *    no `{` (code), and no word from `badwords` (case-insensitive
+    *    whole-token match on the normalized tokenization; empty list =
+    *    rule off).
+    *
+    * Adds `c4_n_lines_kept`, `c4_n_sentences`, `c4_keep` and REWRITES
+    * `textCol` in place (null text stays null with null flags — the
+    * gopherRules null convention: a composite gate never keeps it).
+    * Three-sentence-span dedup — the paper's final rule — is the
+    * [[graft.text.Dedup.paragraphDedup]]/[[Dedup.cutDuplicateSpans]]
+    * family and deliberately not re-implemented here.
+    *
+    * Scale shape: pure per-row map (line array hoisted once, every rule
+    * row-local); no shuffle, no aggregate — embarrassingly parallel.
+    */
+  def c4Rules(df: DataFrame, textCol: String,
+              minWordsPerLine: Int = 3, minSentences: Int = 5,
+              badwords: Seq[String] = Nil): DataFrame = {
+    require(minWordsPerLine >= 0, s"c4Rules: minWordsPerLine must be >= 0")
+    require(minSentences >= 0, s"c4Rules: minSentences must be >= 0")
+    val staged = df.withColumn("__c4_lines", split(col(textCol), "\n"))
+    val lineOk = (l: Column) =>
+      l.rlike("[.!?\"”]\\s*$") &&
+      size(filter(split(trim(l), "\\s+"), t => t =!= "")) >= minWordsPerLine &&
+      !lower(l).rlike("javascript")
+    val kept = filter(col("__c4_lines"), lineOk)
+    val withKept = staged
+      .withColumn("__c4_kept", kept)
+      .withColumn("c4_n_lines_kept", size(col("__c4_kept")).cast("int"))
+      .withColumn("__c4_new", array_join(col("__c4_kept"), "\n"))
+      .withColumn("c4_n_sentences",
+        (length(col("__c4_new")) -
+          length(regexp_replace(col("__c4_new"), "[.!?]", ""))).cast("int"))
+    val pageClean =
+      !lower(col(textCol)).rlike("lorem ipsum") && !col(textCol).contains("{") &&
+        (if (badwords.isEmpty) lit(true)
+         else {
+           val toks = filter(split(normalized(col(textCol)), " "), t => t =!= "")
+           size(filter(array(badwords.map(b => lit(b.toLowerCase)): _*),
+             b => array_contains(toks, b))) === 0
+         })
+    withKept
+      .withColumn("c4_keep",
+        when(col(textCol).isNull, lit(null).cast("boolean"))
+          .otherwise(col("c4_n_sentences") >= minSentences && pageClean))
+      .withColumn(textCol, col("__c4_new"))
+      .drop("__c4_lines", "__c4_kept", "__c4_new")
+  }
+
   /** Within-document repeated-line removal — the "repetitious lines"
     * cleaner of the MassiveText/Gopher pipeline family (Rae et al. 2021,
     * A1.1 repetition filters): every line keeps only its FIRST occurrence

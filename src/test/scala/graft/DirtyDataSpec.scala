@@ -50,6 +50,36 @@ class DirtyDataSpec extends SparkSpec {
       "blank-only docs are untouched (exempt lines)")
   }
 
+  test("c4Rules: line rules, sentence floor, page rules — each pinned per class (round 11)") {
+    val keepable = "This is a proper sentence.\nAnother one lands here too!\n" +
+      "A third question arrives now?\nFourth sentence is quite fine.\nFifth one closes \"well.\""
+    val rows = Seq(
+      (1L, keepable),                                        // 5 lines, 5 sentences → keep
+      (2L, keepable + "\nno terminal punctuation here\nok."),// extra junk line dropped; "ok." 1 word dropped
+      (3L, "Only two sentences today.\nAnd here is number two."), // under the floor
+      (4L, keepable + "\nSome javascript framework sentence."),   // js line dropped, page still keeps
+      (5L, keepable.replace("Another", "lorem ipsum")),      // page rule
+      (6L, keepable + " {"),                                 // brace page rule... inside last line
+      (7L, keepable.replace("third", "grumbo")),             // badword page rule
+      (8L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val out = TextLib.c4Rules(rows, "text", minWordsPerLine = 3, minSentences = 5,
+        badwords = Seq("grumbo"))
+      .select("doc_id", "c4_n_lines_kept", "c4_n_sentences", "c4_keep")
+      .collect().map(r => (r.getLong(0),
+        Option(r.get(1)).map(_.asInstanceOf[Int]),
+        Option(r.get(2)).map(_.asInstanceOf[Int]),
+        Option(r.get(3)).map(_.asInstanceOf[Boolean]))).sortBy(_._1)
+    assert(out(0) == ((1L, Some(5), Some(5), Some(true))), s"doc1 ${out(0)}")
+    assert(out(1) == ((2L, Some(5), Some(5), Some(true))), s"doc2 ${out(1)}")
+    assert(out(2) == ((3L, Some(2), Some(2), Some(false))), s"doc3 ${out(2)}")
+    assert(out(3) == ((4L, Some(5), Some(5), Some(true))), s"doc4 ${out(3)}")
+    assert(out(4)._4 == Some(false), s"lorem ipsum page must drop: ${out(4)}")
+    assert(out(5)._4 == Some(false), s"brace page must drop: ${out(5)}")
+    assert(out(6)._4 == Some(false), s"badword page must drop: ${out(6)}")
+    assert(out(7) == ((8L, None, None, None)), s"null text: ${out(7)}")
+  }
+
   test("fixMojibake repairs mis-decoded UTF-8, never touches clean text, idempotent after a fix (round 11)") {
     val rows = Seq(
       (1L, "cafÃ© au lait"),              // café mis-decoded as latin-1
