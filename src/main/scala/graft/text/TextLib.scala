@@ -417,13 +417,21 @@ object TextLib {
       s"LangIdModel(n=$n, langs=${langs.mkString(",")})"
   }
 
-  /** Positional character n-grams of a PRE-BOUND text column (pass an
-    * attribute — the HOF lambda re-evaluates the subtree per position, the
-    * [[charShingles]] warning). Multiset, not deduplicated: LM scoring
-    * weighs repeated grams. Text shorter than n scores as one whole-text
-    * gram; empty → empty array (→ null score downstream).
+  /** Positional character n-grams — the native
+    * [[graft.expr.CharGrams]] kernel (multiset, not deduplicated: LM
+    * scoring weighs repeated grams; text shorter than n scores as one
+    * whole-text gram, empty → empty array → null score downstream). The
+    * interpreted HOF formulation it replaced ([[charGramArrayHof]], kept
+    * for the parity sweep) pays a closure dispatch + an O(position)
+    * UTF8String scan per gram — quadratic per document.
     */
   private def charGramArray(t: Column, n: Int): Column =
+    graft.expr.CharGrams(t, n)
+
+  /** The original HOF formulation of [[charGramArray]] — retained ONLY as
+    * the parity reference (TextExprsSpec sweeps the native kernel against
+    * it, the WordShingles discipline). */
+  private[graft] def charGramArrayHof(t: Column, n: Int): Column =
     when(length(t) === 0, array().cast("array<string>"))
       .when(length(t) <= n, array(t))
       .otherwise(transform(sequence(lit(1), length(t) - n + 1),

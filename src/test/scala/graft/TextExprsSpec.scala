@@ -195,6 +195,25 @@ class TextExprsSpec extends SparkSpec {
     }
   }
 
+  test("CharGrams matches the HOF substring formulation bit-for-bit (round 11)") {
+    // the lang-ID gram stream is oracle-hash-compared, so the native
+    // kernel must agree with the interpreted chain on every sample —
+    // including the astral 😀 row, where a UTF-16-char window would
+    // split the surrogate pair that code-point counting keeps whole
+    val df = samples.zipWithIndex.map { case (t, i) => (i, t) }.toDF("id", "t")
+    Seq(1, 2, 3, 5).foreach { n =>
+      val out = df.select(col("id"), TextLib.normalized(col("t")).as("norm"))
+        .select(col("id"),
+          graft.expr.CharGrams(col("norm"), n).as("native"),
+          TextLib.charGramArrayHof(col("norm"), n).as("hof"))
+        .orderBy("id").collect()
+      out.foreach { r =>
+        assert(r.getSeq[String](1) == r.getSeq[String](2),
+          s"n=$n row ${r.getInt(0)}: ${r.getSeq[String](1)} vs ${r.getSeq[String](2)}")
+      }
+    }
+  }
+
   test("PairCombos matches the nested-transform expansion, both modes") {
     val rows = Seq(
       (0, Seq(1L, 2L, 3L, 4L)),
