@@ -76,3 +76,69 @@ object CharGrams {
   def apply(text: Column, n: Int): Column =
     GraftColumnBridge.column(CharGrams(GraftColumnBridge.expression(text), n))
 }
+
+/** Positional word n-grams as STRINGS (single-space joined) — the
+  * repetition-signal gram stream ([[graft.text.TextLib.repetitionSignals]]
+  * needs the string: the top-gram election tie-breaks lexicographically
+  * and the char fractions measure gram length, so [[WordShingles]]
+  * (distinct) and [[WordGramHashes]] (hashes) don't fit. Token stream =
+  * lowercase → split `\s+` → drop empties, identical to
+  * `filter(split(normalized(t), " "), _ != "")` — the WordGramHashes
+  * equivalence note. Fewer than n tokens → empty array (no short-text
+  * special: a sub-n document carries no n-gram evidence).
+  */
+case class WordGrams(child: Expression, n: Int) extends UnaryExpression {
+
+  require(n >= 1, s"WordGrams: n must be >= 1, got $n")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+
+  override protected def nullSafeEval(input: Any): Any =
+    grams(input.asInstanceOf[UTF8String])
+
+  /** Shared by eval and generated code (reference-call codegen). */
+  def grams(input: UTF8String): GenericArrayData = {
+    val toks0 = input.toLowerCase.toString.split("\\s+")
+    var nTok = 0
+    var i = 0
+    while (i < toks0.length) { if (toks0(i).nonEmpty) nTok += 1; i += 1 }
+    val toks = if (nTok == toks0.length) toks0 else {
+      val t = new Array[String](nTok); var j = 0; i = 0
+      while (i < toks0.length) { if (toks0(i).nonEmpty) { t(j) = toks0(i); j += 1 }; i += 1 }
+      t
+    }
+    val m = toks.length
+    if (m < n) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](m - n + 1)
+    val sb = new java.lang.StringBuilder(64)
+    i = 0
+    while (i + n <= m) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j))
+        j += 1
+      }
+      out(i) = UTF8String.fromString(sb.toString)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("wordGrams", this, classOf[WordGrams].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.grams($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): WordGrams =
+    copy(child = newChild)
+
+  override def prettyName: String = "graft_word_grams"
+}
+
+object WordGrams {
+  def apply(text: Column, n: Int): Column =
+    GraftColumnBridge.column(WordGrams(GraftColumnBridge.expression(text), n))
+}

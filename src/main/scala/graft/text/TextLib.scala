@@ -1355,21 +1355,17 @@ object TextLib {
           round(dupLineChars.cast("double") / lineChars + lit(1e-9), 6)))
     // n-gram signals: exploded gram counts per doc (both orders in one
     // relation via a struct tag), then one per-doc aggregate
-    // the too-short guard lives INSIDE the explode (empty array → row
-    // dropped), never as a filter node: a `size(__ws) >= n` filter on the
-    // computed alias gets substituted into the parquet scan's data filters
-    // and re-runs the whole tokenize regex per row (the round-7
-    // filter-on-computed-alias pathology — PlanLint caught this op's first
-    // formulation live)
+    // native WordGrams kernel (one tokenize pass + tight gram loop; the
+    // interpreted transform/slice/concat_ws chain measured ~2× slower at
+    // the ×100 scale, and its first formulation put a `size >= n` filter
+    // on the computed alias that PlanLint caught substituting the whole
+    // tokenize regex into the parquet scan — the round-7 pathology). A
+    // sub-n document yields an empty array and the explode drops it: no
+    // filter node exists at all. TextExprsSpec sweeps kernel ≡ HOF.
     def gramRel(n: Int, tag: String) = withLines
       .filter(col(idCol).isNotNull)
       .select(col(idCol).as("__rs_id"),
-        filter(split(col("__rs_norm"), " "), t => t =!= "").as("__ws"))
-      .select(col("__rs_id"),
-        explode(when(size(col("__ws")) >= n,
-          transform(sequence(lit(0), size(col("__ws")) - n),
-            i => concat_ws(" ", slice(col("__ws"), i + 1, lit(n)))))
-          .otherwise(array().cast("array<string>"))).as("gram"))
+        explode(graft.expr.WordGrams(col(textCol), n)).as("gram"))
       .groupBy(col("__rs_id"), col("gram")).agg(count(lit(1)).as("c"))
       .withColumn("__tag", lit(tag))
     val counts = gramRel(topN, "top").unionByName(gramRel(dupN, "dup"))

@@ -214,6 +214,24 @@ class TextExprsSpec extends SparkSpec {
     }
   }
 
+  test("WordGrams matches the HOF word-gram formulation bit-for-bit (round 11)") {
+    val df = samples.zipWithIndex.map { case (t, i) => (i, t) }.toDF("id", "t")
+    Seq(1, 2, 5).foreach { n =>
+      val ws = filter(split(TextLib.normalized(col("t")), " "), x => x =!= "")
+      val hof = when(size(ws) >= n,
+        transform(sequence(lit(0), size(ws) - n),
+          i => concat_ws(" ", slice(ws, i + 1, lit(n)))))
+        .otherwise(array().cast("array<string>"))
+      val out = df.select(col("id"),
+          graft.expr.WordGrams(col("t"), n).as("native"), hof.as("hof"))
+        .orderBy("id").collect()
+      out.foreach { r =>
+        assert(r.getSeq[String](1) == r.getSeq[String](2),
+          s"n=$n row ${r.getInt(0)}: ${r.getSeq[String](1)} vs ${r.getSeq[String](2)}")
+      }
+    }
+  }
+
   test("PairCombos matches the nested-transform expansion, both modes") {
     val rows = Seq(
       (0, Seq(1L, 2L, 3L, 4L)),
