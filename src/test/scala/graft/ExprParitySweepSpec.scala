@@ -117,6 +117,8 @@ class ExprParitySweepSpec extends SparkSpec {
         WordSetCounts(col("t"), graft.text.TextLib.Markers.map(_._2)))),
       "graft.expr.WordShingles" -> (() => run(textDf, "id", WordShingles(col("t"), 2))),
       "graft.expr.WordGramHashes" -> (() => run(textDf, "id", WordGramHashes(col("t"), 2))),
+      "graft.expr.CharGrams" -> (() => run(textDf, "id", CharGrams(col("t"), 3))),
+      "graft.expr.WordGrams" -> (() => run(textDf, "id", WordGrams(col("t"), 2))),
       "graft.expr.WinnowMins" -> (() => run(textDf, "id",
         WinnowMins(WordGramHashes(col("t"), 2), 3))),
       "graft.expr.MinHashSig" -> (() => run(textDf, "id", sig(col("t")))),
