@@ -56,21 +56,21 @@ object Dsir {
   private def tokens(textCol: Column): Column =
     filter(split(TextLib.normalized(textCol), " "), x => x =!= "")
 
-  /** Positional word n-grams as strings over a HOISTED token-array column
-    * — multiset semantics (WordShingles dedups; feature counts must not).
-    * `ws` must be a plain column reference: an inline expression would be
-    * re-evaluated per lambda element (the q_winnow_law lesson). */
-  private def gramStrings(ws: Column, n: Int): Column =
-    when(size(ws) >= n,
-      transform(sequence(lit(1), size(ws) - (n - 1)), i => array_join(slice(ws, i, lit(n)), " ")))
-      .otherwise(array().cast("array<string>"))
-
-  /** (id?, feature) occurrence stream — one row per gram occurrence. */
+  /** (id?, feature) occurrence stream — one row per gram occurrence.
+    * Round-11: the native [[graft.expr.WordGrams]] kernel (one tokenize
+    * pass + tight loop per order) replaces the interpreted
+    * transform/slice/array_join chain — identical multiset positional
+    * gram strings, short/empty/null texts yield zero feature rows either
+    * way. The weigh() scaladoc's ×100 measurement attributed the wall to
+    * exactly these gram scans; the A/B at sf10 reads 44.1 → 7.9 s
+    * (5.6×, calibration parity — both occurrence-stream evaluations of
+    * the uncached rawFeats get the tight loop). */
   private def featureStream(df: DataFrame, textCol: String, idCols: Seq[Column],
                             ns: Seq[Int]): DataFrame = {
-    val withWs = df.withColumn("__ws", tokens(col(textCol)))
-    val grams = flatten(array(ns.map(n => gramStrings(col("__ws"), n)): _*))
-    withWs.select((idCols :+ explode(grams).as("__f")): _*)
+    val grams = flatten(array(ns.map(n =>
+      coalesce(graft.expr.WordGrams(col(textCol), n),
+        array().cast("array<string>"))): _*))
+    df.select((idCols :+ explode(grams).as("__f")): _*)
   }
 
   /** Hashed-bucket occurrence stream: native positional gram hashes →
