@@ -142,3 +142,62 @@ object WordGrams {
   def apply(text: Column, n: Int): Column =
     GraftColumnBridge.column(WordGrams(GraftColumnBridge.expression(text), n))
 }
+
+/** Adjacent-token (prev, cur) pairs of the normalized tokenization — the
+  * bigram LM's shared pair stream ([[graft.text.TextLib.bigramScore]]):
+  * one row per position, position 0 carries a null `prev`. Token stream =
+  * lowercase → split `\s+` → drop empties (the [[WordGramHashes]]
+  * equivalence). Zero tokens → empty array; the interpreted
+  * transform/element_at chain it replaces paid a closure dispatch + a
+  * struct allocation per token.
+  */
+case class TokenPairs(child: Expression) extends UnaryExpression {
+
+  private val structType = StructType(Seq(
+    StructField("prev", StringType, nullable = true),
+    StructField("cur", StringType, nullable = false)))
+
+  override def dataType: DataType = ArrayType(structType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+
+  override protected def nullSafeEval(input: Any): Any =
+    pairs(input.asInstanceOf[UTF8String])
+
+  /** Shared by eval and generated code (reference-call codegen). */
+  def pairs(input: UTF8String): GenericArrayData = {
+    val toks0 = input.toLowerCase.toString.split("\\s+")
+    var nTok = 0
+    var i = 0
+    while (i < toks0.length) { if (toks0(i).nonEmpty) nTok += 1; i += 1 }
+    if (nTok == 0) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](nTok)
+    var prev: UTF8String = null
+    var j = 0
+    i = 0
+    while (i < toks0.length) {
+      if (toks0(i).nonEmpty) {
+        val cur = UTF8String.fromString(toks0(i))
+        out(j) = org.apache.spark.sql.catalyst.InternalRow(prev, cur)
+        prev = cur
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("tokenPairs", this, classOf[TokenPairs].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.pairs($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): TokenPairs =
+    copy(child = newChild)
+
+  override def prettyName: String = "graft_token_pairs"
+}
+
+object TokenPairs {
+  def apply(text: Column): Column =
+    GraftColumnBridge.column(TokenPairs(GraftColumnBridge.expression(text)))
+}

@@ -853,26 +853,16 @@ object TextLib {
   /** Adjacent-token (prev, cur) pair rows of the normalized tokenization,
     * one row per position; position 1 carries a null prev. Shared by the
     * bigram trainer and the bigram scorer so the pair definition cannot
-    * drift.
-    *
-    * The token array MUST be materialized as a real column before the
-    * per-element lambda reads it: higher-order functions are interpreted,
-    * and `element_at(<filter(split(regexp...))>, i)` with the raw subtree
-    * inline re-runs the whole tokenization REGEX once per token — O(len²)
-    * per document (measured 2× on the bench corpus). Bound as an attribute,
-    * element_at is an O(1) array read.
+    * drift. Round-11: the native [[graft.expr.TokenPairs]] kernel (one
+    * tokenize pass + tight loop) replaces the interpreted
+    * transform/element_at chain — which itself replaced the O(len²)
+    * inline-subtree formulation (e5df939); TextExprsSpec sweeps kernel ≡
+    * HOF on the hostile sample set.
     */
   private def explodedTokenPairs(df: DataFrame, textCol: String,
-                                 keep: Seq[Column]): DataFrame = {
-    val bound = df.select(keep :+
-      filter(split(normalized(col(textCol)), " "), t => t =!= "").as("__ts"): _*)
-    bound.select(keep :+
-      explode(transform(col("__ts"), (t, i) =>
-        struct(when(i === 0, lit(null).cast("string"))
-                 .otherwise(element_at(col("__ts"), i)).as("prev"),
-               t.as("cur")))).as("__pr"): _*)
+                                 keep: Seq[Column]): DataFrame =
+    df.select(keep :+ explode(graft.expr.TokenPairs(col(textCol))).as("__pr"): _*)
       .select(keep :+ col("__pr.prev").as("__prev") :+ col("__pr.cur").as("__cur"): _*)
-  }
 
   /** Bigram language-model score with Stupid Backoff (Brants et al. 2007,
     * "Large Language Models in Machine Translation") — the next step up

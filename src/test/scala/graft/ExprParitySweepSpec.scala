@@ -119,6 +119,7 @@ class ExprParitySweepSpec extends SparkSpec {
       "graft.expr.WordGramHashes" -> (() => run(textDf, "id", WordGramHashes(col("t"), 2))),
       "graft.expr.CharGrams" -> (() => run(textDf, "id", CharGrams(col("t"), 3))),
       "graft.expr.WordGrams" -> (() => run(textDf, "id", WordGrams(col("t"), 2))),
+      "graft.expr.TokenPairs" -> (() => run(textDf, "id", TokenPairs(col("t")))),
       "graft.expr.WinnowMins" -> (() => run(textDf, "id",
         WinnowMins(WordGramHashes(col("t"), 2), 3))),
       "graft.expr.MinHashSig" -> (() => run(textDf, "id", sig(col("t")))),

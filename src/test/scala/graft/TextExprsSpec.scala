@@ -232,6 +232,22 @@ class TextExprsSpec extends SparkSpec {
     }
   }
 
+  test("TokenPairs matches the HOF transform/element_at formulation bit-for-bit (round 11)") {
+    val df = samples.zipWithIndex.map { case (t, i) => (i, t) }.toDF("id", "t")
+    val ws = filter(split(TextLib.normalized(col("t")), " "), x => x =!= "")
+    val hofDf = df.select(col("id"), ws.as("__ts"))
+      .select(col("id"), explode(transform(col("__ts"), (t, i) =>
+        struct(when(i === 0, lit(null).cast("string"))
+                 .otherwise(element_at(col("__ts"), i)).as("prev"),
+               t.as("cur")))).as("p"))
+      .select(col("id"), col("p.prev"), col("p.cur"))
+      .collect().map(_.toString).sorted.toSeq
+    val nativeDf = df.select(col("id"), explode(graft.expr.TokenPairs(col("t"))).as("p"))
+      .select(col("id"), col("p.prev"), col("p.cur"))
+      .collect().map(_.toString).sorted.toSeq
+    assert(nativeDf == hofDf, s"native=$nativeDf\nhof=$hofDf")
+  }
+
   test("PairCombos matches the nested-transform expansion, both modes") {
     val rows = Seq(
       (0, Seq(1L, 2L, 3L, 4L)),
