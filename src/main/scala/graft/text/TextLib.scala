@@ -305,14 +305,29 @@ object TextLib {
     * text stays null) and adds `n_removed_lines` — the same in-place
     * convention as [[graft.text.Dedup.cutDuplicateSpans]], so the op
     * composes into a YAML chain without downstream column switches. Pure
-    * per-row map — no shuffle, no aggregate; the first-occurrence test is
-    * `array_position(lines, x) == i+1` over a HOISTED line-array column,
-    * O(lines²) per document in the worst case but line counts are
-    * document-bounded, and the identical `list_position` form replays
-    * exactly in an external SQL engine.
+    * per-row map — no shuffle, no aggregate; since round 12 the
+    * first-occurrence test is the native [[graft.expr.LineDedup]] kernel
+    * (ONE hash-set sweep per document, O(lines·lineLen)) — the previous
+    * interpreted `filter`+`array_position` HOF was O(lines²·lineLen) per
+    * document, a straggler-killer on adversarial 100k-line web pages
+    * (VERDICT r11 #1). The HOF formulation is retained below as the
+    * parity reference (TextExprsSpec pins kernel ≡ HOF; the DuckDB
+    * oracle's `list_position` form replays the same semantics).
     */
   def dedupLines(df: DataFrame, textCol: String, minChars: Int = 1): DataFrame = {
     require(minChars >= 0, s"dedupLines: minChars must be >= 0, got $minChars")
+    df.withColumn("__dl", graft.expr.LineDedup(col(textCol), minChars))
+      .withColumn("n_removed_lines",
+        coalesce(col("__dl.n_removed"), lit(0)).cast("int"))
+      .withColumn(textCol, col("__dl.text")) // null in → null out
+      .drop("__dl")
+  }
+
+  /** The original HOF formulation of [[dedupLines]] — retained ONLY as the
+    * parity reference for the [[graft.expr.LineDedup]] kernel
+    * (TextExprsSpec sweeps kernel ≡ HOF, the charGramArrayHof discipline). */
+  private[graft] def dedupLinesHof(df: DataFrame, textCol: String,
+                                   minChars: Int = 1): DataFrame = {
     val staged = df.withColumn("__dl_lines", split(col(textCol), "\n"))
     val kept = filter(col("__dl_lines"),
       (x, i) => length(x) < minChars || array_position(col("__dl_lines"), x) === i + 1)
@@ -1329,20 +1344,18 @@ object TextLib {
     require(topN >= 1, s"repetitionSignals: topN must be >= 1, got $topN")
     require(dupN >= 1, s"repetitionSignals: dupN must be >= 1, got $dupN")
     val staged = df
-      .withColumn("__rs_lines", filter(split(col(textCol), "\n"), l => trim(l) =!= ""))
+      .withColumn("__rs", graft.expr.LineRepStats(col(textCol)))
       .withColumn("__rs_norm", normalized(col(textCol)))
-    // line signals: first occurrence via array_position == own index
-    val dupLines = filter(col("__rs_lines"),
-      (x, i) => array_position(col("__rs_lines"), x) =!= i + 1)
-    val lineChars = aggregate(col("__rs_lines"), lit(0L), (a, x) => a + length(x))
-    val dupLineChars = aggregate(dupLines, lit(0L), (a, x) => a + length(x))
+    // line signals: native one-pass first-seen kernel (round 12 — the
+    // interpreted filter+array_position HOF was O(lines²·lineLen) per
+    // document, VERDICT r11 #1; TextExprsSpec pins kernel ≡ HOF)
     val withLines = staged
       .withColumn("dup_line_frac",
-        when(size(col("__rs_lines")) > 0,
-          round(size(dupLines).cast("double") / size(col("__rs_lines")) + lit(1e-9), 6)))
+        when(col("__rs.n_lines") > 0,
+          round(col("__rs.n_dup").cast("double") / col("__rs.n_lines") + lit(1e-9), 6)))
       .withColumn("dup_line_char_frac",
-        when(lineChars > 0,
-          round(dupLineChars.cast("double") / lineChars + lit(1e-9), 6)))
+        when(col("__rs.chars") > 0,
+          round(col("__rs.dup_chars").cast("double") / col("__rs.chars") + lit(1e-9), 6)))
     // n-gram signals: exploded gram counts per doc (both orders in one
     // relation via a struct tag), then one per-doc aggregate
     // native WordGrams kernel (one tokenize pass + tight gram loop; the
@@ -1383,7 +1396,21 @@ object TextLib {
         when(length(col("__rs_norm")) > 0 && col("__hasdup").isNotNull,
           round(coalesce(col("__dupchars"), lit(0L)).cast("double")
             / length(col("__rs_norm")) + lit(1e-9), 6)))
-      .drop("__rs_lines", "__rs_norm", "__rs_id", "__topc", "__toplen", "__hasdup", "__dupchars")
+      .drop("__rs", "__rs_norm", "__rs_id", "__topc", "__toplen", "__hasdup", "__dupchars")
+  }
+
+  /** The HOF formulation of the [[repetitionSignals]] line statistics —
+    * retained ONLY as the parity reference for [[graft.expr.LineRepStats]]
+    * (TextExprsSpec sweeps kernel ≡ HOF). Same struct shape:
+    * (n_lines, n_dup, chars, dup_chars) over trim-non-blank lines. */
+  private[graft] def lineRepStatsHof(t: Column): Column = {
+    val lines = filter(split(t, "\n"), l => trim(l) =!= "")
+    val dup = filter(lines, (x, i) => array_position(lines, x) =!= i + 1)
+    struct(
+      size(lines).as("n_lines"),
+      size(dup).as("n_dup"),
+      aggregate(lines, lit(0L), (a, x) => a + length(x)).as("chars"),
+      aggregate(dup, lit(0L), (a, x) => a + length(x)).as("dup_chars"))
   }
 
   /** 64-bit document fingerprint: min of xxhash64 over word shingles —

@@ -52,6 +52,17 @@ class ExprParitySweepSpec extends SparkSpec {
     (5, "spam ham spam ham spam ham spam ham spam ham spam ham")
   ).toDF("id", "t")
 
+  // multi-line fixture for the line kernels: duplicates, blanks,
+  // space-only and tab-only lines, trailing newlines, unicode, null
+  private lazy val lineDf: DataFrame = Seq(
+    (0, "alpha\nbeta\nalpha\n\nbeta\ngamma"),
+    (1, "x\n   \n\tx\nx\n   \ny y y\ny y y\n"),
+    (2, "café 😀\ncafé 😀\nplain"),
+    (3, ""),
+    (4, null.asInstanceOf[String]),
+    (5, "only one line")
+  ).toDF("id", "t")
+
   private lazy val sigDf: DataFrame = Seq(
     (0, Seq[java.lang.Long](1L, 2L, 3L, 4L, 5L, 6L, 7L, 8L),
         Seq[java.lang.Long](1L, 2L, 9L, 4L, 5L, 9L, 7L, 8L)),
@@ -120,6 +131,9 @@ class ExprParitySweepSpec extends SparkSpec {
       "graft.expr.CharGrams" -> (() => run(textDf, "id", CharGrams(col("t"), 3))),
       "graft.expr.WordGrams" -> (() => run(textDf, "id", WordGrams(col("t"), 2))),
       "graft.expr.TokenPairs" -> (() => run(textDf, "id", TokenPairs(col("t")))),
+      "graft.expr.LineDedup" -> (() => run(lineDf, "id",
+        LineDedup(col("t"), 1), LineDedup(col("t"), 0), LineDedup(col("t"), 5))),
+      "graft.expr.LineRepStats" -> (() => run(lineDf, "id", LineRepStats(col("t")))),
       "graft.expr.WinnowMins" -> (() => run(textDf, "id",
         WinnowMins(WordGramHashes(col("t"), 2), 3))),
       "graft.expr.MinHashSig" -> (() => run(textDf, "id", sig(col("t")))),
