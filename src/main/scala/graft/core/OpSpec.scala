@@ -643,8 +643,18 @@ object OpCompiler {
           .filter(col("c4_keep"))
           .drop("c4_n_lines_kept", "c4_n_sentences", "c4_keep")
       case "gopher_rules" =>
-        // audit mode: per-rule booleans + gopher_keep + gopher_fail_reasons
-        TextLib.gopherRules(df, text,
+        // audit mode: per-rule booleans + gopher_keep + gopher_fail_reasons.
+        // With lang_column (round 12): the two anglocentric rules dispatch
+        // per language (DefaultGopherLangParams; unknown lang → neutral)
+        // and min_alpha_ratio/min_stopwords apply to the English-only path.
+        if (s(p, "lang_column") != null)
+          TextLib.gopherRulesByLang(df, text, s(p, "lang_column"),
+            TextLib.DefaultGopherLangParams,
+            s(p, "min_words", "50").toInt, s(p, "max_words", "100000").toInt,
+            s(p, "min_mean_word_len", "3.0").toDouble, s(p, "max_mean_word_len", "10.0").toDouble,
+            s(p, "max_symbol_ratio", "0.1").toDouble, s(p, "max_bullet_ratio", "0.9").toDouble,
+            s(p, "max_ellipsis_ratio", "0.3").toDouble)
+        else TextLib.gopherRules(df, text,
           s(p, "min_words", "50").toInt, s(p, "max_words", "100000").toInt,
           s(p, "min_mean_word_len", "3.0").toDouble, s(p, "max_mean_word_len", "10.0").toDouble,
           s(p, "max_symbol_ratio", "0.1").toDouble, s(p, "max_bullet_ratio", "0.9").toDouble,
@@ -657,12 +667,19 @@ object OpCompiler {
         // lists (the doc generator reads each arm's source), so a missed
         // edit in one arm fails the build instead of gating silently
         // differently in audit vs filter mode.
-        TextLib.gopherRules(df, text,
+        (if (s(p, "lang_column") != null)
+          TextLib.gopherRulesByLang(df, text, s(p, "lang_column"),
+            TextLib.DefaultGopherLangParams,
+            s(p, "min_words", "50").toInt, s(p, "max_words", "100000").toInt,
+            s(p, "min_mean_word_len", "3.0").toDouble, s(p, "max_mean_word_len", "10.0").toDouble,
+            s(p, "max_symbol_ratio", "0.1").toDouble, s(p, "max_bullet_ratio", "0.9").toDouble,
+            s(p, "max_ellipsis_ratio", "0.3").toDouble)
+        else TextLib.gopherRules(df, text,
           s(p, "min_words", "50").toInt, s(p, "max_words", "100000").toInt,
           s(p, "min_mean_word_len", "3.0").toDouble, s(p, "max_mean_word_len", "10.0").toDouble,
           s(p, "max_symbol_ratio", "0.1").toDouble, s(p, "max_bullet_ratio", "0.9").toDouble,
           s(p, "max_ellipsis_ratio", "0.3").toDouble, s(p, "min_alpha_ratio", "0.8").toDouble,
-          s(p, "min_stopwords", "2").toInt)
+          s(p, "min_stopwords", "2").toInt))
           .filter(col("gopher_keep"))
           .drop("gopher_word_count_ok", "gopher_mean_word_len_ok", "gopher_symbol_ratio_ok",
             "gopher_bullet_lines_ok", "gopher_ellipsis_lines_ok", "gopher_alpha_words_ok",

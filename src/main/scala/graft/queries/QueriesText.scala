@@ -942,6 +942,38 @@ object QueriesText {
         .orderBy("doc_id")
     }),
 
+    "q_gopher_multilingual" -> ((s, dir) => {
+      // per-LANGUAGE Gopher gate (round 12, VERDICT r11 #3): the two
+      // anglocentric rules dispatch on the lang label — four languages
+      // with DIFFERENT stopword lists, floors, and alpha regexes; zh has
+      // no entry and takes the neutral fallback (both rules pass, the
+      // five script-agnostic rules still gate). Plants fire the stopword
+      // rule both ways per language (%3=0 appends every list's markers,
+      // %3=2 appends digit tokens that dilute the alpha ratio), and the
+      // oracle replays plant + dispatch + all seven rules.
+      val cls = col("doc_id") % 3
+      val planted = t(s, dir, "documents").withColumn("text",
+        when(cls === 0, concat(col("text"),
+          lit(" of and la el que der und est le")))
+          .when(cls === 2, concat(col("text"),
+            lit(" 111 222 333 444 555 666 777 888")))
+          .otherwise(col("text")))
+      val perLang = Map(
+        "en" -> TextLib.GopherLangParams(Seq("the", "and", "of", "to"), minStopwords = 2),
+        "es" -> TextLib.GopherLangParams(Seq("el", "la", "que"), minStopwords = 2,
+          alphaRegex = "\\p{L}", minAlphaRatio = 0.5),
+        "de" -> TextLib.GopherLangParams(Seq("der", "die", "und", "ist"), minStopwords = 1,
+          alphaRegex = "\\p{L}", minAlphaRatio = 0.9),
+        "fr" -> TextLib.GopherLangParams(Seq("le", "est"), minStopwords = 1))
+      TextLib.gopherRulesByLang(planted, "text", "lang", perLang, minWords = 10)
+        .select(col("doc_id"), col("lang"), col("gopher_word_count_ok"),
+          col("gopher_mean_word_len_ok"), col("gopher_symbol_ratio_ok"),
+          col("gopher_bullet_lines_ok"), col("gopher_ellipsis_lines_ok"),
+          col("gopher_alpha_words_ok"), col("gopher_stopwords_ok"),
+          col("gopher_keep"), col("gopher_fail_reasons"))
+        .orderBy("doc_id")
+    }),
+
     "q_dedup_lines" -> ((s, dir) => {
       // within-doc repeated-line removal over planted boilerplate: class 0
       // repeats a share-bar line 3×, class 1 appends unique lines, class 2
@@ -2666,6 +2698,86 @@ object QueriesText {
         |      s -> list_contains(ws, s))) >= 2, FALSE) AS r_stop
         |  FROM d)
         |SELECT doc_id,
+        |  r_words AS gopher_word_count_ok, r_mwl AS gopher_mean_word_len_ok,
+        |  r_symbol AS gopher_symbol_ratio_ok, r_bullet AS gopher_bullet_lines_ok,
+        |  r_ellipsis AS gopher_ellipsis_lines_ok, r_alpha AS gopher_alpha_words_ok,
+        |  r_stop AS gopher_stopwords_ok,
+        |  (r_words AND r_mwl AND r_symbol AND r_bullet AND r_ellipsis AND r_alpha AND r_stop)
+        |    AS gopher_keep,
+        |  coalesce(array_to_string(list_filter([
+        |    CASE WHEN NOT r_words THEN 'word_count' END,
+        |    CASE WHEN NOT r_mwl THEN 'mean_word_len' END,
+        |    CASE WHEN NOT r_symbol THEN 'symbol_ratio' END,
+        |    CASE WHEN NOT r_bullet THEN 'bullet_lines' END,
+        |    CASE WHEN NOT r_ellipsis THEN 'ellipsis_lines' END,
+        |    CASE WHEN NOT r_alpha THEN 'alpha_words' END,
+        |    CASE WHEN NOT r_stop THEN 'stopwords' END], x -> x IS NOT NULL), ','), '')
+        |    AS gopher_fail_reasons
+        |FROM r ORDER BY doc_id""".stripMargin,
+
+    "q_gopher_multilingual" ->
+      // lang-dispatched replay of the two anglocentric rules (per-language
+      // stopword lists/floors and alpha regex/floors; unknown lang → TRUE,
+      // the neutral fallback) on top of the q_gopher_rules rule replay.
+      // RE2's \p{L} and Java's agree on these Latin-script fixtures.
+      """WITH p AS (
+        |  SELECT doc_id, lang,
+        |    CASE CAST(doc_id % 3 AS INT)
+        |      WHEN 0 THEN text || ' of and la el que der und est le'
+        |      WHEN 2 THEN text || ' 111 222 333 444 555 666 777 888'
+        |      ELSE text END AS text
+        |  FROM documents),
+        |b AS (
+        |  SELECT doc_id, lang, text,
+        |    trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
+        |  FROM p),
+        |c AS (
+        |  SELECT doc_id, lang, text, norm,
+        |    list_filter(string_split(norm, ' '), x -> x <> '') AS ws,
+        |    list_filter(string_split(text, chr(10)), l -> trim(l) <> '') AS lines
+        |  FROM b),
+        |d AS (
+        |  SELECT doc_id, lang, text, norm, ws, lines,
+        |    CAST(len(ws) AS DOUBLE) AS n,
+        |    CAST(len(lines) AS DOUBLE) AS nl,
+        |    length(text) - length(regexp_replace(text, '#', '', 'g')) AS hashcnt,
+        |    (length(text) - length(regexp_replace(text, '\.\.\.', '', 'g'))) / 3 AS ellcnt
+        |  FROM c),
+        |r AS (
+        |  SELECT doc_id, lang,
+        |    coalesce(n >= 10 AND n <= 100000, FALSE) AS r_words,
+        |    coalesce(
+        |      CAST(length(norm) - len(ws) + 1 AS DOUBLE) / nullif(n, 0.0) >= 3.0 AND
+        |      CAST(length(norm) - len(ws) + 1 AS DOUBLE) / nullif(n, 0.0) <= 10.0, FALSE)
+        |      AS r_mwl,
+        |    coalesce(CAST(hashcnt + ellcnt AS DOUBLE) / nullif(n, 0.0) <= 0.1, FALSE)
+        |      AS r_symbol,
+        |    coalesce(CAST(len(list_filter(lines, l -> regexp_matches(l, '^\s*[-*•]')))
+        |      AS DOUBLE) / nullif(nl, 0.0) <= 0.9, FALSE) AS r_bullet,
+        |    coalesce(CAST(len(list_filter(lines, l -> regexp_matches(l, '\.\.\.\s*$')))
+        |      AS DOUBLE) / nullif(nl, 0.0) <= 0.3, FALSE) AS r_ellipsis,
+        |    CASE lang
+        |      WHEN 'en' THEN coalesce(CAST(len(list_filter(ws, w -> regexp_matches(w, '[a-z]')))
+        |        AS DOUBLE) / nullif(n, 0.0) >= 0.8, FALSE)
+        |      WHEN 'fr' THEN coalesce(CAST(len(list_filter(ws, w -> regexp_matches(w, '[a-z]')))
+        |        AS DOUBLE) / nullif(n, 0.0) >= 0.8, FALSE)
+        |      WHEN 'es' THEN coalesce(CAST(len(list_filter(ws, w -> regexp_matches(w, '\p{L}')))
+        |        AS DOUBLE) / nullif(n, 0.0) >= 0.5, FALSE)
+        |      WHEN 'de' THEN coalesce(CAST(len(list_filter(ws, w -> regexp_matches(w, '\p{L}')))
+        |        AS DOUBLE) / nullif(n, 0.0) >= 0.9, FALSE)
+        |      ELSE TRUE END AS r_alpha,
+        |    CASE lang
+        |      WHEN 'en' THEN coalesce(len(list_filter(['the','and','of','to'],
+        |        s -> list_contains(ws, s))) >= 2, FALSE)
+        |      WHEN 'es' THEN coalesce(len(list_filter(['el','la','que'],
+        |        s -> list_contains(ws, s))) >= 2, FALSE)
+        |      WHEN 'de' THEN coalesce(len(list_filter(['der','die','und','ist'],
+        |        s -> list_contains(ws, s))) >= 1, FALSE)
+        |      WHEN 'fr' THEN coalesce(len(list_filter(['le','est'],
+        |        s -> list_contains(ws, s))) >= 1, FALSE)
+        |      ELSE TRUE END AS r_stop
+        |  FROM d)
+        |SELECT doc_id, lang,
         |  r_words AS gopher_word_count_ok, r_mwl AS gopher_mean_word_len_ok,
         |  r_symbol AS gopher_symbol_ratio_ok, r_bullet AS gopher_bullet_lines_ok,
         |  r_ellipsis AS gopher_ellipsis_lines_ok, r_alpha AS gopher_alpha_words_ok,

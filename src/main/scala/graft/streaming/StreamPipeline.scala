@@ -110,8 +110,12 @@ object StreamPipeline {
           // fitted model to freeze. All nine thresholds are exposed (the
           // batch gopher_rules/gopher_filter parity); survivors drop every
           // audit column — gopher_fail_reasons is '' on every kept row by
-          // construction, a dead constant downstream.
-          graft.text.TextLib.gopherRules(df, str(tr, "text_field", "text"),
+          // construction, a dead constant downstream. With lang_field
+          // (round 12, VERDICT r11 #3): the anglocentric rules dispatch
+          // per language (DefaultGopherLangParams, neutral for unknown) —
+          // chain it after langid_gate so lang_field = lang_pred.
+          val gated = str(tr, "lang_field") match {
+            case null => graft.text.TextLib.gopherRules(df, str(tr, "text_field", "text"),
               minWords = str(tr, "min_words", "50").toInt,
               maxWords = str(tr, "max_words", "100000").toInt,
               minMeanWordLen = str(tr, "min_mean_word_len", "3.0").toDouble,
@@ -121,6 +125,18 @@ object StreamPipeline {
               maxEllipsisRatio = str(tr, "max_ellipsis_ratio", "0.3").toDouble,
               minAlphaRatio = str(tr, "min_alpha_ratio", "0.8").toDouble,
               minStopwords = str(tr, "min_stopwords", "2").toInt)
+            case langField => graft.text.TextLib.gopherRulesByLang(
+              df, str(tr, "text_field", "text"), langField,
+              graft.text.TextLib.DefaultGopherLangParams,
+              minWords = str(tr, "min_words", "50").toInt,
+              maxWords = str(tr, "max_words", "100000").toInt,
+              minMeanWordLen = str(tr, "min_mean_word_len", "3.0").toDouble,
+              maxMeanWordLen = str(tr, "max_mean_word_len", "10.0").toDouble,
+              maxSymbolRatio = str(tr, "max_symbol_ratio", "0.1").toDouble,
+              maxBulletRatio = str(tr, "max_bullet_ratio", "0.9").toDouble,
+              maxEllipsisRatio = str(tr, "max_ellipsis_ratio", "0.3").toDouble)
+          }
+          gated
             .filter(col("gopher_keep"))
             .drop("gopher_word_count_ok", "gopher_mean_word_len_ok",
               "gopher_symbol_ratio_ok", "gopher_bullet_lines_ok",

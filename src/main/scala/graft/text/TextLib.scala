@@ -178,9 +178,95 @@ object TextLib {
                   minMeanWordLen: Double = 3.0, maxMeanWordLen: Double = 10.0,
                   maxSymbolRatio: Double = 0.1, maxBulletRatio: Double = 0.9,
                   maxEllipsisRatio: Double = 0.3, minAlphaRatio: Double = 0.8,
-                  minStopwords: Int = 2): DataFrame = {
+                  minStopwords: Int = 2): DataFrame =
+    gopherCore(df, textCol, minWords, maxWords, minMeanWordLen, maxMeanWordLen,
+      maxSymbolRatio, maxBulletRatio, maxEllipsisRatio,
+      alphaOk = alphaRuleOk("[a-z]", minAlphaRatio),
+      stopOk = stopwordRuleOk(GopherEightStopwords, minStopwords))
+
+  /** The Gopher-eight English stop words (Rae et al. 2021 §A1.1). */
+  val GopherEightStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Per-language parameters of the two anglocentric Gopher rules: the
+    * stopword marker list + floor and the alpha-word regex + floor. Every
+    * OTHER rule is script-agnostic and shared. */
+  final case class GopherLangParams(stopwords: Seq[String], minStopwords: Int = 2,
+                                    alphaRegex: String = "[a-z]",
+                                    minAlphaRatio: Double = 0.8)
+
+  /** Default per-language Gopher params: the Gopher eight for English, the
+    * [[Markers]] top-stopword lists for de/fr/es/it/pt, each with the
+    * letters-with-diacritics alpha class (Java and RE2 agree on `\p{L}`
+    * for these scripts, so a SQL oracle replays the rule). */
+  lazy val DefaultGopherLangParams: Map[String, GopherLangParams] = // lazy: Markers is declared below
+    Map("en" -> GopherLangParams(GopherEightStopwords)) ++
+      Markers.filter(_._1 != "en").map { case (lang, stops) =>
+        lang -> GopherLangParams(stops, alphaRegex = "\\p{L}")
+      }.toMap
+
+  /** Per-LANGUAGE Gopher gate (round 12, VERDICT r11 #3): [[gopherRules]]
+    * is English-only by scope — its `alpha_words` matches `[a-z]` and its
+    * `stopwords` rule uses the English Gopher eight, so every non-Latin
+    * document fails both. With [[langIdFit]]/[[langIdApply]] (or any
+    * `langCol`) upstream, this variant keys those TWO rules on the
+    * document's language: each language in `perLang` gets its own stopword
+    * list/floor and alpha regex/floor; documents whose language has no
+    * entry (or a null language) get the NEUTRAL fallback — both rules pass
+    * vacuously, leaving the five script-agnostic rules as the gate (the
+    * documented `minAlphaRatio = 0, minStopwords = 0` workaround, now
+    * automatic per row). Output columns are identical to [[gopherRules]]
+    * (`gopher_*_ok`, `gopher_keep`, `gopher_fail_reasons`), so the gate
+    * composes into the same YAML/stream plumbing.
+    *
+    * Scale shape: unchanged — a pure per-row map; the language dispatch is
+    * a `when` chain over |perLang| branches, each a row-local array scan.
+    */
+  def gopherRulesByLang(df: DataFrame, textCol: String, langCol: String,
+                        perLang: Map[String, GopherLangParams] = DefaultGopherLangParams,
+                        minWords: Int = 50, maxWords: Int = 100000,
+                        minMeanWordLen: Double = 3.0, maxMeanWordLen: Double = 10.0,
+                        maxSymbolRatio: Double = 0.1, maxBulletRatio: Double = 0.9,
+                        maxEllipsisRatio: Double = 0.3): DataFrame = {
+    require(perLang.nonEmpty, "gopherRulesByLang: perLang must not be empty")
+    // deterministic branch order (sorted lang) so plans are stable;
+    // null/unknown lang falls through to the NEUTRAL lit(true) — while a
+    // known-lang null-text doc yields a null rule body, which gopherCore's
+    // ok() turns false (the gopherRules null→false convention)
+    val langs = perLang.toSeq.sortBy(_._1)
+    def dispatch(ruleOf: GopherLangParams => Column): Column =
+      langs.foldLeft(lit(true)) { case (acc, (lang, p)) =>
+        when(col(langCol) === lang, ruleOf(p)).otherwise(acc)
+      }
+    val alphaOk = dispatch(p => alphaRuleOk(p.alphaRegex, p.minAlphaRatio))
+    val stopOk = dispatch(p => stopwordRuleOk(p.stopwords, p.minStopwords))
+    gopherCore(df, textCol, minWords, maxWords, minMeanWordLen, maxMeanWordLen,
+      maxSymbolRatio, maxBulletRatio, maxEllipsisRatio,
+      alphaOk = alphaOk, stopOk = stopOk)
+  }
+
+  /** alpha_words rule body against the staged `__gr_*` columns (null→false
+    * applied by [[gopherCore]]'s ok() wrapper). */
+  private def alphaRuleOk(alphaRegex: String, minAlphaRatio: Double): Column =
+    size(filter(col("__gr_ws"), w => w.rlike(alphaRegex)))
+      .cast("double") / nullif(col("__gr_n"), lit(0.0)) >= minAlphaRatio
+
+  /** stopwords rule body against the staged `__gr_*` columns. */
+  private def stopwordRuleOk(stops: Seq[String], minStopwords: Int): Column =
+    size(filter(array(stops.map(lit): _*), s => array_contains(col("__gr_ws"), s))) >=
+      minStopwords
+
+  /** Shared rule engine of [[gopherRules]]/[[gopherRulesByLang]]: stages
+    * the hoisted token/line arrays, evaluates the five script-agnostic
+    * rules plus the caller-supplied alpha/stopword rule bodies (each
+    * null→false), and emits the audit columns. */
+  private def gopherCore(df: DataFrame, textCol: String,
+                         minWords: Int, maxWords: Int,
+                         minMeanWordLen: Double, maxMeanWordLen: Double,
+                         maxSymbolRatio: Double, maxBulletRatio: Double,
+                         maxEllipsisRatio: Double,
+                         alphaOk: Column, stopOk: Column): DataFrame = {
     val t = col(textCol)
-    val gopherStops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
     val staged = df
       .withColumn("__gr_norm", normalized(t))
       .withColumn("__gr_ws", filter(split(col("__gr_norm"), " "), x => x =!= ""))
@@ -204,11 +290,8 @@ object TextLib {
         .cast("double") / nullif(nl, lit(0.0)) <= maxBulletRatio),
       "ellipsis_lines" -> ok(size(filter(col("__gr_lines"), l => l.rlike("\\.\\.\\.\\s*$")))
         .cast("double") / nullif(nl, lit(0.0)) <= maxEllipsisRatio),
-      "alpha_words" -> ok(size(filter(col("__gr_ws"), w => w.rlike("[a-z]")))
-        .cast("double") / nullif(n, lit(0.0)) >= minAlphaRatio),
-      "stopwords" -> ok(size(filter(
-        array(gopherStops.map(lit): _*), s => array_contains(col("__gr_ws"), s)))
-        >= minStopwords)
+      "alpha_words" -> ok(alphaOk),
+      "stopwords" -> ok(stopOk)
     )
     val withRules = rules.foldLeft(staged) { case (d, (name, c)) =>
       d.withColumn(s"gopher_${name}_ok", c)

@@ -678,6 +678,54 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("StreamPipeline: langid_gate → gopher_gate(lang_field) — per-language Gopher thresholds ride the prediction (round 12)") {
+    // VERDICT r11 #3's recipe shape: language-ID classifies, then the
+    // Gopher gate dispatches its two anglocentric rules on lang_pred. The
+    // German doc has ZERO English Gopher-eight stopwords — the English-only
+    // gate drops it; the lang-aware gate keeps it via the German marker
+    // list. Both runs share one source dir; only lang_field differs.
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_ml_stream").toString
+    val modelDir = java.nio.file.Files.createTempDirectory("graft_ml_model").toString
+    val fitDocs = Seq(
+      (1L, "en", "the cat is on the table and it was not happy with this situation"),
+      (2L, "en", "there is a house in the town where the children play with their friends"),
+      (3L, "de", "der Hund ist nicht mit der Katze auf den Tisch und das Haus ist schoen"),
+      (4L, "de", "die Kinder spielen in dem Garten und sie haben einen schoenen Tag")
+    ).toDF("doc_id", "lang", "text")
+    graft.text.TextLib.saveLangIdModel(spark,
+      graft.text.TextLib.langIdFit(fitDocs, "text", "lang"), s"$modelDir/langid")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/b1.json"),
+      """{"doc_id":701,"text":"the cat and the dog have been to the house of the children and that was good to see"}
+        |{"doc_id":702,"text":"der Hund und die Katze spielen mit den Kindern in dem Garten und das Wetter ist schoen"}""".stripMargin)
+    def yaml(langAware: Boolean, sinkName: String) = {
+      val langField = if (langAware) ", lang_field: lang_pred" else ""
+      s"""name: ml_gopher
+         |stream_source: { type: file, path: "$dir", format: json, schema: "doc_id BIGINT, text STRING" }
+         |transforms:
+         |  - { type: langid_gate, model_path: "$modelDir/langid" }
+         |  - { type: gopher_gate, min_words: 5, min_mean_word_len: 2.5$langField }
+         |sink: { type: memory, name: $sinkName, output_mode: append }
+         |""".stripMargin
+    }
+    def run(langAware: Boolean, sinkName: String): Map[Long, String] = {
+      val q = graft.streaming.StreamPipeline.start(spark,
+        graft.streaming.StreamPipeline.fromYaml(yaml(langAware, sinkName)))
+      try {
+        q.processAllAvailable()
+        spark.sql(s"SELECT doc_id, lang_pred FROM $sinkName")
+          .as[(Long, String)].collect().toMap
+      } finally q.stop()
+    }
+    val aware = run(langAware = true, "ml_gopher_aware")
+    assert(aware.keySet == Set(701L, 702L),
+      s"lang-aware gate must keep BOTH docs (each passes its own language's rules): $aware")
+    assert(aware(701L) == "en" && aware(702L) == "de", s"predictions: $aware")
+    val anglo = run(langAware = false, "ml_gopher_anglo")
+    assert(anglo.keySet == Set(701L),
+      s"English-only gate must drop the German doc (zero Gopher-eight stopwords): $anglo")
+  }
+
   test("StreamPipeline: unimax_gate repeats stream records per the frozen allocation; dedup_lines streams") {
     // the mixture sampler joins the frozen-gate family: allocation fitted +
     // saved by a batch job, ingest repeats records per its epochs (a
