@@ -178,6 +178,52 @@ object QueriesLaws {
       seenAgg.crossJoin(varAgg).crossJoin(fpAgg)
     }),
 
+    "q_neardup_bloom_law" -> ((s, dir) => {
+      // frozen NEAR-dup bloom gate laws (round 12, VERDICT r11 #4):
+      // (a) NO FALSE NEGATIVES on exact copies — the corpus re-applied
+      // against its own sketch flags every signature-bearing document
+      // (identical text → identical band keys, all in the sketch);
+      // (b) containment vs the EXACT band-key set — every last-word-drop
+      // mutant that truly shares ≥1 band bucket with the corpus (computed
+      // in-plan with the same kernels) must flag: bloom ⊇ exact, no
+      // hash-luck involved; (c) token-disjoint fresh docs stay under a
+      // generous FP bound (16 bands × fpp 0.001 ≈ 1.6% expected; bound
+      // 5%); (d) save/load round-trips the flags exactly (the applied
+      // model IS the loaded one).
+      val d = t(s, dir, "documents").select("doc_id", "text")
+      val model = Dedup.neardupBloomFit(d, "text", fpp = 0.001)
+      val path = java.nio.file.Files.createTempDirectory("graft_nd_bloom").toString
+      Dedup.saveNeardupBloom(s, model, s"$path/bloom")
+      val loaded = Dedup.loadNeardupBloom(s, s"$path/bloom")
+      val sig = Dedup.minhashSignature(col("text"), loaded.shingleN, loaded.numHashes)
+      val copyAgg = Dedup.neardupBloomApply(d, "text", loaded)
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(sig.isNotNull && !col("maybe_neardup"), 1L).otherwise(0L))
+            .as("n_copies_missed"))
+      val batch = d.select((col("doc_id") + 100000L).as("doc_id"),
+        regexp_replace(col("text"), "\\s+\\S+\\s*$", "").as("text"))
+      def bandKeys(df: DataFrame) = df
+        .select(col("doc_id"), sig.as("__sig"))
+        .filter(col("__sig").isNotNull)
+        .select(col("doc_id"), explode(Dedup.lshBandHashes(col("__sig"),
+          loaded.bands, loaded.numHashes / loaded.bands)).as("__bh"))
+        .select(col("doc_id"), xxhash64(col("__bh.band"), col("__bh.h")).as("__k"))
+      val exactHits = bandKeys(batch)
+        .join(bandKeys(d).select("__k").distinct(), Seq("__k"), "left_semi")
+        .select("doc_id").distinct()
+      val fnAgg = exactHits
+        .join(Dedup.neardupBloomApply(batch, "text", loaded)
+          .select(col("doc_id"), col("maybe_neardup")), Seq("doc_id"))
+        .agg(coalesce(sum(when(!col("maybe_neardup"), 1L).otherwise(0L)), lit(0L))
+          .as("n_law_fn"))
+      val fresh = d.select((col("doc_id") + 800000L).as("doc_id"))
+        .withColumn("text", freshText)
+      val fpAgg = Dedup.neardupBloomApply(fresh, "text", loaded)
+        .agg((sum(when(col("maybe_neardup"), 1L).otherwise(0L)) <=
+          greatest(ceil(count(lit(1)) * lit(0.05)), lit(5L))).as("fp_rate_ok"))
+      copyAgg.crossJoin(fnAgg).crossJoin(fpAgg)
+    }),
+
     "q_near_dedup_keepbest_law" -> ((s, dir) => {
       // keep-best election laws on the REAL minhash composite: (a) copies
       // carry quality 2.0 vs the originals' 1.0, and an exact copy is a
@@ -582,6 +628,10 @@ object QueriesLaws {
       "q_seen_bloom_law" ->
         """SELECT count(*) AS n_docs, CAST(0 AS BIGINT) AS n_seen_missed,
           |  CAST(0 AS BIGINT) AS n_variant_missed, TRUE AS fp_rate_ok
+          |FROM documents""".stripMargin,
+      "q_neardup_bloom_law" ->
+        """SELECT count(*) AS n_docs, CAST(0 AS BIGINT) AS n_copies_missed,
+          |  CAST(0 AS BIGINT) AS n_law_fn, TRUE AS fp_rate_ok
           |FROM documents""".stripMargin,
       "q_mojibake_law" ->
         """SELECT count(*) AS n_docs, CAST(0 AS BIGINT) AS n_roundtrip_viol,

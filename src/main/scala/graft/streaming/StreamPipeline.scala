@@ -175,6 +175,18 @@ object StreamPipeline {
           graft.text.Dedup.seenCorpusApply(df, str(tr, "text_field", "text"),
             graft.text.Dedup.loadSeenBloom(df.sparkSession, str(tr, "bloom_path")))
             .filter(!col("maybe_seen")).drop("maybe_seen")
+        case "neardup_gate" => // frozen NEAR-dup gate (round 12): drop
+          // records whose LSH band buckets collide with the accepted
+          // corpus's — seen_gate's exact-hash sibling at the banding
+          // S-curve. Row-local signature + `bands` bloom probes against a
+          // few-MB sketch; the snapshot is never read at ingest. No false
+          // negatives vs the frozen key set; a ~bands·fpp fraction of
+          // fresh docs is the documented cost.
+          require(str(tr, "model_path") != null,
+            "neardup_gate requires model_path (a saved Dedup.saveNeardupBloom parquet)")
+          graft.text.Dedup.neardupBloomApply(df, str(tr, "text_field", "text"),
+            graft.text.Dedup.loadNeardupBloom(df.sparkSession, str(tr, "model_path")))
+            .filter(!col("maybe_neardup")).drop("maybe_neardup")
         case "quota_per_group" => StreamOps.quotaPerGroupStream(df,
           str(tr, "group_column"), str(tr, "quota", "10000").toLong)
         case other             => throw new IllegalArgumentException(s"Unknown stream transform: $other")

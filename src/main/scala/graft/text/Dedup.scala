@@ -176,6 +176,90 @@ object Dedup {
         graft.ops.Scale.mightContainCol(bloom, sha2(TextLib.normalized(col(textCol)), 256)),
         lit(false)))
 
+  /** Frozen NEAR-dup gate model (round 12, VERDICT r11 #4): a Bloom sketch
+    * over the accepted corpus's LSH band buckets, plus the MinHash
+    * parameters it was built with (an apply with different parameters
+    * would probe disjoint key spaces and silently flag nothing — freezing
+    * them together makes that impossible). */
+  final case class NeardupBloom(bloom: Array[Byte], shingleN: Int,
+                                numHashes: Int, bands: Int)
+
+  /** Fit half of the frozen near-dup gate: [[seenCorpusFit]]'s exact-hash
+    * sketch lifted to NEAR duplicates. Each corpus document contributes its
+    * `bands` LSH band-bucket keys (xxhash64 over (band, bucket) — the same
+    * keys [[minhashCandidatesAgainst]] equi-joins on); the bloom holds the
+    * key SET. Applying ([[neardupBloomApply]]) is then a pure row-local
+    * probe: a document flags iff ANY of its bands hits a corpus bucket —
+    * exactly "would the LSH candidate join have found a reference
+    * candidate", the banding S-curve at the fitted (bands, rows) point.
+    * NO FALSE NEGATIVES vs that exact key set (Bloom construction; the
+    * q_neardup_bloom_law claim): an exact copy of a corpus document — and
+    * any near-dup agreeing on at least one band — always flags. A
+    * ~bands·fpp fraction of fresh documents flags spuriously (the
+    * documented trade; size `fpp` accordingly — each apply probes `bands`
+    * keys). Null-signature rows are skipped at fit and flag false at
+    * apply.
+    *
+    * Scale shape (the production "screen ingest against a 100 TB corpus"
+    * recipe): the snapshot is scanned ONCE at fit — one signature pass,
+    * one explode, one treeAggregate, no shuffle — and NEVER read again;
+    * apply is a stateless projection (native MinHashSig/LshBands kernels +
+    * `bands` bounded bloom probes per row), so it composes into
+    * `readStream` with zero state, zero joins, no watermark.
+    */
+  def neardupBloomFit(corpus: DataFrame, textCol: String,
+                      shingleN: Int = 3, numHashes: Int = 64, bands: Int = 16,
+                      fpp: Double = 0.001, expectedKeys: Long = -1L): NeardupBloom = {
+    require(numHashes % bands == 0,
+      s"neardupBloomFit: bands ($bands) must divide numHashes ($numHashes)")
+    val keys = corpus
+      .select(minhashSignature(col(textCol), shingleN, numHashes).as("__sig"))
+      .filter(col("__sig").isNotNull)
+      .select(explode(lshBandHashes(col("__sig"), bands, numHashes / bands)).as("__bh"))
+      .select(xxhash64(col("__bh.band"), col("__bh.h")).as("__k"))
+    NeardupBloom(graft.ops.Scale.bloomBytes(keys, "__k", fpp, expectedKeys),
+      shingleN, numHashes, bands)
+  }
+
+  /** Persist a [[neardupBloomFit]] model: one row of (bloom, shingle_n,
+    * num_hashes, bands) — parameters travel WITH the sketch. */
+  def saveNeardupBloom(spark: org.apache.spark.sql.SparkSession,
+                       model: NeardupBloom, path: String): Unit = {
+    import spark.implicits._
+    Seq((model.bloom, model.shingleN, model.numHashes, model.bands))
+      .toDF("bloom", "shingle_n", "num_hashes", "bands")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Load a model written by [[saveNeardupBloom]] — byte-identical, so
+    * apply flags round-trip exactly. */
+  def loadNeardupBloom(spark: org.apache.spark.sql.SparkSession,
+                       path: String): NeardupBloom = {
+    val r = spark.read.parquet(path)
+      .select("bloom", "shingle_n", "num_hashes", "bands").head()
+    NeardupBloom(r.getAs[Array[Byte]](0), r.getInt(1), r.getInt(2), r.getInt(3))
+  }
+
+  /** Apply half: adds `maybe_neardup` — true iff ANY of the row's LSH band
+    * buckets (computed with the model's frozen parameters) might be in the
+    * corpus sketch. Null text / null signature flags false (a failed
+    * extraction is no near-duplicate of anything). Pure row-local
+    * projection — the `bands`-element probe loop is a bounded HOF over
+    * native-kernel outputs, zero joins, zero state — so it composes into
+    * `readStream` like [[seenCorpusApply]].
+    */
+  def neardupBloomApply(df: DataFrame, textCol: String,
+                        model: NeardupBloom): DataFrame = {
+    val bhs = lshBandHashes(
+      minhashSignature(col(textCol), model.shingleN, model.numHashes),
+      model.bands, model.numHashes / model.bands)
+    df.withColumn("maybe_neardup",
+      coalesce(
+        exists(bhs, bh => graft.ops.Scale.mightContainCol(
+          model.bloom, xxhash64(bh.getField("band"), bh.getField("h")))),
+        lit(false)))
+  }
+
   // ---------------------------------------------------------------- MinHash + LSH
 
   /** k-permutation MinHash signature over word shingles, via the native

@@ -641,6 +641,53 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("StreamPipeline: neardup_gate screens a stream against the frozen LSH-bucket bloom; stream ≡ batch (round 12)") {
+    // seen_gate's NEAR-dup sibling (VERDICT r11 #4): the accepted corpus's
+    // band buckets are bloomed once by a batch job; ingest computes each
+    // record's signature row-locally and drops on any bucket hit — an
+    // exact copy AND a near-dup (last word dropped, most bands still
+    // agree) both drop; token-disjoint fresh text passes. The stream
+    // survivor set is pinned EQUAL to the batch application of the same
+    // frozen model (stateless gate → stream ≡ batch by construction,
+    // asserted here end-to-end through the YAML path).
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_nd_stream").toString
+    val modelDir = java.nio.file.Files.createTempDirectory("graft_nd_model").toString
+    val accepted = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (2L, "completely different content about catalyst internals and codegen stages here")
+    ).toDF("doc_id", "text")
+    graft.text.Dedup.saveNeardupBloom(spark,
+      graft.text.Dedup.neardupBloomFit(accepted, "text", fpp = 0.001), s"$modelDir/ndbloom")
+    val batchRows = Seq(
+      (901L, "the quick brown fox jumps over the lazy dog near the river bank today"), // exact copy
+      (902L, "the quick brown fox jumps over the lazy dog near the river bank"),       // near-dup (last word dropped)
+      (903L, "zxqv901 plumbus901 vortkel901 grumbo901 blit901 snarfle901 quxx901")     // token-disjoint fresh
+    )
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/b1.json"),
+      batchRows.map { case (id, t) => s"""{"doc_id":$id,"text":"$t"}""" }.mkString("\n"))
+    val yaml =
+      s"""name: neardup_ingest
+         |stream_source: { type: file, path: "$dir", format: json, schema: "doc_id BIGINT, text STRING" }
+         |transforms:
+         |  - { type: neardup_gate, model_path: "$modelDir/ndbloom" }
+         |sink: { type: memory, name: neardup_ingest_out, output_mode: append }
+         |""".stripMargin
+    val q = graft.streaming.StreamPipeline.start(spark, graft.streaming.StreamPipeline.fromYaml(yaml))
+    try {
+      q.processAllAvailable()
+      val streamKept = spark.sql("SELECT doc_id FROM neardup_ingest_out").as[Long].collect().toSet
+      val loaded = graft.text.Dedup.loadNeardupBloom(spark, s"$modelDir/ndbloom")
+      val batchKept = graft.text.Dedup.neardupBloomApply(
+          batchRows.toDF("doc_id", "text"), "text", loaded)
+        .filter(!org.apache.spark.sql.functions.col("maybe_neardup"))
+        .select("doc_id").as[Long].collect().toSet
+      assert(streamKept == batchKept, s"stream ≡ batch violated: $streamKept vs $batchKept")
+      assert(streamKept == Set(903L),
+        s"exact copy AND near-dup must drop, fresh passes: $streamKept")
+    } finally q.stop()
+  }
+
   test("StreamPipeline: langid_gate classifies and filters a YAML stream against a frozen model (round 11)") {
     // the char-trigram language-ID model joins the frozen-gate family: fit
     // + saved by a batch job, ingest classifies as a pure map and keep_langs
