@@ -23,6 +23,27 @@ object Cli {
   /** JSON number: NaN/Infinity are not valid JSON — emit null. */
   private def jn(v: Double): String = graft.core.Json.num(v)
 
+  /** Render a stage-attrition report as an aligned table (round 12,
+    * VERDICT r11 #7): the per-stage rows/weight in-out accounting was
+    * API-only (`Result.attrition` + optional parquet) — `run` and
+    * `stream --drain` now print it so the drop profile is
+    * operator-visible without code. Absent weights render as `-`.
+    */
+  def renderAttrition(report: Seq[graft.core.OpCompiler.StageAttrition]): Seq[String] =
+    if (report.isEmpty) Seq.empty
+    else {
+      val header = Seq("stage", "op", "rows_in", "rows_out", "dropped",
+        "weight_in", "weight_out")
+      val rows = report.map(a => Seq(a.stage.toString, a.op,
+        a.rowsIn.toString, a.rowsOut.toString, a.rowsDropped.toString,
+        a.weightIn.map(_.toString).getOrElse("-"),
+        a.weightOut.map(_.toString).getOrElse("-")))
+      val all = header +: rows
+      val widths = header.indices.map(i => all.map(_(i).length).max)
+      all.map(r => r.lazyZip(widths).map((c, w) => c.padTo(w, ' '))
+        .mkString("  ").replaceAll("\\s+$", ""))
+    }
+
   def main(args: Array[String]): Unit = args.toList match {
     case "run" :: path :: rest =>
       if (!Files.exists(Paths.get(path))) {
@@ -79,6 +100,9 @@ object Cli {
             s""""validation":{${res.validation.map { case (k, v) => s"${j(k)}:${jn(v)}" }.mkString(",")}},""" +
             s""""errors":${res.errors.size}}""")
           res.errors.foreach(e => System.err.println(s"[pipeline] $e"))
+          // drop-rate dashboard on stderr (stdout stays the one JSON line)
+          renderAttrition(res.attrition)
+            .foreach(l => System.err.println(s"[attrition] $l"))
           Thread.sleep(300) // listener delivery is async
           System.err.println(f"[metrics] actions=${metrics.snapshot.size} totalMs=${metrics.totalDurationMs}%.1f")
           System.err.println(s"[lineage] ${graft.core.Orchestration.lineageOf(conf).toJson}")
@@ -95,11 +119,17 @@ object Cli {
       // recentProgress is ring-buffered (numRecentProgressUpdates, default
       // 100) — a long --drain would undercount batches/rows without this
       spark.conf.set("spark.sql.streaming.numRecentProgressUpdates", "100000")
-      val q = graft.streaming.StreamPipeline.start(spark, conf)
+      val (q, attrition) = graft.streaming.StreamPipeline.startWithAttrition(spark, conf)
       if (rest.contains("--drain")) { // process what's there, then stop (backfill/test mode)
         q.processAllAvailable()
         println(s"""{"stream":${j(conf.name)},"batches":${q.recentProgress.length},""" +
           s""""rows":${q.recentProgress.map(_.numInputRows).sum}}""")
+        // per-stage drop profile accumulated across the drained batches
+        // (requires an `attrition:` block in the YAML, like batch runs)
+        attrition.foreach { a =>
+          renderAttrition(a.report()).foreach(l => System.err.println(s"[attrition] $l"))
+          graft.streaming.StreamAttrition.detach(spark, a)
+        }
         q.stop(); spark.stop()
       } else {
         println(s"stream '${conf.name}' running; Ctrl-C to stop")

@@ -70,6 +70,43 @@ class CliSpec extends SparkSpec {
       Set(("raw_events", "clean_events"), ("clean_events", "daily_agg")))
   }
 
+  test("renderAttrition: the 4-stage example renders as the aligned drop-profile table (round 12)") {
+    // same fixture + YAML as PipelineSpec's attrition gate; here the CLI
+    // rendering of that report is pinned (Cli run prints these lines with
+    // an [attrition] stderr prefix; stream --drain renders the
+    // StreamAttrition report through the same function)
+    val in = java.nio.file.Files.createTempDirectory("graft_cli_attr").toString
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$in/d.csv"),
+      "id,age,spend,city\n1,30,100,NY\n2,25,200,SF\n3,35,150,NY\n4,25,50,LA\n")
+    val yaml =
+      s"""name: cli_attr
+         |source: { type: csv, path: "$in/*.csv", options: { header: true } }
+         |operations:
+         |  - { type: filter, condition: "age >= 25" }
+         |  - { type: filter, condition: "spend >= 100" }
+         |  - type: transform
+         |    params: { calculated_columns: { spend: "spend - 50" } }
+         |  - { type: filter, condition: "city = 'NY'" }
+         |attrition: { weight_column: spend }
+         |storage: { type: noop, path: "x" }
+         |""".stripMargin
+    val res = graft.core.Pipeline.execute(spark, graft.core.Pipeline.fromYaml(yaml))
+    assert(res.status == "success", res.errors.mkString("; "))
+    val table = Cli.renderAttrition(res.attrition)
+    assert(table == Seq(
+      "stage  op               rows_in  rows_out  dropped  weight_in  weight_out",
+      "1      FilterCondition  4        4         0        500        500",
+      "2      FilterCondition  4        3         1        500        450",
+      "3      Calculate        3        3         0        450        300",
+      "4      FilterCondition  3        2         1        300        150"),
+      s"rendered table:\n${table.mkString("\n")}")
+    // absent weights render as '-', and an empty report renders nothing
+    val noW = Cli.renderAttrition(Seq(
+      graft.core.OpCompiler.StageAttrition(1, "FilterCondition", 4L, 2L, None, None)))
+    assert(noW(1) == "1      FilterCondition  4        2         2        -          -")
+    assert(Cli.renderAttrition(Nil).isEmpty)
+  }
+
   test("run --dry-run prints the plan summary without executing") {
     val out = captureOut {
       Cli.main(Array("run", "examples/governed_pipeline.yaml", "--dry-run"))
