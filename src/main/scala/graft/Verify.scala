@@ -45,9 +45,25 @@ object Verify {
       }
     }
     val q = graft.core.Json.str _
+    // SF-aware golden oracles (round 12, VERDICT r11 #5): golden() pins
+    // engine output at sf0.01 — the driver's gate SF — so golden queries
+    // were excluded from the sf0.1 replication wholesale. Queries that
+    // ALSO have a committed golden at THIS run's SF (goldens/<sfLabel>/,
+    // cross-core-count-diffed before commit like every golden) get their
+    // dumped oracle pointed there; everything else keeps the sf0.01 path
+    // (and stays excluded from off-SF gates as before). The driver's own
+    // sf0.01 run is byte-identical to round 11's behavior.
+    val sfLabel = new java.io.File(sfDir).getName
+    def sfAwareOracle(name: String, sql: String): String = {
+      val sf001 = s"/root/repo/goldens/sf0.01/$name.parquet"
+      val here = s"/root/repo/goldens/$sfLabel/$name.parquet"
+      if (sfLabel != "sf0.01" && sql.contains(sf001) && new java.io.File(here).exists())
+        sql.replace(sf001, here)
+      else sql
+    }
     val json = SparkEntry.oracleSql
       .filter { case (k, _) => only.isEmpty || only(k) }
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      .map { case (k, v) => s"${q(k)}: ${q(sfAwareOracle(k, v))}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     // full registry, so the checker can flag rows-only queries that produced
     // NO output (a missing dir would otherwise vanish from the report)
