@@ -202,9 +202,12 @@ object QueriesLaws {
             .as("n_copies_missed"))
       val batch = d.select((col("doc_id") + 100000L).as("doc_id"),
         regexp_replace(col("text"), "\\s+\\S+\\s*$", "").as("text"))
+      // no isNotNull filter on the computed signature (the round-7
+      // expensive_scan_filter pathology — PlanLint caught this query's
+      // first formulation doing exactly that); explode(null) drops
+      // null-signature rows for free
       def bandKeys(df: DataFrame) = df
         .select(col("doc_id"), sig.as("__sig"))
-        .filter(col("__sig").isNotNull)
         .select(col("doc_id"), explode(Dedup.lshBandHashes(col("__sig"),
           loaded.bands, loaded.numHashes / loaded.bands)).as("__bh"))
         .select(col("doc_id"), xxhash64(col("__bh.band"), col("__bh.h")).as("__k"))

@@ -212,9 +212,13 @@ object Dedup {
                       fpp: Double = 0.001, expectedKeys: Long = -1L): NeardupBloom = {
     require(numHashes % bands == 0,
       s"neardupBloomFit: bands ($bands) must divide numHashes ($numHashes)")
+    // no isNotNull filter on the computed signature: a filter on a
+    // computed alias substitutes the whole minhash tree into the scan's
+    // data filters (the round-7 expensive_scan_filter pathology, and it
+    // evaluates the signature twice) — explode(null band array) already
+    // drops null-signature rows for free
     val keys = corpus
       .select(minhashSignature(col(textCol), shingleN, numHashes).as("__sig"))
-      .filter(col("__sig").isNotNull)
       .select(explode(lshBandHashes(col("__sig"), bands, numHashes / bands)).as("__bh"))
       .select(xxhash64(col("__bh.band"), col("__bh.h")).as("__k"))
     NeardupBloom(graft.ops.Scale.bloomBytes(keys, "__k", fpp, expectedKeys),

@@ -37,6 +37,7 @@ class PlanLintSpec extends SparkSpec {
     "q_near_dedup_law" -> Set("broadcast_nested_loop"),
     "q_near_dedup_keepbest_law" -> Set("broadcast_nested_loop"),
     "q_seen_bloom_law" -> Set("broadcast_nested_loop"),
+    "q_neardup_bloom_law" -> Set("broadcast_nested_loop"),
     "q_mojibake_law" -> Set("broadcast_nested_loop"),
     "q_dedup_clusters_law" -> Set("broadcast_nested_loop"),
     "q_semantic_dedup_law" -> Set("broadcast_nested_loop"),
