@@ -40,6 +40,14 @@ object QueriesText {
     d.unionByName(mutateLastWordDrop(d))
   }
 
+  /** Fixed prototype centroids for the q_proto_select / q_d4_select gates:
+    * the embeddings of vec_id 0–3, in id order — data-derived, so the SQL
+    * oracle reads the same four rows instead of replaying a Lloyd fit.
+    */
+  private def protoCentroids(e: org.apache.spark.sql.DataFrame): Array[Array[Double]] =
+    e.filter(col("vec_id") < 4).orderBy("vec_id").select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+
   val queries: Map[String, Q] = Map(
     "q_dedup_exact" -> ((s, dir) =>
       Dedup.exact(docsWithNearDups(s, dir), "text", "doc_id")
@@ -363,6 +371,34 @@ object QueriesText {
       graft.vec.SemDedup.semanticDupGroups(e.unionByName(copies), "vec_id", "embedding",
           threshold = 0.999, nClusters = 16)
         .orderBy("id")
+    }),
+
+    "q_proto_select" -> ((s, dir) => {
+      // SSL-prototype pruning (Sorscher et al. 2022) with FIXED centroids —
+      // the embeddings of vec_id 0–3 — so assignment (argmax rounded
+      // cosine, ties → min centroid index) and the per-cluster rank
+      // (cos desc, id asc) replay as plain SQL: a full VALUE gate over the
+      // audit map, not a zeros-law. The engine side ranks via distributed
+      // ordinals (no per-cluster window funnel); the oracle's window is
+      // fine at gate SFs.
+      val e = t(s, dir, "embeddings")
+      graft.vec.Prototypes.protoSelectMap(e, "vec_id", "embedding",
+          protoCentroids(e), 0.3)
+        .orderBy("vec_id")
+    }),
+
+    "q_d4_select" -> ((s, dir) => {
+      // D4 (Tirumala et al. 2023) end-to-end: SemDeDup at 0.999 over the
+      // corpus + exact copies (survivors = min id per identical-embedding
+      // group — SQL-replayable because the copies are bit-identical and no
+      // distinct pair reaches the threshold), then prototype pruning of
+      // the survivors against the fixed vec_id 0–3 centroids.
+      val e = t(s, dir, "embeddings")
+      val copies = e.withColumn("vec_id", col("vec_id") + 100000L)
+      graft.vec.Prototypes.d4Select(e.unionByName(copies), "vec_id", "embedding",
+          semThreshold = 0.999, semClusters = 16,
+          centroids = protoCentroids(e), pruneFraction = 0.25)
+        .select(col("vec_id")).orderBy("vec_id")
     }),
 
     "q_ann_lsh" -> ((s, dir) => {
@@ -1535,6 +1571,60 @@ object QueriesText {
     "q_deflate_ratio" -> golden("q_deflate_ratio"),
     "q_pq_encode" -> golden("q_pq_encode"),
     "q_semantic_dedup" -> golden("q_semantic_dedup"),
+
+    "q_proto_select" ->
+      // SSL-prototype audit map vs fixed centroids (embeddings of vec_id
+      // 0-3): cosine rounded to 6dp BEFORE argmax/rank (the q_ann_brute /
+      // q_semantic_contamination protocol), assignment ties -> min
+      // centroid index, rank ties -> min id, kept = rank > floor(0.3*n).
+      // Degenerate rows (none in this corpus, but the LEFT JOIN is the
+      // contract) stay kept with null cluster/rank.
+      """WITH c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS ce
+        |           FROM embeddings WHERE vec_id < 4),
+        |v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |a AS (SELECT v.vec_id, c.cid,
+        |        round(list_cosine_similarity(v.e, c.ce), 6) AS cos
+        |      FROM v CROSS JOIN c),
+        |best AS (SELECT vec_id, cid, cos FROM a
+        |         QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) = 1),
+        |rk AS (SELECT vec_id, cid, cos,
+        |         row_number() OVER (PARTITION BY cid ORDER BY cos DESC, vec_id) AS r,
+        |         count(*) OVER (PARTITION BY cid) AS n
+        |       FROM best),
+        |m AS (SELECT vec_id, CAST(cid AS INT) AS cluster, cos AS cos_to_centroid,
+        |        r AS proto_rank, (r > floor(0.3 * n)) AS kept FROM rk)
+        |SELECT e.vec_id, m.cluster, m.cos_to_centroid, m.proto_rank,
+        |  coalesce(m.kept, TRUE) AS kept
+        |FROM embeddings e LEFT JOIN m ON e.vec_id = m.vec_id
+        |ORDER BY e.vec_id""".stripMargin,
+
+    "q_d4_select" ->
+      // D4 = SemDeDup then prototype pruning. With exact copies and
+      // threshold 0.999, semantic survivors are min(vec_id) per identical
+      // embedding (no distinct pair reaches the threshold in this corpus);
+      // the prototype stage then replays exactly like q_proto_select at
+      // pruneFraction 0.25. NOT IN mirrors the engine's left_anti on the
+      // dropped set (degenerate rows never enter rk, so they survive).
+      """WITH u AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 100000, embedding FROM embeddings),
+        |sem AS (SELECT min(vec_id) AS vec_id, embedding FROM u GROUP BY embedding),
+        |c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS ce
+        |      FROM embeddings WHERE vec_id < 4),
+        |v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM sem),
+        |a AS (SELECT v.vec_id, c.cid,
+        |        round(list_cosine_similarity(v.e, c.ce), 6) AS cos
+        |      FROM v CROSS JOIN c),
+        |best AS (SELECT vec_id, cid, cos FROM a
+        |         QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) = 1),
+        |rk AS (SELECT vec_id,
+        |         row_number() OVER (PARTITION BY cid ORDER BY cos DESC, vec_id) AS r,
+        |         count(*) OVER (PARTITION BY cid) AS n
+        |       FROM best)
+        |SELECT s.vec_id FROM sem s
+        |WHERE s.vec_id NOT IN (SELECT vec_id FROM rk WHERE r <= floor(0.25 * n))
+        |ORDER BY s.vec_id""".stripMargin,
 
     "q_multimodal_features" ->
       // the pinned gradient pattern of Multimodal.syntheticPng recomputed
