@@ -368,6 +368,52 @@ object StreamOps {
     foreachBatchSink(df, checkpoint, intervalMs, outputMode)(
       graft.sources.BatchJournal.idempotent(journal, checkpoint)(handler))
 
+  /** GROWING near-dup ingest over a stream — the third leg of the
+    * streaming dedup family (seen_gate = frozen exact, neardup_gate =
+    * frozen near, this = near-dup against EVERYTHING ACCEPTED SO FAR,
+    * within-stream duplicates included). Per micro-batch: load the newest
+    * sketch version under `modelDir` (or `seed` before the first), run
+    * [[graft.text.Dedup.neardupIngestStep]] (probe → within-batch dedup →
+    * key fold), hand the survivors to `downstream`, persist the grown
+    * sketch as version=batchId, and journal the batch.
+    *
+    * Ordering IS the crash contract — downstream, THEN sketch save, THEN
+    * journal mark:
+    *  - crash before downstream: the on-disk sketch is the pre-batch one,
+    *    so the replay recomputes the identical survivor set;
+    *  - crash after downstream, before the save: replay recomputes the
+    *    same survivors and re-fires downstream — absorbed by downstream's
+    *    own idempotence (the journaled-sink discipline every shipped sink
+    *    here already has);
+    *  - crash after the save, before the mark: the replay probes the
+    *    GROWN sketch, so previously-accepted rows flag and nothing is
+    *    re-delivered; the one bounded divergence is a multi-hop
+    *    within-batch cluster member that shared no band with any survivor
+    *    — it can surface as a survivor on this replay only (the
+    *    documented two-store window, cf. BatchJournal's wrapper note).
+    *
+    * State stays one few-MB sketch regardless of stream volume; versions
+    * are whole `v=<batchId>` parquet dirs gated on _SUCCESS, so a torn
+    * write is invisible to the loader and a replayed batch re-writing its
+    * own version is idempotent.
+    */
+  def nearDedupIngestSink(stream: DataFrame, textCol: String, idCol: String,
+                          modelDir: String, seed: graft.text.Dedup.NeardupBloom,
+                          checkpoint: String, journal: graft.sources.BatchJournal,
+                          threshold: Double = 0.8, intervalMs: Long = 1000L)(
+      downstream: (DataFrame, Long) => Unit): DataStreamWriter[org.apache.spark.sql.Row] =
+    idempotentBatchSink(stream, checkpoint, journal, intervalMs, "append") { (batch, id) =>
+      val spark = batch.sparkSession
+      val model = graft.text.Dedup.loadLatestNeardupBloom(spark, modelDir)
+        .map(_._1).getOrElse(seed)
+      val (survivors, grown) =
+        graft.text.Dedup.neardupIngestStep(batch, textCol, idCol, model, threshold)
+      try {
+        downstream(survivors, id)
+        graft.text.Dedup.saveNeardupBloomVersion(spark, grown, modelDir, id)
+      } finally survivors.unpersist()
+    }
+
   /** Kafka producer sink (kafka_source.py:254-348 streaming parity). */
   def kafkaSink(df: DataFrame, bootstrapServers: String, topic: String,
                 checkpoint: String,

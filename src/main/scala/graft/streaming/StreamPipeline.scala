@@ -312,6 +312,39 @@ object StreamPipeline {
           mode = str(sink, "mode", "kv"), target = str(sink, "target", "graft"),
           ttlSeconds = str(sink, "ttl_seconds", "-1").toLong)
           .start()
+      case "neardup_ingest_kv" => // GROWING near-dup gate fused to the
+        // journaled KV sink: per micro-batch, screen against the
+        // accumulated accepted-corpus sketch, near-dedup within the batch,
+        // land the survivors in the KV store (its own journaled atomic
+        // apply, under a DISTINCT journal key — the outer batch journal
+        // must not see the inner commit and skip the sketch growth), then
+        // persist the grown sketch as v=<batchId>. See
+        // StreamOps.nearDedupIngestSink for the crash-ordering contract.
+        require(str(sink, "model_dir") != null, "neardup_ingest_kv requires model_dir")
+        require(str(sink, "checkpoint") != null, "neardup_ingest_kv requires checkpoint")
+        val ckpt = str(sink, "checkpoint")
+        val keyField = str(sink, "key_field", "doc_id")
+        val factory: () => graft.sources.AtomicKeyValueSink =
+          str(sink, "store", "memory") match {
+            case "memory" =>
+              val ns = str(sink, "namespace", conf.name)
+              () => new graft.sources.KeyValueSink.InMemoryKV(ns)
+            case other => throw new IllegalArgumentException(
+              s"Unknown kv store: $other (supported here: memory)")
+          }
+        val seed = graft.text.Dedup.emptyNeardupBloom(
+          str(sink, "shingle_n", "3").toInt, str(sink, "num_hashes", "64").toInt,
+          str(sink, "bands", "16").toInt, str(sink, "fpp", "0.001").toDouble,
+          str(sink, "expected_keys", "10000000").toLong)
+        StreamOps.nearDedupIngestSink(df, str(sink, "text_field", "text"), keyField,
+            str(sink, "model_dir"), seed, ckpt,
+            new graft.sources.BatchJournal.KvJournal(factory),
+            threshold = str(sink, "threshold", "0.8").toDouble) { (surv, id) =>
+          graft.sources.KeyValueSink.writeBatchJournaled(surv, keyField, factory,
+            s"__graft/journal/$ckpt/kv/$id", str(sink, "mode", "kv"),
+            str(sink, "target", "graft"), str(sink, "ttl_seconds", "-1").toLong)
+          ()
+        }.start()
       case other => throw new IllegalArgumentException(s"Unknown sink type: $other")
     }
   }

@@ -264,6 +264,99 @@ object Dedup {
         lit(false)))
   }
 
+  /** An EMPTY near-dup sketch sized for `expectedKeys` TOTAL band keys over
+    * its whole growth life (≈ accepted docs × bands) — the starting state
+    * of the growing ingest gate ([[neardupIngestStep]]). A bloom cannot be
+    * resized after creation, so capacity is a commissioning decision, like
+    * sizing the fitted variant's `expectedKeys`.
+    */
+  def emptyNeardupBloom(shingleN: Int = 3, numHashes: Int = 64, bands: Int = 16,
+                        fpp: Double = 0.001, expectedKeys: Long = 10000000L): NeardupBloom = {
+    require(numHashes % bands == 0,
+      s"emptyNeardupBloom: bands ($bands) must divide numHashes ($numHashes)")
+    val bf = org.apache.spark.util.sketch.BloomFilter.create(math.max(1L, expectedKeys), fpp)
+    val bos = new java.io.ByteArrayOutputStream()
+    bf.writeTo(bos)
+    NeardupBloom(bos.toByteArray, shingleN, numHashes, bands)
+  }
+
+  /** One micro-batch step of the GROWING near-dup ingest gate — the
+    * within-stream counterpart of the frozen [[neardupBloomFit]] gate:
+    *
+    *  1. [[neardupBloomApply]] drops rows near-duplicate to anything
+    *     ALREADY ACCEPTED (pure row-local probes, no joins);
+    *  2. [[nearDedup]] removes near-duplicates WITHIN the batch itself
+    *     (band equi-join + components + min-id election, batch-sized);
+    *  3. the survivors' band-bucket keys fold into the sketch for the
+    *     next batch.
+    *
+    * Returns (survivors, grown model). The fold is a driver-side putLong
+    * loop over the survivors' collected band hashes — rows × bands longs,
+    * bounded by the micro-batch size (the langIdFit driver-bound class),
+    * NOT by the corpus: the accumulated state stays one few-MB sketch no
+    * matter how much stream has passed. Growth is a set union, so
+    * re-applying the same batch is idempotent — the property the
+    * crash-replay contract of the stream wrapper leans on.
+    *
+    * The key fold reproduces [[graft.ops.Scale.bloomBytes]]'s hashing
+    * exactly (xxhash64 over the xxhash64(band, bucket) key — bloomBytes
+    * hashes its key column once more before putLong), so probes and
+    * growth stay in one key space.
+    */
+  def neardupIngestStep(batch: DataFrame, textCol: String, idCol: String,
+                        model: NeardupBloom, threshold: Double = 0.8,
+                        maxBucketSize: Int = 1000): (DataFrame, NeardupBloom) = {
+    val fresh = neardupBloomApply(batch, textCol, model)
+      .filter(!col("maybe_neardup")).drop("maybe_neardup")
+    // persisted: the key fold below is an action over the survivors, and
+    // the caller hands the SAME frame downstream — one LSH pass, not two
+    val survivors = nearDedup(fresh, textCol, idCol, model.shingleN,
+      model.numHashes, model.bands, threshold, maxBucketSize)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val hs = survivors
+      .select(minhashSignature(col(textCol), model.shingleN, model.numHashes).as("__sig"))
+      .select(explode(lshBandHashes(col("__sig"), model.bands,
+        model.numHashes / model.bands)).as("__bh"))
+      .select(xxhash64(xxhash64(col("__bh.band"), col("__bh.h"))).as("__h"))
+      .collect().map(_.getLong(0))
+    val bf = org.apache.spark.util.sketch.BloomFilter.readFrom(
+      new java.io.ByteArrayInputStream(model.bloom))
+    hs.foreach(bf.putLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    bf.writeTo(bos)
+    (survivors, model.copy(bloom = bos.toByteArray))
+  }
+
+  /** Versioned [[saveNeardupBloom]] for the growing gate: each accepted
+    * batch writes `dir/v=<version>` whole (Spark stamps _SUCCESS), so a
+    * crash mid-write can only leave a marker-less partial that
+    * [[loadLatestNeardupBloom]] ignores — no torn overwrite of the one
+    * live model, and a replayed batch re-writing its own version is
+    * idempotent.
+    */
+  def saveNeardupBloomVersion(spark: org.apache.spark.sql.SparkSession,
+                              model: NeardupBloom, dir: String, version: Long): Unit =
+    saveNeardupBloom(spark, model, s"$dir/v=$version")
+
+  /** Newest COMPLETE (_SUCCESS-marked) version under `dir`, or None if no
+    * batch has been accepted yet.
+    */
+  def loadLatestNeardupBloom(spark: org.apache.spark.sql.SparkSession,
+                             dir: String): Option[(NeardupBloom, Long)] = {
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(path)) return None
+    val versions = fs.listStatus(path).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("v="))
+      .filter(s => fs.exists(new org.apache.hadoop.fs.Path(s.getPath, "_SUCCESS")))
+      .map(_.getPath.getName.stripPrefix("v=").toLong)
+    if (versions.isEmpty) None
+    else {
+      val v = versions.max
+      Some((loadNeardupBloom(spark, s"$dir/v=$v"), v))
+    }
+  }
+
   // ---------------------------------------------------------------- MinHash + LSH
 
   /** k-permutation MinHash signature over word shingles, via the native

@@ -1139,4 +1139,97 @@ class StreamingSpec extends SparkSpec {
       assert(rows.toSeq == Seq(("lonely", -1L)), "unmatched left row must emit null-padded")
     } finally q.stop()
   }
+
+  test("nearDedupIngestSink: growing sketch dedups across AND within batches; no re-delivery after growth (round 12)") {
+    // the third streaming dedup leg: near-dup against EVERYTHING ACCEPTED
+    // SO FAR. Three micro-batches with cross-batch near-dups, a
+    // within-batch near-dup pair, and a same-batch duplicate of an
+    // already-accepted doc; then stream ≡ sequential-batch equivalence and
+    // the no-re-delivery property of the grown sketch.
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_nd_ingest").toString
+    def mk(p: String) = (1 to 30).map(i => s"$p$i").mkString(" ")
+    val (tA, tB, tC, tD) = (mk("a"), mk("b"), mk("c"), mk("d"))
+    def doc(id: Long, text: String) = Doc(t("2024-01-01 00:00:00"), id, text)
+    val b1 = Seq(doc(1, tA), doc(2, tA + " tail2"), doc(3, tB))   // 2 within-batch near-dups A
+    val b2 = Seq(doc(4, tA + " tail4"), doc(5, tC))               // 4 near-dups the ACCEPTED 1
+    val b3 = Seq(doc(6, tC + " tail6"), doc(7, tD), doc(8, tD + " tail8"))
+    val seed = graft.text.Dedup.emptyNeardupBloom(expectedKeys = 10000L)
+    val got = scala.collection.mutable.ArrayBuffer[Long]()
+    val journal = new graft.sources.BatchJournal.KvJournal(
+      () => new graft.sources.KeyValueSink.InMemoryKV("nd_ingest_journal"))
+    val input = MemoryStream[Doc]
+    val q = StreamOps.nearDedupIngestSink(input.toDF(), "text", "id",
+        s"$dir/model", seed, s"$dir/ckpt", journal, threshold = 0.7) { (surv, _) =>
+      got.synchronized { got ++= surv.select("id").as[Long].collect() }
+    }.start()
+    try {
+      input.addData(b1: _*); q.processAllAvailable()
+      input.addData(b2: _*); q.processAllAvailable()
+      input.addData(b3: _*); q.processAllAvailable()
+    } finally q.stop()
+    assert(got.toSet == Set(1L, 3L, 5L, 7L),
+      s"survivors: min-id per within-batch cluster, nothing near an accepted doc; got $got")
+
+    // stream ≡ the same batches pushed through neardupIngestStep by hand
+    var m = seed
+    val seqGot = scala.collection.mutable.ArrayBuffer[Long]()
+    Seq(b1, b2, b3).foreach { b =>
+      val (s, m2) = graft.text.Dedup.neardupIngestStep(
+        b.toDF().select(col("id"), col("text")), "text", "id", m, threshold = 0.7)
+      seqGot ++= s.select("id").as[Long].collect()
+      s.unpersist()
+      m = m2
+    }
+    assert(seqGot.toSet == got.toSet, "stream and sequential-batch application must agree")
+
+    // the newest _SUCCESS-gated version is batch 2's, and replaying batch 1
+    // against it re-delivers NOTHING (every member is near the accepted set)
+    val (latest, v) = graft.text.Dedup.loadLatestNeardupBloom(spark, s"$dir/model").get
+    assert(v == 2L, s"latest version should be the last batch id, got $v")
+    val (replay, _) = graft.text.Dedup.neardupIngestStep(
+      b1.toDF().select(col("id"), col("text")), "text", "id", latest, threshold = 0.7)
+    assert(replay.count() == 0L, "grown sketch must flag every already-screened doc")
+    replay.unpersist()
+  }
+
+  test("StreamPipeline: neardup_ingest_kv YAML sink grows the sketch and lands survivors in the journaled KV (round 12)") {
+    // the growing gate through the declared-pipeline path: two file
+    // micro-batches, cross-batch near-dup dropped, survivors land as KV
+    // puts (inner journal), sketch versions v=0,v=1 on disk (outer journal)
+    import graft.sources.KeyValueSink
+    val dir = java.nio.file.Files.createTempDirectory("graft_ndikv").toString
+    val ns = "nd_ingest_kv_test"
+    KeyValueSink.InMemoryKV.clear(ns)
+    def mk(p: String) = (1 to 30).map(i => s"$p$i").mkString(" ")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$dir/in"))
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/in/b1.json"),
+      s"""{"doc_id":1,"text":"${mk("a")}"}
+         |{"doc_id":2,"text":"${mk("b")}"}""".stripMargin)
+    val yaml =
+      s"""name: nd_ingest_kv
+         |stream_source: { type: file, path: "$dir/in", format: json, schema: "doc_id BIGINT, text STRING" }
+         |sink: { type: neardup_ingest_kv, text_field: text, key_field: doc_id,
+         |        model_dir: "$dir/model", checkpoint: "$dir/ckpt",
+         |        namespace: $ns, threshold: "0.7", expected_keys: "10000" }
+         |""".stripMargin
+    val q = graft.streaming.StreamPipeline.start(spark, graft.streaming.StreamPipeline.fromYaml(yaml))
+    try {
+      q.processAllAvailable()
+      // batch 2: one near-dup of the accepted doc 1, one fresh
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/in/b2.json"),
+        s"""{"doc_id":3,"text":"${mk("a")} tail3"}
+           |{"doc_id":4,"text":"${mk("z")}"}""".stripMargin)
+      q.processAllAvailable()
+    } finally q.stop()
+    val landed = KeyValueSink.InMemoryKV.keys(ns)
+      .filterNot(_.contains("__graft/journal/"))
+      .map(_.stripPrefix(s"$ns/").toLong).toSet
+    assert(landed == Set(1L, 2L, 4L),
+      s"cross-batch near-dup (3) must drop; survivors land as KV puts: $landed")
+    assert(KeyValueSink.InMemoryKV.keys(ns).exists(_.contains("__graft/journal/")),
+      "both journals live in the sink's own store")
+    val (_, v) = graft.text.Dedup.loadLatestNeardupBloom(spark, s"$dir/model").get
+    assert(v == 1L, s"sketch must have grown through both batches, latest v=$v")
+  }
 }
