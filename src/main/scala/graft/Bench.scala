@@ -273,7 +273,9 @@ object Bench {
     "q_lang_id_model",       // char-trigram lang-ID fit + pure-map apply
     "q_repetition_signals",  // Gopher A1.1 family: line kernel + gram aggregate
     "q_c4_clean",            // C4/T5 line rules + page gates (pure map)
-    "q_soft_dedup"           // SoftDeDup weighting: one sha2-key window
+    "q_soft_dedup",          // SoftDeDup weighting: one sha2-key window
+    // round-12 session-2 addition (same from-birth rule)
+    "q_proto_select"         // SSL prototypes: k dots/row + distributed-ordinal rank
   )
 
   /** Secondary ring (VERDICT r7 #8): the heaviest CORRECTNESS-only law
