@@ -61,7 +61,8 @@ object GraftFunctions {
     "graft_word_gram_hashes" -> (exprs => WordGramHashes(exprs.head, intLit(exprs(1), "k"))),
     "graft_winnow_mins" -> (exprs => WinnowMins(exprs.head, intLit(exprs(1), "w"))),
     "graft_deflate_ratio" -> (exprs => DeflateRatio(exprs.head)),
-    "graft_html_unescape" -> (exprs => HtmlEntityDecode(exprs.head)))
+    "graft_html_unescape" -> (exprs => HtmlEntityDecode(exprs.head)),
+    "graft_token_entropy" -> (exprs => TokenEntropy(exprs.head)))
 
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry

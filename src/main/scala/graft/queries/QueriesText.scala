@@ -186,6 +186,16 @@ object QueriesText {
           roundf(col("stopword_ratio"), 6).as("stopword_ratio"))
         .orderBy("doc_id")),
 
+    "q_rpv2_extras" -> ((s, dir) =>
+      // the RPV2 residual signals: native per-doc unigram entropy (one
+      // hash-map pass, no shuffle), lorem-ipsum and curly-bracket ratios
+      TextLib.rpv2Extras(t(s, dir, "documents").select("doc_id", "text"), "text")
+        .select(col("doc_id"),
+          roundf(col("unigram_entropy"), 6).as("unigram_entropy"),
+          roundf(col("lorem_ipsum_ratio"), 8).as("lorem_ipsum_ratio"),
+          roundf(col("curly_bracket_ratio"), 8).as("curly_bracket_ratio"))
+        .orderBy("doc_id")),
+
     "q_text_quality_score" -> ((s, dir) =>
       TextLib.qualityScore(t(s, dir, "documents"), "text")
         .select("doc_id", "quality_score")
@@ -2417,6 +2427,29 @@ object QueriesText {
         |  CAST(len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS INT) AS n_ws_tokens,
         |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS INT) AS n_bpe_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_rpv2_extras" ->
+      // unigram entropy replayed from the same normalized-token convention
+      // (empties dropped); lorem-ipsum occurrences via replace-length
+      // arithmetic (== the engine's split-count for a non-overlapping
+      // literal); ratios nudged + rounded per the roundf convention
+      """WITH d AS (SELECT doc_id, text,
+        |  trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS nt FROM documents),
+        |tok AS (SELECT doc_id, w FROM (
+        |    SELECT doc_id, unnest(string_split(nt, ' ')) AS w FROM d) WHERE w <> ''),
+        |f AS (SELECT doc_id, w, count(*) AS c FROM tok GROUP BY doc_id, w),
+        |tot AS (SELECT doc_id, sum(c) AS t FROM f GROUP BY doc_id),
+        |ent AS (SELECT f.doc_id,
+        |          sum(-(CAST(c AS DOUBLE) / t) * ln(CAST(c AS DOUBLE) / t)) AS e
+        |        FROM f JOIN tot USING (doc_id) GROUP BY f.doc_id)
+        |SELECT d.doc_id,
+        |  round(ent.e + 1e-9, 6) AS unigram_entropy,
+        |  round(((length(lower(d.text)) - length(replace(lower(d.text), 'lorem ipsum', ''))) / 11.0)
+        |        / nullif(length(d.text), 0) + 1e-9, 8) AS lorem_ipsum_ratio,
+        |  round(CAST(length(d.text) - length(replace(replace(d.text, '{', ''), '}', '')) AS DOUBLE)
+        |        / nullif(length(d.text), 0) + 1e-9, 8) AS curly_bracket_ratio
+        |FROM d LEFT JOIN ent ON d.doc_id = ent.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
 
     "q_vocabulary" ->
       """WITH toks AS (

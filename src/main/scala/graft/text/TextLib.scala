@@ -132,6 +132,42 @@ object TextLib {
         (when(col("stopword_ratio") > 0.05, 0.1).otherwise(0.0)), 2))
   }
 
+  /** The RedPajama-V2 residual quality signals not already covered by
+    * [[qualityFeatures]] / [[gopherRules]] / [[c4Clean]] /
+    * [[repetitionSignals]] (those families carry the other ~35 RPV2-class
+    * signals between them):
+    *
+    *  - `unigram_entropy` (`rps_doc_unigram_entropy`): Shannon entropy of
+    *    the document's own token distribution via the native
+    *    [[graft.expr.TokenEntropy]] kernel — one hash-map pass per row,
+    *    no shuffle (the explode→groupBy formulation would shuffle the
+    *    whole token stream for a row-local quantity). Low entropy flags
+    *    keyword-stuffed / boilerplate pages whose dupe-gram fractions
+    *    look clean.
+    *  - `lorem_ipsum_ratio` (`rps_doc_lorem_ipsum`): occurrences of
+    *    "lorem ipsum" in the lowercased text per character — template
+    *    pages shipped unfilled.
+    *  - `curly_bracket_ratio` (`rps_doc_curly_bracket`): '{'/'}' chars
+    *    per character — code/JSON masquerading as prose.
+    *
+    * Ratios stay raw (the [[qualityFeatures]] rounding convention);
+    * null/empty text yields null signals (nullif denominators, and the
+    * entropy kernel nulls on zero surviving tokens). Pure per-row map.
+    */
+  def rpv2Extras(df: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val chars = nullif(length(t).cast("double"), lit(0.0))
+    val lw = lower(t)
+    df.withColumn("unigram_entropy",
+        graft.expr.TokenEntropy(split(normalized(t), " ")))
+      // non-overlapping occurrence count: split on the literal (no regex
+      // metachars in "lorem ipsum") leaves occurrences+1 pieces
+      .withColumn("lorem_ipsum_ratio",
+        (size(split(lw, "lorem ipsum", -1)) - 1).cast("double") / chars)
+      .withColumn("curly_bracket_ratio",
+        (length(t) - length(translate(t, "{}", ""))).cast("double") / chars)
+  }
+
   /** Gopher-rules document gate (Rae et al. 2021, "Scaling Language Models:
     * Methods, Analysis & Insights from Training Gopher", Appendix A1.1 —
     * the heuristic baseline FineWeb/Dolma-class pipelines still start

@@ -134,6 +134,11 @@ class ExprParitySweepSpec extends SparkSpec {
       "graft.expr.LineDedup" -> (() => run(lineDf, "id",
         LineDedup(col("t"), 1), LineDedup(col("t"), 0), LineDedup(col("t"), 5))),
       "graft.expr.LineRepStats" -> (() => run(lineDf, "id", LineRepStats(col("t")))),
+      "graft.expr.TokenEntropy" -> (() => run(textDf, "id",
+        // both modes call the same entropy body with insertions in array
+        // order, so the map iteration — and the float sum — is identical
+        TokenEntropy(split(col("t"), " ")),
+        TokenEntropy(split(lit(null).cast("string"), " ")))),
       "graft.expr.WinnowMins" -> (() => run(textDf, "id",
         WinnowMins(WordGramHashes(col("t"), 2), 3))),
       "graft.expr.MinHashSig" -> (() => run(textDf, "id", sig(col("t")))),

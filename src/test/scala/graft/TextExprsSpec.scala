@@ -488,4 +488,34 @@ class TextExprsSpec extends SparkSpec {
     assert(wallSec < 30.0,
       f"60k-line document took $wallSec%.1f s — the kernel should be linear (ms), not quadratic")
   }
+
+  test("TokenEntropy: hand-checked values, null/empty conventions, RPV2 extras (round 12)") {
+    // entropy of {a:2, b:1, c:1} = ln(4) - (2/4)ln(2) = 1.0397...;
+    // uniform over 2 = ln 2; single token = 0; empty/null → null
+    val df = Seq(
+      (0, "a b a c"),
+      (1, "x y"),
+      (2, "solo"),
+      (3, ""),
+      (4, null.asInstanceOf[String]),
+      (5, "a  a")                                  // empty split tokens skipped
+    ).toDF("id", "t")
+    val got = df.select(col("id"),
+        graft.expr.TokenEntropy(split(col("t"), " ")).as("e"))
+      .orderBy("id").collect()
+      .map(r => if (r.isNullAt(1)) None else Some(r.getDouble(1)))
+    val ln2 = math.log(2)
+    assert(math.abs(got(0).get - (math.log(4) - 0.5 * ln2)) < 1e-12)
+    assert(math.abs(got(1).get - ln2) < 1e-12)
+    assert(got(2).get == 0.0)
+    assert(got(3).isEmpty && got(4).isEmpty, "empty/null text → null entropy")
+    assert(got(5).get == 0.0, "double space yields empty tokens that must be skipped")
+
+    // rpv2Extras wiring: lorem-ipsum occurrences and brace ratio
+    val sig = TextLib.rpv2Extras(
+        Seq((0, "Lorem ipsum dolor lorem ipsum"), (1, "{\"k\": 1} plain")).toDF("id", "t"), "t")
+      .orderBy("id").collect()
+    assert(math.abs(sig(0).getDouble(3) - 2.0 / 29) < 1e-12, "two lorem-ipsum hits / 29 chars")
+    assert(math.abs(sig(1).getDouble(4) - 2.0 / 14) < 1e-12, "two braces / 14 chars")
+  }
 }
