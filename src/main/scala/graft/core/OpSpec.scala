@@ -266,6 +266,33 @@ object OpCompiler {
 
   private def intSeq(p: Map[String, Any], k: String): Seq[Int] = seqOf(p, k).map(_.toInt)
 
+  /** Prototype centroids for proto_prune / d4_select: `centroid_ids`
+    * (list or comma string of id values, matched as strings) pins the
+    * centroids to data rows — deterministic AND replayable by a plain SQL
+    * oracle; absent, a hash-gated id-sorted driver-Lloyd fit on the frame
+    * (`k`, `seed`, `max_train_rows` — the Prototypes.protoFit protocol).
+    */
+  private def protoCentroidsFor(df: org.apache.spark.sql.DataFrame, p: Map[String, Any],
+                                idCol: String, vecCol: String): Array[Array[Double]] = {
+    import org.apache.spark.sql.functions.col
+    Option(s(p, "centroid_ids")).map(_.split(",").map(_.trim).toSeq).orElse {
+      Some(seqOf(p, "centroid_id_list")).filter(_.nonEmpty)
+    } match {
+      case Some(ids) =>
+        val rows = df.filter(col(idCol).cast("string").isin(ids: _*))
+          .orderBy(col(idCol)).select(col(vecCol)).collect()
+        require(rows.nonEmpty, s"proto centroids: no rows matched centroid ids ${ids.mkString(",")}")
+        rows.map(_.getSeq[Any](0).map {
+          case f: java.lang.Float => f.toDouble
+          case n: java.lang.Number => n.doubleValue()
+        }.toArray)
+      case None =>
+        graft.vec.Prototypes.protoFit(df, idCol, vecCol,
+          s(p, "k", "64").toInt, s(p, "seed", "42").toLong,
+          s(p, "max_train_rows", "100000").toInt)
+    }
+  }
+
   private def pairs(p: Map[String, Any], k: String): Seq[(String, String)] = p.get(k) match {
     case Some(m: java.util.Map[_, _]) =>
       scala.jdk.CollectionConverters.MapHasAsScala(m).asScala.toSeq.flatMap {
@@ -474,6 +501,9 @@ object OpCompiler {
           s(p, "max_gram_df", Long.MaxValue.toString).toLong)
       case "quality_features" => TextLib.qualityFeatures(df, text)
       case "quality_score"    => TextLib.qualityScore(df, text)
+      case "rpv2_extras" => // RPV2 residual signals: native unigram
+        // entropy, lorem-ipsum ratio, curly-bracket ratio
+        TextLib.rpv2Extras(df, text)
       case "soft_dedup" => // reweight-instead-of-drop exact dedup
         TextLib.softDedupWeights(df, text)
       case "fix_mojibake" => // ftfy-style one-layer encoding repair, in place
@@ -908,6 +938,29 @@ object OpCompiler {
           threshold = s(p, "threshold", "0.95").toDouble,
           nClusters = s(p, "n_clusters", "64").toInt,
           keep = s(p, "keep", "far_from_centroid"))
+      case "proto_prune" => // SSL prototypes (Sorscher et al. 2022): drop
+        // the most-prototypical prune_fraction of every embedding cluster
+        // (keep the hard tail). centroid_ids pins centroids to data rows
+        // (the oracle-replayable path); otherwise a deterministic Lloyd
+        // fit on the incoming frame (k/seed/max_train_rows).
+        val ppVec = s(p, "vector_column", "embedding")
+        val ppId = s(p, "id_column", "vec_id")
+        graft.vec.Prototypes.protoApply(df, ppId, ppVec,
+          protoCentroidsFor(df, p, ppId, ppVec),
+          s(p, "prune_fraction", "0.3").toDouble)
+      case "d4_select" => // D4 (Tirumala et al. 2023): SemDeDup, then
+        // prototype-prune the survivors; centroids resolve AFTER the
+        // semantic stage (the paper re-clusters deduped data — duplicate
+        // mass must not drag centroids toward itself)
+        val d4Vec = s(p, "vector_column", "embedding")
+        val d4Id = s(p, "id_column", "vec_id")
+        val d4Surv = graft.vec.SemDedup.semanticDedup(df, d4Id, d4Vec,
+          threshold = s(p, "threshold", "0.95").toDouble,
+          nClusters = s(p, "n_clusters", "64").toInt,
+          keep = s(p, "keep", "far_from_centroid"))
+        graft.vec.Prototypes.protoApply(d4Surv, d4Id, d4Vec,
+          protoCentroidsFor(d4Surv, p, d4Id, d4Vec),
+          s(p, "prune_fraction", "0.3").toDouble)
       case "pq_encode" => // encode with a stored model, or train-on-the-frame
         // model_path: ENCODE WITH YESTERDAY'S CODEBOOK (appendable index);
         // without it the op trains on the incoming frame (deterministic)

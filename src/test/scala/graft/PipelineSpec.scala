@@ -807,6 +807,46 @@ class PipelineSpec extends SparkSpec {
     assert(codes.forall(_.length == 2), "m=2 -> 2-byte codes")
   }
 
+  test("proto_prune / d4_select / rpv2_extras ops dispatch through YAML params (round 12)") {
+    // axis-aligned embedding clusters with pinned centroid rows (ids 0/10)
+    // — the centroid_ids path, matching the PrototypesSpec fixture shape
+    val e = Seq(
+      (0L, Seq(1f, 0f, 0f, 0f)), (1L, Seq(0.99f, 0.1f, 0f, 0f)),
+      (2L, Seq(0.9f, 0.3f, 0f, 0f)), (3L, Seq(0.7f, 0.5f, 0f, 0f)),
+      (10L, Seq(0f, 1f, 0f, 0f)), (11L, Seq(0.3f, 0.9f, 0f, 0f))
+    ).toDF("vec_id", "embedding")
+    val prune = PipelineConfig.parseOp(Map("type" -> "text_processing",
+      "operation" -> "proto_prune", "id_column" -> "vec_id",
+      "vector_column" -> "embedding", "centroid_ids" -> "0,10",
+      "prune_fraction" -> "0.5"))
+    val kept = graft.core.OpCompiler.compile(Seq(prune))(e)
+      .select("vec_id").as[Long].collect().toSet
+    // cluster 0 = {0,1,2,3}: drop the 2 most prototypical (0,1);
+    // cluster 1 = {10,11}: drop 10
+    assert(kept == Set(2L, 3L, 11L))
+
+    // d4_select: add exact copies; the semantic stage kills them before
+    // the prototype stage prunes (same floor law on the survivors)
+    val copies = e.withColumn("vec_id", $"vec_id" + 1000L)
+    val d4 = PipelineConfig.parseOp(Map("type" -> "text_processing",
+      "operation" -> "d4_select", "id_column" -> "vec_id",
+      "vector_column" -> "embedding", "threshold" -> "0.999",
+      "n_clusters" -> "4", "centroid_ids" -> "0,10",
+      "prune_fraction" -> "0.5"))
+    val d4Kept = graft.core.OpCompiler.compile(Seq(d4))(e.unionByName(copies))
+      .select("vec_id").as[Long].collect().toSet
+    assert(d4Kept == Set(2L, 3L, 11L), s"copies die, then prototypes prune: $d4Kept")
+
+    // rpv2_extras: signals appended in place
+    val docs = Seq((1L, "lorem ipsum {x} lorem ipsum")).toDF("doc_id", "text")
+    val rp = PipelineConfig.parseOp(Map("type" -> "text_processing",
+      "operation" -> "rpv2_extras", "text_column" -> "text"))
+    val sig = graft.core.OpCompiler.compile(Seq(rp))(docs).collect()(0)
+    assert(sig.getDouble(sig.fieldIndex("unigram_entropy")) > 0.0)
+    assert(math.abs(sig.getDouble(sig.fieldIndex("lorem_ipsum_ratio")) - 2.0 / 27) < 1e-12)
+    assert(math.abs(sig.getDouble(sig.fieldIndex("curly_bracket_ratio")) - 2.0 / 27) < 1e-12)
+  }
+
   test("clustering op: dbscan algorithm dispatches through YAML params") {
     // two standardized blobs + an outlier; min_samples=2 keeps blobs, the
     // far point is noise (-1)
