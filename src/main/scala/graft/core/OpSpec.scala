@@ -632,8 +632,16 @@ object OpCompiler {
         val weights = seqOf(p, "weights").map(_.toDouble)
         require(labels.nonEmpty && labels.length == weights.length,
           "assign_split requires params.labels and params.weights of equal length")
-        graft.ops.Scale.assignSplit(df, s(p, "key_column", id), labels.zip(weights),
-          s(p, "salt", "42").toInt, s(p, "output_column", "split"))
+        Option(s(p, "clusters_table")) match {
+          case Some(ct) => // leakage-safe: gate on the duplicate-cluster key
+            require(tables != null, "assign_split with clusters_table requires a table catalog")
+            graft.ops.Scale.assignSplitLeakageSafe(df, s(p, "key_column", id),
+              tables(ct), labels.zip(weights),
+              s(p, "salt", "42").toInt, s(p, "output_column", "split"))
+          case None =>
+            graft.ops.Scale.assignSplit(df, s(p, "key_column", id), labels.zip(weights),
+              s(p, "salt", "42").toInt, s(p, "output_column", "split"))
+        }
       case "repeat_epochs" =>
         require(s(p, "group_column") != null,
           "repeat_epochs requires params.group_column (the mixture/domain column)")

@@ -286,6 +286,50 @@ object Scale {
     df.withColumn(outCol, labelCol.get)
   }
 
+  /** LEAKAGE-SAFE split assignment: every member of a duplicate cluster
+    * lands in the SAME split. Hash-splitting on the document id — the
+    * industry default [[assignSplit]] implements — quietly leaks eval
+    * into train whenever the corpus still contains duplicates or
+    * near-duplicates of a held-out document (the contamination channel
+    * Lee et al. 2022, "Deduplicating Training Data Makes Language Models
+    * Better", measure on standard benchmarks). The fix is structural:
+    * gate on the CLUSTER id (component-min id), not the row id, so a
+    * whole duplicate family moves between splits as one unit.
+    *
+    * `clusters` = (id, cluster_id) labels — [[graft.text.Dedup]]'s
+    * clusterCandidates output, an exactDupMap rename, or semantic groups
+    * alike; rows absent from it are singletons gated on their own id
+    * (consistent: a component-min labeling maps every survivor to
+    * itself). Proportions are therefore over CLUSTERS, the only
+    * leakage-safe allocation; they converge to row proportions as
+    * duplicate mass thins.
+    *
+    * `gateOf` maps the resolved cluster key to a bucket in [0, 1e6) —
+    * callers that need cross-engine replay pass an md5-derived gate (the
+    * [[assignSplit]] gate convention); None uses the salted xxhash64
+    * default.
+    *
+    * Scale shape: one id-keyed left join (the cluster frame is duplicate
+    * mass, usually broadcast-small) + [[assignSplit]]'s pure-map gate;
+    * the corpus never shuffles on the cluster key.
+    */
+  def assignSplitLeakageSafe(
+      df: DataFrame,
+      idCol: String,
+      clusters: DataFrame,
+      splits: Seq[(String, Double)],
+      salt: Int = 42,
+      outCol: String = "split",
+      gateOf: Option[Column => Column] = None
+  ): DataFrame = {
+    val lab = clusters.select(col("id").as(idCol), col("cluster_id").as("__ls_key"))
+    val keyed = df.join(lab, Seq(idCol), "left")
+      .withColumn("__ls_key", coalesce(col("__ls_key"), col(idCol)))
+    assignSplit(keyed, "__ls_key", splits, salt, outCol,
+      gate = gateOf.map(g => g(col("__ls_key"))))
+      .drop("__ls_key")
+  }
+
   /** Epoch-style data repetition — the explicit UPSAMPLING complement of
     * temperatureSample's drop-only stance: each group is repeated
     * `epochs(group)` times, fractional epochs resolved per row by the

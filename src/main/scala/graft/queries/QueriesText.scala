@@ -1226,6 +1226,25 @@ object QueriesText {
         .select("doc_id", "lang", "split")
         .orderBy("doc_id")),
 
+    "q_split_leakage_safe" -> ((s, dir) => {
+      // exact copies of every 5th doc under shifted ids: a copy MUST land
+      // in its source's split (hash-splitting on doc_id would scatter the
+      // family — the eval-leakage hole). Gate on the exact-dup cluster key
+      // (min id per normalized text), md5-derived for cross-engine replay.
+      val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val u = d.unionByName(d.filter(col("doc_id") % 5 === 0)
+        .withColumn("doc_id", col("doc_id") + 500000L))
+      val clusters = Dedup.exactDupMap(u, "text", "doc_id")
+        .select(col("member").as("id"), col("survivor").as("cluster_id"))
+      graft.ops.Scale.assignSplitLeakageSafe(u, "doc_id", clusters,
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
+          gateOf = Some(k =>
+            conv(substring(md5(concat(lit("12s:"), k.cast("string"))), 1, 15), 16, 10)
+              .cast("long") % 1000000L))
+        .select(col("doc_id"), col("split"))
+        .orderBy("doc_id")
+    }),
+
     "q_repeat_epochs" -> ((s, dir) =>
       // 2.5 epochs of English, 0.5 of German, 1 of everything else
       graft.ops.Scale.repeatEpochs(t(s, dir, "documents"), "lang", "doc_id",
@@ -2635,6 +2654,29 @@ object QueriesText {
         |      % 1000000 AS BIGINT) AS bk
         |  FROM documents)
         |SELECT doc_id, lang,
+        |  CASE WHEN bk < CAST(floor(0.8 * 1000000.0 + 0.000001) AS BIGINT) THEN 'train'
+        |       WHEN bk < CAST(floor((0.8 + 0.1) * 1000000.0 + 0.000001) AS BIGINT) THEN 'val'
+        |       WHEN bk < CAST(floor(((0.8 + 0.1) + 0.1) * 1000000.0 + 0.000001) AS BIGINT) THEN 'test'
+        |  END AS split
+        |FROM b ORDER BY doc_id""".stripMargin,
+
+    "q_split_leakage_safe" ->
+      // cluster key = min doc_id per normalized text (null text -> own id,
+      // matching exactDupMap's null screen); then the assign_split gate
+      // arithmetic on the CLUSTER key
+      """WITH u AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 500000, text FROM documents WHERE doc_id % 5 = 0),
+        |n AS (SELECT doc_id,
+        |        trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS nt FROM u),
+        |g AS (SELECT doc_id,
+        |        CASE WHEN nt IS NULL THEN doc_id
+        |             ELSE min(doc_id) OVER (PARTITION BY nt) END AS ckey FROM n),
+        |b AS (SELECT doc_id,
+        |        CAST(CAST('0x' || substr(md5('12s:' || CAST(ckey AS VARCHAR)), 1, 15) AS BIGINT)
+        |          % 1000000 AS BIGINT) AS bk FROM g)
+        |SELECT doc_id,
         |  CASE WHEN bk < CAST(floor(0.8 * 1000000.0 + 0.000001) AS BIGINT) THEN 'train'
         |       WHEN bk < CAST(floor((0.8 + 0.1) * 1000000.0 + 0.000001) AS BIGINT) THEN 'val'
         |       WHEN bk < CAST(floor(((0.8 + 0.1) + 0.1) * 1000000.0 + 0.000001) AS BIGINT) THEN 'test'

@@ -481,4 +481,38 @@ class ScaleSpec extends SparkSpec {
       .select($"id", $"grp", $"epoch").as[(Long, String, Int)].collect()
     assert(again.sortBy(r => (r._1, r._3)).toSeq == out.sortBy(r => (r._1, r._3)).toSeq)
   }
+
+  test("assignSplitLeakageSafe: cluster members share a split; singletons match plain assignSplit (round 12)") {
+    // 3000 singleton docs + duplicate families of sizes 2..4 labeled by a
+    // component-min cluster frame (the clusterCandidates output shape)
+    val singles = (1L to 3000L).map(i => (i, -1L))
+    val fams = (0 until 300).flatMap { f =>
+      val base = 10000L + f * 10
+      val size = 2 + f % 3
+      (0 until size).map(m => (base + m, base)) // (id, cluster_id)
+    }
+    val df = (singles.map(_._1) ++ fams.map(_._1)).toDF("id")
+    val clusters = fams.toDF("id", "cluster_id")
+    val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val out = Scale.assignSplitLeakageSafe(df, "id", clusters, splits)
+      .select($"id", $"split").as[(Long, String)].collect().toMap
+    // leakage property: every family member shares the family's split
+    fams.groupBy(_._2).foreach { case (_, members) =>
+      val got = members.map(m => out(m._1)).distinct
+      assert(got.length == 1, s"family split must be uniform, got $got")
+    }
+    // singleton property: identical to plain assignSplit on the own id
+    val plain = Scale.assignSplit((1L to 3000L).toDF("id"), "id", splits)
+      .select($"id", $"split").as[(Long, String)].collect().toMap
+    assert((1L to 3000L).forall(i => out(i) == plain(i)))
+    // proportions over clusters stay near the weights
+    val fTrain = out.values.count(_ == "train").toDouble / out.size
+    assert(fTrain > 0.74 && fTrain < 0.86, s"train fraction $fTrain")
+    // leakage demonstration: plain id-splitting scatters at least one family
+    val naive = Scale.assignSplit(df, "id", splits)
+      .select($"id", $"split").as[(Long, String)].collect().toMap
+    val scattered = fams.groupBy(_._2).exists { case (_, ms) =>
+      ms.map(m => naive(m._1)).distinct.length > 1 }
+    assert(scattered, "the fixture should demonstrate the leakage hole being closed")
+  }
 }
