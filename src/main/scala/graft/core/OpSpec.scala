@@ -940,6 +940,18 @@ object OpCompiler {
       case "l2_normalize" =>
         graft.vec.VectorOps.l2Normalize(df, s(p, "vector_column", "embedding"),
           s(p, "output_column", "unit"))
+      case "embed_meanpool" => // chunk→doc pooling: weighted positional
+        // mean per group (+ optional renorm); REPLACES the frame with one
+        // row per group
+        require(seqOf(p, "group_by").nonEmpty,
+          "embed_meanpool requires params.group_by (key columns)")
+        graft.vec.VectorOps.meanPool(df, seqOf(p, "group_by"),
+          s(p, "vector_column", "embedding"), s(p, "output_column", "pooled"),
+          Option(s(p, "weight_column")), s(p, "renorm", "false").toBoolean)
+      case "mrl_truncate" => // Matryoshka prefix truncation + renorm
+        require(s(p, "dims") != null, "mrl_truncate requires params.dims")
+        graft.vec.VectorOps.truncateRenorm(df, s(p, "vector_column", "embedding"),
+          s(p, "dims").toInt, s(p, "output_column", "trunc"))
       case "semantic_dedup" => // SemDeDup: embedding-space dedup, one survivor/group
         graft.vec.SemDedup.semanticDedup(df, s(p, "id_column", "vec_id"),
           s(p, "vector_column", "embedding"),

@@ -284,6 +284,26 @@ object QueriesText {
         .agg(count(lit(1)).as("n"), round(avg(col("nrm")), 4).as("avg_norm"))
         .orderBy("label")),
 
+    "q_embed_meanpool" -> ((s, dir) => {
+      // chunk→doc pooling surrogate: weighted positional mean per label +
+      // renorm, emitted as (label, pos, v) rows — the checker compares
+      // scalars, not lists. Weight = vec_id%5+1 exercises the weighted arm.
+      val e = t(s, dir, "embeddings")
+      graft.vec.VectorOps.meanPool(
+          e.withColumn("w", (col("vec_id") % 5 + 1).cast("double")),
+          Seq("label"), "embedding", weightCol = Some("w"), renorm = true)
+        .select(col("label"), posexplode(col("pooled")).as(Seq("pos", "v")))
+        .withColumn("v", round(col("v") + lit(1e-9), 6))
+        .orderBy("label", "pos")
+    }),
+
+    "q_mrl_truncate" -> ((s, dir) =>
+      // Matryoshka prefix truncation + renorm at 16 of 64 dims
+      graft.vec.VectorOps.truncateRenorm(t(s, dir, "embeddings"), "embedding", 16)
+        .select(col("vec_id"), posexplode(col("trunc")).as(Seq("pos", "v")))
+        .withColumn("v", round(col("v") + lit(1e-9), 6))
+        .orderBy("vec_id", "pos")),
+
     "q_ann_brute" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       Similarity.bruteTopK(e, "vec_id", "embedding",
@@ -2493,6 +2513,30 @@ object QueriesText {
         |  CAST(length(substring(text, chunk_idx * 150 + 1, 200)) AS INT) AS chunk_len,
         |  substring(text, chunk_idx * 150 + 1, 20) AS chunk_head
         |FROM c ORDER BY doc_id, chunk_idx NULLS FIRST""".stripMargin,
+
+    "q_embed_meanpool" ->
+      // positional weighted mean per (label, pos), norm over the pooled
+      // vector, both engines round at 6dp with the nudge (sum-order ulps)
+      """WITH x AS (
+        |  SELECT label, CAST(vec_id % 5 + 1 AS DOUBLE) AS w,
+        |    generate_subscripts(embedding, 1) AS pos,
+        |    CAST(unnest(embedding) AS DOUBLE) AS v
+        |  FROM embeddings),
+        |m AS (SELECT label, pos, sum(v * w) / sum(w) AS mv FROM x GROUP BY label, pos),
+        |nrm AS (SELECT label, sqrt(sum(mv * mv)) AS n FROM m GROUP BY label)
+        |SELECT m.label, CAST(m.pos - 1 AS INT) AS pos,
+        |  round(CASE WHEN nrm.n = 0 THEN m.mv ELSE m.mv / nrm.n END + 1e-9, 6) AS v
+        |FROM m JOIN nrm USING (label)
+        |ORDER BY label, pos""".stripMargin,
+
+    "q_mrl_truncate" ->
+      """WITH s AS (SELECT vec_id, CAST(embedding[1:16] AS DOUBLE[]) AS tv FROM embeddings),
+        |n AS (SELECT vec_id, tv,
+        |        sqrt(list_sum(list_transform(tv, x -> x * x))) AS nrm FROM s),
+        |e AS (SELECT vec_id, generate_subscripts(tv, 1) AS pos, unnest(tv) AS x, nrm FROM n)
+        |SELECT vec_id, CAST(pos - 1 AS INT) AS pos,
+        |  round(CASE WHEN nrm = 0 THEN x ELSE x / nrm END + 1e-9, 6) AS v
+        |FROM e ORDER BY vec_id, pos""".stripMargin,
 
     "q_embed_stats" ->
       """WITH n AS (

@@ -60,6 +60,58 @@ object VectorOps {
           .drop("__l2n")
     }
 
+  /** Mean-pool member embeddings into ONE vector per group — the standard
+    * long-document composition: embed per chunk, pool to a document vector
+    * before doc-level ANN / SemDeDup / prototype pruning. Optional
+    * `weightCol` (e.g. chunk token counts) makes it a weighted mean;
+    * `renorm` L2-normalizes the pooled vector (cosine consumers live on
+    * the unit sphere).
+    *
+    * Semantics: POSITIONAL mean — element i of the output is the
+    * (weighted) mean of element i over the group's members that have a
+    * non-null element there; ragged dims therefore pool per-position
+    * (document mixed-dim groups upstream if that is not intended).
+    * Groups whose every vector is null/empty produce no output row
+    * (posexplode's null/empty drop), matching "nothing to pool".
+    *
+    * Scale shape: posexplode → one map-side-combined (keys, pos) sum →
+    * one (keys) aggregate rebuilding the array sorted by position.
+    * Exchange volume is rows × dim scalars with uniform keys — no
+    * window, no collect, skew-free at any group-size imbalance (a
+    * million-chunk document is a million rows per (key, pos) partial,
+    * combined map-side).
+    */
+  def meanPool(df: DataFrame, keyCols: Seq[String], vecCol: String,
+               outCol: String = "pooled", weightCol: Option[String] = None,
+               renorm: Boolean = false): DataFrame = {
+    require(keyCols.nonEmpty, "meanPool: need at least one key column")
+    val keys = keyCols.map(col)
+    val w = weightCol.map(c => col(c).cast("double")).getOrElse(lit(1.0))
+    val ex = df.select((keys :+ w.as("__w") :+ posexplode(asDouble(col(vecCol)))): _*)
+      .filter(col("col").isNotNull && col("__w").isNotNull)
+    val sums = ex.groupBy((keys :+ col("pos")): _*)
+      .agg(sum(col("col") * col("__w")).as("__s"), sum(col("__w")).as("__n"))
+    val pooled = sums.groupBy(keys: _*)
+      .agg(array_sort(collect_list(struct(col("pos"),
+        (col("__s") / nullif(col("__n"), lit(0.0))).as("v")))).as("__pv"))
+      .withColumn(outCol, transform(col("__pv"), e => e.getField("v")))
+      .drop("__pv")
+    if (renorm) l2Normalize(pooled, outCol, outCol) else pooled
+  }
+
+  /** Matryoshka truncation (Kusupati et al. 2022, "Matryoshka
+    * Representation Learning"): keep the FIRST `dims` elements and
+    * re-normalize — MRL-trained embeddings retain most retrieval quality
+    * at prefix dims, and ANN/storage cost drops linearly with the cut.
+    * The renormalize step is what keeps cosine consumers calibrated
+    * (prefix norms shrink, raw dots would too).
+    */
+  def truncateRenorm(df: DataFrame, vecCol: String, dims: Int,
+                     outCol: String = "trunc"): DataFrame = {
+    require(dims >= 1, s"truncateRenorm: dims must be >= 1, got $dims")
+    l2Normalize(df.withColumn(outCol, slice(asDouble(col(vecCol)), 1, dims)), outCol, outCol)
+  }
+
   /** Symmetric max-abs int8 quantization: scale = max|x| over the vector,
     * q_i = floor(x_i * 127.0 / scale + 0.5) as tinyint in [-127, 127]
     * (round-half-up via floor — NOT round(), whose half-even/half-up

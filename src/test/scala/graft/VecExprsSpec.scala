@@ -306,4 +306,29 @@ class VecExprsSpec extends SparkSpec {
       .select("unit").as[Seq[Double]].head()
     assert(z == Seq(0.0, 0.0))
   }
+
+  test("meanPool: weighted positional mean, ragged groups, renorm; truncateRenorm prefix (round 12)") {
+    import graft.vec.VectorOps
+    // group a: weights 1 and 3 -> mean = (1*[2,0] + 3*[0,2]) / 4 = [0.5, 1.5]
+    // group b: ragged dims -> pos 0 mean of both, pos 1 only from the 2-dim row
+    val df = Seq(
+      ("a", 1.0, Seq(2f, 0f)), ("a", 3.0, Seq(0f, 2f)),
+      ("b", 1.0, Seq(4f)), ("b", 1.0, Seq(0f, 6f))
+    ).toDF("g", "w", "v")
+    val pooled = VectorOps.meanPool(df, Seq("g"), "v", weightCol = Some("w"))
+      .orderBy("g").select("pooled").as[Seq[Double]].collect()
+    assert(pooled(0) == Seq(0.5, 1.5))
+    assert(pooled(1) == Seq(2.0, 6.0), "ragged: per-position means over present elements")
+    // renorm lands on the unit sphere
+    val unit = VectorOps.meanPool(df, Seq("g"), "v", weightCol = Some("w"), renorm = true)
+      .filter($"g" === "a").select("pooled").as[Seq[Double]].head()
+    val n = math.sqrt(unit.map(x => x * x).sum)
+    assert(math.abs(n - 1.0) < 1e-12)
+    // truncateRenorm: prefix slice + unit norm; zero prefix stays zero
+    val t2 = VectorOps.truncateRenorm(
+        Seq((1L, Seq(3f, 4f, 100f)), (2L, Seq(0f, 0f, 5f))).toDF("id", "v"), "v", 2)
+      .orderBy("id").select("trunc").as[Seq[Double]].collect()
+    assert(t2(0) == Seq(0.6, 0.8))
+    assert(t2(1) == Seq(0.0, 0.0), "zero prefix must not divide")
+  }
 }
