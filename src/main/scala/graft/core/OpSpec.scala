@@ -266,31 +266,35 @@ object OpCompiler {
 
   private def intSeq(p: Map[String, Any], k: String): Seq[Int] = seqOf(p, k).map(_.toInt)
 
-  /** Prototype centroids for proto_prune / d4_select: `centroid_ids`
-    * (list or comma string of id values, matched as strings) pins the
-    * centroids to data rows — deterministic AND replayable by a plain SQL
-    * oracle; absent, a hash-gated id-sorted driver-Lloyd fit on the frame
-    * (`k`, `seed`, `max_train_rows` — the Prototypes.protoFit protocol).
+  /** Prototype centroid ids from `centroid_ids` — accepts a YAML list OR
+    * a comma string, via seqOf's element-wise list handling (an earlier
+    * draft read the param through s(), which stringifies a java List to
+    * "[0, 10]" and the bracketed ids silently matched nothing — a
+    * round-12 review catch). Empty = no pinning (Lloyd fit).
     */
-  private def protoCentroidsFor(df: org.apache.spark.sql.DataFrame, p: Map[String, Any],
-                                idCol: String, vecCol: String): Array[Array[Double]] = {
+  private def centroidIds(p: Map[String, Any]): Seq[String] =
+    seqOf(p, "centroid_ids").flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+
+  /** Prototype centroids for proto_prune / d4_select: non-empty `ids`
+    * pins the centroids to data rows (matched as strings, ordered by id)
+    * — deterministic AND replayable by a plain SQL oracle; empty, a
+    * hash-gated id-sorted driver-Lloyd fit on the frame (the
+    * Prototypes.protoFit protocol).
+    */
+  private def protoCentroidsFor(df: org.apache.spark.sql.DataFrame, ids: Seq[String],
+                                idCol: String, vecCol: String,
+                                k: Int, seed: Long, maxTrainRows: Int): Array[Array[Double]] = {
     import org.apache.spark.sql.functions.col
-    Option(s(p, "centroid_ids")).map(_.split(",").map(_.trim).toSeq).orElse {
-      Some(seqOf(p, "centroid_id_list")).filter(_.nonEmpty)
-    } match {
-      case Some(ids) =>
-        val rows = df.filter(col(idCol).cast("string").isin(ids: _*))
-          .orderBy(col(idCol)).select(col(vecCol)).collect()
-        require(rows.nonEmpty, s"proto centroids: no rows matched centroid ids ${ids.mkString(",")}")
-        rows.map(_.getSeq[Any](0).map {
-          case f: java.lang.Float => f.toDouble
-          case n: java.lang.Number => n.doubleValue()
-        }.toArray)
-      case None =>
-        graft.vec.Prototypes.protoFit(df, idCol, vecCol,
-          s(p, "k", "64").toInt, s(p, "seed", "42").toLong,
-          s(p, "max_train_rows", "100000").toInt)
-    }
+    if (ids.nonEmpty) {
+      val rows = df.filter(col(idCol).cast("string").isin(ids: _*))
+        .orderBy(col(idCol)).select(col(vecCol)).collect()
+      require(rows.length == ids.distinct.length,
+        s"proto centroids: ${ids.distinct.length} ids given, ${rows.length} rows matched (${ids.mkString(",")})")
+      rows.map(_.getSeq[Any](0).map {
+        case f: java.lang.Float => f.toDouble
+        case n: java.lang.Number => n.doubleValue()
+      }.toArray)
+    } else graft.vec.Prototypes.protoFit(df, idCol, vecCol, k, seed, maxTrainRows)
   }
 
   private def pairs(p: Map[String, Any], k: String): Seq[(String, String)] = p.get(k) match {
@@ -966,7 +970,9 @@ object OpCompiler {
         val ppVec = s(p, "vector_column", "embedding")
         val ppId = s(p, "id_column", "vec_id")
         graft.vec.Prototypes.protoApply(df, ppId, ppVec,
-          protoCentroidsFor(df, p, ppId, ppVec),
+          protoCentroidsFor(df, centroidIds(p), ppId, ppVec,
+            s(p, "k", "64").toInt, s(p, "seed", "42").toLong,
+            s(p, "max_train_rows", "100000").toInt),
           s(p, "prune_fraction", "0.3").toDouble)
       case "d4_select" => // D4 (Tirumala et al. 2023): SemDeDup, then
         // prototype-prune the survivors; centroids resolve AFTER the
@@ -979,7 +985,9 @@ object OpCompiler {
           nClusters = s(p, "n_clusters", "64").toInt,
           keep = s(p, "keep", "far_from_centroid"))
         graft.vec.Prototypes.protoApply(d4Surv, d4Id, d4Vec,
-          protoCentroidsFor(d4Surv, p, d4Id, d4Vec),
+          protoCentroidsFor(d4Surv, centroidIds(p), d4Id, d4Vec,
+            s(p, "k", "64").toInt, s(p, "seed", "42").toLong,
+            s(p, "max_train_rows", "100000").toInt),
           s(p, "prune_fraction", "0.3").toDouble)
       case "pq_encode" => // encode with a stored model, or train-on-the-frame
         // model_path: ENCODE WITH YESTERDAY'S CODEBOOK (appendable index);

@@ -404,13 +404,21 @@ object StreamOps {
       downstream: (DataFrame, Long) => Unit): DataStreamWriter[org.apache.spark.sql.Row] =
     idempotentBatchSink(stream, checkpoint, journal, intervalMs, "append") { (batch, id) =>
       val spark = batch.sparkSession
-      val model = graft.text.Dedup.loadLatestNeardupBloom(spark, modelDir)
-        .map(_._1).getOrElse(seed)
+      val latest = graft.text.Dedup.loadLatestNeardupBloom(spark, modelDir)
+      val model = latest.map(_._1).getOrElse(seed)
       val (survivors, grown) =
         graft.text.Dedup.neardupIngestStep(batch, textCol, idCol, model, threshold)
       try {
         downstream(survivors, id)
-        graft.text.Dedup.saveNeardupBloomVersion(spark, grown, modelDir, id)
+        // version = max(batchId, latest+1): a checkpoint reset restarts
+        // batch ids at 0, and plain v=batchId would then write BELOW the
+        // live version forever — every batch re-loading the stale sketch
+        // and re-admitting near-dups of run-2 acceptances (round-12
+        // review catch). Monotonic versions keep the newest write the
+        // loaded one; a crash-window replay re-writes the same grown
+        // content one version up, which the loader treats identically.
+        val version = math.max(id, latest.map(_._2 + 1).getOrElse(id))
+        graft.text.Dedup.saveNeardupBloomVersion(spark, grown, modelDir, version)
       } finally survivors.unpersist()
     }
 

@@ -96,11 +96,16 @@ object Prototypes {
     // per-element null filtering is needed.
     val scoredArr = array(centroids.indices.map(i =>
       struct(cosTo(i).as("c"), lit(-i).as("ni"))): _*)
+    // persisted: the k-dot argmax projection feeds the counts collect, the
+    // ordinal sort, and (through the returned frame's lineage) the caller's
+    // join/anti-join — uncached it would re-scan the corpus 2-3× (the
+    // SemDedup unit-frame persist discipline; round-12 review catch)
     val scored = pre
       .withColumn("__best", array_max(scoredArr))
       .select(col("__pid"),
         (lit(0) - col("__best.ni")).cast("int").as("cluster"),
         col("__best.c").as("cos_to_centroid"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val spark = corpus.sparkSession
     // k-row count table → driver offsets (bounded by |centroids|)
     val counts = scored.groupBy("cluster").agg(count(lit(1)).as("__n"))

@@ -70,9 +70,13 @@ object VectorOps {
     * Semantics: POSITIONAL mean — element i of the output is the
     * (weighted) mean of element i over the group's members that have a
     * non-null element there; ragged dims therefore pool per-position
-    * (document mixed-dim groups upstream if that is not intended).
-    * Groups whose every vector is null/empty produce no output row
-    * (posexplode's null/empty drop), matching "nothing to pool".
+    * (document mixed-dim groups upstream if that is not intended). A
+    * position where EVERY member element is null emits a null element —
+    * positions are never compacted away, keeping the module's
+    * null-preserved-positionally convention (a shifted dim would silently
+    * misalign downstream cosines). Groups whose every vector is
+    * null/empty produce no output row (posexplode's null/empty drop),
+    * matching "nothing to pool".
     *
     * Scale shape: posexplode → one map-side-combined (keys, pos) sum →
     * one (keys) aggregate rebuilding the array sorted by position.
@@ -87,10 +91,14 @@ object VectorOps {
     require(keyCols.nonEmpty, "meanPool: need at least one key column")
     val keys = keyCols.map(col)
     val w = weightCol.map(c => col(c).cast("double")).getOrElse(lit(1.0))
+    // null ELEMENTS stay in the exploded relation (their (key, pos) row is
+    // what preserves the position); they are excluded from the sums via
+    // the when() guards, so an all-null position means null/null -> null
     val ex = df.select((keys :+ w.as("__w") :+ posexplode(asDouble(col(vecCol)))): _*)
-      .filter(col("col").isNotNull && col("__w").isNotNull)
+      .filter(col("__w").isNotNull)
     val sums = ex.groupBy((keys :+ col("pos")): _*)
-      .agg(sum(col("col") * col("__w")).as("__s"), sum(col("__w")).as("__n"))
+      .agg(sum(when(col("col").isNotNull, col("col") * col("__w"))).as("__s"),
+        sum(when(col("col").isNotNull, col("__w"))).as("__n"))
     val pooled = sums.groupBy(keys: _*)
       .agg(array_sort(collect_list(struct(col("pos"),
         (col("__s") / nullif(col("__n"), lit(0.0))).as("v")))).as("__pv"))

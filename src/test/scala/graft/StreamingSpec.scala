@@ -1191,6 +1191,25 @@ class StreamingSpec extends SparkSpec {
       b1.toDF().select(col("id"), col("text")), "text", "id", latest, threshold = 0.7)
     assert(replay.count() == 0L, "grown sketch must flag every already-screened doc")
     replay.unpersist()
+
+    // checkpoint reset: a NEW query (fresh checkpoint, batch ids restart
+    // at 0) must keep growing the SAME sketch — versions stay monotonic
+    // (latest+1), so the run-1 sketch is still the one loaded and a
+    // near-dup of a run-1 acceptance still drops
+    val got2 = scala.collection.mutable.ArrayBuffer[Long]()
+    val input2 = MemoryStream[Doc]
+    val q2 = StreamOps.nearDedupIngestSink(input2.toDF(), "text", "id",
+        s"$dir/model", seed, s"$dir/ckpt2", journal, threshold = 0.7) { (surv, _) =>
+      got2.synchronized { got2 ++= surv.select("id").as[Long].collect() }
+    }.start()
+    try {
+      input2.addData(doc(9, mk("e")), doc(10, tA + " tail10"))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    assert(got2.toSet == Set(9L),
+      s"run-2 batch 0 must screen against the run-1 sketch, got $got2")
+    val (_, v2) = graft.text.Dedup.loadLatestNeardupBloom(spark, s"$dir/model").get
+    assert(v2 == 3L, s"reset run must write latest+1 (3), not its own batch id 0; got $v2")
   }
 
   test("StreamPipeline: neardup_ingest_kv YAML sink grows the sketch and lands survivors in the journaled KV (round 12)") {

@@ -324,6 +324,16 @@ class VecExprsSpec extends SparkSpec {
       .filter($"g" === "a").select("pooled").as[Seq[Double]].head()
     val n = math.sqrt(unit.map(x => x * x).sum)
     assert(math.abs(n - 1.0) < 1e-12)
+    // all-null positions emit a NULL element, never a compacted/shifted
+    // array (the module's null-preserved-positionally convention)
+    val nulls = Seq(
+      ("n", 1.0, Seq[java.lang.Float](1f, null, 3f)),
+      ("n", 1.0, Seq[java.lang.Float](3f, null, 5f))
+    ).toDF("g", "w", "v")
+    val pn = VectorOps.meanPool(nulls, Seq("g"), "v", weightCol = Some("w"))
+      .select("pooled").as[Seq[Option[Double]]].head()
+    assert(pn == Seq(Some(2.0), None, Some(4.0)),
+      s"all-null position must stay null IN PLACE, got $pn")
     // truncateRenorm: prefix slice + unit norm; zero prefix stays zero
     val t2 = VectorOps.truncateRenorm(
         Seq((1L, Seq(3f, 4f, 100f)), (2L, Seq(0f, 0f, 5f))).toDF("id", "v"), "v", 2)
