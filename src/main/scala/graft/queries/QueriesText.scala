@@ -298,9 +298,14 @@ object QueriesText {
     }),
 
     "q_mrl_truncate" -> ((s, dir) =>
-      // Matryoshka prefix truncation + renorm at 16 of 64 dims
+      // Matryoshka prefix truncation + renorm at 16 of 64 dims. OUTER
+      // posexplode: the non-outer form lets InferFiltersFromGenerate push
+      // `isnotnull(unitize(slice(...)))` into the parquet scan's data
+      // filters (the expensive_scan_filter pathology — PlanLint caught
+      // it); outer generates infer nothing, and this corpus has no null
+      // embeddings for the outer row to differ on.
       graft.vec.VectorOps.truncateRenorm(t(s, dir, "embeddings"), "embedding", 16)
-        .select(col("vec_id"), posexplode(col("trunc")).as(Seq("pos", "v")))
+        .select(col("vec_id"), posexplode_outer(col("trunc")).as(Seq("pos", "v")))
         .withColumn("v", round(col("v") + lit(1e-9), 6))
         .orderBy("vec_id", "pos")),
 
