@@ -287,4 +287,30 @@ class SkewStressSpec extends SparkSpec {
     val flagged = out.filter(col("n_spans") >= 1).count()
     assert(flagged == 60000L, s"expected all docs flagged, got $flagged")
   }
+
+  test("protoSelectMap: a 95%-one-cluster corpus stays balanced (distributed ordinals, no per-cluster window)") {
+    // the degenerate-cell scenario the no-window rank design exists for:
+    // 95% of vectors point (noisily) at centroid 0, so a
+    // Window.partitionBy(cluster) rank would funnel ~all rows through one
+    // task. The ordinal path is a range-repartition SORT — balanced at
+    // any cluster imbalance. Vectors are deterministic functions of id.
+    val n = 400000L
+    val vecs = spark.range(n).select(col("id"),
+      when(col("id") % 100 < 95,
+        array(lit(1.0), (pmod(col("id"), lit(1000)) / 1e7).cast("double"), lit(0.0)))
+      .otherwise(array((pmod(col("id"), lit(7)) / 10.0).cast("double"), lit(0.0), lit(1.0)))
+        .as("v"))
+    val cents = Array(Array(1.0, 0.0, 0.0), Array(0.0, 0.0, 1.0))
+    val m = graft.vec.Prototypes.protoSelectMap(vecs, "id", "v", cents, 0.5)
+    val score = skewScore(m.write.format("noop").mode("overwrite").save())
+    assert(score < 0.5, s"protoSelectMap straggler ratio $score — the ordinal rank must not funnel the hot cluster")
+    // and it computes the right thing: the floor law holds per cluster
+    val byCl = m.filter(col("cluster").isNotNull)
+      .groupBy("cluster").agg(count(lit(1)).as("n"),
+        sum(when(!col("kept"), 1L).otherwise(0L)).as("dropped"))
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    byCl.foreach { case (cn, dropped) =>
+      assert(dropped == math.floor(0.5 * cn).toLong, s"floor law: n=$cn dropped=$dropped")
+    }
+  }
 }
