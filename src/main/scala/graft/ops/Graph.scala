@@ -10,10 +10,11 @@ import org.apache.spark.sql.functions._
   * UrlLib.registeredDomain extraction produces from a crawl.
   *
   * Scale shape: every step is an equi-join/groupBy on node ids (one shuffle
-  * each); the rank state is |nodes| rows, never |edges|; per-iteration
-  * `localCheckpoint` truncates the lineage so the plan stays O(1) deep and
-  * the dangling-mass scalar reads the materialized state, not a replay of
-  * the whole iteration history (the clusterCandidates lesson, NOTES_r05).
+  * each); the rank state is |nodes| rows, never |edges|; a periodic
+  * `localCheckpoint` (every k iterations) truncates the lineage so the plan
+  * stays bounded and the dangling-mass scalar folds into the contribution
+  * aggregate instead of replaying the iteration history
+  * (the clusterCandidates lesson, NOTES_r05).
   */
 object Graph {
 
@@ -34,15 +35,27 @@ object Graph {
   /** PageRank with uniform dangling-mass redistribution:
     * r(v) = (1−d)/N + d·(Σ_{u→v} r(u)/outdeg(u) + dangling/N), iterated a
     * fixed number of rounds from the uniform vector over the DISTINCT
-    * simple graph. The dangling scalar is a one-row aggregate per round
-    * over the materialized |nodes|-sized state (scalar-broadcast pattern);
-    * folding it in as a driver literal keeps every per-row expression
-    * codegen-able and the whole computation engine-replayable.
+    * simple graph.
+    *
+    * Per-iteration work is ONE edges-sized pass: ranks LEFT-join eDeg, so
+    * a dangling node (no out-edges) surfaces as the null-dst group of the
+    * same contribution aggregate — no separate anti-join + scan of the
+    * rank state for the dangling scalar. The aggregate is referenced twice
+    * (null group → broadcast scalar, non-null groups → contributions) but
+    * both sit above the SAME shuffle exchange, which Spark's exchange
+    * reuse executes once. The state is materialized (`localCheckpoint`)
+    * only every `checkpointInterval` iterations: between checkpoints the
+    * plan chains (each level references its predecessor through the one
+    * reused exchange), so deferral trades k−1 |nodes|-frame
+    * materializations + job launches for nothing — the shuffle work is
+    * identical, it just runs inside one job at the checkpoint.
     */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
-               iterations: Int = 10, damping: Double = 0.85): DataFrame = {
+               iterations: Int = 10, damping: Double = 0.85,
+               checkpointInterval: Int = 3): DataFrame = {
     require(iterations >= 1, s"pageRank: iterations must be >= 1, got $iterations")
     require(damping > 0 && damping < 1, s"pageRank: damping must be in (0,1), got $damping")
+    require(checkpointInterval >= 1, s"pageRank: checkpointInterval must be >= 1, got $checkpointInterval")
     // ONE edge-sized artifact lives at a time: the distinct edge relation
     // is never materialized on its own (it is computed twice — into outd
     // and into eDeg — trading one cheap re-aggregation for an edge-sized
@@ -55,7 +68,10 @@ object Graph {
     // memory (AGGREGATE_OUT_OF_MEMORY at the default heap).
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .filter(col("src").isNotNull && col("dst").isNotNull).distinct()
-    val outd = e.groupBy("src").agg(count(lit(1)).as("outd")).localCheckpoint()
+    // outd is consumed exactly once (into eDeg's materialization) now that
+    // the dangling pass is folded into the contribution aggregate, so it
+    // carries no checkpoint of its own
+    val outd = e.groupBy("src").agg(count(lit(1)).as("outd"))
     // every edge row survives the outd join (outd covers every src), so
     // eDeg IS the distinct edge relation, degree-annotated
     val eDeg = e.join(outd, Seq("src")).localCheckpoint()
@@ -65,31 +81,44 @@ object Graph {
     require(n > 0, "pageRank: empty graph")
 
     var ranks = nodes.withColumn("rank", lit(1.0 / n)).localCheckpoint()
-    for (_ <- 1 to iterations) {
-      // mass sitting on nodes with no out-edges, redistributed uniformly.
-      // The one-row dangling aggregate rides IN-PLAN as a broadcast under
-      // every row (the scalar-broadcast pattern binQuantile et al. use)
-      // instead of a head() to the driver — each iteration is then ONE
-      // job (the eager localCheckpoint), not a dangling job + a compute
-      // job; ranks is materialized, so the subtree reads state, not the
-      // iteration history
-      val dangling = ranks.join(outd, ranks("node") === outd("src"), "left_anti")
-        .agg(coalesce(sum(col("rank")), lit(0.0)).as("__dangling"))
-      val contribs = eDeg.join(ranks, eDeg("src") === ranks("node"))
-        .select(col("dst").as("node"), (col("rank") / col("outd")).as("__c"))
-        .groupBy("node").agg(sum(col("__c")).as("__contrib"))
+    // the last MATERIALIZED generation — deferred (plan-only) generations
+    // between checkpoints hold no blocks, so only this one is ever freed
+    var lastCheckpointed = ranks
+    for (i <- 1 to iterations) {
+      // One pass folds contributions AND the dangling scalar: a rank row
+      // with no out-edges survives the left join exactly once with dst
+      // null, so groupBy(dst)'s null group IS the dangling mass. Partial
+      // (map-side) aggregation collapses the null group per map task —
+      // the single null reducer key sees #map-partitions rows, not
+      // |dangling nodes|, so the hot key is bounded at any scale.
+      val agg = ranks.join(eDeg, ranks("node") === eDeg("src"), "left")
+        .select(col("dst"), (col("rank") / col("outd")).as("__c"), col("rank").as("__r"))
+        .groupBy("dst")
+        .agg(sum(col("__c")).as("__contrib"), sum(col("__r")).as("__mass"))
+      // one-row dangling scalar rides IN-PLAN as a broadcast under every
+      // row (the scalar-broadcast pattern binQuantile et al. use) instead
+      // of a head() to the driver; its subtree shares agg's exchange with
+      // the contribution branch (reused, executed once)
+      val dangling = agg.filter(col("dst").isNull)
+        .agg(coalesce(sum(col("__mass")), lit(0.0)).as("__dangling"))
+      val contribs = agg.filter(col("dst").isNotNull)
+        .select(col("dst").as("node"), col("__contrib"))
       val next = nodes.join(contribs, Seq("node"), "left")
         .crossJoin(broadcast(dangling))
         .select(col("node"),
           (lit((1 - damping) / n) + lit(damping) *
             (coalesce(col("__contrib"), lit(0.0)) + col("__dangling") / n)).as("rank"))
-        .localCheckpoint()
-      graft.core.Checkpoints.free(ranks) // the superseded generation is never read again
-      ranks = next
+      if (i % checkpointInterval == 0 || i == iterations) {
+        ranks = next.localCheckpoint()
+        graft.core.Checkpoints.free(lastCheckpointed) // superseded, never read again
+        lastCheckpointed = ranks
+      } else {
+        ranks = next // deferred: chains onto the last checkpoint's plan
+      }
     }
     // the returned ranks is materialized and lineage-free: the edge-sized
-    // eDeg (and nodes/outd) checkpoint blocks can be released too
-    graft.core.Checkpoints.free(eDeg); graft.core.Checkpoints.free(outd); graft.core.Checkpoints.free(nodes)
+    // eDeg (and nodes) checkpoint blocks can be released too
+    graft.core.Checkpoints.free(eDeg); graft.core.Checkpoints.free(nodes)
     ranks
   }
 
