@@ -37,18 +37,19 @@ object Graph {
     * fixed number of rounds from the uniform vector over the DISTINCT
     * simple graph.
     *
-    * Per-iteration work is ONE edges-sized pass: ranks LEFT-join eDeg, so
-    * a dangling node (no out-edges) surfaces as the null-dst group of the
-    * same contribution aggregate — no separate anti-join + scan of the
-    * rank state for the dangling scalar. The aggregate is referenced twice
-    * (null group → broadcast scalar, non-null groups → contributions) but
-    * both sit above the SAME shuffle exchange, which Spark's exchange
-    * reuse executes once. The state is materialized (`localCheckpoint`)
-    * only every `checkpointInterval` iterations: between checkpoints the
-    * plan chains (each level references its predecessor through the one
-    * reused exchange), so deferral trades k−1 |nodes|-frame
-    * materializations + job launches for nothing — the shuffle work is
-    * identical, it just runs inside one job at the checkpoint.
+    * Dangling-ness is a STATIC property of the graph (a node either has
+    * out-edges or it doesn't), so the rank state carries a `__has_out`
+    * flag and the per-iteration dangling scalar is a conditional sum in
+    * ONE pass over the state — no anti-join, no second relation. The
+    * contribution join stays INNER (eDeg ⋈ ranks), which keeps the small
+    * rank side broadcastable at bench scale and lets the checkpointed
+    * eDeg's hash(src) partitioning be reused at cluster scale (a LEFT
+    * join from ranks would force the edge relation through a sort-merge
+    * every iteration). The state is materialized (`localCheckpoint`) only
+    * every `checkpointInterval` iterations: a deferred level re-reads its
+    * predecessor only through reused exchanges plus one |nodes|-cheap
+    * projection, so deferral trades state materializations and job
+    * launches for a negligible recompute.
     */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
                iterations: Int = 10, damping: Double = 0.85,
@@ -75,42 +76,43 @@ object Graph {
     // every edge row survives the outd join (outd covers every src), so
     // eDeg IS the distinct edge relation, degree-annotated
     val eDeg = e.join(outd, Seq("src")).localCheckpoint()
+    // node universe annotated with the STATIC has-out-edges flag — both
+    // derived from the CHECKPOINTED eDeg, not from extra passes over e
     val nodes = eDeg.select(col("src").as("node"))
-      .union(eDeg.select(col("dst").as("node"))).distinct().localCheckpoint()
+      .union(eDeg.select(col("dst").as("node"))).distinct()
+      .join(eDeg.select(col("src").as("node")).distinct()
+        .withColumn("__out", lit(true)), Seq("node"), "left")
+      .select(col("node"), coalesce(col("__out"), lit(false)).as("__has_out"))
+      .localCheckpoint()
     val n = nodes.count()
     require(n > 0, "pageRank: empty graph")
 
-    var ranks = nodes.withColumn("rank", lit(1.0 / n)).localCheckpoint()
+    // the uniform start is a pure projection of the checkpointed nodes —
+    // no materialization of its own
+    var ranks = nodes.withColumn("rank", lit(1.0 / n))
     // the last MATERIALIZED generation — deferred (plan-only) generations
-    // between checkpoints hold no blocks, so only this one is ever freed
-    var lastCheckpointed = ranks
+    // between checkpoints hold no blocks, so only checkpointed ones are
+    // ever freed (null = still on the shared nodes checkpoint)
+    var lastCheckpointed: DataFrame = null
     for (i <- 1 to iterations) {
-      // One pass folds contributions AND the dangling scalar: a rank row
-      // with no out-edges survives the left join exactly once with dst
-      // null, so groupBy(dst)'s null group IS the dangling mass. Partial
-      // (map-side) aggregation collapses the null group per map task —
-      // the single null reducer key sees #map-partitions rows, not
-      // |dangling nodes|, so the hot key is bounded at any scale.
-      val agg = ranks.join(eDeg, ranks("node") === eDeg("src"), "left")
-        .select(col("dst"), (col("rank") / col("outd")).as("__c"), col("rank").as("__r"))
-        .groupBy("dst")
-        .agg(sum(col("__c")).as("__contrib"), sum(col("__r")).as("__mass"))
-      // one-row dangling scalar rides IN-PLAN as a broadcast under every
-      // row (the scalar-broadcast pattern binQuantile et al. use) instead
-      // of a head() to the driver; its subtree shares agg's exchange with
-      // the contribution branch (reused, executed once)
-      val dangling = agg.filter(col("dst").isNull)
-        .agg(coalesce(sum(col("__mass")), lit(0.0)).as("__dangling"))
-      val contribs = agg.filter(col("dst").isNotNull)
-        .select(col("dst").as("node"), col("__contrib"))
+      // mass sitting on nodes with no out-edges: one conditional-sum pass
+      // over the rank state (the flag rides in-row), broadcast IN-PLAN as
+      // a one-row scalar under every output row (the scalar-broadcast
+      // pattern binQuantile et al. use) instead of a head() to the driver
+      val dangling = ranks.agg(coalesce(
+        sum(when(!col("__has_out"), col("rank"))), lit(0.0)).as("__dangling"))
+      val contribs = eDeg.join(ranks, eDeg("src") === ranks("node"))
+        .select(col("dst").as("node"), (col("rank") / col("outd")).as("__c"))
+        .groupBy("node").agg(sum(col("__c")).as("__contrib"))
       val next = nodes.join(contribs, Seq("node"), "left")
         .crossJoin(broadcast(dangling))
-        .select(col("node"),
+        .select(col("node"), col("__has_out"),
           (lit((1 - damping) / n) + lit(damping) *
             (coalesce(col("__contrib"), lit(0.0)) + col("__dangling") / n)).as("rank"))
       if (i % checkpointInterval == 0 || i == iterations) {
         ranks = next.localCheckpoint()
-        graft.core.Checkpoints.free(lastCheckpointed) // superseded, never read again
+        // the superseded generation is never read again
+        if (lastCheckpointed ne null) graft.core.Checkpoints.free(lastCheckpointed)
         lastCheckpointed = ranks
       } else {
         ranks = next // deferred: chains onto the last checkpoint's plan
@@ -119,7 +121,7 @@ object Graph {
     // the returned ranks is materialized and lineage-free: the edge-sized
     // eDeg (and nodes) checkpoint blocks can be released too
     graft.core.Checkpoints.free(eDeg); graft.core.Checkpoints.free(nodes)
-    ranks
+    ranks.select(col("node"), col("rank"))
   }
 
 
