@@ -210,6 +210,22 @@ class BenchArtifactSpec extends SparkSpec {
       "a 2.2x wall under a 2.4x-slower MEMORY probe must not trigger an isolated re-measure")
   }
 
+  test("top-5-by-prior tightened trigger set (VERDICT r12 #2)") {
+    // pure selection logic — no timing, no Spark: the 1.25× band applies to
+    // exactly the 5 most expensive BENCHED queries by prior cost
+    val prior = Map("a" -> 5.0, "b" -> 4.0, "c" -> 3.0, "d" -> 2.0, "e" -> 1.0,
+      "f" -> 0.9, "g" -> 0.8)
+    val all = Seq("a", "b", "c", "d", "e", "f", "g")
+    assert(Bench.tightenedTriggerSet(prior, all) == Set("a", "b", "c", "d", "e"))
+    // membership is over the benched subset, not the whole prior map
+    assert(Bench.tightenedTriggerSet(prior, Seq("e", "f", "g")) == Set("e", "f", "g"))
+    // zero/negative priors and unbenched names never qualify
+    assert(Bench.tightenedTriggerSet(Map("x" -> 0.0, "y" -> -1.0, "a" -> 1.0), all) == Set("a"))
+    // deterministic under exact prior ties (name-ordered)
+    val tied = Map("t1" -> 1.0, "t2" -> 1.0, "t3" -> 1.0, "t4" -> 1.0, "t5" -> 1.0, "t6" -> 1.0)
+    assert(Bench.tightenedTriggerSet(tied, tied.keys.toSeq) == Set("t1", "t2", "t3", "t4", "t5"))
+  }
+
   test("full headline + law-ring stdout stays under the tail-capture ceiling by construction") {
     // no Spark run needed: the line's size is name-count × per-entry bytes.
     // 34 headliner names at ≤ 30 chars + "":0.000, ≈ 40 B each → ~1.4 KB with
