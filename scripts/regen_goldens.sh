@@ -39,6 +39,11 @@ a_dir, b_dir, *queries = sys.argv[1:]
 def load(d, q):
     files = glob.glob(f"{d}/{q}/part-*.parquet")
     assert files, f"{q}: no output under {d} (query failed? see run.log)"
+    # the pin step copies exactly one part file, so the comparison must see
+    # the whole output in that one file — a multi-part output would silently
+    # compare (and pin) a partial shard
+    assert len(files) == 1, f"{q}: {len(files)} part files under {d} — " \
+        "golden outputs must coalesce to a single part before pinning"
     df = pd.read_parquet(files[0]).astype(str)
     df = df.reindex(sorted(df.columns), axis=1)
     return df.sort_values(by=list(df.columns)).reset_index(drop=True)

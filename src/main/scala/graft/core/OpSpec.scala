@@ -687,11 +687,13 @@ object OpCompiler {
       case "gopher_rules" =>
         // audit mode: per-rule booleans + gopher_keep + gopher_fail_reasons.
         // With lang_column (round 12): the two anglocentric rules dispatch
-        // per language (DefaultGopherLangParams; unknown lang → neutral)
-        // and min_alpha_ratio/min_stopwords apply to the English-only path.
+        // per language (unknown lang → neutral); min_alpha_ratio/
+        // min_stopwords override the floors uniformly across languages
+        // (ADVICE r12 — previously silently ignored under lang dispatch).
         if (s(p, "lang_column") != null)
           TextLib.gopherRulesByLang(df, text, s(p, "lang_column"),
-            TextLib.DefaultGopherLangParams,
+            TextLib.gopherLangParamsWithFloors(
+              s(p, "min_alpha_ratio", "0.8").toDouble, s(p, "min_stopwords", "2").toInt),
             s(p, "min_words", "50").toInt, s(p, "max_words", "100000").toInt,
             s(p, "min_mean_word_len", "3.0").toDouble, s(p, "max_mean_word_len", "10.0").toDouble,
             s(p, "max_symbol_ratio", "0.1").toDouble, s(p, "max_bullet_ratio", "0.9").toDouble,
@@ -711,7 +713,8 @@ object OpCompiler {
         // differently in audit vs filter mode.
         (if (s(p, "lang_column") != null)
           TextLib.gopherRulesByLang(df, text, s(p, "lang_column"),
-            TextLib.DefaultGopherLangParams,
+            TextLib.gopherLangParamsWithFloors(
+              s(p, "min_alpha_ratio", "0.8").toDouble, s(p, "min_stopwords", "2").toInt),
             s(p, "min_words", "50").toInt, s(p, "max_words", "100000").toInt,
             s(p, "min_mean_word_len", "3.0").toDouble, s(p, "max_mean_word_len", "10.0").toDouble,
             s(p, "max_symbol_ratio", "0.1").toDouble, s(p, "max_bullet_ratio", "0.9").toDouble,

@@ -1446,13 +1446,12 @@ object QueriesText {
     * golden pins cross-round regressions the rows-only check could not see.
     * Partitioning-independence was verified by diffing runs at different
     * core counts before committing each file (DedupSimilaritySpec also
-    * pins run-to-run determinism). VALID AT sf0.01 — the driver's
-    * correctness gate SF — by default; queries with an ADDITIONAL golden
-    * committed under goldens/sf0.1/ (round 12: q_dedup_minhash,
-    * q_semantic_dedup — the two heaviest engine-valued queries, so the
-    * bench SF and the gate SF coincide for them) are re-pointed there by
-    * Verify when it runs at that SF (same determinism protocol before
-    * commit).
+    * pins run-to-run determinism). Since round 12 session 2 the ENTIRE
+    * golden family carries goldens at ALL THREE gate SFs
+    * (goldens/sf0.001/, sf0.01/, sf0.1/ — each cross-core-count verified
+    * via scripts/regen_goldens.sh before commit); Verify re-points this
+    * SQL's path to goldens/<sfLabel>/ per the run's SF, so the 3-SF gate
+    * needs no exclusions.
     */
   private def golden(name: String): String =
     s"""-- GOLDEN gate (sf0.01, the driver's gate SF): pinned engine output

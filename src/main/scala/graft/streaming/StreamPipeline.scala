@@ -127,7 +127,11 @@ object StreamPipeline {
               minStopwords = str(tr, "min_stopwords", "2").toInt)
             case langField => graft.text.TextLib.gopherRulesByLang(
               df, str(tr, "text_field", "text"), langField,
-              graft.text.TextLib.DefaultGopherLangParams,
+              // floors override uniformly across languages (ADVICE r12 —
+              // previously silently ignored under lang dispatch)
+              graft.text.TextLib.gopherLangParamsWithFloors(
+                str(tr, "min_alpha_ratio", "0.8").toDouble,
+                str(tr, "min_stopwords", "2").toInt),
               minWords = str(tr, "min_words", "50").toInt,
               maxWords = str(tr, "max_words", "100000").toInt,
               minMeanWordLen = str(tr, "min_mean_word_len", "3.0").toDouble,

@@ -241,6 +241,19 @@ object TextLib {
         lang -> GopherLangParams(stops, alphaRegex = "\\p{L}")
       }.toMap
 
+  /** [[DefaultGopherLangParams]] with the two YAML-tunable floors
+    * overridden UNIFORMLY across languages. The dynamic-dispatch ops
+    * (gopher_rules/gopher_filter with lang_column, stream gopher_gate with
+    * lang_field) route their min_alpha_ratio/min_stopwords params through
+    * this so the knobs keep working when per-language dispatch is on —
+    * previously they were silently ignored (ADVICE r12). At the defaults
+    * (0.8, 2) this IS DefaultGopherLangParams value-for-value. */
+  def gopherLangParamsWithFloors(minAlphaRatio: Double,
+                                 minStopwords: Int): Map[String, GopherLangParams] =
+    DefaultGopherLangParams.view
+      .mapValues(_.copy(minAlphaRatio = minAlphaRatio, minStopwords = minStopwords))
+      .toMap
+
   /** Per-LANGUAGE Gopher gate (round 12, VERDICT r11 #3): [[gopherRules]]
     * is English-only by scope — its `alpha_words` matches `[a-z]` and its
     * `stopwords` rule uses the English Gopher eight, so every non-Latin

@@ -67,7 +67,7 @@ object Prototypes {
     * most prototypical.
     */
   private def ranked(corpus: DataFrame, idCol: String, vecCol: String,
-                     centroids: Array[Array[Double]], pruneFraction: Double): DataFrame = {
+                     centroids: Array[Array[Double]], pruneFraction: Double): (DataFrame, () => Unit) = {
     require(pruneFraction >= 0 && pruneFraction < 1,
       s"prototypes: pruneFraction in [0,1), got $pruneFraction")
     require(centroids.nonEmpty, "prototypes: no centroids")
@@ -99,7 +99,10 @@ object Prototypes {
     // persisted: the k-dot argmax projection feeds the counts collect, the
     // ordinal sort, and (through the returned frame's lineage) the caller's
     // join/anti-join — uncached it would re-scan the corpus 2-3× (the
-    // SemDedup unit-frame persist discipline; round-12 review catch)
+    // SemDedup unit-frame persist discipline; round-12 review catch). The
+    // returned release hook unpersists it; callers call it as soon as they
+    // have MATERIALIZED what they need from the ranked frame, so repeated
+    // proto ops in one session don't accumulate cached blocks (ADVICE r12).
     val scored = pre
       .withColumn("__best", array_max(scoredArr))
       .select(col("__pid"),
@@ -127,11 +130,12 @@ object Prototypes {
     val ord = sorted.rdd.zipWithIndex().map { case (r, i) =>
       org.apache.spark.sql.Row.fromSeq(r.toSeq :+ (i + 1L))
     }
-    spark.createDataFrame(ord, schema)
+    val out = spark.createDataFrame(ord, schema)
       .join(broadcast(offDf), Seq("cluster"))
       .withColumn("proto_rank", col("__ord") - col("__off"))
       .withColumn("kept", col("proto_rank") > floor(lit(pruneFraction) * col("__n")))
       .select(col("__pid"), col("cluster"), col("cos_to_centroid"), col("proto_rank"), col("kept"))
+    (out, () => { scored.unpersist(false); () })
   }
 
   /** Audit map: (id, cluster, cos_to_centroid, proto_rank, kept) for EVERY
@@ -144,9 +148,13 @@ object Prototypes {
     */
   def protoSelectMap(corpus: DataFrame, idCol: String, vecCol: String,
                      centroids: Array[Array[Double]], pruneFraction: Double): DataFrame = {
-    val r = ranked(corpus, idCol, vecCol, centroids, pruneFraction)
+    val (r, release) = ranked(corpus, idCol, vecCol, centroids, pruneFraction)
+    // materialize the narrow ranked map (5 thin columns), then drop the
+    // wide scored cache — the retained blocks are exactly the op's output
+    val rc = r.localCheckpoint()
+    release()
     corpus.select(col(idCol))
-      .join(r.withColumnRenamed("__pid", idCol), Seq(idCol), "left")
+      .join(rc.withColumnRenamed("__pid", idCol), Seq(idCol), "left")
       .withColumn("kept", coalesce(col("kept"), lit(true)))
   }
 
@@ -156,8 +164,11 @@ object Prototypes {
     */
   def protoApply(corpus: DataFrame, idCol: String, vecCol: String,
                  centroids: Array[Array[Double]], pruneFraction: Double): DataFrame = {
-    val dropped = ranked(corpus, idCol, vecCol, centroids, pruneFraction)
-      .filter(!col("kept")).select(col("__pid").as(idCol))
+    val (r, release) = ranked(corpus, idCol, vecCol, centroids, pruneFraction)
+    // materialize only the pruneFraction-sized dropped-id list, then drop
+    // the wide scored cache
+    val dropped = r.filter(!col("kept")).select(col("__pid").as(idCol)).localCheckpoint()
+    release()
     corpus.join(dropped, Seq(idCol), "left_anti")
   }
 

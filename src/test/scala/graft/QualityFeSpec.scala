@@ -84,6 +84,34 @@ class QualityFeSpec extends SparkSpec {
     assert(out.select("doc_id").as[Long].collect().toSeq == Seq(1L))
   }
 
+  test("YAML gopher floors apply under lang_column dispatch (ADVICE r12)") {
+    // a German doc with exactly 2 stopword hits: min_stopwords=2 (default)
+    // keeps it, min_stopwords=3 kills it — under lang dispatch, where the
+    // floors were previously silently ignored (DefaultGopherLangParams won)
+    val dir = java.nio.file.Files.createTempDirectory("graft_gopher_lang").toString
+    val de = ("der die " + Array.fill(60)("tage").mkString(" "))
+    Seq((1L, de, "de")).toDF("doc_id", "text", "lang")
+      .coalesce(1).write.mode("overwrite").parquet(dir + "/docs")
+    def run(minStop: Int): Seq[Long] = {
+      val yaml =
+        s"""name: gopher_lang
+           |source: { type: parquet, path: "$dir/docs" }
+           |operations:
+           |  - { type: text_processing, params: { operation: gopher_filter,
+           |      lang_column: lang, min_stopwords: $minStop } }
+           |""".stripMargin
+      val conf = graft.core.Pipeline.fromYaml(yaml)
+      val (p, cat) = graft.core.Pipeline.load(spark, conf)
+      graft.core.OpCompiler.compile(conf.operations, cat)(p)
+        .select("doc_id").as[Long].collect().toSeq
+    }
+    assert(run(2) == Seq(1L), "2 stopword hits must satisfy the default floor")
+    assert(run(3) == Seq(), "min_stopwords=3 must take effect under lang_column")
+    // the uniform override at the DEFAULTS is value-identical to the default map
+    assert(graft.text.TextLib.gopherLangParamsWithFloors(0.8, 2) ==
+      graft.text.TextLib.DefaultGopherLangParams)
+  }
+
   private def df = Seq(
     (1, "a", 10.0), (2, "a", 20.0), (3, "b", 30.0), (4, "b", 40.0), (5, null: String, 50.0)
   ).toDF("id", "grp", "v")
