@@ -395,12 +395,19 @@ object StreamOps {
     * State stays one few-MB sketch regardless of stream volume; versions
     * are whole `v=<batchId>` parquet dirs gated on _SUCCESS, so a torn
     * write is invisible to the loader and a replayed batch re-writing its
-    * own version is idempotent.
+    * own version is idempotent. Every save stamps saturation gauges
+    * (fill ratio, estimated key/row fpp — [[graft.text.Dedup.neardupBloomStats]])
+    * into `metrics` and warns past `rowFppWarn` (VERDICT r12 #3), and
+    * complete versions below the newest `keepVersions` are pruned
+    * (ADVICE r12 — they are never read again and an unbounded dir grows
+    * the per-batch listStatus scan forever).
     */
   def nearDedupIngestSink(stream: DataFrame, textCol: String, idCol: String,
                           modelDir: String, seed: graft.text.Dedup.NeardupBloom,
                           checkpoint: String, journal: graft.sources.BatchJournal,
-                          threshold: Double = 0.8, intervalMs: Long = 1000L)(
+                          threshold: Double = 0.8, intervalMs: Long = 1000L,
+                          metrics: graft.core.Metrics.Collector = null,
+                          rowFppWarn: Double = 0.5, keepVersions: Int = 2)(
       downstream: (DataFrame, Long) => Unit): DataStreamWriter[org.apache.spark.sql.Row] =
     idempotentBatchSink(stream, checkpoint, journal, intervalMs, "append") { (batch, id) =>
       val spark = batch.sparkSession
@@ -419,6 +426,33 @@ object StreamOps {
         // content one version up, which the loader treats identically.
         val version = math.max(id, latest.map(_._2 + 1).getOrElse(id))
         graft.text.Dedup.saveNeardupBloomVersion(spark, grown, modelDir, version)
+        // Saturation observability (VERDICT r12 #3): growth is monotone and
+        // fpp degrades silently as the bloom fills — stamp occupancy +
+        // estimated fpp on EVERY save, and warn loudly past the per-row
+        // threshold (at rowFpp → 1 the gate rejects everything fresh; the
+        // snapshot-join variant is the documented next tier).
+        val stats = graft.text.Dedup.neardupBloomStats(grown)
+        if (metrics ne null) {
+          val tags = Map("model_dir" -> modelDir)
+          metrics.recordGauge("neardup_sketch_fill_ratio", stats.fillRatio, tags)
+          metrics.recordGauge("neardup_sketch_est_key_fpp", stats.keyFpp, tags)
+          metrics.recordGauge("neardup_sketch_est_row_fpp", stats.rowFpp, tags)
+        }
+        if (stats.rowFpp > rowFppWarn) {
+          if (metrics ne null)
+            metrics.recordCounter("neardup_sketch_saturation_warnings", 1.0,
+              Map("model_dir" -> modelDir))
+          System.err.println(f"[graft] WARN neardup ingest sketch saturating: " +
+            f"est row fpp ${stats.rowFpp}%.4f > $rowFppWarn%.2f " +
+            f"(fill ${stats.fillRatio}%.4f, key fpp ${stats.keyFpp}%.2e) — " +
+            "fresh rows will be spuriously rejected; re-commission with larger " +
+            "expected_keys or move to the snapshot-join dedup tier")
+        }
+        // retention (ADVICE r12): drop complete versions below the newest
+        // `keepVersions` — they are never read once a newer _SUCCESS-marked
+        // one exists, and an unbounded dir also makes the per-batch
+        // listStatus scan grow forever
+        graft.text.Dedup.pruneNeardupBloomVersions(spark, modelDir, keepVersions)
       } finally survivors.unpersist()
     }
 

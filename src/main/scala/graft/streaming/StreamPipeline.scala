@@ -343,7 +343,9 @@ object StreamPipeline {
         StreamOps.nearDedupIngestSink(df, str(sink, "text_field", "text"), keyField,
             str(sink, "model_dir"), seed, ckpt,
             new graft.sources.BatchJournal.KvJournal(factory),
-            threshold = str(sink, "threshold", "0.8").toDouble) { (surv, id) =>
+            threshold = str(sink, "threshold", "0.8").toDouble,
+            rowFppWarn = str(sink, "row_fpp_warn", "0.5").toDouble,
+            keepVersions = str(sink, "keep_versions", "2").toInt) { (surv, id) =>
           graft.sources.KeyValueSink.writeBatchJournaled(surv, keyField, factory,
             s"__graft/journal/$ckpt/kv/$id", str(sink, "mode", "kv"),
             str(sink, "target", "graft"), str(sink, "ttl_seconds", "-1").toLong)

@@ -357,6 +357,63 @@ object Dedup {
     }
   }
 
+  /** Saturation gauges for a (possibly grown) near-dup sketch. Growth is a
+    * set union — monotone by design — and the false-positive probability
+    * degrades SILENTLY as the bloom fills (VERDICT r12 #3), so every
+    * sketch save should stamp these:
+    *
+    *  - `fillRatio`: set bits / total bits (the occupancy);
+    *  - `keyFpp`: estimated per-KEY false-positive probability,
+    *    fillRatio^k for the filter's k hash functions (the standard
+    *    occupancy estimate; delegated to the sketch's own
+    *    `expectedFpp()` so the estimate and the filter agree on k);
+    *  - `rowFpp`: estimated per-ROW spurious-flag probability — an apply
+    *    probes the row's `bands` band keys and flags on ANY hit, so
+    *    rowFpp = 1 − (1 − keyFpp)^bands. This is the number that gates
+    *    usefulness: at rowFpp → 1 the gate rejects everything fresh.
+    *
+    * Past saturation the documented route is the snapshot-join variant
+    * ([[dedupAgainstCorpus]] / [[minhashCandidatesAgainst]]) — see
+    * PLANS.md's ~10^12-key tier note.
+    */
+  final case class NeardupBloomStats(bitSize: Long, setBits: Long,
+                                     fillRatio: Double, keyFpp: Double, rowFpp: Double)
+
+  def neardupBloomStats(model: NeardupBloom): NeardupBloomStats = {
+    val bf = org.apache.spark.util.sketch.BloomFilter.readFrom(
+      new java.io.ByteArrayInputStream(model.bloom))
+    val keyFpp = bf.expectedFpp()
+    NeardupBloomStats(bf.bitSize(), bf.cardinality(),
+      bf.cardinality().toDouble / bf.bitSize(), keyFpp,
+      1.0 - math.pow(1.0 - keyFpp, model.bands))
+  }
+
+  /** Retention for the versioned sketch directory (ADVICE r12): a
+    * long-running ingest stream writes one multi-MB `v=<version>` dir per
+    * accepted batch, and old COMPLETE versions are never read again once a
+    * newer _SUCCESS-marked one exists — without pruning, storage and the
+    * per-batch listStatus scan grow without bound. Deletes all complete
+    * versions below the newest `keep` (≥ 2 keeps a crash-replay
+    * predecessor); marker-less partials are left alone — one may be a
+    * concurrent in-flight write, and the loader never sees them anyway.
+    * Returns the pruned version numbers.
+    */
+  def pruneNeardupBloomVersions(spark: org.apache.spark.sql.SparkSession,
+                                dir: String, keep: Int = 2): Seq[Long] = {
+    require(keep >= 1, s"pruneNeardupBloomVersions: keep must be >= 1, got $keep")
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(path)) return Seq.empty
+    val complete = fs.listStatus(path).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("v="))
+      .filter(s => fs.exists(new org.apache.hadoop.fs.Path(s.getPath, "_SUCCESS")))
+      .map(_.getPath.getName.stripPrefix("v=").toLong)
+      .sorted
+    val doomed = complete.dropRight(keep)
+    doomed.foreach(v => fs.delete(new org.apache.hadoop.fs.Path(s"$dir/v=$v"), true))
+    doomed
+  }
+
   // ---------------------------------------------------------------- MinHash + LSH
 
   /** k-permutation MinHash signature over word shingles, via the native
