@@ -275,26 +275,36 @@ object OpCompiler {
   private def centroidIds(p: Map[String, Any]): Seq[String] =
     seqOf(p, "centroid_ids").flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
 
-  /** Prototype centroids for proto_prune / d4_select: non-empty `ids`
-    * pins the centroids to data rows (matched as strings, ordered by id)
-    * — deterministic AND replayable by a plain SQL oracle; empty, a
+  /** Prototype centroids for proto_prune / d4_select: a `loadPath` wins
+    * outright (YESTERDAY'S FIT — the fit-once/apply-everywhere discipline
+    * of langid/ppl/dsir/pq, VERDICT r12 #5); else non-empty `ids` pins
+    * the centroids to data rows (matched as strings, ordered by id) —
+    * deterministic AND replayable by a plain SQL oracle; else a
     * hash-gated id-sorted driver-Lloyd fit on the frame (the
-    * Prototypes.protoFit protocol).
+    * Prototypes.protoFit protocol). A non-null `savePath` persists
+    * whatever was fitted/pinned for tomorrow (the pq_encode
+    * model_path/save_model_path pattern).
     */
   private def protoCentroidsFor(df: org.apache.spark.sql.DataFrame, ids: Seq[String],
                                 idCol: String, vecCol: String,
-                                k: Int, seed: Long, maxTrainRows: Int): Array[Array[Double]] = {
+                                k: Int, seed: Long, maxTrainRows: Int,
+                                loadPath: String = null,
+                                savePath: String = null): Array[Array[Double]] = {
     import org.apache.spark.sql.functions.col
-    if (ids.nonEmpty) {
-      val rows = df.filter(col(idCol).cast("string").isin(ids: _*))
-        .orderBy(col(idCol)).select(col(vecCol)).collect()
-      require(rows.length == ids.distinct.length,
-        s"proto centroids: ${ids.distinct.length} ids given, ${rows.length} rows matched (${ids.mkString(",")})")
-      rows.map(_.getSeq[Any](0).map {
-        case f: java.lang.Float => f.toDouble
-        case n: java.lang.Number => n.doubleValue()
-      }.toArray)
-    } else graft.vec.Prototypes.protoFit(df, idCol, vecCol, k, seed, maxTrainRows)
+    if (loadPath != null) return graft.vec.Prototypes.loadCentroids(df.sparkSession, loadPath)
+    val cents =
+      if (ids.nonEmpty) {
+        val rows = df.filter(col(idCol).cast("string").isin(ids: _*))
+          .orderBy(col(idCol)).select(col(vecCol)).collect()
+        require(rows.length == ids.distinct.length,
+          s"proto centroids: ${ids.distinct.length} ids given, ${rows.length} rows matched (${ids.mkString(",")})")
+        rows.map(_.getSeq[Any](0).map {
+          case f: java.lang.Float => f.toDouble
+          case n: java.lang.Number => n.doubleValue()
+        }.toArray)
+      } else graft.vec.Prototypes.protoFit(df, idCol, vecCol, k, seed, maxTrainRows)
+    if (savePath != null) graft.vec.Prototypes.saveCentroids(df.sparkSession, cents, savePath)
+    cents
   }
 
   private def pairs(p: Map[String, Any], k: String): Seq[(String, String)] = p.get(k) match {
@@ -975,7 +985,8 @@ object OpCompiler {
         graft.vec.Prototypes.protoApply(df, ppId, ppVec,
           protoCentroidsFor(df, centroidIds(p), ppId, ppVec,
             s(p, "k", "64").toInt, s(p, "seed", "42").toLong,
-            s(p, "max_train_rows", "100000").toInt),
+            s(p, "max_train_rows", "100000").toInt,
+            s(p, "centroids_path"), s(p, "save_centroids_path")),
           s(p, "prune_fraction", "0.3").toDouble)
       case "d4_select" => // D4 (Tirumala et al. 2023): SemDeDup, then
         // prototype-prune the survivors; centroids resolve AFTER the
@@ -990,7 +1001,8 @@ object OpCompiler {
         graft.vec.Prototypes.protoApply(d4Surv, d4Id, d4Vec,
           protoCentroidsFor(d4Surv, centroidIds(p), d4Id, d4Vec,
             s(p, "k", "64").toInt, s(p, "seed", "42").toLong,
-            s(p, "max_train_rows", "100000").toInt),
+            s(p, "max_train_rows", "100000").toInt,
+            s(p, "centroids_path"), s(p, "save_centroids_path")),
           s(p, "prune_fraction", "0.3").toDouble)
       case "pq_encode" => // encode with a stored model, or train-on-the-frame
         // model_path: ENCODE WITH YESTERDAY'S CODEBOOK (appendable index);

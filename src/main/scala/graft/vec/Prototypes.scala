@@ -61,6 +61,24 @@ object Prototypes {
     Pq.lloyd(sample, math.min(k, sample.length), 20, seed)
   }
 
+  /** Persist [[protoFit]] centroids — the fit-once / apply-everywhere
+    * discipline of langid/ppl/dsir/pq (VERDICT r12 #5): at 100 TB the
+    * prototype structure is trained once on a sample and reused by every
+    * pruning job, so it must survive the training job. Same one-row
+    * nested-array parquet idiom as [[Similarity.saveCentroids]] /
+    * [[Pq.saveModel]]; doubles round-trip bit-exactly through parquet, so
+    * a loaded apply is bit-identical to the in-memory one
+    * (PrototypesSpec pins this).
+    */
+  def saveCentroids(spark: org.apache.spark.sql.SparkSession,
+                    centroids: Array[Array[Double]], path: String): Unit =
+    Similarity.saveCentroids(spark, centroids, path)
+
+  /** Load centroids written by [[saveCentroids]] (shape-validated). */
+  def loadCentroids(spark: org.apache.spark.sql.SparkSession,
+                    path: String): Array[Array[Double]] =
+    Similarity.loadCentroids(spark, path)
+
   /** Internal: (__pid, cluster, cos_to_centroid, proto_rank, kept) for
     * every WELL-FORMED row (right dimension, no null elements, non-zero
     * norm). kept = proto_rank > floor(pruneFraction · n_cluster), rank 1 =

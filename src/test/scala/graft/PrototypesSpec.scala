@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
+import graft.core.PipelineConfig
 import graft.vec.Prototypes
 
 class PrototypesSpec extends SparkSpec {
@@ -89,5 +90,40 @@ class PrototypesSpec extends SparkSpec {
     assert(out.forall(_ < 1000L), s"copies must not survive: $out")
     // prototype stage then drops the most-prototypical half per cluster
     assert(out == Set(2L, 3L, 11L, 20L))
+  }
+
+  test("centroid save/load round-trips bit-exactly; loaded apply is identical (VERDICT r12 #5)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_proto_cent").toString
+    val data = corpus().filter(size(col("embedding")) === 4 && col("vec_id") =!= 90L)
+    val fitted = Prototypes.protoFit(data, "vec_id", "embedding", k = 3)
+    Prototypes.saveCentroids(spark, fitted, s"$dir/cents")
+    val loaded = Prototypes.loadCentroids(spark, s"$dir/cents")
+    // doubles round-trip bit-exactly through parquet
+    assert(loaded.length == fitted.length &&
+      loaded.zip(fitted).forall { case (a, b) => a.sameElements(b) },
+      "loaded centroids must be bit-identical to the fitted ones")
+    val direct = Prototypes.protoApply(data, "vec_id", "embedding", fitted, 0.5)
+      .select("vec_id").as[Long].collect().toSet
+    val viaDisk = Prototypes.protoApply(data, "vec_id", "embedding", loaded, 0.5)
+      .select("vec_id").as[Long].collect().toSet
+    assert(direct == viaDisk, s"loaded-centroid apply diverged: $direct vs $viaDisk")
+  }
+
+  test("YAML proto_prune: save_centroids_path persists the fit, centroids_path re-applies it (fit-once/apply-everywhere)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_proto_yaml").toString
+    val data = corpus().filter(size(col("embedding")) === 4 && col("vec_id") =!= 90L)
+    def run(extra: Map[String, String]): Set[Long] = {
+      val prune = PipelineConfig.parseOp(Map("type" -> "text_processing",
+        "operation" -> "proto_prune", "id_column" -> "vec_id",
+        "vector_column" -> "embedding", "prune_fraction" -> "0.5",
+        "k" -> "3") ++ extra)
+      graft.core.OpCompiler.compile(Seq(prune))(data)
+        .select("vec_id").as[Long].collect().toSet
+    }
+    val first = run(Map("save_centroids_path" -> s"$dir/cents"))
+    assert(new java.io.File(s"$dir/cents").exists(), "fit must be persisted")
+    val second = run(Map("centroids_path" -> s"$dir/cents"))
+    assert(first == second,
+      s"frozen-centroid re-apply must reproduce the fit run: $first vs $second")
   }
 }
