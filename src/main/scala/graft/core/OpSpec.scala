@@ -1004,6 +1004,15 @@ object OpCompiler {
             s(p, "max_train_rows", "100000").toInt,
             s(p, "centroids_path"), s(p, "save_centroids_path")),
           s(p, "prune_fraction", "0.3").toDouble)
+      case "semantic_gate" => // frozen semantic gate (round 13): batch
+        // counterpart of the stream transform — audit mode adds
+        // sem_cell/sem_max_cos/sem_dup against a saved accepted-corpus
+        // model; pair with a filter op (or use the stream form) to gate.
+        require(s(p, "model_path") != null,
+          "semantic_gate requires params.model_path (a saved SemGate.saveSemGate directory)")
+        graft.vec.SemGate.semGateApply(df, s(p, "vector_column", "embedding"),
+          graft.vec.SemGate.loadSemGate(df.sparkSession, s(p, "model_path")),
+          s(p, "threshold", "0.95").toDouble)
       case "pq_encode" => // encode with a stored model, or train-on-the-frame
         // model_path: ENCODE WITH YESTERDAY'S CODEBOOK (appendable index);
         // without it the op trains on the incoming frame (deterministic)

@@ -76,6 +76,30 @@ object QueriesLaws {
 
   val queries: Map[String, Q] = Map(
 
+    "q_semantic_gate_law" -> ((s, dir) => {
+      // frozen SEMANTIC gate (round 13, VERDICT r12 #6): accepted corpus =
+      // every 7th embedding, centroids pinned to the first four accepted
+      // rows (vec_id 0/7/14/21, id order) so BOTH halves of the gate —
+      // cell assignment (argmax 6dp-rounded cosine, ties → min index) and
+      // the within-cell accepted-rep screen (max 6dp-rounded cosine) —
+      // replay as plain SQL: a full VALUE gate over the gate's audit
+      // columns at every SF, not a zeros-law. Threshold 0.25 sits inside
+      // the observed within-cell max-cos range at every SF so both flag
+      // values occur.
+      val e = t(s, dir, "embeddings")
+      val accepted = e.filter(col("vec_id") % 7 === 0)
+      val cents = accepted.filter(col("vec_id") < 28).orderBy("vec_id")
+        .select(col("embedding")).collect()
+        .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+      val model = graft.vec.SemGate.semGateFit(accepted, "vec_id", "embedding",
+        centroids = cents)
+      graft.vec.SemGate.semGateApply(
+          e.filter(col("vec_id") % 7 =!= 0), "embedding", model, threshold = 0.25)
+        .select(col("vec_id"), col("sem_cell"),
+          roundf(col("sem_max_cos"), 6).as("sem_max_cos"), col("sem_dup"))
+        .orderBy("vec_id")
+    }),
+
     "q_dedup_minhash_law" -> ((s, dir) => {
       // exact copies agree on all 64 hashes → candidate in every band with
       // est_jaccard exactly 1.0; token-disjoint fresh docs share zero
@@ -620,6 +644,34 @@ object QueriesLaws {
         |FROM documents WHERE doc_id % 3 = 1
         |ORDER BY doc_id""".stripMargin
     Map(
+      "q_semantic_gate_law" ->
+        // full replay: centroid table = the four pinned accepted rows in
+        // id order (index = rank − 1, matching the engine's collect
+        // order); assignment = argmax rounded cosine with min-index
+        // tie-break; screen = max rounded cosine against same-cell
+        // accepted reps. LEFT JOIN keeps empty-cell rows with null
+        // sem_max_cos and false sem_dup (the engine's coalesce contract).
+        """WITH c AS (SELECT vec_id AS cid,
+          |            row_number() OVER (ORDER BY vec_id) - 1 AS ci,
+          |            CAST(embedding AS DOUBLE[]) AS ce
+          |          FROM embeddings WHERE vec_id % 7 = 0 AND vec_id < 28),
+          |v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+          |a AS (SELECT v.vec_id, c.ci,
+          |        round(list_cosine_similarity(v.e, c.ce), 6) AS cos
+          |      FROM v CROSS JOIN c),
+          |best AS (SELECT vec_id, ci FROM a
+          |         QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, ci) = 1),
+          |acc AS (SELECT b.vec_id, b.ci, v.e FROM best b JOIN v USING (vec_id)
+          |        WHERE b.vec_id % 7 = 0),
+          |app AS (SELECT b.vec_id, b.ci, v.e FROM best b JOIN v USING (vec_id)
+          |        WHERE b.vec_id % 7 <> 0),
+          |sc AS (SELECT app.vec_id, max(round(list_cosine_similarity(app.e, acc.e), 6)) AS mc
+          |       FROM app JOIN acc ON app.ci = acc.ci GROUP BY app.vec_id)
+          |SELECT p.vec_id, CAST(p.ci AS INT) AS sem_cell,
+          |  round(sc.mc + 1e-9, 6) AS sem_max_cos,
+          |  coalesce(sc.mc >= 0.25, FALSE) AS sem_dup
+          |FROM app p LEFT JOIN sc USING (vec_id)
+          |ORDER BY p.vec_id""".stripMargin,
       "q_dedup_minhash_law" -> plantedPairSql,
       "q_dedup_simhash_law" -> plantedPairSql,
       "q_near_dedup_law" ->

@@ -191,6 +191,19 @@ object StreamPipeline {
           graft.text.Dedup.neardupBloomApply(df, str(tr, "text_field", "text"),
             graft.text.Dedup.loadNeardupBloom(df.sparkSession, str(tr, "model_path")))
             .filter(!col("maybe_neardup")).drop("maybe_neardup")
+        case "semantic_gate" => // frozen SEMANTIC gate (round 13, VERDICT
+          // r12 #6): drop records whose embedding sits within `threshold`
+          // cosine of an accepted-corpus vector IN ITS OWN CELL — the
+          // embedding-space member of the frozen-gate family (exact →
+          // seen_gate, lexical → neardup_gate, semantic → this). Pure
+          // map: k centroid dots + |cell| rep dots per row, zero joins,
+          // zero state (SemGate's scaladoc has the bounds).
+          require(str(tr, "model_path") != null,
+            "semantic_gate requires model_path (a saved SemGate.saveSemGate directory)")
+          graft.vec.SemGate.semGateApply(df, str(tr, "vector_field", "embedding"),
+            graft.vec.SemGate.loadSemGate(df.sparkSession, str(tr, "model_path")),
+            str(tr, "threshold", "0.95").toDouble)
+            .filter(!col("sem_dup")).drop("sem_cell", "sem_max_cos", "sem_dup")
         case "quota_per_group" => StreamOps.quotaPerGroupStream(df,
           str(tr, "group_column"), str(tr, "quota", "10000").toLong)
         case other             => throw new IllegalArgumentException(s"Unknown stream transform: $other")

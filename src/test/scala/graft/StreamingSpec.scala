@@ -688,6 +688,58 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("StreamPipeline: semantic_gate screens a stream against frozen per-cell accepted embeddings; stream ≡ batch (round 13)") {
+    // the embedding-space member of the frozen-gate family (VERDICT r12
+    // #6): centroids + per-cell accepted reps frozen by a batch job;
+    // ingest assigns each record's embedding to its cell and screens it
+    // against that cell's reps as a pure map. A vector nearly parallel to
+    // an accepted one drops, an orthogonal one passes, a malformed one
+    // passes (near-dup of nothing). Stream survivors pinned EQUAL to the
+    // batch application of the same frozen model through the YAML path.
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_sg_stream").toString
+    val modelDir = java.nio.file.Files.createTempDirectory("graft_sg_model").toString
+    // two well-separated cells on axes 0 and 1
+    val accepted = Seq(
+      (1L, Seq(1f, 0f, 0f, 0f)), (2L, Seq(0.95f, 0.3f, 0f, 0f)),
+      (10L, Seq(0f, 1f, 0f, 0f)), (11L, Seq(0f, 0.95f, 0.3f, 0f))
+    ).toDF("vec_id", "embedding")
+    val cents = Array(Array(1.0, 0, 0, 0), Array(0.0, 1, 0, 0))
+    val model = graft.vec.SemGate.semGateFit(accepted, "vec_id", "embedding",
+      centroids = cents)
+    graft.vec.SemGate.saveSemGate(spark, model, s"$modelDir/sg")
+    val batchRows = Seq(
+      (901L, Seq(0.99f, 0.1f, 0f, 0f)),  // near-parallel to accepted 1 -> drops
+      (902L, Seq(0f, 0.99f, 0.12f, 0f)), // near-parallel to accepted 10/11 -> drops
+      (903L, Seq(0f, 0f, 1f, 0f)),       // orthogonal to every rep -> passes
+      (904L, Seq(1f, 0f))                // malformed (wrong dim) -> passes
+    )
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/b1.json"),
+      batchRows.map { case (id, v) =>
+        s"""{"vec_id":$id,"embedding":[${v.mkString(",")}]}"""
+      }.mkString("\n"))
+    val yaml =
+      s"""name: sem_gate
+         |stream_source: { type: file, path: "$dir", format: json, schema: "vec_id BIGINT, embedding ARRAY<FLOAT>" }
+         |transforms:
+         |  - { type: semantic_gate, model_path: "$modelDir/sg", threshold: "0.9" }
+         |sink: { type: memory, name: sem_gate_out, output_mode: append }
+         |""".stripMargin
+    val q = graft.streaming.StreamPipeline.start(spark, graft.streaming.StreamPipeline.fromYaml(yaml))
+    try {
+      q.processAllAvailable()
+      val streamKept = spark.sql("SELECT vec_id FROM sem_gate_out").as[Long].collect().toSet
+      val loaded = graft.vec.SemGate.loadSemGate(spark, s"$modelDir/sg")
+      val batchKept = graft.vec.SemGate.semGateApply(
+          batchRows.toDF("vec_id", "embedding"), "embedding", loaded, threshold = 0.9)
+        .filter(!org.apache.spark.sql.functions.col("sem_dup"))
+        .select("vec_id").as[Long].collect().toSet
+      assert(streamKept == batchKept, s"stream ≡ batch violated: $streamKept vs $batchKept")
+      assert(streamKept == Set(903L, 904L),
+        s"near-parallel drops, orthogonal + malformed pass: $streamKept")
+    } finally q.stop()
+  }
+
   test("StreamPipeline: langid_gate classifies and filters a YAML stream against a frozen model (round 11)") {
     // the char-trigram language-ID model joins the frozen-gate family: fit
     // + saved by a batch job, ingest classifies as a pure map and keep_langs
