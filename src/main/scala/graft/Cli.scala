@@ -236,10 +236,52 @@ object Cli {
           System.err.println(s"usage: graft.Cli lineage report|graph <table> --dir <d> (got: $other)")
           sys.exit(2)
       }
+    case "health" :: rest =>
+      // health rollup (monitoring/health_check.py parity, round 13):
+      //   health [--jdbc <url> [--jdbc-query <q>]] [--kv memory:<namespace>]
+      //          [--path <diskPath>] [--disk-warn r] [--disk-crit r]
+      //          [--mem-warn r] [--mem-crit r] [--strict]
+      // Disk + heap gauges always run; storage connectivity checks run
+      // when their flag is given. One machine-readable JSON line with the
+      // reference's HEALTHY/DEGRADED/UNHEALTHY rollup; --strict exits 1
+      // on an unhealthy rollup (the load-balancer-probe contract).
+      def flag(name: String): Option[String] =
+        rest.sliding(2).collectFirst { case List(`name`, v) => v }
+      import graft.core.Health
+      val checks = Seq(
+        Health.diskCheck("disk", flag("--path").getOrElse("/"),
+          flag("--disk-warn").map(_.toDouble).getOrElse(0.8),
+          flag("--disk-crit").map(_.toDouble).getOrElse(0.95)),
+        Health.memoryCheck("memory",
+          flag("--mem-warn").map(_.toDouble).getOrElse(0.8),
+          flag("--mem-crit").map(_.toDouble).getOrElse(0.95))) ++
+        flag("--jdbc").map(url => Health.jdbcCheck("database", url,
+          flag("--jdbc-query").getOrElse("SELECT 1"))).toSeq ++
+        flag("--kv").map { spec =>
+          val store: () => graft.sources.KeyValueSink = spec.split(":", 2) match {
+            case Array("memory", ns) => () => new graft.sources.KeyValueSink.InMemoryKV(ns)
+            case other => throw new IllegalArgumentException(
+              s"unknown kv store spec: ${other.mkString(":")} (supported: memory:<namespace>)")
+          }
+          Health.kvCheck("kv", store)
+        }.toSeq
+      val collector = new graft.core.Metrics.Collector()
+      val (overall, results) = Health.runAll(checks, collector)
+      val body = results.map { r =>
+        val details = r.details.toSeq.sortBy(_._1)
+          .map { case (k, v) => s"${j(k)}:${jn(v)}" }.mkString("{", ",", "}")
+        j(r.name) + s""":{"status":${j(r.status.label)},"message":${j(r.message)},""" +
+          s""""duration_ms":${jn(r.durationMs)},"details":$details}"""
+      }.mkString(",")
+      println(s"""{"status":${j(overall.label)},"checks":{$body},""" +
+        s""""healthy":${results.count(_.status == Health.Healthy)},""" +
+        s""""degraded":${results.count(_.status == Health.Degraded)},""" +
+        s""""unhealthy":${results.count(_.status == Health.Unhealthy)}}""")
+      if (rest.contains("--strict") && overall == Health.Unhealthy) sys.exit(1)
     case "entry" :: _ =>
       Smoke.main(Array.empty)
     case other =>
-      System.err.println(s"usage: graft.Cli run <pipeline.yaml> [--dry-run] | graft.Cli stream <yaml> [--drain] | graft.Cli catalog register|search|report | graft.Cli entry (got: $other)")
+      System.err.println(s"usage: graft.Cli run <pipeline.yaml> [--dry-run] | graft.Cli stream <yaml> [--drain] | graft.Cli catalog register|search|report | graft.Cli health [--jdbc url] [--kv memory:ns] [--strict] | graft.Cli entry (got: $other)")
       sys.exit(2)
   }
 }
