@@ -45,6 +45,18 @@ def values_equal(a, b) -> bool:
     return a == b
 
 
+def register_tables(con, sf_dir):
+    """One DuckDB view per table. The driver's testdata is one file per
+    table; Spark-written replicas (ScaleUp's sf1/sf10 dirs) are DIRECTORIES
+    of part files — glob those."""
+    for t in TABLES:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.isdir(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}/*.parquet')")
+        elif os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+
+
 def compare(name, spark_df, duck_df):
     problems = []
     s, d = canon(spark_df), canon(duck_df)
@@ -66,10 +78,7 @@ def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     only = set(sys.argv[3:])
     con = duckdb.connect()
-    for t in TABLES:
-        p = os.path.join(sf_dir, f"{t}.parquet")
-        if os.path.exists(p):
-            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    register_tables(con, sf_dir)
     with open(os.path.join(out_dir, "oracle_sql.json")) as f:
         oracle = json.load(f)
     results = {}

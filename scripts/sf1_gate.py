@@ -1,0 +1,97 @@
+#!/usr/bin/env python3
+"""Scale-correctness gate past sf0.1 (VERDICT r12 #1): run the DuckDB
+oracle compare against an sf~1 ScaleUp replica and emit a committed
+artifact (CORRECTNESS_SF1_r{N}.json).
+
+Every correctness proof through round 12 stops at sf0.1 (~10^6 rows); the
+100 TB posture otherwise rests on plan audits + SkewStressSpec. This gate
+re-runs the full value compare at 10x: the law queries (SF-independent by
+design) plus the most expensive operators, each against its real DuckDB
+oracle over the SAME replica tables.
+
+The 13 golden-file queries are skipped BY CONSTRUCTION (their oracles are
+per-SF pinned engine outputs; no sf1 golden exists) — each is covered here
+by its law twin instead. The skip list is explicit in the artifact.
+
+Usage: sf1_gate.py <sfDir> <outDir> <artifact.json> [query ...]
+  (run after `graft.Verify <sfDir> <outDir> <query ...>`)
+"""
+import json, os, sys, glob
+import duckdb
+import pandas as pd
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from oracle_check import canon, compare, register_tables
+
+GOLDEN_SKIP = {
+    "q_ann_lsh": "golden oracle (per-SF pinned output); q_ann_lsh_law covers the family",
+    "q_bpe_merges": "golden oracle; q_bpe_merges_law covers the round-trip law",
+    "q_dedup_clusters": "golden oracle; q_dedup_clusters_law covers the component laws",
+    "q_dedup_minhash": "golden oracle; q_dedup_minhash_law covers planted recall",
+    "q_dedup_simhash": "golden oracle; q_dedup_simhash_law covers planted recall",
+    "q_deflate_ratio": "golden oracle; q_deflate_ratio_law covers the ratio laws",
+    "q_embed_neardup": "golden oracle; q_embed_neardup_law covers planted pairs",
+    "q_fingerprint": "golden oracle; q_fingerprint_law covers the kernel law",
+    "q_multimodal_stub_features": "golden oracle; q_multimodal_stub_features_law covers the shape contract",
+    "q_near_dedup": "golden oracle; q_near_dedup_law + q_near_dedup_keepbest_law cover the family",
+    "q_pq_encode": "golden oracle; q_pq_encode_law covers the re-encode round-trip",
+    "q_semantic_dedup": "golden oracle; q_semantic_dedup_law covers the component laws",
+    "q_winnow": "golden oracle; q_winnow_law covers the kernel replay",
+}
+
+
+def main():
+    sf_dir, out_dir, artifact = sys.argv[1], sys.argv[2], sys.argv[3]
+    only = sys.argv[4:]
+    con = duckdb.connect()
+    register_tables(con, sf_dir)
+    with open(os.path.join(out_dir, "oracle_sql.json")) as f:
+        oracle = json.load(f)
+    queries = only if only else sorted(oracle)
+    results, npass = {}, 0
+    for name in queries:
+        assert name not in GOLDEN_SKIP, f"{name} is golden-pinned — not runnable at sf1"
+        res_dir = os.path.join(out_dir, name)
+        files = sorted(glob.glob(os.path.join(res_dir, "*.parquet")))
+        entry = {"mode": "oracle", "pass": False, "spark_rows": None,
+                 "oracle_rows": None, "problems": []}
+        try:
+            if not files:
+                entry["problems"] = ["NO SPARK OUTPUT"]
+            elif name not in oracle:
+                n = sum(len(pd.read_parquet(f)) for f in files)
+                entry.update(mode="rows_only", spark_rows=n,
+                             problems=[] if n > 0 else ["rows-only: NO/EMPTY OUTPUT"])
+            else:
+                spark_df = pd.concat([pd.read_parquet(f) for f in files],
+                                     ignore_index=True)
+                duck_df = con.execute(oracle[name]).fetchdf()
+                entry.update(spark_rows=len(spark_df), oracle_rows=len(duck_df),
+                             problems=compare(name, spark_df, duck_df))
+        except Exception as e:
+            entry["problems"] = [f"CHECK ERROR: {type(e).__name__}: {e}"]
+        entry["pass"] = not entry["problems"]
+        npass += entry["pass"]
+        results[name] = entry
+        print(("PASS " if entry["pass"] else "FAIL ") + name, flush=True)
+        for p in entry["problems"]:
+            print(f"     {p}")
+    body = {
+        "sf_dir": sf_dir,
+        "replica": "graft.tools.ScaleUp: 10 self-consistent copies of "
+                   "/root/testdata/sf0.1 (disjoint key universes, shared dims; "
+                   "~6M lineitem / 50k documents / 20k embeddings)",
+        "gate": "full DuckDB value compare (schema + rows + per-cell), "
+                "identical to the sf0.01/sf0.1 gates",
+        "pass": npass, "total": len(results),
+        "queries": results,
+        "skipped": GOLDEN_SKIP,
+    }
+    with open(artifact, "w") as f:
+        json.dump(body, f, indent=1, sort_keys=False)
+    print(f"== {npass}/{len(results)} PASS == -> {artifact}")
+    sys.exit(0 if npass == len(results) else 1)
+
+
+if __name__ == "__main__":
+    main()
