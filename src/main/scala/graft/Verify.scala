@@ -18,11 +18,17 @@ object Verify {
 
   def main(args: Array[String]): Unit = {
     val (Array(sfDir, outDir), extra) = args.splitAt(2)
-    // dev path: extra args = run only these queries (the driver passes two)
-    val only = extra.toSet
-    val selected =
+    // dev path: extra args = run only these queries (the driver passes two).
+    // --sql-only: dump oracle_sql.json/query_names.json for the named
+    // queries WITHOUT executing them — a targeted re-run overwrites both
+    // files with its subset, and a later full-artifact compare (the SF1
+    // gate) needs the complete map back without paying a full re-run.
+    val sqlOnly = extra.contains("--sql-only")
+    val only = extra.filterNot(_ == "--sql-only").toSet
+    val selected0 =
       if (only.isEmpty) SparkEntry.queries
       else SparkEntry.queries.filter { case (k, _) => only(k) }
+    val selected = if (sqlOnly) Map.empty[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] else selected0
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     // the SAME config path Bench/Cli use (Sessions.configure): a hand-rolled
     // builder here once meant the correctness gate ran under different confs
@@ -68,7 +74,7 @@ object Verify {
     // full registry, so the checker can flag rows-only queries that produced
     // NO output (a missing dir would otherwise vanish from the report)
     Files.writeString(Paths.get(s"$outDir/query_names.json"),
-      selected.keys.toSeq.sorted.map(q).mkString("[", ",", "]"))
+      selected0.keys.toSeq.sorted.map(q).mkString("[", ",", "]"))
     spark.stop()
   }
 }

@@ -376,8 +376,13 @@ object QueriesAgg {
     */
   private val pagerankSql: String = {
     val d = "0.85"
+    // AS MATERIALIZED throughout (round 13): every pr_i references
+    // pr_{i-1} TWICE (dangling scalar + contributions) — inlined, the
+    // chain expands 2^iterations copies of the 6M-row DISTINCT leaf,
+    // which exhausted DuckDB's temp space on the sf~1 ScaleUp gate;
+    // materialized, each step runs once (the engine's checkpoint shape).
     val steps = (1 to 5).map { i =>
-      s"""pr$i AS (
+      s"""pr$i AS MATERIALIZED (
          |  SELECT nd.n,
          |    (1 - $d) / cnt.nodecount + $d * (COALESCE(c.s, 0) + dg.s / cnt.nodecount) AS r
          |  FROM nodes nd
@@ -388,12 +393,12 @@ object QueriesAgg {
          |             FROM e JOIN pr${i - 1} p ON p.n = e.src
          |             JOIN deg ON deg.src = e.src GROUP BY e.dst) c ON c.n2 = nd.n)""".stripMargin
     }
-    s"""WITH e AS (SELECT DISTINCT CAST(l_suppkey AS BIGINT) AS src,
+    s"""WITH e AS MATERIALIZED (SELECT DISTINCT CAST(l_suppkey AS BIGINT) AS src,
        |                  CAST(1000000 + l_partkey % 5000 AS BIGINT) AS dst FROM lineitem),
-       |nodes AS (SELECT src AS n FROM e UNION SELECT dst FROM e),
+       |nodes AS MATERIALIZED (SELECT src AS n FROM e UNION SELECT dst FROM e),
        |cnt AS (SELECT CAST(count(*) AS DOUBLE) AS nodecount FROM nodes),
-       |deg AS (SELECT src, CAST(count(*) AS DOUBLE) AS outd FROM e GROUP BY src),
-       |pr0 AS (SELECT n, 1.0 / cnt.nodecount AS r FROM nodes CROSS JOIN cnt),
+       |deg AS MATERIALIZED (SELECT src, CAST(count(*) AS DOUBLE) AS outd FROM e GROUP BY src),
+       |pr0 AS MATERIALIZED (SELECT n, 1.0 / cnt.nodecount AS r FROM nodes CROSS JOIN cnt),
        |${steps.mkString(",\n")}
        |SELECT n AS node, round(r + 1e-9, 9) AS rank FROM pr5 ORDER BY node""".stripMargin
   }

@@ -141,9 +141,15 @@ object QueriesLaws {
       val (d, copies, _) = plantedDocs(s, dir)
       val all = d.unionByName(copies)
       val out = Dedup.nearDedup(all, "text", "doc_id", threshold = 0.8)
-      val aggA = out.agg(
-        sum(when(col("doc_id") >= 700000L, 1L).otherwise(0L)).as("n_copies_surviving"),
-        (count(lit(1)) > 0).as("has_rows"))
+      // copy identification is SET membership, not an id-range test
+      // (round 13): `doc_id >= 700000` was true of nine copies' worth of
+      // ORIGINALS on the 10^8-strided ScaleUp replica, so the SF1 gate
+      // counted legitimately-surviving originals as "copies" — the law
+      // itself was never violated
+      val aggA = out.select("doc_id")
+        .join(copies.select("doc_id"), Seq("doc_id"), "left_semi")
+        .agg(count(lit(1)).as("n_copies_surviving"))
+        .crossJoin(out.agg((count(lit(1)) > 0).as("has_rows")))
       val aggB = out.groupBy(sha2(TextLib.normalized(col("text")), 256).as("__h"))
         .agg(count(lit(1)).as("__c")).filter(col("__c") > 1)
         .agg(count(lit(1)).as("n_dup_text_groups"))
@@ -371,12 +377,21 @@ object QueriesLaws {
       // pairs. Halving the plant would halve the wall but weaken the law
       // from every-vector to a sample; the 3 s buys the stronger gate.
       val e = t(s, dir, "embeddings")
-      val copies = e.withColumn("vec_id", col("vec_id") + 100000L)
+      // plant offset PAST the corpus's actual id space (round 13): the
+      // fixed +100000 offset collided with the ScaleUp replica's
+      // 10^8-strided vec_ids, so the id<100000 orig/copy split
+      // mis-classified nine copies' worth of originals and the SF1 gate
+      // read 18000 false "missing" rows — a fixture artifact, not an
+      // engine violation. One-row max() collect; the oracle pins only
+      // counts/zeros, so the plant's id arithmetic never reaches it.
+      val maxId = e.agg(max(col("vec_id"))).head().getLong(0)
+      val off = maxId + 100000L
+      val copies = e.withColumn("vec_id", col("vec_id") + off)
       val g = graft.vec.SemDedup.semanticDupGroups(e.unionByName(copies),
         "vec_id", "embedding", threshold = 0.999, nClusters = 16, keep = "min_id")
-      val orig = g.filter(col("id") < 100000L).select(col("id"), col("survivor").as("__so"))
-      val cop = g.filter(col("id") >= 100000L)
-        .select((col("id") - 100000L).as("id"), col("survivor").as("__sc"))
+      val orig = g.filter(col("id") <= maxId).select(col("id"), col("survivor").as("__so"))
+      val cop = g.filter(col("id") > maxId)
+        .select((col("id") - off).as("id"), col("survivor").as("__sc"))
       val pairAgg = e.select(col("vec_id").as("id"))
         .join(orig, Seq("id"), "left").join(cop, Seq("id"), "left")
         .agg(count(lit(1)).as("n_vecs"),
