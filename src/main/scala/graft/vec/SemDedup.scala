@@ -167,8 +167,19 @@ object SemDedup {
     val survivors = members.withColumn("__ek", electKey)
       .groupBy(col("__grp")).agg(min(col("__ek")).as("__win"))
       .select(col("__grp"), col("__win.id").as("survivor"))
-    members.join(survivors, Seq("__grp"))
+    // Materialize the NARROW groups map (3 thin columns) and release the
+    // two WIDE persisted frames (unit0/unit carry the embedding arrays) —
+    // repeated semantic_dedup/d4_select ops in one session previously
+    // accumulated their cached blocks for the session lifetime (the
+    // Prototypes release discipline, ADVICE r12's "same latent issue as
+    // SemDedup"). Values are unchanged; the caller's anti-join reads the
+    // checkpoint instead of re-reading the caches.
+    val out = members.join(survivors, Seq("__grp"))
       .select(col("id"), col("survivor"), round(col("__cc"), 6).as("cos_to_centroid"))
+      .localCheckpoint()
+    unit0.unpersist(false)
+    unit.unpersist(false)
+    out
   }
 
   /** The end-to-end op: corpus minus semantic duplicates (one survivor per
