@@ -50,9 +50,19 @@ GOLDEN_SKIP = {
 def main():
     args = sys.argv[1:]
     rows_only_forced = set()
-    if args and args[0] == "--rows-only":
-        rows_only_forced = set(args[1].split(","))
-        args = args[2:]
+    allow_goldens = False
+    while args and args[0].startswith("--"):
+        if args[0] == "--rows-only":
+            rows_only_forced = set(args[1].split(","))
+            args = args[2:]
+        elif args[0] == "--allow-goldens":
+            # goldens/<sfLabel>/ has been pinned for THIS SF through the
+            # cross-core regen protocol, so golden queries are gateable
+            # here like at any other SF (Verify re-points their SQL)
+            allow_goldens = True
+            args = args[1:]
+        else:
+            sys.exit(f"unknown flag {args[0]}")
     sf_dir, out_dir, artifact = args[0], args[1], args[2]
     only = args[3:]
     con = duckdb.connect()
@@ -61,8 +71,12 @@ def main():
         oracle = json.load(f)
     queries = only if only else sorted(oracle)
     results, npass = {}, 0
+    sf_label = os.path.basename(os.path.normpath(sf_dir))
     for name in queries:
-        assert name not in GOLDEN_SKIP, f"{name} is golden-pinned — not runnable at sf1"
+        if name in GOLDEN_SKIP:
+            assert allow_goldens, f"{name} is golden-pinned — pass --allow-goldens after pinning goldens/{sf_label}/"
+            golden = f"/root/repo/goldens/{sf_label}/{name}.parquet"
+            assert os.path.exists(golden), f"{name}: no golden at {golden}"
         res_dir = os.path.join(out_dir, name)
         files = sorted(glob.glob(os.path.join(res_dir, "*.parquet")))
         entry = {"mode": "oracle", "pass": False, "spark_rows": None,
@@ -117,7 +131,7 @@ def main():
         "oracle_timeout_s": ORACLE_TIMEOUT_S,
         "rows_only_forced": sorted(rows_only_forced),
         "queries": results,
-        "skipped": GOLDEN_SKIP,
+        "skipped": {k: v for k, v in GOLDEN_SKIP.items() if k not in set(queries)},
     }
     with open(artifact, "w") as f:
         json.dump(body, f, indent=1, sort_keys=False)
