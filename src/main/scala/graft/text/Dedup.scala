@@ -1059,14 +1059,72 @@ object Dedup {
     * composite a training-data pipeline actually runs; every stage is the
     * bucketed formulation above (no all-pairs anywhere).
     */
+  /** Member-level duplicate clusters (id, cluster_id) for the
+    * [[nearDedup]]/[[nearDedupKeepBest]] pipeline, with EXACT-duplicate
+    * collapse before the banded pair space (round 13 — [[SemDedup]]'s
+    * collapse lifted to text). Byte-identical texts produce identical
+    * shingle sets, hence identical signatures and shared buckets in
+    * every band with estimated Jaccard exactly 1.0 ≥ any valid
+    * threshold — so only ONE representative per identical-text group
+    * (the min id) needs to enter the quadratic bucket pair space; the
+    * group expands back onto its rep's component afterwards. Real
+    * corpora are exact-duplicate-heavy and the pair space shrinks by
+    * the SQUARE of the duplication depth; a 10-deep-duplicated corpus's
+    * guaranteed-candidate mass also stops competing for hot-bucket cap
+    * slots.
+    *
+    * Output-equivalent to the uncollapsed pipeline: identical groups are
+    * cliques, so member-level components = rep-level components
+    * expanded, and min-member labels = min-rep labels (reps ARE their
+    * groups' minima). A group is collapsible ONLY if its text actually
+    * shingles (≥ 1 shingle): null/too-short texts never band, so two
+    * identical unshingleable texts were never candidates and must not
+    * collapse into one (the SemDedup dot(u,u)-guard, in text form).
+    * An identical group (size ≥ 2) whose rep lands in NO pair is a
+    * component of its own labeled by the rep. Members outside any pair
+    * and any ≥2 group carry no label — exactly the rows the old cluster
+    * frame never contained.
+    */
+  private[text] def nearDupClusters(
+      df: DataFrame, textCol: String, idCol: String,
+      shingleN: Int, numHashes: Int, bands: Int,
+      threshold: Double, maxBucketSize: Int
+  ): DataFrame = {
+    val base = df.select(col(idCol).as("id"), col(textCol).as("__t"))
+      .withColumn("__coll", size(TextLib.shingles(col("__t"), shingleN)) > 0)
+      .withColumn("__k", when(col("__coll"), sha2(col("__t"), 256)))
+    // rep = min id per identical-text group — a map-side-combined agg +
+    // join-back, NOT a window over the text key (the minhashCandidates
+    // skew discipline: AQE can split the join partition a million-deep
+    // identical blob lands in; a window cannot)
+    val groups = base.filter(col("__coll"))
+      .groupBy(col("__k"))
+      .agg(min(col("id")).as("__grep"), count(lit(1)).as("__ggsz"))
+      .filter(col("__ggsz") >= 2)
+    val labeled = base.join(groups, Seq("__k"), "left")
+      .withColumn("__rep", coalesce(col("__grep"), col("id")))
+      .withColumn("__gsz", coalesce(col("__ggsz"), lit(1L)))
+    val reps = labeled.filter(col("id") === col("__rep"))
+    val cands = minhashCandidates(
+      reps.select(col("id").as(idCol), col("__t").as(textCol)),
+      textCol, idCol, shingleN, numHashes, bands, threshold, maxBucketSize)
+    val repClusters = clusterCandidates(cands.select("id_a", "id_b"))
+    val soloDupReps = reps.filter(col("__gsz") >= 2).select(col("id"))
+      .join(repClusters.select("id"), Seq("id"), "left_anti")
+      .withColumn("cluster_id", col("id"))
+    val repLabeled = repClusters.unionByName(soloDupReps)
+    labeled.select(col("id"), col("__rep"))
+      .join(repLabeled.select(col("id").as("__rep"), col("cluster_id")), Seq("__rep"))
+      .select(col("id"), col("cluster_id"))
+  }
+
   def nearDedup(
       df: DataFrame, textCol: String, idCol: String,
       shingleN: Int = 3, numHashes: Int = 64, bands: Int = 16,
       threshold: Double = 0.8, maxBucketSize: Int = 1000
   ): DataFrame = {
-    val cands = minhashCandidates(df, textCol, idCol, shingleN, numHashes, bands,
-      threshold, maxBucketSize)
-    val losers = clusterCandidates(cands.select("id_a", "id_b"))
+    val losers = nearDupClusters(df, textCol, idCol, shingleN, numHashes, bands,
+        threshold, maxBucketSize)
       .filter(col("id") =!= col("cluster_id"))
       .select(col("id").as(idCol))
     df.join(losers, Seq(idCol), "left_anti")
@@ -1119,12 +1177,10 @@ object Dedup {
       df: DataFrame, textCol: String, idCol: String, qualityCol: String,
       shingleN: Int = 3, numHashes: Int = 64, bands: Int = 16,
       threshold: Double = 0.8, maxBucketSize: Int = 1000
-  ): DataFrame = {
-    val cands = minhashCandidates(df, textCol, idCol, shingleN, numHashes, bands,
-      threshold, maxBucketSize)
+  ): DataFrame =
     keepBestByCluster(df, idCol, qualityCol,
-      clusterCandidates(cands.select("id_a", "id_b")))
-  }
+      nearDupClusters(df, textCol, idCol, shingleN, numHashes, bands,
+        threshold, maxBucketSize))
 
   // ---------------------------------------------------------------- paragraph-level
 

@@ -118,6 +118,33 @@ class CollapseEquivalenceSpec extends SparkSpec {
     heavy.unpersist(); light.unpersist()
   }
 
+  test("nearDedup/keepBest: text-level exact collapse == member-level cluster pipeline (round 13)") {
+    // the cluster-stage collapse (nearDupClusters): identical texts enter
+    // banding once and expand onto their rep's component — survivor sets
+    // must equal the old member-level pipeline's (candidates → components
+    // → election) on the same duplicate-heavy corpora, for BOTH elections
+    for (seed <- Seq(7, 23, 101)) {
+      val df = corpus(seed, 48).withColumn("q", (col("doc_id") * 37 % 101).cast("double")).cache()
+      val newMin = Dedup.nearDedup(df, "text", "doc_id", 3, 32, 8, 0.5, NoCap)
+        .select("doc_id").as[Long].collect().toSet
+      val oldClusters = Dedup.clusterCandidates(
+        Dedup.minhashCandidates(df, "text", "doc_id", 3, 32, 8, 0.5, NoCap)
+          .select("id_a", "id_b"))
+      val oldMin = df.join(
+          oldClusters.filter(col("id") =!= col("cluster_id")).select(col("id").as("doc_id")),
+          Seq("doc_id"), "left_anti")
+        .select("doc_id").as[Long].collect().toSet
+      assert(newMin == oldMin,
+        s"seed $seed: min-id survivors diverged:\n new-old=${newMin -- oldMin}\n old-new=${oldMin -- newMin}")
+      val newBest = Dedup.nearDedupKeepBest(df, "text", "doc_id", "q", 3, 32, 8, 0.5, NoCap)
+        .select("doc_id").as[Long].collect().toSet
+      val oldBest = Dedup.keepBestByCluster(df, "doc_id", "q", oldClusters)
+        .select("doc_id").as[Long].collect().toSet
+      assert(newBest == oldBest, s"seed $seed: keep-best survivors diverged")
+      df.unpersist()
+    }
+  }
+
   test("minhash: threshold > 1 is empty on both paths (within-branch gate)") {
     val df = corpus(7, 24)
     assert(Dedup.minhashCandidates(df, "text", "doc_id",
