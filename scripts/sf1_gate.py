@@ -97,11 +97,29 @@ def main():
                                      ignore_index=True)
                 # a prohibitive oracle must not stall the whole gate: past
                 # the timeout, interrupt DuckDB and fall back to the
-                # rows+schema-only check — recorded as the WEAKER mode
-                timer = threading.Timer(ORACLE_TIMEOUT_S, con.interrupt)
+                # rows+schema-only check — recorded as the WEAKER mode.
+                # The timer sets a flag BEFORE interrupting: an interrupt
+                # that fires just as a query finishes (losing the race
+                # against timer.cancel()) lands on the NEXT query on this
+                # shared connection — without the flag that fast query
+                # would silently downgrade to rows_only_timeout. An
+                # InterruptException with the flag clear is such a stray:
+                # retry the query once (its own timer is still armed, so a
+                # genuine timeout during the retry still raises with the
+                # flag set).
+                timed_out = {"flag": False}
+                def _interrupt():
+                    timed_out["flag"] = True
+                    con.interrupt()
+                timer = threading.Timer(ORACLE_TIMEOUT_S, _interrupt)
                 timer.start()
                 try:
-                    duck_df = con.execute(oracle[name]).fetchdf()
+                    try:
+                        duck_df = con.execute(oracle[name]).fetchdf()
+                    except duckdb.InterruptException:
+                        if timed_out["flag"]:
+                            raise
+                        duck_df = con.execute(oracle[name]).fetchdf()
                 finally:
                     timer.cancel()
                 entry.update(spark_rows=len(spark_df), oracle_rows=len(duck_df),

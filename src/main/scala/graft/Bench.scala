@@ -234,6 +234,31 @@ object Bench {
       .sortBy { case (k, v) => (-v, k) } // deterministic under prior ties
       .take(5).map(_._1).toSet
 
+  /** Deterministic per-round suite-order rotation (VERDICT r13 #5):
+    * late-suite queries read ~15% slower when the end probes degrade, and
+    * a FIXED measurement order turns that into a SYSTEMATIC per-query
+    * bias across rounds — the same tail queries always pay it
+    * (q_pagerank read 2.72 s at suite start vs ~3.2 s late-suite in
+    * round 13 on the same binary). Shuffling the order with a per-round
+    * seed converts the bias into zero-mean noise across rounds; the side
+    * file records each query's position (`order`) and the stdout line the
+    * seed (`order_seed`), so cross-round comparisons can check position
+    * parity instead of guessing. Results are keyed by name and each query
+    * measures from a clean slate, so ordering changes no value's meaning.
+    * Seed = round number, inferred as newest committed BENCH/STRESS
+    * artifact number + 1; SPARK_GRAFT_BENCH_ORDER_SEED overrides (0 =
+    * keep the declared order, for specs and targeted dev comparisons). */
+  private[graft] def orderSeed(): Long =
+    cfg("SPARK_GRAFT_BENCH_ORDER_SEED").map(_.toLong).getOrElse {
+      val rx = "(?:BENCH|STRESS)_r(\\d+)\\.json".r
+      Option(new java.io.File(".").listFiles()).getOrElse(Array.empty).toSeq
+        .flatMap(f => rx.findFirstMatchIn(f.getName).map(_.group(1).toInt))
+        .maxOption.getOrElse(0).toLong + 1L
+    }
+
+  private[graft] def shuffled(names: Seq[String], seed: Long): Seq[String] =
+    if (seed == 0L) names else new scala.util.Random(seed).shuffle(names)
+
   /** Headline set: one representative heavy query per subsystem. */
   val headline: Seq[String] = Seq(
     "q_agg_grouped",       // shuffle agg
@@ -311,7 +336,10 @@ object Bench {
   )
 
   def main(args: Array[String]): Unit = {
-    val names = if (args.nonEmpty) args.toSeq else headline // dev: bench a subset
+    val seed = orderSeed()
+    // dev: bench a subset; the per-round shuffle applies either way
+    val names = shuffled(if (args.nonEmpty) args.toSeq else headline, seed)
+    System.err.println(s"[bench] suite order seed: $seed")
     val sfDir = cfg("SPARK_GRAFT_SF_DIR").getOrElse("/root/testdata/sf0.1")
     val cpus = cfg("SPARK_GRAFT_CPUS").getOrElse("32")
     val detailPath = cfg("SPARK_GRAFT_BENCH_DETAIL").getOrElse("bench_detail.json")
@@ -405,7 +433,7 @@ object Bench {
     // on a full (no-args) invocation — a dev subset run shouldn't pay for it.
     val lawMeasured =
       if (args.nonEmpty) Seq.empty
-      else lawRing.filter(qs.contains).map { name =>
+      else shuffled(lawRing, seed).filter(qs.contains).map { name =>
         val (median, gc, la, jit) = measure(spark, name)
         (name, median, gc, la, jit)
       }
@@ -525,8 +553,14 @@ object Bench {
         s""""cpu_ratio":${opt(calRatioCpu)},"mem_ratio":${opt(calRatioMem)},""" +
         s""""ratio":${fmt(calRatio)},"trigger_scale":${fmt(triggerScale)}}"""
     }
+    // measurement order per query (round 14, VERDICT r13 #5): position
+    // index in THIS run's shuffled suite — the data a position-parity
+    // comparison needs
+    val orderJson = all.zipWithIndex.map { case ((k, _, _, _, _), i) =>
+      js(k) + ":" + i
+    }.mkString("{", ",", "}")
     val detail =
-      s"""{"adjudicated":$adjJson,"law_ring":$lawJson$lawFailedJson,"calibration":$calJson,"gc_sec":$gcJson,"load_avg":$laJson,"jit":$jitJson,"runs":$runs,"sf":${js(sfDir)}}"""
+      s"""{"adjudicated":$adjJson,"law_ring":$lawJson$lawFailedJson,"calibration":$calJson,"gc_sec":$gcJson,"load_avg":$laJson,"jit":$jitJson,"order":$orderJson,"order_seed":$seed,"runs":$runs,"sf":${js(sfDir)}}"""
     try {
       java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),
         (detail + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -537,6 +571,6 @@ object Bench {
     // calibration_sec rides the stdout line BY DESIGN (~30 B): BENCH_r*.json
     // is the only artifact the next round's priorRound reads, so the box
     // probe must live there to be comparable cross-round
-    println(s"""{"metric":"total","value":${fmt(good.map(_._2).sum)},"unit":"sec","queries":$qJson$failedJson,"runs":$runs,"calibration_sec":${fmt(calSec)},"calibration_end_sec":${fmt(calEndSec)},"calibration_mem_sec":${fmt(calMemSec)},"calibration_mem_end_sec":${fmt(calMemEndSec)},"sf":${js(sfDir)},"detail":${js(detailPath)}}""")
+    println(s"""{"metric":"total","value":${fmt(good.map(_._2).sum)},"unit":"sec","queries":$qJson$failedJson,"runs":$runs,"order_seed":$seed,"calibration_sec":${fmt(calSec)},"calibration_end_sec":${fmt(calEndSec)},"calibration_mem_sec":${fmt(calMemSec)},"calibration_mem_end_sec":${fmt(calMemEndSec)},"sf":${js(sfDir)},"detail":${js(detailPath)}}""")
   }
 }

@@ -1008,11 +1008,35 @@ object OpCompiler {
         // counterpart of the stream transform — audit mode adds
         // sem_cell/sem_max_cos/sem_dup against a saved accepted-corpus
         // model; pair with a filter op (or use the stream form) to gate.
-        require(s(p, "model_path") != null,
-          "semantic_gate requires params.model_path (a saved SemGate.saveSemGate directory)")
+        // Commissioning (round 14, VERDICT r13 #6 — the pq_encode
+        // model_path/save_model_path discipline): model_path loads
+        // YESTERDAY'S fit; without it the op fits on `accepted_table`
+        // (a catalog table holding the frozen accepted corpus — NEVER
+        // the incoming frame itself, whose every row would gate itself
+        // out at cosine 1.0) and save_model_path persists the result
+        // for tomorrow's batch runs and the stream transform.
+        val sgModel = Option(s(p, "model_path")) match {
+          case Some(mp) => graft.vec.SemGate.loadSemGate(df.sparkSession, mp)
+          case None =>
+            require(tables != null && s(p, "accepted_table") != null,
+              "semantic_gate requires params.model_path (a saved " +
+                "SemGate.saveSemGate directory) or params.accepted_table " +
+                "(catalog table with the frozen accepted corpus) to fit")
+            val m = graft.vec.SemGate.semGateFit(
+              tables(s(p, "accepted_table")),
+              s(p, "id_column", "vec_id"), s(p, "vector_column", "embedding"),
+              nCells = s(p, "n_cells", "16").toInt,
+              seed = s(p, "seed", "42").toLong,
+              maxTrainRows = s(p, "max_train_rows", "100000").toInt,
+              maxReps = s(p, "max_reps", "1000000").toInt,
+              centroids = Option(s(p, "centroids_path"))
+                .map(graft.vec.Prototypes.loadCentroids(df.sparkSession, _)).orNull)
+            Option(s(p, "save_model_path"))
+              .foreach(graft.vec.SemGate.saveSemGate(df.sparkSession, m, _))
+            m
+        }
         graft.vec.SemGate.semGateApply(df, s(p, "vector_column", "embedding"),
-          graft.vec.SemGate.loadSemGate(df.sparkSession, s(p, "model_path")),
-          s(p, "threshold", "0.95").toDouble)
+          sgModel, s(p, "threshold", "0.95").toDouble)
       case "pq_encode" => // encode with a stored model, or train-on-the-frame
         // model_path: ENCODE WITH YESTERDAY'S CODEBOOK (appendable index);
         // without it the op trains on the incoming frame (deterministic)

@@ -404,10 +404,13 @@ object Dedup {
     val path = new org.apache.hadoop.fs.Path(dir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(path)) return Seq.empty
+    // a foreign/malformed "v=" entry (not all-digits) is somebody else's
+    // file, not a version — skip it like any non-version name instead of
+    // letting .toLong throw inside the streaming batch and fail ingest
     val complete = fs.listStatus(path).toSeq
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("v="))
       .filter(s => fs.exists(new org.apache.hadoop.fs.Path(s.getPath, "_SUCCESS")))
-      .map(_.getPath.getName.stripPrefix("v=").toLong)
+      .flatMap(s => scala.util.Try(s.getPath.getName.stripPrefix("v=").toLong).toOption)
       .sorted
     val doomed = complete.dropRight(keep)
     doomed.foreach(v => fs.delete(new org.apache.hadoop.fs.Path(s"$dir/v=$v"), true))
@@ -1084,6 +1087,21 @@ object Dedup {
     * component of its own labeled by the rep. Members outside any pair
     * and any ≥2 group carry no label — exactly the rows the old cluster
     * frame never contained.
+    *
+    * The collapse is GATED for equivalence to hold unconditionally
+    * (round 14): a group DEEPER than `maxBucketSize` emitted no
+    * within-group pairs in the member-level pipeline (its
+    * identical-signature bucket was past the cap there too), yet its
+    * members still join their rep's component through CROSS pairs —
+    * semantics [[minhashCandidates]]' signature-level collapse already
+    * implements (the memDeep expansion). Force-collapsing such a group
+    * here would invent a clique the old pipeline never emitted and drop
+    * members it kept. Likewise a degenerate `threshold > 1` emits no
+    * pairs anywhere, so nothing may collapse. Past-cap groups and
+    * threshold > 1 therefore pass through at MEMBER level and inherit
+    * minhashCandidates' exact cap/threshold behavior
+    * (CollapseEquivalenceSpec pins a deeper-than-cap identical family
+    * and the threshold > 1 case against the member-level pipeline).
     */
   private[text] def nearDupClusters(
       df: DataFrame, textCol: String, idCol: String,
@@ -1100,7 +1118,8 @@ object Dedup {
     val groups = base.filter(col("__coll"))
       .groupBy(col("__k"))
       .agg(min(col("id")).as("__grep"), count(lit(1)).as("__ggsz"))
-      .filter(col("__ggsz") >= 2)
+      .filter(col("__ggsz") >= 2 && col("__ggsz") <= maxBucketSize &&
+        lit(threshold) <= lit(1.0))
     val labeled = base.join(groups, Seq("__k"), "left")
       .withColumn("__rep", coalesce(col("__grep"), col("id")))
       .withColumn("__gsz", coalesce(col("__ggsz"), lit(1L)))

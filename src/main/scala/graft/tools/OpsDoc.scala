@@ -151,6 +151,22 @@ object OpsDoc {
       out ++= s"## `$name` (`operation:` dispatch)\n\n"
       out ++= familyTable(spec, marker, until).mkString("\n") + "\n\n"
     }
+
+    out ++= "## Model envelopes\n\n"
+    out ++= "`semantic_gate` commissioning (round 14): without `model_path` the op\n"
+    out ++= "fits on `accepted_table` (a catalog table holding the frozen accepted\n"
+    out ++= "corpus — never the incoming frame, whose every row would gate itself\n"
+    out ++= "out at cosine 1.0) and `save_model_path` persists the model for batch\n"
+    out ++= "replay and the stream `semantic_gate` transform. Sizing: the fitted\n"
+    out ++= "model holds reps×dim doubles on the DRIVER heap (3–4× with boxing\n"
+    out ++= "during fit) and again in EVERY task binary at apply time — 1 M reps at\n"
+    out ++= "dim 768 would be ≈6 GB of raw vector payload. Both bounds fail loudly\n"
+    out ++= "at fit time BEFORE any vector is collected: rows ≤ `max_reps`, and\n"
+    out ++= "rows×dim ≤ 2×10⁸ doubles (`SemGate.MaxModelElems`, ≈1.6 GB raw). Past\n"
+    out ++= "either bound, the snapshot-join dedup tier (`dedup_against` /\n"
+    out ++= "`semantic_dedup`) is the documented route. The saved reps directory is\n"
+    out ++= "sharded at ~8 M doubles (~64 MB) per file and reloads bit-identically\n"
+    out ++= "regardless of file count.\n"
     out.toString
   }
 

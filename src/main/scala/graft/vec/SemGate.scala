@@ -70,7 +70,19 @@ object SemGate {
     * assignment pass over the accepted corpus, collected driver-side
     * (bounded by `maxReps` — fails loudly rather than silently admitting
     * near-dups of un-indexed acceptances).
+    *
+    * Model envelope (round 14): the fitted model holds rows×dim doubles
+    * on the DRIVER heap (×3–4 with Row boxing during fit) and again in
+    * EVERY task binary at apply time — 1M reps × dim 768 would be ≈6 GB
+    * of raw vector payload, far past what a task binary should carry.
+    * Both bounds fail LOUDLY before any vector is collected: the row
+    * count is checked with a column-pruned count (no vectors move), and
+    * rows×dim must stay under [[MaxModelElems]] (2×10⁸ doubles ≈ 1.6 GB
+    * raw — already generous; past it, the snapshot-join dedup tier is
+    * the documented route).
     */
+  val MaxModelElems: Long = 200000000L
+
   def semGateFit(accepted: DataFrame, idCol: String, vecCol: String,
                  nCells: Int = 16, seed: Long = 42L, maxTrainRows: Int = 100000,
                  maxReps: Int = 1000000,
@@ -78,17 +90,28 @@ object SemGate {
     val cents =
       if (centroids != null) centroids
       else Prototypes.protoFit(accepted, idCol, vecCol, nCells, seed, maxTrainRows)
-    val assigned = accepted
+    val indexable = accepted
       .select(col(idCol).as("__gid"), col(vecCol).as("__gv"))
       .withColumn("__cell", cellExpr(col("__gv"), cents))
       .withColumn("__gn", Similarity.l2Norm(col("__gv")))
       .filter(col("__cell").isNotNull) // malformed accepted rows index nothing
-      .orderBy("__gid") // EvalIndex tie-break convention: ascending id
-      .limit(maxReps + 1)
-      .collect()
-    require(assigned.length <= maxReps,
+    // bound checks BEFORE any vector reaches the driver: at the default
+    // maxReps and typical dims an over-limit collect would be multiple GB
+    // of boxed rows ahead of the require — count() prunes to no columns
+    // and moves nothing
+    val n = indexable.limit(maxReps + 1).count()
+    require(n <= maxReps,
       s"semGate: accepted corpus exceeds maxReps=$maxReps indexable rows — " +
         "use the snapshot-join dedup tier instead of the frozen gate")
+    val dim = cents(0).length
+    require(n * dim <= MaxModelElems,
+      s"semGate: model envelope $n rows x dim $dim = ${n * dim} doubles " +
+        s"exceeds MaxModelElems=$MaxModelElems (~1.6 GB raw vector payload " +
+        "on the driver heap and in every task binary) — use the " +
+        "snapshot-join dedup tier instead of the frozen gate")
+    val assigned = indexable
+      .orderBy("__gid") // EvalIndex tie-break convention: ascending id
+      .collect()
     val idType = accepted.schema(idCol).dataType
     def toD(v: Any): Array[Double] = v.asInstanceOf[scala.collection.Seq[Any]].map {
       case f: java.lang.Float => f.toDouble
@@ -132,9 +155,15 @@ object SemGate {
     * nested-array parquet, reps as a (cell, id, vec, norm) parquet —
     * id type travels with the file, norms are the fit's engine-computed
     * values, so a loaded apply is bit-identical to the in-memory one.
+    * The reps write is SHARDED at ~8M doubles (~64 MB) of vector payload
+    * per file (round 14 — a model at the [[MaxModelElems]] ceiling would
+    * otherwise be a single-task multi-GB write); [[loadSemGate]] re-sorts
+    * on the unique (cell, id) key, so the rebuilt model is bit-identical
+    * regardless of file count.
     */
   def saveSemGate(spark: org.apache.spark.sql.SparkSession,
-                  model: SemGateModel, dir: String): Unit = {
+                  model: SemGateModel, dir: String,
+                  rowsPerFile: Long = 0L): Unit = {
     Similarity.saveCentroids(spark, model.centroids, s"$dir/centroids")
     import org.apache.spark.sql.types._
     val idType = model.reps(0).idType
@@ -148,9 +177,12 @@ object SemGate {
         org.apache.spark.sql.Row(cell, idx.ids(j), idx.vecs(j).toSeq, idx.norms(j))
       }
     }
+    val rpf = if (rowsPerFile > 0) rowsPerFile
+              else math.max(1L, 8000000L / math.max(1, model.dim))
+    val parts = math.max(1, math.ceil(rows.length.toDouble / rpf).toInt)
     spark.createDataFrame(
         new java.util.ArrayList(java.util.Arrays.asList(rows: _*)), schema)
-      .coalesce(1).write.mode("overwrite").parquet(s"$dir/reps")
+      .repartition(parts).write.mode("overwrite").parquet(s"$dir/reps")
   }
 
   /** Load a model written by [[saveSemGate]]. */

@@ -145,6 +145,61 @@ class CollapseEquivalenceSpec extends SparkSpec {
     }
   }
 
+  test("nearDedup: capped corpus — text-collapse equals member-level pipeline with the cap in play (round 14)") {
+    // ADVICE r13: the round-13 text-level collapse was UNgated — a
+    // deeper-than-cap identical family was force-collapsed into a clique
+    // the member-level pipeline never emitted (its identical-signature
+    // bucket is past the cap there: no within-pairs, members kept absent
+    // cross pairs). The collapse now routes past-cap groups through at
+    // member level, where minhashCandidates' signature collapse applies
+    // the documented cap semantics. Equivalence at a BINDING cap, plus an
+    // explicit deep-family corpus.
+    val cap = 3
+    for (seed <- Seq(7, 23)) {
+      // corpus families run 2-5 deep: cap 3 binds for the deeper ones
+      val df = corpus(seed, 48).withColumn("q", (col("doc_id") * 37 % 101).cast("double")).cache()
+      val newMin = Dedup.nearDedup(df, "text", "doc_id", 3, 32, 8, 0.5, cap)
+        .select("doc_id").as[Long].collect().toSet
+      val oldClusters = Dedup.clusterCandidates(
+        Dedup.minhashCandidates(df, "text", "doc_id", 3, 32, 8, 0.5, cap)
+          .select("id_a", "id_b"))
+      val oldMin = df.join(
+          oldClusters.filter(col("id") =!= col("cluster_id")).select(col("id").as("doc_id")),
+          Seq("doc_id"), "left_anti")
+        .select("doc_id").as[Long].collect().toSet
+      assert(newMin == oldMin,
+        s"seed $seed cap $cap: survivors diverged:\n new-old=${newMin -- oldMin}\n old-new=${oldMin -- newMin}")
+      val newBest = Dedup.nearDedupKeepBest(df, "text", "doc_id", "q", 3, 32, 8, 0.5, cap)
+        .select("doc_id").as[Long].collect().toSet
+      val oldBest = Dedup.keepBestByCluster(df, "doc_id", "q", oldClusters)
+        .select("doc_id").as[Long].collect().toSet
+      assert(newBest == oldBest, s"seed $seed cap $cap: keep-best survivors diverged")
+      df.unpersist()
+    }
+    // explicit deep family: 7 byte-identical docs, cap 3, nothing else
+    // similar — the member-level pipeline emits NO pairs (the family's
+    // bucket is past the cap in every band), so every copy survives; the
+    // ungated round-13 collapse would have kept exactly one
+    val family = ((1L to 7L).map(i => (i, "golf hotel india juliet kilo lima mike november")) ++
+      Seq((100L, "alpha bravo charlie delta echo foxtrot quebec romeo"),
+          (101L, "sierra tango oscar papa zulu whiskey xray yankee")))
+      .toDF("doc_id", "text")
+    val survivors = Dedup.nearDedup(family, "text", "doc_id", 3, 32, 8, 0.5, 3)
+      .select("doc_id").as[Long].collect().toSet
+    assert(survivors == (1L to 7L).toSet ++ Set(100L, 101L),
+      s"past-cap identical family must pass through uncollapsed: $survivors")
+  }
+
+  test("nearDedup: threshold > 1 keeps everything — the collapse may not invent pairs (round 14)") {
+    // degenerate threshold: est <= 1.0 everywhere, so the member-level
+    // pipeline emits nothing; identical-text groups must NOT collapse
+    val df = corpus(7, 24)
+    val kept = Dedup.nearDedup(df, "text", "doc_id", 3, 32, 8, 1.5, NoCap)
+      .select("doc_id").as[Long].collect().toSet
+    val all = df.select("doc_id").as[Long].collect().toSet
+    assert(kept == all, s"threshold > 1 dropped ${all -- kept}")
+  }
+
   test("minhash: threshold > 1 is empty on both paths (within-branch gate)") {
     val df = corpus(7, 24)
     assert(Dedup.minhashCandidates(df, "text", "doc_id",

@@ -622,6 +622,25 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(fp(1L).get.length <= n1 - k + 1)
   }
 
+  test("pruneNeardupBloomVersions ignores foreign/malformed v= entries (round 14)") {
+    // ADVICE r13: a non-numeric "v=" directory (somebody's backup, a
+    // copy-paste artifact) used to throw NumberFormatException inside the
+    // streaming batch and fail ingest — it is not a version and must be
+    // skipped like any other non-version file, and never deleted
+    val dir = java.nio.file.Files.createTempDirectory("graft_nd_foreign").toString
+    for (v <- 0 to 2) {
+      val d = new java.io.File(s"$dir/v=$v"); d.mkdirs()
+      new java.io.File(d, "_SUCCESS").createNewFile()
+    }
+    val foreign = new java.io.File(s"$dir/v=backup"); foreign.mkdirs()
+    new java.io.File(foreign, "_SUCCESS").createNewFile()
+    new java.io.File(s"$dir/v=2.old").mkdirs() // malformed AND incomplete
+    val pruned = Dedup.pruneNeardupBloomVersions(spark, dir, keep = 2)
+    assert(pruned == Seq(0L), s"pruned: $pruned")
+    val left = new java.io.File(dir).listFiles().map(_.getName).toSet
+    assert(left == Set("v=1", "v=2", "v=backup", "v=2.old"), s"left: $left")
+  }
+
   test("duplicateSpans merges overlapping windows, splits distant ones") {
     // two shared passages in one doc separated by > k unique tokens → 2 spans
     val shared1 = "red orange yellow green"

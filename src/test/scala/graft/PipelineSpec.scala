@@ -288,6 +288,70 @@ class PipelineSpec extends SparkSpec {
     assert(out2.toSeq == (2001L to 2010L), s"renamed-snapshot survivors: ${out2.toSeq}")
   }
 
+  test("YAML semantic_gate commissioning: accepted_table fit + save_model_path, then model_path replay (round 14)") {
+    // VERDICT r13 #6: the frozen semantic gate gets the same one-command
+    // commissioning as the other model families (the pq_encode
+    // model_path/save_model_path discipline). One pipeline run fits on
+    // the accepted-corpus CATALOG table (never the incoming frame — every
+    // row would gate itself out at cosine 1.0), persists the model, and
+    // audits the incoming frame; a second run replays via model_path
+    // only; the saved dir drives SemGate.loadSemGate directly (the same
+    // artifact the stream transform consumes — StreamingSpec covers the
+    // stream leg).
+    val in = Files.createTempDirectory("graft_sg_yaml").toString
+    val modelDir = Files.createTempDirectory("graft_sg_yaml_model").toString
+    Seq(
+      (1L, Seq(1.0f, 0f, 0f, 0f)), (2L, Seq(0.95f, 0.3f, 0f, 0f)),
+      (10L, Seq(0f, 1.0f, 0f, 0f)), (11L, Seq(0f, 0.95f, 0.3f, 0f))
+    ).toDF("vec_id", "embedding").coalesce(1).write.mode("overwrite").parquet(in + "/accepted")
+    Seq(
+      (901L, Seq(0.99f, 0.1f, 0f, 0f)),  // near-parallel to accepted -> dup
+      (902L, Seq(0f, 0.99f, 0.12f, 0f)), // near-parallel to accepted -> dup
+      (903L, Seq(0f, 0f, 1.0f, 0f))      // orthogonal -> passes
+    ).toDF("vec_id", "embedding").coalesce(1).write.mode("overwrite").parquet(in + "/incoming")
+    val fitYaml =
+      s"""name: sg_commission
+         |sources:
+         |  - { type: parquet, path: "$in/incoming", table: main }
+         |  - { type: parquet, path: "$in/accepted", table: accepted }
+         |operations:
+         |  - { type: text_processing, params: { operation: semantic_gate,
+         |        accepted_table: accepted, id_column: vec_id, n_cells: 2,
+         |        save_model_path: "$modelDir/sg", threshold: 0.9 } }
+         |""".stripMargin
+    val conf = Pipeline.fromYaml(fitYaml)
+    val (primary, catalog) = Pipeline.load(spark, conf)
+    val fitOut = graft.core.OpCompiler.compile(conf.operations, catalog)(primary)
+      .select("vec_id", "sem_dup").as[(Long, Boolean)].collect().toMap
+    assert(fitOut == Map(901L -> true, 902L -> true, 903L -> false), s"fit-run verdicts: $fitOut")
+    // the persisted model replays without the accepted table in the catalog
+    val applyYaml =
+      s"""name: sg_apply
+         |sources:
+         |  - { type: parquet, path: "$in/incoming", table: main }
+         |operations:
+         |  - { type: text_processing, params: { operation: semantic_gate,
+         |        model_path: "$modelDir/sg", threshold: 0.9 } }
+         |""".stripMargin
+    val conf2 = Pipeline.fromYaml(applyYaml)
+    val (primary2, catalog2) = Pipeline.load(spark, conf2)
+    val replayOut = graft.core.OpCompiler.compile(conf2.operations, catalog2)(primary2)
+      .select("vec_id", "sem_dup").as[(Long, Boolean)].collect().toMap
+    assert(replayOut == fitOut, s"model_path replay diverged: $replayOut vs $fitOut")
+    // and the artifact is the exact SemGate.saveSemGate layout the stream
+    // transform loads
+    val m = graft.vec.SemGate.loadSemGate(spark, s"$modelDir/sg")
+    assert(m.reps.map(_.ids.length).sum == 4, "all 4 accepted vectors indexed")
+    // without model_path OR accepted_table the op must refuse loudly
+    val badYaml = applyYaml.replace(s"""model_path: "$modelDir/sg", """, "")
+    val conf3 = Pipeline.fromYaml(badYaml)
+    val (primary3, catalog3) = Pipeline.load(spark, conf3)
+    val e = intercept[IllegalArgumentException] {
+      graft.core.OpCompiler.compile(conf3.operations, catalog3)(primary3).collect()
+    }
+    assert(e.getMessage.contains("accepted_table"), e.getMessage)
+  }
+
   test("examples/retrieval_pipeline.yaml runs end-to-end on synthetic ranked lists") {
     val in = Files.createTempDirectory("graft_retrieval_ex").toString
     Seq((1L, 1L, 1), (1L, 2L, 2), (1L, 3L, 3)).toDF("query_id", "doc_id", "rank")
