@@ -90,12 +90,31 @@ object Dsir {
   private def weigh(raw: DataFrame, idCol: String,
                     rawFeats: DataFrame, targetFeats: DataFrame,
                     alpha: Double, vocabSize: Option[Long]): DataFrame = {
+    // The two count tables are persisted (round 14): they are VOCAB-sized
+    // (never corpus-sized), and without the caches the old shape
+    // re-evaluated them — and therefore the tokenize+gram kernels under
+    // them — inside the final query's weight table on top of the scalar
+    // action's own evaluation: the raw corpus paid the gram scan THREE
+    // times per invocation (rc twice + the occurrence join) and the
+    // target twice, and the round-11 ×100 audit pinned exactly those
+    // scans as the DSIR wall. With tc/rc cached the raw corpus is
+    // gram-scanned twice (once into rc during the scalar action, once as
+    // the occurrence stream of the per-doc join — the minimum without
+    // materializing a corpus-sized intermediate, which a round-14 A/B
+    // measured SLOWER: a (doc,gram,count) pre-agg persist + its exchange
+    // read 2.58 s vs 1.37 prior at sf0.1, trading a cheap columnar
+    // re-scan for a corpus-sized cache round-trip) and the target once.
+    // Both caches release before return: the narrow per-doc sums are
+    // checkpointed first, the SemDedup/Prototypes discipline.
     val tc = targetFeats.groupBy(col("__f")).agg(count(lit(1)).as("__ct"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val rc = rawFeats.groupBy(col("__f")).agg(count(lit(1)).as("__cr"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val vocab = tc.join(rc, Seq("__f"), "full")
       .select(col("__f"), coalesce(col("__ct"), lit(0L)).as("__ct"),
         coalesce(col("__cr"), lit(0L)).as("__cr"))
-    // three scalars — the only driver-side data movement
+    // three scalars — the only driver-side data movement. This action also
+    // fills the tc/rc caches, so each corpus pays its gram scan once here.
     val s = vocab.agg(sum(col("__ct")), sum(col("__cr")), count(lit(1))).head()
     val nT = Option(s.get(0)).fold(0L)(_.asInstanceOf[Long]).toDouble
     val nR = Option(s.get(1)).fold(0L)(_.asInstanceOf[Long]).toDouble
@@ -104,16 +123,22 @@ object Dsir {
       (log((col("__ct") + alpha) / lit(nT + alpha * v)) -
         log((col("__cr") + alpha) / lit(nR + alpha * v))).as("__lw"))
     // Occurrence-stream join, deliberately NOT pre-aggregated to
-    // (doc, gram, count): the "obvious" refinement (join doc-distinct
-    // grams, sum c·lw) was built and MEASURED at the ×100 stress —
-    // same-box A/B bracketed runs: occurrence join 38.1/36.5 s,
-    // pre-agg 39.0 s. Parity within noise: the wall is the two tokenize+
-    // gram scans, not the join (AQE handles the weight-table side), and
-    // the pre-agg pays an extra (doc, gram) exchange for nothing. Revert
-    // recorded here so the idea isn't re-tried naively (the bucketPairs
-    // precedent).
-    val perDoc = rawFeats.join(w, Seq("__f")) // raw features are in the fit by construction
+    // (doc, gram, count): measured twice now — the round-11 ×100 A/B
+    // (occurrence 38.1/36.5 s vs pre-agg 39.0 s) and the round-14 sf0.1
+    // A/B above — the pre-agg's (doc, gram) exchange + corpus-sized
+    // materialization buys nothing at either scale. The weight-table side
+    // carries the SHUFFLE_HASH hint: at bench scale the planner's
+    // estimates made the CORPUS-SIZED feature stream the broadcast BUILD
+    // side (plans/r14/q_dsir_weights_before.txt node (39): BuildLeft over
+    // the 483k-row Generate output, 56 MiB broadcast), which inverts at
+    // 100 TB into broadcasting the corpus; building on the vocab side per
+    // partition is the only orientation that is safe at every scale
+    // (guide §3.1), and AQE still skew-splits the stream side's hot grams.
+    val perDoc = rawFeats.join(w.hint("shuffle_hash"), Seq("__f")) // raw features are in the fit by construction
       .groupBy(col(idCol)).agg(sum(col("__lw")).as("__dsir_lw"))
+      .localCheckpoint() // narrow (|docs| rows); lets both caches release now
+    tc.unpersist(false)
+    rc.unpersist(false)
     raw.filter(col(idCol).isNotNull)
       .join(perDoc, Seq(idCol), "left")
       .withColumn("log_weight", coalesce(col("__dsir_lw"), lit(0.0)))

@@ -643,6 +643,31 @@ object TextLib {
     */
   def langIdApply(df: DataFrame, textCol: String, model: LangIdModel,
                   outCol: String = "lang_pred"): DataFrame = {
+    // ONE fused kernel (round 14): the K-fold formulation below
+    // ([[langIdApplyFold]], kept as the parity reference) scans the gram
+    // array K times and probes K hash tables per gram; the fused
+    // [[graft.expr.LangBestScore]] kernel scans once and probes once per
+    // gram (the MultiLmVocab vector carries all K log-probs), computing
+    // the same per-language array-order sums, the same round(mean+1e-9, 6),
+    // and the same greatest(struct(score, lang)) election — pinned
+    // bit-identical by LangIdParitySpec. Still a pure map: zero joins,
+    // zero shuffles, streams like every frozen gate.
+    val fused = graft.expr.MultiLmVocab(model.langs, model.lms)
+    val best = graft.expr.LangBestScore(
+      charGramArray(normalized(col(textCol)), model.n), fused, 6)
+    df.drop(outCol, "lang_score")
+      .withColumn("__li_best", best)
+      .withColumn(outCol,
+        when(col("__li_best.s").isNotNull, col("__li_best.l")).otherwise(lit("und")))
+      .withColumn("lang_score", col("__li_best.s"))
+      .drop("__li_best")
+  }
+
+  /** The original K-column fold formulation of [[langIdApply]] — retained
+    * ONLY as the parity reference (LangIdParitySpec sweeps the fused
+    * kernel against it, the charGramArrayHof discipline). */
+  private[graft] def langIdApplyFold(df: DataFrame, textCol: String, model: LangIdModel,
+                  outCol: String = "lang_pred"): DataFrame = {
     val withG = df.drop(outCol, "lang_score")
       .withColumn("__li_t", normalized(col(textCol)))
       .withColumn("__li_g", charGramArray(col("__li_t"), model.n))
