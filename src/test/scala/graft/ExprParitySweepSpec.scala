@@ -151,6 +151,17 @@ class ExprParitySweepSpec extends SparkSpec {
         run(textDf, "id",
           VocabLogProbMean(filter(split(lower(col("t")), " "), x => x =!= ""), lm))
       }),
+      "graft.expr.LangBestScore" -> (() => {
+        // two languages with overlapping vocab + distinct floors; ties on
+        // the rounded score exercise the lexicographically-LAST election
+        val mlm = MultiLmVocab(
+          Seq("en", "fr"),
+          Seq(
+            LmVocab(Seq("the" -> -1.5, "fox" -> -3.25, "spam" -> -0.5), -9.75),
+            LmVocab(Seq("café" -> -1.0, "the" -> -2.5, "spam" -> -0.5), -8.5)))
+        run(textDf, "id",
+          LangBestScore(filter(split(lower(col("t")), " "), x => x =!= ""), mlm, 6))
+      }),
       "graft.expr.BucketWeightSum" -> (() => {
         val w = new DsirWeights(16, Array.tabulate(16)(i => (i - 8) * 0.125))
         run(sigDf, "id", BucketWeightSum(col("sa"), w))
