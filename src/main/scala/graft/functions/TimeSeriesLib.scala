@@ -700,17 +700,27 @@ object TimeSeriesLib {
     val keyIdx = sorted.schema.fieldNames.indexOf("__key")
     val ordIdx = sorted.schema.fieldNames.indexOf("__ord")
 
+    // Both passes run over queryExecution.toRdd — CATALYST rows (round 14).
+    // The old `.rdd` deserialized every field of every event to external
+    // java objects in pass 1 AND pass 2, and pass 2 re-encoded them through
+    // createDataFrame(RDD[Row]); the internal rows need only the key/ts
+    // fields read (one String per row for the chunk comparison — what
+    // getString did anyway) and pass 2 appends the ordinal via a reused
+    // JoinedRow. The lazy val is SHARED, so the range exchange + sort still
+    // execute once and pass 2 reads the shuffle files.
+    val internalRdd = sorted.queryExecution.toRdd
+
     // pass 1: first/last chunk summaries — (firstTs, lastTs, session count
     // under a FRESH start). Only the first row's is-new flag depends on the
     // incoming state, so a continuing chunk's true count is
     // firstIsNew + (freshCount - 1).
     case class Chunk(key: String, firstTs: Long, lastTs: Long, freshCount: Long)
-    val summaries = sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
+    val summaries = internalRdd.mapPartitionsWithIndex { (pid, it) =>
       var cur: String = null; var firstTs = 0L; var prevTs = 0L; var cnt = 0L
       var first: Chunk = null; var any = false
       def chunk() = Chunk(cur, firstTs, prevTs, cnt)
       it.foreach { r =>
-        val key = r.getString(keyIdx); val ts = r.getLong(ordIdx)
+        val key = r.getUTF8String(keyIdx).toString; val ts = r.getLong(ordIdx)
         if (!any) { any = true; cur = key; firstTs = ts; prevTs = ts; cnt = 1L }
         else if (key != cur) {
           if (first == null) first = chunk()
@@ -746,12 +756,17 @@ object TimeSeriesLib {
     // never increment), so each row emits immediately; no tie-group
     // buffering (round-6 review: coarse timestamps × one bot key make tie
     // widths corpus-sized)
-    val outRdd = sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
+    val outRdd = internalRdd.mapPartitionsWithIndex { (pid, it) =>
       var cur: String = null
       var started = false
       var cnt = 0L; var prevTs = 0L; var havePrev = false
+      // reused per-partition: the appended ordinal cell + the concat view
+      // (rows are valid until next(), the standard SparkPlan contract —
+      // downstream operators copy when they buffer)
+      val sess = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(1)
+      val joined = new org.apache.spark.sql.catalyst.expressions.JoinedRow
       it.map { r =>
-        val key = r.getString(keyIdx); val ts = r.getLong(ordIdx)
+        val key = r.getUTF8String(keyIdx).toString; val ts = r.getLong(ordIdx)
         if (key != cur) {
           if (!started) {
             started = true
@@ -764,13 +779,15 @@ object TimeSeriesLib {
         }
         if (!havePrev || ts - prevTs >= gapMicros) cnt += 1L
         prevTs = ts; havePrev = true
-        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ cnt)
+        sess.update(0, cnt)
+        joined.apply(r, sess): org.apache.spark.sql.catalyst.InternalRow
       }
     }
     val outSchema = org.apache.spark.sql.types.StructType(
       sorted.schema.fields :+ org.apache.spark.sql.types.StructField(
         sessionCol, org.apache.spark.sql.types.LongType))
-    val withSess = spark.createDataFrame(outRdd, outSchema)
+    val withSess = org.apache.spark.sql.GraftColumnBridge
+      .internalCreateDataFrame(spark, outRdd, outSchema)
     // null event times have no position in the scan → null session id
     val nullRows = pre.filter(col("__ord").isNull)
       .withColumn(sessionCol, lit(null).cast("long"))

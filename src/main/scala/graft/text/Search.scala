@@ -19,15 +19,17 @@ import org.apache.spark.sql.functions._
   *     its tokenized (query_id, term) pairs are collected to the driver
   *     and ride literals/broadcasts; the corpus never joins anything
   *     bigger than the query-term table.
-  *   - The corpus tokenizes in two executing scans (both column-pruned to
-  *     id+text): one "train" scan electing per-term document frequencies
-  *     (aggregated over matched postings only — the `isin` filter prunes
-  *     before the exchange), one scoring scan whose shuffle carries only
-  *     matched (doc, term, tf) postings, never the raw token stream. A
-  *     third scalar scan computes (N, Σdl) with no shuffle at all.
-  *     Model stats are materialized driver-side at call time
-  *     (unigramScore's convention) so the returned frame re-scans nothing
-  *     twice and no session-lifetime cache is pinned.
+  *   - The corpus tokenizes ONCE (round 14 — it used to be three executing
+  *     scans: train df election, scoring, and a scalar (N, Σdl) pass): a
+  *     narrow per-doc frame (id, dl, matched-terms-only token array) is
+  *     localCheckpointed — the guide-§8 "decide with small rows" proxy,
+  *     |docs| rows with NO text payload, bounded per row by the query
+  *     term list — and the scalar stats, the per-term document
+  *     frequencies, and the scoring join all derive from it. The
+  *     checkpoint truncates lineage, so the returned frame re-reads those
+  *     blocks instead of re-tokenizing; no session-lifetime cache is
+  *     pinned (localCheckpoint blocks release with the RDD, the Dsir
+  *     perDoc discipline).
   *   - Per-query top-k is a row_number window on the (bounded) per-query
   *     candidate set, rank-pushdown-rescued (partial top-k before the
   *     exchange).
@@ -73,23 +75,34 @@ object Search {
     val terms = qPairs.map(_._2).distinct.toSeq
 
     val dlCol = coalesce(graft.expr.TextCharStats(col(textCol)).getField("n_tokens"), lit(0))
+    // ONE corpus tokenize (round 14): the narrow per-doc proxy — id, dl,
+    // and ONLY the tokens that are query terms (the same token filter the
+    // old per-scan explode applied) — is localCheckpointed, and the scalar
+    // stats, the df election, and the scoring join all read it instead of
+    // re-tokenizing the corpus per consumer (three full scans before).
+    val docProxy = corpus
+      .select(col(idCol), dlCol.as("__dl"),
+        filter(split(TextLib.normalized(col(textCol)), " "),
+          t => t =!= "" && t.isin(terms: _*)).as("__mt"))
+      .localCheckpoint()
+
     // scalar job: N and avgdl over ALL docs (null/empty text counts dl 0)
     val (nDocs, avgdl) = {
-      val r = corpus.agg(count(lit(1)), sum(dlCol.cast("long"))).first()
+      val r = docProxy.agg(count(lit(1)), sum(col("__dl").cast("long"))).first()
       val n = r.getLong(0)
       (n, if (n == 0) 1.0 else Option(r.get(1)).map(_.asInstanceOf[Long]).getOrElse(0L).toDouble / n)
     }
 
-    def matchedTf(d: DataFrame): DataFrame = d
-      .select(col(idCol), dlCol.as("__dl"),
-        explode(split(TextLib.normalized(col(textCol)), " ")).as("token"))
-      .filter(col("token") =!= "" && col("token").isin(terms: _*))
+    // a null text yields a null __mt (explode drops the doc, the old
+    // per-scan behavior); null ids ride through exactly as before
+    def matchedTf: DataFrame = docProxy
+      .select(col(idCol), col("__dl"), explode(col("__mt")).as("token"))
       .groupBy(col(idCol), col("__dl"), col("token"))
       .agg(count(lit(1)).as("__tf"))
 
     // train job: per-term df over matched postings, idf computed on the
     // driver with the same Math.log Spark's log() evaluates
-    val dfByTerm = matchedTf(corpus).groupBy("token").agg(count(lit(1)).as("df"))
+    val dfByTerm = matchedTf.groupBy("token").agg(count(lit(1)).as("df"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val idfRows: Seq[(String, Double)] = terms.flatMap { t =>
       dfByTerm.get(t).map(df =>
@@ -110,7 +123,7 @@ object Search {
     val perTerm = col("__idf") * (tfD * (lit(k1) + lit(1.0))) /
       (tfD + lit(k1) * (lit(1.0) - lit(b) + (lit(b) * dlD) / lit(avgdl)))
 
-    val scored = matchedTf(corpus)
+    val scored = matchedTf
       .join(broadcast(idfDf), Seq("token"))
       .join(broadcast(qTerms), Seq("token"))
       .withColumn("__s", perTerm)

@@ -770,16 +770,21 @@ object TextLib {
     * unseen floor -ln(T) (= ln(1/T)). T counts ALL corpus tokens, not just
     * the kept vocabulary.
     *
-    * Scale shape: token counts aggregate with map-side combine (one
-    * shuffle on token); the scored corpus explodes tokens but re-aggregates
-    * per document with partial avg, so the shuffle carries one partial row
-    * per (doc, task) — never the raw token stream. The vocabulary and the
-    * total ride broadcasts. The token-count relation is persisted (it feeds
-    * both the total and the vocabulary; without it the reference corpus
-    * tokenizes twice).
+    * Scale shape (round 14): token counts aggregate with map-side combine
+    * (one shuffle on token); SCORING is a pure map — the vocabSize-bounded
+    * model rides the plan as a frozen [[graft.expr.LmVocab]] and
+    * [[graft.expr.VocabLogProbMean]] computes each doc's mean in-row, so
+    * the old explode → broadcast-join → per-doc re-aggregate → join-back
+    * (two corpus-keyed exchanges) is gone entirely; this is [[pplApply]]'s
+    * shape, whose agreement with the aggregate formulation is pinned at
+    * the rounding every LM gate applies (kernel sums in array order, the
+    * old avg() in partition order — the q_dsir_hashed_law 1e-9 class; the
+    * model's driver-side math.log IS the Catalyst Log the oracle replays,
+    * the pplFit discipline).
     *
     * Adds `n_tokens` (0 for token-free docs) and `lm_logprob` (null for
-    * token-free docs; raw double — round at the edge).
+    * token-free docs; raw double — round at the edge). NULL-id rows keep
+    * the old non-participation contract: n_tokens 0, null score.
     */
   /** The unigram LM fit [[unigramScore]] and [[pplFit]] share: top-`vocabSize`
     * (token, tf) pairs by corpus frequency (ties by token) plus the total
@@ -810,32 +815,26 @@ object TextLib {
     val train = Option(corpus).getOrElse(df)
     val trainText = Option(corpusTextCol).getOrElse(textCol)
     val (lpPairs, totalT) = unigramModel(train, trainText, vocabSize)
-    val sp = df.sparkSession
-    import sp.implicits._
     // ln(tf/T) and -ln(T) are the PINNED formulations — the DuckDB oracle
     // replicates these exact operations; ln(1/T) would differ in ulps
-    val lp = lpPairs.toDF("token", "tf")
-      .select(col("token"), log(col("tf").cast("double") / lit(totalT)).as("__lp"))
-    val floorLp = -log(lit(totalT))
-    val perDoc = df
-      .select(col(idCol), explode(split(normalized(col(textCol)), " ")).as("token"))
-      .filter(col("token") =!= "")
-      .join(broadcast(lp), Seq("token"), "left")
-      .groupBy(col(idCol))
-      .agg(count(lit(1)).as("__lm_n"),
-           avg(coalesce(col("__lp"), floorLp)).as("__lm_lp"))
-    // token-free docs vanish from the explode — left-join them back with
-    // n_tokens 0 / null score. Internal names stay __lm_-prefixed through
-    // the join: the input may legitimately already carry n_tokens (the
-    // token_counts / pack ops emit it), which would otherwise make the
-    // coalesce reference ambiguous. Pre-existing n_tokens / lm_logprob
-    // columns are REPLACED in the output. Alias both sides: perDoc derives
-    // from df and unqualified attributes trip DetectAmbiguousSelfJoin.
+    // (math.log IS java.lang.Math.log IS Catalyst's Log — pplFit's note)
+    val lm = graft.expr.LmVocab(
+      lpPairs.map { case (t, tf) => t -> math.log(tf.toDouble / totalT) },
+      -math.log(totalT))
+    // pure-map scoring (round 14): one NATIVE tokenize (WordGrams n=1 IS
+    // the filter(split(normalized)) token stream, pinned bit-for-bit by
+    // TextExprsSpec — and it runs codegen'd instead of an interpreted
+    // per-token HOF lambda), the kernel probes the frozen vocab per token
+    // in-row. NULL-id rows never participated in the old per-doc
+    // aggregate (a null join key matches nothing), so they keep
+    // n_tokens 0 / null score. Pre-existing n_tokens / lm_logprob
+    // columns are REPLACED in the output, as before.
     df.drop("n_tokens", "lm_logprob")
-      .alias("__lm_d").join(perDoc.alias("__lm_s"), Seq(idCol), "left")
-      .withColumn("n_tokens", coalesce(col("__lm_n"), lit(0L)))
-      .withColumn("lm_logprob", col("__lm_lp"))
-      .drop("__lm_n", "__lm_lp")
+      .withColumn("__lm_ws",
+        when(col(idCol).isNotNull, graft.expr.WordGrams(col(textCol), 1)))
+      .withColumn("n_tokens", coalesce(size(col("__lm_ws")).cast("long"), lit(0L)))
+      .withColumn("lm_logprob", graft.expr.VocabLogProbMean(col("__lm_ws"), lm))
+      .drop("__lm_ws")
   }
 
   /** CCNet-style perplexity buckets (Wenzek et al. 2020, "CCNet:
@@ -866,14 +865,21 @@ object TextLib {
     require(nBuckets >= 2, s"perplexityBuckets: nBuckets must be >= 2, got $nBuckets")
     import org.apache.spark.sql.expressions.Window
     val scored = unigramScore(df, textCol, idCol, corpus, corpusTextCol, vocabSize)
-    val w = Window.partitionBy(groupCols.map(col): _*)
+    // bucket IN-FRAME (round 14): the old shape filtered scored, ntile'd,
+    // and LEFT-JOINED the buckets back on idCol — with unigramScore's
+    // scoring now a pure map there is no exchange to reuse, so the join
+    // recomputed the whole scoring subtree on BOTH join inputs (measured
+    // 3× at sf0.1). Routing the non-participating rows (null score /
+    // null id — exactly the old filter) into their OWN window partition
+    // leaves the participating partition's membership — and therefore its
+    // ntile — IDENTICAL to the old filtered frame's, and the strays'
+    // buckets are discarded by the when(). One window exchange, zero
+    // joins, zero recompute.
+    val participates = col("lm_logprob").isNotNull && col(idCol).isNotNull
+    val w = Window.partitionBy((groupCols.map(col) :+ participates): _*)
       .orderBy(round(col("lm_logprob") + lit(1e-9), 6).desc, col(idCol).asc)
-    val ranked = scored.filter(col("lm_logprob").isNotNull && col(idCol).isNotNull)
-      .select((groupCols.map(col) :+ col(idCol) :+
-        ntile(nBuckets).over(w).as("ppl_bucket")): _*)
-      .select(col(idCol), col("ppl_bucket"))
     scored.drop("ppl_bucket")
-      .alias("__pb_d").join(ranked.alias("__pb_r"), Seq(idCol), "left")
+      .withColumn("ppl_bucket", when(participates, ntile(nBuckets).over(w)))
   }
 
   /** A frozen CCNet bucket model (round 10 — the [[graft.text.Dsir]]
@@ -998,8 +1004,11 @@ object TextLib {
     */
   def pplApply(df: DataFrame, textCol: String, model: PplModel): DataFrame = {
     val sp = df.sparkSession
+    // native tokenize (round 14): WordGrams n=1 IS the
+    // filter(split(normalized)) stream, pinned by TextExprsSpec — codegen
+    // instead of an interpreted per-token HOF lambda
     val scored = df.drop("n_tokens", "lm_logprob", "ppl_bucket")
-      .withColumn("__ws", filter(split(normalized(col(textCol)), " "), t => t =!= ""))
+      .withColumn("__ws", graft.expr.WordGrams(col(textCol), 1))
       .withColumn("n_tokens", coalesce(size(col("__ws")).cast("long"), lit(0L)))
       .withColumn("lm_logprob", graft.expr.VocabLogProbMean(col("__ws"), model.lm))
       .drop("__ws")
@@ -1060,10 +1069,12 @@ object TextLib {
     * exactly once as `cur` (position 1 rides along with a null prev), so
     * unigram counts, the total T, the vocabulary and the bigram table all
     * derive from a single map-side-combined pair-count aggregate — keys
-    * are pairs, uniform; the capped vocab + bigram tables ride broadcasts; scoring
-    * explodes pairs but re-aggregates per document with partial avg, so
-    * the shuffle carries one partial row per (doc, task), never the raw
-    * pair stream. Driver memory is bounded by vocabSize + bigramSize.
+    * are pairs, uniform. SCORING is a pure map (round 14): the capped
+    * tables ride the plan as a frozen [[graft.expr.BigramLm]] and
+    * [[graft.expr.BigramLogProbMean]] folds the backoff in-row — the old
+    * pair explode, its two broadcast joins, the doc-keyed re-aggregate
+    * and the join-back exchanges are gone. Driver memory is bounded by
+    * vocabSize + bigramSize.
     *
     * BENCH-SF WALL IS FIXED-COST, NOT THROUGHPUT (round-11 audit of the
     * r8→r10 q_lm_bigram drift, 1.92→2.50 s while the box got faster):
@@ -1089,9 +1100,33 @@ object TextLib {
     require(bigramSize > 0, s"bigramScore: bigramSize must be positive, got $bigramSize")
     val train = Option(corpus).getOrElse(df)
     val trainText = Option(corpusTextCol).getOrElse(textCol)
-    val sp = df.sparkSession
-    import sp.implicits._
+    val (vocabPairs, totalT, bigramRows) = bigramModel(train, trainText, vocabSize, bigramSize)
+    // pure-map scoring (round 14): the capped tables ride the plan as a
+    // frozen [[graft.expr.BigramLm]] and the kernel folds the Stupid-
+    // Backoff per-position log-prob in ONE in-row pass — the old scoring
+    // explode, its two broadcast joins, the doc-keyed re-aggregate, and
+    // the join-back are gone (the unigramScore/pplApply shape; the
+    // kernel's array-order sum vs the old partition-order avg is the
+    // pinned 1e-9 rounding seam, BigramParitySpec bit-compares the two
+    // paths at the score rounding). NULL-id rows keep the old
+    // non-participation contract: n_tokens 0, null score.
+    val lm = graft.expr.BigramLm(vocabPairs, bigramRows, totalT)
+    df.drop("n_tokens", "lm2_logprob")
+      .withColumn("__lm2",
+        when(col(idCol).isNotNull, graft.expr.BigramLogProbMean(col(textCol), lm)))
+      .withColumn("n_tokens", coalesce(col("__lm2.n"), lit(0L)))
+      .withColumn("lm2_logprob", col("__lm2.lp"))
+      .drop("__lm2")
+  }
 
+  /** The Stupid-Backoff model election [[bigramScore]] and its retained
+    * join-path parity reference share: the capped vocabulary with the
+    * total T, and the vocab-restricted capped bigram table. */
+  private def bigramModel(train: DataFrame, trainText: String,
+                          vocabSize: Int, bigramSize: Int)
+      : (Seq[(String, Long)], Double, Seq[(String, String, Long, Long)]) = {
+    val sp = train.sparkSession
+    import sp.implicits._
     // ONE tokenization of the training corpus: aggregate (prev, cur) pair
     // counts INCLUDING the null-prev position-1 rows. Unigram counts are a
     // re-aggregation of this relation (each token occurs exactly once as
@@ -1130,6 +1165,23 @@ object TextLib {
           .toSeq
         (v, t, b)
       } finally pairCounts.unpersist()
+    (vocabPairs, totalT, bigramRows)
+  }
+
+  /** The explode → broadcast-joins → per-doc avg formulation of
+    * [[bigramScore]]'s scoring pass — retained ONLY as the parity
+    * reference for [[graft.expr.BigramLogProbMean]] (BigramParitySpec
+    * bit-compares the two paths at the score rounding, the
+    * langIdApplyFold discipline). Training is the shared
+    * [[bigramModel]]. */
+  private[graft] def bigramScoreJoinPath(df: DataFrame, textCol: String, idCol: String,
+                  corpus: DataFrame = null, corpusTextCol: String = null,
+                  vocabSize: Int = 50000, bigramSize: Int = 200000): DataFrame = {
+    val train = Option(corpus).getOrElse(df)
+    val trainText = Option(corpusTextCol).getOrElse(textCol)
+    val sp = df.sparkSession
+    import sp.implicits._
+    val (vocabPairs, totalT, bigramRows) = bigramModel(train, trainText, vocabSize, bigramSize)
     val vocabDf = vocabPairs.toDF("token", "tf")
     val bigramTable = bigramRows.toDF("prev", "cur", "btf", "ptf")
 
@@ -1513,15 +1565,48 @@ object TextLib {
       .withColumn("dup_line_char_frac",
         when(col("__rs.chars") > 0,
           round(col("__rs.dup_chars").cast("double") / col("__rs.chars") + lit(1e-9), 6)))
-    // n-gram signals: exploded gram counts per doc (both orders in one
-    // relation via a struct tag), then one per-doc aggregate
-    // native WordGrams kernel (one tokenize pass + tight gram loop; the
-    // interpreted transform/slice/concat_ws chain measured ~2× slower at
-    // the ×100 scale, and its first formulation put a `size >= n` filter
-    // on the computed alias that PlanLint caught substituting the whole
-    // tokenize regex into the parquet scan — the round-7 pathology). A
-    // sub-n document yields an empty array and the explode drops it: no
-    // filter node exists at all. TextExprsSpec sweeps kernel ≡ HOF.
+    // n-gram signals: ONE fused in-row kernel (round 14) — the signals are
+    // counts of the document's OWN grams, so the four corpus-keyed
+    // exchanges the relational shape paid (explode ×2, groupBy (doc, gram)
+    // ×2 via the union, per-doc re-aggregate, join-back) computed a
+    // row-local quantity; GramRepStats counts both gram orders in one
+    // tokenize pass and elects the same (max count, UTF8String-smallest
+    // gram) top. Null-id docs keep the old non-participation nulls.
+    // RepSignalsParitySpec pins kernel ≡ the retained relational reference
+    // ([[repetitionSignalsRelational]]) on randomized corpora.
+    withLines
+      .withColumn("__gr",
+        when(col(idCol).isNotNull, graft.expr.GramRepStats(col(textCol), topN, dupN)))
+      .withColumn("top_ngram_char_frac",
+        when(length(col("__rs_norm")) > 0 && col("__gr.top_c").isNotNull,
+          round(col("__gr.top_c") * col("__gr.top_len") / length(col("__rs_norm")).cast("double")
+            + lit(1e-9), 6)))
+      // null ⇔ the doc had fewer than dupN tokens (absent from the dup
+      // relation) — a doc WITH dupN-grams but no duplicated ones reads 0.0
+      .withColumn("dup_ngram_char_frac",
+        when(length(col("__rs_norm")) > 0 && col("__gr.has_dup").isNotNull,
+          round(coalesce(col("__gr.dup_chars"), lit(0L)).cast("double")
+            / length(col("__rs_norm")) + lit(1e-9), 6)))
+      .drop("__rs", "__rs_norm", "__gr")
+  }
+
+  /** The relational (explode → count → re-aggregate → join-back) n-gram
+    * half of [[repetitionSignals]] — retained ONLY as the parity reference
+    * for [[graft.expr.GramRepStats]] (RepSignalsParitySpec sweeps kernel ≡
+    * relation, the langIdApplyFold discipline). Line signals are identical
+    * in both paths (same [[graft.expr.LineRepStats]] kernel). */
+  private[graft] def repetitionSignalsRelational(df: DataFrame, textCol: String, idCol: String,
+                        topN: Int = 2, dupN: Int = 5): DataFrame = {
+    val staged = df
+      .withColumn("__rs", graft.expr.LineRepStats(col(textCol)))
+      .withColumn("__rs_norm", normalized(col(textCol)))
+    val withLines = staged
+      .withColumn("dup_line_frac",
+        when(col("__rs.n_lines") > 0,
+          round(col("__rs.n_dup").cast("double") / col("__rs.n_lines") + lit(1e-9), 6)))
+      .withColumn("dup_line_char_frac",
+        when(col("__rs.chars") > 0,
+          round(col("__rs.dup_chars").cast("double") / col("__rs.chars") + lit(1e-9), 6)))
     def gramRel(n: Int, tag: String) = withLines
       .filter(col(idCol).isNotNull)
       .select(col(idCol).as("__rs_id"),
@@ -1547,8 +1632,6 @@ object TextLib {
         when(length(col("__rs_norm")) > 0 && col("__topc").isNotNull,
           round(col("__topc") * col("__toplen") / length(col("__rs_norm")).cast("double")
             + lit(1e-9), 6)))
-      // null ⇔ the doc had fewer than dupN tokens (absent from the dup
-      // relation) — a doc WITH dupN-grams but no duplicated ones reads 0.0
       .withColumn("dup_ngram_char_frac",
         when(length(col("__rs_norm")) > 0 && col("__hasdup").isNotNull,
           round(coalesce(col("__dupchars"), lit(0L)).cast("double")

@@ -22,4 +22,17 @@ object GraftColumnBridge {
     * public get() blocks forever when no action has fired — an attrition
     * report must fail loudly instead). */
   def observationRow(o: Observation): Option[Row] = o.getRowOrEmpty
+
+  /** A DataFrame over an RDD of CATALYST rows (internalCreateDataFrame is
+    * private[sql]) — the segmented-scan operators' round-14 escape from the
+    * external-Row round trip: `df.rdd` deserializes every field of every
+    * row to java objects and createDataFrame(RDD[Row]) re-encodes them; a
+    * mapPartitions over `queryExecution.toRdd` that emits InternalRows
+    * skips both conversions. Rows emitted by the RDD may follow the
+    * standard SparkPlan contract (valid until the iterator's next()):
+    * downstream operators copy when they buffer. */
+  def internalCreateDataFrame(spark: SparkSession,
+                              rdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow],
+                              schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.asInstanceOf[classic.SparkSession].internalCreateDataFrame(rdd, schema)
 }

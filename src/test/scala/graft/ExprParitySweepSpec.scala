@@ -151,6 +151,16 @@ class ExprParitySweepSpec extends SparkSpec {
         run(textDf, "id",
           VocabLogProbMean(filter(split(lower(col("t")), " "), x => x =!= ""), lm))
       }),
+      "graft.expr.BigramLogProbMean" -> (() => {
+        val lm = BigramLm(
+          Seq("the" -> 4L, "fox" -> 2L, "spam" -> 6L, "café" -> 1L),
+          Seq(("the", "fox", 2L, 4L), ("spam", "spam", 3L, 6L)),
+          20.0)
+        run(textDf, "id", BigramLogProbMean(col("t"), lm))
+      }),
+      "graft.expr.GramRepStats" -> (() => run(textDf, "id",
+        GramRepStats(col("t"), 2, 5), GramRepStats(col("t"), 1, 2),
+        GramRepStats(col("t"), 3, 3))),
       "graft.expr.LangBestScore" -> (() => {
         // two languages with overlapping vocab + distinct floors; ties on
         // the rounded score exercise the lexicographically-LAST election
