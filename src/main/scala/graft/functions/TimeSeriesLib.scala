@@ -756,15 +756,22 @@ object TimeSeriesLib {
     // never increment), so each row emits immediately; no tie-group
     // buffering (round-6 review: coarse timestamps × one bot key make tie
     // widths corpus-sized)
+    val outSchema = org.apache.spark.sql.types.StructType(
+      sorted.schema.fields :+ org.apache.spark.sql.types.StructField(
+        sessionCol, org.apache.spark.sql.types.LongType))
     val outRdd = internalRdd.mapPartitionsWithIndex { (pid, it) =>
       var cur: String = null
       var started = false
       var cnt = 0L; var prevTs = 0L; var havePrev = false
-      // reused per-partition: the appended ordinal cell + the concat view
-      // (rows are valid until next(), the standard SparkPlan contract —
-      // downstream operators copy when they buffer)
+      // reused per-partition: the appended ordinal cell, the concat view,
+      // and an UnsafeProjection so downstream stages read flat UnsafeRows
+      // instead of chasing JoinedRow virtual dispatch (rows are valid
+      // until next(), the standard SparkPlan contract — downstream
+      // operators copy when they buffer)
       val sess = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(1)
       val joined = new org.apache.spark.sql.catalyst.expressions.JoinedRow
+      val proj = org.apache.spark.sql.catalyst.expressions.UnsafeProjection
+        .create(outSchema)
       it.map { r =>
         val key = r.getUTF8String(keyIdx).toString; val ts = r.getLong(ordIdx)
         if (key != cur) {
@@ -780,12 +787,9 @@ object TimeSeriesLib {
         if (!havePrev || ts - prevTs >= gapMicros) cnt += 1L
         prevTs = ts; havePrev = true
         sess.update(0, cnt)
-        joined.apply(r, sess): org.apache.spark.sql.catalyst.InternalRow
+        proj(joined.apply(r, sess)): org.apache.spark.sql.catalyst.InternalRow
       }
     }
-    val outSchema = org.apache.spark.sql.types.StructType(
-      sorted.schema.fields :+ org.apache.spark.sql.types.StructField(
-        sessionCol, org.apache.spark.sql.types.LongType))
     val withSess = org.apache.spark.sql.GraftColumnBridge
       .internalCreateDataFrame(spark, outRdd, outSchema)
     // null event times have no position in the scan → null session id

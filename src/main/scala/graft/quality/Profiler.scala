@@ -149,8 +149,20 @@ object Profiler {
       // ordinals are 1-based; a tie group's ordinals are consecutive, so
       // avg(ordinal) == rank() + (n_ties - 1)/2 exactly (midpoints are
       // representable: .0 or .5)
-      val ord = sorted.rdd.zipWithIndex.map { case (r, i) => Row.fromSeq(r.toSeq :+ (i + 1L)) }
-      spark.createDataFrame(ord, schema).groupBy(col("__v")).agg(avg(col("__ord")).as(out))
+      // catalyst-row ordinals (round 14, the Prototypes.ranked discipline):
+      // no external-Row decode/re-encode of the value stream
+      val ord = sorted.queryExecution.toRdd.zipWithIndex().mapPartitions { it =>
+        val cell = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(1)
+        val joined = new org.apache.spark.sql.catalyst.expressions.JoinedRow
+        val proj = org.apache.spark.sql.catalyst.expressions.UnsafeProjection
+          .create(schema)
+        it.map { case (r, i) =>
+          cell.update(0, i + 1L)
+          proj(joined.apply(r, cell)): org.apache.spark.sql.catalyst.InternalRow
+        }
+      }
+      org.apache.spark.sql.GraftColumnBridge.internalCreateDataFrame(spark, ord, schema)
+        .groupBy(col("__v")).agg(avg(col("__ord")).as(out))
     }
     df.select(col(a).as("__a"), col(b).as("__b"))
       .join(ranks(a, "__ra").withColumnRenamed("__v", "__a"), Seq("__a"))

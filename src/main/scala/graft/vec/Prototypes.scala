@@ -145,10 +145,24 @@ object Prototypes {
       .repartitionByRange(parts, col("cluster"), col("cos_to_centroid").desc, col("__pid"))
       .sortWithinPartitions(col("cluster"), col("cos_to_centroid").desc, col("__pid"))
     val schema = sorted.schema.add(StructField("__ord", LongType, nullable = false))
-    val ord = sorted.rdd.zipWithIndex().map { case (r, i) =>
-      org.apache.spark.sql.Row.fromSeq(r.toSeq :+ (i + 1L))
+    // ordinals ride CATALYST rows (round 14): `.rdd` would deserialize all
+    // three fields of every row to external objects and createDataFrame
+    // would re-encode them; appending the ordinal through a reused
+    // JoinedRow skips both conversions (the sessionize discipline — rows
+    // follow the valid-until-next() SparkPlan contract, downstream copies
+    // when it buffers)
+    val ord = sorted.queryExecution.toRdd.zipWithIndex().mapPartitions { it =>
+      val cell = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(1)
+      val joined = new org.apache.spark.sql.catalyst.expressions.JoinedRow
+      val proj = org.apache.spark.sql.catalyst.expressions.UnsafeProjection
+        .create(schema)
+      it.map { case (r, i) =>
+        cell.update(0, i + 1L)
+        proj(joined.apply(r, cell)): org.apache.spark.sql.catalyst.InternalRow
+      }
     }
-    val out = spark.createDataFrame(ord, schema)
+    val out = org.apache.spark.sql.GraftColumnBridge
+      .internalCreateDataFrame(spark, ord, schema)
       .join(broadcast(offDf), Seq("cluster"))
       .withColumn("proto_rank", col("__ord") - col("__off"))
       .withColumn("kept", col("proto_rank") > floor(lit(pruneFraction) * col("__n")))
