@@ -975,14 +975,26 @@ object TimeSeriesLib {
       .repartitionByRange(col("__key") +: orderCols.map(col): _*)
       .sortWithinPartitions("__key", orderCols: _*)
     val payloadIdx = sorted.schema.fields.length - 1
+    // Both passes run over CATALYST rows (round 14, the sessionize
+    // discipline): only the key string and the payload VALUE are read per
+    // row — the payload is copied out of the reused row buffer with
+    // InternalRow.copyValue (a no-op for primitives, a byte copy for
+    // strings) instead of deserializing every field of every row to
+    // external objects and re-encoding the pairs through
+    // createDataFrame(RDD[Row]). The shared toRdd lazy val means the range
+    // exchange + sort still execute once; pass 2 reads the shuffle files.
+    val internalRdd = sorted.queryExecution.toRdd
+    def keyPayload(r: org.apache.spark.sql.catalyst.InternalRow): (String, Any) =
+      (r.getUTF8String(0).toString,
+        org.apache.spark.sql.catalyst.InternalRow.copyValue(r.get(payloadIdx, payloadType)))
     // pass 1: each partition's first and last (key, payload) — the only
     // rows a cross-boundary pair can involve
     val edges: Array[(Int, (String, Any), (String, Any))] =
-      sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
+      internalRdd.mapPartitionsWithIndex { (pid, it) =>
         var first: (String, Any) = null
         var last: (String, Any) = null
         it.foreach { r =>
-          val ks = (r.getString(0), r.get(payloadIdx))
+          val ks = keyPayload(r)
           if (first == null) first = ks
           last = ks
         }
@@ -996,28 +1008,44 @@ object TimeSeriesLib {
       if (prev != null && prev._1 == first._1) boundary += ((prev._1, prev._2, first._2))
       prev = last
     }
-    // pass 2: in-partition adjacent pairs (same shuffle output, map stage
-    // skipped); pairs leave each task pre-shaped for downstream aggregates
-    val inPart = sorted.rdd.mapPartitions { it =>
-      var prevKey: String = null
-      var prevPayload: Any = null
-      it.flatMap { r =>
-        val k = r.getString(0); val v = r.get(payloadIdx)
-        val out = if (prevKey != null && prevKey == k) Iterator.single((k, prevPayload, v))
-                  else Iterator.empty
-        prevKey = k; prevPayload = v
-        out
-      }
-    }
     import org.apache.spark.sql.types.{StructField, StructType, StringType}
     val fields =
       (if (keepKey) Seq(StructField("__key", StringType)) else Nil) ++
         Seq(StructField("__from", payloadType), StructField("__to", payloadType))
-    val pairRows = inPart.union(spark.sparkContext.parallelize(boundary.toSeq, 1))
-      .map { case (k, a, b) =>
-        if (keepKey) org.apache.spark.sql.Row(k, a, b) else org.apache.spark.sql.Row(a, b)
+    val schema = StructType(fields)
+    val nOut = schema.length
+    // pass 2: in-partition adjacent pairs (same shuffle output, map stage
+    // skipped); pairs leave each task pre-shaped for downstream aggregates,
+    // as flat UnsafeRows (valid until next(), the SparkPlan contract)
+    val inPart = internalRdd.mapPartitions { it =>
+      var prevKey: String = null
+      var prevPayload: Any = null
+      val cells = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(nOut)
+      val proj = org.apache.spark.sql.catalyst.expressions.UnsafeProjection.create(schema)
+      it.flatMap { r =>
+        val (k, v) = keyPayload(r)
+        val out =
+          if (prevKey != null && prevKey == k) {
+            var i = 0
+            if (keepKey) {
+              cells.update(0, org.apache.spark.unsafe.types.UTF8String.fromString(k)); i = 1
+            }
+            cells.update(i, prevPayload); cells.update(i + 1, v)
+            Iterator.single(proj(cells): org.apache.spark.sql.catalyst.InternalRow)
+          } else Iterator.empty
+        prevKey = k; prevPayload = v
+        out
       }
-    spark.createDataFrame(pairRows, StructType(fields))
+    }
+    val boundaryRows = boundary.toSeq.map { case (k, a, b) =>
+      val vals =
+        if (keepKey) Array[Any](org.apache.spark.unsafe.types.UTF8String.fromString(k), a, b)
+        else Array[Any](a, b)
+      new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(vals):
+        org.apache.spark.sql.catalyst.InternalRow
+    }
+    org.apache.spark.sql.GraftColumnBridge.internalCreateDataFrame(spark,
+      inPart.union(spark.sparkContext.parallelize(boundaryRows, 1)), schema)
   }
 
   def transitionMatrix(df: DataFrame, stateCol: String, orderCols: Seq[String],
