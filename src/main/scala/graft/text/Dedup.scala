@@ -1450,32 +1450,37 @@ object Dedup {
     * document length — the paragraphDedup precedent. */
   private[text] def rewriteWithoutPositions(df: DataFrame, base: DataFrame,
       textCol: String, idCol: String, removed: DataFrame): DataFrame = {
-    val toks = base
-      .select(col(idCol).as("__cd_id"),
-        posexplode(filter(split(TextLib.normalized(col(textCol)), " "), x => x =!= ""))
-          .as(Seq("__tp0", "__tok")))
-      .select(col("__cd_id"), (col("__tp0") + 1).as("__tp"), col("__tok"))
-    val rebuilt = toks.join(
-        removed.withColumn("__rm0", lit(true)), Seq("__cd_id", "__tp"), "left")
-      .withColumn("__rm", coalesce(col("__rm0"), lit(false)))
-      .groupBy(col("__cd_id"))
-      .agg(count(lit(1)).as("__cd_n"),
-        sum(when(col("__rm"), 1L).otherwise(0L)).as("__cd_rm"),
-        array_join(transform(
-          array_sort(collect_list(when(!col("__rm"), struct(col("__tp"), col("__tok"))))),
-          s => s.getField("__tok")), " ").as("__cd_text"))
+    // Doc-level rewrite (round 14): the old shape shuffled the ENTIRE
+    // corpus token stream through a (doc, pos) left join and re-assembled
+    // every document via a collect_list sort — two corpus-token-sized
+    // exchanges for position sets that are duplication/contamination-
+    // bound. Now the removed positions collapse to one per-doc array
+    // (|affected docs| rows, the only exchange), join at DOC level
+    // (broadcast when small), and graft.expr.DropTokenPositions rebuilds
+    // the text in-row over the same native WordGrams(n=1) token stream
+    // the gram relations use. Contract unchanged, including: EVERY
+    // participating doc with ≥1 token is rewritten to its normalized
+    // space-joined form (even with nothing removed — the old reassembly
+    // did the same), token-free / null texts and null-id rows pass
+    // through untouched with the old null/zero stats.
+    val rmPerDoc = removed.groupBy(col("__cd_id"))
+      .agg(collect_list(col("__tp").cast("long")).as("__cd_rm_arr"))
     val participated = col(idCol).isNotNull
     df.drop("n_tokens", "n_removed_tokens", "n_kept_tokens")
-      .alias("__cd_l").join(rebuilt.alias("__cd_r"),
+      .alias("__cd_l").join(rmPerDoc.alias("__cd_r"),
         col(s"__cd_l.$idCol") === col("__cd_r.__cd_id"), "left")
-      .withColumn("n_tokens", when(participated, coalesce(col("__cd_n"), lit(0L))))
-      .withColumn("n_removed_tokens", when(participated, coalesce(col("__cd_rm"), lit(0L))))
-      .withColumn("n_kept_tokens",
-        when(participated, coalesce(col("__cd_n") - col("__cd_rm"), lit(0L))))
+      .withColumn("__cd_ws", when(participated, graft.expr.WordGrams(col(textCol), 1)))
+      .withColumn("__cd_n", coalesce(size(col("__cd_ws")).cast("long"), lit(0L)))
+      .withColumn("__cd_rm",
+        coalesce(size(col("__cd_rm_arr")).cast("long"), lit(0L)))
+      .withColumn("n_tokens", when(participated, col("__cd_n")))
+      .withColumn("n_removed_tokens", when(participated, col("__cd_rm")))
+      .withColumn("n_kept_tokens", when(participated, col("__cd_n") - col("__cd_rm")))
       .withColumn(textCol,
-        when(!participated || col(textCol).isNull || col("__cd_text").isNull, col(textCol))
-          .otherwise(col("__cd_text")))
-      .drop("__cd_id", "__cd_n", "__cd_rm", "__cd_text")
+        when(!participated || col(textCol).isNull || col("__cd_n") === 0L, col(textCol))
+          .otherwise(graft.expr.DropTokenPositions(col("__cd_ws"),
+            coalesce(col("__cd_rm_arr"), array().cast("array<long>")))))
+      .drop("__cd_id", "__cd_ws", "__cd_n", "__cd_rm", "__cd_rm_arr")
   }
 
   // ---------------------------------------------------------------- snapshot diff

@@ -158,6 +158,11 @@ class ExprParitySweepSpec extends SparkSpec {
           20.0)
         run(textDf, "id", BigramLogProbMean(col("t"), lm))
       }),
+      "graft.expr.DropTokenPositions" -> (() => run(textDf, "id",
+        DropTokenPositions(WordGrams(col("t"), 1),
+          typedlit(Seq(1L, 3L, 99L))),
+        DropTokenPositions(WordGrams(col("t"), 1),
+          typedlit(Seq.empty[Long])))),
       "graft.expr.GramRepStats" -> (() => run(textDf, "id",
         GramRepStats(col("t"), 2, 5), GramRepStats(col("t"), 1, 2),
         GramRepStats(col("t"), 3, 3))),
