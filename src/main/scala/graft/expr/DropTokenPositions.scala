@@ -24,8 +24,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * OR null positions array ⇒ null (callers route no-token / non-
   * participating docs around the kernel).
   */
-case class DropTokenPositions(left: Expression, right: Expression)
-    extends BinaryExpression {
+case class DropTokenPositions(left: Expression, right: Expression,
+    sep: String = " ") extends BinaryExpression {
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     (left.dataType, right.dataType) match {
@@ -60,7 +60,7 @@ case class DropTokenPositions(left: Expression, right: Expression)
       while (d < m && drop(d) < pos) d += 1
       val dropped = d < m && drop(d) == pos
       if (!dropped && !toks.isNullAt(i)) {
-        if (!first) sb.append(' ')
+        if (!first) sb.append(sep)
         sb.append(toks.getUTF8String(i).toString)
         first = false
       }
@@ -84,4 +84,7 @@ object DropTokenPositions {
   def apply(tokens: Column, positions: Column): Column =
     GraftColumnBridge.column(DropTokenPositions(
       GraftColumnBridge.expression(tokens), GraftColumnBridge.expression(positions)))
+  def apply(tokens: Column, positions: Column, sep: String): Column =
+    GraftColumnBridge.column(DropTokenPositions(
+      GraftColumnBridge.expression(tokens), GraftColumnBridge.expression(positions), sep))
 }

@@ -1223,14 +1223,19 @@ object Dedup {
     * an associative aggregate that combines map-side, so a cookie-banner
     * paragraph repeated on 100M pages costs one tiny partial per task, not
     * 100M text-bearing rows through one window partition (the row_number
-    * draft had exactly that straggler). The keep decision re-joins parts
+    * draft had exactly that straggler). The drop decision re-joins parts
     * on the hash (AQE splits skewed JOIN partitions — it cannot split a
-    * skewed window partition); reassembly shuffles on the doc id; one
-    * id-keyed join back to the input. The parts relation feeds the
-    * election AND the keep join and is deliberately NOT cached: it is
-    * corpus-sized (all paragraph text), so at 100 TB a persist would spill
-    * the corpus to local disk — two streaming scans of the input are the
-    * cheaper trade. Checkpoint/write expensive upstream pipelines first.
+    * skewed window partition). Since round 14 NO exchange carries
+    * paragraph TEXT at all: parts is (id, idx, hash, len), the dropped
+    * (id, idx) set — duplication-bound by construction — collapses to one
+    * per-doc index array, and each document rebuilds IN-ROW from
+    * split(text, sep) via [[graft.expr.DropTokenPositions]] (the old
+    * collectInOrder reassembly shuffled every surviving paragraph string
+    * on the doc id). The parts relation feeds the election AND the drop
+    * join and is deliberately NOT cached: it is corpus-row-sized, so at
+    * 100 TB a persist would spill it to local disk — two streaming scans
+    * of the input are the cheaper trade. Checkpoint/write expensive
+    * upstream pipelines first.
     *
     * NULL text passes through unchanged (failed extraction ≠ duplicate,
     * matching `exact`). NULL ids also pass through untouched — there is no
@@ -1245,30 +1250,40 @@ object Dedup {
                      sep: String = "\n\n", minChars: Int = 1): DataFrame = {
     require(sep.nonEmpty, "paragraphDedup: sep must be non-empty")
     val quoted = java.util.regex.Pattern.quote(sep)
+    // Round 14: the election relation carries (id, idx, hash, len) ONLY —
+    // no exchange moves paragraph text anymore. The old shape joined full
+    // paragraph strings through the hash join and re-assembled every
+    // document via a collectInOrder shuffle on the doc id; the DROPPED
+    // (id, idx) set is duplication-bound (non-first occurrences of
+    // duplicated paragraphs only), so it collapses to one per-doc index
+    // array, joins at DOC level, and DropTokenPositions rebuilds the text
+    // in-row from split(text, sep) — byte-identical to the relational
+    // reassembly (split keeps trailing empties, join(sep) inverts it).
     val parts = df.filter(col(idCol).isNotNull)
       .select(col(idCol).as("__pd_id"),
         posexplode(split(col(textCol), quoted)).as(Seq("__pd_idx", "__pd_para")))
-      .withColumn("__pd_h", sha2(col("__pd_para"), 256))
+      .select(col("__pd_id"), col("__pd_idx"),
+        sha2(col("__pd_para"), 256).as("__pd_h"),
+        length(col("__pd_para")).as("__pd_len"))
     val firsts = parts.groupBy(col("__pd_h"))
       .agg(min(struct(col("__pd_id").as("i"), col("__pd_idx").as("x"))).as("__pd_first"))
-    val kept = parts.join(firsts, Seq("__pd_h"))
-      .filter(length(col("__pd_para")) < minChars ||
-        (col("__pd_id") === col("__pd_first.i") && col("__pd_idx") === col("__pd_first.x")))
-    val rebuilt = kept.groupBy(col("__pd_id"))
-      .agg(count(lit(1)).as("__pd_kept"),
-        array_join(TextLib.collectInOrder(col("__pd_idx"), col("__pd_para")), sep)
-          .as("__pd_text"))
+    val dropped = parts.join(firsts, Seq("__pd_h"))
+      .filter(col("__pd_len") >= minChars &&
+        !(col("__pd_id") === col("__pd_first.i") && col("__pd_idx") === col("__pd_first.x")))
+    val rmPerDoc = dropped.groupBy(col("__pd_id"))
+      .agg(collect_list((col("__pd_idx") + 1).cast("long")).as("__pd_rm"))
     df.alias("__pd_l")
-      .join(rebuilt, col(s"__pd_l.$idCol") === col("__pd_id"), "left")
+      .join(rmPerDoc, col(s"__pd_l.$idCol") === col("__pd_id"), "left")
       .withColumn("n_paras",
         when(col(textCol).isNotNull, size(split(col(textCol), quoted))).otherwise(lit(0)))
       .withColumn("n_paras_kept",
         when(col(s"__pd_l.$idCol").isNull, col("n_paras")) // pass-through rows keep all
-          .otherwise(coalesce(col("__pd_kept"), lit(0L))).cast("int"))
+          .otherwise(col("n_paras") - coalesce(size(col("__pd_rm")), lit(0))).cast("int"))
       .withColumn(textCol,
         when(col(textCol).isNull || col(s"__pd_l.$idCol").isNull, col(textCol))
-          .otherwise(coalesce(col("__pd_text"), lit(""))))
-      .drop("__pd_id", "__pd_kept", "__pd_text")
+          .otherwise(graft.expr.DropTokenPositions(split(col(textCol), quoted),
+            coalesce(col("__pd_rm"), array().cast("array<long>")), sep)))
+      .drop("__pd_id", "__pd_rm")
   }
 
   // ---------------------------------------------------------------- duplicate spans
